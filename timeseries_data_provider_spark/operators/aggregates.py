@@ -1,0 +1,81 @@
+"""[EXT] Aggregation operators.
+
+The reference never aggregates — it returns raw points and leaves
+downsampling to Grafana (SURVEY.md §2.1: index.js:106 has no GROUP BY).
+These are the canonical time-series / OLAP aggregations a user of the
+reference needs the moment data outgrows ``maxDataPoints``.
+
+Physical notes: all of these are hash aggregations with map-side
+partial aggregation (Catalyst's default two-phase plan), so the shuffle
+carries one row per (group, partition) — at 100 TB the pre-shuffle
+reduction is what keeps these viable. No Python in any of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import stable_avg, stable_sum
+
+
+def time_bucket(
+    events: DataFrame,
+    bucket: str = "day",
+    series_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling time-bucket rollup: count/avg/min/max per (series, bucket).
+
+    The op the reference conspicuously lacks (SURVEY.md §2.1
+    "Aggregations: ABSENT"). Day buckets via a date cast (== day
+    truncation); sub-day buckets would use ``F.window(time_col, ...)``.
+    """
+    v = F.col(value_col)
+    # Bucket emitted as a 'yyyy-MM-dd' string: DATE objects round-trip
+    # differently through Spark (datetime.date) vs DuckDB/pandas
+    # (Timestamp), which breaks exact cross-engine value comparison.
+    return events.groupBy(
+        F.col(series_col),
+        F.date_format(F.col(time_col), "yyyy-MM-dd").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_avg(v, "avg_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def rollup_counts(lineitem: DataFrame) -> DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) with exact sums."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_sum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+def cube_counts(lineitem: DataFrame) -> DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_sum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-language doc counts + mean length (floored, exact int math)."""
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_chars"),
+    )
+
+
+def dedup_counts(documents: DataFrame) -> DataFrame:
+    """Total vs distinct-text counts (exact-dedup summary)."""
+    return documents.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("text").alias("uniq"),
+    )

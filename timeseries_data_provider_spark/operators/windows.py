@@ -1,0 +1,103 @@
+"""[EXT] Window-function operators (SURVEY.md §2.1 "Window functions:
+ABSENT" in the reference) — deltas, moving averages, per-group top-k,
+sessionization. All are single-shuffle plans: one exchange on the
+partition key, then sorted window evaluation inside each partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC
+
+
+def _series_window(series_col: str, time_col: str, id_col: str):
+    return Window.partitionBy(series_col).orderBy(time_col, id_col)
+
+
+def lag_delta(
+    events: DataFrame,
+    series_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Point-to-point delta per series — the rate/derivative primitive
+    Grafana users expect. Deterministic: order tie-broken on id."""
+    w = _series_window(series_col, time_col, id_col)
+    return events.select(
+        F.col(id_col),
+        (F.col(value_col) - F.lag(value_col).over(w)).alias("delta"),
+    )
+
+
+def topk_per_group(
+    events: DataFrame,
+    k: int = 5,
+    series_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k rows per series by value (row_number ≤ k, id tie-break).
+
+    Scale: rank-filter pattern — no global sort; each series sorts
+    within its shuffle partition only.
+    """
+    w = Window.partitionBy(series_col).orderBy(
+        F.col(value_col).desc(), F.col(id_col)
+    )
+    return (
+        events.select(
+            series_col, id_col, value_col, F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
+def moving_avg(
+    events: DataFrame,
+    n: int = 5,
+    series_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing n-row moving average per series.
+
+    Exactness: the windowed SUM runs over DECIMAL so sliding-window
+    accumulator strategies can't introduce float drift (see
+    functions/numeric.py).
+    """
+    w = _series_window(series_col, time_col, id_col).rowsBetween(-(n - 1), 0)
+    return events.select(
+        F.col(id_col),
+        F.round(
+            F.sum(F.col(value_col).cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("mov_avg"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands session count per user: a new session starts
+    when the gap to the previous event exceeds ``gap_minutes``."""
+    w = Window.partitionBy(user_col).orderBy(time_col, id_col)
+    prev = F.lag(time_col).over(w)
+    flag = F.when(
+        prev.isNull()
+        | (F.col(time_col) > prev + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        events.select(F.col(user_col), flag.alias("new_session"))
+        .groupBy(user_col)
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )

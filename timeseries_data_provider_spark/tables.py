@@ -1,0 +1,99 @@
+"""Schema-normalizing loaders for the driver testdata tables.
+
+The testdata (TESTDATA.md) stores some timestamp columns as parquet
+TIMESTAMP(NANOS, isAdjustedToUTC=false) (``events.ts``,
+``lineitem.l_shipdate``) which Spark's parquet reader rejects natively.
+With ``spark.sql.legacy.parquet.nanosAsLong=true`` those columns arrive
+as raw int64 nanoseconds; :func:`load_table` converts them to
+``TIMESTAMP_NTZ`` via ``timestamp_micros(ns div 1000)`` — integer
+division truncates ns → µs exactly as DuckDB does when reading the same
+files, so both engines see identical wall-clock values.
+
+Scale note: the ns→µs conversion is an *expression* on the column, so a
+filter written against the converted column would NOT push down to the
+parquet scan. Operators that range-scan on time therefore filter on the
+raw int64 nanos first (predicate + row-group stats pushdown both work on
+plain int64) and convert after the filter — see
+``operators/core.py:query_range``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+NS_SUFFIX = "__ns"
+
+
+@lru_cache(maxsize=256)
+def _ns_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) in the file at *path*."""
+    import pyarrow.parquet as pq
+
+    cols = []
+    schema = pq.read_schema(path)
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            cols.append(field.name)
+    return tuple(cols)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    keep_raw_ns: bool = False,
+) -> DataFrame:
+    """Load one testdata table with normalized timestamp columns.
+
+    ns-timestamp columns are converted to TIMESTAMP_NTZ. With
+    ``keep_raw_ns=True`` the raw int64 nanos are additionally kept as
+    ``<col>__ns`` so time-range operators can push predicates down to
+    the parquet scan (see module docstring).
+    """
+    ensure_runtime_confs(spark)
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    for col in _ns_timestamp_columns(path):
+        converted = F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+            "timestamp_ntz"
+        )
+        if keep_raw_ns:
+            df = df.withColumn(col + NS_SUFFIX, F.col(col))
+        df = df.withColumn(col, converted)
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
