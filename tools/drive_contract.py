@@ -1,0 +1,85 @@
+"""Drive __spark_entry__ exactly as the correctness driver would:
+a VANILLA SparkSession (no engine confs pre-set), import the contract,
+run entry() + every queries() entry at sf0.01, compare against
+oracle_sql() via DuckDB. Probe: build the session with a non-UTC
+timezone to confirm the engine's runtime-conf guard holds."""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+# Vanilla session — deliberately NOT using the engine's builder, and with
+# a hostile timezone to probe the runtime-conf guard.
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-sim")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", os.environ.get("TDPS_DRIVE_TZ", "America/New_York"))
+    .getOrCreate()
+)
+
+import __spark_entry__ as entry
+
+# 1. entry() smoke
+df = entry.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+# 2. all queries vs oracles at sf0.01
+import duckdb
+
+con = duckdb.connect()
+SF = "/root/testdata/sf0.01"
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+qs = entry.queries()
+oracles = entry.oracle_sql()
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime64"):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+fails = []
+for name in sorted(qs):
+    sdf = qs[name](spark, SF).toPandas()
+    if name not in oracles:
+        print(f"{name}: NO ORACLE rows={len(sdf)}")
+        continue
+    odf = con.execute(oracles[name]).fetchdf()
+    ok = True
+    if sorted(sdf.columns) != sorted(odf.columns):
+        fails.append((name, "cols", sorted(sdf.columns), sorted(odf.columns))); ok = False
+    elif len(sdf) != len(odf):
+        fails.append((name, "rows", len(sdf), len(odf))); ok = False
+    else:
+        a, b = canon(sdf), canon(odf)
+        for col in a.columns:
+            for i, (x, y) in enumerate(zip(a[col], b[col])):
+                xn = x is None or (isinstance(x, float) and math.isnan(x))
+                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                if xn and yn:
+                    continue
+                if xn != yn or not (x == y):
+                    fails.append((name, f"val {col}[{i}]", x, y)); ok = False
+                    break
+            if not ok:
+                break
+    print(f"{name}: {'MATCH' if ok else 'MISMATCH'} rows={len(sdf)}")
+
+print("\nFAILURES:", fails if fails else "none")
+spark.stop()
+sys.exit(1 if fails else 0)
