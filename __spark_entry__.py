@@ -219,12 +219,12 @@ def q27_hash_dedup(spark, sf):
 
 
 def q28_ngram_jaccard(spark, sf):
-    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=2, threshold=0.3)
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.3)
 
 
 def q29_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=16, bands=8, n=2, threshold=0.3
+        _t(spark, sf, "documents"), num_hashes=16, bands=8, n=3, threshold=0.3
     )
 
 
@@ -521,11 +521,12 @@ def oracle_sql() -> dict[str, str]:
         "q28_ngram_jaccard": """
             WITH d AS (
               SELECT doc_id,
-                     CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+                     CASE WHEN len(string_split(text, ' ')) < 3 THEN []
                           ELSE list_distinct(list_transform(
-                            range(1, len(string_split(text, ' '))),
+                            range(1, len(string_split(text, ' ')) - 1),
                             i -> string_split(text, ' ')[i] || ' '
-                                 || string_split(text, ' ')[i + 1]))
+                                 || string_split(text, ' ')[i + 1] || ' '
+                                 || string_split(text, ' ')[i + 2]))
                      END AS sh
               FROM documents
             ), pairs AS (
@@ -543,11 +544,12 @@ def oracle_sql() -> dict[str, str]:
         "q29_minhash_lsh": """
             WITH d AS (
               SELECT doc_id,
-                     CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+                     CASE WHEN len(string_split(text, ' ')) < 3 THEN []
                           ELSE list_distinct(list_transform(
-                            range(1, len(string_split(text, ' '))),
+                            range(1, len(string_split(text, ' ')) - 1),
                             i -> string_split(text, ' ')[i] || ' '
-                                 || string_split(text, ' ')[i + 1]))
+                                 || string_split(text, ' ')[i + 1] || ' '
+                                 || string_split(text, ' ')[i + 2]))
                      END AS sh
               FROM documents
             ), pairs AS (

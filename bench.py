@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on a tuned local[$SPARK_GRAFT_CPUS]
+session and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + collect to driver),
+after a one-query JVM warm-up. Run with --explain to dump formatted
+physical plans instead of timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    explain = "--explain" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+    from timeseries_data_provider_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("tdps-bench")
+    qs = entry.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if any(o in k for o in only)}
+
+    # warm-up: JVM JIT + parquet footer caches, not counted
+    qs[next(iter(qs))](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        if explain:
+            print(f"===== {name}")
+            qs[name](spark, sf_dir).explain("formatted")
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    if not explain:
+        sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+        try:
+            sf_num = float(sf)
+        except ValueError:
+            sf_num = sf
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_sec",
+                    "value": round(sum(timings.values()), 4),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_num,
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

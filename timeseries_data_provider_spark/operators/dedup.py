@@ -3,20 +3,28 @@ MinHash+LSH, SimHash.
 
 Scale design:
 - Exact dedup groups on sha256(text) — constant-width keys, one shuffle.
-- The *exact* pairwise Jaccard operator is the correctness oracle; its
-  all-pairs join is quadratic and only usable on small/blocked inputs.
-- MinHash+LSH is the 100 TB path: per-doc signature (one shuffle over
-  exploded shingles), banding, candidate pairs only within equal band
-  buckets (equi-join — no cross product), then exact verification on
-  the candidates. With b bands of r rows the match probability is
-  1-(1-j^r)^b — b=8, r=2 gives ~0.98 recall at j=0.7 and strong
-  down-weighting below 0.3.
-- SimHash gives a 64-bit per-doc sketch whose Hamming distance tracks
-  cosine similarity of the bag-of-words — near-dup candidates join on
-  rotated bit-bands of the sketch.
+- Pairwise Jaccard runs as an inverted-index equi-join (explode
+  shingles, join on the shingle, count per pair), never a theta/cross
+  join: only pairs sharing ≥1 shingle materialize.
+- MinHash+LSH is the 100 TB path: per-doc signature (one explode +
+  grouped min), banding, candidate pairs only within equal band buckets
+  (equi-join), then exact verification restricted to the candidates.
+  With b bands of r rows the match probability is 1-(1-j^r)^b — b=8,
+  r=2 keeps recall ≈1 for j ≥ 0.7 while discarding low-j pairs.
+- SimHash gives a 64-bit per-doc sketch; near-dup candidates join on
+  16-bit bands of the sketch and verify by popcount.
 
 All hashing is xxhash64 with fixed string seeds — deterministic across
 runs, partitionings, and cluster sizes.
+
+Physical-plan note (measured, see git history): building the shingle
+*array* with higher-order functions (transform/array_distinct) and then
+exploding invites CollapseProject to inline the array expression into
+pushed-down filters — the text is then re-split per array element, a
+>10x slowdown, and higher-order lambdas fall out of whole-stage codegen.
+The explode-FIRST formulation below (Generate is a projection barrier,
+shingle built per exploded index, distinct via aggregation) keeps every
+expression evaluated once and stays in codegen.
 """
 
 from __future__ import annotations
@@ -25,23 +33,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles(documents: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
-    """doc_id + distinct word n-gram shingle array (empty if < n words)."""
-    w = F.split(F.col(text_col), " ")
-    if n == 1:
-        sh = F.array_distinct(w)
-    else:
-        parts = [f"element_at(__w, i + {k})" for k in range(n)]
-        sh = F.expr(
-            "CASE WHEN size(__w) < {n} THEN array() ELSE array_distinct("
-            "transform(sequence(1, size(__w) - {nm1}), "
-            "i -> concat_ws(' ', {parts}))) END".format(
-                n=n, nm1=n - 1, parts=", ".join(parts)
-            )
-        )
+def shingles_exploded(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, s): DISTINCT word n-gram shingles, one row per shingle.
+
+    Explode-first: split once, explode the shingle start indexes, build
+    each shingle string from the kept words array, distinct via
+    group-by. Docs with fewer than n words yield no rows (their shingle
+    set is empty — they can never pair anyway).
+    """
+    w = F.col("__w")
+    parts = [F.element_at(w, F.col("i") + k) for k in range(n)]
     return (
-        documents.withColumn("__w", w)
-        .select("doc_id", sh.alias("sh"))
+        documents.select("doc_id", F.split(F.col(text_col), " ").alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            "doc_id",
+            "__w",
+            F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1))).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", *parts).alias("s"))
+        .distinct()
+    )
+
+
+def shingle_counts(exploded: DataFrame) -> DataFrame:
+    """(doc_id, cnt): distinct-shingle count per document."""
+    return exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def shingles(documents: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """doc_id + distinct shingle array (array form, for API/tests; the
+    join operators use the exploded form — see module docstring)."""
+    return shingles_exploded(documents, n, text_col).groupBy("doc_id").agg(
+        F.collect_list("s").alias("sh")
     )
 
 
@@ -57,63 +83,83 @@ def exact_dedup_pick(documents: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard(a: Column, b: Column) -> Column:
-    return F.size(F.array_intersect(a, b)).cast("double") / F.size(
-        F.array_union(a, b)
-    )
-
-
-def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 2, threshold: float = 0.3
+def _pairs_jaccard(
+    common: DataFrame, counts: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (all pairs — the oracle).
-
-    Quadratic: reserve for small inputs or post-LSH verification. Output
-    is (doc_a, doc_b, j) with doc_a < doc_b.
-    """
-    sh = shingles(documents, n)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    """(doc_a, doc_b, common) + per-doc counts → thresholded Jaccard."""
+    j = F.round(
+        F.col("common").cast("double")
+        / (F.col("cnt_a") + F.col("cnt_b") - F.col("common")),
+        6,
+    )
     return (
-        pairs.select(
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("cnt").alias("cnt_a")),
             "doc_a",
-            "doc_b",
-            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("j"),
         )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("cnt").alias("cnt_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", j.alias("j"))
         .filter(F.col("j") >= threshold)
     )
 
 
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    explode distinct shingles → equi-join on the shingle (only pairs
+    sharing ≥1 shingle ever materialize — with a positive threshold
+    that loses nothing) → count common per pair →
+    ``j = common / (|A| + |B| - common)``. Every step is an equi-join /
+    hash-agg: fully parallel, no per-pair array scans. Known hot spot at
+    scale is shingle-frequency skew (sum of f² join rows); mitigations
+    are larger n, dropping ultra-frequent shingles, or prefix filtering.
+    """
+    ex = shingles_exploded(documents, n)
+    common = (
+        ex.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _pairs_jaccard(common, shingle_counts(ex), threshold)
+
+
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 16, n: int = 2
+    documents: DataFrame, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
     xxhash64(i || shingle). One explode + one groupBy (map-side partial
-    min) — shuffle carries num_hashes longs per doc."""
-    sh = shingles(documents, n).filter(F.size("sh") > 0)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    min) — the shuffle carries num_hashes longs per doc."""
+    ex = shingles_exploded(documents, n)
     aggs = [
         F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
     documents: DataFrame,
     num_hashes: int = 16,
     bands: int = 8,
-    n: int = 2,
+    n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
     banding: signature split into ``bands`` groups of r = num_hashes /
     bands; candidates = doc pairs sharing ANY band hash (equi-join on
-    (band_idx, band_hash) — linear, no cross product); each candidate is
-    then verified with exact Jaccard so the result has no false
-    positives, only (bounded-probability) false negatives.
+    (band, band_hash) — linear, no cross product). Verification then
+    computes exact Jaccard ONLY for the candidates, by restricting the
+    inverted-index join to candidate pairs — so the expensive step is
+    proportional to |candidates|, not |docs|². No false positives;
+    false negatives bounded by the banding curve.
     """
     r = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, n)
@@ -128,9 +174,9 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sig.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
 
     la = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     lb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
@@ -141,25 +187,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = shingles(documents, n)
-    cand = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
+    ex = shingles_exploded(documents, n)
+    common = (
+        cand.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
+            ex.select(F.col("doc_id").alias("doc_b"), "s"),
+            ["doc_b", "s"],
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("j"),
-        )
-        .filter(F.col("j") >= threshold)
-    )
+    return _pairs_jaccard(common, shingle_counts(ex), threshold)
 
 
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -199,9 +237,9 @@ def simhash_hamming_pairs(
     """Near-dup candidate pairs by SimHash Hamming distance ≤ k.
 
     Candidate generation blocks on 16-bit quarters of the sketch (two
-    sketches within distance ≤ 3 of each other must agree on at least
-    one quarter; for larger k this is a recall-bounded heuristic) —
-    equi-join per quarter, then exact popcount verification.
+    sketches within distance ≤ 3 must agree on at least one quarter;
+    for larger k this is a recall-bounded heuristic) — equi-join per
+    quarter, then exact popcount verification.
     """
     sk = simhash(documents)
     quarters = F.array(
@@ -215,9 +253,7 @@ def simhash_hamming_pairs(
             for q in range(4)
         ]
     )
-    blocked = sk.select(
-        "doc_id", "simhash", F.explode(quarters).alias("b")
-    ).select(
+    blocked = sk.select("doc_id", "simhash", F.explode(quarters).alias("b")).select(
         "doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qh").alias("qh")
     )
     a = blocked.select(
@@ -232,7 +268,7 @@ def simhash_hamming_pairs(
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()
     )
-    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select(
-        "doc_a", "doc_b", dist.alias("hamming")
-    ).filter(F.col("hamming") <= max_distance)
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return cand.select("doc_a", "doc_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_distance
+    )

@@ -63,18 +63,33 @@ def embedding_neardup_pairs(
 
     Quadratic all-pairs — the oracle/verification form. The scale form
     first blocks candidates (IVF bucket or LSH band) and verifies only
-    within blocks.
+    within blocks. Norms are precomputed per vector (not per pair), and
+    the stream side is repartitioned so the nested-loop join
+    parallelizes across cores instead of running in the single
+    partition a small parquet file scans into.
     """
-    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    e = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nsq", dot(F.col("v"), F.col("v")))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nsq").alias("nsq_a"),
+    ).repartition(par)
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+        6,
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
