@@ -1,0 +1,153 @@
+"""Collector / retention semantics (SURVEY.md §5 item 5): per-source
+cadence (reference index.js:238), ingest-time stamping (:250-257),
+null-sample drop (:246), failure isolation (:259-263), strict-< retention
+cutoff (:273)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from timeseries_data_provider_spark.streaming.config import SourceConfig
+from timeseries_data_provider_spark.streaming.ingest import (
+    MetricsCollector,
+    read_metrics,
+)
+from timeseries_data_provider_spark.streaming.retention import apply_retention
+
+
+def _collector(spark, tmp_path, sources, responses):
+    calls: list[str] = []
+
+    def fetcher(src: SourceConfig) -> str:
+        calls.append(src.name)
+        body = responses[src.name]
+        if isinstance(body, Exception):
+            raise body
+        return body
+
+    c = MetricsCollector(
+        spark, sources, str(tmp_path / "metrics"), fetcher=fetcher
+    )
+    return c, calls
+
+
+def test_cadence_and_ingest(spark, tmp_path):
+    sources = [
+        SourceConfig(name="fast", interval=1, json_path="$.count"),
+        SourceConfig(name="slow", interval=5, json_path="$.count"),
+        SourceConfig(name="off", active=False, interval=1),
+    ]
+    responses = {
+        "fast": json.dumps({"count": 1.5}),
+        "slow": json.dumps({"count": 2.5}),
+        "off": json.dumps({"count": 99.0}),
+    }
+    c, calls = _collector(spark, tmp_path, sources, responses)
+
+    # ticks at t=0..5: fast fires 6x, slow at t=0 and t=5 → 2x, off never
+    for t in range(6):
+        c.tick(tick_time=1_700_000_000 + t)
+
+    assert calls.count("fast") == 6
+    assert calls.count("slow") == 2
+    assert calls.count("off") == 0
+
+    df = read_metrics(spark, str(tmp_path / "metrics"))
+    got = {
+        r["name"]: r["n"]
+        for r in df.groupBy("name").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == {"fast": 6, "slow": 2}
+    # ingest-time stamping: timestamps == tick times
+    ts = sorted(
+        r["time"].timestamp()
+        for r in df.filter("name = 'fast'").select("time").collect()
+    )
+    assert ts == [1_700_000_000 + t for t in range(6)]
+
+
+def test_null_sample_dropped_and_failure_isolated(spark, tmp_path):
+    sources = [
+        SourceConfig(name="ok", interval=1),
+        SourceConfig(name="nullv", interval=1),  # body lacks the path
+        SourceConfig(name="boom", interval=1),  # fetch raises
+    ]
+    responses = {
+        "ok": json.dumps({"count": 7.0}),
+        "nullv": json.dumps({"other": 1}),
+        "boom": RuntimeError("connection refused"),
+    }
+    c, _ = _collector(spark, tmp_path, sources, responses)
+    written = c.tick(tick_time=1_700_000_000)
+    assert written == 1  # only 'ok'; null dropped, failure isolated
+    df = read_metrics(spark, str(tmp_path / "metrics"))
+    assert [r["name"] for r in df.collect()] == ["ok"]
+
+
+def test_custom_transform(spark, tmp_path):
+    src = SourceConfig(
+        name="csv", interval=1, transform=lambda body: float(body.split(",")[1])
+    )
+    c, _ = _collector(spark, tmp_path, [src], {"csv": "a,3.25,b"})
+    c.tick(tick_time=1_700_000_000)
+    df = read_metrics(spark, str(tmp_path / "metrics"))
+    assert df.collect()[0]["value"] == 3.25
+
+
+def test_retention_strict_cutoff(spark, tmp_path):
+    src = SourceConfig(name="s", interval=1)
+    now = 1_700_000_000
+    responses = {"s": json.dumps({"count": 1.0})}
+    c, _ = _collector(spark, tmp_path, [src], responses)
+    for t in range(5):
+        c.tick(tick_time=now + t)
+    path = str(tmp_path / "metrics")
+    # cutoff lands exactly ON the t=+2 sample: strict < keeps it
+    survivors = apply_retention(
+        spark, path, "s", age_seconds=2, now_epoch=now + 4
+    )
+    assert survivors == 3  # t=+2, +3, +4 survive; +0, +1 deleted
+    df = read_metrics(spark, path)
+    ts = sorted(r["time"].timestamp() for r in df.collect())
+    assert ts == [now + 2, now + 3, now + 4]
+
+
+def test_retention_via_scheduler(spark, tmp_path):
+    src = SourceConfig(
+        name="s", interval=1, remove_interval=3, remove_age=2
+    )
+    now = 1_700_000_000
+    c, _ = _collector(spark, tmp_path, [src], {"s": json.dumps({"count": 1.0})})
+    # t=0: collect + retention both fire (lastRemove=0 epoch)
+    for t in range(7):
+        c.tick(tick_time=now + t)
+    df = read_metrics(spark, str(tmp_path / "metrics"))
+    ts = sorted(r["time"].timestamp() for r in df.collect())
+    # retention last fired at t=+6 with age=2 → strict <, +4 survives
+    assert ts[0] >= now + 4
+    assert ts[-1] == now + 6
+
+
+def test_streaming_smoke(spark, tmp_path):
+    """Real Structured Streaming run: rate source, 1s trigger."""
+    import time
+
+    src = SourceConfig(name="live", interval=1)
+    c, _ = _collector(spark, tmp_path, [src], {"live": json.dumps({"count": 5.0})})
+    q = c.run_streaming(
+        trigger_seconds=1, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            try:
+                if read_metrics(spark, str(tmp_path / "metrics")).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert read_metrics(spark, str(tmp_path / "metrics")).count() >= 2

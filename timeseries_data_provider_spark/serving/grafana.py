@@ -1,0 +1,173 @@
+"""Grafana SimpleJSON-datasource contract
+(/root/reference/index.js:52-187), re-expressed over the Spark engine.
+
+Endpoints (reference routes):
+- ``/``            → health ping (index.js:64-70)
+- ``/search``      → active series names (index.js:72-84)
+- ``/query``       → range query, timeseries/table shapes (index.js:86-157)
+- ``/annotations`` ``/tag-keys`` ``/tag-values`` → ``[]`` stubs
+  (index.js:159-181)
+- Basic Auth validator (index.js:20-26, wired :55-61)
+
+Deliberate divergences from reference defects (SURVEY.md §4.3):
+1. multiple ``table`` targets UNION their rows (the reference's
+   last-writer-wins assignment at index.js:131 drops all but one);
+2. query errors produce an error payload / HTTP 500 (the reference
+   swallows them and responds nothing, index.js:153-155);
+3. unknown or inactive targets are dropped *explicitly* (the reference
+   reaches the same outcome by crashing into its catch handler,
+   index.js:29-31 + :103).
+
+Spark is not a low-latency point-query server; the intended deployment
+keeps the metrics frame cached (or a JSON-sink snapshot) and bounds
+every response by ``maxDataPoints`` — driver-side collect() is capped
+by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.core import query_range
+
+# Fixed table-shape column metadata (index.js:142-146).
+TABLE_COLUMNS = [
+    {"text": "Target", "type": "string"},
+    {"text": "Value", "type": "number"},
+    {"text": "Time", "type": "time"},
+]
+
+
+def search(sources_or_events: DataFrame) -> list[str]:
+    """`/search`: active source names (index.js:76-83)."""
+    df = sources_or_events
+    if "active" in df.columns:
+        df = df.filter(F.col("active"))
+        name_col = "name"
+    else:
+        name_col = "event_type" if "event_type" in df.columns else "name"
+    return [
+        r[0]
+        for r in df.select(name_col).distinct().orderBy(name_col).collect()
+    ]
+
+
+def _epoch_ms(col: F.Column) -> F.Column:
+    # index.js:121-123: Number.parseInt(moment(t).format("x"))
+    return F.unix_millis(col.cast("timestamp"))
+
+
+def handle_query(
+    payload: dict[str, Any],
+    metrics: DataFrame,
+    known_series: set[str] | None = None,
+    series_col: str = "name",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> list[dict[str, Any]]:
+    """`/query` (index.js:86-157).
+
+    payload: ``{targets: [{target, type}], range: {from, to},
+    maxDataPoints}`` — the Grafana SimpleJSON request shape.
+
+    All requested series run as ONE Spark job (name IN (...) with
+    partition pruning) instead of the reference's per-target fan-out
+    (index.js:97-110); the collect() is the Promise.all barrier.
+    """
+    targets = payload.get("targets") or []
+    rng = payload.get("range") or {}
+    t_from = str(rng.get("from", "1970-01-01 00:00:00")).replace("T", " ").rstrip("Z")
+    t_to = str(rng.get("to", "9999-12-31 00:00:00")).replace("T", " ").rstrip("Z")
+    max_points = payload.get("maxDataPoints")
+
+    target_types: dict[str, str] = {}
+    names: list[str] = []
+    for t in targets:
+        name = t.get("target")
+        if not name:
+            continue
+        if known_series is not None and name not in known_series:
+            continue  # explicit unknown/inactive drop (divergence 3)
+        names.append(name)
+        target_types[name] = t.get("type", "timeseries")
+    if not names:
+        return []
+
+    scans = []
+    for name in names:
+        df = query_range(
+            metrics,
+            name,
+            t_from,
+            t_to,
+            max_points,
+            series_col=series_col,
+            time_col=time_col,
+            value_col=value_col,
+        ).select(
+            F.col(series_col).alias("name"),
+            F.col(value_col).alias("value"),
+            _epoch_ms(F.col(time_col)).alias("ms"),
+        )
+        scans.append(df)
+    union = scans[0]
+    for df in scans[1:]:
+        union = union.unionByName(df)
+
+    grouped: dict[str, list[list[Any]]] = {n: [] for n in names}
+    for row in union.collect():
+        grouped[row["name"]].append([row["value"], row["ms"]])
+    # InfluxQL results are implicitly time-ASC (the reference relied on
+    # that, index.js:106); a distributed collect is not — sort here.
+    for points in grouped.values():
+        points.sort(key=lambda p: p[1])
+
+    response: list[dict[str, Any]] = []
+    table_rows: list[list[Any]] = []
+    for name in names:
+        datapoints = grouped.get(name, [])
+        if target_types[name] == "table":
+            # prepend series name (index.js:131-135); UNION across
+            # table targets (divergence 1)
+            table_rows.extend([[name, v, ms] for v, ms in datapoints])
+        else:
+            if datapoints:
+                response.append({"target": name, "datapoints": datapoints})
+    if table_rows:
+        response.append(
+            {"columns": TABLE_COLUMNS, "rows": table_rows, "type": "table"}
+        )
+    return response
+
+
+def annotations(_payload: dict | None = None) -> list:
+    """Stub (index.js:159-165)."""
+    return []
+
+
+def tag_keys(_payload: dict | None = None) -> list:
+    """Stub (index.js:167-173)."""
+    return []
+
+
+def tag_values(_payload: dict | None = None) -> list:
+    """Stub (index.js:175-181)."""
+    return []
+
+
+def basic_auth_validator(config: dict[str, Any]):
+    """Credential check factory (index.js:20-26). ``config`` mirrors
+    ``config.server.auth`` — {enabled, username, password}."""
+
+    def validate(username: str, password: str) -> bool:
+        if not config.get("enabled", False):
+            return True
+        return (
+            username == config.get("username")
+            and password == config.get("password")
+        )
+
+    return validate

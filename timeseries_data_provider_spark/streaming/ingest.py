@@ -1,0 +1,179 @@
+"""Metrics collector: the reference's 1-second scheduler tick
+(/root/reference/index.js:225-284) as a Structured Streaming job.
+
+Mapping (SURVEY.md §3.2):
+- ``setInterval(..., 1000)`` (index.js:225)        → rate source +
+  ``trigger(processingTime='1 second')`` driving ``foreachBatch``.
+- per-source due-check vs lastRun+interval (index.js:238) → driver-side
+  state dict, exactly like the reference's ``proxyCollection``
+  (index.js:215-223). Driver state is the right place: the source list
+  is config-sized (not data-sized); promotion to
+  ``applyInPandasWithState`` only pays off with millions of sources.
+- axios fetch + transformResponse (index.js:242-246) → pluggable
+  fetcher (urllib default) + SourceConfig.extract; null samples dropped
+  (index.js:246), per-source failures isolated (index.js:259-263).
+- writePoints with no timestamp (index.js:250-257) → append of
+  ``(name, time=now, value)`` — ingest-time stamping preserved, so
+  event-time == processing-time and late data cannot exist (SURVEY §1.1).
+- autoRemove (index.js:268-282) → retention due-check in the same tick,
+  strict ``<`` cutoff (see retention.py).
+
+The sink is a parquet table partitioned by ``name`` (+ ``date`` derived
+from the ingest time at scale): partition pruning then serves the
+reference's per-measurement queries (index.js:106) without touching
+other series.
+"""
+
+from __future__ import annotations
+
+import time as _time
+import urllib.request
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from .config import SourceConfig
+from .retention import apply_retention
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("time", TimestampNTZType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+def default_fetcher(source: SourceConfig) -> str:
+    """HTTP GET via stdlib (reference used axios, index.js:242)."""
+    req = urllib.request.Request(source.url, method=source.method or "GET")
+    with urllib.request.urlopen(req, timeout=10) as resp:  # noqa: S310
+        return resp.read().decode("utf-8")
+
+
+@dataclass
+class _SourceState:
+    """Mirror of the reference's per-proxy scheduler state
+    (index.js:218-222: lastRun / lastRemove)."""
+
+    last_run: float = 0.0
+    last_remove: float = 0.0
+
+
+class MetricsCollector:
+    """Periodic HTTP poll → append to the metrics table.
+
+    ``run_streaming`` drives it with a real Structured Streaming query;
+    ``tick`` is the testable core (one scheduler tick at a given time).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sources: list[SourceConfig],
+        table_path: str,
+        fetcher: Callable[[SourceConfig], str] | None = None,
+        now: Callable[[], float] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sources = sources
+        self.table_path = table_path
+        self.fetcher = fetcher or default_fetcher
+        self.now = now or _time.time
+        # active && interval > 0, reference index.js:215-217
+        self.state: dict[str, _SourceState] = {
+            s.name: _SourceState()
+            for s in sources
+            if s.active and s.interval > 0
+        }
+
+    # -- one scheduler tick (index.js:226-284) ---------------------------
+
+    def tick(self, tick_time: float | None = None) -> int:
+        """Run one tick; returns number of samples written."""
+        t = self.now() if tick_time is None else tick_time
+        rows: list[tuple[str, datetime, float]] = []
+        for source in self.sources:
+            st = self.state.get(source.name)
+            if st is None:
+                continue  # inactive (index.js:103 / :215-217)
+            # collection due-check (index.js:238)
+            if t - st.last_run >= source.interval:
+                st.last_run = t
+                try:
+                    body = self.fetcher(source)
+                    value = source.extract(body)
+                    if value is not None:  # null guard, index.js:246
+                        ts = datetime.fromtimestamp(t, tz=timezone.utc).replace(
+                            tzinfo=None
+                        )
+                        rows.append((source.name, ts, float(value)))
+                except Exception as exc:  # isolation, index.js:259-263
+                    print(f"[collector] {source.name}: {exc}")
+            # retention due-check (index.js:269)
+            if (
+                source.remove_interval
+                and source.remove_age
+                and t - st.last_remove >= source.remove_interval
+            ):
+                st.last_remove = t
+                try:
+                    apply_retention(
+                        self.spark,
+                        self.table_path,
+                        source.name,
+                        source.remove_age,
+                        now_epoch=t,
+                    )
+                except Exception as exc:
+                    print(f"[retention] {source.name}: {exc}")
+        if rows:
+            batch = self.spark.createDataFrame(rows, METRICS_SCHEMA)
+            (
+                batch.coalesce(1)
+                .write.mode("append")
+                .partitionBy("name")
+                .parquet(self.table_path)
+            )
+        return len(rows)
+
+    # -- streaming driver ------------------------------------------------
+
+    def run_streaming(
+        self,
+        trigger_seconds: int = 1,
+        checkpoint_dir: str | None = None,
+    ):
+        """Start the collector as a Structured Streaming query (rate
+        source paces the ticks; all work happens in foreachBatch on the
+        driver, like the reference's single event loop)."""
+        stream = (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.tick()
+
+        writer = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
+
+def read_metrics(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the metrics table (partition-pruned scans on ``name``)."""
+    return spark.read.schema(METRICS_SCHEMA).parquet(table_path)

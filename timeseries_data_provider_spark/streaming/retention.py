@@ -1,0 +1,68 @@
+"""Retention: the reference's auto-remove pass
+(/root/reference/index.js:268-282) — ``DELETE FROM "<name>" WHERE time
+< '<cutoff>'`` with cutoff = now − age seconds, UTC, strict ``<``
+(index.js:272-273).
+
+On plain parquet (no Delta in this container) a delete is a partition
+rewrite: read ONLY the series' partition, keep survivors
+(``time >= cutoff``), atomically swap the partition directory. Writes
+never touch other series — the same partition pruning that serves
+queries bounds maintenance I/O. On Delta/Iceberg this whole module
+collapses to ``DELETE FROM metrics WHERE name = ? AND time < ?``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def retention_cutoff(age_seconds: int, now_epoch: float) -> datetime:
+    """UTC cutoff = now − age (index.js:272:
+    ``moment().subtract(age, "seconds").utc().format()``)."""
+    return (
+        datetime.fromtimestamp(now_epoch, tz=timezone.utc)
+        - timedelta(seconds=age_seconds)
+    ).replace(tzinfo=None)
+
+
+def apply_retention(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    age_seconds: int,
+    now_epoch: float,
+) -> int:
+    """Delete rows of series ``name`` strictly older than the cutoff.
+
+    Returns the number of surviving rows. No-op if the partition does
+    not exist yet.
+    """
+    part_dir = os.path.join(table_path, f"name={name}")
+    if not os.path.isdir(part_dir):
+        return 0
+    cutoff = retention_cutoff(age_seconds, now_epoch)
+    survivors = (
+        spark.read.parquet(part_dir)
+        .filter(F.col("time") >= F.lit(cutoff).cast("timestamp_ntz"))
+        .coalesce(1)
+    )
+    tmp_dir = os.path.join(
+        os.path.dirname(table_path), f".retention-{name}-{uuid.uuid4().hex}"
+    )
+    survivors.write.mode("overwrite").parquet(tmp_dir)
+    n = spark.read.parquet(tmp_dir).count()
+    shutil.rmtree(part_dir)
+    os.rename(tmp_dir, part_dir)
+    # drop _SUCCESS marker files inside a partition dir — they confuse
+    # partition discovery on subsequent reads of the root table
+    for marker in ("_SUCCESS",):
+        p = os.path.join(part_dir, marker)
+        if os.path.exists(p):
+            os.remove(p)
+    return n
