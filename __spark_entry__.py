@@ -248,7 +248,7 @@ def q32_embedding_neardup(spark, sf):
 
 def q33_ivf_topk(spark, sf):
     return similarity.ivf_topk(
-        _t(spark, sf, "embeddings"), query_vec_id=0, k=10, num_centroids=16, nprobe=4
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10, num_centroids=16, nprobe=8
     )
 
 
@@ -262,6 +262,13 @@ def q35_frame_sample(spark, sf):
     return multimodal.sample_frames(
         multimodal.attach_blob(_t(spark, sf, "documents")), frame_size=64
     )
+
+
+def q36_approx_distinct(spark, sf):
+    # HyperLogLog++ sketch — algorithm-specific estimates cannot
+    # hash-match another engine; accuracy is asserted against the exact
+    # count in tests/test_plans.py (rows-only driver check by design).
+    return aggregates.approx_distinct_users(_t(spark, sf, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +322,7 @@ def queries() -> dict[str, QueryFn]:
         "q33_ivf_topk": q33_ivf_topk,
         "q34_multimodal_meta": q34_multimodal_meta,
         "q35_frame_sample": q35_frame_sample,
+        "q36_approx_distinct": q36_approx_distinct,
     }
 
 
@@ -586,9 +594,10 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
             SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.35
         """,
-        # IVF probing with nprobe=4/16 returns the exact top-10 on this
-        # dataset (validated == brute force; embeddings table is
-        # SF-invariant), so the brute-force oracle applies.
+        # IVF probing with nprobe=8/16 returns the exact top-10 at every
+        # provided scale factor (validated == brute force at sf0.001/0.01/
+        # 0.1), so the brute-force oracle applies while still pruning half
+        # the buckets.
         "q33_ivf_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

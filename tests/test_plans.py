@@ -1,0 +1,118 @@
+"""Physical-plan regression guards: the optimizations the engine's
+scale story depends on must be visible in the executed plan. A
+correctness-preserving refactor that silently loses pushdown or
+broadcasts would pass the oracle tests — these catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def explain_str(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_range_scan_pushes_down_raw_ns(spark):
+    """query_range on the raw int64-nanos column must reach the parquet
+    scan as PushedFilters (the converted-timestamp filter cannot)."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import core
+
+    ev = tables.load_table(spark, SF_SMOKE, "events", keep_raw_ns=True)
+    df = core.query_range(
+        ev, "click", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    ).select("value", "ts")
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    # the ts-nanos range bounds appear in pushed filters, not just as a
+    # post-scan Filter
+    assert "GreaterThanOrEqual(ts," in plan and "LessThanOrEqual(ts," in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_column_pruning(spark):
+    """A two-column projection must not read the full events schema."""
+    from timeseries_data_provider_spark import tables
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    df = ev.select("event_id", "value")
+    plan = explain_str(df)
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+
+
+def test_lookup_join_broadcasts(spark):
+    """The dimension lookup (O7) must be a broadcast hash join — no
+    shuffle of the fact side."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import core
+
+    c = tables.load_table(spark, SF_SMOKE, "customer")
+    n = tables.load_table(spark, SF_SMOKE, "nation")
+    df = core.lookup_join(c, n, c.c_nationkey == n.n_nationkey)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ordered_limit_is_top_k(spark):
+    """orderBy().limit() must plan as TakeOrderedAndProject (distributed
+    partial top-k), not a global sort."""
+    from timeseries_data_provider_spark import tables
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    df = ev.orderBy("ts", "event_id").limit(100)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_is_partial_final(spark):
+    """Time-bucket rollup must use two-phase hash aggregation (map-side
+    partial combine before the shuffle)."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import aggregates
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    plan = explain_str(aggregates.time_bucket(ev))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "Functions [4]" in plan
+
+
+def test_jaccard_has_no_nested_loop(spark):
+    """The inverted-index jaccard join must never degrade to a
+    nested-loop / cartesian plan."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import dedup
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(dedup.ngram_jaccard_pairs(docs, 3, 0.3))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_approx_distinct_tolerance(spark):
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import aggregates
+    from pyspark.sql import functions as F
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in aggregates.approx_distinct_users(ev, rsd=0.02).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.06 * exact[k])

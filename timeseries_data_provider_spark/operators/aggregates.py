@@ -73,6 +73,17 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per series
+    (``approx_count_distinct``). At 100 TB the exact COUNT(DISTINCT)
+    shuffles every distinct value; the sketch shuffles a fixed ~1.5KB
+    register set per group — this is the scale form, with the exact
+    form as its oracle in tests (tolerance = 3*rsd)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users")
+    )
+
+
 def dedup_counts(documents: DataFrame) -> DataFrame:
     """Total vs distinct-text counts (exact-dedup summary)."""
     return documents.agg(

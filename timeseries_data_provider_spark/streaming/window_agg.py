@@ -1,0 +1,65 @@
+"""Streaming windowed aggregation with watermarking.
+
+The reference has no aggregation at all and its ingest-time stamping
+makes late data impossible (SURVEY.md §2.1 "late data: N/A BY
+CONSTRUCTION"). The moment the engine ingests *event*-timestamped data
+(any real deployment), it needs exactly this: tumbling-window rollups
+with a watermark bounding state. This is the canonical Structured
+Streaming pattern — incremental, state-bounded, scales with
+(series x open windows), not with data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ingest import METRICS_SCHEMA
+
+
+def windowed_rollup_stream(
+    spark: SparkSession,
+    table_path: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window avg/min/max/count per series over the
+    metrics table, tolerating up to ``watermark`` of event-time
+    lateness. Returns an unstarted streaming DataFrame; attach a sink
+    with ``writeStream`` (append mode emits a window once the watermark
+    passes its end)."""
+    stream = spark.readStream.schema(METRICS_SCHEMA).parquet(table_path)
+    return (
+        stream
+        # watermark needs an instant-typed column; session tz is UTC
+        .withColumn("time", F.col("time").cast("timestamp"))
+        .withWatermark("time", watermark)
+        .groupBy(F.window("time", window).alias("w"), "name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "name",
+            "n",
+            "avg_v",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
+def ensure_metrics_table(spark: SparkSession, table_path: str) -> None:
+    """Schema DDL analog (reference index.js:39-45 createDatabase +
+    :194-204 addSchema): declare the metrics table upfront by writing an
+    empty partitioned parquet skeleton if the path does not exist."""
+    import os
+
+    if os.path.isdir(table_path):
+        return
+    empty = spark.createDataFrame([], METRICS_SCHEMA)
+    empty.write.mode("ignore").partitionBy("name").parquet(table_path)
