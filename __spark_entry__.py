@@ -27,6 +27,8 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     dedup,
     joins,
     multimodal,
+    pandas_ops,
+    resample,
     similarity,
     text,
     windows,
@@ -264,6 +266,28 @@ def q35_frame_sample(spark, sf):
     )
 
 
+def q37_gap_fill(spark, sf):
+    return resample.gap_fill(_t(spark, sf, "events"), step_seconds=3600)
+
+
+def q38_rate(spark, sf):
+    return resample.rate(_t(spark, sf, "events"))
+
+
+def q39_pivot(spark, sf):
+    return resample.pivot_series(
+        _t(spark, sf, "events"),
+        ["click", "view", "purchase", "signup", "error"],
+    )
+
+
+def q40_ewma(spark, sf):
+    # Recursive per-series EWMA via applyInPandas — not expressible in
+    # SQL window frames, so no DuckDB oracle (validated against a local
+    # pandas recurrence in tests/test_resample_pandas.py).
+    return pandas_ops.ewma(_t(spark, sf, "events"), alpha=0.3)
+
+
 def q36_approx_distinct(spark, sf):
     # HyperLogLog++ sketch — algorithm-specific estimates cannot
     # hash-match another engine; accuracy is asserted against the exact
@@ -323,6 +347,10 @@ def queries() -> dict[str, QueryFn]:
         "q34_multimodal_meta": q34_multimodal_meta,
         "q35_frame_sample": q35_frame_sample,
         "q36_approx_distinct": q36_approx_distinct,
+        "q37_gap_fill": q37_gap_fill,
+        "q38_rate": q38_rate,
+        "q39_pivot": q39_pivot,
+        "q40_ewma": q40_ewma,
     }
 
 
@@ -624,5 +652,46 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(greatest(
                            octet_length(encode(text)) // 64, 1))) AS u
                   FROM documents)
+        """,
+        "q37_gap_fill": """
+            WITH s AS (
+              SELECT event_type AS name,
+                     epoch_us(ts) // 1000000 AS es, MAX(value) AS v
+              FROM events GROUP BY 1, 2
+            ), b AS (
+              SELECT name, MIN(es) AS e0, MAX(es) AS e1 FROM s GROUP BY name
+            ), g AS (
+              SELECT name, unnest(range(e0, e1 + 1, 3600)) AS es FROM b
+            )
+            SELECT g.name, g.es AS grid_es, s.v AS v_fill
+            FROM g ASOF LEFT JOIN s
+              ON g.name = s.name AND g.es >= s.es
+        """,
+        "q38_rate": """
+            SELECT event_id,
+                   ROUND((value - LAG(value) OVER w)
+                         / ((epoch_us(ts) - LAG(epoch_us(ts)) OVER w)
+                            / 1000000.0), 6) AS rate
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        """,
+        "q39_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS d,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                     AS click,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                     AS view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                     AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'
+                       THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                     AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                       THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                     AS error
+            FROM events GROUP BY 1
         """,
     }

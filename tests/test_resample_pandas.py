@@ -1,0 +1,142 @@
+"""EWMA (grouped pandas UDF), streaming stateful EWMA, JSON snapshot
+sink."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_ewma_matches_local_recurrence(spark):
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import pandas_ops
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in pandas_ops.ewma(ev, alpha=0.3).collect()
+    }
+    # local recurrence over the same data
+    rows = sorted(
+        ev.select("event_type", "ts", "event_id", "value").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    expect: dict[int, float] = {}
+    y: dict[str, float] = {}
+    for r in rows:
+        s = r["event_type"]
+        y[s] = r["value"] if s not in y else 0.3 * r["value"] + 0.7 * y[s]
+        expect[r["event_id"]] = round(y[s], 6)
+    assert len(got) == len(expect)
+    bad = [k for k in expect if abs(got[k] - expect[k]) > 1e-9]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
+def test_streaming_ewma_state_across_batches(spark, tmp_path):
+    from timeseries_data_provider_spark.streaming.ingest import METRICS_SCHEMA
+    from timeseries_data_provider_spark.streaming.stateful import streaming_ewma
+
+    path = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def run_once():
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and checkpoint recovery is exactly what this test
+        # exercises (state surviving a query restart)
+        collected: dict[str, tuple] = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                collected[r["name"]] = (r["n_seen"], r["ewma"])
+
+        stream = spark.readStream.schema(METRICS_SCHEMA).parquet(path)
+        q = (
+            streaming_ewma(stream, alpha=0.5)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return collected
+
+    write([("cpu", datetime(2024, 1, 1, 0, 0, 0), 10.0)])
+    out1 = run_once()
+    assert out1["cpu"] == (1, 10.0)
+
+    # second batch: state (the running average) must carry over via the
+    # checkpointed state store
+    write([("cpu", datetime(2024, 1, 1, 0, 0, 1), 20.0)])
+    out2 = run_once()
+    assert out2["cpu"] == (2, 15.0)  # 0.5*20 + 0.5*10
+
+
+def test_json_snapshot_roundtrip(spark, tmp_path):
+    from timeseries_data_provider_spark.serving.snapshot import (
+        read_snapshot_series,
+        write_json_snapshot,
+    )
+    from timeseries_data_provider_spark.streaming.ingest import METRICS_SCHEMA
+
+    rows = [
+        ("cpu", datetime(2024, 1, 1, 0, 0, s), float(s)) for s in range(20)
+    ] + [("mem", datetime(2024, 1, 1, 0, 0, 0), 1.0)]
+    metrics = spark.createDataFrame(rows, METRICS_SCHEMA)
+    out = str(tmp_path / "snap")
+    write_json_snapshot(metrics, out, n=5)
+
+    cpu = read_snapshot_series(out, "cpu")
+    # last 5 points only, time-ascending, ms ints
+    assert [r["value"] for r in cpu] == [15.0, 16.0, 17.0, 18.0, 19.0]
+    assert cpu[0]["ms"] == 1704067215000
+    assert read_snapshot_series(out, "mem")[0]["value"] == 1.0
+    assert read_snapshot_series(out, "ghost") == []
+
+
+def test_gap_fill_semantics(spark):
+    """Hand-checkable gap-fill: irregular samples onto a 10s grid."""
+    from timeseries_data_provider_spark.operators import resample
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rows = [
+        ("s", datetime(2024, 1, 1, 0, 0, 0), 1, 1.0),
+        ("s", datetime(2024, 1, 1, 0, 0, 25), 2, 2.0),
+        ("s", datetime(2024, 1, 1, 0, 0, 40), 3, 3.0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["grid_es"]: r["v_fill"]
+        for r in resample.gap_fill(df, step_seconds=10).collect()
+    }
+    base = 1704067200
+    assert got == {
+        base + 0: 1.0,   # exact sample
+        base + 10: 1.0,  # forward-filled
+        base + 20: 1.0,
+        base + 30: 2.0,  # sample at +25 filled forward
+        base + 40: 3.0,  # exact sample at grid end
+    }
