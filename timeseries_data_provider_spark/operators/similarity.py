@@ -94,6 +94,80 @@ def embedding_neardup_pairs(
     )
 
 
+def srp_lsh_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_tables: int = 4,
+    bits_per_table: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup: signed random projections.
+
+    Each of ``num_tables`` hash tables assigns a vector a
+    ``bits_per_table``-bit bucket: bit = sign of the dot product with a
+    deterministic pseudo-random hyperplane (components derived from
+    sha256(table:bit:dim) — reproducible across runs and cluster
+    sizes). Candidates = pairs sharing a bucket in ANY table (equi-join
+    per table — linear), verified exactly by cosine.
+
+    Collision probability per bit is 1 - θ/π (θ = angle between
+    vectors), so recall is high only for genuinely similar pairs —
+    this is the scale path for high thresholds (≥0.9 near-dup mining);
+    the exact ``embedding_neardup_pairs`` remains the oracle.
+    """
+    import hashlib
+
+    def plane_component(t: int, b: int, d: int) -> float:
+        h = hashlib.sha256(f"{t}:{b}:{d}".encode()).hexdigest()[:8]
+        return int(h, 16) / 0x100000000 - 0.5
+
+    e = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nsq", dot(F.col("v"), F.col("v")))
+
+    bucket_cols = []
+    for t in range(num_tables):
+        acc = F.lit(0)
+        for b in range(bits_per_table):
+            plane = F.array(
+                *[F.lit(plane_component(t, b, d)) for d in range(dim)]
+            )
+            bit = F.when(dot(F.col("v"), plane) > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+            acc = acc + bit
+        bucket_cols.append(
+            F.struct(F.lit(t).alias("t"), acc.alias("bucket"))
+        )
+    hashed = e.select(
+        "vec_id", "v", "nsq", F.explode(F.array(*bucket_cols)).alias("h")
+    ).select(
+        "vec_id", "v", "nsq", F.col("h.t").alias("t"), F.col("h.bucket").alias("bucket")
+    )
+
+    a = hashed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nsq").alias("nsq_a"), "t", "bucket",
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nsq").alias("nsq_b"), "t", "bucket",
+    )
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb", "nsq_a", "nsq_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+        6,
+    )
+    return cand.select("vec_a", "vec_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, num_centroids: int = 16
 ) -> DataFrame:
