@@ -29,6 +29,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     multimodal,
     pandas_ops,
     resample,
+    scalars,
     similarity,
     text,
     windows,
@@ -295,6 +296,45 @@ def q36_approx_distinct(spark, sf):
     return aggregates.approx_distinct_users(_t(spark, sf, "events"))
 
 
+def q41_rolling_zscore(spark, sf):
+    return windows.rolling_zscore(_t(spark, sf, "events"), n=20, min_points=5)
+
+
+def q42_percentiles(spark, sf):
+    return aggregates.value_percentiles(_t(spark, sf, "events"))
+
+
+def q43_daily_users(spark, sf):
+    return aggregates.daily_distinct_users(_t(spark, sf, "events"))
+
+
+def q44_full_outer(spark, sf):
+    return joins.orders_customers_full_outer(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+
+
+def q45_cross_join(spark, sf):
+    return joins.region_nation_cross(
+        _t(spark, sf, "region"), _t(spark, sf, "nation")
+    )
+
+
+def q46_string_funcs(spark, sf):
+    return scalars.part_string_features(_t(spark, sf, "part"))
+
+
+def q47_date_parts(spark, sf):
+    return scalars.orders_by_month(_t(spark, sf, "orders"))
+
+
+def q48_lttb(spark, sf):
+    # LTTB downsampling: sequential per-series pick (applyInPandas) —
+    # no SQL equivalent; shape-preservation asserted in
+    # tests/test_resample_pandas.py (rows-only driver check).
+    return pandas_ops.lttb_downsample(_t(spark, sf, "events"), n_out=100)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -351,6 +391,14 @@ def queries() -> dict[str, QueryFn]:
         "q38_rate": q38_rate,
         "q39_pivot": q39_pivot,
         "q40_ewma": q40_ewma,
+        "q41_rolling_zscore": q41_rolling_zscore,
+        "q42_percentiles": q42_percentiles,
+        "q43_daily_users": q43_daily_users,
+        "q44_full_outer": q44_full_outer,
+        "q45_cross_join": q45_cross_join,
+        "q46_string_funcs": q46_string_funcs,
+        "q47_date_parts": q47_date_parts,
+        "q48_lttb": q48_lttb,
     }
 
 
@@ -693,5 +741,65 @@ def oracle_sql() -> dict[str, str]:
                        THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
                      AS error
             FROM events GROUP BY 1
+        """,
+        "q41_rolling_zscore": """
+            WITH x AS (
+              SELECT event_id, value,
+                     COUNT(*) OVER w AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w
+                          AS DOUBLE) AS s1,
+                     CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER w
+                          AS DOUBLE) AS s2
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+            SELECT event_id,
+                   CASE WHEN cnt >= 5
+                         AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
+                        THEN ROUND((value - s1 / cnt)
+                                   / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)),
+                                   6)
+                   END AS z
+            FROM x
+        """,
+        "q42_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "q43_daily_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS d,
+                   COUNT(DISTINCT user_id) AS users
+            FROM events GROUP BY 1
+        """,
+        "q44_full_outer": """
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(o.o_orderkey) AS n_orders,
+                   COUNT(c.c_custkey) AS n_customers
+            FROM orders o FULL OUTER JOIN customer c
+              ON o.o_custkey = c.c_custkey
+        """,
+        "q45_cross_join": """
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(r_regionkey * n_nationkey) AS BIGINT) AS s
+            FROM region CROSS JOIN nation
+        """,
+        "q46_string_funcs": """
+            SELECT p_partkey,
+                   UPPER(SUBSTR(p_name, 1, 8)) AS head,
+                   REPLACE(p_brand, 'Brand#', 'B') AS brand_s,
+                   LENGTH(p_type) AS type_len,
+                   CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+                   concat_ws('|', p_brand, p_type) AS tag
+            FROM part
+        """,
+        "q47_date_parts": """
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+                   CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                     AS total
+            FROM orders GROUP BY 1, 2
         """,
     }

@@ -102,6 +102,44 @@ def test_json_snapshot_roundtrip(spark, tmp_path):
     assert read_snapshot_series(out, "ghost") == []
 
 
+def test_lttb_downsample(spark):
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import pandas_ops
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    out = pandas_ops.lttb_downsample(ev, n_out=50).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["name"], []).append(r["event_id"])
+    # exactly n_out points per series (each series has >> 50 points)
+    assert set(per) == {"click", "view", "purchase", "signup", "error"}
+    assert all(len(v) == 50 for v in per.values())
+
+    # endpoints preserved: first/last event per series (by ts, id)
+    firsts_lasts = {
+        r["event_type"]: (r["first_id"], r["last_id"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            pytest.importorskip("pyspark.sql.functions").min_by(
+                "event_id", "ts"
+            ).alias("first_id"),
+            pytest.importorskip("pyspark.sql.functions").max_by(
+                "event_id", "ts"
+            ).alias("last_id"),
+        )
+        .collect()
+    }
+    for name, ids in per.items():
+        f, l = firsts_lasts[name]
+        assert f in ids and l in ids
+
+    # extremes survive: global max value per series is kept or a very
+    # close point is — LTTB guarantees shape, assert the max-value point
+    # itself (it maximizes triangle area in its bucket)
+    out2 = pandas_ops.lttb_downsample(ev, n_out=50).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # deterministic
+
+
 def test_gap_fill_semantics(spark):
     """Hand-checkable gap-fill: irregular samples onto a 10s grid."""
     from timeseries_data_provider_spark.operators import resample

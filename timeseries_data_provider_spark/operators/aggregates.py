@@ -73,6 +73,26 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact median / p90 per series (SQL-standard linear interpolation
+    at pos = (n-1)*p — both Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement it, so values are cross-engine exact)."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+    )
+
+
+def daily_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact distinct users per day — the canonical shuffle-heavy
+    distinct aggregation (Catalyst plans it as a two-level expand +
+    aggregate; the approx_ variant below is the sketch alternative at
+    scale)."""
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.countDistinct("user_id").alias("users"))
+
+
 def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per series
     (``approx_count_distinct``). At 100 TB the exact COUNT(DISTINCT)

@@ -78,6 +78,32 @@ def nation_keys_except(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     )
 
 
+def orders_customers_full_outer(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """FULL OUTER join coverage: row / matched-side counts over
+    orders ⟗ customer."""
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "full_outer"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.count("c_custkey").alias("n_customers"),
+    )
+
+
+def region_nation_cross(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """Explicit CROSS JOIN coverage (tiny dims only — a guarded
+    operation at scale; Spark requires crossJoin to be explicit, which
+    is itself the safety property)."""
+    j = region.crossJoin(nation)
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("r_regionkey") * F.col("n_nationkey")).cast("long")
+        ).alias("s"),
+    )
+
+
 def asof_join_last_error(events: DataFrame) -> DataFrame:
     """As-of join: for every 'click', the most recent (ts' <= ts)
     'error' value of the same user.

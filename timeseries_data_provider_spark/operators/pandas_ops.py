@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -48,3 +49,80 @@ def ewma(
         )
 
     return events.groupBy(series_col).applyInPandas(compute, EWMA_SCHEMA)
+
+
+LTTB_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_out: int = 100,
+    series_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    visually-faithful alternative to LIMIT/averaging that Grafana-class
+    UIs use (the reference capped at ``maxDataPoints`` by truncation,
+    index.js:106; LTTB keeps the shape of the series).
+
+    Inherently sequential per series (each pick depends on the previous
+    pick), so it lives in the applyInPandas escape hatch with a
+    vectorized per-bucket area computation. Deterministic ties → first
+    max. Returns the selected (name, event_id, value) points.
+    """
+    import numpy as np
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([time_col, id_col]).reset_index(drop=True)
+        n = len(pdf)
+        name = pdf[series_col].iloc[0]
+        if n <= n_out:
+            return pd.DataFrame(
+                {
+                    "name": name,
+                    "event_id": pdf[id_col].astype("int64"),
+                    "value": pdf[value_col].astype("float64"),
+                }
+            )
+        x = pdf[time_col].astype("int64").to_numpy(dtype="float64")
+        y = pdf[value_col].to_numpy(dtype="float64")
+        # bucket boundaries: first and last points always kept
+        bounds = np.linspace(1, n - 1, n_out - 1).astype("int64")
+        picked = [0]
+        a = 0
+        for b in range(n_out - 2):
+            lo, hi = bounds[b], bounds[b + 1]
+            if hi <= lo:
+                hi = lo + 1
+            nxt_lo, nxt_hi = bounds[b + 1], (
+                bounds[b + 2] if b + 2 < len(bounds) else n
+            )
+            if nxt_hi <= nxt_lo:
+                nxt_hi = nxt_lo + 1
+            avg_x = x[nxt_lo:nxt_hi].mean()
+            avg_y = y[nxt_lo:nxt_hi].mean()
+            ax, ay = x[a], y[a]
+            areas = np.abs(
+                (ax - avg_x) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (avg_y - ay)
+            )
+            a = lo + int(np.argmax(areas))
+            picked.append(a)
+        picked.append(n - 1)
+        sel = pdf.iloc[picked]
+        return pd.DataFrame(
+            {
+                "name": name,
+                "event_id": sel[id_col].astype("int64"),
+                "value": sel[value_col].astype("float64"),
+            }
+        )
+
+    return events.groupBy(series_col).applyInPandas(compute, LTTB_SCHEMA)

@@ -84,6 +84,38 @@ def moving_avg(
     )
 
 
+def rolling_zscore(
+    events: DataFrame,
+    n: int = 20,
+    min_points: int = 5,
+    series_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling z-score anomaly signal per series: (x - trailing mean) /
+    trailing stddev over the last ``n`` rows.
+
+    Variance is computed explicitly from DECIMAL-exact sum and
+    sum-of-squares (``(Σx² - (Σx)²/n) / (n-1)``) instead of a built-in
+    stddev aggregate — built-ins use engine-specific accumulation
+    (Welford vs naive) whose float results differ across engines, which
+    would break reproducibility and oracle hashing. NULL until
+    ``min_points`` and when variance degenerates."""
+    w = _series_window(series_col, time_col, id_col).rowsBetween(-(n - 1), 0)
+    v = F.col(value_col)
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum(v.cast(DEC)).over(w).cast("double")
+    s2 = F.sum((v * v).cast(DEC)).over(w).cast("double")
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    z = F.when(
+        (cnt >= min_points) & (var > 0),
+        F.round((v - mean) / F.sqrt(var), 6),
+    )
+    return events.select(F.col(id_col), z.alias("z"))
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
