@@ -35,8 +35,13 @@ def main() -> None:
     if only:
         qs = {k: v for k, v in qs.items() if any(o in k for o in only)}
 
-    # warm-up: JVM JIT + parquet footer caches, not counted
+    # warm-up (not counted): JVM JIT + parquet footer caches + Python
+    # UDF worker pool (a long-running service reuses workers; paying the
+    # spawn inside one arbitrary query would misattribute it)
     qs[next(iter(qs))](spark, sf_dir).collect()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -1,0 +1,114 @@
+"""Physical-layout tests: compaction, bucketed co-located joins, salted
+skew joins — the write-side half of the 100 TB story."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    import json
+
+    from timeseries_data_provider_spark.streaming.compact import compact_all
+    from timeseries_data_provider_spark.streaming.config import SourceConfig
+    from timeseries_data_provider_spark.streaming.ingest import (
+        MetricsCollector,
+        read_metrics,
+    )
+
+    path = str(tmp_path / "metrics")
+    src = SourceConfig(name="s", interval=1)
+    c = MetricsCollector(
+        spark, [src], path, fetcher=lambda s: json.dumps({"count": 1.0})
+    )
+    for t in range(12):  # 12 ticks → 12 tiny files
+        c.tick(tick_time=1_700_000_000 + t)
+
+    before_rows = sorted(
+        r["time"] for r in read_metrics(spark, path).collect()
+    )
+    results = compact_all(spark, path, target_files=1)
+    assert results["s"][0] >= 12 and results["s"][1] == 1
+    after_rows = sorted(
+        r["time"] for r in read_metrics(spark, path).collect()
+    )
+    assert after_rows == before_rows  # lossless
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from timeseries_data_provider_spark import tables
+    from tests.conftest import SF_SMOKE
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = tables.load_table(spark, SF_SMOKE, "orders")
+        lineitem = tables.load_table(spark, SF_SMOKE, "lineitem")
+        tables.write_bucketed(
+            orders, "b_orders", ["o_orderkey"], 4, ["o_orderkey"]
+        )
+        tables.write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            ["o_orderkey"],
+            4,
+            ["o_orderkey"],
+        )
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        # and it computes the right thing
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from timeseries_data_provider_spark.functions.skew import salted_join
+
+    # skewed fact: 10k rows, 95% on one key
+    fact = spark.range(10_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(1))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    plain = fact.join(dim, ["k"]).select("row_id", "w")
+    salted = salted_join(
+        fact, dim, ["k"], factor=8, salt_from=["row_id"]
+    ).select("row_id", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salt_spreads_hot_key(spark):
+    from timeseries_data_provider_spark.functions.skew import with_salt
+
+    fact = spark.range(1000).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    salted = with_salt(fact, ["row_id"], 8)
+    counts = [
+        r["n"]
+        for r in salted.groupBy("__salt").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(counts) == 8  # all salt values used
+    assert max(counts) < 1000 * 0.3  # no single salt holds the key

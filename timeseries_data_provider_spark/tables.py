@@ -97,3 +97,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql use)."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a frame as a bucketed managed table.
+
+    Bucketing pre-shuffles data by the join/agg key at WRITE time, so
+    every later equi-join or aggregation on ``bucket_cols`` between
+    co-bucketed tables runs with ZERO exchange — the decisive layout
+    choice for repeatedly-joined 100 TB fact tables (pay the shuffle
+    once, not per query). Verified in tests/test_layout.py: a join of
+    two co-bucketed tables plans as SortMergeJoin with no Exchange.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
