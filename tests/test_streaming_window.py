@@ -21,6 +21,48 @@ def test_ensure_metrics_table(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == ["name", "time", "value"]
 
 
+def test_sliding_and_session_windows(spark, tmp_path):
+    path = str(tmp_path / "m2")
+    rows = [
+        ("cpu", datetime(2024, 1, 1, 0, 0, 30), 2.0),
+        ("cpu", datetime(2024, 1, 1, 0, 1, 30), 4.0),
+        ("cpu", datetime(2024, 1, 1, 0, 30, 0), 99.0),  # watermark push
+    ]
+    spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("name").parquet(path)
+
+    def run(name, **kw):
+        out = windowed_rollup_stream(spark, path, watermark="5 minutes", **kw)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    # sliding: 2-minute window sliding by 1 minute — the :30s point
+    # lands in two windows (23:59-00:01 and 00:00-00:02)
+    sliding = run("sl", window="2 minutes", slide="1 minute")
+    covering = [r for r in sliding if any(
+        r["w_start"].minute == m and r["n"] >= 1 for m in (59, 0, 1))]
+    point1_windows = [
+        r for r in sliding if r["w_start"].hour == 0 and r["w_start"].minute in (59, 0)
+        and r["w_end"].minute in (1, 2) and r["n"] >= 1
+    ]
+    assert len([r for r in sliding if r["n"] == 2]) >= 1  # overlap window holds both points
+
+    # session windows: gap 2 minutes → the :30s and 1:30s points merge
+    # into ONE session; the 0:30:00 point is its own (still-open) session
+    sessions = run("se", session_gap="2 minutes")
+    assert len(sessions) == 1
+    s = sessions[0]
+    assert s["n"] == 2 and s["min_v"] == 2.0 and s["max_v"] == 4.0
+
+
 def test_windowed_rollup_stream(spark, tmp_path):
     path = str(tmp_path / "metrics")
     rows = [

@@ -22,19 +22,31 @@ def windowed_rollup_stream(
     table_path: str,
     window: str = "1 minute",
     watermark: str = "10 minutes",
+    slide: str | None = None,
+    session_gap: str | None = None,
 ) -> DataFrame:
-    """Streaming tumbling-window avg/min/max/count per series over the
-    metrics table, tolerating up to ``watermark`` of event-time
-    lateness. Returns an unstarted streaming DataFrame; attach a sink
-    with ``writeStream`` (append mode emits a window once the watermark
-    passes its end)."""
+    """Streaming windowed avg/min/max/count per series over the metrics
+    table, tolerating up to ``watermark`` of event-time lateness.
+
+    Window shape: tumbling by default; pass ``slide`` for sliding
+    (overlapping) windows, or ``session_gap`` for data-driven session
+    windows (window closes after a gap of inactivity). Returns an
+    unstarted streaming DataFrame; attach a sink with ``writeStream``
+    (append mode emits a window once the watermark passes its end).
+    """
     stream = spark.readStream.schema(METRICS_SCHEMA).parquet(table_path)
+    if session_gap is not None:
+        win = F.session_window("time", session_gap)
+    elif slide is not None:
+        win = F.window("time", window, slide)
+    else:
+        win = F.window("time", window)
     return (
         stream
         # watermark needs an instant-typed column; session tz is UTC
         .withColumn("time", F.col("time").cast("timestamp"))
         .withWatermark("time", watermark)
-        .groupBy(F.window("time", window).alias("w"), "name")
+        .groupBy(win.alias("w"), "name")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg("value").alias("avg_v"),
