@@ -335,6 +335,12 @@ def q48_lttb(spark, sf):
     return pandas_ops.lttb_downsample(_t(spark, sf, "events"), n_out=100)
 
 
+def q49_dedup_clusters(spark, sf):
+    # Iterative distributed connected components over the near-dup
+    # graph; oracle = DuckDB recursive-CTE transitive closure.
+    return dedup.neardup_clusters(_t(spark, sf, "documents"), n=3, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -399,6 +405,7 @@ def queries() -> dict[str, QueryFn]:
         "q46_string_funcs": q46_string_funcs,
         "q47_date_parts": q47_date_parts,
         "q48_lttb": q48_lttb,
+        "q49_dedup_clusters": q49_dedup_clusters,
     }
 
 
@@ -801,5 +808,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                      AS total
             FROM orders GROUP BY 1, 2
+        """,
+        "q49_dedup_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                          ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' '
+                                 || string_split(text, ' ')[i + 1] || ' '
+                                 || string_split(text, ' ')[i + 2]))
+                     END AS sh
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                          / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                    >= 0.3
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM pairs
+            ), reach AS (
+              SELECT DISTINCT a AS n, a AS m FROM edges
+              UNION
+              SELECT r.n, e.b AS m
+              FROM reach r JOIN edges e ON r.m = e.a
+            )
+            SELECT n AS doc_id, MIN(m) AS cluster_id
+            FROM reach GROUP BY n
         """,
     }

@@ -200,6 +200,77 @@ def minhash_lsh_pairs(
     return _pairs_jaccard(common, shingle_counts(ex), threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph —
+    ``(node, cluster_id)`` with cluster_id = min node id in the
+    component. The transitive-closure step of dedup: A~B and B~C must
+    collapse into one keep-group even when A~C was never directly
+    measured.
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    minimum label among itself and its neighbors until a fixpoint.
+    Each iteration is one distributed join + aggregate; convergence
+    takes O(component diameter) rounds (near-dup clusters are
+    shallow). Lineage is cut per round with localCheckpoint so plans
+    don't grow unboundedly — the standard Spark pattern for iterative
+    algorithms outside GraphX/Pregel.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def neardup_clusters(
+    documents: DataFrame, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """End-to-end near-dup clustering: exact n-gram Jaccard pairs →
+    connected components → (doc_id, cluster_id). The downstream keep
+    rule is then 'keep cluster_id' (the minimum doc id per cluster)."""
+    return connected_components(ngram_jaccard_pairs(documents, n, threshold))
+
+
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash sketch per document.
 
