@@ -119,7 +119,12 @@ def ngram_jaccard_pairs(
     scale is shingle-frequency skew (sum of f² join rows); mitigations
     are larger n, dropping ultra-frequent shingles, or prefix filtering.
     """
-    ex = shingles_exploded(documents, n)
+    # Materialize the exploded shingles once: the frame feeds BOTH sides
+    # of the self-join plus the per-doc counts (3 consumers), and
+    # ReuseExchange can't deduplicate them because the aliased
+    # projections canonicalize differently. At cluster scale this is the
+    # standard cut-point: shingle explode is the widest intermediate.
+    ex = shingles_exploded(documents, n).localCheckpoint(eager=True)
     common = (
         ex.select(F.col("doc_id").alias("doc_a"), "s")
         .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
@@ -174,8 +179,14 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # Both sides of the candidate self-join read the banded signatures;
+    # materialize once so the MinHash aggregation runs a single time.
+    banded = (
+        sig.select("doc_id", F.explode(band_structs).alias("b"))
+        .select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+        )
+        .localCheckpoint(eager=True)
     )
 
     la = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
@@ -187,7 +198,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    ex = shingles_exploded(documents, n)
+    ex = shingles_exploded(documents, n).localCheckpoint(eager=True)
     common = (
         cand.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
         .join(
@@ -220,12 +231,17 @@ def connected_components(
     don't grow unboundedly — the standard Spark pattern for iterative
     algorithms outside GraphX/Pregel.
     """
+    # Materialize the edge list ONCE before iterating: `edges` is joined
+    # every round, and without the checkpoint each round re-executes the
+    # whole upstream pair-generation pipeline (at sf0.1 that was ~3.5 s
+    # of Jaccard work × rounds — the dominant cost, measured).
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -238,10 +254,14 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # Carry the old label through the update so convergence is a
+        # filter+count on the checkpointed frame — no extra join per
+        # round against the previous labels.
         new_labels = (
             labels.join(neigh, labels.node == neigh.node2, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
@@ -249,12 +269,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            new_labels.filter(F.col("label") != F.col("old_label")).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(
@@ -312,7 +329,9 @@ def simhash_hamming_pairs(
     for larger k this is a recall-bounded heuristic) — equi-join per
     quarter, then exact popcount verification.
     """
-    sk = simhash(documents)
+    # Materialize the sketch once — both sides of the blocked self-join
+    # consume it, and the 64-aggregate sketch is the expensive half.
+    sk = simhash(documents).localCheckpoint(eager=True)
     quarters = F.array(
         *[
             F.struct(
