@@ -28,6 +28,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     joins,
     multimodal,
     pandas_ops,
+    pipeline,
     resample,
     scalars,
     similarity,
@@ -341,6 +342,32 @@ def q49_dedup_clusters(spark, sf):
     return dedup.neardup_clusters(_t(spark, sf, "documents"), n=3, threshold=0.3)
 
 
+def q50_stratified_sample(spark, sf):
+    # Deterministic proportional stratified sampling (md5-hash order, no
+    # rand()) — reproducible eval-slice construction.
+    return pipeline.stratified_sample(
+        _t(spark, sf, "documents"), strata_col="lang", fraction=0.2
+    )
+
+
+def q51_chunk_docs(spark, sf):
+    # Fixed-token-window chunking (context-length splitting).
+    return pipeline.chunk_documents(_t(spark, sf, "documents"), chunk_tokens=32)
+
+
+def q52_pack_sequences(spark, sf):
+    # Greedy token-budget sequence packing per source shard.
+    return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
+
+
+def q53_contamination(spark, sf):
+    # Benchmark-decontamination: train docs sharing >= 3 distinct
+    # 3-grams with the deterministic eval holdout (doc_id % 97 == 0).
+    return pipeline.ngram_contamination(
+        _t(spark, sf, "documents"), eval_mod=97, n=3, min_common=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -406,6 +433,10 @@ def queries() -> dict[str, QueryFn]:
         "q47_date_parts": q47_date_parts,
         "q48_lttb": q48_lttb,
         "q49_dedup_clusters": q49_dedup_clusters,
+        "q50_stratified_sample": q50_stratified_sample,
+        "q51_chunk_docs": q51_chunk_docs,
+        "q52_pack_sequences": q52_pack_sequences,
+        "q53_contamination": q53_contamination,
     }
 
 
@@ -838,5 +869,68 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS doc_id, MIN(m) AS cluster_id
             FROM reach GROUP BY n
+        """,
+        "q50_stratified_sample": """
+            SELECT lang, doc_id, rn FROM (
+              SELECT lang, doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS rn,
+                     CEIL(COUNT(*) OVER (PARTITION BY lang) * 0.2) AS k
+              FROM documents) t
+            WHERE rn <= k
+        """,
+        "q51_chunk_docs": """
+            WITH w AS (
+              SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+            ), c AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(
+                       0, CAST(CEIL(len(ws) / 32.0) AS BIGINT) - 1
+                     )) AS chunk_id
+              FROM w
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(
+                     ws[chunk_id * 32 + 1 : (chunk_id + 1) * 32], ' '
+                   ) AS chunk_text,
+                   len(ws[chunk_id * 32 + 1 : (chunk_id + 1) * 32])
+                     AS n_chunk_tokens
+            FROM c
+        """,
+        "q52_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT source, doc_id, n_tok,
+                     SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT source,
+                   CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin_id,
+                   COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+            FROM c GROUP BY 1, 2
+        """,
+        "q53_contamination": """
+            WITH w AS (
+              SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(ws[i : i + 2], ' ') AS s
+              FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM g
+            ), ev AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+            )
+            SELECT t.doc_id, COUNT(*) AS n_common
+            FROM sh t JOIN ev USING (s)
+            WHERE t.doc_id % 97 != 0
+            GROUP BY 1 HAVING COUNT(*) >= 3
         """,
     }

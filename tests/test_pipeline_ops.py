@@ -1,0 +1,111 @@
+"""Semantic unit tests for the training-data pipeline operators
+(timeseries_data_provider_spark/operators/pipeline.py) beyond the
+oracle parity checks: invariants a SQL-diff can't express directly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from timeseries_data_provider_spark import tables
+from timeseries_data_provider_spark.operators import pipeline
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return tables.load_table(spark, SF_SMOKE, "documents")
+
+
+def test_stratified_sample_sizes_and_determinism(spark):
+    docs = _docs(spark)
+    frac = 0.2
+    sample = pipeline.stratified_sample(docs, "lang", frac)
+    got = {
+        r["lang"]: r["n"]
+        for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r["lang"]: math.ceil(r["n"] * frac)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    # deterministic across recomputation and repartitioning
+    a = sorted(r["doc_id"] for r in sample.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in pipeline.stratified_sample(
+            docs.repartition(7), "lang", frac
+        ).collect()
+    )
+    assert a == b
+
+
+def test_chunk_documents_reassembles_exactly(spark):
+    docs = _docs(spark).limit(50)
+    chunks = pipeline.chunk_documents(docs, chunk_tokens=32)
+    rebuilt = (
+        chunks.orderBy("doc_id", "chunk_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("text2"),
+            F.sum("n_chunk_tokens").alias("tok2"),
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id").select(
+        "doc_id",
+        (F.col("text") == F.col("text2")).alias("same"),
+        (F.size(F.split("text", " ")).cast("long") == F.col("tok2")).alias(
+            "same_n"
+        ),
+    )
+    bad = joined.filter(~F.col("same") | ~F.col("same_n")).count()
+    assert bad == 0
+    # every chunk except a doc's last is exactly chunk_tokens long
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    not_last = chunks.withColumn(
+        "max_c", F.max("chunk_id").over(w)
+    ).filter(F.col("chunk_id") < F.col("max_c"))
+    assert not_last.filter(F.col("n_chunk_tokens") != 32).count() == 0
+
+
+def test_pack_sequences_budget_invariant(spark):
+    docs = _docs(spark)
+    budget = 512
+    bins = pipeline.pack_sequences(docs, budget=budget)
+    # a bin only exceeds the budget by (at most) its final doc: the
+    # running total *before* the last doc must be under budget, so
+    # bin_tokens < budget + max single-doc tokens
+    max_doc = (
+        docs.select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert bins.filter(F.col("bin_tokens") >= budget + max_doc).count() == 0
+    # bins are dense 0..max per source
+    per_src = bins.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("bin_id").alias("mx")
+    )
+    assert per_src.filter(F.col("n") != F.col("mx") + 1).count() == 0
+    # token conservation: sum over bins == sum over docs
+    total_bins = bins.agg(F.sum("bin_tokens")).collect()[0][0]
+    total_docs = (
+        docs.select(F.size(F.split("text", " ")).cast("long").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total_bins == total_docs
+
+
+def test_contamination_flags_only_train_side(spark):
+    docs = _docs(spark)
+    out = pipeline.ngram_contamination(docs, eval_mod=97, n=3, min_common=1)
+    rows = out.collect()
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    assert all(r["n_common"] >= 1 for r in rows)

@@ -1,0 +1,165 @@
+"""[EXT] Training-data pipeline operators: stratified sampling,
+token-based chunking, greedy sequence packing, and train/eval
+contamination detection.
+
+These are the dataset-construction steps that sit between raw document
+tables and a tokenized training mix (SURVEY.md §2.1 [EXT]); none exist
+in the reference (it stores scalar time series only) but they are
+first-class for the 100 TB design point.
+
+Scale design:
+- Everything is built-in column expressions + window/agg — no Python
+  UDFs, so the operators stay in whole-stage codegen.
+- Stratified sampling shuffles once on the stratum key; the per-stratum
+  order is a deterministic hash, so resampling is reproducible across
+  runs, partitionings, and cluster sizes (no rand()).
+- Chunking is a per-row explode (no shuffle at all).
+- Packing shuffles once on the pack key (`source`) — the window's sort
+  is per-partition, which is exactly the "concat then split within a
+  shard" semantics real tokenizer-packing jobs use.
+- Contamination joins the train-side shingles against the (much
+  smaller) distinct eval-side shingle set; at scale that right side is
+  broadcastable and the join never materializes a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseries_data_provider_spark.operators.dedup import shingles_exploded
+
+
+def stratified_sample(
+    documents: DataFrame,
+    strata_col: str = "lang",
+    fraction: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proportional stratified sample: ceil(fraction * |stratum|) rows
+    per stratum, picked by a deterministic hash order (md5 of the id) so
+    the sample is stable across runs and partitionings — the standard
+    way to build a class-balanced eval slice or a downsampled mix
+    without rand()'s irreproducibility.
+
+    One shuffle (window partition on the stratum); returns
+    (strata, doc_id, rn) with rn = 1..k within the stratum.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(key, id_col)
+    k = F.ceil(
+        F.count(F.lit(1)).over(Window.partitionBy(strata_col)) * F.lit(fraction)
+    )
+    return (
+        documents.select(
+            strata_col,
+            id_col,
+            F.row_number().over(w).cast("long").alias("rn"),
+            k.alias("__k"),
+        )
+        .filter(F.col("rn") <= F.col("__k"))
+        .drop("__k")
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (whitespace
+    tokens; the BPE stand-in used across the text operators). The
+    context-window chunking step of a training pipeline: one row per
+    (doc, chunk) with the chunk text and its token count; the last chunk
+    is the remainder.
+
+    Pure per-row explode — no shuffle; scales linearly with corpus
+    size.
+    """
+    c = chunk_tokens
+    n_chunks = F.ceil(F.size("__ws") / F.lit(float(c))).cast("int")
+    piece = F.slice(F.col("__ws"), F.col("chunk_id") * c + 1, c)
+    return (
+        documents.select(
+            "doc_id", F.split(F.col(text_col), " ").alias("__ws")
+        )
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 512,
+    pack_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential packing of documents into token-budget bins
+    within each pack key: docs are laid out in id order and a new bin
+    starts whenever the running token total crosses the budget — the
+    "concatenate then split every N tokens" semantics of real
+    sequence-packing jobs, expressed as one running-sum window.
+
+    Returns per-bin stats (source, bin_id, n_docs, bin_tokens). One
+    shuffle on the pack key; the per-key sort is Spark's standard
+    window sort and spills if a key outgrows memory.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(pack_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("__n_tok").over(w)
+    return (
+        documents.select(pack_col, "doc_id", n_tok.alias("__n_tok"))
+        .select(
+            pack_col,
+            "doc_id",
+            "__n_tok",
+            F.floor((cum - F.col("__n_tok")) / F.lit(float(budget)))
+            .cast("long")
+            .alias("bin_id"),
+        )
+        .groupBy(pack_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("bin_tokens"),
+        )
+    )
+
+
+def ngram_contamination(
+    documents: DataFrame,
+    eval_mod: int = 97,
+    n: int = 3,
+    min_common: int = 3,
+) -> DataFrame:
+    """Train/eval contamination detection by n-gram overlap: a train
+    document is flagged when it shares at least ``min_common`` distinct
+    word n-grams with the eval split (here: doc_id % eval_mod == 0, a
+    deterministic holdout). This is the benchmark-decontamination step
+    (n-gram collision style) every serious training pipeline runs.
+
+    Plan shape: shingle explode (shared with the dedup family) →
+    distinct eval shingle set (small side — broadcastable at scale) →
+    equi-join + per-doc count. No cross product anywhere.
+    """
+    sh = shingles_exploded(documents, n)
+    ev = (
+        sh.filter(F.col("doc_id") % eval_mod == 0).select("s").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % eval_mod != 0)
+        .join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
