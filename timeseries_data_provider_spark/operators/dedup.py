@@ -33,15 +33,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles_exploded(
+def shingles_raw(
     documents: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, s): DISTINCT word n-gram shingles, one row per shingle.
+    """(doc_id, s): word n-gram shingles WITH in-document duplicates —
+    the pre-shuffle form (no distinct, so no exchange at all). Callers
+    that only need membership semantics join/filter on this and dedup
+    *after* reducing the row count (see pipeline.ngram_contamination).
 
     Explode-first: split once, explode the shingle start indexes, build
-    each shingle string from the kept words array, distinct via
-    group-by. Docs with fewer than n words yield no rows (their shingle
-    set is empty — they can never pair anyway).
+    each shingle string from the kept words array. Docs with fewer than
+    n words yield no rows (their shingle set is empty — they can never
+    pair anyway).
     """
     w = F.col("__w")
     parts = [F.element_at(w, F.col("i") + k) for k in range(n)]
@@ -54,8 +57,15 @@ def shingles_exploded(
             F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1))).alias("i"),
         )
         .select("doc_id", F.concat_ws(" ", *parts).alias("s"))
-        .distinct()
     )
+
+
+def shingles_exploded(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, s): DISTINCT word n-gram shingles, one row per shingle
+    (distinct via group-by — partial map-side dedup, one shuffle)."""
+    return shingles_raw(documents, n, text_col).distinct()
 
 
 def shingle_counts(exploded: DataFrame) -> DataFrame:
