@@ -360,6 +360,11 @@ def q52_pack_sequences(spark, sf):
     return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q54_label_centroids(spark, sf):
+    # k-means/IVF update step: per-label per-dimension exact mean.
+    return similarity.label_centroids(_t(spark, sf, "embeddings"))
+
+
 def q53_contamination(spark, sf):
     # Benchmark-decontamination: train docs sharing >= 3 distinct
     # 3-grams with the deterministic eval holdout (doc_id % 97 == 0).
@@ -437,6 +442,7 @@ def queries() -> dict[str, QueryFn]:
         "q51_chunk_docs": q51_chunk_docs,
         "q52_pack_sequences": q52_pack_sequences,
         "q53_contamination": q53_contamination,
+        "q54_label_centroids": q54_label_centroids,
     }
 
 
@@ -932,5 +938,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sh t JOIN ev USING (s)
             WHERE t.doc_id % 97 != 0
             GROUP BY 1 HAVING COUNT(*) >= 3
+        """,
+        "q54_label_centroids": """
+            WITH flat AS (
+              SELECT label,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS dim,
+                     unnest(embedding) AS x
+              FROM embeddings
+            )
+            SELECT label, dim,
+                   ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6)))
+                              AS DOUBLE) / COUNT(*), 6) AS centroid
+            FROM flat GROUP BY 1, 2
         """,
     }
