@@ -98,3 +98,37 @@ def test_windowed_rollup_stream(spark, tmp_path):
     assert got[(1, "cpu")] == (1, 10.0, 10.0, 10.0)
     assert (30, "cpu") not in got
     q.stop()
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    from timeseries_data_provider_spark.streaming.window_agg import dedup_stream
+
+    path = str(tmp_path / "m3")
+    t0 = datetime(2024, 1, 1, 0, 0, 10)
+    rows = [
+        ("cpu", t0, 1.0),
+        ("cpu", t0, 1.0),  # exact re-delivery -> dropped
+        ("cpu", datetime(2024, 1, 1, 0, 0, 50), 3.0),
+        ("mem", t0, 7.0),  # same time, different series -> kept
+    ]
+    spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("name").parquet(path)
+
+    out = dedup_stream(spark, path, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["name"], r["time"], r["value"])
+        for r in spark.sql("SELECT * FROM dedupstream").collect()
+    )
+    assert got == sorted(
+        [("cpu", t0, 1.0), ("cpu", datetime(2024, 1, 1, 0, 0, 50), 3.0), ("mem", t0, 7.0)]
+    )
+    q.stop()

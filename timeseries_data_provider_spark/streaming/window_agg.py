@@ -65,6 +65,32 @@ def windowed_rollup_stream(
     )
 
 
+def dedup_stream(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication: drop re-deliveries of the same
+    ``keys`` tuple arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). This is the streaming
+    counterpart of the batch dedup family (operators/dedup.py) and the
+    standard at-least-once → effectively-once repair for an ingest bus
+    that may re-deliver samples.
+
+    State is bounded: one entry per distinct key seen in the last
+    ``watermark`` of event time — independent of total stream length,
+    which is what makes it safe on an unbounded 100 TB/day feed
+    (a plain dropDuplicates on a stream would grow state forever).
+    """
+    stream = spark.readStream.schema(METRICS_SCHEMA).parquet(table_path)
+    return (
+        stream.withColumn("time", F.col("time").cast("timestamp"))
+        .withWatermark("time", watermark)
+        .dropDuplicatesWithinWatermark(keys or ["name", "time"])
+    )
+
+
 def ensure_metrics_table(spark: SparkSession, table_path: str) -> None:
     """Schema DDL analog (reference index.js:39-45 createDatabase +
     :194-204 addSchema): declare the metrics table upfront by writing an
