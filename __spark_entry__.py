@@ -360,6 +360,16 @@ def q52_pack_sequences(spark, sf):
     return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q55_vocab_topk(spark, sf):
+    # Corpus heavy hitters: distributed top-k over the token counts.
+    return text.vocab_topk(_t(spark, sf, "documents"), k=100)
+
+
+def q56_term_idf(spark, sf):
+    # Document frequency + smoothed IDF (corpus half of TF-IDF).
+    return text.term_df_idf(_t(spark, sf, "documents"), min_df=5)
+
+
 def q54_label_centroids(spark, sf):
     # k-means/IVF update step: per-label per-dimension exact mean.
     return similarity.label_centroids(_t(spark, sf, "embeddings"))
@@ -443,6 +453,8 @@ def queries() -> dict[str, QueryFn]:
         "q52_pack_sequences": q52_pack_sequences,
         "q53_contamination": q53_contamination,
         "q54_label_centroids": q54_label_centroids,
+        "q55_vocab_topk": q55_vocab_topk,
+        "q56_term_idf": q56_term_idf,
     }
 
 
@@ -951,5 +963,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6)))
                               AS DOUBLE) / COUNT(*), 6) AS centroid
             FROM flat GROUP BY 1, 2
+        """,
+        "q55_vocab_topk": """
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(str_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY 1 ORDER BY n DESC, term LIMIT 100
+        """,
+        "q56_term_idf": """
+            WITH words AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS term
+                FROM documents) t
+            ), df AS (
+              SELECT term, COUNT(*) AS df FROM words
+              GROUP BY 1 HAVING COUNT(*) >= 5
+            )
+            SELECT term, df,
+                   ROUND(ln(((SELECT COUNT(*) FROM documents) + 1.0)
+                            / (df + 1.0)), 6) AS idf
+            FROM df
         """,
     }

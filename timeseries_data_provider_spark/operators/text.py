@@ -97,3 +97,45 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.sha2(normalized, 256).alias("fp")
     )
+
+
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the k most frequent whitespace
+    tokens (ties broken by term for determinism). Explode → hash-agg
+    (map-side partial count, shuffle carries one row per distinct term
+    per partition) → distributed top-k (TakeOrderedAndProject), so the
+    driver receives exactly k rows regardless of vocabulary size."""
+    return (
+        documents.select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(k)
+    )
+
+
+def term_df_idf(documents: DataFrame, min_df: int = 5) -> DataFrame:
+    """Document frequency + smoothed IDF per term — the corpus-level
+    half of TF-IDF (idf = ln((N+1)/(df+1))). Per-doc distinct before
+    the count so a term repeated in one document counts once; the
+    corpus size joins in as a broadcast single-row aggregate, never a
+    driver-side collect."""
+    words = (
+        documents.select("doc_id", F.explode(_words()).alias("term"))
+        .distinct()
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("idf"),
+        )
+    )
