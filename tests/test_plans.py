@@ -116,3 +116,39 @@ def test_approx_distinct_tolerance(spark):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(2, 0.06 * exact[k])
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    """The eval-holdout shingle set must be the broadcast build side —
+    the train-side (100 TB side) shingles are probed map-side, never
+    shuffled for the join."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import pipeline
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(pipeline.ngram_contamination(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_has_no_shuffle(spark):
+    """Chunking is a pure per-row explode — any Exchange in its plan is
+    a regression."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import pipeline
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(pipeline.chunk_documents(docs, 32))
+    assert "Exchange" not in plan
+
+
+def test_vocab_topk_is_distributed_topk(spark):
+    """Heavy hitters must plan as TakeOrderedAndProject (per-partition
+    partial top-k), not a global sort."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import text
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(text.vocab_topk(docs, 100))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
