@@ -360,6 +360,11 @@ def q52_pack_sequences(spark, sf):
     return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q57_grouping_sets(spark, sf):
+    # Arbitrary GROUPING SETS: both 1-D breakdowns in one Expand pass.
+    return aggregates.grouping_sets_counts(_t(spark, sf, "lineitem"))
+
+
 def q55_vocab_topk(spark, sf):
     # Corpus heavy hitters: distributed top-k over the token counts.
     return text.vocab_topk(_t(spark, sf, "documents"), k=100)
@@ -455,6 +460,7 @@ def queries() -> dict[str, QueryFn]:
         "q54_label_centroids": q54_label_centroids,
         "q55_vocab_topk": q55_vocab_topk,
         "q56_term_idf": q56_term_idf,
+        "q57_grouping_sets": q57_grouping_sets,
     }
 
 
@@ -983,5 +989,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ln(((SELECT COUNT(*) FROM documents) + 1.0)
                             / (df + 1.0)), 6) AS idf
             FROM df
+        """,
+        "q57_grouping_sets": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
     }

@@ -110,3 +110,19 @@ def dedup_counts(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("total"),
         F.countDistinct("text").alias("uniq"),
     )
+
+
+def grouping_sets_counts(lineitem: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube are
+    special cases of: here ((l_returnflag), (l_linestatus)) computes
+    both one-dimensional breakdowns in a single pass over the data
+    (one Expand + one aggregate, same physical shape Catalyst gives
+    rollup/cube) instead of two scans unioned."""
+    return lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_sum(F.col("l_quantity"), "sum_qty"),
+    )
