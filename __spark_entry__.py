@@ -360,6 +360,12 @@ def q52_pack_sequences(spark, sf):
     return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q58_winnow_fingerprints(spark, sf):
+    # Winnowing (MOSS rolling-hash) fingerprints: k-gram md5 + window
+    # min + distinct.
+    return text.winnow_fingerprints(_t(spark, sf, "documents"), k=3, w=4)
+
+
 def q57_grouping_sets(spark, sf):
     # Arbitrary GROUPING SETS: both 1-D breakdowns in one Expand pass.
     return aggregates.grouping_sets_counts(_t(spark, sf, "lineitem"))
@@ -461,6 +467,7 @@ def queries() -> dict[str, QueryFn]:
         "q55_vocab_topk": q55_vocab_topk,
         "q56_term_idf": q56_term_idf,
         "q57_grouping_sets": q57_grouping_sets,
+        "q58_winnow_fingerprints": q58_winnow_fingerprints,
     }
 
 
@@ -996,5 +1003,25 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_qty
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "q58_winnow_fingerprints": """
+            WITH w AS (
+              SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+              WHERE len(str_split(text, ' ')) >= 3
+            ), g AS (
+              SELECT doc_id, unnest(generate_series(1, len(ws) - 2)) AS i,
+                     ws
+              FROM w
+            ), h AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(ws[i : i + 2], ' ')) AS h
+              FROM g
+            ), win AS (
+              SELECT doc_id, i,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+              FROM h
+            )
+            SELECT DISTINCT doc_id, fp FROM win WHERE i >= 4
         """,
     }

@@ -139,3 +139,44 @@ def term_df_idf(documents: DataFrame, min_df: int = 5) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 3, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    MOSS: k-gram hashes, keep the minimum of every w-hash window, then
+    distinct) — guarantees any shared substring of length >= k+w-1
+    contributes a shared fingerprint, so matching docs collide while
+    the fingerprint set stays ~2/(w+1) of the k-gram count.
+
+    Winnowing is done on md5 hex strings ordered lexicographically —
+    deterministic and engine-portable (no engine-specific integer
+    hash), so the result hash-matches the SQL oracle. All JVM-side:
+    explode + one per-doc window min + distinct (two shuffles: window
+    partition and distinct, both on compact keys).
+    """
+    from pyspark.sql import Window
+
+    parts = [F.element_at(F.col("__w"), F.col("i") + j) for j in range(k)]
+    grams = (
+        documents.select("doc_id", F.split(F.col(text_col), " ").alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select(
+            "doc_id",
+            "__w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__w") - (k - 1))
+            ).alias("i"),
+        )
+        .select("doc_id", "i", F.md5(F.concat_ws(" ", *parts)).alias("h"))
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    )
+    return (
+        grams.select("doc_id", "i", F.min("h").over(win).alias("fp"))
+        .filter(F.col("i") >= w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
