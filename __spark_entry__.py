@@ -360,6 +360,12 @@ def q52_pack_sequences(spark, sf):
     return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q59_curate(spark, sf):
+    # Composed curation pipeline: lang filter + quality gate +
+    # exact-dedup keep, one declarative plan.
+    return pipeline.curate(_t(spark, sf, "documents"), lang="en", min_score=0.5)
+
+
 def q58_winnow_fingerprints(spark, sf):
     # Winnowing (MOSS rolling-hash) fingerprints: k-gram md5 + window
     # min + distinct.
@@ -468,6 +474,7 @@ def queries() -> dict[str, QueryFn]:
         "q56_term_idf": q56_term_idf,
         "q57_grouping_sets": q57_grouping_sets,
         "q58_winnow_fingerprints": q58_winnow_fingerprints,
+        "q59_curate": q59_curate,
     }
 
 
@@ -1023,5 +1030,25 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT DISTINCT doc_id, fp FROM win WHERE i >= 4
+        """,
+        "q59_curate": """
+            WITH x AS (
+              SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
+              FROM documents WHERE lang = 'en'
+            ), y AS (
+              SELECT doc_id, text,
+                     len(list_filter(w, t -> t IN ('the','a','of','and','to',
+                                                   'in','is','it')))::DOUBLE
+                       / len(w) AS stop_ratio,
+                     len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+                     least(n_chars::DOUBLE / 500.0, 1.0) AS length_factor
+              FROM x
+            ), scored AS (
+              SELECT doc_id, text
+              FROM y
+              WHERE ROUND(0.5 * ttr + 0.3 * (1.0 - stop_ratio)
+                          + 0.2 * length_factor, 6) >= 0.5
+            )
+            SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY sha256(text)
         """,
     }

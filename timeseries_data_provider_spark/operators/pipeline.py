@@ -178,3 +178,29 @@ def ngram_contamination(
         .agg(F.count_distinct(F.col("s")).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def curate(
+    documents: DataFrame,
+    lang: str = "en",
+    min_score: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus curation in one declarative plan: language
+    filter → quality gate (operators/text.quality_score) → exact-dedup
+    keep rule (minimum doc_id per sha256 content hash). This is the
+    composed form of the pipeline a training-data run executes; as one
+    DataFrame expression Catalyst fuses the filters into the scan and
+    the dedup is the only shuffle.
+    """
+    from timeseries_data_provider_spark.operators.text import quality_score
+
+    filtered = documents.filter(F.col("lang") == lang)
+    scored = quality_score(filtered).filter(F.col("score") >= min_score)
+    kept = (
+        filtered.join(scored.select("doc_id"), "doc_id")
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return kept
