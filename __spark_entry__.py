@@ -360,6 +360,11 @@ def q52_pack_sequences(spark, sf):
     return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q60_cohort_retention(spark, sf):
+    # First-touch cohort x day-offset distinct users (two-stage agg).
+    return aggregates.cohort_retention(_t(spark, sf, "events"))
+
+
 def q59_curate(spark, sf):
     # Composed curation pipeline: lang filter + quality gate +
     # exact-dedup keep, one declarative plan.
@@ -475,6 +480,7 @@ def queries() -> dict[str, QueryFn]:
         "q57_grouping_sets": q57_grouping_sets,
         "q58_winnow_fingerprints": q58_winnow_fingerprints,
         "q59_curate": q59_curate,
+        "q60_cohort_retention": q60_cohort_retention,
     }
 
 
@@ -1050,5 +1056,18 @@ def oracle_sql() -> dict[str, str]:
                           + 0.2 * length_factor, 6) >= 0.5
             )
             SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY sha256(text)
+        """,
+        "q60_cohort_retention": """
+            WITH f AS (
+              SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_ts
+              FROM events GROUP BY 1
+            )
+            SELECT strftime(f.cohort_ts, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', f.cohort_ts,
+                                  date_trunc('day', e.ts)) AS BIGINT)
+                     AS day_offset,
+                   COUNT(DISTINCT e.user_id) AS users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
     }

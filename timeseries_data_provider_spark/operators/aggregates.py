@@ -126,3 +126,27 @@ def grouping_sets_counts(lineitem: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         stable_sum(F.col("l_quantity"), "sum_qty"),
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day, counted distinct per (cohort_day, day_offset). The standard
+    product-analytics rollup, and a deliberately two-stage aggregation:
+    first-touch per user (one shuffle on user_id), then a broadcast-free
+    re-aggregation keyed by the derived cohort — at scale both stages
+    are plain hash aggregates, no window over the whole fact table.
+    """
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_ts")
+    )
+    return (
+        events.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .join(first_day, "user_id")
+        .groupBy(
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_ts"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("users"))
+    )
