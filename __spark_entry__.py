@@ -360,6 +360,13 @@ def q52_pack_sequences(spark, sf):
     return pipeline.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q61_approx_percentiles(spark, sf):
+    # Sketch percentiles (Greenwald-Khanna): rows-only check — sketch
+    # values are engine-specific; tolerance vs the exact form is
+    # asserted in tests/test_pipeline_ops.py.
+    return aggregates.approx_value_percentiles(_t(spark, sf, "events"))
+
+
 def q60_cohort_retention(spark, sf):
     # First-touch cohort x day-offset distinct users (two-stage agg).
     return aggregates.cohort_retention(_t(spark, sf, "events"))
@@ -481,6 +488,7 @@ def queries() -> dict[str, QueryFn]:
         "q58_winnow_fingerprints": q58_winnow_fingerprints,
         "q59_curate": q59_curate,
         "q60_cohort_retention": q60_cohort_retention,
+        "q61_approx_percentiles": q61_approx_percentiles,
     }
 
 

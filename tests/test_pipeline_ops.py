@@ -109,3 +109,28 @@ def test_contamination_flags_only_train_side(spark):
     rows = out.collect()
     assert all(r["doc_id"] % 97 != 0 for r in rows)
     assert all(r["n_common"] >= 1 for r in rows)
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import aggregates
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in aggregates.value_percentiles(ev).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in aggregates.approx_value_percentiles(ev).collect()
+    }
+    assert exact.keys() == approx.keys()
+    spread = (
+        ev.agg(F.max("value") - F.min("value")).collect()[0][0] or 1.0
+    )
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            # GK guarantees a rank error; value error bounded by the
+            # local density — 5% of the global spread is a loose,
+            # non-flaky bound at sketch accuracy 10k on sf0.001
+            assert abs(e - a) <= 0.05 * spread, (k, e, a)

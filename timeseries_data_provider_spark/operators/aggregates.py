@@ -150,3 +150,22 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .agg(F.count_distinct(F.col("user_id")).alias("users"))
     )
+
+
+def approx_value_percentiles(
+    events: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """Sketch-based median / p90 per series (``percentile_approx``,
+    Greenwald-Khanna). The 100 TB form of value_percentiles: the exact
+    percentile must materialize and sort every group's values, while
+    the sketch aggregates a bounded-size summary per partition (error
+    <= 1/accuracy of rank) — same output schema as the exact form,
+    which serves as its tolerance oracle in tests."""
+    return events.groupBy("event_type").agg(
+        F.round(
+            F.percentile_approx("value", 0.5, accuracy), 6
+        ).alias("p50"),
+        F.round(
+            F.percentile_approx("value", 0.9, accuracy), 6
+        ).alias("p90"),
+    )
