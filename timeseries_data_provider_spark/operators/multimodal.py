@@ -52,6 +52,17 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+FRAME_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_byte_offset", LongType()),
+    ]
+)
+
 
 def attach_blob(documents: DataFrame) -> DataFrame:
     """Derive an opaque binary payload column (UTF-8 bytes of the text —
@@ -93,6 +104,44 @@ def decode_meta_stub(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(decode, META_SCHEMA)
+
+
+def frames_with_meta(blobs: DataFrame, frame_size: int = 64) -> DataFrame:
+    """Metadata decode + frame sampling in ONE Arrow pass: each output
+    row is a sampled frame carrying the decoded (byte_len, width,
+    height) header metadata — the composed form a video-ingest pipeline
+    runs (decode the header once, then emit keyframes), demonstrating
+    the 1→N fan-out ``mapInPandas`` schema with per-item metadata.
+    Same deterministic stub decode as ``decode_meta_stub``; a real
+    decoder swaps into the same loop."""
+
+    def decode_and_sample(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lens, ws, hs, idxs, offs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = max(1, n // frame_size)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    lens.append(n)
+                    ws.append(n % 640)
+                    hs.append((n * 7) % 480)
+                    idxs.append(i)
+                    offs.append(i * frame_size)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "byte_len": pd.Series(lens, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_byte_offset": pd.Series(offs, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(decode_and_sample, FRAME_META_SCHEMA)
 
 
 def sample_frames(blobs: DataFrame, frame_size: int = 64) -> DataFrame:

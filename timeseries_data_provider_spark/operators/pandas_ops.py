@@ -37,15 +37,34 @@ def ewma(
     value_col: str = "value",
 ) -> DataFrame:
     """Exponentially weighted moving average per series:
-    ``y_t = alpha * x_t + (1 - alpha) * y_{t-1}`` (recursive — not
-    expressible with SQL window frames, which cannot reference their own
-    output). Rounded to 6 so results are float-stable."""
+    ``y_1 = x_1; y_t = alpha * x_t + (1 - alpha) * y_{t-1}`` (recursive
+    — not expressible with SQL window frames, which cannot reference
+    their own output). Rounded to 6 so results are float-stable.
+
+    The recurrence is spelled out as explicit IEEE-double steps
+    (``alpha * x + one_minus * y``, ``one_minus`` computed once as
+    ``1.0 - alpha``) rather than ``pandas.ewm`` so the DuckDB
+    recursive-CTE oracle — which performs the literally identical
+    float operations in the identical order — reproduces every y_t
+    bit-for-bit (pandas.ewm's internal weighted-average formulation
+    differs by ~1 ulp per step, enough to flip a 6-decimal rounding).
+    """
+    one_minus = 1.0 - alpha
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values([time_col, id_col])
-        y = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        x = pdf[value_col].to_numpy(dtype="float64")
+        y = np.empty_like(x)
+        if len(x):
+            acc = x[0]
+            y[0] = acc
+            for i in range(1, len(x)):
+                acc = alpha * x[i] + one_minus * acc
+                y[i] = acc
         return pd.DataFrame(
-            {"event_id": pdf[id_col].astype("int64"), "ewma": y.round(6)}
+            {"event_id": pdf[id_col].astype("int64"), "ewma": np.round(y, 6)}
         )
 
     return events.groupBy(series_col).applyInPandas(compute, EWMA_SCHEMA)

@@ -66,7 +66,10 @@ def stratified_sample(
 
 
 def chunk_documents(
-    documents: DataFrame, chunk_tokens: int = 32, text_col: str = "text"
+    documents: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into fixed-size token chunks (whitespace
     tokens; the BPE stand-in used across the text operators). The
@@ -75,22 +78,27 @@ def chunk_documents(
     is the remainder.
 
     Pure per-row explode — no shuffle; scales linearly with corpus
-    size.
+    size. ``keep_cols`` are passed through onto every chunk row (e.g.
+    the pack key), so downstream steps never join back to the source
+    table.
     """
     c = chunk_tokens
+    keep = list(keep_cols)
     n_chunks = F.ceil(F.size("__ws") / F.lit(float(c))).cast("int")
     piece = F.slice(F.col("__ws"), F.col("chunk_id") * c + 1, c)
     return (
         documents.select(
-            "doc_id", F.split(F.col(text_col), " ").alias("__ws")
+            "doc_id", *keep, F.split(F.col(text_col), " ").alias("__ws")
         )
         .select(
             "doc_id",
+            *keep,
             "__ws",
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
         )
         .select(
             "doc_id",
+            *keep,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.concat_ws(" ", piece).alias("chunk_text"),
             F.size(piece).cast("long").alias("n_chunk_tokens"),
@@ -135,6 +143,50 @@ def pack_sequences(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n_tok").alias("bin_tokens"),
+        )
+    )
+
+
+def chunk_and_pack(
+    documents: DataFrame,
+    chunk_tokens: int = 32,
+    budget: int = 512,
+    pack_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk → pack composed: split every document into
+    ``chunk_tokens``-token chunks (``chunk_documents``), then greedily
+    pack the chunks into ``budget``-token bins per ``pack_col`` shard
+    (``pack_sequences`` semantics over chunk rows, ordered by
+    (doc_id, chunk_id)) — the two dataset-construction steps a
+    tokenizer-packing job runs back to back, as one declarative plan.
+
+    The pack key rides through the chunk explode (``keep_cols``), so
+    there is NO join back to the source table: one scan, one explode,
+    one shuffle (the window partition on the pack key). Returns
+    (source, bin_id, n_chunks, bin_tokens).
+    """
+    chunks = chunk_documents(
+        documents, chunk_tokens, text_col, keep_cols=(pack_col,)
+    )
+    w = (
+        Window.partitionBy(pack_col)
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chunk_tokens").over(w)
+    return (
+        chunks.select(
+            pack_col,
+            "n_chunk_tokens",
+            F.floor((cum - F.col("n_chunk_tokens")) / F.lit(float(budget)))
+            .cast("long")
+            .alias("bin_id"),
+        )
+        .groupBy(pack_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("bin_tokens"),
         )
     )
 

@@ -99,6 +99,45 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_profile(documents: DataFrame) -> DataFrame:
+    """Full per-document text profile in ONE narrow pass: token stats
+    (``token_stats``), quality heuristic (``quality_score``), and the
+    normalized content fingerprint (``fingerprint``) as columns of a
+    single projection — zero shuffles, one scan, all whole-stage
+    codegen. The composed form a curation pipeline actually runs:
+    computing the three profiles separately would scan the multi-KB
+    text column three times."""
+    w = _words()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n
+    )
+    ttr = n_uniq.cast("double") / n
+    length_factor = F.least(
+        F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)
+    )
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq"),
+        F.round(ttr, 6).alias("ttr"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0))
+        .cast("long")
+        .alias("n_bpe"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_factor, 6
+        ).alias("score"),
+        F.sha2(normalized, 256).alias("fp"),
+    )
+
+
 def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
     """Corpus vocabulary heavy hitters: the k most frequent whitespace
     tokens (ties broken by term for determinism). Explode → hash-agg
@@ -135,6 +174,42 @@ def term_df_idf(documents: DataFrame, min_df: int = 5) -> DataFrame:
             "df",
             F.round(
                 F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("idf"),
+        )
+    )
+
+
+def vocab_idf(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary heavy hitters WITH their document frequency
+    and smoothed IDF: the k most frequent tokens (``vocab_topk``
+    semantics), each carrying df and idf = ln((N+1)/(df+1))
+    (``term_df_idf`` semantics, no min_df cut — the top-k by total
+    count is the filter).
+
+    One explode feeds ONE hash aggregate computing both the total
+    count and the per-doc-distinct count (count_distinct doc_id), then
+    a distributed top-k and a broadcast of the single-row corpus size
+    — no second scan, no driver collect."""
+    n_docs = documents.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        documents.select("doc_id", F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("doc_id")).alias("df"),
+        )
+        .orderBy(F.col("n").desc(), "term")
+        .limit(k)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "n",
+            "df",
+            F.round(
+                F.log(
+                    (F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
                 6,
             ).alias("idf"),
         )

@@ -6,14 +6,28 @@ partition key, then sorted window evaluation inside each partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-from ..functions.numeric import DEC
 
 
 def _series_window(series_col: str, time_col: str, id_col: str):
     return Window.partitionBy(series_col).orderBy(time_col, id_col)
+
+
+def _scaled_long(col: Column, scale: float = 1e6) -> Column:
+    """Quantize a double to an integer long (floor of col*scale).
+
+    Long sums in window frames are exact, order-independent, and stay in
+    the vectorized aggregate path. The earlier DECIMAL(28,6) formulation
+    was equally exact but ~7x slower per windowed sum (decimal window
+    accumulators fall off the primitive fast path — measured round 1,
+    VERDICT r1 finding #2). ``floor`` (not round/cast) because floor of
+    a double is a single IEEE operation with identical semantics in
+    every engine, so oracle hashes match bit-for-bit; double->long CAST
+    truncates in Spark but rounds in DuckDB, and ROUND goes through
+    decimal-string representation in Spark.
+    """
+    return F.floor(col * F.lit(scale)).cast("long")
 
 
 def lag_delta(
@@ -69,18 +83,15 @@ def moving_avg(
 ) -> DataFrame:
     """Trailing n-row moving average per series.
 
-    Exactness: the windowed SUM runs over DECIMAL so sliding-window
-    accumulator strategies can't introduce float drift (see
-    functions/numeric.py).
+    Exactness: the windowed SUM runs over scaled longs (``_scaled_long``)
+    so sliding-window accumulator strategies can't introduce float
+    drift, while staying on the primitive window fast path.
     """
     w = _series_window(series_col, time_col, id_col).rowsBetween(-(n - 1), 0)
+    s = F.sum(_scaled_long(F.col(value_col))).over(w).cast("double")
     return events.select(
         F.col(id_col),
-        F.round(
-            F.sum(F.col(value_col).cast(DEC)).over(w).cast("double")
-            / F.count(F.lit(1)).over(w),
-            6,
-        ).alias("mov_avg"),
+        F.round(s / F.lit(1e6) / F.count(F.lit(1)).over(w), 6).alias("mov_avg"),
     )
 
 
@@ -96,17 +107,19 @@ def rolling_zscore(
     """Rolling z-score anomaly signal per series: (x - trailing mean) /
     trailing stddev over the last ``n`` rows.
 
-    Variance is computed explicitly from DECIMAL-exact sum and
+    Variance is computed explicitly from integer-exact sum and
     sum-of-squares (``(Σx² - (Σx)²/n) / (n-1)``) instead of a built-in
     stddev aggregate — built-ins use engine-specific accumulation
     (Welford vs naive) whose float results differ across engines, which
-    would break reproducibility and oracle hashing. NULL until
-    ``min_points`` and when variance degenerates."""
+    would break reproducibility and oracle hashing. Both sums quantize
+    to scaled longs (see ``_scaled_long``): exact, order-independent,
+    and on the vectorized window path. NULL until ``min_points`` and
+    when variance degenerates."""
     w = _series_window(series_col, time_col, id_col).rowsBetween(-(n - 1), 0)
     v = F.col(value_col)
     cnt = F.count(F.lit(1)).over(w)
-    s1 = F.sum(v.cast(DEC)).over(w).cast("double")
-    s2 = F.sum((v * v).cast(DEC)).over(w).cast("double")
+    s1 = F.sum(_scaled_long(v)).over(w).cast("double") / F.lit(1e6)
+    s2 = F.sum(_scaled_long(v * v)).over(w).cast("double") / F.lit(1e6)
     mean = s1 / cnt
     var = (s2 - s1 * s1 / cnt) / (cnt - 1)
     z = F.when(
@@ -114,6 +127,63 @@ def rolling_zscore(
         F.round((v - mean) / F.sqrt(var), 6),
     )
     return events.select(F.col(id_col), z.alias("z"))
+
+
+def lag_rate(
+    events: DataFrame,
+    series_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series delta AND instantaneous rate (Δvalue / Δseconds) in
+    one pass — ``lag_delta`` and ``resample.rate`` share the same window
+    spec, so computing both costs a single shuffle + sort (Catalyst
+    plans one Window operator). NULL for each series' first point."""
+    w = _series_window(series_col, time_col, id_col)
+    v = F.col(value_col)
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    dv = v - F.lag(value_col).over(w)
+    dt = (us - F.lag(us).over(w)).cast("double") / F.lit(1_000_000.0)
+    return events.select(
+        F.col(id_col),
+        dv.alias("delta"),
+        F.round(dv / dt, 6).alias("rate"),
+    )
+
+
+def rolling_stats(
+    events: DataFrame,
+    n_avg: int = 5,
+    n_z: int = 20,
+    min_points: int = 5,
+    series_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing moving average (``n_avg`` frame) and rolling z-score
+    (``n_z`` frame) in one pass: both frames share the window partition
+    and sort, so Catalyst evaluates them after ONE shuffle + sort (two
+    Window operators over the same ordering — no re-exchange). Sums are
+    scaled-long exact (``_scaled_long``)."""
+    base = _series_window(series_col, time_col, id_col)
+    wa = base.rowsBetween(-(n_avg - 1), 0)
+    wz = base.rowsBetween(-(n_z - 1), 0)
+    v = F.col(value_col)
+    sa = F.sum(_scaled_long(v)).over(wa).cast("double")
+    mov_avg = F.round(sa / F.lit(1e6) / F.count(F.lit(1)).over(wa), 6)
+    cnt = F.count(F.lit(1)).over(wz)
+    s1 = F.sum(_scaled_long(v)).over(wz).cast("double") / F.lit(1e6)
+    s2 = F.sum(_scaled_long(v * v)).over(wz).cast("double") / F.lit(1e6)
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    z = F.when(
+        (cnt >= min_points) & (var > 0), F.round((v - mean) / F.sqrt(var), 6)
+    )
+    return events.select(
+        F.col(id_col), mov_avg.alias("mov_avg"), z.alias("z")
+    )
 
 
 def sessionize(
