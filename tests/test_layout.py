@@ -99,6 +99,21 @@ def test_salted_join_matches_plain_join(spark):
     )
 
 
+def test_salted_join_rejects_constant_salt(spark):
+    # a salt hashed only from the join key is constant per key — the
+    # call must fail loudly instead of silently not spreading (ADVICE r1)
+    from timeseries_data_provider_spark.functions.skew import salted_join
+
+    fact = spark.range(10).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="constant per key"):
+        salted_join(fact, dim, ["k"], salt_from=["k"])
+    with pytest.raises(ValueError, match="salt_from"):
+        salted_join(fact, dim, ["k"], salt_from=[])
+
+
 def test_salt_spreads_hot_key(spark):
     from timeseries_data_provider_spark.functions.skew import with_salt
 

@@ -93,6 +93,39 @@ def test_unknown_target_dropped(metrics):
     assert grafana.handle_query(p, metrics, known_series={"cpu"}) == []
 
 
+def test_duplicate_target_emitted_once(metrics):
+    # same target twice in one payload → one series, not doubled rows
+    # (ADVICE r1: names list used to grow per occurrence)
+    p = dict(
+        PAYLOAD,
+        targets=[
+            {"target": "cpu", "type": "timeseries"},
+            {"target": "cpu", "type": "table"},
+        ],
+    )
+    out = grafana.handle_query(p, metrics, known_series={"cpu"})
+    assert len(out) == 1
+    assert out[0]["target"] == "cpu"  # first occurrence's type wins
+    assert out[0]["datapoints"] == [
+        [2.0, 1704067202000],
+        [3.0, 1704067203000],
+        [4.0, 1704067204000],
+        [5.0, 1704067205000],
+    ]
+
+
+def test_epoch_ms_range_bounds(metrics):
+    # Grafana also sends epoch-ms range values (numbers or numeric
+    # strings) — must behave exactly like the ISO form (VERDICT r1 #9)
+    iso = grafana.handle_query(PAYLOAD, metrics, known_series={"cpu"})
+    for form in (
+        {"from": 1704067202000, "to": 1704067205000},
+        {"from": "1704067202000", "to": "1704067205000"},
+    ):
+        p = dict(PAYLOAD, range=form)
+        assert grafana.handle_query(p, metrics, known_series={"cpu"}) == iso
+
+
 def test_stubs():
     assert grafana.annotations() == []
     assert grafana.tag_keys() == []

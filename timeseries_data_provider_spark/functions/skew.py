@@ -19,14 +19,20 @@ from pyspark.sql import functions as F
 
 
 def with_salt(
-    df: DataFrame, salt_from: list[str] | None, factor: int, col_name: str = "__salt"
+    df: DataFrame, salt_from: list[str], factor: int, col_name: str = "__salt"
 ) -> DataFrame:
     """Add a deterministic salt column in [0, factor).
 
-    ``salt_from``: columns whose hash spreads the rows (pick columns
-    that vary within the hot key, e.g. the row id). ``pmod`` keeps the
-    result non-negative."""
-    cols = [F.col(c) for c in (salt_from or [])]
+    ``salt_from``: columns whose hash spreads the rows — they MUST vary
+    *within* a hot key (e.g. the row id), otherwise every row of the
+    hot key hashes to the same salt and nothing spreads. ``pmod`` keeps
+    the result non-negative."""
+    if not salt_from:
+        raise ValueError(
+            "salt_from must name columns that vary within a hot key "
+            "(e.g. a row id); an empty salt would be constant"
+        )
+    cols = [F.col(c) for c in salt_from]
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(*cols), F.lit(factor)).cast("int")
     )
@@ -46,14 +52,27 @@ def salted_join(
     hot: DataFrame,
     dim: DataFrame,
     on: list[str],
+    salt_from: list[str],
     factor: int = 8,
     how: str = "inner",
-    salt_from: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``hot`` has skewed keys: join on (keys + salt),
     with ``dim`` replicated ``factor``x. Equivalent result to
     ``hot.join(dim, on, how)`` for inner/left joins; the shuffle for
-    each hot key is spread over ``factor`` partitions."""
-    h = with_salt(hot, salt_from or on, factor)
+    each hot key is spread over ``factor`` partitions.
+
+    ``salt_from`` is REQUIRED and must not be a subset of the join
+    keys: a salt hashed only from the join key is constant per key, so
+    the hot key would land on one reducer anyway — the earlier default
+    (``salt_from or on``) silently defeated the mitigation (ADVICE r1).
+    """
+    if not salt_from or set(salt_from) <= set(on):
+        raise ValueError(
+            "salt_from must name columns outside the join keys that vary "
+            f"within a hot key (got salt_from={salt_from!r}, on={on!r}): "
+            "a salt derived from the join key alone is constant per key "
+            "and spreads nothing"
+        )
+    h = with_salt(hot, salt_from, factor)
     d = replicate_for_salt(dim, factor)
     return h.join(d, on + ["__salt"], how).drop("__salt")

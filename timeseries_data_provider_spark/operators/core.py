@@ -36,11 +36,18 @@ def _ts_lit(t: str | datetime) -> Column:
 
 
 def _ns_lit(t: str | datetime) -> int:
-    """Epoch-nanoseconds int for pushdown-friendly raw-column filters."""
+    """Epoch-nanoseconds int for pushdown-friendly raw-column filters.
+
+    Derived exactly from the timedelta's integer components —
+    ``total_seconds()`` goes through a float and can truncate 1µs off
+    sub-second bounds, which would make the raw-ns pushdown branch
+    disagree with the ``_ts_lit`` branch exactly at an inclusive
+    boundary (ADVICE r1)."""
     if isinstance(t, str):
         t = datetime.fromisoformat(t)
-    epoch = datetime(1970, 1, 1)
-    return int((t - epoch).total_seconds() * 1_000_000) * 1_000
+    delta = t - datetime(1970, 1, 1)
+    us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return us * 1_000
 
 
 def epoch_ms(col: Column) -> Column:

@@ -60,6 +60,30 @@ def _epoch_ms(col: F.Column) -> F.Column:
     return F.unix_millis(col.cast("timestamp"))
 
 
+def _range_bound(raw: Any, default: str) -> str:
+    """Normalize a Grafana range bound to 'yyyy-MM-dd HH:mm:ss[.ffffff]'.
+
+    Grafana sends BOTH forms depending on panel/version: ISO-8601
+    strings ('2024-01-02T00:00:00.000Z') and epoch-milliseconds
+    numbers (or numeric strings). moment() in the reference accepted
+    both (index.js:96-99); so do we (VERDICT r1 #9)."""
+    if raw is None:
+        return default
+    if isinstance(raw, bool):  # bool is an int subclass — never a time
+        return default
+    if isinstance(raw, (int, float)) or (
+        isinstance(raw, str) and raw.strip().lstrip("-").isdigit()
+    ):
+        from datetime import datetime, timezone
+
+        ms = int(raw)
+        dt = datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+        # exact sub-second from integer millis (avoid float rounding)
+        dt = dt.replace(microsecond=(ms % 1000) * 1000)
+        return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(raw).replace("T", " ").rstrip("Z")
+
+
 def handle_query(
     payload: dict[str, Any],
     metrics: DataFrame,
@@ -79,8 +103,8 @@ def handle_query(
     """
     targets = payload.get("targets") or []
     rng = payload.get("range") or {}
-    t_from = str(rng.get("from", "1970-01-01 00:00:00")).replace("T", " ").rstrip("Z")
-    t_to = str(rng.get("to", "9999-12-31 00:00:00")).replace("T", " ").rstrip("Z")
+    t_from = _range_bound(rng.get("from"), "1970-01-01 00:00:00")
+    t_to = _range_bound(rng.get("to"), "9999-12-31 00:00:00")
     max_points = payload.get("maxDataPoints")
 
     target_types: dict[str, str] = {}
@@ -91,6 +115,11 @@ def handle_query(
             continue
         if known_series is not None and name not in known_series:
             continue  # explicit unknown/inactive drop (divergence 3)
+        if name in target_types:
+            # a payload naming the same target twice must not emit the
+            # series twice / double table rows; first type wins
+            # (ADVICE r1)
+            continue
         names.append(name)
         target_types[name] = t.get("type", "timeseries")
     if not names:

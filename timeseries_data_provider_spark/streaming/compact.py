@@ -50,8 +50,14 @@ def compact_partition(
         os.path.dirname(table_path), f".compact-{name}-{uuid.uuid4().hex}"
     )
     df.write.mode("overwrite").parquet(tmp_dir)
-    shutil.rmtree(part_dir)
+    # rename-aside swap (see retention.py): old OR new visible at every
+    # instant, old deleted only after the new partition is in place
+    old_dir = os.path.join(
+        os.path.dirname(table_path), f".retired-{name}-{uuid.uuid4().hex}"
+    )
+    os.rename(part_dir, old_dir)
     os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
     for marker in ("_SUCCESS",):
         p = os.path.join(part_dir, marker)
         if os.path.exists(p):

@@ -57,8 +57,19 @@ def apply_retention(
     )
     survivors.write.mode("overwrite").parquet(tmp_dir)
     n = spark.read.parquet(tmp_dir).count()
-    shutil.rmtree(part_dir)
+    # swap via rename-aside: old data is renamed out of the way, the new
+    # partition renamed in, and only THEN is the old data deleted — a
+    # crash at any point leaves either the old or the new data intact
+    # (rmtree-then-rename had a window where the partition was gone and
+    # survivors stranded in a hidden tmp dir, ADVICE r1). Both aside
+    # dirs live outside table_path so partition discovery never sees
+    # them.
+    old_dir = os.path.join(
+        os.path.dirname(table_path), f".retired-{name}-{uuid.uuid4().hex}"
+    )
+    os.rename(part_dir, old_dir)
     os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
     # drop _SUCCESS marker files inside a partition dir — they confuse
     # partition discovery on subsequent reads of the root table
     for marker in ("_SUCCESS",):
