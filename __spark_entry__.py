@@ -403,13 +403,20 @@ def q61_approx_percentiles(spark, sf):
 def q62_srp_lsh_neardup(spark, sf):
     """Signed-random-projection LSH near-dup (the scale path for
     embedding dedup): bucketed candidates, exact cosine verify —
-    precision is exactly 1 by construction, so the result is a subset
-    of the exact oracle; at threshold 0.9 the provided testdata has no
-    qualifying pairs (max pairwise cosine < 0.8), making recall exact
-    here too. Recall on planted near-identical vectors is asserted in
-    tests/test_similarity.py."""
+    precision is exactly 1 by construction. The raw testdata has no
+    pairs above 0.9 (max pairwise cosine < 0.8), which would make the
+    check trivially green on 0 rows — so every 20th vector is planted
+    back under vec_id+1000000 as an exact duplicate. Identical vectors
+    share every band signature, so LSH recall on the planted pairs is
+    deterministically 1 and the result equals the exact O(n^2) oracle:
+    the banding join, cross-table candidate dedup, and verify
+    arithmetic all get value-hashed on real rows."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
     return similarity.srp_lsh_neardup(
-        _t(spark, sf, "embeddings"), threshold=0.9
+        e.unionByName(planted), threshold=0.9
     )
 
 
@@ -1112,11 +1119,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q62_srp_lsh_neardup": """
-            WITH e AS (
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id % 20 = 0
+            ), e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,
                      list_dot_product(embedding::DOUBLE[],
                                       embedding::DOUBLE[]) AS nsq
-              FROM embeddings
+              FROM aug
             ), pairs AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      ROUND(list_dot_product(a.v, b.v)
