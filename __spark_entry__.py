@@ -327,9 +327,10 @@ def q47_date_parts(spark, sf):
 
 
 def q48_lttb(spark, sf):
-    # LTTB downsampling: sequential per-series pick (applyInPandas) —
-    # no SQL equivalent; shape-preservation asserted in
-    # tests/test_resample_pandas.py (rows-only driver check).
+    # LTTB downsampling: sequential per-series pick (applyInPandas).
+    # Engine-portable: rank-x + quantized-y + integer-exact area argmax
+    # (see pandas_ops.lttb_downsample), reproduced step-for-step by the
+    # DuckDB recursive-CTE oracle.
     return pandas_ops.lttb_downsample(_t(spark, sf, "events"), n_out=100)
 
 
@@ -954,6 +955,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                      AS total
             FROM orders GROUP BY 1, 2
+        """,
+        # LTTB as a recursive CTE: each step b picks, inside interior
+        # bucket b, the point maximizing the triangle area against the
+        # previous pick and the NEXT bucket's mean — areas are compared
+        # multiplied through by the next-bucket count, so everything is
+        # exact BIGINT arithmetic and matches the Spark loop
+        # bit-for-bit (ties → smallest index, rn = 1).
+        "q48_lttb": """
+            WITH RECURSIVE pts AS (
+              SELECT event_type AS name,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id) - 1
+                          AS BIGINT) AS i,
+                     event_id, CAST(floor(value * 1000) AS BIGINT) AS yi,
+                     value
+              FROM events
+            ), st AS (
+              SELECT name, count(*) AS n FROM pts GROUP BY name
+            ), ib AS (
+              SELECT p.name, p.i, p.yi,
+                     ((p.i - 1) * 98) // (s.n - 2) AS b
+              FROM pts p JOIN st s USING (name)
+              WHERE s.n > 100 AND p.i >= 1 AND p.i <= s.n - 2
+            ), bs AS (
+              SELECT name, b, count(*) AS cnt, sum(i) AS sx,
+                     sum(yi) AS sy
+              FROM ib GROUP BY name, b
+            ), lastpt AS (
+              SELECT p.name, s.n - 1 AS i, p.yi
+              FROM pts p JOIN st s USING (name)
+              WHERE p.i = s.n - 1 AND s.n > 100
+            ), rec AS (
+              SELECT s.name, -1 AS b, CAST(0 AS BIGINT) AS a
+              FROM st s WHERE s.n > 100
+              UNION ALL
+              SELECT name, b, a FROM (
+                SELECT c.name, r.b + 1 AS b, c.i AS a,
+                       row_number() OVER (
+                         PARTITION BY c.name
+                         ORDER BY abs((r.a * nb.cnt - nb.sx)
+                                        * (c.yi - pa.yi)
+                                    - (r.a - c.i)
+                                        * (nb.sy - pa.yi * nb.cnt)) DESC,
+                                  c.i ASC) AS rn
+                FROM rec r
+                JOIN ib c   ON c.name = r.name AND c.b = r.b + 1
+                JOIN pts pa ON pa.name = r.name AND pa.i = r.a
+                JOIN (
+                  SELECT name, b - 1 AS forb, cnt, sx, sy FROM bs
+                  UNION ALL
+                  SELECT name, 97 AS forb, 1 AS cnt, i AS sx, yi AS sy
+                  FROM lastpt
+                ) nb ON nb.name = r.name AND nb.forb = r.b + 1
+                WHERE r.b + 1 <= 97
+              ) WHERE rn = 1
+            ), picked AS (
+              SELECT name, a AS i FROM rec WHERE b >= 0
+              UNION ALL
+              SELECT name, 0 AS i FROM st WHERE n > 100
+              UNION ALL
+              SELECT name, i FROM lastpt
+              UNION ALL
+              SELECT p.name, p.i
+              FROM pts p JOIN st s USING (name) WHERE s.n <= 100
+            )
+            SELECT p.name, p.event_id, p.value
+            FROM picked k
+            JOIN pts p ON p.name = k.name AND p.i = k.i
         """,
         "q49_dedup_clusters": """
             WITH RECURSIVE d AS (

@@ -86,6 +86,7 @@ def lttb_downsample(
     time_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    y_scale: int = 1000,
 ) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling per series — the
     visually-faithful alternative to LIMIT/averaging that Grafana-class
@@ -94,8 +95,17 @@ def lttb_downsample(
 
     Inherently sequential per series (each pick depends on the previous
     pick), so it lives in the applyInPandas escape hatch with a
-    vectorized per-bucket area computation. Deterministic ties → first
-    max. Returns the selected (name, event_id, value) points.
+    vectorized per-bucket area computation.
+
+    Engine-portable determinism: x is the per-series sample rank (sorted
+    by time, id — the equal-spacing LTTB variant), y is quantized to
+    ``floor(value * y_scale)``, and triangle areas are compared after
+    multiplying through by the next-bucket count (a positive constant
+    per step, so the argmax is unchanged) — every comparison is exact
+    int64 arithmetic, reproducible bit-for-bit by the DuckDB
+    recursive-CTE oracle (q48). Interior points i in [1, n-2] fall in
+    bucket ``((i-1)*(n_out-2)) // (n-2)``. Ties → smallest index.
+    Returns the selected (name, event_id, value) points.
     """
     import numpy as np
 
@@ -111,28 +121,32 @@ def lttb_downsample(
                     "value": pdf[value_col].astype("float64"),
                 }
             )
-        x = pdf[time_col].astype("int64").to_numpy(dtype="float64")
-        y = pdf[value_col].to_numpy(dtype="float64")
-        # bucket boundaries: first and last points always kept
-        bounds = np.linspace(1, n - 1, n_out - 1).astype("int64")
+        m = n_out - 2  # interior buckets
+        yi = np.floor(
+            pdf[value_col].to_numpy(dtype="float64") * y_scale
+        ).astype("int64")
+        interior = np.arange(1, n - 1, dtype="int64")
+        b_of = ((interior - 1) * m) // (n - 2)
+        # per-bucket [start, end) offsets into `interior` (b_of is sorted)
+        starts = np.searchsorted(b_of, np.arange(m))
+        ends = np.searchsorted(b_of, np.arange(m), side="right")
         picked = [0]
         a = 0
-        for b in range(n_out - 2):
-            lo, hi = bounds[b], bounds[b + 1]
-            if hi <= lo:
-                hi = lo + 1
-            nxt_lo, nxt_hi = bounds[b + 1], (
-                bounds[b + 2] if b + 2 < len(bounds) else n
-            )
-            if nxt_hi <= nxt_lo:
-                nxt_hi = nxt_lo + 1
-            avg_x = x[nxt_lo:nxt_hi].mean()
-            avg_y = y[nxt_lo:nxt_hi].mean()
-            ax, ay = x[a], y[a]
+        for b in range(m):
+            idxs = interior[starts[b] : ends[b]]
+            if b < m - 1:
+                nidx = interior[starts[b + 1] : ends[b + 1]]
+                cnt = len(nidx)
+                sx = int(nidx.sum())
+                sy = int(yi[nidx].sum())
+            else:
+                cnt, sx, sy = 1, n - 1, int(yi[n - 1])
+            ay = int(yi[a])
             areas = np.abs(
-                (ax - avg_x) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (avg_y - ay)
+                (a * cnt - sx) * (yi[idxs] - ay)
+                - (a - idxs) * (sy - ay * cnt)
             )
-            a = lo + int(np.argmax(areas))
+            a = int(idxs[int(np.argmax(areas))])
             picked.append(a)
         picked.append(n - 1)
         sel = pdf.iloc[picked]
