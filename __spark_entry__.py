@@ -438,6 +438,16 @@ def q63_media_decode(spark, sf):
     )
 
 
+def q64_corpus_signals(spark, sf):
+    """Corpus-construction signals, one row per document: Gopher-style
+    repetition quality stats (duplicate-word fraction, top-bigram
+    coverage, longest word run — text.repetition_signals, a zero-shuffle
+    row-side fold) joined with the deterministic md5-threshold
+    train/val/test assignment (pipeline.hash_split)."""
+    d = _t(spark, sf, "documents")
+    return text.repetition_signals(d).join(pipeline.hash_split(d), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -499,6 +509,7 @@ def queries() -> dict[str, QueryFn]:
         "q61_approx_percentiles": q61_approx_percentiles,
         "q62_srp_lsh_neardup": q62_srp_lsh_neardup,
         "q63_media_decode": q63_media_decode,
+        "q64_corpus_signals": q64_corpus_signals,
     }
 
 
@@ -1249,5 +1260,54 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM wav_feat
             ORDER BY doc_id
+        """,
+        # Repetition signals: the Spark side computes the top-bigram
+        # count as the longest equal-run in the sorted bigram array (a
+        # row-side fold); the oracle computes the same quantity the
+        # set-theoretic way (group-by count max) — identical integers.
+        # Split thresholds are lexicographic on md5 hex: 0.90 * 16^8 =
+        # 0xe6666666, 0.95 * 16^8 = 0xf3333333.
+        "q64_corpus_signals": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     unnest(range(1, len(ws) + 1)) AS pos
+              FROM w
+            ), topbg AS (
+              SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+                SELECT doc_id, bg, COUNT(*) AS c FROM (
+                  SELECT doc_id, word || ' '
+                         || lead(word) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS bg
+                  FROM words) t
+                WHERE bg IS NOT NULL GROUP BY doc_id, bg) t2
+              GROUP BY doc_id
+            ), runs AS (
+              SELECT doc_id, MAX(rl) AS max_word_run FROM (
+                SELECT doc_id, word, isl, COUNT(*) AS rl FROM (
+                  SELECT doc_id, word, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id, word
+                                                  ORDER BY pos) AS isl
+                  FROM words) t GROUP BY doc_id, word, isl) t2
+              GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.ws) AS BIGINT) AS n_tokens,
+                   ROUND(1.0 - CAST(len(list_distinct(w.ws)) AS DOUBLE)
+                         / len(w.ws), 6) AS dup_word_frac,
+                   CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT)
+                     AS top_bigram_n,
+                   CAST(r.max_word_run AS BIGINT) AS max_word_run,
+                   ROUND(2.0 * COALESCE(t.top_bigram_n, 0) / len(w.ws), 6)
+                     AS top_bigram_frac,
+                   CASE WHEN substring(md5(CAST(w.doc_id AS VARCHAR)), 1, 8)
+                             < 'e6666666' THEN 'train'
+                        WHEN substring(md5(CAST(w.doc_id AS VARCHAR)), 1, 8)
+                             < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM w
+            LEFT JOIN topbg t USING (doc_id)
+            LEFT JOIN runs r USING (doc_id)
         """,
     }

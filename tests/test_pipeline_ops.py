@@ -134,3 +134,64 @@ def test_approx_percentiles_within_tolerance(spark):
             # local density — 5% of the global spread is a loose,
             # non-flaky bound at sketch accuracy 10k on sf0.001
             assert abs(e - a) <= 0.05 * spread, (k, e, a)
+
+
+def test_repetition_signals_hand_checked(spark):
+    from timeseries_data_provider_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens, distinct=3 -> dup_frac 0.5; top bigram "a b"
+            # occurs 2x -> frac 2*2/6; longest run "c c" = 2
+            (1, "a b a b c c"),
+            # all same word: dup 1 - 1/5; top bigram 4x; run 5
+            (2, "x x x x x"),
+            # no repetition at all
+            (3, "p q r s"),
+            # single token: no bigrams
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.repetition_signals(docs).collect()
+    }
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_word_frac"] == 0.5
+    assert got[1]["top_bigram_n"] == 2
+    assert got[1]["top_bigram_frac"] == round(4 / 6, 6)
+    assert got[1]["max_word_run"] == 2
+    assert got[2]["dup_word_frac"] == 0.8
+    assert got[2]["top_bigram_n"] == 4
+    assert got[2]["max_word_run"] == 5
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["top_bigram_n"] == 1
+    assert got[3]["max_word_run"] == 1
+    assert got[4]["n_tokens"] == 1
+    assert got[4]["top_bigram_n"] == 0
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[4]["max_word_run"] == 1
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    docs = _docs(spark)
+    out1 = {r["doc_id"]: r["split"] for r in pipeline.hash_split(docs).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in pipeline.hash_split(docs).collect()}
+    assert out1 == out2  # deterministic
+    n = len(out1)
+    from collections import Counter
+
+    c = Counter(out1.values())
+    assert set(c) <= {"train", "val", "test"}
+    # md5 is uniform: fractions within a loose tolerance of 90/5/5
+    assert abs(c["train"] / n - 0.90) < 0.06
+    assert abs(c["val"] / n - 0.05) < 0.04
+    assert abs(c["test"] / n - 0.05) < 0.04
+    # splits are a partition: every doc assigned exactly once
+    assert n == docs.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pipeline.hash_split(docs, splits=(("a", 0.5), ("b", 0.2)))

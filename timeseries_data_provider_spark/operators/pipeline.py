@@ -256,3 +256,37 @@ def curate(
         .select("doc_id")
     )
     return kept
+
+
+def hash_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 8 hex chars
+    of md5(id) are uniform over the 32-bit hex space, so comparing them
+    LEXICOGRAPHICALLY against precomputed hex thresholds partitions the
+    corpus into the requested fractions — stable across runs, cluster
+    sizes, and engines (no rand(), no engine-specific integer hash; the
+    same comparison reproduces in any SQL dialect).
+
+    A pure per-row map: zero shuffle, trivially linear at 100 TB.
+    Fractions must sum to 1; the last split takes the remainder.
+    """
+    total = sum(frac for _, frac in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    cum = 0.0
+    expr = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        thr = format(int(cum * 16**8), "08x")
+        cond = key < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(splits[-1][0])
+        if expr is not None
+        else F.lit(splits[-1][0])
+    )
+    return documents.select(id_col, expr.alias("split"))

@@ -255,3 +255,68 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal consecutive elements in ``arr``, as a
+    row-side fold (``F.aggregate``) — stays in codegen, zero shuffle.
+    Empty array -> 0."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    return F.aggregate(
+        arr,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_signals(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1:
+    repetitious documents are low-quality training data): per document
+    the duplicate-word fraction, the fraction of tokens covered by the
+    single most frequent word bigram, and the longest consecutive run
+    of one word.
+
+    Scale design: the whole operator is a narrow per-row map — the
+    most-frequent-bigram count is the longest equal-run in the SORTED
+    bigram array (``array_sort`` + the same fold), so no explode, no
+    shuffle, no per-doc aggregation; linear at any corpus size.
+    """
+    w = _words(text_col)
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return documents.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n, 6
+        ).alias("dup_word_frac"),
+        _max_run(F.array_sort(bigrams)).alias("top_bigram_n"),
+        _max_run(w).alias("max_word_run"),
+    ).withColumn(
+        "top_bigram_frac",
+        F.round(
+            F.lit(2.0) * F.col("top_bigram_n") / F.col("n_tokens"), 6
+        ),
+    )
