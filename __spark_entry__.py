@@ -1101,7 +1101,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin_id,
-                   COUNT(*) AS n_chunks, SUM(n_tok) AS bin_tokens
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
             FROM cum GROUP BY 1, 2
         """,
         "q53_contamination": """
@@ -1232,9 +1233,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.doc_id, 'bmp' AS kind,
                      b.w AS width, b.h AS height,
                      CAST(NULL AS BIGINT) AS n_samples,
-                     (1000 * SUM((b.doc_id + x.v + y.v) % 256))
-                       // (b.w * b.h) AS feat_milli,
-                     54 + ((3 * b.w + 3) // 4 * 4) * b.h AS byte_len
+                     CAST((1000 * SUM((b.doc_id + x.v + y.v) % 256))
+                          // (b.w * b.h) AS BIGINT) AS feat_milli,
+                     CAST(54 + ((3 * b.w + 3) // 4 * 4) * b.h
+                          AS BIGINT) AS byte_len
               FROM bmp b,
                    generate_series(0, 7) x(v),
                    generate_series(0, 5) y(v)
@@ -1248,10 +1250,10 @@ def oracle_sql() -> dict[str, str]:
                      CAST(NULL AS BIGINT) AS width,
                      CAST(NULL AS BIGINT) AS height,
                      w.n AS n_samples,
-                     (1000 * SUM(((w.doc_id * 31 + i.v * 17) % 2048 - 1024)
+                     CAST((1000 * SUM(((w.doc_id * 31 + i.v * 17) % 2048 - 1024)
                                  * ((w.doc_id * 31 + i.v * 17) % 2048 - 1024)))
-                       // w.n AS feat_milli,
-                     44 + 2 * w.n AS byte_len
+                          // w.n AS BIGINT) AS feat_milli,
+                     CAST(44 + 2 * w.n AS BIGINT) AS byte_len
               FROM wav w, generate_series(0, 126) i(v)
               WHERE i.v < w.n
               GROUP BY w.doc_id, w.n
