@@ -78,3 +78,36 @@ def test_srp_lsh_prunes_candidates(planted):
         planted, threshold=-1.0, num_tables=4, bits_per_table=8
     ).count()
     assert cand < all_pairs * 0.25, f"{cand} of {all_pairs}"
+
+
+def test_neardup_guard_trips_over_max_rows(planted):
+    """embedding_neardup_pairs is the O(n^2) oracle form; the guard must
+    refuse big inputs and point at the bucketed scale path."""
+    from timeseries_data_provider_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="srp_lsh_neardup"):
+        similarity.embedding_neardup_pairs(planted, 0.9, max_rows=10)
+
+    # at/under the bound it runs normally
+    small = planted.limit(10)
+    assert similarity.embedding_neardup_pairs(
+        small, -1.0, max_rows=10
+    ).count() == 45
+
+
+def test_srp_lsh_dedup_exchange_is_ids_only(planted):
+    """The candidate-dedup exchange must not carry vector payloads:
+    no Exchange hashpartitioning on (vec_a, vec_b) whose output row
+    includes an array column (VERDICT r2 finding 3)."""
+    from timeseries_data_provider_spark.operators import similarity
+
+    df = similarity.srp_lsh_neardup(planted, threshold=0.9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every HashAggregate implementing the dropDuplicates keys on
+    # vec_a/vec_b only — the keys line must not mention va/vb/v arrays
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        keys = m.group(1)
+        if "vec_a" in keys and "vec_b" in keys:
+            assert "va" not in keys and "vb" not in keys, keys

@@ -60,11 +60,19 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
     blas_prefilter: bool = False,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact embedding near-dup: all pairs with cosine ≥ threshold.
 
     Quadratic all-pairs — the oracle/verification form; the scale path
     is ``srp_lsh_neardup`` (LSH-bucketed candidates, exact verify).
+
+    ``max_rows`` is a hard guard: the plan class is O(n²) by
+    definition, so running it over a large table is always a mistake —
+    the bucketed ``srp_lsh_neardup`` is the production path. The guard
+    counts the input (one cheap count-aggregate job) and raises before
+    building the quadratic join. Pass a higher bound explicitly to
+    opt in to a bigger oracle run.
 
     The default is the pure-join form: a theta self-join on vec_id
     order, fully distributed, NO driver-side collect anywhere
@@ -82,6 +90,14 @@ def embedding_neardup_pairs(
     that use srp_lsh_neardup / ivf — brute force is the wrong tool
     there anyway.
     """
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is all-pairs O(n^2) and the input "
+            f"has {n} rows (> max_rows={max_rows}). Use srp_lsh_neardup "
+            f"(LSH-bucketed candidates, exact verify) at this scale, or "
+            f"pass max_rows explicitly to opt in."
+        )
     e = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nsq", dot(F.col("v"), F.col("v")))
@@ -211,26 +227,39 @@ def srp_lsh_neardup(
         "vec_id", "v", "nsq", F.col("h.t").alias("t"), F.col("h.bucket").alias("bucket")
     )
 
-    a = hashed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nsq").alias("nsq_a"), "t", "bucket",
-    )
-    b = hashed.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nsq").alias("nsq_b"), "t", "bucket",
-    )
+    # Candidate generation and dedup carry BARE IDS ONLY: a vector
+    # sharing a bucket in several tables would otherwise haul its full
+    # payload (~1 KB at dim=64 f64) through the dedup exchange once per
+    # collision. The vectors re-enter via two equi-joins on vec_id for
+    # the exact verify — those shuffles carry each vector once, keyed
+    # by id, instead of once per candidate duplicate.
+    a = hashed.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    b = hashed.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
     cand = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb", "nsq_a", "nsq_b")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nsq").alias("nsq_b"),
     )
     sim = F.round(
         dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
         6,
     )
-    return cand.select("vec_a", "vec_b", sim.alias("sim")).filter(
-        F.col("sim") >= threshold
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 
