@@ -7,11 +7,15 @@ session and prints ONE JSON line:
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Each query is timed end-to-end (plan + execute + collect to driver),
-after a one-query JVM warm-up. Every query runs $SPARK_GRAFT_REPEAT
-times (default 2) back-to-back and the MINIMUM is reported: this
-container's host-level CPU contention makes single-shot timings vary
-±50% (BASELINE.md §B), and the min of two adjacent runs is a far
-more stable estimate of the plan's true cost than either sample.
+after a one-query JVM warm-up. The full query set runs
+$SPARK_GRAFT_REPEAT times (default 2) ROUND-ROBIN — pass 1 runs every
+query once, then pass 2 re-runs every query — and the per-query
+MINIMUM across passes is reported. Interleaving matters: this
+container's host-level CPU contention arrives in multi-second windows
+(BASELINE.md §B, ±50%), and back-to-back repeats of one query can land
+every sample inside a single window (BENCH_r03 recorded a 5.6x phantom
+spike on q15 exactly that way). Round-robin puts each query's samples
+minutes apart so one window can poison at most one pass.
 Run with --explain to dump formatted physical plans instead of timing.
 """
 
@@ -36,6 +40,10 @@ def main() -> None:
 
     spark = get_spark("tdps-bench")
     qs = entry.queries()
+    # NON_BENCH: correctness-harness queries (e.g. the collector tick
+    # replay) whose runtime is driver orchestration, not query cost.
+    for skip in getattr(entry, "NON_BENCH", ()):
+        qs.pop(skip, None)
     if only:
         qs = {k: v for k, v in qs.items() if any(o in k for o in only)}
 
@@ -48,18 +56,21 @@ def main() -> None:
     ).count()
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "2")))
-    timings: dict[str, float] = {}
-    for name in sorted(qs):
-        if explain:
+    names = sorted(qs)
+    if explain:
+        for name in names:
             print(f"===== {name}")
             qs[name](spark, sf_dir).explain("formatted")
-            continue
-        best = float("inf")
+    best: dict[str, float] = {name: float("inf") for name in names}
+    if not explain:
+        # Round-robin passes: one host-contention window can poison at
+        # most one of each query's samples (see module docstring).
         for _ in range(repeat):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            for name in names:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).collect()
+                best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(best[name], 4) for name in names}
 
     if not explain:
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -63,6 +63,28 @@ def test_wav_skips_unknown_chunks():
     assert (dec["samples"] == samples).all()
 
 
+def test_png_roundtrip_all_filters():
+    # h=7 cycles the scanline filter through 0..4 (and wraps): every
+    # unfilter path (None/Sub/Up/Average/Paeth) is exercised, through
+    # a real DEFLATE stream and real chunk CRCs
+    w, h = 6, 7
+    rng = np.arange(w * h, dtype=np.int64).reshape(h, w)
+    px = ((rng * 37 + 11) % 256).astype(np.uint8)
+    payload = mm.encode_png(w, h, px)
+    dec = mm.decode_image(payload)
+    assert dec["format"] == "png"
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert dec["bit_depth"] == 8 and dec["color_type"] == 0
+    assert (dec["pixels"] == px).all()
+
+
+def test_png_rejects_16bit():
+    payload = bytearray(mm.encode_png(2, 2, np.zeros((2, 2), np.uint8)))
+    payload[24] = 16  # claim 16-bit depth in IHDR
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(bytes(payload))
+
+
 def test_png_header_parse():
     ihdr_body = struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0)
     payload = (
@@ -88,7 +110,8 @@ def test_unknown_formats_raise():
 
 def test_media_features_decodes_real_bytes(spark):
     # End-to-end through Spark: synth real files, decode them back, and
-    # check one even (BMP) and one odd (WAV) doc against hand math.
+    # check a BMP (id%4==0), a PNG (id%4==2), and a WAV (odd) doc
+    # against hand math.
     docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     out = mm.media_features(mm.synth_media(docs)).toPandas()
     out = out.set_index("doc_id").sort_index()
@@ -100,6 +123,13 @@ def test_media_features_decodes_real_bytes(spark):
     assert row["kind"] == "bmp"
     assert (row["width"], row["height"]) == (w, h)
     assert row["feat_milli"] == (1000 * 3 * s) // (3 * w * h)
+
+    row = out.loc[2]  # PNG: w=4+2%5=6, h=3+2%4=5 (filters 0..4)
+    w, h = 6, 5
+    s = sum((2 + x + y) % 256 for x in range(w) for y in range(h))
+    assert row["kind"] == "png"
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["feat_milli"] == (1000 * s) // (w * h)
 
     row = out.loc[7]  # WAV: n=64+7%64=71
     n = 71

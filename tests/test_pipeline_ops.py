@@ -75,6 +75,70 @@ def test_chunk_documents_reassembles_exactly(spark):
     assert not_last.filter(F.col("n_chunk_tokens") != 32).count() == 0
 
 
+def test_chunk_documents_tokenizer_edge_cases(spark):
+    """Whitespace-run / empty-text hardening (VERDICT r3 finding 1):
+    runs of spaces, tabs, newlines, and leading/trailing whitespace
+    must not create phantom empty tokens, and zero-token documents
+    must produce zero chunk rows (not sequence(0,-1) garbage)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "one  two   three"),  # internal runs
+            (2, "s", ""),  # empty text
+            (3, "s", "   "),  # whitespace-only
+            (4, "s", "  lead mid trail  "),  # leading/trailing
+            (5, "s", "x\ty\nz"),  # tabs/newlines
+        ],
+        ["doc_id", "source", "text"],
+    )
+    chunks = pipeline.chunk_documents(
+        docs, chunk_tokens=2, keep_cols=("source",)
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunks.collect()
+    }
+    assert got == {
+        (1, 0): ("one two", 2),
+        (1, 1): ("three", 1),
+        (4, 0): ("lead mid", 2),
+        (4, 1): ("trail", 1),
+        (5, 0): ("x y", 2),
+        (5, 1): ("z", 1),
+    }  # docs 2 and 3 contribute no rows at all
+    # composed chunk->pack sees the same token totals (no phantoms)
+    packed = pipeline.chunk_and_pack(
+        docs, chunk_tokens=2, budget=4, pack_col="source"
+    )
+    assert packed.agg(F.sum("bin_tokens")).collect()[0][0] == 9
+
+
+def test_sketch_verdict_queries_hash_scorable(spark):
+    """q36/q61 verdict forms: the boolean tolerance columns must be
+    deterministically TRUE (that is what lets the oracle emit literal
+    TRUE and the rows hash-match), and the exact columns must equal
+    the standalone exact operators."""
+    from timeseries_data_provider_spark.operators import aggregates
+
+    ev = tables.load_table(spark, SF_SMOKE, "events")
+    vd = aggregates.approx_distinct_verdict(ev).collect()
+    assert vd and all(r["approx_ok"] for r in vd)
+    exact_users = {
+        r["event_type"]: r["users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    assert {r["event_type"]: r["exact_users"] for r in vd} == exact_users
+
+    vp = aggregates.approx_percentiles_verdict(ev).collect()
+    assert vp and all(r["p50_ok"] and r["p90_ok"] for r in vp)
+    exact_p = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in aggregates.value_percentiles(ev).collect()
+    }
+    assert {r["event_type"]: (r["p50"], r["p90"]) for r in vp} == exact_p
+
+
 def test_pack_sequences_budget_invariant(spark):
     docs = _docs(spark)
     budget = 512

@@ -94,6 +94,19 @@ def test_neardup_guard_trips_over_max_rows(planted):
         small, -1.0, max_rows=10
     ).count() == 45
 
+    # max_rows=None skips the guard count entirely (explicit opt-out
+    # for callers that already know their cardinality): same result,
+    # and it must NOT raise even though the input exceeds the bound
+    # that tripped above
+    assert similarity.embedding_neardup_pairs(
+        small, -1.0, max_rows=None
+    ).count() == 45
+    assert (
+        similarity.embedding_neardup_pairs(planted, 0.9, max_rows=None)
+        .count()
+        == similarity.embedding_neardup_pairs(planted, 0.9).count()
+    )
+
 
 def test_srp_lsh_dedup_exchange_is_ids_only(planted):
     """The candidate-dedup exchange must not carry vector payloads:

@@ -151,3 +151,43 @@ def test_streaming_smoke(spark, tmp_path):
     finally:
         q.stop()
     assert read_metrics(spark, str(tmp_path / "metrics")).count() >= 2
+
+
+def test_collector_replay_matches_hand_trace(spark, tmp_path):
+    """The declared q65 replay (streaming/ingest.collector_replay):
+    hand-computed per-source expectations for the 60-tick trace —
+    cadence, null-guard slot consumption, failure-isolation slot
+    consumption, inactive/zero-interval exclusion, ingest stamps."""
+    from timeseries_data_provider_spark.streaming.ingest import (
+        collector_replay,
+    )
+
+    out = {
+        r["name"]: r.asDict()
+        for r in collector_replay(
+            spark,
+            n_ticks=60,
+            base_epoch=1_000_000_000,
+            table_path=str(tmp_path / "replay"),
+        ).collect()
+    }
+    # x (inactive) and z (interval 0) never write
+    assert set(out) == {"a", "b", "c", "d", "e"}
+
+    def expect(ord_, step):
+        fires = [i for i in range(60) if i % step == 0]
+        return {
+            "n_points": len(fires),
+            "sum_value": sum(ord_ * 100 + i for i in fires),
+            "first_ms": 1_000_000_000_000,
+            "last_ms": (1_000_000_000 + fires[-1]) * 1000,
+        }
+
+    # a/b/c plain cadence; d fires i%4 but only even fires have the
+    # key (rows i%8); e fires i%6 but odd fires raise (rows i%12)
+    for name, ord_, step in [
+        ("a", 1, 2), ("b", 2, 3), ("c", 3, 5), ("d", 4, 8), ("e", 5, 12)
+    ]:
+        want = expect(ord_, step)
+        got = {k: out[name][k] for k in want}
+        assert got == want, (name, got, want)

@@ -13,9 +13,11 @@ libraries (none are installed in this container):
   the padded bottom-up BGR pixel grid.
 - **WAV** (PCM): full RIFF/fmt/data chunk walk to sample rate, width,
   and the int16 sample array.
-- **PNG**: IHDR header parse (width/height/bit depth/color type).
-  Pixel decode would need per-scanline unfiltering — header metadata
-  is what ingest pipelines extract at scan time anyway.
+- **PNG** (8-bit gray / RGB / gray+alpha / RGBA, non-interlaced):
+  FULL pixel decode — chunk walk, ``zlib`` inflate of the IDAT
+  stream, and per-scanline unfiltering (all five filter types:
+  None/Sub/Up/Average/Paeth). Header-only payloads (no IDAT) decode
+  to metadata with ``pixels=None``.
 - **JPEG/MP4/...**: entropy-coded formats genuinely require codec
   libs; ``decode_image`` raises ``NotImplementedError`` for those with
   the format named, as the documented plug-in point.
@@ -29,6 +31,7 @@ DuckDB ``generate_series`` can reproduce).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -147,22 +150,156 @@ def decode_image(payload: bytes) -> dict:
             grid = grid[::-1]
         return {"format": "bmp", "width": width, "height": h, "pixels": grid}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        # first chunk must be IHDR: length(4) type(4) then 13-byte body
-        width, height = struct.unpack_from(">II", payload, 16)
-        bit_depth, color_type = struct.unpack_from(">BB", payload, 24)
-        return {
-            "format": "png",
-            "width": width,
-            "height": height,
-            "bit_depth": bit_depth,
-            "color_type": color_type,
-            "pixels": None,
-        }
+        return _decode_png(payload)
     magic = payload[:4].hex()
     raise NotImplementedError(
         f"no stdlib decoder for image format (magic={magic}); "
         "JPEG/WebP/... need a codec library plugged in here"
     )
+
+
+# channels per PNG color type at bit depth 8 (palette type 3 needs a
+# PLTE lookup and is left to the NotImplementedError plug-in point)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Write a real 8-bit grayscale non-interlaced PNG. ``pixels`` is
+    (h, w) uint8. Scanline ``y`` uses filter type ``y % 5``, so a
+    round-trip exercises every unfilter path (None/Sub/Up/Average/
+    Paeth), with real chunk CRCs and a real DEFLATE stream."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = pixels.astype(np.int64)
+    out = bytearray()
+    prior = np.zeros(width, dtype=np.int64)
+    for y in range(height):
+        line = raw[y]
+        f = y % 5
+        left = np.concatenate(([0], line[:-1]))
+        up_left = np.concatenate(([0], prior[:-1]))
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prior
+        elif f == 3:
+            enc = line - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prior),
+                np.abs(p - up_left),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prior, up_left),
+            )
+            enc = line - pred
+        out += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
+        prior = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Full PNG decode: chunk walk → IDAT inflate → per-scanline
+    unfilter. 8-bit gray/RGB/gray-alpha/RGBA, non-interlaced; palette
+    or 16-bit raise NotImplementedError (the codec-lib plug-in point).
+    A header-only payload (no IDAT chunks) yields ``pixels=None``."""
+    width, height = struct.unpack_from(">II", payload, 16)
+    bit_depth, color_type, _comp, _filt, interlace = struct.unpack_from(
+        ">BBBBB", payload, 24
+    )
+    meta = {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "pixels": None,
+    }
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + length]
+        if tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + CRC
+    if not idat:
+        return meta  # metadata-only payload
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit non-interlaced "
+            "gray/RGB/gray-alpha/RGBA decoded natively"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG IDAT size {len(raw)} != expected {(stride + 1) * height}"
+        )
+    grid = np.zeros((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) % 256
+        elif f == 2:
+            rec = (line + prior) % 256
+        elif f == 3:
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} out of range")
+        grid[y] = rec
+        prior = rec
+    px = grid.astype(np.uint8)
+    meta["pixels"] = (
+        px.reshape(height, width)
+        if bpp == 1
+        else px.reshape(height, width, bpp)
+    )
+    return meta
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -300,12 +437,16 @@ MEDIA_FEATURES_SCHEMA = StructType(
 
 
 def synth_media(documents: DataFrame) -> DataFrame:
-    """Deterministic real-format media per document: even doc_ids get a
-    24-bit BMP (width 4+id%5, height 3+id%4, pixel (id+x+y)%256), odd
-    ones a PCM WAV (8 kHz, 64+id%64 samples, s_i = (id*31+i*17)%2048 −
-    1024). The files are REAL — ``media_features`` decodes them by
-    parsing headers and payload bytes — while the content formulas stay
-    closed-form so DuckDB can reproduce the decoded values exactly."""
+    """Deterministic real-format media per document: doc_id % 4 == 0
+    gets a 24-bit BMP, doc_id % 4 == 2 an 8-bit grayscale PNG (both on
+    a width 4+id%5 × height 3+id%4 grid with pixel (id+x+y)%256 — the
+    PNG's DEFLATE stream and rotating scanline filters make its decode
+    a genuinely different code path), odd ids a PCM WAV (8 kHz,
+    64+id%64 samples, s_i = (id*31+i*17)%2048 − 1024). The files are
+    REAL — ``media_features`` decodes them by parsing headers and
+    payload bytes (PNG: inflate + unfilter) — while the content
+    formulas stay closed-form so DuckDB can reproduce the decoded
+    values exactly."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -316,10 +457,13 @@ def synth_media(documents: DataFrame) -> DataFrame:
                     w, h = 4 + doc_id % 5, 3 + doc_id % 4
                     x = np.arange(w, dtype=np.int64)
                     y = np.arange(h, dtype=np.int64)[:, None]
-                    payload = encode_bmp(
-                        w, h, ((doc_id + x + y) % 256).astype(np.uint8)
-                    )
-                    kind = "bmp"
+                    px = ((doc_id + x + y) % 256).astype(np.uint8)
+                    if doc_id % 4 == 0:
+                        payload = encode_bmp(w, h, px)
+                        kind = "bmp"
+                    else:
+                        payload = encode_png(w, h, px)
+                        kind = "png"
                 else:
                     n = 64 + doc_id % 64
                     i = np.arange(n, dtype=np.int64)
@@ -359,6 +503,11 @@ def media_features(media: DataFrame) -> DataFrame:
                 else:
                     img = decode_image(payload)
                     px = img["pixels"]
+                    if px is None:
+                        raise ValueError(
+                            f"{img['format']} payload decoded to metadata "
+                            "only (no pixel data) — cannot featurize"
+                        )
                     feat = (1000 * int(px.sum(dtype=np.int64))) // px.size
                     meta = (img["width"], img["height"], None, img["format"])
                 rows["doc_id"].append(int(doc_id))

@@ -24,13 +24,21 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseries_data_provider_spark.operators.dedup import (
     shingles_exploded,
     shingles_raw,
 )
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokenization that is safe on real input: split on
+    whitespace RUNS, then drop empty tokens (a leading space or an
+    empty string otherwise yields ``""`` entries). Empty text → empty
+    array, not ``[""]``."""
+    return F.array_remove(F.split(F.col(text_col), "\\s+"), "")
 
 
 def stratified_sample(
@@ -81,20 +89,29 @@ def chunk_documents(
     size. ``keep_cols`` are passed through onto every chunk row (e.g.
     the pack key), so downstream steps never join back to the source
     table.
+
+    Tokenization splits on whitespace RUNS and drops empty tokens
+    (``tokens``): a plain single-space split turns the empty string
+    into one phantom token and each extra space in a run into another,
+    silently miscounting tokens and mispacking bins on real corpora
+    (VERDICT r3 finding 1). Documents with zero tokens produce zero
+    chunk rows.
     """
     c = chunk_tokens
     keep = list(keep_cols)
     n_chunks = F.ceil(F.size("__ws") / F.lit(float(c))).cast("int")
     piece = F.slice(F.col("__ws"), F.col("chunk_id") * c + 1, c)
+    # explode(when(...)) — a null array explodes to no rows, so empty
+    # documents vanish instead of hitting sequence(0, -1) (which would
+    # count DOWN and emit two bogus chunks).
+    chunk_ids = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
     return (
-        documents.select(
-            "doc_id", *keep, F.split(F.col(text_col), " ").alias("__ws")
-        )
+        documents.select("doc_id", *keep, tokens(text_col).alias("__ws"))
         .select(
             "doc_id",
             *keep,
             "__ws",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.explode(chunk_ids).alias("chunk_id"),
         )
         .select(
             "doc_id",
@@ -122,7 +139,7 @@ def pack_sequences(
     shuffle on the pack key; the per-key sort is Spark's standard
     window sort and spills if a key outgrows memory.
     """
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_tok = F.size(tokens(text_col)).cast("long")
     w = (
         Window.partitionBy(pack_col)
         .orderBy("doc_id")

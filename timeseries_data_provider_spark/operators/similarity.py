@@ -60,7 +60,7 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
     blas_prefilter: bool = False,
-    max_rows: int = 1_000_000,
+    max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact embedding near-dup: all pairs with cosine ≥ threshold.
 
@@ -72,7 +72,9 @@ def embedding_neardup_pairs(
     the bucketed ``srp_lsh_neardup`` is the production path. The guard
     counts the input (one cheap count-aggregate job) and raises before
     building the quadratic join. Pass a higher bound explicitly to
-    opt in to a bigger oracle run.
+    opt in to a bigger oracle run, or ``max_rows=None`` to skip the
+    guard count entirely when the caller already knows the input
+    cardinality (e.g. a benchmarked oracle run over a fixed table).
 
     The default is the pure-join form: a theta self-join on vec_id
     order, fully distributed, NO driver-side collect anywhere
@@ -90,14 +92,16 @@ def embedding_neardup_pairs(
     that use srp_lsh_neardup / ivf — brute force is the wrong tool
     there anyway.
     """
-    n = embeddings.count()
-    if n > max_rows:
-        raise ValueError(
-            f"embedding_neardup_pairs is all-pairs O(n^2) and the input "
-            f"has {n} rows (> max_rows={max_rows}). Use srp_lsh_neardup "
-            f"(LSH-bucketed candidates, exact verify) at this scale, or "
-            f"pass max_rows explicitly to opt in."
-        )
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is all-pairs O(n^2) and the "
+                f"input has {n} rows (> max_rows={max_rows}). Use "
+                f"srp_lsh_neardup (LSH-bucketed candidates, exact "
+                f"verify) at this scale, or pass max_rows explicitly "
+                f"to opt in (max_rows=None skips the guard count)."
+            )
     e = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nsq", dot(F.col("v"), F.col("v")))

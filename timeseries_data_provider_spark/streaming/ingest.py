@@ -177,3 +177,84 @@ class MetricsCollector:
 def read_metrics(spark: SparkSession, table_path: str) -> DataFrame:
     """Read the metrics table (partition-pruned scans on ``name``)."""
     return spark.read.schema(METRICS_SCHEMA).parquet(table_path)
+
+
+def collector_replay(
+    spark: SparkSession,
+    n_ticks: int = 60,
+    base_epoch: int = 1_000_000_000,
+    table_path: str | None = None,
+) -> DataFrame:
+    """Deterministic replay of the collector scheduler for correctness
+    scoring: drives ``MetricsCollector.tick`` — the REAL due-check,
+    fetch, extract, null-guard, failure-isolation, and parquet-append
+    code — through a fixed trace of ``n_ticks`` 1-second ticks, then
+    returns the per-source summary of what actually landed in the
+    table. Because every input is closed-form, a SQL oracle can
+    recompute the expected counts/sums/timestamps from scratch, giving
+    the collector path (reference index.js:238 cadence, :246 null
+    guard, :250-257 ingest-time write, :259-263 failure isolation) a
+    driver-scorable correctness row (VERDICT r3 item 1).
+
+    The planted trace:
+
+    - ``a``/``b``/``c`` (interval 2/3/5): plain cadence — the
+      due-check ``t - last_run >= interval`` over 1 s ticks fires at
+      exactly ``i % interval == 0``.
+    - ``d`` (interval 4): the fetched body is missing the JSON key on
+      every other fire → ``extract`` returns None → sample dropped
+      (index.js:246), BUT the fire consumed the slot (last_run is
+      stamped before the fetch, index.js:239) → rows at ``i % 8 == 0``.
+    - ``e`` (interval 6): the fetcher RAISES on every other fire →
+      isolated per-source (index.js:259-263), slot consumed → rows at
+      ``i % 12 == 0``.
+    - ``x`` (inactive) and ``z`` (interval 0): excluded at startup
+      (index.js:215-217) → no rows at all.
+
+    Each fired sample's value is ``ord*100 + i`` (ord = 1..5 for
+    a..e) and its ingest-time stamp is the tick's epoch second, so
+    sum/min/max are exactly reproducible. Returns
+    (name, n_points, sum_value, first_ms, last_ms).
+    """
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if table_path is None:
+        table_path = tempfile.mkdtemp(prefix="tdps_collector_replay_")
+
+    ords = {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+    sources = [
+        SourceConfig(name="a", interval=2),
+        SourceConfig(name="b", interval=3),
+        SourceConfig(name="c", interval=5),
+        SourceConfig(name="d", interval=4),
+        SourceConfig(name="e", interval=6),
+        SourceConfig(name="x", active=False, interval=2),
+        SourceConfig(name="z", interval=0),
+    ]
+    cur = {"i": 0}
+
+    def fetcher(source: SourceConfig) -> str:
+        i = cur["i"]
+        if source.name == "e" and (i // 6) % 2 == 1:
+            raise RuntimeError("planted fetch failure (isolation path)")
+        if source.name == "d" and (i // 4) % 2 == 1:
+            return "{}"  # missing key -> extract None -> null guard
+        return _json.dumps({"count": ords[source.name] * 100 + i})
+
+    collector = MetricsCollector(
+        spark, sources, table_path, fetcher=fetcher
+    )
+    for i in range(n_ticks):
+        cur["i"] = i
+        collector.tick(float(base_epoch + i))
+
+    ms = F.unix_millis(F.col("time").cast("timestamp"))
+    return read_metrics(spark, table_path).groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+        F.min(ms).alias("first_ms"),
+        F.max(ms).alias("last_ms"),
+    )
