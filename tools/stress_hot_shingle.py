@@ -15,8 +15,15 @@ each → ~9M shingles, df=1 baseline so the probe isolates skew), then
 (a) plant TRUE duplicates: every 500th doc copied under a fresh id
     (640 pairs both variants must find — proves the cap loses nothing);
 (b) plant ONE hot 3-gram: the same 3-word phrase appended to every
-    100th doc (~3.2k docs → ~5.1M candidate pairs from that single
+    25th doc (~13.4k docs → ~90M candidate pairs from that single
     shingle, uncapped).
+
+Recorded 2026-08-13 (BASELINE.md §C): uncapped 181.5 s vs max_df=64
+11.98 s — 15×, both returning exactly the 640 planted pairs. At
+hot_mod=100 (3.8k hot docs, ~7M extra pairs) the two variants tie
+(~43 s): the fixed double-explode cost dominates until the hot
+shingle's df² term does — which is precisely the regime the cap is
+for.
 Time ``ngram_jaccard_pairs`` uncapped vs capped at threshold 0.95;
 evaluation forced by a full count of the thresholded result.
 
@@ -45,7 +52,7 @@ DUP_MOD = 500
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 320_000
-    hot_mod = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    hot_mod = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     max_df = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 
     spark = get_spark("tdps-stress-hot-shingle")
