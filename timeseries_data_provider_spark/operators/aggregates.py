@@ -104,6 +104,55 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def sketch_verdicts(
+    events: DataFrame,
+    rsd: float = 0.02,
+    tol_factor: float = 3.0,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Both sketch families against their exact forms in ONE aggregate
+    pass over events, emitting deterministic tolerance verdicts
+    (the composition of ``approx_distinct_verdict`` +
+    ``approx_percentiles_verdict``; declared as one query so each
+    driver correctness row covers a full sketch family without
+    spending two of the driver's 50 row slots). Returns per event_type:
+    (exact_users, approx_ok, p50, p90, p50_ok, p90_ok)."""
+    tol = rsd * tol_factor
+    g = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd).alias("__approx"),
+        F.expr("percentile(value, 0.5D)").alias("__e50"),
+        F.expr("percentile(value, 0.9D)").alias("__e90"),
+        F.expr("percentile(value, 0.49D)").alias("__lo50"),
+        F.expr("percentile(value, 0.51D)").alias("__hi50"),
+        F.expr("percentile(value, 0.89D)").alias("__lo90"),
+        F.expr("percentile(value, 0.91D)").alias("__hi90"),
+        F.percentile_approx("value", 0.5, accuracy).alias("__a50"),
+        F.percentile_approx("value", 0.9, accuracy).alias("__a90"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(
+                F.col("__approx") / F.col("exact_users").cast("double")
+                - 1.0
+            )
+            <= tol
+        ).alias("approx_ok"),
+        F.round("__e50", 6).alias("p50"),
+        F.round("__e90", 6).alias("p90"),
+        (
+            (F.col("__a50") >= F.col("__lo50"))
+            & (F.col("__a50") <= F.col("__hi50"))
+        ).alias("p50_ok"),
+        (
+            (F.col("__a90") >= F.col("__lo90"))
+            & (F.col("__a90") <= F.col("__hi90"))
+        ).alias("p90_ok"),
+    )
+
+
 def approx_distinct_verdict(
     events: DataFrame, rsd: float = 0.02, tol_factor: float = 3.0
 ) -> DataFrame:
