@@ -138,3 +138,47 @@ def test_media_features_decodes_real_bytes(spark):
     assert row["n_samples"] == n
     assert row["feat_milli"] == (1000 * sq) // n
     assert row["byte_len"] == 44 + 2 * n
+
+
+def test_resize_nearest_index_math():
+    # 4x6 -> 2x3: output (y, x) = source ((y*4)//2, (x*6)//3)
+    src = np.arange(24, dtype=np.int64).reshape(4, 6)
+    out = mm.resize_nearest(src, out_w=3, out_h=2)
+    want = np.array([[src[0, 0], src[0, 2], src[0, 4]],
+                     [src[2, 0], src[2, 2], src[2, 4]]])
+    assert (out == want).all()
+    # upscale repeats neighbors; channel axis rides along
+    src3 = np.stack([src, src + 1, src + 2], axis=-1)
+    up = mm.resize_nearest(src3, out_w=12, out_h=4)
+    assert up.shape == (4, 12, 3)
+    assert (up[:, ::2][:, :6] == src3).all()
+
+
+def test_resize_features_decode_resize_chain(spark):
+    # Decode -> nearest resize -> feature through Spark, against hand
+    # math replicating the closed-form index mapping for BMP and PNG.
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = (
+        mm.resize_features(mm.synth_media(docs), out_w=4, out_h=4)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 5  # images only; WAVs skipped
+    assert set(out["kind"]) == {"bmp", "png"}
+
+    def hand(doc_id):
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        total = 0
+        for y in range(4):
+            for x in range(4):
+                sy, sx = (y * h) // 4, (x * w) // 4
+                total += (doc_id + sx + sy) % 256
+        return (1000 * total * (3 if doc_id % 4 == 0 else 1)) // (
+            16 * (3 if doc_id % 4 == 0 else 1)
+        )
+
+    for doc_id in (0, 2, 4, 6, 8):
+        row = out.loc[doc_id]
+        assert row["kind"] == ("bmp" if doc_id % 4 == 0 else "png")
+        assert row["resized_feat_milli"] == hand(doc_id), doc_id

@@ -524,6 +524,74 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of a decoded pixel grid ((h, w) or
+    (h, w, c)): output (y, x) takes source ((y*h)//out_h, (x*w)//out_w).
+    Integer index math only — deterministic and closed-form, so resized
+    features remain oracle-reproducible. Pure numpy fancy-indexing; no
+    codec/image library needed once pixels are decoded."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("resized_feat_milli", LongType()),
+    ]
+)
+
+
+def resize_features(
+    media: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """Decode → resize → feature in one Arrow pass: each image payload
+    (BMP or PNG) is really decoded, nearest-neighbor-resampled to
+    (out_w, out_h), and summarized as the floor-scaled milli mean of
+    the RESIZED grid — the thumbnail/feature-extraction step of a
+    multimodal ingest pipeline (the brief's decode/resize/
+    feature-extract chain), with the same mapInPandas plumbing
+    production code keeps when swapping in codec-lib decoders.
+    Non-image payloads (RIFF audio) are skipped inside the batch —
+    a media table mixes kinds and the image path selects its own."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":
+                    continue  # audio — no spatial resize
+                img = decode_image(payload)
+                px = img["pixels"]
+                if px is None:
+                    raise ValueError(
+                        f"{img['format']} payload decoded to metadata "
+                        "only — cannot resize"
+                    )
+                rz = resize_nearest(px, out_w, out_h)
+                feat = (1000 * int(rz.sum(dtype=np.int64))) // rz.size
+                rows["doc_id"].append(int(doc_id))
+                rows["kind"].append(img["format"])
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["resized_feat_milli"].append(feat)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feats, RESIZED_SCHEMA
+    )
+
+
 def sample_frames(blobs: DataFrame, frame_size: int = 64) -> DataFrame:
     """Frame-sampling plumbing: one output row per fixed-size 'frame' of
     the payload (a video decoder would emit keyframes). mapInPandas with
