@@ -182,3 +182,30 @@ def test_resize_features_decode_resize_chain(spark):
         row = out.loc[doc_id]
         assert row["kind"] == ("bmp" if doc_id % 4 == 0 else "png")
         assert row["resized_feat_milli"] == hand(doc_id), doc_id
+
+
+def test_png_roundtrip_property():
+    """Property-based PNG codec roundtrip: random grid sizes and pixel
+    contents must survive encode → decode bit-exactly. Catches filter/
+    stride/edge bugs (1-pixel rows/cols, all-zero and near-256 values)
+    that the fixed-size tests can't."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.int64).astype(
+            np.uint8
+        )
+        dec = mm.decode_image(mm.encode_png(w, h, px))
+        assert dec["format"] == "png"
+        assert (dec["width"], dec["height"]) == (w, h)
+        assert (dec["pixels"] == px).all()
+
+    roundtrip()
