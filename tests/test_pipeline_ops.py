@@ -259,3 +259,40 @@ def test_hash_split_fractions_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         pipeline.hash_split(docs, splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_c4_line_signals_hand_checked(spark):
+    from timeseries_data_provider_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines: terminal+long / short / bullet / ellipsis
+            (1, "This is a proper sentence.\nok\n- item one here\nteaser more coming..."),
+            # code page
+            (2, "function f() { return 1; }"),
+            # placeholder page
+            (3, "Lorem Ipsum dolor sit amet."),
+            # clean page, all lines kept
+            (4, 'First real sentence here.\nSecond one ends with a quote."'),
+            # enable-javascript interstitial
+            (5, "Please enable JavaScript to view this page."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.line_signals(docs).collect()
+    }
+    assert got[1]["n_lines"] == 4
+    assert got[1]["frac_lines_terminal"] == 0.25  # only line 1
+    assert got[1]["frac_lines_short"] == 0.25  # "ok"
+    assert got[1]["frac_lines_bullet"] == 0.25
+    assert got[1]["frac_lines_ellipsis"] == 0.25
+    assert got[1]["kept_line_frac"] == 0.25
+    assert got[2]["has_curly_brace"] and not got[1]["has_curly_brace"]
+    assert got[3]["has_lorem_ipsum"]
+    assert got[4]["kept_line_frac"] == 1.0  # quote after period counts
+    assert got[5]["has_javascript"]
+
+    kept = {r["doc_id"] for r in text_ops.c4_filter(docs).collect()}
+    assert kept == {4}

@@ -320,3 +320,92 @@ def repetition_signals(
             F.lit(2.0) * F.col("top_bigram_n") / F.col("n_tokens"), 6
         ),
     )
+
+
+def line_signals(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style LINE-level cleaning signals, one row per document —
+    the rule family the C4 pipeline applies before any model-based
+    scoring (doc-level stats live in doc_profile/repetition_signals):
+
+    - ``frac_lines_terminal``: fraction of lines ending in terminal
+      punctuation (., !, ?, closing quote) — C4 keeps only such lines;
+    - ``frac_lines_short``: fraction of lines with < 3 words (C4 drops
+      them: nav menus, footers);
+    - ``frac_lines_bullet`` / ``frac_lines_ellipsis``: list/teaser
+      boilerplate markers;
+    - ``has_curly_brace`` / ``has_lorem_ipsum`` / ``has_javascript``:
+      page-level kill rules (code, placeholder, script warnings);
+    - ``kept_line_frac``: fraction of lines the C4 keep rule (terminal
+      punctuation AND >= 3 words) retains — the one-number summary a
+      curation gate thresholds on.
+
+    Pure JVM higher-order array expressions over the line split — no
+    shuffle, no Python; linear at 100 TB like the other row-side
+    signal folds.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+
+    def nwords(line: Column) -> Column:
+        return F.size(F.array_remove(F.split(F.trim(line), " +"), ""))
+
+    # terminal punctuation, optionally followed by a closing quote /
+    # bracket; an ellipsis is teaser boilerplate, NOT a terminal
+    terminal = lambda l: (  # noqa: E731
+        F.trim(l).rlike("[.!?][\"')\\]]?$") & ~F.trim(l).endswith("...")
+    )
+    short = lambda l: nwords(l) < 3  # noqa: E731
+    keep = lambda l: terminal(l) & ~short(l)  # noqa: E731
+
+    def frac(pred) -> Column:
+        return F.round(
+            F.size(F.filter(lines, pred)).cast("double") / n_lines, 6
+        )
+
+    low = F.lower(F.col(text_col))
+    return documents.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        frac(terminal).alias("frac_lines_terminal"),
+        frac(short).alias("frac_lines_short"),
+        frac(lambda l: F.trim(l).rlike("^[-*•]")).alias(
+            "frac_lines_bullet"
+        ),
+        frac(lambda l: F.trim(l).endswith("...")).alias(
+            "frac_lines_ellipsis"
+        ),
+        F.col(text_col).contains("{").alias("has_curly_brace"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        low.contains("javascript").alias("has_javascript"),
+        frac(keep).alias("kept_line_frac"),
+    )
+
+
+def c4_filter(
+    documents: DataFrame,
+    min_kept_line_frac: float = 0.5,
+    max_short_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the C4 page-level keep rule: drop documents containing
+    curly braces / "lorem ipsum" / "javascript", documents where the
+    line-keep rule retains less than ``min_kept_line_frac`` of lines,
+    and documents dominated by sub-3-word lines. Returns the surviving
+    (id, text) rows; composes with pipeline.curate's dedup stage. The
+    signals join is column-parallel (same row, no shuffle) so Catalyst
+    fuses the whole gate into the scan."""
+    sig = line_signals(documents, text_col, id_col)
+    return (
+        documents.join(sig, id_col)
+        .filter(
+            ~F.col("has_curly_brace")
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_javascript")
+            & (F.col("kept_line_frac") >= min_kept_line_frac)
+            & (F.col("frac_lines_short") <= max_short_frac)
+        )
+        .select(id_col, text_col)
+    )
