@@ -124,3 +124,28 @@ def test_srp_lsh_dedup_exchange_is_ids_only(planted):
         keys = m.group(1)
         if "vec_a" in keys and "vec_b" in keys:
             assert "va" not in keys and "vb" not in keys, keys
+
+
+def test_cosine_topk_batch_matches_single_query(planted):
+    """Batch multi-query top-k must equal per-query cosine_topk, and
+    its plan must contain WindowGroupLimit (partial top-k before the
+    exchange — the property that keeps the shuffle at k rows per
+    (query, partition) instead of the full score matrix)."""
+    from timeseries_data_provider_spark.operators import similarity
+
+    qids = [0, 1, 2]
+    batch = similarity.cosine_topk_batch(planted, qids, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["sim"]))
+    for qid in qids:
+        single = [
+            (i + 1, r["vec_id"], r["sim"])
+            for i, r in enumerate(
+                similarity.cosine_topk(planted, query_vec_id=qid, k=5).collect()
+            )
+        ]
+        assert sorted(got[qid]) == single, qid
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]

@@ -365,3 +365,51 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         .groupBy("label", F.col("dim").cast("long").alias("dim"))
         .agg(stable_avg(F.col("x").cast("double"), "centroid"))
     )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one pass —
+    the retrieval-pipeline form of ``cosine_topk`` (score a query set
+    against the corpus, e.g. eval-set retrieval or hard-negative
+    mining). Queries are broadcast (a query batch is small by
+    construction); every corpus vector scores against all queries in a
+    single narrow pass, then per-query top-k is a rank-filtered
+    window.
+
+    Scale note: Spark ≥3.5 plans ``row_number() <= k`` as
+    WindowGroupLimit — a PARTIAL top-k per map task before the
+    exchange (tests/test_plans.py pins it), so the shuffle carries at
+    most k rows per (query, partition) rather than the full n×|q|
+    score matrix; this is the same distributed-top-k shape
+    TakeOrderedAndProject gives the single-query form. Each query is
+    excluded from its own result; ties break on vec_id.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id").isin(list(query_vec_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    e = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
