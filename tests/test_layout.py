@@ -127,3 +127,43 @@ def test_salt_spreads_hot_key(spark):
     ]
     assert len(counts) == 8  # all salt values used
     assert max(counts) < 1000 * 0.3  # no single salt holds the key
+
+def test_ivf_layout_probe_is_partition_pruned(spark, tmp_path):
+    """The materialized IVF index must turn probing into a
+    partition-pruned scan (PartitionFilters on centroid_id) and return
+    exactly what the runtime-assignment ivf_topk computes for the same
+    centroids/nprobe — minus the self-match, since the layout probe
+    takes a raw query vector rather than a corpus id."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_layout(e, path, num_centroids=8)
+
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    probed = similarity.ivf_topk_from_layout(
+        spark, path, qvec, k=11, nprobe=3
+    )
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan[:1500]
+
+    # equivalence with the runtime-assignment form (same seed centroids
+    # by construction: lowest vec_ids); drop vec_id 0 (the query itself,
+    # sim 1.0) from the layout result to align the exclusion semantics
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in probed.collect()
+        if r["vec_id"] != 0
+    ][:10]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.ivf_topk(
+            e, query_vec_id=0, k=10, num_centroids=8, nprobe=3
+        ).collect()
+    ]
+    assert got == want

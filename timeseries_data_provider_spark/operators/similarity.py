@@ -413,3 +413,68 @@ def cosine_topk_batch(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "sim", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def write_ivf_layout(
+    embeddings: DataFrame, path: str, num_centroids: int = 16
+) -> None:
+    """Materialize the IVF index as a physical layout: vectors written
+    to ``<path>/data`` PARTITIONED BY their assigned centroid_id, the
+    (tiny) centroid set to ``<path>/centroids``. This is the build step
+    the ``ivf_topk`` docstring assumes at scale — after it, a probe is
+    a partition-pruned read of nprobe/num_centroids of the table
+    (``ivf_topk_from_layout``; pruning pinned in tests/test_layout.py)
+    instead of a full scan plus a runtime assignment join."""
+    assign = ivf_assign(embeddings, num_centroids)
+    (
+        embeddings.join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/data")
+    )
+    cents = (
+        embeddings.orderBy("vec_id")
+        .limit(num_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_topk_from_layout(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a materialized IVF layout: rank the stored
+    centroids against the query (driver-side — the centroid set is
+    config-sized by construction), then read ONLY the ``nprobe``
+    closest centroid partitions (static partition pruning on the
+    ``centroid_id`` IN-list) and score exactly within them. The scan
+    touches nprobe/num_centroids of the data — the property that makes
+    IVF the 100 TB path — and the scoring/ordering is the same exact
+    cosine + TakeOrderedAndProject as ``cosine_topk``."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r["centroid_id"]
+        for r in spark.read.parquet(path + "/centroids")
+        .select(
+            "centroid_id",
+            cosine(as_double(F.col("cv")), qv).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "centroid_id")
+        .limit(nprobe)
+        .collect()
+    ]
+    data = spark.read.parquet(path + "/data").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    scored = data.select(
+        "vec_id",
+        F.round(cosine(as_double(F.col("embedding")), qv), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), "vec_id").limit(k)
