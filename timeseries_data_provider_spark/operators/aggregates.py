@@ -118,18 +118,23 @@ def sketch_verdicts(
     spending two of the driver's 50 row slots). Returns per event_type:
     (exact_users, approx_ok, p50, p90, p50_ok, p90_ok)."""
     tol = rsd * tol_factor
+    # Array-percentile forms: ONE value sort per group serves all six
+    # exact quantiles and one GK sketch serves both approx quantiles —
+    # the scalar-per-quantile form re-sorts the group once per
+    # aggregate and benchmarked ~6x slower at sf0.1.
     g = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd).alias("__approx"),
-        F.expr("percentile(value, 0.5D)").alias("__e50"),
-        F.expr("percentile(value, 0.9D)").alias("__e90"),
-        F.expr("percentile(value, 0.49D)").alias("__lo50"),
-        F.expr("percentile(value, 0.51D)").alias("__hi50"),
-        F.expr("percentile(value, 0.89D)").alias("__lo90"),
-        F.expr("percentile(value, 0.91D)").alias("__hi90"),
-        F.percentile_approx("value", 0.5, accuracy).alias("__a50"),
-        F.percentile_approx("value", 0.9, accuracy).alias("__a90"),
+        F.expr(
+            "percentile(value,"
+            " array(0.49D, 0.5D, 0.51D, 0.89D, 0.9D, 0.91D))"
+        ).alias("__p"),
+        F.expr(
+            f"percentile_approx(value, array(0.5D, 0.9D), {accuracy})"
+        ).alias("__a"),
     )
+    p = F.col("__p")
+    a = F.col("__a")
     return g.select(
         "event_type",
         "exact_users",
@@ -140,16 +145,10 @@ def sketch_verdicts(
             )
             <= tol
         ).alias("approx_ok"),
-        F.round("__e50", 6).alias("p50"),
-        F.round("__e90", 6).alias("p90"),
-        (
-            (F.col("__a50") >= F.col("__lo50"))
-            & (F.col("__a50") <= F.col("__hi50"))
-        ).alias("p50_ok"),
-        (
-            (F.col("__a90") >= F.col("__lo90"))
-            & (F.col("__a90") <= F.col("__hi90"))
-        ).alias("p90_ok"),
+        F.round(p[1], 6).alias("p50"),
+        F.round(p[4], 6).alias("p90"),
+        ((a[0] >= p[0]) & (a[0] <= p[2])).alias("p50_ok"),
+        ((a[1] >= p[3]) & (a[1] <= p[5])).alias("p90_ok"),
     )
 
 
