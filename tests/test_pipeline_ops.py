@@ -296,3 +296,40 @@ def test_c4_line_signals_hand_checked(spark):
 
     kept = {r["doc_id"] for r in text_ops.c4_filter(docs).collect()}
     assert kept == {4}
+
+
+def test_chunk_documents_property_random_whitespace(spark):
+    """Property: for ANY text (including leading/trailing/repeated
+    whitespace and empty strings), chunking preserves the token stream
+    exactly — concatenated chunk texts == normalized tokens, token
+    counts conserved, zero rows for zero-token docs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts_strategy = st.lists(
+        st.text(alphabet=" \t\nabcXY.7", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts=texts_strategy)
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        chunks = pipeline.chunk_documents(docs, chunk_tokens=3).collect()
+        by_doc = {}
+        for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, t in enumerate(texts):
+            toks = t.split()  # Python str.split == whitespace-run split
+            rows = by_doc.get(i, [])
+            if not toks:
+                assert rows == [], (i, t, rows)
+                continue
+            assert " ".join(r["chunk_text"] for r in rows) == " ".join(toks)
+            assert sum(r["n_chunk_tokens"] for r in rows) == len(toks)
+            assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+
+    check()
