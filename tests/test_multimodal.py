@@ -209,3 +209,52 @@ def test_png_roundtrip_property():
         assert (dec["pixels"] == px).all()
 
     roundtrip()
+
+
+def test_wav_roundtrip_property():
+    """Property-based WAV roundtrip: random sample counts and values
+    (full int16 range, odd/even lengths) survive encode -> decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def roundtrip(n, seed, rate):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+        dec = mm.decode_audio(mm.encode_wav(s, sample_rate=rate))
+        assert dec["sample_rate"] == rate
+        assert (dec["samples"] == s).all()
+
+    roundtrip()
+
+
+def test_audio_features_hand_checked(spark):
+    import math
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = (
+        mm.audio_features(mm.synth_media(docs))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 5  # odd doc_ids only (WAVs)
+
+    doc_id = 7
+    n = 64 + doc_id % 64
+    s = [(doc_id * 31 + i * 17) % 2048 - 1024 for i in range(n)]
+    sgn = [x for x in (np.sign(s)) if x != 0]
+    zc = sum(1 for a, b in zip(sgn, sgn[1:]) if a != b)
+    row = out.loc[doc_id]
+    assert row["sample_rate"] == 8000
+    assert row["n_samples"] == n
+    assert row["peak_abs"] == max(abs(x) for x in s)
+    assert row["zero_crossings"] == zc
+    assert row["rms_milli"] == math.isqrt(
+        (1_000_000 * sum(x * x for x in s)) // n
+    )

@@ -122,9 +122,11 @@ def decode_image(payload: bytes) -> dict:
     """Decode an image payload to ``{format, width, height, pixels}``.
 
     BMP: full pixel decode (``pixels`` is an (h, w, 3) uint8 array).
-    PNG: IHDR header parse (``pixels`` is None).
-    Anything else raises NotImplementedError naming the format — the
-    plug-in point for codec-lib-backed decoders.
+    PNG: full pixel decode via ``_decode_png`` (inflate + unfilter;
+    ``pixels`` is (h, w) or (h, w, c), or None for header-only
+    payloads with no IDAT). Anything else raises NotImplementedError
+    naming the format — the plug-in point for codec-lib-backed
+    decoders.
     """
     if payload[:2] == b"BM":
         size, _, _, data_off = struct.unpack_from("<IHHI", payload, 2)
@@ -615,3 +617,57 @@ def sample_frames(blobs: DataFrame, frame_size: int = 64) -> DataFrame:
             )
 
     return blobs.mapInPandas(frames, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("rms_milli", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads and emit the standard scalar audio features
+    a corpus-curation pass computes per clip: peak absolute amplitude
+    (clipping detector), zero-crossing count (crude spectral/voicing
+    proxy), and integer-floored RMS in milli units (loudness gate).
+    All integer/fixed-point math over the real decoded int16 samples —
+    deterministic, vectorized numpy inside one Arrow pass. Non-audio
+    payloads in the batch are skipped (the image path has its own
+    operators)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    continue
+                wav = decode_audio(payload)
+                s = wav["samples"].astype(np.int64)
+                n = int(s.size)
+                sgn = np.sign(s)
+                nz = sgn[sgn != 0]
+                zc = int((nz[1:] != nz[:-1]).sum()) if nz.size > 1 else 0
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(int(wav["sample_rate"]))
+                rows["n_samples"].append(n)
+                rows["peak_abs"].append(int(np.abs(s).max()) if n else 0)
+                rows["zero_crossings"].append(zc)
+                rows["rms_milli"].append(
+                    int(math.isqrt((1_000_000 * int((s * s).sum())) // n))
+                    if n
+                    else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feats, AUDIO_FEATURES_SCHEMA
+    )
