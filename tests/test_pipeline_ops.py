@@ -333,3 +333,25 @@ def test_chunk_documents_property_random_whitespace(spark):
             assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
 
     check()
+
+
+def test_bloom_contamination_equals_exact(spark):
+    """The Bloom-prefiltered contamination check must be row-identical
+    to the exact broadcast form (false positives are killed by the
+    exact join after the prefilter), and its plan must contain the
+    bloom aggregate + might_contain, not a second full join."""
+    docs = _docs(spark)
+    exact = {
+        (r["doc_id"], r["n_common"])
+        for r in pipeline.ngram_contamination(
+            docs, eval_mod=97, n=3, min_common=1
+        ).collect()
+    }
+    bloom_df = pipeline.ngram_contamination_bloom(
+        docs, eval_mod=97, n=3, min_common=1, expected_items=100_000
+    )
+    got = {(r["doc_id"], r["n_common"]) for r in bloom_df.collect()}
+    assert got == exact and exact  # non-trivial on the smoke corpus
+
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_get" in plan, plan[:1500]  # the bloom probe predicate

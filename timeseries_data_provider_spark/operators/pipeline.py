@@ -249,6 +249,122 @@ def ngram_contamination(
     )
 
 
+def build_bloom(
+    keys: DataFrame,
+    key_col: str = "s",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> tuple[DataFrame, int, int]:
+    """Distributed Bloom-filter build over a key column, entirely in
+    DataFrame ops (Spark's internal bloom_filter_agg expression is not
+    in the public function registry): k = m/n·ln2 hash probes per key
+    (seeded xxhash64 mod m), bit positions OR-combined per 64-bit word
+    (one hash-agg), then assembled into a single row holding the
+    bitset as array<long> — ~1.2 bits/item·log2(1/p), so a filter over
+    100M eval shingles at 1% fpp is ~170 MB where the equivalent
+    broadcast hash relation would be several GB. Returns
+    (one-row DataFrame with column ``bf``, num_bits, k).
+    """
+    import math
+
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / expected_items * math.log(2)))
+    n_words = (m + 63) // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(m))
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            F.expr("cast(pos div 64 as long)").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+    # assemble the dense bitset: missing words are zero
+    spark = keys.sparkSession
+    full = (
+        spark.range(n_words)
+        .withColumnRenamed("id", "word_idx")
+        .join(words, "word_idx", "left")
+        .select("word_idx", F.coalesce("w", F.lit(0)).alias("w"))
+    )
+    bf = full.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("word_idx", "w"))
+            ),
+            lambda s: s["w"],
+        ).alias("bf")
+    )
+    return bf, m, k
+
+
+def bloom_might_contain(
+    m: int, k: int, key_col: str = "s", bf_col: str = "bf"
+) -> Column:
+    """Membership predicate for a ``build_bloom`` bitset: AND over the
+    k seeded probes of 'bit set in word' (``bit_get`` — both args are
+    columns, no literal-only shift limits). Pure JVM expressions —
+    runs inside the scan's filter after the one-row bitset is
+    broadcast."""
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(m))
+        word = F.element_at(
+            F.col(bf_col), F.floor(pos / F.lit(64)).cast("int") + F.lit(1)
+        )
+        cond = cond & (F.bit_get(word, F.pmod(pos, F.lit(64))) == 1)
+    return cond
+
+
+def ngram_contamination_bloom(
+    documents: DataFrame,
+    eval_mod: int = 97,
+    n: int = 3,
+    min_common: int = 3,
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``ngram_contamination`` with a Bloom-filter prefilter — the
+    shape for when the eval shingle set outgrows a broadcast HASH
+    table: the bitset costs ~10 bits/item at 1% fpp (vs tens of BYTES
+    per item for the hash relation), so 100×-bigger holdouts still
+    broadcast. Plan: distributed bloom build over the eval shingles
+    (``build_bloom``) → one-row bitset broadcast-crossed onto the
+    train shingles → JVM membership predicate prefilter → the exact
+    broadcast join + distinct-count runs ONLY on the surviving sliver,
+    so Bloom false positives cannot reach the result: output is
+    row-identical to the exact form (pinned in
+    tests/test_pipeline_ops.py).
+    """
+    ev_sh = shingles_exploded(
+        documents.filter(F.col("doc_id") % eval_mod == 0), n
+    ).select("s")
+    bf, m, k = build_bloom(ev_sh, "s", expected_items, fpp)
+    train = shingles_raw(
+        documents.filter(F.col("doc_id") % eval_mod != 0), n
+    )
+    prefiltered = (
+        train.join(F.broadcast(bf))
+        .filter(bloom_might_contain(m, k))
+        .drop("bf")
+    )
+    ev = F.broadcast(ev_sh.distinct())
+    return (
+        prefiltered.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("s")).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def curate(
     documents: DataFrame,
     lang: str = "en",
