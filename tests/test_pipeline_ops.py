@@ -355,3 +355,45 @@ def test_bloom_contamination_equals_exact(spark):
 
     plan = bloom_df._jdf.queryExecution().executedPlan().toString()
     assert "bit_get" in plan, plan[:1500]  # the bloom probe predicate
+
+
+def test_weighted_sample_matches_reference_impl(spark):
+    """A-ES selection must match an independent Python reimplementation
+    exactly (same md5-derived uniforms), be deterministic across
+    partitionings, drop nonpositive weights, and plan as
+    TakeOrderedAndProject (distributed partial top-k)."""
+    import hashlib
+
+    rows = [(i, 0.5 + (i * 7 % 13)) for i in range(200)]
+    rows += [(900, 0.0), (901, -2.0)]  # excluded
+    docs = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    def ref_key(doc_id, w):
+        u12 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        u = (u12 + 0.5) / 16**12
+        return u ** (1.0 / w)
+
+    want = sorted(
+        ((i, w) for i, w in rows if w > 0),
+        key=lambda t: (-ref_key(*t), t[0]),
+    )[:25]
+    got = [
+        (r["doc_id"], r["w"])
+        for r in pipeline.weighted_sample(docs, "w", k=25).collect()
+    ]
+    assert got == want
+    got2 = [
+        (r["doc_id"], r["w"])
+        for r in pipeline.weighted_sample(
+            docs.repartition(7), "w", k=25
+        ).collect()
+    ]
+    assert got2 == want  # partition-independent
+
+    plan = (
+        pipeline.weighted_sample(docs, "w", k=25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1200]

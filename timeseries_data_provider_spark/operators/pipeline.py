@@ -423,3 +423,40 @@ def hash_split(
         else F.lit(splits[-1][0])
     )
     return documents.select(id_col, expr.alias("split"))
+
+
+def weighted_sample(
+    documents: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets key = u^(1/w) with u a
+    uniform derived from md5(id) (the same no-rand() determinism as
+    stratified_sample/hash_split — reproducible across runs, cluster
+    sizes, and engines), and the k largest keys are the sample. This
+    is the quality-weighted mix sampler of a training pipeline
+    ("sample documents proportional to score"): inclusion probability
+    scales with w, heavier documents win ties against lighter ones in
+    expectation, and the exact selection is replayable from ids alone.
+
+    Nonpositive weights are excluded (standard A-ES domain). The plan
+    is a TakeOrderedAndProject — distributed partial top-k per
+    partition, k rows per partition to the driver — so it scales like
+    any top-k, with no global sort and no shuffle of the full table.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**12))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        documents.filter(F.col(weight_col) > 0)
+        .select(id_col, weight_col, key.alias("__key"))
+        .orderBy(F.col("__key").desc(), id_col)
+        .limit(k)
+        .select(id_col, weight_col)
+    )
