@@ -397,3 +397,35 @@ def test_weighted_sample_matches_reference_impl(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_redact_pii_hand_checked(spark):
+    from timeseries_data_provider_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@mail.example.org today"),
+            (2, "call +1 555-123-4567 or (020) 7946-0958 now"),
+            (3, "server at 192.168.1.250 responded"),
+            (4, "card 4111 1111 1111 1111 declined"),
+            (5, "plain text, no pii, year 2024 and pi 3.14159"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in text_ops.redact_pii(docs).collect()
+    }
+    assert got[1]["text_redacted"] == "contact me at <EMAIL> today"
+    assert got[1]["n_email"] == 1
+    assert got[2]["n_phone"] == 2
+    assert "<PHONE>" in got[2]["text_redacted"]
+    assert "555" not in got[2]["text_redacted"]
+    assert got[3]["text_redacted"] == "server at <IP> responded"
+    assert got[4]["n_card"] == 1 and "<CARD>" in got[4]["text_redacted"]
+    # no false positives on plain numbers / decimals / years
+    assert (
+        got[5]["text_redacted"] == "plain text, no pii, year 2024 and pi 3.14159"
+    )
+    assert all(
+        got[5][k] == 0 for k in ("n_email", "n_phone", "n_ip", "n_card")
+    )

@@ -409,3 +409,47 @@ def c4_filter(
         )
         .select(id_col, text_col)
     )
+
+
+# PII patterns: deliberately conservative, precision-first forms of the
+# scrub rules corpus pipelines run before training (emails; international
+# / US phone shapes with enough digits to avoid eating plain numbers;
+# dotted-quad IPs; 13-16 digit card-like runs). Java regex (JVM-side).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?<![\d.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\d.])",
+    "ip": r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+    "card": r"(?<![\d.])\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}(?![\d.])",
+}
+
+
+def redact_pii(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: tuple[str, ...] = ("email", "card", "ip", "phone"),
+) -> DataFrame:
+    """Scrub PII-shaped spans before training: each matched span is
+    replaced with a typed placeholder (``<EMAIL>``, ``<PHONE>``, ...)
+    and per-kind match counts are emitted alongside, so the curation
+    pass can both clean and THRESHOLD (documents dense in PII usually
+    warrant dropping, not just scrubbing). Chained ``regexp_replace``
+    + ``regexp_count`` — pure JVM row-side work, zero shuffle, linear
+    at 100 TB.
+
+    Kinds are applied in the order given and each kind counts matches
+    on the RUNNING (already-redacted) text — both matter: the more
+    specific pattern must run first (card before phone, or the phone
+    pattern eats a 16-digit card in chunks) and progressive counting
+    prevents one span being double-counted across kinds."""
+    out = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            F.regexp_count(out, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return documents.select(
+        id_col, out.alias("text_redacted"), *counts
+    )
