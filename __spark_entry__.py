@@ -1143,15 +1143,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) t
             WHERE rn <= k
         """,
-        # Tokenization matches pipeline.tokens: split on whitespace
-        # RUNS, drop empty tokens (empty text → 0 tokens → 0 chunks;
+        # Tokenization matches pipeline.tokens byte for byte: split on
+        # runs of the EXPLICIT whitespace class (space/tab/LF/VT/FF/CR
+        # — Java \\s and RE2 \\s disagree on vertical tab), drop empty
+        # tokens (empty text → 0 tokens → 0 chunks;
         # generate_series(0,-1) is empty in DuckDB, matching Spark's
         # explode(null)).
         "q51_chunk_pack": """
             WITH w AS (
               SELECT doc_id, source,
-                     list_filter(regexp_split_to_array(text, '\\s+'),
-                                 x -> x <> '') AS ws
+                     list_filter(
+                       regexp_split_to_array(text,
+                         '[ \\t\\n\\x0B\\f\\r]+'),
+                       x -> x <> '') AS ws
               FROM documents
             ), c AS (
               SELECT doc_id, source, ws,

@@ -40,12 +40,19 @@ def main() -> None:
 
     spark = get_spark("tdps-bench")
     qs = entry.queries()
-    # NON_BENCH: correctness-harness queries (e.g. the collector tick
-    # replay) whose runtime is driver orchestration, not query cost.
-    for skip in getattr(entry, "NON_BENCH", ()):
-        qs.pop(skip, None)
     if only:
+        # explicit name filter wins — a user asking for a NON_BENCH
+        # query by name (time/--explain it) should get it
         qs = {k: v for k, v in qs.items() if any(o in k for o in only)}
+        if not qs:
+            print(f"no queries match {only}", file=sys.stderr)
+            sys.exit(1)
+    else:
+        # NON_BENCH: correctness-harness queries (e.g. the collector
+        # tick replay) whose runtime is driver orchestration, not
+        # query cost — excluded from the full-set timing run.
+        for skip in getattr(entry, "NON_BENCH", ()):
+            qs.pop(skip, None)
 
     # warm-up (not counted): JVM JIT + parquet footer caches + Python
     # UDF worker pool (a long-running service reuses workers; paying the

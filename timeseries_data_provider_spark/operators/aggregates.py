@@ -157,32 +157,12 @@ def approx_distinct_verdict(
 ) -> DataFrame:
     """HLL++ sketch vs exact distinct, with the tolerance verdict
     emitted IN-QUERY: (event_type, exact_users, approx_ok) where
-    approx_ok ⇔ |approx/exact − 1| ≤ tol_factor·rsd. Sketch estimates
-    are engine-specific and can never hash-match another engine, but
-    this derived row is deterministic — the oracle computes the exact
-    count and a literal TRUE — so the sketch path gets a full
-    rows+schema+hash correctness row instead of a rows-only check
-    (VERDICT r3 item 3). Both aggregates run in the same single
-    hash-aggregate pass."""
-    tol = rsd * tol_factor
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", rsd).alias("__approx"),
-        )
-        .select(
-            "event_type",
-            "exact_users",
-            (
-                F.abs(
-                    F.col("__approx")
-                    / F.col("exact_users").cast("double")
-                    - 1.0
-                )
-                <= tol
-            ).alias("approx_ok"),
-        )
+    approx_ok ⇔ |approx/exact − 1| ≤ tol_factor·rsd. A projection of
+    ``sketch_verdicts`` — single source of truth for the verdict
+    semantics; Catalyst's ColumnPruning drops the unreferenced
+    percentile aggregates from the plan."""
+    return sketch_verdicts(events, rsd=rsd, tol_factor=tol_factor).select(
+        "event_type", "exact_users", "approx_ok"
     )
 
 
@@ -294,28 +274,10 @@ def approx_percentiles_verdict(
     n/accuracy (= 0.0001·n here), so the ±0.01-quantile band is a 100×
     margin — deterministically TRUE, which the oracle emits as a
     literal, upgrading the GK row from rows-only to full hash scoring
-    (VERDICT r3 item 3). Exact + sketch both run in one aggregate
-    pass; at 100 TB a production job keeps only the sketch columns."""
-    g = events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5D)").alias("__e50"),
-        F.expr("percentile(value, 0.9D)").alias("__e90"),
-        F.expr("percentile(value, 0.49D)").alias("__lo50"),
-        F.expr("percentile(value, 0.51D)").alias("__hi50"),
-        F.expr("percentile(value, 0.89D)").alias("__lo90"),
-        F.expr("percentile(value, 0.91D)").alias("__hi90"),
-        F.percentile_approx("value", 0.5, accuracy).alias("__a50"),
-        F.percentile_approx("value", 0.9, accuracy).alias("__a90"),
-    )
-    return g.select(
-        "event_type",
-        F.round("__e50", 6).alias("p50"),
-        F.round("__e90", 6).alias("p90"),
-        (
-            (F.col("__a50") >= F.col("__lo50"))
-            & (F.col("__a50") <= F.col("__hi50"))
-        ).alias("p50_ok"),
-        (
-            (F.col("__a90") >= F.col("__lo90"))
-            & (F.col("__a90") <= F.col("__hi90"))
-        ).alias("p90_ok"),
+    (VERDICT r3 item 3). A projection of ``sketch_verdicts`` — single
+    source of truth for the band semantics and the array-percentile
+    one-sort-per-group plan; ColumnPruning drops the unreferenced
+    distinct-count aggregates."""
+    return sketch_verdicts(events, accuracy=accuracy).select(
+        "event_type", "p50", "p90", "p50_ok", "p90_ok"
     )

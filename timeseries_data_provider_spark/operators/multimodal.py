@@ -271,9 +271,13 @@ def _decode_png(payload: bytes) -> dict:
         if f == 0:
             rec = line
         elif f == 1:
-            rec = line.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) % 256
+            # Sub is a per-channel prefix sum mod 256 — vectorized
+            # (Average/Paeth below stay sequential: each byte depends
+            # on the RECONSTRUCTED left neighbor through a non-linear
+            # predictor, which is inherent to the filter spec)
+            rec = (
+                line.reshape(-1, bpp).cumsum(axis=0) % 256
+            ).reshape(stride)
         elif f == 2:
             rec = (line + prior) % 256
         elif f == 3:

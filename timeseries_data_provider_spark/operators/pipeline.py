@@ -37,8 +37,15 @@ def tokens(text_col: str) -> Column:
     """Whitespace tokenization that is safe on real input: split on
     whitespace RUNS, then drop empty tokens (a leading space or an
     empty string otherwise yields ``""`` entries). Empty text → empty
-    array, not ``[""]``."""
-    return F.array_remove(F.split(F.col(text_col), "\\s+"), "")
+    array, not ``[""]``.
+
+    The whitespace class is EXPLICIT (space/tab/LF/VT/FF/CR) rather
+    than ``\\s``: Java ``\\s`` and RE2/DuckDB ``\\s`` disagree on
+    vertical tab, and the q51 oracle must split identically — same
+    character set both sides, declared byte for byte."""
+    return F.array_remove(
+        F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"), ""
+    )
 
 
 def stratified_sample(
@@ -344,9 +351,18 @@ def ngram_contamination_bloom(
     row-identical to the exact form (pinned in
     tests/test_pipeline_ops.py).
     """
-    ev_sh = shingles_exploded(
-        documents.filter(F.col("doc_id") % eval_mod == 0), n
-    ).select("s")
+    # Materialize the distinct eval shingles ONCE: both the bloom
+    # build and the exact verify join consume them, and without the
+    # checkpoint the eval docs would be scanned and re-shingled twice
+    # (the exact form this prefilter claims to improve on scans once).
+    ev_sh = (
+        shingles_exploded(
+            documents.filter(F.col("doc_id") % eval_mod == 0), n
+        )
+        .select("s")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bf, m, k = build_bloom(ev_sh, "s", expected_items, fpp)
     train = shingles_raw(
         documents.filter(F.col("doc_id") % eval_mod != 0), n
@@ -356,7 +372,7 @@ def ngram_contamination_bloom(
         .filter(bloom_might_contain(m, k))
         .drop("bf")
     )
-    ev = F.broadcast(ev_sh.distinct())
+    ev = F.broadcast(ev_sh)
     return (
         prefiltered.join(ev, "s")
         .groupBy("doc_id")

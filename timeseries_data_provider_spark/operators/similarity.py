@@ -267,17 +267,17 @@ def srp_lsh_neardup(
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame, num_centroids: int = 16
+def seed_centroids(
+    embeddings: DataFrame, num_centroids: int
 ) -> DataFrame:
-    """Assign every vector to its nearest 'centroid'.
-
-    Deterministic centroid choice: the ``num_centroids`` lowest vec_ids
-    serve as seed centroids (a real pipeline would k-means; seeds keep
-    the operator reproducible with zero iterations). Broadcast the tiny
-    centroid set; one narrow pass, no shuffle.
-    """
-    cents = (
+    """THE centroid seeding rule, shared by assignment, probing, and
+    the materialized layout: the ``num_centroids`` lowest vec_ids (a
+    real pipeline would k-means; seeds keep the operators reproducible
+    with zero iterations). Single definition on purpose — the layout's
+    correctness depends on the stored centroid set matching exactly
+    what ``ivf_assign`` partitioned by, so a seeding-rule change must
+    not be able to desynchronize them. Returns (centroid_id, cv)."""
+    return (
         embeddings.orderBy("vec_id")
         .limit(num_centroids)
         .select(
@@ -285,6 +285,15 @@ def ivf_assign(
             as_double(F.col("embedding")).alias("cv"),
         )
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame, num_centroids: int = 16
+) -> DataFrame:
+    """Assign every vector to its nearest seed centroid
+    (``seed_centroids``). Broadcast the tiny centroid set; one narrow
+    pass, no shuffle."""
+    cents = seed_centroids(embeddings, num_centroids)
     e = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -317,14 +326,7 @@ def ivf_topk(
     precomputed and the table is partitioned by centroid_id, so this is
     a partition-pruned scan of nprobe/num_centroids of the data."""
     assign = ivf_assign(embeddings, num_centroids)
-    cents = (
-        embeddings.orderBy("vec_id")
-        .limit(num_centroids)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            as_double(F.col("embedding")).alias("cv"),
-        )
-    )
+    cents = seed_centroids(embeddings, num_centroids)
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         as_double(F.col("embedding")).alias("qv")
     )
@@ -432,15 +434,10 @@ def write_ivf_layout(
         .partitionBy("centroid_id")
         .parquet(path + "/data")
     )
-    cents = (
-        embeddings.orderBy("vec_id")
-        .limit(num_centroids)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("cv"),
-        )
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    # the SAME seeding rule ivf_assign partitioned by — one definition
+    seed_centroids(embeddings, num_centroids).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/centroids")
 
 
 def ivf_topk_from_layout(

@@ -349,7 +349,12 @@ def line_signals(
     n_lines = F.size(lines)
 
     def nwords(line: Column) -> Column:
-        return F.size(F.array_remove(F.split(F.trim(line), " +"), ""))
+        # whitespace RUNS (tabs included — a tab-separated line is
+        # multi-word), empties dropped: same tokenizer class as
+        # pipeline.tokens, scoped to the line
+        return F.size(
+            F.array_remove(F.split(F.trim(line), "[ \\t\\x0B\\f\\r]+"), "")
+        )
 
     # terminal punctuation, optionally followed by a closing quote /
     # bracket; an ellipsis is teaser boilerplate, NOT a terminal

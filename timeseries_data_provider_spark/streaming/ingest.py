@@ -221,6 +221,14 @@ def collector_replay(
 
     from pyspark.sql import functions as F
 
+    from timeseries_data_provider_spark.session import ensure_runtime_confs
+
+    # Every other declared query forces the runtime confs via the table
+    # loader; this one takes no tables, so force them here — the
+    # first_ms/last_ms math (unix_millis over a cast NTZ) requires
+    # spark.sql.session.timeZone=UTC on driver-owned sessions.
+    ensure_runtime_confs(spark)
+
     if table_path is None:
         table_path = tempfile.mkdtemp(prefix="tdps_collector_replay_")
 
