@@ -350,6 +350,14 @@ def ngram_contamination_bloom(
     so Bloom false positives cannot reach the result: output is
     row-identical to the exact form (pinned in
     tests/test_pipeline_ops.py).
+
+    Choose this for broadcast SIZE, not local speed (measured,
+    BASELINE.md §C): when collisions are pervasive the probe pays on
+    every shingle and removes nothing (64×-replicated corpus: 32.0 s
+    vs the exact form's 22.4 s), and at broadcast-hash-friendly
+    holdout sizes the exact form is already fast (low-collision 320k
+    corpus: 2.12 s vs 2.39 s — a wash). The regime this exists for is
+    a holdout too big for a broadcast hash relation at all.
     """
     # Materialize the distinct eval shingles ONCE: both the bloom
     # build and the exact verify join consume them, and without the
