@@ -828,12 +828,15 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(w)) AS n_uniq,
                    ROUND(ttr, 6) AS ttr,
                    len(regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                       text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))
+                     AS n_bpe,
                    ROUND(stop_ratio, 6) AS stop_ratio,
                    ROUND(0.5 * ttr + 0.3 * (1.0 - stop_ratio)
                          + 0.2 * length_factor, 6) AS score,
-                   sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-                     AS fp
+                   sha256(lower(regexp_replace(trim(text),
+                                               '[ \t\n\x0B\f\r]+', ' ',
+                                               'g'))) AS fp
             FROM y
         """,
         "q28_ngram_jaccard": """

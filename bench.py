@@ -40,18 +40,24 @@ def main() -> None:
 
     spark = get_spark("tdps-bench")
     qs = entry.queries()
+    non_bench = set(getattr(entry, "NON_BENCH", ()))
     if only:
-        # explicit name filter wins — a user asking for a NON_BENCH
-        # query by name (time/--explain it) should get it
-        qs = {k: v for k, v in qs.items() if any(o in k for o in only)}
+        # substring name filter; NON_BENCH queries (correctness
+        # harnesses whose runtime is driver orchestration, not query
+        # cost) are included only when named EXACTLY — a loose
+        # substring like "6" must not sweep the collector replay into
+        # a timed run
+        qs = {
+            k: v
+            for k, v in qs.items()
+            if any(o in k for o in only)
+            and (k not in non_bench or k in only)
+        }
         if not qs:
             print(f"no queries match {only}", file=sys.stderr)
             sys.exit(1)
     else:
-        # NON_BENCH: correctness-harness queries (e.g. the collector
-        # tick replay) whose runtime is driver orchestration, not
-        # query cost — excluded from the full-set timing run.
-        for skip in getattr(entry, "NON_BENCH", ()):
+        for skip in non_bench:
             qs.pop(skip, None)
 
     # warm-up (not counted): JVM JIT + parquet footer caches + Python

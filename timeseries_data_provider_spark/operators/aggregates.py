@@ -13,7 +13,7 @@ reduction is what keeps these viable. No Python in any of them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import stable_avg, stable_sum
@@ -104,6 +104,19 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def _approx_ok(exact, approx, tol) -> Column:
+    """THE relative-error verdict: |approx/exact − 1| ≤ tol. Shared by
+    the standalone and composed sketch operators so the pytest-verified
+    semantics and the driver-scored semantics cannot diverge."""
+    return F.abs(approx / exact.cast("double") - 1.0) <= tol
+
+
+def _band_ok(approx, lo, hi) -> Column:
+    """THE quantile-band verdict: sketch estimate inside the exact
+    [lo, hi] percentile band. Shared like ``_approx_ok``."""
+    return (approx >= lo) & (approx <= hi)
+
+
 def sketch_verdicts(
     events: DataFrame,
     rsd: float = 0.02,
@@ -138,17 +151,13 @@ def sketch_verdicts(
     return g.select(
         "event_type",
         "exact_users",
-        (
-            F.abs(
-                F.col("__approx") / F.col("exact_users").cast("double")
-                - 1.0
-            )
-            <= tol
-        ).alias("approx_ok"),
+        _approx_ok(F.col("exact_users"), F.col("__approx"), tol).alias(
+            "approx_ok"
+        ),
         F.round(p[1], 6).alias("p50"),
         F.round(p[4], 6).alias("p90"),
-        ((a[0] >= p[0]) & (a[0] <= p[2])).alias("p50_ok"),
-        ((a[1] >= p[3]) & (a[1] <= p[5])).alias("p90_ok"),
+        _band_ok(a[0], p[0], p[2]).alias("p50_ok"),
+        _band_ok(a[1], p[3], p[5]).alias("p90_ok"),
     )
 
 
@@ -157,12 +166,24 @@ def approx_distinct_verdict(
 ) -> DataFrame:
     """HLL++ sketch vs exact distinct, with the tolerance verdict
     emitted IN-QUERY: (event_type, exact_users, approx_ok) where
-    approx_ok ⇔ |approx/exact − 1| ≤ tol_factor·rsd. A projection of
-    ``sketch_verdicts`` — single source of truth for the verdict
-    semantics; Catalyst's ColumnPruning drops the unreferenced
-    percentile aggregates from the plan."""
-    return sketch_verdicts(events, rsd=rsd, tol_factor=tol_factor).select(
-        "event_type", "exact_users", "approx_ok"
+    approx_ok ⇔ |approx/exact − 1| ≤ tol_factor·rsd. Self-contained
+    narrow aggregate (needs only event_type + user_id, unlike the
+    composed ``sketch_verdicts`` which also aggregates value); the
+    verdict semantics are the shared ``_approx_ok`` expression, so
+    this and the driver-scored composed form cannot diverge."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            _approx_ok(
+                F.col("exact_users"), F.col("__approx"), rsd * tol_factor
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -274,10 +295,26 @@ def approx_percentiles_verdict(
     n/accuracy (= 0.0001·n here), so the ±0.01-quantile band is a 100×
     margin — deterministically TRUE, which the oracle emits as a
     literal, upgrading the GK row from rows-only to full hash scoring
-    (VERDICT r3 item 3). A projection of ``sketch_verdicts`` — single
-    source of truth for the band semantics and the array-percentile
-    one-sort-per-group plan; ColumnPruning drops the unreferenced
-    distinct-count aggregates."""
-    return sketch_verdicts(events, accuracy=accuracy).select(
-        "event_type", "p50", "p90", "p50_ok", "p90_ok"
+    (VERDICT r3 item 3). Self-contained narrow aggregate (needs only
+    event_type + value — no user_id, unlike the composed
+    ``sketch_verdicts``), on the array-percentile one-sort-per-group
+    plan; the band semantics are the shared ``_band_ok`` expression,
+    so this and the driver-scored composed form cannot diverge."""
+    g = events.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value,"
+            " array(0.49D, 0.5D, 0.51D, 0.89D, 0.9D, 0.91D))"
+        ).alias("__p"),
+        F.expr(
+            f"percentile_approx(value, array(0.5D, 0.9D), {accuracy})"
+        ).alias("__a"),
+    )
+    p = F.col("__p")
+    a = F.col("__a")
+    return g.select(
+        "event_type",
+        F.round(p[1], 6).alias("p50"),
+        F.round(p[4], 6).alias("p90"),
+        _band_ok(a[0], p[0], p[2]).alias("p50_ok"),
+        _band_ok(a[1], p[3], p[5]).alias("p90_ok"),
     )

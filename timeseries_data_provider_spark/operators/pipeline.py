@@ -363,13 +363,16 @@ def ngram_contamination_bloom(
     # build and the exact verify join consume them, and without the
     # checkpoint the eval docs would be scanned and re-shingled twice
     # (the exact form this prefilter claims to improve on scans once).
+    # eager=False: construction stays side-effect-free (.explain() /
+    # conditional building run no jobs); the checkpoint materializes
+    # on the first action and is reused by the second consumer.
     ev_sh = (
         shingles_exploded(
             documents.filter(F.col("doc_id") % eval_mod == 0), n
         )
         .select("s")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bf, m, k = build_bloom(ev_sh, "s", expected_items, fpp)
     train = shingles_raw(

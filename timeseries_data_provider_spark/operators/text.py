@@ -15,9 +15,14 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+# Whitespace as an EXPLICIT class (space/tab/LF/VT/FF/CR): Java \s and
+# RE2/DuckDB \s disagree on vertical tab, and every regex shared with a
+# SQL oracle must match the identical character set on both sides.
+WS_CLASS = " \\t\\n\\x0B\\f\\r"
+
 # BPE-ish tokenizer regex: letter runs, digit runs, or single non-space
 # symbols — a deterministic stand-in for a real BPE pre-tokenizer.
-BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+BPE_ISH = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
 
 
 def _words(text_col: str = "text") -> Column:
@@ -93,7 +98,9 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: sha256 over case- and whitespace-normalized
     text. The canonical exact-dedup key at 100 TB scale — dedup then
     groups/joins on the 64-char digest instead of multi-KB bodies."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    normalized = F.lower(
+        F.regexp_replace(F.trim(F.col("text")), f"[{WS_CLASS}]+", " ")
+    )
     return documents.select(
         "doc_id", F.sha2(normalized, 256).alias("fp")
     )
@@ -121,7 +128,9 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     length_factor = F.least(
         F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)
     )
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    normalized = F.lower(
+        F.regexp_replace(F.trim(F.col("text")), f"[{WS_CLASS}]+", " ")
+    )
     return documents.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -351,9 +360,10 @@ def line_signals(
     def nwords(line: Column) -> Column:
         # whitespace RUNS (tabs included — a tab-separated line is
         # multi-word), empties dropped: same tokenizer class as
-        # pipeline.tokens, scoped to the line
+        # pipeline.tokens, scoped to the line (no trim needed — edge
+        # whitespace just yields "" tokens that array_remove drops)
         return F.size(
-            F.array_remove(F.split(F.trim(line), "[ \\t\\x0B\\f\\r]+"), "")
+            F.array_remove(F.split(line, "[ \\t\\x0B\\f\\r]+"), "")
         )
 
     # terminal punctuation, optionally followed by a closing quote /
