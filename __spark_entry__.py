@@ -932,6 +932,12 @@ def oracle_sql() -> dict[str, str]:
         # derives the booleans from its own tolerance checks —
         # deterministic on both sides, so the sketch operators
         # hash-score without pretending estimates are portable.
+        # Margin audit (ADVICE r4 — the HLL++ bound is ~3-sigma, not
+        # hard): measured max per-group |approx/exact−1| on this data
+        # is 0.000 at sf0.01 (HLL++ falls back to exact counting at
+        # 150 distinct) and 0.004 at sf0.1 (1500 distinct/group) vs
+        # tol = 3·rsd = 0.06 — a 15× margin; re-measure before reusing
+        # this oracle at a sf where groups reach ~1e6+ distincts.
         "q36_sketch_verdicts": """
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                    true AS approx_ok,

@@ -149,3 +149,97 @@ def test_cosine_topk_batch_matches_single_query(planted):
 
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def _vec_df(spark, rows):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_srp_lsh_dim_guard(spark):
+    """VERDICT r4 #1: a corpus whose embedding width doesn't match the
+    hyperplane dim must FAIL LOUDLY, not silently collapse every vector
+    into one bucket (degenerating LSH into the all-pairs join)."""
+    from timeseries_data_provider_spark.operators import similarity
+
+    rng = random.Random(7)
+    d3 = _vec_df(
+        spark,
+        [(i, [float(rng.gauss(0, 1)) for _ in range(3)]) for i in range(20)]
+        + [(1000, None)][:0],
+    )
+
+    # explicit dim=64 over dim-3 vectors: the plan-embedded assert
+    # trips at action time with the operator's name in the message
+    with pytest.raises(Exception, match="srp_lsh_neardup.*dim"):
+        similarity.srp_lsh_neardup(d3, threshold=0.9, dim=64).collect()
+
+    # derive path (dim=None): works on a non-64 corpus — a planted
+    # exact duplicate is found
+    dup = d3.union(
+        _vec_df(
+            spark,
+            [
+                (
+                    2000,
+                    [float(x) for x in d3.filter("vec_id = 0").first()[
+                        "embedding"
+                    ]],
+                )
+            ],
+        )
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.srp_lsh_neardup(dup, threshold=0.99).collect()
+    }
+    assert (0, 2000) in pairs
+
+    # mixed-width corpus: derive picks the first row's width, the
+    # stray row still fails the job
+    mixed = d3.union(
+        _vec_df(spark, [(3000, [float(rng.gauss(0, 1)) for _ in range(5)])])
+    )
+    with pytest.raises(Exception, match="srp_lsh_neardup.*vec_id 3000"):
+        similarity.srp_lsh_neardup(mixed, threshold=0.9).collect()
+
+
+def test_ivf_layout_rejects_mismatched_query(spark, tmp_path, planted):
+    """The layout probe must refuse a query vector whose width doesn't
+    match the stored centroids (it would rank every centroid by NULL
+    and probe arbitrary partitions)."""
+    from timeseries_data_provider_spark.operators import similarity
+
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_layout(planted, path, num_centroids=4)
+    with pytest.raises(ValueError, match="dim 3 .*dim-64"):
+        similarity.ivf_topk_from_layout(
+            spark, path, query_vec=[1.0, 2.0, 3.0], k=5, nprobe=2
+        )
+    # matching width still works
+    q = planted.filter("vec_id = 0").first()["embedding"]
+    got = similarity.ivf_topk_from_layout(
+        spark, path, query_vec=[float(x) for x in q], k=5, nprobe=4
+    )
+    assert got.count() == 5
+
+
+def test_embedding_dim_empty_raises(spark):
+    from timeseries_data_provider_spark.operators import similarity
+
+    empty = _vec_df(spark, [])
+    with pytest.raises(ValueError, match="empty"):
+        similarity.embedding_dim(empty)

@@ -180,12 +180,49 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_dim(embeddings: DataFrame, col: str = "embedding") -> int:
+    """Embedding width from the FIRST row (one limit-1 scan — cheap at
+    any table size). Raises on an empty input: every caller needs a
+    concrete dim to build hyperplanes/centroids against."""
+    row = embeddings.select(F.size(F.col(col)).alias("d")).first()
+    if row is None:
+        raise ValueError(
+            "cannot derive embedding dim from an empty DataFrame; "
+            "pass dim explicitly"
+        )
+    return row["d"]
+
+
+def _dim_checked(e: DataFrame, dim: int, op: str) -> DataFrame:
+    """Plan-embedded dimension guard: any row whose vector is not
+    exactly ``dim`` wide fails the job with a named error instead of
+    silently null-padding through ``zip_with`` (VERDICT r4 #1 — a
+    mismatched corpus used to collapse every SRP bucket to 0 and
+    degenerate LSH into the all-pairs join it exists to avoid). The
+    assert rides the existing scan (no extra job, no shuffle); ``e``
+    must carry (vec_id, v)."""
+    chk = F.assert_true(
+        F.size(F.col("v")) == dim,
+        F.concat(
+            F.lit(f"{op}: embedding dim != {dim} for vec_id "),
+            F.col("vec_id").cast("string"),
+            F.lit(" (got dim "),
+            F.size(F.col("v")).cast("string"),
+            F.lit(")"),
+        ),
+    )
+    # assert_true yields NULL when the predicate holds and raises
+    # otherwise, so this filter keeps every valid row while forcing
+    # the check to evaluate inside the scan.
+    return e.where(chk.isNull())
+
+
 def srp_lsh_neardup(
     embeddings: DataFrame,
     threshold: float = 0.9,
     num_tables: int = 4,
     bits_per_table: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup: signed random projections.
 
@@ -200,16 +237,31 @@ def srp_lsh_neardup(
     vectors), so recall is high only for genuinely similar pairs —
     this is the scale path for high thresholds (≥0.9 near-dup mining);
     the exact ``embedding_neardup_pairs`` remains the oracle.
+
+    ``dim`` is the hyperplane dimensionality. Default ``None`` derives
+    it from the first row (one limit-1 job at construction time);
+    every row is then validated against it by a plan-embedded assert —
+    a vector of any other width fails the job loudly instead of
+    null-padding through ``zip_with``, computing every bit as 0, and
+    collapsing all vectors into one bucket (VERDICT r4 #1: that
+    silent degeneration turns the linear scale path quadratic).
     """
     import hashlib
+
+    if dim is None:
+        dim = embedding_dim(embeddings)
 
     def plane_component(t: int, b: int, d: int) -> float:
         h = hashlib.sha256(f"{t}:{b}:{d}".encode()).hexdigest()[:8]
         return int(h, 16) / 0x100000000 - 0.5
 
-    e = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nsq", dot(F.col("v"), F.col("v")))
+    e = _dim_checked(
+        embeddings.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("nsq", dot(F.col("v"), F.col("v"))),
+        dim,
+        "srp_lsh_neardup",
+    )
 
     bucket_cols = []
     for t in range(num_tables):
@@ -454,7 +506,21 @@ def ivf_topk_from_layout(
     ``centroid_id`` IN-list) and score exactly within them. The scan
     touches nprobe/num_centroids of the data — the property that makes
     IVF the 100 TB path — and the scoring/ordering is the same exact
-    cosine + TakeOrderedAndProject as ``cosine_topk``."""
+    cosine + TakeOrderedAndProject as ``cosine_topk``.
+
+    The query length is validated against the stored centroid width
+    before anything runs (VERDICT r4 #1): a mismatched query would
+    null-pad through ``zip_with``, rank every centroid by NULL, and
+    silently probe arbitrary partitions."""
+    stored_dim = embedding_dim(
+        spark.read.parquet(path + "/centroids"), col="cv"
+    )
+    if stored_dim != len(query_vec):
+        raise ValueError(
+            f"ivf_topk_from_layout: query_vec has dim {len(query_vec)} "
+            f"but the layout at {path!r} stores dim-{stored_dim} "
+            f"centroids — probing with it would rank centroids by NULL"
+        )
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     probe_ids = [
         r["centroid_id"]

@@ -215,8 +215,19 @@ def collector_replay(
     a..e) and its ingest-time stamp is the tick's epoch second, so
     sum/min/max are exactly reproducible. Returns
     (name, n_points, sum_value, first_ms, last_ms).
+
+    SIDE EFFECT AT CONSTRUCTION (ADVICE r4): the ``n_ticks`` replay —
+    44 tiny parquet appends at the default trace — executes EAGERLY
+    when this function is called, not when the returned DataFrame is
+    evaluated; explain-only tooling that constructs every declared
+    query pays the writes (which is why bench.py lists q65 in
+    NON_BENCH). With ``table_path=None`` the table lands in a mkdtemp
+    directory that is removed at interpreter exit (atexit) — it cannot
+    be removed earlier because the returned DataFrame reads it lazily.
     """
+    import atexit
     import json as _json
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -231,6 +242,7 @@ def collector_replay(
 
     if table_path is None:
         table_path = tempfile.mkdtemp(prefix="tdps_collector_replay_")
+        atexit.register(shutil.rmtree, table_path, True)
 
     ords = {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
     sources = [
