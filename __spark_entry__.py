@@ -229,7 +229,14 @@ def q25_lang_guess(spark, sf):  # kept for bench/pytest; folded into q18
 
 
 def q28_ngram_jaccard(spark, sf):
-    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.3)
+    # max_df=None: the declared query must stay bit-identical to the
+    # exact all-shingles DuckDB oracle; the library DEFAULT is the
+    # capped candidate join (max_df=1000 — the 64x-skew stress row in
+    # BASELINE.md §C measured the uncapped form 15x slower on one hot
+    # shingle with zero recall gain).
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.3, max_df=None
+    )
 
 
 def q29_minhash_lsh(spark, sf):
@@ -357,7 +364,11 @@ def q48_lttb(spark, sf):
 def q49_dedup_clusters(spark, sf):
     # Iterative distributed connected components over the near-dup
     # graph; oracle = DuckDB recursive-CTE transitive closure.
-    return dedup.neardup_clusters(_t(spark, sf, "documents"), n=3, threshold=0.3)
+    # max_df=None: oracle-exact uncapped pair generation (the library
+    # default is the capped form — see q28 note).
+    return dedup.neardup_clusters(
+        _t(spark, sf, "documents"), n=3, threshold=0.3, max_df=None
+    )
 
 
 def q50_stratified_sample(spark, sf):

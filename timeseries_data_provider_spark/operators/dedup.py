@@ -147,7 +147,7 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.3,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
@@ -162,6 +162,17 @@ def ngram_jaccard_pairs(
     generated only from shingles with df <= max_df, while the Jaccard
     itself is still computed over the FULL shingle sets, so results are
     unchanged for every pair that shares at least one sub-cap shingle.
+
+    The cap IS the default (VERDICT r4 #2): the 64×-skew stress row
+    (BASELINE.md §C, tools/stress_hot_shingle.py) measured the uncapped
+    join 15× slower when a single boilerplate sentence is shared
+    corpus-wide, with ZERO recall loss from capping at near-dup
+    thresholds — a library caller at scale should not need to know
+    that. ``max_df=None`` opts out (the declared oracle queries do,
+    to stay bit-identical to the exact all-shingles oracle: a pair
+    whose entire overlap is super-cap boilerplate is dropped by the
+    capped form, which is the desired behavior at scale but not the
+    oracle's).
     """
     # Materialize the exploded shingles once: the frame feeds BOTH sides
     # of the self-join plus the per-doc counts (3 consumers), and
@@ -365,12 +376,20 @@ def connected_components(
 
 
 def neardup_clusters(
-    documents: DataFrame, n: int = 3, threshold: float = 0.3
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """End-to-end near-dup clustering: exact n-gram Jaccard pairs →
     connected components → (doc_id, cluster_id). The downstream keep
-    rule is then 'keep cluster_id' (the minimum doc id per cluster)."""
-    return connected_components(ngram_jaccard_pairs(documents, n, threshold))
+    rule is then 'keep cluster_id' (the minimum doc id per cluster).
+    ``max_df`` defaults to the hot-shingle candidate cap (see
+    ``ngram_jaccard_pairs`` — pass ``None`` for the oracle-exact
+    uncapped form)."""
+    return connected_components(
+        ngram_jaccard_pairs(documents, n, threshold, max_df=max_df)
+    )
 
 
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -41,6 +41,14 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 qs = entry.queries()
 oracles = entry.oracle_sql()
 
+# TDPS_DRIVE_ONLY=q28,q49 restricts the run to matching query names
+# (prefix match) — targeted re-verification while iterating; the full
+# run remains the default and the real gate.
+only = os.environ.get("TDPS_DRIVE_ONLY")
+if only:
+    prefixes = tuple(p.strip() for p in only.split(",") if p.strip())
+    qs = {k: v for k, v in qs.items() if k.startswith(prefixes)}
+
 
 def canon(df):
     df = df[sorted(df.columns)].copy()
