@@ -478,14 +478,74 @@ def q63_media_decode(spark, sf):
     )
 
 
+def _planted_page(doc_id):
+    """Deterministic multi-line 'web page' derived from doc_id — the
+    C4/PII probe input (the real corpus is single-line and digit-free,
+    so line-level cleaning and PII redaction would run vacuously on
+    it; same planted-input pattern as q62's planted duplicates). Which
+    lines appear is closed-form doc_id modulus math, so the DuckDB
+    oracle recomputes every line_signals fraction, the C4 keep
+    verdict, and every per-kind PII count WITHOUT needing regex or
+    line-splitting in SQL. Line inventory (terminal? / short? / kill
+    flags / PII hits are all fixed per line):
+
+    - always:    "Spark rewrites the plan with care."  kept
+    - id%3==0:   email line (1 <EMAIL> hit)            kept
+    - id%4==0:   phone line (1 <PHONE> hit)            kept
+    - id%5==0:   IP line (1 <IP> hit)                  kept
+    - id%7==0:   card line (1 <CARD> hit)              kept
+    - id%2==1:   "no end" — 2 words, no terminal       dropped+short
+    - id%11==0:  code line with curly braces           dropped, kill
+    - id%13==0:  "Lorem ipsum ..."                     kept, kill
+    - id%17==0:  "Enable javascript ..."               kept, kill
+    """
+    lines = [
+        (doc_id % 3 == 0, "Write to bob@example.com today."),
+        (doc_id % 4 == 0, "Call 555 123-4567 now."),
+        (doc_id % 5 == 0, "Ping 10.0.0.1 quickly."),
+        (doc_id % 7 == 0, "Pay 4111 1111 1111 1111 fast."),
+        (doc_id % 2 == 1, "no end"),
+        (doc_id % 11 == 0, "function() { var x = 1; }"),
+        (doc_id % 13 == 0, "Lorem ipsum dolor sit amet."),
+        (doc_id % 17 == 0, "Enable javascript to view this page."),
+    ]
+    # concat_ws skips NULLs, so absent lines vanish cleanly
+    return F.concat_ws(
+        "\n",
+        F.lit("Spark rewrites the plan with care."),
+        *[F.when(cond, F.lit(s)) for cond, s in lines],
+    )
+
+
 def q64_corpus_signals(spark, sf):
     """Corpus-construction signals, one row per document: Gopher-style
     repetition quality stats (duplicate-word fraction, top-bigram
     coverage, longest word run — text.repetition_signals, a zero-shuffle
     row-side fold) joined with the deterministic md5-threshold
-    train/val/test assignment (pipeline.hash_split)."""
+    train/val/test assignment (pipeline.hash_split), PLUS (r5, VERDICT
+    r4 item 4) the C4 line-level cleaning signals + page-keep verdict
+    (text.line_signals / c4_keep_expr) and the per-kind PII redaction
+    counts (text.redact_pii) computed over a planted multi-line page
+    derived from doc_id (``_planted_page`` — closed-form, so the
+    oracle recomputes every value without SQL regex). This upgrades
+    both round-4 components from pytest-only to driver-scored."""
     d = _t(spark, sf, "documents")
-    return text.repetition_signals(d).join(pipeline.hash_split(d), "doc_id")
+    base = text.repetition_signals(d).join(pipeline.hash_split(d), "doc_id")
+    planted = d.select("doc_id", _planted_page(F.col("doc_id")).alias("text"))
+    sig = text.line_signals(planted).select(
+        "doc_id",
+        "n_lines",
+        "kept_line_frac",
+        "frac_lines_short",
+        "has_curly_brace",
+        "has_lorem_ipsum",
+        "has_javascript",
+        text.c4_keep_expr().alias("c4_keep"),
+    )
+    pii = text.redact_pii(planted).select(
+        "doc_id", "n_email", "n_card", "n_ip", "n_phone"
+    )
+    return base.join(sig, "doc_id").join(pii, "doc_id")
 
 
 def q65_collector_replay(spark, sf):
@@ -1373,9 +1433,34 @@ def oracle_sql() -> dict[str, str]:
         # set-theoretic way (group-by count max) — identical integers.
         # Split thresholds are lexicographic on md5 hex: 0.90 * 16^8 =
         # 0xe6666666, 0.95 * 16^8 = 0xf3333333.
+        # C4/PII columns (r5): the Spark side runs the REAL operators
+        # (line_signals / c4_keep_expr / redact_pii — line splitting,
+        # terminal-punctuation regex, JVM PII regexes) over the planted
+        # page _planted_page(doc_id); the oracle recomputes each value
+        # from the page's closed-form line inventory: which lines are
+        # present is pure doc_id modulus math, and each line's
+        # kept/short/kill/PII contribution is a constant of the line.
         "q64_corpus_signals": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), plant AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS m3,
+                     CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS m4,
+                     CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS m5,
+                     CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS m7,
+                     CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS modd,
+                     CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS m11,
+                     CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS m13,
+                     CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS m17
+              FROM documents
+            ), page AS (
+              SELECT doc_id, m3, m4, m5, m7, modd, m11, m13, m17,
+                     1 + m3 + m4 + m5 + m7 + modd + m11 + m13 + m17
+                       AS n_lines,
+                     1 + m3 + m4 + m5 + m7 + m13 + m17 AS n_kept,
+                     modd AS n_short
+              FROM plant
             ), words AS (
               SELECT doc_id, unnest(ws) AS word,
                      unnest(range(1, len(ws) + 1)) AS pos
@@ -1411,8 +1496,24 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666' THEN 'train'
                         WHEN substring(md5(CAST(w.doc_id AS VARCHAR)), 1, 8)
                              < 'f3333333' THEN 'val'
-                        ELSE 'test' END AS split
+                        ELSE 'test' END AS split,
+                   CAST(p.n_lines AS BIGINT) AS n_lines,
+                   ROUND(p.n_kept::DOUBLE / p.n_lines, 6)
+                     AS kept_line_frac,
+                   ROUND(p.n_short::DOUBLE / p.n_lines, 6)
+                     AS frac_lines_short,
+                   p.m11 = 1 AS has_curly_brace,
+                   p.m13 = 1 AS has_lorem_ipsum,
+                   p.m17 = 1 AS has_javascript,
+                   (p.m11 = 0 AND p.m13 = 0 AND p.m17 = 0
+                    AND p.n_kept::DOUBLE / p.n_lines >= 0.5
+                    AND p.n_short::DOUBLE / p.n_lines <= 0.5) AS c4_keep,
+                   CAST(p.m3 AS BIGINT) AS n_email,
+                   CAST(p.m7 AS BIGINT) AS n_card,
+                   CAST(p.m5 AS BIGINT) AS n_ip,
+                   CAST(p.m4 AS BIGINT) AS n_phone
             FROM w
+            JOIN page p USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)
             LEFT JOIN runs r USING (doc_id)
         """,

@@ -398,6 +398,25 @@ def line_signals(
     )
 
 
+def c4_keep_expr(
+    min_kept_line_frac: float = 0.5, max_short_frac: float = 0.5
+) -> Column:
+    """THE C4 page-level keep rule over ``line_signals`` columns:
+    no curly braces / "lorem ipsum" / "javascript", the line-keep rule
+    retains at least ``min_kept_line_frac`` of lines, and sub-3-word
+    lines stay under ``max_short_frac``. One shared expression used by
+    both ``c4_filter`` and verdict-emitting compositions (the q64
+    driver row), so the filter semantics and the scored semantics
+    cannot diverge — same pattern as aggregates._approx_ok."""
+    return (
+        ~F.col("has_curly_brace")
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_javascript")
+        & (F.col("kept_line_frac") >= min_kept_line_frac)
+        & (F.col("frac_lines_short") <= max_short_frac)
+    )
+
+
 def c4_filter(
     documents: DataFrame,
     min_kept_line_frac: float = 0.5,
@@ -405,23 +424,18 @@ def c4_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Apply the C4 page-level keep rule: drop documents containing
-    curly braces / "lorem ipsum" / "javascript", documents where the
-    line-keep rule retains less than ``min_kept_line_frac`` of lines,
-    and documents dominated by sub-3-word lines. Returns the surviving
-    (id, text) rows; composes with pipeline.curate's dedup stage. The
-    signals join is column-parallel (same row, no shuffle) so Catalyst
-    fuses the whole gate into the scan."""
+    """Apply the C4 page-level keep rule (``c4_keep_expr``): drop
+    documents containing curly braces / "lorem ipsum" / "javascript",
+    documents where the line-keep rule retains less than
+    ``min_kept_line_frac`` of lines, and documents dominated by
+    sub-3-word lines. Returns the surviving (id, text) rows; composes
+    with pipeline.curate's dedup stage. The signals join is
+    column-parallel (same row, no shuffle) so Catalyst fuses the whole
+    gate into the scan."""
     sig = line_signals(documents, text_col, id_col)
     return (
         documents.join(sig, id_col)
-        .filter(
-            ~F.col("has_curly_brace")
-            & ~F.col("has_lorem_ipsum")
-            & ~F.col("has_javascript")
-            & (F.col("kept_line_frac") >= min_kept_line_frac)
-            & (F.col("frac_lines_short") <= max_short_frac)
-        )
+        .filter(c4_keep_expr(min_kept_line_frac, max_short_frac))
         .select(id_col, text_col)
     )
 
