@@ -16,6 +16,63 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(int(x), int(y)) for x, y in edges], "doc_a long, doc_b long"
+    )
+
+
+def test_star_cc_matches_minlabel_on_random_graphs(spark):
+    """connected_components_star must produce identical labels to the
+    min-label formulation (same output contract, fewer rounds)."""
+    import random
+
+    rng = random.Random(1)
+    for _ in range(3):
+        edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(35)]
+        df = _pairs(spark, edges)
+        a = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.connected_components(
+                df, max_iterations=100
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.connected_components_star(df).collect()
+        )
+        assert a == b
+
+
+def test_star_cc_chain_diameter_50_converges_fast(spark):
+    """VERDICT r4 #5: the adversarial chain. Min-label propagation
+    needs diameter rounds (50 — trips its default 20-round cap); the
+    star formulation converges within 7 rounds (measured; cap pinned
+    at 8 so a regression to per-hop propagation fails loudly)."""
+    chain = _pairs(spark, [(i, i + 1) for i in range(50)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain).collect()
+    labels = dedup.connected_components_star(
+        chain, max_iterations=8
+    ).collect()
+    assert len(labels) == 51
+    assert all(r["cluster_id"] == 0 for r in labels)
+
+
+def test_star_cc_handles_self_pairs_and_empty(spark):
+    """Self-pairs label themselves (parity with connected_components);
+    an empty edge list yields an empty result, not an error."""
+    df = _pairs(spark, [(7, 7), (1, 2)])
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_star(df).collect()
+    )
+    assert got == [(1, 1), (2, 1), (7, 7)]
+    assert dedup.connected_components_star(
+        _pairs(spark, [])
+    ).count() == 0
+
+
 def test_hot_shingle_cap_is_the_default(spark):
     """VERDICT r4 #2: library callers at scale take the default, and
     the default must be the capped candidate join (the 64x stress row
