@@ -339,17 +339,18 @@ def seed_centroids(
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame, num_centroids: int = 16
+def assign_to_centroids(
+    embeddings: DataFrame, centroids: DataFrame
 ) -> DataFrame:
-    """Assign every vector to its nearest seed centroid
-    (``seed_centroids``). Broadcast the tiny centroid set; one narrow
-    pass, no shuffle."""
-    cents = seed_centroids(embeddings, num_centroids)
+    """Assign every vector to its nearest centroid from an arbitrary
+    (centroid_id, cv) set — the k-means ASSIGNMENT step, shared by the
+    seed-based ``ivf_assign``, the Lloyd training loop, and the layout
+    writer. Broadcast the config-sized centroid set; one narrow pass,
+    no shuffle; ties break on centroid_id for determinism."""
     e = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    scored = e.join(F.broadcast(cents)).select(
+    scored = e.join(F.broadcast(centroids)).select(
         "vec_id",
         "centroid_id",
         cosine(F.col("v"), F.col("cv")).alias("cs"),
@@ -364,6 +365,79 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id")
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame, num_centroids: int = 16
+) -> DataFrame:
+    """Assign every vector to its nearest seed centroid
+    (``seed_centroids``). Broadcast the tiny centroid set; one narrow
+    pass, no shuffle."""
+    return assign_to_centroids(
+        embeddings, seed_centroids(embeddings, num_centroids)
+    )
+
+
+def _mean_centroids(embeddings: DataFrame, assign: DataFrame) -> DataFrame:
+    """k-means UPDATE step against an assignment: per-centroid
+    per-dimension exact mean (the ``label_centroids`` plan shape —
+    posexplode → one hash aggregate whose shuffle carries
+    num_centroids × dim tiny rows regardless of corpus size), then the
+    long-form means reassemble into (centroid_id, cv) arrays via a
+    dim-sorted collect. DECIMAL-exact sums keep the trained centroids
+    bit-stable across partitionings."""
+    from timeseries_data_provider_spark.functions.numeric import stable_avg
+
+    means = (
+        embeddings.join(assign, "vec_id")
+        .select(
+            "centroid_id",
+            F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(stable_avg(F.col("x"), "m"))
+    )
+    return means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 5,
+) -> DataFrame:
+    """Train IVF centroids with distributed Lloyd's iterations
+    (VERDICT r4 #6 — replaces the lowest-id seed rule for the
+    materialized layout with a real k-means): seed with
+    ``seed_centroids`` (deterministic), then alternate the assignment
+    step (``assign_to_centroids`` — broadcast, narrow) and the update
+    step (``_mean_centroids`` — one hash aggregate) ``iterations``
+    times. A centroid that loses all its vectors keeps its previous
+    position (left-join coalesce) so k never silently shrinks. The
+    centroid set is localCheckpoint-ed per iteration: it is
+    config-sized, and cutting lineage keeps the loop's plans flat.
+
+    Returns (centroid_id, cv) ready for ``write_ivf_layout``'s
+    ``centroids=`` parameter."""
+    e = embeddings.select("vec_id", "embedding")
+    cents = seed_centroids(e, num_centroids).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assign = assign_to_centroids(e, cents)
+        updated = _mean_centroids(e, assign)
+        cents = (
+            cents.select("centroid_id", F.col("cv").alias("__old_cv"))
+            .join(updated, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("cv"), F.col("__old_cv")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
 
 
 def ivf_topk(
@@ -470,7 +544,10 @@ def cosine_topk_batch(
 
 
 def write_ivf_layout(
-    embeddings: DataFrame, path: str, num_centroids: int = 16
+    embeddings: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index as a physical layout: vectors written
     to ``<path>/data`` PARTITIONED BY their assigned centroid_id, the
@@ -478,18 +555,27 @@ def write_ivf_layout(
     the ``ivf_topk`` docstring assumes at scale — after it, a probe is
     a partition-pruned read of nprobe/num_centroids of the table
     (``ivf_topk_from_layout``; pruning pinned in tests/test_layout.py)
-    instead of a full scan plus a runtime assignment join."""
-    assign = ivf_assign(embeddings, num_centroids)
+    instead of a full scan plus a runtime assignment join.
+
+    ``centroids``: a trained (centroid_id, cv) set — normally from
+    ``train_ivf_centroids`` — used for both the data partitioning and
+    the stored ``/centroids`` table; default is the deterministic
+    ``seed_centroids`` rule. Either way ONE frozen frame
+    (localCheckpoint) drives both writes, so the stored set can never
+    desynchronize from what partitioned the data."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(embeddings, num_centroids)
+    ).localCheckpoint(eager=True)
+    assign = assign_to_centroids(embeddings, cents)
     (
         embeddings.join(assign, "vec_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path + "/data")
     )
-    # the SAME seeding rule ivf_assign partitioned by — one definition
-    seed_centroids(embeddings, num_centroids).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path + "/centroids")
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
 
 
 def ivf_topk_from_layout(
