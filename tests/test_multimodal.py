@@ -258,3 +258,139 @@ def test_audio_features_hand_checked(spark):
     assert row["rms_milli"] == math.isqrt(
         (1_000_000 * sum(x * x for x in s)) // n
     )
+
+
+# --- codec plug-in contract (VERDICT r4 #7) --------------------------------
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+FLAC_MAGIC = b"fLaC"
+
+
+def _stub_jpeg_decode(payload: bytes) -> dict:
+    """Deterministic fake 'JPEG' codec: 2x3 grid from the payload tail
+    bytes — stands in for PIL/libjpeg with a verifiable output."""
+    body = payload[len(JPEG_MAGIC):]
+    px = np.frombuffer(body[:6], np.uint8).astype(np.int64).reshape(2, 3)
+    return {"format": "jpeg", "width": 3, "height": 2, "pixels": px}
+
+
+def _stub_flac_decode(payload: bytes) -> dict:
+    body = payload[len(FLAC_MAGIC):]
+    return {
+        "format": "flac",
+        "sample_rate": 8000,
+        "channels": 1,
+        "samples": np.frombuffer(body, np.int8).astype(np.int16),
+    }
+
+
+def _register_stub_codecs() -> None:
+    """Worker-side setup hook (picklable module-level function)."""
+    mm.register_image_codec(JPEG_MAGIC, _stub_jpeg_decode)
+    mm.register_audio_codec(FLAC_MAGIC, _stub_flac_decode)
+
+
+def _unregister_stub_codecs() -> None:
+    mm.IMAGE_CODECS.pop(JPEG_MAGIC, None)
+    mm.AUDIO_CODECS.pop(FLAC_MAGIC, None)
+
+
+def test_codec_registry_dispatch_and_validation():
+    payload = JPEG_MAGIC + bytes([10, 20, 30, 40, 50, 60])
+    try:
+        _register_stub_codecs()
+        img = mm.decode_image(payload)
+        assert img["format"] == "jpeg"
+        assert img["pixels"].sum() == 210
+
+        au = mm.decode_audio(FLAC_MAGIC + bytes([1, 2, 3]))
+        assert au["format"] == "flac" and au["samples"].tolist() == [1, 2, 3]
+        assert mm.is_audio_payload(FLAC_MAGIC + b"x")
+
+        # contract violations fail loudly, naming the missing key
+        mm.register_image_codec(b"\x01BAD", lambda p: {"format": "bad"})
+        with pytest.raises(ValueError, match="missing keys.*height"):
+            mm.decode_image(b"\x01BAD....")
+        # shape mismatch is caught too
+        mm.register_image_codec(
+            b"\x02BAD",
+            lambda p: {
+                "format": "bad2",
+                "width": 9,
+                "height": 9,
+                "pixels": np.zeros((2, 3), np.uint8),
+            },
+        )
+        with pytest.raises(ValueError, match="shape"):
+            mm.decode_image(b"\x02BAD....")
+        with pytest.raises(ValueError, match="non-empty bytes"):
+            mm.register_image_codec("jpeg", _stub_jpeg_decode)
+    finally:
+        _unregister_stub_codecs()
+        mm.IMAGE_CODECS.pop(b"\x01BAD", None)
+        mm.IMAGE_CODECS.pop(b"\x02BAD", None)
+    # after unregistration the plug-in point raises again
+    with pytest.raises(NotImplementedError, match="register_image_codec"):
+        mm.decode_image(payload)
+
+
+def test_codec_plugin_through_spark_workers(spark):
+    """The real distribution test: decode happens in mapInPandas Python
+    workers, where a driver-side registration is invisible — the
+    codec_setup hook must install the codecs in the worker process."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    rows = [
+        (1, JPEG_MAGIC + bytes([10, 20, 30, 40, 50, 61])),
+        (2, FLAC_MAGIC + bytes([3, 4, 5])),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    # without the setup hook the worker has no codec -> job fails
+    with pytest.raises(Exception, match="register_image_codec|NotImplemented"):
+        mm.media_features(df).collect()
+
+    # nested defs: cloudpickle ships them BY VALUE with the closure —
+    # a module-level function of this test file pickles by reference
+    # and the worker cannot import it (that's the failure mode the
+    # codec_setup contract exists to solve)
+    def stub_jpeg(payload: bytes) -> dict:
+        body = payload[3:]
+        px = (
+            np.frombuffer(body[:6], np.uint8).astype(np.int64).reshape(2, 3)
+        )
+        return {"format": "jpeg", "width": 3, "height": 2, "pixels": px}
+
+    def stub_flac(payload: bytes) -> dict:
+        return {
+            "format": "flac",
+            "sample_rate": 8000,
+            "channels": 1,
+            "samples": np.frombuffer(payload[4:], np.int8).astype(np.int16),
+        }
+
+    def setup() -> None:
+        mm.register_image_codec(b"\xff\xd8\xff", stub_jpeg)
+        mm.register_audio_codec(b"fLaC", stub_flac)
+
+    out = (
+        mm.media_features(df, codec_setup=setup)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    jpeg = out.loc[1]
+    assert jpeg["kind"] == "jpeg"
+    assert (jpeg["width"], jpeg["height"]) == (3, 2)
+    assert jpeg["feat_milli"] == (1000 * (10 + 20 + 30 + 40 + 50 + 61)) // 6
+    flac = out.loc[2]
+    assert flac["kind"] == "flac"
+    assert flac["n_samples"] == 3
+    assert flac["feat_milli"] == (1000 * (9 + 16 + 25)) // 3

