@@ -185,3 +185,64 @@ def test_simhash_quarters_portable_and_partition_invariant(spark):
     assert all(
         0 <= q <= 0xFFFF for quads in a.values() for q in quads
     ), "quarters must be 16-bit"
+
+
+def test_minhash_lsh_incremental_planted(spark):
+    from timeseries_data_provider_spark import tables
+    from tests.conftest import SF_SMOKE
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh = docs.filter(F.col("doc_id") % 2 == 1)
+    # plant: copies of corpus docs under fresh ids (+1e6), and one
+    # within-batch duplicate pair (+2e6 / +3e6 of the same corpus text)
+    dup_src = corpus.filter(F.col("doc_id") % 10 == 0)
+    dup_of_corpus = dup_src.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    twin_a = dup_src.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000)
+    )
+    twin_b = dup_src.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(3_000_000)
+    )
+    batch = fresh.unionByName(dup_of_corpus).unionByName(twin_a).unionByName(
+        twin_b
+    )
+
+    signatures = dedup.minhash_signatures(corpus)
+    pairs, new_sig = dedup.minhash_lsh_incremental(batch, signatures)
+    got = pairs.collect()
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    # doc_b is always a new doc: the corpus is never self-joined
+    assert all(r["doc_b"] in batch_ids for r in got)
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in got}
+
+    # every planted corpus-copy found against its source, est = 1.0
+    for r in dup_src.select("doc_id").collect():
+        src, cpy = r["doc_id"], r["doc_id"] + 1_000_000
+        assert (src, cpy) in by_pair, f"missed corpus dup {src}->{cpy}"
+        assert by_pair[(src, cpy)]["est_jaccard"] == 1.0
+        assert by_pair[(src, cpy)]["source"] == "corpus"
+
+    # the within-batch twin pair is found and tagged 'batch'
+    twin_ids = sorted(
+        r["doc_id"]
+        for r in twin_a.unionByName(twin_b).select("doc_id").collect()
+    )
+    tp = (twin_ids[0], twin_ids[1])
+    assert tp in by_pair and by_pair[tp]["source"] == "batch"
+    assert by_pair[tp]["est_jaccard"] == 1.0
+
+    # new_signatures covers exactly the shingled batch docs — the
+    # append-to-index maintenance set
+    assert {r["doc_id"] for r in new_sig.select("doc_id").collect()} <= batch_ids
+
+    # deterministic: a second run returns the identical pair set
+    pairs2, _ = dedup.minhash_lsh_incremental(
+        batch.repartition(5), signatures
+    )
+    assert sorted((r["doc_a"], r["doc_b"]) for r in got) == sorted(
+        (r["doc_a"], r["doc_b"]) for r in pairs2.collect()
+    )

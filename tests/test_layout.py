@@ -167,3 +167,63 @@ def test_ivf_layout_probe_is_partition_pruned(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import glob
+
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import pipeline
+    from tests.conftest import SF_SMOKE
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "shards")
+    n_shards = 8
+    manifest = pipeline.write_training_shards(docs, path, n_shards=n_shards)
+
+    data = spark.read.parquet(path + "/data")
+    # lossless: every row lands exactly once
+    assert data.count() == docs.count()
+    assert (
+        data.select("doc_id").distinct().count()
+        == docs.select("doc_id").distinct().count()
+    )
+    # membership is the pure id function, independent of input layout
+    mismatch = data.filter(
+        F.col("shard") != pipeline.shard_assignment("doc_id", n_shards)
+    ).count()
+    assert mismatch == 0
+    # exactly one data file per non-empty shard directory
+    for d in glob.glob(path + "/data/shard=*"):
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1, f"{d}: {files}"
+    # manifest counts what actually landed
+    m = {r["shard"]: r["rows"] for r in manifest.collect()}
+    actual = {
+        r["shard"]: r["n"]
+        for r in data.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert m == actual and sum(m.values()) == docs.count()
+    # a shard-filtered read is partition-pruned, not a full scan
+    probe = spark.read.parquet(path + "/data").filter(F.col("shard") == 3)
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "shard" in plan
+
+    # re-run writes the identical membership (deterministic layout)
+    path2 = str(tmp_path / "shards2")
+    pipeline.write_training_shards(
+        docs.repartition(13), path2, n_shards=n_shards
+    )
+    a = sorted(
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(path + "/data")
+        .select("doc_id", "shard")
+        .collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(path2 + "/data")
+        .select("doc_id", "shard")
+        .collect()
+    )
+    assert a == b

@@ -228,6 +228,123 @@ def minhash_signatures(
     return ex.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """Explode a MinHash signature table (doc_id, h0..h{n-1}) into LSH
+    band rows (doc_id, band, bh) with bh = xxhash64 over the band's r =
+    num_hashes/bands components. These rows ARE the persistent LSH
+    index of a corpus: equal (band, bh) ⇒ candidate pair. Derived
+    either inline (``minhash_lsh_pairs``) or from a stored signature
+    table (``minhash_lsh_incremental`` — the corpus text itself is
+    never needed again)."""
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{bi * r + k}") for k in range(r)]
+                ).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    min_est: float = 0.3,
+    max_df: int | None = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: dedup a NEW batch against an
+    already-deduped corpus using only the corpus's persisted MinHash
+    ``signatures`` table (doc_id, h0..h{num_hashes-1}, from
+    ``minhash_signatures``) — the shape for a growing 100 TB corpus
+    where re-shingling (or even re-reading) petabytes of settled text
+    per arriving batch is a non-starter. Corpus-side cost is one scan
+    of the signature table (num_hashes longs/doc, ~1000× smaller than
+    text); batch-side cost is the normal shingle+sign pass over the
+    new docs only.
+
+    Candidates = band-bucket equi-joins (new×corpus and new×new,
+    never corpus×corpus — settled pairs were handled when they were
+    new). Because the old text may be archived, verification uses the
+    standard unbiased MinHash estimate — the fraction of agreeing
+    signature components — instead of exact Jaccard: identical docs
+    agree on every component (est = 1.0) regardless of permutation,
+    and E[est] = J. Doc-id spaces must be disjoint (new ids not in the
+    corpus); collisions would self-pair.
+
+    Returns (pairs, new_signatures): pairs = (doc_a, doc_b, est_jaccard,
+    source) with source ∈ {'corpus','batch'} and doc_b always the new
+    doc; new_signatures should be APPENDED to the signature table so
+    the next batch sees this one as corpus — the index maintenance
+    step. Extends SURVEY §2's MinHash family (``minhash_lsh_pairs``)
+    with the incremental-maintenance form."""
+    new_sig = minhash_signatures(
+        new_docs, num_hashes, n, max_df
+    ).localCheckpoint(eager=True)
+    new_banded = banded_signatures(new_sig, num_hashes, bands)
+    old_banded = banded_signatures(signatures, num_hashes, bands)
+
+    vs_corpus = (
+        old_banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+        .join(
+            new_banded.select(F.col("doc_id").alias("doc_b"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("doc_a", "doc_b", F.lit("corpus").alias("source"))
+    )
+    vs_batch = (
+        new_banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+        .join(
+            new_banded.select(F.col("doc_id").alias("doc_b"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit("batch").alias("source"))
+    )
+    cand = vs_corpus.unionByName(vs_batch).distinct()
+
+    all_sig = signatures.unionByName(new_sig)
+    sig_a = all_sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sig_b = new_sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    pairs = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias(
+                "est_jaccard"
+            ),
+            "source",
+        )
+        .filter(F.col("est_jaccard") >= min_est)
+    )
+    return pairs, new_sig
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     num_hashes: int = 16,
@@ -248,27 +365,11 @@ def minhash_lsh_pairs(
     hot shingles from the signatures only — verification still scores
     full shingle sets (module docstring, skew note).
     """
-    r = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, n, max_df)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{bi * r + k}") for k in range(r)]
-                ).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
-    )
     # Both sides of the candidate self-join read the banded signatures;
     # materialize once so the MinHash aggregation runs a single time.
-    banded = (
-        sig.select("doc_id", F.explode(band_structs).alias("b"))
-        .select(
-            "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-        )
-        .localCheckpoint(eager=True)
+    banded = banded_signatures(sig, num_hashes, bands).localCheckpoint(
+        eager=True
     )
 
     la = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")

