@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""64x-scale stress probes for the round-5 additions (BASELINE.md §C
+rows; same protocol as tools/stress_round4.py — assert the operator's
+correctness invariant, print one JSON line per variant).
+
+incr    minhash_lsh_incremental: 320k-doc settled corpus, 10k-doc new
+        batch with planted corpus-copies and one in-batch twin pair.
+        Measures (a) the one-time signature-index build, (b) the
+        per-batch incremental cost, and (c) what the incremental path
+        avoids: a full-corpus minhash_lsh_pairs re-dedup of the
+        combined 330k docs. Asserts every planted pair is found with
+        est_jaccard = 1.0 and the right source tag.
+shards  write_training_shards at 6.4M rows / 64 shards: one-shuffle
+        write, exactly one file per shard, manifest == what landed,
+        membership the pure id function.
+
+Usage: python tools/stress_round5.py [incr|shards ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from timeseries_data_provider_spark.operators import (  # noqa: E402
+    dedup,
+    pipeline,
+)
+from timeseries_data_provider_spark.session import get_spark  # noqa: E402
+
+WORK = os.environ.get("STRESS_WORK", "/tmp/tdps_stress_round5")
+N_CORPUS = int(os.environ.get("STRESS_N_CORPUS", 320_000))
+N_BATCH = int(os.environ.get("STRESS_N_BATCH", 10_000))
+WORDS_PER_DOC = 30
+DUP_MOD = 100  # every 100th batch doc is a copy of a corpus doc
+
+
+def _emit(probe: str, **kw) -> None:
+    print(json.dumps({"probe": probe, **kw}))
+
+
+def _unique_word_docs(spark, n_docs: int, id_offset: int = 0):
+    return (
+        spark.range(n_docs)
+        .select((F.col("id") + id_offset).alias("doc_id"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(WORDS_PER_DOC - 1)),
+                    lambda j: F.concat(
+                        F.lit("w"), F.col("doc_id"), F.lit("_"), j
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+
+
+def probe_incr(spark) -> None:
+    corpus_path = WORK + "/corpus.parquet"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        _unique_word_docs(spark, N_CORPUS).write.mode("overwrite").parquet(
+            corpus_path
+        )
+    corpus = spark.read.parquet(corpus_path)
+
+    # batch: fresh docs at ids >= 10M, plus every DUP_MOD-th one is a
+    # COPY of corpus doc (id - 10M) * DUP_MOD ... i.e. planted dups,
+    # plus one twin pair inside the batch itself.
+    fresh = _unique_word_docs(spark, N_BATCH, id_offset=10_000_000)
+    dup_src = corpus.filter(F.col("doc_id") % (N_CORPUS // (N_BATCH // DUP_MOD)) == 0)
+    n_planted = dup_src.count()
+    planted = dup_src.select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text"
+    )
+    twin = corpus.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"), "text"
+    )
+    twin2 = corpus.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + F.lit(31_000_000)).alias("doc_id"), "text"
+    )
+    batch_path = WORK + "/batch.parquet"
+    fresh.unionByName(planted).unionByName(twin).unionByName(
+        twin2
+    ).write.mode("overwrite").parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+
+    # one-time: build + persist the corpus signature index
+    t0 = time.perf_counter()
+    sig_path = WORK + "/signatures.parquet"
+    dedup.minhash_signatures(corpus, max_df=1000).write.mode(
+        "overwrite"
+    ).parquet(sig_path)
+    index_build_s = round(time.perf_counter() - t0, 2)
+    signatures = spark.read.parquet(sig_path)
+
+    # per-batch: incremental detection against the stored index
+    t0 = time.perf_counter()
+    pairs, _new_sig = dedup.minhash_lsh_incremental(batch, signatures)
+    got = pairs.collect()
+    incremental_s = round(time.perf_counter() - t0, 2)
+
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in got}
+    for r in dup_src.select("doc_id").collect():
+        key = (r["doc_id"], r["doc_id"] + 20_000_000)
+        assert key in by_pair, f"missed planted corpus dup {key}"
+        assert by_pair[key]["est_jaccard"] == 1.0
+        assert by_pair[key]["source"] == "corpus"
+    tk = (30_000_001, 31_000_001)
+    assert tk in by_pair and by_pair[tk]["source"] == "batch", tk
+
+    # what incremental avoids: full re-dedup of corpus+batch text
+    t0 = time.perf_counter()
+    full = dedup.minhash_lsh_pairs(
+        corpus.unionByName(batch), threshold=0.95, max_df=1000
+    ).count()
+    full_rededup_s = round(time.perf_counter() - t0, 2)
+
+    _emit(
+        "minhash_lsh_incremental",
+        corpus_docs=N_CORPUS,
+        batch_docs=N_BATCH + n_planted + 2,
+        planted_pairs=n_planted + 1,
+        index_build_s=index_build_s,
+        incremental_batch_s=incremental_s,
+        full_rededup_s=full_rededup_s,
+        full_pairs=full,
+    )
+
+
+def probe_shards(spark) -> None:
+    n_rows = 6_400_000
+    rows_path = WORK + "/rows.parquet"
+    if not os.path.exists(rows_path + "/_SUCCESS"):
+        (
+            spark.range(n_rows)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.md5(F.col("id").cast("string")).alias("text"),
+            )
+            .write.mode("overwrite")
+            .parquet(rows_path)
+        )
+    rows = spark.read.parquet(rows_path)
+    out = WORK + "/shards"
+    t0 = time.perf_counter()
+    manifest = pipeline.write_training_shards(rows, out, n_shards=64)
+    m = {r["shard"]: r["rows"] for r in manifest.collect()}
+    sec = round(time.perf_counter() - t0, 2)
+    assert sum(m.values()) == n_rows and len(m) == 64, (len(m), sum(m.values()))
+    for d in glob.glob(out + "/data/shard=*"):
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1, (d, len(files))
+    spread = max(m.values()) / (n_rows / 64)
+    _emit(
+        "write_training_shards",
+        rows=n_rows,
+        n_shards=64,
+        write_plus_manifest_s=sec,
+        max_shard_skew=round(spread, 4),
+        one_file_per_shard=True,
+    )
+
+
+PROBES = {"incr": probe_incr, "shards": probe_shards}
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(PROBES)
+    spark = get_spark("tdps-stress-round5")
+    for name in names:
+        PROBES[name](spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
