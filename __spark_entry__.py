@@ -254,12 +254,16 @@ def q30_simhash_pairs(spark, sf):
 
 def q31_ann_topk(spark, sf):
     """Brute-force exact cosine top-k + IVF-probed ANN top-k + BATCH
-    multi-query top-k (cosine_topk_batch, queries {0, 5}), union-
-    tagged. IVF returns the identical top-10 at every provided sf
-    (validated in tests), so both branches verify against the exact
-    oracle; the batch branch (VERDICT r4 missing #2 — previously
-    pytest-only) verifies against a per-query windowed-rank oracle,
-    whose query-0 group independently cross-checks the brute rows."""
+    multi-query top-k (cosine_topk_batch, queries {0, 5}) + int8
+    scalar-quantized retrieve-and-re-rank top-k (cosine_topk_sq8),
+    union-tagged. IVF returns the identical top-10 at every provided
+    sf (validated in tests), so both branches verify against the exact
+    oracle; the batch branch verifies against a per-query windowed-
+    rank oracle whose query-0 group independently cross-checks the
+    brute rows; the sq8 branch's oracle reproduces BOTH stages — the
+    floor-quantizer codes, the integer-dot candidate ranking (top
+    k·refine), and the exact re-rank — so a quantization-induced
+    candidate difference would hash-mismatch, not hide."""
     e = _t(spark, sf, "embeddings")
     brute = similarity.cosine_topk(e, query_vec_id=0, k=10).select(
         F.lit("brute").alias("algo"), "vec_id", "sim"
@@ -274,7 +278,10 @@ def q31_ann_topk(spark, sf):
         "vec_id",
         "sim",
     )
-    return brute.unionByName(ivf).unionByName(batch)
+    sq8 = similarity.cosine_topk_sq8(e, query_vec_id=0, k=10, refine=4).select(
+        F.lit("sq8").alias("algo"), "vec_id", "sim"
+    )
+    return brute.unionByName(ivf).unionByName(batch).unionByName(sq8)
 
 
 def q32_embedding_neardup(spark, sf):
@@ -1047,7 +1054,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, vec_id) AS rn
-              FROM bscored)
+              FROM bscored
+            ), sq AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))) AS am
+              FROM embeddings
+            ), codes AS (
+              SELECT vec_id,
+                     CASE WHEN am = 0 THEN list_transform(e, x -> 0.0)
+                          ELSE list_transform(
+                            e, x -> floor(x / (am / 127.0) + 0.5))
+                     END AS qc
+              FROM sq
+            ), qcode AS (
+              SELECT qc AS qa FROM codes WHERE vec_id = 0
+            ), scand AS (
+              SELECT c.vec_id
+              FROM codes c, qcode
+              WHERE c.vec_id <> 0
+                AND list_dot_product(c.qc, c.qc)
+                    * list_dot_product(qcode.qa, qcode.qa) > 0
+              ORDER BY list_dot_product(c.qc, qcode.qa)
+                       / sqrt(list_dot_product(c.qc, c.qc)
+                              * list_dot_product(qcode.qa, qcode.qa)) DESC,
+                       c.vec_id
+              LIMIT 40
+            ), sq8 AS (
+              SELECT e.vec_id,
+                     ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[])
+                                  * list_dot_product(q.qv, q.qv)), 6) AS sim
+              FROM embeddings e JOIN scand USING (vec_id), q
+              ORDER BY sim DESC, e.vec_id
+              LIMIT 10)
             SELECT 'brute' AS algo, vec_id, sim FROM topk
             UNION ALL
             SELECT 'ivf' AS algo, vec_id, sim FROM topk
@@ -1055,6 +1096,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'batch' || CAST(query_id AS VARCHAR) AS algo,
                    vec_id, sim
             FROM branked WHERE rn <= 10
+            UNION ALL
+            SELECT 'sq8' AS algo, vec_id, sim FROM sq8
         """,
         "q32_embedding_neardup": """
             WITH e AS (

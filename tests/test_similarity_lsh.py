@@ -301,3 +301,51 @@ def test_embedding_dim_empty_raises(spark):
     empty = _vec_df(spark, [])
     with pytest.raises(ValueError, match="empty"):
         similarity.embedding_dim(empty)
+
+
+def test_sq8_quantize_bounds_and_zero_guard(spark):
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, -2.0, 0.5, 4.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: must code to zeros
+        (2, [-0.001, 0.001, 0.0005, -0.0002]),  # tiny magnitudes
+    ]
+    qz = similarity.quantize_embeddings(_vec_df(spark, rows)).collect()
+    by_id = {r["vec_id"]: r for r in qz}
+    # codes bounded to [-127, 127]; the max-|x| slot hits exactly +/-127
+    for r in qz:
+        assert all(-127 <= c <= 127 for c in r["q"]), r
+    assert max(abs(c) for c in by_id[0]["q"]) == 127
+    assert max(abs(c) for c in by_id[2]["q"]) == 127
+    # zero vector: all-zero codes, no division blow-up
+    assert by_id[1]["q"] == [0, 0, 0, 0]
+
+
+def test_sq8_topk_recovers_brute(spark):
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    brute = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.cosine_topk(e, 0, 10).collect()
+    ]
+    sq8 = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.cosine_topk_sq8(e, 0, 10, refine=4).collect()
+    ]
+    # int8 on dim-64 embeddings: the 4x-refined candidate set recovers
+    # the exact top-10 (the final sims are exact-float re-ranks, so
+    # equality is on values too, not just ids)
+    assert sq8 == brute
+    # deterministic under repartitioning
+    sq8b = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.cosine_topk_sq8(
+            e.repartition(7), 0, 10, refine=4
+        ).collect()
+    ]
+    assert sq8b == sq8
