@@ -642,9 +642,13 @@ def quantize_embeddings(
     oracle-reproducible. All-zero vectors quantize to all-zero codes
     (guarded — no division by zero).
 
-    Output: (… passthrough …, q array<int>, scale double). Cosine on
-    codes needs no dequantization: the per-vector scales cancel, so
-    approx_cos = dotq_ab / (√dotq_aa · √dotq_bb) on integers."""
+    Output: (… passthrough …, q array<int>, scale double, qnorm long).
+    Cosine on codes needs no dequantization: the per-vector scales
+    cancel, so approx_cos = dotq_ab / (√dotq_aa · √dotq_bb) on
+    integers. ``qnorm`` = dotq(q, q) is precomputed and STORED — in a
+    materialized code table that turns per-row retrieval cost into a
+    single fold (the query-side dot) plus scalar math, instead of
+    three folds per candidate."""
     absmax = F.array_max(
         F.transform(F.col(col), lambda x: F.abs(x.cast("double")))
     )
@@ -660,7 +664,11 @@ def quantize_embeddings(
             ).cast("int"),
         )
     )
-    return embeddings.withColumn("q", q).withColumn("scale", scale)
+    return (
+        embeddings.withColumn("q", q)
+        .withColumn("scale", scale)
+        .withColumn("qnorm", _int_dot(F.col("q"), F.col("q")))
+    )
 
 
 def _int_dot(a: Column, b: Column) -> Column:
@@ -699,20 +707,17 @@ def cosine_topk_sq8(
     vectors from scoring anyway since exact cosine is NULL too)."""
     qz = quantize_embeddings(embeddings).localCheckpoint(eager=True)
     qq = qz.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("q").alias("qa")
+        F.col("q").alias("qa"), F.col("qnorm").alias("__na")
     )
     corpus = qz.filter(F.col("vec_id") != query_vec_id).select(
-        "vec_id", "q"
+        "vec_id", "q", F.col("qnorm").alias("__nb")
     )
     cand = (
         corpus.join(F.broadcast(qq))
         .select(
             "vec_id",
             _int_dot(F.col("q"), F.col("qa")).alias("__ab"),
-            (
-                _int_dot(F.col("q"), F.col("q"))
-                * _int_dot(F.col("qa"), F.col("qa"))
-            ).alias("__nn"),
+            (F.col("__nb") * F.col("__na")).alias("__nn"),
         )
         .filter(F.col("__nn") > 0)
         .select(

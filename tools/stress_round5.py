@@ -171,7 +171,121 @@ def probe_shards(spark) -> None:
     )
 
 
-PROBES = {"incr": probe_incr, "shards": probe_shards}
+def probe_sq8(spark) -> None:
+    """6.4M dim-16 planted-cluster vectors (same corpus builder as
+    tools/stress_round4.py): materialize float32 embeddings vs int8
+    codes, compare bytes on disk and retrieval time — the quantized
+    candidate stage scans the code table only; the float table is
+    touched just for the k*refine re-rank rows."""
+    import subprocess
+
+    from timeseries_data_provider_spark.operators import similarity
+
+    n = 6_400_000
+    vec_path = WORK + "/vectors.parquet"
+    if not os.path.exists(vec_path + "/_SUCCESS"):
+        r4 = "/tmp/tdps_stress_round4/vectors.parquet"
+        if os.path.exists(r4 + "/_SUCCESS"):
+            vec_path = r4
+        else:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import stress_round4
+
+            os.environ.setdefault("STRESS_N_VECS", str(n))
+            stress_round4._make_vectors(spark)
+            vec_path = stress_round4.WORK + "/vectors.parquet"
+    vecs = spark.read.parquet(vec_path)
+
+    codes_path = WORK + "/codes.parquet"
+    t0 = time.perf_counter()
+    similarity.quantize_embeddings(vecs).select(
+        "vec_id", "q", "qnorm"
+    ).write.mode("overwrite").parquet(codes_path)
+    quantize_s = round(time.perf_counter() - t0, 2)
+
+    def du(p):
+        return int(
+            subprocess.check_output(["du", "-sb", p]).split()[0]
+        )
+
+    float_bytes, code_bytes = du(vec_path), du(codes_path)
+
+    # brute float top-10
+    qrow = vecs.filter(F.col("vec_id") == 3).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    t0 = time.perf_counter()
+    brute = (
+        vecs.filter(F.col("vec_id") != 3)
+        .join(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            similarity.cosine(
+                similarity.as_double(F.col("embedding")), F.col("qv")
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    brute_s = round(time.perf_counter() - t0, 2)
+
+    # quantized candidate stage over the CODE table + float re-rank
+    codes = spark.read.parquet(codes_path)
+    qc = codes.filter(F.col("vec_id") == 3).select(
+        F.col("q").alias("qa"), F.col("qnorm").alias("na")
+    )
+    t0 = time.perf_counter()
+    cand = (
+        codes.filter(F.col("vec_id") != 3)
+        .join(F.broadcast(qc))
+        .select(
+            "vec_id",
+            similarity._int_dot(F.col("q"), F.col("qa")).alias("ab"),
+            (F.col("qnorm") * F.col("na")).alias("nn"),
+        )
+        .filter(F.col("nn") > 0)
+        .select(
+            "vec_id",
+            (
+                F.col("ab").cast("double") / F.sqrt(F.col("nn").cast("double"))
+            ).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), "vec_id")
+        .limit(40)
+        .select("vec_id")
+    )
+    rerank = (
+        vecs.join(F.broadcast(cand), "vec_id", "left_semi")
+        .join(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            similarity.cosine(
+                similarity.as_double(F.col("embedding")), F.col("qv")
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    sq8_s = round(time.perf_counter() - t0, 2)
+    assert [r["vec_id"] for r in rerank] == [r["vec_id"] for r in brute], (
+        "sq8 two-stage must recover the brute top-10 on planted clusters"
+    )
+    _emit(
+        "cosine_topk_sq8",
+        vectors=n,
+        float_mb=round(float_bytes / 1e6, 1),
+        code_mb=round(code_bytes / 1e6, 1),
+        size_ratio=round(float_bytes / code_bytes, 2),
+        quantize_once_s=quantize_s,
+        brute_float_s=brute_s,
+        sq8_retrieve_rerank_s=sq8_s,
+        topk_identical=True,
+    )
+
+
+PROBES = {"incr": probe_incr, "shards": probe_shards, "sq8": probe_sq8}
 
 
 def main() -> None:
