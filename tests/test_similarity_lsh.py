@@ -349,3 +349,52 @@ def test_sq8_topk_recovers_brute(spark):
         ).collect()
     ]
     assert sq8b == sq8
+
+
+def test_sq8_quantizer_matches_python_reference(spark):
+    """quantize_embeddings vs an independent Python reimplementation of
+    the floor quantizer over 200 seeded-random float32 vectors plus
+    planted edge cases (zero vector, denormal-small magnitudes, single
+    dominant slot, all-negative). One Spark pass, per-row compare —
+    pins the exact FP op order (cast-to-double, scale = absmax/127,
+    x/scale + 0.5, floor) and the qnorm column."""
+    import math as m
+    import random
+
+    import numpy as np
+
+    from timeseries_data_provider_spark.operators import similarity
+
+    rng = random.Random(42)
+    rows = [
+        (0, [0.0, 0.0, 0.0]),
+        (1, [1e-38, -1e-38, 5e-39]),
+        (2, [100.0, 0.0, 0.0]),
+        (3, [-0.5, -0.25, -0.125]),
+    ]
+    for i in range(4, 204):
+        dim = rng.randrange(1, 9)
+        rows.append(
+            (i, [rng.uniform(-10, 10) * 10 ** rng.randrange(-6, 7)
+                 for _ in range(dim)])
+        )
+
+    def ref(vec):
+        xs = [float(np.float32(x)) for x in vec]
+        am = max(abs(x) for x in xs)
+        if am == 0.0:
+            return [0] * len(xs), 0
+        scale = am / 127.0
+        q = [int(m.floor(x / scale + 0.5)) for x in xs]
+        return q, sum(c * c for c in q)
+
+    got = {
+        r["vec_id"]: (list(r["q"]), r["qnorm"])
+        for r in similarity.quantize_embeddings(
+            _vec_df(spark, rows)
+        ).collect()
+    }
+    for vec_id, vec in rows:
+        q, qn = ref(vec)
+        assert got[vec_id] == (q, qn), (vec_id, vec, got[vec_id], (q, qn))
+        assert all(-127 <= c <= 127 for c in q)
