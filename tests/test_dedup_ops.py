@@ -246,3 +246,13 @@ def test_minhash_lsh_incremental_planted(spark):
     assert sorted((r["doc_a"], r["doc_b"]) for r in got) == sorted(
         (r["doc_a"], r["doc_b"]) for r in pairs2.collect()
     )
+
+
+def test_minhash_lsh_incremental_rejects_mismatched_index(spark):
+    from timeseries_data_provider_spark import tables
+    from tests.conftest import SF_SMOKE
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents").limit(20)
+    narrow = dedup.minhash_signatures(docs, num_hashes=8)
+    with pytest.raises(ValueError, match="num_hashes=16 expects"):
+        dedup.minhash_lsh_incremental(docs, narrow)  # default expects h0..h15

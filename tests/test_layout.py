@@ -227,3 +227,15 @@ def test_write_training_shards_layout(spark, tmp_path):
         .collect()
     )
     assert a == b
+
+
+def test_write_training_shards_rejects_null_ids(spark, tmp_path):
+    from timeseries_data_provider_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL 'doc_id'"):
+        pipeline.write_training_shards(
+            df, str(tmp_path / "null_shards"), n_shards=4
+        )

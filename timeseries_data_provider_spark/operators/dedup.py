@@ -291,6 +291,16 @@ def minhash_lsh_incremental(
     the next batch sees this one as corpus — the index maintenance
     step. Extends SURVEY §2's MinHash family (``minhash_lsh_pairs``)
     with the incremental-maintenance form."""
+    stored = [c for c in signatures.columns if c.startswith("h")]
+    want = [f"h{i}" for i in range(num_hashes)]
+    if sorted(stored) != sorted(want):
+        raise ValueError(
+            f"minhash_lsh_incremental: signature table carries "
+            f"{sorted(stored)} but num_hashes={num_hashes} expects "
+            f"{want} — the stored index and the query configuration "
+            "must agree (bands and the agreement estimator both read "
+            "every component)"
+        )
     new_sig = minhash_signatures(
         new_docs, num_hashes, n, max_df
     ).localCheckpoint(eager=True)

@@ -528,7 +528,19 @@ def write_training_shards(
     landed, not what was intended) and is returned for caller-side
     verification against the input."""
     spark = df.sparkSession
-    sharded = df.withColumn("shard", shard_assignment(id_col, n_shards))
+    # plan-embedded guard (same pattern as similarity._dim_checked): a
+    # NULL id has no defined shard — xxhash64(NULL) would silently
+    # route the row to a NULL partition directory.
+    chk = F.assert_true(
+        F.col(id_col).isNotNull(),
+        F.lit(
+            f"write_training_shards: NULL {id_col!r} — shard membership "
+            "is a pure id function and undefined for NULL"
+        ),
+    )
+    sharded = df.where(chk.isNull()).withColumn(
+        "shard", shard_assignment(id_col, n_shards)
+    )
     (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions(id_col)
