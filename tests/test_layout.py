@@ -239,3 +239,46 @@ def test_write_training_shards_rejects_null_ids(spark, tmp_path):
         pipeline.write_training_shards(
             df, str(tmp_path / "null_shards"), n_shards=4
         )
+
+
+def test_ivf_sq8_layout_probe_prunes_columns_and_partitions(spark, tmp_path):
+    """The quantized IVF layout composes partition pruning (nprobe
+    centroid dirs), COLUMN pruning (the candidate scan reads q/qnorm,
+    never the float embedding), and the exact re-rank: its top-k must
+    equal the float layout probe's on the same layout/centroids, and
+    the plan must show a scan whose ReadSchema carries the code
+    columns without the embedding column."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_sq8")
+    similarity.write_ivf_layout(e, path, num_centroids=8, quantize=True)
+
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    sq8 = similarity.ivf_topk_sq8_from_layout(
+        spark, path, qvec, k=11, nprobe=3, refine=4
+    )
+    plan = explain_str(sq8)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan[:1500]
+    # the candidate-stage scan reads codes, not floats
+    assert any(
+        "qnorm" in line and "embedding" not in line
+        for line in plan.splitlines()
+        if "ReadSchema" in line
+    ), plan[:3000]
+
+    flt = similarity.ivf_topk_from_layout(spark, path, qvec, k=11, nprobe=3)
+    assert [(r["vec_id"], r["sim"]) for r in sq8.collect()] == [
+        (r["vec_id"], r["sim"]) for r in flt.collect()
+    ]
+
+    # a layout written without codes refuses the quantized probe loudly
+    path2 = str(tmp_path / "ivf_plain")
+    similarity.write_ivf_layout(e, path2, num_centroids=8)
+    with pytest.raises(ValueError, match="no code columns"):
+        similarity.ivf_topk_sq8_from_layout(spark, path2, qvec)

@@ -548,6 +548,7 @@ def write_ivf_layout(
     path: str,
     num_centroids: int = 16,
     centroids: DataFrame | None = None,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF index as a physical layout: vectors written
     to ``<path>/data`` PARTITIONED BY their assigned centroid_id, the
@@ -562,12 +563,23 @@ def write_ivf_layout(
     the stored ``/centroids`` table; default is the deterministic
     ``seed_centroids`` rule. Either way ONE frozen frame
     (localCheckpoint) drives both writes, so the stored set can never
-    desynchronize from what partitioned the data."""
+    desynchronize from what partitioned the data.
+
+    ``quantize=True`` stores int8 codes + norms (``q``/``scale``/
+    ``qnorm``, see ``quantize_embeddings``) ALONGSIDE the float
+    vectors in the same partitions: parquet column pruning then lets
+    ``ivf_topk_sq8_from_layout`` run its candidate stage reading only
+    the 4×-smaller code columns of the nprobe pruned partitions, and
+    its re-rank reading only the candidates' float rows — the full
+    production stack (partition pruning × column pruning ×
+    quantization) in one layout."""
     cents = (
         centroids
         if centroids is not None
         else seed_centroids(embeddings, num_centroids)
     ).localCheckpoint(eager=True)
+    if quantize:
+        embeddings = quantize_embeddings(embeddings)
     assign = assign_to_centroids(embeddings, cents)
     (
         embeddings.join(assign, "vec_id")
@@ -742,6 +754,111 @@ def cosine_topk_sq8(
             F.round(
                 cosine(as_double(F.col("embedding")), F.col("qv")), 6
             ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_topk_sq8_from_layout(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """ANN top-k against a ``write_ivf_layout(..., quantize=True)``
+    layout, composing every scale lever this module ships:
+
+    1. PARTITION pruning — rank stored centroids against the query
+       (driver-side, config-sized) and read only the ``nprobe``
+       closest centroid partitions, as in ``ivf_topk_from_layout``.
+    2. COLUMN pruning + QUANTIZATION — the candidate stage selects
+       only (vec_id, q, qnorm) from those partitions, so the scan
+       reads the int8 codes (4× smaller than the float column it
+       never touches); ranking is one integer fold per row plus
+       scalar math on the stored norms.
+    3. RE-RANK — only the top k·refine candidates' float rows are
+       read back (semi-join inside the same pruned partitions) and
+       ordered by exact cosine.
+
+    The query is quantized driver-side with the identical FP op order
+    as ``quantize_embeddings`` (scale = max|x|/127, floor(x/scale +
+    0.5)), so a vector stored in the layout and queried verbatim
+    scores itself at code-cosine exactly 1. Dim is validated against
+    the stored centroids before anything runs."""
+    import math
+
+    stored_dim = embedding_dim(
+        spark.read.parquet(path + "/centroids"), col="cv"
+    )
+    if stored_dim != len(query_vec):
+        raise ValueError(
+            f"ivf_topk_sq8_from_layout: query_vec has dim "
+            f"{len(query_vec)} but the layout at {path!r} stores "
+            f"dim-{stored_dim} centroids"
+        )
+    data_cols = spark.read.parquet(path + "/data").columns
+    if "q" not in data_cols or "qnorm" not in data_cols:
+        raise ValueError(
+            f"ivf_topk_sq8_from_layout: layout at {path!r} has no code "
+            "columns — write it with write_ivf_layout(..., quantize=True)"
+        )
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r["centroid_id"]
+        for r in spark.read.parquet(path + "/centroids")
+        .select(
+            "centroid_id",
+            cosine(as_double(F.col("cv")), qv).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "centroid_id")
+        .limit(nprobe)
+        .collect()
+    ]
+
+    am = max(abs(float(x)) for x in query_vec)
+    if am == 0.0:
+        qa = [0] * len(query_vec)
+    else:
+        qa = [
+            int(math.floor(float(x) / (am / 127.0) + 0.5))
+            for x in query_vec
+        ]
+    na = sum(c * c for c in qa)
+    qa_col = F.array(*[F.lit(int(c)) for c in qa])
+
+    pruned = spark.read.parquet(path + "/data").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cand = (
+        pruned.select("vec_id", "q", "qnorm")
+        .select(
+            "vec_id",
+            _int_dot(F.col("q"), qa_col).alias("__ab"),
+            (F.col("qnorm") * F.lit(int(na))).alias("__nn"),
+        )
+        .filter(F.col("__nn") > 0)
+        .select(
+            "vec_id",
+            (
+                F.col("__ab").cast("double")
+                / F.sqrt(F.col("__nn").cast("double"))
+            ).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), "vec_id")
+        .limit(k * refine)
+        .select("vec_id")
+    )
+    return (
+        pruned.join(F.broadcast(cand), "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), qv), 6).alias(
+                "sim"
+            ),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(k)
