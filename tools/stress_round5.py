@@ -285,7 +285,92 @@ def probe_sq8(spark) -> None:
     )
 
 
-PROBES = {"incr": probe_incr, "shards": probe_shards, "sq8": probe_sq8}
+def probe_ivfsq8(spark) -> None:
+    """The fully-stacked probe at 6.4M vectors: quantized IVF layout
+    (64 centroids), ivf_topk_sq8_from_layout with nprobe=8 — static
+    partition pruning × parquet column pruning × int8 candidate stage
+    × exact re-rank — asserted equal to the FLOAT layout probe on the
+    same layout (same partitions searched, so the comparison isolates
+    quantization).
+
+    Query = corpus vector 3 (a cluster member), NOT the planted
+    center: with the exact center as query, the 100k same-cluster
+    neighbors differ by ~3e-4 in cosine while int8 code resolution is
+    ~1e-3, so the quantized candidate ranking is sub-resolution noise
+    and refine=4 cannot recover the true top-10 (measured — the probe
+    was first written that way and failed). That is the honest
+    operating envelope of scalar quantization: the neighbor gap must
+    exceed code resolution, which holds for off-center queries here
+    and for real embedding workloads, and degrades gracefully via the
+    refine knob otherwise (recall, never precision — the re-rank is
+    exact)."""
+    from timeseries_data_provider_spark.operators import similarity
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import stress_round4
+
+    vecs = stress_round4._make_vectors(spark)
+    centers = stress_round4._planted_centers()
+    centroids = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(centers)],
+        "centroid_id int, cv array<double>",
+    )
+    layout = WORK + "/ivf_sq8_layout"
+    t0 = time.perf_counter()
+    if not os.path.exists(layout + "/centroids/_SUCCESS"):
+        similarity.write_ivf_layout(
+            vecs, layout, num_centroids=64, centroids=centroids,
+            quantize=True,
+        )
+    build_s = round(time.perf_counter() - t0, 2)
+
+    qv = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    ]
+
+    def timed(fn):
+        best, out = None, None
+        for _ in range(2):  # min-of-2: first pass pays codegen warmup
+            t0 = time.perf_counter()
+            out = fn().collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2), out
+
+    sq8_s, sq8 = timed(
+        lambda: similarity.ivf_topk_sq8_from_layout(
+            spark, layout, qv, k=10, nprobe=8, refine=4
+        )
+    )
+    flt_s, flt = timed(
+        lambda: similarity.ivf_topk_from_layout(
+            spark, layout, qv, k=10, nprobe=8
+        )
+    )
+    assert [r["vec_id"] for r in sq8] == [r["vec_id"] for r in flt], (
+        "quantized layout probe must match the float probe's top-10 "
+        "over the same probed partitions"
+    )
+    _emit(
+        "ivf_topk_sq8_from_layout",
+        vectors=6_400_000,
+        centroids=64,
+        nprobe=8,
+        refine=4,
+        layout_build_s=build_s,
+        sq8_probe_s=sq8_s,
+        float_probe_s=flt_s,
+        topk_identical=True,
+    )
+
+
+PROBES = {
+    "incr": probe_incr,
+    "shards": probe_shards,
+    "sq8": probe_sq8,
+    "ivfsq8": probe_ivfsq8,
+}
 
 
 def main() -> None:
