@@ -365,11 +365,81 @@ def probe_ivfsq8(spark) -> None:
     )
 
 
+def probe_cc(spark) -> None:
+    """Closure algorithms head-to-head at ~1M edges on a MIXED graph:
+    45k dense 10-node clusters (ring + chords — the shallow shape of
+    real near-dup groups) PLUS 1k 100-node chains (diameter 99 — the
+    adversarial shape). The mix is the interesting case: min-label
+    pays the worst component's diameter in rounds over the WHOLE
+    graph, star pays O(log) heavier rounds. Both must produce
+    identical labels (count, component count, and a full label-set
+    hash compared); the timings back the min-label-default /
+    star-opt-in split in dedup.neardup_clusters."""
+    from timeseries_data_provider_spark.operators import dedup
+
+    n_cliques, csize = 45_000, 10
+    # ring + one chord per node inside each clique-ish cluster: 2 edges
+    # per node, dense diameter <= csize/2
+    base = spark.range(n_cliques * csize).select(
+        (F.col("id") / csize).cast("long").alias("g"),
+        (F.col("id") % csize).alias("i"),
+    )
+    ring = base.select(
+        (F.col("g") * csize + F.col("i")).alias("doc_a"),
+        (F.col("g") * csize + (F.col("i") + 1) % csize).alias("doc_b"),
+    )
+    chord = base.select(
+        (F.col("g") * csize + F.col("i")).alias("doc_a"),
+        (F.col("g") * csize + (F.col("i") + 3) % csize).alias("doc_b"),
+    )
+    # 1k chains of 100 nodes in a disjoint id space
+    chain = spark.range(1_000 * 100).filter(F.col("id") % 100 != 99).select(
+        (F.col("id") + 10_000_000).alias("doc_a"),
+        (F.col("id") + 10_000_001).alias("doc_b"),
+    )
+    edges_path = WORK + "/cc_edges.parquet"
+    ring.unionByName(chord).unionByName(chain).write.mode(
+        "overwrite"
+    ).parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
+    n_edges = edges.count()
+
+    results = {}
+    for label, fn, cap in [
+        ("min_label", dedup.connected_components, 110),
+        ("star", dedup.connected_components_star, 30),
+    ]:
+        t0 = time.perf_counter()
+        labels = fn(edges, max_iterations=cap)
+        chk = labels.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("cluster_id").alias("k"),
+            F.sum(
+                F.xxhash64("doc_id", "cluster_id").cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        results[label] = (round(time.perf_counter() - t0, 2), chk)
+    (ml_s, ml), (st_s, st) = results["min_label"], results["star"]
+    assert (ml["n"], ml["k"], ml["h"]) == (st["n"], st["k"], st["h"]), (
+        ml, st,
+    )
+    assert ml["k"] == n_cliques + 1_000, ml["k"]
+    _emit(
+        "connected_components_head_to_head",
+        edges=n_edges,
+        components=ml["k"],
+        min_label_s=ml_s,
+        star_s=st_s,
+        labels_identical=True,
+    )
+
+
 PROBES = {
     "incr": probe_incr,
     "shards": probe_shards,
     "sq8": probe_sq8,
     "ivfsq8": probe_ivfsq8,
+    "cc": probe_cc,
 }
 
 
