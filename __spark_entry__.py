@@ -240,9 +240,61 @@ def q28_ngram_jaccard(spark, sf):
 
 
 def q29_minhash_lsh(spark, sf):
-    return dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=16, bands=8, n=3, threshold=0.3
+    """MinHash+LSH batch pairs (exact-verified, == the all-pairs
+    Jaccard oracle at this threshold/banding) UNION-tagged with the
+    INCREMENTAL form (r5, previously pytest-only): doc_id % 7 corpus
+    docs are copied under +1,000,000 and doc_id % 21 docs again under
+    +2,000,000 as a 'new batch', then deduped against the corpus's
+    signature table at min_est = 1.0. An exact copy agrees with its
+    source on every MinHash component regardless of the hash
+    function, so the PLANTED self-relations (source↔copy and
+    copy↔copy) are guaranteed found at est 1.0 — recall 1, the same
+    planted-determinism pattern as q62 — and the declared rows filter
+    to exactly those relations: est-1.0 hits between merely
+    NEAR-identical docs (all-16-component agreement is xxhash-luck,
+    P ≈ J^16 — measured 8 such pairs at sf0.01) are real library
+    output but not oracle-reproducible, so they stay outside the
+    declared filter. Columns: (mode, doc_a, doc_b, j); mode
+    distinguishes incr_corpus (copy vs corpus) from incr_batch
+    (copy vs copy)."""
+    docs = _t(spark, sf, "documents")
+    # ONE corpus signature build feeds both branches (lazy checkpoint:
+    # materializes on first action, reused by the second consumer).
+    sig = dedup.minhash_signatures(
+        docs, num_hashes=16, n=3, max_df=None
+    ).localCheckpoint(eager=False)
+    batch = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, n=3, threshold=0.3, signatures=sig
+    ).select(F.lit("batch").alias("mode"), "doc_a", "doc_b", "j")
+    planted = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 21 == 0).select(
+                (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text"
+            )
+        )
     )
+    inc, _new_sig = dedup.minhash_lsh_incremental(
+        planted,
+        sig,
+        num_hashes=16,
+        bands=8,
+        n=3,
+        min_est=1.0,
+        max_df=None,
+    )
+    diff = F.col("doc_b") - F.col("doc_a")
+    incr = inc.filter(
+        (diff == 1_000_000)
+        | ((diff == 2_000_000) & (F.col("doc_a") < 1_000_000))
+    ).select(
+        F.concat(F.lit("incr_"), F.col("source")).alias("mode"),
+        "doc_a",
+        "doc_b",
+        F.col("est_jaccard").alias("j"),
+    )
+    return batch.unionByName(incr)
 
 
 def q30_simhash_pairs(spark, sf):
@@ -1019,8 +1071,24 @@ def oracle_sql() -> dict[str, str]:
                      ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                            / len(list_distinct(list_concat(a.sh, b.sh))), 6)
                        AS j
-              FROM d a JOIN d b ON a.doc_id < b.doc_id)
-            SELECT doc_a, doc_b, j FROM pairs WHERE j >= 0.3
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            ), ds AS (
+              SELECT doc_id FROM d WHERE len(sh) > 0
+            )
+            SELECT 'batch' AS mode, doc_a, doc_b, j
+            FROM pairs WHERE j >= 0.3
+            UNION ALL
+            SELECT 'incr_corpus' AS mode, doc_id AS doc_a,
+                   doc_id + 1000000 AS doc_b, 1.0 AS j
+            FROM ds WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'incr_corpus' AS mode, doc_id AS doc_a,
+                   doc_id + 2000000 AS doc_b, 1.0 AS j
+            FROM ds WHERE doc_id % 21 = 0
+            UNION ALL
+            SELECT 'incr_batch' AS mode, doc_id + 1000000 AS doc_a,
+                   doc_id + 2000000 AS doc_b, 1.0 AS j
+            FROM ds WHERE doc_id % 21 = 0
         """,
         "q30_simhash_pairs": _simhash_pairs_oracle(max_distance=8),
         # IVF probing with nprobe=8/16 returns the exact top-10 at every

@@ -362,6 +362,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_df: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
@@ -374,8 +375,19 @@ def minhash_lsh_pairs(
     false negatives bounded by the banding curve. ``max_df`` excludes
     hot shingles from the signatures only — verification still scores
     full shingle sets (module docstring, skew note).
+
+    ``signatures``: optionally pass a precomputed
+    ``minhash_signatures(documents, ...)`` frame (it must describe the
+    SAME documents/num_hashes/max_df) so a caller running several
+    signature consumers — e.g. the batch form next to
+    ``minhash_lsh_incremental`` — shingles the corpus once, not per
+    consumer.
     """
-    sig = minhash_signatures(documents, num_hashes, n, max_df)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(documents, num_hashes, n, max_df)
+    )
     # Both sides of the candidate self-join read the banded signatures;
     # materialize once so the MinHash aggregation runs a single time.
     banded = banded_signatures(sig, num_hashes, bands).localCheckpoint(
