@@ -220,8 +220,31 @@ def q22_range_join(spark, sf):
 
 def q23_doc_profile(spark, sf):
     """Token stats + quality heuristic + content fingerprint in ONE
-    narrow pass (token_stats/quality_score/fingerprint composed)."""
-    return text.doc_profile(_t(spark, sf, "documents"))
+    narrow pass (token_stats/quality_score/fingerprint composed),
+    JOINED (r5) with cross-document boilerplate-line removal
+    (dedup.line_dedup — the RefinedWeb/Dolma line-level dedup) over a
+    planted 4-line page per document (the corpus is single-line, so
+    line dedup would run vacuously on it — same planted-input pattern
+    as q64's _planted_page): a boilerplate line shared by EVERY doc
+    (df = N, dropped), a "group {doc_id % 7}" line (df = the mod-class
+    size, dropped), the doc's REAL first-5-word prefix (df is
+    data-dependent — the oracle recomputes it with a GROUP BY over the
+    actual corpus, so the distributed document-frequency count is
+    scored against real data), and a per-doc unique line (df = 1,
+    kept). n_lines / n_kept / clean_text verify the df join and the
+    order-preserving reassembly."""
+    d = _t(spark, sf, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("shared boilerplate line."),
+        F.concat(F.lit("group "), (F.col("doc_id") % 7).cast("string")),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
+        F.concat(F.lit("unique "), F.col("doc_id").cast("string")),
+    )
+    cleaned = dedup.line_dedup(
+        d.select("doc_id", page.alias("text")), min_df=2
+    )
+    return text.doc_profile(d).join(cleaned, "doc_id")
 
 
 def q25_lang_guess(spark, sf):  # kept for bench/pytest; folded into q18
@@ -333,7 +356,19 @@ def q31_ann_topk(spark, sf):
     sq8 = similarity.cosine_topk_sq8(e, query_vec_id=0, k=10, refine=4).select(
         F.lit("sq8").alias("algo"), "vec_id", "sim"
     )
-    return brute.unionByName(ivf).unionByName(batch).unionByName(sq8)
+    # r5: JL random-projection retrieve-and-re-rank (rp_topk — ±1
+    # Achlioptas signs from Python md5, so the oracle embeds the SAME
+    # matrix as literals and reproduces candidate selection in the
+    # 16-dim projected space AND the exact re-rank, stage for stage).
+    rp = similarity.rp_topk(
+        e, query_vec_id=0, k=10, out_dim=16, refine=4
+    ).select(F.lit("rp").alias("algo"), "vec_id", "sim")
+    return (
+        brute.unionByName(ivf)
+        .unionByName(batch)
+        .unionByName(sq8)
+        .unionByName(rp)
+    )
 
 
 def q32_embedding_neardup(spark, sf):
@@ -443,27 +478,48 @@ def q49_dedup_clusters(spark, sf):
 def q50_stratified_sample(spark, sf):
     """Deterministic proportional stratified sampling (md5-hash order,
     no rand()) UNION-tagged with deterministic weighted sampling
-    (Efraimidis–Spirakis A-ES, weight = n_chars) — both samplers in
-    one driver-scored row (VERDICT r4 missing #2; the 50-row cap
-    forces composition). Contract: (method, lang, doc_id, rn); the
-    weighted branch has no stratum or in-stratum rank, so lang/rn are
-    typed NULLs there. The A-ES oracle reproduces the u = md5-prefix
-    uniform via DuckDB's hex cast and the same u^(1/w) key."""
+    (Efraimidis–Spirakis A-ES, weight = n_chars) and (r5) recipe-driven
+    MIXTURE sampling (pipeline.mixture_sample — the "2 parts src0,
+    1 part each src1-src3" data-mixing knob; per-group quota =
+    floor(w/sum * total), capped at the group population) — three
+    samplers in one driver-scored row (the 50-row cap forces
+    composition). Contract: (method, stratum, doc_id, rn); stratum is
+    the lang stratum / source group; the weighted branch has no
+    stratum or in-stratum rank, so stratum/rn are typed NULLs there.
+    The A-ES oracle reproduces the u = md5-prefix uniform via DuckDB's
+    hex cast and the same u^(1/w) key; the mixture oracle replays the
+    quota CASE over the same md5 order."""
     docs = _t(spark, sf, "documents")
     strat = pipeline.stratified_sample(
         docs, strata_col="lang", fraction=0.2
-    ).select(F.lit("strat").alias("method"), "lang", "doc_id", "rn")
+    ).select(
+        F.lit("strat").alias("method"),
+        F.col("lang").alias("stratum"),
+        "doc_id",
+        "rn",
+    )
     weighted = pipeline.weighted_sample(
         docs.select("doc_id", F.col("n_chars").cast("double").alias("w")),
         "w",
         k=100,
     ).select(
         F.lit("weighted").alias("method"),
-        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("stratum"),
         "doc_id",
         F.lit(None).cast("long").alias("rn"),
     )
-    return strat.unionByName(weighted)
+    mixture = pipeline.mixture_sample(
+        docs,
+        {"src0": 2.0, "src1": 1.0, "src2": 1.0, "src3": 1.0},
+        total=60,
+        group_col="source",
+    ).select(
+        F.lit("mixture").alias("method"),
+        F.col("source").alias("stratum"),
+        "doc_id",
+        "rn",
+    )
+    return strat.unionByName(weighted).unionByName(mixture)
 
 
 def q51_chunk_pack(spark, sf):
@@ -650,9 +706,25 @@ def q64_corpus_signals(spark, sf):
     counts (text.redact_pii) computed over a planted multi-line page
     derived from doc_id (``_planted_page`` — closed-form, so the
     oracle recomputes every value without SQL regex). This upgrades
-    both round-4 components from pytest-only to driver-scored."""
+    both round-4 components from pytest-only to driver-scored.
+    Also (r5) the GROUP-level leakage-safe split (pipeline.group_split
+    keyed on source — every doc of a source lands in one split, the
+    contamination defence when near-dup pages cluster within domains):
+    the oracle replays the same md5-hex-threshold rule on the source
+    string."""
     d = _t(spark, sf, "documents")
-    base = text.repetition_signals(d).join(pipeline.hash_split(d), "doc_id")
+    base = (
+        text.repetition_signals(d)
+        .join(pipeline.hash_split(d), "doc_id")
+        .join(
+            pipeline.group_split(d, group_col="source").select(
+                "doc_id",
+                "source",
+                F.col("split").alias("source_split"),
+            ),
+            "doc_id",
+        )
+    )
     planted = d.select("doc_id", _planted_page(F.col("doc_id")).alias("text"))
     sig = text.line_signals(planted).select(
         "doc_id",
@@ -815,6 +887,52 @@ def _simhash_pairs_oracle(max_distance: int = 8) -> str:
             SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
             FROM cand WHERE {ham} <= {max_distance}
     """
+
+
+def _rp_oracle_ctes(out_dim: int = 16, dim: int = 64, c: int = 40) -> str:
+    """The q31 'rp' branch's CTEs: JL projection with the SAME ±1
+    Achlioptas sign matrix as similarity.rp_topk (rp_signs is pure
+    Python hashlib md5, so both engines get the matrix as literals —
+    no engine hash involved), candidate top-``c`` by projected cosine,
+    exact re-rank of the candidates. Both stages fold dots
+    left-to-right over doubles (list_dot_product == the Spark
+    aggregate/zip_with fold), so candidate selection is FP-identical —
+    same proven pattern as the sq8 two-stage oracle."""
+    from timeseries_data_provider_spark.operators.similarity import rp_signs
+
+    signs = rp_signs(out_dim, dim)
+    proj = ",\n                      ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join("1.0" if s > 0 else "-1.0" for s in row)
+        + "])"
+        for row in signs
+    )
+    return f""", rpe AS (
+              SELECT vec_id,
+                     [{proj}] AS p
+              FROM embeddings
+            ), rpq AS (
+              SELECT p AS qp FROM rpe WHERE vec_id = 0
+            ), rcand AS (
+              SELECT r.vec_id
+              FROM rpe r, rpq
+              WHERE r.vec_id <> 0
+                AND list_dot_product(r.p, r.p)
+                    * list_dot_product(rpq.qp, rpq.qp) > 0
+              ORDER BY list_dot_product(r.p, rpq.qp)
+                       / sqrt(list_dot_product(r.p, r.p)
+                              * list_dot_product(rpq.qp, rpq.qp)) DESC,
+                       r.vec_id
+              LIMIT {c}
+            ), rp AS (
+              SELECT e.vec_id,
+                     ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[])
+                                  * list_dot_product(q.qv, q.qv)), 6) AS sim
+              FROM embeddings e JOIN rcand USING (vec_id), q
+              ORDER BY sim DESC, e.vec_id
+              LIMIT 10)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1004,6 +1122,12 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= p.ts
             GROUP BY p.event_id
         """,
+        # The line-dedup columns replay the planted 4-line page: the
+        # boilerplate and group lines always have df >= 2 (dropped);
+        # the real-text 5-word-prefix line's df is the count of docs
+        # sharing that prefix (the GROUP BY below — data-dependent);
+        # the "unique {id}" line always has df = 1 (kept). clean_text
+        # is the kept lines in original order.
         "q23_doc_profile": r"""
             WITH x AS (
               SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
@@ -1015,8 +1139,15 @@ def oracle_sql() -> dict[str, str]:
                        / len(w) AS stop_ratio,
                      len(list_distinct(w))::DOUBLE / len(w) AS ttr,
                      least(n_chars::DOUBLE / 500.0, 1.0) AS length_factor
-              FROM x)
-            SELECT doc_id,
+              FROM x
+            ), pref AS (
+              SELECT doc_id, array_to_string(w[1:5], ' ') AS prefix
+              FROM x
+            ), pdf AS (
+              SELECT doc_id, prefix,
+                     COUNT(*) OVER (PARTITION BY prefix) AS df
+              FROM pref)
+            SELECT y.doc_id,
                    len(w) AS n_tokens,
                    len(list_distinct(w)) AS n_uniq,
                    ROUND(ttr, 6) AS ttr,
@@ -1029,8 +1160,14 @@ def oracle_sql() -> dict[str, str]:
                          + 0.2 * length_factor, 6) AS score,
                    sha256(lower(regexp_replace(trim(text),
                                                '[ \t\n\x0B\f\r]+', ' ',
-                                               'g'))) AS fp
-            FROM y
+                                               'g'))) AS fp,
+                   CAST(4 AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN p.df < 2 THEN 2 ELSE 1 END AS BIGINT)
+                     AS n_kept,
+                   CASE WHEN p.df < 2
+                        THEN p.prefix || chr(10) || 'unique ' || y.doc_id
+                        ELSE 'unique ' || y.doc_id END AS clean_text
+            FROM y JOIN pdf p USING (doc_id)
         """,
         "q28_ngram_jaccard": """
             WITH d AS (
@@ -1156,7 +1293,9 @@ def oracle_sql() -> dict[str, str]:
                                   * list_dot_product(q.qv, q.qv)), 6) AS sim
               FROM embeddings e JOIN scand USING (vec_id), q
               ORDER BY sim DESC, e.vec_id
-              LIMIT 10)
+              LIMIT 10)"""
+        + _rp_oracle_ctes()
+        + """
             SELECT 'brute' AS algo, vec_id, sim FROM topk
             UNION ALL
             SELECT 'ivf' AS algo, vec_id, sim FROM topk
@@ -1166,6 +1305,8 @@ def oracle_sql() -> dict[str, str]:
             FROM branked WHERE rn <= 10
             UNION ALL
             SELECT 'sq8' AS algo, vec_id, sim FROM sq8
+            UNION ALL
+            SELECT 'rp' AS algo, vec_id, sim FROM rp
         """,
         "q32_embedding_neardup": """
             WITH e AS (
@@ -1406,8 +1547,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(m) AS cluster_id
             FROM reach GROUP BY n
         """,
+        # Mixture quotas: weights {src0: 2, src1-3: 1 each}, total 60
+        # -> floor(2/5*60) = 24 for src0, floor(1/5*60) = 12 each for
+        # src1-3 (capped by the group population via the rn filter).
         "q50_stratified_sample": """
-            SELECT 'strat' AS method, lang, doc_id, rn FROM (
+            SELECT 'strat' AS method, lang AS stratum, doc_id, rn FROM (
               SELECT lang, doc_id,
                      CAST(ROW_NUMBER() OVER (
                        PARTITION BY lang
@@ -1417,7 +1561,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) t
             WHERE rn <= k
             UNION ALL
-            SELECT 'weighted' AS method, CAST(NULL AS VARCHAR) AS lang,
+            SELECT 'weighted' AS method, CAST(NULL AS VARCHAR) AS stratum,
                    doc_id, CAST(NULL AS BIGINT) AS rn
             FROM (
               SELECT doc_id FROM documents
@@ -1427,6 +1571,17 @@ def oracle_sql() -> dict[str, str]:
                       AS UBIGINT) + 0.5) / 281474976710656.0,
                 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
               LIMIT 100)
+            UNION ALL
+            SELECT 'mixture' AS method, source AS stratum, doc_id, rn
+            FROM (
+              SELECT source, doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS rn
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')) t
+            WHERE rn <= CASE source WHEN 'src0' THEN 24 ELSE 12 END
         """,
         # Tokenization matches pipeline.tokens byte for byte: split on
         # runs of the EXPLICIT whitespace class (space/tab/LF/VT/FF/CR
@@ -1739,6 +1894,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substring(md5(CAST(w.doc_id AS VARCHAR)), 1, 8)
                              < 'f3333333' THEN 'val'
                         ELSE 'test' END AS split,
+                   d.source,
+                   CASE WHEN substring(md5(d.source), 1, 8)
+                             < 'e6666666' THEN 'train'
+                        WHEN substring(md5(d.source), 1, 8)
+                             < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS source_split,
                    CAST(p.n_lines AS BIGINT) AS n_lines,
                    ROUND(p.n_kept::DOUBLE / p.n_lines, 6)
                      AS kept_line_frac,
@@ -1755,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.m5 AS BIGINT) AS n_ip,
                    CAST(p.m4 AS BIGINT) AS n_phone
             FROM w
+            JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)
             LEFT JOIN runs r USING (doc_id)

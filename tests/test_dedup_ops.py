@@ -256,3 +256,59 @@ def test_minhash_lsh_incremental_rejects_mismatched_index(spark):
     narrow = dedup.minhash_signatures(docs, num_hashes=8)
     with pytest.raises(ValueError, match="num_hashes=16 expects"):
         dedup.minhash_lsh_incremental(docs, narrow)  # default expects h0..h15
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    # Three docs share a footer; each has unique content; doc 3 is ALL
+    # boilerplate (must still appear, with empty clean_text); order of
+    # kept lines is preserved.
+    from timeseries_data_provider_spark.operators import dedup
+
+    rows = [
+        (0, "alpha content\nshared footer line\nmore alpha"),
+        (1, "beta content\nshared footer line"),
+        (2, "gamma content\nshared footer line\nshared footer line"),
+        (3, "shared footer line"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(df, min_df=2).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == "alpha content\nmore alpha"
+    assert out[1]["clean_text"] == "beta content"
+    # within-doc repetition of a df>=2 line: both occurrences dropped
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 1
+    # fully-boilerplate doc survives with empty text
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_line_dedup_within_doc_repeat_of_unique_line_kept(spark):
+    # df counts DISTINCT documents: a line repeated inside ONE doc has
+    # df=1 and both occurrences are kept (within-doc repetition is the
+    # repetition_signals operator's job, not cross-doc dedup's).
+    from timeseries_data_provider_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "solo line\nsolo line"), (1, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(df, min_df=2).collect()
+    }
+    assert out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == "solo line\nsolo line"
+
+
+def test_line_df_counts_documents_not_occurrences(spark):
+    from timeseries_data_provider_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "x\nx\nx"), (1, "x\ny")], ["doc_id", "text"]
+    )
+    occ = dedup.line_occurrences(df)
+    dfreq = {r["line"]: r["df"] for r in dedup.line_df(occ).collect()}
+    assert dfreq == {"x": 2, "y": 1}

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from timeseries_data_provider_spark import tables
 from timeseries_data_provider_spark.operators import pipeline
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, SF_T2
 
 
 def _docs(spark):
@@ -429,3 +429,80 @@ def test_redact_pii_hand_checked(spark):
     assert all(
         got[5][k] == 0 for k in ("n_email", "n_phone", "n_ip", "n_card")
     )
+
+
+def test_group_split_no_leakage_and_matches_group_key_hash(spark):
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.operators import pipeline
+
+    docs = spark.read.parquet(SF_T2 + "/documents.parquet")
+    gs = pipeline.group_split(docs, group_col="source")
+    assert gs.count() == docs.count()
+    # every source maps to exactly one split (the leakage guarantee)
+    k = (
+        gs.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("m"))
+        .first()["m"]
+    )
+    assert k == 1
+    # and the assignment equals hash_split applied to the source string
+    ref = {
+        r["__g"]: r["split"]
+        for r in pipeline.hash_split(
+            docs.select(F.col("source").alias("__g")).distinct(),
+            id_col="__g",
+        ).collect()
+    }
+    for r in gs.select("source", "split").distinct().collect():
+        assert ref[r["source"]] == r["split"]
+
+
+def test_mixture_sample_quotas_caps_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.operators import pipeline
+
+    docs = spark.read.parquet(SF_T2 + "/documents.parquet")
+    # src0 twice the weight of src1; src2 absent from weights; quota
+    # larger than a group's population must cap at the population.
+    out = pipeline.mixture_sample(
+        docs, {"src0": 2.0, "src1": 1.0, "src5": 5.0}, total=80
+    )
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    pop = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    wsum = 8.0
+    assert got["src0"] == min(int(2.0 / wsum * 80), pop["src0"])
+    assert got["src1"] == min(int(1.0 / wsum * 80), pop["src1"])
+    # src5's quota (50) exceeds its population -> capped at population
+    assert int(5.0 / wsum * 80) > pop["src5"]
+    assert got["src5"] == pop["src5"]
+    assert "src2" not in got
+    # deterministic: same draw twice
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in pipeline.mixture_sample(
+            docs, {"src0": 2.0, "src1": 1.0, "src5": 5.0}, total=80
+        ).collect()
+    )
+    assert a == b
+
+
+def test_mixture_sample_rejects_bad_inputs(spark):
+    import pytest as _pytest
+
+    from timeseries_data_provider_spark.operators import pipeline
+
+    docs = spark.read.parquet(SF_T2 + "/documents.parquet")
+    with _pytest.raises(ValueError, match="total"):
+        pipeline.mixture_sample(docs, {"src0": 1.0}, total=-1)
+    with _pytest.raises(ValueError, match="weights"):
+        pipeline.mixture_sample(docs, {"src0": 0.0}, total=10)

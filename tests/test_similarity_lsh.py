@@ -398,3 +398,98 @@ def test_sq8_quantizer_matches_python_reference(spark):
         q, qn = ref(vec)
         assert got[vec_id] == (q, qn), (vec_id, vec, got[vec_id], (q, qn))
         assert all(-127 <= c <= 127 for c in q)
+
+
+def test_rp_signs_deterministic_and_engine_free():
+    import hashlib
+
+    from timeseries_data_provider_spark.operators.similarity import rp_signs
+
+    a = rp_signs(16, 64)
+    b = rp_signs(16, 64)
+    assert a == b
+    assert all(s in (1.0, -1.0) for row in a for s in row)
+    # spot-check the published derivation rule (the oracle relies on
+    # reproducing the matrix from (seed, j, i) alone)
+    nib = int(hashlib.md5(b"rp:3:7").hexdigest()[0], 16)
+    assert a[3][7] == (1.0 if nib % 2 == 0 else -1.0)
+
+
+def test_rp_topk_inline_equals_projected_table_form(spark):
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    inline = similarity.rp_topk(e, query_vec_id=0, k=10, out_dim=16)
+    proj = similarity.random_project(e, out_dim=16)
+    via_table = similarity.rp_topk(
+        e, query_vec_id=0, k=10, out_dim=16, projected=proj
+    )
+    assert [tuple(r) for r in inline.collect()] == [
+        tuple(r) for r in via_table.collect()
+    ]
+    # re-rank sims are exact cosines: every returned sim must equal the
+    # brute-force sim for that vec_id
+    brute = {
+        r["vec_id"]: r["sim"]
+        for r in similarity.cosine_topk(e, query_vec_id=0, k=50).collect()
+    }
+    for r in inline.collect():
+        if r["vec_id"] in brute:
+            assert r["sim"] == brute[r["vec_id"]]
+
+
+def test_rp_topk_candidate_pruning_reads_narrow_table(spark):
+    # The projected-table form's candidate stage must scan ONLY the
+    # (vec_id, rp) columns of the index table — the full embedding
+    # column enters the plan solely through the candidate re-rank join.
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    proj = similarity.random_project(e, out_dim=16)
+    plan = similarity.rp_topk(
+        e, query_vec_id=0, k=10, out_dim=16, projected=proj
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_random_project_dim_guard(spark):
+    import pytest as _pytest
+
+    from timeseries_data_provider_spark.operators import similarity
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(Exception, match="random_project"):
+        similarity.random_project(bad, out_dim=4, dim=2).collect()
+
+
+def test_rp_topk_fetch_by_id_and_float_precision(spark):
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    proj = similarity.random_project(e, out_dim=16, precision="float")
+    a = similarity.rp_topk(
+        e, query_vec_id=0, k=10, out_dim=16, projected=proj
+    ).collect()
+    b = similarity.rp_topk(
+        e, query_vec_id=0, k=10, out_dim=16, projected=proj,
+        fetch_by_id=True,
+    ).collect()
+    # both re-rank paths agree, and sims are exact cosines regardless
+    # of the float32 index precision
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    brute = {
+        r["vec_id"]: r["sim"]
+        for r in similarity.cosine_topk(e, query_vec_id=0, k=500).collect()
+    }
+    for r in a:
+        assert r["sim"] == brute[r["vec_id"]]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision"):
+        similarity.random_project(e, out_dim=4, precision="int8")

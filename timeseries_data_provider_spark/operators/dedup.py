@@ -738,3 +738,92 @@ def simhash_hamming_pairs(
     return cand.select("doc_a", "doc_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_distance
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line/paragraph dedup (RefinedWeb / Dolma-style
+# boilerplate removal)
+
+
+def line_occurrences(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, line): one row per newline-separated line of each
+    document, with its 0-based position. Pure per-row posexplode — no
+    shuffle; positions let the reassembly step restore original order.
+    """
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def line_df(occurrences: DataFrame) -> DataFrame:
+    """(line, df): corpus-wide DOCUMENT frequency of each distinct line
+    value. Two-level aggregate on the line value itself (distinct
+    (doc,line) first, then count) — both stages get map-side partial
+    aggregation, and the shuffle key is the line string (bounded by
+    line length, not document size)."""
+    return (
+        occurrences.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def line_dedup(
+    documents: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate-line removal (the RefinedWeb/Dolma
+    pattern): drop every line that appears in >= ``min_df`` distinct
+    documents, keep the rest in original order, and return per-document
+    (doc_id, n_lines, n_kept, clean_text).
+
+    This is the line-level counterpart of exact_dedup_pick: instead of
+    dropping whole duplicate documents, it strips the repeated
+    NAV/footer/cookie-banner lines that web corpora share across
+    millions of pages while preserving each page's unique content.
+
+    Scale shape (100 TB): one hash-agg shuffle keyed by the line value
+    to compute document frequency, one equi-join of occurrences
+    against the KEPT-line set, one groupBy(doc_id) reassembly. The
+    join's fan-out is exactly 1 per occurrence row: hot boilerplate
+    lines are excluded from the kept set BEFORE the join, so the one
+    line shared by a billion pages never amplifies anything — the
+    skew-prone rows are precisely the dropped ones. Reassembly sorts
+    the kept (pos, line) structs per document with array_sort (no
+    per-group sort shuffle beyond the groupBy itself).
+
+    A document whose every line is boilerplate still yields a row
+    (n_kept = 0, clean_text = '') via the left join from the document
+    id set.
+    """
+    occ = line_occurrences(documents, text_col, id_col)
+    kept_lines = line_df(occ).filter(F.col("df") < min_df).select("line")
+    kept = occ.join(kept_lines, "line")
+    assembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

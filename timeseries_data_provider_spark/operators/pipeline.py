@@ -559,3 +559,88 @@ def write_training_shards(
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(path + "/manifest")
     return spark.read.parquet(path + "/manifest")
+
+
+def group_split(
+    documents: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    splits: tuple = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the SAME md5
+    hex-threshold rule as ``hash_split``, but keyed on a GROUP column
+    (source domain, site, author) instead of the row id — every row of
+    a group lands in the same split, so near-duplicate pages from one
+    domain can never straddle the train/test boundary and leak eval
+    content into training. The standard contamination defence when
+    row-level splitting is too fine.
+
+    Same properties as hash_split: pure per-row map (zero shuffle,
+    linear at 100 TB), engine-portable (lexicographic hex compare —
+    no rand(), no engine-specific hash), fractions apply to the GROUP
+    population (a heavy group tilts realized row fractions — inherent
+    to group-level splitting, not a defect). Returns
+    (id_col, group_col, split).
+    """
+    assigned = hash_split(
+        documents.select(F.col(group_col).alias("__g")).distinct(),
+        id_col="__g",
+        splits=splits,
+    )
+    # broadcast: distinct groups are a dimension-sized set (domains,
+    # sources), never corpus-sized.
+    return documents.select(id_col, group_col).join(
+        F.broadcast(assigned.withColumnRenamed("__g", group_col)),
+        group_col,
+    ).select(id_col, group_col, "split")
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict,
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: draw a corpus of ``total``
+    rows matching caller-specified per-group proportions (the "20%
+    code, 30% web, 50% books" knob of a training-data recipe). Each
+    group's quota is floor(weight/sum(weights) * total), capped at the
+    group's population; within a group, rows are picked by the same
+    md5(id) order as stratified_sample, so the draw is replayable from
+    ids alone and stable across runs, partitionings, and engines.
+
+    Groups absent from ``weights`` (or with weight 0) contribute
+    nothing. Quotas are plan-time literals (weights is driver-side
+    config, like every mixture recipe); the per-group pick is ONE
+    window shuffle partitioned by group — identical shape to
+    stratified_sample, linear in corpus size at 100 TB.
+
+    Returns (group_col, doc_id, rn) with rn = 1..quota within the
+    group — the same contract as stratified_sample with the quota rule
+    swapped from proportional to recipe-driven.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture weights must sum to > 0")
+    quota = F.create_map(
+        *[
+            x
+            for g, w in sorted(weights.items())
+            for x in (F.lit(g), F.lit(int(w / wsum * total)))
+        ]
+    )
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    return (
+        documents.select(
+            group_col,
+            id_col,
+            F.row_number().over(w).cast("long").alias("rn"),
+            quota[F.col(group_col)].alias("__q"),
+        )
+        .filter(F.col("rn") <= F.col("__q"))
+        .drop("__q")
+    )

@@ -863,3 +863,182 @@ def ivf_topk_sq8_from_layout(
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction for
+# retrieval): +/-1 Achlioptas signs, derived from md5 so the matrix is
+# reproducible in any engine -- the oracle rebuilds it from the same
+# (out_dim, dim, seed) triple and matches every projected value
+# bit-for-bit (both engines fold the dot left-to-right over doubles).
+
+
+def rp_signs(out_dim: int, dim: int, seed: str = "rp") -> list:
+    """The +/-1.0 projection matrix as ``out_dim`` rows of ``dim``
+    signs: row j, component i is +1 iff the first hex nibble of
+    md5("{seed}:{j}:{i}") is even. Pure Python (hashlib) so the SAME
+    matrix can be embedded as literals in the Spark plan and in the
+    oracle SQL -- no engine hash functions involved, no rand()."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def _project_expr(v: Column, signs: list) -> Column:
+    """array<double> projection of ``v``: component j = dot(v, signs[j])
+    (left-to-right fold -- FP-identical to the oracle's
+    list_dot_product)."""
+    return F.array(
+        *[
+            dot(v, F.array(*[F.lit(s) for s in row]))
+            for row in signs
+        ]
+    )
+
+
+def random_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int | None = None,
+    col: str = "embedding",
+    seed: str = "rp",
+    precision: str = "double",
+) -> DataFrame:
+    """Materialize the JL-projected index table: (vec_id, rp) with
+    ``rp`` an ``out_dim``-wide array. A pure per-row map -- zero
+    shuffle, linear at 100 TB -- and the written table is dim/out_dim
+    times smaller than the source vectors, so query-time candidate
+    scans read proportionally less IO (composable with int8
+    quantization for another 4x; see quantize_embeddings). The
+    projection matrix is a function of (seed, out_dim, dim) only, so a
+    query projected tomorrow matches an index written today.
+
+    ``precision='double'`` (default) keeps projected values
+    bit-identical to the inline rp_topk computation -- the
+    verification/oracle form. ``precision='float'`` halves the stored
+    bytes; candidate RANKING may then differ from the inline form in
+    ties near the cutoff (the re-rank stays exact float64 either way,
+    so returned sims are unaffected -- only candidate-set membership
+    at the margin)."""
+    if precision not in ("double", "float"):
+        raise ValueError(f"precision must be double|float, got {precision!r}")
+    if dim is None:
+        dim = embedding_dim(embeddings, col)
+    e = embeddings.select(
+        "vec_id", as_double(F.col(col)).alias("v")
+    )
+    e = _dim_checked(e, dim, "random_project")
+    proj = _project_expr(F.col("v"), rp_signs(out_dim, dim, seed))
+    if precision == "float":
+        proj = F.transform(proj, lambda x: x.cast("float"))
+    return e.select("vec_id", proj.alias("rp"))
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    out_dim: int = 16,
+    refine: int = 4,
+    dim: int | None = None,
+    projected: DataFrame | None = None,
+    seed: str = "rp",
+    fetch_by_id: bool = False,
+) -> DataFrame:
+    """ANN top-k via JL projection with exact re-rank: rank candidates
+    by cosine in the ``out_dim``-dimensional projected space, keep the
+    top ``k * refine``, then re-score exactly those candidates against
+    the full vector and return the exact top-k of the candidate set.
+
+    Two operating modes:
+    - ``projected=None`` (inline): one scan -- the projection rides the
+      row (the original vector is carried through the candidate
+      top-k), so no join back. The verification/oracle form.
+    - ``projected=`` a ``random_project`` output table: candidates come
+      from scanning ONLY the narrow projected table (dim/out_dim less
+      IO -- the 100 TB read path), then the tiny candidate id set is
+      joined back to the full vectors for the re-rank.
+
+    The re-rank join shapes (projected form):
+    - ``fetch_by_id=False`` (default, fully lazy): broadcast-hash join
+      of the candidate ids against the vector table. One plan, no
+      driver round-trip -- but a broadcast join cannot push its keys
+      into the parquet scan, so the re-rank SCANS the full vector
+      table (cheap locally, wrong at 100 TB).
+    - ``fetch_by_id=True``: materialize the <= k*refine candidate ids
+      (one bounded collect -- the same config-sized-collect pattern as
+      the IVF centroid set), then re-rank via ``isin(ids)``, which
+      reaches the parquet reader as a pushed row-group filter: with an
+      id-sorted/bucketed vector table the re-rank reads a handful of
+      row groups instead of the corpus. This is the production shape
+      -- measured in BASELINE.md §C (stress_round5 rp row).
+
+    Zero-norm projections (a vector orthogonal to every hyperplane, or
+    the zero vector) are excluded from candidates -- their projected
+    cosine is undefined, and NaN ordering differs across engines.
+    Both stages break ties on vec_id, so the candidate SET (not just
+    the final ranking) is deterministic and engine-reproducible.
+    """
+    signs = rp_signs(out_dim, dim_ := (dim or embedding_dim(embeddings)), seed)
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    q = qrow.select(
+        "qv", _project_expr(F.col("qv"), signs).alias("qp")
+    )
+    c = k * refine
+    psim = dot(F.col("p"), F.col("qp")) / F.sqrt(
+        dot(F.col("p"), F.col("p")) * dot(F.col("qp"), F.col("qp"))
+    )
+    norm_ok = (
+        dot(F.col("p"), F.col("p")) * dot(F.col("qp"), F.col("qp")) > 0
+    )
+    if projected is None:
+        e = embeddings.filter(F.col("vec_id") != query_vec_id).select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        e = _dim_checked(e, dim_, "rp_topk")
+        cand = (
+            e.withColumn("p", _project_expr(F.col("v"), signs))
+            .join(F.broadcast(q))
+            .filter(norm_ok)
+            .orderBy(psim.desc(), "vec_id")
+            .limit(c)
+        )
+    else:
+        scored = (
+            projected.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", as_double(F.col("rp")).alias("p"))
+            .join(F.broadcast(q))
+            .filter(norm_ok)
+            .orderBy(psim.desc(), "vec_id")
+            .limit(c)
+        )
+        if fetch_by_id:
+            ids = [r["vec_id"] for r in scored.select("vec_id").collect()]
+            fetched = embeddings.filter(F.col("vec_id").isin(ids))
+        else:
+            fetched = embeddings.join(
+                F.broadcast(scored.select("vec_id")), "vec_id"
+            )
+        cand = fetched.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).join(F.broadcast(q))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        cand.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )

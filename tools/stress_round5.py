@@ -13,6 +13,12 @@ incr    minhash_lsh_incremental: 320k-doc settled corpus, 10k-doc new
 shards  write_training_shards at 6.4M rows / 64 shards: one-shuffle
         write, exactly one file per shard, manifest == what landed,
         membership the pure id function.
+linededup  line_dedup at 3.2M docs x 10 lines with two df=3.2M
+        boilerplate lines — the fan-out-1 join shape under a
+        maximally hot key.
+rp      rp_topk at 6.4M dim-64 vectors: JL 64->16 index build, bytes
+        vs the float table, query time vs brute, recall@10 at
+        refine 4/16.
 
 Usage: python tools/stress_round5.py [incr|shards ...]
 """
@@ -434,12 +440,214 @@ def probe_cc(spark) -> None:
     )
 
 
+def probe_linededup(spark) -> None:
+    """line_dedup at 3.2M docs x 10 lines (32M line occurrences):
+    two boilerplate lines shared by EVERY doc (df = 3.2M — the
+    maximally hot key), a nav line shared by each 1000-doc group, and
+    7 unique lines per doc. Asserts every doc keeps exactly its 7
+    unique lines in original order — and the wall time demonstrates
+    the fan-out-1 join shape: the df=3.2M lines never amplify
+    anything because they are dropped from the kept set BEFORE the
+    join."""
+    n = int(os.environ.get("STRESS_N_LINEDOCS", 3_200_000))
+    docs_path = WORK + "/linedocs.parquet"
+    if not os.path.exists(docs_path + "/_SUCCESS"):
+        sid = F.col("doc_id").cast("string")
+        page = F.concat_ws(
+            "\n",
+            F.lit("all rights reserved footer"),
+            F.lit("accept cookies to continue"),
+            F.concat(F.lit("nav group "), (F.col("doc_id") % 1000).cast("string")),
+            *[
+                F.concat(F.lit(f"unique line {k} of doc "), sid)
+                for k in range(7)
+            ],
+        )
+        (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"), page.alias("text"))
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+    docs = spark.read.parquet(docs_path)
+
+    t0 = time.perf_counter()
+    out = dedup.line_dedup(docs, min_df=2)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.min("n_lines").alias("min_l"),
+        F.max("n_lines").alias("max_l"),
+        F.min("n_kept").alias("min_k"),
+        F.max("n_kept").alias("max_k"),
+    ).first()
+    sec = round(time.perf_counter() - t0, 2)
+    assert stats["docs"] == n, stats
+    assert stats["min_l"] == stats["max_l"] == 10, stats
+    assert stats["min_k"] == stats["max_k"] == 7, stats
+    sample = out.filter(F.col("doc_id") == 12345).first()
+    expect = "\n".join(f"unique line {k} of doc 12345" for k in range(7))
+    assert sample["clean_text"] == expect, sample["clean_text"]
+    _emit(
+        "line_dedup",
+        docs=n,
+        line_occurrences=10 * n,
+        hottest_line_df=n,
+        dedup_s=sec,
+        kept_per_doc=7,
+        order_preserved=True,
+    )
+
+
+def probe_rp(spark) -> None:
+    """rp_topk at 6.4M dim-64 vectors with 10 PLANTED true neighbors
+    of the query (cosine ~0.99 vs a ~0.35 noise ceiling — the regime
+    retrieval actually serves; an earlier draft measured recall on the
+    noise extremes themselves, where the brute top-10 are separated by
+    ~1e-3 and NO 16-dim sketch can rank them, recall ~0 by
+    information-theoretic necessity — that number said 'wrong
+    evaluation', not 'broken operator'). Materializes the float32
+    16-dim JL index once, compares query time scanning the NARROW
+    index (+ broadcast re-rank of k*refine candidates) against brute
+    force over the full float column, asserts recall = 1.0 on the
+    planted neighbors at refine=16, and asserts every returned sim
+    equals the exact cosine (the re-rank is exact by construction)."""
+    from timeseries_data_provider_spark.operators import similarity
+
+    n = int(os.environ.get("STRESS_N_RPVECS", 6_400_000))
+    vec_path = WORK + "/vec64p.parquet"
+    if not os.path.exists(vec_path + "/_SUCCESS"):
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                (F.pmod(F.hash(F.col("vec_id"), j), F.lit(2000)) - 1000)
+                / 1000.0
+            ).cast("float"),
+        )
+        noise = spark.range(n).select(
+            F.col("id").alias("vec_id"), comp.alias("embedding")
+        )
+        # planted neighbors of vec 0: same direction, one component
+        # nudged per neighbor -> cosine ~0.99, far above the noise
+        # ceiling. Ids n..n+9.
+        base = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                (F.pmod(F.hash(F.lit(0).cast("bigint"), j), F.lit(2000)) - 1000) / 1000.0
+            ).cast("float"),
+        )
+        planted = (
+            spark.range(10)
+            .select((F.col("id") + n).alias("vec_id"), base.alias("b"))
+            .select(
+                "vec_id",
+                F.transform(
+                    F.col("b"),
+                    lambda x, i: (
+                        x
+                        + F.when(
+                            i == (F.col("vec_id") % 64).cast("int"), F.lit(0.5)
+                        ).otherwise(F.lit(0.0))
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+        noise.unionByName(planted).write.mode("overwrite").parquet(vec_path)
+    vecs = spark.read.parquet(vec_path)
+
+    idx_path = WORK + "/rp_index.parquet"
+    t0 = time.perf_counter()
+    similarity.random_project(
+        vecs, out_dim=16, dim=64, precision="float"
+    ).write.mode("overwrite").parquet(idx_path)
+    index_build_s = round(time.perf_counter() - t0, 2)
+    proj = spark.read.parquet(idx_path)
+
+    def _du(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+        )
+
+    # min of two passes, mirroring bench.py: one JIT/page-cache warm
+    # pass per plan shape, or the first-run compile cost lands on
+    # whichever variant happens to go first.
+    brute_s = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        brute = {
+            r["vec_id"]: r["sim"]
+            for r in similarity.cosine_topk(vecs, 0, k=10).collect()
+        }
+        dt = round(time.perf_counter() - t0, 2)
+        brute_s = dt if brute_s is None else min(brute_s, dt)
+    planted_ids = {n + i for i in range(10)}
+    assert set(brute) == planted_ids, (
+        "planted neighbors must BE the brute top-10",
+        sorted(brute),
+    )
+
+    res = {}
+    for refine in (4, 16):
+        sec = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = {
+                r["vec_id"]: r["sim"]
+                for r in similarity.rp_topk(
+                    vecs, 0, k=10, out_dim=16, refine=refine, dim=64,
+                    projected=proj,
+                ).collect()
+            }
+            dt = round(time.perf_counter() - t0, 2)
+            sec = dt if sec is None else min(sec, dt)
+        for vid, sim in got.items():
+            if vid in brute:
+                assert sim == brute[vid], (vid, sim, brute[vid])
+        res[refine] = {
+            "query_s": sec,
+            "recall_at_10": len(set(got) & planted_ids) / 10.0,
+        }
+    assert res[16]["recall_at_10"] == 1.0, res
+
+    # production re-rank shape: candidate ids fetched via a pushed
+    # isin() row-group filter instead of a broadcast join that rescans
+    # the whole vector table (see rp_topk docstring).
+    fetch_s = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        got_f = {
+            r["vec_id"]: r["sim"]
+            for r in similarity.rp_topk(
+                vecs, 0, k=10, out_dim=16, refine=16, dim=64,
+                projected=proj, fetch_by_id=True,
+            ).collect()
+        }
+        dt = round(time.perf_counter() - t0, 2)
+        fetch_s = dt if fetch_s is None else min(fetch_s, dt)
+    assert got_f == got, "fetch_by_id changed the result"
+    res["fetch_by_id"] = {"query_s": fetch_s, "recall_at_10": 1.0}
+    _emit(
+        "rp_topk",
+        vectors=n + 10,
+        dim=64,
+        out_dim=16,
+        index_build_s=index_build_s,
+        index_bytes=_du(idx_path),
+        float_table_bytes=_du(vec_path),
+        brute_query_s=brute_s,
+        refine4=res[4],
+        refine16=res[16],
+        fetch_by_id=res["fetch_by_id"],
+    )
+
+
 PROBES = {
     "incr": probe_incr,
     "shards": probe_shards,
     "sq8": probe_sq8,
     "ivfsq8": probe_ivfsq8,
     "cc": probe_cc,
+    "linededup": probe_linededup,
+    "rp": probe_rp,
 }
 
 
