@@ -432,7 +432,34 @@ def q36_sketch_verdicts(spark, sf):
 
 
 def q42_percentiles(spark, sf):
-    return aggregates.value_percentiles(_t(spark, sf, "events"))
+    """Exact per-series percentiles UNION-tagged (r5) with the exact
+    equi-depth histogram (aggregates.equi_depth_histogram — ntile over
+    the deterministic (value, event_id) total order, so per-bucket
+    counts and boundaries are engine-portable and hash-scorable).
+    Contract: (src, event_type, p50, p90, bucket, n, lo, hi); each
+    branch NULLs the other's columns."""
+    ev = _t(spark, sf, "events")
+    pct = aggregates.value_percentiles(ev).select(
+        F.lit("pct").alias("src"),
+        "event_type",
+        "p50",
+        "p90",
+        F.lit(None).cast("long").alias("bucket"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+    )
+    hist = aggregates.equi_depth_histogram(ev, buckets=10).select(
+        F.lit("hist").alias("src"),
+        "event_type",
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p90"),
+        "bucket",
+        "n",
+        "lo",
+        "hi",
+    )
+    return pct.unionByName(hist)
 
 
 def q43_daily_users(spark, sf):
@@ -1407,11 +1434,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, ROUND(y, 6) AS ewma FROM r
         """,
+        # The hist branch replays ntile over the SAME (value, event_id)
+        # total order — ties split identically in any engine, so bucket
+        # counts and min/max boundaries are exact, not approximate.
         "q42_percentiles": """
-            SELECT event_type,
+            SELECT 'pct' AS src, event_type,
                    ROUND(quantile_cont(value, 0.5), 6) AS p50,
-                   ROUND(quantile_cont(value, 0.9), 6) AS p90
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   CAST(NULL AS BIGINT) AS bucket,
+                   CAST(NULL AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS lo,
+                   CAST(NULL AS DOUBLE) AS hi
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'hist' AS src, event_type,
+                   CAST(NULL AS DOUBLE) AS p50,
+                   CAST(NULL AS DOUBLE) AS p90,
+                   bucket, COUNT(*) AS n,
+                   MIN(value) AS lo, MAX(value) AS hi
+            FROM (
+              SELECT event_type, value,
+                     CAST(ntile(10) OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id
+                     ) AS BIGINT) AS bucket
+              FROM events) t
+            GROUP BY event_type, bucket
         """,
         "q43_daily_users": """
             SELECT strftime(ts, '%Y-%m-%d') AS d,

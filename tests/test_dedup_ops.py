@@ -312,3 +312,25 @@ def test_line_df_counts_documents_not_occurrences(spark):
     occ = dedup.line_occurrences(df)
     dfreq = {r["line"]: r["df"] for r in dedup.line_df(occ).collect()}
     assert dfreq == {"x": 2, "y": 1}
+
+
+def test_drop_near_dups_keeps_one_representative_per_cluster(spark):
+    from timeseries_data_provider_spark.operators import dedup
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),       # dup of 0
+        (2, "alpha beta gamma delta epsilon eta"),        # near-dup of 0/1
+        (3, "totally different words entirely here now"),
+        (4, "another unrelated document with fresh text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.drop_near_dups(df, threshold=0.5, max_df=None).collect()
+    )
+    # cluster {0,1,2} -> representative 0; 3 and 4 unclustered
+    assert kept == [0, 3, 4]
+    # original columns survive
+    out = dedup.drop_near_dups(df, threshold=0.5, max_df=None)
+    assert set(out.columns) == {"doc_id", "text"}

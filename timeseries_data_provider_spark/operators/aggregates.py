@@ -332,3 +332,46 @@ def approx_percentiles_verdict(
         _band_ok(a[0], p[0], p[2]).alias("p50_ok"),
         _band_ok(a[1], p[3], p[5]).alias("p90_ok"),
     )
+
+
+def equi_depth_histogram(
+    events: DataFrame,
+    buckets: int = 10,
+    value_col: str = "value",
+    series_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram per series: ntile buckets
+    over a deterministic total order, per-bucket (n, lo, hi). The
+    ANALYZE-style data-profiling primitive — equal-count bucket
+    boundaries are what optimizers and drift monitors want from a
+    value column, where an equal-WIDTH histogram collapses under skew.
+
+    Determinism contract: ntile splits ties by row order, so the
+    window orders by (value, id) — a total order both engines
+    reproduce — making per-bucket counts AND boundaries
+    engine-portable (hash-scorable), not just approximately equal.
+
+    Plan: one window shuffle (partition by series, sort) + one hash
+    aggregate. The per-series sort is the honest cost of EXACT
+    equi-depth buckets; at 100 TB profile scale prefer
+    ``approx_value_percentiles`` (GK sketch) for boundary estimates
+    without a total sort — this exact form is the oracle-able
+    profiling/verification form, same split as exact vs HLL++
+    distinct counts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(series_col).orderBy(value_col, id_col)
+    return (
+        events.select(
+            series_col,
+            value_col,
+            F.ntile(buckets).over(w).cast("long").alias("bucket"),
+        )
+        .groupBy(series_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )

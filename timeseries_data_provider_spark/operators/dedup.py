@@ -827,3 +827,42 @@ def line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def drop_near_dups(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = 1000,
+    algorithm: str = "min_label",
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL — the step after detection: cluster
+    near-duplicates (``neardup_clusters``) and keep exactly one
+    representative per cluster (the minimum doc id, i.e. the cluster
+    label itself) plus every unclustered document. Returns the
+    surviving rows of ``documents`` with their original columns.
+
+    This closes the detect → decide → drop loop as one declarative
+    plan: callers who only want the survivor set never touch pair
+    lists or labels. Keep rule: a clustered doc survives iff
+    ``doc_id == cluster_id`` (connected_components labels every member
+    with the cluster MINIMUM, so the representative is self-labeled —
+    no extra per-cluster aggregate needed); docs in no pair never
+    enter the label table and survive via the left join's NULL side.
+
+    Scale shape: the cost is the detection + closure (see
+    neardup_clusters); the final step adds ONE left join keyed by
+    doc_id and a null-or-equal filter.
+    """
+    labels = neardup_clusters(
+        documents, n=n, threshold=threshold, max_df=max_df,
+        algorithm=algorithm,
+    )
+    return (
+        documents.join(labels, "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .drop("cluster_id")
+    )

@@ -53,6 +53,7 @@ def stratified_sample(
     strata_col: str = "lang",
     fraction: float = 0.2,
     id_col: str = "doc_id",
+    seed: str = "",
 ) -> DataFrame:
     """Proportional stratified sample: ceil(fraction * |stratum|) rows
     per stratum, picked by a deterministic hash order (md5 of the id) so
@@ -62,8 +63,13 @@ def stratified_sample(
 
     One shuffle (window partition on the stratum); returns
     (strata, doc_id, rn) with rn = 1..k within the stratum.
+
+    ``seed`` prefixes the hashed key: different seeds draw
+    independent-looking samples (epoch 2 of a training mix, an A/B
+    holdout re-draw) while staying fully deterministic; the default ""
+    reproduces the historical draw.
     """
-    key = F.md5(F.col(id_col).cast("string"))
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     w = Window.partitionBy(strata_col).orderBy(key, id_col)
     k = F.ceil(
         F.count(F.lit(1)).over(Window.partitionBy(strata_col)) * F.lit(fraction)
@@ -457,6 +463,7 @@ def weighted_sample(
     weight_col: str,
     k: int = 100,
     id_col: str = "doc_id",
+    seed: str = "",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis A-ES): each row gets key = u^(1/w) with u a
@@ -475,7 +482,13 @@ def weighted_sample(
     """
     u = (
         F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(16**12))
@@ -601,6 +614,7 @@ def mixture_sample(
     total: int,
     group_col: str = "source",
     id_col: str = "doc_id",
+    seed: str = "",
 ) -> DataFrame:
     """Deterministic data-mixture sampling: draw a corpus of ``total``
     rows matching caller-specified per-group proportions (the "20%
@@ -632,7 +646,7 @@ def mixture_sample(
             for x in (F.lit(g), F.lit(int(w / wsum * total)))
         ]
     )
-    key = F.md5(F.col(id_col).cast("string"))
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(key, id_col)
     return (
         documents.select(
