@@ -40,6 +40,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # id-fetch patterns (rp_topk fetch_by_id, shard-manifest readers)
+    # push isin() candidate sets to parquet; above this threshold
+    # Spark silently degrades the pushed In filter to a min/max RANGE,
+    # which skips nothing when the ids are scattered — measured 2.77 s
+    # / 6.38M rows decoded at threshold 10 vs 0.65 s / 3.2M rows at
+    # 1000 for a 160-id fetch over a 6.4M-row id-sorted table
+    # (BASELINE.md §C rp row).
+    "spark.sql.parquet.pushdown.inFilterThreshold": "1000",
 }
 
 # Additional perf confs only settable at session build time.

@@ -610,21 +610,30 @@ def probe_rp(spark) -> None:
 
     # production re-rank shape: candidate ids fetched via a pushed
     # isin() row-group filter instead of a broadcast join that rescans
-    # the whole vector table (see rp_topk docstring).
+    # the whole vector table (see rp_topk docstring). scan_stats
+    # records rows the reader actually DECODED — row-group skipping
+    # evidence that warm-cache wall time cannot show.
+    from timeseries_data_provider_spark import planstats
+
     fetch_s = None
     for _ in range(2):
         t0 = time.perf_counter()
-        got_f = {
-            r["vec_id"]: r["sim"]
-            for r in similarity.rp_topk(
-                vecs, 0, k=10, out_dim=16, refine=16, dim=64,
-                projected=proj, fetch_by_id=True,
-            ).collect()
-        }
+        fdf = similarity.rp_topk(
+            vecs, 0, k=10, out_dim=16, refine=16, dim=64,
+            projected=proj, fetch_by_id=True,
+        )
+        got_f = {r["vec_id"]: r["sim"] for r in fdf.collect()}
         dt = round(time.perf_counter() - t0, 2)
         fetch_s = dt if fetch_s is None else min(fetch_s, dt)
     assert got_f == got, "fetch_by_id changed the result"
-    res["fetch_by_id"] = {"query_s": fetch_s, "recall_at_10": 1.0}
+    fetch_decoded = max(
+        s["output_rows"] for s in planstats.scan_stats(fdf)
+    )
+    res["fetch_by_id"] = {
+        "query_s": fetch_s,
+        "recall_at_10": 1.0,
+        "rerank_rows_decoded": fetch_decoded,
+    }
     _emit(
         "rp_topk",
         vectors=n + 10,
