@@ -601,9 +601,28 @@ def q58_winnow_fingerprints(spark, sf):
 
 
 def q59_curate(spark, sf):
-    # Composed curation pipeline: lang filter + quality gate +
-    # exact-dedup keep, one declarative plan.
-    return pipeline.curate(_t(spark, sf, "documents"), lang="en", min_score=0.5)
+    """Composed curation pipeline (lang filter + quality gate +
+    exact-dedup keep, one declarative plan) UNION-tagged (r5) with
+    token-BUDGET selection (pipeline.budget_select — 'the best 20k
+    tokens': per-score histogram cut + marginal-class window, never a
+    global sort; the oracle verifies it against the naive
+    global-window prefix rule, proving the two-phase plan selects the
+    identical rows). Contract: (src, doc_id, score, n_tokens); the
+    curate branch NULLs the budget columns. Construction note: the
+    budget branch's histogram cut runs one aggregate job eagerly at
+    DataFrame-construction time (config-sized driver collect, same
+    class as the IVF centroid set)."""
+    d = _t(spark, sf, "documents")
+    kept = pipeline.curate(d, lang="en", min_score=0.5).select(
+        F.lit("kept").alias("src"),
+        "doc_id",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("long").alias("n_tokens"),
+    )
+    budget = pipeline.budget_select(d, token_budget=20_000).select(
+        F.lit("budget").alias("src"), "doc_id", "score", "n_tokens"
+    )
+    return kept.unionByName(budget)
 
 
 def q60_cohort_retention(spark, sf):
@@ -1731,25 +1750,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, fp FROM win WHERE i >= 4
         """,
-        "q59_curate": """
+        # The budget branch is the NAIVE form of budget_select — one
+        # global window prefix — so the oracle proves the engine's
+        # two-phase histogram-cut plan selects identical rows. The
+        # token count uses the pipeline.tokens splitter (explicit
+        # whitespace class, empty tokens dropped), not the plain
+        # single-space split the score uses.
+        "q59_curate": r"""
             WITH x AS (
-              SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
-              FROM documents WHERE lang = 'en'
+              SELECT doc_id, text, lang, n_chars,
+                     string_split(text, ' ') AS w
+              FROM documents
             ), y AS (
-              SELECT doc_id, text,
+              SELECT doc_id, text, lang,
                      len(list_filter(w, t -> t IN ('the','a','of','and','to',
                                                    'in','is','it')))::DOUBLE
                        / len(w) AS stop_ratio,
                      len(list_distinct(w))::DOUBLE / len(w) AS ttr,
                      least(n_chars::DOUBLE / 500.0, 1.0) AS length_factor
               FROM x
-            ), scored AS (
-              SELECT doc_id, text
+            ), ys AS (
+              SELECT doc_id, text, lang,
+                     ROUND(0.5 * ttr + 0.3 * (1.0 - stop_ratio)
+                           + 0.2 * length_factor, 6) AS score
               FROM y
-              WHERE ROUND(0.5 * ttr + 0.3 * (1.0 - stop_ratio)
-                          + 0.2 * length_factor, 6) >= 0.5
+            ), kept AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM ys WHERE lang = 'en' AND score >= 0.5
+              GROUP BY sha256(text)
+            ), toks AS (
+              SELECT doc_id, score,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(text,
+                         '[ \t\n\x0B\f\r]+'),
+                       t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM ys
+            ), pref AS (
+              SELECT doc_id, score, n_tokens,
+                     SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM toks
             )
-            SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY sha256(text)
+            SELECT 'kept' AS src, doc_id,
+                   CAST(NULL AS DOUBLE) AS score,
+                   CAST(NULL AS BIGINT) AS n_tokens
+            FROM kept
+            UNION ALL
+            SELECT 'budget' AS src, doc_id, score, n_tokens
+            FROM pref WHERE cum <= 20000
         """,
         "q60_cohort_retention": """
             WITH f AS (

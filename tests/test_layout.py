@@ -282,3 +282,54 @@ def test_ivf_sq8_layout_probe_prunes_columns_and_partitions(spark, tmp_path):
     similarity.write_ivf_layout(e, path2, num_centroids=8)
     with pytest.raises(ValueError, match="no code columns"):
         similarity.ivf_topk_sq8_from_layout(spark, path2, qvec)
+
+
+def test_range_clustered_layout_skips_row_groups(spark, tmp_path):
+    """write_range_clustered: a point/range predicate on the cluster
+    column decodes a small fraction of the table; the same data
+    written hash-scattered decodes everything. Measured via executed-
+    plan scan metrics (planstats) — cache-independent."""
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark import planstats, tables
+
+    n = 400_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    tables.write_range_clustered(
+        df, clustered, ["k"], num_files=8, row_group_bytes=1024 * 1024
+    )
+    # scattered control: same rows, order destroyed by hashing the key
+    (
+        df.repartition(8, F.md5(F.col("k").cast("string")))
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1024 * 1024)
+        .parquet(scattered)
+    )
+
+    def decoded(path):
+        q = (
+            spark.read.parquet(path)
+            .filter((F.col("k") >= 100_000) & (F.col("k") < 101_000))
+            .select("k")
+        )
+        assert q.count() == 1_000
+        q.collect()
+        return max(s["output_rows"] for s in planstats.scan_stats(q))
+
+    d_clustered = decoded(clustered)
+    d_scattered = decoded(scattered)
+    # clustered: the 1k-row slice lives in one narrow range of one
+    # file — decoding must skip the overwhelming majority of rows.
+    # The scattered control still skips SOME pages (hash repartition
+    # preserves ascending runs within each output partition, so page
+    # min/max are not maximally wide) — the pinned claim is relative:
+    # clustering must beat the scattered layout by a wide margin.
+    assert d_clustered <= n * 0.06, d_clustered
+    assert d_scattered >= 5 * d_clustered, (d_scattered, d_clustered)
+    # readback is lossless
+    assert spark.read.parquet(clustered).count() == n

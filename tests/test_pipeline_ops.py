@@ -556,3 +556,43 @@ def test_equi_depth_histogram_invariants(spark):
         # boundaries are monotone across buckets
         for a, b in zip(rows, rows[1:]):
             assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) == 0.0
+
+
+def test_budget_select_matches_naive_prefix_rule(spark):
+    from pyspark.sql import Window
+
+    from timeseries_data_provider_spark.operators import pipeline
+    from timeseries_data_provider_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(SF_T2 + "/documents.parquet")
+    budget = 20_000
+    got = pipeline.budget_select(docs, budget)
+    rows = got.collect()
+    assert sum(r["n_tokens"] for r in rows) <= budget
+    # equivalence with the naive global-window prefix rule
+    scored = quality_score(docs).select("doc_id", "score").join(
+        docs.select(
+            "doc_id",
+            F.size(pipeline.tokens("text")).cast("long").alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    w = (
+        Window.orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        scored.select("doc_id", F.sum("n_tokens").over(w).alias("cum"))
+        .filter(F.col("cum") <= budget)
+    )
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in naive.collect()
+    )
+    # maximality: no further doc fits (the next-best doc would overflow)
+    # and a huge budget selects everything
+    assert pipeline.budget_select(docs, 10**9).count() == docs.count()
+    assert pipeline.budget_select(docs, 0).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="token_budget"):
+        pipeline.budget_select(docs, -1)

@@ -171,3 +171,31 @@ def test_declared_contract_is_exactly_fifty_with_full_oracles():
         f"orphan-oracles={sorted(set(oracles) - set(qs))}"
     )
     assert entrymod.NON_BENCH <= set(qs)
+
+
+def test_line_dedup_joins_are_equi_only(spark):
+    """Cross-document line dedup must plan as hash-agg + equi-joins:
+    no NestedLoop/Cartesian anywhere (the hot boilerplate lines are
+    excluded from the kept set BEFORE the join, so the plan has no
+    skew-amplifying stage to hide)."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import dedup
+
+    docs = tables.load_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(dedup.line_dedup(docs, min_df=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_rp_topk_inline_is_single_scan_topk(spark):
+    """The inline JL-projection top-k must keep the candidate stage a
+    distributed partial top-k (TakeOrderedAndProject), with the
+    projection riding the scan — no shuffle of the scored table."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    plan = explain_str(similarity.rp_topk(e, 0, k=10, out_dim=8))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -91,3 +91,53 @@ def test_random_retention_cutoff(spark, duck_events, d, s):
         f"SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '{cs}'"
     ).fetchone()[0]
     assert n_spark == n_oracle
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["footer", "banner", "alpha", "beta", "gamma",
+                 "delta x", "", "  spaced  "]
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_df=st.integers(min_value=1, max_value=4),
+)
+def test_line_dedup_matches_python_reference(spark, docs, min_df):
+    """line_dedup vs an independent in-Python reference over random
+    multi-line documents (duplicate lines within and across docs,
+    empty lines, whitespace-only lines)."""
+    from timeseries_data_provider_spark.operators import dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+
+    # reference: df = number of DISTINCT docs containing the line
+    from collections import Counter
+
+    df_count = Counter()
+    for i, text in rows:
+        for line in set(text.split("\n")):
+            df_count[line] += 1
+    expect = {}
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [l for l in lines if df_count[l] < min_df]
+        expect[i] = (len(lines), len(kept), "\n".join(kept))
+
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in dedup.line_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), min_df=min_df
+        ).collect()
+    }
+    assert out == expect

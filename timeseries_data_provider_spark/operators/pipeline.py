@@ -658,3 +658,70 @@ def mixture_sample(
         .filter(F.col("rn") <= F.col("__q"))
         .drop("__q")
     )
+
+
+def budget_select(
+    documents: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus selection — "take the best documents until
+    the budget is full": rank docs by (quality score DESC, id) and keep
+    the maximal prefix whose cumulative token count fits
+    ``token_budget``. The final sizing knob of a corpus build ("the
+    best 1B tokens"), selecting greedily by quality.
+
+    NOT a global sort: the selection rule is evaluated in two exact
+    phases. (1) One hash aggregate builds the per-score token
+    histogram — quality scores are rounded to 6 dp in [0, 1], so the
+    histogram is bounded at ~1e6 rows regardless of corpus size (a
+    config-sized driver collect, same class as the IVF centroid set) —
+    and the driver walks it to find the cutoff score: every doc
+    scoring ABOVE the cutoff is selected outright with zero ordering.
+    (2) Only the single marginal score class is ordered (by id, one
+    bounded window) and cut at the remaining budget. The result is
+    row-identical to the naive global-window prefix rule (the oracle
+    computes exactly that), without ever sorting the corpus.
+
+    Returns the selected rows as (doc_id, score, n_tokens).
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    from timeseries_data_provider_spark.operators.text import quality_score
+
+    scored = quality_score(documents).select(id_col, "score").join(
+        documents.select(
+            id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+        ),
+        id_col,
+    )
+    hist = sorted(
+        scored.groupBy("score").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: -r["score"],
+    )
+    cum = 0
+    cutoff = None
+    remaining = token_budget
+    for r in hist:
+        if cum + r["t"] <= token_budget:
+            cum += r["t"]
+        else:
+            cutoff = r["score"]
+            remaining = token_budget - cum
+            break
+    if cutoff is None:
+        return scored  # the whole corpus fits the budget
+    full = scored.filter(F.col("score") > cutoff)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marginal = (
+        scored.filter(F.col("score") == cutoff)
+        .select("*", F.sum("n_tokens").over(w).alias("__cum"))
+        .filter(F.col("__cum") <= remaining)
+        .drop("__cum")
+    )
+    return full.unionByName(marginal)

@@ -119,3 +119,38 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 32,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Persist a frame RANGE-CLUSTERED on ``cluster_cols``: global
+    range partitioning (repartitionByRange — one sampling pass + one
+    shuffle) followed by an in-file sort on the same columns, so every
+    file AND every parquet row group covers a narrow, disjoint slice
+    of the clustering key space. Point lookups and range scans on the
+    clustering columns then skip almost everything via footer min/max
+    stats — the complementary layout to ``write_bucketed`` (bucketing
+    co-locates equi-JOIN keys but randomizes order inside buckets, so
+    it wins joins and loses range scans; range clustering is the
+    reverse). This is the layout that makes ``rp_topk(fetch_by_id=
+    True)``-style id fetches and time-slice reads cheap at 100 TB.
+
+    ``row_group_bytes`` caps parquet row-group size (the
+    ``parquet.block.size`` writer option) — smaller groups = finer
+    skipping granularity at slightly more footer overhead (the knob to
+    turn when fetches decode too much; see BASELINE.md §C rp row).
+    Skipping is MEASURED, not assumed: tests/test_layout.py pins
+    decoded-row counts via planstats.scan_stats on clustered vs
+    unclustered copies of the same data.
+    """
+    out = df.repartitionByRange(num_files, *cluster_cols)
+    out = out.sortWithinPartitions(*cluster_cols)
+    writer = out.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", row_group_bytes)
+    writer.parquet(path)
