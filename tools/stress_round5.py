@@ -649,6 +649,93 @@ def probe_rp(spark) -> None:
     )
 
 
+def probe_curation(spark) -> None:
+    """The round-5 curation trio at 3.2M docs / 1000 source domains:
+    group_split (zero-shuffle map + broadcast of 1000 distinct
+    groups — asserts NO source straddles a split), mixture_sample
+    (1M-row draw against a 1000-entry recipe — one window shuffle),
+    and budget_select (10M-token cut — the driver-side histogram stays
+    config-sized: distinct 6-dp scores, NOT corpus rows; asserts the
+    selected token total is within one doc of the budget)."""
+    n = int(os.environ.get("STRESS_N_CURDOCS", 3_200_000))
+    path = WORK + "/curdocs.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        words = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.pmod(F.hash("doc_id"), F.lit(30)) + F.lit(10),
+                ),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.hash(F.col("doc_id"), j), F.lit(50)).cast(
+                        "string"
+                    ),
+                ),
+            ),
+        )
+        (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"))
+            .select(
+                "doc_id",
+                words.alias("text"),
+                F.concat(
+                    F.lit("dom"),
+                    F.pmod(F.hash("doc_id"), F.lit(1000)).cast("string"),
+                ).alias("source"),
+                F.length(words).alias("n_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    docs = spark.read.parquet(path)
+
+    t0 = time.perf_counter()
+    gs = pipeline.group_split(docs)
+    leak = (
+        gs.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("m"))
+        .first()["m"]
+    )
+    rows = gs.count()
+    gs_s = round(time.perf_counter() - t0, 2)
+    assert rows == n and leak == 1, (rows, leak)
+
+    recipe = {f"dom{i}": float(i % 5 + 1) for i in range(1000)}
+    t0 = time.perf_counter()
+    drawn = pipeline.mixture_sample(docs, recipe, total=1_000_000).count()
+    ms_s = round(time.perf_counter() - t0, 2)
+    # floor rounding loses < 1 row per group
+    assert 1_000_000 - 1000 <= drawn <= 1_000_000, drawn
+
+    budget = 10_000_000
+    t0 = time.perf_counter()
+    sel = pipeline.budget_select(docs, token_budget=budget)
+    tot = sel.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("d")
+    ).first()
+    bs_s = round(time.perf_counter() - t0, 2)
+    assert tot["t"] <= budget, tot
+    # maximality: within one max-length doc of the budget
+    assert budget - tot["t"] <= 50, tot
+
+    _emit(
+        "curation_trio",
+        docs=n,
+        domains=1000,
+        group_split_s=gs_s,
+        group_split_leak_free=True,
+        mixture_draw_s=ms_s,
+        mixture_rows=drawn,
+        budget_select_s=bs_s,
+        budget_tokens=int(tot["t"]),
+        budget_docs=int(tot["d"]),
+    )
+
+
 PROBES = {
     "incr": probe_incr,
     "shards": probe_shards,
@@ -657,6 +744,7 @@ PROBES = {
     "cc": probe_cc,
     "linededup": probe_linededup,
     "rp": probe_rp,
+    "curation": probe_curation,
 }
 
 
