@@ -191,3 +191,54 @@ def test_collector_replay_matches_hand_trace(spark, tmp_path):
         want = expect(ord_, step)
         got = {k: out[name][k] for k in want}
         assert got == want, (name, got, want)
+
+
+def test_corpus_ingest_stream_incremental_dedup(spark, tmp_path):
+    """File-source corpus ingestion: two waves of JSON document files
+    through ingest_documents_stream — wave 2 contains an exact copy of
+    a wave-1 doc (must be dropped via the SIGNATURE INDEX, the settled
+    text is never re-read) and an in-batch twin pair (lower id kept).
+    The signature index grows by exactly the accepted docs, so wave 3
+    would see waves 1+2 as corpus."""
+    import json as _json
+
+    from timeseries_data_provider_spark.streaming.corpus_ingest import (
+        ingest_documents_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    root = str(tmp_path / "corpus")
+
+    def write_wave(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    t_c = "red orange yellow green blue indigo violet and more"
+    write_wave("wave1.json", [(1, t_a), (2, t_b)])
+
+    q = ingest_documents_stream(spark, str(src), root, min_est=1.0)
+    try:
+        q.processAllAvailable()
+        # wave 2: 3 = copy of doc 1 (corpus dup), 4/5 = in-batch twins,
+        # 6 = fresh
+        write_wave("wave2.json", [(3, t_a), (4, t_c), (5, t_c), (6, t_b + " extra")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    docs = {
+        r["doc_id"] for r in spark.read.parquet(root + "/docs").collect()
+    }
+    assert docs == {1, 2, 4, 6}, docs  # 3 (corpus dup) and 5 (twin) dropped
+    sigs = spark.read.parquet(root + "/signatures")
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == docs
+    dups = spark.read.parquet(root + "/dups").collect()
+    got = {(r["doc_a"], r["doc_b"], r["source"]) for r in dups}
+    assert (1, 3, "corpus") in got, got
+    assert (4, 5, "batch") in got, got
+    for r in dups:
+        assert r["est_jaccard"] == 1.0

@@ -1,0 +1,154 @@
+"""Streaming corpus ingestion with incremental dedup maintenance.
+
+The arrival path of a growing training corpus: document batches land
+as files (the standard hand-off from crawlers/exporters), a file-source
+stream picks them up, and every micro-batch runs
+``dedup.minhash_lsh_incremental`` against the PERSISTED signature
+index — so each new document is checked against the entire settled
+corpus without ever re-reading the settled text — then appends:
+
+- accepted documents  -> ``<root>/docs``      (parquet)
+- their signatures    -> ``<root>/signatures`` (the index maintenance
+  step: the next batch sees this batch as corpus)
+- detected dup pairs  -> ``<root>/dups``      (audit trail)
+
+Batches are processed through ``foreachBatch``: inside the hook the
+micro-batch is a plain DataFrame, so the exact batch operator is
+reused — no re-implementation, identical semantics to the batch path
+(which is how the operator is oracle-scored). ``drop_dups=True``
+additionally filters documents whose near-dup already exists in the
+corpus (left-anti join on the pair list) so the stored corpus stays
+deduped, not merely annotated.
+
+Exactly-once caveat (documented, standard for foreachBatch sinks):
+parquet appends inside foreachBatch are at-least-once across
+RESTARTS — a crash between the three appends can replay a batch.
+Each row carries ``batch_id``, so replays are detectable and
+idempotent consumers can drop them; transactional table formats are
+the production hardening, out of scope in this container.
+
+Reference anchor: this is the [EXT] corpus counterpart of the metrics
+ingest loop (``streaming/ingest.py``, reference index.js:225-284) —
+same shape (stream in, per-batch transform, append), different domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def ensure_signature_index(
+    spark: SparkSession,
+    root: str,
+    num_hashes: int = 16,
+) -> None:
+    """Create an EMPTY signature index at ``<root>/signatures`` if none
+    exists — the bootstrap step so the first streaming batch has a
+    (zero-row) corpus to dedup against."""
+    from timeseries_data_provider_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    path = root + "/signatures"
+    try:
+        spark.read.parquet(path)
+        return
+    except Exception:
+        pass
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    minhash_signatures(empty, num_hashes=num_hashes).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ingest_documents_stream(
+    spark: SparkSession,
+    source_dir: str,
+    root: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    min_est: float = 1.0,
+    max_df: int | None = 1000,
+    drop_dups: bool = True,
+    checkpoint: str | None = None,
+):
+    """Start the ingestion stream: JSON files in ``source_dir``
+    (schema ``{doc_id, text}``) -> per-batch incremental dedup against
+    ``<root>/signatures`` -> appends under ``root``. Returns the
+    StreamingQuery; callers drive it with processAllAvailable() (tests,
+    backfills) or let the trigger run.
+    """
+    from timeseries_data_provider_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    sig_path = root + "/signatures"
+    ensure_signature_index(spark, root, num_hashes)
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)
+        signatures = spark.read.parquet(sig_path)
+        pairs, new_sig = minhash_lsh_incremental(
+            batch,
+            signatures,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            min_est=min_est,
+            max_df=max_df,
+        )
+        # Materialize pairs BEFORE mutating the signature index: the
+        # plan reads it, and parquet appends must not race their own
+        # upstream scan.
+        pairs = pairs.localCheckpoint(eager=True)
+        stamp = F.lit(batch_id).alias("batch_id")
+        accepted = batch
+        if drop_dups:
+            # a new doc whose near-dup is already in the CORPUS is
+            # dropped; in-batch twins keep the lower id (doc_a side
+            # of the 'batch' pairs is itself new and kept)
+            dup_new = pairs.select(
+                F.col("doc_b").alias("doc_id")
+            ).distinct()
+            accepted = batch.join(dup_new, "doc_id", "left_anti")
+        accepted = accepted.localCheckpoint(eager=True)
+        accepted_sig = new_sig.join(
+            accepted.select("doc_id"), "doc_id"
+        )
+        accepted.select("doc_id", "text", stamp).write.mode(
+            "append"
+        ).parquet(root + "/docs")
+        accepted_sig.write.mode("append").parquet(sig_path)
+        pairs.select("doc_a", "doc_b", "est_jaccard", "source", stamp)\
+            .write.mode("append").parquet(root + "/dups")
+
+    reader = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(source_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(handle_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or root + "/_checkpoint",
+        )
+        .start()
+    )
