@@ -596,3 +596,31 @@ def test_budget_select_matches_naive_prefix_rule(spark):
 
     with _pytest.raises(ValueError, match="token_budget"):
         pipeline.budget_select(docs, -1)
+
+
+def test_group_split_assigns_null_groups(spark):
+    from timeseries_data_provider_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)],
+        ["doc_id", "source"],
+    )
+    out = pipeline.group_split(docs, group_col="source")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # no row vanishes; NULL-group rows all share one deterministic
+    # split and keep their NULL group value
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2]["source"] is None and rows[4]["source"] is None
+    assert rows[2]["split"] == rows[4]["split"]
+
+
+def test_mixture_sample_rejects_negative_weights(spark):
+    import pytest as _pytest
+
+    from timeseries_data_provider_spark.operators import pipeline
+
+    docs = spark.read.parquet(SF_T2 + "/documents.parquet")
+    with _pytest.raises(ValueError, match=">= 0"):
+        pipeline.mixture_sample(
+            docs, {"src0": 2.0, "src1": -1.0}, total=60
+        )

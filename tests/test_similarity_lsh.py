@@ -493,3 +493,17 @@ def test_rp_topk_fetch_by_id_and_float_precision(spark):
 
     with _pytest.raises(ValueError, match="precision"):
         similarity.random_project(e, out_dim=4, precision="int8")
+
+
+def test_rp_topk_rejects_mismatched_index_width(spark):
+    import pytest as _pytest
+
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    proj32 = similarity.random_project(e, out_dim=32)
+    with _pytest.raises(Exception, match="out_dim"):
+        similarity.rp_topk(
+            e, query_vec_id=0, k=10, out_dim=16, projected=proj32
+        ).collect()

@@ -242,3 +242,26 @@ def test_corpus_ingest_stream_incremental_dedup(spark, tmp_path):
     assert (4, 5, "batch") in got, got
     for r in dups:
         assert r["est_jaccard"] == 1.0
+
+
+def test_ensure_signature_index_refuses_to_overwrite_unreadable(
+    spark, tmp_path
+):
+    """A transient/corrupt read of the signature index must RAISE, not
+    silently bootstrap an empty index over the settled corpus's dedup
+    state."""
+    import pytest as _pytest
+
+    from timeseries_data_provider_spark.streaming.corpus_ingest import (
+        ensure_signature_index,
+    )
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    sig = root / "signatures"
+    sig.mkdir()
+    (sig / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with _pytest.raises(Exception):
+        ensure_signature_index(spark, str(root))
+    # the garbage file is untouched — nothing overwrote it
+    assert (sig / "part-00000.parquet").read_bytes() == b"not a parquet file"

@@ -796,7 +796,10 @@ def line_dedup(
     line shared by a billion pages never amplifies anything — the
     skew-prone rows are precisely the dropped ones. Reassembly sorts
     the kept (pos, line) structs per document with array_sort (no
-    per-group sort shuffle beyond the groupBy itself).
+    per-group sort shuffle beyond the groupBy itself). ``n_lines`` is
+    a per-row ``size(split(...))`` map on the source table — NOT a
+    second explode+aggregate over the occurrences (review finding:
+    the earlier form re-exploded 32M rows just to count them).
 
     A document whose every line is boilerplate still yields a row
     (n_kept = 0, clean_text = '') via the left join from the document
@@ -817,7 +820,10 @@ def line_dedup(
             ),
         ).alias("clean_text"),
     )
-    totals = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    totals = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
     return (
         totals.join(assembled, "doc_id", "left")
         .select(

@@ -595,16 +595,25 @@ def group_split(
     to group-level splitting, not a defect). Returns
     (id_col, group_col, split).
     """
+    # NULL-safe key (review finding: a plain equi-join on the group
+    # column silently DROPS rows whose group is NULL — they would land
+    # in no split at all). NULL groups map to a sentinel that cannot
+    # collide with a real value (strings never contain \x00), get a
+    # deterministic split like any other group, and the original NULL
+    # is preserved in the output column.
+    gkey = F.coalesce(
+        F.col(group_col).cast("string"), F.lit("\x00<null-group>")
+    )
     assigned = hash_split(
-        documents.select(F.col(group_col).alias("__g")).distinct(),
+        documents.select(gkey.alias("__g")).distinct(),
         id_col="__g",
         splits=splits,
     )
     # broadcast: distinct groups are a dimension-sized set (domains,
     # sources), never corpus-sized.
-    return documents.select(id_col, group_col).join(
-        F.broadcast(assigned.withColumnRenamed("__g", group_col)),
-        group_col,
+    return documents.select(id_col, group_col, gkey.alias("__g")).join(
+        F.broadcast(assigned),
+        "__g",
     ).select(id_col, group_col, "split")
 
 
@@ -636,6 +645,11 @@ def mixture_sample(
     """
     if total < 0:
         raise ValueError(f"total must be >= 0, got {total}")
+    bad = {g: w for g, w in weights.items() if w < 0}
+    if bad:
+        # a negative weight would inflate OTHER groups' quotas past
+        # `total` (it shrinks wsum while their numerators stand)
+        raise ValueError(f"mixture weights must be >= 0, got {bad}")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("mixture weights must sum to > 0")
@@ -664,7 +678,6 @@ def budget_select(
     documents: DataFrame,
     token_budget: int,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Token-budget corpus selection — "take the best documents until
     the budget is full": rank docs by (quality score DESC, id) and keep
@@ -684,17 +697,21 @@ def budget_select(
     row-identical to the naive global-window prefix rule (the oracle
     computes exactly that), without ever sorting the corpus.
 
-    Returns the selected rows as (doc_id, score, n_tokens).
+    Returns the selected rows as (doc_id, score, n_tokens). The id
+    column is fixed at ``doc_id`` — the quality scorer's contract
+    (an earlier ``id_col`` parameter advertised a capability
+    quality_score does not support; review finding).
     """
     if token_budget < 0:
         raise ValueError(f"token_budget must be >= 0, got {token_budget}")
     from timeseries_data_provider_spark.operators.text import quality_score
 
-    scored = quality_score(documents).select(id_col, "score").join(
+    scored = quality_score(documents).select("doc_id", "score").join(
         documents.select(
-            id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+            "doc_id",
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
         ),
-        id_col,
+        "doc_id",
     )
     hist = sorted(
         scored.groupBy("score").agg(F.sum("n_tokens").alias("t")).collect(),
@@ -715,7 +732,7 @@ def budget_select(
     full = scored.filter(F.col("score") > cutoff)
     w = (
         Window.partitionBy(F.lit(1))
-        .orderBy(id_col)
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marginal = (

@@ -1023,8 +1023,29 @@ def rp_topk(
             .limit(c)
         )
     else:
+        # plan-embedded width guard (review finding — same class as
+        # _dim_checked): an index built with a different out_dim would
+        # zip_with-pad against the query projection, null every psim,
+        # and silently degrade candidates to the c lowest vec_ids.
+        # (A same-width index built with a different SEED is
+        # undetectable from shape — the seed is part of the index
+        # contract, like the quantizer scale in sq8.)
+        wchk = F.assert_true(
+            F.size(F.col("rp")) == out_dim,
+            F.concat(
+                F.lit(
+                    f"rp_topk: projected index width != out_dim="
+                    f"{out_dim} for vec_id "
+                ),
+                F.col("vec_id").cast("string"),
+                F.lit(" (got "),
+                F.size(F.col("rp")).cast("string"),
+                F.lit(")"),
+            ),
+        )
         scored = (
             projected.filter(F.col("vec_id") != query_vec_id)
+            .where(wchk.isNull())
             .select("vec_id", as_double(F.col("rp")).alias("p"))
             .join(F.broadcast(q))
             .filter(norm_ok)

@@ -67,8 +67,19 @@ def ensure_signature_index(
     try:
         spark.read.parquet(path)
         return
-    except Exception:
-        pass
+    except Exception as ex:
+        # ONLY a genuinely missing path may bootstrap (review finding:
+        # a bare except here turned any transient read failure —
+        # permission hiccup, corrupt footer from a crashed append —
+        # into an overwrite that destroyed the settled corpus's entire
+        # dedup state). Anything else propagates.
+        msg = str(ex)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            raise
     empty = spark.createDataFrame([], DOC_SCHEMA)
     minhash_signatures(empty, num_hashes=num_hashes).write.mode(
         "overwrite"
@@ -82,7 +93,7 @@ def ingest_documents_stream(
     num_hashes: int = 16,
     bands: int = 8,
     n: int = 3,
-    min_est: float = 1.0,
+    min_est: float = 0.3,
     max_df: int | None = 1000,
     drop_dups: bool = True,
     checkpoint: str | None = None,
@@ -92,6 +103,12 @@ def ingest_documents_stream(
     ``<root>/signatures`` -> appends under ``root``. Returns the
     StreamingQuery; callers drive it with processAllAvailable() (tests,
     backfills) or let the trigger run.
+
+    ``min_est`` defaults to the underlying operator's 0.3 — genuine
+    NEAR-dup dropping, as documented (review finding: an earlier
+    default of 1.0 silently restricted drops to exact-signature
+    matches while the docstring promised near-dup dedup). Raise it to
+    1.0 for a conservative exact-copies-only policy.
     """
     from timeseries_data_provider_spark.operators.dedup import (
         minhash_lsh_incremental,
