@@ -361,7 +361,7 @@ def q31_ann_topk(spark, sf):
     # matrix as literals and reproduces candidate selection in the
     # 16-dim projected space AND the exact re-rank, stage for stage).
     rp = similarity.rp_topk(
-        e, query_vec_id=0, k=10, out_dim=16, refine=4
+        e, query_vec_id=0, k=10, out_dim=16, refine=4, dim=64
     ).select(F.lit("rp").alias("algo"), "vec_id", "sim")
     return (
         brute.unionByName(ivf)
@@ -651,8 +651,13 @@ def q62_srp_lsh_neardup(spark, sf):
     planted = e.filter(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
+    # dim passed explicitly: the testdata embedding width is a fixed
+    # contract (64 at every sf), and dim=None derives it with a
+    # limit-1 job at CONSTRUCTION time — declaration-only tooling
+    # (gen_plans, query listings) should stay job-free. The in-plan
+    # _dim_checked guard still validates every row at execution.
     return similarity.srp_lsh_neardup(
-        e.unionByName(planted), threshold=0.9
+        e.unionByName(planted), threshold=0.9, dim=64
     )
 
 

@@ -200,10 +200,13 @@ def test_minhash_lsh_incremental_planted(spark):
     dup_of_corpus = dup_src.withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
-    twin_a = dup_src.limit(1).withColumn(
+    # deterministic twin source: limit(1) without an orderBy may pick
+    # DIFFERENT rows across executions (review finding) — pin the row
+    twin_src = dup_src.orderBy("doc_id").limit(1).localCheckpoint()
+    twin_a = twin_src.withColumn(
         "doc_id", F.col("doc_id") + F.lit(2_000_000)
     )
-    twin_b = dup_src.limit(1).withColumn(
+    twin_b = twin_src.withColumn(
         "doc_id", F.col("doc_id") + F.lit(3_000_000)
     )
     batch = fresh.unionByName(dup_of_corpus).unionByName(twin_a).unionByName(

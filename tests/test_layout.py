@@ -333,3 +333,19 @@ def test_range_clustered_layout_skips_row_groups(spark, tmp_path):
     assert d_scattered >= 5 * d_clustered, (d_scattered, d_clustered)
     # readback is lossless
     assert spark.read.parquet(clustered).count() == n
+
+
+def test_write_training_shards_rejects_empty_input(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from timeseries_data_provider_spark.operators import pipeline
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    with _pytest.raises(ValueError, match="no rows"):
+        pipeline.write_training_shards(empty, str(tmp_path / "s"), n_shards=4)

@@ -394,3 +394,45 @@ def test_codec_plugin_through_spark_workers(spark):
     assert flac["kind"] == "flac"
     assert flac["n_samples"] == 3
     assert flac["feat_milli"] == (1000 * (9 + 16 + 25)) // 3
+
+
+def test_registered_audio_codec_flows_through_feature_ops(spark):
+    """A payload of a REGISTERED audio codec must be routed like WAV by
+    every feature operator: audio_features decodes it, resize_features
+    skips it (review finding: bare RIFF sniffs crashed/skipped
+    registered-codec audio)."""
+    import numpy as np
+
+    from timeseries_data_provider_spark.operators import multimodal as mm
+
+    magic = b"tstA"
+
+    def fake_codec(payload: bytes) -> dict:
+        return {
+            "format": "tsta",
+            "sample_rate": 8000,
+            "channels": 1,
+            "samples": np.array([100, -100, 50], dtype=np.int16),
+        }
+
+    def setup():
+        # runs INSIDE each worker: registrations live in the worker's
+        # module instance, not the driver's
+        from timeseries_data_provider_spark.operators import (
+            multimodal as wmm,
+        )
+
+        wmm.register_audio_codec(magic, fake_codec)
+
+    mm.register_audio_codec(magic, fake_codec)  # driver-side sniffing
+    try:
+        media = spark.createDataFrame(
+            [(1, bytearray(magic + b"xyz"))], ["doc_id", "payload"]
+        )
+        af = mm.audio_features(media, codec_setup=setup).collect()
+        assert len(af) == 1 and af[0]["n_samples"] == 3
+        assert af[0]["zero_crossings"] == 2
+        rf = mm.resize_features(media, codec_setup=setup).collect()
+        assert rf == []  # audio skipped, not crashed
+    finally:
+        mm.AUDIO_CODECS.pop(magic, None)

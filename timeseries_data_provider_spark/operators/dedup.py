@@ -264,7 +264,7 @@ def minhash_lsh_incremental(
     bands: int = 8,
     n: int = 3,
     min_est: float = 0.3,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: dedup a NEW batch against an
     already-deduped corpus using only the corpus's persisted MinHash
@@ -285,11 +285,27 @@ def minhash_lsh_incremental(
     and E[est] = J. Doc-id spaces must be disjoint (new ids not in the
     corpus); collisions would self-pair.
 
-    Returns (pairs, new_signatures): pairs = (doc_a, doc_b, est_jaccard,
-    source) with source ∈ {'corpus','batch'} and doc_b always the new
-    doc; new_signatures should be APPENDED to the signature table so
-    the next batch sees this one as corpus — the index maintenance
-    step. Extends SURVEY §2's MinHash family (``minhash_lsh_pairs``)
+    ``max_df`` (and ``num_hashes``/``n``) are part of the INDEX
+    CONTRACT: the value used to BUILD the signature table must be
+    passed here too — signatures computed over differently-capped
+    shingle sets disagree on components wherever a capped shingle was
+    the argmin, silently deflating est_jaccard for true duplicates
+    (review finding: the default used to be 1000 while
+    minhash_signatures defaults to None — a default-usage index and
+    query were built over different shingle sets). The default now
+    matches minhash_signatures; the column-count check below catches
+    num_hashes drift, but max_df/n drift is undetectable from the
+    table and is the caller's responsibility (store them next to the
+    index, as streaming/corpus_ingest.py does by construction —
+    one configured stream touches both sides).
+
+    Corpus-side I/O is two scans of the signature table (banding, and
+    the per-candidate agreement join) — still ~1000× less than one
+    read of the settled text. Returns (pairs, new_signatures): pairs =
+    (doc_a, doc_b, est_jaccard, source) with source ∈
+    {'corpus','batch'} and doc_b always the new doc; new_signatures
+    should be APPENDED to the signature table so the next batch sees
+    this one as corpus — the index maintenance step. Extends SURVEY §2's MinHash family (``minhash_lsh_pairs``)
     with the incremental-maintenance form."""
     stored = [c for c in signatures.columns if c.startswith("h")]
     want = [f"h{i}" for i in range(num_hashes)]
@@ -301,9 +317,13 @@ def minhash_lsh_incremental(
             "must agree (bands and the agreement estimator both read "
             "every component)"
         )
+    # lazy: materializes on the first action and is then reused by
+    # all three consumers (banding, the agreement join, the returned
+    # maintenance frame) — eager=True ran the batch shingle+sign job
+    # at mere construction (review finding).
     new_sig = minhash_signatures(
         new_docs, num_hashes, n, max_df
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     new_banded = banded_signatures(new_sig, num_hashes, bands)
     old_banded = banded_signatures(signatures, num_hashes, bands)
 

@@ -690,7 +690,7 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_features(
-    media: DataFrame, out_w: int = 4, out_h: int = 4
+    media: DataFrame, out_w: int = 4, out_h: int = 4, codec_setup=None
 ) -> DataFrame:
     """Decode → resize → feature in one Arrow pass: each image payload
     (BMP or PNG) is really decoded, nearest-neighbor-resampled to
@@ -699,15 +699,20 @@ def resize_features(
     multimodal ingest pipeline (the brief's decode/resize/
     feature-extract chain), with the same mapInPandas plumbing
     production code keeps when swapping in codec-lib decoders.
-    Non-image payloads (RIFF audio) are skipped inside the batch —
-    a media table mixes kinds and the image path selects its own."""
+    Non-image payloads (anything ``is_audio_payload`` recognizes —
+    WAV or a REGISTERED audio codec; review finding: a bare RIFF sniff
+    here crashed on registered-codec audio) are skipped inside the
+    batch — a media table mixes kinds and the image path selects its
+    own."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec_setup is not None:
+            codec_setup()  # registrations live in the WORKER module
         for pdf in batches:
             rows = {k.name: [] for k in RESIZED_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if payload[:4] == b"RIFF":
+                if is_audio_payload(payload):
                     continue  # audio — no spatial resize
                 img = decode_image(payload)
                 px = img["pixels"]
@@ -769,24 +774,29 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, codec_setup=None) -> DataFrame:
     """Decode WAV payloads and emit the standard scalar audio features
     a corpus-curation pass computes per clip: peak absolute amplitude
     (clipping detector), zero-crossing count (crude spectral/voicing
     proxy), and integer-floored RMS in milli units (loudness gate).
     All integer/fixed-point math over the real decoded int16 samples —
-    deterministic, vectorized numpy inside one Arrow pass. Non-audio
-    payloads in the batch are skipped (the image path has its own
-    operators)."""
+    deterministic, vectorized numpy inside one Arrow pass. Audio is
+    recognized via ``is_audio_payload`` (WAV or any registered codec
+    magic — review finding: a bare RIFF sniff silently skipped
+    registered-codec clips); non-audio payloads are skipped (the image
+    path has its own operators). ``codec_setup``: per-worker
+    registration hook, same contract as media_features."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        if codec_setup is not None:
+            codec_setup()  # registrations live in the WORKER module
         for pdf in batches:
             rows = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if payload[:4] != b"RIFF":
+                if not is_audio_payload(payload):
                     continue
                 wav = decode_audio(payload)
                 s = wav["samples"].astype(np.int64)

@@ -551,6 +551,17 @@ def write_training_shards(
             "is a pure id function and undefined for NULL"
         ),
     )
+    if df.isEmpty():
+        # an empty write leaves only _SUCCESS under data/, and the
+        # manifest's read-back would then die on schema inference —
+        # an obscure error long after the real cause (review finding).
+        # A fully-filtered corpus is a real upstream outcome; fail it
+        # loudly at the source.
+        raise ValueError(
+            "write_training_shards: input has no rows — refusing to "
+            "write an empty shard layout (an upstream filter removed "
+            "the whole corpus?)"
+        )
     sharded = df.where(chk.isNull()).withColumn(
         "shard", shard_assignment(id_col, n_shards)
     )
