@@ -493,13 +493,28 @@ def q48_lttb(spark, sf):
 
 
 def q49_dedup_clusters(spark, sf):
-    # Iterative distributed connected components over the near-dup
-    # graph; oracle = DuckDB recursive-CTE transitive closure.
-    # max_df=None: oracle-exact uncapped pair generation (the library
-    # default is the capped form — see q28 note).
-    return dedup.neardup_clusters(
-        _t(spark, sf, "documents"), n=3, threshold=0.3, max_df=None
+    """Iterative distributed connected components over the near-dup
+    graph (oracle = DuckDB recursive-CTE transitive closure),
+    UNION-tagged (r5) with the SURVIVOR set of dedup.drop_near_dups —
+    the end-to-end removal step, sharing ONE label computation via the
+    labels= pass-through (lazy checkpoint: the closure runs once, both
+    branches consume it). max_df=None: oracle-exact uncapped pair
+    generation (the library default is the capped form — see q28
+    note). Contract: (part, doc_id, cluster_id); 'kept' rows carry a
+    NULL cluster_id."""
+    d = _t(spark, sf, "documents")
+    labels = dedup.neardup_clusters(
+        d, n=3, threshold=0.3, max_df=None
+    ).localCheckpoint(eager=False)
+    clusters = labels.select(
+        F.lit("cluster").alias("part"), "doc_id", "cluster_id"
     )
+    kept = dedup.drop_near_dups(d, labels=labels).select(
+        F.lit("kept").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+    )
+    return clusters.unionByName(kept)
 
 
 def q50_stratified_sample(spark, sf):
@@ -1616,8 +1631,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.n, e.b AS m
               FROM reach r JOIN edges e ON r.m = e.a
             )
-            SELECT n AS doc_id, MIN(m) AS cluster_id
+            SELECT 'cluster' AS part, n AS doc_id, MIN(m) AS cluster_id
             FROM reach GROUP BY n
+            UNION ALL
+            SELECT 'kept' AS part, doc.doc_id,
+                   CAST(NULL AS BIGINT) AS cluster_id
+            FROM documents doc
+            LEFT JOIN (SELECT n AS doc_id, MIN(m) AS cid
+                       FROM reach GROUP BY n) c USING (doc_id)
+            WHERE c.cid IS NULL OR c.cid = doc.doc_id
         """,
         # Mixture quotas: weights {src0: 2, src1-3: 1 each}, total 60
         # -> floor(2/5*60) = 24 for src0, floor(1/5*60) = 12 each for

@@ -861,6 +861,7 @@ def drop_near_dups(
     threshold: float = 0.3,
     max_df: int | None = 1000,
     algorithm: str = "min_label",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup REMOVAL — the step after detection: cluster
     near-duplicates (``neardup_clusters``) and keep exactly one
@@ -878,12 +879,18 @@ def drop_near_dups(
 
     Scale shape: the cost is the detection + closure (see
     neardup_clusters); the final step adds ONE left join keyed by
-    doc_id and a null-or-equal filter.
+    doc_id and a null-or-equal filter. ``labels``: optionally pass a
+    precomputed ``neardup_clusters`` frame (it must describe the SAME
+    documents/parameters) so a caller consuming both the clusters and
+    the survivor set — e.g. the declared q49 composition — runs the
+    detection once, not per consumer (the same sharing contract as
+    minhash_lsh_pairs' ``signatures``).
     """
-    labels = neardup_clusters(
-        documents, n=n, threshold=threshold, max_df=max_df,
-        algorithm=algorithm,
-    )
+    if labels is None:
+        labels = neardup_clusters(
+            documents, n=n, threshold=threshold, max_df=max_df,
+            algorithm=algorithm,
+        )
     return (
         documents.join(labels, "doc_id", "left")
         .filter(
