@@ -634,6 +634,37 @@ def probe_rp(spark) -> None:
         "recall_at_10": 1.0,
         "rerank_rows_decoded": fetch_decoded,
     }
+
+    # compose with write_range_clustered: the same float table
+    # re-laid-out as disjoint id ranges with ~1MB row groups — the
+    # id-fetch re-rank should now decode a sliver, not the table.
+    from timeseries_data_provider_spark import tables as _tables
+
+    rc_path = WORK + "/vec64p_rangeclustered.parquet"
+    if not os.path.exists(rc_path + "/_SUCCESS"):
+        _tables.write_range_clustered(
+            vecs, rc_path, ["vec_id"], num_files=32,
+            row_group_bytes=1024 * 1024,
+        )
+    rc_vecs = spark.read.parquet(rc_path)
+    rc_s = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rdf = similarity.rp_topk(
+            rc_vecs, 0, k=10, out_dim=16, refine=16, dim=64,
+            projected=proj, fetch_by_id=True,
+        )
+        got_rc = {r["vec_id"]: r["sim"] for r in rdf.collect()}
+        dt = round(time.perf_counter() - t0, 2)
+        rc_s = dt if rc_s is None else min(rc_s, dt)
+    assert got_rc == got, "range-clustered table changed the result"
+    rc_decoded = max(
+        s["output_rows"] for s in planstats.scan_stats(rdf)
+    )
+    res["fetch_range_clustered"] = {
+        "query_s": rc_s,
+        "rerank_rows_decoded": rc_decoded,
+    }
     _emit(
         "rp_topk",
         vectors=n + 10,
@@ -646,6 +677,7 @@ def probe_rp(spark) -> None:
         refine4=res[4],
         refine16=res[16],
         fetch_by_id=res["fetch_by_id"],
+        fetch_range_clustered=res["fetch_range_clustered"],
     )
 
 
