@@ -112,13 +112,20 @@ def main() -> int:
         SourceConfig(name="cpu", interval=1, url=f"{base}/cpu"),
         SourceConfig(name="mem", interval=2, url=f"{base}/mem"),
         SourceConfig(name="flaky", interval=1, url=f"{base}/flaky"),
-        # retention fires mid-run: age 4 s checked every 3 s
+        # retention fires mid-run: age 8 s checked every 3 s. The age
+        # must exceed the WORST-CASE micro-batch latency on a loaded
+        # host (observed 6 s under contention): with age < tick
+        # latency, a retention pass can transiently delete every row
+        # before the next append lands, and the harness times out
+        # waiting to observe survivors — a scheduling artifact, not an
+        # engine defect (the pruning assertion only needs min(time) to
+        # move, which age 8 s still proves).
         SourceConfig(
             name="cpu_retained",
             interval=1,
             url=f"{base}/cpu",
             remove_interval=3,
-            remove_age=4,
+            remove_age=8,
         ),
         SourceConfig(name="ghost", active=False, interval=1, url=f"{base}/cpu"),
     ]
