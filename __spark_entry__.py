@@ -1116,8 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_lang_stats": """
             SELECT 'actual' AS src, lang, COUNT(*) AS n,
-                   CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*))
-                        AS BIGINT) AS avg_chars
+                   CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars
             FROM documents GROUP BY lang
             UNION ALL
             SELECT 'guess' AS src, lang_guess AS lang, n,

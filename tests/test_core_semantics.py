@@ -131,3 +131,32 @@ def test_search_series_matches_distinct(spark):
     ev = tables.load_table(spark, SF_SMOKE, "events")
     names = sorted(r["name"] for r in core.search_series(ev).collect())
     assert names == ["click", "error", "purchase", "signup", "view"]
+
+
+def test_query_range_raw_ns_clamps_far_future_bounds(spark):
+    """Bounds past the int64-ns horizon (2262-04-11) — e.g. serving's
+    open-ended 9999-12-31 default — must clamp, not raise (review
+    finding: F.lit overflowed with NumberFormatException on the
+    pushdown branch only)."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import core
+
+    ev = tables.load_table(spark, SF_SMOKE, "events", keep_raw_ns=True)
+    out = core.query_range(
+        ev, "click", "1970-01-01 00:00:00", "9999-12-31 00:00:00"
+    )
+    n = out.count()
+    assert n == ev.filter("event_type = 'click'").count() and n > 0
+
+
+def test_scaled_long_overflow_raises_not_saturates(spark):
+    import pytest as _pytest
+
+    from timeseries_data_provider_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 1.0e13)],
+        ["event_type", "event_id", "value"],
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    with _pytest.raises(Exception, match="_scaled_long overflow"):
+        windows.moving_avg(df, n=2).collect()

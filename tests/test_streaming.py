@@ -265,3 +265,20 @@ def test_ensure_signature_index_refuses_to_overwrite_unreadable(
         ensure_signature_index(spark, str(root))
     # the garbage file is untouched — nothing overwrote it
     assert (sig / "part-00000.parquet").read_bytes() == b"not a parquet file"
+
+
+def test_source_config_extract_supports_array_paths():
+    """extract() implements the documented get_json_object subset —
+    array indexing included (review finding: the old dict-only walk
+    silently dropped every sample for '$.data[0].count'-style paths
+    that the batch json_scalar path serves fine)."""
+    from timeseries_data_provider_spark.streaming.config import SourceConfig
+
+    c = SourceConfig(
+        name="x", interval=1, url="http://x", json_path="$.data[0].count"
+    )
+    assert c.extract('{"data": [{"count": 7}]}') == 7.0
+    assert c.extract('{"data": []}') is None  # out-of-range -> null guard
+    assert c.extract('{"error": "boom"}') is None
+    plain = SourceConfig(name="y", interval=1, url="http://y")
+    assert plain.extract('{"count": 3.5}') == 3.5

@@ -64,12 +64,13 @@ def cube_counts(lineitem: DataFrame) -> DataFrame:
 
 
 def text_stats(documents: DataFrame) -> DataFrame:
-    """Per-language doc counts + mean length (floored, exact int math)."""
+    """Per-language doc counts + mean length (floored, EXACT int math:
+    integer DIV on the long sum — review finding: the earlier
+    double-cast form rounds the sum once it exceeds 2^53, which a
+    per-language char total at corpus scale does)."""
     return documents.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
-        F.floor(F.sum("n_chars").cast("double") / F.count(F.lit(1)))
-        .cast("long")
-        .alias("avg_chars"),
+        F.expr("SUM(n_chars) DIV COUNT(1)").cast("long").alias("avg_chars"),
     )
 
 

@@ -47,7 +47,14 @@ def _ns_lit(t: str | datetime) -> int:
         t = datetime.fromisoformat(t)
     delta = t - datetime(1970, 1, 1)
     us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
-    return us * 1_000
+    ns = us * 1_000
+    # Clamp to the int64-ns domain (review finding): bounds past
+    # 2262-04-11 (e.g. serving's open-ended default '9999-12-31')
+    # exceed 2^63-1 and F.lit raised NumberFormatException — an HTTP
+    # 500 on the raw-ns branch for a request the timestamp branch
+    # serves fine. No stored int64-ns value can exceed the clamp, so
+    # a clamped bound is semantically the same open-ended range.
+    return max(-(2**63), min(ns, 2**63 - 1))
 
 
 def epoch_ms(col: Column) -> Column:

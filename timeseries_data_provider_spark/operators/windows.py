@@ -27,7 +27,46 @@ def _scaled_long(col: Column, scale: float = 1e6) -> Column:
     truncates in Spark but rounds in DuckDB, and ROUND goes through
     decimal-string representation in Spark.
     """
-    return F.floor(col * F.lit(scale)).cast("long")
+    scaled = col * F.lit(scale)
+    # Saturation guard (review finding): Spark floor() on a double
+    # beyond int64 silently SATURATES at Long.MAX — a series carrying
+    # large counters (|v| >= ~9.2e12 here, or ~3.04e6 through the
+    # squared term of the z-score) would corrupt every windowed sum
+    # with no error. The in-plan assert turns silent garbage into a
+    # named failure; callers needing larger domains should rescale.
+    chk = F.assert_true(
+        F.abs(scaled) < F.lit(9.223372036854775e18),
+        F.concat(
+            F.lit("_scaled_long overflow: |value * scale| exceeds "
+                  "int64 for value "),
+            col.cast("string"),
+        ),
+    )
+    return F.when(chk.isNull(), F.floor(scaled).cast("long"))
+
+
+def _windowed_avg(v: Column, frame) -> Column:
+    """THE trailing-average expression (scaled-long exact): shared by
+    moving_avg and rolling_stats so the standalone and composed
+    operators cannot diverge (review finding — the bodies used to be
+    copy-pasted; same sharing rule as aggregates._approx_ok)."""
+    s = F.sum(_scaled_long(v)).over(frame).cast("double")
+    return F.round(s / F.lit(1e6) / F.count(F.lit(1)).over(frame), 6)
+
+
+def _windowed_z(v: Column, frame, min_points: int) -> Column:
+    """THE rolling z-score expression (explicit integer-exact
+    sum/sum-of-squares variance): shared by rolling_zscore and
+    rolling_stats — see _windowed_avg."""
+    cnt = F.count(F.lit(1)).over(frame)
+    s1 = F.sum(_scaled_long(v)).over(frame).cast("double") / F.lit(1e6)
+    s2 = F.sum(_scaled_long(v * v)).over(frame).cast("double") / F.lit(1e6)
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    return F.when(
+        (cnt >= min_points) & (var > 0),
+        F.round((v - mean) / F.sqrt(var), 6),
+    )
 
 
 def lag_delta(
@@ -88,10 +127,9 @@ def moving_avg(
     drift, while staying on the primitive window fast path.
     """
     w = _series_window(series_col, time_col, id_col).rowsBetween(-(n - 1), 0)
-    s = F.sum(_scaled_long(F.col(value_col))).over(w).cast("double")
     return events.select(
         F.col(id_col),
-        F.round(s / F.lit(1e6) / F.count(F.lit(1)).over(w), 6).alias("mov_avg"),
+        _windowed_avg(F.col(value_col), w).alias("mov_avg"),
     )
 
 
@@ -116,17 +154,10 @@ def rolling_zscore(
     and on the vectorized window path. NULL until ``min_points`` and
     when variance degenerates."""
     w = _series_window(series_col, time_col, id_col).rowsBetween(-(n - 1), 0)
-    v = F.col(value_col)
-    cnt = F.count(F.lit(1)).over(w)
-    s1 = F.sum(_scaled_long(v)).over(w).cast("double") / F.lit(1e6)
-    s2 = F.sum(_scaled_long(v * v)).over(w).cast("double") / F.lit(1e6)
-    mean = s1 / cnt
-    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
-    z = F.when(
-        (cnt >= min_points) & (var > 0),
-        F.round((v - mean) / F.sqrt(var), 6),
+    return events.select(
+        F.col(id_col),
+        _windowed_z(F.col(value_col), w, min_points).alias("z"),
     )
-    return events.select(F.col(id_col), z.alias("z"))
 
 
 def lag_rate(
@@ -171,18 +202,10 @@ def rolling_stats(
     wa = base.rowsBetween(-(n_avg - 1), 0)
     wz = base.rowsBetween(-(n_z - 1), 0)
     v = F.col(value_col)
-    sa = F.sum(_scaled_long(v)).over(wa).cast("double")
-    mov_avg = F.round(sa / F.lit(1e6) / F.count(F.lit(1)).over(wa), 6)
-    cnt = F.count(F.lit(1)).over(wz)
-    s1 = F.sum(_scaled_long(v)).over(wz).cast("double") / F.lit(1e6)
-    s2 = F.sum(_scaled_long(v * v)).over(wz).cast("double") / F.lit(1e6)
-    mean = s1 / cnt
-    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
-    z = F.when(
-        (cnt >= min_points) & (var > 0), F.round((v - mean) / F.sqrt(var), 6)
-    )
     return events.select(
-        F.col(id_col), mov_avg.alias("mov_avg"), z.alias("z")
+        F.col(id_col),
+        _windowed_avg(v, wa).alias("mov_avg"),
+        _windowed_z(v, wz, min_points).alias("z"),
     )
 
 

@@ -31,6 +31,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.core import epoch_ms as _core_epoch_ms
 from ..operators.core import query_range
 
 # Fixed table-shape column metadata (index.js:142-146).
@@ -56,8 +57,10 @@ def search(sources_or_events: DataFrame) -> list[str]:
 
 
 def _epoch_ms(col: F.Column) -> F.Column:
-    # index.js:121-123: Number.parseInt(moment(t).format("x"))
-    return F.unix_millis(col.cast("timestamp"))
+    # THE scored conversion (operators/core.epoch_ms, index.js:121-123)
+    # — not a local re-implementation, so serving cannot silently
+    # diverge from the driver-scored operator (review finding).
+    return _core_epoch_ms(col)
 
 
 def _range_bound(raw: Any, default: str) -> str:
@@ -125,26 +128,39 @@ def handle_query(
     if not names:
         return []
 
-    scans = []
-    for name in names:
-        df = query_range(
-            metrics,
-            name,
-            t_from,
-            t_to,
-            max_points,
-            series_col=series_col,
-            time_col=time_col,
-            value_col=value_col,
-        ).select(
-            F.col(series_col).alias("name"),
-            F.col(value_col).alias("value"),
-            _epoch_ms(F.col(time_col)).alias("ms"),
+    # ONE scan for every requested series (the docstring's contract —
+    # review finding: this used to build one query_range subtree PER
+    # target and union them, N scans of the source per /query): the
+    # name IN (...) predicate prunes partitions, and the per-series
+    # maxDataPoints cap is a window rank over the pruned rows instead
+    # of a per-target global limit. Ties beyond (time) break on the
+    # value column so the capped point set is deterministic (the
+    # metrics schema has no row id; full-duplicate rows are then
+    # interchangeable).
+    from pyspark.sql import Window
+
+    df = query_range(
+        metrics,
+        names,
+        t_from,
+        t_to,
+        None,
+        series_col=series_col,
+        time_col=time_col,
+        value_col=value_col,
+    )
+    if max_points is not None:
+        w = Window.partitionBy(series_col).orderBy(time_col, value_col)
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_points)
+            .drop("__rn")
         )
-        scans.append(df)
-    union = scans[0]
-    for df in scans[1:]:
-        union = union.unionByName(df)
+    union = df.select(
+        F.col(series_col).alias("name"),
+        F.col(value_col).alias("value"),
+        _epoch_ms(F.col(time_col)).alias("ms"),
+    )
 
     grouped: dict[str, list[list[Any]]] = {n: [] for n in names}
     for row in union.collect():

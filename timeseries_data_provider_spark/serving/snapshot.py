@@ -19,8 +19,15 @@ from pyspark.sql import functions as F
 
 
 def recent_points(metrics: DataFrame, n: int = 100) -> DataFrame:
-    """Last ``n`` points per series (rank-filter — no global sort)."""
-    w = Window.partitionBy("name").orderBy(F.col("time").desc())
+    """Last ``n`` points per series (rank-filter — no global sort).
+    Ties on time break on value (review finding: time-only ordering
+    made the rank-N boundary nondeterministic across executions —
+    remaining ties are full-duplicate rows, interchangeable by
+    construction), so identical data always publishes the identical
+    snapshot."""
+    w = Window.partitionBy("name").orderBy(
+        F.col("time").desc(), F.col("value").desc()
+    )
     return (
         metrics.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)

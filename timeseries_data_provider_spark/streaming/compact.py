@@ -8,8 +8,14 @@ matters. Compaction rewrites a partition's many small files into a few
 time-sorted ones; time-sorting also gives parquet row-group min/max
 stats their pruning power for range scans.
 
-Run cadence: piggy-back on the retention due-check or a separate
-maintenance schedule. On Delta/Iceberg this is OPTIMIZE/rewrite_data_files.
+Run cadence: piggy-back on the retention due-check — i.e. INSIDE the
+collector's tick, serialized with appends. CONCURRENCY CONTRACT
+(review finding, same as retention.py): the swap is crash-atomic but
+NOT safe against a concurrent writer — a file appended between the
+rewrite's scan and the rename is swept away with the old directory.
+Never schedule it beside a live writer on plain parquet;
+Delta/Iceberg (OPTIMIZE / rewrite_data_files, transactional) is the
+lift when maintenance must run out-of-band.
 """
 
 from __future__ import annotations

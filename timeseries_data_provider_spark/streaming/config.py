@@ -57,13 +57,40 @@ class SourceConfig:
         if self.transform is not None:
             return self.transform(body)
         try:
-            doc = json.loads(body)
-            node = doc
-            for key in self.json_path.lstrip("$.").split("."):
-                node = node[key]
+            node = json.loads(body)
+            for step in _json_path_steps(self.json_path):
+                node = node[step]
             return float(node)
-        except (ValueError, KeyError, TypeError):
+        except (ValueError, KeyError, TypeError, IndexError):
             return None  # error-object path, config.js.dist:31-34
+
+
+def _json_path_steps(path: str) -> list:
+    """Tokenize the get_json_object subset this config promises
+    ($.a.b[0].c — dotted keys + numeric brackets): dict keys as
+    strings, list indexes as ints. The previous dict-only
+    ``lstrip("$.").split(".")`` walk (review finding) turned any
+    array-indexed path into a KeyError → every sample silently dropped
+    by the null guard, while the batch path (operators/core
+    json_scalar, real get_json_object) served the same config fine.
+    Quoted/bracketed STRING keys remain unsupported in both consumers.
+    """
+    import re
+
+    p = path[2:] if path.startswith("$.") else path.lstrip("$")
+    steps: list = []
+    for part in p.split("."):
+        if not part:
+            continue
+        m = re.match(r"^([^\[\]]*)((?:\[\d+\])*)$", part)
+        if m is None:
+            raise ValueError(f"unsupported json_path segment: {part!r}")
+        name, idxs = m.group(1), m.group(2)
+        if name:
+            steps.append(name)
+        for i in re.findall(r"\[(\d+)\]", idxs):
+            steps.append(int(i))
+    return steps
 
 
 def sources_df(spark: SparkSession, sources: list[SourceConfig]):

@@ -9,6 +9,16 @@ rewrite: read ONLY the series' partition, keep survivors
 never touch other series — the same partition pruning that serves
 queries bounds maintenance I/O. On Delta/Iceberg this whole module
 collapses to ``DELETE FROM metrics WHERE name = ? AND time < ?``.
+
+CONCURRENCY CONTRACT (review finding): the swap is crash-ATOMIC (old
+or new visible at any instant) but NOT safe against a concurrent
+WRITER — a file appended to the partition between the rewrite's scan
+and the rename is swept into the retired dir and deleted. Retention
+must therefore run serialized with ingestion: the collector calls it
+from inside its own tick (the reference's single setInterval loop,
+index.js:268-282, has the same property by construction). Plain
+parquet has no transaction log to detect the race; Delta/Iceberg is
+the lift when maintenance must run out-of-band.
 """
 
 from __future__ import annotations

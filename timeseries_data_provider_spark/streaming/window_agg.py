@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import ensure_runtime_confs
 from .ingest import METRICS_SCHEMA
 
 
@@ -34,6 +35,7 @@ def windowed_rollup_stream(
     unstarted streaming DataFrame; attach a sink with ``writeStream``
     (append mode emits a window once the watermark passes its end).
     """
+    ensure_runtime_confs(spark)  # the NTZ->timestamp cast needs UTC
     stream = spark.readStream.schema(METRICS_SCHEMA).parquet(table_path)
     if session_gap is not None:
         win = F.session_window("time", session_gap)
@@ -43,7 +45,11 @@ def windowed_rollup_stream(
         win = F.window("time", window)
     return (
         stream
-        # watermark needs an instant-typed column; session tz is UTC
+        # watermark needs an instant-typed column; the UTC session tz
+        # this cast depends on is ENFORCED below via
+        # ensure_runtime_confs, not assumed (review finding: a
+        # non-UTC session would reinterpret the NTZ stamps and merge
+        # DST-fold windows)
         .withColumn("time", F.col("time").cast("timestamp"))
         .withWatermark("time", watermark)
         .groupBy(win.alias("w"), "name")
@@ -83,6 +89,7 @@ def dedup_stream(
     which is what makes it safe on an unbounded 100 TB/day feed
     (a plain dropDuplicates on a stream would grow state forever).
     """
+    ensure_runtime_confs(spark)  # the NTZ->timestamp cast needs UTC
     stream = spark.readStream.schema(METRICS_SCHEMA).parquet(table_path)
     return (
         stream.withColumn("time", F.col("time").cast("timestamp"))
