@@ -1195,7 +1195,12 @@ def oracle_sql() -> dict[str, str]:
         # is the kept lines in original order.
         "q23_doc_profile": r"""
             WITH x AS (
-              SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
+              SELECT doc_id, text, n_chars,
+                     list_filter(
+                       regexp_split_to_array(text,
+                         '[ 	
+]+'),
+                       t -> t <> '') AS w
               FROM documents
             ), y AS (
               SELECT doc_id, text, w,
@@ -1747,7 +1752,11 @@ def oracle_sql() -> dict[str, str]:
         "q55_vocab_idf": """
             WITH agg AS (
               SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
-              FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                             regexp_split_to_array(text,
+                               '[ \t\n\x0B\f\r]+'),
+                             x -> x <> '')) AS term
                     FROM documents) t
               GROUP BY 1 ORDER BY n DESC, term LIMIT 100
             )
@@ -1765,16 +1774,17 @@ def oracle_sql() -> dict[str, str]:
                      ws
               FROM w
             ), h AS (
-              SELECT doc_id, i,
+              SELECT doc_id, i, len(ws) - 2 AS cnt,
                      md5(array_to_string(ws[i : i + 2], ' ')) AS h
               FROM g
             ), win AS (
-              SELECT doc_id, i,
+              SELECT doc_id, i, cnt,
                      MIN(h) OVER (PARTITION BY doc_id ORDER BY i
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
               FROM h
             )
-            SELECT DISTINCT doc_id, fp FROM win WHERE i >= 4
+            SELECT DISTINCT doc_id, fp FROM win
+            WHERE i >= 4 OR (cnt < 4 AND i = cnt)
         """,
         # The budget branch is the NAIVE form of budget_select — one
         # global window prefix — so the oracle proves the engine's
@@ -1785,7 +1795,11 @@ def oracle_sql() -> dict[str, str]:
         "q59_curate": r"""
             WITH x AS (
               SELECT doc_id, text, lang, n_chars,
-                     string_split(text, ' ') AS w
+                     list_filter(
+                       regexp_split_to_array(text,
+                         '[ 	
+]+'),
+                       t -> t <> '') AS w
               FROM documents
             ), y AS (
               SELECT doc_id, text, lang,
@@ -1963,7 +1977,12 @@ def oracle_sql() -> dict[str, str]:
         # kept/short/kill/PII contribution is a constant of the line.
         "q64_corpus_signals": """
             WITH w AS (
-              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(text,
+                         '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '') AS ws
+              FROM documents
             ), plant AS (
               SELECT doc_id,
                      CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS m3,
@@ -2011,7 +2030,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT)
                      AS top_bigram_n,
                    CAST(r.max_word_run AS BIGINT) AS max_word_run,
-                   ROUND(2.0 * COALESCE(t.top_bigram_n, 0) / len(w.ws), 6)
+                   ROUND(LEAST(1.0,
+                         2.0 * COALESCE(t.top_bigram_n, 0) / len(w.ws)), 6)
                      AS top_bigram_frac,
                    CASE WHEN substring(md5(CAST(w.doc_id AS VARCHAR)), 1, 8)
                              < 'e6666666' THEN 'train'

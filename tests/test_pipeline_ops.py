@@ -624,3 +624,109 @@ def test_mixture_sample_rejects_negative_weights(spark):
         pipeline.mixture_sample(
             docs, {"src0": 2.0, "src1": -1.0}, total=60
         )
+
+
+def test_text_tokenizer_robust_and_fingerprint_edge_ws(spark):
+    """_words drops phantom tokens; fingerprint normalizes edge
+    tabs/newlines identically to edge-clean text (review findings)."""
+    from timeseries_data_provider_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", 11),
+            (2, "hello\nworld\t", 12),   # same content, messy whitespace
+            (3, "  hello   world  ", 17),
+            (4, "", 0),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    stats = {r["doc_id"]: r for r in t.token_stats(df).collect()}
+    assert stats[1]["n_tokens"] == stats[2]["n_tokens"] == stats[3]["n_tokens"] == 2
+    assert stats[4]["n_tokens"] == 0 and stats[4]["ttr"] is None
+    fps = {r["doc_id"]: r["fp"] for r in t.fingerprint(df).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    # vocab never surfaces '' as a term
+    terms = {r["term"] for r in t.vocab_topk(df, k=10).collect()}
+    assert "" not in terms and terms == {"hello", "world"}
+
+
+def test_winnow_short_docs_emit_partial_window_fingerprint(spark):
+    from timeseries_data_provider_spark.operators import text as t
+
+    # 5 tokens, k=3 -> 3 k-grams < w=4: exactly one fingerprint (the
+    # global min), and two identical short docs SHARE it
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        ["doc_id", "text"],
+    )
+    fp = t.winnow_fingerprints(df, k=3, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert len(by_doc[1]) == 1 and by_doc[1] == by_doc[2]
+    assert by_doc[3] != by_doc[1]
+
+
+def test_line_signals_crlf_and_top_bigram_cap(spark):
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "Read more...\r\nThis line is terminal.\r\n")],
+        ["doc_id", "text"],
+    )
+    sig = t.line_signals(df).first()
+    # the CR must not mask the ellipsis teaser or fake a terminal
+    assert sig["frac_lines_ellipsis"] > 0
+    rep = (
+        t.repetition_signals(
+            spark.createDataFrame([(1, "a a a a")], ["doc_id", "text"])
+        ).first()
+    )
+    assert rep["top_bigram_frac"] == 1.0  # capped, not 1.5
+    # c4_filter plans WITHOUT a join (single projection + filter)
+    docs = spark.createDataFrame(
+        [(1, "A good line here.\nAnother fine line.")],
+        ["doc_id", "text"],
+    )
+    plan = t.c4_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_salted_join_rejects_outer_and_formats_keep_partition_types(
+    spark, tmp_path
+):
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from timeseries_data_provider_spark.functions import skew
+    from timeseries_data_provider_spark.sources import formats
+
+    hot = spark.createDataFrame([(1, 10), (1, 11)], ["k", "id"])
+    dim = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with _pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(hot, dim, on=["k"], salt_from=["id"], how="full")
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("year", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src.csv")
+    spark.createDataFrame(
+        [(1, "2024"), (2, "2025")], schema
+    ).write.option("header", True).mode("overwrite").csv(src)
+    out = formats.convert_to_parquet(
+        spark, src, "csv", str(tmp_path / "dest"),
+        schema=schema, partition_by=["year"],
+    )
+    # partition column keeps its DECLARED type and position
+    assert [f.name for f in out.schema.fields] == ["doc_id", "year"]
+    assert out.schema["year"].dataType.simpleString() == "string"

@@ -66,6 +66,17 @@ def salted_join(
     the hot key would land on one reducer anyway — the earlier default
     (``salt_from or on``) silently defeated the mitigation (ADVICE r1).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # review finding: a right/full join replicates each UNMATCHED
+        # dim row once per salt — factor identical null-extended
+        # duplicates in the result. The dim side is the replicated
+        # side, so only joins that never emit unmatched dim rows are
+        # semantically equal to the unsalted join.
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): "
+            "replicating the dim side makes unmatched dim rows appear "
+            "factor times under right/full semantics"
+        )
     if not salt_from or set(salt_from) <= set(on):
         raise ValueError(
             "salt_from must name columns outside the join keys that vary "

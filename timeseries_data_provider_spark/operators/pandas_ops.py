@@ -125,6 +125,21 @@ def lttb_downsample(
         yi = np.floor(
             pdf[value_col].to_numpy(dtype="float64") * y_scale
         ).astype("int64")
+        # Overflow guard (review finding): the area terms below are
+        # numpy int64 products — they WRAP silently past 2^63 (DuckDB
+        # would raise, so the documented bit-for-bit oracle parity
+        # would break too). Conservative bound over every term:
+        # |a*cnt - sx| <= 2*n*cnt_max, |yi - ay| <= 2*max|yi|, second
+        # term smaller — 8*n*cnt_max*max|yi| covers the sum. Exact
+        # Python-int arithmetic, so the check itself cannot overflow.
+        cnt_max = (n - 2 + m - 1) // m + 1
+        max_abs_y = int(np.abs(yi).max())
+        if 8 * n * cnt_max * max(1, max_abs_y) >= 2**63:
+            raise ValueError(
+                f"lttb_downsample: int64 area arithmetic would overflow "
+                f"(n={n}, max|value*y_scale|={max_abs_y}); reduce "
+                f"y_scale or pre-scale the value column"
+            )
         interior = np.arange(1, n - 1, dtype="int64")
         b_of = ((interior - 1) * m) // (n - 2)
         # per-bucket [start, end) offsets into `interior` (b_of is sorted)

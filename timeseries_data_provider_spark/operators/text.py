@@ -26,24 +26,82 @@ BPE_ISH = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
 
 
 def _words(text_col: str = "text") -> Column:
-    return F.split(F.col(text_col), " ")
+    """Whitespace tokens, safe on real input: split on whitespace RUNS
+    and drop empty tokens — the same contract as ``pipeline.tokens``
+    (review finding: the earlier single-space split turned '' into one
+    phantom token and every extra space into another, inflating
+    n_tokens/ttr and letting '' surface as a vocabulary 'term'). An
+    empty/whitespace-only document now has ZERO tokens, so its
+    ratio-type stats (ttr, stop_ratio, score) are NULL rather than
+    fabricated."""
+    return F.array_remove(F.split(F.col(text_col), f"[{WS_CLASS}]+"), "")
+
+
+def _normalized(text_col: str = "text") -> Column:
+    """THE whitespace/case normalization behind the content
+    fingerprint: collapse whitespace runs FIRST, then trim — trim()
+    strips only spaces, so collapsing first guarantees edge
+    tabs/newlines cannot leave a residual edge space (review finding:
+    'hello' and 'hello\\n' used to hash differently). Shared by
+    fingerprint and doc_profile so the composed profile cannot diverge
+    from the standalone operator."""
+    return F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), f"[{WS_CLASS}]+", " "))
+    )
+
+
+def _profile_cols(text_col: str = "text") -> dict:
+    """THE per-document profile expressions — token counts, quality
+    ratios, score, BPE-ish count, normalized fingerprint — as one
+    shared dict of Columns. token_stats / quality_score / fingerprint
+    / doc_profile all select from this single source (review finding:
+    the four operators used to carry copy-pasted formulas, so a tweak
+    to e.g. the score weights in one place would silently diverge the
+    composed profile from the standalone operators — same sharing rule
+    as aggregates._approx_ok)."""
+    w = _words(text_col)
+    n = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    # ratio stats are NULL for token-less documents (n = 0): the
+    # robust tokenizer really produces zero tokens there, and ANSI
+    # mode (rightly) refuses 0/0
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n,
+    )
+    ttr = F.when(n > 0, n_uniq.cast("double") / n)
+    length_factor = F.least(
+        F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)
+    )
+    return {
+        "n_tokens": n.cast("long"),
+        "n_uniq": n_uniq.cast("long"),
+        "ttr": F.round(ttr, 6),
+        "n_bpe": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)
+        ).cast("long"),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "score": F.round(
+            0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_factor, 6
+        ),
+        "fp": F.sha2(_normalized(text_col), 256),
+    }
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
     """Whitespace token count, distinct count, type-token ratio, and a
     BPE-ish regex token count per document."""
-    w = _words()
-    # counts cast to long to match ANSI/DuckDB BIGINT len()
+    c = _profile_cols()
     return documents.select(
         "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
-        F.round(
-            F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
-        ).alias("ttr"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0))
-        .cast("long")
-        .alias("n_bpe"),
+        c["n_tokens"].alias("n_tokens"),
+        c["n_uniq"].alias("n_uniq"),
+        c["ttr"].alias("ttr"),
+        c["n_bpe"].alias("n_bpe"),
     )
 
 
@@ -51,24 +109,12 @@ def quality_score(documents: DataFrame) -> DataFrame:
     """Deterministic quality heuristic: lexical diversity up, stopword
     saturation down, with a length factor — the standard cheap pre-filter
     before expensive dedup/training steps."""
-    w = _words()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n = F.size(w)
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
-            "double"
-        )
-        / n
-    )
-    ttr = F.size(F.array_distinct(w)).cast("double") / n
-    length_factor = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+    c = _profile_cols()
     return documents.select(
         "doc_id",
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(ttr, 6).alias("ttr"),
-        F.round(
-            0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_factor, 6
-        ).alias("score"),
+        c["stop_ratio"].alias("stop_ratio"),
+        c["ttr"].alias("ttr"),
+        c["score"].alias("score"),
     )
 
 
@@ -96,13 +142,11 @@ def lang_guess(documents: DataFrame) -> DataFrame:
 
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: sha256 over case- and whitespace-normalized
-    text. The canonical exact-dedup key at 100 TB scale — dedup then
-    groups/joins on the 64-char digest instead of multi-KB bodies."""
-    normalized = F.lower(
-        F.regexp_replace(F.trim(F.col("text")), f"[{WS_CLASS}]+", " ")
-    )
+    text (``_normalized`` — collapse-then-trim). The canonical
+    exact-dedup key at 100 TB scale — dedup then groups/joins on the
+    64-char digest instead of multi-KB bodies."""
     return documents.select(
-        "doc_id", F.sha2(normalized, 256).alias("fp")
+        "doc_id", _profile_cols()["fp"].alias("fp")
     )
 
 
@@ -111,39 +155,25 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     (``token_stats``), quality heuristic (``quality_score``), and the
     normalized content fingerprint (``fingerprint``) as columns of a
     single projection — zero shuffles, one scan, all whole-stage
-    codegen. The composed form a curation pipeline actually runs:
-    computing the three profiles separately would scan the multi-KB
-    text column three times."""
-    w = _words()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n = F.size(w)
-    n_uniq = F.size(F.array_distinct(w))
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
-            "double"
-        )
-        / n
-    )
-    ttr = n_uniq.cast("double") / n
-    length_factor = F.least(
-        F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)
-    )
-    normalized = F.lower(
-        F.regexp_replace(F.trim(F.col("text")), f"[{WS_CLASS}]+", " ")
-    )
+    codegen; every expression comes from the SAME ``_profile_cols``
+    the standalone operators select from. The composed form a curation
+    pipeline actually runs: computing the three profiles separately
+    would scan the multi-KB text column three times."""
+    c = _profile_cols()
     return documents.select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
-        n_uniq.cast("long").alias("n_uniq"),
-        F.round(ttr, 6).alias("ttr"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0))
-        .cast("long")
-        .alias("n_bpe"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(
-            0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * length_factor, 6
-        ).alias("score"),
-        F.sha2(normalized, 256).alias("fp"),
+        *[
+            c[name].alias(name)
+            for name in (
+                "n_tokens",
+                "n_uniq",
+                "ttr",
+                "n_bpe",
+                "stop_ratio",
+                "score",
+                "fp",
+            )
+        ],
     )
 
 
@@ -253,14 +283,31 @@ def winnow_fingerprints(
                 F.sequence(F.lit(1), F.size("__w") - (k - 1))
             ).alias("i"),
         )
-        .select("doc_id", "i", F.md5(F.concat_ws(" ", *parts)).alias("h"))
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            (F.size("__w") - (k - 1)).alias("__cnt"),
+        )
     )
     win = (
         Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
     )
+    # Docs with fewer than w k-grams have no full window; standard
+    # winnowing then keeps the min over the PARTIAL window (one global
+    # min — review finding: the plain i >= w filter emitted ZERO
+    # fingerprints for k..k+w-2-token docs, so short duplicates could
+    # never collide). The last row's trailing frame covers all of a
+    # short doc's k-grams, so keeping exactly that row IS the global
+    # min.
     return (
-        grams.select("doc_id", "i", F.min("h").over(win).alias("fp"))
-        .filter(F.col("i") >= w)
+        grams.select(
+            "doc_id", "i", "__cnt", F.min("h").over(win).alias("fp")
+        )
+        .filter(
+            (F.col("i") >= w)
+            | ((F.col("__cnt") < w) & (F.col("i") == F.col("__cnt")))
+        )
         .select("doc_id", "fp")
         .distinct()
     )
@@ -310,23 +357,45 @@ def repetition_signals(
     """
     w = _words(text_col)
     n = F.size(w)
-    bigrams = F.zip_with(
-        F.slice(w, 1, n - 1),
-        F.slice(w, 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    # guard n < 2: slice(w, 1, n-1) would raise on a negative length
+    # now that empty/one-token docs really have n < 2 tokens
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return documents.select(
         id_col,
         n.cast("long").alias("n_tokens"),
         F.round(
-            F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n, 6
+            F.when(
+                n > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(w)).cast("double") / n,
+            ),
+            6,
         ).alias("dup_word_frac"),
         _max_run(F.array_sort(bigrams)).alias("top_bigram_n"),
         _max_run(w).alias("max_word_run"),
     ).withColumn(
+        # capped at 1: overlapping occurrences of the same bigram share
+        # tokens, so 2*count/n exceeds 1 exactly on the most
+        # repetitious documents (review finding — 'a a a a' scored
+        # 1.5); the cap keeps the signal a true [0, 1] coverage bound
+        # for curation thresholds.
         "top_bigram_frac",
         F.round(
-            F.lit(2.0) * F.col("top_bigram_n") / F.col("n_tokens"), 6
+            F.when(
+                F.col("n_tokens") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.lit(2.0) * F.col("top_bigram_n") / F.col("n_tokens"),
+                ),
+            ),
+            6,
         ),
     )
 
@@ -354,8 +423,34 @@ def line_signals(
     shuffle, no Python; linear at 100 TB like the other row-side
     signal folds.
     """
-    lines = F.split(F.col(text_col), "\n")
+    cols = _line_signal_cols(text_col)
+    return documents.select(
+        id_col, *[expr.alias(name) for name, expr in cols.items()]
+    )
+
+
+def _line_signal_cols(text_col: str = "text") -> dict:
+    """The line_signals expressions as a named dict — shared by
+    ``line_signals`` (select form) and ``c4_filter`` (filter form, no
+    join — review finding: joining documents against
+    line_signals(documents) planned a real self-join with an exchange
+    and a second scan of the text column; evaluating the same
+    per-row expressions directly keeps the gate a single projection).
+
+    Lines split on ``\\r?\\n`` so CRLF documents classify identically
+    to LF ones, and line edges are stripped over the FULL whitespace
+    class before the terminal/bullet/ellipsis checks — plain trim()
+    strips only spaces, so 'Read more...\\r' used to count as terminal
+    and '.\\t' never did (review finding)."""
+    lines = F.split(F.col(text_col), "\\r?\\n")
     n_lines = F.size(lines)
+
+    def stripped(line: Column) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(line, f"[{WS_CLASS}]+$", ""),
+            f"^[{WS_CLASS}]+",
+            "",
+        )
 
     def nwords(line: Column) -> Column:
         # whitespace RUNS (tabs included — a tab-separated line is
@@ -369,7 +464,8 @@ def line_signals(
     # terminal punctuation, optionally followed by a closing quote /
     # bracket; an ellipsis is teaser boilerplate, NOT a terminal
     terminal = lambda l: (  # noqa: E731
-        F.trim(l).rlike("[.!?][\"')\\]]?$") & ~F.trim(l).endswith("...")
+        stripped(l).rlike("[.!?][\"')\\]]?$")
+        & ~stripped(l).endswith("...")
     )
     short = lambda l: nwords(l) < 3  # noqa: E731
     keep = lambda l: terminal(l) & ~short(l)  # noqa: E731
@@ -380,22 +476,17 @@ def line_signals(
         )
 
     low = F.lower(F.col(text_col))
-    return documents.select(
-        id_col,
-        n_lines.cast("long").alias("n_lines"),
-        frac(terminal).alias("frac_lines_terminal"),
-        frac(short).alias("frac_lines_short"),
-        frac(lambda l: F.trim(l).rlike("^[-*•]")).alias(
-            "frac_lines_bullet"
-        ),
-        frac(lambda l: F.trim(l).endswith("...")).alias(
-            "frac_lines_ellipsis"
-        ),
-        F.col(text_col).contains("{").alias("has_curly_brace"),
-        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
-        low.contains("javascript").alias("has_javascript"),
-        frac(keep).alias("kept_line_frac"),
-    )
+    return {
+        "n_lines": n_lines.cast("long"),
+        "frac_lines_terminal": frac(terminal),
+        "frac_lines_short": frac(short),
+        "frac_lines_bullet": frac(lambda l: stripped(l).rlike("^[-*•]")),
+        "frac_lines_ellipsis": frac(lambda l: stripped(l).endswith("...")),
+        "has_curly_brace": F.col(text_col).contains("{"),
+        "has_lorem_ipsum": low.contains("lorem ipsum"),
+        "has_javascript": low.contains("javascript"),
+        "kept_line_frac": frac(keep),
+    }
 
 
 def c4_keep_expr(
@@ -429,12 +520,18 @@ def c4_filter(
     documents where the line-keep rule retains less than
     ``min_kept_line_frac`` of lines, and documents dominated by
     sub-3-word lines. Returns the surviving (id, text) rows; composes
-    with pipeline.curate's dedup stage. The signals join is
-    column-parallel (same row, no shuffle) so Catalyst fuses the whole
-    gate into the scan."""
-    sig = line_signals(documents, text_col, id_col)
+    with pipeline.curate's dedup stage. The signals are evaluated as
+    columns of the SAME projection (``_line_signal_cols``) and
+    filtered in place — one scan, zero joins, zero shuffles (review
+    finding: the earlier documents-join-line_signals form planned a
+    real self-join exchange and scanned the text column twice)."""
+    cols = _line_signal_cols(text_col)
     return (
-        documents.join(sig, id_col)
+        documents.select(
+            id_col,
+            text_col,
+            *[expr.alias(name) for name, expr in cols.items()],
+        )
         .filter(c4_keep_expr(min_kept_line_frac, max_short_frac))
         .select(id_col, text_col)
     )

@@ -22,6 +22,7 @@ Scale rules encoded here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 COLUMNAR = ("parquet", "orc")
@@ -85,4 +86,13 @@ def convert_to_parquet(
     frame. All downstream reads then get pushdown + pruning."""
     df = read_source(spark, src_path, src_fmt, schema)
     write_sink(df, dest_path, "parquet", partition_by=partition_by)
-    return spark.read.parquet(dest_path)
+    out = spark.read.parquet(dest_path)
+    if schema is not None:
+        # review finding: partition columns are directory-encoded and
+        # re-INFERRED on read-back ('2024' comes back as INT and moves
+        # to the end), silently breaking the explicit-schema contract
+        # this module enforces. Restore the declared types and order.
+        out = out.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+    return out
