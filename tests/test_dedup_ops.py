@@ -337,3 +337,17 @@ def test_drop_near_dups_keeps_one_representative_per_cluster(spark):
     # original columns survive
     out = dedup.drop_near_dups(df, threshold=0.5, max_df=None)
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_line_dedup_normalizes_crlf(spark):
+    from timeseries_data_provider_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "shared\r\nunique zero"), (1, "shared\nunique one")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df, min_df=2).collect()}
+    # the CRLF doc's 'shared' line matches the LF doc's (df = 2, dropped)
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 1
+    assert out[0]["clean_text"] == "unique zero"
+    assert out[1]["clean_text"] == "unique one"

@@ -771,10 +771,15 @@ def line_occurrences(
     """(doc_id, pos, line): one row per newline-separated line of each
     document, with its 0-based position. Pure per-row posexplode — no
     shuffle; positions let the reassembly step restore original order.
+    Lines split on ``\\r?\\n`` (same rule as text._line_signal_cols)
+    so CRLF corpora dedup identically to LF ones; reassembly joins
+    with ``\\n``, normalizing line endings.
     """
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\\r?\\n")).alias(
+            "pos", "line"
+        ),
     )
 
 
@@ -842,7 +847,9 @@ def line_dedup(
     )
     totals = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        F.size(F.split(F.col(text_col), "\\r?\\n"))
+        .cast("long")
+        .alias("n_lines"),
     )
     return (
         totals.join(assembled, "doc_id", "left")
