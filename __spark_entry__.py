@@ -955,6 +955,23 @@ def _simhash_pairs_oracle(max_distance: int = 8) -> str:
     """
 
 
+# THE DuckDB 3-gram distinct-shingle CTE body, shared by the q28/q29/
+# q49 oracles (review finding: three byte-identical copies had to stay
+# in sync with each other and with dedup.shingles_exploded by hand —
+# one constant removes the drift risk, same rule as
+# _simhash_pairs_oracle).
+_SHINGLE_CTE = """
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                          ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' '
+                                 || string_split(text, ' ')[i + 1] || ' '
+                                 || string_split(text, ' ')[i + 2]))
+                     END AS sh
+              FROM documents"""
+
+
 def _rp_oracle_ctes(out_dim: int = 16, dim: int = 64, c: int = 40) -> str:
     """The q31 'rp' branch's CTEs: JL projection with the SAME ±1
     Achlioptas sign matrix as similarity.rp_topk (rp_signs is pure
@@ -1199,7 +1216,8 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(
                        regexp_split_to_array(text,
                          '[ 	
-]+'),
+
+]+'),
                        t -> t <> '') AS w
               FROM documents
             ), y AS (
@@ -1240,16 +1258,7 @@ def oracle_sql() -> dict[str, str]:
             FROM y JOIN pdf p USING (doc_id)
         """,
         "q28_ngram_jaccard": """
-            WITH d AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split(text, ' ')) < 3 THEN []
-                          ELSE list_distinct(list_transform(
-                            range(1, len(string_split(text, ' ')) - 1),
-                            i -> string_split(text, ' ')[i] || ' '
-                                 || string_split(text, ' ')[i + 1] || ' '
-                                 || string_split(text, ' ')[i + 2]))
-                     END AS sh
-              FROM documents
+            WITH d AS (""" + _SHINGLE_CTE + """
             ), pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -1263,16 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         # similarity level, so it verifies against the exact-Jaccard
         # oracle (validated identical at sf0.01).
         "q29_minhash_lsh": """
-            WITH d AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split(text, ' ')) < 3 THEN []
-                          ELSE list_distinct(list_transform(
-                            range(1, len(string_split(text, ' ')) - 1),
-                            i -> string_split(text, ' ')[i] || ' '
-                                 || string_split(text, ' ')[i + 1] || ' '
-                                 || string_split(text, ' ')[i + 2]))
-                     END AS sh
-              FROM documents
+            WITH d AS (""" + _SHINGLE_CTE + """
             ), pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -1609,16 +1609,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN pts p ON p.name = k.name AND p.i = k.i
         """,
         "q49_dedup_clusters": """
-            WITH RECURSIVE d AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split(text, ' ')) < 3 THEN []
-                          ELSE list_distinct(list_transform(
-                            range(1, len(string_split(text, ' ')) - 1),
-                            i -> string_split(text, ' ')[i] || ' '
-                                 || string_split(text, ' ')[i + 1] || ' '
-                                 || string_split(text, ' ')[i + 2]))
-                     END AS sh
-              FROM documents
+            WITH RECURSIVE d AS (""" + _SHINGLE_CTE + """
             ), pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -1798,7 +1789,8 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(
                        regexp_split_to_array(text,
                          '[ 	
-]+'),
+
+]+'),
                        t -> t <> '') AS w
               FROM documents
             ), y AS (

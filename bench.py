@@ -62,11 +62,14 @@ def main() -> None:
 
     # warm-up (not counted): JVM JIT + parquet footer caches + Python
     # UDF worker pool (a long-running service reuses workers; paying the
-    # spawn inside one arbitrary query would misattribute it)
-    qs[next(iter(qs))](spark, sf_dir).collect()
-    spark.range(256).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    # spawn inside one arbitrary query would misattribute it). Skipped
+    # under --explain, which never executes anything (review finding:
+    # explain mode used to pay a full query collect for nothing).
+    if not explain:
+        qs[next(iter(qs))](spark, sf_dir).collect()
+        spark.range(256).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "2")))
     names = sorted(qs)

@@ -8,7 +8,9 @@ import math
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# the checkout THIS file lives in, not a hardcoded path — running a
+# copy from another checkout must test that checkout (review finding)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +50,11 @@ only = os.environ.get("TDPS_DRIVE_ONLY")
 if only:
     prefixes = tuple(p.strip() for p in only.split(",") if p.strip())
     qs = {k: v for k, v in qs.items() if k.startswith(prefixes)}
+    if not qs:
+        # review finding: an empty match used to report FAILURES: none
+        # and exit 0 — a typo'd filter looked like a passing run
+        print(f"no queries match TDPS_DRIVE_ONLY={only!r}")
+        sys.exit(1)
 
 
 def canon(df):
@@ -65,6 +72,12 @@ fails = []
 for name in sorted(qs):
     sdf = qs[name](spark, SF).toPandas()
     if name not in oracles:
+        # review finding: a missing oracle used to print-and-skip, so
+        # the gate passed while silently downgrading a query to the
+        # rows-only scoring the contract was restructured to avoid.
+        # Genuinely non-SQL-expressible queries must be excluded via
+        # TDPS_DRIVE_ONLY rather than shipped oracle-less.
+        fails.append((name, "no oracle", len(sdf), None))
         print(f"{name}: NO ORACLE rows={len(sdf)}")
         continue
     odf = con.execute(oracles[name]).fetchdf()
