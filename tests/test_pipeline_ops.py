@@ -730,3 +730,21 @@ def test_salted_join_rejects_outer_and_formats_keep_partition_types(
     # partition column keeps its DECLARED type and position
     assert [f.name for f in out.schema.fields] == ["doc_id", "year"]
     assert out.schema["year"].dataType.simpleString() == "string"
+
+
+def test_corpus_diff_classifies_all_transitions(spark):
+    from timeseries_data_provider_spark.operators import pipeline
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in pipeline.corpus_diff(old, new).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
