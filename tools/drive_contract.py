@@ -36,7 +36,10 @@ assert len(rows) > 0
 import duckdb
 
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+# TDPS_DRIVE_SF overrides the scale-factor dir (default = the
+# driver's scoring sf0.01) — cross-sf runs audit the oracles for
+# accidental sf-dependence (tolerances, planted-pair luck, margins).
+SF = os.environ.get("TDPS_DRIVE_SF", "/root/testdata/sf0.01")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
