@@ -238,7 +238,11 @@ def q23_doc_profile(spark, sf):
         "\n",
         F.lit("shared boilerplate line."),
         F.concat(F.lit("group "), (F.col("doc_id") % 7).cast("string")),
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
+        # Same tokenizer as the oracle's pref CTE (whitespace RUNS,
+        # empties dropped — text._words): a single-space split kept
+        # empty tokens, so the planted prefix line and its document
+        # frequency diverged on tabs/consecutive spaces (ADVICE r5).
+        F.concat_ws(" ", F.slice(text._words("text"), 1, 5)),
         F.concat(F.lit("unique "), F.col("doc_id").cast("string")),
     )
     cleaned = dedup.line_dedup(
@@ -1246,9 +1250,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(stop_ratio, 6) AS stop_ratio,
                    ROUND(0.5 * ttr + 0.3 * (1.0 - stop_ratio)
                          + 0.2 * length_factor, 6) AS score,
-                   sha256(lower(regexp_replace(trim(text),
-                                               '[ \t\n\x0B\f\r]+', ' ',
-                                               'g'))) AS fp,
+                   sha256(lower(trim(regexp_replace(text,
+                                                    '[ \t\n\x0B\f\r]+', ' ',
+                                                    'g')))) AS fp,
                    CAST(4 AS BIGINT) AS n_lines,
                    CAST(CASE WHEN p.df < 2 THEN 2 ELSE 1 END AS BIGINT)
                      AS n_kept,
@@ -1816,7 +1820,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_split_to_array(text,
                          '[ \t\n\x0B\f\r]+'),
                        t -> t <> '')) AS BIGINT) AS n_tokens
-              FROM ys
+              FROM ys WHERE score IS NOT NULL
             ), pref AS (
               SELECT doc_id, score, n_tokens,
                      SUM(n_tokens) OVER (

@@ -160,3 +160,22 @@ def test_scaled_long_overflow_raises_not_saturates(spark):
     ).withColumn("ts", F.col("event_id").cast("timestamp"))
     with _pytest.raises(Exception, match="_scaled_long overflow"):
         windows.moving_avg(df, n=2).collect()
+
+
+def test_scaled_long_guard_is_null_transparent(spark):
+    # ADVICE r5: assert_true raises on a NULL condition, so a NULL
+    # series value used to abort moving_avg with a spurious overflow
+    # error. NULLs must propagate (skipped by the window sums).
+    from timeseries_data_provider_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, None), ("a", 3, 4.0)],
+        "event_type string, event_id int, value double",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    rows = {
+        r["event_id"]: r["mov_avg"]
+        for r in windows.moving_avg(df, n=3).collect()
+    }
+    assert len(rows) == 3  # no spurious '_scaled_long overflow'
+    # windowed sum skips the NULL, count covers all rows in frame
+    assert rows[3] is not None

@@ -34,8 +34,12 @@ def _scaled_long(col: Column, scale: float = 1e6) -> Column:
     # squared term of the z-score) would corrupt every windowed sum
     # with no error. The in-plan assert turns silent garbage into a
     # named failure; callers needing larger domains should rescale.
+    # NULL-transparent (ADVICE r5): assert_true RAISES when its
+    # condition is NULL, so a NULL series value must satisfy the guard
+    # explicitly — NULLs propagate through the scaled sum and are
+    # skipped by the window aggregates, exactly as before the guard.
     chk = F.assert_true(
-        F.abs(scaled) < F.lit(9.223372036854775e18),
+        col.isNull() | (F.abs(scaled) < F.lit(9.223372036854775e18)),
         F.concat(
             F.lit("_scaled_long overflow: |value * scale| exceeds "
                   "int64 for value "),
