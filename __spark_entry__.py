@@ -290,8 +290,13 @@ def q29_minhash_lsh(spark, sf):
     sig = dedup.minhash_signatures(
         docs, num_hashes=16, n=3, max_df=None
     ).localCheckpoint(eager=False)
+    # max_bucket=None: the declared row must stay bit-identical to the
+    # exact all-pairs oracle; the library DEFAULT star-pairs hot band
+    # buckets (max_bucket=256 — the r6 §C stress row measures the
+    # quadratic fan-out it prevents).
     batch = dedup.minhash_lsh_pairs(
-        docs, num_hashes=16, bands=8, n=3, threshold=0.3, signatures=sig
+        docs, num_hashes=16, bands=8, n=3, threshold=0.3, signatures=sig,
+        max_bucket=None,
     ).select(F.lit("batch").alias("mode"), "doc_a", "doc_b", "j")
     planted = (
         docs.filter(F.col("doc_id") % 7 == 0)
@@ -310,6 +315,7 @@ def q29_minhash_lsh(spark, sf):
         n=3,
         min_est=1.0,
         max_df=None,
+        max_bucket=None,
     )
     diff = F.col("doc_b") - F.col("doc_a")
     incr = inc.filter(
@@ -830,6 +836,38 @@ def q65_collector_replay(spark, sf):
     return collector_replay(spark, n_ticks=60, base_epoch=1_000_000_000)
 
 
+def q66_corpus_diff(spark, sf):
+    """Corpus version-diff governance op (pipeline.corpus_diff, r5 —
+    previously the only pytest-only batch operator): the documents
+    table is diffed against a planted v2 of itself — doc_id % 5 == 0
+    dropped, doc_id % 7 == 0 rewritten (suffix ' [v2]'),
+    doc_id % 13 == 0 re-added under +1,000,000 — so every transition
+    (added / removed / changed / unchanged) is exercised with
+    closed-form membership the oracle reproduces exactly via the same
+    sha256 full-outer rule. Narrow (id, digest) projections only;
+    document bodies are never shuffled."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    v2 = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" [v2]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    return pipeline.corpus_diff(d, v2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -898,6 +936,7 @@ def queries() -> dict[str, QueryFn]:
         "q63_media_decode": q63_media_decode,
         "q64_corpus_signals": q64_corpus_signals,
         "q65_collector_replay": q65_collector_replay,
+        "q66_corpus_diff": q66_corpus_diff,
     }
 
 
@@ -2089,5 +2128,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000000 + MAX(i)) * 1000 AS BIGINT)
                      AS last_ms
             FROM fires GROUP BY name
+        """,
+        # Mirrors q66's planted v2 and corpus_diff's sha256 full-outer
+        # classification rule exactly.
+        "q66_corpus_diff": """
+            WITH v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 13 = 0
+            ), oh AS (
+              SELECT doc_id, sha256(text) AS h FROM documents
+            ), nh AS (
+              SELECT doc_id, sha256(text) AS h FROM v2
+            )
+            SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+                   CASE WHEN oh.h IS NULL THEN 'added'
+                        WHEN nh.h IS NULL THEN 'removed'
+                        WHEN oh.h = nh.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
         """,
     }

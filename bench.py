@@ -77,7 +77,7 @@ def main() -> None:
         for name in names:
             print(f"===== {name}")
             qs[name](spark, sf_dir).explain("formatted")
-    best: dict[str, float] = {name: float("inf") for name in names}
+    samples: dict[str, list[float]] = {name: [] for name in names}
     if not explain:
         # Round-robin passes: one host-contention window can poison at
         # most one of each query's samples (see module docstring).
@@ -85,8 +85,20 @@ def main() -> None:
             for name in names:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
-                best[name] = min(best[name], time.perf_counter() - t0)
-    timings = {name: round(best[name], 4) for name in names}
+                samples[name].append(time.perf_counter() - t0)
+    # Headline per-query number stays the MIN (host contention only
+    # ever ADDS time); p50/max ride along so a reader can separate
+    # composition cost from noise without re-deriving it from
+    # cross-round deltas (VERDICT r5 item 8).
+    timings = {name: round(min(s), 4) for name, s in samples.items()}
+    spread = {
+        name: {
+            "min": round(min(s), 4),
+            "p50": round(sorted(s)[len(s) // 2], 4),
+            "max": round(max(s), 4),
+        }
+        for name, s in samples.items()
+    }
 
     if not explain:
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -101,6 +113,8 @@ def main() -> None:
                     "value": round(sum(timings.values()), 4),
                     "unit": "sec",
                     "queries": timings,
+                    "query_spread": spread,
+                    "repeat": repeat,
                     "sf": sf_num,
                 }
             )

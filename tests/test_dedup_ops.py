@@ -351,3 +351,88 @@ def test_line_dedup_normalizes_crlf(spark):
     assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 1
     assert out[0]["clean_text"] == "unique zero"
     assert out[1]["clean_text"] == "unique one"
+
+
+def _identical_docs(spark, n, text="the quick brown fox jumps over a lazy dog again and again"):
+    return spark.createDataFrame(
+        [(i, text) for i in range(n)], ["doc_id", "text"]
+    )
+
+
+def test_lsh_hot_bucket_cap_preserves_cluster_connectivity(spark):
+    # VERDICT r5 #2: a pile of identical docs makes EVERY band bucket
+    # hot. With the cap, candidates are star-paired (linear fan-out)
+    # but the verified pairs must still connect the whole cluster.
+    from timeseries_data_provider_spark.operators import dedup
+
+    docs = _identical_docs(spark, 30).unionByName(
+        spark.createDataFrame(
+            [(100, "completely unrelated content about astrophysics"),
+             (101, "another distinct document body entirely")],
+            ["doc_id", "text"],
+        )
+    )
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket=8).collect()
+    # star shape: 29 pairs all anchored at doc 0, J == 1.0
+    assert len(capped) == 29
+    assert all(r["doc_a"] == 0 and r["j"] == 1.0 for r in capped)
+    assert sorted(r["doc_b"] for r in capped) == list(range(1, 30))
+    # uncapped: the full quadratic 30*29/2 pair set
+    uncapped = dedup.minhash_lsh_pairs(docs, max_bucket=None).collect()
+    assert len(uncapped) == 435
+
+
+def test_lsh_cap_no_effect_below_threshold(spark):
+    # cold buckets must be byte-identical to the uncapped join
+    from timeseries_data_provider_spark.operators import dedup
+
+    docs = _identical_docs(spark, 5).unionByName(
+        spark.createDataFrame(
+            [(200, "some shared tokens quick brown fox here"),
+             (201, "other text with no overlap whatsoever")],
+            ["doc_id", "text"],
+        )
+    )
+    a = sorted(
+        (r["doc_a"], r["doc_b"], r["j"])
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=256).collect()
+    )
+    b = sorted(
+        (r["doc_a"], r["doc_b"], r["j"])
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=None).collect()
+    )
+    assert a == b
+
+
+def test_incremental_lsh_hot_bucket_cap(spark):
+    # combined corpus+batch bucket population over the cap: each NEW
+    # doc must still be found (starred against a CORPUS rep => source
+    # 'corpus'), never corpus x corpus, doc_b always the new doc.
+    from timeseries_data_provider_spark.operators import dedup
+
+    corpus = _identical_docs(spark, 20)
+    sig = dedup.minhash_signatures(corpus)
+    batch = spark.createDataFrame(
+        [(1000 + i, "the quick brown fox jumps over a lazy dog again and again")
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    pairs, _ = dedup.minhash_lsh_incremental(
+        batch, sig, min_est=1.0, max_bucket=8
+    )
+    rows = pairs.collect()
+    assert all(r["doc_b"] >= 1000 for r in rows)
+    assert all(r["doc_a"] == 0 and r["source"] == "corpus" for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == [1000 + i for i in range(10)]
+    # all-new hot bucket: rep falls back to the batch-side min
+    empty_sig = dedup.minhash_signatures(
+        corpus.filter(F.col("doc_id") < 0)
+    )
+    pairs2, _ = dedup.minhash_lsh_incremental(
+        batch, empty_sig, min_est=1.0, max_bucket=4
+    )
+    rows2 = pairs2.collect()
+    assert all(
+        r["doc_a"] == 1000 and r["source"] == "batch" for r in rows2
+    )
+    assert sorted(r["doc_b"] for r in rows2) == [1001 + i for i in range(9)]

@@ -257,6 +257,69 @@ def banded_signatures(
     )
 
 
+def _band_bucket_stats(banded: DataFrame) -> DataFrame:
+    """Per-(band, bh) bucket population and representative (min
+    doc_id) — ONE narrow hash aggregate over band rows, the price of
+    admission for the hot-bucket cap below."""
+    return banded.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("doc_id").alias("__rep"),
+    )
+
+
+def _capped_self_candidates(
+    banded: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Band-bucket self-join candidates with a HOT-BUCKET CAP: a
+    bucket of B docs fans out to B(B-1)/2 pairs, so one degenerate
+    band value shared by a large population (many empty/near-empty
+    docs whose capped shingle sets coincide — VERDICT r5 finding #2)
+    turns the linear equi-join quadratic. Buckets with population
+    <= ``max_bucket`` take the normal all-pairs join; HOT buckets are
+    STAR-PAIRED instead — every member is paired with the bucket's
+    min-doc_id representative (B-1 pairs, not B²/2).
+
+    Recall contract: the star preserves CONNECTIVITY of each hot
+    bucket, which is what the downstream near-dup clustering consumes
+    — in the dominant degenerate case (a pile of identical docs, hot
+    in EVERY band) all members verify against the representative at
+    est/J = 1 and the cluster survives intact. What it can lose is an
+    individual pair (x, y) in a MIXED hot bucket where neither
+    verifies against the rep — the standard cap trade-off, same
+    family as ``max_df`` (which bounds shingle df; this bounds the
+    band-bucket population that max_df cannot see). ``None`` disables
+    the cap (the oracle-exact declared form).
+    """
+    stats = _band_bucket_stats(banded)
+    # Equi-join on the bucket key the candidate join shuffles on
+    # anyway — co-partitioned, no extra exchange of the wide side.
+    tagged = banded.join(stats, ["band", "bh"])
+    cold = tagged.filter(F.col("__n") <= max_bucket).select(
+        "doc_id", "band", "bh"
+    )
+    cold_pairs = (
+        cold.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+        .join(
+            cold.select(F.col("doc_id").alias("doc_b"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    star_pairs = (
+        tagged.filter(
+            (F.col("__n") > max_bucket)
+            & (F.col("doc_id") != F.col("__rep"))
+        )
+        # __rep = min(doc_id) over the bucket, so doc_a < doc_b holds
+        # by construction — same orientation as the all-pairs join.
+        .select(
+            F.col("__rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    return cold_pairs.unionByName(star_pairs).distinct()
+
+
 def minhash_lsh_incremental(
     new_docs: DataFrame,
     signatures: DataFrame,
@@ -265,6 +328,7 @@ def minhash_lsh_incremental(
     n: int = 3,
     min_est: float = 0.3,
     max_df: int | None = None,
+    max_bucket: int | None = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: dedup a NEW batch against an
     already-deduped corpus using only the corpus's persisted MinHash
@@ -299,6 +363,15 @@ def minhash_lsh_incremental(
     index, as streaming/corpus_ingest.py does by construction —
     one configured stream touches both sides).
 
+    ``max_bucket`` bounds the combined per-(band, bh) population
+    across BOTH sides — without it one degenerate band value shared by
+    a large corpus population and a large batch population makes the
+    new×corpus band join fan out quadratically in that bucket, a hole
+    ``max_df`` cannot see (it bounds shingle df, not band-bucket
+    size). Hot buckets star-pair each new member with one corpus-side
+    representative (batch-side min if the bucket is all-new),
+    preserving bucket connectivity; ``None`` disables the cap.
+
     Corpus-side I/O is two scans of the signature table (banding, and
     the per-candidate agreement join) — still ~1000× less than one
     read of the settled text. Returns (pairs, new_signatures): pairs =
@@ -327,24 +400,96 @@ def minhash_lsh_incremental(
     new_banded = banded_signatures(new_sig, num_hashes, bands)
     old_banded = banded_signatures(signatures, num_hashes, bands)
 
-    vs_corpus = (
-        old_banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-        .join(
-            new_banded.select(F.col("doc_id").alias("doc_b"), "band", "bh"),
-            ["band", "bh"],
+    if max_bucket is None:
+        vs_corpus = (
+            old_banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+            .join(
+                new_banded.select(
+                    F.col("doc_id").alias("doc_b"), "band", "bh"
+                ),
+                ["band", "bh"],
+            )
+            .select("doc_a", "doc_b", F.lit("corpus").alias("source"))
         )
-        .select("doc_a", "doc_b", F.lit("corpus").alias("source"))
-    )
-    vs_batch = (
-        new_banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-        .join(
-            new_banded.select(F.col("doc_id").alias("doc_b"), "band", "bh"),
-            ["band", "bh"],
+        vs_batch = (
+            new_banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+            .join(
+                new_banded.select(
+                    F.col("doc_id").alias("doc_b"), "band", "bh"
+                ),
+                ["band", "bh"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", F.lit("batch").alias("source"))
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit("batch").alias("source"))
-    )
-    cand = vs_corpus.unionByName(vs_batch).distinct()
+        cand = vs_corpus.unionByName(vs_batch).distinct()
+    else:
+        # Hot-bucket cap (VERDICT r5 #2): the bucket population is
+        # counted over BOTH sides — the quadratic blow-up is the
+        # new×corpus product, which neither side's count alone sees.
+        # Cold buckets take the normal joins; hot buckets star-pair
+        # each NEW member with ONE representative (corpus-side min if
+        # the bucket has corpus docs, else the batch-side min), which
+        # preserves bucket connectivity — the degenerate case is a
+        # pile of identical docs, where every member verifies against
+        # the rep at est 1.0 — while keeping fan-out linear. The
+        # corpus×corpus invariant is untouched: corpus members of hot
+        # buckets never pair with each other.
+        both = (
+            old_banded.select(
+                "doc_id", "band", "bh", F.lit(False).alias("__new")
+            ).unionByName(
+                new_banded.select(
+                    "doc_id", "band", "bh", F.lit(True).alias("__new")
+                )
+            )
+        )
+        stats = both.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.when(~F.col("__new"), F.col("doc_id"))).alias(
+                "__corp_rep"
+            ),
+            F.min(F.when(F.col("__new"), F.col("doc_id"))).alias(
+                "__new_rep"
+            ),
+        )
+        tagged = both.join(stats, ["band", "bh"])
+        cold = tagged.filter(F.col("__n") <= max_bucket)
+        cold_old = cold.filter(~F.col("__new")).select(
+            F.col("doc_id").alias("doc_a"), "band", "bh"
+        )
+        cold_new = cold.filter(F.col("__new")).select(
+            F.col("doc_id").alias("doc_b"), "band", "bh"
+        )
+        vs_corpus = cold_old.join(cold_new, ["band", "bh"]).select(
+            "doc_a", "doc_b", F.lit("corpus").alias("source")
+        )
+        vs_batch = (
+            cold_new.select(F.col("doc_b").alias("doc_a"), "band", "bh")
+            .join(cold_new, ["band", "bh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", F.lit("batch").alias("source"))
+        )
+        rep = F.coalesce(F.col("__corp_rep"), F.col("__new_rep"))
+        star = (
+            tagged.filter(
+                (F.col("__n") > max_bucket)
+                & F.col("__new")
+                & (F.col("doc_id") != rep)
+            )
+            .select(
+                rep.alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.when(
+                    F.col("__corp_rep").isNotNull(), F.lit("corpus")
+                )
+                .otherwise(F.lit("batch"))
+                .alias("source"),
+            )
+        )
+        cand = (
+            vs_corpus.unionByName(vs_batch).unionByName(star).distinct()
+        )
 
     all_sig = signatures.unionByName(new_sig)
     sig_a = all_sig.select(
@@ -383,6 +528,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     max_df: int | None = None,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
@@ -402,6 +548,11 @@ def minhash_lsh_pairs(
     signature consumers — e.g. the batch form next to
     ``minhash_lsh_incremental`` — shingles the corpus once, not per
     consumer.
+
+    ``max_bucket`` bounds the per-(band, bh) bucket population the
+    candidate self-join may expand quadratically (hot buckets are
+    star-paired instead — ``_capped_self_candidates`` documents the
+    recall contract); ``None`` disables the cap for oracle-exact runs.
     """
     sig = (
         signatures
@@ -414,14 +565,22 @@ def minhash_lsh_pairs(
         eager=True
     )
 
-    la = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    lb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    cand = (
-        la.join(lb, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    if max_bucket is None:
+        la = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+        lb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+        cand = (
+            la.join(lb, ["band", "bh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    else:
+        # Library DEFAULT caps per-(band, bh) bucket population at
+        # ``max_bucket`` (star-pairing above it — see
+        # _capped_self_candidates for the recall contract); the
+        # declared q29 row passes None to stay bit-identical to the
+        # exact all-pairs oracle, mirroring the max_df design.
+        cand = _capped_self_candidates(banded, max_bucket)
 
     ex = shingles_exploded(documents, n).localCheckpoint(eager=True)
     common = (
