@@ -1,0 +1,146 @@
+"""Baseline JPEG codec (operators/jpeg.py, VERDICT r5 item 7):
+round-trips through our own encoder — closed-form where the math
+allows (solid blocks + all-ones quant are EXACT), tolerance-bounded
+where float DCT rounding is inherent — plus the worker-side registry
+distribution path through real Spark mapInPandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from timeseries_data_provider_spark.operators import jpeg
+from timeseries_data_provider_spark.operators import multimodal as mm
+
+RNG = np.random.RandomState(20260814)
+
+
+def _maxdiff(a, b) -> int:
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+def test_solid_color_roundtrip_exact():
+    # constant block => lone DC coefficient; quant=1 => bit-exact
+    for v in (0, 1, 128, 137, 254, 255):
+        img = np.full((16, 24, 3), v, np.uint8)
+        dec = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img))
+        assert dec["format"] == "jpeg"
+        assert (dec["width"], dec["height"]) == (24, 16)
+        assert np.array_equal(dec["pixels"], img), v
+
+
+def test_random_rgb_roundtrip_near_lossless():
+    img = RNG.randint(0, 256, (24, 33, 3), np.uint8)
+    dec = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img))
+    assert dec["pixels"].shape == img.shape
+    # all-ones quant: the only loss is float DCT/YCbCr rounding
+    assert _maxdiff(dec["pixels"], img) <= 2
+
+
+def test_grayscale_odd_dimensions():
+    img = RNG.randint(0, 256, (13, 19), np.uint8)
+    dec = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img))
+    assert dec["pixels"].shape == (13, 19)
+    assert _maxdiff(dec["pixels"], img) <= 1  # no chroma stage at all
+
+
+def test_chroma_420_subsampling():
+    base = RNG.randint(0, 256, (32, 32), np.uint8)
+    img = np.stack([base, base, base], axis=-1)  # constant chroma 128
+    enc = jpeg.encode_baseline_jpeg(img, subsample="420")
+    dec = jpeg.decode_baseline_jpeg(enc)
+    assert _maxdiff(dec["pixels"], img) <= 1
+    # odd dims exercise the partial-MCU crop path
+    img2 = np.stack([base[:25, :27]] * 3, axis=-1)
+    dec2 = jpeg.decode_baseline_jpeg(
+        jpeg.encode_baseline_jpeg(img2, subsample="420")
+    )
+    assert dec2["pixels"].shape == (25, 27, 3)
+    assert _maxdiff(dec2["pixels"], img2) <= 1
+
+
+def test_restart_markers_roundtrip():
+    img = RNG.randint(0, 256, (40, 56, 3), np.uint8)
+    enc = jpeg.encode_baseline_jpeg(img, restart_interval=3)
+    assert b"\xff\xdd" in enc  # DRI segment present
+    dec = jpeg.decode_baseline_jpeg(enc)
+    assert _maxdiff(dec["pixels"], img) <= 2
+
+
+def test_quantized_encode_is_lossy_but_sane():
+    img = RNG.randint(0, 256, (40, 40, 3), np.uint8)
+    dec = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img, quant=16))
+    # heavy quantization of NOISE loses a lot — just bound the wreckage
+    err = np.abs(dec["pixels"].astype(int) - img.astype(int)).mean()
+    assert 0 < err < 40
+
+
+def test_unsupported_modes_raise_named_errors():
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_baseline_jpeg(
+            b"\xff\xd8\xff\xc2\x00\x08" + b"\x00" * 6
+        )
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_baseline_jpeg(b"not a jpeg")
+    with pytest.raises(NotImplementedError, match="12"):
+        # SOF0 with 12-bit precision
+        jpeg.decode_baseline_jpeg(
+            b"\xff\xd8\xff\xc0\x00\x0b\x0c\x00\x10\x00\x10\x01"
+            b"\x01\x11\x00"
+        )
+
+
+def test_registered_codec_through_decode_image():
+    payload = jpeg.encode_baseline_jpeg(
+        np.full((8, 8, 3), 200, np.uint8)
+    )
+    # unregistered: the documented plug-in point
+    with pytest.raises(NotImplementedError, match="register_image_codec"):
+        mm.decode_image(payload)
+    try:
+        jpeg.register()
+        out = mm.decode_image(payload)
+        assert out["format"] == "jpeg"
+        assert np.array_equal(
+            out["pixels"], np.full((8, 8, 3), 200, np.uint8)
+        )
+    finally:
+        mm.IMAGE_CODECS.pop(jpeg.JPEG_MAGIC, None)
+
+
+def test_jpeg_decode_in_spark_workers(spark):
+    """The distribution contract: jpeg.register as the codec_setup
+    hook installs the decoder inside mapInPandas workers; planted
+    solid-color JPEGs decode to closed-form means."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = [
+        (i, jpeg.encode_baseline_jpeg(
+            np.full((8, 16, 3), 40 + 20 * i, np.uint8)
+        ))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    out = (
+        mm.media_features(df, codec_setup=jpeg.register)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["kind"] for r in out] == ["jpeg"] * 5
+    for r in out:
+        # solid color v: feat_milli = (1000 * v * npix) // npix = 1000v
+        assert (r["width"], r["height"]) == (16, 8)
+        assert r["feat_milli"] == 1000 * (40 + 20 * r["doc_id"])

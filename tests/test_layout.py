@@ -349,3 +349,16 @@ def test_write_training_shards_rejects_empty_input(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no rows"):
         pipeline.write_training_shards(empty, str(tmp_path / "s"), n_shards=4)
+
+
+def test_q67_declared_row_is_partition_pruned(spark):
+    """The DECLARED q67 row (VERDICT r5 item 6) must itself read the
+    materialized layout through a partition-pruned scan — the property
+    the driver's value-hash cannot see."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    df = entrymod.q67_ivf_layout_probe(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan[:1500]
+    assert df.count() == 10

@@ -609,6 +609,33 @@ def synth_media(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def synth_jpeg_media(ids: DataFrame) -> DataFrame:
+    """Solid-color baseline JPEGs derived from doc_id — the planted
+    input for the declared JPEG-decode branch (q63): a constant block
+    survives the all-ones-quant baseline codec (operators/jpeg.py)
+    EXACTLY (the DCT of a constant block is a lone DC coefficient), so
+    the decoded mean is the closed-form (37·doc_id + 23) % 256 the SQL
+    oracle recomputes without touching a codec. 16×8 RGB: two MCUs
+    wide, trivially cheap per row, real entropy-coded bytes."""
+    from timeseries_data_provider_spark.operators import jpeg as _jpeg
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                v = (37 * int(doc_id) + 23) % 256
+                payload = _jpeg.encode_baseline_jpeg(
+                    np.full((8, 16, 3), v, np.uint8)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["kind"].append("jpeg")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def media_features(
     media: DataFrame, codec_setup=None
 ) -> DataFrame:

@@ -808,6 +808,13 @@ def budget_select(
         raise ValueError(f"token_budget must be >= 0, got {token_budget}")
     from timeseries_data_provider_spark.operators.text import quality_score
 
+    # Materialized once (lazy): the narrow (doc_id, score, n_tokens)
+    # projection — three numeric columns per doc, the same size class
+    # as a signature table — feeds FOUR consumers (histogram, the
+    # above-cutoff filter, the marginal class's quantile probe and
+    # prefix cut). Without this, every consumer re-runs the full
+    # quality-scoring tokenization over the corpus (measured 28 s vs
+    # 6 s at 3.2M docs, §C tiedbudget row).
     scored = (
         quality_score(documents)
         .select("doc_id", "score")
@@ -819,6 +826,7 @@ def budget_select(
             ),
             "doc_id",
         )
+        .localCheckpoint(eager=False)
     )
     hist = sorted(
         scored.groupBy("score").agg(F.sum("n_tokens").alias("t")).collect(),

@@ -20,6 +20,13 @@ additionally filters documents whose near-dup already exists in the
 corpus (left-anti join on the pair list) so the stored corpus stays
 deduped, not merely annotated.
 
+Producer contract: files must be RENAMED into ``source_dir``, not
+written in place — the file source lists eagerly and will happily
+read the half-flushed prefix of an in-progress write as the whole
+document set (measured in tools/stress_round6.py: 2.6k of 10k rows).
+Write to a sibling temp path and ``os.replace``/``mv`` in; every
+serious file-hand-off pipeline already follows this contract.
+
 Exactly-once caveat (documented, standard for foreachBatch sinks):
 parquet appends inside foreachBatch are at-least-once across
 RESTARTS — a crash between the three appends can replay a batch.
