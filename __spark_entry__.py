@@ -747,10 +747,20 @@ def q63_media_decode(spark, sf):
     from timeseries_data_provider_spark.operators import jpeg as jpeg_mod
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    media = multimodal.synth_media(docs).unionByName(
-        multimodal.synth_jpeg_media(
-            spark.range(10_000, 10_050).withColumnRenamed("id", "doc_id")
+    # lazy checkpoint: three consumers (features, audio, resize) read
+    # the synthesized media table — without it each re-runs the full
+    # synth (incl. 50 JPEG encodes) in its own plan (bench r6: the
+    # jpeg branch tripled this way, 1.0 -> 2.4 s at sf0.1)
+    media = (
+        multimodal.synth_media(docs)
+        .unionByName(
+            multimodal.synth_jpeg_media(
+                spark.range(10_000, 10_050).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
         )
+        .localCheckpoint(eager=False)
     )
     feats = multimodal.media_features(
         media, codec_setup=jpeg_mod.register

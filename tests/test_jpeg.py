@@ -144,3 +144,26 @@ def test_jpeg_decode_in_spark_workers(spark):
         # solid color v: feat_milli = (1000 * v * npix) // npix = 1000v
         assert (r["width"], r["height"]) == (16, 8)
         assert r["feat_milli"] == 1000 * (40 + 20 * r["doc_id"])
+
+
+def test_hostile_headers_fail_loudly_not_oom():
+    # 65535x65535 header in a tiny payload: allocation guard, not OOM
+    big = (
+        b"\xff\xd8\xff\xc0\x00\x11\x08\xff\xff\xff\xff\x03"
+        b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    with pytest.raises(ValueError, match="max_pixels"):
+        jpeg.decode_baseline_jpeg(big)
+    # zero dimension
+    zero = (
+        b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x00\x00\x10\x03"
+        b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    with pytest.raises(ValueError, match="zero"):
+        jpeg.decode_baseline_jpeg(zero)
+    # truncated scan data: named error, not IndexError
+    enc = jpeg.encode_baseline_jpeg(
+        RNG.randint(0, 256, (16, 16, 3), np.uint8)
+    )
+    with pytest.raises(ValueError, match="truncated|Huffman"):
+        jpeg.decode_baseline_jpeg(enc[: len(enc) // 2])

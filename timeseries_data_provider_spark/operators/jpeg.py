@@ -88,6 +88,8 @@ class _BitReader:
 
     def _load(self) -> None:
         d = self.data
+        if self.pos + 1 >= len(d):
+            raise ValueError("jpeg: truncated scan data")
         b = d[self.pos]
         if b == 0xFF:
             m = d[self.pos + 1]
@@ -158,10 +160,17 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
-def decode_baseline_jpeg(payload: bytes) -> dict:
+def decode_baseline_jpeg(
+    payload: bytes, max_pixels: int = 100_000_000
+) -> dict:
     """Decode a baseline-sequential JFIF payload to the image codec
     contract dict: {format, width, height, pixels} with pixels an
-    (h, w, 3) uint8 RGB grid (or (h, w) for single-component files)."""
+    (h, w, 3) uint8 RGB grid (or (h, w) for single-component files).
+
+    ``max_pixels`` bounds the allocation a hostile header can demand
+    (a 12-byte file claiming 65535x65535 would otherwise commit ~100
+    GB of planes inside a Python worker — corpus bytes are untrusted
+    input)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI marker")
     pos = 2
@@ -214,6 +223,13 @@ def decode_baseline_jpeg(payload: bytes) -> dict:
                     f"jpeg: {prec}-bit precision (baseline is 8-bit)"
                 )
             h, w = struct.unpack(">HH", seg[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("jpeg: zero image dimension in SOF")
+            if h * w > max_pixels:
+                raise ValueError(
+                    f"jpeg: {w}x{h} exceeds max_pixels={max_pixels} "
+                    "(untrusted-header allocation guard)"
+                )
             ncomp = seg[5]
             comps = []
             for ci in range(ncomp):
@@ -239,6 +255,13 @@ def decode_baseline_jpeg(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    f"jpeg: {ns}-component scan over a "
+                    f"{len(frame['comps'])}-component frame "
+                    "(non-interleaved multi-scan) not supported — "
+                    "baseline single-scan only"
+                )
             scan_tbl = {}
             for si in range(ns):
                 cid = seg[1 + 2 * si]
@@ -255,6 +278,29 @@ def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["id"] not in scan_tbl:
+            raise ValueError(
+                f"jpeg: SOS names no tables for component {c['id']}"
+            )
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"jpeg: non-integer sampling ratio {c['h']}x{c['v']} "
+                f"vs max {hmax}x{vmax} (spec-legal but exotic; the "
+                "pixel-replication upsampler requires integer ratios)"
+            )
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"jpeg: component references missing quant table "
+                f"{c['tq']}"
+            )
+        for cls, t in ((0, scan_tbl[c["id"]][0]),
+                       (1, scan_tbl[c["id"]][1])):
+            if (cls, t) not in huff:
+                raise ValueError(
+                    f"jpeg: scan references missing Huffman table "
+                    f"class={cls} id={t}"
+                )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h

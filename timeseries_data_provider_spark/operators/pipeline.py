@@ -746,8 +746,19 @@ def _ordered_prefix_take(
     for b in sorted(psums):
         offsets[b] = cum
         cum += psums[b]
+    # keys/values pinned to int/long explicitly: create_map requires
+    # uniform types, and a mixed small/large offset set would
+    # otherwise resolve to Integer for some literals and Long for
+    # others (type-mismatch at 2^31 token corpora)
     omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+        *[
+            x
+            for b, off in offsets.items()
+            for x in (
+                F.lit(int(b)).cast("int"),
+                F.lit(int(off)).cast("long"),
+            )
+        ]
     )
     w = (
         Window.partitionBy("__bkt")
