@@ -409,10 +409,49 @@ def q32_embedding_neardup(spark, sf):
 
 def q34_multimodal_frames(spark, sf):
     """Metadata decode + frame sampling in one Arrow pass over binary
-    payloads (mapInPandas 1→N fan-out with per-item metadata)."""
-    return multimodal.frames_with_meta(
+    payloads (mapInPandas 1→N fan-out with per-item metadata).
+
+    r6: union-tagged with a VIDEO-CONTAINER metadata branch — 40
+    planted metadata-only MP4 skeletons (operators/mp4.py: a real
+    ISO-BMFF box tree, ftyp + moov/mvhd/trak/tkhd/mdia/hdlr/stsd)
+    parsed per track by ``video_meta_features``. Every planted field
+    (dims, durations, codecs, track layout) is closed-form doc_id
+    math the oracle recomputes — the parser is scored on real box
+    structure, not a stub. Frame DECODE remains the documented codec
+    plug-in; the metadata tier is what a corpus build routes on."""
+    frames = multimodal.frames_with_meta(
         multimodal.attach_blob(_t(spark, sf, "documents")), frame_size=64
+    ).select(
+        F.lit("frames").alias("src"),
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        "frame_idx",
+        "frame_byte_offset",
+        F.lit(None).cast("string").alias("track_kind"),
+        F.lit(None).cast("string").alias("codec"),
+        F.lit(None).cast("long").alias("duration_ms"),
     )
+    vids = multimodal.video_meta_features(
+        multimodal.synth_mp4_media(
+            spark.range(20_000, 20_040).withColumnRenamed("id", "doc_id")
+        )
+    ).select(
+        F.lit("mp4").alias("src"),
+        "doc_id",
+        # container size is box-layout dependent — not SQL-recomputable
+        # (same rule as the png/jpeg byte_len NULLs in q63)
+        F.lit(None).cast("long").alias("byte_len"),
+        "width",
+        "height",
+        F.col("track_id").alias("frame_idx"),
+        F.lit(None).cast("long").alias("frame_byte_offset"),
+        "track_kind",
+        "codec",
+        F.col("track_ms").alias("duration_ms"),
+    )
+    return frames.unionByName(vids)
 
 
 def q37_gap_fill(spark, sf):
@@ -1585,15 +1624,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.35
         """,
         "q34_multimodal_frames": """
-            SELECT doc_id,
+            SELECT 'frames' AS src, doc_id,
                    octet_length(encode(text)) AS byte_len,
                    octet_length(encode(text)) % 640 AS width,
                    (octet_length(encode(text)) * 7) % 480 AS height,
-                   u AS frame_idx, u * 64 AS frame_byte_offset
+                   u AS frame_idx, u * 64 AS frame_byte_offset,
+                   CAST(NULL AS VARCHAR) AS track_kind,
+                   CAST(NULL AS VARCHAR) AS codec,
+                   CAST(NULL AS BIGINT) AS duration_ms
             FROM (SELECT doc_id, text,
                          unnest(range(greatest(
                            octet_length(encode(text)) // 64, 1))) AS u
                   FROM documents)
+            UNION ALL
+            SELECT 'mp4' AS src, 20000 + g.v AS doc_id,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(320 + 16 * ((20000 + g.v) % 5) AS BIGINT)
+                     AS width,
+                   CAST(240 + 16 * ((20000 + g.v) % 3) AS BIGINT)
+                     AS height,
+                   CAST(1 AS BIGINT) AS frame_idx,
+                   CAST(NULL AS BIGINT) AS frame_byte_offset,
+                   'video' AS track_kind, 'mp4v' AS codec,
+                   CAST(1000 + 100 * ((20000 + g.v) % 10) AS BIGINT)
+                     AS duration_ms
+            FROM generate_series(0, 39) g(v)
+            UNION ALL
+            SELECT 'mp4' AS src, 20000 + g.v AS doc_id,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   CAST(2 AS BIGINT) AS frame_idx,
+                   CAST(NULL AS BIGINT) AS frame_byte_offset,
+                   'audio' AS track_kind, 'mp4a' AS codec,
+                   CAST(1000 + 100 * ((20000 + g.v) % 10) AS BIGINT)
+                     AS duration_ms
+            FROM generate_series(0, 39) g(v)
         """,
         # Sketch-verdict row (q36, covering the HLL++ AND GK families):
         # the oracle computes the EXACT aggregates and literal TRUE

@@ -636,6 +636,82 @@ def synth_jpeg_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("container_ms", LongType()),
+        StructField("n_tracks", LongType()),
+        StructField("track_id", LongType()),
+        StructField("track_kind", StringType()),
+        StructField("codec", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("track_ms", LongType()),
+    ]
+)
+
+
+def synth_mp4_media(ids: DataFrame) -> DataFrame:
+    """Metadata-only MP4 skeletons derived from doc_id — the planted
+    input for the declared video-metadata branch (q34): dims
+    320+16·(id%5) × 240+16·(id%3), duration 1000+100·(id%10) ms, one
+    video + one audio track — all closed-form for the SQL oracle,
+    while the bytes are a REAL ISO-BMFF box tree the parser walks."""
+    from timeseries_data_provider_spark.operators import mp4 as _mp4
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                payload = _mp4.build_skeleton(
+                    duration_ms=1000 + 100 * (i % 10),
+                    width=320 + 16 * (i % 5),
+                    height=240 + 16 * (i % 3),
+                )
+                out["doc_id"].append(i)
+                out["kind"].append("mp4")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def video_meta_features(media: DataFrame) -> DataFrame:
+    """Parse ISO-BMFF container metadata per payload and emit one row
+    PER TRACK (1→N Arrow fan-out, same plumbing as frames_with_meta) —
+    the routing/filtering tier of a video corpus build: codec/brand
+    allowlists, dimension and duration gates, track-count sanity, all
+    WITHOUT a codec library (operators/mp4.py — frame decode remains
+    the documented plug-in). Non-BMFF payloads raise: a video table
+    with a non-video row is a schema error, not a skip."""
+    from timeseries_data_provider_spark.operators import mp4 as _mp4
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in VIDEO_META_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _mp4.decode_video_meta(bytes(payload))
+                for t in meta["tracks"]:
+                    rows["doc_id"].append(int(doc_id))
+                    rows["major_brand"].append(meta["major_brand"])
+                    rows["container_ms"].append(meta["duration_ms"])
+                    rows["n_tracks"].append(meta["n_tracks"])
+                    rows["track_id"].append(t["track_id"])
+                    rows["track_kind"].append(t["kind"])
+                    rows["codec"].append(t["codec"])
+                    rows["width"].append(t["width"])
+                    rows["height"].append(t["height"])
+                    rows["track_ms"].append(t["duration_ms"])
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feats, VIDEO_META_SCHEMA
+    )
+
+
 def media_features(
     media: DataFrame, codec_setup=None
 ) -> DataFrame:
