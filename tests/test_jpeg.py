@@ -167,3 +167,61 @@ def test_hostile_headers_fail_loudly_not_oom():
     )
     with pytest.raises(ValueError, match="truncated|Huffman"):
         jpeg.decode_baseline_jpeg(enc[: len(enc) // 2])
+
+
+# --- property tests (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _img(seed: int, h: int, w: int, channels: int) -> np.ndarray:
+    r = np.random.RandomState(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    return r.randint(0, 256, shape, np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    restart=st.sampled_from([0, 2]),
+)
+def test_property_grayscale_roundtrip(seed, h, w, restart):
+    img = _img(seed, h, w, 1)
+    dec = jpeg.decode_baseline_jpeg(
+        jpeg.encode_baseline_jpeg(img, restart_interval=restart)
+    )
+    assert dec["pixels"].shape == (h, w)
+    assert _maxdiff(dec["pixels"], img) <= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+)
+def test_property_rgb_444_roundtrip(seed, h, w):
+    img = _img(seed, h, w, 3)
+    dec = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img))
+    assert dec["pixels"].shape == (h, w, 3)
+    assert _maxdiff(dec["pixels"], img) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+)
+def test_property_gray_content_420_roundtrip(seed, h, w):
+    # constant-chroma content: 4:2:0 loss is bounded by rounding only
+    base = _img(seed, h, w, 1)
+    img = np.stack([base] * 3, axis=-1)
+    dec = jpeg.decode_baseline_jpeg(
+        jpeg.encode_baseline_jpeg(img, subsample="420")
+    )
+    assert dec["pixels"].shape == (h, w, 3)
+    assert _maxdiff(dec["pixels"], img) <= 2

@@ -362,3 +362,81 @@ def test_q67_declared_row_is_partition_pruned(spark):
     plan = explain_str(df)
     assert "PartitionFilters" in plan and "centroid_id" in plan, plan[:1500]
     assert df.count() == 10
+
+
+def test_ivf_append_matches_full_build(spark, tmp_path):
+    """Incremental layout maintenance: build from the first half, append
+    the second half — identical probe results to a one-shot full build
+    (the centroid set is the 8 lowest vec_ids, present in the first
+    half, so both paths share the same frozen centroids)."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    cut = e.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    first, second = e.filter(F.col("vec_id") <= cut), e.filter(
+        F.col("vec_id") > cut
+    )
+
+    full_path, incr_path = str(tmp_path / "full"), str(tmp_path / "incr")
+    similarity.write_ivf_layout(e, full_path, num_centroids=8)
+    similarity.write_ivf_layout(first, incr_path, num_centroids=8)
+    similarity.ivf_append(spark, second, incr_path)
+
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    a = similarity.ivf_topk_from_layout(
+        spark, full_path, qvec, k=12, nprobe=3
+    ).collect()
+    b = similarity.ivf_topk_from_layout(
+        spark, incr_path, qvec, k=12, nprobe=3
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in a] == [
+        (r["vec_id"], r["sim"]) for r in b
+    ]
+    # settled partitions untouched: appends only add files
+    n_rows = spark.read.parquet(incr_path + "/data").count()
+    assert n_rows == e.count()
+
+    # dim mismatch fails loudly
+    bad = second.select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ivf_append(spark, bad, incr_path)
+
+
+def test_ivf_append_quantized_layout(spark, tmp_path):
+    """Appending into a quantize=True layout quantizes the batch the
+    same way, and the stacked sq8 probe equals the full-build probe."""
+    from timeseries_data_provider_spark import tables
+    from timeseries_data_provider_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    e = tables.load_table(spark, SF_SMOKE, "embeddings")
+    cut = e.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    full_path, incr_path = str(tmp_path / "fullq"), str(tmp_path / "incrq")
+    similarity.write_ivf_layout(e, full_path, num_centroids=8, quantize=True)
+    similarity.write_ivf_layout(
+        e.filter(F.col("vec_id") <= cut), incr_path, num_centroids=8,
+        quantize=True,
+    )
+    similarity.ivf_append(
+        spark, e.filter(F.col("vec_id") > cut), incr_path
+    )
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    a = similarity.ivf_topk_sq8_from_layout(
+        spark, full_path, qvec, k=10, nprobe=3
+    ).collect()
+    b = similarity.ivf_topk_sq8_from_layout(
+        spark, incr_path, qvec, k=10, nprobe=3
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in a] == [
+        (r["vec_id"], r["sim"]) for r in b
+    ]

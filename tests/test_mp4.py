@@ -113,3 +113,29 @@ def test_video_meta_features_spark_fanout(spark):
         else:
             assert r["track_kind"] == "audio" and r["codec"] == "mp4a"
             assert r["width"] is None and r["height"] is None
+
+
+# --- property tests (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    ms=st.integers(0, 10**7),
+    w=st.integers(1, 8192),
+    h=st.integers(1, 8192),
+    ts=st.sampled_from([1000, 90_000, 44_100, 600]),
+)
+def test_property_skeleton_roundtrip(ms, w, h, ts):
+    m = mp4.decode_video_meta(
+        mp4.build_skeleton(ms, w, h, timescale=ts)
+    )
+    # duration survives the timescale round trip to within 1 ms of the
+    # builder's own integer quantization
+    dur = (ms * ts) // 1000
+    assert m["duration_ms"] == (dur * 1000) // ts
+    v = m["tracks"][0]
+    assert (v["width"], v["height"]) == (w, h)
+    assert m["n_tracks"] == 2 and m["timescale"] == ts

@@ -821,3 +821,44 @@ def test_ordered_prefix_take_matches_global_window(spark):
             .collect()
         )
         assert got == want, budget
+
+
+def test_property_ordered_prefix_take_equivalence(spark):
+    # randomized weights/budgets vs the naive global-window rule —
+    # one Spark round over many (budget, frame) cases (hypothesis-style
+    # coverage without per-example Spark jobs)
+    from pyspark.sql import Window
+
+    from timeseries_data_provider_spark.operators.pipeline import (
+        _ordered_prefix_take,
+    )
+
+    import random
+
+    rnd = random.Random(20260814)
+    for trial, n in enumerate([7, 700]):
+        rows = [
+            (i * rnd.choice([1, 3]) + trial, rnd.randint(0, 9))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["id", "w"]).repartition(8)
+        total = sum(w for _, w in rows)
+        for budget in {0, 1, total // 3, total, total + 5}:
+            got = sorted(
+                r["id"]
+                for r in _ordered_prefix_take(
+                    df, "id", "w", budget
+                ).collect()
+            )
+            win = Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            want = sorted(
+                r["id"]
+                for r in df.select(
+                    "id", F.sum("w").over(win).alias("c")
+                )
+                .filter(F.col("c") <= budget)
+                .collect()
+            )
+            assert got == want, (trial, n, budget)

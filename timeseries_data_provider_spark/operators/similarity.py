@@ -590,6 +590,54 @@ def write_ivf_layout(
     cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
 
 
+def ivf_append(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+) -> None:
+    """Incremental IVF-layout maintenance — the ANN counterpart of
+    ``minhash_lsh_incremental``'s settled-data contract: append a
+    batch of NEW vectors into an existing materialized layout using
+    the layout's STORED centroid set. The centroids are deliberately
+    FROZEN (re-training here would move partition boundaries out from
+    under the already-written data — a re-cluster is an explicit
+    rebuild via ``write_ivf_layout``). Cost is one broadcast
+    assignment pass over the new batch only; the settled vectors are
+    never read or rewritten, and the parquet append touches only the
+    centroid partitions the batch lands in — the shape that stays
+    feasible as a 100 TB vector corpus grows.
+
+    Quantized layouts are detected from the stored schema (``q``
+    column present) and the batch is quantized identically, so a
+    stacked sq8 probe keeps working across appends. vec_ids must be
+    new — the layout has no uniqueness enforcement (same caller
+    contract as the signature-index append in corpus_ingest).
+
+    Maintenance caveat: appends never rebalance. The probe's
+    nprobe/m scan fraction holds regardless, but if the data
+    distribution drifts from the frozen centroids, recall for
+    drifted regions degrades — monitor assignment distances and
+    rebuild when it matters."""
+    cents = spark.read.parquet(path + "/centroids")
+    stored_dim = embedding_dim(cents, col="cv")
+    batch_dim = embedding_dim(new_embeddings)
+    if stored_dim != batch_dim:
+        raise ValueError(
+            f"ivf_append: batch embeddings have dim {batch_dim} but "
+            f"the layout at {path!r} stores dim-{stored_dim} "
+            "centroids — appending would assign by NULL cosine"
+        )
+    if "q" in spark.read.parquet(path + "/data").columns:
+        new_embeddings = quantize_embeddings(new_embeddings)
+    assign = assign_to_centroids(new_embeddings, cents)
+    (
+        new_embeddings.join(assign, "vec_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path + "/data")
+    )
+
+
 def _probe_ids(spark, path: str, qv, nprobe: int) -> list:
     """Rank the layout's stored centroids against the query column
     expression ``qv`` and return the ``nprobe`` closest centroid ids

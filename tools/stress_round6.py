@@ -23,6 +23,10 @@ aqeskew     AQE skew-join evidence: planted skewed join key (one key
             join; asserts the ADAPTIVE executed plan actually split
             the skewed partition (skew=true / skewed AQEShuffleRead),
             mirroring the scan_stats executed-plan methodology.
+ivfappend   Incremental IVF-layout maintenance: 100k-vector batch
+            appended into a 1.6M-vector 64-partition layout with
+            frozen centroids — asserts only the batch's 4 target
+            partitions gain files and the probe ranks appended data.
 streamingest  The streaming corpus-ingest loop at 64x: 10 waves of
             10k docs against an index seeded with 320k docs; records
             per-wave latency vs index growth (flat-ish per-batch cost
@@ -420,8 +424,109 @@ def probe_streamingest(spark) -> None:
     )
 
 
+def probe_ivfappend(spark) -> None:
+    import glob
+    import math
+
+    from timeseries_data_provider_spark.operators import similarity
+
+    DIM, NC = 16, 64
+    centers = [
+        [math.cos(0.37 * c * (j + 1)) + (1.0 if j == c % DIM else 0.0)
+         for j in range(DIM)]
+        for c in range(NC)
+    ]
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(centers)], "c int, cv array<double>"
+    )
+
+    def vectors(ids, cluster_expr, noise_amp):
+        noise = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                F.pmod(F.hash(F.col("vec_id"), j), F.lit(1000))
+                .cast("double") / 1000.0 - 0.5
+            ) * noise_amp,
+        )
+        return (
+            ids.withColumn("c", cluster_expr.cast("int"))
+            .join(F.broadcast(cdf), "c")
+            .select(
+                "vec_id",
+                F.zip_with(
+                    F.col("cv"), noise, lambda a, b: (a + b).cast("float")
+                ).alias("embedding"),
+            )
+        )
+
+    base = vectors(
+        spark.range(1_600_000).withColumnRenamed("id", "vec_id"),
+        F.col("vec_id") % NC,
+        0.05,
+    )
+    path = WORK + "/ivf_append_layout"
+    t0 = time.perf_counter()
+    similarity.write_ivf_layout(base, path, num_centroids=NC)
+    build_sec = round(time.perf_counter() - t0, 2)
+
+    files_before = {
+        c: set(glob.glob(f"{path}/data/centroid_id={c}/*.parquet"))
+        for c in range(NC)
+    }
+    # 100k new vectors landing in clusters 0..3 ONLY, tighter than the
+    # settled noise so the probe MUST see them to rank correctly
+    batch = vectors(
+        spark.range(100_000).select(
+            (F.col("id") + 10_000_000).alias("vec_id")
+        ),
+        F.col("vec_id") % 4,
+        0.005,
+    )
+    t0 = time.perf_counter()
+    similarity.ivf_append(spark, batch, path)
+    append_sec = round(time.perf_counter() - t0, 2)
+
+    total = spark.read.parquet(path + "/data").count()
+    assert total == 1_700_000, total
+    touched = untouched_changed = 0
+    for c in range(NC):
+        after = set(glob.glob(f"{path}/data/centroid_id={c}/*.parquet"))
+        if after != files_before[c]:
+            touched += 1
+            if c >= 4:
+                untouched_changed += 1
+    assert untouched_changed == 0, "append rewrote settled partitions"
+    assert touched <= 4, touched
+
+    # the probe sees the appended data: query = center 2, appended
+    # members are 10x tighter, so the top-10 must be appended ids
+    t0 = time.perf_counter()
+    top = similarity.ivf_topk_from_layout(
+        spark, path, centers[2], k=10, nprobe=4
+    ).collect()
+    probe_sec = round(time.perf_counter() - t0, 2)
+    n_appended = sum(1 for r in top if r["vec_id"] >= 10_000_000)
+    assert n_appended == 10, n_appended
+    _emit(
+        "ivfappend",
+        settled_vectors=1_600_000,
+        batch_vectors=100_000,
+        build_sec=build_sec,
+        append_sec=append_sec,
+        probe_sec=probe_sec,
+        partitions_touched=touched,
+        note=(
+            "append cost is batch-only (assignment + write of 4 "
+            "touched partitions); the 1.6M settled vectors are never "
+            "read or rewritten, and the probe ranks appended data "
+            "correctly"
+        ),
+    )
+
+
 PROBES = {
     "hotbucket": probe_hotbucket,
+    "ivfappend": probe_ivfappend,
     "incrhot": probe_incrhot,
     "tiedbudget": probe_tiedbudget,
     "aqeskew": probe_aqeskew,
