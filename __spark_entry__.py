@@ -932,23 +932,30 @@ def q65_collector_replay(spark, sf):
 # each declared query per pass, and the layout is a build ARTIFACT —
 # rebuilding it per invocation would both waste the passes and bury
 # the probe cost being measured.
-_Q67_LAYOUTS: dict[str, str] = {}
+_Q67_LAYOUTS: dict[str, tuple[str, list]] = {}
 
 
-def _q67_layout(spark, sf) -> str:
-    path = _Q67_LAYOUTS.get(sf)
-    if path is None:
+def _q67_layout(spark, sf) -> tuple[str, list]:
+    """(layout path, query vector) — the query vector is cached WITH
+    the layout so repeat invocations (bench passes) re-run neither the
+    build nor the 1-row collect (review finding: the collect ran per
+    timed pass)."""
+    cached = _Q67_LAYOUTS.get(sf)
+    if cached is None:
         import atexit
         import shutil
         import tempfile
 
         path = tempfile.mkdtemp(prefix="tdps_q67_ivf_layout_")
         atexit.register(shutil.rmtree, path, True)
-        similarity.write_ivf_layout(
-            _t(spark, sf, "embeddings"), path, num_centroids=8
+        emb = _t(spark, sf, "embeddings")
+        similarity.write_ivf_layout(emb, path, num_centroids=8)
+        qrow = (
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()
         )
-        _Q67_LAYOUTS[sf] = path
-    return path
+        cached = (path, [float(x) for x in qrow["embedding"]])
+        _Q67_LAYOUTS[sf] = cached
+    return cached
 
 
 def q67_ivf_layout_probe(spark, sf):
@@ -971,14 +978,7 @@ def q67_ivf_layout_probe(spark, sf):
     the layout computes; the physical side (PartitionFilters on the
     probed centroid ids, scan fraction nprobe/m) stays pinned in
     tests/test_layout.py and the §C stress rows."""
-    path = _q67_layout(spark, sf)
-    qrow = (
-        _t(spark, sf, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()
-    )
-    qv = [float(x) for x in qrow["embedding"]]
+    path, qv = _q67_layout(spark, sf)
     return similarity.ivf_topk_from_layout(
         spark, path, qv, k=10, nprobe=2
     )

@@ -63,8 +63,13 @@ def main() -> None:
     # warm-up (not counted): JVM JIT + parquet footer caches + Python
     # UDF worker pool (a long-running service reuses workers; paying the
     # spawn inside one arbitrary query would misattribute it). Skipped
-    # under --explain, which never executes anything (review finding:
+    # under --explain, which runs no timed collects (review finding:
     # explain mode used to pay a full query collect for nothing).
+    # Caveat: a few declared queries have DOCUMENTED construction-time
+    # side effects (q59's histogram cut, q31's once-per-process layout
+    # build, q65's trace replay — each named in its docstring), so
+    # --explain still pays those one-time jobs; it never runs the
+    # queries themselves.
     if not explain:
         qs[next(iter(qs))](spark, sf_dir).collect()
         spark.range(256).repartition(32).mapInPandas(
@@ -86,21 +91,26 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
                 samples[name].append(time.perf_counter() - t0)
-    # Headline per-query number stays the MIN (host contention only
-    # ever ADDS time); p50/max ride along so a reader can separate
-    # composition cost from noise without re-deriving it from
-    # cross-round deltas (VERDICT r5 item 8).
-    timings = {name: round(min(s), 4) for name, s in samples.items()}
-    spread = {
-        name: {
-            "min": round(min(s), 4),
-            "p50": round(sorted(s)[len(s) // 2], 4),
-            "max": round(max(s), 4),
-        }
-        for name, s in samples.items()
-    }
-
     if not explain:
+        import statistics
+
+        # Headline per-query number stays the MIN (host contention only
+        # ever ADDS time); p50/max ride along so a reader can separate
+        # composition cost from noise without re-deriving it from
+        # cross-round deltas (VERDICT r5 item 8). p50 is the true
+        # median (mean of the middle two at even repeat counts — the
+        # upper-middle sample would equal max at the default repeat=2).
+        timings = {
+            name: round(min(s), 4) for name, s in samples.items()
+        }
+        spread = {
+            name: {
+                "min": round(min(s), 4),
+                "p50": round(statistics.median(s), 4),
+                "max": round(max(s), 4),
+            }
+            for name, s in samples.items()
+        }
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
         try:
             sf_num = float(sf)

@@ -225,3 +225,36 @@ def test_property_gray_content_420_roundtrip(seed, h, w):
     )
     assert dec["pixels"].shape == (h, w, 3)
     assert _maxdiff(dec["pixels"], img) <= 2
+
+
+def test_large_and_float_quant_tables_stay_consistent():
+    # review finding: a >255 or float quant used to quantize with the
+    # RAW table but store a clipped one — encoder and decoder silently
+    # desynchronized. Now the stored table IS the effective table
+    # (16-bit DQT above 255), so round-trips are lossy but consistent.
+    img = np.full((16, 16, 3), 200, np.uint8)
+    dec = jpeg.decode_baseline_jpeg(
+        jpeg.encode_baseline_jpeg(img, quant=300)
+    )
+    # DC 8*(200-128)=576 -> /300 rint 2 -> 600 -> 75+128 = 203 exactly
+    assert int(dec["pixels"][0, 0, 0]) == 203
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 24, 3), np.uint8)
+    dec = jpeg.decode_baseline_jpeg(
+        jpeg.encode_baseline_jpeg(img, quant=1.4)
+    )
+    assert _maxdiff(dec["pixels"], img) <= 3
+
+
+def test_every_truncation_point_keeps_error_contract():
+    rng = np.random.RandomState(5)
+    enc = jpeg.encode_baseline_jpeg(
+        rng.randint(0, 256, (16, 16, 3), np.uint8)
+    )
+    for cut in range(2, len(enc), 7):
+        try:
+            jpeg.decode_baseline_jpeg(enc[:cut])
+        except ValueError as e:
+            assert str(e).startswith("jpeg:"), (cut, e)
+        except NotImplementedError:
+            pass

@@ -170,7 +170,20 @@ def decode_baseline_jpeg(
     ``max_pixels`` bounds the allocation a hostile header can demand
     (a 12-byte file claiming 65535x65535 would otherwise commit ~100
     GB of planes inside a Python worker — corpus bytes are untrusted
-    input)."""
+    input). EVERY malformed payload fails as ``ValueError('jpeg:
+    ...')`` (unsupported-but-valid modes as NotImplementedError) — a
+    corpus triage path classifies on that contract, so raw
+    IndexError/struct.error from truncated headers must not escape
+    (review finding)."""
+    try:
+        return _decode_baseline(payload, max_pixels)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(
+            f"jpeg: truncated or corrupt payload ({ex})"
+        ) from ex
+
+
+def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI marker")
     pos = 2
@@ -189,6 +202,11 @@ def decode_baseline_jpeg(
                 raise ValueError("jpeg: EOI before SOS")
             continue
         seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError(
+                f"jpeg: truncated segment for marker 0x{marker:02X} "
+                f"(claims {seg_len} bytes)"
+            )
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -318,11 +336,11 @@ def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and mcu_index and mcu_index % dri == 0:
+                # byte_align discards buffered padding bits only (it
+                # reads nothing), and expect_marker raises ValueError,
+                # never _Marker — no handler needed here
                 reader.byte_align()
-                try:
-                    m = reader.expect_marker()
-                except _Marker as mk:  # marker raised during align read
-                    m = mk.code
+                m = reader.expect_marker()
                 if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != rst_expect:
                     raise ValueError(
                         f"jpeg: bad restart marker 0x{m:02X}"
@@ -514,6 +532,12 @@ def encode_baseline_jpeg(
         q = np.full(64, float(quant))
     else:
         q = np.asarray(quant, dtype=np.float64).reshape(64)
+    # THE effective table: exactly what the DQT segment stores (DQT
+    # holds integers, 8- or 16-bit) is exactly what quantizes the
+    # coefficients — a raw float/overrange table used for math but
+    # clipped for storage silently desynchronized encoder and decoder
+    # (review finding: quant=300 decoded to 255/300-scaled pixels).
+    q = np.clip(np.rint(q), 1, 65535).astype(np.int64)
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
     sub = 2 if (subsample == "420" and not gray) else 1
@@ -640,10 +664,20 @@ def encode_baseline_jpeg(
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    qbytes = np.clip(np.rint(q), 1, 255).astype(np.uint8).tobytes()
+    if q.max() > 255:  # 16-bit table (Pq=1) — decoder reads both
+        qbytes = q.astype(">u2").tobytes()
+        pq = 0x10
+    else:
+        qbytes = q.astype(np.uint8).tobytes()
+        pq = 0x00
     ntab = 1 if gray else 2
     for tq in range(ntab):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + qbytes
+        out += (
+            b"\xff\xdb"
+            + struct.pack(">H", 3 + len(qbytes))
+            + bytes([pq | tq])
+            + qbytes
+        )
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])

@@ -714,9 +714,13 @@ def _ordered_prefix_take(
        The cumulative sum is then offset + a PARTITION-LOCAL window
        per bucket.
 
-    Row-identical to the naive global-window rule at every input; an
-    all-tied adversarial input (every row in the marginal class) now
-    spreads across ``buckets`` tasks instead of one (§C stress row).
+    Row-identical to the naive global-window rule for every input with
+    UNIQUE ``order_col`` values (budget_select orders by doc_id, which
+    is unique by contract) — with tied keys no cumulative cut is
+    well-defined: both this and the naive rule become
+    partitioning-dependent over the ties. An all-tied adversarial
+    WEIGHT distribution (every row in the marginal class) now spreads
+    across ``buckets`` tasks instead of one (§C stress row).
     """
     bounds = sorted(
         set(

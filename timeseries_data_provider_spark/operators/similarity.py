@@ -618,6 +618,8 @@ def ivf_append(
     distribution drifts from the frozen centroids, recall for
     drifted regions degrades — monitor assignment distances and
     rebuild when it matters."""
+    if new_embeddings.isEmpty():
+        return  # a zero-vector batch is a normal ingest-loop no-op
     cents = spark.read.parquet(path + "/centroids")
     stored_dim = embedding_dim(cents, col="cv")
     batch_dim = embedding_dim(new_embeddings)

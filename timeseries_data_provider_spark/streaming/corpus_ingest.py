@@ -102,6 +102,7 @@ def ingest_documents_stream(
     n: int = 3,
     min_est: float = 0.3,
     max_df: int | None = 1000,
+    max_bucket: int | None = 256,
     drop_dups: bool = True,
     checkpoint: str | None = None,
 ):
@@ -116,6 +117,14 @@ def ingest_documents_stream(
     default of 1.0 silently restricted drops to exact-signature
     matches while the docstring promised near-dup dedup). Raise it to
     1.0 for a conservative exact-copies-only policy.
+
+    ``max_bucket`` passes through to the operator's hot-band-bucket
+    cap (r6) — exposed here so the stream's dedup semantics stay
+    FULLY configurable to match the batch path (review finding: the
+    knob was library-default-only, silently capping a path whose
+    docstring promises batch-identical semantics). ``None`` disables
+    the cap; the default keeps a degenerate hot bucket (e.g. a flood
+    of near-empty docs) from turning a micro-batch quadratic.
     """
     from timeseries_data_provider_spark.operators.dedup import (
         minhash_lsh_incremental,
@@ -137,6 +146,7 @@ def ingest_documents_stream(
             n=n,
             min_est=min_est,
             max_df=max_df,
+            max_bucket=max_bucket,
         )
         # Materialize pairs BEFORE mutating the signature index: the
         # plan reads it, and parquet appends must not race their own
