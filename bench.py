@@ -83,7 +83,12 @@ def main() -> None:
             print(f"===== {name}")
             qs[name](spark, sf_dir).explain("formatted")
     samples: dict[str, list[float]] = {name: [] for name in names}
+    # ONE explain guard around everything that times or reports — a
+    # seam between separate guards is where the --explain min([])
+    # crash slipped in (review finding)
     if not explain:
+        import statistics
+
         # Round-robin passes: one host-contention window can poison at
         # most one of each query's samples (see module docstring).
         for _ in range(repeat):
@@ -91,8 +96,6 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
                 samples[name].append(time.perf_counter() - t0)
-    if not explain:
-        import statistics
 
         # Headline per-query number stays the MIN (host contention only
         # ever ADDS time); p50/max ride along so a reader can separate

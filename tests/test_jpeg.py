@@ -230,14 +230,16 @@ def test_property_gray_content_420_roundtrip(seed, h, w):
 def test_large_and_float_quant_tables_stay_consistent():
     # review finding: a >255 or float quant used to quantize with the
     # RAW table but store a clipped one — encoder and decoder silently
-    # desynchronized. Now the stored table IS the effective table
-    # (16-bit DQT above 255), so round-trips are lossy but consistent.
+    # desynchronized. Now the effective table is clamped to the
+    # baseline-legal [1, 255] and used on BOTH sides.
     img = np.full((16, 16, 3), 200, np.uint8)
     dec = jpeg.decode_baseline_jpeg(
         jpeg.encode_baseline_jpeg(img, quant=300)
     )
-    # DC 8*(200-128)=576 -> /300 rint 2 -> 600 -> 75+128 = 203 exactly
-    assert int(dec["pixels"][0, 0, 0]) == 203
+    # quant=300 clamps to the baseline-legal 255 (8-bit DQT only per
+    # T.81 B.2.4.1): DC 8*(200-128)=576 -> /255 rint 2 -> 510 ->
+    # 63.75+128 -> rint 192 exactly, with the SAME table both sides
+    assert int(dec["pixels"][0, 0, 0]) == 192
     rng = np.random.RandomState(3)
     img = rng.randint(0, 256, (24, 24, 3), np.uint8)
     dec = jpeg.decode_baseline_jpeg(
@@ -258,3 +260,22 @@ def test_every_truncation_point_keeps_error_contract():
             assert str(e).startswith("jpeg:"), (cut, e)
         except NotImplementedError:
             pass
+
+
+def test_malformed_dqt_and_sof_keep_error_contract():
+    import struct
+
+    # DQT whose segment length can't hold a full table body
+    p1 = (
+        b"\xff\xd8\xff\xdb" + struct.pack(">H", 12) + b"\x00"
+        + b"\x00" * 9
+    )
+    with pytest.raises(ValueError, match="jpeg: truncated DQT"):
+        jpeg.decode_baseline_jpeg(p1)
+    # SOF claiming 3 components but carrying bytes for one
+    p2 = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 16, 16) + bytes([3]) + b"\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="jpeg: truncated SOF"):
+        jpeg.decode_baseline_jpeg(p2)

@@ -353,9 +353,17 @@ def test_codec_plugin_through_spark_workers(spark):
             ]
         ),
     )
-    # without the setup hook the worker has no codec -> job fails
+    # without the setup hook the worker has no codec -> job fails.
+    # Spark REUSES Python workers across jobs, so a codec an earlier
+    # test registered worker-side (e.g. test_jpeg's real decoder)
+    # may still be installed — wipe it through the same hook
+    # mechanism so this branch is deterministic in any test order.
+    def wipe() -> None:
+        mm.IMAGE_CODECS.pop(b"\xff\xd8\xff", None)
+        mm.AUDIO_CODECS.pop(b"fLaC", None)
+
     with pytest.raises(Exception, match="register_image_codec|NotImplemented"):
-        mm.media_features(df).collect()
+        mm.media_features(df, codec_setup=wipe).collect()
 
     # nested defs: cloudpickle ships them BY VALUE with the closure —
     # a module-level function of this test file pickles by reference

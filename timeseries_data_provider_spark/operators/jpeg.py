@@ -213,17 +213,21 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 p += 1
+                width = 64 if pq == 0 else 128
+                if p + width > len(seg):
+                    raise ValueError(
+                        "jpeg: truncated DQT table body"
+                    )
                 if pq == 0:
                     tbl = np.frombuffer(
                         seg, np.uint8, count=64, offset=p
                     ).astype(np.float64)
-                    p += 64
                 else:
                     tbl = (
                         np.frombuffer(seg, ">u2", count=64, offset=p)
                         .astype(np.float64)
                     )
-                    p += 128
+                p += width
                 qt[tq] = tbl
         elif marker == 0xC4:  # DHT
             p = 0
@@ -249,6 +253,10 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
                     "(untrusted-header allocation guard)"
                 )
             ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError(
+                    f"jpeg: truncated SOF ({ncomp} components claimed)"
+                )
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -532,12 +540,17 @@ def encode_baseline_jpeg(
         q = np.full(64, float(quant))
     else:
         q = np.asarray(quant, dtype=np.float64).reshape(64)
-    # THE effective table: exactly what the DQT segment stores (DQT
-    # holds integers, 8- or 16-bit) is exactly what quantizes the
-    # coefficients — a raw float/overrange table used for math but
-    # clipped for storage silently desynchronized encoder and decoder
-    # (review finding: quant=300 decoded to 255/300-scaled pixels).
-    q = np.clip(np.rint(q), 1, 65535).astype(np.int64)
+    # THE effective table: exactly what the DQT segment stores is
+    # exactly what quantizes the coefficients — a raw float/overrange
+    # table used for math but clipped for storage silently
+    # desynchronized encoder and decoder (review finding: quant=300
+    # decoded to 255/300-scaled pixels). Clamped to [1, 255]: BASELINE
+    # streams may only carry 8-bit (Pq=0) quant tables (ITU T.81
+    # B.2.4.1) — emitting a 16-bit table here would be internally
+    # consistent but rejected by spec-compliant external decoders
+    # (second review finding). The decoder still READS Pq=1 tables
+    # (extended-sequential files reuse the baseline scan layout).
+    q = np.clip(np.rint(q), 1, 255).astype(np.int64)
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
     sub = 2 if (subsample == "420" and not gray) else 1
@@ -664,18 +677,13 @@ def encode_baseline_jpeg(
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    if q.max() > 255:  # 16-bit table (Pq=1) — decoder reads both
-        qbytes = q.astype(">u2").tobytes()
-        pq = 0x10
-    else:
-        qbytes = q.astype(np.uint8).tobytes()
-        pq = 0x00
+    qbytes = q.astype(np.uint8).tobytes()  # always Pq=0 (baseline)
     ntab = 1 if gray else 2
     for tq in range(ntab):
         out += (
             b"\xff\xdb"
             + struct.pack(">H", 3 + len(qbytes))
-            + bytes([pq | tq])
+            + bytes([tq])
             + qbytes
         )
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
