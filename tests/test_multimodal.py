@@ -444,3 +444,51 @@ def test_registered_audio_codec_flows_through_feature_ops(spark):
         assert rf == []  # audio skipped, not crashed
     finally:
         mm.AUDIO_CODECS.pop(magic, None)
+
+
+def test_webp_header_metadata_decode():
+    """WebP container metadata (r6): dims from VP8/VP8L/VP8X chunks,
+    header-only contract (pixels None) like truncated-PNG decode."""
+    import struct as _struct
+
+    def riff(chunks: bytes) -> bytes:
+        return (
+            b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WEBP"
+            + chunks
+        )
+
+    # lossy VP8 keyframe: 3-byte frame tag, sync 9D 01 2A, w/h u16le
+    vp8 = b"VP8 " + _struct.pack("<I", 10) + (
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + _struct.pack("<HH", 320, 240)
+    )
+    d = mm.decode_image(riff(vp8))
+    assert (d["format"], d["variant"]) == ("webp", "vp8")
+    assert (d["width"], d["height"]) == (320, 240)
+    assert d["pixels"] is None
+
+    # lossless VP8L: signature 0x2F, then 14-bit (w-1), 14-bit (h-1)
+    bits = (99 - 1) | ((77 - 1) << 14)
+    vp8l = b"VP8L" + _struct.pack("<I", 5) + bytes([0x2F]) + _struct.pack(
+        "<I", bits
+    )
+    d = mm.decode_image(riff(vp8l))
+    assert (d["width"], d["height"], d["variant"]) == (99, 77, "vp8l")
+
+    # extended VP8X: 24-bit (w-1)/(h-1) canvas
+    vp8x = b"VP8X" + _struct.pack("<I", 10) + (
+        b"\x00" * 4
+        + (512 - 1).to_bytes(3, "little")
+        + (384 - 1).to_bytes(3, "little")
+    )
+    d = mm.decode_image(riff(vp8x))
+    assert (d["width"], d["height"], d["variant"]) == (512, 384, "vp8x")
+
+    # malformed: named errors
+    badsync = b"VP8 " + _struct.pack("<I", 10) + b"\x00" * 10
+    with pytest.raises(ValueError, match="sync"):
+        mm.decode_image(riff(badsync))
+    with pytest.raises(ValueError, match="no VP8"):
+        mm.decode_image(riff(b""))
+    # WebP is NOT routed to the audio path despite the RIFF magic
+    assert not mm.is_audio_payload(riff(vp8))

@@ -266,14 +266,62 @@ def decode_image(payload: bytes) -> dict:
         return {"format": "bmp", "width": width, "height": h, "pixels": grid}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp_header(payload)
     magic, decoder = _registry_lookup(IMAGE_CODECS, payload)
     if decoder is not None:
         return _check_image_dict(decoder(payload), magic)
     raise NotImplementedError(
         f"no decoder for image format (magic={payload[:4].hex()}); "
-        "JPEG/WebP/... need a codec library registered via "
-        "register_image_codec"
+        "formats beyond BMP/PNG/WebP-header/JPEG-baseline need a codec "
+        "library registered via register_image_codec"
     )
+
+
+def _decode_webp_header(payload: bytes) -> dict:
+    """WebP container METADATA decode (public RIFF layout): dimensions
+    from the first VP8 (lossy keyframe), VP8L (lossless signature
+    stream), or VP8X (extended canvas) chunk — the routing fields a
+    corpus build filters on. Pixel decode needs the VP8 entropy codec
+    (a genuine codec-library dependency) — ``pixels`` is None, the
+    same header-only contract as truncated-PNG decode. Built-in
+    dispatch wins over the registry, so a full-decode WebP plug-in
+    should wrap ``decode_image`` (or this function) rather than
+    register the RIFF magic."""
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("webp: bad VP8 keyframe sync code")
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return {
+                "format": "webp", "width": w, "height": h,
+                "pixels": None, "variant": "vp8",
+            }
+        if tag == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                raise ValueError("webp: bad VP8L signature byte")
+            bits = struct.unpack("<I", body[1:5])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return {
+                "format": "webp", "width": w, "height": h,
+                "pixels": None, "variant": "vp8l",
+            }
+        if tag == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {
+                "format": "webp", "width": w, "height": h,
+                "pixels": None, "variant": "vp8x",
+            }
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    raise ValueError("webp: no VP8/VP8L/VP8X chunk found")
 
 
 # channels per PNG color type at bit depth 8 (palette type 3 needs a
