@@ -290,10 +290,11 @@ def q29_minhash_lsh(spark, sf):
     sig = dedup.minhash_signatures(
         docs, num_hashes=16, n=3, max_df=None
     ).localCheckpoint(eager=False)
-    # max_bucket=None: the declared row must stay bit-identical to the
-    # exact all-pairs oracle; the library DEFAULT star-pairs hot band
-    # buckets (max_bucket=256 — the r6 §C stress row measures the
-    # quadratic fan-out it prevents).
+    # max_bucket=None (also the library default — the cap is opt-in
+    # like max_df per ADVICE r6): the declared row stays bit-identical
+    # to the exact all-pairs oracle; the streaming ingest path opts
+    # into max_bucket=256 (the r6 §C stress row measures the quadratic
+    # fan-out it prevents).
     batch = dedup.minhash_lsh_pairs(
         docs, num_hashes=16, bands=8, n=3, threshold=0.3, signatures=sig,
         max_bucket=None,

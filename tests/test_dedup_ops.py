@@ -436,3 +436,24 @@ def test_incremental_lsh_hot_bucket_cap(spark):
         r["doc_a"] == 1000 and r["source"] == "batch" for r in rows2
     )
     assert sorted(r["doc_b"] for r in rows2) == [1001 + i for i in range(9)]
+
+
+def test_lsh_cap_is_opt_in_at_the_library_tier():
+    # ADVICE r6: the hot-bucket cap changes which pairs are emitted,
+    # so the LIBRARY default is off (like max_df); the streaming
+    # ingest path opts in (operational quadratic-blow-up risk).
+    import inspect
+
+    from timeseries_data_provider_spark.operators import dedup
+    from timeseries_data_provider_spark.streaming import corpus_ingest
+
+    for fn in (dedup.minhash_lsh_pairs, dedup.minhash_lsh_incremental):
+        assert (
+            inspect.signature(fn).parameters["max_bucket"].default is None
+        ), f"{fn.__name__} must default max_bucket=None"
+    assert (
+        inspect.signature(corpus_ingest.ingest_documents_stream)
+        .parameters["max_bucket"]
+        .default
+        == 256
+    )

@@ -169,6 +169,37 @@ def test_hostile_headers_fail_loudly_not_oom():
         jpeg.decode_baseline_jpeg(enc[: len(enc) // 2])
 
 
+def test_hostile_component_count_rejected_before_allocation():
+    # ADVICE r6: a SOF claiming 255 components at ~max_pixels must be
+    # rejected at header parse, BEFORE the scan decoder allocates
+    # ncomp * max_pixels * 8 bytes of float64 planes. 10000x10000 is
+    # inside the max_pixels guard, so only the component check fires.
+    import struct as _s
+
+    ncomp = 255
+    sof_body = bytes([8]) + _s.pack(">HH", 10_000, 10_000) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + _s.pack(">H", 2 + len(sof_body))
+        + sof_body
+    )
+    with pytest.raises(NotImplementedError, match="255-component"):
+        jpeg.decode_baseline_jpeg(payload)
+    # 4-component (CMYK-style) rejects with the same named contract,
+    # also at SOF parse time
+    sof4 = bytes([8]) + _s.pack(">HH", 8, 8) + bytes([4])
+    for ci in range(4):
+        sof4 += bytes([ci + 1, 0x11, 0])
+    payload4 = (
+        b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 2 + len(sof4)) + sof4
+    )
+    with pytest.raises(NotImplementedError, match="4-component"):
+        jpeg.decode_baseline_jpeg(payload4)
+
+
 # --- property tests (hypothesis) ------------------------------------------
 
 from hypothesis import given, settings

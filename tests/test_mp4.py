@@ -90,6 +90,35 @@ def test_malformed_inputs_raise_named_errors():
         mp4.decode_video_meta(ftyp + mp4._box(b"moov", mvhd))
 
 
+def test_truncated_box_bodies_raise_valueerror_not_struct_error():
+    # ADVICE r6: truncated mvhd/tkhd/mdhd/stsd bodies used to escape
+    # as raw struct.error/IndexError; the triage contract (same as
+    # decode_baseline_jpeg) classifies on ValueError.
+    ftyp = mp4._box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    # mvhd with a 4-byte body: used to slice into neighbor bytes or
+    # escape as struct.error
+    short_mvhd = mp4._box(b"mvhd", b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        mp4.decode_video_meta(ftyp + mp4._box(b"moov", short_mvhd))
+    # trak with a truncated tkhd body — mid-payload, so without the
+    # explicit body-length check the parser would SILENTLY read the
+    # following mdia box's bytes as track fields
+    good = mp4.build_skeleton(1000, 32, 32)
+    mvhd_ok = mp4._box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, 5)
+        + b"\x00" * 80,
+    )
+    short_tkhd = mp4._box(b"trak", mp4._box(b"tkhd", b"\x00" * 6)
+                          + mp4._box(b"mdia", b""))
+    with pytest.raises(ValueError, match="truncated"):
+        mp4.decode_video_meta(
+            ftyp + mp4._box(b"moov", mvhd_ok + short_tkhd)
+        )
+    # the well-formed skeleton still decodes after the wrap
+    assert mp4.decode_video_meta(good)["n_tracks"] == 2
+
+
 def test_video_meta_features_spark_fanout(spark):
     from pyspark.sql import functions as F
 

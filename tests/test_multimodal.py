@@ -492,3 +492,24 @@ def test_webp_header_metadata_decode():
         mm.decode_image(riff(b""))
     # WebP is NOT routed to the audio path despite the RIFF magic
     assert not mm.is_audio_payload(riff(vp8))
+
+    # ADVICE r6: a registered full-decode WebP plug-in keyed on the
+    # RIFF magic WINS over the built-in header-only decode — the old
+    # order silently shadowed registrants and media_features raised
+    # ValueError ('decoded to metadata only') on their payloads.
+    def full_webp(payload: bytes) -> dict:
+        return {
+            "format": "webp",
+            "width": 2,
+            "height": 1,
+            "pixels": np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8),
+        }
+
+    try:
+        mm.register_image_codec(b"RIFF", full_webp)
+        d = mm.decode_image(riff(vp8))
+        assert d["pixels"] is not None and d["pixels"].shape == (1, 2, 3)
+    finally:
+        mm.IMAGE_CODECS.pop(b"RIFF", None)
+    # with no registrant the built-in header decode still answers
+    assert mm.decode_image(riff(vp8))["pixels"] is None

@@ -328,7 +328,7 @@ def minhash_lsh_incremental(
     n: int = 3,
     min_est: float = 0.3,
     max_df: int | None = None,
-    max_bucket: int | None = 256,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: dedup a NEW batch against an
     already-deduped corpus using only the corpus's persisted MinHash
@@ -370,7 +370,14 @@ def minhash_lsh_incremental(
     ``max_df`` cannot see (it bounds shingle df, not band-bucket
     size). Hot buckets star-pair each new member with one corpus-side
     representative (batch-side min if the bucket is all-new),
-    preserving bucket connectivity; ``None`` disables the cap.
+    preserving bucket connectivity. OFF by default (``None``) — like
+    ``max_df``, the cap changes which pairs are emitted (mixed hot
+    buckets lose pairs whose members only verify against each other,
+    not the representative), so it is opt-in at the library tier;
+    the streaming ingest path (``streaming/corpus_ingest.py``), where
+    a quadratic blow-up is an operational outage, turns it on at 256
+    (review finding — the default was briefly 256 here too, silently
+    changing existing callers' results).
 
     Corpus-side I/O is two scans of the signature table (banding, and
     the per-candidate agreement join) — still ~1000× less than one
@@ -528,7 +535,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     max_df: int | None = None,
     signatures: DataFrame | None = None,
-    max_bucket: int | None = 256,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
@@ -552,7 +559,10 @@ def minhash_lsh_pairs(
     ``max_bucket`` bounds the per-(band, bh) bucket population the
     candidate self-join may expand quadratically (hot buckets are
     star-paired instead — ``_capped_self_candidates`` documents the
-    recall contract); ``None`` disables the cap for oracle-exact runs.
+    recall contract). OFF by default like ``max_df``: the cap changes
+    which pairs are emitted, so it is opt-in at the library tier;
+    operational paths that cannot tolerate a quadratic bucket (the
+    streaming ingest loop) turn it on explicitly (review finding).
     """
     sig = (
         signatures
@@ -575,11 +585,10 @@ def minhash_lsh_pairs(
             .distinct()
         )
     else:
-        # Library DEFAULT caps per-(band, bh) bucket population at
-        # ``max_bucket`` (star-pairing above it — see
-        # _capped_self_candidates for the recall contract); the
-        # declared q29 row passes None to stay bit-identical to the
-        # exact all-pairs oracle, mirroring the max_df design.
+        # Opt-in cap on per-(band, bh) bucket population (star-pairing
+        # above ``max_bucket`` — see _capped_self_candidates for the
+        # recall contract); the default None stays bit-identical to
+        # the exact all-pairs oracle, mirroring the max_df design.
         cand = _capped_self_candidates(banded, max_bucket)
 
     ex = shingles_exploded(documents, n).localCheckpoint(eager=True)

@@ -253,6 +253,16 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
                     "(untrusted-header allocation guard)"
                 )
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                # reject BEFORE the scan decoder allocates per-component
+                # planes: a hostile SOF claiming 255 components at
+                # ~max_pixels would otherwise commit ncomp * max_pixels
+                # * 8 bytes of float64 planes before the old
+                # post-decode check fired (review finding)
+                raise NotImplementedError(
+                    f"jpeg: {ncomp}-component frame (CMYK?) not "
+                    "supported — grayscale and YCbCr only"
+                )
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError(
                     f"jpeg: truncated SOF ({ncomp} components claimed)"

@@ -65,11 +65,24 @@ def _fixed16(v: int) -> int:
     return v >> 16
 
 
-def _parse_mvhd(data: bytes, b: int) -> tuple[int, int]:
+def _need(b: int, e: int, n: int, tag: str) -> None:
+    # explicit body-length check: a truncated box mid-payload would
+    # otherwise SILENTLY slice into the next box's bytes (the payload
+    # is contiguous, so short slices only fail at end-of-buffer)
+    if e - b < n:
+        raise ValueError(
+            f"mp4: {tag} body {e - b} bytes, needs {n} (truncated)"
+        )
+
+
+def _parse_mvhd(data: bytes, b: int, e: int) -> tuple[int, int]:
+    _need(b, e, 1, "mvhd")
     version = data[b]
     if version == 1:
+        _need(b, e, 32, "mvhd v1")
         ts, dur = struct.unpack(">IQ", data[b + 20 : b + 32])
     else:
+        _need(b, e, 20, "mvhd")
         ts, dur = struct.unpack(">II", data[b + 12 : b + 20])
     if ts == 0:
         raise ValueError("mp4: mvhd timescale 0")
@@ -77,11 +90,14 @@ def _parse_mvhd(data: bytes, b: int) -> tuple[int, int]:
 
 
 def _parse_tkhd(data: bytes, b: int, e: int) -> tuple[int, int, int, int]:
+    _need(b, e, 1, "tkhd")
     version = data[b]
     if version == 1:
+        _need(b, e, 96, "tkhd v1")
         track_id = struct.unpack(">I", data[b + 20 : b + 24])[0]
         dur = struct.unpack(">Q", data[b + 28 : b + 36])[0]
     else:
+        _need(b, e, 84, "tkhd")
         track_id = struct.unpack(">I", data[b + 12 : b + 16])[0]
         dur = struct.unpack(">I", data[b + 20 : b + 24])[0]
     w, h = struct.unpack(">II", data[e - 8 : e])
@@ -93,6 +109,7 @@ def _parse_hdlr(data: bytes, b: int) -> bytes:
 
 
 def _parse_stsd_codec(data: bytes, b: int, e: int) -> str | None:
+    _need(b, e, 8, "stsd")
     n = struct.unpack(">I", data[b + 4 : b + 8])[0]
     if n == 0:
         return None
@@ -107,7 +124,19 @@ def decode_video_meta(payload: bytes) -> dict:
     {format, major_brand, timescale, duration_ms, n_tracks,
     fragmented, tracks: [{track_id, kind, codec, width, height,
     duration_ms}]}. Raises ValueError on malformed boxes and on
-    non-BMFF payloads."""
+    non-BMFF payloads — INCLUDING truncated fixed-size box bodies,
+    which surface from struct/index errors inside the field parsers:
+    corpus-triage code classifies on ValueError, same contract as
+    ``decode_baseline_jpeg`` (review finding)."""
+    try:
+        return _decode_video_meta(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(
+            f"mp4: truncated or corrupt payload ({ex})"
+        ) from ex
+
+
+def _decode_video_meta(payload: bytes) -> dict:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("mp4: missing ftyp (not an ISO-BMFF container)")
     end = len(payload)
@@ -127,7 +156,7 @@ def decode_video_meta(payload: bytes) -> dict:
     mvhd = _find(payload, mb, me, b"mvhd")
     if mvhd is None:
         raise ValueError("mp4: moov without mvhd")
-    ts, dur = _parse_mvhd(payload, mvhd[0])
+    ts, dur = _parse_mvhd(payload, mvhd[0], mvhd[1])
     tracks = []
     for tag, b, e in _boxes(payload, mb, me):
         if tag != b"trak":

@@ -267,6 +267,16 @@ def decode_image(payload: bytes) -> dict:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # registry FIRST for WebP: the built-in is header-only, so a
+        # registered full-decode plug-in keyed on the RIFF magic must
+        # not be shadowed by it — media_features on WebP would raise
+        # ValueError ('decoded to metadata only') for a registrant the
+        # old NotImplementedError message explicitly steered toward
+        # register_image_codec (review finding). BMP/PNG built-ins
+        # stay ahead of the registry: they are full decodes.
+        magic, decoder = _registry_lookup(IMAGE_CODECS, payload)
+        if decoder is not None:
+            return _check_image_dict(decoder(payload), magic)
         return _decode_webp_header(payload)
     magic, decoder = _registry_lookup(IMAGE_CODECS, payload)
     if decoder is not None:
@@ -284,10 +294,10 @@ def _decode_webp_header(payload: bytes) -> dict:
     stream), or VP8X (extended canvas) chunk — the routing fields a
     corpus build filters on. Pixel decode needs the VP8 entropy codec
     (a genuine codec-library dependency) — ``pixels`` is None, the
-    same header-only contract as truncated-PNG decode. Built-in
-    dispatch wins over the registry, so a full-decode WebP plug-in
-    should wrap ``decode_image`` (or this function) rather than
-    register the RIFF magic."""
+    same header-only contract as truncated-PNG decode. A full-decode
+    WebP plug-in registered for the RIFF magic WINS over this
+    built-in (decode_image consults the registry first for WebP —
+    review finding); this runs only when no registrant matches."""
     pos = 12
     n = len(payload)
     while pos + 8 <= n:
