@@ -76,9 +76,12 @@ def test_quantized_encode_is_lossy_but_sane():
 
 
 def test_unsupported_modes_raise_named_errors():
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # SOF2 is SUPPORTED as of r7 — arithmetic coding (SOF9) is the
+    # nearest still-unsupported mode and keeps the named contract
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_baseline_jpeg(
-            b"\xff\xd8\xff\xc2\x00\x08" + b"\x00" * 6
+            b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01"
+            b"\x01\x11\x00"
         )
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_baseline_jpeg(b"not a jpeg")

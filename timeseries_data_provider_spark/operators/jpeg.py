@@ -238,7 +238,7 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
                 vals = seg[p + 17 : p + 17 + nv]
                 huff[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -273,12 +273,12 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "jpeg: progressive (SOF2) not supported — baseline "
-                "sequential only"
-            )
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -290,6 +290,14 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if frame["progressive"]:
+                # progressive streams carry MANY scans — hand the
+                # whole remaining stream (this SOS included) to the
+                # multi-scan decoder, which owns qt/huff/dri updates
+                # between scans
+                return _decode_progressive(
+                    payload, pos - 2, frame, qt, huff, dri
+                )
             ns = seg[0]
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
@@ -308,6 +316,55 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
             )
         pos += seg_len
     raise ValueError("jpeg: no SOS marker found")
+
+
+def _coefs_to_plane(zz_coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequantize + de-zigzag + IDCT a whole component at once:
+    ``zz_coefs`` is (blocks_y, blocks_x, 64) int32 in zigzag order,
+    ``q`` the 64-entry zigzag-order quant table. Vectorized over all
+    blocks (einsum both 8-point DCT contractions) — the per-block
+    Python loop only exists in the Huffman stage now."""
+    deq = zz_coefs.astype(np.float64) * q
+    nat = np.zeros_like(deq)
+    nat[..., _ZIGZAG] = deq
+    by, bx = nat.shape[:2]
+    b8 = nat.reshape(by, bx, 8, 8)
+    # idct(C) = M.T @ C @ M, batched: out[i,j] = sum_uv M[u,i] C[u,v] M[v,j]
+    spat = np.einsum("ui,yxuv,vj->yxij", _DCT_M, b8, _DCT_M) + 128.0
+    return spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _assemble_image(frame: dict, planes: list[np.ndarray]) -> dict:
+    """Crop each component plane to its true size, upsample to full
+    resolution (pixel replication), color-convert — shared tail of the
+    baseline and progressive decode paths."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        cw = -(-w * c["h"] // hmax)  # ceil
+        ch = -(-h * c["v"] // vmax)
+        p = planes[ci][:ch, :cw]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0),
+                hmax // c["h"],
+                axis=1,
+            )
+        full.append(p[:h, :w])
+
+    if len(comps) == 1:
+        px = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return {"format": "jpeg", "width": w, "height": h, "pixels": px}
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+    return {"format": "jpeg", "width": w, "height": h, "pixels": px}
 
 
 def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
@@ -341,11 +398,10 @@ def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
 
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-        )
+    coefs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+        for c in comps
+    ]
 
     reader = _BitReader(data, pos)
     preds = [0] * len(comps)
@@ -367,7 +423,6 @@ def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dc_t, ac_t = scan_tbl[c["id"]]
-                q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         try:
@@ -383,44 +438,16 @@ def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
                             ) from None
                         coef_z[0] += preds[ci]
                         preds[ci] = coef_z[0]
-                        blk = np.zeros(64)
-                        blk[_ZIGZAG] = coef_z * q
-                        spat = _idct(blk.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spat
+                        coefs[ci][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = coef_z
             mcu_index += 1
 
-    # crop each plane to its true component size, then upsample to
-    # full resolution (nearest / pixel replication)
-    full = []
-    for ci, c in enumerate(comps):
-        cw = -(-w * c["h"] // hmax)  # ceil
-        ch = -(-h * c["v"] // vmax)
-        p = planes[ci][:ch, :cw]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(
-                np.repeat(p, vmax // c["v"], axis=0),
-                hmax // c["h"],
-                axis=1,
-            )
-        full.append(p[:h, :w])
-
-    if len(comps) == 1:
-        px = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return {"format": "jpeg", "width": w, "height": h, "pixels": px}
-    if len(comps) != 3:
-        raise NotImplementedError(
-            f"jpeg: {len(comps)}-component scan (CMYK?) not supported"
-        )
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    px = np.clip(
-        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
-    ).astype(np.uint8)
-    return {"format": "jpeg", "width": w, "height": h, "pixels": px}
+    planes = [
+        _coefs_to_plane(coefs[ci], qt[c["tq"]])
+        for ci, c in enumerate(comps)
+    ]
+    return _assemble_image(frame, planes)
 
 
 def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
@@ -442,6 +469,401 @@ def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
         coef[k] = _extend(reader.bits(s), s)
         k += 1
     return coef
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) decoding — spectral selection + successive
+# approximation per ITU T.81 Annex G: coefficients accumulate across
+# scans in per-component zigzag arrays; reconstruction (dequantize +
+# IDCT + upsample + color) happens once, at EOI.
+
+def _comp_grids(frame: dict) -> tuple[int, int, list[dict]]:
+    """Per-component geometry: MCU counts plus each component's
+    MCU-padded block grid (interleaved traversal) and TRUE block grid
+    (non-interleaved traversal covers only ceil(comp_size/8) blocks —
+    NOT padded to MCU boundaries, T.81 A.2.2)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geo = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        geo.append(
+            {
+                "pad_bx": mcus_x * c["h"],
+                "pad_by": mcus_y * c["v"],
+                "true_bx": -(-cw // 8),
+                "true_by": -(-ch // 8),
+            }
+        )
+    return mcus_x, mcus_y, geo
+
+
+def _expect_restart(reader: _BitReader, rst_expect: int) -> int:
+    reader.byte_align()
+    m = reader.expect_marker()
+    if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != rst_expect:
+        raise ValueError(f"jpeg: bad restart marker 0x{m:02X}")
+    return (rst_expect + 1) % 8
+
+
+def _decode_progressive(data, pos, frame, qt, huff, dri) -> dict:
+    comps = frame["comps"]
+    mcus_x, mcus_y, geo = _comp_grids(frame)
+    coefs = [
+        np.zeros((g["pad_by"], g["pad_bx"], 64), np.int32) for g in geo
+    ]
+    n = len(data)
+    saw_eoi = False
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"jpeg: expected marker at offset {pos} (progressive)"
+            )
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            # TEM / stray RST / fill byte between segments
+            pos -= 1 if marker == 0xFF else 0
+            continue
+        seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError(
+                f"jpeg: truncated segment for marker 0x{marker:02X} "
+                f"(claims {seg_len} bytes)"
+            )
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xC4:  # DHT — tables MAY be redefined per scan
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                huff[(tc, th)] = _build_huff(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDB:  # DQT between scans
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                width = 64 if pq == 0 else 128
+                if p + width > len(seg):
+                    raise ValueError("jpeg: truncated DQT table body")
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg, np.uint8, count=64, offset=p
+                    ).astype(np.float64)
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg, ">u2", count=64, offset=p
+                    ).astype(np.float64)
+                p += width
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            pos = _progressive_scan(
+                data, pos + seg_len, seg, frame, geo, mcus_x, mcus_y,
+                coefs, huff, dri,
+            )
+            continue
+        # APPn / COM / anything else: skip
+        pos += seg_len
+    if not saw_eoi:
+        raise ValueError(
+            "jpeg: truncated progressive stream (no EOI marker)"
+        )
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"jpeg: component references missing quant table "
+                f"{c['tq']}"
+            )
+    planes = [
+        _coefs_to_plane(coefs[ci], qt[c["tq"]])
+        for ci, c in enumerate(comps)
+    ]
+    return _assemble_image(frame, planes)
+
+
+def _progressive_scan(
+    data, pos, seg, frame, geo, mcus_x, mcus_y, coefs, huff, dri
+) -> int:
+    """Decode one progressive scan's entropy data into ``coefs``;
+    returns the offset of the marker that terminates the scan."""
+    comps = frame["comps"]
+    ns = seg[0]
+    if len(seg) < 4 + 2 * ns:
+        raise ValueError("jpeg: truncated SOS header")
+    sel = []  # (comp_index, dc_table, ac_table)
+    for si in range(ns):
+        cid = seg[1 + 2 * si]
+        tsel = seg[2 + 2 * si]
+        matches = [i for i, c in enumerate(comps) if c["id"] == cid]
+        if not matches:
+            raise ValueError(
+                f"jpeg: scan names unknown component id {cid}"
+            )
+        sel.append((matches[0], tsel >> 4, tsel & 0xF))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0xF
+    if ss > se or se > 63:
+        raise ValueError(f"jpeg: bad spectral band Ss={ss} Se={se}")
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: DC scan must have Se=0 (T.81 G.1.1.1.1)")
+    if ss > 0 and ns != 1:
+        raise ValueError(
+            "jpeg: AC scans must be single-component (T.81 G.1.1.1.1)"
+        )
+    if ah != 0 and ah != al + 1:
+        raise ValueError(
+            f"jpeg: successive approximation must refine one bit per "
+            f"scan (Ah={ah}, Al={al})"
+        )
+
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if ah == 0:
+            for ci, dc_t, _ in sel:
+                if (0, dc_t) not in huff:
+                    raise ValueError(
+                        f"jpeg: scan references missing Huffman table "
+                        f"class=0 id={dc_t}"
+                    )
+            _scan_dc_first(
+                reader, sel, comps, geo, mcus_x, mcus_y, coefs, huff,
+                dri, al,
+            )
+        else:
+            # DC refinement: one raw bit per block, no Huffman tables
+            _scan_dc_refine(
+                reader, sel, comps, geo, mcus_x, mcus_y, coefs, dri, al
+            )
+    else:
+        ci, _, ac_t = sel[0]
+        if (1, ac_t) not in huff:
+            raise ValueError(
+                f"jpeg: scan references missing Huffman table "
+                f"class=1 id={ac_t}"
+            )
+        if ah == 0:
+            _scan_ac_first(
+                reader, ci, geo[ci], coefs[ci], huff[(1, ac_t)], dri,
+                ss, se, al,
+            )
+        else:
+            _scan_ac_refine(
+                reader, ci, geo[ci], coefs[ci], huff[(1, ac_t)], dri,
+                ss, se, al,
+            )
+    # the scan's entropy data ends at the next real marker; buffered
+    # padding bits in the reader are discarded by construction
+    p = reader.pos
+    n = len(data)
+    while p + 1 < n and (data[p] != 0xFF or data[p + 1] == 0x00):
+        p += 1
+    if p + 1 >= n:
+        raise ValueError("jpeg: scan data runs past end of stream")
+    return p
+
+
+def _scan_units_interleaved(sel, comps, mcus_x, mcus_y):
+    """Yield per-MCU lists of (selector_idx, comp_idx, block_y,
+    block_x) in interleaved order."""
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            unit = []
+            for si, (ci, _dc, _ac) in enumerate(sel):
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit.append(
+                            (si, ci, my * c["v"] + by, mx * c["h"] + bx)
+                        )
+            yield unit
+
+
+def _scan_units_single(ci, g):
+    """Non-interleaved traversal: one block per unit over the TRUE
+    block grid (not MCU-padded)."""
+    for by in range(g["true_by"]):
+        for bx in range(g["true_bx"]):
+            yield [(0, ci, by, bx)]
+
+
+def _scan_dc_first(
+    reader, sel, comps, geo, mcus_x, mcus_y, coefs, huff, dri, al
+):
+    if len(sel) > 1:
+        units = _scan_units_interleaved(sel, comps, mcus_x, mcus_y)
+    else:
+        units = _scan_units_single(sel[0][0], geo[sel[0][0]])
+    preds = [0] * len(sel)
+    rst_expect = 0
+    unit_index = 0
+    for unit in units:
+        if dri and unit_index and unit_index % dri == 0:
+            rst_expect = _expect_restart(reader, rst_expect)
+            preds = [0] * len(sel)
+        try:
+            for si, ci, by, bx in unit:
+                dc_tbl = huff[(0, sel[si][1])]
+                s = _huff_decode(reader, dc_tbl)
+                diff = _extend(reader.bits(s), s)
+                preds[si] += diff
+                coefs[ci][by, bx, 0] = preds[si] << al
+        except _Marker as mk:
+            raise ValueError(
+                f"jpeg: unexpected marker 0x{mk.code:02X} in DC scan"
+            ) from None
+        unit_index += 1
+
+
+def _scan_dc_refine(
+    reader, sel, comps, geo, mcus_x, mcus_y, coefs, dri, al
+):
+    if len(sel) > 1:
+        units = _scan_units_interleaved(sel, comps, mcus_x, mcus_y)
+    else:
+        units = _scan_units_single(sel[0][0], geo[sel[0][0]])
+    rst_expect = 0
+    unit_index = 0
+    bit = 1 << al
+    for unit in units:
+        if dri and unit_index and unit_index % dri == 0:
+            rst_expect = _expect_restart(reader, rst_expect)
+        try:
+            for _si, ci, by, bx in unit:
+                if reader.bit():
+                    # two's-complement OR reconstructs negative DC
+                    # exactly: ((v>>1)<<1) | (v&1) == v
+                    coefs[ci][by, bx, 0] |= bit
+        except _Marker as mk:
+            raise ValueError(
+                f"jpeg: unexpected marker 0x{mk.code:02X} in DC "
+                "refinement scan"
+            ) from None
+        unit_index += 1
+
+
+def _scan_ac_first(reader, ci, g, coef, ac_tbl, dri, ss, se, al):
+    rst_expect = 0
+    eobrun = 0
+    unit_index = 0
+    try:
+        for by in range(g["true_by"]):
+            for bx in range(g["true_bx"]):
+                if dri and unit_index and unit_index % dri == 0:
+                    rst_expect = _expect_restart(reader, rst_expect)
+                    eobrun = 0
+                unit_index += 1
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                blk = coef[by, bx]
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "jpeg: AC run past end of band"
+                        )
+                    blk[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+    except _Marker as mk:
+        raise ValueError(
+            f"jpeg: unexpected marker 0x{mk.code:02X} in AC scan"
+        ) from None
+
+
+def _scan_ac_refine(reader, ci, g, coef, ac_tbl, dri, ss, se, al):
+    p1 = 1 << al
+    rst_expect = 0
+    eobrun = 0
+    unit_index = 0
+
+    def correct(blk, k):
+        # correction bit for a nonzero-history coefficient: magnitude
+        # grows away from zero (AC point transform is sign-magnitude)
+        if reader.bit():
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    try:
+        for by in range(g["true_by"]):
+            for bx in range(g["true_bx"]):
+                if dri and unit_index and unit_index % dri == 0:
+                    rst_expect = _expect_restart(reader, rst_expect)
+                    eobrun = 0
+                unit_index += 1
+                blk = coef[by, bx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # ZRL: skip 16 zero-history coefficients
+                        elif s == 1:
+                            newval = p1 if reader.bit() else -p1
+                        else:
+                            raise ValueError(
+                                "jpeg: refinement scan carries "
+                                f"size-{s} coefficient (must be 1)"
+                            )
+                        # advance: skip r zero-history coefficients,
+                        # correcting nonzero-history ones on the way
+                        while k <= se:
+                            if blk[k] != 0:
+                                correct(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s:
+                            if k > se:
+                                raise ValueError(
+                                    "jpeg: refinement run past end "
+                                    "of band"
+                                )
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB covers this block too: only correction bits
+                    # for the band's remaining nonzero coefficients
+                    while k <= se:
+                        if blk[k] != 0:
+                            correct(blk, k)
+                        k += 1
+                    eobrun -= 1
+    except _Marker as mk:
+        raise ValueError(
+            f"jpeg: unexpected marker 0x{mk.code:02X} in AC "
+            "refinement scan"
+        ) from None
 
 
 # --------------------------------------------------------------------------
@@ -529,18 +951,10 @@ def _component_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode_baseline_jpeg(
-    pixels: np.ndarray,
-    quant: np.ndarray | int | None = None,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB grid (or (h, w) grayscale) as a
-    baseline JFIF byte string. ``quant``: a 64-entry zigzag-order
-    table, a scalar (constant table), or None for all-ones (the
-    closed-form round-trip regime). ``subsample``: '444' or '420'
-    (chroma 2x2). ``restart_interval``: emit a DRI segment and RSTn
-    markers every N MCUs (0 = none)."""
+def _prepare_components(pixels, quant, subsample):
+    """Shared encoder front half: color convert, subsample, pad, and
+    forward-DCT-quantize every component. Returns
+    (gray, q, comps, hmax, vmax, mcus_x, mcus_y, h, w)."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -610,6 +1024,24 @@ def encode_baseline_jpeg(
             mode="edge",
         )
         c["coefs"] = _component_coefs(c["plane"], q)
+    return gray, q, comps, hmax, vmax, mcus_x, mcus_y, h, w
+
+
+def encode_baseline_jpeg(
+    pixels: np.ndarray,
+    quant: np.ndarray | int | None = None,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB grid (or (h, w) grayscale) as a
+    baseline JFIF byte string. ``quant``: a 64-entry zigzag-order
+    table, a scalar (constant table), or None for all-ones (the
+    closed-form round-trip regime). ``subsample``: '444' or '420'
+    (chroma 2x2). ``restart_interval``: emit a DRI segment and RSTn
+    markers every N MCUs (0 = none)."""
+    gray, q, comps, hmax, vmax, mcus_x, mcus_y, h, w = (
+        _prepare_components(pixels, quant, subsample)
+    )
 
     # entropy symbols grouped per MCU, with DC differentials (reset at
     # restart boundaries when restart_interval is set)
