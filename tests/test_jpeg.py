@@ -296,6 +296,152 @@ def test_every_truncation_point_keeps_error_contract():
             pass
 
 
+# --- progressive (SOF2) decode — ADVICE r7 medium finding: the scan
+# ladder must be exercised by real multi-scan streams, not just "SOF2
+# no longer raises". The in-library progressive encoder shares
+# _prepare_components with the baseline encoder, so with identical
+# quant both paths produce IDENTICAL coefficient arrays and the decoded
+# pixels must match bit-for-bit — every divergence is a decoder bug in
+# DC first/refine, AC first/refine, EOB runs, or ZRL correction
+# interleaving.
+
+
+def _scan_count(enc: bytes) -> int:
+    return enc.count(b"\xff\xda")
+
+
+def test_progressive_roundtrip_matches_baseline_exactly():
+    cases = [
+        ((24, 33, 3), "444"),
+        ((25, 27, 3), "420"),
+        ((13, 19), "444"),
+        ((8, 8), "444"),
+    ]
+    for shape, sub in cases:
+        img = RNG.randint(0, 256, shape, np.uint8)
+        penc = jpeg.encode_progressive_jpeg(img, subsample=sub)
+        assert b"\xff\xc2" in penc  # really SOF2
+        # DC first + DC refine + 2 bands x first/refine per component
+        ncomp = 1 if len(shape) == 2 else 3
+        assert _scan_count(penc) == 2 + 4 * ncomp
+        pdec = jpeg.decode_baseline_jpeg(penc)
+        bdec = jpeg.decode_baseline_jpeg(
+            jpeg.encode_baseline_jpeg(img, subsample=sub)
+        )
+        assert np.array_equal(pdec["pixels"], bdec["pixels"]), (shape, sub)
+
+
+def test_progressive_solid_color_is_pure_eob_runs_and_exact():
+    # solid image: every AC band of every block is empty, so each AC
+    # first scan is a single EOBn whose run spans ALL 36 blocks (extra
+    # bits present since 36 > 1) — the eobrun-spanning-blocks path of
+    # the ADVICE finding; quant=1 solid blocks decode bit-exact
+    img = np.full((48, 48, 3), 137, np.uint8)
+    dec = jpeg.decode_baseline_jpeg(jpeg.encode_progressive_jpeg(img))
+    assert np.array_equal(dec["pixels"], img)
+
+
+def test_progressive_restart_markers_roundtrip():
+    img = RNG.randint(0, 256, (40, 56, 3), np.uint8)
+    enc = jpeg.encode_progressive_jpeg(img, restart_interval=3)
+    assert b"\xff\xdd" in enc
+    assert b"\xff\xd0" in enc  # RST0 actually emitted in some scan
+    dec = jpeg.decode_baseline_jpeg(enc)
+    ref = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img))
+    assert np.array_equal(dec["pixels"], ref["pixels"])
+
+
+def test_progressive_quantized_matches_baseline():
+    # real quantization: sparse AC bands drive mixed EOB runs, ZRLs,
+    # and refinement correction bits through nonzero-history paths
+    img = RNG.randint(0, 256, (32, 40, 3), np.uint8)
+    for q in (4, 16):
+        p = jpeg.decode_baseline_jpeg(
+            jpeg.encode_progressive_jpeg(img, quant=q)
+        )
+        b = jpeg.decode_baseline_jpeg(
+            jpeg.encode_baseline_jpeg(img, quant=q)
+        )
+        assert np.array_equal(p["pixels"], b["pixels"]), q
+
+
+def test_progressive_spectral_split_variants():
+    img = RNG.randint(0, 256, (17, 23, 3), np.uint8)
+    ref = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img))
+    for split in (1, 9, 62):
+        dec = jpeg.decode_baseline_jpeg(
+            jpeg.encode_progressive_jpeg(img, ac_split=split)
+        )
+        assert np.array_equal(dec["pixels"], ref["pixels"]), split
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    restart=st.sampled_from([0, 2]),
+    quant=st.sampled_from([1, 8]),
+)
+def test_property_progressive_equals_baseline(seed, h, w, restart, quant):
+    img = _img(seed, h, w, 3)
+    p = jpeg.decode_baseline_jpeg(
+        jpeg.encode_progressive_jpeg(
+            img, quant=quant, restart_interval=restart
+        )
+    )
+    b = jpeg.decode_baseline_jpeg(
+        jpeg.encode_baseline_jpeg(img, quant=quant, restart_interval=restart)
+    )
+    assert np.array_equal(p["pixels"], b["pixels"])
+
+
+def test_progressive_every_truncation_point_keeps_error_contract():
+    rng = np.random.RandomState(9)
+    enc = jpeg.encode_progressive_jpeg(
+        rng.randint(0, 256, (16, 16, 3), np.uint8), quant=4
+    )
+    for cut in range(2, len(enc), 7):
+        try:
+            jpeg.decode_baseline_jpeg(enc[:cut])
+        except ValueError as e:
+            assert str(e).startswith("jpeg:"), (cut, e)
+        except NotImplementedError:
+            pass
+
+
+def test_progressive_hostile_zero_sampling_nibble():
+    import struct as _s
+
+    # ADVICE r7 high finding: SOF2 with a 0x00 H/V byte used to reach
+    # _comp_grids and crash with ZeroDivisionError; must be ValueError
+    sof = (
+        bytes([8]) + _s.pack(">HH", 16, 16) + bytes([1])
+        + bytes([1, 0x00, 0])
+    )
+    payload = b"\xff\xd8\xff\xc2" + _s.pack(">H", 2 + len(sof)) + sof
+    with pytest.raises(ValueError, match="sampling factor"):
+        jpeg.decode_baseline_jpeg(payload)
+
+
+def test_non_integer_sampling_ratio_is_named_at_sof_parse():
+    import struct as _s
+
+    # 3x1 luma over 2x1 chroma: spec-legal, upsampler can't express it
+    # — must be the NAMED NotImplementedError on BOTH frame types
+    for marker in (b"\xff\xc0", b"\xff\xc2"):
+        sof = (
+            bytes([8]) + _s.pack(">HH", 16, 16) + bytes([3])
+            + bytes([1, 0x31, 0]) + bytes([2, 0x21, 1])
+            + bytes([3, 0x11, 1])
+        )
+        payload = b"\xff\xd8" + marker + _s.pack(">H", 2 + len(sof)) + sof
+        with pytest.raises(
+            NotImplementedError, match="non-integer sampling ratio"
+        ):
+            jpeg.decode_baseline_jpeg(payload)
+
+
 def test_malformed_dqt_and_sof_keep_error_contract():
     import struct
 

@@ -273,6 +273,13 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
+            # validate sampling factors HERE, before either scan
+            # decoder runs: the progressive path has no equivalent of
+            # _decode_scan's per-scan check, so a hostile SOF2 with a
+            # zero H/V nibble used to reach _comp_grids and escape the
+            # ValueError/NotImplementedError contract as a
+            # ZeroDivisionError (ADVICE r7 high finding)
+            _check_sampling(comps)
             frame = {
                 "w": w,
                 "h": h,
@@ -316,6 +323,29 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
             )
         pos += seg_len
     raise ValueError("jpeg: no SOS marker found")
+
+
+def _check_sampling(comps: list[dict]) -> None:
+    """Shared SOF-time sampling-factor validation for the baseline and
+    progressive paths. Zero nibbles are malformed (T.81 B.2.2 requires
+    1-4) -> ValueError; spec-legal non-integer ratios (e.g. 3x1 luma
+    over 2x1 chroma) are a named gap of the pixel-replication
+    upsampler -> NotImplementedError."""
+    for c in comps:
+        if not (1 <= c["h"] <= 4) or not (1 <= c["v"] <= 4):
+            raise ValueError(
+                f"jpeg: sampling factor {c['h']}x{c['v']} outside the "
+                "spec range 1-4 (T.81 B.2.2)"
+            )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"jpeg: non-integer sampling ratio {c['h']}x{c['v']} "
+                f"vs max {hmax}x{vmax} (spec-legal but exotic; the "
+                "pixel-replication upsampler requires integer ratios)"
+            )
 
 
 def _coefs_to_plane(zz_coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -375,12 +405,6 @@ def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
         if c["id"] not in scan_tbl:
             raise ValueError(
                 f"jpeg: SOS names no tables for component {c['id']}"
-            )
-        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                f"jpeg: non-integer sampling ratio {c['h']}x{c['v']} "
-                f"vs max {hmax}x{vmax} (spec-legal but exotic; the "
-                "pixel-replication upsampler requires integer ratios)"
             )
         if c["tq"] not in qt:
             raise ValueError(
@@ -801,8 +825,13 @@ def _scan_ac_refine(reader, ci, g, coef, ac_tbl, dri, ss, se, al):
 
     def correct(blk, k):
         # correction bit for a nonzero-history coefficient: magnitude
-        # grows away from zero (AC point transform is sign-magnitude)
-        if reader.bit():
+        # grows away from zero (AC point transform is sign-magnitude).
+        # The (|blk[k]| & p1) == 0 guard mirrors libjpeg: successive
+        # approximation can set each bit position at most once, so a
+        # corrupt stream repeating correction bits must not inflate the
+        # magnitude further (ADVICE r7 finding); the bit is still
+        # consumed either way to keep the reader in sync.
+        if reader.bit() and not (abs(int(blk[k])) & p1):
             blk[k] += p1 if blk[k] > 0 else -p1
 
     try:
@@ -1146,6 +1175,307 @@ def encode_baseline_jpeg(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) encoder — emits a spectral-selection + successive-
+# approximation scan script (T.81 Annex G) so the progressive decoder
+# can be round-trip tested against real multi-scan streams: DC first
+# (Al=1) -> DC refine -> per-component AC first over two spectral bands
+# (Al=1) -> per-component AC refine, with EOB runs, ZRL-with-correction
+# interleaving, per-scan DHT redefinition, and optional restart markers.
+
+def _point_ac(v: int, al: int) -> int:
+    """AC point transform: sign-magnitude shift (T.81 G.1.2.2)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _tok_dc_first(comps, sel, units, dri, al):
+    syms, toks = set(), []
+    preds = [0] * len(sel)
+    unit_index = 0
+    for unit in units:
+        if dri and unit_index and unit_index % dri == 0:
+            toks.append(("rst",))
+            preds = [0] * len(sel)
+        for si, ci, by, bx in unit:
+            v = int(comps[ci]["coefs"][by, bx, 0]) >> al  # arithmetic
+            diff = v - preds[si]
+            preds[si] = v
+            s = _category(diff)
+            syms.add(s)
+            toks.append(("sym", s))
+            ev, en = _extra_bits(diff, s)
+            if en:
+                toks.append(("bits", ev, en))
+        unit_index += 1
+    return syms, toks
+
+
+def _tok_dc_refine(comps, units, dri, al):
+    toks = []
+    unit_index = 0
+    for unit in units:
+        if dri and unit_index and unit_index % dri == 0:
+            toks.append(("rst",))
+        for _si, ci, by, bx in unit:
+            toks.append(
+                ("bits", (int(comps[ci]["coefs"][by, bx, 0]) >> al) & 1, 1)
+            )
+        unit_index += 1
+    return set(), toks
+
+
+def _tok_ac_first(coefs, g, dri, ss, se, al):
+    syms, toks = set(), []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        sym = r << 4
+        syms.add(sym)
+        toks.append(("sym", sym))
+        if r:
+            toks.append(("bits", eobrun - (1 << r), r))
+        eobrun = 0
+
+    unit_index = 0
+    for by in range(g["true_by"]):
+        for bx in range(g["true_bx"]):
+            if dri and unit_index and unit_index % dri == 0:
+                flush()
+                toks.append(("rst",))
+            unit_index += 1
+            band = [
+                _point_ac(int(coefs[by, bx, k]), al)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    syms.add(0xF0)
+                    toks.append(("sym", 0xF0))
+                    run -= 16
+                s = _category(v)
+                sym = (run << 4) | s
+                syms.add(sym)
+                toks.append(("sym", sym))
+                ev, en = _extra_bits(v, s)
+                toks.append(("bits", ev, en))
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun += 1  # trailing zeros become the first pending end
+    flush()
+    return syms, toks
+
+
+def _tok_ac_refine(coefs, g, dri, ss, se, al):
+    p1s = al + 1  # history precision
+    syms, toks = set(), []
+    eobrun = 0
+    pending = []  # correction bits for blocks covered by the EOB run
+
+    def flush():
+        nonlocal eobrun, pending
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        sym = r << 4
+        syms.add(sym)
+        toks.append(("sym", sym))
+        if r:
+            toks.append(("bits", eobrun - (1 << r), r))
+        toks.extend(("bits", b, 1) for b in pending)
+        pending = []
+        eobrun = 0
+
+    unit_index = 0
+    for by in range(g["true_by"]):
+        for bx in range(g["true_bx"]):
+            if dri and unit_index and unit_index % dri == 0:
+                flush()
+                toks.append(("rst",))
+            unit_index += 1
+            z = coefs[by, bx]
+            hist = [_point_ac(int(z[k]), p1s) for k in range(ss, se + 1)]
+            bit = [(abs(int(z[k])) >> al) & 1 for k in range(ss, se + 1)]
+            newnz = [
+                i
+                for i in range(se - ss + 1)
+                if hist[i] == 0 and bit[i]
+            ]
+            if not newnz:
+                eobrun += 1
+                pending.extend(
+                    bit[i] for i in range(se - ss + 1) if hist[i]
+                )
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            i = 0
+            for pos in newnz:
+                run = 0
+                corr = []
+                while i < pos:
+                    if hist[i]:
+                        corr.append(bit[i])
+                    else:
+                        run += 1
+                        if run == 16:
+                            syms.add(0xF0)
+                            toks.append(("sym", 0xF0))
+                            toks.extend(("bits", b, 1) for b in corr)
+                            corr = []
+                            run = 0
+                    i += 1
+                sym = (run << 4) | 1
+                syms.add(sym)
+                toks.append(("sym", sym))
+                toks.append(("bits", 1 if int(z[ss + pos]) > 0 else 0, 1))
+                toks.extend(("bits", b, 1) for b in corr)
+                i = pos + 1
+            if i <= se - ss:
+                eobrun += 1
+                pending.extend(
+                    bit[j] for j in range(i, se - ss + 1) if hist[j]
+                )
+    flush()
+    return syms, toks
+
+
+def _serialize_scan(toks, enc) -> bytes:
+    bw = _BitWriter()
+    rst = 0
+    for t in toks:
+        if t[0] == "rst":
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        elif t[0] == "sym":
+            code, ln = enc[t[1]]
+            bw.write(code, ln)
+        else:
+            bw.write(t[1], t[2])
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray,
+    quant: np.ndarray | int | None = None,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    ac_split: int = 5,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB grid (or (h, w) grayscale) as a
+    progressive (SOF2) JFIF byte string. The scan script is the
+    classic successive-approximation ladder: interleaved DC first
+    (Al=1), DC refine, then per component AC first over the bands
+    [1..ac_split] and [ac_split+1..63] at Al=1 followed by the two
+    matching refinement scans — every decoder path (spectral
+    selection, EOB runs spanning blocks, ZRL-with-correction-bit
+    interleaving, per-scan DHT redefinition, restart markers) is
+    exercised by construction. Shares the quant/subsample/restart
+    contract of ``encode_baseline_jpeg``."""
+    gray, q, comps, hmax, vmax, mcus_x, mcus_y, h, w = (
+        _prepare_components(pixels, quant, subsample)
+    )
+    if not (1 <= ac_split <= 62):
+        raise ValueError("ac_split must be in [1, 62]")
+    frame = {"w": w, "h": h, "comps": comps}
+    _mx, _my, geo = _comp_grids(frame)
+    dri = restart_interval
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    qbytes = q.astype(np.uint8).tobytes()
+    for tq in range(1 if gray else 2):
+        out += (
+            b"\xff\xdb"
+            + struct.pack(">H", 3 + len(qbytes))
+            + bytes([tq])
+            + qbytes
+        )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+
+    def dht(tc, syms):
+        bits, vals, enc = _flat_table(syms)
+        body = bytes([tc << 4]) + bytes(bits) + vals  # table id 0
+        return (
+            b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body,
+            enc,
+        )
+
+    def sos(comp_specs, ss, se, ah, al):
+        body = bytes([len(comp_specs)])
+        for cid, dc_t, ac_t in comp_specs:
+            body += bytes([cid, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    sel = [(ci, 0, 0) for ci in range(len(comps))]
+    if len(comps) > 1:
+        dc_units = list(
+            _scan_units_interleaved(sel, comps, mcus_x, mcus_y)
+        )
+    else:
+        dc_units = list(_scan_units_single(0, geo[0]))
+
+    # scan 1: DC first, Al=1 (every scan redefines Huffman table id 0 —
+    # the decoder's per-scan DHT path is part of what's under test)
+    syms, toks = _tok_dc_first(comps, sel, dc_units, dri, 1)
+    seg, enc = dht(0, syms)
+    out += seg
+    out += sos([(c["id"], 0, 0) for c in comps], 0, 0, 0, 1)
+    out += _serialize_scan(toks, enc)
+    # scan 2: DC refine to full precision (raw bits, no DHT needed)
+    _s, toks = _tok_dc_refine(comps, dc_units, dri, 0)
+    out += sos([(c["id"], 0, 0) for c in comps], 0, 0, 1, 0)
+    out += _serialize_scan(toks, {})
+    # AC scans: first pass at Al=1 over both spectral bands, then the
+    # matching refinement passes — non-interleaved by spec
+    bands = [(1, ac_split), (ac_split + 1, 63)]
+    for first in (True, False):
+        for ci, c in enumerate(comps):
+            for ss, se in bands:
+                if first:
+                    syms, toks = _tok_ac_first(
+                        c["coefs"], geo[ci], dri, ss, se, 1
+                    )
+                else:
+                    syms, toks = _tok_ac_refine(
+                        c["coefs"], geo[ci], dri, ss, se, 0
+                    )
+                seg, enc = dht(1, syms)
+                out += seg
+                out += sos(
+                    [(c["id"], 0, 0)], ss, se, 0 if first else 1,
+                    1 if first else 0,
+                )
+                out += _serialize_scan(toks, enc)
     out += b"\xff\xd9"
     return bytes(out)
 
