@@ -419,7 +419,17 @@ def q34_multimodal_frames(spark, sf):
     (dims, durations, codecs, track layout) is closed-form doc_id
     math the oracle recomputes — the parser is scored on real box
     structure, not a stub. Frame DECODE remains the documented codec
-    plug-in; the metadata tier is what a corpus build routes on."""
+    plug-in; the metadata tier is what a corpus build routes on.
+
+    r8: the skeletons now carry FULL sample tables (VERDICT r6 item
+    2) — video: 5+(id%7) variable-size samples via stts/stsc/stsz/
+    stco with an explicit partial-final stsc entry; audio: 16+(id%9)
+    const-size samples via co64 with the implied partial last chunk —
+    and the scored columns include per-track sample counts, chunk
+    counts, total sample bytes, and first/last sample byte offsets,
+    all recomputed by the oracle from doc_id math. Byte offsets are
+    what turns metadata routing into ingestion routing at 100 TB:
+    which byte ranges of which objects to fetch."""
     frames = multimodal.frames_with_meta(
         multimodal.attach_blob(_t(spark, sf, "documents")), frame_size=64
     ).select(
@@ -433,6 +443,11 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("string").alias("track_kind"),
         F.lit(None).cast("string").alias("codec"),
         F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("n_samples"),
+        F.lit(None).cast("long").alias("n_chunks"),
+        F.lit(None).cast("long").alias("sample_bytes"),
+        F.lit(None).cast("long").alias("first_sample_off"),
+        F.lit(None).cast("long").alias("last_sample_off"),
     )
     vids = multimodal.video_meta_features(
         multimodal.synth_mp4_media(
@@ -451,6 +466,11 @@ def q34_multimodal_frames(spark, sf):
         "track_kind",
         "codec",
         F.col("track_ms").alias("duration_ms"),
+        "n_samples",
+        "n_chunks",
+        "sample_bytes",
+        "first_sample_off",
+        "last_sample_off",
     )
     return frames.unionByName(vids)
 
@@ -1632,35 +1652,59 @@ def oracle_sql() -> dict[str, str]:
                    u AS frame_idx, u * 64 AS frame_byte_offset,
                    CAST(NULL AS VARCHAR) AS track_kind,
                    CAST(NULL AS VARCHAR) AS codec,
-                   CAST(NULL AS BIGINT) AS duration_ms
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS n_chunks,
+                   CAST(NULL AS BIGINT) AS sample_bytes,
+                   CAST(NULL AS BIGINT) AS first_sample_off,
+                   CAST(NULL AS BIGINT) AS last_sample_off
             FROM (SELECT doc_id, text,
                          unnest(range(greatest(
                            octet_length(encode(text)) // 64, 1))) AS u
                   FROM documents)
             UNION ALL
-            SELECT 'mp4' AS src, 20000 + g.v AS doc_id,
+            -- video track: 5+(id%7) variable-size samples (100+j
+            -- bytes), 4 per chunk => the sample-table summary fields
+            -- are closed-form sums the skeleton builder documents
+            SELECT 'mp4' AS src, doc_id,
                    CAST(NULL AS BIGINT) AS byte_len,
-                   CAST(320 + 16 * ((20000 + g.v) % 5) AS BIGINT)
-                     AS width,
-                   CAST(240 + 16 * ((20000 + g.v) % 3) AS BIGINT)
-                     AS height,
+                   CAST(320 + 16 * (doc_id % 5) AS BIGINT) AS width,
+                   CAST(240 + 16 * (doc_id % 3) AS BIGINT) AS height,
                    CAST(1 AS BIGINT) AS frame_idx,
                    CAST(NULL AS BIGINT) AS frame_byte_offset,
                    'video' AS track_kind, 'mp4v' AS codec,
-                   CAST(1000 + 100 * ((20000 + g.v) % 10) AS BIGINT)
-                     AS duration_ms
-            FROM generate_series(0, 39) g(v)
+                   CAST(1000 + 100 * (doc_id % 10) AS BIGINT)
+                     AS duration_ms,
+                   n AS n_samples,
+                   n // 4 + CASE WHEN n % 4 > 0 THEN 1 ELSE 0 END
+                     AS n_chunks,
+                   100 * n + n * (n - 1) // 2 AS sample_bytes,
+                   CAST(10000 AS BIGINT) AS first_sample_off,
+                   10000 + 100 * (n - 1) + (n - 1) * (n - 2) // 2
+                     AS last_sample_off
+            FROM (SELECT 20000 + g.v AS doc_id,
+                         CAST(5 + (20000 + g.v) % 7 AS BIGINT) AS n
+                  FROM generate_series(0, 39) g(v))
             UNION ALL
-            SELECT 'mp4' AS src, 20000 + g.v AS doc_id,
+            -- audio track: 16+(id%9) const-size (128 B) samples, 8
+            -- per chunk, co64 offsets from 50000
+            SELECT 'mp4' AS src, doc_id,
                    CAST(NULL AS BIGINT) AS byte_len,
                    CAST(NULL AS BIGINT) AS width,
                    CAST(NULL AS BIGINT) AS height,
                    CAST(2 AS BIGINT) AS frame_idx,
                    CAST(NULL AS BIGINT) AS frame_byte_offset,
                    'audio' AS track_kind, 'mp4a' AS codec,
-                   CAST(1000 + 100 * ((20000 + g.v) % 10) AS BIGINT)
-                     AS duration_ms
-            FROM generate_series(0, 39) g(v)
+                   CAST(1000 + 100 * (doc_id % 10) AS BIGINT)
+                     AS duration_ms,
+                   m AS n_samples,
+                   (m + 7) // 8 AS n_chunks,
+                   128 * m AS sample_bytes,
+                   CAST(50000 AS BIGINT) AS first_sample_off,
+                   50000 + 128 * (m - 1) AS last_sample_off
+            FROM (SELECT 20000 + g.v AS doc_id,
+                         CAST(16 + (20000 + g.v) % 9 AS BIGINT) AS m
+                  FROM generate_series(0, 39) g(v))
         """,
         # Sketch-verdict row (q36, covering the HLL++ AND GK families):
         # the oracle computes the EXACT aggregates and literal TRUE

@@ -22,6 +22,8 @@ def test_skeleton_roundtrip_closed_form():
     assert v == {
         "track_id": 1, "kind": "video", "codec": "mp4v",
         "width": 320, "height": 240, "duration_ms": 4321,
+        "n_samples": None, "n_chunks": None, "sample_bytes": None,
+        "first_sample_off": None, "last_sample_off": None,
     }
     assert a["kind"] == "audio" and a["codec"] == "mp4a"
     assert a["width"] is None and a["height"] is None
@@ -144,10 +146,185 @@ def test_video_meta_features_spark_fanout(spark):
             assert r["width"] is None and r["height"] is None
 
 
+# --- sample tables (VERDICT r6 item 2) ------------------------------------
+
+
+def _stbl_payload(tables: bytes) -> bytes:
+    """Wrap raw sample-table boxes in a one-video-track container."""
+    stbl = mp4._box(b"stbl", mp4._stsd(b"mp4v") + tables)
+    minf = mp4._box(b"minf", stbl)
+    mdia = mp4._box(
+        b"mdia",
+        mp4._mdhd(1000, 1000) + mp4._hdlr(b"vide", b"t") + minf,
+    )
+    trak = mp4._box(b"trak", mp4._tkhd(1, 1000, 32, 32) + mdia)
+    ftyp = mp4._box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    return ftyp + mp4._box(
+        b"moov", mp4._mvhd(1000, 1000, 2) + trak
+    )
+
+
+def test_sample_tables_summary_closed_form():
+    # video: 11 samples of 100+j bytes, 4/chunk => 3 chunks (4,4,3)
+    p = mp4.build_skeleton(2000, 64, 48, video_samples=11,
+                           audio_samples=17)
+    v, a = mp4.decode_video_meta(p)["tracks"]
+    assert v["n_samples"] == 11 and v["n_chunks"] == 3
+    assert v["sample_bytes"] == sum(100 + j for j in range(11))
+    assert v["first_sample_off"] == 10000
+    assert v["last_sample_off"] == 10000 + sum(
+        100 + j for j in range(10)
+    )
+    # audio: const 128-byte samples, 8/chunk (partial last implied)
+    assert a["n_samples"] == 17 and a["n_chunks"] == 3
+    assert a["sample_bytes"] == 128 * 17
+    assert a["first_sample_off"] == 50000
+    assert a["last_sample_off"] == 50000 + 128 * 16
+
+
+def test_iter_samples_walks_chunks_sizes_and_dts():
+    p = mp4.build_skeleton(2000, 64, 48, video_samples=6,
+                           audio_samples=9)
+    vs = list(mp4.iter_samples(p, 1))
+    assert [s["index"] for s in vs] == list(range(6))
+    assert [s["size"] for s in vs] == [100 + j for j in range(6)]
+    assert [s["chunk"] for s in vs] == [1, 1, 1, 1, 2, 2]
+    # within-chunk offsets accumulate sizes; chunk 2 restarts at stco
+    assert vs[0]["offset"] == 10000
+    assert vs[1]["offset"] == 10100
+    assert vs[4]["offset"] == 10000 + sum(100 + j for j in range(4))
+    # dts: stts [(5, 333), (1, 2000 - 5*333)]
+    assert [s["dts"] for s in vs] == [0, 333, 666, 999, 1332, 1665]
+    au = list(mp4.iter_samples(p, 2))
+    assert len(au) == 9
+    assert [s["offset"] for s in au[:3]] == [50000, 50128, 50256]
+    assert au[8]["chunk"] == 2 and au[8]["offset"] == 50000 + 1024
+    assert [s["dts"] for s in au] == [50 * j for j in range(9)]
+
+
+def test_iter_samples_errors():
+    p = mp4.build_skeleton(1000, 32, 32, video_samples=4)
+    with pytest.raises(ValueError, match="no track with id"):
+        list(mp4.iter_samples(p, 9))
+    with pytest.raises(ValueError, match="no sample tables"):
+        list(mp4.iter_samples(p, 2))  # audio track has none here
+
+
+def test_stz2_field_sizes():
+    for field, sizes in ((16, [300, 5, 12]), (8, [9, 0, 255]),
+                         (4, [1, 15, 7])):
+        if field == 16:
+            packed = b"".join(struct.pack(">H", s) for s in sizes)
+        elif field == 8:
+            packed = bytes(sizes)
+        else:
+            packed = bytes([(sizes[0] << 4) | sizes[1],
+                            sizes[2] << 4])
+        stz2 = mp4._full(
+            b"stz2",
+            b"\x00\x00\x00" + bytes([field])
+            + struct.pack(">I", len(sizes)) + packed,
+        )
+        tables = (
+            mp4._stts_box([(3, 10)])
+            + mp4._stsc_box([(1, 3)])
+            + stz2
+            + mp4._stco_box([777], wide=False)
+        )
+        t = mp4.decode_video_meta(_stbl_payload(tables))["tracks"][0]
+        assert t["n_samples"] == 3
+        assert t["sample_bytes"] == sum(sizes), field
+        assert t["last_sample_off"] == 777 + sizes[0] + sizes[1]
+
+
+def test_hostile_sample_tables_raise_valueerror():
+    def build(tables):
+        return _stbl_payload(tables)
+
+    stts = mp4._stts_box([(4, 10)])
+    stsc = mp4._stsc_box([(1, 4)])
+    stsz = mp4._stsz_box(0, 4, [10, 20, 30, 40])
+    stco = mp4._stco_box([100], wide=False)
+    # incomplete: any subset missing a family is malformed
+    with pytest.raises(ValueError, match="incomplete sample tables"):
+        mp4.decode_video_meta(build(stts + stsc + stsz))
+    # stts/stsz disagreement
+    with pytest.raises(ValueError, match="stsz claims"):
+        mp4.decode_video_meta(
+            build(mp4._stts_box([(3, 10)]) + stsc + stsz + stco)
+        )
+    # stsc regressing first_chunk
+    with pytest.raises(ValueError, match="not increasing"):
+        mp4.decode_video_meta(
+            build(stts + mp4._stsc_box([(2, 1), (1, 3)]) + stsz + stco)
+        )
+    # stsc not starting at chunk 1
+    with pytest.raises(ValueError, match="start at chunk 1"):
+        mp4.decode_video_meta(
+            build(stts + mp4._stsc_box([(2, 4)]) + stsz + stco)
+        )
+    # more samples than the chunks can place
+    with pytest.raises(ValueError, match="place only"):
+        mp4.decode_video_meta(
+            build(stts + mp4._stsc_box([(1, 2)]) + stsz + stco)
+        )
+    # stsz sizes body shorter than the claimed count
+    short = mp4._full(
+        b"stsz", struct.pack(">II", 0, 9) + struct.pack(">I", 10)
+    )
+    with pytest.raises(ValueError, match="stsz sizes"):
+        mp4.decode_video_meta(build(stts + stsc + short + stco))
+    # stz2 with an illegal field width
+    bad2 = mp4._full(
+        b"stz2",
+        b"\x00\x00\x00\x05" + struct.pack(">I", 1) + b"\x00",
+    )
+    with pytest.raises(ValueError, match="field size"):
+        mp4.decode_video_meta(build(stts + stsc + bad2 + stco))
+    # hostile const-size stsz claiming 2^31 samples: summary must stay
+    # O(chunks) arithmetic — and then fail placement, not allocate
+    huge = mp4._stsz_box(1000, 1 << 31, None)
+    with pytest.raises(ValueError, match="place only"):
+        mp4.decode_video_meta(
+            build(mp4._stts_box([(1 << 31, 1)]) + stsc + huge + stco)
+        )
+
+
+def test_every_truncation_point_keeps_mp4_error_contract():
+    enc = mp4.build_skeleton(1500, 48, 32, video_samples=7,
+                             audio_samples=12)
+    for cut in range(0, len(enc), 3):
+        try:
+            mp4.decode_video_meta(enc[:cut])
+        except ValueError as e:
+            assert str(e).startswith("mp4:"), (cut, e)
+
+
 # --- property tests (hypothesis) ------------------------------------------
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(nv=st.integers(1, 64), na=st.integers(1, 64))
+def test_property_sample_walk_is_consistent(nv, na):
+    p = mp4.build_skeleton(3000, 32, 32, video_samples=nv,
+                           audio_samples=na)
+    v, a = mp4.decode_video_meta(p)["tracks"]
+    vs = list(mp4.iter_samples(p, 1))
+    au = list(mp4.iter_samples(p, 2))
+    # the lazy walk and the O(chunks) summary must agree exactly
+    assert len(vs) == v["n_samples"] == nv
+    assert len(au) == a["n_samples"] == na
+    assert sum(s["size"] for s in vs) == v["sample_bytes"]
+    assert vs[0]["offset"] == v["first_sample_off"]
+    assert vs[-1]["offset"] == v["last_sample_off"]
+    assert au[-1]["offset"] == a["last_sample_off"]
+    assert vs[-1]["chunk"] == v["n_chunks"]
+    # offsets strictly increase within the planted layouts
+    offs = [s["offset"] for s in vs]
+    assert offs == sorted(offs) and len(set(offs)) == nv
 
 
 @settings(max_examples=50, deadline=None)

@@ -706,6 +706,11 @@ VIDEO_META_SCHEMA = StructType(
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("track_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_chunks", LongType()),
+        StructField("sample_bytes", LongType()),
+        StructField("first_sample_off", LongType()),
+        StructField("last_sample_off", LongType()),
     ]
 )
 
@@ -714,8 +719,10 @@ def synth_mp4_media(ids: DataFrame) -> DataFrame:
     """Metadata-only MP4 skeletons derived from doc_id — the planted
     input for the declared video-metadata branch (q34): dims
     320+16·(id%5) × 240+16·(id%3), duration 1000+100·(id%10) ms, one
-    video + one audio track — all closed-form for the SQL oracle,
-    while the bytes are a REAL ISO-BMFF box tree the parser walks."""
+    video + one audio track with FULL sample tables (video: 5+(id%7)
+    variable-size samples, stco; audio: 16+(id%9) const-size samples,
+    co64) — all closed-form for the SQL oracle, while the bytes are a
+    REAL ISO-BMFF box tree the parser walks."""
     from timeseries_data_provider_spark.operators import mp4 as _mp4
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -727,6 +734,8 @@ def synth_mp4_media(ids: DataFrame) -> DataFrame:
                     duration_ms=1000 + 100 * (i % 10),
                     width=320 + 16 * (i % 5),
                     height=240 + 16 * (i % 3),
+                    video_samples=5 + (i % 7),
+                    audio_samples=16 + (i % 9),
                 )
                 out["doc_id"].append(i)
                 out["kind"].append("mp4")
@@ -763,6 +772,11 @@ def video_meta_features(media: DataFrame) -> DataFrame:
                     rows["width"].append(t["width"])
                     rows["height"].append(t["height"])
                     rows["track_ms"].append(t["duration_ms"])
+                    rows["n_samples"].append(t["n_samples"])
+                    rows["n_chunks"].append(t["n_chunks"])
+                    rows["sample_bytes"].append(t["sample_bytes"])
+                    rows["first_sample_off"].append(t["first_sample_off"])
+                    rows["last_sample_off"].append(t["last_sample_off"])
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(
