@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from timeseries_data_provider_spark import tables  # noqa: E402
 from timeseries_data_provider_spark.operators import (  # noqa: E402
     aggregates,
+    bpe,
     core,
     dedup,
     joins,
@@ -652,10 +653,36 @@ def q51_chunk_pack(spark, sf):
     """Fixed-token-window chunking → greedy token-budget packing per
     source shard, composed as one plan (chunk_documents +
     pack_sequences semantics; zero joins — the pack key rides the
-    explode)."""
-    return pipeline.chunk_and_pack(
+    explode).
+
+    r8: union-tagged with a 'bpe' branch (VERDICT r6 item 3) — the
+    loadable merge-table BPE tokenizer (operators/bpe.py, GPT-2-style
+    char-level algorithm, Arrow-batched + piece-memoized) counts real
+    merge-applied tokens per document under the table
+    [(t,h),(th,e)]. Adjacent letters always share a pre-split piece
+    and nothing else consumes 't'/'h', so the oracle recomputes the
+    count in pure SQL as length(text) − occ('th') − occ('the') — the
+    merge ENGINE is driver-scored; the piece-boundary semantics (a
+    merge must not fire across pieces) are pinned in pytest with
+    punctuation merges SQL can't see (tests/test_bpe.py)."""
+    pack = pipeline.chunk_and_pack(
         _t(spark, sf, "documents"), chunk_tokens=32, budget=512
+    ).select(
+        F.lit("pack").alias("src"),
+        "source",
+        "bin_id",
+        "n_chunks",
+        "bin_tokens",
     )
+    n_bpe = bpe.count_udf([("t", "h"), ("th", "e")])
+    counts = _t(spark, sf, "documents").select(
+        F.lit("bpe").alias("src"),
+        "source",
+        F.col("doc_id").alias("bin_id"),
+        F.lit(None).cast("long").alias("n_chunks"),
+        n_bpe(F.col("text")).alias("bin_tokens"),
+    )
+    return pack.unionByName(counts)
 
 
 def q53_contamination(spark, sf):
@@ -2009,11 +2036,26 @@ def oracle_sql() -> dict[str, str]:
                      ) AS cum
               FROM ch
             )
-            SELECT source,
+            SELECT 'pack' AS src, source,
                    CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin_id,
                    CAST(COUNT(*) AS BIGINT) AS n_chunks,
                    CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
-            FROM cum GROUP BY 1, 2
+            FROM cum GROUP BY 1, 2, 3
+            UNION ALL
+            -- char-level BPE under [(t,h),(th,e)]: adjacent letters
+            -- share a piece and no other merge consumes t/h, so
+            -- tokens = chars - merges, merges = occ('th') + occ('the')
+            -- (occ('th') INCLUDES those inside 'the': each 'the'
+            -- costs two merge applications)
+            SELECT 'bpe' AS src, source, doc_id AS bin_id,
+                   CAST(NULL AS BIGINT) AS n_chunks,
+                   length(text)
+                     - (length(text) - length(replace(text, 'th', '')))
+                       // 2
+                     - (length(text) - length(replace(text, 'the', '')))
+                       // 3
+                     AS bin_tokens
+            FROM documents
         """,
         "q53_contamination": """
             WITH w AS (

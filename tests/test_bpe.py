@@ -1,0 +1,204 @@
+"""Loadable merge-table BPE (operators/bpe.py, VERDICT r6 item 3):
+algorithm correctness against hand-computed merges, the
+piece-boundary semantics the SQL oracle cannot see, the closed-form
+count identity the q51 'bpe' branch is scored on, and the Spark
+counter/chunker wire-ins."""
+
+from __future__ import annotations
+
+import pytest
+
+from timeseries_data_provider_spark.operators import bpe
+
+
+def enc(text, merges, pattern=None):
+    return bpe.Tokenizer(merges, pattern).encode(text)
+
+
+def test_single_merge_hand_cases():
+    m = [("a", "b")]
+    assert enc("ab", m) == ["ab"]
+    assert enc("aab", m) == ["a", "ab"]
+    assert enc("abab", m) == ["ab", "ab"]
+    assert enc("ba", m) == ["b", "a"]
+    assert enc("", m) == []
+
+
+def test_cascading_merges_follow_rank_order():
+    m = [("a", "b"), ("ab", "c")]
+    assert enc("abc", m) == ["abc"]
+    assert enc("aabc", m) == ["a", "abc"]
+    assert enc("abcb", m) == ["abc", "b"]
+    # rank order matters: (ab,c) ranked FIRST can never fire before
+    # (a,b) creates the 'ab' token, but once it exists it wins ties
+    m2 = [("ab", "c"), ("a", "b")]
+    assert enc("abc", m2) == ["abc"]
+
+
+def test_lower_rank_merge_preempts():
+    # "abc" with (b,c) ranked below (a,b): bc merges first, ab never
+    m = [("b", "c"), ("a", "b")]
+    assert enc("abc", m) == ["a", "bc"]
+
+
+def test_merges_do_not_cross_piece_boundaries():
+    # the property the SQL oracle cannot express: 'a' and '.' are
+    # adjacent in the raw string but in different pre-split pieces, so
+    # the merge must NOT fire
+    m = [("a", ".")]
+    assert enc("a.", m) == ["a", "."]
+    # whereas the space prefixing a word IS part of the word's piece
+    # (GPT-2's Ġ convention), so a (space, letter) merge CAN fire
+    m2 = [(" ", "a")]
+    assert enc("b a", m2) == ["b", " a"]
+
+
+def test_pieces_partition_losslessly():
+    t = bpe.Tokenizer([])
+    for s in ("", "a", "hello world", "  x ", "a,b.c!", "héllo…",
+              "tab\tand\nnewline", "123abc  7."):
+        assert "".join(t.pieces(s)) == s
+        # with no merges, token count == character count
+        assert t.count(s) == len(s)
+
+
+def test_count_identity_matches_oracle_formula():
+    # the q51 'bpe' branch contract: under [(t,h),(th,e)],
+    # tokens = chars − occ('th') − occ('the')
+    import random
+
+    rng = random.Random(8)
+    tok = bpe.Tokenizer([("t", "h"), ("th", "e")])
+    for _ in range(300):
+        s = "".join(
+            rng.choice("thex ." ) for _ in range(rng.randrange(0, 40))
+        )
+        want = len(s) - s.count("th") - s.count("the")
+        assert tok.count(s) == want, s
+
+
+def test_tokenizer_survives_pickle_with_empty_cache():
+    import pickle
+
+    tok = bpe.Tokenizer([("t", "h")])
+    tok.encode("the the the")
+    tok2 = pickle.loads(pickle.dumps(tok))
+    assert tok2._cache == {}
+    assert tok2.encode("tho") == ["th", "o"]
+
+
+def test_bad_merge_table_raises():
+    with pytest.raises(ValueError, match="not a pair"):
+        bpe.Tokenizer([("a", "b", "c")])
+
+
+def test_count_udf_and_counter_in_spark(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "s", "the theme"), (2, "s", "tthhe"), (3, "s", None)],
+        "doc_id long, source string, text string",
+    )
+    out = dict(
+        df.select(
+            "doc_id",
+            bpe.count_udf([("t", "h"), ("th", "e")])(F.col("text"))
+            .alias("n"),
+        ).collect()
+    )
+    # "the theme": 9 chars − occ('th')=2 − occ('the')=2 = 5
+    assert out[1] == 5
+    assert out[2] == 4  # t,th,h,e — wait: tthhe = t+th+h+e
+    assert out[3] is None
+
+
+def test_pack_and_budget_accept_bpe_counter(spark):
+    from timeseries_data_provider_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [(i, "s", "the " * (i + 1), 4 * (i + 1)) for i in range(6)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    cnt = bpe.counter([("t", "h"), ("th", "e")])
+    # each "the " is 2 BPE tokens ('the', ' ') vs 1 whitespace token:
+    # the BPE-denominated packing must see twice the tokens
+    ws = pipeline.pack_sequences(df, budget=8)
+    bp = pipeline.pack_sequences(df, budget=8, counter=cnt)
+    assert (
+        sum(r["bin_tokens"] for r in bp.collect())
+        == 2 * sum(r["bin_tokens"] for r in ws.collect())
+    )
+    sel = pipeline.budget_select(df, token_budget=10**9, counter=cnt)
+    got = {r["doc_id"]: r["n_tokens"] for r in sel.collect()}
+    assert got[0] == 2 and got[5] == 12
+
+
+def test_chunk_documents_bpe_reassembles_losslessly(spark):
+    from timeseries_data_provider_spark.operators import pipeline
+
+    texts = [
+        (1, "s", "the quick brown fox the fox"),
+        (2, "s", ""),
+        (3, "t", "ththththe x"),
+    ]
+    df = spark.createDataFrame(
+        texts, "doc_id long, source string, text string"
+    )
+    merges = [("t", "h"), ("th", "e")]
+    rows = (
+        bpe.chunk_documents_bpe(
+            df, merges, chunk_tokens=4, keep_cols=("source",)
+        )
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    # empty doc vanishes (chunk_documents contract)
+    assert {r["doc_id"] for r in rows} == {1, 3}
+    tok = bpe.Tokenizer(merges)
+    for doc_id, _src, text in texts:
+        mine = [r for r in rows if r["doc_id"] == doc_id]
+        if not text:
+            assert mine == []
+            continue
+        # chunks concatenate back to the exact original text
+        assert "".join(r["chunk_text"] for r in mine) == text
+        # every chunk is exactly 4 tokens except the remainder
+        sizes = [r["n_chunk_tokens"] for r in mine]
+        assert all(s == 4 for s in sizes[:-1]) and 1 <= sizes[-1] <= 4
+        assert sum(sizes) == tok.count(text)
+        # chunk token counts are REAL: re-encoding a chunk yields the
+        # same count (boundaries never split a token)
+        for r in mine:
+            assert tok.count(r["chunk_text"]) == r["n_chunk_tokens"]
+
+
+# --- property tests -------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcth e.", max_size=60))
+def test_property_lossless_and_formula(s):
+    tok = bpe.Tokenizer([("t", "h"), ("th", "e")])
+    assert "".join(tok.pieces(s)) == s
+    assert tok.count(s) == len(s) - s.count("th") - s.count("the")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet="abc ", max_size=30),
+    st.permutations([("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]),
+)
+def test_property_encode_invariants(s, merges):
+    toks = bpe.Tokenizer(merges).encode(s)
+    # tokens concatenate back to the input exactly (losslessness is
+    # what makes chunk reassembly sound)
+    assert "".join(toks) == s
+    # every token is either a single char or reachable by the table
+    vocab = {"a", "b", "c", " ", "ab", "bc", "abc"}
+    assert all(t in vocab for t in toks)
+    # adding merges can only shrink the count (monotonicity)
+    for k in range(len(merges) + 1):
+        assert len(bpe.Tokenizer(merges[:k]).encode(s)) >= len(toks)
