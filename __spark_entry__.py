@@ -388,12 +388,27 @@ def q31_ann_topk(spark, sf):
     layout = q67_ivf_layout_probe(spark, sf).select(
         F.lit("ivf_layout").alias("algo"), "vec_id", "sim"
     )
+    # r8: INCREMENTAL-append branch (similarity.ivf_append — the last
+    # pytest-only batch operator, VERDICT r6 item 5): its own small
+    # layout (vec_id % 3 == 0 base, 4 centroids) appended with planted
+    # copies (vec_id % 3 == 1, vec_id < 100, ids +1,000,000) under the
+    # layout's FROZEN stored centroids, then probed. The oracle
+    # reproduces the whole lifecycle — seed centroids from the BASE
+    # subset only, argmax assignment of base ∪ appended, top-2 probe,
+    # in-partition exact top-10 — so an append that re-trained
+    # centroids, dropped rows, or mis-assigned the batch would
+    # hash-mismatch. Same construction-side-effect contract as
+    # ivf_layout (cached per process/sf, atexit cleanup).
+    append = q68_ivf_append_probe(spark, sf).select(
+        F.lit("ivf_append").alias("algo"), "vec_id", "sim"
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(batch)
         .unionByName(sq8)
         .unionByName(rp)
         .unionByName(layout)
+        .unionByName(append)
     )
 
 
@@ -1032,6 +1047,53 @@ def q67_ivf_layout_probe(spark, sf):
     )
 
 
+_Q68_LAYOUTS: dict[str, tuple[str, list]] = {}
+
+
+def _q68_layout(spark, sf) -> tuple[str, list]:
+    """Append-lifecycle layout for the q31 'ivf_append' branch: a
+    4-centroid layout over the vec_id % 3 == 0 subset, then
+    ``ivf_append`` of planted copies (vec_id % 3 == 1, vec_id < 100,
+    ids shifted +1,000,000 — same embeddings, so the oracle knows the
+    vectors) under the stored frozen centroids. Cached per
+    (process, sf_dir) with atexit cleanup — the q67 contract."""
+    cached = _Q68_LAYOUTS.get(sf)
+    if cached is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="tdps_q68_ivf_append_")
+        atexit.register(shutil.rmtree, path, True)
+        emb = _t(spark, sf, "embeddings")
+        similarity.write_ivf_layout(
+            emb.filter(F.col("vec_id") % 3 == 0), path, num_centroids=4
+        )
+        batch = emb.filter(
+            (F.col("vec_id") % 3 == 1) & (F.col("vec_id") < 100)
+        ).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        similarity.ivf_append(spark, batch, path)
+        qrow = (
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()
+        )
+        cached = (path, [float(x) for x in qrow["embedding"]])
+        _Q68_LAYOUTS[sf] = cached
+    return cached
+
+
+def q68_ivf_append_probe(spark, sf):
+    """Probe of the appended layout (see ``_q68_layout``): the
+    appended vectors are exact copies of base-table rows, so their
+    assignment, probe membership, and ranking are all closed-form for
+    the oracle — an append that re-trained centroids or lost rows
+    would change the top-10 and hash-mismatch. Driver-scored as q31's
+    'ivf_append' branch; kept callable standalone for pytest."""
+    path, qv = _q68_layout(spark, sf)
+    return similarity.ivf_topk_from_layout(spark, path, qv, k=10, nprobe=2)
+
+
 def q66_corpus_diff(spark, sf):
     """Corpus version-diff governance op (pipeline.corpus_diff, r5 —
     previously the only pytest-only batch operator): the documents
@@ -1641,6 +1703,52 @@ def oracle_sql() -> dict[str, str]:
               JOIN liassign USING (vec_id)
               JOIN liprobe USING (centroid_id), q
               ORDER BY sim DESC, lie.vec_id
+              LIMIT 10
+            ), abase AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id % 3 = 0
+            ), abatch AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id % 3 = 1 AND vec_id < 100
+            ), acents AS (
+              -- seed centroids come from the BASE build only: the
+              -- append runs under the layout's frozen stored set
+              SELECT vec_id AS centroid_id, v AS cv
+              FROM abase ORDER BY vec_id LIMIT 4
+            ), aall AS (
+              SELECT * FROM abase UNION ALL SELECT * FROM abatch
+            ), aprobe AS (
+              SELECT centroid_id FROM acents, q
+              ORDER BY list_dot_product(cv, qv)
+                       / sqrt(list_dot_product(cv, cv)
+                              * list_dot_product(qv, qv)) DESC,
+                       centroid_id
+              LIMIT 2
+            ), aassign AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT aall.vec_id, acents.centroid_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY aall.vec_id
+                         ORDER BY list_dot_product(aall.v, acents.cv)
+                                  / sqrt(list_dot_product(aall.v,
+                                                          aall.v)
+                                         * list_dot_product(acents.cv,
+                                                            acents.cv))
+                                  DESC,
+                                  acents.centroid_id) AS rn
+                FROM aall, acents)
+              WHERE rn = 1
+            ), aivf AS (
+              SELECT aall.vec_id,
+                     ROUND(list_dot_product(aall.v, q.qv)
+                           / sqrt(list_dot_product(aall.v, aall.v)
+                                  * list_dot_product(q.qv, q.qv)), 6)
+                       AS sim
+              FROM aall
+              JOIN aassign USING (vec_id)
+              JOIN aprobe USING (centroid_id), q
+              ORDER BY sim DESC, aall.vec_id
               LIMIT 10)"""
         + _rp_oracle_ctes()
         + """
@@ -1657,6 +1765,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'rp' AS algo, vec_id, sim FROM rp
             UNION ALL
             SELECT 'ivf_layout' AS algo, vec_id, sim FROM ivfl
+            UNION ALL
+            SELECT 'ivf_append' AS algo, vec_id, sim FROM aivf
         """,
         "q32_embedding_neardup": """
             WITH e AS (
