@@ -21,12 +21,108 @@ Run with --explain to dump formatted physical plans instead of timing.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Per-query composition notes for the CURRENT round: a query listed
+# here is EXPECTED to move vs the previous round's artifact because
+# its declared form gained work (a new union branch, new scored
+# columns), and the vs_prev gate reports it as explained instead of
+# flagging it. Refresh this dict whenever a round changes a declared
+# query's composition; stale entries are harmless (an explained query
+# that didn't move is just not flagged).
+EXPLAINED_MOVES = {
+    "q31_ann_topk": "r8: new ivf_append lifecycle branch (+1 layout probe)",
+    "q34_multimodal_frames": "r8: sample-table parse + 5 scored columns",
+    "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
+}
+
+
+def _load_bench(path: str):
+    """Read a bench artifact in either shape: the raw one-line JSON
+    this script prints (and the committed *_local.json snapshots), or
+    the driver's wrapper {n, rc, sf, tail, parsed} — whose ``parsed``
+    holds the same object when the driver managed to parse stdout."""
+    try:
+        with open(path) as f:
+            d = json.loads(f.read().strip().splitlines()[-1])
+    except (OSError, ValueError, IndexError):
+        return None
+    if isinstance(d.get("queries"), dict):
+        return d
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and isinstance(
+        parsed.get("queries"), dict
+    ):
+        return parsed
+    return None
+
+
+def _prev_artifact(repo_dir: str):
+    """(path, loaded artifact) of the newest readable committed bench
+    result — BENCH_r{N}.json or BENCH_r{N}_local.json, highest round
+    first, the local snapshot preferred within a round (the driver
+    wrapper truncates long stdout and then carries parsed=null).
+    Override with $SPARK_GRAFT_PREV_BENCH to diff a specific file."""
+    override = os.environ.get("SPARK_GRAFT_PREV_BENCH")
+    if override:
+        return override, _load_bench(override)
+    cands = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.match(
+            r"BENCH_r(\d+)(_local)?\.json$", os.path.basename(p)
+        )
+        if m:
+            cands.append((int(m.group(1)), m.group(2) is not None, p))
+    for _n, _loc, p in sorted(cands, reverse=True):
+        loaded = _load_bench(p)
+        if loaded is not None:
+            return p, loaded
+    return None, None
+
+
+def _vs_prev(prev_path, prev, timings, spread, sf_num):
+    """Machine-separate composition cost from regression (VERDICT r6
+    item 7): ratio each query against the previous artifact and flag
+    unexplained >1.5x moves. A flag requires BOTH the min and the p50
+    to exceed 1.5x — host contention only ever ADDS time, so a clean
+    min with a noisy p50 is a poisoned sample, not a regression."""
+    if prev.get("sf") != sf_num:
+        return {
+            "prev": os.path.basename(prev_path),
+            "skipped": f"prev sf={prev.get('sf')} != {sf_num}",
+        }
+    pq = prev.get("queries") or {}
+    pspread = prev.get("query_spread") or {}
+    flagged = {}
+    explained = {}
+    for name, now_min in timings.items():
+        prev_min = pq.get(name)
+        if not isinstance(prev_min, (int, float)) or prev_min <= 0:
+            continue
+        prev_p50 = (pspread.get(name) or {}).get("p50", prev_min)
+        now_p50 = spread[name]["p50"]
+        r_min = now_min / prev_min
+        r_p50 = now_p50 / prev_p50 if prev_p50 > 0 else r_min
+        if r_min > 1.5 and r_p50 > 1.5:
+            note = EXPLAINED_MOVES.get(name)
+            entry = {"min_ratio": round(r_min, 2),
+                     "p50_ratio": round(r_p50, 2)}
+            if note is not None:
+                explained[name] = {**entry, "note": note}
+            else:
+                flagged[name] = entry
+    return {
+        "prev": os.path.basename(prev_path),
+        "flagged": flagged,
+        "explained": explained,
+    }
 
 
 def main() -> None:
@@ -119,19 +215,36 @@ def main() -> None:
             sf_num = float(sf)
         except ValueError:
             sf_num = sf
-        print(
-            json.dumps(
-                {
-                    "metric": "total_query_sec",
-                    "value": round(sum(timings.values()), 4),
-                    "unit": "sec",
-                    "queries": timings,
-                    "query_spread": spread,
-                    "repeat": repeat,
-                    "sf": sf_num,
-                }
+        out = {
+            "metric": "total_query_sec",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "query_spread": spread,
+            "repeat": repeat,
+            "sf": sf_num,
+        }
+        flagged = {}
+        if not only:  # partial runs have nothing meaningful to diff
+            prev_path, prev = _prev_artifact(
+                os.path.dirname(os.path.abspath(__file__))
             )
-        )
+            if prev is not None:
+                out["vs_prev"] = _vs_prev(
+                    prev_path, prev, timings, spread, sf_num
+                )
+                flagged = out["vs_prev"].get("flagged") or {}
+        print(json.dumps(out))
+        if flagged:
+            print(
+                "bench: UNEXPLAINED >1.5x regressions vs "
+                f"{out['vs_prev']['prev']}: {sorted(flagged)} "
+                "(add a reason to EXPLAINED_MOVES only if the query's "
+                "declared form really gained work)",
+                file=sys.stderr,
+            )
+            spark.stop()
+            sys.exit(2)
     spark.stop()
 
 
