@@ -233,7 +233,20 @@ def q23_doc_profile(spark, sf):
     actual corpus, so the distributed document-frequency count is
     scored against real data), and a per-doc unique line (df = 1,
     kept). n_lines / n_kept / clean_text verify the df join and the
-    order-preserving reassembly."""
+    order-preserving reassembly.
+
+    r8: joined with SUBSTRING-level exact dedup (dedup.substring_spans
+    — the ExactSubstr design, VERDICT r6 item 8) over a second planted
+    page: a 6-token prefix shared by EVERY doc, a unique separator
+    token, a (doc_id % 5)-class template paragraph of 4+(id%5) tokens,
+    a unique tail. With k=4 the duplicated-window coverage is exactly
+    two spans per doc — [1, 6] and [8, 11+(id%5)] — so the scored
+    columns (span count, covered tokens, first start, last end) pin
+    the whole windowed-group-by + gaps-and-islands pipeline with
+    closed-form doc_id math, while the window document frequencies
+    themselves come from the real distributed aggregate (class sizes
+    are corpus-data-dependent). The islands/reference equivalence and
+    the removal contract are pinned in tests/test_substring_dedup.py."""
     d = _t(spark, sf, "documents")
     page = F.concat_ws(
         "\n",
@@ -249,7 +262,34 @@ def q23_doc_profile(spark, sf):
     cleaned = dedup.line_dedup(
         d.select("doc_id", page.alias("text")), min_df=2
     )
-    return text.doc_profile(d).join(cleaned, "doc_id")
+    cls = (F.col("doc_id") % 5).cast("int")
+    mtoks = F.array(
+        *[
+            F.concat(F.lit("m"), cls.cast("string"), F.lit("x"), F.lit(str(j)))
+            for j in range(8)
+        ]
+    )
+    span_page = F.concat_ws(
+        " ",
+        F.lit("s0 s1 s2 s3 s4 s5"),
+        F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+        F.concat_ws(" ", F.slice(mtoks, 1, cls + 4)),
+        F.concat(F.lit("y"), F.col("doc_id").cast("string")),
+    )
+    spans = dedup.substring_spans(
+        d.select("doc_id", span_page.alias("text")), k=4
+    )
+    span_agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("n_tokens").alias("dup_span_tokens"),
+        F.min("start_tok").alias("first_span_start"),
+        F.max("end_tok").alias("last_span_end"),
+    )
+    return (
+        text.doc_profile(d)
+        .join(cleaned, "doc_id")
+        .join(span_agg, "doc_id")
+    )
 
 
 def q25_lang_guess(spark, sf):  # kept for bench/pytest; folded into q18
@@ -1558,7 +1598,14 @@ def oracle_sql() -> dict[str, str]:
                      AS n_kept,
                    CASE WHEN p.df < 2
                         THEN p.prefix || chr(10) || 'unique ' || y.doc_id
-                        ELSE 'unique ' || y.doc_id END AS clean_text
+                        ELSE 'unique ' || y.doc_id END AS clean_text,
+                   -- substring-span plant (r8): coverage is exactly
+                   -- [1,6] (all-docs prefix) + [8, 11+(id%5)] (class
+                   -- template paragraph) at k=4
+                   CAST(2 AS BIGINT) AS n_dup_spans,
+                   CAST(10 + y.doc_id % 5 AS BIGINT) AS dup_span_tokens,
+                   CAST(1 AS BIGINT) AS first_span_start,
+                   CAST(11 + y.doc_id % 5 AS BIGINT) AS last_span_end
             FROM y JOIN pdf p USING (doc_id)
         """,
         "q28_ngram_jaccard": """

@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # query's composition; stale entries are harmless (an explained query
 # that didn't move is just not flagged).
 EXPLAINED_MOVES = {
+    "q23_doc_profile": "r8: new substring-span plant (windows agg + islands)",
     "q31_ann_topk": "r8: new ivf_append lifecycle branch (+1 layout probe)",
     "q34_multimodal_frames": "r8: sample-table parse + 5 scored columns",
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",

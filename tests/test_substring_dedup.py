@@ -1,0 +1,157 @@
+"""Substring-level exact dedup (dedup.substring_spans /
+substring_dedup_clean, VERDICT r6 item 8 — ExactSubstr design):
+planted templated-paragraph detection with closed-form span
+boundaries, an independent covered-set Python reference, and the
+removal contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from timeseries_data_provider_spark.operators import dedup
+
+
+def ref_spans(texts, k, cross_doc_only=True, min_count=2):
+    """Independent reference: duplicated windows -> COVERED token
+    positions (union of [p, p+k-1]) -> maximal contiguous covered
+    runs. Deliberately not the islands formulation the operator uses."""
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    occ = {}
+    for d, ws in toks.items():
+        for p in range(1, len(ws) - k + 2):
+            occ.setdefault(" ".join(ws[p - 1 : p - 1 + k]), []).append(
+                (d, p)
+            )
+    dup = {
+        w
+        for w, o in occ.items()
+        if (
+            len({d for d, _ in o}) >= 2
+            if cross_doc_only
+            else len(o) >= min_count
+        )
+    }
+    out = []
+    for d, ws in toks.items():
+        dup_pos = sorted(
+            p
+            for p in range(1, len(ws) - k + 2)
+            if " ".join(ws[p - 1 : p - 1 + k]) in dup
+        )
+        covered = sorted(
+            {t for p in dup_pos for t in range(p, p + k)}
+        )
+        spans = []
+        for t in covered:
+            if spans and t == spans[-1][1] + 1:
+                spans[-1][1] = t
+            else:
+                spans.append([t, t])
+        for sid, (a, b) in enumerate(spans, 1):
+            nw = sum(1 for p in dup_pos if a <= p and p + k - 1 <= b)
+            out.append((d, sid, a, b, b - a + 1, nw))
+    return sorted(out)
+
+
+def spark_spans(spark, texts, k, **kw):
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    return sorted(
+        tuple(r)
+        for r in dedup.substring_spans(df, k=k, **kw).collect()
+    )
+
+
+def test_planted_template_paragraph(spark):
+    # the q23 plant: shared 6-token prefix (all docs), unique token,
+    # class paragraph of 4+(id%5) tokens, unique tail — k=4 yields
+    # exactly spans [1,6] and [8, 11+(id%5)]
+    texts = {}
+    for i in range(10):
+        c = i % 5
+        para = " ".join(f"m{c}x{j}" for j in range(4 + c))
+        texts[i] = f"s0 s1 s2 s3 s4 s5 x{i} {para} y{i}"
+    got = spark_spans(spark, texts, k=4)
+    want = []
+    for i in range(10):
+        c = i % 5
+        want.append((i, 1, 1, 6, 6, 3))
+        want.append((i, 2, 8, 11 + c, 4 + c, c + 1))
+    assert got == sorted(want)
+    assert got == ref_spans(texts, 4)
+
+
+def test_adjacent_intervals_merge_to_one_coverage_span(spark):
+    # doc 0/1 share tokens 1-3 AND 4-6 via different partners; the
+    # two k=3 windows at pos 1 and 4 are adjacent (4 == 1 + 3), so
+    # coverage [1,6] is ONE span
+    texts = {
+        0: "a b c d e f",
+        1: "a b c zzz qq rr",
+        2: "ww vv uu d e f",
+    }
+    got = spark_spans(spark, texts, k=3)
+    assert (0, 1, 1, 6, 6, 2) in got
+    assert got == ref_spans(texts, 3)
+
+
+def test_within_doc_repetition_needs_cross_doc_only_false(spark):
+    texts = {0: "p q r s zz p q r s", 1: "unrelated words here now"}
+    assert spark_spans(spark, texts, k=4) == []
+    got = spark_spans(spark, texts, k=4, cross_doc_only=False)
+    assert got == ref_spans(texts, 4, cross_doc_only=False)
+    assert {(r[0], r[2], r[3]) for r in got} == {(0, 1, 4), (0, 6, 9)}
+
+
+def test_hashed_windows_agree_on_plant(spark):
+    texts = {
+        i: f"t0 t1 t2 t3 t4 u{i} v{i} w{i}" for i in range(6)
+    }
+    assert spark_spans(spark, texts, k=3) == spark_spans(
+        spark, texts, k=3, hashed=True
+    )
+
+
+def test_clean_removes_spans_and_passes_unique_docs(spark):
+    texts = {
+        0: "dup0 dup1 dup2 keepA keepB",
+        1: "dup0 dup1 dup2 keepC keepD",
+        2: "totally unique text here",
+        3: "dup0 dup1 dup2",  # nothing but the span
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens_orig"], r["n_kept"], r["clean_text"])
+        for r in dedup.substring_dedup_clean(df, k=3).collect()
+    }
+    assert got[0] == (5, 2, "keepA keepB")
+    assert got[1] == (5, 2, "keepC keepD")
+    assert got[2] == (4, 4, "totally unique text here")
+    assert got[3] == (3, 0, "")
+
+
+def test_short_docs_yield_no_windows(spark):
+    texts = {0: "a b", 1: "a b", 2: ""}
+    assert spark_spans(spark, texts, k=3) == []
+
+
+# --- property test vs the covered-set reference ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tok = st.sampled_from(["aa", "bb", "cc"])
+_doc = st.lists(_tok, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=4), st.sampled_from([2, 3]))
+def test_property_spans_match_reference(spark, docs, k):
+    texts = dict(enumerate(docs))
+    assert spark_spans(spark, texts, k=k) == ref_spans(texts, k)
+    assert spark_spans(
+        spark, texts, k=k, cross_doc_only=False
+    ) == ref_spans(texts, k, cross_doc_only=False)

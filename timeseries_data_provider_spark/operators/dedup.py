@@ -1074,3 +1074,217 @@ def drop_near_dups(
         )
         .drop("cluster_id")
     )
+
+
+def substring_windows(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """(doc_id, pos, w): every k-token window of every document with
+    its 1-based start position — the positional form of
+    ``shingles_raw`` (which drops positions because set semantics
+    don't need them; span detection does). Same single-space split as
+    the other shingle operators, so window strings are
+    oracle-portable. Docs with fewer than k tokens yield no rows.
+
+    ``hashed=True`` replaces the window string with ``xxhash64`` —
+    the 100 TB shuffle-bytes lever (constant 8-byte keys instead of
+    k-word strings) at the cost of engine-portability and a
+    2^-64-per-pair collision false-positive risk; the scored form
+    stays exact strings."""
+    w = F.col("__w")
+    parts = [F.element_at(w, F.col("pos") + j) for j in range(k)]
+    win = F.concat_ws(" ", *parts)
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+        .filter(F.size("__w") >= k)
+        .select(
+            "doc_id",
+            "__w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__w") - (k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            (F.xxhash64(win) if hashed else win).alias("w"),
+        )
+    )
+
+
+def substring_spans(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cross_doc_only: bool = True,
+    min_count: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """[EXT] Substring-level exact dedup detection — the public
+    ExactSubstr design (suffix-group family: Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better")
+    re-expressed in the windowed-hash group-by vocabulary:
+    ``line_dedup`` catches repeated LINES, but templated PARAGRAPHS
+    that differ in surrounding text survive it — this finds, per
+    document, every maximal token span covered by k-token windows
+    that occur verbatim elsewhere.
+
+    Pipeline (all JVM, no Python):
+    1. explode every k-token window with its position
+       (``substring_windows``);
+    2. one hash-agg on the window value: windows in >= 2 distinct
+       documents (``cross_doc_only``; else >= ``min_count`` total
+       occurrences, which also catches within-doc repetition);
+    3. equi-join occurrences against the duplicated-window set —
+       fan-out exactly 1 per occurrence, same shape as line_dedup's
+       kept-join;
+    4. gaps-and-islands per document: window intervals
+       [pos, pos+k-1] sorted by pos merge while the next start is
+       <= previous start + k (overlap OR adjacency — COVERAGE
+       semantics: a span is a maximal contiguous run of tokens every
+       one of which lies in some duplicated window).
+
+    Returns (doc_id, span_id, start_tok, end_tok, n_tokens,
+    n_windows), positions 1-based inclusive. span_id is 1..n per doc
+    in position order.
+
+    Honest over-approximation (inherent to windowed methods, noted in
+    the paper's suffix-array comparison): consecutive duplicated
+    windows may match DIFFERENT partner documents, so a span is
+    "every token here is part of SOME shared k-gram", not "this whole
+    span occurs verbatim in one partner".
+
+    Scale shape (100 TB): the window agg is the big shuffle — keys
+    are k-word strings (or 8-byte hashes with ``hashed=True``), with
+    map-side partial aggregation; hot boilerplate windows reduce to
+    one group row each and the dup-set join fan-out stays 1; the
+    islands pass is one per-doc window sort, Spark's standard
+    spillable window."""
+    from pyspark.sql import Window as W
+
+    wins = substring_windows(documents, k, text_col, id_col, hashed)
+    if cross_doc_only:
+        dup = (
+            wins.select("w", "doc_id")
+            .distinct()
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("w")
+        )
+    else:
+        dup = (
+            wins.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("w")
+        )
+    marked = wins.join(dup, "w").select("doc_id", "pos")
+    ordered = W.partitionBy("doc_id").orderBy("pos")
+    running = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag = F.lag("pos").over(ordered)
+    new_island = (
+        F.when(lag.isNull() | (F.col("pos") > lag + k), 1).otherwise(0)
+    )
+    return (
+        marked.withColumn("__new", new_island)
+        .withColumn("span_id", F.sum("__new").over(running))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + (k - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .withColumn(
+            "n_tokens", F.col("end_tok") - F.col("start_tok") + 1
+        )
+        .select(
+            "doc_id", "span_id", "start_tok", "end_tok", "n_tokens",
+            "n_windows",
+        )
+    )
+
+
+def substring_dedup_clean(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cross_doc_only: bool = True,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every duplicated span found by ``substring_spans`` and
+    reassemble the surviving tokens in order — the removal step of
+    ExactSubstr, same output contract as ``line_dedup``:
+    (doc_id, n_tokens_orig, n_kept, clean_text). Documents with no
+    duplicated spans pass through intact (left join from the source
+    table); a document that is ENTIRELY duplicated spans yields
+    n_kept = 0, clean_text = ''.
+
+    Reassembly joins token positions against the covered-position
+    set (span explode — bounded by corpus token count) with a
+    LEFT ANTI join, then array_sorts per doc — no per-group sort
+    shuffle beyond the groupBy. Whitespace is normalized to single
+    spaces (token-level rebuild, the chunk_text contract).
+
+    ``spans``: pass a precomputed ``substring_spans`` frame (same
+    documents/parameters) so a caller consuming both runs detection
+    once — the labels-sharing contract of near_dedup."""
+    if spans is None:
+        spans = substring_spans(
+            documents, k, text_col, id_col, cross_doc_only, min_count
+        )
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start_tok"), F.col("end_tok"))
+        ).alias("pos"),
+    )
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias(
+                "__p", "tok"
+            ),
+        )
+        .select(
+            "doc_id", (F.col("__p") + 1).cast("long").alias("pos"), "tok"
+        )
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    assembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " "))
+        .cast("long")
+        .alias("n_tokens_orig"),
+    )
+    return (
+        base.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_orig",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias(
+                "clean_text"
+            ),
+        )
+    )
