@@ -78,7 +78,18 @@ class _Marker(Exception):
 class _BitReader:
     """Entropy-segment bit reader: MSB-first, 0xFF00 byte-stuffing
     removed on the fly; a bare 0xFF-marker raises ``_Marker`` so the
-    MCU loop can handle restart/EOI."""
+    MCU loop can handle restart/EOI.
+
+    Hot-path design (the Huffman stage is the codec's honest Python
+    cost — §C jpegdecode row): ``fill`` buffers whole bytes WITHOUT
+    raising at markers/EOF so ``_huff_decode`` can peek 8 bits and
+    hit a 256-entry LUT, and ``bits`` extracts multi-bit fields in
+    one shift instead of a per-bit loop. Buffering stops AT markers,
+    so consume-side semantics (``_Marker`` from ``bit()``) are
+    byte-identical to the unbuffered reader; after a scan,
+    ``self.pos`` may sit before buffered-but-unconsumed PADDING
+    bytes only — both scan-end consumers (restart alignment, the
+    progressive next-marker scan) skip padding themselves."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -102,6 +113,26 @@ class _BitReader:
         self.cur = (self.cur << 8) | b
         self.nbits += 8
 
+    def fill(self, n: int) -> int:
+        """Buffer bytes until >= n bits are available or a marker/EOF
+        blocks; never raises — returns the available bit count."""
+        d = self.data
+        end = len(d) - 1
+        while self.nbits < n:
+            p = self.pos
+            if p >= end:
+                break
+            b = d[p]
+            if b == 0xFF:
+                if d[p + 1] != 0x00:
+                    break
+                self.pos = p + 2
+            else:
+                self.pos = p + 1
+            self.cur = (self.cur << 8) | b
+            self.nbits += 8
+        return self.nbits
+
     def bit(self) -> int:
         if self.nbits == 0:
             self._load()
@@ -109,6 +140,13 @@ class _BitReader:
         return (self.cur >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.fill(n) >= n:
+            self.nbits -= n
+            v = (self.cur >> self.nbits) & ((1 << n) - 1)
+            self.cur &= (1 << self.nbits) - 1
+            return v
         v = 0
         for _ in range(n):
             v = (v << 1) | self.bit()
@@ -119,10 +157,19 @@ class _BitReader:
         self.cur = 0
 
     def expect_marker(self) -> int:
-        """After byte_align: consume an 0xFF-marker (restart)."""
+        """After byte_align: consume an 0xFF-marker (restart). Skips
+        0xFF fill bytes AND a stuffed 0xFF00 padding byte — an
+        all-ones padded byte is emitted as FF 00 and may precede the
+        marker when buffering didn't consume it."""
         d = self.data
-        while d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
-            self.pos += 1  # fill bytes
+        while True:
+            if d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+                self.pos += 2
+                continue
+            if d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+                self.pos += 1  # fill byte
+                continue
+            break
         if d[self.pos] != 0xFF:
             raise ValueError("jpeg: expected restart marker")
         m = d[self.pos + 1]
@@ -130,25 +177,48 @@ class _BitReader:
         return m
 
 
-def _build_huff(bits: list[int], vals: bytes) -> dict:
-    """Canonical JPEG Huffman reconstruction: {(length, code): symbol}."""
+def _build_huff(bits: list[int], vals: bytes) -> tuple[dict, list]:
+    """Canonical JPEG Huffman reconstruction:
+    ({(length, code): symbol}, 256-entry LUT for codes <= 8 bits).
+    LUT entry = (symbol, length) replicated across the 2^(8-length)
+    prefixes, or None where the code is longer than 8 bits (slow
+    dict walk — rare in real streams)."""
     table = {}
+    lut: list = [None] * 256
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             table[(ln, code)] = vals[k]
+            if ln <= 8:
+                base = code << (8 - ln)
+                hit = (vals[k], ln)
+                for i in range(1 << (8 - ln)):
+                    lut[base + i] = hit
             code += 1
             k += 1
         code <<= 1
-    return table
+    return table, lut
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
+def _huff_decode(reader: _BitReader, table: tuple[dict, list]) -> int:
+    avail = reader.fill(8)
+    if avail:
+        nb = reader.nbits
+        peek = (
+            (reader.cur >> (nb - 8)) & 0xFF
+            if nb >= 8
+            else (reader.cur << (8 - nb)) & 0xFF
+        )
+        hit = table[1][peek]
+        if hit is not None and hit[1] <= avail:
+            reader.nbits = nb - hit[1]
+            reader.cur &= (1 << reader.nbits) - 1
+            return hit[0]
     code = 0
     for ln in range(1, 17):
         code = (code << 1) | reader.bit()
-        sym = table.get((ln, code))
+        sym = table[0].get((ln, code))
         if sym is not None:
             return sym
     raise ValueError("jpeg: invalid Huffman code in scan data")
@@ -474,8 +544,10 @@ def _decode_scan(data, pos, frame, scan_tbl, qt, huff, dri) -> dict:
     return _assemble_image(frame, planes)
 
 
-def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
-    coef = np.zeros(64)
+def _decode_block(reader, dc_table, ac_table) -> list:
+    # plain Python ints end to end: this is the per-block hot loop,
+    # and numpy scalar boxing here measured ~2x the whole stage
+    coef = [0] * 64
     s = _huff_decode(reader, dc_table)
     coef[0] = _extend(reader.bits(s), s)
     k = 1
