@@ -881,13 +881,19 @@ def q63_media_decode(spark, sf):
     r6: a JPEG branch — 50 planted solid-color baseline JPEGs (ids
     10,000+, color (37·id+23)%256) built and DECODED by the pure-numpy
     codec in operators/jpeg.py, installed in the Python workers via
-    the ``codec_setup=jpeg.register`` hook (the registry-distribution
-    contract). A solid block survives the all-ones-quant round trip
-    exactly, so feat/resized means are closed-form 1000·color for the
-    oracle; byte_len is NULL'd like PNG (entropy-coded container size
-    is not SQL-recomputable)."""
-    from timeseries_data_provider_spark.operators import jpeg as jpeg_mod
+    the ``codec_setup`` hook (the registry-distribution contract). A
+    solid block survives the all-ones-quant round trip exactly, so
+    feat/resized means are closed-form 1000·color for the oracle;
+    byte_len is NULL'd like PNG (entropy-coded container size is not
+    SQL-recomputable).
 
+    r8: a WebP branch — 50 planted solid-color LOSSLESS WebPs (VP8L,
+    ids 11,000+, color (41·id+7)%256, varying dims, encoded with the
+    color cache and LZ77 runs on) decoded by the pure-Python VP8L
+    codec (operators/vp8l.py) in the workers; the hook is now
+    ``multimodal.register_builtin_codecs`` (jpeg + vp8l). Lossless
+    means the mean IS the planted color — closed-form like the jpeg
+    rows, byte_len NULL'd the same way."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # lazy checkpoint: three consumers (features, audio, resize) read
     # the synthesized media table — without it each re-runs the full
@@ -902,22 +908,28 @@ def q63_media_decode(spark, sf):
                 )
             )
         )
+        .unionByName(
+            multimodal.synth_webp_media(
+                spark.range(11_000, 11_050).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
         .localCheckpoint(eager=False)
     )
-    feats = multimodal.media_features(
-        media, codec_setup=jpeg_mod.register
-    )
+    setup = multimodal.register_builtin_codecs
+    feats = multimodal.media_features(media, codec_setup=setup)
     audio = multimodal.audio_features(
-        media, codec_setup=jpeg_mod.register
+        media, codec_setup=setup
     ).select("doc_id", "peak_abs", "zero_crossings", "rms_milli")
     resz = multimodal.resize_features(
-        media, out_w=4, out_h=4, codec_setup=jpeg_mod.register
+        media, out_w=4, out_h=4, codec_setup=setup
     ).select("doc_id", "resized_feat_milli")
     return (
         feats.withColumn(
             "byte_len",
             F.when(
-                F.col("kind").isin("png", "jpeg"),
+                F.col("kind").isin("png", "jpeg", "webp"),
                 F.lit(None).cast("long"),
             ).otherwise(F.col("byte_len")),
         )
@@ -2492,6 +2504,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS zero_crossings,
                    CAST(NULL AS BIGINT) AS rms_milli,
                    CAST(1000 * ((37 * (10000 + g.v) + 23) % 256)
+                        AS BIGINT) AS resized_feat_milli
+            FROM generate_series(0, 49) g(v)
+            UNION ALL
+            SELECT 11000 + g.v AS doc_id, 'webp' AS kind,
+                   CAST(8 + (11000 + g.v) % 5 AS BIGINT) AS width,
+                   CAST(6 + (11000 + g.v) % 3 AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(1000 * ((41 * (11000 + g.v) + 7) % 256)
+                        AS BIGINT) AS feat_milli,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS peak_abs,
+                   CAST(NULL AS BIGINT) AS zero_crossings,
+                   CAST(NULL AS BIGINT) AS rms_milli,
+                   CAST(1000 * ((41 * (11000 + g.v) + 7) % 256)
                         AS BIGINT) AS resized_feat_milli
             FROM generate_series(0, 49) g(v)
             ORDER BY doc_id

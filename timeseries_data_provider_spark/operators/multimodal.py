@@ -694,6 +694,46 @@ def synth_jpeg_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def synth_webp_media(ids: DataFrame) -> DataFrame:
+    """Solid-color lossless WebP (VP8L) per doc_id — color
+    (41·id+7)%256, dims (8+(id%5)) × (6+(id%3)) — encoded with the
+    color cache and LZ77 runs ON, so the worker-side decode exercises
+    the cache and backward-reference paths, not just literals. VP8L
+    is lossless, so the mean is exactly the planted color: closed
+    form for the q63 oracle (same plant pattern as synth_jpeg_media)."""
+    from timeseries_data_provider_spark.operators import vp8l as _vp8l
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                c = (41 * i + 7) % 256
+                img = np.full(
+                    (6 + (i % 3), 8 + (i % 5), 3), c, np.uint8
+                )
+                payload = _vp8l.encode_vp8l(
+                    img, use_cache=True, use_lz77=True
+                )
+                out["doc_id"].append(i)
+                out["kind"].append("webp")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def register_builtin_codecs() -> None:
+    """Worker-side ``codec_setup`` hook installing EVERY in-repo
+    optional codec (baseline+progressive JPEG, VP8L WebP) — module-
+    level and picklable, for media tables mixing formats."""
+    from timeseries_data_provider_spark.operators import jpeg, vp8l
+
+    jpeg.register()
+    vp8l.register()
+
+
 VIDEO_META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
