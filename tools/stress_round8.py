@@ -18,8 +18,15 @@ substr      Planted-span substring dedup at 64x (VERDICT r6 item 8
             them carrying a shared 12-token template paragraph;
             asserts exactly the planted docs yield exactly the planted
             span, then times the full spans + clean pipeline.
+bpe         BPE token-counting throughput (VERDICT r6 item 3's MB/s
+            row): 320k synthetic English-ish docs (~250 chars each)
+            through bpe.count_udf under the [(t,h),(th,e)] table;
+            asserts the total equals the closed-form
+            length − occ('th') − occ('the') identity computed JVM-side,
+            then records MB/s — the memoized-Arrow envelope next to
+            the PII and jpegdecode rows.
 
-Usage: python tools/stress_round8.py [jpegdecode|substr]
+Usage: python tools/stress_round8.py [jpegdecode|substr|bpe]
 """
 
 from __future__ import annotations
@@ -208,8 +215,58 @@ def probe_substr(spark) -> None:
     )
 
 
+def probe_bpe(spark) -> None:
+    n_docs = 320_000
+    # English-ish filler with real 'th'/'the' density: per-doc
+    # variation via the doc_id suffix so memoization is realistic
+    # (words repeat across docs, ids do not)
+    base_words = (
+        "the quick brown fox jumps over the lazy dog then another "
+        "thing with themes that gather through thirty paths "
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(base_words * 2),
+                F.lit("tail id "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from timeseries_data_provider_spark.operators import bpe
+
+    jvm_expect = docs.select(
+        F.sum(
+            F.length("text")
+            - (F.length("text") - F.length(F.replace(F.col("text"), F.lit("th"), F.lit("")))) / 2
+            - (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))) / 3
+        ).alias("t"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    cnt = bpe.count_udf([("t", "h"), ("th", "e")])
+    t0 = time.perf_counter()
+    got = docs.select(F.sum(cnt(F.col("text"))).alias("t")).collect()[0]
+    dt = time.perf_counter() - t0
+    assert int(got["t"]) == int(jvm_expect["t"]), (
+        got["t"], jvm_expect["t"],
+    )
+    mb = int(jvm_expect["chars"]) / 1e6
+    _emit(
+        "bpe",
+        n_docs=n_docs,
+        corpus_mb=round(mb, 1),
+        secs=round(dt, 2),
+        mb_per_sec=round(mb / dt, 1),
+        total_tokens=int(got["t"]),
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["jpegdecode", "substr"]
+    which = sys.argv[1:] or ["jpegdecode", "substr", "bpe"]
     spark = get_spark("tdps-stress-r8")
     for name in which:
         globals()[f"probe_{name}"](spark)
