@@ -288,6 +288,12 @@ def test_hostile_sample_tables_raise_valueerror():
         mp4.decode_video_meta(
             build(mp4._stts_box([(1 << 31, 1)]) + stsc + huge + stco)
         )
+    # samples claimed but ZERO chunks (review finding: the summary
+    # used to accept this quietly while iter_samples rejected it —
+    # the routing and ingestion tiers must agree)
+    empty_stco = mp4._stco_box([], wide=False)
+    with pytest.raises(ValueError, match="place only 0 of 4"):
+        mp4.decode_video_meta(build(stts + stsc + stsz + empty_stco))
 
 
 def test_every_truncation_point_keeps_mp4_error_contract():

@@ -295,6 +295,22 @@ def test_error_contract():
     good = vp8l.encode_vp8l(img)
     with pytest.raises(ValueError, match="RIFF"):
         vp8l.decode_webp(b"not a webp at all....")
+    # a RIFF of a DIFFERENT form (AVI) is an unsupported FORMAT, not a
+    # corrupt file: NotImplementedError, the plug-in-point class
+    # (review finding — registering the RIFF magic used to turn every
+    # non-WebP RIFF into ValueError through decode_image)
+    avi = (
+        b"RIFF" + (12).to_bytes(4, "little") + b"AVI "
+        + b"LIST" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(NotImplementedError, match="AVI"):
+        vp8l.decode_webp(avi)
+    try:
+        vp8l.register()
+        with pytest.raises(NotImplementedError, match="AVI"):
+            mm.decode_image(avi)
+    finally:
+        mm.IMAGE_CODECS.pop(vp8l.WEBP_MAGIC, None)
     # VP8 lossy chunk: named codec boundary
     lossy = (
         b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"

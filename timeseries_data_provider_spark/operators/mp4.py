@@ -294,6 +294,15 @@ def _sample_summary(tables: dict | None) -> dict:
     offsets = tables["offsets"]
     sample_bytes = const * count if sizes is None else sum(sizes)
     first = last = None
+    if count and not offsets:
+        # stsz claims samples but stco/co64 has zero chunks: malformed
+        # HERE too, not just in iter_samples — the routing tier and
+        # the ingestion tier must agree on what is decodable (review
+        # finding: this case used to summarize as n_chunks=0 quietly)
+        raise ValueError(
+            f"mp4: sample tables place only 0 of {count} samples "
+            "in 0 chunks"
+        )
     if count and offsets:
         first = offsets[0]
         remaining = count

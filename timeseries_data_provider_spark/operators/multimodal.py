@@ -297,13 +297,13 @@ def _decode_webp_header(payload: bytes) -> dict:
     same header-only contract as truncated-PNG decode. A full-decode
     WebP plug-in registered for the RIFF magic WINS over this
     built-in (decode_image consults the registry first for WebP —
-    review finding); this runs only when no registrant matches."""
-    pos = 12
-    n = len(payload)
-    while pos + 8 <= n:
-        tag = payload[pos : pos + 4]
-        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-        body = payload[pos + 8 : pos + 8 + size]
+    review finding); this runs only when no registrant matches.
+    Container walking delegates to ``vp8l.riff_chunks`` — ONE RIFF
+    walker for the header-only and full-decode paths (review
+    finding)."""
+    from timeseries_data_provider_spark.operators.vp8l import riff_chunks
+
+    for tag, body in riff_chunks(payload, b"WEBP"):
         if tag == b"VP8 " and len(body) >= 10:
             if body[3:6] != b"\x9d\x01\x2a":
                 raise ValueError("webp: bad VP8 keyframe sync code")
@@ -330,7 +330,6 @@ def _decode_webp_header(payload: bytes) -> dict:
                 "format": "webp", "width": w, "height": h,
                 "pixels": None, "variant": "vp8x",
             }
-        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
     raise ValueError("webp: no VP8/VP8L/VP8X chunk found")
 
 

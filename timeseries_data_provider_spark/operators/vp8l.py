@@ -594,28 +594,52 @@ def decode_vp8l_stream(body: bytes) -> dict:
 
 
 def decode_webp(payload: bytes) -> dict:
-    """Full WebP decode for the lossless variant; VP8 (lossy) raises
-    the named codec-boundary error; the container walk mirrors
-    ``multimodal._decode_webp_header``. Malformed payloads fail as
-    ValueError (the corpus-triage contract shared with
-    decode_baseline_jpeg / decode_video_meta)."""
+    """Full WebP decode for the lossless variant; VP8 (lossy) and
+    non-WebP RIFF forms (an AVI reaching the image path) raise named
+    NotImplementedError plug-in-point errors; the container walk IS
+    ``riff_chunks``, shared with ``multimodal._decode_webp_header``.
+    Malformed payloads fail as ValueError (the corpus-triage contract
+    shared with decode_baseline_jpeg / decode_video_meta)."""
     try:
         return _decode_webp(payload)
     except (IndexError, struct.error) as ex:
         raise ValueError(f"webp: truncated or corrupt payload ({ex})") from ex
 
 
-def _decode_webp(payload: bytes) -> dict:
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("webp: not a RIFF/WEBP container")
+def riff_chunks(payload: bytes, form: bytes):
+    """Yield (fourcc, body) for each chunk of a RIFF container whose
+    form type is ``form`` (b"WEBP", b"WAVE", ...). THE single RIFF
+    walker — ``multimodal._decode_webp_header`` iterates through it
+    too, so the full decoder and the header-only fallback can never
+    disagree on container well-formedness. Raises ValueError for
+    non-RIFF payloads, NotImplementedError (the plug-in-point error
+    class) for a RIFF of a DIFFERENT form — an AVI routed to the
+    image path is an unsupported format, not a corrupt file (review
+    finding: registering the 4-byte RIFF magic made every non-WebP
+    RIFF misclassify as corrupt)."""
+    if payload[:4] != b"RIFF" or len(payload) < 12:
+        raise ValueError(f"{form.decode().lower()}: not a RIFF container")
+    if payload[8:12] != form:
+        raise NotImplementedError(
+            f"RIFF form {payload[8:12]!r} is not {form!r} — register "
+            "a codec for that container via register_image_codec/"
+            "register_audio_codec"
+        )
     pos = 12
     n = len(payload)
     while pos + 8 <= n:
         tag = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         if pos + 8 + size > n:
-            raise ValueError(f"webp: chunk {tag!r} truncated")
-        body = payload[pos + 8 : pos + 8 + size]
+            raise ValueError(
+                f"{form.decode().lower()}: chunk {tag!r} truncated"
+            )
+        yield tag, payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+
+
+def _decode_webp(payload: bytes) -> dict:
+    for tag, body in riff_chunks(payload, b"WEBP"):
         if tag == b"VP8L":
             return decode_vp8l_stream(body)
         if tag == b"VP8 ":
@@ -624,7 +648,6 @@ def _decode_webp(payload: bytes) -> dict:
                 "codec — register a codec-library decoder; VP8L "
                 "(lossless) is fully supported"
             )
-        pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk found")
 
 
