@@ -485,7 +485,11 @@ def q34_multimodal_frames(spark, sf):
     counts, total sample bytes, and first/last sample byte offsets,
     all recomputed by the oracle from doc_id math. Byte offsets are
     what turns metadata routing into ingestion routing at 100 TB:
-    which byte ranges of which objects to fetch."""
+    which byte ranges of which objects to fetch — and the 'sample'
+    branch emits exactly that fetch list: one row PER SAMPLE from
+    ``video_sample_ranges`` (the distributed ``iter_samples`` Arrow
+    fan-out), every (offset, size, chunk, dts) recomputed by the
+    oracle from the two closed-form layouts."""
     frames = multimodal.frames_with_meta(
         multimodal.attach_blob(_t(spark, sf, "documents")), frame_size=64
     ).select(
@@ -505,11 +509,10 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("first_sample_off"),
         F.lit(None).cast("long").alias("last_sample_off"),
     )
-    vids = multimodal.video_meta_features(
-        multimodal.synth_mp4_media(
-            spark.range(20_000, 20_040).withColumnRenamed("id", "doc_id")
-        )
-    ).select(
+    mp4_media = multimodal.synth_mp4_media(
+        spark.range(20_000, 20_040).withColumnRenamed("id", "doc_id")
+    ).localCheckpoint(eager=False)  # two consumers (tracks + samples)
+    vids = multimodal.video_meta_features(mp4_media).select(
         F.lit("mp4").alias("src"),
         "doc_id",
         # container size is box-layout dependent — not SQL-recomputable
@@ -528,7 +531,26 @@ def q34_multimodal_frames(spark, sf):
         "first_sample_off",
         "last_sample_off",
     )
-    return frames.unionByName(vids)
+    samples = multimodal.video_sample_ranges(mp4_media).select(
+        F.lit("sample").alias("src"),
+        "doc_id",
+        F.col("sample_size").alias("byte_len"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.col("sample_idx").alias("frame_idx"),
+        F.col("sample_off").alias("frame_byte_offset"),
+        F.when(F.col("track_id") == 1, F.lit("video"))
+        .otherwise(F.lit("audio"))
+        .alias("track_kind"),
+        F.lit(None).cast("string").alias("codec"),
+        F.col("dts").alias("duration_ms"),
+        F.lit(None).cast("long").alias("n_samples"),
+        F.col("chunk").alias("n_chunks"),
+        F.lit(None).cast("long").alias("sample_bytes"),
+        F.lit(None).cast("long").alias("first_sample_off"),
+        F.lit(None).cast("long").alias("last_sample_off"),
+    )
+    return frames.unionByName(vids).unionByName(samples)
 
 
 def q37_gap_fill(spark, sf):
@@ -1916,6 +1938,58 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT 20000 + g.v AS doc_id,
                          CAST(16 + (20000 + g.v) % 9 AS BIGINT) AS m
                   FROM generate_series(0, 39) g(v))
+            UNION ALL
+            -- per-sample fetch list, video track: sample j's offset
+            -- is 10000 + the cumulative size of the j preceding
+            -- 100+idx-byte samples; dts accumulates the stts deltas
+            -- [(n-1, dur//n), (1, remainder)]
+            SELECT 'sample' AS src, doc_id,
+                   CAST(100 + j AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   j AS frame_idx,
+                   10000 + 100 * j + j * (j - 1) // 2
+                     AS frame_byte_offset,
+                   'video' AS track_kind,
+                   CAST(NULL AS VARCHAR) AS codec,
+                   j * (dur // n) AS duration_ms,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   j // 4 + 1 AS n_chunks,
+                   CAST(NULL AS BIGINT) AS sample_bytes,
+                   CAST(NULL AS BIGINT) AS first_sample_off,
+                   CAST(NULL AS BIGINT) AS last_sample_off
+            FROM (SELECT 20000 + g.v AS doc_id,
+                         CAST(5 + (20000 + g.v) % 7 AS BIGINT) AS n,
+                         CAST(1000 + 100 * ((20000 + g.v) % 10)
+                              AS BIGINT) AS dur
+                  FROM generate_series(0, 39) g(v)),
+                 (SELECT CAST(s.v AS BIGINT) AS j
+                  FROM generate_series(0, 11) s(v))
+            WHERE j < n
+            UNION ALL
+            -- per-sample fetch list, audio track: const 128-byte
+            -- samples, 8 per co64 chunk from 50000, dts = 50*j
+            SELECT 'sample' AS src, doc_id,
+                   CAST(128 AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   j AS frame_idx,
+                   50000 + 1024 * (j // 8) + 128 * (j % 8)
+                     AS frame_byte_offset,
+                   'audio' AS track_kind,
+                   CAST(NULL AS VARCHAR) AS codec,
+                   50 * j AS duration_ms,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   j // 8 + 1 AS n_chunks,
+                   CAST(NULL AS BIGINT) AS sample_bytes,
+                   CAST(NULL AS BIGINT) AS first_sample_off,
+                   CAST(NULL AS BIGINT) AS last_sample_off
+            FROM (SELECT 20000 + g.v AS doc_id,
+                         CAST(16 + (20000 + g.v) % 9 AS BIGINT) AS m
+                  FROM generate_series(0, 39) g(v)),
+                 (SELECT CAST(s.v AS BIGINT) AS j
+                  FROM generate_series(0, 24) s(v))
+            WHERE j < m
         """,
         # Sketch-verdict row (q36, covering the HLL++ AND GK families):
         # the oracle computes the EXACT aggregates and literal TRUE

@@ -121,6 +121,36 @@ def test_truncated_box_bodies_raise_valueerror_not_struct_error():
     assert mp4.decode_video_meta(good)["n_tracks"] == 2
 
 
+def test_video_sample_ranges_spark_fanout(spark):
+    from timeseries_data_provider_spark.operators import multimodal as mm
+
+    ids = spark.range(20_000, 20_006).withColumnRenamed("id", "doc_id")
+    rows = (
+        mm.video_sample_ranges(mm.synth_mp4_media(ids))
+        .orderBy("doc_id", "track_id", "sample_idx")
+        .collect()
+    )
+    for r in rows:
+        i, j = r["doc_id"], r["sample_idx"]
+        if r["track_id"] == 1:
+            n = 5 + i % 7
+            dur = 1000 + 100 * (i % 10)
+            assert j < n
+            assert r["sample_size"] == 100 + j
+            assert r["sample_off"] == 10000 + 100 * j + j * (j - 1) // 2
+            assert r["chunk"] == j // 4 + 1
+            assert r["dts"] == j * (dur // n)
+        else:
+            m = 16 + i % 9
+            assert j < m
+            assert r["sample_size"] == 128
+            assert r["sample_off"] == 50000 + 1024 * (j // 8) + 128 * (j % 8)
+            assert r["dts"] == 50 * j
+    # row count: sum of both tracks' sample counts
+    want = sum((5 + i % 7) + (16 + i % 9) for i in range(20_000, 20_006))
+    assert len(rows) == want
+
+
 def test_video_meta_features_spark_fanout(spark):
     from pyspark.sql import functions as F
 

@@ -823,6 +823,55 @@ def video_meta_features(media: DataFrame) -> DataFrame:
     )
 
 
+SAMPLE_RANGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("track_id", LongType()),
+        StructField("sample_idx", LongType()),
+        StructField("chunk", LongType()),
+        StructField("sample_off", LongType()),
+        StructField("sample_size", LongType()),
+        StructField("dts", LongType()),
+    ]
+)
+
+
+def video_sample_ranges(media: DataFrame) -> DataFrame:
+    """Expand every track's sample tables into one row PER SAMPLE —
+    (doc_id, track_id, sample_idx, chunk, sample_off, sample_size,
+    dts) — via ``mp4.iter_samples`` in an Arrow 1→N fan-out. THIS is
+    the distributed form of the 100 TB video-ingestion primitive: the
+    output is literally the (object, byte-range) fetch list a frame-
+    extraction tier consumes, computed from metadata alone — no media
+    bytes are ever read. Tracks without sample tables (metadata-only,
+    fragmented) contribute zero rows; malformed tables raise (the
+    corpus-triage contract)."""
+    from timeseries_data_provider_spark.operators import mp4 as _mp4
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in SAMPLE_RANGE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = _mp4.decode_video_meta(payload)
+                for t in meta["tracks"]:
+                    if t["n_samples"] is None:
+                        continue
+                    for s in _mp4.iter_samples(payload, t["track_id"]):
+                        rows["doc_id"].append(int(doc_id))
+                        rows["track_id"].append(t["track_id"])
+                        rows["sample_idx"].append(s["index"])
+                        rows["chunk"].append(s["chunk"])
+                        rows["sample_off"].append(s["offset"])
+                        rows["sample_size"].append(s["size"])
+                        rows["dts"].append(s["dts"])
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        expand, SAMPLE_RANGE_SCHEMA
+    )
+
+
 def media_features(
     media: DataFrame, codec_setup=None
 ) -> DataFrame:
