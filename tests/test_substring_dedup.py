@@ -133,6 +133,25 @@ def test_clean_removes_spans_and_passes_unique_docs(spark):
     assert got[3] == (3, 0, "")
 
 
+def test_min_span_tokens_filters_and_renumbers(spark):
+    # the ExactSubstr >=50-token rule at miniature scale: two shared
+    # regions, one of 3 tokens, one of 6 — min_span_tokens=5 keeps
+    # only the long one, renumbered to span_id 1
+    texts = {
+        0: "a b c x1 p q r s t u y1",
+        1: "a b c x2 p q r s t u y2",
+    }
+    all_spans = spark_spans(spark, texts, k=3)
+    assert {(r[0], r[1]) for r in all_spans} == {
+        (0, 1), (0, 2), (1, 1), (1, 2)
+    }
+    kept = spark_spans(spark, texts, k=3, min_span_tokens=5)
+    assert kept == [
+        (0, 1, 5, 10, 6, 4),
+        (1, 1, 5, 10, 6, 4),
+    ]
+
+
 def test_short_docs_yield_no_windows(spark):
     texts = {0: "a b", 1: "a b", 2: ""}
     assert spark_spans(spark, texts, k=3) == []

@@ -1127,6 +1127,7 @@ def substring_spans(
     cross_doc_only: bool = True,
     min_count: int = 2,
     hashed: bool = False,
+    min_span_tokens: int = 0,
 ) -> DataFrame:
     """[EXT] Substring-level exact dedup detection — the public
     ExactSubstr design (suffix-group family: Lee et al. 2021,
@@ -1167,7 +1168,12 @@ def substring_spans(
     map-side partial aggregation; hot boilerplate windows reduce to
     one group row each and the dup-set join fan-out stays 1; the
     islands pass is one per-doc window sort, Spark's standard
-    spillable window."""
+    spillable window.
+
+    ``min_span_tokens``: drop spans shorter than this (and renumber
+    span_id) — the ExactSubstr paper removes only substrings of >= 50
+    tokens, so short incidental shared k-grams (names, dates) don't
+    shred documents; 0 keeps every span."""
     from pyspark.sql import Window as W
 
     wins = substring_windows(documents, k, text_col, id_col, hashed)
@@ -1194,7 +1200,7 @@ def substring_spans(
     new_island = (
         F.when(lag.isNull() | (F.col("pos") > lag + k), 1).otherwise(0)
     )
-    return (
+    spans = (
         marked.withColumn("__new", new_island)
         .withColumn("span_id", F.sum("__new").over(running))
         .groupBy("doc_id", "span_id")
@@ -1206,10 +1212,19 @@ def substring_spans(
         .withColumn(
             "n_tokens", F.col("end_tok") - F.col("start_tok") + 1
         )
-        .select(
-            "doc_id", "span_id", "start_tok", "end_tok", "n_tokens",
-            "n_windows",
+    )
+    if min_span_tokens > k:
+        spans = spans.filter(
+            F.col("n_tokens") >= min_span_tokens
+        ).withColumn(
+            "span_id",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("start_tok"))
+            .cast("long"),
         )
+    return spans.select(
+        "doc_id", "span_id", "start_tok", "end_tok", "n_tokens",
+        "n_windows",
     )
 
 
