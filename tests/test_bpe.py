@@ -172,6 +172,59 @@ def test_chunk_documents_bpe_reassembles_losslessly(spark):
             assert tok.count(r["chunk_text"]) == r["n_chunk_tokens"]
 
 
+def test_train_bpe_learns_expected_merges(spark):
+    # "the" dominates: both (h,e) and (t,h) tie at full count and the
+    # lexicographic tie-break picks (h,e), then (t,he) completes the
+    # word — hand-derived from the histogram, fully deterministic
+    df = spark.createDataFrame(
+        [(i, "the the the the zq zq") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(df, n_merges=2)
+    assert merges == [("h", "e"), ("t", "he")]
+    # with more budget the space-prefixed form and filler follow, and
+    # the learned table tokenizes "the" to ONE token
+    merges4 = bpe.train_bpe(df, n_merges=4)
+    assert merges4[:2] == [("h", "e"), ("t", "he")]
+    assert merges4[2:] == [(" ", "the"), (" ", "z")]
+    tok = bpe.Tokenizer(merges4)
+    assert tok.encode("the") == ["the"]
+    assert tok.encode("x the") == ["x", " the"]
+
+
+def test_train_bpe_determinism_and_exhaustion(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    a = bpe.train_bpe(df, n_merges=50)
+    b = bpe.train_bpe(df, n_merges=50)
+    assert a == b
+    # the corpus exhausts: pieces 'ab' (x3) and ' ab' collapse to
+    # single tokens after finitely many merges, then training stops
+    assert len(a) < 50
+    assert a[0] == ("a", "b")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.train_bpe(df, n_merges=-1)
+
+
+def test_train_bpe_feeds_counter_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(i, "the quick the brown the fox") for i in range(8)],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(df, n_merges=6)
+    n = df.select(
+        bpe.count_udf(merges)(F_col("text")).alias("n")
+    ).collect()[0]["n"]
+    # learned merges must strictly beat the no-merge char count
+    assert n < len("the quick the brown the fox")
+    # and agree with the local tokenizer
+    assert n == bpe.Tokenizer(merges).count("the quick the brown the fox")
+
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
+
+
 # --- property tests -------------------------------------------------------
 
 from hypothesis import given, settings

@@ -169,6 +169,93 @@ def counter(merges, pattern: str | None = None):
     return _col
 
 
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    pattern: str | None = None,
+    max_pieces: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn a merge table FROM the corpus — the missing half of the
+    loadable-table story. One distributed pass builds the piece
+    histogram (pre-split pieces + occurrence counts, a hash-agg whose
+    key set is the corpus VOCABULARY — this is how practical BPE
+    trainers work: merge statistics over a word histogram, not over
+    raw text), then the classic greedy loop runs driver-side over
+    that config-sized histogram: repeatedly merge the
+    highest-weighted adjacent pair (ties broken lexicographically for
+    cross-run determinism).
+
+    ``max_pieces`` bounds the driver collect at the TOP-N pieces by
+    count (same bounded-collect class as budget_select's score
+    histogram); natural-language vocabularies sit far below the
+    default. The returned list feeds ``Tokenizer`` / ``counter`` /
+    ``chunk_documents_bpe`` directly."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    # piece extraction runs the SAME Python splitter the runtime
+    # tokenizer uses (Java regex \\w/\\s classes differ from Python's
+    # — a histogram split differently from the runtime split would
+    # learn merges for pieces that never occur)
+    tok = Tokenizer([], pattern)
+
+    def explode_pieces(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                if t:
+                    out.extend(tok.pieces(t))
+            yield pd.DataFrame({"piece": out})
+
+    hist_rows = (
+        documents.select(text_col)
+        .mapInPandas(explode_pieces, "piece string")
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(max_pieces)
+        .collect()
+    )
+    # driver-side greedy merge loop over the histogram
+    pieces: dict[tuple[str, ...], int] = {}
+    for r in hist_rows:
+        key = tuple(r["piece"])
+        pieces[key] = pieces.get(key, 0) + int(r["n"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, cnt in pieces.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        # deterministic: highest count, ties broken by the
+        # lexicographically smallest pair
+        pair = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_pieces: dict[tuple[str, ...], int] = {}
+        for word, cnt in pieces.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == pair[0]
+                    and word[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_pieces[key] = new_pieces.get(key, 0) + cnt
+        pieces = new_pieces
+    return merges
+
+
 def chunk_documents_bpe(
     documents: DataFrame,
     merges,
