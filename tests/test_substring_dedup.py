@@ -157,6 +157,43 @@ def test_short_docs_yield_no_windows(spark):
     assert spark_spans(spark, texts, k=3) == []
 
 
+def test_incremental_matches_full_on_batch_docs(spark):
+    corpus = {
+        0: "s0 s1 s2 s3 corpusonly0 a",
+        1: "s0 s1 s2 s3 corpusonly1 b",
+    }
+    batch = {
+        10: "x10 s0 s1 s2 s3 tail10",   # repeats a settled paragraph
+        11: "tw0 tw1 tw2 u11",           # twin within the batch
+        12: "tw0 tw1 tw2 u12",
+        13: "all fresh words here",      # clean
+    }
+    cdf = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        list(batch.items()), "doc_id long, text string"
+    )
+    idx = dedup.substring_window_index(cdf, k=3)
+    inc = sorted(
+        tuple(r)
+        for r in dedup.substring_spans_incremental(
+            bdf, idx, k=3
+        ).collect()
+    )
+    # full recomputation over corpus ∪ batch, batch rows only
+    full = [
+        r
+        for r in ref_spans({**corpus, **batch}, 3)
+        if r[0] >= 10
+    ]
+    assert inc == sorted(full)
+    # the settled-copy span and the in-batch twin span are both found
+    assert {(r[0], r[2], r[3]) for r in inc} == {
+        (10, 2, 5), (11, 1, 3), (12, 1, 3)
+    }
+
+
 # --- property test vs the covered-set reference ---------------------------
 
 from hypothesis import given, settings
@@ -174,3 +211,27 @@ def test_property_spans_match_reference(spark, docs, k):
     assert spark_spans(
         spark, texts, k=k, cross_doc_only=False
     ) == ref_spans(texts, k, cross_doc_only=False)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=3),
+    st.lists(_doc, min_size=1, max_size=3),
+)
+def test_property_incremental_equals_full(spark, corpus_docs, batch_docs):
+    corpus = dict(enumerate(corpus_docs))
+    batch = {100 + i: t for i, t in enumerate(batch_docs)}
+    cdf = spark.createDataFrame(
+        list(corpus.items()) or [(0, "")], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        list(batch.items()), "doc_id long, text string"
+    )
+    inc = sorted(
+        tuple(r)
+        for r in dedup.substring_spans_incremental(
+            bdf, dedup.substring_window_index(cdf, k=2), k=2
+        ).collect()
+    )
+    full = [r for r in ref_spans({**corpus, **batch}, 2) if r[0] >= 100]
+    assert inc == sorted(full)

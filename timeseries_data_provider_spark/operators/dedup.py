@@ -1303,3 +1303,92 @@ def substring_dedup_clean(
             ),
         )
     )
+
+
+def substring_window_index(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """The persistable settled-corpus window index for
+    ``substring_spans_incremental``: the DISTINCT k-token window set
+    (column ``w``). Same size class as the MinHash signature index —
+    bounded by corpus vocabulary of k-grams, no document text — and
+    append-maintained the same way: union-distinct each accepted
+    batch's windows in (``corpus_ingest``'s settled-data contract)."""
+    return substring_windows(
+        documents, k, text_col, id_col, hashed
+    ).select("w").distinct()
+
+
+def substring_spans_incremental(
+    batch: DataFrame,
+    corpus_windows: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+    min_span_tokens: int = 0,
+) -> DataFrame:
+    """Incremental ExactSubstr over settled data: find duplicated
+    spans in a NEW batch against a corpus represented ONLY by its
+    window index (``substring_window_index``) — settled text is never
+    re-read, the ``minhash_lsh_incremental`` contract applied to the
+    third growing structure. A batch window is duplicated when it
+    occurs in the settled index (>= 1 settled doc) OR in >= 2
+    distinct batch documents; spans are reported for batch docs only.
+
+    EXACTLY equivalent to running ``substring_spans`` (cross-doc
+    semantics) over corpus UNION batch and keeping the batch docs'
+    rows: a window shared between one settled and one batch doc is
+    cross-doc duplicated either way, and windows private to one batch
+    doc are duplicated in neither (property-tested in
+    tests/test_substring_dedup.py). ``hashed`` must match how the
+    index was built."""
+    from pyspark.sql import Window as W
+
+    wins = substring_windows(batch, k, text_col, id_col, hashed)
+    batch_dup = (
+        wins.select("w", "doc_id")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("w")
+    )
+    dup = corpus_windows.select("w").unionByName(batch_dup).distinct()
+    marked = wins.join(dup, "w").select("doc_id", "pos")
+    ordered = W.partitionBy("doc_id").orderBy("pos")
+    running = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag = F.lag("pos").over(ordered)
+    new_island = (
+        F.when(lag.isNull() | (F.col("pos") > lag + k), 1).otherwise(0)
+    )
+    spans = (
+        marked.withColumn("__new", new_island)
+        .withColumn("span_id", F.sum("__new").over(running))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + (k - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .withColumn(
+            "n_tokens", F.col("end_tok") - F.col("start_tok") + 1
+        )
+    )
+    if min_span_tokens > k:
+        spans = spans.filter(
+            F.col("n_tokens") >= min_span_tokens
+        ).withColumn(
+            "span_id",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("start_tok"))
+            .cast("long"),
+        )
+    return spans.select(
+        "doc_id", "span_id", "start_tok", "end_tok", "n_tokens",
+        "n_windows",
+    )
