@@ -40,7 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EXPLAINED_MOVES = {
     "q23_doc_profile": "r8: new substring-span plant (windows agg + islands)",
     "q31_ann_topk": "r8: new ivf_append lifecycle branch (+1 layout probe)",
-    "q34_multimodal_frames": "r8: sample-table parse + 5 scored columns",
+    "q34_multimodal_frames": (
+        "r8: sample-table parse + 5 scored columns + per-sample "
+        "fetch-list branch"
+    ),
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
     "q63_media_decode": "r8: new VP8L WebP decode branch (50 images)",
 }

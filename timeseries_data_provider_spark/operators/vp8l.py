@@ -62,10 +62,34 @@ class _BitReader:
         return b
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= self.bit() << i
-        return v
+        # LSB-first packing means an n-bit field IS the next n stream
+        # bits as an integer — extract in byte-sized gulps instead of
+        # a per-bit loop (same hot-path rework as the JPEG reader)
+        if self.pos + n > self.nbits:
+            raise ValueError("vp8l: bitstream exhausted")
+        i, r = divmod(self.pos, 8)
+        w = self.data[i] >> r
+        got = 8 - r
+        j = i + 1
+        while got < n:
+            w |= self.data[j] << got
+            got += 8
+            j += 1
+        self.pos += n
+        return w & ((1 << n) - 1)
+
+    def peek8(self) -> int:
+        """Next 8 stream bits MSB-of-code-first (the prefix-code bit
+        order), zero-padded past end-of-stream; consumes nothing."""
+        i, r = divmod(self.pos, 8)
+        d = self.data
+        w = d[i] >> r if i < len(d) else 0
+        if r and i + 1 < len(d):
+            w |= d[i + 1] << (8 - r)
+        return _REV8[w & 0xFF]
+
+
+_REV8 = [int(f"{b:08b}"[::-1], 2) for b in range(256)]
 
 
 class _BitWriter:
@@ -130,11 +154,15 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
 
 class _PrefixCode:
     """Decoder side: either a single-symbol code (consumes 0 bits) or
-    a {(length, code): symbol} table walked bit by bit."""
+    a {(length, code): symbol} table, fronted by a 256-entry LUT for
+    codes <= 8 bits (the JPEG fast path applied to the LSB-first
+    reader: ``peek8`` reverses the next 8 stream bits into
+    MSB-of-code order)."""
 
     def __init__(self, lengths: dict[int, int] | None, single: int | None):
         self.single = single
         self.table = None
+        self.lut = None
         if lengths is not None:
             self.table = {
                 (ln, code): sym
@@ -142,10 +170,22 @@ class _PrefixCode:
             }
             if not self.table:
                 raise ValueError("vp8l: empty prefix code")
+            lut: list = [None] * 256
+            for (ln, code), sym in self.table.items():
+                if ln <= 8:
+                    base = code << (8 - ln)
+                    hit = (sym, ln)
+                    for i in range(1 << (8 - ln)):
+                        lut[base + i] = hit
+            self.lut = lut
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        hit = self.lut[br.peek8()]
+        if hit is not None and br.pos + hit[1] <= br.nbits:
+            br.pos += hit[1]
+            return hit[0]
         code = 0
         for ln in range(1, _MAX_LEN + 1):
             code = (code << 1) | br.bit()
@@ -173,6 +213,9 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         # which differs from canonical symbol order when first > second
         pc = _PrefixCode(None, None)
         pc.table = {(1, 0): first, (1, 1): second}
+        pc.lut = [
+            (first, 1) if i < 128 else (second, 1) for i in range(256)
+        ]
         return pc
     # normal: code-length-coded
     num_cl = 4 + br.bits(4)
