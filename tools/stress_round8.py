@@ -215,6 +215,86 @@ def probe_substr(spark) -> None:
     )
 
 
+def _substr_docs(spark, n: int, id_offset: int, para: str):
+    return (
+        spark.range(n)
+        .select((F.col("id") + id_offset).alias("doc_id"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"u{k}x"),
+                            (F.col("doc_id") * 40 + k).cast("string"),
+                        )
+                        for k in range(20)
+                    ],
+                ),
+                F.when(F.col("doc_id") % 10 == 0, F.lit(para)).otherwise(
+                    F.concat(
+                        F.lit("solo"), F.col("doc_id").cast("string")
+                    )
+                ),
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def probe_substrincr(spark) -> None:
+    """Incremental vs full substring dedup over settled data — the
+    settled-data claim measured (same protocol as the r5 minhash
+    incremental row): a 10k batch against a 320k-doc corpus
+    represented only by its persisted window index."""
+    n_corpus, n_batch = 320_000, 10_000
+    para = " ".join(f"tpl{j}" for j in range(12))
+    corpus = _substr_docs(spark, n_corpus, 0, para)
+    batch = _substr_docs(spark, n_batch, 10_000_000, para)
+    k = 8
+    t0 = time.perf_counter()
+    idx = dedup.substring_window_index(corpus, k=k).localCheckpoint(
+        eager=True
+    )
+    t_index = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    inc = dedup.substring_spans_incremental(
+        batch, idx, k=k
+    ).localCheckpoint(eager=True)
+    t_inc = time.perf_counter() - t1
+    agg = inc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("start_tok").alias("min_s"),
+        F.max("start_tok").alias("max_s"),
+        F.min("end_tok").alias("min_e"),
+        F.max("end_tok").alias("max_e"),
+    ).collect()[0]
+    # exactly the batch's 1,000 carriers, each with exactly the
+    # settled template span — found WITHOUT re-reading corpus text
+    assert agg["n"] == n_batch // 10, dict(agg.asDict())
+    assert (agg["min_s"], agg["max_s"]) == (21, 21)
+    assert (agg["min_e"], agg["max_e"]) == (32, 32)
+    t2 = time.perf_counter()
+    full_batch_spans = (
+        dedup.substring_spans(corpus.unionByName(batch), k=k)
+        .filter(F.col("doc_id") >= 10_000_000)
+        .count()
+    )
+    t_full = time.perf_counter() - t2
+    assert full_batch_spans == n_batch // 10
+    _emit(
+        "substrincr",
+        corpus_docs=n_corpus,
+        batch_docs=n_batch,
+        index_secs=round(t_index, 2),
+        incremental_secs=round(t_inc, 2),
+        full_recompute_secs=round(t_full, 2),
+        planted_spans=agg["n"],
+    )
+
+
 def probe_bpe(spark) -> None:
     n_docs = 320_000
     # English-ish filler with real 'th'/'the' density: per-doc
@@ -266,7 +346,7 @@ def probe_bpe(spark) -> None:
 
 
 def main() -> None:
-    which = sys.argv[1:] or ["jpegdecode", "substr", "bpe"]
+    which = sys.argv[1:] or ["jpegdecode", "substr", "bpe", "substrincr"]
     spark = get_spark("tdps-stress-r8")
     for name in which:
         globals()[f"probe_{name}"](spark)
