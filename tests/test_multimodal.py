@@ -78,6 +78,58 @@ def test_png_roundtrip_all_filters():
     assert (dec["pixels"] == px).all()
 
 
+def _palette_png(w, h, bit_depth, pal, idx, plte=True):
+    import zlib as _z
+
+    stride = -(-w * bit_depth // 8)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter None
+        row = bytearray(stride)
+        for x in range(w):
+            if bit_depth == 8:
+                row[x] = idx[y][x]
+            else:
+                per = 8 // bit_depth
+                row[x // per] |= idx[y][x] << (
+                    8 - bit_depth * (x % per + 1)
+                )
+        raw += row
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += mm._png_chunk(
+            b"PLTE", b"".join(bytes(c) for c in pal)
+        )
+    out += mm._png_chunk(b"IDAT", _z.compress(bytes(raw)))
+    return out + mm._png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("bit_depth", [1, 2, 4, 8])
+def test_png_palette_decode(bit_depth):
+    rng = np.random.RandomState(bit_depth)
+    n_colors = min(1 << bit_depth, 9)
+    pal = [tuple(int(v) for v in rng.randint(0, 256, 3))
+           for _ in range(n_colors)]
+    w, h = 11, 5  # odd width exercises the sub-byte padding tail
+    idx = rng.randint(0, n_colors, (h, w)).tolist()
+    dec = mm.decode_image(_palette_png(w, h, bit_depth, pal, idx))
+    assert dec["color_type"] == 3 and dec["bit_depth"] == bit_depth
+    want = np.array(pal, np.uint8)[np.array(idx)]
+    assert dec["pixels"].shape == (h, w, 3)
+    assert np.array_equal(dec["pixels"], want), bit_depth
+
+
+def test_png_palette_errors():
+    pal = [(1, 2, 3)]
+    idx = [[0, 0]]
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_image(_palette_png(2, 1, 8, pal, idx, plte=False))
+    # index points past the declared palette
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_image(_palette_png(2, 1, 8, pal, [[0, 1]]))
+
+
 def test_png_rejects_16bit():
     payload = bytearray(mm.encode_png(2, 2, np.zeros((2, 2), np.uint8)))
     payload[24] = 16  # claim 16-bit depth in IHDR

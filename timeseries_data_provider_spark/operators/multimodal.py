@@ -13,11 +13,12 @@ libraries (none are installed in this container):
   the padded bottom-up BGR pixel grid.
 - **WAV** (PCM): full RIFF/fmt/data chunk walk to sample rate, width,
   and the int16 sample array.
-- **PNG** (8-bit gray / RGB / gray+alpha / RGBA, non-interlaced):
-  FULL pixel decode — chunk walk, ``zlib`` inflate of the IDAT
-  stream, and per-scanline unfiltering (all five filter types:
-  None/Sub/Up/Average/Paeth). Header-only payloads (no IDAT) decode
-  to metadata with ``pixels=None``.
+- **PNG** (8-bit gray / RGB / gray+alpha / RGBA and 1/2/4/8-bit
+  PALETTE, non-interlaced): FULL pixel decode — chunk walk, ``zlib``
+  inflate of the IDAT stream, per-scanline unfiltering (all five
+  filter types: None/Sub/Up/Average/Paeth), and PLTE lookup with
+  MSB-first sub-byte index unpacking. Header-only payloads (no IDAT)
+  decode to metadata with ``pixels=None``.
 - **JPEG/MP4/...**: entropy-coded formats genuinely require codec
   libs; ``decode_image`` raises ``NotImplementedError`` for those with
   the format named, as the documented plug-in point.
@@ -333,8 +334,8 @@ def _decode_webp_header(payload: bytes) -> dict:
     raise ValueError("webp: no VP8/VP8L/VP8X chunk found")
 
 
-# channels per PNG color type at bit depth 8 (palette type 3 needs a
-# PLTE lookup and is left to the NotImplementedError plug-in point)
+# channels per PNG color type at bit depth 8 (palette type 3 is
+# handled separately via the PLTE lookup, incl. 1/2/4-bit packing)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -394,9 +395,11 @@ def encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
 
 def _decode_png(payload: bytes) -> dict:
     """Full PNG decode: chunk walk → IDAT inflate → per-scanline
-    unfilter. 8-bit gray/RGB/gray-alpha/RGBA, non-interlaced; palette
-    or 16-bit raise NotImplementedError (the codec-lib plug-in point).
-    A header-only payload (no IDAT chunks) yields ``pixels=None``."""
+    unfilter. 8-bit gray/RGB/gray-alpha/RGBA plus 1/2/4/8-bit PALETTE
+    (PLTE lookup, MSB-first sub-byte unpacking — r8), non-interlaced;
+    16-bit or interlaced raise NotImplementedError (the codec-lib
+    plug-in point). A header-only payload (no IDAT chunks) yields
+    ``pixels=None``."""
     width, height = struct.unpack_from(">II", payload, 16)
     bit_depth, color_type, _comp, _filt, interlace = struct.unpack_from(
         ">BBBBB", payload, 24
@@ -410,25 +413,43 @@ def _decode_png(payload: bytes) -> dict:
         "pixels": None,
     }
     idat = bytearray()
+    plte = None
     pos = 8
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
         if tag == b"IDAT":
             idat += payload[pos + 8 : pos + 8 + length]
+        if tag == b"PLTE":
+            plte = payload[pos + 8 : pos + 8 + length]
         if tag == b"IEND":
             break
         pos += 12 + length  # length + tag + body + CRC
     if not idat:
         return meta  # metadata-only payload
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+    paletted = color_type == 3
+    if (
+        interlace
+        or (paletted and bit_depth not in (1, 2, 4, 8))
+        or (
+            not paletted
+            and (bit_depth != 8 or color_type not in _PNG_CHANNELS)
+        )
+    ):
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace}: only 8-bit non-interlaced "
-            "gray/RGB/gray-alpha/RGBA decoded natively"
+            f"interlace={interlace}: only non-interlaced 8-bit "
+            "gray/RGB/gray-alpha/RGBA and 1/2/4/8-bit palette "
+            "decoded natively"
         )
-    bpp = _PNG_CHANNELS[color_type]
-    stride = width * bpp
+    if paletted:
+        # sub-8-bit scanlines filter on BYTES with a 1-byte pixel
+        # delta (PNG spec: bpp rounds up to one byte)
+        bpp = 1
+        stride = -(-width * bit_depth // 8)
+    else:
+        bpp = _PNG_CHANNELS[color_type]
+        stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError(
@@ -473,6 +494,29 @@ def _decode_png(payload: bytes) -> dict:
         grid[y] = rec
         prior = rec
     px = grid.astype(np.uint8)
+    if paletted:
+        if not plte or len(plte) % 3:
+            raise ValueError("PNG palette image without a valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if bit_depth == 8:
+            idx = px[:, :width].astype(np.int64)
+        else:
+            # unpack sub-byte indices MSB-first within each byte
+            shifts = [
+                8 - bit_depth * (j + 1) for j in range(8 // bit_depth)
+            ]
+            parts = [
+                (px >> s) & ((1 << bit_depth) - 1) for s in shifts
+            ]
+            idx = (
+                np.stack(parts, axis=2)
+                .reshape(height, -1)[:, :width]
+                .astype(np.int64)
+            )
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        meta["pixels"] = pal[idx]
+        return meta
     meta["pixels"] = (
         px.reshape(height, width)
         if bpp == 1
