@@ -489,7 +489,15 @@ def q34_multimodal_frames(spark, sf):
     branch emits exactly that fetch list: one row PER SAMPLE from
     ``video_sample_ranges`` (the distributed ``iter_samples`` Arrow
     fan-out), every (offset, size, chunk, dts) recomputed by the
-    oracle from the two closed-form layouts."""
+    oracle from the two closed-form layouts.
+
+    r8 (late): an 'fmp4' branch scores the FRAGMENTED tier — 20
+    planted CMAF-style skeletons (moov with mvex/trex defaults plus
+    2+(id%3) moofs of 3+(id%4) samples, alternating per-sample-size
+    and tfhd-default-size truns, tfdt bases, explicit base offsets)
+    walked by ``iter_fragment_samples`` through the same
+    ``video_sample_ranges`` fan-out; every offset/size/dts is doc_id
+    math (see build_fragmented_skeleton's docstring formulas)."""
     frames = multimodal.frames_with_meta(
         multimodal.attach_blob(_t(spark, sf, "documents")), frame_size=64
     ).select(
@@ -531,6 +539,27 @@ def q34_multimodal_frames(spark, sf):
         "first_sample_off",
         "last_sample_off",
     )
+    fsamples = multimodal.video_sample_ranges(
+        multimodal.synth_fmp4_media(
+            spark.range(30_000, 30_020).withColumnRenamed("id", "doc_id")
+        )
+    ).select(
+        F.lit("fmp4").alias("src"),
+        "doc_id",
+        F.col("sample_size").alias("byte_len"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.col("sample_idx").alias("frame_idx"),
+        F.col("sample_off").alias("frame_byte_offset"),
+        F.lit("video").alias("track_kind"),
+        F.lit(None).cast("string").alias("codec"),
+        F.col("dts").alias("duration_ms"),
+        F.lit(None).cast("long").alias("n_samples"),
+        F.col("chunk").alias("n_chunks"),
+        F.lit(None).cast("long").alias("sample_bytes"),
+        F.lit(None).cast("long").alias("first_sample_off"),
+        F.lit(None).cast("long").alias("last_sample_off"),
+    )
     samples = multimodal.video_sample_ranges(mp4_media).select(
         F.lit("sample").alias("src"),
         "doc_id",
@@ -550,7 +579,11 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("first_sample_off"),
         F.lit(None).cast("long").alias("last_sample_off"),
     )
-    return frames.unionByName(vids).unionByName(samples)
+    return (
+        frames.unionByName(vids)
+        .unionByName(samples)
+        .unionByName(fsamples)
+    )
 
 
 def q37_gap_fill(spark, sf):
@@ -1990,6 +2023,39 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT CAST(s.v AS BIGINT) AS j
                   FROM generate_series(0, 24) s(v))
             WHERE j < m
+            UNION ALL
+            -- fragmented fetch list: 2+(id%3) moofs of 3+(id%4)
+            -- samples; even fragments carry per-sample sizes 200+j,
+            -- odd fragments the tfhd default 150+f; bases at
+            -- 100064 + 10000f, dts = 500f + 25j (trex default 25)
+            SELECT 'fmp4' AS src, doc_id,
+                   CASE WHEN f % 2 = 0 THEN 200 + j
+                        ELSE 150 + f END AS byte_len,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   f * s + j AS frame_idx,
+                   100064 + 10000 * f
+                     + CASE WHEN f % 2 = 0
+                            THEN 200 * j + j * (j - 1) // 2
+                            ELSE (150 + f) * j END
+                     AS frame_byte_offset,
+                   'video' AS track_kind,
+                   CAST(NULL AS VARCHAR) AS codec,
+                   500 * f + 25 * j AS duration_ms,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   f + 1 AS n_chunks,
+                   CAST(NULL AS BIGINT) AS sample_bytes,
+                   CAST(NULL AS BIGINT) AS first_sample_off,
+                   CAST(NULL AS BIGINT) AS last_sample_off
+            FROM (SELECT 30000 + g.v AS doc_id,
+                         CAST(2 + (30000 + g.v) % 3 AS BIGINT) AS nf,
+                         CAST(3 + (30000 + g.v) % 4 AS BIGINT) AS s
+                  FROM generate_series(0, 19) g(v)),
+                 (SELECT CAST(a.v AS BIGINT) AS f
+                  FROM generate_series(0, 3) a(v)),
+                 (SELECT CAST(b.v AS BIGINT) AS j
+                  FROM generate_series(0, 5) b(v))
+            WHERE f < nf AND j < s
         """,
         # Sketch-verdict row (q36, covering the HLL++ AND GK families):
         # the oracle computes the EXACT aggregates and literal TRUE

@@ -21,9 +21,18 @@ part that turns metadata routing into actual video INGESTION routing:
 at 100 TB the question is "which byte ranges of which objects do I
 fetch", and that is exactly what per-sample offsets/sizes answer.
 ``iter_samples`` exposes the per-sample (offset, size, dts) stream as
-the plug-in contract for a frame decoder. Fragmented MP4 (moof)
-carries its sample runs in per-fragment trun boxes — reported as
-duration 0 / no sample tables here, named via ``fragmented``.
+the plug-in contract for a frame decoder.
+
+Fragmented MP4 (r8): the moof/traf tier is parsed too —
+mvex/trex track defaults, mfhd sequence numbers, tfhd (explicit
+base-data-offset or default-base-is-moof), tfdt v0/v1 decode times,
+and trun sample runs with any mix of per-sample/default
+durations/sizes — so ``iter_fragment_samples`` yields the same
+(offset, size, dts) stream for streaming-style files, and
+``decode_video_meta`` fills the per-track summary from the fragment
+walk when the moov sample tables are absent. The traf-chaining
+base-offset default (neither flag present) is a named
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -108,6 +117,21 @@ def _parse_tkhd(data: bytes, b: int, e: int) -> tuple[int, int, int, int]:
         dur = struct.unpack(">I", data[b + 20 : b + 24])[0]
     w, h = struct.unpack(">II", data[e - 8 : e])
     return track_id, dur, _fixed16(w), _fixed16(h)
+
+
+def _parse_mdhd_info(data: bytes, b: int, e: int) -> tuple[int, int]:
+    """(timescale, duration) from an mdhd — the MEDIA timescale
+    fragment durations are denominated in."""
+    _need(b, e, 1, "mdhd")
+    if data[b] == 1:
+        _need(b, e, 32, "mdhd v1")
+        ts, dur = struct.unpack(">IQ", data[b + 20 : b + 32])
+    else:
+        _need(b, e, 20, "mdhd")
+        ts, dur = struct.unpack(">II", data[b + 12 : b + 20])
+    if ts == 0:
+        raise ValueError("mp4: mdhd timescale 0")
+    return ts, dur
 
 
 def _parse_hdlr(data: bytes, b: int) -> bytes:
@@ -387,6 +411,255 @@ def iter_samples(payload: bytes, track_id: int):
         )
 
 
+# --------------------------------------------------------------------------
+# fragmented (moof/traf/trun) tier — ISO 14496-12 8.8
+
+_TFHD_BASE_OFFSET = 0x000001
+_TFHD_SDI = 0x000002
+_TFHD_DEF_DURATION = 0x000008
+_TFHD_DEF_SIZE = 0x000010
+_TFHD_DEF_FLAGS = 0x000020
+_TFHD_BASE_IS_MOOF = 0x020000
+
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_DURATION = 0x000100
+_TRUN_SIZE = 0x000200
+_TRUN_FLAGS = 0x000400
+_TRUN_CTO = 0x000800
+
+
+def _boxes_with_start(data: bytes, start: int, end: int):
+    """Like ``_boxes`` but also yields each box's HEADER start — the
+    moof anchor for default-base-is-moof offsets."""
+    pos = start
+    for tag, b, e in _boxes(data, start, end):
+        yield tag, b, e, pos
+        pos = e
+
+
+def _moov_trex(data: bytes, mb: int, me: int) -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    mvex = _find(data, mb, me, b"mvex")
+    if mvex:
+        for tag, b, e in _boxes(data, *mvex):
+            if tag == b"trex":
+                _need(b, e, 24, "trex")
+                tid, _sdi, dur, size, _fl = struct.unpack(
+                    ">IIIII", data[b + 4 : b + 24]
+                )
+                out[tid] = {"duration": dur, "size": size}
+    return out
+
+
+def _parse_tfhd(data: bytes, b: int, e: int) -> dict:
+    _need(b, e, 8, "tfhd")
+    flags = struct.unpack(">I", data[b : b + 4])[0] & 0xFFFFFF
+    tid = struct.unpack(">I", data[b + 4 : b + 8])[0]
+    p = b + 8
+    out = {
+        "track_id": tid,
+        "flags": flags,
+        "base_offset": None,
+        "def_duration": None,
+        "def_size": None,
+    }
+    if flags & _TFHD_BASE_OFFSET:
+        _need(p, e, 8, "tfhd base_data_offset")
+        out["base_offset"] = struct.unpack(">Q", data[p : p + 8])[0]
+        p += 8
+    if flags & _TFHD_SDI:
+        _need(p, e, 4, "tfhd sdi")
+        p += 4
+    if flags & _TFHD_DEF_DURATION:
+        _need(p, e, 4, "tfhd default duration")
+        out["def_duration"] = struct.unpack(">I", data[p : p + 4])[0]
+        p += 4
+    if flags & _TFHD_DEF_SIZE:
+        _need(p, e, 4, "tfhd default size")
+        out["def_size"] = struct.unpack(">I", data[p : p + 4])[0]
+        p += 4
+    return out
+
+
+def _parse_tfdt(data: bytes, b: int, e: int) -> int:
+    _need(b, e, 8, "tfdt")
+    if data[b] == 1:
+        _need(b, e, 12, "tfdt v1")
+        return struct.unpack(">Q", data[b + 4 : b + 12])[0]
+    return struct.unpack(">I", data[b + 4 : b + 8])[0]
+
+
+def _parse_trun(data: bytes, b: int, e: int) -> dict:
+    _need(b, e, 8, "trun")
+    flags = struct.unpack(">I", data[b : b + 4])[0] & 0xFFFFFF
+    count = struct.unpack(">I", data[b + 4 : b + 8])[0]
+    p = b + 8
+    out = {"data_offset": None, "samples": None}
+    if flags & _TRUN_DATA_OFFSET:
+        _need(p, e, 4, "trun data_offset")
+        out["data_offset"] = struct.unpack(">i", data[p : p + 4])[0]
+        p += 4
+    if flags & _TRUN_FIRST_FLAGS:
+        _need(p, e, 4, "trun first-sample-flags")
+        p += 4
+    per = sum(
+        4
+        for bit in (_TRUN_DURATION, _TRUN_SIZE, _TRUN_FLAGS, _TRUN_CTO)
+        if flags & bit
+    )
+    _need(p, e, per * count, "trun samples")
+    samples = []
+    for _ in range(count):
+        dur = size = None
+        if flags & _TRUN_DURATION:
+            dur = struct.unpack(">I", data[p : p + 4])[0]
+            p += 4
+        if flags & _TRUN_SIZE:
+            size = struct.unpack(">I", data[p : p + 4])[0]
+            p += 4
+        if flags & _TRUN_FLAGS:
+            p += 4
+        if flags & _TRUN_CTO:
+            p += 4  # composition offset: not needed for byte ranges
+        samples.append((dur, size))
+    out["samples"] = samples
+    return out
+
+
+def iter_fragment_samples(payload: bytes, track_id: int):
+    """Per-sample iterator for FRAGMENTED files: walk every moof's
+    traf for ``track_id`` and yield {index, fragment, chunk, offset,
+    size, dts} in decode order — the same byte-range contract as
+    ``iter_samples`` for streaming-style (DASH/CMAF) layouts, dts in
+    mdhd-timescale units (tfdt when present, else accumulated).
+    ``chunk`` counts trun runs across the whole track. The traf
+    base-offset default that chains off the PREVIOUS traf's data end
+    (neither base-data-offset nor default-base-is-moof set, non-first
+    traf) is a named NotImplementedError."""
+    try:
+        yield from _iter_fragment_samples(payload, track_id)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(
+            f"mp4: truncated or corrupt payload ({ex})"
+        ) from ex
+
+
+def _iter_fragment_samples(payload: bytes, track_id: int):
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp (not an ISO-BMFF container)")
+    moov = _find(payload, 0, len(payload), b"moov")
+    trex = _moov_trex(payload, *moov) if moov else {}
+    tdef = trex.get(track_id, {})
+    idx = 0
+    run_no = 0
+    dts = 0
+    for tag, mb, me, mstart in _boxes_with_start(
+        payload, 0, len(payload)
+    ):
+        if tag != b"moof":
+            continue
+        mfhd = _find(payload, mb, me, b"mfhd")
+        seq = (
+            struct.unpack(">I", payload[mfhd[0] + 4 : mfhd[0] + 8])[0]
+            if mfhd
+            else 0
+        )
+        first_traf = True
+        for t2, tb, te in _boxes(payload, mb, me):
+            if t2 != b"traf":
+                continue
+            tfhd_box = _find(payload, tb, te, b"tfhd")
+            if tfhd_box is None:
+                raise ValueError("mp4: traf without tfhd")
+            tfhd = _parse_tfhd(payload, *tfhd_box)
+            if tfhd["track_id"] != track_id:
+                first_traf = False
+                continue
+            if tfhd["base_offset"] is not None:
+                base = tfhd["base_offset"]
+            elif tfhd["flags"] & _TFHD_BASE_IS_MOOF or first_traf:
+                # spec default for the FIRST traf is the moof start
+                base = mstart
+            else:
+                raise NotImplementedError(
+                    "mp4: traf base-offset chaining (offset defaults "
+                    "to the previous traf's data end) not supported — "
+                    "set base-data-offset or default-base-is-moof"
+                )
+            tfdt_box = _find(payload, tb, te, b"tfdt")
+            if tfdt_box is not None:
+                dts = _parse_tfdt(payload, *tfdt_box)
+            cursor = None
+            for t3, rb, re_ in _boxes(payload, tb, te):
+                if t3 != b"trun":
+                    continue
+                trun = _parse_trun(payload, rb, re_)
+                if trun["data_offset"] is not None:
+                    cursor = base + trun["data_offset"]
+                elif cursor is None:
+                    cursor = base
+                run_no += 1
+                for dur, size in trun["samples"]:
+                    if size is None:
+                        size = tfhd["def_size"]
+                    if size is None:
+                        size = tdef.get("size")
+                    if dur is None:
+                        dur = tfhd["def_duration"]
+                    if dur is None:
+                        dur = tdef.get("duration")
+                    if size is None or dur is None:
+                        raise ValueError(
+                            "mp4: trun sample without a size/duration "
+                            "and no tfhd/trex default"
+                        )
+                    yield {
+                        "index": idx,
+                        "fragment": seq,
+                        "chunk": run_no,
+                        "offset": cursor,
+                        "size": size,
+                        "dts": dts,
+                        "duration": dur,
+                    }
+                    cursor += size
+                    dts += dur
+                    idx += 1
+            first_traf = False
+
+
+def _fragment_summary(payload: bytes, track_id: int) -> dict | None:
+    """Per-track summary fields from the fragment walk (used when the
+    moov sample tables are absent in a fragmented file): counts,
+    bytes, first/last offsets, trun-run count, and TOTAL duration in
+    timescale units (the moov duration field is 0 by design in
+    fragmented files)."""
+    n = 0
+    total = 0
+    first = last = None
+    runs = 0
+    dur_end = 0
+    for s in _iter_fragment_samples(payload, track_id):
+        if n == 0:
+            first = s["offset"]
+        last = s["offset"]
+        n += 1
+        total += s["size"]
+        runs = s["chunk"]
+        dur_end = s["dts"] + s["duration"]
+    if n == 0:
+        return None
+    return {
+        "n_samples": n,
+        "n_chunks": runs,
+        "sample_bytes": total,
+        "first_sample_off": first,
+        "last_sample_off": last,
+        "duration_end": dur_end,
+    }
+
+
 def _find_track_stbl(payload: bytes, track_id: int) -> tuple[int, int]:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("mp4: missing ftyp (not an ISO-BMFF container)")
@@ -479,6 +752,21 @@ def _decode_video_meta(payload: bytes) -> dict:
                 summary = _sample_summary(
                     _parse_sample_tables(payload, stbl[0], stbl[1])
                 )
+        track_ms = (tdur * 1000) // ts
+        if fragmented and summary["n_samples"] is None:
+            # streaming-style file: the moov carries no sample tables
+            # and a zero duration by design — fill both from the
+            # fragment walk, durations in the MEDIA (mdhd) timescale
+            frag = _fragment_summary(payload, track_id)
+            if frag is not None:
+                mdhd = _find(payload, mdia[0], mdia[1], b"mdhd")
+                if mdhd is None:
+                    raise ValueError("mp4: mdia without mdhd")
+                media_ts, _mdur = _parse_mdhd_info(payload, *mdhd)
+                dur_end = frag.pop("duration_end")
+                summary = frag
+                if tdur == 0:
+                    track_ms = (dur_end * 1000) // media_ts
         tracks.append(
             {
                 "track_id": track_id,
@@ -486,7 +774,7 @@ def _decode_video_meta(payload: bytes) -> dict:
                 "codec": codec,
                 "width": w or None,
                 "height": h or None,
-                "duration_ms": (tdur * 1000) // ts,
+                "duration_ms": track_ms,
                 **summary,
             }
         )
@@ -705,3 +993,124 @@ def build_skeleton(
         ),
     )
     return ftyp + moov
+
+
+def _trex_box(track_id: int, default_duration: int, default_size: int) -> bytes:
+    return _full(
+        b"trex",
+        struct.pack(
+            ">IIIII", track_id, 1, default_duration, default_size, 0
+        ),
+    )
+
+
+def _tfhd_box(
+    track_id: int,
+    base_offset: int | None = None,
+    def_size: int | None = None,
+    base_is_moof: bool = False,
+) -> bytes:
+    flags = 0
+    tail = b""
+    if base_offset is not None:
+        flags |= _TFHD_BASE_OFFSET
+        tail += struct.pack(">Q", base_offset)
+    if def_size is not None:
+        flags |= _TFHD_DEF_SIZE
+        tail += struct.pack(">I", def_size)
+    if base_is_moof:
+        flags |= _TFHD_BASE_IS_MOOF
+    return _box(
+        b"tfhd",
+        struct.pack(">I", flags) + struct.pack(">I", track_id) + tail,
+    )
+
+
+def _tfdt_box(base_time: int, version: int = 1) -> bytes:
+    if version:
+        return _box(
+            b"tfdt", b"\x01\x00\x00\x00" + struct.pack(">Q", base_time)
+        )
+    return _box(
+        b"tfdt", b"\x00\x00\x00\x00" + struct.pack(">I", base_time)
+    )
+
+
+def _trun_box(
+    samples: list[tuple[int | None, int | None]],
+    data_offset: int | None = None,
+    per_size: bool = False,
+    per_duration: bool = False,
+) -> bytes:
+    flags = 0
+    if data_offset is not None:
+        flags |= _TRUN_DATA_OFFSET
+    if per_duration:
+        flags |= _TRUN_DURATION
+    if per_size:
+        flags |= _TRUN_SIZE
+    body = struct.pack(">I", flags) + struct.pack(">I", len(samples))
+    if data_offset is not None:
+        body += struct.pack(">i", data_offset)
+    for dur, size in samples:
+        if per_duration:
+            body += struct.pack(">I", dur)
+        if per_size:
+            body += struct.pack(">I", size)
+    return _box(b"trun", body)
+
+
+def build_fragmented_skeleton(
+    width: int,
+    height: int,
+    n_fragments: int = 2,
+    samples_per_fragment: int = 6,
+    timescale: int = 1000,
+    video_codec: bytes = b"mp4v",
+) -> bytes:
+    """Closed-form FRAGMENTED (CMAF-style) skeleton: moov with a
+    zero-duration track and mvex/trex defaults (25 ticks/sample,
+    default size 0), then per fragment f an (mdat-less) moof with
+    mfhd seq f+1, tfhd base-data-offset 100000+10000f, tfdt base
+    time 500f, and one trun with data_offset 64 — EVEN fragments
+    carry per-sample sizes 200+j, ODD fragments rely on a tfhd
+    default size of 150+f, so both size sources and the
+    tfdt/accumulated-dts paths are exercised. Every field is doc-id-
+    free arithmetic tests and oracles recompute:
+    sample (f, j): offset = 100064 + 10000f + (200j + j(j-1)/2 even
+    | (150+f)j odd), size = (200+j | 150+f), dts = 500f + 25j."""
+    spf = samples_per_fragment
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5cmfc"
+    )
+    mvex = _box(b"mvex", _trex_box(1, 25, 0))
+    moov = _box(
+        b"moov",
+        _mvhd(timescale, 0, 2)
+        + _trak(1, 0, b"vide", video_codec, width, height, timescale)
+        + mvex,
+    )
+    out = ftyp + moov
+    for f in range(n_fragments):
+        if f % 2 == 0:
+            tfhd = _tfhd_box(1, base_offset=100_000 + 10_000 * f)
+            trun = _trun_box(
+                [(None, 200 + j) for j in range(spf)],
+                data_offset=64,
+                per_size=True,
+            )
+        else:
+            tfhd = _tfhd_box(
+                1,
+                base_offset=100_000 + 10_000 * f,
+                def_size=150 + f,
+            )
+            trun = _trun_box(
+                [(None, None)] * spf, data_offset=64
+            )
+        traf = _box(b"traf", tfhd + _tfdt_box(500 * f) + trun)
+        moof = _box(
+            b"moof", _full(b"mfhd", struct.pack(">I", f + 1)) + traf
+        )
+        out += moof
+    return out

@@ -767,6 +767,33 @@ def synth_webp_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def synth_fmp4_media(ids: DataFrame) -> DataFrame:
+    """Fragmented (CMAF-style) skeletons per doc_id: 2+(id%3)
+    fragments of 3+(id%4) samples — the closed-form layout of
+    ``mp4.build_fragmented_skeleton`` (alternating per-sample /
+    tfhd-default sizes, tfdt bases, trex default durations), so every
+    per-sample field the q34 'fmp4' branch scores is doc_id math."""
+    from timeseries_data_provider_spark.operators import mp4 as _mp4
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                payload = _mp4.build_fragmented_skeleton(
+                    320, 240,
+                    n_fragments=2 + (i % 3),
+                    samples_per_fragment=3 + (i % 4),
+                )
+                out["doc_id"].append(i)
+                out["kind"].append("fmp4")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def register_builtin_codecs() -> None:
     """Worker-side ``codec_setup`` hook installing EVERY in-repo
     optional codec (baseline+progressive JPEG, VP8L WebP) — module-
@@ -901,7 +928,16 @@ def video_sample_ranges(media: DataFrame) -> DataFrame:
                 for t in meta["tracks"]:
                     if t["n_samples"] is None:
                         continue
-                    for s in _mp4.iter_samples(payload, t["track_id"]):
+                    # fragmented files walk the moof/trun tier; plain
+                    # files walk the moov sample tables — same rows
+                    walk = (
+                        _mp4.iter_fragment_samples(
+                            payload, t["track_id"]
+                        )
+                        if meta["fragmented"]
+                        else _mp4.iter_samples(payload, t["track_id"])
+                    )
+                    for s in walk:
                         rows["doc_id"].append(int(doc_id))
                         rows["track_id"].append(t["track_id"])
                         rows["sample_idx"].append(s["index"])
