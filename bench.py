@@ -42,7 +42,7 @@ EXPLAINED_MOVES = {
     "q31_ann_topk": "r8: new ivf_append lifecycle branch (+1 layout probe)",
     "q34_multimodal_frames": (
         "r8: sample-table parse + 5 scored columns + per-sample "
-        "fetch-list branch"
+        "fetch-list branch + fragmented (fmp4) branch"
     ),
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
     "q63_media_decode": "r8: new VP8L WebP decode branch (50 images)",

@@ -22,6 +22,7 @@ def test_skeleton_roundtrip_closed_form():
     assert v == {
         "track_id": 1, "kind": "video", "codec": "mp4v",
         "width": 320, "height": 240, "duration_ms": 4321,
+        "moov_samples": None,
         "n_samples": None, "n_chunks": None, "sample_bytes": None,
         "first_sample_off": None, "last_sample_off": None,
     }
@@ -451,6 +452,97 @@ def test_fragmented_hostile_errors():
     with pytest.raises(ValueError, match="no tfhd/trex default"):
         list(mp4.iter_fragment_samples(nosize, 1))
     assert no_size  # silence lint on the helper var
+
+
+def test_trun_hostile_count_does_not_allocate():
+    # all-default trun (no per-sample bytes) claiming 2^32-1 samples:
+    # parse must stay O(1) memory (review finding) — summary/walk loop
+    # lazily and here fail on the missing size default
+    ftyp = mp4._box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5")
+    moov = mp4._box(
+        b"moov",
+        mp4._mvhd(1000, 0, 2)
+        + mp4._trak(1, 0, b"vide", b"mp4v", 16, 16, 1000),
+    )
+    body = struct.pack(">I", mp4._TRUN_DATA_OFFSET) + struct.pack(
+        ">I", 0xFFFFFFFF
+    ) + struct.pack(">i", 0)
+    traf = mp4._box(
+        b"traf", mp4._tfhd_box(1, base_offset=500) + mp4._box(b"trun", body)
+    )
+    p = ftyp + moov + mp4._box(
+        b"moof", mp4._full(b"mfhd", struct.pack(">I", 1)) + traf
+    )
+    # the parse itself is O(1): samples stays None with just the count
+    tb = p.index(b"trun") - 4
+    parsed = mp4._parse_trun(p, tb + 8, len(p))
+    assert parsed["samples"] is None and parsed["count"] == 0xFFFFFFFF
+    with pytest.raises(ValueError, match="no tfhd/trex default"):
+        next(iter(mp4.iter_fragment_samples(p, 1)))
+
+
+def test_zero_entry_stbl_tables_fall_back_to_fragments():
+    # real CMAF muxers emit zero-ENTRY stts/stsc/stsz/stco in the
+    # moov: the summary must come from the fragment walk, not report
+    # n_samples=0 (review finding)
+    empty_tables = (
+        mp4._stts_box([])
+        + mp4._stsc_box([])
+        + mp4._stsz_box(0, 0, [])
+        + mp4._stco_box([], wide=False)
+    )
+    frag = mp4.build_fragmented_skeleton(16, 16, 2, 3)
+    # splice the empty tables into the moov's stbl by rebuilding
+    ftyp = mp4._box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5")
+    moov = mp4._box(
+        b"moov",
+        mp4._mvhd(1000, 0, 2)
+        + mp4._trak(
+            1, 0, b"vide", b"mp4v", 16, 16, 1000,
+            sample_tables=empty_tables,
+        )
+        + mp4._box(b"mvex", mp4._trex_box(1, 25, 0)),
+    )
+    moof_part = frag[frag.index(b"moof") - 4 :]
+    p = ftyp + moov + moof_part
+    t = mp4.decode_video_meta(p)["tracks"][0]
+    assert t["moov_samples"] == 0
+    assert t["n_samples"] == 6 and t["n_chunks"] == 2
+    fragmented, listing = mp4.track_listing(p)
+    assert fragmented and listing == [(1, 0)]
+
+
+def test_hybrid_file_walks_both_tiers(spark):
+    # moov tables AND moofs: the fetch list covers both (review
+    # finding — the fragment flag used to shadow the moov samples)
+    from timeseries_data_provider_spark.operators import multimodal as mm
+
+    prog = mp4.build_skeleton(1000, 16, 16, video_samples=4)
+    # self-contained moof (per-sample sizes AND durations — the
+    # progressive moov carries no mvex/trex defaults)
+    traf = mp4._box(
+        b"traf",
+        mp4._tfhd_box(1, base_offset=100_064)
+        + mp4._trun_box(
+            [(25, 300 + j) for j in range(3)],
+            data_offset=0,
+            per_size=True,
+            per_duration=True,
+        ),
+    )
+    hybrid = prog + mp4._box(
+        b"moof", mp4._full(b"mfhd", struct.pack(">I", 1)) + traf
+    )
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [hybrid]})
+    )
+    rows = mm.video_sample_ranges(df).collect()
+    offs = sorted(r["sample_off"] for r in rows if r["track_id"] == 1)
+    # 4 moov-tier samples from 10000 + 3 fragment-tier from 100064
+    assert len([o for o in offs if o < 100_000]) == 4
+    assert len([o for o in offs if o >= 100_000]) == 3
 
 
 def test_fragmented_every_truncation_point():

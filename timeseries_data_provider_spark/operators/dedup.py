@@ -1174,8 +1174,6 @@ def substring_spans(
     span_id) — the ExactSubstr paper removes only substrings of >= 50
     tokens, so short incidental shared k-grams (names, dates) don't
     shred documents; 0 keeps every span."""
-    from pyspark.sql import Window as W
-
     wins = substring_windows(documents, k, text_col, id_col, hashed)
     if cross_doc_only:
         dup = (
@@ -1194,6 +1192,19 @@ def substring_spans(
             .select("w")
         )
     marked = wins.join(dup, "w").select("doc_id", "pos")
+    return _coverage_spans(marked, k, min_span_tokens)
+
+
+def _coverage_spans(
+    marked: DataFrame, k: int, min_span_tokens: int
+) -> DataFrame:
+    """Shared gaps-and-islands tail of the batch and incremental span
+    detectors: duplicated-window (doc_id, pos) rows -> merged coverage
+    spans, with the optional ExactSubstr minimum-length filter. ONE
+    implementation so the adjacency condition and renumbering cannot
+    drift between the two forms (review finding)."""
+    from pyspark.sql import Window as W
+
     ordered = W.partitionBy("doc_id").orderBy("pos")
     running = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
     lag = F.lag("pos").over(ordered)
@@ -1347,8 +1358,6 @@ def substring_spans_incremental(
     doc are duplicated in neither (property-tested in
     tests/test_substring_dedup.py). ``hashed`` must match how the
     index was built."""
-    from pyspark.sql import Window as W
-
     wins = substring_windows(batch, k, text_col, id_col, hashed)
     batch_dup = (
         wins.select("w", "doc_id")
@@ -1360,35 +1369,4 @@ def substring_spans_incremental(
     )
     dup = corpus_windows.select("w").unionByName(batch_dup).distinct()
     marked = wins.join(dup, "w").select("doc_id", "pos")
-    ordered = W.partitionBy("doc_id").orderBy("pos")
-    running = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
-    lag = F.lag("pos").over(ordered)
-    new_island = (
-        F.when(lag.isNull() | (F.col("pos") > lag + k), 1).otherwise(0)
-    )
-    spans = (
-        marked.withColumn("__new", new_island)
-        .withColumn("span_id", F.sum("__new").over(running))
-        .groupBy("doc_id", "span_id")
-        .agg(
-            F.min("pos").alias("start_tok"),
-            (F.max("pos") + (k - 1)).alias("end_tok"),
-            F.count(F.lit(1)).alias("n_windows"),
-        )
-        .withColumn(
-            "n_tokens", F.col("end_tok") - F.col("start_tok") + 1
-        )
-    )
-    if min_span_tokens > k:
-        spans = spans.filter(
-            F.col("n_tokens") >= min_span_tokens
-        ).withColumn(
-            "span_id",
-            F.row_number()
-            .over(W.partitionBy("doc_id").orderBy("start_tok"))
-            .cast("long"),
-        )
-    return spans.select(
-        "doc_id", "span_id", "start_tok", "end_tok", "n_tokens",
-        "n_windows",
-    )
+    return _coverage_spans(marked, k, min_span_tokens)

@@ -509,6 +509,15 @@ def _parse_trun(data: bytes, b: int, e: int) -> dict:
         if flags & bit
     )
     _need(p, e, per * count, "trun samples")
+    if per == 0:
+        # all-default run: no per-sample bytes back the count, so a
+        # hostile count=2^32-1 must not materialize a list — return
+        # the count and let consumers loop lazily (the same
+        # memory-safe posture as the const-size stsz path; review
+        # finding)
+        out["count"] = count
+        out["samples"] = None
+        return out
     samples = []
     for _ in range(count):
         dur = size = None
@@ -523,6 +532,7 @@ def _parse_trun(data: bytes, b: int, e: int) -> dict:
         if flags & _TRUN_CTO:
             p += 4  # composition offset: not needed for byte ranges
         samples.append((dur, size))
+    out["count"] = count
     out["samples"] = samples
     return out
 
@@ -600,7 +610,12 @@ def _iter_fragment_samples(payload: bytes, track_id: int):
                 elif cursor is None:
                     cursor = base
                 run_no += 1
-                for dur, size in trun["samples"]:
+                run_samples = (
+                    trun["samples"]
+                    if trun["samples"] is not None
+                    else ((None, None) for _ in range(trun["count"]))
+                )
+                for dur, size in run_samples:
                     if size is None:
                         size = tfhd["def_size"]
                     if size is None:
@@ -658,6 +673,49 @@ def _fragment_summary(payload: bytes, track_id: int) -> dict | None:
         "last_sample_off": last,
         "duration_end": dur_end,
     }
+
+
+def track_listing(payload: bytes) -> tuple[bool, list]:
+    """(fragmented, [(track_id, moov_sample_count or None)]) — the
+    LIGHT routing view for fetch-list builders: moov boxes only, no
+    fragment walk (``video_sample_ranges`` does exactly one moof pass
+    per track itself). Error contract matches decode_video_meta."""
+    try:
+        if len(payload) < 12 or payload[4:8] != b"ftyp":
+            raise ValueError(
+                "mp4: missing ftyp (not an ISO-BMFF container)"
+            )
+        fragmented = False
+        moov = None
+        for tag, b, e in _boxes(payload, 0, len(payload)):
+            if tag == b"moov":
+                moov = (b, e)
+            elif tag == b"moof":
+                fragmented = True
+        if moov is None:
+            raise ValueError("mp4: no moov box (metadata not present)")
+        out = []
+        for tag, b, e in _boxes(payload, *moov):
+            if tag != b"trak":
+                continue
+            tkhd = _find(payload, b, e, b"tkhd")
+            mdia = _find(payload, b, e, b"mdia")
+            if tkhd is None or mdia is None:
+                raise ValueError("mp4: trak missing tkhd/mdia")
+            tid = _parse_tkhd(payload, tkhd[0], tkhd[1])[0]
+            n = None
+            minf = _find(payload, mdia[0], mdia[1], b"minf")
+            stbl = minf and _find(payload, minf[0], minf[1], b"stbl")
+            if stbl:
+                tables = _parse_sample_tables(payload, *stbl)
+                if tables is not None:
+                    n = tables["count"]
+            out.append((tid, n))
+        return fragmented, out
+    except (IndexError, struct.error) as ex:
+        raise ValueError(
+            f"mp4: truncated or corrupt payload ({ex})"
+        ) from ex
 
 
 def _find_track_stbl(payload: bytes, track_id: int) -> tuple[int, int]:
@@ -753,11 +811,22 @@ def _decode_video_meta(payload: bytes) -> dict:
                     _parse_sample_tables(payload, stbl[0], stbl[1])
                 )
         track_ms = (tdur * 1000) // ts
-        if fragmented and summary["n_samples"] is None:
+        moov_samples = summary["n_samples"]
+        if fragmented and not summary["n_samples"]:
             # streaming-style file: the moov carries no sample tables
-            # and a zero duration by design — fill both from the
-            # fragment walk, durations in the MEDIA (mdhd) timescale
-            frag = _fragment_summary(payload, track_id)
+            # (or the zero-ENTRY tables real CMAF muxers emit — the
+            # n_samples == 0 case, review finding) and a zero duration
+            # by design — fill both from the fragment walk, durations
+            # in the MEDIA (mdhd) timescale. A fragment layout the
+            # walker doesn't support (traf base-offset chaining)
+            # degrades to the empty summary instead of leaking
+            # NotImplementedError through the metadata tier's
+            # ValueError-only triage contract (review finding); the
+            # explicit iter_fragment_samples walk still names the gap.
+            try:
+                frag = _fragment_summary(payload, track_id)
+            except NotImplementedError:
+                frag = None
             if frag is not None:
                 mdhd = _find(payload, mdia[0], mdia[1], b"mdhd")
                 if mdhd is None:
@@ -775,6 +844,10 @@ def _decode_video_meta(payload: bytes) -> dict:
                 "width": w or None,
                 "height": h or None,
                 "duration_ms": track_ms,
+                # the raw moov-table count (None when absent): lets a
+                # fetch-list builder walk BOTH tiers of a hybrid
+                # progressive+fragmented file (review finding)
+                "moov_samples": moov_samples,
                 **summary,
             }
         )

@@ -924,27 +924,34 @@ def video_sample_ranges(media: DataFrame) -> DataFrame:
             rows = {f.name: [] for f in SAMPLE_RANGE_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                meta = _mp4.decode_video_meta(payload)
-                for t in meta["tracks"]:
-                    if t["n_samples"] is None:
-                        continue
-                    # fragmented files walk the moof/trun tier; plain
-                    # files walk the moov sample tables — same rows
-                    walk = (
-                        _mp4.iter_fragment_samples(
-                            payload, t["track_id"]
+                # track_listing parses moov tables only — the
+                # fragment walk below is the ONE moof pass per track
+                # (review finding: decode_video_meta's summary fill
+                # walked every fragment a second time)
+                fragmented, listing = _mp4.track_listing(payload)
+                for track_id, moov_n in listing:
+                    walks = []
+                    if moov_n:
+                        walks.append(
+                            _mp4.iter_samples(payload, track_id)
                         )
-                        if meta["fragmented"]
-                        else _mp4.iter_samples(payload, t["track_id"])
-                    )
-                    for s in walk:
-                        rows["doc_id"].append(int(doc_id))
-                        rows["track_id"].append(t["track_id"])
-                        rows["sample_idx"].append(s["index"])
-                        rows["chunk"].append(s["chunk"])
-                        rows["sample_off"].append(s["offset"])
-                        rows["sample_size"].append(s["size"])
-                        rows["dts"].append(s["dts"])
+                    if fragmented:
+                        # hybrid progressive+fragmented files carry
+                        # samples in BOTH tiers (review finding)
+                        walks.append(
+                            _mp4.iter_fragment_samples(
+                                payload, track_id
+                            )
+                        )
+                    for walk in walks:
+                        for s in walk:
+                            rows["doc_id"].append(int(doc_id))
+                            rows["track_id"].append(track_id)
+                            rows["sample_idx"].append(s["index"])
+                            rows["chunk"].append(s["chunk"])
+                            rows["sample_off"].append(s["offset"])
+                            rows["sample_size"].append(s["size"])
+                            rows["dts"].append(s["dts"])
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(
