@@ -244,6 +244,68 @@ def test_corpus_ingest_stream_incremental_dedup(spark, tmp_path):
         assert r["est_jaccard"] == 1.0
 
 
+def test_corpus_ingest_stream_maintains_window_index(spark, tmp_path):
+    """substr_k wires incremental SUBSTRING dedup into the same loop:
+    a wave-2 doc repeating a settled wave-1 paragraph is flagged with
+    the exact span via the persisted WINDOW INDEX (settled text never
+    re-read), and the index grows by exactly the accepted docs' new
+    windows so wave 3 would see waves 1+2."""
+    import json as _json
+
+    from timeseries_data_provider_spark.streaming.corpus_ingest import (
+        ingest_documents_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    root = str(tmp_path / "corpus")
+
+    def write_wave(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    para = "tpl0 tpl1 tpl2 tpl3 tpl4"
+    write_wave("wave1.json", [(1, f"{para} tail1"), (2, "u0 u1 u2 u3 u4 u5")])
+    q = ingest_documents_stream(
+        spark, str(src), root, min_est=1.0, substr_k=3
+    )
+    try:
+        q.processAllAvailable()
+        # doc 10 repeats the settled paragraph mid-text; doc 11 fresh
+        write_wave(
+            "wave2.json",
+            [(10, f"x10 {para} y10"), (11, "v0 v1 v2 v3 v4 v5")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spans = spark.read.parquet(root + "/substr_spans").collect()
+    # wave 1 lands on an empty index: no spans; wave 2: doc 10's
+    # paragraph at tokens 2-6
+    assert [
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["batch_id"])
+        for r in spans
+    ] == [(10, 2, 6, 1)]
+    # window index covers every accepted doc's distinct 3-gram windows
+    idx = spark.read.parquet(root + "/windows")
+    n_windows = idx.count()
+    assert idx.select("w").distinct().count() == n_windows  # no dupes
+    texts = {
+        1: f"{para} tail1",
+        2: "u0 u1 u2 u3 u4 u5",
+        10: f"x10 {para} y10",
+        11: "v0 v1 v2 v3 v4 v5",
+    }
+    want = set()
+    for t in texts.values():
+        ws = t.split(" ")
+        for p in range(len(ws) - 2):
+            want.add(" ".join(ws[p : p + 3]))
+    assert {r["w"] for r in idx.collect()} == want
+
+
 def test_ensure_signature_index_refuses_to_overwrite_unreadable(
     spark, tmp_path
 ):

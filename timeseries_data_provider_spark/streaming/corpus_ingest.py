@@ -93,6 +93,35 @@ def ensure_signature_index(
     ).parquet(path)
 
 
+def ensure_window_index(
+    spark: SparkSession, root: str, k: int = 8
+) -> None:
+    """Create an EMPTY substring window index at ``<root>/windows``
+    if none exists — the ``ensure_signature_index`` bootstrap applied
+    to the second settled-data structure; same
+    only-genuinely-missing-paths-may-bootstrap guard."""
+    from timeseries_data_provider_spark.operators.dedup import (
+        substring_window_index,
+    )
+
+    path = root + "/windows"
+    try:
+        spark.read.parquet(path)
+        return
+    except Exception as ex:
+        msg = str(ex)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            raise
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    substring_window_index(empty, k=k).write.mode("overwrite").parquet(
+        path
+    )
+
+
 def ingest_documents_stream(
     spark: SparkSession,
     source_dir: str,
@@ -105,6 +134,7 @@ def ingest_documents_stream(
     max_bucket: int | None = 256,
     drop_dups: bool = True,
     checkpoint: str | None = None,
+    substr_k: int | None = None,
 ):
     """Start the ingestion stream: JSON files in ``source_dir``
     (schema ``{doc_id, text}``) -> per-batch incremental dedup against
@@ -125,13 +155,27 @@ def ingest_documents_stream(
     docstring promises batch-identical semantics). ``None`` disables
     the cap; the default keeps a degenerate hot bucket (e.g. a flood
     of near-empty docs) from turning a micro-batch quadratic.
+
+    ``substr_k``: when set, each batch ALSO runs
+    ``substring_spans_incremental`` over the accepted documents
+    against the persisted window index at ``<root>/windows`` —
+    duplicated-span detection against the entire settled corpus
+    without re-reading settled text — appending span rows to
+    ``<root>/substr_spans`` (audit trail, like ``dups``) and the
+    accepted docs' NEW distinct windows to the index. Both settled
+    structures (signature index, window index) then stay maintained
+    by the same loop.
     """
     from timeseries_data_provider_spark.operators.dedup import (
         minhash_lsh_incremental,
+        substring_spans_incremental,
+        substring_window_index,
     )
 
     sig_path = root + "/signatures"
     ensure_signature_index(spark, root, num_hashes)
+    if substr_k is not None:
+        ensure_window_index(spark, root, substr_k)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -172,6 +216,25 @@ def ingest_documents_stream(
         accepted_sig.write.mode("append").parquet(sig_path)
         pairs.select("doc_a", "doc_b", "est_jaccard", "source", stamp)\
             .write.mode("append").parquet(root + "/dups")
+        if substr_k is not None:
+            win_path = root + "/windows"
+            widx = spark.read.parquet(win_path)
+            spans = substring_spans_incremental(
+                accepted, widx, k=substr_k
+            ).localCheckpoint(eager=True)
+            spans.select(
+                "doc_id", "span_id", "start_tok", "end_tok",
+                "n_tokens", "n_windows", stamp,
+            ).write.mode("append").parquet(root + "/substr_spans")
+            # append only the windows NOT already in the index —
+            # materialized BEFORE the append for the same
+            # no-racing-your-own-scan reason as the signature write
+            new_windows = (
+                substring_window_index(accepted, k=substr_k)
+                .join(widx, "w", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            new_windows.write.mode("append").parquet(win_path)
 
     reader = (
         spark.readStream.schema(DOC_SCHEMA)
