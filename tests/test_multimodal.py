@@ -63,6 +63,38 @@ def test_wav_skips_unknown_chunks():
     assert (dec["samples"] == samples).all()
 
 
+def test_aiff_roundtrip_and_rates():
+    rng = np.random.RandomState(11)
+    samples = rng.randint(-1024, 1024, 200).astype(np.int16)
+    for rate in (8000, 44100, 48000, 96000):
+        dec = mm.decode_audio(mm.encode_aiff(samples, rate))
+        assert dec["format"] == "aiff"
+        assert dec["sample_rate"] == rate  # 80-bit float parsed exact
+        assert dec["channels"] == 1
+        assert np.array_equal(dec["samples"], samples)
+    # routed as audio through the shared sniffer (media_features path)
+    assert mm.is_audio_payload(mm.encode_aiff(samples))
+
+
+def test_aiff_errors_and_named_gaps():
+    good = bytearray(mm.encode_aiff(np.zeros(4, np.int16)))
+    # claim 8-bit depth in COMM -> named plug-in error
+    bits_at = good.index(b"COMM") + 8 + 6
+    bad_bits = bytearray(good)
+    bad_bits[bits_at : bits_at + 2] = (8).to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        mm.decode_audio(bytes(bad_bits))
+    # frame-count / sample mismatch
+    frames_at = good.index(b"COMM") + 8 + 2
+    bad_frames = bytearray(good)
+    bad_frames[frames_at : frames_at + 4] = (99).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="COMM claims"):
+        mm.decode_audio(bytes(bad_frames))
+    # truncated SSND body
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_audio(bytes(good[:-3]))
+
+
 def test_png_roundtrip_all_filters():
     # h=7 cycles the scanline filter through 0..4 (and wraps): every
     # unfilter path (None/Sub/Up/Average/Paeth) is exercised, through

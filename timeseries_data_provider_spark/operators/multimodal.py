@@ -206,6 +206,8 @@ def is_audio_payload(payload: bytes) -> bool:
     keeps sniffing in ONE place so plug-ins extend it too)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return True
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return True
     return _registry_lookup(AUDIO_CODECS, payload)[1] is not None
 
 
@@ -546,12 +548,100 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     )
 
 
+def _read_extended80(b: bytes) -> int:
+    """IEEE 754 80-bit extended float -> int sample rate (AIFF COMM
+    stores the rate this way; every real audio rate is an integer, so
+    the exact shift math loses nothing — non-integer rates raise)."""
+    if len(b) != 10:
+        raise ValueError("aiff: sample rate field must be 10 bytes")
+    sign_exp = struct.unpack(">H", b[:2])[0]
+    mantissa = struct.unpack(">Q", b[2:])[0]
+    if sign_exp & 0x8000:
+        raise ValueError("aiff: negative sample rate")
+    exp = (sign_exp & 0x7FFF) - 16383 - 63
+    if mantissa == 0:
+        return 0
+    if exp >= 0:
+        return mantissa << exp
+    if mantissa & ((1 << -exp) - 1):
+        raise ValueError("aiff: non-integer sample rate")
+    return mantissa >> -exp
+
+
+def _decode_aiff(payload: bytes) -> dict:
+    """AIFF (big-endian PCM, IFF FORM/COMM/SSND chunks) — the second
+    stdlib-parseable audio container after WAV; AIFC compression and
+    non-16-bit depths raise the named plug-in error."""
+    channels = frames = bits = rate = None
+    samples = None
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        tag, size = struct.unpack_from(">4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"aiff: chunk {tag!r} truncated")
+        if tag == b"COMM":
+            if size < 18:
+                raise ValueError("aiff: COMM chunk too short")
+            channels, frames, bits = struct.unpack_from(">HIH", body, 0)
+            rate = _read_extended80(body[8:18])
+            if bits != 16:
+                raise NotImplementedError(
+                    f"aiff: {bits}-bit samples (16-bit PCM only; "
+                    "register a codec for the rest)"
+                )
+        elif tag == b"SSND":
+            if size < 8:
+                raise ValueError("aiff: SSND chunk too short")
+            off = struct.unpack_from(">I", body, 0)[0]
+            samples = np.frombuffer(
+                body, ">i2", offset=8 + off
+            ).astype(np.int16)
+        pos += 8 + size + (size & 1)  # IFF chunks are 2-byte aligned
+    if rate is None or samples is None:
+        raise ValueError("aiff: missing COMM or SSND chunk")
+    if frames is not None and channels and len(samples) != frames * channels:
+        raise ValueError(
+            f"aiff: SSND carries {len(samples)} samples, COMM claims "
+            f"{frames} frames x {channels} channels"
+        )
+    return {
+        "format": "aiff",
+        "sample_rate": rate,
+        "channels": channels,
+        "samples": samples,
+    }
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Write a real mono 16-bit big-endian AIFF (FORM/COMM/SSND)."""
+    data = samples.astype(">i2").tobytes()
+    exp = 16383 + 63
+    mant = int(sample_rate)
+    while not (mant & (1 << 63)):
+        mant <<= 1
+        exp -= 1
+    comm = (
+        struct.pack(">HIH", 1, len(samples), 16)
+        + struct.pack(">HQ", exp, mant)
+    )
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def decode_audio(payload: bytes) -> dict:
-    """Decode a WAV payload to ``{format, sample_rate, channels,
-    samples}`` by walking the RIFF chunk list (fmt before data, other
-    chunks skipped). Non-PCM / non-WAV tries the registered audio
-    codecs (``register_audio_codec``), then raises
-    NotImplementedError."""
+    """Decode a WAV or AIFF payload to ``{format, sample_rate,
+    channels, samples}`` by walking the container's chunk list (other
+    chunks skipped). Anything else tries the registered audio codecs
+    (``register_audio_codec``), then raises NotImplementedError."""
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return _decode_aiff(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         magic, decoder = _registry_lookup(AUDIO_CODECS, payload)
         if decoder is not None:
