@@ -76,6 +76,35 @@ def test_aiff_roundtrip_and_rates():
     assert mm.is_audio_payload(mm.encode_aiff(samples))
 
 
+def test_aiff_registry_reachable_and_encode_guards():
+    # a registered FORM codec must win over the 16-bit-only builtin —
+    # the WebP shadowing fix applied to audio (review finding)
+    payload = mm.encode_aiff(np.zeros(4, np.int16))
+    try:
+        mm.register_audio_codec(
+            b"FORM",
+            lambda p: {
+                "format": "aiff24",
+                "sample_rate": 1,
+                "channels": 1,
+                "samples": np.zeros(1, np.int32),
+            },
+        )
+        assert mm.decode_audio(payload)["format"] == "aiff24"
+    finally:
+        mm.AUDIO_CODECS.pop(b"FORM", None)
+    # rate 0 used to hang the mantissa loop; negative died in struct
+    for rate in (0, -8000):
+        with pytest.raises(ValueError, match="sample_rate"):
+            mm.encode_aiff(np.zeros(4, np.int16), rate)
+    # zero-channel COMM is malformed, not silently unvalidated
+    chan_at = payload.index(b"COMM") + 8
+    bad = bytearray(payload)
+    bad[chan_at : chan_at + 2] = (0).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="zero channels"):
+        mm.decode_audio(bytes(bad))
+
+
 def test_aiff_errors_and_named_gaps():
     good = bytearray(mm.encode_aiff(np.zeros(4, np.int16)))
     # claim 8-bit depth in COMM -> named plug-in error

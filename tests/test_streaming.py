@@ -306,6 +306,28 @@ def test_corpus_ingest_stream_maintains_window_index(spark, tmp_path):
     assert {r["w"] for r in idx.collect()} == want
 
 
+def test_ensure_window_index_backfills_from_settled_docs(spark, tmp_path):
+    """Enabling substr_k on a corpus ingested BEFORE the feature must
+    backfill the window index from the settled documents, not
+    bootstrap empty (review finding: pre-existing docs were silently
+    never span-checked)."""
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.streaming.corpus_ingest import (
+        ensure_window_index,
+    )
+
+    root = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    ).withColumn("batch_id", F.lit(0)).write.parquet(root + "/docs")
+    ensure_window_index(spark, root, k=3)
+    idx = {
+        r["w"] for r in spark.read.parquet(root + "/windows").collect()
+    }
+    assert idx == {"a b c", "b c d", "e f g", "f g h"}
+
+
 def test_ensure_signature_index_refuses_to_overwrite_unreadable(
     spark, tmp_path
 ):

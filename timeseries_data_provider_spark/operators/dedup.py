@@ -1342,6 +1342,7 @@ def substring_spans_incremental(
     id_col: str = "doc_id",
     hashed: bool = False,
     min_span_tokens: int = 0,
+    batch_windows: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ExactSubstr over settled data: find duplicated
     spans in a NEW batch against a corpus represented ONLY by its
@@ -1357,8 +1358,19 @@ def substring_spans_incremental(
     cross-doc duplicated either way, and windows private to one batch
     doc are duplicated in neither (property-tested in
     tests/test_substring_dedup.py). ``hashed`` must match how the
-    index was built."""
-    wins = substring_windows(batch, k, text_col, id_col, hashed)
+    index was built.
+
+    ``batch_windows``: optionally pass a precomputed
+    ``substring_windows(batch, ...)`` frame (same k/text_col/hashed —
+    the caller's contract) so a consumer that ALSO maintains the
+    index computes the explode once — the labels/signatures sharing
+    contract applied here (review finding: the streaming loop
+    exploded every batch twice)."""
+    wins = (
+        batch_windows
+        if batch_windows is not None
+        else substring_windows(batch, k, text_col, id_col, hashed)
+    )
     batch_dup = (
         wins.select("w", "doc_id")
         .distinct()

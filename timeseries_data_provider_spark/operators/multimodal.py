@@ -586,6 +586,10 @@ def _decode_aiff(payload: bytes) -> dict:
                 raise ValueError("aiff: COMM chunk too short")
             channels, frames, bits = struct.unpack_from(">HIH", body, 0)
             rate = _read_extended80(body[8:18])
+            if channels == 0:
+                # zero channels would also skip the frame-count
+                # consistency check below (review finding)
+                raise ValueError("aiff: COMM claims zero channels")
             if bits != 16:
                 raise NotImplementedError(
                     f"aiff: {bits}-bit samples (16-bit PCM only; "
@@ -616,6 +620,10 @@ def _decode_aiff(payload: bytes) -> dict:
 
 def encode_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Write a real mono 16-bit big-endian AIFF (FORM/COMM/SSND)."""
+    if sample_rate <= 0:
+        # rate 0 would spin the mantissa-normalization loop forever
+        # and a negative rate dies in struct.pack (review finding)
+        raise ValueError(f"sample_rate must be > 0, got {sample_rate}")
     data = samples.astype(">i2").tobytes()
     exp = 16383 + 63
     mant = int(sample_rate)
@@ -641,6 +649,13 @@ def decode_audio(payload: bytes) -> dict:
     chunks skipped). Anything else tries the registered audio codecs
     (``register_audio_codec``), then raises NotImplementedError."""
     if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        # registry FIRST: the builtin is 16-bit-PCM-only and its
+        # NotImplementedError tells users to register a codec for the
+        # rest — which must then actually be reachable (the WebP
+        # shadowing fix applied to audio; review finding)
+        magic, decoder = _registry_lookup(AUDIO_CODECS, payload)
+        if decoder is not None:
+            return _check_audio_dict(decoder(payload), magic)
         return _decode_aiff(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         magic, decoder = _registry_lookup(AUDIO_CODECS, payload)

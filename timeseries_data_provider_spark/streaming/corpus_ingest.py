@@ -58,6 +58,28 @@ DOC_SCHEMA = StructType(
 )
 
 
+def _bootstrap_needed(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` is a genuinely MISSING parquet dataset. ONLY
+    that may bootstrap (review finding: a bare except turned any
+    transient read failure — permission hiccup, corrupt footer from a
+    crashed append — into an overwrite that destroyed the settled
+    corpus's dedup state); anything else propagates. ONE
+    implementation for every settled index so the whitelist cannot
+    drift (second review finding)."""
+    try:
+        spark.read.parquet(path)
+        return False
+    except Exception as ex:
+        msg = str(ex)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            raise
+    return True
+
+
 def ensure_signature_index(
     spark: SparkSession,
     root: str,
@@ -71,22 +93,8 @@ def ensure_signature_index(
     )
 
     path = root + "/signatures"
-    try:
-        spark.read.parquet(path)
+    if not _bootstrap_needed(spark, path):
         return
-    except Exception as ex:
-        # ONLY a genuinely missing path may bootstrap (review finding:
-        # a bare except here turned any transient read failure —
-        # permission hiccup, corrupt footer from a crashed append —
-        # into an overwrite that destroyed the settled corpus's entire
-        # dedup state). Anything else propagates.
-        msg = str(ex)
-        if not (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-        ):
-            raise
     empty = spark.createDataFrame([], DOC_SCHEMA)
     minhash_signatures(empty, num_hashes=num_hashes).write.mode(
         "overwrite"
@@ -96,28 +104,27 @@ def ensure_signature_index(
 def ensure_window_index(
     spark: SparkSession, root: str, k: int = 8
 ) -> None:
-    """Create an EMPTY substring window index at ``<root>/windows``
-    if none exists — the ``ensure_signature_index`` bootstrap applied
-    to the second settled-data structure; same
-    only-genuinely-missing-paths-may-bootstrap guard."""
+    """Create the substring window index at ``<root>/windows`` if none
+    exists — and BACKFILL it from the settled documents when the
+    corpus predates the feature (review finding: enabling
+    ``substr_k`` on an existing corpus used to bootstrap an EMPTY
+    index, silently never span-checking against any pre-existing
+    document). The backfill reads ``<root>/docs`` once — the one-time
+    honest cost of retrofitting the index; subsequent batches are
+    incremental as usual."""
     from timeseries_data_provider_spark.operators.dedup import (
         substring_window_index,
     )
 
     path = root + "/windows"
-    try:
-        spark.read.parquet(path)
+    if not _bootstrap_needed(spark, path):
         return
-    except Exception as ex:
-        msg = str(ex)
-        if not (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-        ):
-            raise
-    empty = spark.createDataFrame([], DOC_SCHEMA)
-    substring_window_index(empty, k=k).write.mode("overwrite").parquet(
+    docs_path = root + "/docs"
+    if _bootstrap_needed(spark, docs_path):
+        base = spark.createDataFrame([], DOC_SCHEMA)
+    else:
+        base = spark.read.parquet(docs_path).select("doc_id", "text")
+    substring_window_index(base, k=k).write.mode("overwrite").parquet(
         path
     )
 
@@ -169,7 +176,6 @@ def ingest_documents_stream(
     from timeseries_data_provider_spark.operators.dedup import (
         minhash_lsh_incremental,
         substring_spans_incremental,
-        substring_window_index,
     )
 
     sig_path = root + "/signatures"
@@ -210,17 +216,30 @@ def ingest_documents_stream(
         accepted_sig = new_sig.join(
             accepted.select("doc_id"), "doc_id"
         )
-        accepted.select("doc_id", "text", stamp).write.mode(
-            "append"
-        ).parquet(root + "/docs")
-        accepted_sig.write.mode("append").parquet(sig_path)
-        pairs.select("doc_a", "doc_b", "est_jaccard", "source", stamp)\
-            .write.mode("append").parquet(root + "/dups")
+        # substring maintenance runs BEFORE the signature append: a
+        # crash-and-replay after the signatures land makes the batch
+        # self-drop against its own signatures (accepted = empty), so
+        # anything written after them is lost FOREVER on replay —
+        # whereas a replay after a windows/spans append only
+        # duplicates rows (batch_id-detectable in the audit;
+        # duplicate index windows are harmless because the detector
+        # DISTINCTs the dup set). At-least-once must degrade to
+        # duplicates, never to silent loss (review finding).
         if substr_k is not None:
+            from timeseries_data_provider_spark.operators.dedup import (
+                substring_windows,
+            )
+
             win_path = root + "/windows"
             widx = spark.read.parquet(win_path)
+            # ONE explode serves both span detection and index
+            # maintenance (review finding: the batch was tokenized
+            # twice per micro-batch)
+            wins = substring_windows(
+                accepted, k=substr_k
+            ).localCheckpoint(eager=False)
             spans = substring_spans_incremental(
-                accepted, widx, k=substr_k
+                accepted, widx, k=substr_k, batch_windows=wins
             ).localCheckpoint(eager=True)
             spans.select(
                 "doc_id", "span_id", "start_tok", "end_tok",
@@ -230,11 +249,18 @@ def ingest_documents_stream(
             # materialized BEFORE the append for the same
             # no-racing-your-own-scan reason as the signature write
             new_windows = (
-                substring_window_index(accepted, k=substr_k)
+                wins.select("w")
+                .distinct()
                 .join(widx, "w", "left_anti")
                 .localCheckpoint(eager=True)
             )
             new_windows.write.mode("append").parquet(win_path)
+        accepted.select("doc_id", "text", stamp).write.mode(
+            "append"
+        ).parquet(root + "/docs")
+        accepted_sig.write.mode("append").parquet(sig_path)
+        pairs.select("doc_a", "doc_b", "est_jaccard", "source", stamp)\
+            .write.mode("append").parquet(root + "/dups")
 
     reader = (
         spark.readStream.schema(DOC_SCHEMA)
