@@ -774,7 +774,18 @@ def q51_chunk_pack(spark, sf):
     count in pure SQL as length(text) − occ('th') − occ('the') — the
     merge ENGINE is driver-scored; the piece-boundary semantics (a
     merge must not fire across pieces) are pinned in pytest with
-    punctuation merges SQL can't see (tests/test_bpe.py)."""
+    punctuation merges SQL can't see (tests/test_bpe.py).
+
+    r9: a 'bpeb' branch drives the BYTE-level tokenizer
+    (operators/bpe.py ByteTokenizer — UTF-8 bytes mapped through the
+    public GPT-2 bytes_to_unicode stand-in table, full GPT-2
+    pre-split pattern with contractions) under the same letter-pair
+    table. The documents corpus is pure ASCII with no apostrophes,
+    so byte stand-ins equal the characters, no contraction rule
+    fires, and the identical closed-form count scores the byte
+    engine; the byte-specific semantics (multi-byte characters,
+    contraction splits, vocab.bpe loading, surrogateescape chunking)
+    are pinned in tests/test_bpe.py where SQL can't reach."""
     pack = pipeline.chunk_and_pack(
         _t(spark, sf, "documents"), chunk_tokens=32, budget=512
     ).select(
@@ -792,7 +803,17 @@ def q51_chunk_pack(spark, sf):
         F.lit(None).cast("long").alias("n_chunks"),
         n_bpe(F.col("text")).alias("bin_tokens"),
     )
-    return pack.unionByName(counts)
+    n_bpeb = bpe.count_udf(
+        [("t", "h"), ("th", "e")], byte_level=True
+    )
+    counts_b = _t(spark, sf, "documents").select(
+        F.lit("bpeb").alias("src"),
+        "source",
+        F.col("doc_id").alias("bin_id"),
+        F.lit(None).cast("long").alias("n_chunks"),
+        n_bpeb(F.col("text")).alias("bin_tokens"),
+    )
+    return pack.unionByName(counts).unionByName(counts_b)
 
 
 def q53_contamination(spark, sf):
@@ -2372,6 +2393,20 @@ def oracle_sql() -> dict[str, str]:
             -- (occ('th') INCLUDES those inside 'the': each 'the'
             -- costs two merge applications)
             SELECT 'bpe' AS src, source, doc_id AS bin_id,
+                   CAST(NULL AS BIGINT) AS n_chunks,
+                   length(text)
+                     - (length(text) - length(replace(text, 'th', '')))
+                       // 2
+                     - (length(text) - length(replace(text, 'the', '')))
+                       // 3
+                     AS bin_tokens
+            FROM documents
+            UNION ALL
+            -- byte-level BPE, same table: the corpus is pure ASCII
+            -- (byte stand-ins == characters) with no apostrophes (no
+            -- GPT-2 contraction rule fires), so the identical
+            -- closed-form count scores the byte engine
+            SELECT 'bpeb' AS src, source, doc_id AS bin_id,
                    CAST(NULL AS BIGINT) AS n_chunks,
                    length(text)
                      - (length(text) - length(replace(text, 'th', '')))

@@ -225,6 +225,195 @@ def test_train_bpe_feeds_counter_end_to_end(spark):
 from pyspark.sql.functions import col as F_col  # noqa: E402
 
 
+# --- byte-level (r9: VERDICT r8 item 1) -----------------------------------
+
+
+def test_bytes_to_unicode_is_the_public_table():
+    e = bpe.bytes_to_unicode()
+    assert len(e) == 256
+    assert len(set(e.values())) == 256  # bijective
+    # printable latin bytes map to themselves
+    assert e[ord("a")] == "a" and e[ord("!")] == "!"
+    # the canonical spot-checks every GPT-2 vocab file depends on
+    assert e[ord(" ")] == "Ġ"  # Ġ
+    assert e[ord("\n")] == "Ċ"  # Ċ
+    assert e[0] == "Ā"
+
+
+def test_byte_tokenizer_counts_bytes_not_chars():
+    e = bpe.bytes_to_unicode()
+    tb = bpe.ByteTokenizer([])
+    tc = bpe.Tokenizer([])
+    # é is 2 UTF-8 bytes: byte-level sees 3 symbols, char-level 2
+    assert tb.count("hé") == 3 and tc.count("hé") == 2
+    # a merge over é's two byte stand-ins collapses it back to one
+    tb2 = bpe.ByteTokenizer([(e[0xC3], e[0xA9])])
+    assert tb2.count("hé") == 2
+    assert bpe.ByteTokenizer.decode_tokens(tb2.encode("hé")) == "hé"
+    # hand-computed multi-byte merge cascade: € = E2 82 AC
+    euro = "€".encode("utf-8")
+    m = [(e[euro[0]], e[euro[1]]), (e[euro[0]] + e[euro[1]], e[euro[2]])]
+    tb3 = bpe.ByteTokenizer(m)
+    assert tb3.count("€€") == 2
+    assert bpe.ByteTokenizer.decode_tokens(tb3.encode("x€y")) == "x€y"
+
+
+def test_gpt2_pattern_contractions_and_classes():
+    t = bpe.ByteTokenizer([])
+    assert t.pieces("don't stop") == ["don", "'t", " stop"]
+    assert t.pieces("I'll we've he's I'm you're it'd") == [
+        "I", "'ll", " we", "'ve", " he", "'s", " I", "'m",
+        " you", "'re", " it", "'d",
+    ]
+    # digits split from letters; underscore joins punctuation class
+    assert t.pieces("abc123") == ["abc", "123"]
+    assert t.pieces("a_b") == ["a", "_", "b"]
+    # trailing-whitespace lookahead: the final space binds to the word
+    assert t.pieces("a b") == ["a", " b"]
+    assert t.pieces("a  b") == ["a", " ", " b"]
+    # the 't contraction splits a th-adjacency the char pattern keeps:
+    # byte pieces are "don","'t","h" so (t,h) cannot fire; char pieces
+    # are "don","'","th" so it does
+    m = [("t", "h")]
+    assert bpe.ByteTokenizer(m).encode("don'th") == [
+        "d", "o", "n", "'", "t", "h"
+    ]
+    assert bpe.Tokenizer(m).encode("don'th")[-1] == "th"
+
+
+def test_byte_pieces_partition_any_unicode():
+    t = bpe.ByteTokenizer([])
+    for s in ("", "héllo…", "日本語 テスト", "a b", "🎉 party",
+              "mixed 日本 and ascii", "\t\n  x"):
+        assert "".join(t.pieces(s)) == s
+        # no merges: token count == UTF-8 byte count
+        assert t.count(s) == len(s.encode("utf-8"))
+
+
+def test_byte_equals_char_on_ascii_letter_table():
+    # the q51 'bpeb' oracle contract: on ASCII text with no
+    # apostrophes, byte-level count under a letter-pair table equals
+    # the char-level closed form
+    import random
+
+    rng = random.Random(9)
+    m = [("t", "h"), ("th", "e")]
+    tb = bpe.ByteTokenizer(m)
+    for _ in range(200):
+        s = "".join(
+            rng.choice("thex .a") for _ in range(rng.randrange(0, 50))
+        )
+        assert tb.count(s) == len(s) - s.count("th") - s.count("the")
+
+
+def test_load_and_dump_merges_roundtrip(tmp_path):
+    txt = "#version: 0.2\nt h\nth e\n\nĠ t\n"
+    merges = bpe.load_merges(txt)
+    assert merges == [("t", "h"), ("th", "e"), ("Ġ", "t")]
+    # dump → load roundtrip
+    assert bpe.load_merges(bpe.dump_merges(merges)) == merges
+    # file variant
+    p = tmp_path / "vocab.bpe"
+    p.write_text(bpe.dump_merges(merges), encoding="utf-8")
+    assert bpe.load_merges_file(str(p)) == merges
+    # a real vocab.bpe line drives the byte tokenizer directly:
+    # space-prefixed merges are Ġ-encoded, not ' '. Hand-derived:
+    # " the" → Ġthe; (t,h) fires first → Ġ,th,e; (th,e) → Ġ,the;
+    # (Ġ,t) can never fire ('t' was consumed)
+    tok = bpe.ByteTokenizer(merges)
+    assert tok.encode(" the") == ["Ġ", "the"]
+    # whereas " tx" exercises the Ġ-merge: Ġ,t,x → Ġt,x
+    assert tok.encode(" tx") == ["Ġt", "x"]
+    with pytest.raises(ValueError, match="malformed"):
+        bpe.load_merges("a b c")
+    with pytest.raises(ValueError, match="space"):
+        bpe.dump_merges([(" a", "b")])
+
+
+def test_byte_tokenizer_pickles_and_caches():
+    import pickle
+
+    tok = bpe.ByteTokenizer([("t", "h")])
+    tok.encode("the thé")
+    tok2 = pickle.loads(pickle.dumps(tok))
+    assert isinstance(tok2, bpe.ByteTokenizer)
+    assert tok2._cache == {}
+    assert tok2.encode("tho") == ["th", "o"]
+
+
+def test_byte_count_udf_in_spark(spark):
+    from pyspark.sql import functions as F
+
+    e = bpe.bytes_to_unicode()
+    df = spark.createDataFrame(
+        [(1, "the theme"), (2, "hé"), (3, None)],
+        "doc_id long, text string",
+    )
+    udf = bpe.count_udf(
+        [("t", "h"), ("th", "e"), (e[0xC3], e[0xA9])], byte_level=True
+    )
+    out = dict(df.select("doc_id", udf(F.col("text")).alias("n")).collect())
+    assert out[1] == 5  # same as char-level on ASCII
+    assert out[2] == 2  # h + merged é bytes
+    assert out[3] is None
+
+
+def test_chunk_documents_bpe_byte_level_chunk_bytes(spark):
+    # chunk boundaries fall mid-character: "ééé..." with no merges is
+    # 2 byte-tokens per char, so chunk_tokens=3 splits every other é.
+    # the chunk_bytes binary column keeps concatenation byte-lossless
+    # (Arrow strings must be valid UTF-8, so chunk_text can't).
+    text = "é" * 5
+    df = spark.createDataFrame(
+        [(1, "s", text)], "doc_id long, source string, text string"
+    )
+    rows = (
+        bpe.chunk_documents_bpe(df, [], chunk_tokens=3, byte_level=True)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r["n_chunk_tokens"] for r in rows] == [3, 3, 3, 1]
+    joined = b"".join(bytes(r["chunk_bytes"]) for r in rows)
+    assert joined == text.encode("utf-8")
+    # chunk_text is the replace-decode view; mid-char boundaries show
+    # replacement chars but never raise
+    assert all("�" in r["chunk_text"] for r in rows)
+    # ascii chunking stays plain-lossless and token-count-real
+    df2 = spark.createDataFrame(
+        [(1, "s", "the quick brown fox the fox")],
+        "doc_id long, source string, text string",
+    )
+    m = [("t", "h"), ("th", "e")]
+    rows2 = (
+        bpe.chunk_documents_bpe(df2, m, chunk_tokens=4, byte_level=True)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert "".join(r["chunk_text"] for r in rows2) == (
+        "the quick brown fox the fox"
+    )
+    tok = bpe.ByteTokenizer(m)
+    assert sum(r["n_chunk_tokens"] for r in rows2) == tok.count(
+        "the quick brown fox the fox"
+    )
+
+
+def test_train_bpe_byte_level_learns_standin_merges(spark):
+    # non-ASCII corpus: byte-level training must learn merges over
+    # byte STAND-INS (é = C3 A9 → "Ã©"), hand-derived: é's two bytes
+    # are the most frequent adjacent pair
+    e = bpe.bytes_to_unicode()
+    df = spark.createDataFrame(
+        [(i, "éé éé x") for i in range(10)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(df, n_merges=1, byte_level=True)
+    assert merges == [(e[0xC3], e[0xA9])]
+    tok = bpe.ByteTokenizer(merges)
+    assert tok.count("éé") == 2
+    # and the table survives the vocab.bpe format roundtrip
+    assert bpe.load_merges(bpe.dump_merges(merges)) == merges
+
+
 # --- property tests -------------------------------------------------------
 
 from hypothesis import given, settings

@@ -9,11 +9,30 @@ the lowest-rank adjacent pair until no ranked pair remains) with the
 merge table passed as plain config — the same loadable-vocabulary
 shape real pipelines use, with no tokenizer library dependency.
 
-Honest scope: character-level over Python strings (a byte-level
-variant is a table+pattern away); the merge loop is Python per piece
-but Arrow-batched across rows and MEMOIZED per worker — natural
-language repeats words, so the per-piece cache turns the hot path
-into dict lookups (measured: ~40x on the documents table).
+Two levels (r9 closes VERDICT r8 item 1):
+
+* char-level (``Tokenizer``) — merges over Python characters with a
+  simplified pre-split pattern; SQL-recomputable for letter-pair
+  tables, which is how the q51 oracle scores the merge engine.
+* byte-level (``ByteTokenizer``) — the production GPT-2 shape:
+  pieces are UTF-8 encoded, each byte mapped through the public
+  ``bytes_to_unicode`` table to a printable stand-in character, and
+  merges apply over those stand-ins. Merge tables load from the
+  standard ``vocab.bpe`` file format (``load_merges`` /
+  ``load_merges_file``: optional ``#version`` header, one
+  space-separated pair per line) so a real GPT-2/tiktoken-exported
+  table drops in unchanged. The pre-split pattern is the full GPT-2
+  pattern (contractions included), expressed with stdlib-``re``
+  unicode classes (``[^\\W\\d_]`` for ``\\p{L}``); the runtime
+  lossless-partition check guards the translation. On ASCII text
+  (where every byte stand-in is the character itself) byte-level
+  counts equal char-level counts for the same letter-pair table —
+  which is why the q51 oracle is untouched by the switch.
+
+The merge loop is Python per piece but Arrow-batched across rows and
+MEMOIZED per worker — natural language repeats words, so the
+per-piece cache turns the hot path into dict lookups (measured: ~40x
+on the documents table).
 
 Spark-side contract: everything enters plans through
 ``count_udf`` (a pandas UDF factory → token-count column, the opt-in
@@ -40,6 +59,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -53,6 +73,82 @@ from pyspark.sql.types import (
 # adjacent letter, which is what makes letter-pair merge tables
 # SQL-recomputable.)
 DEFAULT_PATTERN = r" ?\w+| ?[^\s\w]+|\s+"
+
+# The full GPT-2 pre-split pattern (contractions, letter runs, digit
+# runs, punctuation runs, trailing-whitespace lookahead), translated
+# to stdlib ``re``: ``\p{L}`` -> ``[^\W\d_]`` (unicode letters),
+# ``\p{N}`` -> ``\d``, ``[^\s\p{L}\p{N}]`` -> ``(?:[^\s\w]|_)``
+# (underscore is \w but not a letter/number, so it must rejoin the
+# punctuation class or the pattern would not partition the string —
+# ``Tokenizer.pieces`` raises if coverage is ever lost).
+GPT2_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte↔unicode stand-in table: every byte maps
+    to a PRINTABLE unicode character (printable latin bytes map to
+    themselves; the rest map to 256+n in first-free order) so merge
+    tables and token strings are plain text — the exact table
+    ``vocab.bpe`` files are written against."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_BYTE_ENCODER = bytes_to_unicode()
+_BYTE_DECODER = {c: b for b, c in _BYTE_ENCODER.items()}
+
+
+def load_merges(text: str) -> list[tuple[str, str]]:
+    """Parse the standard ``vocab.bpe`` merge-file format: an optional
+    ``#version: ...`` header, then one space-separated pair per line
+    (pairs are in byte-stand-in space, ready for ``ByteTokenizer``).
+    Blank lines are ignored; anything else malformed raises."""
+    merges: list[tuple[str, str]] = []
+    for lineno, ln in enumerate(text.splitlines(), 1):
+        ln = ln.rstrip("\n")
+        if not ln.strip() or ln.startswith("#version"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(
+                f"bpe: malformed merge line {lineno}: {ln!r}"
+            )
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
+def load_merges_file(path: str) -> list[tuple[str, str]]:
+    with open(path, encoding="utf-8") as f:
+        return load_merges(f.read())
+
+
+def dump_merges(merges: Iterable[tuple[str, str]]) -> str:
+    """Serialize a merge table to the ``vocab.bpe`` file format
+    (round-trips through ``load_merges``)."""
+    lines = ["#version: 0.2"]
+    for a, b in merges:
+        if " " in a or " " in b:
+            raise ValueError(
+                f"bpe: merge token containing a space cannot be "
+                f"written to the vocab.bpe format: {(a, b)!r}"
+            )
+        lines.append(f"{a} {b}")
+    return "\n".join(lines) + "\n"
 
 
 def merge_ranks(merges: Iterable[tuple[str, str]]) -> dict:
@@ -144,12 +240,72 @@ class Tokenizer:
         return len(self.encode(text))
 
 
-def count_udf(merges, pattern: str | None = None):
+class ByteTokenizer(Tokenizer):
+    """Byte-level BPE — the production GPT-2 contract. Pieces come
+    from the full GPT-2 pre-split pattern, each piece is UTF-8
+    encoded and its bytes mapped through ``bytes_to_unicode`` stand-in
+    characters; merges (pairs of stand-in strings, exactly the
+    ``vocab.bpe`` line format) apply over those stand-ins. Counts
+    therefore match a real byte-level tokenizer on ANY text —
+    multi-byte characters start as one symbol per byte, where the
+    char-level ``Tokenizer`` counted one per character.
+
+    ``decode_tokens`` inverts token strings back to text;
+    ``errors`` handles token boundaries that fall mid-character
+    (legal in byte-level BPE) — ``chunk_documents_bpe`` uses
+    ``surrogateescape`` so chunk texts re-encode byte-exactly."""
+
+    def __init__(self, merges, pattern: str | None = None):
+        super().__init__(merges, pattern or GPT2_PATTERN)
+
+    def __setstate__(self, state):
+        super().__setstate__(state)
+
+    def encode(self, text: str) -> list[str]:
+        toks: list[str] = []
+        cache = self._cache
+        enc = _BYTE_ENCODER
+        for piece in self.pieces(text):
+            got = cache.get(piece)
+            if got is None:
+                mapped = "".join(
+                    enc[b] for b in piece.encode("utf-8")
+                )
+                got = _encode_piece(mapped, self.ranks)
+                if len(cache) < 1_000_000:
+                    cache[piece] = got
+            toks.extend(got)
+        return toks
+
+    @staticmethod
+    def token_bytes(token: str) -> bytes:
+        return bytes(_BYTE_DECODER[c] for c in token)
+
+    @classmethod
+    def decode_tokens(
+        cls, tokens: Iterable[str], errors: str = "strict"
+    ) -> str:
+        return b"".join(map(cls.token_bytes, tokens)).decode(
+            "utf-8", errors=errors
+        )
+
+
+def _make_tokenizer(merges, pattern, byte_level):
+    if byte_level:
+        return ByteTokenizer(merges, pattern)
+    return Tokenizer(merges, pattern)
+
+
+def count_udf(
+    merges, pattern: str | None = None, byte_level: bool = False
+):
     """Pandas-UDF factory: ``count_udf(merges)(F.col("text"))`` is a
     long column of BPE token counts — the opt-in ``counter`` for
     ``pack_sequences`` / ``budget_select``. Arrow-batched; NULL text
-    counts as NULL (kept NULL-transparent like the window guards)."""
-    tok = Tokenizer(merges, pattern)
+    counts as NULL (kept NULL-transparent like the window guards).
+    ``byte_level=True`` switches to ``ByteTokenizer`` (merges in
+    ``vocab.bpe`` stand-in space, full GPT-2 pattern)."""
+    tok = _make_tokenizer(merges, pattern, byte_level)
 
     @F.pandas_udf(LongType())
     def _count(s: pd.Series) -> pd.Series:
@@ -158,10 +314,12 @@ def count_udf(merges, pattern: str | None = None):
     return _count
 
 
-def counter(merges, pattern: str | None = None):
+def counter(
+    merges, pattern: str | None = None, byte_level: bool = False
+):
     """The ``counter=`` plug for pipeline operators: a callable
     mapping a text column NAME to its token-count Column."""
-    udf = count_udf(merges, pattern)
+    udf = count_udf(merges, pattern, byte_level=byte_level)
 
     def _col(text_col: str) -> Column:
         return udf(F.col(text_col))
@@ -175,6 +333,7 @@ def train_bpe(
     text_col: str = "text",
     pattern: str | None = None,
     max_pieces: int = 1_000_000,
+    byte_level: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn a merge table FROM the corpus — the missing half of the
     loadable-table story. One distributed pass builds the piece
@@ -190,21 +349,31 @@ def train_bpe(
     count (same bounded-collect class as budget_select's score
     histogram); natural-language vocabularies sit far below the
     default. The returned list feeds ``Tokenizer`` / ``counter`` /
-    ``chunk_documents_bpe`` directly."""
+    ``chunk_documents_bpe`` directly. With ``byte_level=True`` the
+    histogram is built over byte-stand-in strings and the returned
+    merges are in ``vocab.bpe`` stand-in space — ready for
+    ``ByteTokenizer`` or ``dump_merges``."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     # piece extraction runs the SAME Python splitter the runtime
     # tokenizer uses (Java regex \\w/\\s classes differ from Python's
     # — a histogram split differently from the runtime split would
     # learn merges for pieces that never occur)
-    tok = Tokenizer([], pattern)
+    tok = _make_tokenizer([], pattern, byte_level)
+    enc = _BYTE_ENCODER
 
     def explode_pieces(batches):
         for pdf in batches:
             out = []
             for t in pdf[text_col]:
                 if t:
-                    out.extend(tok.pieces(t))
+                    ps = tok.pieces(t)
+                    if byte_level:
+                        ps = [
+                            "".join(enc[b] for b in p.encode("utf-8"))
+                            for p in ps
+                        ]
+                    out.extend(ps)
             yield pd.DataFrame({"piece": out})
 
     hist_rows = (
@@ -263,6 +432,7 @@ def chunk_documents_bpe(
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
     pattern: str | None = None,
+    byte_level: bool = False,
 ) -> DataFrame:
     """BPE-boundary chunking: split each document into chunks of
     ``chunk_tokens`` BPE tokens (last chunk = remainder), reassembling
@@ -273,10 +443,23 @@ def chunk_documents_bpe(
     it drops into ``chunk_and_pack``-style compositions; one Arrow
     pass, no shuffle, no join.
 
+    ``byte_level=True`` chunks at BYTE-token boundaries, which may
+    legally fall mid-UTF-8-character — and Arrow string columns must
+    be valid UTF-8, so the byte-exact payload cannot ride
+    ``chunk_text``. The byte-level schema therefore adds a
+    ``chunk_bytes`` BINARY column carrying the chunk's exact UTF-8
+    bytes (``concat(chunk_bytes) == text.encode('utf-8')``,
+    byte-lossless always), while ``chunk_text`` is the
+    ``errors='replace'`` decode — identical to the exact text
+    whenever the boundary lands on a character edge, human-readable
+    otherwise. This mirrors what production byte-level pipelines do:
+    the authoritative chunk payload is bytes/token-ids, the string is
+    a view.
+
     Empty documents (zero tokens) produce zero chunk rows — the
     ``chunk_documents`` contract."""
     keep = list(keep_cols)
-    tok = Tokenizer(merges, pattern)
+    tok = _make_tokenizer(merges, pattern, byte_level)
     schema = StructType(
         [documents.schema["doc_id"]]
         + [documents.schema[k] for k in keep]
@@ -285,6 +468,7 @@ def chunk_documents_bpe(
             StructField("chunk_text", StringType()),
             StructField("n_chunk_tokens", LongType()),
         ]
+        + ([StructField("chunk_bytes", BinaryType())] if byte_level else [])
     )
     c = chunk_tokens
 
@@ -296,11 +480,19 @@ def chunk_documents_bpe(
                 toks = tok.encode(d[text_col] or "")
                 for cid in range(0, (len(toks) + c - 1) // c):
                     part = toks[cid * c : (cid + 1) * c]
+                    if byte_level:
+                        raw = b"".join(
+                            map(ByteTokenizer.token_bytes, part)
+                        )
+                        txt = raw.decode("utf-8", errors="replace")
+                        rows["chunk_bytes"].append(raw)
+                    else:
+                        txt = "".join(part)
                     rows["doc_id"].append(d["doc_id"])
                     for k in keep:
                         rows[k].append(d[k])
                     rows["chunk_id"].append(cid)
-                    rows["chunk_text"].append("".join(part))
+                    rows["chunk_text"].append(txt)
                     rows["n_chunk_tokens"].append(len(part))
             yield pd.DataFrame(rows)
 
