@@ -969,7 +969,15 @@ def q63_media_decode(spark, sf):
     codec (operators/vp8l.py) in the workers; the hook is now
     ``multimodal.register_builtin_codecs`` (jpeg + vp8l). Lossless
     means the mean IS the planted color — closed-form like the jpeg
-    rows, byte_len NULL'd the same way."""
+    rows, byte_len NULL'd the same way.
+
+    r9: a GIF branch — 50 planted gradient GIFs (ids 12,000+, index
+    (id+x+y)%256 through a grayscale identity palette, interlaced for
+    even ids) decoded by the pure-stdlib LZW codec in
+    operators/gif.py via the same registry hook. Lossless + identity
+    palette make both means the BMP-style closed form
+    ((1000·Σ(id+x+y)%256)//(w·h), channel cancellation); byte_len is
+    NULL'd (LZW container size is not SQL-recomputable)."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # lazy checkpoint: three consumers (features, audio, resize) read
     # the synthesized media table — without it each re-runs the full
@@ -991,6 +999,13 @@ def q63_media_decode(spark, sf):
                 )
             )
         )
+        .unionByName(
+            multimodal.synth_gif_media(
+                spark.range(12_000, 12_050).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
         .localCheckpoint(eager=False)
     )
     setup = multimodal.register_builtin_codecs
@@ -1005,7 +1020,7 @@ def q63_media_decode(spark, sf):
         feats.withColumn(
             "byte_len",
             F.when(
-                F.col("kind").isin("png", "jpeg", "webp"),
+                F.col("kind").isin("png", "jpeg", "webp", "gif"),
                 F.lit(None).cast("long"),
             ).otherwise(F.col("byte_len")),
         )
@@ -2710,6 +2725,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * ((41 * (11000 + g.v) + 7) % 256)
                         AS BIGINT) AS resized_feat_milli
             FROM generate_series(0, 49) g(v)
+            UNION ALL
+            -- gif plant: gradient index (id+x+y)%256 through a
+            -- grayscale identity palette — lossless, so the BMP
+            -- closed form applies; byte_len NULL (LZW size)
+            SELECT g.doc_id, 'gif' AS kind,
+                   CAST(g.w AS BIGINT) AS width,
+                   CAST(g.h AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST((1000 * SUM((g.doc_id + x.v + y.v) % 256))
+                        // (g.w * g.h) AS BIGINT) AS feat_milli,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS peak_abs,
+                   CAST(NULL AS BIGINT) AS zero_crossings,
+                   CAST(NULL AS BIGINT) AS rms_milli,
+                   (SELECT CAST((1000 * SUM((g.doc_id
+                                             + (xr.v * g.w) // 4
+                                             + (yr.v * g.h) // 4) % 256))
+                                // 16 AS BIGINT)
+                    FROM generate_series(0, 3) xr(v),
+                         generate_series(0, 3) yr(v))
+                     AS resized_feat_milli
+            FROM (SELECT 12000 + s.v AS doc_id,
+                         10 + (12000 + s.v) % 7 AS w,
+                         6 + (12000 + s.v) % 5 AS h
+                  FROM generate_series(0, 49) s(v)) g,
+                 generate_series(0, 15) x(v),
+                 generate_series(0, 10) y(v)
+            WHERE x.v < g.w AND y.v < g.h
+            GROUP BY g.doc_id, g.w, g.h
             ORDER BY doc_id
         """,
         # Repetition signals: the Spark side computes the top-bigram

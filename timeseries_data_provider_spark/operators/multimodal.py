@@ -872,6 +872,41 @@ def synth_webp_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def synth_gif_media(ids: DataFrame) -> DataFrame:
+    """Gradient GIF per doc_id: dims (10+(id%7)) × (6+(id%5)),
+    256-entry grayscale palette (entry i = (i,i,i)), index
+    (id+x+y) % 256, INTERLACED for even ids — so the worker-side
+    decode exercises the full LZW path, a non-trivial palette, and
+    both interlace layouts. GIF is lossless and the palette is the
+    identity on gray, so the q63 oracle recomputes the mean as
+    (1000·Σ(id+x+y)%256)//(w·h) — the BMP branch's channel
+    cancellation applies unchanged."""
+    from timeseries_data_provider_spark.operators import gif as _gif
+
+    pal = np.repeat(
+        np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 10 + (i % 7), 6 + (i % 5)
+                ys, xs = np.mgrid[0:h, 0:w]
+                idx = ((i + xs + ys) % 256).astype(np.uint8)
+                payload = _gif.encode_gif(
+                    w, h, idx, pal, interlace=(i % 2 == 0)
+                )
+                out["doc_id"].append(i)
+                out["kind"].append("gif")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def synth_fmp4_media(ids: DataFrame) -> DataFrame:
     """Fragmented (CMAF-style) skeletons per doc_id: 2+(id%3)
     fragments of 3+(id%4) samples — the closed-form layout of
@@ -901,10 +936,11 @@ def synth_fmp4_media(ids: DataFrame) -> DataFrame:
 
 def register_builtin_codecs() -> None:
     """Worker-side ``codec_setup`` hook installing EVERY in-repo
-    optional codec (baseline+progressive JPEG, VP8L WebP) — module-
-    level and picklable, for media tables mixing formats."""
-    from timeseries_data_provider_spark.operators import jpeg, vp8l
+    optional codec (baseline+progressive JPEG, VP8L WebP, GIF) —
+    module-level and picklable, for media tables mixing formats."""
+    from timeseries_data_provider_spark.operators import gif, jpeg, vp8l
 
+    gif.register()
     jpeg.register()
     vp8l.register()
 
