@@ -413,8 +413,8 @@ def test_fragmented_hostile_errors():
     )
     with pytest.raises(ValueError, match="traf without tfhd"):
         list(mp4.iter_fragment_samples(bad, 1))
-    # second traf for the same track with NEITHER base flag: the
-    # chaining default is a named gap
+    # second traf for the same track with NEITHER base flag CHAINS
+    # off the first traf's data end (r9): 1000 + 0 + 5 = 1005
     traf_ok = mp4._box(
         b"traf",
         mp4._tfhd_box(1, base_offset=1000)
@@ -429,8 +429,39 @@ def test_fragmented_hostile_errors():
         b"moof",
         mp4._full(b"mfhd", struct.pack(">I", 1)) + traf_ok + traf_chain,
     )
-    with pytest.raises(NotImplementedError, match="chaining"):
-        list(mp4.iter_fragment_samples(chain, 1))
+    offs = [s["offset"] for s in mp4.iter_fragment_samples(chain, 1)]
+    assert offs == [1000, 1005]
+    # a chain through a preceding traf whose geometry is undecodable
+    # (other track, sample with no size anywhere) is a named error —
+    # the same OTHER-track traf is silently ignored when nothing
+    # chains past it (pre-r9 leniency preserved: walk track 2 works)
+    traf_bad_other = mp4._box(
+        b"traf",
+        mp4._tfhd_box(9, base_offset=500)
+        + mp4._trun_box([(None, None)], data_offset=0),
+    )
+    traf_target = mp4._box(
+        b"traf",
+        mp4._tfhd_box(1)
+        + mp4._trun_box([(None, 5)], data_offset=0, per_size=True),
+    )
+    traf_abs = mp4._box(
+        b"traf",
+        mp4._tfhd_box(2, base_offset=2000)
+        + mp4._trun_box(
+            [(17, 7)], data_offset=0, per_size=True, per_duration=True
+        ),
+    )
+    blocked = ftyp_moov + mp4._box(
+        b"moof",
+        mp4._full(b"mfhd", struct.pack(">I", 1))
+        + traf_bad_other
+        + traf_target
+        + traf_abs,
+    )
+    with pytest.raises(ValueError, match="chained traf base-offset"):
+        list(mp4.iter_fragment_samples(blocked, 1))
+    assert [s["offset"] for s in mp4.iter_fragment_samples(blocked, 2)] == [2000]
     # sample with no size from trun, tfhd, or trex
     no_size = ftyp_moov.replace(
         mp4._trex_box(1, 25, 0), mp4._trex_box(1, 25, 0)
@@ -553,8 +584,61 @@ def test_fragmented_every_truncation_point():
             list(mp4.iter_fragment_samples(enc[:cut], 1))
         except ValueError as e:
             assert str(e).startswith("mp4:"), (cut, e)
-        except NotImplementedError:
-            pass
+
+
+def test_chained_every_truncation_point():
+    enc = mp4.build_chained_fragmented_skeleton(32, 32, 2, 3)
+    for cut in range(0, len(enc), 3):
+        for tid in (1, 2):
+            try:
+                list(mp4.iter_fragment_samples(enc[:cut], tid))
+            except ValueError as e:
+                assert str(e).startswith("mp4:"), (cut, tid, e)
+
+
+def test_chained_fragmented_skeleton_walks_both_tracks():
+    """The §8.8.7 chained default end-to-end: track 1 anchors each
+    moof at its own start (flags 0, first traf); track 2's traf has
+    flags 0 AND no trun data_offset, so its base is the END of track
+    1's data — moof start + 64 + Σ(100+i). Expected offsets are
+    recovered from the actual moof positions (box sizes aren't doc-id
+    arithmetic), durations from trex defaults."""
+    spf = 3
+    nf = 2
+    enc = mp4.build_chained_fragmented_skeleton(24, 16, nf, spf)
+    # moof start positions: the tag sits 4 bytes into the box header
+    moof_starts = []
+    p = 0
+    while True:
+        p = enc.find(b"moof", p)
+        if p < 0:
+            break
+        moof_starts.append(p - 4)
+        p += 4
+    assert len(moof_starts) == nf
+    v = list(mp4.iter_fragment_samples(enc, 1))
+    a = list(mp4.iter_fragment_samples(enc, 2))
+    assert len(v) == len(a) == nf * spf
+    t1_bytes = sum(100 + i for i in range(spf))
+    for f, m in enumerate(moof_starts):
+        for j in range(spf):
+            s = v[f * spf + j]
+            assert s["offset"] == m + 64 + 100 * j + j * (j - 1) // 2
+            assert s["size"] == 100 + j
+            assert s["dts"] == 500 * f + 25 * j
+            assert s["fragment"] == f + 1
+            t = a[f * spf + j]
+            assert t["offset"] == (
+                m + 64 + t1_bytes + 40 * j + j * (j - 1) // 2
+            )
+            assert t["size"] == 40 + j
+            assert t["dts"] == 300 * f + 10 * j
+    # the metadata tier sees both tracks' fragment summaries
+    meta = mp4.decode_video_meta(enc)
+    byid = {t["track_id"]: t for t in meta["tracks"]}
+    assert byid[1]["n_samples"] == nf * spf
+    assert byid[2]["n_samples"] == nf * spf
+    assert byid[2]["sample_bytes"] == nf * sum(40 + i for i in range(spf))
 
 
 # --- property tests (hypothesis) ------------------------------------------

@@ -31,8 +31,10 @@ durations/sizes — so ``iter_fragment_samples`` yields the same
 (offset, size, dts) stream for streaming-style files, and
 ``decode_video_meta`` fills the per-track summary from the fragment
 walk when the moov sample tables are absent. The traf-chaining
-base-offset default (neither flag present) is a named
-NotImplementedError.
+base-offset default (neither flag present: base = end of the
+preceding traf's data, §8.8.7) is implemented too (r9) — the common
+multi-track CMAF layout; a chain through an undecodable preceding
+traf is a named ValueError.
 """
 
 from __future__ import annotations
@@ -544,9 +546,15 @@ def iter_fragment_samples(payload: bytes, track_id: int):
     ``iter_samples`` for streaming-style (DASH/CMAF) layouts, dts in
     mdhd-timescale units (tfdt when present, else accumulated).
     ``chunk`` counts trun runs across the whole track. The traf
-    base-offset default that chains off the PREVIOUS traf's data end
-    (neither base-data-offset nor default-base-is-moof set, non-first
-    traf) is a named NotImplementedError."""
+    base-offset default CHAINS off the preceding traf's data end
+    (ISO/IEC 14496-12 §8.8.7: neither base-data-offset nor
+    default-base-is-moof set → first traf anchors at the moof start,
+    each subsequent traf at the end of the data defined by the
+    preceding track fragment — chaining resets at every moof). To
+    resolve the chain, preceding trafs of OTHER tracks have their
+    byte geometry walked too (sizes only — their dts timelines are
+    ignored); a preceding traf whose geometry is undecodable makes a
+    chained base unresolvable, a named ValueError."""
     try:
         yield from _iter_fragment_samples(payload, track_id)
     except (IndexError, struct.error) as ex:
@@ -576,6 +584,11 @@ def _iter_fragment_samples(payload: bytes, track_id: int):
             else 0
         )
         first_traf = True
+        # end of the PRECEDING traf's data in this moof (the §8.8.7
+        # chained default); None = unknowable, with the reason kept
+        # so a traf that actually needs the chain can name it
+        prev_end: int | None = None
+        prev_err: str | None = None
         for t2, tb, te in _boxes(payload, mb, me):
             if t2 != b"traf":
                 continue
@@ -583,64 +596,97 @@ def _iter_fragment_samples(payload: bytes, track_id: int):
             if tfhd_box is None:
                 raise ValueError("mp4: traf without tfhd")
             tfhd = _parse_tfhd(payload, *tfhd_box)
-            if tfhd["track_id"] != track_id:
-                first_traf = False
-                continue
+            is_target = tfhd["track_id"] == track_id
             if tfhd["base_offset"] is not None:
                 base = tfhd["base_offset"]
             elif tfhd["flags"] & _TFHD_BASE_IS_MOOF or first_traf:
                 # spec default for the FIRST traf is the moof start
                 base = mstart
+            elif prev_end is not None:
+                # second and subsequent trafs chain off the end of
+                # the data defined by the preceding track fragment
+                base = prev_end
+            elif is_target:
+                raise ValueError(
+                    "mp4: chained traf base-offset unresolvable — "
+                    f"preceding traf geometry undecodable ({prev_err})"
+                )
             else:
-                raise NotImplementedError(
-                    "mp4: traf base-offset chaining (offset defaults "
-                    "to the previous traf's data end) not supported — "
-                    "set base-data-offset or default-base-is-moof"
-                )
-            tfdt_box = _find(payload, tb, te, b"tfdt")
-            if tfdt_box is not None:
-                dts = _parse_tfdt(payload, *tfdt_box)
+                # a NON-target traf with an unresolvable chained base:
+                # its own end is equally unknowable — stay lenient
+                # (the pre-chaining behavior ignored other tracks
+                # entirely) and carry the reason forward in case a
+                # later traf the caller DOES care about chains here
+                first_traf = False
+                continue
+            t_def = tdef if is_target else trex.get(
+                tfhd["track_id"], {}
+            )
+            if is_target:
+                tfdt_box = _find(payload, tb, te, b"tfdt")
+                if tfdt_box is not None:
+                    dts = _parse_tfdt(payload, *tfdt_box)
             cursor = None
-            for t3, rb, re_ in _boxes(payload, tb, te):
-                if t3 != b"trun":
-                    continue
-                trun = _parse_trun(payload, rb, re_)
-                if trun["data_offset"] is not None:
-                    cursor = base + trun["data_offset"]
-                elif cursor is None:
-                    cursor = base
-                run_no += 1
-                run_samples = (
-                    trun["samples"]
-                    if trun["samples"] is not None
-                    else ((None, None) for _ in range(trun["count"]))
-                )
-                for dur, size in run_samples:
-                    if size is None:
-                        size = tfhd["def_size"]
-                    if size is None:
-                        size = tdef.get("size")
-                    if dur is None:
-                        dur = tfhd["def_duration"]
-                    if dur is None:
-                        dur = tdef.get("duration")
-                    if size is None or dur is None:
-                        raise ValueError(
-                            "mp4: trun sample without a size/duration "
-                            "and no tfhd/trex default"
-                        )
-                    yield {
-                        "index": idx,
-                        "fragment": seq,
-                        "chunk": run_no,
-                        "offset": cursor,
-                        "size": size,
-                        "dts": dts,
-                        "duration": dur,
-                    }
-                    cursor += size
-                    dts += dur
-                    idx += 1
+            end = base
+            try:
+                for t3, rb, re_ in _boxes(payload, tb, te):
+                    if t3 != b"trun":
+                        continue
+                    trun = _parse_trun(payload, rb, re_)
+                    if trun["data_offset"] is not None:
+                        cursor = base + trun["data_offset"]
+                    elif cursor is None:
+                        cursor = base
+                    if is_target:
+                        run_no += 1
+                    run_samples = (
+                        trun["samples"]
+                        if trun["samples"] is not None
+                        else ((None, None) for _ in range(trun["count"]))
+                    )
+                    for dur, size in run_samples:
+                        if size is None:
+                            size = tfhd["def_size"]
+                        if size is None:
+                            size = t_def.get("size")
+                        if size is None:
+                            raise ValueError(
+                                "mp4: trun sample without a size and "
+                                "no tfhd/trex default"
+                            )
+                        if is_target:
+                            if dur is None:
+                                dur = tfhd["def_duration"]
+                            if dur is None:
+                                dur = t_def.get("duration")
+                            if dur is None:
+                                raise ValueError(
+                                    "mp4: trun sample without a "
+                                    "duration and no tfhd/trex default"
+                                )
+                            yield {
+                                "index": idx,
+                                "fragment": seq,
+                                "chunk": run_no,
+                                "offset": cursor,
+                                "size": size,
+                                "dts": dts,
+                                "duration": dur,
+                            }
+                            dts += dur
+                            idx += 1
+                        cursor += size
+                        if cursor > end:
+                            end = cursor
+            except (ValueError, IndexError, struct.error) as ex:
+                if is_target:
+                    raise
+                # a hostile/undecodable OTHER-track traf stays ignored
+                # (the pre-chaining behavior) unless a later traf
+                # needs its data end to resolve a chained base
+                prev_end, prev_err = None, str(ex)
+            else:
+                prev_end, prev_err = end, None
             first_traf = False
 
 
@@ -817,16 +863,12 @@ def _decode_video_meta(payload: bytes) -> dict:
             # (or the zero-ENTRY tables real CMAF muxers emit — the
             # n_samples == 0 case, review finding) and a zero duration
             # by design — fill both from the fragment walk, durations
-            # in the MEDIA (mdhd) timescale. A fragment layout the
-            # walker doesn't support (traf base-offset chaining)
-            # degrades to the empty summary instead of leaking
-            # NotImplementedError through the metadata tier's
-            # ValueError-only triage contract (review finding); the
-            # explicit iter_fragment_samples walk still names the gap.
-            try:
-                frag = _fragment_summary(payload, track_id)
-            except NotImplementedError:
-                frag = None
+            # in the MEDIA (mdhd) timescale. Traf base-offset chaining
+            # is implemented as of r9, so the former
+            # NotImplementedError degradation is gone: every fragment
+            # geometry either walks or raises the ValueError the
+            # metadata tier's triage contract already names.
+            frag = _fragment_summary(payload, track_id)
             if frag is not None:
                 mdhd = _find(payload, mdia[0], mdia[1], b"mdhd")
                 if mdhd is None:
@@ -1186,4 +1228,65 @@ def build_fragmented_skeleton(
             b"moof", _full(b"mfhd", struct.pack(">I", f + 1)) + traf
         )
         out += moof
+    return out
+
+
+def build_chained_fragmented_skeleton(
+    width: int,
+    height: int,
+    n_fragments: int = 2,
+    samples_per_fragment: int = 3,
+    timescale: int = 1000,
+) -> bytes:
+    """TWO-track fragmented skeleton exercising the §8.8.7 CHAINED
+    base-offset default: per fragment f one moof with a video traf
+    (track 1, tfhd flags 0 → FIRST traf anchors at the moof start,
+    trun data_offset 64, per-sample sizes 100+j, tfdt 500f) followed
+    by an audio traf (track 2, tfhd flags 0, trun with NO
+    data_offset → base CHAINS to the end of traf 1's data, per-sample
+    sizes 40+j, tfdt 300f). trex defaults supply durations (25/10
+    ticks). Closed form relative to each moof's start M_f:
+    track 1 sample j: offset = M_f + 64 + 100j + j(j-1)/2;
+    track 2 sample j: offset = M_f + 64 + Σ_{i<spf}(100+i)
+    + 40j + j(j-1)/2. M_f itself depends on box sizes, so tests
+    recover it from the parsed moof positions rather than doc-id
+    arithmetic (which is why this layout is pytest-pinned, not a q34
+    oracle branch)."""
+    spf = samples_per_fragment
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5cmfc"
+    )
+    mvex = _box(b"mvex", _trex_box(1, 25, 0) + _trex_box(2, 10, 0))
+    moov = _box(
+        b"moov",
+        _mvhd(timescale, 0, 3)
+        + _trak(1, 0, b"vide", b"mp4v", width, height, timescale)
+        + _trak(2, 0, b"soun", b"mp4a", 0, 0, timescale)
+        + mvex,
+    )
+    out = ftyp + moov
+    for f in range(n_fragments):
+        traf1 = _box(
+            b"traf",
+            _tfhd_box(1)
+            + _tfdt_box(500 * f)
+            + _trun_box(
+                [(None, 100 + j) for j in range(spf)],
+                data_offset=64,
+                per_size=True,
+            ),
+        )
+        traf2 = _box(
+            b"traf",
+            _tfhd_box(2)
+            + _tfdt_box(300 * f)
+            + _trun_box(
+                [(None, 40 + j) for j in range(spf)],
+                per_size=True,
+            ),
+        )
+        out += _box(
+            b"moof",
+            _full(b"mfhd", struct.pack(">I", f + 1)) + traf1 + traf2,
+        )
     return out
