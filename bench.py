@@ -45,8 +45,47 @@ EXPLAINED_MOVES = {
         "fetch-list branch + fragmented (fmp4) branch"
     ),
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
-    "q63_media_decode": "r8: new VP8L WebP decode branch (50 images)",
+    "q63_media_decode": "r9: new GIF decode branch (50 images)",
 }
+
+# Per-branch timing for union-composed queries (VERDICT r8 item 8):
+# a composed row's headline number is insensitive to a regression in
+# any one branch, so each branch is ALSO timed as the full query
+# filtered to its tag predicate — Catalyst constant-folds the literal
+# tags of the other union children and prunes their subtrees (checked:
+# q31 filtered to 'brute' drops from 20 parquet scans to 4), so the
+# filtered run prices that branch's plan, not the union. Branch
+# timings ride in "branches" and diff per-branch in vs_prev.
+BRANCHES = {
+    "q31_ann_topk": {
+        "brute": "algo = 'brute'",
+        "ivf": "algo = 'ivf'",
+        "batch": "algo like 'batch%'",
+        "sq8": "algo = 'sq8'",
+        "rp": "algo = 'rp'",
+        "ivf_layout": "algo = 'ivf_layout'",
+        "ivf_append": "algo = 'ivf_append'",
+    },
+    "q34_multimodal_frames": {
+        "frames": "src = 'frames'",
+        "mp4": "src = 'mp4'",
+        "fmp4": "src = 'fmp4'",
+        "sample": "src = 'sample'",
+    },
+    "q51_chunk_pack": {
+        "pack": "src = 'pack'",
+        "bpe": "src = 'bpe'",
+        "bpeb": "src = 'bpeb'",
+    },
+    "q29_minhash_lsh": {
+        "batch": "mode = 'batch'",
+        "incr": "mode like 'incr_%'",
+    },
+}
+
+# Branch-level composition notes, keyed "query::branch" — same
+# contract as EXPLAINED_MOVES at branch granularity.
+EXPLAINED_BRANCH_MOVES: dict[str, str] = {}
 
 
 def _load_bench(path: str):
@@ -92,12 +131,16 @@ def _prev_artifact(repo_dir: str):
     return None, None
 
 
-def _vs_prev(prev_path, prev, timings, spread, sf_num):
+def _vs_prev(prev_path, prev, timings, spread, sf_num, branches):
     """Machine-separate composition cost from regression (VERDICT r6
     item 7): ratio each query against the previous artifact and flag
     unexplained >1.5x moves. A flag requires BOTH the min and the p50
     to exceed 1.5x — host contention only ever ADDS time, so a clean
-    min with a noisy p50 is a poisoned sample, not a regression."""
+    min with a noisy p50 is a poisoned sample, not a regression.
+    Branch timings (VERDICT r8 item 8) diff the same way under
+    "query::branch" keys when the previous artifact carries them —
+    a regression inside one union branch flags even when the composed
+    row's total hides it."""
     if prev.get("sf") != sf_num:
         return {
             "prev": os.path.basename(prev_path),
@@ -107,22 +150,34 @@ def _vs_prev(prev_path, prev, timings, spread, sf_num):
     pspread = prev.get("query_spread") or {}
     flagged = {}
     explained = {}
-    for name, now_min in timings.items():
-        prev_min = pq.get(name)
+
+    def diff(key, now_min, now_p50, prev_min, prev_p50, note):
         if not isinstance(prev_min, (int, float)) or prev_min <= 0:
-            continue
-        prev_p50 = (pspread.get(name) or {}).get("p50", prev_min)
-        now_p50 = spread[name]["p50"]
+            return
         r_min = now_min / prev_min
         r_p50 = now_p50 / prev_p50 if prev_p50 > 0 else r_min
         if r_min > 1.5 and r_p50 > 1.5:
-            note = EXPLAINED_MOVES.get(name)
             entry = {"min_ratio": round(r_min, 2),
                      "p50_ratio": round(r_p50, 2)}
             if note is not None:
-                explained[name] = {**entry, "note": note}
+                explained[key] = {**entry, "note": note}
             else:
-                flagged[name] = entry
+                flagged[key] = entry
+
+    for name, now_min in timings.items():
+        prev_min = pq.get(name)
+        prev_p50 = (pspread.get(name) or {}).get("p50", prev_min)
+        diff(name, now_min, spread[name]["p50"], prev_min, prev_p50,
+             EXPLAINED_MOVES.get(name))
+    pbranches = prev.get("branches") or {}
+    for name, per in branches.items():
+        for b, s in per.items():
+            prev_b = (pbranches.get(name) or {}).get(b) or {}
+            key = f"{name}::{b}"
+            diff(key, s["min"], s["p50"], prev_b.get("min"),
+                 prev_b.get("p50", prev_b.get("min")),
+                 EXPLAINED_BRANCH_MOVES.get(key)
+                 or EXPLAINED_MOVES.get(name))
     return {
         "prev": os.path.basename(prev_path),
         "flagged": flagged,
@@ -192,11 +247,22 @@ def main() -> None:
 
         # Round-robin passes: one host-contention window can poison at
         # most one of each query's samples (see module docstring).
+        branch_samples: dict[str, dict[str, list[float]]] = {
+            name: {b: [] for b in BRANCHES[name]}
+            for name in names
+            if name in BRANCHES
+        }
         for _ in range(repeat):
             for name in names:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
                 samples[name].append(time.perf_counter() - t0)
+                for b, pred in BRANCHES.get(name, {}).items():
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf_dir).filter(pred).collect()
+                    branch_samples[name][b].append(
+                        time.perf_counter() - t0
+                    )
 
         # Headline per-query number stays the MIN (host contention only
         # ever ADDS time); p50/max ride along so a reader can separate
@@ -220,12 +286,24 @@ def main() -> None:
             sf_num = float(sf)
         except ValueError:
             sf_num = sf
+        branches = {
+            name: {
+                b: {
+                    "min": round(min(s), 4),
+                    "p50": round(statistics.median(s), 4),
+                }
+                for b, s in per.items()
+                if s
+            }
+            for name, per in branch_samples.items()
+        }
         out = {
             "metric": "total_query_sec",
             "value": round(sum(timings.values()), 4),
             "unit": "sec",
             "queries": timings,
             "query_spread": spread,
+            "branches": branches,
             "repeat": repeat,
             "sf": sf_num,
         }
@@ -236,7 +314,7 @@ def main() -> None:
             )
             if prev is not None:
                 out["vs_prev"] = _vs_prev(
-                    prev_path, prev, timings, spread, sf_num
+                    prev_path, prev, timings, spread, sf_num, branches
                 )
                 flagged = out["vs_prev"].get("flagged") or {}
         print(json.dumps(out))
