@@ -107,11 +107,12 @@ def test_aiff_registry_reachable_and_encode_guards():
 
 def test_aiff_errors_and_named_gaps():
     good = bytearray(mm.encode_aiff(np.zeros(4, np.int16)))
-    # claim 8-bit depth in COMM -> named plug-in error
+    # claim a 12-bit depth in COMM -> named plug-in error (8/16/24 are
+    # real decoders now)
     bits_at = good.index(b"COMM") + 8 + 6
     bad_bits = bytearray(good)
-    bad_bits[bits_at : bits_at + 2] = (8).to_bytes(2, "big")
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    bad_bits[bits_at : bits_at + 2] = (12).to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match="8/16/24"):
         mm.decode_audio(bytes(bad_bits))
     # frame-count / sample mismatch
     frames_at = good.index(b"COMM") + 8 + 2
@@ -122,6 +123,119 @@ def test_aiff_errors_and_named_gaps():
     # truncated SSND body
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_audio(bytes(good[:-3]))
+
+
+def test_wav_bit_depths_roundtrip():
+    # 8-bit unsigned-on-disk / signed-domain, 24-bit packed (odd byte
+    # count exercises the RIFF pad rule), IEEE float 32/64
+    s8 = np.array([-128, -1, 0, 1, 127], dtype=np.int64)
+    dec = mm.decode_audio(mm.encode_wav(s8, bits=8))
+    assert dec["bits"] == 8 and (dec["samples"] == s8).all()
+    s24 = np.array([-(2**23), -257, 0, 256, 2**23 - 1], dtype=np.int64)
+    dec = mm.decode_audio(mm.encode_wav(s24, bits=24))
+    assert dec["bits"] == 24 and dec["samples"].dtype == np.int32
+    assert (dec["samples"] == s24).all()
+    assert len(s24) * 3 % 2 == 1  # the odd-length pad path really ran
+    f = np.array([-1.0, -0.5, 0.0, 0.25, 1.0], dtype=np.float64)
+    for bits, dt in ((32, np.float32), (64, np.float64)):
+        dec = mm.decode_audio(mm.encode_wav(f, bits=bits))
+        assert dec["bits"] == bits and dec["samples"].dtype == dt
+        assert np.array_equal(dec["samples"], f.astype(dt))
+    with pytest.raises(ValueError, match="bits=12"):
+        mm.encode_wav(s8, bits=12)
+
+
+def test_wav_named_gaps_and_hostile():
+    base = bytearray(mm.encode_wav(np.zeros(4, np.int64)))
+    fmt_at = base.index(b"fmt ") + 8
+    bad = bytearray(base)
+    bad[fmt_at : fmt_at + 2] = (2).to_bytes(2, "little")  # ADPCM
+    with pytest.raises(NotImplementedError, match="fmt=2"):
+        mm.decode_audio(bytes(bad))
+    # 24-bit data chunk whose byte count is not a multiple of 3
+    p24 = bytearray(mm.encode_wav(np.zeros(4, np.int64), bits=24))
+    data_at = p24.index(b"data") + 4
+    size = int.from_bytes(p24[data_at : data_at + 4], "little")
+    p24[data_at : data_at + 4] = (size - 1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="multiple of 3"):
+        mm.decode_audio(bytes(p24[:-1]))
+
+
+def test_aiff_bit_depths_roundtrip():
+    s8 = np.array([-128, -1, 0, 1, 127], dtype=np.int64)
+    dec = mm.decode_audio(mm.encode_aiff(s8, bits=8))
+    assert dec["format"] == "aiff" and dec["bits"] == 8
+    assert (dec["samples"] == s8).all()  # AIFF 8-bit is SIGNED
+    s24 = np.array([-(2**23), -65536, 0, 513, 2**23 - 1], dtype=np.int64)
+    dec = mm.decode_audio(mm.encode_aiff(s24, bits=24))
+    assert dec["bits"] == 24 and (dec["samples"] == s24).all()
+    with pytest.raises(ValueError, match="bits=12"):
+        mm.encode_aiff(s8, bits=12)
+
+
+def test_aifc_roundtrips_and_gaps():
+    s = np.array([-32768, -3, 0, 7, 32767], dtype=np.int64)
+    for comp in (b"sowt", b"NONE"):
+        dec = mm.decode_audio(mm.encode_aifc(s, 44100, compression=comp))
+        assert dec["format"] == "aifc"
+        assert dec["sample_rate"] == 44100
+        assert dec["bits"] == 16
+        assert (dec["samples"] == s).all()
+    f = np.array([-1.0, 0.5, 0.0, 0.25], dtype=np.float32)
+    dec = mm.decode_audio(mm.encode_aifc(f, compression=b"fl32"))
+    assert dec["bits"] == 32 and dec["samples"].dtype == np.float32
+    assert np.array_equal(dec["samples"], f)
+    # AIFC is routed as audio by the shared sniffer
+    assert mm.is_audio_payload(mm.encode_aifc(s))
+    # compressed types stay the named register-a-codec boundary
+    payload = bytearray(mm.encode_aifc(s))
+    comp_at = payload.index(b"COMM") + 8 + 18
+    payload[comp_at : comp_at + 4] = b"ima4"
+    with pytest.raises(NotImplementedError, match="NONE/sowt/fl32"):
+        mm.decode_audio(bytes(payload))
+    with pytest.raises(ValueError, match="encode_aifc"):
+        mm.encode_aifc(s, compression=b"alac")
+    # an AIFC COMM without the compression field is malformed
+    aiff16 = bytearray(mm.encode_aiff(s))
+    aiff16[8:12] = b"AIFC"
+    with pytest.raises(ValueError, match="compression type"):
+        mm.decode_audio(bytes(aiff16))
+
+
+def test_audio_features_container_invariant(spark):
+    # the SAME waveform shipped at five sample formats must gate
+    # identically: features are computed in the 16-bit domain
+    rng = np.random.RandomState(3)
+    s16 = rng.randint(-32768, 32768, 64).astype(np.int64)
+    payloads = {
+        0: mm.encode_wav(s16),
+        1: mm.encode_wav(s16 >> 8, bits=8),
+        2: mm.encode_wav(s16.astype(np.int64) << 8, bits=24),
+        3: mm.encode_wav(s16 / 32767.0, bits=32),
+        4: mm.encode_aifc(s16, compression=b"sowt"),
+        5: mm.encode_aiff(s16 >> 8, bits=8),
+    }
+    media = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    out = (
+        mm.audio_features(media)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 6
+    base = out.loc[0]
+    # exact-equal formats: 24-bit <<8 and sowt carry s16 verbatim
+    for k in (2, 4):
+        assert (out.loc[k] == base).all(), k
+    # 8-bit variants lose the low byte identically in WAV and AIFF
+    assert (out.loc[1] == out.loc[5]).all()
+    assert abs(int(out.loc[1]["peak_abs"]) - int(base["peak_abs"])) < 256
+    # float roundtrips within 1 LSB of the 16-bit original
+    assert abs(int(out.loc[3]["peak_abs"]) - int(base["peak_abs"])) <= 1
+    assert abs(int(out.loc[3]["rms_milli"]) - int(base["rms_milli"])) <= 1000
 
 
 def test_png_roundtrip_all_filters():

@@ -11,8 +11,13 @@ libraries (none are installed in this container):
 - **BMP** (24-bit uncompressed): full header + pixel decode —
   ``struct`` for the BITMAPFILEHEADER/BITMAPINFOHEADER, ``numpy`` for
   the padded bottom-up BGR pixel grid.
-- **WAV** (PCM): full RIFF/fmt/data chunk walk to sample rate, width,
-  and the int16 sample array.
+- **WAV**: full RIFF/fmt/data chunk walk — PCM 8 (unsigned offset-128)
+  / 16 / 24-bit plus IEEE float 32/64 (fmt code 3) — to sample rate,
+  width, and the sample array in the format's native domain.
+- **AIFF/AIFC**: IFF FORM/COMM/SSND walk — big-endian signed PCM
+  8/16/24 plus the AIFC ``sowt`` (little-endian PCM) and ``fl32``
+  (IEEE float32) compression types; alac/ima4/ulaw stay the named
+  register-a-codec boundary.
 - **PNG** (8-bit gray / RGB / gray+alpha / RGBA and 1/2/4/8-bit
   PALETTE, non-interlaced): FULL pixel decode — chunk walk, ``zlib``
   inflate of the IDAT stream, per-scanline unfiltering (all five
@@ -206,7 +211,7 @@ def is_audio_payload(payload: bytes) -> bool:
     keeps sniffing in ONE place so plug-ins extend it too)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return True
-    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return True
     return _registry_lookup(AUDIO_CODECS, payload)[1] is not None
 
@@ -527,25 +532,54 @@ def _decode_png(payload: bytes) -> dict:
     return meta
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """Write a real mono 16-bit PCM WAV (RIFF + fmt + data chunks)."""
-    data = samples.astype("<i2").tobytes()
-    return (
-        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
-        + struct.pack(
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Write a real mono PCM/float WAV (RIFF + fmt + data chunks).
+
+    ``bits`` selects the on-disk sample format the decoder supports:
+    16/24 signed PCM (fmt 1), 8 UNSIGNED PCM offset-128 (fmt 1, the
+    WAV convention), 32/64 IEEE float (fmt 3). For bits=8 pass samples
+    in the signed -128..127 domain (the decoder's output domain); for
+    bits=24 pass int32 in the +/-2^23 domain; for float pass values in
+    [-1, 1]."""
+    if bits == 16:
+        fmt_code, data = 1, samples.astype("<i2").tobytes()
+    elif bits == 8:
+        fmt_code = 1
+        data = (samples.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        fmt_code = 1
+        le32 = samples.astype("<i4").tobytes()
+        # keep the low three bytes of each little-endian int32: for
+        # values already in +/-2^23 that IS the 24-bit two's complement
+        data = bytes(
+            b for i, b in enumerate(le32) if i % 4 != 3
+        )
+    elif bits == 32:
+        fmt_code, data = 3, samples.astype("<f4").tobytes()
+    elif bits == 64:
+        fmt_code, data = 3, samples.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"encode_wav: unsupported bits={bits}")
+    block = max(1, bits // 8)
+    body = (
+        struct.pack(
             "<4sIHHIIHH",
             b"fmt ",
             16,
-            1,  # PCM
+            fmt_code,
             1,  # mono
             sample_rate,
-            sample_rate * 2,
-            2,
-            16,
+            sample_rate * block,
+            block,
+            bits,
         )
         + struct.pack("<4sI", b"data", len(data))
         + data
+        + (b"\x00" if len(data) & 1 else b"")  # RIFF 2-byte alignment
     )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
 
 
 def _read_extended80(b: bytes) -> int:
@@ -569,11 +603,17 @@ def _read_extended80(b: bytes) -> int:
 
 
 def _decode_aiff(payload: bytes) -> dict:
-    """AIFF (big-endian PCM, IFF FORM/COMM/SSND chunks) — the second
-    stdlib-parseable audio container after WAV; AIFC compression and
-    non-16-bit depths raise the named plug-in error."""
+    """AIFF / AIFC (IFF FORM/COMM/SSND chunks) — the second
+    stdlib-parseable audio family after WAV. AIFF carries big-endian
+    signed PCM at 8/16/24 bits; AIFC adds a compression 4cc in COMM:
+    ``NONE`` (BE PCM, same depths), ``sowt`` (LITTLE-endian 16-bit
+    PCM — the historical Mac byte-swap type), ``fl32``/``FL32``
+    (big-endian IEEE float32). Compressed types (alac/ima4/ulaw/...)
+    raise the named plug-in error."""
+    is_aifc = payload[8:12] == b"AIFC"
     channels = frames = bits = rate = None
-    samples = None
+    comp = b"NONE"
+    ssnd = None
     pos = 12
     n = len(payload)
     while pos + 8 <= n:
@@ -590,65 +630,163 @@ def _decode_aiff(payload: bytes) -> dict:
                 # zero channels would also skip the frame-count
                 # consistency check below (review finding)
                 raise ValueError("aiff: COMM claims zero channels")
-            if bits != 16:
+            if is_aifc:
+                if size < 22:
+                    raise ValueError("aifc: COMM missing compression type")
+                comp = body[18:22]
+            if comp == b"sowt":
+                if bits != 16:
+                    raise ValueError(f"aifc: sowt requires 16-bit, got {bits}")
+            elif comp in (b"fl32", b"FL32"):
+                if bits != 32:
+                    raise ValueError(f"aifc: fl32 requires 32-bit, got {bits}")
+            elif comp == b"NONE":
+                if bits not in (8, 16, 24):
+                    raise NotImplementedError(
+                        f"aiff: {bits}-bit PCM (8/16/24 only; "
+                        "register a codec for the rest)"
+                    )
+            else:
                 raise NotImplementedError(
-                    f"aiff: {bits}-bit samples (16-bit PCM only; "
-                    "register a codec for the rest)"
+                    f"aifc: compression {comp!r} (NONE/sowt/fl32 only; "
+                    "register a codec for alac/ima4/ulaw/...)"
                 )
         elif tag == b"SSND":
             if size < 8:
                 raise ValueError("aiff: SSND chunk too short")
             off = struct.unpack_from(">I", body, 0)[0]
-            samples = np.frombuffer(
-                body, ">i2", offset=8 + off
-            ).astype(np.int16)
+            ssnd = body[8 + off :]
         pos += 8 + size + (size & 1)  # IFF chunks are 2-byte aligned
-    if rate is None or samples is None:
+    if rate is None or ssnd is None:
         raise ValueError("aiff: missing COMM or SSND chunk")
+    # decode AFTER the walk: hostile files may order SSND before COMM,
+    # and the sample format isn't known until COMM is seen
+    if comp in (b"fl32", b"FL32"):
+        samples = np.frombuffer(ssnd, ">f4").astype(np.float32)
+    elif comp == b"sowt":
+        samples = np.frombuffer(ssnd, "<i2").astype(np.int16)
+    elif bits == 16:
+        samples = np.frombuffer(ssnd, ">i2").astype(np.int16)
+    elif bits == 8:
+        # AIFF 8-bit is SIGNED (unlike WAV's unsigned offset-128)
+        samples = np.frombuffer(ssnd, np.int8).astype(np.int16)
+    else:  # 24-bit packed big-endian two's complement -> int32
+        if len(ssnd) % 3:
+            raise ValueError("aiff: 24-bit SSND not a multiple of 3")
+        raw = np.frombuffer(ssnd, np.uint8).reshape(-1, 3).astype(np.int32)
+        samples = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        samples = samples - ((samples & 0x800000) << 1)  # sign-extend
     if frames is not None and channels and len(samples) != frames * channels:
         raise ValueError(
             f"aiff: SSND carries {len(samples)} samples, COMM claims "
             f"{frames} frames x {channels} channels"
         )
     return {
-        "format": "aiff",
+        "format": "aifc" if is_aifc else "aiff",
         "sample_rate": rate,
         "channels": channels,
+        "bits": bits,
         "samples": samples,
     }
 
 
-def encode_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """Write a real mono 16-bit big-endian AIFF (FORM/COMM/SSND)."""
+def _pack_extended80(sample_rate: int) -> bytes:
+    """Integer sample rate -> IEEE 754 80-bit extended (AIFF COMM)."""
     if sample_rate <= 0:
         # rate 0 would spin the mantissa-normalization loop forever
         # and a negative rate dies in struct.pack (review finding)
         raise ValueError(f"sample_rate must be > 0, got {sample_rate}")
-    data = samples.astype(">i2").tobytes()
     exp = 16383 + 63
     mant = int(sample_rate)
     while not (mant & (1 << 63)):
         mant <<= 1
         exp -= 1
+    return struct.pack(">HQ", exp, mant)
+
+
+def encode_aiff(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Write a real mono big-endian signed-PCM AIFF (FORM/COMM/SSND)
+    at 8, 16, or 24 bits. For bits=24 pass int32 in +/-2^23; the low
+    three big-endian bytes are the packed two's complement."""
+    if bits == 16:
+        data = samples.astype(">i2").tobytes()
+    elif bits == 8:
+        data = samples.astype(np.int8).tobytes()
+    elif bits == 24:
+        be32 = samples.astype(">i4").tobytes()
+        data = bytes(b for i, b in enumerate(be32) if i % 4 != 0)
+    else:
+        raise ValueError(f"encode_aiff: unsupported bits={bits}")
     comm = (
-        struct.pack(">HIH", 1, len(samples), 16)
-        + struct.pack(">HQ", exp, mant)
+        struct.pack(">HIH", 1, len(samples), bits)
+        + _pack_extended80(sample_rate)
     )
     ssnd = struct.pack(">II", 0, 0) + data
     body = (
         b"AIFF"
         + b"COMM" + struct.pack(">I", len(comm)) + comm
         + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")  # IFF 2-byte alignment
     )
     return b"FORM" + struct.pack(">I", len(body)) + body
 
 
+def encode_aifc(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    compression: bytes = b"sowt",
+) -> bytes:
+    """Write a real mono AIFC (FORM type ``AIFC`` with FVER and the
+    extended COMM): ``sowt`` little-endian 16-bit PCM, ``fl32``
+    big-endian float32, or ``NONE`` big-endian 16-bit PCM."""
+    if compression == b"sowt":
+        data, bits = samples.astype("<i2").tobytes(), 16
+    elif compression == b"fl32":
+        data, bits = samples.astype(">f4").tobytes(), 32
+    elif compression == b"NONE":
+        data, bits = samples.astype(">i2").tobytes(), 16
+    else:
+        raise ValueError(f"encode_aifc: unsupported {compression!r}")
+    comm = (
+        struct.pack(">HIH", 1, len(samples), bits)
+        + _pack_extended80(sample_rate)
+        + compression
+        + b"\x00\x00"  # empty pstring compression name, even-padded
+    )
+    fver = struct.pack(">I", 0xA2805140)  # AIFC version 1 timestamp
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFC"
+        + b"FVER" + struct.pack(">I", len(fver)) + fver
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")  # IFF 2-byte alignment
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+# (fmt_code, bits) pairs the builtin WAV decoder accepts: PCM (fmt 1)
+# at 8 (unsigned), 16, 24 bits; IEEE float (fmt 3) at 32/64 bits.
+# Everything else (ADPCM, a-law/mu-law, WAVE_FORMAT_EXTENSIBLE) is the
+# named register-a-codec boundary.
+_WAV_FORMATS = {(1, 8), (1, 16), (1, 24), (3, 32), (3, 64)}
+
+
 def decode_audio(payload: bytes) -> dict:
-    """Decode a WAV or AIFF payload to ``{format, sample_rate,
-    channels, samples}`` by walking the container's chunk list (other
-    chunks skipped). Anything else tries the registered audio codecs
-    (``register_audio_codec``), then raises NotImplementedError."""
-    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+    """Decode a WAV, AIFF, or AIFC payload to ``{format, sample_rate,
+    channels, bits, samples}`` by walking the container's chunk list
+    (other chunks skipped). WAV: PCM 8 (unsigned)/16/24-bit + IEEE
+    float 32/64 (``_WAV_FORMATS``); AIFF: big-endian PCM 8/16/24;
+    AIFC: ``NONE`` (BE PCM), ``sowt`` (LE PCM 16), ``fl32`` (BE
+    float32). Sample domains: 8-bit -> int16 in -128..127, 16-bit ->
+    int16, 24-bit -> int32 in +/-2^23, float -> float32/float64 in
+    [-1, 1] — ``audio_features`` normalizes all of them to the 16-bit
+    domain so features are container-invariant. Anything else tries
+    the registered audio codecs (``register_audio_codec``), then
+    raises NotImplementedError."""
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         # registry FIRST: the builtin is 16-bit-PCM-only and its
         # NotImplementedError tells users to register a codec for the
         # rest — which must then actually be reachable (the WebP
@@ -666,24 +804,38 @@ def decode_audio(payload: bytes) -> dict:
             "FLAC/MP3/... need a codec library registered via "
             "register_audio_codec"
         )
-    pos, rate, channels, bits, samples = 12, None, None, None, None
+    pos, rate, channels, bits, fmt_code, data = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         tag, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt_code != 1 or bits != 16:
+            if (fmt_code, bits) not in _WAV_FORMATS:
                 raise NotImplementedError(f"WAV fmt={fmt_code} bits={bits}")
         elif tag == b"data":
-            samples = np.frombuffer(body, "<i2")
+            data = body
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
-    if rate is None or samples is None:
+    if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code == 3:
+        samples = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+    elif bits == 16:
+        samples = np.frombuffer(data, "<i2")
+    elif bits == 8:
+        # WAV 8-bit is UNSIGNED offset-128; decode to the signed domain
+        samples = np.frombuffer(data, np.uint8).astype(np.int16) - 128
+    else:  # 24-bit packed little-endian two's complement -> int32
+        if len(data) % 3:
+            raise ValueError("WAV 24-bit data chunk not a multiple of 3")
+        raw = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int32)
+        samples = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = samples - ((samples & 0x800000) << 1)  # sign-extend
     return {
         "format": "wav",
         "sample_rate": rate,
         "channels": channels,
+        "bits": bits,
         "samples": samples,
     }
 
@@ -1266,12 +1418,15 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def audio_features(media: DataFrame, codec_setup=None) -> DataFrame:
-    """Decode WAV payloads and emit the standard scalar audio features
-    a corpus-curation pass computes per clip: peak absolute amplitude
-    (clipping detector), zero-crossing count (crude spectral/voicing
-    proxy), and integer-floored RMS in milli units (loudness gate).
-    All integer/fixed-point math over the real decoded int16 samples —
-    deterministic, vectorized numpy inside one Arrow pass. Audio is
+    """Decode WAV/AIFF/AIFC payloads and emit the standard scalar
+    audio features a corpus-curation pass computes per clip: peak
+    absolute amplitude (clipping detector), zero-crossing count (crude
+    spectral/voicing proxy), and integer-floored RMS in milli units
+    (loudness gate). Samples are first normalized to the 16-bit domain
+    (8-bit <<8, 24-bit >>8, float x32767 rounded) so the gates are
+    invariant to the container's sample format; then all
+    integer/fixed-point math — deterministic, vectorized numpy inside
+    one Arrow pass. Audio is
     recognized via ``is_audio_payload`` (WAV or any registered codec
     magic — review finding: a bare RIFF sniff silently skipped
     registered-codec clips); non-audio payloads are skipped (the image
@@ -1290,7 +1445,24 @@ def audio_features(media: DataFrame, codec_setup=None) -> DataFrame:
                 if not is_audio_payload(payload):
                     continue
                 wav = decode_audio(payload)
-                s = wav["samples"].astype(np.int64)
+                s = wav["samples"]
+                if np.issubdtype(s.dtype, np.floating):
+                    # float clips live in [-1, 1]: map to the 16-bit
+                    # domain so the loudness/clipping gates are
+                    # container-invariant across sample formats
+                    s = np.rint(
+                        np.asarray(s, np.float64) * 32767
+                    ).astype(np.int64)
+                else:
+                    s = s.astype(np.int64)
+                    bits = wav.get("bits") or 16
+                    if bits == 8:
+                        s = s * 256  # -128..127 -> 16-bit domain
+                    elif bits == 24:
+                        # +/-2^23 -> 16-bit domain; arithmetic shift
+                        # floors, and keeps (s*s).sum() inside int64
+                        # for arbitrarily long clips
+                        s = s >> 8
                 n = int(s.size)
                 sgn = np.sign(s)
                 nz = sgn[sgn != 0]
