@@ -246,7 +246,19 @@ def q23_doc_profile(spark, sf):
     closed-form doc_id math, while the window document frequencies
     themselves come from the real distributed aggregate (class sizes
     are corpus-data-dependent). The islands/reference equivalence and
-    the removal contract are pinned in tests/test_substring_dedup.py."""
+    the removal contract are pinned in tests/test_substring_dedup.py.
+
+    r9: joined with partner ATTRIBUTION
+    (dedup.substring_span_partners) over a third plant that pairs doc
+    2m with 2m+1 via a pair-namespaced 4-token template: each doc of a
+    complete pair attributes exactly one [2,5] span to exactly its
+    mate, so the scored columns (span count, attributed tokens, min
+    partner id) pin the presence-set self-join + per-pair islands
+    while WHICH pairs are complete stays corpus-data-dependent (the
+    oracle recomputes mates with a real self-join on the pair key;
+    unpaired docs coalesce to 0/0/-1). The partner/plain
+    coverage-union property and the hot-window attribution cap are
+    pinned in tests/test_substring_dedup.py."""
     d = _t(spark, sf, "documents")
     page = F.concat_ws(
         "\n",
@@ -285,10 +297,49 @@ def q23_doc_profile(spark, sf):
         F.min("start_tok").alias("first_span_start"),
         F.max("end_tok").alias("last_span_end"),
     )
+    # r9: partner ATTRIBUTION (dedup.substring_span_partners, VERDICT
+    # r8 item 6) over a pair plant: docs 2m and 2m+1 share a 4-token
+    # template namespaced by the pair key, so each doc of a complete
+    # pair attributes exactly one span [2,5] to exactly its mate —
+    # WHO it exists in the data (the final odd doc id, if the corpus
+    # has one, is unpaired and attributes nothing), so the oracle
+    # recomputes mates with a real self-join while the span geometry
+    # stays closed-form.
+    pid = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    pair_page = F.concat_ws(
+        " ",
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("t"), pid),
+        F.concat(F.lit("u"), pid),
+        F.concat(F.lit("v"), pid),
+        F.concat(F.lit("w"), pid),
+        F.concat(F.lit("z"), F.col("doc_id").cast("string")),
+    )
+    partners = dedup.substring_span_partners(
+        d.select("doc_id", pair_page.alias("text")), k=4
+    )
+    partner_agg = partners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_partner_spans"),
+        F.sum("n_tokens").alias("partner_span_tokens"),
+        F.min("partner_id").alias("partner_min"),
+    )
     return (
         text.doc_profile(d)
         .join(cleaned, "doc_id")
         .join(span_agg, "doc_id")
+        .join(partner_agg, "doc_id", "left")
+        .withColumn(
+            "n_partner_spans",
+            F.coalesce("n_partner_spans", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "partner_span_tokens",
+            F.coalesce("partner_span_tokens", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "partner_min",
+            F.coalesce("partner_min", F.lit(-1).cast("long")),
+        )
     )
 
 
@@ -1696,7 +1747,18 @@ def oracle_sql() -> dict[str, str]:
             ), pdf AS (
               SELECT doc_id, prefix,
                      COUNT(*) OVER (PARTITION BY prefix) AS df
-              FROM pref)
+              FROM pref
+            ), mates AS (
+              -- partner plant (r9): doc 2m pairs with 2m+1; a pair
+              -- key group has at most two members, so each paired doc
+              -- attributes exactly one 4-token span to its mate
+              SELECT a.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_mates,
+                     MIN(b.doc_id) AS mate
+              FROM documents a JOIN documents b
+                ON a.doc_id - a.doc_id % 2 = b.doc_id - b.doc_id % 2
+               AND a.doc_id <> b.doc_id
+              GROUP BY a.doc_id)
             SELECT y.doc_id,
                    len(w) AS n_tokens,
                    len(list_distinct(w)) AS n_uniq,
@@ -1723,8 +1785,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS n_dup_spans,
                    CAST(10 + y.doc_id % 5 AS BIGINT) AS dup_span_tokens,
                    CAST(1 AS BIGINT) AS first_span_start,
-                   CAST(11 + y.doc_id % 5 AS BIGINT) AS last_span_end
+                   CAST(11 + y.doc_id % 5 AS BIGINT) AS last_span_end,
+                   -- partner plant (r9): one [2,5] span per mate
+                   COALESCE(m.n_mates, 0) AS n_partner_spans,
+                   COALESCE(m.n_mates * 4, 0) AS partner_span_tokens,
+                   COALESCE(m.mate, -1) AS partner_min
             FROM y JOIN pdf p USING (doc_id)
+            LEFT JOIN mates m USING (doc_id)
         """,
         "q28_ngram_jaccard": """
             WITH d AS (""" + _SHINGLE_CTE + """

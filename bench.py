@@ -38,7 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # query's composition; stale entries are harmless (an explained query
 # that didn't move is just not flagged).
 EXPLAINED_MOVES = {
-    "q23_doc_profile": "r8: new substring-span plant (windows agg + islands)",
+    "q23_doc_profile": (
+        "r8: new substring-span plant (windows agg + islands); r9: new "
+        "partner-attribution plant (presence self-join + per-pair islands)"
+    ),
     "q31_ann_topk": "r8: new ivf_append lifecycle branch (+1 layout probe)",
     "q34_multimodal_frames": (
         "r8: sample-table parse + 5 scored columns + per-sample "

@@ -194,6 +194,165 @@ def test_incremental_matches_full_on_batch_docs(spark):
     }
 
 
+# --- partner attribution (VERDICT r8 item 6) -------------------------------
+
+
+def ref_partner_spans(texts, k, max_docs_per_window=None):
+    """Independent reference for substring_span_partners: per ordered
+    (doc, partner) pair, the covered-set runs of doc positions whose
+    window also occurs in partner — again deliberately not the islands
+    formulation."""
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    occ = {}
+    for d, ws in toks.items():
+        for p in range(1, len(ws) - k + 2):
+            occ.setdefault(" ".join(ws[p - 1 : p - 1 + k]), []).append(
+                (d, p)
+            )
+    docs_of = {w: {d for d, _ in o} for w, o in occ.items()}
+    dup = {
+        w
+        for w, ds in docs_of.items()
+        if len(ds) >= 2
+        and (max_docs_per_window is None or len(ds) <= max_docs_per_window)
+    }
+    out = []
+    for d, ws in toks.items():
+        for partner in toks:
+            if partner == d:
+                continue
+            dup_pos = sorted(
+                p
+                for p in range(1, len(ws) - k + 2)
+                if " ".join(ws[p - 1 : p - 1 + k]) in dup
+                and partner in docs_of[" ".join(ws[p - 1 : p - 1 + k])]
+            )
+            covered = sorted({t for p in dup_pos for t in range(p, p + k)})
+            spans = []
+            for t in covered:
+                if spans and t == spans[-1][1] + 1:
+                    spans[-1][1] = t
+                else:
+                    spans.append([t, t])
+            for sid, (a, b) in enumerate(spans, 1):
+                nw = sum(1 for p in dup_pos if a <= p and p + k - 1 <= b)
+                out.append((d, partner, sid, a, b, b - a + 1, nw))
+    return sorted(out)
+
+
+def spark_partner_spans(spark, texts, k, **kw):
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    return sorted(
+        tuple(r)
+        for r in dedup.substring_span_partners(df, k=k, **kw).collect()
+    )
+
+
+def test_partner_attribution_planted_pairs(spark):
+    # the q23 partner plant: doc 2m and 2m+1 share a 4-token template;
+    # the final odd doc is unpaired and attributes nothing
+    texts = {}
+    for i in range(7):
+        pid = i // 2
+        texts[i] = f"h{i} t{pid} u{pid} v{pid} w{pid} z{i}"
+    got = spark_partner_spans(spark, texts, k=4)
+    want = []
+    for i in range(6):
+        mate = i ^ 1
+        want.append((i, mate, 1, 2, 5, 4, 1))
+    assert got == sorted(want)
+    assert got == ref_partner_spans(texts, 4)
+
+
+def test_partner_splits_the_plain_coverage_span(spark):
+    # the documented over-approximation, now measurable: doc 0's plain
+    # coverage [1,6] is ONE span (adjacent windows), but the two
+    # windows match DIFFERENT partners — per-partner spans are [1,3]
+    # with doc 1 and [4,6] with doc 2
+    texts = {
+        0: "a b c d e f",
+        1: "a b c zzz qq rr",
+        2: "ww vv uu d e f",
+    }
+    assert (0, 1, 1, 6, 6, 2) in spark_spans(spark, texts, k=3)
+    got = spark_partner_spans(spark, texts, k=3)
+    doc0 = [r for r in got if r[0] == 0]
+    assert doc0 == [
+        (0, 1, 1, 1, 3, 3, 1),
+        (0, 2, 1, 4, 6, 3, 1),
+    ]
+    assert got == ref_partner_spans(texts, 3)
+
+
+def test_partner_union_covers_exactly_the_plain_spans(spark):
+    # uncapped, the union over partners of covered positions equals
+    # the plain operator's covered positions — the containment the
+    # docstring promises
+    texts = {
+        0: "a b c d e f g h",
+        1: "a b c zzz d e f qq",
+        2: "x0 c d e f x1 x2 x3",
+        3: "totally fresh words here now",
+    }
+    plain = spark_spans(spark, texts, k=3)
+    partner = spark_partner_spans(spark, texts, k=3)
+
+    def covered(rows, start_i, end_i, doc_i=0):
+        return {
+            (r[doc_i], t)
+            for r in rows
+            for t in range(r[start_i], r[end_i] + 1)
+        }
+
+    assert covered(partner, 3, 4) == covered(plain, 2, 3)
+    assert partner == ref_partner_spans(texts, 3)
+
+
+def test_partner_hot_window_cap_excludes_boilerplate(spark):
+    # "b0 b1 b2" appears in all four docs; "p q r" in exactly two.
+    # cap=3 drops the boilerplate window from attribution but keeps
+    # the pairwise one — substring_spans still covers both
+    texts = {
+        0: "b0 b1 b2 p q r",
+        1: "b0 b1 b2 s t u",
+        2: "b0 b1 b2 v w x",
+        3: "b0 b1 b2 p q r",
+    }
+    capped = spark_partner_spans(spark, texts, k=3, max_docs_per_window=3)
+    assert capped == ref_partner_spans(texts, 3, max_docs_per_window=3)
+    assert {(r[0], r[1]) for r in capped} == {(0, 3), (3, 0)}
+    # docs 0 and 3 are identical, so the BRIDGING windows "b1 b2 p" /
+    # "b2 p q" (2 docs each, under the cap) extend the span to [2,6];
+    # only the pure-boilerplate pos-1 window is excluded
+    assert all(r[3] == 2 and r[4] == 6 for r in capped)
+    # uncapped: every ordered pair attributes the boilerplate
+    full = spark_partner_spans(spark, texts, k=3)
+    assert {(r[0], r[1]) for r in full} == {
+        (a, b) for a in range(4) for b in range(4) if a != b
+    }
+    # plain coverage is unaffected by attribution capping
+    assert {(r[0], r[2], r[3]) for r in spark_spans(spark, texts, k=3)} == {
+        (0, 1, 6), (1, 1, 3), (2, 1, 3), (3, 1, 6)
+    }
+
+
+def test_partner_min_span_tokens_and_hashed(spark):
+    texts = {
+        0: "a b c x1 p q r s t u y1",
+        1: "a b c x2 p q r s t u y2",
+    }
+    kept = spark_partner_spans(spark, texts, k=3, min_span_tokens=5)
+    assert kept == [
+        (0, 1, 1, 5, 10, 6, 4),
+        (1, 0, 1, 5, 10, 6, 4),
+    ]
+    assert spark_partner_spans(spark, texts, k=3) == spark_partner_spans(
+        spark, texts, k=3, hashed=True
+    )
+
+
 # --- property test vs the covered-set reference ---------------------------
 
 from hypothesis import given, settings
@@ -211,6 +370,19 @@ def test_property_spans_match_reference(spark, docs, k):
     assert spark_spans(
         spark, texts, k=k, cross_doc_only=False
     ) == ref_spans(texts, k, cross_doc_only=False)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_doc, min_size=2, max_size=4),
+    st.sampled_from([2, 3]),
+    st.sampled_from([None, 2]),
+)
+def test_property_partner_spans_match_reference(spark, docs, k, cap):
+    texts = dict(enumerate(docs))
+    assert spark_partner_spans(
+        spark, texts, k=k, max_docs_per_window=cap
+    ) == ref_partner_spans(texts, k, max_docs_per_window=cap)
 
 
 @settings(max_examples=10, deadline=None)

@@ -1195,17 +1195,92 @@ def substring_spans(
     return _coverage_spans(marked, k, min_span_tokens)
 
 
-def _coverage_spans(
-    marked: DataFrame, k: int, min_span_tokens: int
+def substring_span_partners(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_window: int | None = None,
+    min_span_tokens: int = 0,
+    hashed: bool = False,
 ) -> DataFrame:
-    """Shared gaps-and-islands tail of the batch and incremental span
-    detectors: duplicated-window (doc_id, pos) rows -> merged coverage
-    spans, with the optional ExactSubstr minimum-length filter. ONE
-    implementation so the adjacency condition and renumbering cannot
-    drift between the two forms (review finding)."""
+    """[EXT] Partner-attributed substring dedup evidence:
+    (doc_id, partner_id, span_id, start_tok, end_tok, n_tokens,
+    n_windows) — for every ordered document pair that shares at least
+    one verbatim k-token window, the maximal token spans of ``doc_id``
+    covered by windows that ALSO occur in ``partner_id``. The audit
+    view a dedup pass at scale wants next to ``substring_spans``:
+    not just "these tokens are duplicated somewhere" but WITH WHOM —
+    and it makes the plain operator's documented over-approximation
+    measurable: a ``substring_spans`` span whose consecutive windows
+    match DIFFERENT partners is longer than every per-partner span at
+    the same position (pinned in tests).
+
+    Semantics: cross-document only (a window duplicated solely within
+    one doc attributes nothing — ``substring_spans``'s
+    cross_doc_only=True view); spans are positions in ``doc_id``'s
+    token stream, so (a, b) and (b, a) rows are NOT mirror-equal.
+    With no cap, every position covered by a per-partner span is
+    covered by a ``substring_spans`` span and vice versa (same
+    dup-window set; union property pinned in tests).
+
+    Pipeline (all JVM): the ``substring_windows`` explode feeds (1)
+    the distinct (w, doc) presence set, aggregated once per window
+    for the >= 2-distinct-docs dup filter, and (2) positioned
+    occurrences; occurrences of attributable windows equi-join the
+    presence set on ``w`` (doc != partner), then the shared
+    gaps-and-islands tail merges per (doc, partner).
+
+    Scale shape (100 TB): the join fan-out per window is
+    occurrences x distinct-docs — quadratic on boilerplate windows
+    shared by thousands of documents, exactly the hot-band hole
+    ``max_bucket`` closes for LSH. ``max_docs_per_window`` is the
+    same opt-in cap (library callers at scale should set it; scored
+    and test forms stay exact): windows present in more documents
+    than the cap are EXCLUDED from attribution — their coverage
+    still appears in ``substring_spans``, which reduces hot windows
+    to one group row and never pairs them. ``hashed=True`` is the
+    usual 8-byte shuffle-key lever."""
+    wins = substring_windows(documents, k, text_col, id_col, hashed)
+    presence = wins.select("w", "doc_id").distinct()
+    counts = (
+        presence.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
+    if max_docs_per_window is not None:
+        counts = counts.filter(F.col("__n") <= max_docs_per_window)
+    dup = counts.select("w")
+    occ = wins.join(dup, "w")
+    partners = presence.join(dup, "w").select(
+        F.col("doc_id").alias("partner_id"), "w"
+    )
+    pairs = (
+        occ.join(partners, "w")
+        .filter(F.col("doc_id") != F.col("partner_id"))
+        .select("doc_id", "partner_id", "pos")
+    )
+    return _coverage_spans(
+        pairs, k, min_span_tokens, keys=("doc_id", "partner_id")
+    )
+
+
+def _coverage_spans(
+    marked: DataFrame,
+    k: int,
+    min_span_tokens: int,
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Shared gaps-and-islands tail of the batch, incremental, and
+    partner-attributed span detectors: duplicated-window (*keys, pos)
+    rows -> merged coverage spans per key group, with the optional
+    ExactSubstr minimum-length filter. ONE implementation so the
+    adjacency condition and renumbering cannot drift between the
+    forms (review finding). ``keys`` is ("doc_id",) for per-document
+    spans, ("doc_id", "partner_id") for per-pair attribution."""
     from pyspark.sql import Window as W
 
-    ordered = W.partitionBy("doc_id").orderBy("pos")
+    ordered = W.partitionBy(*keys).orderBy("pos")
     running = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
     lag = F.lag("pos").over(ordered)
     new_island = (
@@ -1214,7 +1289,7 @@ def _coverage_spans(
     spans = (
         marked.withColumn("__new", new_island)
         .withColumn("span_id", F.sum("__new").over(running))
-        .groupBy("doc_id", "span_id")
+        .groupBy(*keys, "span_id")
         .agg(
             F.min("pos").alias("start_tok"),
             (F.max("pos") + (k - 1)).alias("end_tok"),
@@ -1230,11 +1305,11 @@ def _coverage_spans(
         ).withColumn(
             "span_id",
             F.row_number()
-            .over(W.partitionBy("doc_id").orderBy("start_tok"))
+            .over(W.partitionBy(*keys).orderBy("start_tok"))
             .cast("long"),
         )
     return spans.select(
-        "doc_id", "span_id", "start_tok", "end_tok", "n_tokens",
+        *keys, "span_id", "start_tok", "end_tok", "n_tokens",
         "n_windows",
     )
 
