@@ -1028,7 +1028,19 @@ def q63_media_decode(spark, sf):
     operators/gif.py via the same registry hook. Lossless + identity
     palette make both means the BMP-style closed form
     ((1000·Σ(id+x+y)%256)//(w·h), channel cancellation); byte_len is
-    NULL'd (LZW container size is not SQL-recomputable)."""
+    NULL'd (LZW container size is not SQL-recomputable).
+
+    r9: an audio-FORMAT branch — 50 clips (ids 13,000+) rotating the
+    container by id%5 over the closed-form waveform family (AIFC
+    sowt / WAV 24-bit / WAV float32 / AIFF 8-bit / WAV 8-bit,
+    multimodal.synth_audio_media): every decoded sample normalizes to
+    the 16-bit domain EXACTLY (24-bit ships s<<8; float32 ships
+    s/32768, exact in f4 and exact back under rint(f·32767); the
+    8-bit classes use the %256 waveform scaled <<8), so peak/zc/rms/
+    mean-square stay the wav branch's integer formulas and byte_len
+    is closed-form for every container (fixed headers + n·width +
+    the RIFF/IFF pad rule) — the one media class whose CONTAINER
+    sizes the oracle fully checks."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # lazy checkpoint: three consumers (features, audio, resize) read
     # the synthesized media table — without it each re-runs the full
@@ -1053,6 +1065,13 @@ def q63_media_decode(spark, sf):
         .unionByName(
             multimodal.synth_gif_media(
                 spark.range(12_000, 12_050).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
+        .unionByName(
+            multimodal.synth_audio_media(
+                spark.range(13_000, 13_050).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
@@ -2750,6 +2769,57 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY doc_id ORDER BY i) AS prev
                 FROM wav_samples WHERE s <> 0) t
               GROUP BY doc_id
+            ), aud AS (
+              -- audio-format plant (r9): container by id%5, features
+              -- in the normalized 16-bit domain; s is EXACT for every
+              -- class (see synth_audio_media), 8-bit classes carry
+              -- the %256 waveform scaled <<8
+              SELECT 13000 + g.v AS doc_id,
+                     (13000 + g.v) % 5 AS c,
+                     64 + (13000 + g.v) % 64 AS n
+              FROM generate_series(0, 49) g(v)
+            ), aud_samples AS (
+              SELECT a.doc_id, a.c, a.n, i.v AS i,
+                     CASE WHEN a.c IN (3, 4)
+                          THEN 256 * ((a.doc_id * 31 + i.v * 17) % 256
+                                      - 128)
+                          ELSE (a.doc_id * 31 + i.v * 17) % 2048 - 1024
+                     END AS s
+              FROM aud a, generate_series(0, 126) i(v)
+              WHERE i.v < a.n
+            ), aud_feat AS (
+              SELECT doc_id,
+                     CASE c WHEN 0 THEN 'aifc'
+                            WHEN 3 THEN 'aiff'
+                            ELSE 'wav' END AS kind,
+                     n AS n_samples,
+                     CAST((1000 * SUM(s * s)) // n AS BIGINT)
+                       AS feat_milli,
+                     CAST(CASE c
+                            WHEN 0 THEN 72 + 2 * n       -- AIFC sowt
+                            WHEN 1 THEN 44 + 3 * n + n % 2  -- WAV 24
+                            WHEN 2 THEN 44 + 4 * n       -- WAV f32
+                            WHEN 3 THEN 54 + n + n % 2   -- AIFF 8
+                            ELSE 44 + n + n % 2          -- WAV 8
+                          END AS BIGINT) AS byte_len,
+                     MAX(ABS(s)) AS peak_abs,
+                     CAST(FLOOR(SQRT(CAST((1000000 * SUM(s * s)) // n
+                                          AS DOUBLE))) AS BIGINT)
+                       AS rms_milli
+              FROM aud_samples
+              GROUP BY doc_id, c, n
+            ), aud_zc AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                       AND sgn <> prev
+                                  THEN 1 ELSE 0 END), 0) AS zero_crossings
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN s > 0 THEN 1 ELSE -1 END AS sgn,
+                       LAG(CASE WHEN s > 0 THEN 1 ELSE -1 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM aud_samples WHERE s <> 0) t
+              GROUP BY doc_id
             )
             SELECT i.doc_id, i.kind, i.width, i.height, i.n_samples,
                    i.feat_milli, i.byte_len,
@@ -2764,6 +2834,14 @@ def oracle_sql() -> dict[str, str]:
                    z.zero_crossings, f.rms_milli,
                    CAST(NULL AS BIGINT) AS resized_feat_milli
             FROM wav_feat f JOIN wav_zc z USING (doc_id)
+            UNION ALL
+            SELECT f.doc_id, f.kind,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   f.n_samples, f.feat_milli, f.byte_len, f.peak_abs,
+                   z.zero_crossings, f.rms_milli,
+                   CAST(NULL AS BIGINT) AS resized_feat_milli
+            FROM aud_feat f JOIN aud_zc z USING (doc_id)
             UNION ALL
             SELECT 10000 + g.v AS doc_id, 'jpeg' AS kind,
                    CAST(16 AS BIGINT) AS width,

@@ -48,7 +48,10 @@ EXPLAINED_MOVES = {
         "fetch-list branch + fragmented (fmp4) branch"
     ),
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
-    "q63_media_decode": "r9: new GIF decode branch (50 images)",
+    "q63_media_decode": (
+        "r9: new GIF decode branch (50 images) + audio-format branch "
+        "(50 clips across sowt/24-bit/f32/8-bit containers)"
+    ),
 }
 
 # Per-branch timing for union-composed queries (VERDICT r8 item 8):

@@ -840,6 +840,26 @@ def decode_audio(payload: bytes) -> dict:
     }
 
 
+def samples_i16_domain(decoded: dict) -> np.ndarray:
+    """Normalize a ``decode_audio`` result to int64 samples in the
+    16-bit domain — the ONE place the depth mapping lives so
+    ``media_features`` and ``audio_features`` cannot drift: float
+    [-1, 1] -> x32767 rounded, 8-bit -> <<8, 24-bit -> >>8 (arithmetic
+    shift floors, and keeps sum-of-squares inside int64 for
+    arbitrarily long clips), 16-bit verbatim. Registry codecs that
+    don't set ``bits`` are taken as 16-bit."""
+    s = decoded["samples"]
+    if np.issubdtype(s.dtype, np.floating):
+        return np.rint(np.asarray(s, np.float64) * 32767).astype(np.int64)
+    s = s.astype(np.int64)
+    bits = decoded.get("bits") or 16
+    if bits == 8:
+        return s * 256
+    if bits == 24:
+        return s >> 8
+    return s
+
+
 def decode_meta_stub(blobs: DataFrame) -> DataFrame:
     """'Decode' each payload to (width, height) metadata via mapInPandas.
 
@@ -965,6 +985,54 @@ def synth_media(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return documents.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def synth_audio_media(ids: DataFrame) -> DataFrame:
+    """Deterministic real clips across the FULL decoded audio surface —
+    the planted input for q63's audio-format branch. Container rotates
+    by doc_id % 5 over the same closed-form waveform family so a SQL
+    oracle reproduces every normalized feature:
+
+    - 0: AIFC ``sowt`` (LE PCM 16), samples s_i = (id·31+i·17)%2048−1024
+    - 1: WAV 24-bit, samples s_i<<8 (normalizes back to s_i exactly)
+    - 2: WAV float32, f_i = s_i/32768 — exact in f4 (≤12 significant
+         bits), and rint(f·32767) = s_i exactly since |s_i|/32768 < ½
+    - 3: AIFF 8-bit signed, s8_i = (id·31+i·17)%256−128 (normalized
+         s8·256)
+    - 4: WAV 8-bit unsigned-on-disk, same s8 waveform
+
+    n = 64 + id%64 samples at 8 kHz; every container size is
+    closed-form (fixed headers + n·bytes/sample + the RIFF/IFF pad
+    rule), so byte_len stays oracle-checked — unlike the
+    entropy-coded image formats."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "payload": []}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                i = np.arange(n, dtype=np.int64)
+                s = (doc_id * 31 + i * 17) % 2048 - 1024
+                s8 = (doc_id * 31 + i * 17) % 256 - 128
+                c = doc_id % 5
+                if c == 0:
+                    payload, kind = encode_aifc(s, compression=b"sowt"), "aifc"
+                elif c == 1:
+                    payload, kind = encode_wav(s << 8, bits=24), "wav"
+                elif c == 2:
+                    payload, kind = encode_wav(s / 32768.0, bits=32), "wav"
+                elif c == 3:
+                    payload, kind = encode_aiff(s8, bits=8), "aiff"
+                else:
+                    payload, kind = encode_wav(s8, bits=8), "wav"
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+            out["byte_len"] = [len(p) for p in out["payload"]]
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
 def synth_jpeg_media(ids: DataFrame) -> DataFrame:
@@ -1279,7 +1347,11 @@ def media_features(
                 payload = bytes(payload)
                 if is_audio_payload(payload):
                     wav = decode_audio(payload)
-                    s = wav["samples"].astype(np.int64)
+                    # 16-bit-domain normalization: float samples would
+                    # otherwise TRUNCATE to 0/±1 under a raw int cast —
+                    # silent garbage, exactly what this operator's
+                    # loud-errors contract forbids
+                    s = samples_i16_domain(wav)
                     n = int(s.size)
                     feat = (1000 * int((s * s).sum())) // n
                     meta = (None, None, n, wav["format"])
@@ -1445,24 +1517,7 @@ def audio_features(media: DataFrame, codec_setup=None) -> DataFrame:
                 if not is_audio_payload(payload):
                     continue
                 wav = decode_audio(payload)
-                s = wav["samples"]
-                if np.issubdtype(s.dtype, np.floating):
-                    # float clips live in [-1, 1]: map to the 16-bit
-                    # domain so the loudness/clipping gates are
-                    # container-invariant across sample formats
-                    s = np.rint(
-                        np.asarray(s, np.float64) * 32767
-                    ).astype(np.int64)
-                else:
-                    s = s.astype(np.int64)
-                    bits = wav.get("bits") or 16
-                    if bits == 8:
-                        s = s * 256  # -128..127 -> 16-bit domain
-                    elif bits == 24:
-                        # +/-2^23 -> 16-bit domain; arithmetic shift
-                        # floors, and keeps (s*s).sum() inside int64
-                        # for arbitrarily long clips
-                        s = s >> 8
+                s = samples_i16_domain(wav)
                 n = int(s.size)
                 sgn = np.sign(s)
                 nz = sgn[sgn != 0]

@@ -165,8 +165,109 @@ def probe_gifdecode(spark) -> None:
     )
 
 
+def probe_substrpartner(spark) -> None:
+    """Partner-attributed substring dedup at 64x (round-9 addition):
+    N docs x 40 tokens; 10% carry a 12-token boilerplate template
+    shared by ALL carriers (the hot-window adversary — uncapped, its
+    attribution join would fan out carriers^2 pairs), and 20% form
+    disjoint PAIRS sharing a pair-unique 8-token template. With
+    max_docs_per_window=64 the boilerplate windows are excluded from
+    attribution while every planted pair attributes exactly its one
+    [6, 13] span to exactly its mate; plain substring_spans on the
+    same frame is timed as the uncapped-coverage control (it reduces
+    the hot windows to one group row each — the shape that stays
+    safe without any cap)."""
+    from timeseries_data_provider_spark.operators import dedup
+
+    n = int(os.environ.get("STRESS_PARTNER_N", "320000"))
+    doc = F.col("id")
+    mod = doc % 10
+    pair_base = F.when(mod == 4, doc - 1).otherwise(doc)
+
+    def filler(lo, hi):
+        return [
+            F.concat(F.lit("d"), doc, F.lit(f"w{j}"))
+            for j in range(lo, hi)
+        ]
+
+    pair_toks = [
+        F.concat(F.lit("p"), pair_base, F.lit(f"x{j}")) for j in range(8)
+    ]
+    hot = F.lit(" ".join(f"h{j}" for j in range(12)))
+    text = F.concat_ws(
+        " ",
+        *filler(0, 5),
+        F.when(mod.isin(3, 4), F.concat_ws(" ", *pair_toks)).otherwise(
+            F.concat_ws(" ", *filler(5, 13))
+        ),
+        *filler(13, 21),
+        F.when(mod == 0, hot).otherwise(F.concat_ws(" ", *filler(21, 33))),
+        *filler(33, 40),
+    )
+    docs = (
+        spark.range(n)
+        .select(doc.alias("doc_id"), text.alias("text"))
+        .localCheckpoint()  # freeze: both probes read the same frame
+    )
+
+    t0 = time.perf_counter()
+    agg = (
+        dedup.substring_span_partners(docs, k=8, max_docs_per_window=64)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("start_tok").alias("min_start"),
+            F.max("start_tok").alias("max_start"),
+            F.min("end_tok").alias("min_end"),
+            F.max("end_tok").alias("max_end"),
+            F.max("n_windows").alias("max_nw"),
+            F.sum(
+                (
+                    F.col("partner_id")
+                    != F.col("doc_id") + F.when(F.col("doc_id") % 10 == 3, 1).otherwise(-1)
+                ).cast("long")
+            ).alias("bad_partner"),
+        )
+        .collect()[0]
+    )
+    dt_partner = time.perf_counter() - t0
+    # every planted pair member attributes exactly one [6, 13] span to
+    # exactly its mate; the 32k-doc boilerplate never reaches the join
+    assert agg["rows"] == 2 * (n // 10), agg
+    assert (agg["min_start"], agg["max_start"]) == (6, 6), agg
+    assert (agg["min_end"], agg["max_end"]) == (13, 13), agg
+    assert agg["max_nw"] == 1 and agg["bad_partner"] == 0, agg
+
+    t0 = time.perf_counter()
+    plain = (
+        dedup.substring_spans(docs, k=8)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                ((F.col("start_tok") == 22) & (F.col("end_tok") == 33)).cast("long")
+            ).alias("hot_spans"),
+        )
+        .collect()[0]
+    )
+    dt_plain = time.perf_counter() - t0
+    # coverage view: carriers' hot span [22,33] + pair spans [6,13]
+    assert plain["hot_spans"] == n // 10, plain
+    assert plain["rows"] == n // 10 + 2 * (n // 10), plain
+
+    _emit(
+        "substrpartner",
+        n_docs=n,
+        n_pairs=n // 10,
+        hot_carriers=n // 10,
+        cap=64,
+        partner_secs=round(dt_partner, 2),
+        plain_secs=round(dt_plain, 2),
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["vp8ldecode", "gifdecode"]
+    which = sys.argv[1:] or ["vp8ldecode", "gifdecode", "substrpartner"]
     spark = get_spark("tdps-stress-r9")
     for name in which:
         globals()[f"probe_{name}"](spark)
