@@ -20,8 +20,17 @@ gifdecode   Same envelope for the stdlib GIF decoder (round-9 GIF
             LZW raster; half interlaced — the deinterlace path runs
             worker-side). Same bit-exact driver-vs-worker invariant.
 
-Usage: python tools/stress_round9.py [vp8ldecode|gifdecode]
-Env: STRESS_VP8L_N (default 2000), STRESS_GIF_N (default 5000).
+substrpartner  Partner-attributed substring dedup at 64x: planted
+            disjoint pairs must each attribute exactly one exact-
+            boundary span to exactly their mate while a 32k-doc
+            boilerplate template (whose uncapped attribution join
+            would fan out 32k^2 pairs) is excluded by
+            max_docs_per_window; plain substring_spans timed as the
+            coverage control.
+
+Usage: python tools/stress_round9.py [vp8ldecode|gifdecode|substrpartner]
+Env: STRESS_VP8L_N (default 2000), STRESS_GIF_N (default 5000),
+STRESS_PARTNER_N (default 320000, multiple of 10).
 """
 
 from __future__ import annotations
