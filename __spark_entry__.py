@@ -835,8 +835,9 @@ def q51_chunk_pack(spark, sf):
     so byte stand-ins equal the characters, no contraction rule
     fires, and the identical closed-form count scores the byte
     engine; the byte-specific semantics (multi-byte characters,
-    contraction splits, vocab.bpe loading, surrogateescape chunking)
-    are pinned in tests/test_bpe.py where SQL can't reach."""
+    contraction splits, vocab.bpe loading, exact-bytes chunking via
+    the chunk_bytes column) are pinned in tests/test_bpe.py where
+    SQL can't reach."""
     pack = pipeline.chunk_and_pack(
         _t(spark, sf, "documents"), chunk_tokens=32, budget=512
     ).select(

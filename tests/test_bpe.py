@@ -281,6 +281,24 @@ def test_gpt2_pattern_contractions_and_classes():
     assert bpe.Tokenizer(m).encode("don'th")[-1] == "th"
 
 
+def test_gpt2_pattern_no_nl_numerics_classify_as_numbers():
+    # review finding (r9): Python \w includes No/Nl numerics (½, Ⅻ)
+    # that \p{L} excludes and \d excludes — the naive [^\W\d_]/\d
+    # translation classified them as letters, diverging from a real
+    # GPT-2 tokenizer's piece boundaries. The generated No/Nl class
+    # restores \p{L}/\p{N} semantics exactly on these cases.
+    t = bpe.ByteTokenizer([])
+    assert t.pieces("a½ 2½") == ["a", "½", " 2½"]
+    assert t.pieces("Ⅻ men") == ["Ⅻ", " men"]
+    assert t.pieces("x1½y") == ["x", "1½", "y"]
+    # superscript two is No; it must run WITH digits, not letters
+    assert t.pieces("m²") == ["m", "²"]
+    assert t.pieces("3² x") == ["3²", " x"]
+    # lossless partition survives the class rewrite
+    s = "héllo _wörld_ 3½ Ⅻ\t it's m²"
+    assert "".join(t.pieces(s)) == s
+
+
 def test_byte_pieces_partition_any_unicode():
     t = bpe.ByteTokenizer([])
     for s in ("", "héllo…", "日本語 テスト", "a b", "🎉 party",

@@ -351,6 +351,72 @@ def test_ensure_signature_index_refuses_to_overwrite_unreadable(
     assert (sig / "part-00000.parquet").read_bytes() == b"not a parquet file"
 
 
+def test_retrofit_pre_feature_window_index_mixed_schema(spark, tmp_path):
+    """A windows index built by pre-batch-stamp code (column ``w``
+    only) keeps correct settled semantics once stamped appends land
+    beside it (review finding: a plain read inferred the schema from
+    ONE arbitrary file — old-file inference let a replay see its own
+    windows as settled, new-file inference read every pre-feature
+    window as null and silently dropped the settled corpus from span
+    detection). The merged read + coalesce must (a) detect a batch
+    doc repeating a PRE-FEATURE settled paragraph, (b) stay
+    replay-safe, and (c) converge to one schema after reconcile."""
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.streaming import (
+        corpus_ingest as ci,
+    )
+
+    root = str(tmp_path / "corpus")
+    para = "tpl0 tpl1 tpl2 tpl3 tpl4"
+    # pre-feature root: docs + a w-ONLY window index (what r8's loop
+    # wrote), signatures bootstrapped empty
+    ci.ensure_signature_index(spark, root)
+    spark.createDataFrame(
+        [(1, f"{para} tail1")], "doc_id long, text string"
+    ).withColumn("batch_id", F.lit(0)).write.parquet(root + "/docs")
+    from timeseries_data_provider_spark.operators.dedup import (
+        substring_window_index,
+    )
+
+    substring_window_index(
+        spark.read.parquet(root + "/docs"), k=3
+    ).write.parquet(root + "/windows")
+    assert spark.read.parquet(root + "/windows").columns == ["w"]
+
+    # batch 5: doc 10 repeats the PRE-FEATURE settled paragraph; its
+    # append stamps batch_id -> the directory now mixes schemas
+    b = spark.createDataFrame(
+        [(10, f"x10 {para} y10")], ci.DOC_SCHEMA
+    )
+    ci.process_corpus_batch(spark, b, 5, root, min_est=1.0, substr_k=3)
+    spans = spark.read.parquet(root + "/substr_spans").collect()
+    assert [
+        (r["doc_id"], r["start_tok"], r["end_tok"]) for r in spans
+    ] == [(10, 2, 6)]
+
+    # replay of batch 5 on the mixed directory: its own windows must
+    # NOT count as settled (no spurious full-coverage span), and the
+    # pre-feature windows must still be seen
+    ci.process_corpus_batch(spark, b, 5, root, min_est=1.0, substr_k=3)
+    replay_spans = spark.read.parquet(root + "/substr_spans").collect()
+    assert {
+        (r["doc_id"], r["start_tok"], r["end_tok"]) for r in replay_spans
+    } == {(10, 2, 6)}
+
+    # reconcile converges the index to ONE schema: every file carries
+    # batch_id, pre-feature rows stamped settled-before-everything
+    ci.reconcile_ingest_root(spark, root)
+    idx = spark.read.parquet(root + "/windows")
+    assert set(idx.columns) == {"w", "batch_id"}
+    rows = idx.collect()
+    assert all(r["batch_id"] is not None for r in rows)
+    assert {r["batch_id"] for r in rows} == {-1, 5}
+    # and a second reconcile is a no-op (no needs_stamp retrigger)
+    again = ci.reconcile_ingest_root(spark, root)
+    assert all(v["before"] == v["after"] for v in again.values())
+
+
 def test_source_config_extract_supports_array_paths():
     """extract() implements the documented get_json_object subset —
     array indexing included (review finding: the old dict-only walk

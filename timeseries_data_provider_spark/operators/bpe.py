@@ -22,9 +22,10 @@ Two levels (r9 closes VERDICT r8 item 1):
   ``load_merges_file``: optional ``#version`` header, one
   space-separated pair per line) so a real GPT-2/tiktoken-exported
   table drops in unchanged. The pre-split pattern is the full GPT-2
-  pattern (contractions included), expressed with stdlib-``re``
-  unicode classes (``[^\\W\\d_]`` for ``\\p{L}``); the runtime
-  lossless-partition check guards the translation. On ASCII text
+  pattern (contractions included), translated to stdlib ``re`` with
+  a generated No/Nl character class so letters and numbers classify
+  exactly as ``\\p{L}``/``\\p{N}`` do (see ``gpt2_pattern``); the
+  runtime lossless-partition check guards the translation. On ASCII text
   (where every byte stand-in is the character itself) byte-level
   counts equal char-level counts for the same letter-pair table —
   which is why the q51 oracle is untouched by the switch.
@@ -74,18 +75,63 @@ from pyspark.sql.types import (
 # SQL-recomputable.)
 DEFAULT_PATTERN = r" ?\w+| ?[^\s\w]+|\s+"
 
-# The full GPT-2 pre-split pattern (contractions, letter runs, digit
-# runs, punctuation runs, trailing-whitespace lookahead), translated
-# to stdlib ``re``: ``\p{L}`` -> ``[^\W\d_]`` (unicode letters),
-# ``\p{N}`` -> ``\d``, ``[^\s\p{L}\p{N}]`` -> ``(?:[^\s\w]|_)``
-# (underscore is \w but not a letter/number, so it must rejoin the
-# punctuation class or the pattern would not partition the string —
-# ``Tokenizer.pieces`` raises if coverage is ever lost).
-GPT2_PATTERN = (
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
-    r"|\s+(?!\S)|\s+"
-)
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _nonl_class() -> str:
+    """Character class of Unicode categories No and Nl — the numerics
+    (½, Ⅻ, ...) Python's ``\\w`` INCLUDES but ``\\d`` (Nd only)
+    excludes, while GPT-2's ``\\p{L}`` excludes and ``\\p{N}``
+    includes them. Built once per process from unicodedata (the
+    stdlib has no ``\\p{...}``); ~1.1M category lookups, cached —
+    and the finished pattern STRING travels to workers in the
+    tokenizer's pickled state, so executors never rebuild it."""
+    import unicodedata
+
+    ranges: list[tuple[int, int]] = []
+    start = prev = None
+    for cp in range(0x110000):
+        if unicodedata.category(chr(cp)) in ("No", "Nl"):
+            if prev is not None and cp == prev + 1:
+                prev = cp
+            else:
+                if start is not None:
+                    ranges.append((start, prev))
+                start = prev = cp
+    if start is not None:
+        ranges.append((start, prev))
+    parts = [
+        re.escape(chr(a)) if a == b else f"{chr(a)}-{chr(b)}"
+        for a, b in ranges
+    ]
+    return "[" + "".join(parts) + "]"
+
+
+@functools.lru_cache(maxsize=1)
+def gpt2_pattern() -> str:
+    """The full GPT-2 pre-split pattern (contractions, letter runs,
+    number runs, punctuation runs, trailing-whitespace lookahead),
+    translated to stdlib ``re``:
+
+    - ``\\p{L}`` -> ``(?:(?!NONL)[^\\W\\d_])`` — ``[^\\W\\d_]`` alone
+      is L + Nl + No (Python ``\\w`` includes all numerics), so the
+      No/Nl lookahead subtraction is required or '½' would classify
+      as a letter and piece boundaries would diverge from a real
+      GPT-2 tokenizer (review finding, verified: 'a½ 2½' split
+      ['a½', ' 2', '½'] instead of GPT-2's ['a', '½', ' 2½']);
+    - ``\\p{N}`` -> ``(?:\\d|NONL)`` (Nd + Nl + No);
+    - ``[^\\s\\p{L}\\p{N}]`` -> ``(?:[^\\s\\w]|_)`` (underscore is
+      ``\\w`` but not a letter/number, so it rejoins the punctuation
+      class — ``Tokenizer.pieces`` raises if coverage is ever lost).
+    """
+    nonl = _nonl_class()
+    return (
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        rf"| ?(?:(?!{nonl})[^\W\d_])+| ?(?:\d|{nonl})+"
+        r"| ?(?:[^\s\w]|_)+"
+        r"|\s+(?!\S)|\s+"
+    )
 
 
 def bytes_to_unicode() -> dict[int, str]:
@@ -250,13 +296,18 @@ class ByteTokenizer(Tokenizer):
     multi-byte characters start as one symbol per byte, where the
     char-level ``Tokenizer`` counted one per character.
 
-    ``decode_tokens`` inverts token strings back to text;
-    ``errors`` handles token boundaries that fall mid-character
-    (legal in byte-level BPE) — ``chunk_documents_bpe`` uses
-    ``surrogateescape`` so chunk texts re-encode byte-exactly."""
+    ``decode_tokens`` inverts token strings back to text; ``errors``
+    handles token boundaries that fall mid-character (legal in
+    byte-level BPE). ``chunk_documents_bpe`` carries the exact bytes
+    in its ``chunk_bytes`` BINARY column and decodes ``chunk_text``
+    with ``errors='replace'`` — the string is a VIEW, not the
+    payload; re-encoding it does not reproduce the bytes when a
+    boundary fell mid-character (review finding: this docstring
+    previously claimed surrogateescape, which Arrow string columns
+    cannot carry)."""
 
     def __init__(self, merges, pattern: str | None = None):
-        super().__init__(merges, pattern or GPT2_PATTERN)
+        super().__init__(merges, pattern or gpt2_pattern())
 
     def __setstate__(self, state):
         super().__setstate__(state)

@@ -222,7 +222,6 @@ def decode_gif(payload: bytes) -> dict:
         gct = np.frombuffer(r.take(3 * n), np.uint8).reshape(n, 3)
     transparent: int | None = None
     first: np.ndarray | None = None
-    fx = fy = fw = fh = 0
     n_frames = 0
     while True:
         block = r.u8()
@@ -293,7 +292,6 @@ def decode_gif(payload: bytes) -> dict:
             canvas[:] = bg
             canvas[iy : iy + ih, ix : ix + iw] = rgb
             first = canvas
-        fx, fy, fw, fh = ix, iy, iw, ih
         n_frames += 1
     if first is None:
         raise ValueError("gif: no image frame before trailer")

@@ -229,11 +229,27 @@ def process_corpus_batch(
         )
 
         win_path = root + "/windows"
-        widx = spark.read.parquet(win_path)
+        # mergeSchema: a retrofitted pre-feature root mixes files
+        # with and without batch_id once this batch appends stamped
+        # rows — a plain read would infer the schema from ONE
+        # arbitrary file (review finding: old-file inference stamps
+        # the replaying batch's own windows as settled; new-file
+        # inference reads every pre-feature window as null and a
+        # null < batch_id filter silently drops the settled corpus).
+        # Merged, old rows surface as null -> coalesced to
+        # settled-before-everything; reconcile_ingest_root rewrites
+        # the root to one schema on its next pass.
+        widx = spark.read.option("mergeSchema", "true").parquet(
+            win_path
+        )
         if "batch_id" not in widx.columns:
             # retrofit of a pre-feature root: treat its rows as
             # settled-before-everything
             widx = widx.withColumn("batch_id", F.lit(-1))
+        else:
+            widx = widx.withColumn(
+                "batch_id", F.coalesce("batch_id", F.lit(-1))
+            )
         # span detection consults only STRICTLY-EARLIER batches:
         # after a crash in the windows→docs gap, the replay would
         # otherwise find its own windows in the index and emit
@@ -326,11 +342,30 @@ def reconcile_ingest_root(
         path = f"{root}/{name}"
         if _bootstrap_needed(spark, path):
             continue
-        df = spark.read.parquet(path)
+        needs_stamp = False
+        if name == "windows":
+            # a retrofitted pre-feature root can mix files with and
+            # without batch_id (see process_corpus_batch's mergeSchema
+            # note); reconcile is where the root converges back to ONE
+            # schema — read merged, stamp nulls settled, force the
+            # rewrite even when no rows were dropped
+            df = spark.read.option("mergeSchema", "true").parquet(path)
+            if "batch_id" not in df.columns:
+                df = df.withColumn("batch_id", F.lit(-1))
+                needs_stamp = True
+            else:
+                needs_stamp = bool(
+                    df.filter(F.col("batch_id").isNull()).head(1)
+                )
+                df = df.withColumn(
+                    "batch_id", F.coalesce("batch_id", F.lit(-1))
+                )
+        else:
+            df = spark.read.parquet(path)
         before = df.count()
         clean = rule(df)
         after = clean.count()
-        if after != before:
+        if after != before or needs_stamp:
             clean = clean.localCheckpoint(eager=True)
             clean.write.mode("overwrite").parquet(path)
         report[name] = {"before": before, "after": after}

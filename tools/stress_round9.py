@@ -28,9 +28,15 @@ substrpartner  Partner-attributed substring dedup at 64x: planted
             max_docs_per_window; plain substring_spans timed as the
             coverage control.
 
-Usage: python tools/stress_round9.py [vp8ldecode|gifdecode|substrpartner]
+bytebpe     Byte-level BPE counting at 64x: the r8 'bpe' row's
+            protocol plus a per-doc run of 2-byte characters; the
+            distributed byte-level total must equal the independent
+            JVM closed form (ASCII identity + 1 + 2m per doc).
+
+Usage: python tools/stress_round9.py
+       [vp8ldecode|gifdecode|substrpartner|bytebpe]
 Env: STRESS_VP8L_N (default 2000), STRESS_GIF_N (default 5000),
-STRESS_PARTNER_N (default 320000, multiple of 10).
+STRESS_PARTNER_N / STRESS_BYTEBPE_N (default 320000, multiple of 10).
 """
 
 from __future__ import annotations
@@ -45,13 +51,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402  (kept: parity with siblings)
-from pyspark.sql.types import (  # noqa: E402
-    BinaryType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from timeseries_data_provider_spark.operators import (  # noqa: E402
     gif,
@@ -67,14 +66,9 @@ def _emit(probe: str, **kw) -> None:
 
 N_CLASSES = 10
 
-_MEDIA_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("kind", StringType()),
-        StructField("payload", BinaryType()),
-        StructField("byte_len", LongType()),
-    ]
-)
+# the canonical media schema — reusing the module constant so the
+# probe can never drift from what media_features consumes
+_MEDIA_SCHEMA = multimodal.MEDIA_SCHEMA
 
 
 def _replicated_media(spark, payloads: list[bytes], kind: str, n: int):
@@ -275,8 +269,80 @@ def probe_substrpartner(spark) -> None:
     )
 
 
+def probe_bytebpe(spark) -> None:
+    """Byte-level BPE counting at 64x (round-9 addition; the r8 'bpe'
+    row's protocol at the byte level): the same English filler PLUS a
+    per-doc run of m = id%16 'e-acute' characters — 2 UTF-8 bytes
+    each, exactly where char-level counting goes wrong. The
+    distributed byte-level total must equal the independent JVM
+    closed form: the ASCII part keeps the r8 identity
+    (len - occ('th') - occ('the')), and the accent piece contributes
+    1 + 2m stand-in symbols (space + m two-byte letters; no ranked
+    pair touches them)."""
+    from timeseries_data_provider_spark.operators import bpe
+
+    n_docs = int(os.environ.get("STRESS_BYTEBPE_N", "320000"))
+    base_words = (
+        "the quick brown fox jumps over the lazy dog then another "
+        "thing with themes that gather through thirty paths "
+    )
+    m = F.col("doc_id") % 16
+    ascii_text = F.concat(
+        F.lit(base_words * 2),
+        F.lit("tail id "),
+        F.col("doc_id").cast("string"),
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"))
+        .select(
+            "doc_id",
+            ascii_text.alias("ascii"),
+            F.concat(
+                ascii_text, F.lit(" "), F.repeat(F.lit("é"), m)
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    occ = lambda c, s: (  # noqa: E731 — occurrence count via replace
+        F.length(c) - F.length(F.replace(c, F.lit(s), F.lit("")))
+    ) / len(s)
+    jvm_expect = docs.select(
+        F.sum(
+            F.length("ascii")
+            - occ(F.col("ascii"), "th")
+            - occ(F.col("ascii"), "the")
+            + 1
+            + 2 * (F.col("doc_id") % 16)
+        ).alias("t"),
+        F.sum(F.octet_length("text")).alias("bytes"),
+    ).collect()[0]
+    cnt = bpe.count_udf([("t", "h"), ("th", "e")], byte_level=True)
+    t0 = time.perf_counter()
+    got = docs.select(F.sum(cnt(F.col("text"))).alias("t")).collect()[0]
+    dt = time.perf_counter() - t0
+    assert int(got["t"]) == int(jvm_expect["t"]), (
+        got["t"],
+        jvm_expect["t"],
+    )
+    mb = int(jvm_expect["bytes"]) / 1e6
+    _emit(
+        "bytebpe",
+        n_docs=n_docs,
+        corpus_mb=round(mb, 1),
+        secs=round(dt, 2),
+        mb_per_sec=round(mb / dt, 1),
+        total_tokens=int(got["t"]),
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["vp8ldecode", "gifdecode", "substrpartner"]
+    which = sys.argv[1:] or [
+        "vp8ldecode",
+        "gifdecode",
+        "substrpartner",
+        "bytebpe",
+    ]
     spark = get_spark("tdps-stress-r9")
     for name in which:
         globals()[f"probe_{name}"](spark)
