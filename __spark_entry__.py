@@ -1041,7 +1041,15 @@ def q63_media_decode(spark, sf):
     mean-square stay the wav branch's integer formulas and byte_len
     is closed-form for every container (fixed headers + n·width +
     the RIFF/IFF pad rule) — the one media class whose CONTAINER
-    sizes the oracle fully checks."""
+    sizes the oracle fully checks.
+
+    r9: a STEREO branch — 50 interleaved two-channel clips (ids
+    13,100+, multimodal.synth_stereo_media; odd ids ship the
+    WAVE_FORMAT_EXTENSIBLE fmt chunk real multichannel WAVs use): the
+    feature ops floor-mean-downmix to mono frames, so the oracle
+    recomputes every gate from m_i = FLOOR((L_i+R_i)/2) and n_samples
+    is FRAMES (n, not 2n); byte_len pins the extensible chunk's +24
+    fmt-body bytes."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # lazy checkpoint: three consumers (features, audio, resize) read
     # the synthesized media table — without it each re-runs the full
@@ -1073,6 +1081,13 @@ def q63_media_decode(spark, sf):
         .unionByName(
             multimodal.synth_audio_media(
                 spark.range(13_000, 13_050).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
+        .unionByName(
+            multimodal.synth_stereo_media(
+                spark.range(13_100, 13_150).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
@@ -2821,6 +2836,47 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY doc_id ORDER BY i) AS prev
                 FROM aud_samples WHERE s <> 0) t
               GROUP BY doc_id
+            ), st AS (
+              -- stereo plant (r9): features gate on the floor-mean
+              -- mono downmix; odd ids ship WAVE_FORMAT_EXTENSIBLE
+              -- (+24 fmt-body bytes)
+              SELECT 13100 + g.v AS doc_id,
+                     64 + (13100 + g.v) % 64 AS n
+              FROM generate_series(0, 49) g(v)
+            ), st_samples AS (
+              SELECT a.doc_id, a.n, i.v AS i,
+                     CAST(FLOOR((
+                       ((a.doc_id * 31 + i.v * 17) % 2048 - 1024)
+                       + ((a.doc_id * 13 + i.v * 7) % 2048 - 1024)
+                     ) / 2.0) AS BIGINT) AS s
+              FROM st a, generate_series(0, 126) i(v)
+              WHERE i.v < a.n
+            ), st_feat AS (
+              SELECT doc_id, 'wav' AS kind,
+                     n AS n_samples,
+                     CAST((1000 * SUM(s * s)) // n AS BIGINT)
+                       AS feat_milli,
+                     CAST(44 + 4 * n
+                          + CASE WHEN doc_id % 2 = 1 THEN 24 ELSE 0 END
+                          AS BIGINT) AS byte_len,
+                     MAX(ABS(s)) AS peak_abs,
+                     CAST(FLOOR(SQRT(CAST((1000000 * SUM(s * s)) // n
+                                          AS DOUBLE))) AS BIGINT)
+                       AS rms_milli
+              FROM st_samples
+              GROUP BY doc_id, n
+            ), st_zc AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                       AND sgn <> prev
+                                  THEN 1 ELSE 0 END), 0) AS zero_crossings
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN s > 0 THEN 1 ELSE -1 END AS sgn,
+                       LAG(CASE WHEN s > 0 THEN 1 ELSE -1 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM st_samples WHERE s <> 0) t
+              GROUP BY doc_id
             )
             SELECT i.doc_id, i.kind, i.width, i.height, i.n_samples,
                    i.feat_milli, i.byte_len,
@@ -2843,6 +2899,14 @@ def oracle_sql() -> dict[str, str]:
                    z.zero_crossings, f.rms_milli,
                    CAST(NULL AS BIGINT) AS resized_feat_milli
             FROM aud_feat f JOIN aud_zc z USING (doc_id)
+            UNION ALL
+            SELECT f.doc_id, f.kind,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   f.n_samples, f.feat_milli, f.byte_len, f.peak_abs,
+                   z.zero_crossings, f.rms_milli,
+                   CAST(NULL AS BIGINT) AS resized_feat_milli
+            FROM st_feat f JOIN st_zc z USING (doc_id)
             UNION ALL
             SELECT 10000 + g.v AS doc_id, 'jpeg' AS kind,
                    CAST(16 AS BIGINT) AS width,

@@ -202,6 +202,82 @@ def test_aifc_roundtrips_and_gaps():
         mm.decode_audio(bytes(aiff16))
 
 
+def test_wav_extensible_fmt_roundtrip_and_guid_gap():
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE): the fmt chunk real-world
+    # multichannel/24-bit WAVs ship with — the effective code lives in
+    # the subformat GUID
+    s = np.array([-32768, -1, 0, 1, 32767], dtype=np.int64)
+    for bits in (16, 24):
+        src = s if bits == 16 else s * 256
+        dec = mm.decode_audio(mm.encode_wav(src, bits=bits, extensible=True))
+        assert dec["bits"] == bits and (dec["samples"] == src).all()
+    f = np.array([-1.0, 0.5, 0.25], dtype=np.float32)
+    dec = mm.decode_audio(mm.encode_wav(f, bits=32, extensible=True))
+    assert dec["samples"].dtype == np.float32
+    assert np.array_equal(dec["samples"], f)
+    # a non-PCM/float subformat GUID is the named plug-in boundary
+    payload = bytearray(mm.encode_wav(s, extensible=True))
+    guid_at = payload.index(b"fmt ") + 8 + 24
+    payload[guid_at + 4] = 0xDE
+    with pytest.raises(NotImplementedError, match="GUID"):
+        mm.decode_audio(bytes(payload))
+    # truncated extensible fmt chunk is malformed, not misparsed
+    short = bytearray(mm.encode_wav(s, extensible=True))
+    size_at = short.index(b"fmt ") + 4
+    short[size_at : size_at + 4] = (20).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="extensible"):
+        mm.decode_audio(bytes(short))
+
+
+def test_wav_stereo_decode_and_downmix_features():
+    # interleaved stereo: decode returns the interleaved stream +
+    # channels=2; feature_samples downmixes to floor-mean mono frames
+    left = np.array([100, -300, 500, -7], dtype=np.int64)
+    right = np.array([200, -100, -500, 8], dtype=np.int64)
+    inter = np.empty(8, dtype=np.int64)
+    inter[0::2], inter[1::2] = left, right
+    dec = mm.decode_audio(mm.encode_wav(inter, channels=2))
+    assert dec["channels"] == 2
+    assert (dec["samples"] == inter).all()
+    mono = mm.feature_samples(dec)
+    want = (left + right) // 2  # floor semantics, incl. negative sums
+    assert (mono == want).all()
+    assert list(want[:2]) == [150, -200]
+    # mono passes through downmix untouched
+    assert (mm.downmix_mono(inter, 1) == inter).all()
+    # encode guard: samples must interleave evenly
+    with pytest.raises(ValueError, match="interleave"):
+        mm.encode_wav(np.zeros(5, np.int64), channels=2)
+
+
+def test_audio_features_stereo_gates_on_frames(spark):
+    import math
+
+    left = np.array([1000, -1000] * 16, dtype=np.int64)
+    right = np.array([500, -500] * 16, dtype=np.int64)
+    inter = np.empty(64, dtype=np.int64)
+    inter[0::2], inter[1::2] = left, right
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(mm.encode_wav(inter, channels=2))),
+            (1, bytearray(mm.encode_wav((left + right) // 2))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = (
+        mm.audio_features(media).toPandas().set_index("doc_id").sort_index()
+    )
+    # the stereo clip gates exactly like its mono downmix: n_samples
+    # is FRAMES, and all three features match the mono row
+    assert (out.loc[0] == out.loc[1]).all()
+    assert out.loc[0]["n_samples"] == 32
+    assert out.loc[0]["peak_abs"] == 750
+    m = (left + right) // 2
+    assert out.loc[0]["rms_milli"] == math.isqrt(
+        (1_000_000 * int((m * m).sum())) // 32
+    )
+
+
 def test_audio_features_container_invariant(spark):
     # the SAME waveform shipped at five sample formats must gate
     # identically: features are computed in the 16-bit domain

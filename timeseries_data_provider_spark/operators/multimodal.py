@@ -12,8 +12,11 @@ libraries (none are installed in this container):
   ``struct`` for the BITMAPFILEHEADER/BITMAPINFOHEADER, ``numpy`` for
   the padded bottom-up BGR pixel grid.
 - **WAV**: full RIFF/fmt/data chunk walk — PCM 8 (unsigned offset-128)
-  / 16 / 24-bit plus IEEE float 32/64 (fmt code 3) — to sample rate,
-  width, and the sample array in the format's native domain.
+  / 16 / 24-bit plus IEEE float 32/64 (fmt code 3), mono or
+  interleaved multichannel, including the WAVE_FORMAT_EXTENSIBLE
+  (0xFFFE) fmt chunk real-world multichannel/24-bit files ship with —
+  to sample rate, width, and the sample array in the format's native
+  domain.
 - **AIFF/AIFC**: IFF FORM/COMM/SSND walk — big-endian signed PCM
   8/16/24 plus the AIFC ``sowt`` (little-endian PCM) and ``fl32``
   (IEEE float32) compression types; alac/ima4/ulaw stay the named
@@ -532,17 +535,36 @@ def _decode_png(payload: bytes) -> dict:
     return meta
 
 
+# KSDATAFORMAT_SUBTYPE_* GUID tail: every WAVE_FORMAT_EXTENSIBLE
+# subformat GUID is {code:08x}-0000-0010-8000-00AA00389B71 — the
+# first four little-endian bytes carry the effective format code
+_WAVE_GUID_SUFFIX = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def encode_wav(
-    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    bits: int = 16,
+    channels: int = 1,
+    extensible: bool = False,
 ) -> bytes:
-    """Write a real mono PCM/float WAV (RIFF + fmt + data chunks).
+    """Write a real PCM/float WAV (RIFF + fmt + data chunks).
 
     ``bits`` selects the on-disk sample format the decoder supports:
     16/24 signed PCM (fmt 1), 8 UNSIGNED PCM offset-128 (fmt 1, the
     WAV convention), 32/64 IEEE float (fmt 3). For bits=8 pass samples
     in the signed -128..127 domain (the decoder's output domain); for
     bits=24 pass int32 in the +/-2^23 domain; for float pass values in
-    [-1, 1]."""
+    [-1, 1]. ``channels > 1`` writes ``samples`` as the INTERLEAVED
+    frame stream (caller interleaves; len must divide evenly).
+    ``extensible=True`` writes the WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    fmt chunk with the standard subformat GUID — how real-world
+    multichannel/24-bit WAVs usually ship."""
+    if channels < 1 or len(samples) % channels:
+        raise ValueError(
+            f"encode_wav: {len(samples)} samples do not interleave "
+            f"into {channels} channels"
+        )
     if bits == 16:
         fmt_code, data = 1, samples.astype("<i2").tobytes()
     elif bits == 8:
@@ -562,19 +584,25 @@ def encode_wav(
         fmt_code, data = 3, samples.astype("<f8").tobytes()
     else:
         raise ValueError(f"encode_wav: unsupported bits={bits}")
-    block = max(1, bits // 8)
+    block = max(1, bits // 8) * channels
+    fmt_common = struct.pack(
+        "<HHIIHH",
+        0xFFFE if extensible else fmt_code,
+        channels,
+        sample_rate,
+        sample_rate * block,
+        block,
+        bits,
+    )
+    if extensible:
+        fmt_body = fmt_common + struct.pack(
+            "<HHI", 22, bits, 0  # cbSize, valid bits, channel mask
+        ) + struct.pack("<I", fmt_code) + _WAVE_GUID_SUFFIX
+    else:
+        fmt_body = fmt_common
     body = (
-        struct.pack(
-            "<4sIHHIIHH",
-            b"fmt ",
-            16,
-            fmt_code,
-            1,  # mono
-            sample_rate,
-            sample_rate * block,
-            block,
-            bits,
-        )
+        struct.pack("<4sI", b"fmt ", len(fmt_body))
+        + fmt_body
         + struct.pack("<4sI", b"data", len(data))
         + data
         + (b"\x00" if len(data) & 1 else b"")  # RIFF 2-byte alignment
@@ -811,6 +839,19 @@ def decode_audio(payload: bytes) -> dict:
         if tag == b"fmt ":
             fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the effective code lives in
+                # the subformat GUID's first four LE bytes — how real
+                # multichannel/24-bit WAVs ship
+                if size < 40:
+                    raise ValueError("WAV extensible fmt chunk too short")
+                guid = body[24:40]
+                if guid[4:] != _WAVE_GUID_SUFFIX:
+                    raise NotImplementedError(
+                        f"WAV extensible subformat GUID {guid.hex()} "
+                        "(PCM/float only; register a codec for the rest)"
+                    )
+                fmt_code = struct.unpack_from("<I", guid, 0)[0]
             if (fmt_code, bits) not in _WAV_FORMATS:
                 raise NotImplementedError(f"WAV fmt={fmt_code} bits={bits}")
         elif tag == b"data":
@@ -858,6 +899,30 @@ def samples_i16_domain(decoded: dict) -> np.ndarray:
     if bits == 24:
         return s >> 8
     return s
+
+
+def downmix_mono(s: np.ndarray, channels) -> np.ndarray:
+    """Integer floor-mean across interleaved channels -> one mono
+    frame stream, the standard curation downmix (zero-crossings on an
+    INTERLEAVED multichannel stream are meaningless — adjacent array
+    elements belong to different channels). Mono passes through
+    untouched; a trailing partial frame is dropped. Floor division,
+    so the result stays closed-form for the q63 oracle."""
+    ch = int(channels or 1)
+    if ch <= 1:
+        return s
+    n = (s.size // ch) * ch
+    return s[:n].reshape(-1, ch).sum(axis=1) // ch
+
+
+def feature_samples(decoded: dict) -> np.ndarray:
+    """The one decode->features adapter: 16-bit-domain normalization
+    (``samples_i16_domain``) then multichannel downmix
+    (``downmix_mono``) — both feature operators consume audio through
+    this so their gates cannot drift."""
+    return downmix_mono(
+        samples_i16_domain(decoded), decoded.get("channels")
+    )
 
 
 def decode_meta_stub(blobs: DataFrame) -> DataFrame:
@@ -1028,6 +1093,39 @@ def synth_audio_media(ids: DataFrame) -> DataFrame:
                     payload, kind = encode_wav(s8, bits=8), "wav"
                 out["doc_id"].append(doc_id)
                 out["kind"].append(kind)
+                out["payload"].append(payload)
+            out["byte_len"] = [len(p) for p in out["payload"]]
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def synth_stereo_media(ids: DataFrame) -> DataFrame:
+    """Deterministic real STEREO clips — the planted input for q63's
+    stereo/extensible branch: interleaved 16-bit frames with
+    L_i = (id·31+i·17)%2048−1024 and R_i = (id·13+i·7)%2048−1024,
+    n = 64 + id%64 frames; even ids ship the plain fmt chunk, odd ids
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE, how real multichannel WAVs ship —
+    +24 fmt-body bytes, closed-form byte_len either way). The feature
+    ops downmix to floor((L+R)/2) mono frames, so every gate is
+    SQL-recomputable."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "payload": []}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                i = np.arange(n, dtype=np.int64)
+                left = (doc_id * 31 + i * 17) % 2048 - 1024
+                right = (doc_id * 13 + i * 7) % 2048 - 1024
+                inter = np.empty(2 * n, dtype=np.int64)
+                inter[0::2], inter[1::2] = left, right
+                payload = encode_wav(
+                    inter, channels=2, extensible=bool(doc_id % 2)
+                )
+                out["doc_id"].append(doc_id)
+                out["kind"].append("wav")
                 out["payload"].append(payload)
             out["byte_len"] = [len(p) for p in out["payload"]]
             yield pd.DataFrame(out)
@@ -1347,11 +1445,13 @@ def media_features(
                 payload = bytes(payload)
                 if is_audio_payload(payload):
                     wav = decode_audio(payload)
-                    # 16-bit-domain normalization: float samples would
-                    # otherwise TRUNCATE to 0/±1 under a raw int cast —
-                    # silent garbage, exactly what this operator's
-                    # loud-errors contract forbids
-                    s = samples_i16_domain(wav)
+                    # 16-bit-domain normalization + mono downmix:
+                    # float samples would otherwise TRUNCATE to 0/±1
+                    # under a raw int cast — silent garbage, exactly
+                    # what this operator's loud-errors contract
+                    # forbids — and interleaved multichannel streams
+                    # would gate on meaningless adjacency
+                    s = feature_samples(wav)
                     n = int(s.size)
                     feat = (1000 * int((s * s).sum())) // n
                     meta = (None, None, n, wav["format"])
@@ -1495,10 +1595,12 @@ def audio_features(media: DataFrame, codec_setup=None) -> DataFrame:
     absolute amplitude (clipping detector), zero-crossing count (crude
     spectral/voicing proxy), and integer-floored RMS in milli units
     (loudness gate). Samples are first normalized to the 16-bit domain
-    (8-bit <<8, 24-bit >>8, float x32767 rounded) so the gates are
-    invariant to the container's sample format; then all
-    integer/fixed-point math — deterministic, vectorized numpy inside
-    one Arrow pass. Audio is
+    (8-bit <<8, 24-bit >>8, float x32767 rounded) and multichannel
+    streams floor-mean-downmixed to mono (``feature_samples``) so the
+    gates are invariant to the container's sample format and channel
+    layout — ``n_samples`` is therefore FRAMES for multichannel
+    clips; then all integer/fixed-point math — deterministic,
+    vectorized numpy inside one Arrow pass. Audio is
     recognized via ``is_audio_payload`` (WAV or any registered codec
     magic — review finding: a bare RIFF sniff silently skipped
     registered-codec clips); non-audio payloads are skipped (the image
@@ -1517,7 +1619,7 @@ def audio_features(media: DataFrame, codec_setup=None) -> DataFrame:
                 if not is_audio_payload(payload):
                     continue
                 wav = decode_audio(payload)
-                s = samples_i16_domain(wav)
+                s = feature_samples(wav)
                 n = int(s.size)
                 sgn = np.sign(s)
                 nz = sgn[sgn != 0]
