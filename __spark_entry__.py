@@ -42,6 +42,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     core,
     dedup,
     joins,
+    lm,
     multimodal,
     pandas_ops,
     pipeline,
@@ -1171,7 +1172,17 @@ def q64_corpus_signals(spark, sf):
     keyed on source — every doc of a source lands in one split, the
     contamination defence when near-dup pages cluster within domains):
     the oracle replays the same md5-hex-threshold rule on the source
-    string."""
+    string.
+
+    r9: joined with the CCNet-style n-gram LM quality signal
+    (lm.ngram_lm / ngram_lm_score): a bigram count model trained on
+    the REAL corpus scores each document with one planted-unique
+    token appended ('zq{doc_id}' — its closing bigram is guaranteed
+    OOV, so the add-k miss path runs on every row while every other
+    probability is a real distributed count). Scores are exact
+    integer milli-nats (per-token floor BEFORE summing — no float
+    aggregate, no cross-engine log-sum drift), so the oracle
+    recomputes train + score entirely in SQL over the same tokens."""
     d = _t(spark, sf, "documents")
     base = (
         text.repetition_signals(d)
@@ -1199,7 +1210,19 @@ def q64_corpus_signals(spark, sf):
     pii = text.redact_pii(planted).select(
         "doc_id", "n_email", "n_card", "n_ip", "n_phone"
     )
-    return base.join(sig, "doc_id").join(pii, "doc_id")
+    model = lm.ngram_lm(d, n=2)
+    probe = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" zq"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    scores = lm.ngram_lm_score(probe, model, n=2, k=1.0)
+    return (
+        base.join(sig, "doc_id")
+        .join(pii, "doc_id")
+        .join(scores, "doc_id")
+    )
 
 
 def q65_collector_replay(spark, sf):
@@ -3026,6 +3049,43 @@ def oracle_sql() -> dict[str, str]:
                                                   ORDER BY pos) AS isl
                   FROM words) t GROUP BY doc_id, word, isl) t2
               GROUP BY doc_id
+            ), ng2 AS (
+              -- bigram LM train (r9): real corpus counts
+              SELECT ws[v] AS ctx, ws[v + 1] AS tok
+              FROM (SELECT unnest(generate_series(1, len(ws) - 1)) AS v,
+                           ws
+                    FROM w) t
+            ), lmc AS (
+              SELECT ctx, tok, COUNT(*) AS c FROM ng2 GROUP BY ctx, tok
+            ), lmt AS (
+              SELECT ctx, SUM(c) AS cc FROM lmc GROUP BY ctx
+            ), lmv AS (
+              SELECT COUNT(DISTINCT tok) AS v FROM ng2
+            ), png2 AS (
+              -- probe corpus: one planted-unique token appended, so
+              -- the closing bigram is OOV on every row
+              SELECT doc_id, pw[v] AS ctx, pw[v + 1] AS tok
+              FROM (SELECT doc_id,
+                           unnest(generate_series(1, len(pw) - 1)) AS v,
+                           pw
+                    FROM (SELECT doc_id,
+                                 list_append(ws,
+                                   'zq' || CAST(doc_id AS VARCHAR)) AS pw
+                          FROM w) p) t
+            ), lmscore AS (
+              SELECT g.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                     CAST(SUM(CASE WHEN c.c IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                     CAST(SUM(FLOOR(1000 * ln(
+                       (COALESCE(c.c, 0) + 1.0)
+                       / (COALESCE(t.cc, 0)
+                          + 1.0 * (SELECT v FROM lmv))
+                     ))) AS BIGINT) AS logprob_milli
+              FROM png2 g
+              LEFT JOIN lmc c ON g.ctx = c.ctx AND g.tok = c.tok
+              LEFT JOIN lmt t ON g.ctx = t.ctx
+              GROUP BY g.doc_id
             )
             SELECT w.doc_id,
                    CAST(len(w.ws) AS BIGINT) AS n_tokens,
@@ -3062,12 +3122,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.m3 AS BIGINT) AS n_email,
                    CAST(p.m7 AS BIGINT) AS n_card,
                    CAST(p.m5 AS BIGINT) AS n_ip,
-                   CAST(p.m4 AS BIGINT) AS n_phone
+                   CAST(p.m4 AS BIGINT) AS n_phone,
+                   COALESCE(s.n_ngrams, 0) AS n_ngrams,
+                   COALESCE(s.n_hits, 0) AS n_hits,
+                   COALESCE(s.logprob_milli, 0) AS logprob_milli,
+                   CAST(FLOOR(s.logprob_milli
+                              / CAST(s.n_ngrams AS DOUBLE)) AS BIGINT)
+                     AS avg_logprob_milli
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)
             LEFT JOIN runs r USING (doc_id)
+            LEFT JOIN lmscore s USING (doc_id)
         """,
         # Recomputes the collector-replay trace from scratch: sources
         # a/b/c/d/e fire at i%2/3/5==0 by the due-check; d's null-guard

@@ -50,7 +50,12 @@ EXPLAINED_MOVES = {
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
     "q63_media_decode": (
         "r9: new GIF decode branch (50 images) + audio-format branch "
-        "(50 clips across sowt/24-bit/f32/8-bit containers)"
+        "(50 clips across sowt/24-bit/f32/8-bit containers) + stereo/"
+        "extensible branch (50 clips)"
+    ),
+    "q64_corpus_signals": (
+        "r9: new n-gram LM quality signal (bigram train over the full "
+        "corpus + per-doc scoring joins)"
     ),
 }
 
