@@ -431,6 +431,22 @@ def q30_simhash_pairs(spark, sf):
     return dedup.simhash_hamming_pairs(_t(spark, sf, "documents"), max_distance=8)
 
 
+_PQ_BOOKS: dict[str, list] = {}
+
+
+def _q31_pq_books(spark, sf) -> list:
+    """Seed PQ codebooks for q31's 'pq' branch — iterations=0 keeps
+    them SQL-rebuildable (the 16 lowest vec_ids' subvectors); one
+    config-sized collect per (process, sf), cached."""
+    books = _PQ_BOOKS.get(sf)
+    if books is None:
+        books = similarity.train_pq_codebooks(
+            _t(spark, sf, "embeddings"), m=8, ncodes=16, iterations=0
+        )
+        _PQ_BOOKS[sf] = books
+    return books
+
+
 def q31_ann_topk(spark, sf):
     """Brute-force exact cosine top-k + IVF-probed ANN top-k + BATCH
     multi-query top-k (cosine_topk_batch, queries {0, 5}) + int8
@@ -494,6 +510,24 @@ def q31_ann_topk(spark, sf):
     append = q68_ivf_append_probe(spark, sf).select(
         F.lit("ivf_append").alias("algo"), "vec_id", "sim"
     )
+    # r9: PRODUCT-QUANTIZATION branch (similarity.pq_topk — the
+    # compression tier past sq8: m=8 byte codes per dim-64 vector,
+    # 32x). The declared row uses the iterations=0 SEED codebooks
+    # (the 16 lowest vec_ids' subvectors) so the ORACLE rebuilds the
+    # books from the table and reproduces the WHOLE pipeline stage
+    # for stage — encoding argmin (first-min tie), the ADC
+    # inner-product table, candidate top-k·refine by table lookups,
+    # exact re-rank — the sq8/rp proof pattern; a recall assumption
+    # is never needed (on this near-uniform corpus PQ retrieve is
+    # genuinely lossy, measured: refine=4 misses brute rows, which is
+    # exactly why the oracle scores what PQ computes, not brute).
+    # Lloyd's-TRAINED books (iterations>0) are the library default,
+    # pinned in tests/test_similarity_lsh.py. Construction side
+    # effect: one config-sized books collect per (process, sf),
+    # cached like the q67/q68 layouts.
+    pq = similarity.pq_topk(
+        e, _q31_pq_books(spark, sf), query_vec_id=0, k=10, refine=4
+    ).select(F.lit("pq").alias("algo"), "vec_id", "sim")
     return (
         brute.unionByName(ivf)
         .unionByName(batch)
@@ -501,6 +535,7 @@ def q31_ann_topk(spark, sf):
         .unionByName(rp)
         .unionByName(layout)
         .unionByName(append)
+        .unionByName(pq)
     )
 
 
@@ -1589,6 +1624,75 @@ def _rp_oracle_ctes(out_dim: int = 16, dim: int = 64, c: int = 40) -> str:
               LIMIT 10)"""
 
 
+def _pq_oracle_ctes(
+    m: int = 8, subdim: int = 8, ncodes: int = 16, c: int = 40
+) -> str:
+    """The q31 'pq' branch's CTEs: product quantization reproduced
+    stage for stage — seed codebooks (the ncodes lowest vec_ids'
+    subvectors, similarity.train_pq_codebooks at iterations=0),
+    nearest-codeword encoding with the first-minimum tie-break, the
+    query's m x K inner-product ADC table, candidate top-``c`` by
+    table-lookup score, exact re-rank. Every float reduction is
+    written as an EXPLICIT left-to-right chain of the same subdim
+    terms Spark's expressions add (and the ADC sum reassembles via an
+    ORDERED array_agg), so candidate selection is FP-identical — the
+    sq8/rp two-stage proof pattern applied to PQ."""
+    d_terms = " + ".join(
+        f"(e.v[c.sub*{subdim}+{d + 1}] - c.cv[{d + 1}])"
+        f" * (e.v[c.sub*{subdim}+{d + 1}] - c.cv[{d + 1}])"
+        for d in range(subdim)
+    )
+    ip_terms = " + ".join(
+        f"q.qv[c.sub*{subdim}+{d + 1}] * c.cv[{d + 1}]"
+        for d in range(subdim)
+    )
+    adc = " + ".join(f"l[{j + 1}]" for j in range(m))
+    return f""", pqcb AS (
+              SELECT s.code, j.v AS sub,
+                     (e.embedding::DOUBLE[])
+                       [j.v*{subdim}+1 : j.v*{subdim}+{subdim}] AS cv
+              FROM (SELECT vec_id,
+                           CAST(row_number() OVER (ORDER BY vec_id) - 1
+                                AS INT) AS code
+                    FROM embeddings ORDER BY vec_id LIMIT {ncodes}) s
+              JOIN embeddings e ON e.vec_id = s.vec_id,
+                   generate_series(0, {m - 1}) j(v)
+            ), pqe AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), pqd AS (
+              SELECT e.vec_id, c.sub, c.code, {d_terms} AS d
+              FROM pqe e, pqcb c
+            ), pqcodes AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d, code) AS rn
+                FROM pqd) t WHERE rn = 1
+            ), pqt AS (
+              SELECT c.sub, c.code, {ip_terms} AS ip
+              FROM pqcb c, q
+            ), pqadc AS (
+              SELECT vec_id, {adc} AS adc FROM (
+                SELECT g.vec_id,
+                       array_agg(t.ip ORDER BY g.sub) AS l
+                FROM pqcodes g
+                JOIN pqt t ON g.sub = t.sub AND g.code = t.code
+                WHERE g.vec_id <> 0
+                GROUP BY g.vec_id) t2
+            ), pqcand AS (
+              SELECT vec_id FROM pqadc
+              ORDER BY adc DESC, vec_id LIMIT {c}
+            ), pqk AS (
+              SELECT e.vec_id,
+                     ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[])
+                                  * list_dot_product(q.qv, q.qv)), 6) AS sim
+              FROM embeddings e JOIN pqcand USING (vec_id), q
+              ORDER BY sim DESC, e.vec_id
+              LIMIT 10)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_search_series": "SELECT DISTINCT event_type AS name FROM events",
@@ -2041,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY sim DESC, aall.vec_id
               LIMIT 10)"""
         + _rp_oracle_ctes()
+        + _pq_oracle_ctes()
         + """
             SELECT 'brute' AS algo, vec_id, sim FROM topk
             UNION ALL
@@ -2057,6 +2162,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf_layout' AS algo, vec_id, sim FROM ivfl
             UNION ALL
             SELECT 'ivf_append' AS algo, vec_id, sim FROM aivf
+            UNION ALL
+            SELECT 'pq' AS algo, vec_id, sim FROM pqk
         """,
         "q32_embedding_neardup": """
             WITH e AS (

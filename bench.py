@@ -42,7 +42,10 @@ EXPLAINED_MOVES = {
         "r8: new substring-span plant (windows agg + islands); r9: new "
         "partner-attribution plant (presence self-join + per-pair islands)"
     ),
-    "q31_ann_topk": "r8: new ivf_append lifecycle branch (+1 layout probe)",
+    "q31_ann_topk": (
+        "r8: new ivf_append lifecycle branch (+1 layout probe); r9: new "
+        "product-quantization branch (encode + ADC retrieve + re-rank)"
+    ),
     "q34_multimodal_frames": (
         "r8: sample-table parse + 5 scored columns + per-sample "
         "fetch-list branch + fragmented (fmp4) branch"
@@ -76,6 +79,7 @@ BRANCHES = {
         "rp": "algo = 'rp'",
         "ivf_layout": "algo = 'ivf_layout'",
         "ivf_append": "algo = 'ivf_append'",
+        "pq": "algo = 'pq'",
     },
     "q34_multimodal_frames": {
         "frames": "src = 'frames'",

@@ -507,3 +507,84 @@ def test_rp_topk_rejects_mismatched_index_width(spark):
         similarity.rp_topk(
             e, query_vec_id=0, k=10, out_dim=16, projected=proj32
         ).collect()
+
+
+# --- product quantization (r9) ---------------------------------------------
+
+from timeseries_data_provider_spark.operators import similarity  # noqa: E402
+
+
+def _pq_corpus(spark, n_per=6, dim=16):
+    """Four well-separated clusters in dim-16: cluster c lives on
+    block c of the vector (one-hot block structure), members scaled
+    1 + i/100 so within-cluster order is deterministic and PQ's
+    block-aligned codes separate clusters exactly."""
+    rows = []
+    for c in range(4):
+        for i in range(n_per):
+            v = [0.0] * dim
+            for d in range(4):
+                v[c * 4 + d] = (1.0 + i / 100.0) * (d + 1)
+            rows.append((c * 100 + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_books_shape_and_dim_guard(spark):
+    e = _pq_corpus(spark)
+    books = similarity.train_pq_codebooks(e, m=4, ncodes=4, iterations=2)
+    assert len(books) == 4
+    assert all(len(b) == 4 for b in books)
+    assert all(len(cw) == 4 for b in books for cw in b)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(e, m=5)
+
+
+def test_pq_encode_matches_join_assignment(spark):
+    # the literal-expression encoder must agree with the DataFrame
+    # assignment path used in training (same L2, same first-min tie)
+    e = _pq_corpus(spark)
+    books = similarity.train_pq_codebooks(e, m=4, ncodes=4, iterations=2)
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(e, books).select("vec_id", "codes").collect()
+    }
+    cb = spark.createDataFrame(
+        [
+            (j, k, books[j][k])
+            for j in range(len(books))
+            for k in range(len(books[j]))
+        ],
+        "sub_id int, code int, cv array<double>",
+    )
+    subs = similarity._pq_subvectors(e, 4, 4)
+    joined = similarity._assign_pq_codes(subs, cb).collect()
+    want: dict = {}
+    for r in joined:
+        want.setdefault(r["vec_id"], {})[r["sub_id"]] = r["code"]
+    assert codes == {
+        v: [m[j] for j in range(4)] for v, m in want.items()
+    }
+    # codes are byte-ranged
+    assert all(0 <= c < 4 for cs in codes.values() for c in cs)
+
+
+def test_pq_topk_recovers_brute_on_clustered_corpus(spark):
+    e = _pq_corpus(spark)
+    brute = similarity.cosine_topk(e, query_vec_id=0, k=5).collect()
+    for iters in (0, 2):
+        books = similarity.train_pq_codebooks(
+            e, m=4, ncodes=4, iterations=iters
+        )
+        got = similarity.pq_topk(
+            e, books, query_vec_id=0, k=5, refine=2
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in brute], iters
+    # the neighbors really are the same-cluster members
+    assert {r["vec_id"] for r in brute} == {1, 2, 3, 4, 5}
+
+
+def test_pq_topk_missing_query_raises(spark):
+    e = _pq_corpus(spark)
+    books = similarity.train_pq_codebooks(e, m=4, ncodes=4, iterations=0)
+    with pytest.raises(ValueError, match="not found"):
+        similarity.pq_topk(e, books, query_vec_id=999_999)

@@ -1141,3 +1141,259 @@ def rp_topk(
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r9) — the vector-compression tier past sq8
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(
+    embeddings: DataFrame, m: int, subdim: int, col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, sub_id, sv): every vector split into its m contiguous
+    subvectors — the long form PQ training works over."""
+    v = as_double(F.col(col))
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("sub_id"),
+                F.slice(v, j * subdim + 1, subdim).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return embeddings.select(
+        "vec_id", F.explode(parts).alias("p")
+    ).select("vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.sv").alias("sv"))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the strict left-to-right double fold
+    (the module's oracle-portability contract for float reductions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_pq_codes(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """PQ assignment step: nearest codeword per (vec_id, sub_id) from a
+    (sub_id, code, cv) codebook frame — broadcast the config-sized
+    codebook, ties break on code for determinism (the
+    assign_to_centroids shape, per subspace and by L2, PQ's metric)."""
+    from pyspark.sql import Window
+
+    scored = subs.join(F.broadcast(cb), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "code",
+        _l2sq(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("d").asc(), F.col("code")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ncodes: int = 16,
+    iterations: int = 3,
+    col: str = "embedding",
+) -> list:
+    """[EXT] Train product-quantization codebooks (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): split dim-D
+    vectors into ``m`` contiguous subspaces and run distributed
+    Lloyd's independently in each — one shared assignment step
+    (broadcast codebook, window argmin) and one shared update step
+    (posexplode + DECIMAL-exact per-(subspace, code, dim) means) per
+    iteration, exactly the train_ivf_centroids machinery applied in
+    parallel across the m subspaces (one plan trains ALL books — no
+    per-subspace jobs). Seeds are the ``ncodes`` lowest vec_ids'
+    subvectors (the seed_centroids rule); a codeword that loses all
+    vectors keeps its position.
+
+    Returns the books as a nested Python list ``[m][ncodes][subdim]``
+    — a config-sized driver structure (m·ncodes rows collected, the
+    IVF-centroid-collect pattern) ready for ``pq_encode``/``pq_topk``
+    to bake into shuffle-free literal expressions. At 100 TB the
+    books are bytes of config; the ENCODED table is m bytes/vector —
+    dim-64 float32 at m=8 is a 32x compression, the tier past sq8's
+    4x."""
+    from timeseries_data_provider_spark.functions.numeric import stable_avg
+
+    dim = embedding_dim(embeddings, col)
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    subs = _pq_subvectors(embeddings, m, subdim, col).localCheckpoint(
+        eager=False
+    )
+    from pyspark.sql import Window
+
+    seed_ids = (
+        embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(ncodes)
+        .withColumn(
+            "code",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast(
+                "int"
+            ),
+        )
+    )
+    cb = (
+        subs.join(F.broadcast(seed_ids), "vec_id")
+        .select("sub_id", "code", F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        assign = _assign_pq_codes(subs, cb)
+        updated = (
+            subs.join(assign, ["vec_id", "sub_id"])
+            .select(
+                "sub_id",
+                "code",
+                F.posexplode(F.col("sv")).alias("dim", "x"),
+            )
+            .groupBy("sub_id", "code", "dim")
+            .agg(stable_avg(F.col("x"), "mu"))
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cv")
+            )
+        )
+        cb = (
+            cb.select("sub_id", "code", F.col("cv").alias("__old"))
+            .join(updated, ["sub_id", "code"], "left")
+            .select(
+                "sub_id",
+                "code",
+                F.coalesce(F.col("cv"), F.col("__old")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    books: list = [
+        [None] * ncodes for _ in range(m)
+    ]
+    for r in cb.collect():  # m*ncodes rows — config-sized
+        books[r["sub_id"]][r["code"]] = [float(x) for x in r["cv"]]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, books: list, col: str = "embedding"
+) -> DataFrame:
+    """Encode every vector as m byte codes against trained books —
+    ONE narrow shuffle-free pass: the books are baked in as literal
+    expressions (K·dim squared-diff terms per row, whole-stage
+    codegen), nearest codeword per subspace with the first-minimum
+    tie-break matching the training assignment. Output
+    (…passthrough…, codes array<int>) — the m-byte row a PQ layout
+    persists next to vec_id."""
+    v = as_double(F.col(col))
+    m = len(books)
+    subdim = len(books[0][0])
+    code_cols = []
+    for j, book in enumerate(books):
+        dists = []
+        for cw in book:
+            terms = [
+                (v[j * subdim + d] - F.lit(cw[d]))
+                * (v[j * subdim + d] - F.lit(cw[d]))
+                for d in range(subdim)
+            ]
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = acc + t
+            dists.append(acc)
+        darr = F.array(*dists)
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        )
+    return embeddings.withColumn("codes", F.array(*code_cols))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    books: list,
+    query_vec_id: int = 0,
+    k: int = 10,
+    refine: int = 4,
+    col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ retrieve-and-re-rank top-k — asymmetric distance
+    computation (ADC), the standard PQ query shape:
+
+    1. RETRIEVE: the query's float subvectors build an m x K
+       inner-product table against the books (computed driver-side
+       from one collected query row — the _probe_ids driver-bounded
+       pattern; m·K doubles of config). Each candidate's approximate
+       score is m table LOOKUPS on its codes
+       (element_at on literal arrays — no per-candidate float vector
+       math, no shuffle), and the top k·refine survive a
+       TakeOrderedAndProject over the m-byte code column: the scan
+       reads codes, not vectors — the 32x byte lever at 100 TB.
+    2. RE-RANK: exactly like cosine_topk_sq8 — only the candidates
+       join back to float vectors for exact cosine; quantization
+       error can only demote a true neighbor outside the k·refine
+       set (recall pinned in tests and validated == brute at every
+       provided sf)."""
+    q_rows = embeddings.filter(
+        F.col("vec_id") == query_vec_id
+    ).select(as_double(F.col(col)).alias("qv")).collect()
+    if not q_rows:
+        raise ValueError(f"pq_topk: query vec_id {query_vec_id} not found")
+    qv = [float(x) for x in q_rows[0]["qv"]]
+    m = len(books)
+    subdim = len(books[0][0])
+    tables = [
+        [
+            sum(
+                qv[j * subdim + d] * cw[d] for d in range(subdim)
+            )
+            for cw in book
+        ]
+        for j, book in enumerate(books)
+    ]
+    encoded = pq_encode(
+        embeddings.filter(F.col("vec_id") != query_vec_id), books, col
+    )
+    score = None
+    for j, tbl in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in tbl]),
+            F.col("codes").getItem(j) + 1,
+        )
+        score = term if score is None else score + term
+    cand = (
+        encoded.select("vec_id", score.alias("__adc"))
+        .orderBy(F.col("__adc").desc(), "vec_id")
+        .limit(k * refine)
+        .select("vec_id")
+    )
+    fq = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        as_double(F.col(col)).alias("qv")
+    )
+    return (
+        embeddings.join(F.broadcast(cand), "vec_id", "left_semi")
+        .join(F.broadcast(fq))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(as_double(F.col(col)), F.col("qv")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )
