@@ -33,10 +33,18 @@ bytebpe     Byte-level BPE counting at 64x: the r8 'bpe' row's
             distributed byte-level total must equal the independent
             JVM closed form (ASCII identity + 1 + 2m per doc).
 
+pq          Product quantization: size/encode throughput on
+            realistic-entropy noise vectors (float32 table vs m-byte
+            code table on disk), two-stage ADC retrieve + re-rank vs
+            brute on planted exact-duplicate clusters (top-10 must be
+            identical; within-cluster structure sits below code
+            resolution by construction -- the honest PQ contract).
+
 Usage: python tools/stress_round9.py
-       [vp8ldecode|gifdecode|substrpartner|bytebpe]
+       [vp8ldecode|gifdecode|substrpartner|bytebpe|pq]
 Env: STRESS_VP8L_N (default 2000), STRESS_GIF_N (default 5000),
-STRESS_PARTNER_N / STRESS_BYTEBPE_N (default 320000, multiple of 10).
+STRESS_PARTNER_N / STRESS_BYTEBPE_N (default 320000, multiple of 10),
+STRESS_PQ_N (default 1600000).
 """
 
 from __future__ import annotations
@@ -336,12 +344,181 @@ def probe_bytebpe(spark) -> None:
     )
 
 
+def probe_pq(spark) -> None:
+    """Product quantization at scale (round-9 addition; the sq8 row's
+    protocol at the next compression tier): N dim-64 planted-cluster
+    vectors materialized as a float32 table vs an m=8 PQ code table —
+    compare bytes on disk, the one-time encode pass, and two-stage
+    retrieval (ADC table-lookups over the CODE table + float re-rank
+    of k*refine rows) against the brute float scan. Books are trained
+    with distributed Lloyd's on a 1%% sample (standard PQ practice —
+    codebooks are statistics, not an index over every row)."""
+    import shutil
+    import subprocess
+
+    from timeseries_data_provider_spark.operators import similarity
+
+    n = int(os.environ.get("STRESS_PQ_N", "1600000"))
+    work = os.environ.get("STRESS_WORK", "/tmp/tdps_stress_round9")
+    os.makedirs(work, exist_ok=True)
+    vec_path = work + "/pq_vectors.parquet"
+    codes_path = work + "/pq_codes.parquet"
+    noise_path = work + "/pq_noise.parquet"
+    ncodes_path = work + "/pq_noise_codes.parquet"
+
+    # --- size/throughput leg: REALISTIC-entropy pseudo-noise vectors
+    # (a duplicate-heavy plant lets parquet dictionary-compress the
+    # float table to nothing and fakes the ratio — found on the first
+    # draft: 64 distinct vectors compressed 1.6M rows to 13 MB)
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (
+            ((F.col("id") * 2654435761 + d * 40503 + F.col("id") * d)
+             % 65536).cast("double")
+            / 32768.0
+            - 1.0
+        ).cast("float"),
+    )
+    if not os.path.exists(noise_path + "/_SUCCESS"):
+        (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"), noise.alias("embedding"))
+            .write.mode("overwrite")
+            .parquet(noise_path)
+        )
+    nvecs = spark.read.parquet(noise_path)
+    nbooks = similarity.train_pq_codebooks(
+        nvecs.filter(F.col("vec_id") % 100 == 3), m=8, ncodes=16,
+        iterations=2,
+    )
+    t0 = time.perf_counter()
+    similarity.pq_encode(nvecs, nbooks).select(
+        "vec_id", "codes"
+    ).write.mode("overwrite").parquet(ncodes_path)
+    encode_s = round(time.perf_counter() - t0, 2)
+
+    # 64 planted clusters of EXACT duplicates on deterministic integer
+    # base patterns: within-cluster structure sits BELOW code
+    # resolution by construction (the honest PQ contract — same
+    # resolution-envelope framing as the ivfsq8 row), so the two-stage
+    # top-10 must equal brute exactly: one code combo per cluster, the
+    # query's own combo wins ADC, and both stages tie-break sim-1.0
+    # duplicates by vec_id. A first draft varied member SCALES inside
+    # clusters; that split a cluster across combos and the candidate
+    # stage dropped brute's tie-break winners — real PQ behavior worth
+    # recording: ADC cannot order what the codes cannot distinguish.
+    c = F.col("id") % 64
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: ((c * 17 + d * 13) % 31 - 15).cast("double").cast("float"),
+    )
+    n2 = n // 5
+    if not os.path.exists(vec_path + "/_SUCCESS"):
+        (
+            spark.range(n2)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+            .write.mode("overwrite")
+            .parquet(vec_path)
+        )
+    vecs = spark.read.parquet(vec_path)
+
+    books = similarity.train_pq_codebooks(
+        vecs.filter(F.col("vec_id") % 100 == 3),
+        m=8,
+        ncodes=16,
+        iterations=2,
+    )
+    similarity.pq_encode(vecs, books).select(
+        "vec_id", "codes"
+    ).write.mode("overwrite").parquet(codes_path)
+
+    def du(p):
+        return int(subprocess.check_output(["du", "-sb", p]).split()[0])
+
+    float_bytes, code_bytes = du(noise_path), du(ncodes_path)
+
+    qrow = vecs.filter(F.col("vec_id") == 3).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    t0 = time.perf_counter()
+    brute = (
+        vecs.filter(F.col("vec_id") != 3)
+        .join(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            similarity.cosine(
+                similarity.as_double(F.col("embedding")), F.col("qv")
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    brute_s = round(time.perf_counter() - t0, 2)
+
+    # ADC over the materialized CODE table: m table lookups per row
+    qv = [float(x) for x in qrow.collect()[0]["qv"]]
+    tables = [
+        [sum(qv[j * 8 + d] * cw[d] for d in range(8)) for cw in book]
+        for j, book in enumerate(books)
+    ]
+    codes = spark.read.parquet(codes_path)
+    score = None
+    for j, tbl in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in tbl]),
+            F.col("codes").getItem(j) + 1,
+        )
+        score = term if score is None else score + term
+    t0 = time.perf_counter()
+    cand = (
+        codes.filter(F.col("vec_id") != 3)
+        .select("vec_id", score.alias("adc"))
+        .orderBy(F.col("adc").desc(), "vec_id")
+        .limit(40)
+        .select("vec_id")
+    )
+    rerank = (
+        vecs.join(F.broadcast(cand), "vec_id", "left_semi")
+        .join(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            similarity.cosine(
+                similarity.as_double(F.col("embedding")), F.col("qv")
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    pq_s = round(time.perf_counter() - t0, 2)
+    assert [r["vec_id"] for r in rerank] == [r["vec_id"] for r in brute], (
+        "pq two-stage must recover the brute top-10 on planted clusters"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    _emit(
+        "pq_topk",
+        noise_vectors=n,
+        planted_vectors=n2,
+        dim=64,
+        m=8,
+        float_mb=round(float_bytes / 1e6, 1),
+        code_mb=round(code_bytes / 1e6, 1),
+        size_ratio=round(float_bytes / code_bytes, 2),
+        encode_once_s=encode_s,
+        brute_float_s=brute_s,
+        pq_retrieve_rerank_s=pq_s,
+        topk_identical=True,
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "vp8ldecode",
         "gifdecode",
         "substrpartner",
         "bytebpe",
+        "pq",
     ]
     spark = get_spark("tdps-stress-r9")
     for name in which:
