@@ -545,10 +545,31 @@ def q32_embedding_neardup(spark, sf):
     the input is the fixed testdata embeddings table whose cardinality
     is known to be oracle-sized, so the O(n^2) guard's count job is
     skipped (the guard stays default-on for library callers;
-    tests/test_similarity_lsh.py pins the raise path)."""
-    return similarity.embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35, max_rows=None
+    tests/test_similarity_lsh.py pins the raise path).
+
+    r9: union-tagged with SemDeDup (similarity.semantic_dedup —
+    cluster the embedding space with the seeded centroids, drop
+    within-cluster semantic near-dups above the same 0.35 threshold,
+    keeper = the lowest qualifying id). One row per vector:
+    (vec_a=vec_id, vec_b=keeper or -1, sim=keeper cosine or NULL).
+    The oracle replays the whole pipeline — seeded centroids, argmax
+    assignment with centroid tie-break, the within-cluster pair join
+    on ROUNDED cosine, and the min-id keeper — so a vector dropped
+    across cluster boundaries (impossible by construction) or a wrong
+    keeper would hash-mismatch."""
+    e = _t(spark, sf, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(
+        e, threshold=0.35, max_rows=None
+    ).select(F.lit("pairs").alias("src"), "vec_a", "vec_b", "sim")
+    sd = similarity.semantic_dedup(
+        e, num_clusters=8, threshold=0.35
+    ).select(
+        F.lit("semdedup").alias("src"),
+        F.col("vec_id").alias("vec_a"),
+        F.coalesce("keeper_id", F.lit(-1).cast("long")).alias("vec_b"),
+        F.col("keeper_sim").alias("sim"),
     )
+    return pairs.unionByName(sd)
 
 
 def q34_multimodal_frames(spark, sf):
@@ -2175,8 +2196,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      ROUND(list_dot_product(a.v, b.v)
                            / sqrt(a.nsq * b.nsq), 6) AS sim
-              FROM e a JOIN e b ON a.vec_id < b.vec_id)
-            SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.35
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ), sdc AS (
+              -- SemDeDup branch (r9): seeded centroids, argmax
+              -- assignment, within-cluster min-id keeper
+              SELECT vec_id AS centroid_id, v, nsq
+              FROM e ORDER BY vec_id LIMIT 8
+            ), sdassign AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.v)
+                                  / sqrt(e.nsq * c.nsq) DESC,
+                                  c.centroid_id) AS rn
+                FROM e, sdc c) t WHERE rn = 1
+            ), sddrop AS (
+              SELECT vec_id, a_id, sim FROM (
+                SELECT eb.vec_id, ea.vec_id AS a_id,
+                       ROUND(list_dot_product(ea.v, eb.v)
+                             / sqrt(ea.nsq * eb.nsq), 6) AS sim,
+                       ROW_NUMBER() OVER (PARTITION BY eb.vec_id
+                                          ORDER BY ea.vec_id) AS rn
+                FROM e ea
+                JOIN sdassign sa ON sa.vec_id = ea.vec_id
+                JOIN sdassign sb ON sb.centroid_id = sa.centroid_id
+                JOIN e eb ON eb.vec_id = sb.vec_id
+                         AND ea.vec_id < eb.vec_id
+                WHERE ROUND(list_dot_product(ea.v, eb.v)
+                            / sqrt(ea.nsq * eb.nsq), 6) >= 0.35) t
+              WHERE rn = 1
+            )
+            SELECT 'pairs' AS src, vec_a, vec_b, sim
+            FROM pairs WHERE sim >= 0.35
+            UNION ALL
+            SELECT 'semdedup' AS src, s.vec_id AS vec_a,
+                   COALESCE(d.a_id, -1) AS vec_b, d.sim
+            FROM sdassign s LEFT JOIN sddrop d USING (vec_id)
         """,
         "q34_multimodal_frames": """
             SELECT 'frames' AS src, doc_id,

@@ -46,6 +46,10 @@ EXPLAINED_MOVES = {
         "r8: new ivf_append lifecycle branch (+1 layout probe); r9: new "
         "product-quantization branch (encode + ADC retrieve + re-rank)"
     ),
+    "q32_embedding_neardup": (
+        "r9: new SemDeDup branch (seeded clustering + within-cluster "
+        "pair join + keeper aggregate)"
+    ),
     "q34_multimodal_frames": (
         "r8: sample-table parse + 5 scored columns + per-sample "
         "fetch-list branch + fragmented (fmp4) branch"

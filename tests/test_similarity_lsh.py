@@ -588,3 +588,97 @@ def test_pq_topk_missing_query_raises(spark):
     books = similarity.train_pq_codebooks(e, m=4, ncodes=4, iterations=0)
     with pytest.raises(ValueError, match="not found"):
         similarity.pq_topk(e, books, query_vec_id=999_999)
+
+
+# --- SemDeDup (r9) ----------------------------------------------------------
+
+
+def test_semantic_dedup_greedy_keeper_within_cluster(spark):
+    # two tight semantic groups on orthogonal directions + one loner;
+    # centroids seeded from the two lowest ids put each group in its
+    # own cluster
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.01, 0.999, 0.0, 0.0]),   # near-dup of 1
+        (4, [0.998, 0.02, 0.0, 0.0]),   # near-dup of 0 AND 2
+        (5, [0.0, 0.0, 1.0, 0.0]),      # loner (nearest centroid 0/1
+                                         # but similar to neither)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["kept"], r["keeper_id"])
+        for r in similarity.semantic_dedup(
+            e, num_clusters=2, threshold=0.9
+        ).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (True, None)
+    assert out[2] == (False, 0)
+    assert out[3] == (False, 1)
+    assert out[4] == (False, 0)  # lowest qualifying id wins, not 2
+    assert out[5] == (True, None)
+    assert len(out) == 6  # one row per input vector
+
+
+def test_semantic_dedup_local_minimum_rule_on_chains(spark):
+    # the documented LOCAL-MINIMUM rule: on a chain 0~1~2 with
+    # cos(0, 2) below threshold, 2 is dropped with keeper 1 even
+    # though 1 is itself dropped — domination needs no closure loop
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [(0, unit(0.0)), (1, unit(0.25)), (2, unit(0.5))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = math.cos(0.3)  # 0~1 and 1~2 qualify; 0~2 (cos 0.5) does not
+    out = {
+        r["vec_id"]: (r["kept"], r["keeper_id"])
+        for r in similarity.semantic_dedup(
+            e, num_clusters=1, threshold=round(thr, 6)
+        ).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, 0)
+    assert out[2] == (False, 1)
+    # ...and the higher-id-bridge case where this rule keeps MORE
+    # than connected components: 0~2 and 1~2 but 0 and 1 orthogonal
+    rows2 = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 0.0, 0.0]),  # cos to both = 1/sqrt(2)
+    ]
+    e2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    out2 = {
+        r["vec_id"]: (r["kept"], r["keeper_id"])
+        for r in similarity.semantic_dedup(
+            e2, num_clusters=1, threshold=0.7
+        ).collect()
+    }
+    assert out2[0] == (True, None)
+    assert out2[1] == (True, None)
+    assert out2[2] == (False, 0)
+
+
+def test_semantic_dedup_cluster_boundary_blocks_drop(spark):
+    # near-identical vectors FORCED into different clusters are not
+    # compared — the paper's approximation, made visible by seeding
+    # the two of them as the centroids themselves
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9999, 0.0001]),  # ~dup of 0, but it IS centroid 1
+        (2, [0.99, 0.001]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["kept"], r["centroid_id"])
+        for r in similarity.semantic_dedup(
+            e, num_clusters=2, threshold=0.99
+        ).collect()
+    }
+    # 0 and 1 each anchor their own cluster -> both kept despite
+    # being near-dups; 2 lands with one of them and is dropped
+    assert out[0][0] is True and out[1][0] is True
+    assert out[2][0] is False

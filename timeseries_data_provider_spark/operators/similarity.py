@@ -1397,3 +1397,93 @@ def pq_topk(
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    num_clusters: int = 16,
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    col: str = "embedding",
+) -> DataFrame:
+    """[EXT] SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    the embedding space, then drop within-cluster semantic
+    near-duplicates, keeping one representative per ε-ball — the
+    embedding-space analogue of ``dedup.drop_near_dups``.
+
+    Keep rule — LOCAL-MINIMUM, one declarative join, no iteration: a
+    vector is DROPPED iff its cluster contains ANY lower-id vector
+    within cosine >= ``threshold`` (whether or not that vector is
+    itself dropped); the keeper recorded is the lowest such id. On a
+    chain a~b~c (ids ascending, cos(a, c) < threshold) this keeps
+    only a — c is dominated by b even though b is dropped — sitting
+    between greedy per-ball (which would re-admit c) and full
+    connected components (which also merges via HIGHER-id bridges:
+    for 0~2, 1~2, 0≁1 this rule keeps {0, 1} where CC keeps {0}).
+    Use ``dedup.drop_near_dups`` when transitive merging is wanted;
+    this rule is one join + one aggregate and needs no closure loop.
+    Cosines are rounded to 6 dp BEFORE thresholding so the decision
+    is engine-portable (the embedding_neardup_pairs oracle
+    convention).
+
+    Returns one row per input vector:
+    (vec_id, centroid_id, kept, keeper_id, keeper_sim) — keeper
+    columns NULL for kept rows.
+
+    Scale shape (the paper's point): clustering bounds the quadratic
+    — the pairwise join is keyed on centroid_id, so cost is
+    Σ n_c², never n²; at 100 TB you raise ``num_clusters`` (the
+    k-means cost is linear) until the largest cluster's square fits a
+    task, exactly the ε-ball granularity argument in the paper.
+    ``centroids``: pass a ``train_ivf_centroids`` frame for real
+    k-means cells; the default seeds with ``seed_centroids``
+    (deterministic, oracle-reproducible)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(embeddings, num_clusters)
+    )
+    assign = assign_to_centroids(embeddings, cents)
+    e = embeddings.select(
+        "vec_id", as_double(F.col(col)).alias("v")
+    ).join(assign, "vec_id")
+    a = e.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("__a_id"),
+        F.col("v").alias("__av"),
+    )
+    b = e.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("__bv"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__a_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "__a_id",
+            F.round(cosine(F.col("__av"), F.col("__bv")), 6).alias(
+                "__sim"
+            ),
+        )
+        .filter(F.col("__sim") >= F.lit(float(threshold)))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__a_id", "__sim")).alias("__keep"))
+        .select(
+            "vec_id",
+            F.col("__keep.__a_id").alias("keeper_id"),
+            F.col("__keep.__sim").alias("keeper_sim"),
+        )
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("keeper_id").isNull().alias("kept"),
+            "keeper_id",
+            "keeper_sim",
+        )
+    )
