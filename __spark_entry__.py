@@ -1106,7 +1106,14 @@ def q63_media_decode(spark, sf):
     feature ops floor-mean-downmix to mono frames, so the oracle
     recomputes every gate from m_i = FLOOR((L_i+R_i)/2) and n_samples
     is FRAMES (n, not 2n); byte_len pins the extensible chunk's +24
-    fmt-body bytes."""
+    fmt-body bytes.
+
+    r9: a TIFF branch — 50 planted gradient baseline TIFFs (ids
+    14,000+, pixel (id+x+y)%256, container rotating little/big
+    endian x plain/PackBits with 2-row strips, operators/tiff.py)
+    decoded via the same registry hook. Lossless grayscale, so the
+    GIF branch's closed form applies; byte_len NULL'd (PackBits size
+    is not SQL-recomputable)."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # lazy checkpoint: three consumers (features, audio, resize) read
     # the synthesized media table — without it each re-runs the full
@@ -1149,6 +1156,13 @@ def q63_media_decode(spark, sf):
                 )
             )
         )
+        .unionByName(
+            multimodal.synth_tiff_media(
+                spark.range(14_000, 14_050).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
         .localCheckpoint(eager=False)
     )
     setup = multimodal.register_builtin_codecs
@@ -1163,7 +1177,7 @@ def q63_media_decode(spark, sf):
         feats.withColumn(
             "byte_len",
             F.when(
-                F.col("kind").isin("png", "jpeg", "webp", "gif"),
+                F.col("kind").isin("png", "jpeg", "webp", "gif", "tiff"),
                 F.lit(None).cast("long"),
             ).otherwise(F.col("byte_len")),
         )
@@ -3148,6 +3162,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM generate_series(0, 49) s(v)) g,
                  generate_series(0, 15) x(v),
                  generate_series(0, 10) y(v)
+            WHERE x.v < g.w AND y.v < g.h
+            GROUP BY g.doc_id, g.w, g.h
+            UNION ALL
+            -- tiff plant (r9): grayscale gradient (id+x+y)%256 —
+            -- lossless, the gif closed form; byte_len NULL (PackBits)
+            SELECT g.doc_id, 'tiff' AS kind,
+                   CAST(g.w AS BIGINT) AS width,
+                   CAST(g.h AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST((1000 * SUM((g.doc_id + x.v + y.v) % 256))
+                        // (g.w * g.h) AS BIGINT) AS feat_milli,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS peak_abs,
+                   CAST(NULL AS BIGINT) AS zero_crossings,
+                   CAST(NULL AS BIGINT) AS rms_milli,
+                   (SELECT CAST((1000 * SUM((g.doc_id
+                                             + (xr.v * g.w) // 4
+                                             + (yr.v * g.h) // 4) % 256))
+                                // 16 AS BIGINT)
+                    FROM generate_series(0, 3) xr(v),
+                         generate_series(0, 3) yr(v))
+                     AS resized_feat_milli
+            FROM (SELECT 14000 + s.v AS doc_id,
+                         9 + (14000 + s.v) % 6 AS w,
+                         5 + (14000 + s.v) % 4 AS h
+                  FROM generate_series(0, 49) s(v)) g,
+                 generate_series(0, 13) x(v),
+                 generate_series(0, 7) y(v)
             WHERE x.v < g.w AND y.v < g.h
             GROUP BY g.doc_id, g.w, g.h
             ORDER BY doc_id

@@ -1,0 +1,183 @@
+"""Baseline TIFF codec (operators/tiff.py): self-roundtrip across
+byte orders / compressions / strip layouts, hand-built hostile
+streams, named plug-in gaps, every-offset truncation fuzz, and
+registry dispatch — the GIF/VP8L verification posture (no reference
+TIFF library exists in this container)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from timeseries_data_provider_spark.operators import multimodal as mm
+from timeseries_data_provider_spark.operators import tiff
+
+
+def _find_entry(payload: bytes, tag: int, bo: str = "<") -> int:
+    """Byte offset of an IFD entry in a payload built by encode_tiff
+    (single IFD at offset 8)."""
+    n = struct.unpack_from(bo + "H", payload, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from(bo + "H", payload, base)[0] == tag:
+            return base
+    raise AssertionError(f"tag {tag} not in IFD")
+
+
+def test_roundtrip_matrix():
+    rng = np.random.RandomState(5)
+    for be in (False, True):
+        for pb in (False, True):
+            for shape in ((7, 5), (6, 4, 3), (1, 1), (3, 128)):
+                px = rng.randint(0, 256, shape).astype(np.uint8)
+                for rps in (None, 1, 2, 3):
+                    p = tiff.encode_tiff(
+                        shape[1],
+                        shape[0],
+                        px,
+                        big_endian=be,
+                        packbits=pb,
+                        rows_per_strip=rps,
+                    )
+                    d = tiff.decode_tiff(p)
+                    assert d["format"] == "tiff"
+                    assert (d["width"], d["height"]) == (shape[1], shape[0])
+                    assert np.array_equal(d["pixels"], px), (
+                        be,
+                        pb,
+                        shape,
+                        rps,
+                    )
+
+
+def test_packbits_worst_and_best_case():
+    # best case: long runs compress hard; worst case: alternating
+    # bytes stay literal (PackBits never exceeds input + n/128 + 1)
+    flat = np.zeros((2, 256), np.uint8)
+    p_runs = tiff.encode_tiff(256, 2, flat, packbits=True)
+    p_plain = tiff.encode_tiff(256, 2, flat, packbits=False)
+    assert len(p_runs) < len(p_plain)
+    alt = np.tile(np.array([0, 255], np.uint8), 128).reshape(1, 256)
+    d = tiff.decode_tiff(tiff.encode_tiff(256, 1, alt, packbits=True))
+    assert np.array_equal(d["pixels"], alt)
+
+
+def test_min_is_white_inverts():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    p = bytearray(tiff.encode_tiff(4, 3, px))
+    e = _find_entry(bytes(p), 262)
+    p[e + 8] = 0  # Photometric: MinIsBlack -> MinIsWhite
+    d = tiff.decode_tiff(bytes(p))
+    assert np.array_equal(d["pixels"], 255 - px)
+
+
+def test_named_gaps():
+    px = np.zeros((2, 2), np.uint8)
+    p = bytearray(tiff.encode_tiff(2, 2, px))
+    e = _find_entry(bytes(p), 259)
+    p[e + 8] = 5  # Compression = LZW
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        tiff.decode_tiff(bytes(p))
+    p = bytearray(tiff.encode_tiff(2, 2, px))
+    e = _find_entry(bytes(p), 258)
+    p[e + 8] = 16  # 16-bit samples
+    with pytest.raises(NotImplementedError, match="bits per sample"):
+        tiff.decode_tiff(bytes(p))
+    p = bytearray(tiff.encode_tiff(2, 2, px))
+    e = _find_entry(bytes(p), 284)
+    p[e + 8] = 2  # planar
+    with pytest.raises(NotImplementedError, match="planar"):
+        tiff.decode_tiff(bytes(p))
+    p = bytearray(tiff.encode_tiff(2, 2, px))
+    e = _find_entry(bytes(p), 262)
+    p[e + 8] = 3  # palette
+    with pytest.raises(NotImplementedError, match="photometric 3"):
+        tiff.decode_tiff(bytes(p))
+
+
+def test_hostile_inputs():
+    px = np.zeros((2, 3), np.uint8)
+    good = tiff.encode_tiff(3, 2, px)
+    with pytest.raises(ValueError, match="magic"):
+        tiff.decode_tiff(b"XX*\x00" + good[4:])
+    # IFD offset beyond the payload
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 4, len(good) + 100)
+    with pytest.raises(ValueError, match="IFD offset"):
+        tiff.decode_tiff(bytes(bad))
+    # strip offset out of bounds
+    bad = bytearray(good)
+    e = _find_entry(good, 273)
+    struct.pack_into("<I", bad, e + 8, len(good))
+    with pytest.raises(ValueError, match="strip out of bounds"):
+        tiff.decode_tiff(bytes(bad))
+    # canvas bomb: huge width x height from a tiny stream
+    bad = bytearray(good)
+    e = _find_entry(good, 256)
+    struct.pack_into("<H", bad, e + 8, 65535)
+    e = _find_entry(good, 257)
+    struct.pack_into("<H", bad, e + 8, 65535)
+    with pytest.raises(ValueError, match="unreasonable canvas"):
+        tiff.decode_tiff(bytes(bad))
+    # strips covering fewer rows than ImageLength
+    bad = bytearray(good)
+    e = _find_entry(good, 257)
+    struct.pack_into("<H", bad, e + 8, 3)  # claim 3 rows, strips carry 2
+    with pytest.raises(ValueError, match="strip|rows"):
+        tiff.decode_tiff(bytes(bad))
+
+
+def test_truncation_fuzz_every_offset():
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    for pb in (False, True):
+        good = tiff.encode_tiff(6, 4, px, packbits=pb, rows_per_strip=2)
+        full = tiff.decode_tiff(good)
+        assert np.array_equal(full["pixels"], px)
+        for cut in range(len(good)):
+            try:
+                tiff.decode_tiff(good[:cut])
+            except (ValueError, NotImplementedError):
+                continue  # every failure is a NAMED error, never junk
+            # a successful decode of a prefix is impossible: the strip
+            # data is the suffix
+            raise AssertionError(f"decode survived truncation at {cut}")
+
+
+def test_registry_dispatch_both_byte_orders():
+    tiff.register()
+    px = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    for be in (False, True):
+        p = tiff.encode_tiff(3, 2, px, big_endian=be)
+        d = mm.decode_image(p)
+        assert d["format"] == "tiff"
+        assert np.array_equal(d["pixels"], px)
+    assert not mm.is_audio_payload(tiff.encode_tiff(3, 2, px))
+
+
+# --- property roundtrip ------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    be=st.booleans(),
+    pb=st.booleans(),
+    rgb=st.booleans(),
+    rps=st.integers(min_value=1, max_value=13),
+)
+def test_property_lossless_roundtrip(w, h, seed, be, pb, rgb, rps):
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.randint(0, 256, shape).astype(np.uint8)
+    p = tiff.encode_tiff(
+        w, h, px, big_endian=be, packbits=pb, rows_per_strip=rps
+    )
+    d = tiff.decode_tiff(p)
+    assert np.array_equal(d["pixels"], px)

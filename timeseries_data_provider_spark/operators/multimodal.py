@@ -1225,6 +1225,42 @@ def synth_gif_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def synth_tiff_media(ids: DataFrame) -> DataFrame:
+    """Gradient baseline TIFF per doc_id: 8-bit grayscale
+    (9+(id%6)) × (5+(id%4)) with pixel (id+x+y) % 256, rotating the
+    container shape by id%4 — little/big endian × plain/PackBits,
+    PackBits rows stripped 2-at-a-time — so the worker-side decode
+    exercises both byte orders, both baseline compressions, and the
+    multi-strip assembly. Lossless, so the q63 oracle recomputes the
+    mean with the GIF branch's closed form."""
+    from timeseries_data_provider_spark.operators import tiff as _tiff
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 9 + (i % 6), 5 + (i % 4)
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = ((i + xs + ys) % 256).astype(np.uint8)
+                pb = i % 4 >= 2
+                payload = _tiff.encode_tiff(
+                    w,
+                    h,
+                    px,
+                    big_endian=(i % 2 == 1),
+                    packbits=pb,
+                    rows_per_strip=2 if pb else None,
+                )
+                out["doc_id"].append(i)
+                out["kind"].append("tiff")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def synth_fmp4_media(ids: DataFrame) -> DataFrame:
     """Fragmented (CMAF-style) skeletons per doc_id: 2+(id%3)
     fragments of 3+(id%4) samples — the closed-form layout of
@@ -1254,12 +1290,19 @@ def synth_fmp4_media(ids: DataFrame) -> DataFrame:
 
 def register_builtin_codecs() -> None:
     """Worker-side ``codec_setup`` hook installing EVERY in-repo
-    optional codec (baseline+progressive JPEG, VP8L WebP, GIF) —
-    module-level and picklable, for media tables mixing formats."""
-    from timeseries_data_provider_spark.operators import gif, jpeg, vp8l
+    optional codec (baseline+progressive JPEG, VP8L WebP, GIF,
+    baseline TIFF) — module-level and picklable, for media tables
+    mixing formats."""
+    from timeseries_data_provider_spark.operators import (
+        gif,
+        jpeg,
+        tiff,
+        vp8l,
+    )
 
     gif.register()
     jpeg.register()
+    tiff.register()
     vp8l.register()
 
 

@@ -1,0 +1,331 @@
+"""[EXT] Baseline TIFF decoder/encoder — stdlib-only.
+
+TIFF is the remaining common crawled raster format with a
+stdlib-feasible baseline: the TIFF 6.0 specification's Baseline
+profile stores uncompressed (Compression=1) or PackBits-RLE
+(Compression=32773) strips of 8-bit grayscale or RGB samples.
+Entropy-coded TIFF variants (LZW=5, JPEG-in-TIFF=7, Deflate=8,
+CCITT fax) stay named NotImplementedError gaps — LZW-in-TIFF is
+MSB-first with EarlyChange semantics, a different bitstream from the
+GIF LZW already in-repo, and belongs to a later round or a registered
+codec library.
+
+* ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
+  ``MM\\0*``), first IFD walk, baseline tag set (width/length/
+  bits/compression/photometric/strips/rows-per-strip/samples/
+  planar), strip assembly incl. PackBits expansion, MinIsWhite
+  inversion; returns the shared ``{format, width, height, pixels}``
+  codec-contract dict so it rides ``media_features`` /
+  ``resize_features`` unchanged once registered.
+* ``encode_tiff`` — a self-written writer (either byte order,
+  optional PackBits, configurable rows-per-strip) used for
+  round-trip verification; no reference TIFF library exists in this
+  container, so correctness rests on self-roundtrip plus hand-built
+  byte streams and truncation fuzz in tests/test_tiff.py (the
+  GIF/VP8L verification posture).
+* ``register()`` — plugs the decoder into
+  ``multimodal.register_image_codec`` under BOTH byte-order magics;
+  per-row independent, linear in bytes, zero shuffle — the standard
+  codec-tier envelope.
+
+Hostile-input guards mirror the other codecs: canvas cap, strip
+bounds checked against the payload, declared sizes cross-checked
+against assembled bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_PIXELS = 64 * 1024 * 1024
+
+# baseline tags
+_WIDTH = 256
+_LENGTH = 257
+_BITS = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES = 277
+_ROWS_PER_STRIP = 278
+_STRIP_COUNTS = 279
+_PLANAR = 284
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
+    """IFD entry values: inline when they fit the 4-byte field, else
+    at the offset the field carries."""
+    size = _TYPE_SIZES.get(typ)
+    if size is None:
+        raise NotImplementedError(f"tiff: IFD value type {typ}")
+    total = size * count
+    if total <= 4:
+        data = raw[:total]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        if off + total > len(buf):
+            raise ValueError("tiff: IFD value offset out of bounds")
+        data = buf[off : off + total]
+    if typ == 3:
+        return list(struct.unpack(bo + "H" * count, data))
+    if typ == 4:
+        return list(struct.unpack(bo + "I" * count, data))
+    if typ in (1, 2):
+        return list(data)
+    # type 5 RATIONAL: numerator/denominator pairs (metadata only)
+    vals = struct.unpack(bo + "I" * (2 * count), data)
+    return [(vals[2 * i], vals[2 * i + 1]) for i in range(count)]
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    """PackBits (Apple RLE, TIFF 6.0 section 9): n in 0..127 -> copy
+    n+1 literal bytes; n in -127..-1 -> repeat next byte 1-n times;
+    -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n_in = len(data)
+    while i < n_in and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if i + n + 1 > n_in:
+                raise ValueError("tiff: truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= n_in:
+                raise ValueError("tiff: truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"tiff: PackBits strip expanded to {len(out)} bytes, "
+            f"expected {expected}"
+        )
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Decode a baseline TIFF (first IFD) to the shared codec dict.
+    Supported: 8-bit grayscale (Photometric 0/1) and RGB (2), chunky
+    planar config, Compression 1 (none) or 32773 (PackBits), either
+    byte order, any strip layout. Everything else raises the named
+    plug-in error."""
+    if len(payload) < 8:
+        raise ValueError("tiff: truncated header")
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("tiff: bad magic")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("tiff: IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("tiff: truncated IFD")
+    tags: dict = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        tags[tag] = _read_values(
+            payload, bo, typ, count, payload[base + 8 : base + 12]
+        )
+    if _WIDTH not in tags or _LENGTH not in tags:
+        raise ValueError("tiff: missing ImageWidth/ImageLength")
+    width, height = tags[_WIDTH][0], tags[_LENGTH][0]
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise ValueError(f"tiff: unreasonable canvas {width}x{height}")
+    compression = tags.get(_COMPRESSION, [1])[0]
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"tiff: compression {compression} (baseline none/PackBits "
+            "only; register a codec for LZW/JPEG/Deflate/CCITT)"
+        )
+    photometric = tags.get(_PHOTOMETRIC, [1])[0]
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"tiff: photometric {photometric} (gray/RGB only; palette "
+            "and YCbCr need a registered codec)"
+        )
+    spp = tags.get(_SAMPLES, [1])[0]
+    want_spp = 3 if photometric == 2 else 1
+    if spp != want_spp:
+        raise NotImplementedError(
+            f"tiff: {spp} samples/pixel with photometric {photometric} "
+            "(extra/alpha samples unsupported)"
+        )
+    bits = tags.get(_BITS, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"tiff: bits per sample {bits} (8 only)")
+    if tags.get(_PLANAR, [1])[0] != 1:
+        raise NotImplementedError("tiff: planar configuration 2")
+    if _STRIP_OFFSETS not in tags or _STRIP_COUNTS not in tags:
+        raise ValueError("tiff: missing strip offsets/byte counts")
+    offsets = tags[_STRIP_OFFSETS]
+    counts = tags[_STRIP_COUNTS]
+    if len(offsets) != len(counts):
+        raise ValueError("tiff: strip offset/count length mismatch")
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [height])[0]
+    if rows_per_strip <= 0:
+        raise ValueError("tiff: non-positive RowsPerStrip")
+    row_bytes = width * spp
+    raw = bytearray()
+    remaining_rows = height
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("tiff: strip out of bounds")
+        strip = payload[off : off + cnt]
+        n_rows = min(rows_per_strip, remaining_rows)
+        expected = n_rows * row_bytes
+        if compression == 32773:
+            strip = _unpackbits(strip, expected)
+        elif len(strip) != expected:
+            raise ValueError(
+                f"tiff: strip carries {len(strip)} bytes, expected "
+                f"{expected}"
+            )
+        raw += strip
+        remaining_rows -= n_rows
+    if remaining_rows != 0:
+        raise ValueError("tiff: strips cover fewer rows than ImageLength")
+    px = np.frombuffer(bytes(raw), np.uint8)
+    px = (
+        px.reshape(height, width)
+        if spp == 1
+        else px.reshape(height, width, 3)
+    )
+    if photometric == 0:
+        # MinIsWhite: invert to the MinIsBlack convention every other
+        # decoder in this package emits
+        px = 255 - px
+    return {
+        "format": "tiff",
+        "width": width,
+        "height": height,
+        "pixels": px,
+    }
+
+
+def _packbits(row: bytes) -> bytes:
+    """Per-row PackBits encoder (TIFF 6.0 recommends row-bounded
+    runs): greedy runs of >= 3 repeats, literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and row[i + nxt] == row[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Write a real baseline TIFF: 8-bit gray ((h, w) input) or RGB
+    ((h, w, 3)), either byte order, optional PackBits, strip layout
+    controlled by ``rows_per_strip`` (default: one strip)."""
+    bo = ">" if big_endian else "<"
+    px = np.asarray(pixels, np.uint8)
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    if px.shape[:2] != (height, width) or spp not in (1, 3):
+        raise ValueError(f"encode_tiff: bad pixel shape {px.shape}")
+    rps = rows_per_strip or height
+    row_bytes = width * spp
+    flat = px.tobytes()
+    strips = []
+    for top in range(0, height, rps):
+        n_rows = min(rps, height - top)
+        chunk = flat[top * row_bytes : (top + n_rows) * row_bytes]
+        if packbits:
+            chunk = b"".join(
+                _packbits(chunk[r * row_bytes : (r + 1) * row_bytes])
+                for r in range(n_rows)
+            )
+        strips.append(chunk)
+
+    # two-pass layout: pass 1 sizes every entry's value to place the
+    # overflow area and the strip data; pass 2 packs with the real
+    # strip offsets known — no in-place patching
+    entries = [
+        (_WIDTH, 3, [width]),
+        (_LENGTH, 3, [height]),
+        (_BITS, 3, [8] * spp),
+        (_COMPRESSION, 3, [32773 if packbits else 1]),
+        (_PHOTOMETRIC, 3, [2 if spp == 3 else 1]),
+        (_STRIP_OFFSETS, 4, None),  # values filled in pass 2
+        (_SAMPLES, 3, [spp]),
+        (_ROWS_PER_STRIP, 3, [rps]),
+        (_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        (_PLANAR, 3, [1]),
+    ]
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * len(entries) + 4
+    extra_size = 0
+    for tag, typ, values in entries:
+        count = len(strips) if values is None else len(values)
+        size = _TYPE_SIZES[typ] * count
+        if size > 4:
+            extra_size += size
+    data_off = extra_off + extra_size
+    offsets, pos = [], data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    fmt_of = {3: "H", 4: "I"}
+    extra = bytearray()
+    ifd = bytearray(struct.pack(bo + "H", len(entries)))
+    for tag, typ, values in sorted(
+        entries, key=lambda e: e[0]
+    ):
+        if values is None:
+            values = offsets
+        count = len(values)
+        packed = struct.pack(bo + fmt_of[typ] * count, *values)
+        if len(packed) <= 4:
+            field = packed.ljust(4, b"\x00")
+        else:
+            field = struct.pack(bo + "I", extra_off + len(extra))
+            extra += packed
+        ifd += struct.pack(bo + "HHI", tag, typ, count) + field
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        bo + "I", ifd_off
+    )
+    return head + bytes(ifd) + bytes(extra) + b"".join(strips)
+
+
+def register() -> None:
+    """Plug the TIFF decoder into the shared image-codec registry
+    (idempotent), under both byte-order magics."""
+    from . import multimodal
+
+    multimodal.register_image_codec(b"II*\x00", decode_tiff)
+    multimodal.register_image_codec(b"MM\x00*", decode_tiff)

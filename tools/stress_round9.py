@@ -19,6 +19,9 @@ gifdecode   Same envelope for the stdlib GIF decoder (round-9 GIF
             addition): N 256x256 paletted images (256-entry palette,
             LZW raster; half interlaced — the deinterlace path runs
             worker-side). Same bit-exact driver-vs-worker invariant.
+tiffdecode  Same envelope for the baseline TIFF decoder (round-9):
+            N 256x256 RGB images rotating byte order and
+            plain/PackBits with 32-row strips. Same invariant.
 
 substrpartner  Partner-attributed substring dedup at 64x: planted
             disjoint pairs must each attribute exactly one exact-
@@ -41,7 +44,7 @@ pq          Product quantization: size/encode throughput on
             resolution by construction -- the honest PQ contract).
 
 Usage: python tools/stress_round9.py
-       [vp8ldecode|gifdecode|substrpartner|bytebpe|pq]
+       [vp8ldecode|gifdecode|tiffdecode|substrpartner|bytebpe|pq]
 Env: STRESS_VP8L_N (default 2000), STRESS_GIF_N (default 5000),
 STRESS_PARTNER_N / STRESS_BYTEBPE_N (default 320000, multiple of 10),
 STRESS_PQ_N (default 1600000).
@@ -173,6 +176,29 @@ def probe_gifdecode(spark) -> None:
         )
     _run_decode_probe(
         spark, "gifdecode", payloads, gif.register, n, (256, 256)
+    )
+
+
+def probe_tiffdecode(spark) -> None:
+    n = int(os.environ.get("STRESS_TIFF_N", "5000"))
+    from timeseries_data_provider_spark.operators import tiff
+
+    payloads = []
+    for c in range(N_CLASSES):
+        rng = np.random.RandomState(5000 + c)
+        px = rng.randint(0, 256, (256, 256, 3), np.uint8)
+        payloads.append(
+            tiff.encode_tiff(
+                256,
+                256,
+                px,
+                big_endian=(c % 2 == 1),
+                packbits=(c % 4 >= 2),
+                rows_per_strip=32,
+            )
+        )
+    _run_decode_probe(
+        spark, "tiffdecode", payloads, tiff.register, n, (256, 256)
     )
 
 
@@ -516,6 +542,7 @@ def main() -> None:
     which = sys.argv[1:] or [
         "vp8ldecode",
         "gifdecode",
+        "tiffdecode",
         "substrpartner",
         "bytebpe",
         "pq",
