@@ -77,8 +77,8 @@ def test_named_gaps():
     px = np.zeros((2, 2), np.uint8)
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 259)
-    p[e + 8] = 5  # Compression = LZW
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    p[e + 8] = 8  # Compression = Deflate (LZW is supported now)
+    with pytest.raises(NotImplementedError, match="compression 8"):
         tiff.decode_tiff(bytes(p))
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 258)
@@ -181,3 +181,88 @@ def test_property_lossless_roundtrip(w, h, seed, be, pb, rgb, rps):
     )
     d = tiff.decode_tiff(p)
     assert np.array_equal(d["pixels"], px)
+
+
+# --- LZW (compression 5) + predictor ----------------------------------------
+
+
+def test_lzw_roundtrip_matrix_and_predictor():
+    rng = np.random.RandomState(9)
+    for be in (False, True):
+        for pred in (1, 2):
+            for shape in ((7, 5), (6, 4, 3), (40, 70)):
+                px = rng.randint(0, 256, shape).astype(np.uint8)
+                p = tiff.encode_tiff(
+                    shape[1], shape[0], px,
+                    big_endian=be, lzw=True, predictor=pred,
+                    rows_per_strip=3,
+                )
+                assert np.array_equal(
+                    tiff.decode_tiff(p)["pixels"], px
+                ), (be, pred, shape)
+    # predictor 2 is why real photographic TIFFs compress: a smooth
+    # gradient collapses to near-constant deltas
+    smooth = (
+        np.add.outer(np.arange(100), np.arange(256)) % 256
+    ).astype(np.uint8)
+    p1 = tiff.encode_tiff(256, 100, smooth, lzw=True, predictor=1)
+    p2 = tiff.encode_tiff(256, 100, smooth, lzw=True, predictor=2)
+    assert np.array_equal(tiff.decode_tiff(p2)["pixels"], smooth)
+    assert len(p2) < len(p1) / 4
+
+
+def test_lzw_width_regimes_and_clear_on_full():
+    # cyclic data drives the table through the 9->10->11->12-bit
+    # regimes; high-entropy data past 4094 entries forces the
+    # clear-on-full path
+    big = np.tile(np.arange(256, dtype=np.uint8), 600).reshape(300, 512)
+    assert np.array_equal(
+        tiff.decode_tiff(tiff.encode_tiff(512, 300, big, lzw=True))[
+            "pixels"
+        ],
+        big,
+    )
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (200, 300)).astype(np.uint8)
+    assert np.array_equal(
+        tiff.decode_tiff(tiff.encode_tiff(300, 200, noise, lzw=True))[
+            "pixels"
+        ],
+        noise,
+    )
+
+
+def test_lzw_hostile_streams_and_predictor_gap():
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    good = tiff.encode_tiff(6, 4, px, lzw=True)
+    # stream ending before the expected bytes is a named error
+    for cut in range(len(good)):
+        try:
+            tiff.decode_tiff(good[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        raise AssertionError(f"lzw decode survived truncation at {cut}")
+    # predictor 3 (floating point) is a named gap
+    p = bytearray(tiff.encode_tiff(6, 4, px, lzw=True, predictor=2))
+    e = _find_entry(bytes(p), 317)
+    p[e + 8] = 3
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        tiff.decode_tiff(bytes(p))
+    # exclusive-compression guard on the encoder
+    with pytest.raises(ValueError, match="exclusive"):
+        tiff.encode_tiff(6, 4, px, lzw=True, packbits=True)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    levels=st.sampled_from([2, 8, 256]),
+    pred=st.sampled_from([1, 2]),
+)
+def test_property_lzw_lossless(w, h, seed, levels, pred):
+    rng = np.random.RandomState(seed)
+    px = (rng.randint(0, levels, (h, w)) * (256 // levels)).astype(np.uint8)
+    p = tiff.encode_tiff(w, h, px, lzw=True, predictor=pred)
+    assert np.array_equal(tiff.decode_tiff(p)["pixels"], px)

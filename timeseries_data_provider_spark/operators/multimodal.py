@@ -1228,11 +1228,12 @@ def synth_gif_media(ids: DataFrame) -> DataFrame:
 def synth_tiff_media(ids: DataFrame) -> DataFrame:
     """Gradient baseline TIFF per doc_id: 8-bit grayscale
     (9+(id%6)) × (5+(id%4)) with pixel (id+x+y) % 256, rotating the
-    container shape by id%4 — little/big endian × plain/PackBits,
-    PackBits rows stripped 2-at-a-time — so the worker-side decode
-    exercises both byte orders, both baseline compressions, and the
-    multi-strip assembly. Lossless, so the q63 oracle recomputes the
-    mean with the GIF branch's closed form."""
+    container by id%6 — {plain, PackBits, LZW+Predictor-2} × little/
+    big endian, compressed rows stripped 2-at-a-time — so the
+    worker-side decode exercises both byte orders, all three baseline
+    compressions, horizontal-differencing inversion, and multi-strip
+    assembly. Lossless, so the q63 oracle recomputes the mean with
+    the GIF branch's closed form."""
     from timeseries_data_provider_spark.operators import tiff as _tiff
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1243,14 +1244,16 @@ def synth_tiff_media(ids: DataFrame) -> DataFrame:
                 w, h = 9 + (i % 6), 5 + (i % 4)
                 ys, xs = np.mgrid[0:h, 0:w]
                 px = ((i + xs + ys) % 256).astype(np.uint8)
-                pb = i % 4 >= 2
+                variant = (i % 6) // 2  # 0 plain, 1 PackBits, 2 LZW
                 payload = _tiff.encode_tiff(
                     w,
                     h,
                     px,
                     big_endian=(i % 2 == 1),
-                    packbits=pb,
-                    rows_per_strip=2 if pb else None,
+                    packbits=(variant == 1),
+                    lzw=(variant == 2),
+                    predictor=2 if variant == 2 else 1,
+                    rows_per_strip=2 if variant else None,
                 )
                 out["doc_id"].append(i)
                 out["kind"].append("tiff")

@@ -2,13 +2,14 @@
 
 TIFF is the remaining common crawled raster format with a
 stdlib-feasible baseline: the TIFF 6.0 specification's Baseline
-profile stores uncompressed (Compression=1) or PackBits-RLE
-(Compression=32773) strips of 8-bit grayscale or RGB samples.
-Entropy-coded TIFF variants (LZW=5, JPEG-in-TIFF=7, Deflate=8,
-CCITT fax) stay named NotImplementedError gaps — LZW-in-TIFF is
-MSB-first with EarlyChange semantics, a different bitstream from the
-GIF LZW already in-repo, and belongs to a later round or a registered
-codec library.
+profile stores uncompressed (Compression=1), LZW (Compression=5 —
+the MSB-first EarlyChange bitstream, a DIFFERENT dialect from the
+in-repo GIF LZW's LSB-first deferred-clear one), or PackBits-RLE
+(Compression=32773) strips of 8-bit grayscale or RGB samples, with
+the horizontal-differencing Predictor (tag 317 = 2) that real
+photographic LZW TIFFs pair with it. JPEG-in-TIFF=7, Deflate=8, and
+CCITT fax stay named NotImplementedError gaps for a registered codec
+library.
 
 * ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
   ``MM\\0*``), first IFD walk, baseline tag set (width/length/
@@ -52,6 +53,7 @@ _SAMPLES = 277
 _ROWS_PER_STRIP = 278
 _STRIP_COUNTS = 279
 _PLANAR = 284
+_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -111,12 +113,124 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 section 13): MSB-first bit packing,
+    9-bit initial width, Clear=256 / EOI=257, and the EarlyChange
+    rule — the code width bumps one code EARLIER than GIF's deferred
+    variant (at next-entry 511/1023/2047). Each strip is its own
+    stream."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = nbits = 0
+    pos = 0
+    n_in = len(data)
+    prev: bytes | None = None
+
+    def next_code():
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= n_in:
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    while len(out) < expected:
+        code = next_code()
+        if code is None:
+            raise ValueError("tiff: LZW stream ended before EOI")
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"tiff: LZW code {code} after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"tiff: LZW code {code} out of range")
+        out += entry
+        prev = entry
+        # EarlyChange: widen when the NEXT entry would need more bits
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"tiff: LZW strip expanded to {len(out)} bytes, expected "
+            f"{expected}"
+        )
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (the test writer): MSB-first, early
+    change, clear-on-full at 4094 per the spec."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)  # spec: begin with Clear
+    s = b""
+    for b in data:
+        cand = s + bytes([b])
+        if cand in table:
+            s = cand
+            continue
+        put(table[s], width)
+        table[cand] = next_code
+        next_code += 1
+        # width sync: the decoder lags this table by exactly one add
+        # (its first post-clear code appends nothing), so the encoder
+        # widens at next_code == 2^w where the early-change decoder
+        # widens at next-to-add == 2^w - 1 — verified by exhaustive
+        # offset search over random/low-entropy/cyclic streams (the
+        # +/-1 neighbors both desync)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        s = bytes([b])
+    if s:
+        put(table[s], width)
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> dict:
     """Decode a baseline TIFF (first IFD) to the shared codec dict.
     Supported: 8-bit grayscale (Photometric 0/1) and RGB (2), chunky
-    planar config, Compression 1 (none) or 32773 (PackBits), either
-    byte order, any strip layout. Everything else raises the named
-    plug-in error."""
+    planar config, Compression 1 (none), 5 (LZW incl. the EarlyChange
+    rule, with horizontal-differencing Predictor 2), or 32773
+    (PackBits), either byte order, any strip layout. Everything else
+    raises the named plug-in error."""
     if len(payload) < 8:
         raise ValueError("tiff: truncated header")
     if payload[:4] == b"II*\x00":
@@ -144,10 +258,15 @@ def decode_tiff(payload: bytes) -> dict:
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError(f"tiff: unreasonable canvas {width}x{height}")
     compression = tags.get(_COMPRESSION, [1])[0]
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"tiff: compression {compression} (baseline none/PackBits "
-            "only; register a codec for LZW/JPEG/Deflate/CCITT)"
+            f"tiff: compression {compression} (none/LZW/PackBits only; "
+            "register a codec for JPEG-in-TIFF/Deflate/CCITT)"
+        )
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"tiff: predictor {predictor} (none/horizontal only)"
         )
     photometric = tags.get(_PHOTOMETRIC, [1])[0]
     if photometric not in (0, 1, 2):
@@ -187,6 +306,8 @@ def decode_tiff(payload: bytes) -> dict:
         expected = n_rows * row_bytes
         if compression == 32773:
             strip = _unpackbits(strip, expected)
+        elif compression == 5:
+            strip = _lzw_decode(strip, expected)
         elif len(strip) != expected:
             raise ValueError(
                 f"tiff: strip carries {len(strip)} bytes, expected "
@@ -202,6 +323,13 @@ def decode_tiff(payload: bytes) -> dict:
         if spp == 1
         else px.reshape(height, width, 3)
     )
+    if predictor == 2:
+        # horizontal differencing: each sample is stored as the delta
+        # from the same sample of the previous pixel — invert with a
+        # per-row per-channel cumulative sum mod 256
+        px = (
+            np.cumsum(px.astype(np.int64), axis=1) % 256
+        ).astype(np.uint8)
     if photometric == 0:
         # MinIsWhite: invert to the MinIsBlack convention every other
         # decoder in this package emits
@@ -246,16 +374,31 @@ def encode_tiff(
     pixels: np.ndarray,
     big_endian: bool = False,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Write a real baseline TIFF: 8-bit gray ((h, w) input) or RGB
-    ((h, w, 3)), either byte order, optional PackBits, strip layout
-    controlled by ``rows_per_strip`` (default: one strip)."""
+    ((h, w, 3)), either byte order, optional PackBits or LZW
+    compression (LZW may pair with horizontal-differencing
+    ``predictor=2``, the real-world default for photographic TIFFs),
+    strip layout controlled by ``rows_per_strip`` (default: one
+    strip)."""
+    if packbits and lzw:
+        raise ValueError("encode_tiff: packbits and lzw are exclusive")
+    if predictor not in (1, 2):
+        raise ValueError(f"encode_tiff: predictor {predictor}")
     bo = ">" if big_endian else "<"
     px = np.asarray(pixels, np.uint8)
     spp = 1 if px.ndim == 2 else px.shape[2]
     if px.shape[:2] != (height, width) or spp not in (1, 3):
         raise ValueError(f"encode_tiff: bad pixel shape {px.shape}")
+    if predictor == 2:
+        # horizontal differencing mod 256 (inverted by the decoder's
+        # per-row cumulative sum)
+        d = px.astype(np.int64)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        px = (d % 256).astype(np.uint8)
     rps = rows_per_strip or height
     row_bytes = width * spp
     flat = px.tobytes()
@@ -268,6 +411,8 @@ def encode_tiff(
                 _packbits(chunk[r * row_bytes : (r + 1) * row_bytes])
                 for r in range(n_rows)
             )
+        elif lzw:
+            chunk = _lzw_encode(chunk)
         strips.append(chunk)
 
     # two-pass layout: pass 1 sizes every entry's value to place the
@@ -277,7 +422,7 @@ def encode_tiff(
         (_WIDTH, 3, [width]),
         (_LENGTH, 3, [height]),
         (_BITS, 3, [8] * spp),
-        (_COMPRESSION, 3, [32773 if packbits else 1]),
+        (_COMPRESSION, 3, [32773 if packbits else 5 if lzw else 1]),
         (_PHOTOMETRIC, 3, [2 if spp == 3 else 1]),
         (_STRIP_OFFSETS, 4, None),  # values filled in pass 2
         (_SAMPLES, 3, [spp]),
@@ -285,6 +430,8 @@ def encode_tiff(
         (_STRIP_COUNTS, 4, [len(s) for s in strips]),
         (_PLANAR, 3, [1]),
     ]
+    if predictor == 2:
+        entries.append((_PREDICTOR, 3, [2]))
     ifd_off = 8
     extra_off = ifd_off + 2 + 12 * len(entries) + 4
     extra_size = 0

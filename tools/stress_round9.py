@@ -21,7 +21,10 @@ gifdecode   Same envelope for the stdlib GIF decoder (round-9 GIF
             worker-side). Same bit-exact driver-vs-worker invariant.
 tiffdecode  Same envelope for the baseline TIFF decoder (round-9):
             N 256x256 RGB images rotating byte order and
-            plain/PackBits with 32-row strips. Same invariant.
+            plain/PackBits with 32-row strips; a second 'tifflzw' row
+            measures the LZW+Predictor-2 tier separately (a per-code
+            Python loop — the symbol-loop rate class, kept out of the
+            numpy strip tier's average). Same invariant.
 
 substrpartner  Partner-attributed substring dedup at 64x: planted
             disjoint pairs must each attribute exactly one exact-
@@ -199,6 +202,32 @@ def probe_tiffdecode(spark) -> None:
         )
     _run_decode_probe(
         spark, "tiffdecode", payloads, tiff.register, n, (256, 256)
+    )
+    # LZW tier, its own row: a per-CODE Python loop, so its rate class
+    # is the VP8L/GIF symbol-loop tier, not the numpy strip tier above
+    # — measured separately so the numpy rate isn't averaged away.
+    # Content is coarse 8-level noise (textured but compressible, the
+    # vp8l probe's class) with Predictor 2 — the real-world LZW-TIFF
+    # shape; full-range noise is LZW's pathological worst case and is
+    # covered by pytest roundtrips instead.
+    n_lzw = int(os.environ.get("STRESS_TIFF_LZW_N", "2000"))
+    payloads = []
+    for c in range(N_CLASSES):
+        rng = np.random.RandomState(5100 + c)
+        px = (rng.randint(0, 8, (256, 256, 3)) * 32).astype(np.uint8)
+        payloads.append(
+            tiff.encode_tiff(
+                256,
+                256,
+                px,
+                big_endian=(c % 2 == 1),
+                lzw=True,
+                predictor=2,
+                rows_per_strip=32,
+            )
+        )
+    _run_decode_probe(
+        spark, "tifflzw", payloads, tiff.register, n_lzw, (256, 256)
     )
 
 
