@@ -202,6 +202,54 @@ def test_aifc_roundtrips_and_gaps():
         mm.decode_audio(bytes(aiff16))
 
 
+def _g711_wav(fmt_code: int, payload_bytes: bytes) -> bytes:
+    """Hand-built mono 8 kHz G.711 WAV (fmt 6 = a-law, 7 = mu-law)."""
+    body = (
+        struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, fmt_code, 1, 8000, 8000, 1, 8
+        )
+        + struct.pack("<4sI", b"data", len(payload_bytes))
+        + payload_bytes
+        + (b"\x00" if len(payload_bytes) & 1 else b"")
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def test_g711_alaw_ulaw_decode_all_bytes():
+    # independent reference: the CCITT g711.c formulas, re-derived
+    # here (not imported from the module under test)
+    def ulaw_ref(b):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 132) << ((u & 0x70) >> 4)
+        return (132 - t) if (u & 0x80) else (t - 132)
+
+    def alaw_ref(b):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    all_bytes = bytes(range(256))
+    for fmt_code, ref in ((6, alaw_ref), (7, ulaw_ref)):
+        dec = mm.decode_audio(_g711_wav(fmt_code, all_bytes))
+        assert dec["format"] == "wav"
+        assert dec["bits"] == 16  # decoded domain, not container width
+        assert dec["sample_rate"] == 8000
+        assert list(dec["samples"]) == [ref(b) for b in range(256)]
+    # the canonical extremes land in the 16-bit domain
+    assert int(np.abs(mm._ULAW_TABLE).max()) == 32124
+    assert int(np.abs(mm._ALAW_TABLE).max()) == 32256
+    # and the feature path gates them like PCM16 (no rescaling)
+    dec = mm.decode_audio(_g711_wav(7, all_bytes))
+    assert (mm.samples_i16_domain(dec) == dec["samples"]).all()
+
+
 def test_wav_extensible_fmt_roundtrip_and_guid_gap():
     # WAVE_FORMAT_EXTENSIBLE (0xFFFE): the fmt chunk real-world
     # multichannel/24-bit WAVs ship with — the effective code lives in

@@ -12,11 +12,11 @@ libraries (none are installed in this container):
   ``struct`` for the BITMAPFILEHEADER/BITMAPINFOHEADER, ``numpy`` for
   the padded bottom-up BGR pixel grid.
 - **WAV**: full RIFF/fmt/data chunk walk — PCM 8 (unsigned offset-128)
-  / 16 / 24-bit plus IEEE float 32/64 (fmt code 3), mono or
-  interleaved multichannel, including the WAVE_FORMAT_EXTENSIBLE
-  (0xFFFE) fmt chunk real-world multichannel/24-bit files ship with —
-  to sample rate, width, and the sample array in the format's native
-  domain.
+  / 16 / 24-bit, IEEE float 32/64 (fmt code 3), and G.711 a-law/mu-law
+  telephony bytes (fmt 6/7, CCITT table decode) — mono or interleaved
+  multichannel, including the WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt
+  chunk real-world multichannel/24-bit files ship with — to sample
+  rate, width, and the sample array in the format's native domain.
 - **AIFF/AIFC**: IFF FORM/COMM/SSND walk — big-endian signed PCM
   8/16/24 plus the AIFC ``sowt`` (little-endian PCM) and ``fl32``
   (IEEE float32) compression types; alac/ima4/ulaw stay the named
@@ -796,17 +796,50 @@ def encode_aifc(
 
 
 # (fmt_code, bits) pairs the builtin WAV decoder accepts: PCM (fmt 1)
-# at 8 (unsigned), 16, 24 bits; IEEE float (fmt 3) at 32/64 bits.
-# Everything else (ADPCM, a-law/mu-law, WAVE_FORMAT_EXTENSIBLE) is the
-# named register-a-codec boundary.
-_WAV_FORMATS = {(1, 8), (1, 16), (1, 24), (3, 32), (3, 64)}
+# at 8 (unsigned), 16, 24 bits; IEEE float (fmt 3) at 32/64 bits;
+# G.711 a-law (fmt 6) and mu-law (fmt 7) telephony bytes. Everything
+# else (ADPCM, GSM, ...) is the named register-a-codec boundary;
+# WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its subformat GUID
+# before this check.
+_WAV_FORMATS = {(1, 8), (1, 16), (1, 24), (3, 32), (3, 64), (6, 8), (7, 8)}
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry byte -> linear-PCM decode tables for G.711 a-law and
+    mu-law, from the public CCITT reference formulas (the classic
+    g711.c piecewise segments: mu-law ((mant<<3)+132)<<exp - 132,
+    a-law quantized segment doubling). Outputs land directly in the
+    16-bit domain (mu-law spans ±32,124; a-law ±32,256), so decoded
+    telephony clips gate identically to PCM16 in the feature ops."""
+    ulaw = np.empty(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return alaw, ulaw
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
 
 def decode_audio(payload: bytes) -> dict:
     """Decode a WAV, AIFF, or AIFC payload to ``{format, sample_rate,
     channels, bits, samples}`` by walking the container's chunk list
     (other chunks skipped). WAV: PCM 8 (unsigned)/16/24-bit + IEEE
-    float 32/64 (``_WAV_FORMATS``); AIFF: big-endian PCM 8/16/24;
+    float 32/64 + G.711 a-law/mu-law (``_WAV_FORMATS``); AIFF:
+    big-endian PCM 8/16/24;
     AIFC: ``NONE`` (BE PCM), ``sowt`` (LE PCM 16), ``fl32`` (BE
     float32). Sample domains: 8-bit -> int16 in -128..127, 16-bit ->
     int16, 24-bit -> int32 in +/-2^23, float -> float32/float64 in
@@ -861,6 +894,12 @@ def decode_audio(payload: bytes) -> dict:
         raise ValueError("WAV missing fmt or data chunk")
     if fmt_code == 3:
         samples = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+    elif fmt_code in (6, 7):
+        # G.711 telephony bytes -> linear PCM via the CCITT tables;
+        # outputs are already 16-bit-domain, so report bits=16
+        table = _ALAW_TABLE if fmt_code == 6 else _ULAW_TABLE
+        samples = table[np.frombuffer(data, np.uint8)]
+        bits = 16
     elif bits == 16:
         samples = np.frombuffer(data, "<i2")
     elif bits == 8:
