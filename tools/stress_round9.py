@@ -39,6 +39,10 @@ bytebpe     Byte-level BPE counting at 64x: the r8 'bpe' row's
             distributed byte-level total must equal the independent
             JVM closed form (ASCII identity + 1 + 2m per doc).
 
+lm          N-gram LM train + add-k scoring at 64x: closed-form
+            integer coverage assertions (every original bigram hits,
+            the appended one misses), train/score wall times.
+
 pq          Product quantization: size/encode throughput on
             realistic-entropy noise vectors (float32 table vs m-byte
             code table on disk), two-stage ADC retrieve + re-rank vs
@@ -47,7 +51,7 @@ pq          Product quantization: size/encode throughput on
             resolution by construction -- the honest PQ contract).
 
 Usage: python tools/stress_round9.py
-       [vp8ldecode|gifdecode|tiffdecode|substrpartner|bytebpe|pq]
+       [vp8ldecode|gifdecode|tiffdecode|substrpartner|bytebpe|pq|lm]
 Env: STRESS_VP8L_N (default 2000), STRESS_GIF_N (default 5000),
 STRESS_PARTNER_N / STRESS_BYTEBPE_N (default 320000, multiple of 10),
 STRESS_PQ_N (default 1600000).
@@ -567,6 +571,76 @@ def probe_pq(spark) -> None:
     )
 
 
+def probe_lm(spark) -> None:
+    """N-gram LM quality scoring at 64x (round-9 addition): train a
+    bigram count model on N docs of English-ish filler, score the
+    same corpus with one planted-unique token appended per doc (the
+    q64 shape — every row exercises the OOV path). Coverage is
+    closed-form: every original bigram hits (the model was trained on
+    these docs), the one appended bigram misses, so
+    sum(n_ngrams) == sum(tokens) and sum(n_hits) == sum(tokens − 1)
+    are exact integer assertions; per-value log math is q64's oracle
+    territory."""
+    from timeseries_data_provider_spark.operators import lm
+
+    n_docs = int(os.environ.get("STRESS_LM_N", "320000"))
+    base_words = (
+        "the quick brown fox jumps over the lazy dog then another "
+        "thing with themes that gather through thirty paths "
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(base_words * 2),
+                F.lit("tail id "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+
+    t0 = time.perf_counter()
+    model = lm.ngram_lm(docs, n=2).localCheckpoint(eager=True)
+    train_s = round(time.perf_counter() - t0, 2)
+    n_grams_model = model.count()
+
+    probe = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" zq"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    agg = (
+        lm.ngram_lm_score(probe, model, n=2)
+        .groupBy()
+        .agg(
+            F.sum("n_ngrams").alias("ng"),
+            F.sum("n_hits").alias("hits"),
+            F.max("logprob_milli").alias("max_lp"),
+        )
+        .collect()[0]
+    )
+    score_s = round(time.perf_counter() - t0, 2)
+    assert int(agg["ng"]) == int(n_tokens), (agg["ng"], n_tokens)
+    assert int(agg["hits"]) == int(n_tokens) - n_docs, agg
+    assert int(agg["max_lp"]) < 0, agg  # every doc pays surprise
+    _emit(
+        "lm",
+        n_docs=n_docs,
+        corpus_tokens=int(n_tokens),
+        model_ngrams=int(n_grams_model),
+        train_secs=train_s,
+        score_secs=score_s,
+        tokens_per_sec_scored=int(n_tokens / score_s),
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "vp8ldecode",
@@ -575,6 +649,7 @@ def main() -> None:
         "substrpartner",
         "bytebpe",
         "pq",
+        "lm",
     ]
     spark = get_spark("tdps-stress-r9")
     for name in which:
