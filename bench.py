@@ -100,6 +100,10 @@ BRANCHES = {
         "batch": "mode = 'batch'",
         "incr": "mode like 'incr_%'",
     },
+    "q32_embedding_neardup": {
+        "pairs": "src = 'pairs'",
+        "semdedup": "src = 'semdedup'",
+    },
 }
 
 # Branch-level composition notes, keyed "query::branch" — same

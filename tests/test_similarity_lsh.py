@@ -682,3 +682,19 @@ def test_semantic_dedup_cluster_boundary_blocks_drop(spark):
     # being near-dups; 2 lands with one of them and is dropped
     assert out[0][0] is True and out[1][0] is True
     assert out[2][0] is False
+
+
+def test_pq_topk_persisted_codes_path_matches_inline(spark):
+    # the 32x lever: retrieval over a PERSISTED codes table must equal
+    # the re-encode-per-query form exactly (review finding: without
+    # codes=, every query paid the full K*dim encode)
+    e = _pq_corpus(spark)
+    books = similarity.train_pq_codebooks(e, m=4, ncodes=4, iterations=2)
+    codes = similarity.pq_encode(e, books).select("vec_id", "codes")
+    inline = similarity.pq_topk(e, books, query_vec_id=0, k=5, refine=2)
+    persisted = similarity.pq_topk(
+        e, books, query_vec_id=0, k=5, refine=2, codes=codes
+    )
+    assert [tuple(r) for r in persisted.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]

@@ -266,3 +266,36 @@ def test_property_lzw_lossless(w, h, seed, levels, pred):
     px = (rng.randint(0, levels, (h, w)) * (256 // levels)).astype(np.uint8)
     p = tiff.encode_tiff(w, h, px, lzw=True, predictor=pred)
     assert np.array_equal(tiff.decode_tiff(p)["pixels"], px)
+
+
+def test_large_dimensions_use_long_typed_tags():
+    # review finding: SHORT-only dimension tags crashed on any
+    # dimension above 65,535 while the decoder accepts up to
+    # MAX_PIXELS
+    px = np.zeros((1, 70_000), np.uint8)
+    p = tiff.encode_tiff(70_000, 1, px)
+    d = tiff.decode_tiff(p)
+    assert (d["width"], d["height"]) == (70_000, 1)
+    assert np.array_equal(d["pixels"], px)
+
+
+def test_hostile_ifd_value_types_raise_named_errors():
+    # review finding: RATIONAL-typed or count=0 scalar tags surfaced
+    # as raw TypeError/IndexError instead of the contract's named
+    # errors
+    px = np.zeros((2, 3), np.uint8)
+    good = tiff.encode_tiff(3, 2, px)
+    # retype ImageWidth as RATIONAL (type 5) pointing at in-bounds data
+    bad = bytearray(good)
+    e = _find_entry(good, 256)
+    struct.pack_into("<H", bad, e + 2, 5)   # type = RATIONAL
+    struct.pack_into("<I", bad, e + 4, 1)   # count = 1
+    struct.pack_into("<I", bad, e + 8, 8)   # offset: anywhere in-bounds
+    with pytest.raises(ValueError, match="non-integer"):
+        tiff.decode_tiff(bytes(bad))
+    # count=0 Compression entry
+    bad = bytearray(good)
+    e = _find_entry(good, 259)
+    struct.pack_into("<I", bad, e + 4, 0)
+    with pytest.raises(ValueError, match="empty"):
+        tiff.decode_tiff(bytes(bad))

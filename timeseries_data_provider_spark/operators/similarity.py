@@ -1331,6 +1331,7 @@ def pq_topk(
     k: int = 10,
     refine: int = 4,
     col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ retrieve-and-re-rank top-k — asymmetric distance
     computation (ADC), the standard PQ query shape:
@@ -1348,7 +1349,16 @@ def pq_topk(
        join back to float vectors for exact cosine; quantization
        error can only demote a true neighbor outside the k·refine
        set (recall pinned in tests and validated == brute at every
-       provided sf)."""
+       provided sf).
+
+    ``codes``: pass a PERSISTED (vec_id, codes) table (written once
+    via ``pq_encode``) so retrieval actually reads the m-byte codes —
+    the 32x lever — instead of re-encoding the float corpus per query
+    (review finding: without this, every query paid the full K·dim
+    encode and the byte advantage never materialized; the §C pq row
+    measures the codes-table path). Must have been encoded with the
+    SAME books — the caller's contract, like ``hashed`` on the
+    substring index."""
     q_rows = embeddings.filter(
         F.col("vec_id") == query_vec_id
     ).select(as_double(F.col(col)).alias("qv")).collect()
@@ -1366,8 +1376,12 @@ def pq_topk(
         ]
         for j, book in enumerate(books)
     ]
-    encoded = pq_encode(
-        embeddings.filter(F.col("vec_id") != query_vec_id), books, col
+    encoded = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        if codes is not None
+        else pq_encode(
+            embeddings.filter(F.col("vec_id") != query_vec_id), books, col
+        )
     )
     score = None
     for j, tbl in enumerate(tables):

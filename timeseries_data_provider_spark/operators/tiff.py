@@ -252,29 +252,44 @@ def decode_tiff(payload: bytes) -> dict:
         tags[tag] = _read_values(
             payload, bo, typ, count, payload[base + 8 : base + 12]
         )
-    if _WIDTH not in tags or _LENGTH not in tags:
-        raise ValueError("tiff: missing ImageWidth/ImageLength")
-    width, height = tags[_WIDTH][0], tags[_LENGTH][0]
+    def scalar(tag: int, default=None, name: str = "tag"):
+        """Named guard for hostile IFD entries: a scalar tag must be a
+        non-empty list of INTS (a RATIONAL-typed or count=0 entry
+        would otherwise surface as a raw TypeError/IndexError instead
+        of the codec contract's loud named errors — review finding)."""
+        vals = tags.get(tag)
+        if vals is None:
+            if default is None:
+                raise ValueError(f"tiff: missing {name}")
+            return default
+        if not vals or not isinstance(vals[0], int):
+            raise ValueError(
+                f"tiff: {name} entry is empty or non-integer-typed"
+            )
+        return vals[0]
+
+    width = scalar(_WIDTH, name="ImageWidth")
+    height = scalar(_LENGTH, name="ImageLength")
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError(f"tiff: unreasonable canvas {width}x{height}")
-    compression = tags.get(_COMPRESSION, [1])[0]
+    compression = scalar(_COMPRESSION, 1, "Compression")
     if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"tiff: compression {compression} (none/LZW/PackBits only; "
             "register a codec for JPEG-in-TIFF/Deflate/CCITT)"
         )
-    predictor = tags.get(_PREDICTOR, [1])[0]
+    predictor = scalar(_PREDICTOR, 1, "Predictor")
     if predictor not in (1, 2):
         raise NotImplementedError(
             f"tiff: predictor {predictor} (none/horizontal only)"
         )
-    photometric = tags.get(_PHOTOMETRIC, [1])[0]
+    photometric = scalar(_PHOTOMETRIC, 1, "Photometric")
     if photometric not in (0, 1, 2):
         raise NotImplementedError(
             f"tiff: photometric {photometric} (gray/RGB only; palette "
             "and YCbCr need a registered codec)"
         )
-    spp = tags.get(_SAMPLES, [1])[0]
+    spp = scalar(_SAMPLES, 1, "SamplesPerPixel")
     want_spp = 3 if photometric == 2 else 1
     if spp != want_spp:
         raise NotImplementedError(
@@ -282,9 +297,9 @@ def decode_tiff(payload: bytes) -> dict:
             "(extra/alpha samples unsupported)"
         )
     bits = tags.get(_BITS, [8])
-    if any(b != 8 for b in bits):
+    if not bits or any(not isinstance(b, int) or b != 8 for b in bits):
         raise NotImplementedError(f"tiff: bits per sample {bits} (8 only)")
-    if tags.get(_PLANAR, [1])[0] != 1:
+    if scalar(_PLANAR, 1, "PlanarConfig") != 1:
         raise NotImplementedError("tiff: planar configuration 2")
     if _STRIP_OFFSETS not in tags or _STRIP_COUNTS not in tags:
         raise ValueError("tiff: missing strip offsets/byte counts")
@@ -292,7 +307,11 @@ def decode_tiff(payload: bytes) -> dict:
     counts = tags[_STRIP_COUNTS]
     if len(offsets) != len(counts):
         raise ValueError("tiff: strip offset/count length mismatch")
-    rows_per_strip = tags.get(_ROWS_PER_STRIP, [height])[0]
+    if not all(
+        isinstance(v, int) for v in offsets
+    ) or not all(isinstance(v, int) for v in counts):
+        raise ValueError("tiff: strip offsets/counts non-integer-typed")
+    rows_per_strip = scalar(_ROWS_PER_STRIP, height, "RowsPerStrip")
     if rows_per_strip <= 0:
         raise ValueError("tiff: non-positive RowsPerStrip")
     row_bytes = width * spp
@@ -418,15 +437,22 @@ def encode_tiff(
     # two-pass layout: pass 1 sizes every entry's value to place the
     # overflow area and the strip data; pass 2 packs with the real
     # strip offsets known — no in-place patching
+    def dim_type(v: int) -> int:
+        # TIFF 6.0 allows SHORT or LONG for the dimension tags; a
+        # SHORT-only writer crashed on any dimension above 65,535
+        # while the decoder happily accepts up to MAX_PIXELS (review
+        # finding)
+        return 3 if v <= 0xFFFF else 4
+
     entries = [
-        (_WIDTH, 3, [width]),
-        (_LENGTH, 3, [height]),
+        (_WIDTH, dim_type(width), [width]),
+        (_LENGTH, dim_type(height), [height]),
         (_BITS, 3, [8] * spp),
         (_COMPRESSION, 3, [32773 if packbits else 5 if lzw else 1]),
         (_PHOTOMETRIC, 3, [2 if spp == 3 else 1]),
         (_STRIP_OFFSETS, 4, None),  # values filled in pass 2
         (_SAMPLES, 3, [spp]),
-        (_ROWS_PER_STRIP, 3, [rps]),
+        (_ROWS_PER_STRIP, dim_type(rps), [rps]),
         (_STRIP_COUNTS, 4, [len(s) for s in strips]),
         (_PLANAR, 3, [1]),
     ]

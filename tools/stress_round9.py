@@ -515,41 +515,14 @@ def probe_pq(spark) -> None:
     )
     brute_s = round(time.perf_counter() - t0, 2)
 
-    # ADC over the materialized CODE table: m table lookups per row
-    qv = [float(x) for x in qrow.collect()[0]["qv"]]
-    tables = [
-        [sum(qv[j * 8 + d] * cw[d] for d in range(8)) for cw in book]
-        for j, book in enumerate(books)
-    ]
+    # ADC over the materialized CODE table, through the OPERATOR's
+    # codes= path (review finding: the probe used to duplicate the
+    # ADC/candidate/re-rank logic inline)
     codes = spark.read.parquet(codes_path)
-    score = None
-    for j, tbl in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in tbl]),
-            F.col("codes").getItem(j) + 1,
-        )
-        score = term if score is None else score + term
     t0 = time.perf_counter()
-    cand = (
-        codes.filter(F.col("vec_id") != 3)
-        .select("vec_id", score.alias("adc"))
-        .orderBy(F.col("adc").desc(), "vec_id")
-        .limit(40)
-        .select("vec_id")
-    )
-    rerank = (
-        vecs.join(F.broadcast(cand), "vec_id", "left_semi")
-        .join(F.broadcast(qrow))
-        .select(
-            "vec_id",
-            similarity.cosine(
-                similarity.as_double(F.col("embedding")), F.col("qv")
-            ).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), "vec_id")
-        .limit(10)
-        .collect()
-    )
+    rerank = similarity.pq_topk(
+        vecs, books, query_vec_id=3, k=10, refine=4, codes=codes
+    ).collect()
     pq_s = round(time.perf_counter() - t0, 2)
     assert [r["vec_id"] for r in rerank] == [r["vec_id"] for r in brute], (
         "pq two-stage must recover the brute top-10 on planted clusters"
