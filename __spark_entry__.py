@@ -41,6 +41,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     bpe,
     core,
     dedup,
+    htmltext,
     joins,
     lm,
     multimodal,
@@ -52,6 +53,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     text,
     windows,
 )
+from timeseries_data_provider_spark.sources import warc as warcsrc  # noqa: E402
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1226,6 +1228,46 @@ def _planted_page(doc_id):
     )
 
 
+def _crawl_page(doc_id: int, text: str) -> str:
+    """Deterministic HTML page for the q64 crawl-front-end columns
+    (plain Python — runs inside synth_warc_corpus's Arrow pass). Every
+    extraction outcome is closed-form doc_id math:
+
+    - title 'Doc {id} & friends' (entity decode proof: &amp; -> &)
+    - <html lang>: en/es/de by id%3
+    - blocks: h1, the entity paragraph, the REAL doc text in a <p>,
+      a pure-link nav div (link density 6/7 -> boilerplate, always),
+      two <li> items when id%2==0, and when id%3==0 a mixed-density
+      paragraph (21 link chars / 32 -> boilerplate) — so
+      n_blocks = 4 + 2*(id%2==0) + (id%3==0),
+      n_boiler = 1 + (id%3==0), and the cleaned text is
+      'Heading {id}\\nAlpha & beta gamma.\\n{text}' (+ the items).
+    - script/style content must NOT leak (the script even contains a
+      fake '<p>' to prove CDATA handling)."""
+    import html as _html
+
+    lang = ("en", "es", "de")[doc_id % 3]
+    parts = [
+        f'<html lang="{lang}"><head><title>Doc {doc_id} &amp; friends'
+        "</title>",
+        "<style>p{color:red}</style>",
+        "<script>var x = 1 < 2; // <p>fake</p></script>",
+        f"</head><body>",
+        f"<h1>Heading {doc_id}</h1>",
+        "<p>Alpha &amp; beta <b>gamma</b>.</p>",
+        f"<p>{_html.escape(text)}</p>",
+        '<div><a href="/a">one</a> <a href="/b">two</a></div>',
+    ]
+    if doc_id % 2 == 0:
+        parts.append("<ul><li>item A</li><li>item B</li></ul>")
+    if doc_id % 3 == 0:
+        parts.append(
+            '<p>short <a href="/c">link text here longer</a> tail</p>'
+        )
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
 def q64_corpus_signals(spark, sf):
     """Corpus-construction signals, one row per document: Gopher-style
     repetition quality stats (duplicate-word fraction, top-bigram
@@ -1252,7 +1294,22 @@ def q64_corpus_signals(spark, sf):
     probability is a real distributed count). Scores are exact
     integer milli-nats (per-token floor BEFORE summing — no float
     aggregate, no cross-engine log-sum drift), so the oracle
-    recomputes train + score entirely in SQL over the same tokens."""
+    recomputes train + score entirely in SQL over the same tokens.
+
+    r9 (late): the CRAWL FRONT END, chained end-to-end — each doc's
+    text is wrapped in a planted HTML page (``_crawl_page``), the page
+    in a real HTTP/1.1 response, the response in a Common-Crawl-shaped
+    WARC archive (three gzip members: warcinfo/request/response,
+    sources/warc.synth_warc_corpus); then the REAL parsers run the
+    whole path back in Spark workers: gzip-member decode -> WARC
+    record walk -> HTTP split (warc.warc_responses) -> HTML block
+    segmentation + link-density boilerplate drop (operators/htmltext).
+    Every emitted field (warc_url/status/mime, html_title/lang, block
+    + boilerplate counts, the cleaned text itself) is closed-form
+    doc_id math for the oracle — including the entity-decoded title
+    and the cleaned text that must equal heading + entity paragraph +
+    the REAL doc text (+ list items), proving extraction read the
+    bytes through all three layers."""
     d = _t(spark, sf, "documents")
     base = (
         text.repetition_signals(d)
@@ -1288,10 +1345,42 @@ def q64_corpus_signals(spark, sf):
         ).alias("text"),
     )
     scores = lm.ngram_lm_score(probe, model, n=2, k=1.0)
+    # crawl front end: WARC -> HTTP -> HTML -> cleaned text, all real
+    # parsers; lazy checkpoint because two consumers (meta + features)
+    # read the parsed pages — without it each re-runs the full synth
+    # (gzip encode x3 per doc) in its own plan (the q63 lesson)
+    pages = (
+        warcsrc.warc_responses(
+            warcsrc.synth_warc_corpus(d, html_builder=_crawl_page)
+        )
+        .select(
+            "doc_id",
+            F.col("url").alias("warc_url"),
+            F.col("http_status").alias("warc_status"),
+            F.col("mime").alias("warc_mime"),
+            F.col("body").cast("string").alias("html"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    crawl = pages.select(
+        "doc_id", "warc_url", "warc_status", "warc_mime"
+    ).join(
+        htmltext.html_text_features(pages).select(
+            "doc_id",
+            F.col("title").alias("html_title"),
+            "html_lang",
+            F.col("n_blocks").alias("html_blocks"),
+            F.col("n_boiler_blocks").alias("html_boiler_blocks"),
+            F.col("text").alias("html_text"),
+            F.col("n_text_chars").alias("html_text_chars"),
+        ),
+        "doc_id",
+    )
     return (
         base.join(sig, "doc_id")
         .join(pii, "doc_id")
         .join(scores, "doc_id")
+        .join(crawl, "doc_id")
     )
 
 
@@ -3291,6 +3380,40 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN lmc c ON g.ctx = c.ctx AND g.tok = c.tok
               LEFT JOIN lmt t ON g.ctx = t.ctx
               GROUP BY g.doc_id
+            ), crawl0 AS (
+              -- crawl front end (r9 late): every field of the
+              -- WARC->HTTP->HTML->text chain is doc_id math; the
+              -- cleaned text embeds the REAL doc text
+              SELECT doc_id,
+                     'http://example' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS warc_url,
+                     CAST(CASE WHEN doc_id % 13 = 0 THEN 404
+                          ELSE 200 END AS BIGINT) AS warc_status,
+                     'text/html' AS warc_mime,
+                     'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends'
+                       AS html_title,
+                     CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+                          ELSE 'de' END AS html_lang,
+                     CAST(4 + 2 * CASE WHEN doc_id % 2 = 0 THEN 1
+                                       ELSE 0 END
+                            + CASE WHEN doc_id % 3 = 0 THEN 1
+                                   ELSE 0 END AS BIGINT) AS html_blocks,
+                     CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1
+                              ELSE 0 END AS BIGINT)
+                       AS html_boiler_blocks,
+                     'Heading ' || CAST(doc_id AS VARCHAR) || chr(10)
+                       || 'Alpha & beta gamma.' || chr(10) || text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || 'item A'
+                                    || chr(10) || 'item B'
+                               ELSE '' END AS html_text
+              FROM documents
+            ), crawl AS (
+              SELECT crawl0.*,
+                     CAST(length(html_text) AS BIGINT)
+                       AS html_text_chars
+              FROM crawl0
             )
             SELECT w.doc_id,
                    CAST(len(w.ws) AS BIGINT) AS n_tokens,
@@ -3333,10 +3456,15 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.logprob_milli, 0) AS logprob_milli,
                    CAST(FLOOR(s.logprob_milli
                               / CAST(s.n_ngrams AS DOUBLE)) AS BIGINT)
-                     AS avg_logprob_milli
+                     AS avg_logprob_milli,
+                   c.warc_url, c.warc_status, c.warc_mime,
+                   c.html_title, c.html_lang, c.html_blocks,
+                   c.html_boiler_blocks, c.html_text,
+                   c.html_text_chars
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)
+            JOIN crawl c USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)
             LEFT JOIN runs r USING (doc_id)
             LEFT JOIN lmscore s USING (doc_id)

@@ -62,7 +62,8 @@ EXPLAINED_MOVES = {
     ),
     "q64_corpus_signals": (
         "r9: new n-gram LM quality signal (bigram train over the full "
-        "corpus + per-doc scoring joins)"
+        "corpus + per-doc scoring joins); r9 late: crawl front end "
+        "(per-doc WARC synth + gzip/WARC/HTTP/HTML parse chain)"
     ),
 }
 
