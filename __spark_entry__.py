@@ -51,6 +51,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     scalars,
     similarity,
     text,
+    urls,
     windows,
 )
 from timeseries_data_provider_spark.sources import warc as warcsrc  # noqa: E402
@@ -1268,6 +1269,22 @@ def _crawl_page(doc_id: int, text: str) -> str:
     return "\n".join(parts)
 
 
+def _crawl_url(doc_id: int) -> str:
+    """Deliberately MESSY crawl URL per doc (closed-form doc_id math)
+    so q64 exercises every urls.url_normalize rule on the value the
+    WARC parse hands back: uppercase scheme/host, default port,
+    doubled slashes, fragment, unsorted query; a cc-second-level host
+    for the registered-domain rule; a non-default port that must
+    survive."""
+    m = doc_id % 7
+    c = doc_id % 3
+    if c == 0:
+        return f"HTTP://Example{m}.COM:80//doc//{doc_id}?b=2&a=1#frag"
+    if c == 1:
+        return f"https://WWW.blog{m}.example.CO.UK/post/{doc_id}/comments"
+    return f"https://cdn{m}.example.net:8443/img//{doc_id}.png?x=1"
+
+
 def q64_corpus_signals(spark, sf):
     """Corpus-construction signals, one row per document: Gopher-style
     repetition quality stats (duplicate-word fraction, top-bigram
@@ -1309,7 +1326,13 @@ def q64_corpus_signals(spark, sf):
     doc_id math for the oracle — including the entity-decoded title
     and the cleaned text that must equal heading + entity paragraph +
     the REAL doc text (+ list items), proving extraction read the
-    bytes through all three layers."""
+    bytes through all three layers. The planted URLs are deliberately
+    messy (``_crawl_url``: uppercase scheme/host, default port,
+    doubled slashes, fragment, unsorted query, a cc-second-level
+    host, a non-default port) and the url_norm/url_host/url_domain/
+    url_depth columns run the REAL JVM-side canonicalization
+    (operators/urls — try_parse_url compositions, zero UDF) over what
+    the WARC parse handed back."""
     d = _t(spark, sf, "documents")
     base = (
         text.repetition_signals(d)
@@ -1351,7 +1374,9 @@ def q64_corpus_signals(spark, sf):
     # (gzip encode x3 per doc) in its own plan (the q63 lesson)
     pages = (
         warcsrc.warc_responses(
-            warcsrc.synth_warc_corpus(d, html_builder=_crawl_page)
+            warcsrc.synth_warc_corpus(
+                d, html_builder=_crawl_page, url_builder=_crawl_url
+            )
         )
         .select(
             "doc_id",
@@ -1362,8 +1387,19 @@ def q64_corpus_signals(spark, sf):
         )
         .localCheckpoint(eager=False)
     )
+    # URL canonicalization over what the crawler actually saw — all
+    # JVM built-ins (operators/urls), zero extra Python passes
     crawl = pages.select(
-        "doc_id", "warc_url", "warc_status", "warc_mime"
+        "doc_id",
+        "warc_url",
+        "warc_status",
+        "warc_mime",
+        urls.url_normalize(F.col("warc_url")).alias("url_norm"),
+        urls.url_host(F.col("warc_url")).alias("url_host"),
+        urls.url_registered_domain(
+            urls.url_host(F.col("warc_url"))
+        ).alias("url_domain"),
+        urls.url_path_depth(F.col("warc_url")).alias("url_depth"),
     ).join(
         htmltext.html_text_features(pages).select(
             "doc_id",
@@ -3385,9 +3421,49 @@ def oracle_sql() -> dict[str, str]:
               -- WARC->HTTP->HTML->text chain is doc_id math; the
               -- cleaned text embeds the REAL doc text
               SELECT doc_id,
-                     'http://example' || CAST(doc_id % 7 AS VARCHAR)
-                       || '.com/doc/' || CAST(doc_id AS VARCHAR)
-                       AS warc_url,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'HTTP://Example'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.COM:80//doc//'
+                         || CAST(doc_id AS VARCHAR) || '?b=2&a=1#frag'
+                       WHEN 1 THEN 'https://WWW.blog'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.CO.UK/post/'
+                         || CAST(doc_id AS VARCHAR) || '/comments'
+                       ELSE 'https://cdn'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.net:8443/img//'
+                         || CAST(doc_id AS VARCHAR) || '.png?x=1'
+                     END AS warc_url,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'http://example'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.com/doc/'
+                         || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+                       WHEN 1 THEN 'https://www.blog'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.co.uk/post/'
+                         || CAST(doc_id AS VARCHAR) || '/comments'
+                       ELSE 'https://cdn'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.net:8443/img/'
+                         || CAST(doc_id AS VARCHAR) || '.png?x=1'
+                     END AS url_norm,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'example'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                       WHEN 1 THEN 'www.blog'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.co.uk'
+                       ELSE 'cdn' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.net'
+                     END AS url_host,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'example'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                       WHEN 1 THEN 'example.co.uk'
+                       ELSE 'example.net'
+                     END AS url_domain,
+                     CAST(CASE doc_id % 3 WHEN 1 THEN 3 ELSE 2 END
+                          AS BIGINT) AS url_depth,
                      CAST(CASE WHEN doc_id % 13 = 0 THEN 404
                           ELSE 200 END AS BIGINT) AS warc_status,
                      'text/html' AS warc_mime,
@@ -3458,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(s.n_ngrams AS DOUBLE)) AS BIGINT)
                      AS avg_logprob_milli,
                    c.warc_url, c.warc_status, c.warc_mime,
+                   c.url_norm, c.url_host, c.url_domain, c.url_depth,
                    c.html_title, c.html_lang, c.html_blocks,
                    c.html_boiler_blocks, c.html_text,
                    c.html_text_chars

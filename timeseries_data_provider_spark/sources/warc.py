@@ -243,7 +243,9 @@ def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
     return warc_responses(files)
 
 
-def synth_warc_corpus(documents: DataFrame, html_builder=None) -> DataFrame:
+def synth_warc_corpus(
+    documents: DataFrame, html_builder=None, url_builder=None
+) -> DataFrame:
     """Deterministic real WARC archive per document — the planted
     input for q64's crawl-front-end columns (the synth_media pattern:
     the corpus has no binary crawl column, so the probe builds real
@@ -252,20 +254,25 @@ def synth_warc_corpus(documents: DataFrame, html_builder=None) -> DataFrame:
     Each archive is Common Crawl-shaped: three gzip members —
     warcinfo, request, response — where the response wraps an HTML
     page built by ``html_builder(doc_id, text)`` (default: a plain
-    ``<p>text</p>`` page). URL ``http://example{id%7}.com/doc/{id}``,
-    status 404 on id%13==0 else 200, mime text/html."""
+    ``<p>text</p>`` page) at URL ``url_builder(doc_id)`` (default
+    ``http://example{id%7}.com/doc/{id}``; pass a messier builder to
+    exercise URL canonicalization downstream). Status 404 on
+    id%13==0 else 200, mime text/html."""
 
     def default_builder(doc_id: int, text: str) -> str:
         return f"<html><body><p>{text}</p></body></html>"
 
     builder = html_builder or default_builder
+    make_url = url_builder or (
+        lambda doc_id: f"http://example{doc_id % 7}.com/doc/{doc_id}"
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                url = f"http://example{doc_id % 7}.com/doc/{doc_id}"
+                url = make_url(doc_id)
                 status = 404 if doc_id % 13 == 0 else 200
                 page = builder(doc_id, text).encode("utf-8")
                 payload = encode_warc(
