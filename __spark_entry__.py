@@ -44,6 +44,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     htmltext,
     joins,
     lm,
+    mkv,
     multimodal,
     pandas_ops,
     pipeline,
@@ -608,7 +609,15 @@ def q34_multimodal_frames(spark, sf):
     and tfhd-default-size truns, tfdt bases, explicit base offsets)
     walked by ``iter_fragment_samples`` through the same
     ``video_sample_ranges`` fan-out; every offset/size/dts is doc_id
-    math (see build_fragmented_skeleton's docstring formulas)."""
+    math (see build_fragmented_skeleton's docstring formulas).
+
+    r9 (late): an 'mkv' branch — 30 planted Matroska/WebM skeletons
+    (operators/mkv.py: EBML vint framing, Info + Tracks walk, the
+    unknown-size streaming Segment on even ids) fanned out one row
+    per track by ``mkv.track_features``; width/height/codec/
+    duration_ms are closed-form doc_id math (doctype, sample rate and
+    channels are pytest-pinned — the q34 shape has no columns for
+    them)."""
     frames = multimodal.frames_with_meta(
         multimodal.attach_blob(_t(spark, sf, "documents")), frame_size=64
     ).select(
@@ -690,10 +699,34 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("first_sample_off"),
         F.lit(None).cast("long").alias("last_sample_off"),
     )
+    mkvrows = mkv.track_features(
+        mkv.synth_mkv_media(
+            spark.range(40_000, 40_030).withColumnRenamed("id", "doc_id")
+        )
+    ).select(
+        F.lit("mkv").alias("src"),
+        "doc_id",
+        # EBML container size depends on vint widths — not
+        # SQL-recomputable (the box-layout NULL rule above)
+        F.lit(None).cast("long").alias("byte_len"),
+        "width",
+        "height",
+        F.col("track_number").alias("frame_idx"),
+        F.lit(None).cast("long").alias("frame_byte_offset"),
+        "track_kind",
+        "codec",
+        "duration_ms",
+        F.lit(None).cast("long").alias("n_samples"),
+        F.lit(None).cast("long").alias("n_chunks"),
+        F.lit(None).cast("long").alias("sample_bytes"),
+        F.lit(None).cast("long").alias("first_sample_off"),
+        F.lit(None).cast("long").alias("last_sample_off"),
+    )
     return (
         frames.unionByName(vids)
         .unionByName(samples)
         .unionByName(fsamples)
+        .unionByName(mkvrows)
     )
 
 
@@ -2519,6 +2552,46 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT CAST(b.v AS BIGINT) AS j
                   FROM generate_series(0, 5) b(v))
             WHERE f < nf AND j < s
+            UNION ALL
+            -- mkv video track (r9 late): EBML skeleton metadata
+            SELECT 'mkv' AS src, doc_id,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(320 + doc_id % 16 AS BIGINT) AS width,
+                   CAST(240 + doc_id % 8 AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS frame_idx,
+                   CAST(NULL AS BIGINT) AS frame_byte_offset,
+                   'video' AS track_kind,
+                   CASE doc_id % 3 WHEN 0 THEN 'V_VP8'
+                        WHEN 1 THEN 'V_VP9'
+                        ELSE 'V_MPEG4/ISO/AVC' END AS codec,
+                   CAST(1000 + 7 * doc_id AS BIGINT) AS duration_ms,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS n_chunks,
+                   CAST(NULL AS BIGINT) AS sample_bytes,
+                   CAST(NULL AS BIGINT) AS first_sample_off,
+                   CAST(NULL AS BIGINT) AS last_sample_off
+            FROM (SELECT 40000 + g.v AS doc_id
+                  FROM generate_series(0, 29) g(v))
+            UNION ALL
+            -- mkv audio track: present on even ids only
+            SELECT 'mkv' AS src, doc_id,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   CAST(2 AS BIGINT) AS frame_idx,
+                   CAST(NULL AS BIGINT) AS frame_byte_offset,
+                   'audio' AS track_kind,
+                   CASE WHEN doc_id % 4 = 0 THEN 'A_OPUS'
+                        ELSE 'A_VORBIS' END AS codec,
+                   CAST(1000 + 7 * doc_id AS BIGINT) AS duration_ms,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS n_chunks,
+                   CAST(NULL AS BIGINT) AS sample_bytes,
+                   CAST(NULL AS BIGINT) AS first_sample_off,
+                   CAST(NULL AS BIGINT) AS last_sample_off
+            FROM (SELECT 40000 + g.v AS doc_id
+                  FROM generate_series(0, 29) g(v))
+            WHERE doc_id % 2 = 0
         """,
         # Sketch-verdict row (q36, covering the HLL++ AND GK families):
         # the oracle computes the EXACT aggregates and literal TRUE

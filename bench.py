@@ -52,7 +52,8 @@ EXPLAINED_MOVES = {
     ),
     "q34_multimodal_frames": (
         "r8: sample-table parse + 5 scored columns + per-sample "
-        "fetch-list branch + fragmented (fmp4) branch"
+        "fetch-list branch + fragmented (fmp4) branch; r9 late: "
+        "Matroska/WebM (mkv) track-metadata branch"
     ),
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
     "q63_media_decode": (
@@ -91,6 +92,7 @@ BRANCHES = {
         "mp4": "src = 'mp4'",
         "fmp4": "src = 'fmp4'",
         "sample": "src = 'sample'",
+        "mkv": "src = 'mkv'",
     },
     "q51_chunk_pack": {
         "pack": "src = 'pack'",
