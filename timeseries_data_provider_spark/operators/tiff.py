@@ -55,7 +55,20 @@ _STRIP_COUNTS = 279
 _PLANAR = 284
 _PREDICTOR = 317
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZES = {
+    1: 1,  # BYTE
+    2: 1,  # ASCII
+    3: 2,  # SHORT
+    4: 4,  # LONG
+    5: 8,  # RATIONAL
+    6: 1,  # SBYTE
+    7: 1,  # UNDEFINED (EXIF uses it for version/maker blobs)
+    8: 2,  # SSHORT
+    9: 4,  # SLONG
+    10: 8,  # SRATIONAL
+    11: 4,  # FLOAT
+    12: 8,  # DOUBLE
+}
 
 
 def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
@@ -76,10 +89,21 @@ def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
         return list(struct.unpack(bo + "H" * count, data))
     if typ == 4:
         return list(struct.unpack(bo + "I" * count, data))
-    if typ in (1, 2):
+    if typ in (1, 2, 7):
         return list(data)
-    # type 5 RATIONAL: numerator/denominator pairs (metadata only)
-    vals = struct.unpack(bo + "I" * (2 * count), data)
+    if typ == 6:
+        return list(struct.unpack(bo + "b" * count, data))
+    if typ == 8:
+        return list(struct.unpack(bo + "h" * count, data))
+    if typ == 9:
+        return list(struct.unpack(bo + "i" * count, data))
+    if typ == 11:
+        return list(struct.unpack(bo + "f" * count, data))
+    if typ == 12:
+        return list(struct.unpack(bo + "d" * count, data))
+    # types 5/10 (S)RATIONAL: numerator/denominator pairs
+    code = "I" if typ == 5 else "i"
+    vals = struct.unpack(bo + code * (2 * count), data)
     return [(vals[2 * i], vals[2 * i + 1]) for i in range(count)]
 
 
@@ -224,6 +248,28 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def read_ifd(payload: bytes, bo: str, ifd_off: int) -> dict:
+    """One bounds-guarded IFD walk: {tag: values}. Shared by the TIFF
+    decoder and the EXIF reader (operators/exif.py) — EXIF IS the
+    TIFF IFD structure embedded in a JPEG APP1 segment, with offsets
+    relative to the same TIFF header, so one walker serves both. The
+    type/count/value decoding rules are tiff 6.0 §2 (``_read_values``);
+    typed entries the walker cannot size raise the named error."""
+    if ifd_off + 2 > len(payload):
+        raise ValueError("tiff: IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("tiff: truncated IFD")
+    tags: dict = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        tags[tag] = _read_values(
+            payload, bo, typ, count, payload[base + 8 : base + 12]
+        )
+    return tags
+
+
 def decode_tiff(payload: bytes) -> dict:
     """Decode a baseline TIFF (first IFD) to the shared codec dict.
     Supported: 8-bit grayscale (Photometric 0/1) and RGB (2), chunky
@@ -240,18 +286,8 @@ def decode_tiff(payload: bytes) -> dict:
     else:
         raise ValueError("tiff: bad magic")
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
-    if ifd_off + 2 > len(payload):
-        raise ValueError("tiff: IFD offset out of bounds")
-    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
-    if ifd_off + 2 + 12 * n_entries > len(payload):
-        raise ValueError("tiff: truncated IFD")
-    tags: dict = {}
-    for i in range(n_entries):
-        base = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
-        tags[tag] = _read_values(
-            payload, bo, typ, count, payload[base + 8 : base + 12]
-        )
+    tags = read_ifd(payload, bo, ifd_off)
+
     def scalar(tag: int, default=None, name: str = "tag"):
         """Named guard for hostile IFD entries: a scalar tag must be a
         non-empty list of INTS (a RATIONAL-typed or count=0 entry
