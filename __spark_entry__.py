@@ -39,6 +39,7 @@ from timeseries_data_provider_spark import tables  # noqa: E402
 from timeseries_data_provider_spark.operators import (  # noqa: E402
     aggregates,
     bpe,
+    classifier,
     core,
     dedup,
     htmltext,
@@ -1365,7 +1366,17 @@ def q64_corpus_signals(spark, sf):
     host, a non-default port) and the url_norm/url_host/url_domain/
     url_depth columns run the REAL JVM-side canonicalization
     (operators/urls — try_parse_url compositions, zero UDF) over what
-    the WARC parse handed back."""
+    the WARC parse handed back.
+
+    r9 (late): the LEARNED quality gate — hashed-unigram logistic
+    scoring (operators/classifier.score_documents: md5-bucket hashing
+    trick -> broadcast weight join -> one exact-integer hash agg, all
+    JVM) under the SEEDED planted model (w_milli = bucket%201-100,
+    dim 256, bias 7), so the oracle replays bucketing, lookup, and
+    the milli-logit sum bit-for-bit over the same tokens. TRAINING
+    (train_quality_classifier — distributed gradient passes, driver
+    weight update) is iterative by design and pytest-pinned, the
+    Lloyd's/BPE-trainer precedent."""
     d = _t(spark, sf, "documents")
     base = (
         text.repetition_signals(d)
@@ -1445,11 +1456,19 @@ def q64_corpus_signals(spark, sf):
         ),
         "doc_id",
     )
+    clf = classifier.score_documents(
+        d, classifier.seed_weights(spark, 256), 256, bias_milli=7
+    ).select(
+        "doc_id",
+        F.col("logit_milli").alias("clf_logit_milli"),
+        F.col("label").alias("clf_label"),
+    )
     return (
         base.join(sig, "doc_id")
         .join(pii, "doc_id")
         .join(scores, "doc_id")
         .join(crawl, "doc_id")
+        .join(clf, "doc_id")
     )
 
 
@@ -3563,6 +3582,16 @@ def oracle_sql() -> dict[str, str]:
                      CAST(length(html_text) AS BIGINT)
                        AS html_text_chars
               FROM crawl0
+            ), clf AS (
+              -- learned-quality scoring replay (r9 late): md5 bucket
+              -- (dim 256) -> seed weight bucket%201-100 -> exact
+              -- integer milli-logit sum + bias 7
+              SELECT doc_id,
+                     CAST(7 + SUM(
+                       (CAST('0x' || substr(md5(word), 1, 12) AS BIGINT)
+                        % 256) % 201 - 100) AS BIGINT)
+                       AS clf_logit_milli
+              FROM words GROUP BY doc_id
             )
             SELECT w.doc_id,
                    CAST(len(w.ws) AS BIGINT) AS n_tokens,
@@ -3610,11 +3639,14 @@ def oracle_sql() -> dict[str, str]:
                    c.url_norm, c.url_host, c.url_domain, c.url_depth,
                    c.html_title, c.html_lang, c.html_blocks,
                    c.html_boiler_blocks, c.html_text,
-                   c.html_text_chars
+                   c.html_text_chars,
+                   k.clf_logit_milli,
+                   k.clf_logit_milli > 0 AS clf_label
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)
             JOIN crawl c USING (doc_id)
+            JOIN clf k USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)
             LEFT JOIN runs r USING (doc_id)
             LEFT JOIN lmscore s USING (doc_id)
