@@ -1150,7 +1150,15 @@ def q63_media_decode(spark, sf):
     endian x plain/PackBits with 2-row strips, operators/tiff.py)
     decoded via the same registry hook. Lossless grayscale, so the
     GIF branch's closed form applies; byte_len NULL'd (PackBits size
-    is not SQL-recomputable)."""
+    is not SQL-recomputable).
+
+    r9 (late): a FLAC branch — 50 clips (ids 13,200+) on the wav
+    plant's closed-form waveform, encoded by the REAL in-repo FLAC
+    encoder rotating verbatim/fixed2/fixed1 subframes (so workers
+    decode every prediction path + Rice residuals, operators/flac.py,
+    registered via the same builtin hook). Lossless, so peak/zc/rms/
+    mean-square keep the wav integer formulas; byte_len NULL'd (rice-
+    coded container size is not SQL-recomputable)."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # lazy checkpoint: three consumers (features, audio, resize) read
     # the synthesized media table — without it each re-runs the full
@@ -1200,6 +1208,13 @@ def q63_media_decode(spark, sf):
                 )
             )
         )
+        .unionByName(
+            multimodal.synth_flac_media(
+                spark.range(13_200, 13_250).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
         .localCheckpoint(eager=False)
     )
     setup = multimodal.register_builtin_codecs
@@ -1214,7 +1229,9 @@ def q63_media_decode(spark, sf):
         feats.withColumn(
             "byte_len",
             F.when(
-                F.col("kind").isin("png", "jpeg", "webp", "gif", "tiff"),
+                F.col("kind").isin(
+                    "png", "jpeg", "webp", "gif", "tiff", "flac"
+                ),
                 F.lit(None).cast("long"),
             ).otherwise(F.col("byte_len")),
         )
@@ -3294,6 +3311,41 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY doc_id ORDER BY i) AS prev
                 FROM st_samples WHERE s <> 0) t
               GROUP BY doc_id
+            ), fl AS (
+              -- FLAC plant (r9 late): lossless, so the wav waveform's
+              -- integer formulas hold; byte_len NULL (rice-coded)
+              SELECT 13200 + g.v AS doc_id,
+                     64 + (13200 + g.v) % 64 AS n
+              FROM generate_series(0, 49) g(v)
+            ), fl_samples AS (
+              SELECT a.doc_id, a.n, i.v AS i,
+                     (a.doc_id * 31 + i.v * 17) % 2048 - 1024 AS s
+              FROM fl a, generate_series(0, 126) i(v)
+              WHERE i.v < a.n
+            ), fl_feat AS (
+              SELECT doc_id, 'flac' AS kind,
+                     n AS n_samples,
+                     CAST((1000 * SUM(s * s)) // n AS BIGINT)
+                       AS feat_milli,
+                     CAST(NULL AS BIGINT) AS byte_len,
+                     MAX(ABS(s)) AS peak_abs,
+                     CAST(FLOOR(SQRT(CAST((1000000 * SUM(s * s)) // n
+                                          AS DOUBLE))) AS BIGINT)
+                       AS rms_milli
+              FROM fl_samples
+              GROUP BY doc_id, n
+            ), fl_zc AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                       AND sgn <> prev
+                                  THEN 1 ELSE 0 END), 0) AS zero_crossings
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN s > 0 THEN 1 ELSE -1 END AS sgn,
+                       LAG(CASE WHEN s > 0 THEN 1 ELSE -1 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM fl_samples WHERE s <> 0) t
+              GROUP BY doc_id
             )
             SELECT i.doc_id, i.kind, i.width, i.height, i.n_samples,
                    i.feat_milli, i.byte_len,
@@ -3324,6 +3376,14 @@ def oracle_sql() -> dict[str, str]:
                    z.zero_crossings, f.rms_milli,
                    CAST(NULL AS BIGINT) AS resized_feat_milli
             FROM st_feat f JOIN st_zc z USING (doc_id)
+            UNION ALL
+            SELECT f.doc_id, f.kind,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   f.n_samples, f.feat_milli, f.byte_len, f.peak_abs,
+                   z.zero_crossings, f.rms_milli,
+                   CAST(NULL AS BIGINT) AS resized_feat_milli
+            FROM fl_feat f JOIN fl_zc z USING (doc_id)
             UNION ALL
             SELECT 10000 + g.v AS doc_id, 'jpeg' AS kind,
                    CAST(16 AS BIGINT) AS width,

@@ -59,7 +59,9 @@ EXPLAINED_MOVES = {
     "q63_media_decode": (
         "r9: new GIF decode branch (50 images) + audio-format branch "
         "(50 clips across sowt/24-bit/f32/8-bit containers) + stereo/"
-        "extensible branch (50 clips) + TIFF branch (50 images)"
+        "extensible branch (50 clips) + TIFF branch (50 images); r9 "
+        "late: FLAC branch (50 clips through the full rice/prediction "
+        "decoder)"
     ),
     "q64_corpus_signals": (
         "r9: new n-gram LM quality signal (bigram train over the full "

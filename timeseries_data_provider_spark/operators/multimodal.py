@@ -1333,19 +1333,54 @@ def synth_fmp4_media(ids: DataFrame) -> DataFrame:
 def register_builtin_codecs() -> None:
     """Worker-side ``codec_setup`` hook installing EVERY in-repo
     optional codec (baseline+progressive JPEG, VP8L WebP, GIF,
-    baseline TIFF) — module-level and picklable, for media tables
-    mixing formats."""
+    baseline TIFF, FLAC audio) — module-level and picklable, for
+    media tables mixing formats."""
     from timeseries_data_provider_spark.operators import (
+        flac,
         gif,
         jpeg,
         tiff,
         vp8l,
     )
 
+    flac.register()
     gif.register()
     jpeg.register()
     tiff.register()
     vp8l.register()
+
+
+def synth_flac_media(ids: DataFrame) -> DataFrame:
+    """Deterministic FLAC clips per doc_id — q63's 'flac' branch
+    input. The wav plant's closed-form waveform (s_i =
+    (id*31+i*17)%2048−1024, n = 64+id%64, mono 16-bit 8 kHz) through
+    the REAL encoder (operators/flac.py), rotating the subframe type
+    by id%3 (verbatim / fixed2 / fixed1) so the workers decode every
+    prediction path plus Rice residuals. FLAC is lossless, so every
+    decoded feature keeps the wav branch's integer formulas; the
+    rice-coded container size is not SQL-recomputable (byte_len is
+    NULL'd like jpeg/png)."""
+    from timeseries_data_provider_spark.operators import flac
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "payload": []}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                i = np.arange(n, dtype=np.int64)
+                s = (doc_id * 31 + i * 17) % 2048 - 1024
+                mode = ("verbatim", "fixed2", "fixed1")[doc_id % 3]
+                payload = flac.encode_flac(
+                    s, sample_rate=8000, subframe=mode
+                )
+                out["doc_id"].append(doc_id)
+                out["kind"].append("flac")
+                out["payload"].append(payload)
+            out["byte_len"] = [len(p) for p in out["payload"]]
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
 VIDEO_META_SCHEMA = StructType(
