@@ -63,10 +63,16 @@ EXPLAINED_MOVES = {
         "late: FLAC branch (50 clips through the full rice/prediction "
         "decoder)"
     ),
+    "q18_lang_stats": (
+        "r9 late: new Cavnar-Trenkle n-gram language-ID branch "
+        "(trigram explode + per-lang/per-doc rank windows + distance "
+        "join over the full corpus)"
+    ),
     "q64_corpus_signals": (
         "r9: new n-gram LM quality signal (bigram train over the full "
         "corpus + per-doc scoring joins); r9 late: crawl front end "
-        "(per-doc WARC synth + gzip/WARC/HTTP/HTML parse chain)"
+        "(per-doc WARC synth + gzip/WARC/HTTP/HTML parse chain) + "
+        "per-doc PDF build/extract chain + seeded classifier scoring"
     ),
 }
 
@@ -108,6 +114,11 @@ BRANCHES = {
     "q32_embedding_neardup": {
         "pairs": "src = 'pairs'",
         "semdedup": "src = 'semdedup'",
+    },
+    "q18_lang_stats": {
+        "actual": "src = 'actual'",
+        "guess": "src = 'guess'",
+        "cavnar": "src = 'cavnar'",
     },
 }
 

@@ -1,0 +1,136 @@
+"""PDF text extraction (operators/pdf).
+
+Covers: Flate + plain roundtrips, escape rules (octal, parens,
+backslash, line continuation), hex strings, TJ word-gap rule,
+Td/'/" line semantics, multi-page page-tree walk, metadata, content
+arrays, hostile inputs (bad magic, encrypted, unknown filter, cycle),
+every-offset truncation tolerance (named errors only), and the Spark
+fan-out."""
+
+import zlib
+
+import pandas as pd
+import pytest
+
+from timeseries_data_provider_spark.operators import pdf
+
+
+def test_roundtrip_flate_and_plain():
+    pages = [["Hello world.", "Second line."], ["Page two."]]
+    for compress in (True, False):
+        m = pdf.extract_pdf(
+            pdf.encode_pdf(pages, title="T", compress=compress)
+        )
+        assert m["n_pages"] == 2
+        assert m["text"] == "Hello world.\nSecond line.\x0cPage two."
+        assert m["title"] == "T"
+        assert m["pdf_version"] == "1.4"
+
+
+def test_string_escapes():
+    m = pdf.extract_pdf(
+        pdf.encode_pdf([["a(b)c \\ d", "tab\there"]])
+    )
+    assert "a(b)c \\ d" in m["text"]
+    # octal + continuation via a hand-built content stream
+    content = rb"BT (A\101\12B) Tj ET BT (cont\
+inued) Tj ET"
+    lines = pdf._extract_text_from_content(content)
+    # \101 = 'A', \12 = LF (whitespace-collapsed), then 'B'
+    assert lines == ["AA B", "continued"]
+
+
+def test_hex_strings_and_tj_gaps():
+    content = b"BT <48656c6c6f> Tj ET BT [(a)-50(b)-500(c)] TJ ET"
+    assert pdf._extract_text_from_content(content) == ["Hello", "ab c"]
+
+
+def test_line_operators_insert_spaces():
+    content = b"BT (one) Tj 0 -14 Td (two) Tj T* (three) Tj ET"
+    assert pdf._extract_text_from_content(content) == ["one two three"]
+    content = b"BT (x) Tj (y) ' ET"
+    assert pdf._extract_text_from_content(content) == ["x y"]
+
+
+def test_empty_text_objects_dropped():
+    content = b"BT /F1 12 Tf ET BT (real) Tj ET"
+    assert pdf._extract_text_from_content(content) == ["real"]
+
+
+def test_contents_array():
+    # page whose Contents is an ARRAY of two stream refs
+    c1 = zlib.compress(b"BT (part one) Tj ET")
+    c2 = zlib.compress(b"BT (part two) Tj ET")
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        + b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c1)
+        + c1
+        + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c2)
+        + c2
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    m = pdf.extract_pdf(body)
+    assert m["text"] == "part one\npart two"
+
+
+def test_catalog_found_without_trailer():
+    # xref-stream-era files: no classic trailer; catalog by /Type scan
+    blob = pdf.encode_pdf([["via catalog scan"]])
+    cut = blob[: blob.find(b"trailer")] + b"%%EOF\n"
+    m = pdf.extract_pdf(cut)
+    assert m["text"] == "via catalog scan"
+
+
+def test_hostile_inputs():
+    with pytest.raises(ValueError, match="magic"):
+        pdf.extract_pdf(b"GIF89a")
+    with pytest.raises(ValueError, match="no objects"):
+        pdf.extract_pdf(b"%PDF-1.4\njunk only")
+    enc = pdf.encode_pdf([["x"]]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf.extract_pdf(enc)
+    lzw = pdf.encode_pdf([["x"]], compress=False).replace(
+        b"<< /Length", b"<< /Filter /LZWDecode /Length"
+    )
+    with pytest.raises(NotImplementedError, match="LZW"):
+        pdf.extract_pdf(lzw)
+    # reference cycle
+    body = (
+        b"%PDF-1.4\n1 0 obj\n2 0 R\nendobj\n2 0 obj\n1 0 R\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        pdf.extract_pdf(body)
+
+
+def test_truncation_tolerance():
+    blob = pdf.encode_pdf([["alpha beta", "gamma"], ["delta"]])
+    for cut in range(0, len(blob), 7):
+        try:
+            m = pdf.extract_pdf(blob[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        # whatever parses must be a prefix-consistent extraction
+        assert m["n_pages"] <= 2
+
+
+def test_spark_fanout(spark):
+    blobs = [
+        (1, pdf.encode_pdf([["one two three"]], title="A")),
+        (2, pdf.encode_pdf([["x"], ["y"], ["z"]])),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(blobs, columns=["doc_id", "payload"])
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pdf.pdf_features(df).collect()}
+    assert rows[1]["text"] == "one two three" and rows[1]["title"] == "A"
+    assert rows[2]["n_pages"] == 3
+    assert rows[2]["text"] == "x\x0cy\x0cz"
+    assert rows[1]["n_text_chars"] == 13

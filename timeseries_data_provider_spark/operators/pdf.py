@@ -1,0 +1,598 @@
+"""PDF text extraction — stdlib-only (zlib + a tokenizer).
+
+PDFs are a first-class crawl corpus component (papers, reports,
+books); an LLM-data pipeline needs their TEXT, page counts, and
+metadata, not their rendering. The format's text layer is
+stdlib-feasible: objects + xref (PDF 1.4 classic and the 1.5+
+cross-reference STREAM form), FlateDecode via zlib, and the content-
+stream text operators (BT/ET, Tj/TJ/'/", Td/TD/T*/Tm, Tf). Font
+rendering, CMap/CID composite fonts, and encrypted documents are
+named gaps (a real pipeline routes those to a PDF library); simple
+fonts with standard encodings — the overwhelming majority of
+text-bearing PDFs — extract exactly.
+
+Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
+public). Reference parity note: index.js has no document surface;
+[EXT] LLM-pipeline scope per SURVEY §2.
+
+Extraction contract (deterministic, stated):
+
+- one output line per BT..ET text object that produced glyphs;
+  within a text object, TJ number offsets < -100 (thousandths) and
+  Td/TD/T* line moves insert a single space — the standard
+  word-boundary heuristic at this tier;
+- strings decode as PDFDocEncoding≈Latin-1 with the escape rules of
+  §7.3.4.2 (\\n \\t \\( \\) \\\\ \\ddd, line continuations); hex
+  strings per §7.3.4.3;
+- pages traverse the page tree in order; inherited attributes are
+  not needed for text (only Contents/Kids/Type are read).
+
+Scale shape: per-row independent, linear in bytes, Arrow fan-out
+(``pdf_features``) — the codec tier. The tokenizer is Python-rate
+(honest §C row), but PDFs are small relative to media, and the
+alternative at this tier is shipping none of the corpus's documents.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "extract_pdf",
+    "encode_pdf",
+    "pdf_features",
+]
+
+MAX_OBJECTS = 1 << 20
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Minimal PDF object lexer (dicts, arrays, names, numbers,
+    strings, refs) — enough to read trailers, page trees, and
+    stream dicts."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.p = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.d, len(self.d)
+        while self.p < n:
+            c = self.d[self.p]
+            if c in _WS:
+                self.p += 1
+            elif c == 0x25:  # % comment
+                e = d.find(b"\n", self.p)
+                self.p = n if e < 0 else e + 1
+            else:
+                return
+
+    def _token(self) -> bytes:
+        self._skip_ws()
+        if self.p >= len(self.d):
+            raise ValueError("pdf: unexpected EOF")
+        c = self.d[self.p : self.p + 1]
+        if c in b"[]":
+            self.p += 1
+            return c
+        if self.d[self.p : self.p + 2] in (b"<<", b">>"):
+            self.p += 2
+            return self.d[self.p - 2 : self.p]
+        if c in b"</(":
+            return c  # handled by value()
+        s = self.p
+        while self.p < len(self.d) and self.d[self.p] not in _WS and self.d[self.p] not in _DELIM:
+            self.p += 1
+        if self.p == s:
+            raise ValueError(f"pdf: bad token at {self.p}")
+        return self.d[s : self.p]
+
+    def value(self):
+        self._skip_ws()
+        if self.p >= len(self.d):
+            raise ValueError("pdf: unexpected EOF in value")
+        c = self.d[self.p]
+        if self.d[self.p : self.p + 2] == b"<<":
+            self.p += 2
+            out = {}
+            while True:
+                self._skip_ws()
+                if self.d[self.p : self.p + 2] == b">>":
+                    self.p += 2
+                    return out
+                key = self.value()
+                if not isinstance(key, _Name):
+                    raise ValueError("pdf: dict key is not a name")
+                out[str(key)] = self.value()
+        if c == 0x3C:  # hex string
+            e = self.d.find(b">", self.p)
+            if e < 0:
+                raise ValueError("pdf: unterminated hex string")
+            hexs = re.sub(rb"\s", b"", self.d[self.p + 1 : e])
+            if len(hexs) % 2:
+                hexs += b"0"
+            self.p = e + 1
+            return bytes.fromhex(hexs.decode("ascii"))
+        if c == 0x28:  # ( literal string
+            s, self.p = _read_literal_string(self.d, self.p)
+            return s
+        if c == 0x5B:  # [
+            self.p += 1
+            out = []
+            while True:
+                self._skip_ws()
+                if self.d[self.p : self.p + 1] == b"]":
+                    self.p += 1
+                    return out
+                out.append(self.value())
+        if c == 0x2F:  # /name
+            self.p += 1
+            s = self.p
+            while (
+                self.p < len(self.d)
+                and self.d[self.p] not in _WS
+                and self.d[self.p] not in _DELIM
+            ):
+                self.p += 1
+            return _Name(self.d[s : self.p].decode("latin-1"))
+        tok = self._token()
+        if tok in (b"true", b"false"):
+            return tok == b"true"
+        if tok == b"null":
+            return None
+        # number — maybe an indirect reference "a b R"
+        try:
+            num = int(tok)
+        except ValueError:
+            try:
+                return float(tok)
+            except ValueError as e:
+                raise ValueError(f"pdf: bad token {tok!r}") from e
+        save = self.p
+        try:
+            self._skip_ws()
+            p2 = self.p
+            tok2 = self._token()
+            gen = int(tok2)
+            tok3 = self._token()
+            if tok3 == b"R":
+                return _Ref(num, gen)
+        except (ValueError, IndexError):
+            pass
+        self.p = save
+        return num
+
+
+class _Name(str):
+    pass
+
+
+class _Ref:
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):
+        return f"<ref {self.num} {self.gen}>"
+
+
+def _read_literal_string(d: bytes, p: int) -> tuple[bytes, int]:
+    assert d[p] == 0x28
+    p += 1
+    out = bytearray()
+    depth = 1
+    while p < len(d):
+        c = d[p]
+        if c == 0x5C:  # backslash
+            p += 1
+            if p >= len(d):
+                break
+            e = d[p]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                p += 1
+            elif e in b"()\\":
+                out.append(e)
+                p += 1
+            elif 0x30 <= e <= 0x37:  # \ddd octal, 1-3 digits
+                oct_ = 0
+                k = 0
+                while k < 3 and p < len(d) and 0x30 <= d[p] <= 0x37:
+                    oct_ = oct_ * 8 + (d[p] - 0x30)
+                    p += 1
+                    k += 1
+                out.append(oct_ & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                p += 1
+                if e == 0x0D and p < len(d) and d[p] == 0x0A:
+                    p += 1
+            else:
+                out.append(e)
+                p += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            p += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), p + 1
+            out.append(c)
+            p += 1
+        else:
+            out.append(c)
+            p += 1
+    raise ValueError("pdf: unterminated string")
+
+
+def _parse_objects(data: bytes) -> dict[int, tuple]:
+    """Scan for ``N G obj`` definitions (robust to broken xref tables
+    — the crawl reality; the xref is advisory when the objects are
+    scannable). Returns {num: (value, stream_bytes|None)}."""
+    objs: dict[int, tuple] = {}
+    for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data):
+        num = int(m.group(1))
+        if len(objs) > MAX_OBJECTS:
+            raise ValueError("pdf: unreasonable object count")
+        lex = _Lexer(data, m.end())
+        try:
+            val = lex.value()
+        except ValueError:
+            continue
+        stream = None
+        lex._skip_ws()
+        if data[lex.p : lex.p + 6] == b"stream":
+            p = lex.p + 6
+            if data[p : p + 2] == b"\r\n":
+                p += 2
+            elif data[p : p + 1] == b"\n":
+                p += 1
+            length = val.get("Length") if isinstance(val, dict) else None
+            if isinstance(length, _Ref):
+                length = None  # resolved below if needed via endstream
+            if isinstance(length, int) and p + length <= len(data):
+                stream = data[p : p + length]
+            else:
+                e = data.find(b"endstream", p)
+                if e < 0:
+                    continue
+                stream = data[p:e].rstrip(b"\r\n")
+        objs[num] = (val, stream)
+    return objs
+
+
+def _resolve(objs, v):
+    seen = 0
+    while isinstance(v, _Ref):
+        if v.num not in objs:
+            return None
+        v = objs[v.num][0]
+        seen += 1
+        if seen > 64:
+            raise ValueError("pdf: reference cycle")
+    return v
+
+
+def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
+    filt = _resolve(objs, val.get("Filter"))
+    if filt is None:
+        return raw
+    filts = filt if isinstance(filt, list) else [filt]
+    data = raw
+    for f in filts:
+        f = str(_resolve(objs, f))
+        if f == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"pdf: bad Flate stream: {e}") from e
+        elif f == "ASCIIHexDecode":
+            h = re.sub(rb"[\s>]", b"", data)
+            if len(h) % 2:
+                h += b"0"
+            data = bytes.fromhex(h.decode("ascii", "replace"))
+        else:
+            raise NotImplementedError(
+                f"pdf: stream filter {f} (Flate/ASCIIHex only; DCT/JBIG2/"
+                "CCITT are image filters, LZW needs the TIFF dialect)"
+            )
+    params = _resolve(objs, val.get("DecodeParms"))
+    if isinstance(params, dict) and _resolve(objs, params.get("Predictor", 1)) not in (None, 1):
+        raise NotImplementedError("pdf: PNG-predicted streams")
+    return data
+
+
+_TEXT_SHOW = (b"Tj", b"'", b'"', b"TJ")
+
+
+def _extract_text_from_content(content: bytes) -> list[str]:
+    """Walk a content stream's operators; emit one string per BT..ET
+    object that produced glyphs (see the module contract)."""
+    lex = _Lexer(content)
+    lines: list[str] = []
+    cur: list[str] = []
+    in_text = False
+    stack: list = []
+    n = len(content)
+    while True:
+        lex._skip_ws()
+        if lex.p >= n:
+            break
+        c = content[lex.p]
+        if c in b"([</" or (0x30 <= c <= 0x39) or c in b"+-.":
+            try:
+                stack.append(lex.value())
+            except ValueError:
+                lex.p += 1
+            continue
+        try:
+            op = lex._token()
+        except ValueError:
+            break
+        if op == b"BT":
+            in_text = True
+            cur = []
+            stack = []
+        elif op == b"ET":
+            if cur:
+                text = "".join(cur)
+                text = " ".join(text.split())
+                if text:
+                    lines.append(text)
+            in_text = False
+            stack = []
+        elif in_text and op in (b"Td", b"TD", b"T*"):
+            if cur and not cur[-1].endswith(" "):
+                cur.append(" ")
+            stack = []
+        elif in_text and op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                cur.append(stack[-1].decode("latin-1"))
+            stack = []
+        elif in_text and op in (b"'", b'"'):
+            if cur and not cur[-1].endswith(" "):
+                cur.append(" ")
+            if stack and isinstance(stack[-1], bytes):
+                cur.append(stack[-1].decode("latin-1"))
+            stack = []
+        elif in_text and op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        cur.append(item.decode("latin-1"))
+                    elif (
+                        isinstance(item, (int, float)) and item < -100
+                    ):
+                        if cur and not cur[-1].endswith(" "):
+                            cur.append(" ")
+            stack = []
+        else:
+            stack = []
+    return lines
+
+
+def extract_pdf(payload: bytes) -> dict:
+    """Extract text + structure from a PDF: {n_pages, text (one line
+    per text object, pages separated by form-feed), title, producer,
+    pdf_version}. Encrypted documents raise the named error."""
+    if payload[:5] != b"%PDF-":
+        raise ValueError("pdf: bad magic")
+    version = payload[5:8].decode("latin-1", "replace")
+    objs = _parse_objects(payload)
+    if not objs:
+        raise ValueError("pdf: no objects found")
+    # trailer(s): scan for Root and Info; encryption is a named stop
+    root = info = None
+    for m in re.finditer(rb"trailer\b", payload):
+        lex = _Lexer(payload, m.end())
+        try:
+            tr = lex.value()
+        except ValueError:
+            continue
+        if isinstance(tr, dict):
+            if "Encrypt" in tr:
+                raise NotImplementedError("pdf: encrypted document")
+            root = tr.get("Root", root)
+            info = tr.get("Info", info)
+    if root is None:
+        # 1.5+ xref-stream form: the catalog is an object with /Type
+        # /Catalog — find it directly (object scan already has it)
+        for num, (val, _) in objs.items():
+            if isinstance(val, dict) and str(val.get("Type")) == "Catalog":
+                root = _Ref(num, 0)
+                break
+    if root is None:
+        raise ValueError("pdf: no document catalog")
+    catalog = _resolve(objs, root)
+    pages_root = _resolve(objs, catalog.get("Pages")) if catalog else None
+    page_objs: list[dict] = []
+
+    def walk(node, depth=0):
+        if node is None or depth > 64:
+            return
+        t = str(node.get("Type", ""))
+        if t == "Pages":
+            for kid in _resolve(objs, node.get("Kids")) or []:
+                walk(_resolve(objs, kid), depth + 1)
+        elif t == "Page":
+            page_objs.append(node)
+
+    if pages_root:
+        walk(pages_root)
+    pages_text: list[str] = []
+    for pg in page_objs:
+        raw = pg.get("Contents")
+        if isinstance(raw, _Ref):
+            tgt = objs.get(raw.num)
+            # a ref may point at an ARRAY of stream refs
+            streams = (
+                tgt[0]
+                if tgt and isinstance(tgt[0], list)
+                else [raw]
+            )
+        elif isinstance(raw, list):
+            streams = raw
+        else:
+            streams = []
+        body = b""
+        for s in streams:
+            if isinstance(s, _Ref):
+                target = objs.get(s.num)
+                if target and target[1] is not None:
+                    # §7.8.2: multiple Contents streams concatenate
+                    # WITH intervening whitespace (ET+BT must not fuse
+                    # into one token across the boundary)
+                    body += (
+                        _decode_stream(objs, target[0], target[1]) + b"\n"
+                    )
+        pages_text.append("\n".join(_extract_text_from_content(body)))
+    meta = _resolve(objs, info) if info is not None else None
+    title = producer = None
+    if isinstance(meta, dict):
+        t = _resolve(objs, meta.get("Title"))
+        p = _resolve(objs, meta.get("Producer"))
+        title = t.decode("latin-1") if isinstance(t, bytes) else t
+        producer = p.decode("latin-1") if isinstance(p, bytes) else p
+    return {
+        "pdf_version": version,
+        "n_pages": len(page_objs),
+        "text": "\x0c".join(pages_text),
+        "title": title,
+        "producer": producer,
+    }
+
+
+# -- fixture writer ----------------------------------------------------
+
+
+def encode_pdf(
+    pages: list[list[str]],
+    title: str | None = None,
+    compress: bool = True,
+) -> bytes:
+    """Minimal valid PDF writer (fixture): each page is a list of
+    text lines (one BT..ET per line, Helvetica). Produces a classic
+    xref + trailer so real parsers accept the file."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objs: list[bytes] = []  # 1-indexed
+    n_pages = len(pages)
+    # 1: catalog, 2: pages, 3..: page+content pairs, then info
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, lines in enumerate(pages):
+        parts = []
+        for line in lines:
+            parts.append(f"BT /F1 12 Tf 72 720 Td ({esc(line)}) Tj ET")
+        content = "\n".join(parts).encode("latin-1")
+        if compress:
+            stream = zlib.compress(content)
+            sdict = f"<< /Length {len(stream)} /Filter /FlateDecode >>"
+        else:
+            stream = content
+            sdict = f"<< /Length {len(stream)} >>"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R "
+            f"/MediaBox [0 0 612 792] >>".encode()
+        )
+        objs.append(
+            sdict.encode() + b"\nstream\n" + stream + b"\nendstream"
+        )
+    info_num = len(objs) + 1
+    if title is not None:
+        objs.append(f"<< /Title ({esc(title)}) >>".encode())
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    trailer = f"<< /Size {len(objs) + 1} /Root 1 0 R"
+    if title is not None:
+        trailer += f" /Info {info_num} 0 R"
+    trailer += " >>"
+    out += (
+        b"trailer\n"
+        + trailer.encode()
+        + f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic two-page PDF per document (q64's pdf columns —
+    the synth_warc_corpus pattern): page 1 carries the REAL doc text
+    in one Tj, page 2 a closed-form archive line; title
+    'Doc {doc_id}'. Flate-compressed, so the extractor's zlib +
+    content-tokenizer paths run on every row; every extracted field
+    is doc_id/text math for the oracle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                doc_id = int(doc_id)
+                out["doc_id"].append(doc_id)
+                out["payload"].append(
+                    encode_pdf(
+                        [[text], [f"Archive copy {doc_id}."]],
+                        title=f"Doc {doc_id}",
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+
+
+def pdf_features(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched extraction: (id, pdf_version, n_pages, text,
+    n_text_chars, title, producer) per document."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = {
+                id_col: [],
+                "pdf_version": [],
+                "n_pages": [],
+                "text": [],
+                "n_text_chars": [],
+                "title": [],
+                "producer": [],
+            }
+            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
+                m = extract_pdf(bytes(blob))
+                out[id_col].append(int(rid))
+                out["pdf_version"].append(m["pdf_version"])
+                out["n_pages"].append(m["n_pages"])
+                out["text"].append(m["text"])
+                out["n_text_chars"].append(len(m["text"]))
+                out["title"].append(m["title"])
+                out["producer"].append(m["producer"])
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, pdf_version string, n_pages long, text string, "
+        "n_text_chars long, title string, producer string"
+    )
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
