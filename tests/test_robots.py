@@ -1,0 +1,128 @@
+"""robots.txt REP filtering (operators/robots).
+
+Covers: RFC 9309 parsing (group selection, shared agent lines,
+empty Disallow, comments, crawl-delay, sitemaps), the longest-match /
+Allow-wins-ties rule against the RFC's own examples, wildcard/$
+compilation to LIKE, and the distributed filter (join semantics,
+missing-domain default-allow, duplicate URLs, audit view)."""
+
+import pandas as pd
+import pytest
+
+from timeseries_data_provider_spark.operators import robots as R
+
+TXT = """
+# example file
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+User-agent: legacybot
+Disallow: /tmp/
+Allow: /tmp/public*
+Disallow: /*.pdf$
+Crawl-delay: 2.5
+
+Sitemap: https://example.com/sitemap.xml
+"""
+
+
+def test_group_selection():
+    star = R.parse_robots(TXT, "*")
+    assert ("/tmp/" in [p for _, p in star["rules"]])
+    assert star["crawl_delay"] == 2.5
+    goog = R.parse_robots(TXT, "GoogleBot")
+    assert [p for _, p in goog["rules"]] == ["/private/"]
+    assert goog["crawl_delay"] is None
+    legacy = R.parse_robots(TXT, "legacybot")
+    assert legacy["rules"] == star["rules"]
+    assert star["sitemaps"] == ["https://example.com/sitemap.xml"]
+
+
+def test_empty_disallow_is_allow_all():
+    r = R.parse_robots("User-agent: *\nDisallow:\n", "*")
+    assert r["rules"] == []
+
+
+def test_multiple_groups_after_body():
+    txt = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert R.parse_robots(txt, "b")["rules"] == [(False, "/y")]
+
+
+@pytest.mark.parametrize(
+    "path,like",
+    [
+        ("/private/", "/private/%"),
+        ("/*.pdf$", "/%.pdf"),
+        ("/a*b", "/a%b%"),
+        ("/100%_off", "/100\\%\\_off%"),
+    ],
+)
+def test_rule_to_like(path, like):
+    assert R.rule_to_like(path) == like
+
+
+def _rules(spark, txt, agent="*"):
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {"domain": ["example.com"], "robots_txt": [txt]}
+        )
+    )
+    return R.robots_rules_df(robots, agent)
+
+
+def _filter(spark, rules, urls, **kw):
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    return [r["url"] for r in R.robots_filter(df, rules, **kw).collect()]
+
+
+def test_longest_match_allow_wins(spark):
+    rules = _rules(spark, TXT)
+    urls = [
+        "http://www.example.com/tmp/secret.html",  # blocked by /tmp/
+        "http://example.com/tmp/public/doc.html",  # allowed: longer Allow
+        "http://example.com/docs/report.pdf",  # blocked by /*.pdf$
+        "http://example.com/docs/report.pdf.html",  # $ anchor: allowed
+        "http://example.com/open/page.html",  # no rule: allowed
+        "http://other.net/tmp/whatever",  # no robots for domain: allowed
+    ]
+    kept = _filter(spark, rules, urls)
+    assert kept == [
+        "http://example.com/tmp/public/doc.html",
+        "http://example.com/docs/report.pdf.html",
+        "http://example.com/open/page.html",
+        "http://other.net/tmp/whatever",
+    ]
+    blocked = _filter(spark, rules, urls, keep_disallowed=True)
+    assert blocked == [
+        "http://www.example.com/tmp/secret.html",
+        "http://example.com/docs/report.pdf",
+    ]
+
+
+def test_duplicate_urls_each_decided(spark):
+    rules = _rules(spark, TXT)
+    urls = ["http://example.com/open/a"] * 3
+    assert len(_filter(spark, rules, urls)) == 3
+
+
+def test_query_string_participates(spark):
+    rules = _rules(spark, "User-agent: *\nDisallow: /search?q=*\n")
+    kept = _filter(
+        spark,
+        rules,
+        [
+            "http://example.com/search?q=x",
+            "http://example.com/search",
+        ],
+    )
+    assert kept == ["http://example.com/search"]
+
+
+def test_tie_allow_wins(spark):
+    rules = _rules(
+        spark, "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    )
+    assert _filter(spark, rules, ["http://example.com/page"]) == [
+        "http://example.com/page"
+    ]
