@@ -29,10 +29,25 @@ mkvmeta / mp3meta / exifmeta
          replicated class payloads; per-class fields asserted
          bit-for-bit against the driver-side parse.
 
+flacdecode  FLAC decode throughput through ``audio_features``
+         (codec_setup=flac.register): class clips rotate verbatim /
+         fixed / mid-side stereo subframes so every prediction +
+         Rice path runs worker-side; per-row peak/zc/rms asserted
+         equal to the driver-side decode (the codec-tier protocol).
+pdfextract  PDF build->extract chain: per-class two-page Flate PDFs;
+         full-table JVM closed-form assertions on pages/title/text.
+cavnar   Cavnar-Trenkle language ID at 64x: profiles trained on a
+         4-language planted corpus, the same corpus classified;
+         invariant is 100% accuracy (languages are genuinely
+         distinct) plus the throughput envelope.
+
 Usage: python tools/stress_round9b.py
-       [crawl|urlnorm|clfscore|mkvmeta|mp3meta|exifmeta]
+       [crawl|urlnorm|clfscore|mkvmeta|mp3meta|exifmeta|flacdecode|
+        pdfextract|cavnar]
 Env: STRESS_CRAWL_N (default 64000), STRESS_URL_N (default 6400000),
-STRESS_CLF_N (default 640000), STRESS_META_N (default 64000).
+STRESS_CLF_N (default 640000), STRESS_META_N (default 64000),
+STRESS_FLAC_N (default 16000), STRESS_PDF_N (default 64000),
+STRESS_CAVNAR_N (default 320000).
 """
 
 from __future__ import annotations
@@ -382,6 +397,174 @@ def probe_exifmeta(spark) -> None:
     )
 
 
+def probe_flacdecode(spark) -> None:
+    from timeseries_data_provider_spark.operators import flac, multimodal
+
+    n = int(os.environ.get("STRESS_FLAC_N", "16000"))
+    payloads = []
+    expects = []
+    for c in range(10):
+        rng = np.random.RandomState(6000 + c)
+        if c % 3 == 2:
+            s = rng.randint(-8000, 8000, 8192)
+            blob = flac.encode_flac(
+                s, channels=2, stereo_mode="mid_side", blocksize=2048
+            )
+        else:
+            s = rng.randint(-8000, 8000, 8192)
+            blob = flac.encode_flac(
+                s,
+                blocksize=2048,
+                subframe="verbatim" if c % 3 == 0 else None,
+            )
+        payloads.append(blob)
+        fs = multimodal.feature_samples(flac.decode_flac(blob))
+        expects.append(
+            (
+                int(np.abs(fs).max()),
+                int(
+                    np.floor(
+                        np.sqrt(
+                            (1_000_000 * int((fs.astype(np.int64) ** 2).sum()))
+                            // fs.size
+                        )
+                    )
+                ),
+            )
+        )
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "payload": [], "byte_len": []}
+            for i in pdf["doc_id"]:
+                p = payloads[int(i) % 10]
+                out["doc_id"].append(int(i))
+                out["kind"].append("flac")
+                out["payload"].append(p)
+                out["byte_len"].append(len(p))
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .repartition(32)
+        .mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    total_bytes = sum(len(p) for p in payloads) * (n // 10)
+    t0 = time.perf_counter()
+    rows = multimodal.audio_features(
+        media, codec_setup=flac.register
+    ).collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == n
+    bad = [
+        r
+        for r in rows
+        if (r["peak_abs"], r["rms_milli"]) != expects[r["doc_id"] % 10]
+    ]
+    assert not bad, bad[:3]
+    _emit(
+        "flacdecode",
+        n_clips=n,
+        payload_mb=round(total_bytes / 1e6, 1),
+        secs=round(dt, 2),
+        mb_per_sec=round(total_bytes / 1e6 / dt, 1),
+        clips_per_sec=int(n / dt),
+    )
+
+
+def probe_pdfextract(spark) -> None:
+    from timeseries_data_provider_spark.operators import pdf as pdfmod
+
+    n = int(os.environ.get("STRESS_PDF_N", "64000"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("spark extracts document text at scale row "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    blobs = pdfmod.synth_pdf_corpus(docs).localCheckpoint(eager=True)
+    total_bytes = blobs.agg(F.sum(F.length("payload"))).first()[0]
+    t0 = time.perf_counter()
+    feats = pdfmod.pdf_features(blobs)
+    deviates = (
+        (F.col("n_pages") != 2)
+        | (F.col("title") != F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string")))
+        | (F.col("text") != F.concat(
+            F.lit("spark extracts document text at scale row "),
+            F.col("doc_id").cast("string"),
+            F.lit("\x0cArchive copy "),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+        ))
+    )
+    stats = feats.agg(
+        F.sum(deviates.cast("long")).alias("bad"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert stats["bad"] == 0 and stats["n"] == n, stats
+    _emit(
+        "pdfextract",
+        n_docs=n,
+        payload_mb=round(total_bytes / 1e6, 1),
+        secs=round(dt, 2),
+        mb_per_sec=round(total_bytes / 1e6 / dt, 1),
+        docs_per_sec=int(n / dt),
+    )
+
+
+def probe_cavnar(spark) -> None:
+    from timeseries_data_provider_spark.operators import langid
+
+    n = int(os.environ.get("STRESS_CAVNAR_N", "320000"))
+    phrases = [
+        ("en", "the quick brown fox jumps over the lazy dog again"),
+        ("de", "der schnelle braune fuchs springt ueber den faulen hund"),
+        ("es", "el rapido zorro marron salta sobre el perro perezoso"),
+        ("fr", "le renard brun rapide saute par dessus le chien"),
+    ]
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(l) for l, _ in phrases]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(t) for _, t in phrases]),
+                (F.col("id") % 4 + 1).cast("int"),
+            ),
+            F.lit(" marker "),
+            (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    prof = langid.train_langid_profiles(docs, top_k=200)
+    pred = langid.langid_classify(docs, prof, top_k=200)
+    stats = (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .agg(
+            F.sum((F.col("lang_pred") != F.col("lang")).cast("long")).alias(
+                "wrong"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    dt = time.perf_counter() - t0
+    assert stats["wrong"] == 0 and stats["n"] == n, stats
+    _emit(
+        "cavnar",
+        n_docs=n,
+        secs=round(dt, 2),
+        docs_per_sec=int(n / dt),
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "crawl",
@@ -390,6 +573,9 @@ def main() -> None:
         "mkvmeta",
         "mp3meta",
         "exifmeta",
+        "flacdecode",
+        "pdfextract",
+        "cavnar",
     ]
     spark = get_spark("tdps-stress-r9b")
     for name in which:
