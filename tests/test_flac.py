@@ -220,18 +220,23 @@ def test_registry_dispatch_and_features(spark):
     rng = np.random.RandomState(9)
     s = rng.randint(-1000, 1000, 256)
     blob = flac.encode_flac(s, sample_rate=8000)
-    flac.register()
-    d = multimodal.decode_audio(blob)
-    assert d["format"] == "flac"
-    assert np.array_equal(np.asarray(d["samples"], np.int64), s)
-    # end-to-end through audio_features in Spark workers
-    df = spark.createDataFrame(
-        pd.DataFrame(
-            {"doc_id": [1], "kind": ["flac"], "payload": [blob],
-             "byte_len": [len(blob)]}
+    try:
+        flac.register()
+        d = multimodal.decode_audio(blob)
+        assert d["format"] == "flac"
+        assert np.array_equal(np.asarray(d["samples"], np.int64), s)
+        # end-to-end through audio_features in Spark workers
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1], "kind": ["flac"], "payload": [blob],
+                 "byte_len": [len(blob)]}
+            )
         )
-    )
-    row = multimodal.audio_features(
-        df, codec_setup=flac.register
-    ).collect()[0]
-    assert row["peak_abs"] == int(np.abs(s).max())
+        row = multimodal.audio_features(
+            df, codec_setup=flac.register
+        ).collect()[0]
+        assert row["peak_abs"] == int(np.abs(s).max())
+    finally:
+        # driver-side registration must not leak into other tests'
+        # unknown-format assertions (the jpeg/vp8l cleanup rule)
+        multimodal.AUDIO_CODECS.pop(b"fLaC", None)

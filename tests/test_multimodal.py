@@ -455,6 +455,12 @@ def test_png_header_parse():
 def test_unknown_formats_raise():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG magic
+    # FLAC became an in-repo builtin in r9, so the unknown-audio
+    # exemplar is now MIDI; fLaC must not raise "unknown" when the
+    # builtin is registered, so drop any leaked registration first
+    mm.AUDIO_CODECS.pop(b"fLaC", None)
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"MThd" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"fLaC" + b"\x00" * 32)
 

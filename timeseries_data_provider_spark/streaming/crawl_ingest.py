@@ -1,0 +1,233 @@
+"""Streaming CRAWL ingestion: WARC files -> text corpus, deduped.
+
+Closes the loop between the round-9 crawl front end and the settled
+corpus machinery: crawl archives land in a directory (the standard
+crawler hand-off — same rename-into-place producer contract as
+corpus_ingest), a binaryFile stream picks them up, and every
+micro-batch runs the WHOLE pipeline in place:
+
+  gzip/WARC/HTTP parse (sources/warc.warc_responses)
+    -> keep 200 text/html responses
+    -> URL canonicalization (operators/urls; doc_id =
+       xxhash64(canonical URL) — content-addressed, re-crawl-stable)
+    -> optional robots.txt compliance (operators/robots rules frame)
+    -> HTML -> boilerplate-cleaned text (operators/htmltext)
+    -> the EXISTING ``process_corpus_batch``: incremental MinHash
+       dedup against the persisted signature index (+ optional
+       substring-window maintenance), appends under ``root``
+
+plus a ``<root>/crawl_meta`` audit append (url_norm, status, title,
+html_lang, block counts, batch_id) — the provenance record a corpus
+release needs. Because the per-batch body IS the oracle-scored batch
+operators, streaming semantics cannot drift from the scored path —
+the corpus_ingest design rule, inherited.
+
+At-least-once/replay posture: identical to corpus_ingest (the
+crawl_meta append participates in the same batch_id discipline;
+``reconcile_ingest_root(extra=["crawl_meta"])`` — see
+reconcile_crawl_root below — restores the no-crash state).
+
+Scale shape: archive-granular parallelism (CC segments, ~1 GB each);
+everything between the scan and the dedup joins is per-row
+independent. The HTML/gzip tier is Python-rate (§C crawl row: the
+measured envelope); dedup costs are the corpus_ingest §C rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from timeseries_data_provider_spark.operators import htmltext, urls
+from timeseries_data_provider_spark.sources import warc
+from timeseries_data_provider_spark.streaming import corpus_ingest
+
+__all__ = [
+    "crawl_batch_to_docs",
+    "process_crawl_batch",
+    "ingest_crawl_stream",
+    "reconcile_crawl_root",
+]
+
+_BINFILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def crawl_batch_to_docs(
+    archives: DataFrame,
+    robots_rules: DataFrame | None = None,
+    max_link_density: float = 0.5,
+    min_text_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The batch transform (module-level, directly testable — the
+    process_corpus_batch rule): (archive_id, payload) -> (docs, meta).
+
+    ``docs`` is corpus_ingest's (doc_id, text) with doc_id =
+    xxhash64(canonical url) — the same page re-crawled maps to the
+    same id, so the dedup tier also absorbs re-crawls; ``meta`` is
+    the per-page provenance row. Non-200/non-HTML responses and
+    pages whose cleaned text is shorter than ``min_text_chars`` are
+    kept in META (observability) but excluded from docs."""
+    pages = warc.warc_responses(archives, id_col="doc_id").select(
+        F.col("doc_id").alias("archive_id"),
+        "url",
+        "http_status",
+        "mime",
+        F.col("body").cast("string").alias("html"),
+    )
+    pages = pages.withColumn(
+        "url_norm", urls.url_normalize(F.col("url"))
+    ).withColumn("doc_id", F.xxhash64("url_norm"))
+    if robots_rules is not None:
+        from timeseries_data_provider_spark.operators import robots
+
+        pages = robots.robots_filter(pages, robots_rules, url_col="url")
+    # extract ONLY genuinely-HTML 200s: casting arbitrary binary
+    # bodies (images, truncated fetches) to string feeds invalid
+    # UTF-8 into Arrow; excluded rows stay in META with NULL features
+    html_pages = pages.filter(
+        (F.col("http_status") == 200)
+        & (F.col("mime") == "text/html")
+        & F.col("url_norm").isNotNull()
+    )
+    feats = htmltext.html_text_features(
+        html_pages.select("doc_id", "html"),
+        max_link_density=max_link_density,
+    )
+    meta = (
+        pages.select(
+            "archive_id",
+            "doc_id",
+            "url_norm",
+            "http_status",
+            "mime",
+        )
+        .join(
+            feats.select(
+                "doc_id",
+                "title",
+                "html_lang",
+                "n_blocks",
+                "n_boiler_blocks",
+                "n_text_chars",
+            ).dropDuplicates(["doc_id"]),
+            "doc_id",
+            "left",
+        )
+    )
+    docs = (
+        html_pages.select("doc_id")
+        .join(feats.select("doc_id", "text"), "doc_id")
+        .filter(F.length("text") >= min_text_chars)
+        .select("doc_id", "text")
+        .dropDuplicates(["doc_id"])  # same canonical URL twice in a batch
+    )
+    return docs, meta
+
+
+def process_crawl_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    root: str,
+    robots_rules: DataFrame | None = None,
+    **corpus_kw,
+) -> None:
+    """Per-micro-batch body: transform archives, append the crawl_meta
+    audit FIRST (meta rows are droppable duplicates on replay; losing
+    them loses provenance, so they precede the doc appends in the
+    crash-gap ordering), then hand the docs to the EXISTING
+    ``process_corpus_batch`` (dedup + settled-structure maintenance,
+    identical semantics to the scored batch path)."""
+    archives = batch.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    docs, meta = crawl_batch_to_docs(archives, robots_rules)
+    meta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "append"
+    ).parquet(root + "/crawl_meta")
+    corpus_ingest.process_corpus_batch(
+        spark, docs, batch_id, root, **corpus_kw
+    )
+
+
+def ingest_crawl_stream(
+    spark: SparkSession,
+    source_dir: str,
+    root: str,
+    robots_rules: DataFrame | None = None,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 2,
+    **corpus_kw,
+):
+    """Start the crawl-ingestion stream over ``source_dir`` (*.warc /
+    *.warc.gz, renamed into place). Returns the StreamingQuery.
+    ``corpus_kw`` passes through to ``process_corpus_batch``
+    (num_hashes/bands/min_est/max_df/max_bucket/drop_dups/substr_k) —
+    the dedup knobs stay batch-identical by construction."""
+    corpus_ingest.ensure_signature_index(
+        spark, root, corpus_kw.get("num_hashes", 16)
+    )
+    if corpus_kw.get("substr_k") is not None:
+        corpus_ingest.ensure_window_index(
+            spark, root, corpus_kw["substr_k"]
+        )
+    if robots_rules is not None:
+        # rules are model-sized; pin them so every batch reuses one
+        # broadcastable copy instead of re-reading the source
+        robots_rules = robots_rules.localCheckpoint(eager=True)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        process_crawl_batch(
+            spark, batch, batch_id, root, robots_rules, **corpus_kw
+        )
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINFILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation", checkpoint or root + "/_crawl_checkpoint"
+        )
+        .start()
+    )
+
+
+def reconcile_crawl_root(spark: SparkSession, root: str) -> dict:
+    """Replay recovery for a crawl root: the corpus reconciliation
+    plus the crawl_meta audit (duplicate (batch_id, doc_id,
+    archive_id) rows collapse). Idempotent; run after any unclean
+    shutdown."""
+    stats = corpus_ingest.reconcile_ingest_root(spark, root)
+    path = root + "/crawl_meta"
+    if not corpus_ingest._bootstrap_needed(spark, path):
+        meta = spark.read.parquet(path)
+        clean = meta.dropDuplicates(["batch_id", "doc_id", "archive_id"])
+        before = meta.count()
+        after = clean.count()
+        if after != before:
+            # the corpus_ingest rewrite rule: eager localCheckpoint so
+            # the overwrite never races its own scan
+            clean = clean.localCheckpoint(eager=True)
+            clean.write.mode("overwrite").parquet(path)
+        stats["crawl_meta"] = {"before": before, "after": after}
+    return stats
