@@ -72,6 +72,40 @@ def test_meta_fields():
     assert m["canonical"] == "http://example.com/5"
 
 
+def test_opengraph_and_jsonld():
+    page = (
+        '<html><head>'
+        '<meta property="og:title" content="OG Title">'
+        '<meta property="OG:TYPE" content="article">'
+        '<meta property="og:title" content="duplicate ignored">'
+        '<script type="application/ld+json">{"@type": "Article"}</script>'
+        '<script>var notLd = 1;</script>'
+        '<script type="application/ld+json"> {"a": 2} </script>'
+        "</head><body><p>Body text.</p>"
+        '<svg><script type="application/ld+json">{"ghost": 1}</script></svg>'
+        "</body></html>"
+    )
+    m = H.html_meta(page)
+    assert m["og"] == {"og:title": "OG Title", "og:type": "article"}
+    assert m["jsonld"] == ['{"@type": "Article"}', '{"a": 2}']
+    # JSON-LD content never leaks into visible text
+    assert H.html_to_text(page) == "Body text."
+
+
+def test_og_jsonld_in_spark_features(spark):
+    page = (
+        '<meta property="og:title" content="T"><meta property="og:type" '
+        'content="video"><script type="application/ld+json">{}</script>'
+        "<p>hello world</p>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "html": [page]})
+    )
+    r = H.html_text_features(df).collect()[0]
+    assert r["og_title"] == "T" and r["og_type"] == "video"
+    assert r["n_jsonld"] == 1
+
+
 def test_missing_head_close_recovers():
     # crawled pages routinely omit </head>; body text must survive
     page = "<html><head><title>T</title><body><p>Visible text.</p>"

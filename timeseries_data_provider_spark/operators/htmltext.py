@@ -106,6 +106,13 @@ class _Extractor(HTMLParser):
         self.lang: str | None = None
         self.description: str | None = None
         self.canonical: str | None = None
+        # OpenGraph properties (og:*) and raw JSON-LD blocks — the
+        # structured-metadata layer a crawl pipeline routes on
+        # (article vs product vs video) before extracting anything
+        self.og: dict[str, str] = {}
+        self.jsonld: list[str] = []
+        self._in_jsonld = False
+        self._jsonld_buf: list[str] = []
         self._in_title = False
         self._title_buf: list[str] = []
 
@@ -138,6 +145,9 @@ class _Extractor(HTMLParser):
                 and self.description is None
             ):
                 self.description = ad.get("content")
+            prop = (ad.get("property") or "").lower()
+            if prop.startswith("og:") and prop not in self.og:
+                self.og[prop] = ad.get("content") or ""
         elif tag == "link":
             ad = dict(attrs)
             if (
@@ -153,6 +163,11 @@ class _Extractor(HTMLParser):
             # recovery for pages missing </title>: body content must
             # never accumulate into the title buffer
             self._finish_title()
+        if tag == "script" and not self._skip_depth:
+            ad = dict(attrs)
+            if (ad.get("type") or "").lower() == "application/ld+json":
+                self._in_jsonld = True
+                self._jsonld_buf = []
         if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
             self._skip_depth += 1
             return
@@ -181,6 +196,11 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag == "title":
             self._finish_title()
+        if tag == "script" and self._in_jsonld:
+            block = "".join(self._jsonld_buf).strip()
+            if block:
+                self.jsonld.append(block)
+            self._in_jsonld = False
         if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
@@ -194,6 +214,9 @@ class _Extractor(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._in_title:
             self._title_buf.append(data)
+            return
+        if self._in_jsonld:
+            self._jsonld_buf.append(data)
             return
         if self._skip_depth:
             return
@@ -258,6 +281,8 @@ def html_meta(html: str) -> dict:
         "lang": p.lang,
         "description": p.description,
         "canonical": p.canonical,
+        "og": dict(p.og),
+        "jsonld": list(p.jsonld),
     }
 
 
@@ -278,26 +303,24 @@ def html_text_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                id_col: [],
-                "title": [],
-                "html_lang": [],
-                "n_blocks": [],
-                "n_boiler_blocks": [],
-                "text": [],
-                "n_text_chars": [],
-            }
+            cols = (
+                "title",
+                "html_lang",
+                "n_blocks",
+                "n_boiler_blocks",
+                "text",
+                "n_text_chars",
+                "og_title",
+                "og_type",
+                "n_jsonld",
+            )
+            out: dict = {id_col: []}
+            for k in cols:
+                out[k] = []
             for rid, doc in zip(pdf[id_col], pdf[html_col]):
                 out[id_col].append(rid)
                 if doc is None or (isinstance(doc, float) and pd.isna(doc)):
-                    for k in (
-                        "title",
-                        "html_lang",
-                        "n_blocks",
-                        "n_boiler_blocks",
-                        "text",
-                        "n_text_chars",
-                    ):
+                    for k in cols:
                         out[k].append(None)
                     continue
                 p = _Extractor()
@@ -315,11 +338,15 @@ def html_text_features(
                 out["n_boiler_blocks"].append(len(p.blocks) - len(kept))
                 out["text"].append(text)
                 out["n_text_chars"].append(len(text))
+                out["og_title"].append(p.og.get("og:title"))
+                out["og_type"].append(p.og.get("og:type"))
+                out["n_jsonld"].append(len(p.jsonld))
             yield pd.DataFrame(out)
 
     schema = (
         f"{id_col} long, title string, html_lang string, "
         "n_blocks long, n_boiler_blocks long, text string, "
-        "n_text_chars long"
+        "n_text_chars long, og_title string, og_type string, "
+        "n_jsonld long"
     )
     return df.select(id_col, html_col).mapInPandas(run, schema)
