@@ -96,6 +96,35 @@ def test_hostile_start_raises():
         mp3.decode_mp3_meta(h.to_bytes(4, "big") + b"\x00" * 100)
 
 
+def test_id3_text_frames():
+    blob = mp3.encode_mp3_skeleton(
+        n_frames=2,
+        tags={"title": "Ün Títle", "artist": "Someone", "album": "LP"},
+    )
+    m = mp3.decode_mp3_meta(blob)
+    assert m["title"] == "Ün Títle"  # utf-8 path
+    assert m["artist"] == "Someone" and m["album"] == "LP"
+    # v2.3 plain-size + utf-16 BOM path, hand-built
+    body = "\x01".encode("latin-1") + "Songé".encode("utf-16")
+    fr = b"TIT2" + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(fr) >> 7, len(fr) & 0x7F]
+    ) + fr
+    audio = mp3.encode_mp3_skeleton(n_frames=1)
+    assert mp3.id3_tags(tag + audio)["title"] == "Songé"
+    # v2.2 3-byte frames
+    b2 = b"\x00My Song"
+    fr2 = b"TT2" + len(b2).to_bytes(3, "big") + b2
+    tag2 = b"ID3\x02\x00\x00" + bytes([0, 0, 0, len(fr2)]) + fr2
+    assert mp3.id3_tags(tag2)["title"] == "My Song"
+    # tagless file: all None
+    assert mp3.id3_tags(mp3.encode_mp3_skeleton(n_frames=1)) == {
+        "title": None,
+        "artist": None,
+        "album": None,
+    }
+
+
 def test_truncation_fuzz():
     blob = mp3.encode_mp3_skeleton(n_frames=3, id3_size=20)
     full = mp3.decode_mp3_meta(blob)["n_frames"]

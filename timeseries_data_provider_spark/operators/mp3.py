@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "decode_mp3_meta",
+    "id3_tags",
     "encode_mp3_skeleton",
     "mp3_features",
 ]
@@ -65,6 +66,66 @@ _VERSION_NAME = {3: "1", 2: "2", 0: "2.5"}
 
 def _syncsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+_ID3_TEXT = {"TIT2": "title", "TPE1": "artist", "TALB": "album"}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3_tags(payload: bytes) -> dict:
+    """Title/artist/album from an ID3v2.2-2.4 tag (id3.org): frame
+    walk with per-version size semantics (v2.4 syncsafe, v2.3 plain
+    BE, v2.2 3-byte ids/sizes) and the text-frame encoding byte
+    (latin-1 / utf-16 BOM / utf-16be / utf-8). Absent tag or fields
+    -> Nones; a corrupt frame stops the walk (tags are advisory —
+    never fail the file over them)."""
+    out = {"title": None, "artist": None, "album": None}
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return out
+    ver = payload[3]
+    tag_end = 10 + _syncsafe(payload[6:10])
+    pos = 10
+    if payload[5] & 0x40:  # extended header: skip by its own size
+        if ver >= 4:
+            pos += _syncsafe(payload[10:14])
+        else:
+            pos += 4 + int.from_bytes(payload[10:14], "big")
+    id_len, sz_len, fl_len = (3, 3, 0) if ver == 2 else (4, 4, 2)
+    names = (
+        {"TT2": "title", "TP1": "artist", "TAL": "album"}
+        if ver == 2
+        else _ID3_TEXT
+    )
+    while pos + id_len + sz_len + fl_len <= min(tag_end, len(payload)):
+        fid = payload[pos : pos + id_len]
+        if fid.strip(b"\x00") == b"":
+            break  # padding
+        try:
+            fid_s = fid.decode("ascii")
+        except UnicodeDecodeError:
+            break
+        raw_sz = payload[pos + id_len : pos + id_len + sz_len]
+        if ver >= 4:
+            size = _syncsafe(raw_sz)
+        else:
+            size = int.from_bytes(raw_sz, "big")
+        pos += id_len + sz_len + fl_len
+        body = payload[pos : pos + size]
+        if len(body) != size:
+            break
+        pos += size
+        field = names.get(fid_s)
+        if field and body:
+            enc = _ID3_ENCODINGS.get(body[0])
+            if enc:
+                out[field] = (
+                    body[1:]
+                    .decode(enc, "replace")
+                    .rstrip("\x00")
+                    .strip()
+                    or None
+                )
+    return out
 
 
 def _parse_header(b: bytes) -> dict:
@@ -180,6 +241,7 @@ def decode_mp3_meta(payload: bytes) -> dict:
         "vbr": len(bitrates) > 1,
         "id3v2_bytes": id3_bytes,
         "clean_eof": clean,
+        **id3_tags(payload),
     }
 
 
@@ -192,22 +254,42 @@ def encode_mp3_skeleton(
     mono: bool = False,
     id3_size: int = 0,
     bitrate_indices: list[int] | None = None,
+    tags: dict | None = None,
 ) -> bytes:
     """Fixture writer: CBR (or per-frame ``bitrate_indices`` VBR)
-    frames with zeroed payloads, optionally preceded by a zero-filled
-    ID3v2.4 tag of ``id3_size`` content bytes."""
+    frames with zeroed payloads, optionally preceded by an ID3v2.4
+    tag — zero-filled padding of ``id3_size`` bytes and/or real
+    utf-8 text frames from ``tags`` ({title, artist, album})."""
     out = bytearray()
-    if id3_size:
+    frames = b""
+    if tags:
+        rev = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB"}
+        for k, fid in rev.items():
+            v = tags.get(k)
+            if v is None:
+                continue
+            body = b"\x03" + v.encode("utf-8")
+            n = len(body)
+            frames += fid + bytes(
+                [
+                    (n >> 21) & 0x7F,
+                    (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F,
+                    n & 0x7F,
+                ]
+            ) + b"\x00\x00" + body
+    if id3_size or frames:
+        content = len(frames) + id3_size
         out += b"ID3\x04\x00\x00"
         out += bytes(
             [
-                (id3_size >> 21) & 0x7F,
-                (id3_size >> 14) & 0x7F,
-                (id3_size >> 7) & 0x7F,
-                id3_size & 0x7F,
+                (content >> 21) & 0x7F,
+                (content >> 14) & 0x7F,
+                (content >> 7) & 0x7F,
+                content & 0x7F,
             ]
         )
-        out += b"\x00" * id3_size
+        out += frames + b"\x00" * id3_size
     idxs = bitrate_indices or [bitrate_idx] * n_frames
     layer_code = 4 - layer
     for idx in idxs:
@@ -247,6 +329,9 @@ def mp3_features(
                 "vbr": [],
                 "id3v2_bytes": [],
                 "clean_eof": [],
+                "title": [],
+                "artist": [],
+                "album": [],
             }
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 m = decode_mp3_meta(bytes(blob))
@@ -259,6 +344,6 @@ def mp3_features(
         f"{id_col} long, version string, layer long, sample_rate long, "
         "channels long, n_frames long, duration_ms long, "
         "bitrate_kbps long, vbr boolean, id3v2_bytes long, "
-        "clean_eof boolean"
+        "clean_eof boolean, title string, artist string, album string"
     )
     return df.select(id_col, blob_col).mapInPandas(run, schema)
