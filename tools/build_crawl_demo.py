@@ -169,9 +169,21 @@ def main() -> int:
     )
 
     # 3. crash-replay + reconcile ---------------------------------------
-    archives = spark.read.format("binaryFile").load(src).limit(1)
+    # a crash replays a batch under ITS OWN batch_id (the checkpoint
+    # re-delivers the same files with the same id) — reproduce that by
+    # looking the chosen archive's original batch_id up in the audit
+    n_meta = meta.count()  # pre-replay row count, captured eagerly
+    archives = (
+        spark.read.format("binaryFile").load(src).limit(1)
+    ).localCheckpoint(eager=True)
+    aid = archives.select(F.xxhash64("path").alias("a")).first()["a"]
+    orig_bid = (
+        meta.filter(F.col("archive_id") == aid)
+        .select("batch_id")
+        .first()["batch_id"]
+    )
     crawl_ingest.process_crawl_batch(
-        spark, archives, 0, root, rules,
+        spark, archives, orig_bid, root, rules,
         min_est=1.0, max_df=None, max_bucket=None,
     )
     stats = crawl_ingest.reconcile_crawl_root(spark, root)
@@ -179,12 +191,17 @@ def main() -> int:
     check(
         "replay + reconcile == no-crash state",
         docs_after == n_docs
+        and stats["crawl_meta"]["after"] == n_meta
         and stats["crawl_meta"]["after"] < stats["crawl_meta"]["before"],
         f"{stats.get('crawl_meta')}",
     )
 
     # 4. budget -> pack -> shards ----------------------------------------
-    corpus = spark.read.parquet(root + "/docs").select("doc_id", "text")
+    corpus = (
+        spark.read.parquet(root + "/docs")
+        .select("doc_id", "text")
+        .withColumn("n_chars", F.length("text"))
+    )
     budget = 3000
     sel = pipeline.budget_select(corpus, token_budget=budget)
     n_tok = sel.agg(F.sum("n_tokens")).first()[0]
