@@ -670,6 +670,15 @@ def q34_multimodal_frames(spark, sf):
     ``video_sample_ranges`` fan-out; every offset/size/dts is doc_id
     math (see build_fragmented_skeleton's docstring formulas).
 
+    r9 (late): the stss SYNC-SAMPLE table joins the walk — the
+    'sample' branch's new keyframe column (long 0/1/NULL) scores it:
+    the video skeleton's stss marks every 4th sample (keyframe iff
+    sample_idx % 4 == 0), the audio track has NO stss so the spec's
+    all-sync default applies (all 1), and the fragmented tier reports
+    NULL (trun sample-flags stay the walk tier's named gap). This is
+    the thumbnail/preview fetch-list primitive: filter keyframe = 1
+    and fetch only those byte ranges.
+
     r9 (late): an 'mkv' branch — 30 planted Matroska/WebM skeletons
     (operators/mkv.py: EBML vint framing, Info + Tracks walk, the
     unknown-size streaming Segment on even ids) fanned out one row
@@ -695,6 +704,7 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("sample_bytes"),
         F.lit(None).cast("long").alias("first_sample_off"),
         F.lit(None).cast("long").alias("last_sample_off"),
+        F.lit(None).cast("long").alias("keyframe"),
     )
     mp4_media = multimodal.synth_mp4_media(
         spark.range(20_000, 20_040).withColumnRenamed("id", "doc_id")
@@ -717,6 +727,7 @@ def q34_multimodal_frames(spark, sf):
         "sample_bytes",
         "first_sample_off",
         "last_sample_off",
+        F.lit(None).cast("long").alias("keyframe"),
     )
     fsamples = multimodal.video_sample_ranges(
         multimodal.synth_fmp4_media(
@@ -738,6 +749,7 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("sample_bytes"),
         F.lit(None).cast("long").alias("first_sample_off"),
         F.lit(None).cast("long").alias("last_sample_off"),
+        F.col("keyframe").cast("long").alias("keyframe"),
     )
     samples = multimodal.video_sample_ranges(mp4_media).select(
         F.lit("sample").alias("src"),
@@ -757,6 +769,7 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("sample_bytes"),
         F.lit(None).cast("long").alias("first_sample_off"),
         F.lit(None).cast("long").alias("last_sample_off"),
+        F.col("keyframe").cast("long").alias("keyframe"),
     )
     mkvrows = mkv.track_features(
         mkv.synth_mkv_media(
@@ -780,6 +793,7 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("sample_bytes"),
         F.lit(None).cast("long").alias("first_sample_off"),
         F.lit(None).cast("long").alias("last_sample_off"),
+        F.lit(None).cast("long").alias("keyframe"),
     )
     return (
         frames.unionByName(vids)
@@ -2578,7 +2592,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_chunks,
                    CAST(NULL AS BIGINT) AS sample_bytes,
                    CAST(NULL AS BIGINT) AS first_sample_off,
-                   CAST(NULL AS BIGINT) AS last_sample_off
+                   CAST(NULL AS BIGINT) AS last_sample_off,
+                   CAST(NULL AS BIGINT) AS keyframe
             FROM (SELECT doc_id, text,
                          unnest(range(greatest(
                            octet_length(encode(text)) // 64, 1))) AS u
@@ -2602,7 +2617,8 @@ def oracle_sql() -> dict[str, str]:
                    100 * n + n * (n - 1) // 2 AS sample_bytes,
                    CAST(10000 AS BIGINT) AS first_sample_off,
                    10000 + 100 * (n - 1) + (n - 1) * (n - 2) // 2
-                     AS last_sample_off
+                     AS last_sample_off,
+                   CAST(NULL AS BIGINT) AS keyframe
             FROM (SELECT 20000 + g.v AS doc_id,
                          CAST(5 + (20000 + g.v) % 7 AS BIGINT) AS n
                   FROM generate_series(0, 39) g(v))
@@ -2622,7 +2638,8 @@ def oracle_sql() -> dict[str, str]:
                    (m + 7) // 8 AS n_chunks,
                    128 * m AS sample_bytes,
                    CAST(50000 AS BIGINT) AS first_sample_off,
-                   50000 + 128 * (m - 1) AS last_sample_off
+                   50000 + 128 * (m - 1) AS last_sample_off,
+                   CAST(NULL AS BIGINT) AS keyframe
             FROM (SELECT 20000 + g.v AS doc_id,
                          CAST(16 + (20000 + g.v) % 9 AS BIGINT) AS m
                   FROM generate_series(0, 39) g(v))
@@ -2645,7 +2662,8 @@ def oracle_sql() -> dict[str, str]:
                    j // 4 + 1 AS n_chunks,
                    CAST(NULL AS BIGINT) AS sample_bytes,
                    CAST(NULL AS BIGINT) AS first_sample_off,
-                   CAST(NULL AS BIGINT) AS last_sample_off
+                   CAST(NULL AS BIGINT) AS last_sample_off,
+                   CAST(j % 4 = 0 AS BIGINT) AS keyframe
             FROM (SELECT 20000 + g.v AS doc_id,
                          CAST(5 + (20000 + g.v) % 7 AS BIGINT) AS n,
                          CAST(1000 + 100 * ((20000 + g.v) % 10)
@@ -2671,7 +2689,8 @@ def oracle_sql() -> dict[str, str]:
                    j // 8 + 1 AS n_chunks,
                    CAST(NULL AS BIGINT) AS sample_bytes,
                    CAST(NULL AS BIGINT) AS first_sample_off,
-                   CAST(NULL AS BIGINT) AS last_sample_off
+                   CAST(NULL AS BIGINT) AS last_sample_off,
+                   CAST(1 AS BIGINT) AS keyframe
             FROM (SELECT 20000 + g.v AS doc_id,
                          CAST(16 + (20000 + g.v) % 9 AS BIGINT) AS m
                   FROM generate_series(0, 39) g(v)),
@@ -2701,7 +2720,8 @@ def oracle_sql() -> dict[str, str]:
                    f + 1 AS n_chunks,
                    CAST(NULL AS BIGINT) AS sample_bytes,
                    CAST(NULL AS BIGINT) AS first_sample_off,
-                   CAST(NULL AS BIGINT) AS last_sample_off
+                   CAST(NULL AS BIGINT) AS last_sample_off,
+                   CAST(NULL AS BIGINT) AS keyframe
             FROM (SELECT 30000 + g.v AS doc_id,
                          CAST(2 + (30000 + g.v) % 3 AS BIGINT) AS nf,
                          CAST(3 + (30000 + g.v) % 4 AS BIGINT) AS s
@@ -2728,7 +2748,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_chunks,
                    CAST(NULL AS BIGINT) AS sample_bytes,
                    CAST(NULL AS BIGINT) AS first_sample_off,
-                   CAST(NULL AS BIGINT) AS last_sample_off
+                   CAST(NULL AS BIGINT) AS last_sample_off,
+                   CAST(NULL AS BIGINT) AS keyframe
             FROM (SELECT 40000 + g.v AS doc_id
                   FROM generate_series(0, 29) g(v))
             UNION ALL
@@ -2747,7 +2768,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_chunks,
                    CAST(NULL AS BIGINT) AS sample_bytes,
                    CAST(NULL AS BIGINT) AS first_sample_off,
-                   CAST(NULL AS BIGINT) AS last_sample_off
+                   CAST(NULL AS BIGINT) AS last_sample_off,
+                   CAST(NULL AS BIGINT) AS keyframe
             FROM (SELECT 40000 + g.v AS doc_id
                   FROM generate_series(0, 29) g(v))
             WHERE doc_id % 2 = 0

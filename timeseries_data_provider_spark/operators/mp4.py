@@ -230,6 +230,19 @@ def _parse_stz2(data: bytes, b: int, e: int):
     return 0, count, sizes
 
 
+def _parse_stss(data: bytes, b: int, e: int) -> set[int]:
+    """Sync-sample table (14496-12 §8.6.2): 1-based sample numbers
+    that are keyframes. An ABSENT stss means all samples sync (the
+    spec default — handled by the caller); a present-but-empty one
+    means none are."""
+    n = _full_box_count(data, b, e, "stss")
+    _need(b, e, 8 + 4 * n, "stss entries")
+    return {
+        struct.unpack(">I", data[b + 8 + 4 * k : b + 12 + 4 * k])[0]
+        for k in range(n)
+    }
+
+
 def _parse_stco(data: bytes, b: int, e: int, wide: bool) -> list[int]:
     n = _full_box_count(data, b, e, "co64" if wide else "stco")
     width = 8 if wide else 4
@@ -266,6 +279,7 @@ def _parse_sample_tables(data: bytes, sb: int, se: int):
     stz2 = _find(data, sb, se, b"stz2")
     stco = _find(data, sb, se, b"stco")
     co64 = _find(data, sb, se, b"co64")
+    stss = _find(data, sb, se, b"stss")
     have = [
         x is not None
         for x in (stts, stsc, stsz or stz2, stco or co64)
@@ -299,6 +313,8 @@ def _parse_sample_tables(data: bytes, sb: int, se: int):
         "deltas": deltas,
         "stsc": _parse_stsc(data, *stsc),
         "offsets": offsets,
+        # None = no stss box = every sample is sync (the spec default)
+        "sync": _parse_stss(data, *stss) if stss is not None else None,
     }
 
 
@@ -383,6 +399,7 @@ def iter_samples(payload: bytes, track_id: int):
     sizes = tables["sizes"]
     const = tables["const_size"]
     offsets = tables["offsets"]
+    sync = tables["sync"]
     delta_iter = (
         d for c, d in tables["deltas"] for _ in range(c)
     )
@@ -399,6 +416,8 @@ def iter_samples(payload: bytes, track_id: int):
                 "offset": pos,
                 "size": size,
                 "dts": dts,
+                # stss is 1-based; absent box = all sync (spec)
+                "sync": True if sync is None else (idx + 1) in sync,
             }
             pos += size
             dts += next(delta_iter)
@@ -994,6 +1013,13 @@ def _stsz_box(const: int, count: int, sizes: list[int] | None) -> bytes:
     return _full(b"stsz", body)
 
 
+def _stss_box(samples: list[int]) -> bytes:
+    body = struct.pack(">I", len(samples)) + b"".join(
+        struct.pack(">I", s) for s in samples
+    )
+    return _full(b"stss", body)
+
+
 def _stco_box(offsets: list[int], wide: bool) -> bytes:
     fmt = ">Q" if wide else ">I"
     body = struct.pack(">I", len(offsets)) + b"".join(
@@ -1007,7 +1033,11 @@ def skeleton_video_tables(n: int, dur: int) -> bytes:
     per chunk with an explicit partial-final stsc entry, 32-bit stco,
     data at 10000): chunk c starts at 10000 + 400c + 4c(4c-1)/2, the
     last sample at 10000 + 100(n-1) + (n-1)(n-2)/2 — every field is
-    doc_id math an SQL oracle recomputes."""
+    doc_id math an SQL oracle recomputes. r9 late: an stss marks
+    every 4th sample sync (1-based 1, 5, 9, ... — keyframe iff
+    sample_idx % 4 == 0), the closed form q34's keyframe column
+    scores; the audio tables carry NO stss, exercising the all-sync
+    spec default."""
     sizes = [100 + j for j in range(n)]
     if n > 1:
         d = dur // n
@@ -1030,6 +1060,7 @@ def skeleton_video_tables(n: int, dur: int) -> bytes:
         + _stsc_box(stsc)
         + _stsz_box(0, n, sizes)
         + _stco_box(offsets, wide=False)
+        + _stss_box([s + 1 for s in range(0, n, 4)])
     )
 
 

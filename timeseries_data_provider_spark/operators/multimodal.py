@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -1482,6 +1483,9 @@ SAMPLE_RANGE_SCHEMA = StructType(
         StructField("sample_off", LongType()),
         StructField("sample_size", LongType()),
         StructField("dts", LongType()),
+        # stss-derived keyframe flag; NULL on the fragmented tier
+        # (trun sample-flags parsing is the walk tier's named gap)
+        StructField("keyframe", BooleanType()),
     ]
 )
 
@@ -1531,6 +1535,7 @@ def video_sample_ranges(media: DataFrame) -> DataFrame:
                             rows["sample_off"].append(s["offset"])
                             rows["sample_size"].append(s["size"])
                             rows["dts"].append(s["dts"])
+                            rows["keyframe"].append(s.get("sync"))
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(
