@@ -565,6 +565,67 @@ def probe_cavnar(spark) -> None:
     )
 
 
+def probe_imagededup(spark) -> None:
+    """dHash image near-dup at 64k images: every image is UNIQUE
+    random noise (uniform hashes keep the quarter blocks cold — the
+    planted-identical-class alternative would be the LSH hot-bucket
+    adversary by construction), except 1,000 planted re-encode pairs
+    (same pixels as BMP vs PNG, ids i and 1,000,000+i). Invariant:
+    the pair set is EXACTLY the plants at distance 0 (the false-pair
+    expectation at these sizes is ~3e-2 across the whole run)."""
+    from timeseries_data_provider_spark.operators import imagehash as IH
+    from timeseries_data_provider_spark.operators import multimodal as mm
+
+    n = int(os.environ.get("STRESS_IMG_N", "64000"))
+    n_pairs = 1000
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                seed = i % 1_000_000
+                rng = np.random.RandomState(seed)
+                px = rng.randint(0, 256, (48, 64)).astype(np.uint8)
+                blob = (
+                    mm.encode_png(64, 48, px)
+                    if i >= 1_000_000
+                    else mm.encode_bmp(64, 48, px)
+                )
+                out["doc_id"].append(i)
+                out["payload"].append(blob)
+            yield pd.DataFrame(out)
+
+    ids = spark.range(n).selectExpr("id as doc_id").unionAll(
+        spark.range(1_000_000, 1_000_000 + n_pairs).selectExpr(
+            "id as doc_id"
+        )
+    )
+    media = (
+        ids.repartition(32)
+        .mapInPandas(synth, "doc_id long, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    sk = IH.image_dhash(media).localCheckpoint(eager=True)
+    hash_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    pairs = IH.hamming_pairs(sk, max_distance=4).collect()
+    pair_s = time.perf_counter() - t1
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    want = {(i, 1_000_000 + i) for i in range(n_pairs)}
+    assert got == want, (len(got), len(want), list(got - want)[:3])
+    assert all(r["hamming"] == 0 for r in pairs)
+    _emit(
+        "imagededup",
+        n_images=n + n_pairs,
+        hash_secs=round(hash_s, 2),
+        pair_secs=round(pair_s, 2),
+        images_per_sec=int((n + n_pairs) / hash_s),
+        pairs_found=len(got),
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "crawl",
@@ -576,6 +637,7 @@ def main() -> None:
         "flacdecode",
         "pdfextract",
         "cavnar",
+        "imagededup",
     ]
     spark = get_spark("tdps-stress-r9b")
     for name in which:
