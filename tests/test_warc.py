@@ -108,6 +108,46 @@ def test_truncation_fuzz():
         assert got == full[: len(got)]
 
 
+@pytest.mark.parametrize("gz", [True, False], ids=["gz", "plain"])
+def test_member_index_range_fetchable(spark, gz):
+    # THE invariant: every (offset, comp_length) row is an
+    # independently fetchable slice that decodes to exactly its record
+    blob = _archive(gzip_members=gz)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [blob]})
+    )
+    rows = sorted(
+        W.warc_member_index(df).collect(),
+        key=lambda r: r["member_idx"],
+    )
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo",
+        "request",
+        "response",
+    ]
+    assert rows[2]["url"] == "http://example.com/1"
+    for r in rows:
+        sl = blob[r["offset"] : r["offset"] + r["comp_length"]]
+        raw = gzip.decompress(sl) if gz else sl
+        assert len(raw) == r["record_bytes"]
+        (rec,) = W.iter_warc_records(raw)
+        assert rec["warc-type"] == r["warc_type"]
+    # offsets tile the archive exactly
+    assert rows[0]["offset"] == 0
+    assert (
+        rows[-1]["offset"] + rows[-1]["comp_length"] == len(blob)
+    )
+
+
+def test_gzip_member_iter_hostile():
+    with pytest.raises(ValueError, match="truncated gzip"):
+        list(W.iter_gzip_members(_archive()[:20]))
+    with pytest.raises(ValueError, match="bad gzip member"):
+        list(W.iter_gzip_members(b"\x1f\x8bbad" + b"x" * 40))
+    with pytest.raises(ValueError, match="not a gzip member"):
+        list(W.iter_gzip_members(b"plain bytes, no magic"))
+
+
 def test_spark_fanout(spark):
     docs = spark.createDataFrame(
         pd.DataFrame(

@@ -25,15 +25,18 @@ Scale shape: ``read_warc_files`` parallelizes at FILE granularity
 right unit for real crawls: Common Crawl segments are ~1 GB by
 construction (tens of thousands of files per crawl), so a 1000-executor
 cluster saturates on file parallelism without splitting any single
-archive. Sub-file splitting would need a gzip-member offset index
-(each record is an independent member, so members ARE split points);
-that index is a metadata build artifact, not a reader feature — noted
-here as the named growth path, not implemented.
+archive. Sub-file splitting needs a gzip-member offset index (each record is
+an independent member, so members ARE split points) —
+``warc_member_index`` builds exactly that: CDX-style (offset,
+compressed length, type, url) rows whose every span is an
+independently range-fetchable record, the metadata artifact a crawl
+tier shards work by.
 """
 
 from __future__ import annotations
 
 import gzip
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -43,9 +46,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "iter_warc_records",
+    "iter_gzip_members",
     "parse_http_response",
     "encode_warc",
     "warc_responses",
+    "warc_member_index",
     "read_warc_files",
     "synth_warc_corpus",
 ]
@@ -107,6 +112,119 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             raise ValueError("WARC: missing record separator")
         pos += 4
         yield headers
+
+
+def iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (compressed_offset, compressed_length, raw_bytes) per
+    gzip MEMBER of a multi-member stream — the Common Crawl layout's
+    split points. Incremental chunked feeding (never re-slicing the
+    tail), so a 100k-member archive indexes in O(bytes), not O(n^2)."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    chunk = 1 << 20
+    while pos < n:
+        if data[pos : pos + 2] != _GZIP_MAGIC:
+            raise ValueError(f"WARC: not a gzip member at offset {pos}")
+        d = zlib.decompressobj(wbits=31)
+        raw = bytearray()
+        feed = pos
+        while not d.eof:
+            if feed >= n:
+                raise ValueError("WARC: truncated gzip member")
+            try:
+                raw += d.decompress(data[feed : feed + chunk])
+            except zlib.error as e:
+                raise ValueError(f"WARC: bad gzip member: {e}") from e
+            feed += chunk
+        consumed = min(feed, n) - len(d.unused_data)
+        yield pos, consumed - pos, bytes(raw)
+        pos = consumed
+
+
+def warc_member_index(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """CDX-style fetch index for gzip-member WARC archives: one row
+    per member — (archive id, member_idx, offset, compressed length,
+    warc_type, url, record bytes). THIS closes the module docstring's
+    named growth path: ``offset``/``comp_length`` are exactly the
+    HTTP range request that retrieves one record from object storage
+    without touching the rest of the archive, and the index is the
+    metadata build artifact a 100 TB crawl tier shards work by.
+    Plain (non-gzip) archives get record byte offsets with
+    comp_length = the record's stored length — same fetch semantics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [],
+                "member_idx": [],
+                "offset": [],
+                "comp_length": [],
+                "warc_type": [],
+                "url": [],
+                "record_bytes": [],
+            }
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                rid = int(rid)
+                blob = bytes(blob)
+                try:
+                    if blob[:2] == _GZIP_MAGIC:
+                        members = iter_gzip_members(blob)
+                    else:
+                        members = _plain_record_spans(blob)
+                    for idx, (off, clen, raw) in enumerate(members):
+                        recs = list(iter_warc_records(raw))
+                        # one record per member in the CC layout; a
+                        # multi-record member indexes as its first
+                        rec = recs[0] if recs else {}
+                        out[id_col].append(rid)
+                        out["member_idx"].append(idx)
+                        out["offset"].append(off)
+                        out["comp_length"].append(clen)
+                        out["warc_type"].append(rec.get("warc-type"))
+                        out["url"].append(rec.get("warc-target-uri"))
+                        out["record_bytes"].append(len(raw))
+                except ValueError as e:
+                    raise ValueError(f"archive {rid}: {e}") from e
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run,
+        f"{id_col} long, member_idx long, offset long, comp_length long, "
+        "warc_type string, url string, record_bytes long",
+    )
+
+
+def _plain_record_spans(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Record spans of an UNCOMPRESSED WARC: (offset, stored length,
+    record bytes) — derived by re-walking the record framing."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = pos
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        # parse exactly one record to find its end
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("WARC: truncated header block")
+        m = re.search(
+            rb"^content-length:\s*(\d+)\s*$",
+            data[pos:hdr_end],
+            re.IGNORECASE | re.MULTILINE,
+        )
+        if not m:
+            raise ValueError("WARC: missing/bad Content-Length")
+        end = hdr_end + 4 + int(m.group(1)) + 4
+        if end > n:
+            raise ValueError("WARC: body exceeds file")
+        yield start, end - start, data[start:end]
+        pos = end
 
 
 def parse_http_response(body: bytes) -> tuple[int, dict, bytes]:
