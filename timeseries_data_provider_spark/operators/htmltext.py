@@ -45,6 +45,7 @@ __all__ = [
     "html_to_text",
     "html_meta",
     "html_text_features",
+    "html_links",
 ]
 
 # Tags whose start OR end flushes the current text buffer into a block.
@@ -111,6 +112,7 @@ class _Extractor(HTMLParser):
         # (article vs product vs video) before extracting anything
         self.og: dict[str, str] = {}
         self.jsonld: list[str] = []
+        self.links: list[str] = []  # anchor hrefs, document order
         self._in_jsonld = False
         self._jsonld_buf: list[str] = []
         self._in_title = False
@@ -175,6 +177,10 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth += 1
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+                    break
         elif tag == "br":
             self._buf.append(" ")
         if tag in _BLOCK_TAGS:
@@ -283,7 +289,35 @@ def html_meta(html: str) -> dict:
         "canonical": p.canonical,
         "og": dict(p.og),
         "jsonld": list(p.jsonld),
+        "links": list(p.links),
     }
+
+
+def html_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow 1->N out-link fan-out: one row per anchor href in
+    document order — the raw edge list of the crawl's link graph
+    (operators/linkgraph builds the quality prior from it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "link_idx": [], "href": []}
+            for rid, doc in zip(pdf[id_col], pdf[html_col]):
+                if doc is None:
+                    continue
+                p = _Extractor()
+                p.feed(doc)
+                p.close()
+                for i, href in enumerate(p.links):
+                    out[id_col].append(rid)
+                    out["link_idx"].append(i)
+                    out["href"].append(href)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, html_col).mapInPandas(
+        run, f"{id_col} long, link_idx long, href string"
+    )
 
 
 def html_text_features(

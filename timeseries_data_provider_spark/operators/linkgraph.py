@@ -1,0 +1,145 @@
+"""Link-graph analytics: exact-integer PageRank + host graph.
+
+The crawl's link structure is a QUALITY PRIOR (the original use of
+PageRank — Brin & Page 1998): pages/hosts referenced by many
+well-referenced hosts are worth more crawl budget and more training
+weight than orphan spam. Public-knowledge basis: the PageRank power
+iteration; the host-graph aggregation is standard crawl practice.
+Reference parity note: index.js has no graph surface; [EXT] SURVEY
+§2.
+
+EXACT-INTEGER formulation (the repo's determinism rule — float
+PageRank sums are partitioning-order-dependent, so two runs of the
+"same" job can disagree in the low bits; this one cannot): ranks are
+integers at a fixed ``scale``; each iteration computes
+
+    contrib(e)  = rank(src) // out_degree(src)          (floor)
+    incoming(v) = SUM of contribs over in-edges          (exact int)
+    dangling    = SUM of ranks of zero-out-degree nodes  (exact int)
+    rank'(v)    = ((1000 - d) * (scale // N)
+                   + d * (incoming(v) + dangling // N)) // 1000
+
+with d = damping in milli (850 = 0.85). Floors leak a little mass
+(stated — the price of exactness); ordering behavior matches float
+PageRank on every test graph, and the whole recurrence is replayable
+in plain Python for exact-equality tests.
+
+Scale shape: per iteration one join edges x ranks (shuffle on src),
+one hash-agg on dst, one anti-join for dangling mass — the standard
+Pregel-free Spark PageRank plan, localCheckpointed per round so
+lineage stays flat. The driver holds nothing but N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_exact", "host_edges"]
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_milli: int = 850,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact-integer PageRank over an edge list (see module docstring
+    for the precise recurrence). Duplicate edges count as parallel
+    edges (each carries a contribution — dedupe upstream if that is
+    not wanted). Returns (node, rank) with SUM(rank) <= scale
+    (floor leakage only)."""
+    if iterations < 0:
+        raise ValueError("pagerank: negative iterations")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    base = (1000 - damping_milli) * (scale // n)
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"], "left"
+        ).select("node", "rank", "deg")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
+            .first()["s"]
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    # SQL `div` = exact integer division (a float `/`
+                    # + cast can be off by one ulp at scale=1e12)
+                    F.expr("rank div deg").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(
+                contribs, nodes["node"] == contribs["dst"], "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping_milli)
+                    * (
+                        F.coalesce(F.col("incoming"), F.lit(0))
+                        + F.lit(int(dangling) // n)
+                    )
+                )
+                .alias("__num"),
+            )
+            .select(
+                "node", F.expr("__num div 1000").alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def host_edges(
+    links: DataFrame,
+    src_url_col: str = "url",
+    href_col: str = "href",
+) -> DataFrame:
+    """Page-level out-links -> weighted HOST graph edges:
+    (src registered domain, dst registered domain, weight), self-loops
+    dropped, relative hrefs (no scheme/host) excluded — the input
+    PageRank/host-quality tiers consume. All JVM (the urls ops)."""
+    from . import urls
+
+    src_dom = urls.url_registered_domain(
+        urls.url_host(F.col(src_url_col))
+    )
+    dst_dom = urls.url_registered_domain(
+        urls.url_host(F.col(href_col))
+    )
+    return (
+        links.select(
+            src_dom.alias("src"), dst_dom.alias("dst")
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
