@@ -53,7 +53,8 @@ EXPLAINED_MOVES = {
     "q34_multimodal_frames": (
         "r8: sample-table parse + 5 scored columns + per-sample "
         "fetch-list branch + fragmented (fmp4) branch; r9 late: "
-        "Matroska/WebM (mkv) track-metadata branch"
+        "Matroska/WebM (mkv) track-metadata branch + stss keyframe "
+        "column on the sample branch"
     ),
     "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
     "q63_media_decode": (
