@@ -162,6 +162,31 @@ def test_robots_rules_enforced(spark, dirs):
     assert texts == {"allowed words here"}
 
 
+def test_same_canonical_url_twice_in_batch_is_deterministic(spark, dirs):
+    src, root = dirs
+    # one archive fetches the same canonical URL twice with different
+    # bodies: the landed text must be the DETERMINISTIC min(text)
+    _write(
+        src,
+        "w.warc.gz",
+        _archive(
+            [
+                ("http://a.com/p", 200, "text/html", _page("zzz later body")),
+                ("HTTP://A.com:80/p", 200, "text/html", _page("aaa first body")),
+            ]
+        ),
+    )
+    q = C.ingest_crawl_stream(
+        spark, src, root, min_est=1.0, max_df=None, max_bucket=None
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = _docs(spark, root)
+    assert list(docs.values()) == ["aaa first body"]
+
+
 def test_replay_reconciliation(spark, dirs):
     src, root = dirs
     _write(

@@ -110,6 +110,29 @@ def test_hostile_inputs():
         pdf.extract_pdf(body)
 
 
+def test_phantom_obj_inside_stream_ignored():
+    # a stream whose BYTES contain "2 0 obj << ... >>" must not
+    # clobber the real object 2 (compressed data hits such patterns
+    # by chance at corpus scale)
+    payload = b"BT (real text) Tj ET"
+    trap = b"2 0 obj\n<< /Type /Catalog /Pages 9 0 R >>\nendobj\n"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        + (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(trap))
+        + trap
+        + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
+        + (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(payload))
+        + payload
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    m = pdf.extract_pdf(body)
+    assert m["n_pages"] == 1 and m["text"] == "real text"
+
+
 def test_truncation_tolerance():
     blob = pdf.encode_pdf([["alpha beta", "gamma"], ["delta"]])
     for cut in range(0, len(blob), 7):

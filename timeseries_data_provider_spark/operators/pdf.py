@@ -238,7 +238,14 @@ def _parse_objects(data: bytes) -> dict[int, tuple]:
     — the crawl reality; the xref is advisory when the objects are
     scannable). Returns {num: (value, stream_bytes|None)}."""
     objs: dict[int, tuple] = {}
+    last_stream_end = 0
     for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data):
+        if m.start() < last_stream_end:
+            # the match fell INSIDE a previously-consumed stream body:
+            # compressed bytes can contain "N G obj" by chance, and a
+            # phantom object must never clobber a real one (review
+            # finding)
+            continue
         num = int(m.group(1))
         if len(objs) > MAX_OBJECTS:
             raise ValueError("pdf: unreasonable object count")
@@ -260,11 +267,13 @@ def _parse_objects(data: bytes) -> dict[int, tuple]:
                 length = None  # resolved below if needed via endstream
             if isinstance(length, int) and p + length <= len(data):
                 stream = data[p : p + length]
+                last_stream_end = p + length
             else:
                 e = data.find(b"endstream", p)
                 if e < 0:
                     continue
                 stream = data[p:e].rstrip(b"\r\n")
+                last_stream_end = e
         objs[num] = (val, stream)
     return objs
 

@@ -129,12 +129,18 @@ def crawl_batch_to_docs(
             "left",
         )
     )
+    # same canonical URL twice in one batch (a duplicated record or a
+    # changed page fetched twice): pick the DETERMINISTIC winner —
+    # min(text) — rather than dropDuplicates' arbitrary row, so the
+    # landed corpus is replay- and partitioning-independent (review
+    # finding: an arbitrary pick made two runs of the same batch land
+    # different text under the same doc_id)
     docs = (
         html_pages.select("doc_id")
         .join(feats.select("doc_id", "text"), "doc_id")
         .filter(F.length("text") >= min_text_chars)
-        .select("doc_id", "text")
-        .dropDuplicates(["doc_id"])  # same canonical URL twice in a batch
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
     )
     return docs, meta
 
