@@ -119,6 +119,32 @@ def test_query_string_participates(spark):
     assert kept == ["http://example.com/search"]
 
 
+def test_host_keyed_rules(spark):
+    # strict REP scope: rules for sub.example.com must not govern
+    # www.example.com when keyed by host
+    rules = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["sub.example.com"],
+                "robots_txt": ["User-agent: *\nDisallow: /\n"],
+            }
+        )
+    )
+    parsed = R.robots_rules_df(rules)
+    urls = [
+        "http://sub.example.com/x",
+        "http://www.example.com/x",
+    ]
+    kept = _filter(spark, parsed, urls, key="host")
+    assert kept == ["http://www.example.com/x"]
+    with pytest.raises(ValueError, match="key"):
+        R.robots_filter(
+            spark.createDataFrame(pd.DataFrame({"url": urls})),
+            parsed,
+            key="nope",
+        )
+
+
 def test_tie_allow_wins(spark):
     rules = _rules(
         spark, "User-agent: *\nDisallow: /page\nAllow: /page\n"

@@ -166,6 +166,7 @@ def robots_filter(
     rules: DataFrame,
     url_col: str = "url",
     keep_disallowed: bool = False,
+    key: str = "registered_domain",
 ) -> DataFrame:
     """Filter a URL frame by per-domain REP rules (from
     ``robots_rules_df``) — all JVM after the parse pass:
@@ -178,9 +179,17 @@ def robots_filter(
     5. no matching rule (incl. no rules at all) -> allowed.
 
     ``keep_disallowed=True`` returns the BLOCKED rows instead (the
-    audit view)."""
+    audit view).
+
+    ``key``: how a URL maps to the rules frame's ``domain`` column —
+    ``"registered_domain"`` (rules aggregated per site, the corpus-
+    blocklist convention) or ``"host"`` (robots.txt's OWN scope is
+    per host: subdomains carry their own file — pass host-keyed
+    rules and key="host" for strict REP fidelity)."""
     from . import urls as _urls
 
+    if key not in ("registered_domain", "host"):
+        raise ValueError(f"robots_filter: key {key!r}")
     u = F.col(url_col)
     qpart = F.try_parse_url(u, F.lit("QUERY"))
     path = F.concat(
@@ -189,11 +198,15 @@ def robots_filter(
             F.concat(F.lit("?"), qpart)
         ),
     )
+    host = _urls.url_host(u)
+    dom = (
+        host
+        if key == "host"
+        else _urls.url_registered_domain(host)
+    )
     base = (
         urls.withColumn("__rid", F.monotonically_increasing_id())
-        .withColumn(
-            "__dom", _urls.url_registered_domain(_urls.url_host(u))
-        )
+        .withColumn("__dom", dom)
         .withColumn("__path", path)
     )
     matched = (

@@ -117,14 +117,23 @@ def crawl_batch_to_docs(
             "mime",
         )
         .join(
-            feats.select(
-                "doc_id",
-                "title",
-                "html_lang",
-                "n_blocks",
-                "n_boiler_blocks",
-                "n_text_chars",
-            ).dropDuplicates(["doc_id"]),
+            # deterministic representative when one canonical URL was
+            # fetched twice in a batch (min over the struct — the same
+            # rule as the docs winner; dropDuplicates picked an
+            # arbitrary row, review finding)
+            feats.groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        "title",
+                        "html_lang",
+                        "n_blocks",
+                        "n_boiler_blocks",
+                        "n_text_chars",
+                    )
+                ).alias("__f")
+            )
+            .select("doc_id", "__f.*"),
             "doc_id",
             "left",
         )
