@@ -187,6 +187,35 @@ def test_same_canonical_url_twice_in_batch_is_deterministic(spark, dirs):
     assert list(docs.values()) == ["aaa first body"]
 
 
+def test_normalize_unicode_dedups_mojibake_recrawl(spark, dirs):
+    src, root = dirs
+    clean = "café culture words here now"
+    mojibake = clean.encode("utf-8").decode("cp1252")
+    _write(
+        src,
+        "w.warc.gz",
+        _archive(
+            [
+                ("http://a.com/p1", 200, "text/html", _page(clean)),
+                # the same page served mojibake at another URL: with
+                # normalization on, it repairs to the identical text
+                # and the incremental dedup drops it
+                ("http://b.net/p2", 200, "text/html", _page(mojibake)),
+            ]
+        ),
+    )
+    q = C.ingest_crawl_stream(
+        spark, src, root, normalize_unicode=True,
+        min_est=1.0, max_df=None, max_bucket=None,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    texts = list(_docs(spark, root).values())
+    assert texts == [clean]
+
+
 def test_replay_reconciliation(spark, dirs):
     src, root = dirs
     _write(

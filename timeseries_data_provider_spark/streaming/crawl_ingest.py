@@ -72,6 +72,7 @@ def crawl_batch_to_docs(
     robots_rules: DataFrame | None = None,
     max_link_density: float = 0.5,
     min_text_chars: int = 1,
+    normalize_unicode: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The batch transform (module-level, directly testable — the
     process_corpus_batch rule): (archive_id, payload) -> (docs, meta).
@@ -151,6 +152,12 @@ def crawl_batch_to_docs(
         .groupBy("doc_id")
         .agg(F.min("text").alias("text"))
     )
+    if normalize_unicode:
+        # NFKC + mojibake repair BEFORE dedup: equivalent byte
+        # sequences must land as one document (operators/normalize)
+        from timeseries_data_provider_spark.operators import normalize
+
+        docs = normalize.clean_text(docs).drop("was_changed")
     return docs, meta
 
 
@@ -160,6 +167,7 @@ def process_crawl_batch(
     batch_id: int,
     root: str,
     robots_rules: DataFrame | None = None,
+    normalize_unicode: bool = False,
     **corpus_kw,
 ) -> None:
     """Per-micro-batch body: transform archives, append the crawl_meta
@@ -172,7 +180,9 @@ def process_crawl_batch(
         F.xxhash64("path").alias("doc_id"),
         F.col("content").alias("payload"),
     )
-    docs, meta = crawl_batch_to_docs(archives, robots_rules)
+    docs, meta = crawl_batch_to_docs(
+        archives, robots_rules, normalize_unicode=normalize_unicode
+    )
     meta.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "append"
     ).parquet(root + "/crawl_meta")
@@ -188,6 +198,7 @@ def ingest_crawl_stream(
     robots_rules: DataFrame | None = None,
     checkpoint: str | None = None,
     max_files_per_trigger: int = 2,
+    normalize_unicode: bool = False,
     **corpus_kw,
 ):
     """Start the crawl-ingestion stream over ``source_dir`` (*.warc /
@@ -209,7 +220,13 @@ def ingest_crawl_stream(
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         process_crawl_batch(
-            spark, batch, batch_id, root, robots_rules, **corpus_kw
+            spark,
+            batch,
+            batch_id,
+            root,
+            robots_rules,
+            normalize_unicode=normalize_unicode,
+            **corpus_kw,
         )
 
     reader = (

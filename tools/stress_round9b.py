@@ -626,6 +626,68 @@ def probe_imagededup(spark) -> None:
     )
 
 
+def probe_pagerank(spark) -> None:
+    """Exact-integer PageRank at 64x: a 6.4M-edge synthetic web
+    (400k nodes; each node links to 16 hash-derived targets, node 0
+    is a planted super-hub every 40th node also links to). Invariants:
+    node 0 holds the TOP rank, total mass <= scale (floor leakage
+    only), and a 3-iteration run over a 100-edge subgraph matches the
+    independent Python replay exactly (the correctness leg at probe
+    scale — full-graph exactness is the pytest property)."""
+    from timeseries_data_provider_spark.operators import linkgraph
+
+    n_nodes = int(os.environ.get("STRESS_PR_NODES", "400000"))
+    fanout = 16
+    edges = spark.range(n_nodes).selectExpr("id as src").selectExpr(
+        "src",
+        f"explode(sequence(1, {fanout})) as j",
+    ).selectExpr(
+        "src",
+        f"CASE WHEN src % 40 = 0 AND j = 1 THEN 0 "
+        f"ELSE pmod(xxhash64(src * 31 + j), {n_nodes}) END as dst",
+    ).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    t0 = time.perf_counter()
+    ranks = linkgraph.pagerank_exact(edges, iterations=5)
+    top = ranks.orderBy(F.col("rank").desc()).limit(1).collect()[0]
+    total = ranks.agg(F.sum("rank")).first()[0]
+    dt = time.perf_counter() - t0
+    assert top["node"] == 0, top
+    assert 0 < total <= 10**12, total
+    # correctness leg: small-subgraph exact replay
+    small = [(s, (s * 7 + 3) % 20) for s in range(20)] + [(5, 0), (9, 0)]
+    sdf = spark.createDataFrame(pd.DataFrame(small, columns=["src", "dst"]))
+    got = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank_exact(sdf, iterations=3).collect()
+    }
+    nodes = sorted({s for s, _ in small} | {t for _, t in small})
+    out: dict = {}
+    for s, _ in small:
+        out[s] = out.get(s, 0) + 1
+    scale = 10**12
+    rank = {v: scale // len(nodes) for v in nodes}
+    base = 150 * (scale // len(nodes))
+    for _ in range(3):
+        dang = sum(r for v, r in rank.items() if v not in out)
+        inc = {v: 0 for v in nodes}
+        for s, t in small:
+            inc[t] += rank[s] // out[s]
+        rank = {
+            v: (base + 850 * (inc[v] + dang // len(nodes))) // 1000
+            for v in nodes
+        }
+    assert got == rank
+    _emit(
+        "pagerank",
+        n_nodes=n_nodes,
+        n_edges=int(n_edges),
+        iterations=5,
+        secs=round(dt, 2),
+        edges_x_iters_per_sec=int(n_edges * 5 / dt),
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "crawl",
@@ -638,6 +700,7 @@ def main() -> None:
         "pdfextract",
         "cavnar",
         "imagededup",
+        "pagerank",
     ]
     spark = get_spark("tdps-stress-r9b")
     for name in which:
