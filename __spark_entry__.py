@@ -214,6 +214,10 @@ def q18_lang_stats(spark, sf):
     prof = langid.train_langid_profiles(d, top_k=100)
     cavnar = (
         langid.langid_classify(d, prof, top_k=100)
+        # langid_classify emits NULL for docs <3 chars; the oracle's
+        # `best` CTE emits no row for them — agree by construction
+        # (ADVICE r9) even though the current corpus has none
+        .filter(F.col("lang_pred").isNotNull())
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -6,6 +6,11 @@ session and prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
+The stdout line is kept COMPACT (<2 KB) because the driver records
+only the tail of stdout and json-parses the last line — the full
+artifact (per-query spread, per-branch timings, vs_prev diff) goes to
+BENCH_local_detail.json next to this script and to stderr.
+
 Each query is timed end-to-end (plan + execute + collect to driver),
 after a one-query JVM warm-up. The full query set runs
 $SPARK_GRAFT_REPEAT times (default 2) ROUND-ROBIN — pass 1 runs every
@@ -135,7 +140,11 @@ def _load_bench(path: str):
     holds the same object when the driver managed to parse stdout."""
     try:
         with open(path) as f:
-            d = json.loads(f.read().strip().splitlines()[-1])
+            text = f.read().strip()
+        try:
+            d = json.loads(text)
+        except ValueError:
+            d = json.loads(text.splitlines()[-1])
     except (OSError, ValueError, IndexError):
         return None
     if isinstance(d.get("queries"), dict):
@@ -357,7 +366,35 @@ def main() -> None:
                     prev_path, prev, timings, spread, sf_num, branches
                 )
                 flagged = out["vs_prev"].get("flagged") or {}
-        print(json.dumps(out))
+        # The driver records only the LAST ~2000 chars of stdout and
+        # json-parses the final line; the full artifact outgrew that
+        # window in round 7 (BENCH_r07..r09 all carry parsed=null).
+        # So: the full detail goes to a sidecar file + stderr, and
+        # stdout's final line is the COMPACT contract shape from the
+        # brief — metric/value/unit/queries/sf with per-query minima
+        # at 3 dp (~1.7 KB at 49 queries, inside the window).
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_local_detail.json",
+        )
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(out, f)
+        except OSError:
+            pass
+        print(json.dumps(out), file=sys.stderr)
+        compact = {
+            "metric": "total_query_sec",
+            "value": round(out["value"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf_num,
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:  # stay inside the driver's tail window
+            compact.pop("queries")
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
         if flagged:
             print(
                 "bench: UNEXPLAINED >1.5x regressions vs "

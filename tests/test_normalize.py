@@ -32,6 +32,19 @@ def test_cp1252_and_double_encoding():
     assert N.fix_mojibake(twice) == "é"
 
 
+def test_mixed_codec_damage_repaired():
+    # ADVICE r9: one string mixing cp1252-decoded punctuation
+    # (U+2019 from 0x92) with a raw C1 hole char (U+009D, one of the
+    # five cp1252 holes a latin-1 decode leaves raw) must repair —
+    # the old all-or-nothing two-codec fallback failed both encodes
+    orig = "x\U0001D11Ey ’quoted’"  # 𝄞 = F0 9D 84 9E carries 0x9D
+    moji = orig.encode("utf-8").decode("latin-1")
+    # inject cp1252-style damage for the quotes alongside the raw C1s
+    mixed = moji.replace("\x80\x99", "\u20ac\u2122")  # 0x80=€ 0x99=™
+    assert "\x9d" in mixed and "\u2122" in mixed
+    assert N.fix_mojibake(mixed) == orig
+
+
 @settings(max_examples=80, deadline=None)
 @given(
     st.text(

@@ -49,6 +49,22 @@ def test_multiple_groups_after_body():
     assert R.parse_robots(txt, "b")["rules"] == [(False, "/y")]
 
 
+def test_matching_groups_are_combined():
+    # RFC 9309 §2.2.1: two 'User-agent: *' blocks merge — the later
+    # block's Disallow must not be lost (ADVICE r9, medium)
+    txt = (
+        "User-agent: *\nDisallow: /a/\nCrawl-delay: 1\n\n"
+        "User-agent: bot\nDisallow: /only-bot/\n\n"
+        "User-agent: *\nDisallow: /b/\nCrawl-delay: 9\n"
+    )
+    star = R.parse_robots(txt, "*")
+    assert star["rules"] == [(False, "/a/"), (False, "/b/")]
+    assert star["crawl_delay"] == 1.0  # first group's delay wins
+    # exact-agent groups outrank '*' and merge only among themselves
+    bot = R.parse_robots(txt, "bot")
+    assert bot["rules"] == [(False, "/only-bot/")]
+
+
 @pytest.mark.parametrize(
     "path,like",
     [

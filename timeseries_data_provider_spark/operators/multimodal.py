@@ -1359,8 +1359,10 @@ def synth_flac_media(ids: DataFrame) -> DataFrame:
     by id%3 (verbatim / fixed2 / fixed1) so the workers decode every
     prediction path plus Rice residuals. FLAC is lossless, so every
     decoded feature keeps the wav branch's integer formulas; the
-    rice-coded container size is not SQL-recomputable (byte_len is
-    NULL'd like jpeg/png)."""
+    rice-coded container size is not SQL-recomputable, so this frame
+    carries the REAL payload length and q63's projection NULLs
+    byte_len at query time (like its jpeg/png branches) — consumers
+    of THIS function get the true length (ADVICE r9)."""
     from timeseries_data_provider_spark.operators import flac
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -11,9 +11,11 @@ garbage. Public-knowledge basis: Unicode UAX #15 normalization
 conservative, deterministic rule rather than ftfy's full heuristic
 stack (stated; the rule below never changes clean text).
 
-Mojibake rule (exact, testable): re-encode the string as cp1252,
-falling back to latin-1 for the five cp1252 holes (a latin-1 decode
-of UTF-8 bytes puts real U+0080-U+009F characters in the string);
+Mojibake rule (exact, testable): re-encode the string PER CHARACTER
+as cp1252 with the five cp1252 holes patched to their C1 codepoints
+(ftfy's sloppy-windows-1252; a latin-1 decode of UTF-8 bytes puts
+real U+0080-U+009F characters in the string, possibly MIXED with
+cp1252-mapped punctuation in the same string);
 if the encode succeeds, the bytes STRICTLY decode as UTF-8, and the
 decode is SHORTER than the input, accept the repair — genuine
 mojibake always satisfies all three (multi-byte UTF-8 shows as 2-3
@@ -59,13 +61,23 @@ def strip_controls(col: Column) -> Column:
 
 
 def _reencode(s: str) -> bytes | None:
-    try:
-        return s.encode("cp1252")
-    except UnicodeEncodeError:
+    """Per-character cp1252 encode, falling back to the latin-1 byte
+    for any U+0000-U+00FF character cp1252 can't encode (the C1
+    range, incl. the five cp1252 holes — ftfy's sloppy-windows-1252
+    observation). An all-or-nothing two-codec fallback left MIXED
+    damage (cp1252-mapped punctuation + a raw C1 char in the same
+    string, e.g. latin-1-decoded U+0080 next to cp1252-decoded
+    U+2019) unrepaired (ADVICE r9)."""
+    out = bytearray()
+    for ch in s:
         try:
-            return s.encode("latin-1")
+            out += ch.encode("cp1252")
         except UnicodeEncodeError:
-            return None
+            cp = ord(ch)
+            if cp > 0xFF:
+                return None
+            out.append(cp)
+    return bytes(out)
 
 
 def fix_mojibake(s: str, max_rounds: int = 4) -> str:

@@ -92,16 +92,24 @@ def parse_robots(text: str, agent: str = "*") -> dict:
         elif key == "sitemap":
             sitemaps.append(val)
     flush()
-    chosen = exact = star = None
-    for agents, rules, delay in groups:
-        if agent in agents and exact is None:
-            exact = (rules, delay)
-        if "*" in agents and star is None:
-            star = (rules, delay)
-    chosen = exact or star or ([], None)
+    # RFC 9309 §2.2.1: ALL groups whose agent list matches are
+    # COMBINED into one (files with two 'User-agent: *' blocks are
+    # common in the wild — dropping the later block loses its
+    # Disallow lines). Exact-token groups outrank '*' groups, but
+    # within the winning specificity EVERY group merges; the first
+    # group's crawl-delay wins (de-facto extension, no spec order).
+    exact = [g for g in groups if agent in g[0]]
+    star = [g for g in groups if "*" in g[0]]
+    chosen = exact or star
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    for _agents, g_rules, g_delay in chosen:
+        rules.extend(g_rules)
+        if delay is None:
+            delay = g_delay
     return {
-        "rules": chosen[0],
-        "crawl_delay": chosen[1],
+        "rules": rules,
+        "crawl_delay": delay,
         "sitemaps": sitemaps,
     }
 

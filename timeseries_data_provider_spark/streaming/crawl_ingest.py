@@ -109,48 +109,37 @@ def crawl_batch_to_docs(
         html_pages.select("doc_id", "html"),
         max_link_density=max_link_density,
     )
-    meta = (
-        pages.select(
-            "archive_id",
-            "doc_id",
-            "url_norm",
-            "http_status",
-            "mime",
-        )
-        .join(
-            # deterministic representative when one canonical URL was
-            # fetched twice in a batch (min over the struct — the same
-            # rule as the docs winner; dropDuplicates picked an
-            # arbitrary row, review finding)
-            feats.groupBy("doc_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        "title",
-                        "html_lang",
-                        "n_blocks",
-                        "n_boiler_blocks",
-                        "n_text_chars",
-                    )
-                ).alias("__f")
-            )
-            .select("doc_id", "__f.*"),
-            "doc_id",
-            "left",
-        )
-    )
     # same canonical URL twice in one batch (a duplicated record or a
-    # changed page fetched twice): pick the DETERMINISTIC winner —
-    # min(text) — rather than dropDuplicates' arbitrary row, so the
-    # landed corpus is replay- and partitioning-independent (review
-    # finding: an arbitrary pick made two runs of the same batch land
-    # different text under the same doc_id)
-    docs = (
-        html_pages.select("doc_id")
-        .join(feats.select("doc_id", "text"), "doc_id")
-        .filter(F.length("text") >= min_text_chars)
-        .groupBy("doc_id")
-        .agg(F.min("text").alias("text"))
+    # changed page fetched twice): ONE deterministic winner rule for
+    # BOTH the landed text and the provenance features — min over a
+    # text-FIRST struct, so min(text) still picks the doc and the
+    # meta row describes THAT SAME fetch (ADVICE r9: two separate
+    # min() orderings could describe different duplicates).
+    rep = (
+        feats.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    "text",
+                    "title",
+                    "html_lang",
+                    "n_blocks",
+                    "n_boiler_blocks",
+                    "n_text_chars",
+                )
+            ).alias("__f")
+        )
+        .select("doc_id", "__f.*")
+    )
+    meta = pages.select(
+        "archive_id",
+        "doc_id",
+        "url_norm",
+        "http_status",
+        "mime",
+    ).join(rep.drop("text"), "doc_id", "left")
+    docs = rep.select("doc_id", "text").filter(
+        F.length("text") >= min_text_chars
     )
     if normalize_unicode:
         # NFKC + mojibake repair BEFORE dedup: equivalent byte
