@@ -440,3 +440,81 @@ def test_ivf_append_quantized_layout(spark, tmp_path):
     assert [(r["vec_id"], r["sim"]) for r in a] == [
         (r["vec_id"], r["sim"]) for r in b
     ]
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """write_zorder: with two INDEPENDENT cluster columns, a narrow
+    predicate on EITHER column alone decodes far less than a linear
+    (single-column range-clustered) layout does for its non-leading
+    column — the multi-dimensional pruning claim, measured via
+    executed-plan scan metrics."""
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark import planstats, tables
+
+    n = 400_000
+    # x and y independent: y is a bit-reversal-ish decorrelation of x
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 48271) % n).alias("y"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    zpath = str(tmp_path / "zorder")
+    linear = str(tmp_path / "linear")
+    tables.write_zorder(
+        df, zpath, ["x", "y"], num_files=16, bits=5,
+        row_group_bytes=256 * 1024,
+    )
+    tables.write_range_clustered(
+        df, linear, ["x"], num_files=16, row_group_bytes=256 * 1024
+    )
+
+    def decoded(path, col, lo, hi):
+        q = (
+            spark.read.parquet(path)
+            .filter((F.col(col) >= lo) & (F.col(col) < hi))
+            .select(col)
+        )
+        expect = hi - lo
+        assert q.count() == expect
+        q.collect()
+        return max(s["output_rows"] for s in planstats.scan_stats(q))
+
+    # slice width 4k rows = 1% of the table on each dimension
+    zx = decoded(zpath, "x", 200_000, 204_000)
+    zy = decoded(zpath, "y", 200_000, 204_000)
+    lx = decoded(linear, "x", 200_000, 204_000)
+    ly = decoded(linear, "y", 200_000, 204_000)
+    # the linear layout wins its own leading column outright...
+    assert lx <= n * 0.06, lx
+    # ...but decodes ~everything for the other column; z-order must
+    # beat it by a wide margin on y while staying far below a full
+    # scan on x too (sqrt-ish selectivity on both dimensions)
+    assert zy * 4 <= ly, (zy, ly)
+    assert zx <= n * 0.5, zx
+    assert zy <= n * 0.5, zy
+    # readback is lossless
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_value_deterministic_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark import tables
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"),
+        (999 - F.col("id")).alias("b"),
+    )
+    z1 = tables.zorder_value(df, ["a", "b"], bits=4)
+    z2 = tables.zorder_value(df, ["a", "b"], bits=4)
+    rows1 = sorted((r["a"], r["__z"]) for r in z1.collect())
+    rows2 = sorted((r["a"], r["__z"]) for r in z2.collect())
+    assert rows1 == rows2  # seeded sampling => reproducible layout
+    assert all(0 <= z < (1 << 8) for _, z in rows1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tables.zorder_value(df, ["a", "b"], bits=32)
+    with _pytest.raises(ValueError):
+        tables.zorder_value(df, [])

@@ -155,3 +155,210 @@ def test_property_scores_match_reference(spark, train, probe, n):
     assert spark_score(spark, train_texts, probe_texts, n=n) == ref_score(
         train_texts, probe_texts, n=n
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated modified Kneser-Ney
+
+
+def ref_kn_model(train_texts, n=3):
+    """Independent reference estimator: dict counts, same public
+    formulas (Chen & Goodman 1999), deliberately not the DataFrame
+    formulation."""
+
+    def words(t):
+        return [x for x in re.split(r"\s+", t) if x]
+
+    tables = {}  # order -> {(ctx, tok): cnt}
+    top = {}
+    for t in train_texts.values():
+        ws = words(t)
+        for i in range(len(ws) - n + 1):
+            key = (" ".join(ws[i : i + n - 1]), ws[i + n - 1])
+            top[key] = top.get(key, 0) + 1
+    tables[n] = top
+    for k in range(n - 1, 0, -1):
+        cont: dict = {}
+        for (ctx, tok) in tables[k + 1]:
+            first, _, rest = ctx.partition(" ")
+            cont.setdefault((rest if k > 1 else "", tok), set()).add(first)
+        tables[k] = {key: len(s) for key, s in cont.items()}
+    model = {"n": n, "tables": tables, "ctx": {}, "discounts": {}}
+    for k in range(1, n + 1):
+        stats: dict = {}
+        coc: dict = {}
+        for (ctx, _), c in tables[k].items():
+            s = stats.setdefault(ctx, [0, 0, 0, 0])  # total,n1,n2,n3p
+            s[0] += c
+            s[1] += c == 1
+            s[2] += c == 2
+            s[3] += c >= 3
+            if c <= 4:
+                coc[c] = coc.get(c, 0) + 1
+        model["ctx"][k] = stats
+        model["discounts"][k] = lm._kn_discounts(coc)
+    model["vocab"] = len({t for (_, t) in tables[1]})
+    return model
+
+
+def ref_kn_prob(model, context, tok):
+    n = model["n"]
+    ws = context.split(" ") if context else []
+    p = 1.0 / (model["vocab"] + 1)
+    for k in range(1, n + 1):
+        ctx = " ".join(ws[len(ws) - (k - 1) :]) if k > 1 else ""
+        stats = model["ctx"][k].get(ctx)
+        if stats is None:
+            continue
+        total, n1, n2, n3p = stats
+        d1, d2, d3 = model["discounts"][k]
+        c = model["tables"][k].get((ctx, tok), 0)
+        disc = d3 if c >= 3 else (d2 if c == 2 else (d1 if c == 1 else 0.0))
+        gamma = (d1 * n1 + d2 * n2 + d3 * n3p) / total
+        p = max(c - disc, 0.0) / total + gamma * p
+    return p
+
+
+KN_TRAIN = {
+    1: "the cat sat on the mat",
+    2: "the cat ate the fish on the mat",
+    3: "a dog sat on a log near the mat",
+    4: "the dog and the cat sat still",
+}
+
+
+def _kn_models(spark, n=3):
+    tdf = spark.createDataFrame(
+        list(KN_TRAIN.items()), "doc_id long, text string"
+    )
+    return lm.kneser_ney_lm(tdf, n=n), ref_kn_model(KN_TRAIN, n=n)
+
+
+def test_kn_continuation_counts_hand_checked(spark):
+    # corpus "a b", "c b", "a d": unigram continuation counts are the
+    # DISTINCT-predecessor counts (Kneser-Ney's novel-continuation
+    # statistic), not raw frequencies
+    tdf = spark.createDataFrame(
+        [(1, "a b"), (2, "c b"), (3, "a d")], "doc_id long, text string"
+    )
+    model = lm.kneser_ney_lm(tdf, n=2)
+    uni = {
+        r["tok"]: r["cnt"] for r in model["tables"][0].collect()
+    }
+    assert uni == {"b": 2, "d": 1}
+    bi = {
+        (r["context"], r["tok"]): r["cnt"]
+        for r in model["tables"][1].collect()
+    }
+    assert bi == {("a", "b"): 1, ("c", "b"): 1, ("a", "d"): 1}
+
+
+def test_kn_matches_reference_model(spark):
+    model, ref = _kn_models(spark)
+    for k in range(1, 4):
+        got = {
+            (r["context"], r["tok"]): r["cnt"]
+            for r in model["tables"][k - 1].collect()
+        }
+        assert got == ref["tables"][k]
+        assert model["discounts"][k - 1] == pytest.approx(
+            ref["discounts"][k], abs=0.0
+        )
+    assert model["vocab"] == ref["vocab"]
+
+
+def test_kn_prob_matches_reference_and_sums_to_one(spark):
+    model, ref = _kn_models(spark)
+    vocab = sorted({r["tok"] for r in model["tables"][0].collect()})
+    contexts = ["the cat", "on the", "zz qq", "the zz", "sat on"]
+    pairs = spark.createDataFrame(
+        [(c, t) for c in contexts for t in vocab + ["__unseen__"]],
+        "context string, tok string",
+    )
+    got = {
+        (r["context"], r["tok"]): r["p"]
+        for r in lm.kneser_ney_prob(pairs, model).collect()
+    }
+    for (c, t), p in got.items():
+        assert p == pytest.approx(ref_kn_prob(ref, c, t), rel=1e-12)
+        assert 0.0 < p <= 1.0
+    # the distribution over V + the one implicit unseen slot sums to 1
+    for c in contexts:
+        s = sum(got[(c, t)] for t in vocab) + got[(c, "__unseen__")]
+        assert s == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kn_unseen_context_backs_off(spark):
+    model, ref = _kn_models(spark)
+    pairs = spark.createDataFrame(
+        [("zz qq", "the"), ("xx the", "cat")], "context string, tok string"
+    )
+    got = {
+        (r["context"], r["tok"]): r["p"]
+        for r in lm.kneser_ney_prob(pairs, model).collect()
+    }
+    # fully unseen context: trigram and bigram levels pass through,
+    # so p equals the unigram-level interpolation
+    assert got[("zz qq", "the")] == pytest.approx(
+        ref_kn_prob(ref, "", "the"), rel=1e-12
+    )
+    # context whose SUFFIX "the" is a seen bigram context: the bigram
+    # level contributes even though the trigram context is novel
+    assert got[("xx the", "cat")] == pytest.approx(
+        ref_kn_prob(ref, "xx the", "cat"), rel=1e-12
+    )
+    assert got[("xx the", "cat")] > got[("zz qq", "the")] * 0  # defined
+
+
+def test_kn_score_matches_reference(spark):
+    model, ref = _kn_models(spark)
+    probe = {10: "the cat sat on the mat", 11: "zz qq", 12: ""}
+    pdf = spark.createDataFrame(
+        list(probe.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_ngrams"], r["logprob_milli"], r["avg_logprob_milli"]
+        )
+        for r in lm.kneser_ney_score(pdf, model).collect()
+    }
+
+    def words(t):
+        return [x for x in re.split(r"\s+", t) if x]
+
+    for d, t in probe.items():
+        ws = words(t)
+        grams = [
+            (" ".join(ws[i : i + 2]), ws[i + 2])
+            for i in range(len(ws) - 2)
+        ]
+        n_g, lp = len(grams), 0
+        for c, tok in grams:
+            lp += math.floor(1000 * math.log(ref_kn_prob(ref, c, tok)))
+        if n_g:
+            # per-token floors may straddle an integer boundary when
+            # JVM and libm ln() differ in the last ulp — allow 1 per
+            # token, require exact n-gram counts
+            assert got[d][0] == n_g
+            assert abs(got[d][1] - lp) <= n_g
+        else:
+            assert got[d] == (0, 0, None)
+
+
+def test_kn_degenerate_corpora_guarded(spark):
+    # every n-gram occurs twice: t1 = 0 at the top order — the
+    # discount fallback must keep everything finite and in range
+    tdf = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c a b c")],
+        "doc_id long, text string",
+    )
+    model = lm.kneser_ney_lm(tdf, n=3)
+    for d1, d2, d3 in model["discounts"]:
+        assert 0.0 <= d1 <= 1.0 and 0.0 <= d2 <= 2.0 and 0.0 <= d3 <= 3.0
+    pairs = spark.createDataFrame(
+        [("a b", "c"), ("q q", "q")], "context string, tok string"
+    )
+    for r in lm.kneser_ney_prob(pairs, model).collect():
+        assert 0.0 < r["p"] <= 1.0
+    with pytest.raises(ValueError):
+        lm.kneser_ney_lm(tdf, n=1)

@@ -174,3 +174,229 @@ def ngram_lm_score(
         ),
         F.col("avg_logprob_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated modified Kneser-Ney (the KenLM/CCNet estimator)
+
+
+def _kn_discounts(t: dict[int, int]) -> tuple[float, float, float]:
+    """Modified-KN discounts (D1, D2, D3+) from count-of-counts
+    t[1..4] (Chen & Goodman 1999 eq. 26; KenLM uses the same). The
+    guarded fallbacks keep degenerate corpora (no singletons / no
+    doubletons at some order) defined: each D_i clamps to [0, i], and
+    a missing t_i denominator falls back to the absolute-discount
+    0.75 convention."""
+    t1, t2, t3, t4 = (t.get(i, 0) for i in (1, 2, 3, 4))
+    if t1 > 0 and t2 > 0:
+        y = t1 / (t1 + 2.0 * t2)
+    else:
+        y = 0.75  # degenerate: classic absolute-discount constant
+    d1 = 1.0 - 2.0 * y * (t2 / t1) if t1 > 0 else 0.75
+    d2 = 2.0 - 3.0 * y * (t3 / t2) if t2 > 0 else 0.75
+    d3 = 3.0 - 4.0 * y * (t4 / t3) if t3 > 0 else 0.75
+    return (
+        min(max(d1, 0.0), 1.0),
+        min(max(d2, 0.0), 2.0),
+        min(max(d3, 0.0), 3.0),
+    )
+
+
+def kneser_ney_lm(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Train an interpolated MODIFIED KNESER-NEY n-gram model — the
+    KenLM estimator CCNet's perplexity filter actually uses (public
+    basis: Chen & Goodman 1999; Heafield et al. 2013, "Scalable
+    Modified Kneser-Ney Language Model Estimation", whose insight is
+    exactly this module's shape: every statistic is a group-by over
+    n-gram tables, so estimation is a handful of distributed
+    aggregations — no driver pass over text).
+
+    Per order k the model keeps (context, tok, cnt): RAW counts at
+    the highest order, CONTINUATION counts below (cnt = number of
+    DISTINCT left-extension words of the (k+1)-gram — Kneser-Ney's
+    "how many contexts does this continuation complete" statistic,
+    computed as one count_distinct group-by over the order-(k+1)
+    table). Context tables carry (total, n1, n2, n3p) per context for
+    the interpolation weight. Discounts (D1, D2, D3+) per order come
+    from that order's count-of-counts — a 4-row bounded collect per
+    order, the only driver data.
+
+    Returns {"n", "tables": [order-1..order-n DataFrames],
+    "ctx": [same-order context-stat DataFrames],
+    "discounts": [(D1,D2,D3p) per order], "vocab": int}. Persist the
+    tables like the other settled structures; they are
+    vocabulary-sized, not corpus-sized.
+    """
+    if n < 2:
+        raise ValueError(f"kneser_ney_lm: n must be >= 2, got {n}")
+    tables: list[DataFrame] = [None] * (n + 1)  # 1-indexed by order
+    tables[n] = ngram_lm(documents, n, text_col=text_col, id_col=id_col)
+    for k in range(n - 1, 0, -1):
+        higher = tables[k + 1]
+        first = F.substring_index("context", " ", 1)
+        if k == 1:
+            rest = F.lit("")
+        else:
+            rest = F.expr("substring(context, instr(context, ' ') + 1)")
+        tables[k] = (
+            higher.groupBy(rest.alias("context"), "tok")
+            .agg(F.count_distinct(first).alias("cnt"))
+        )
+    ctx_stats: list[DataFrame] = [None] * (n + 1)
+    discounts: list[tuple[float, float, float]] = [None] * (n + 1)
+    for k in range(1, n + 1):
+        ctx_stats[k] = tables[k].groupBy("context").agg(
+            F.sum("cnt").alias("total"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("cnt") == 2).cast("long")).alias("n2"),
+            F.sum((F.col("cnt") >= 3).cast("long")).alias("n3p"),
+        )
+        # count-of-counts: 4 scalars, the only driver-side data
+        coc = (
+            tables[k]
+            .filter(F.col("cnt") <= 4)
+            .groupBy("cnt")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .collect()
+        )
+        discounts[k] = _kn_discounts({r["cnt"]: r["t"] for r in coc})
+    vocab = tables[1].select(F.count_distinct("tok")).first()[0] or 0
+    return {
+        "n": n,
+        "tables": tables[1:],
+        "ctx": ctx_stats[1:],
+        "discounts": discounts[1:],
+        "vocab": int(vocab),
+    }
+
+
+def _kn_level(p_lower, cnt, ctx, d: tuple[float, float, float]):
+    """One interpolation level: (max(c−D(c),0) + γ(ctx)·p_lower)/total
+    with the three-way modified discount; an UNSEEN context passes
+    p_lower through unchanged (γ=1, no mass at this level)."""
+    d1, d2, d3 = d
+    c = F.coalesce(cnt, F.lit(0).cast("long"))
+    disc = (
+        F.when(c >= 3, F.lit(d3))
+        .when(c == 2, F.lit(d2))
+        .when(c == 1, F.lit(d1))
+        .otherwise(F.lit(0.0))
+    )
+    gamma = (
+        F.lit(d1) * ctx["n1"]
+        + F.lit(d2) * ctx["n2"]
+        + F.lit(d3) * ctx["n3p"]
+    ) / ctx["total"]
+    p_here = (
+        F.greatest(c.cast("double") - disc, F.lit(0.0)) / ctx["total"]
+        + gamma * p_lower
+    )
+    return F.when(ctx["total"].isNull(), p_lower).otherwise(p_here)
+
+
+def kneser_ney_prob(
+    pairs: DataFrame, model: dict, context_col: str = "context",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Attach column ``p``: the interpolated modified-KN probability
+    of ``tok`` after ``context`` (a space-joined (n−1)-token string),
+    for every row of ``pairs`` — the testable core of the scorer
+    (per-context Σ_tok p = 1 is pinned in tests/test_lm.py).
+
+    Shape: per order one fan-out-exactly-1 left join on (suffix
+    context, tok) + one on the context — 2n bounded joins, zero
+    Python. The base of the recursion is the uniform 1/(V+1)
+    distribution (the +1 is the implicit <unk>), so out-of-vocabulary
+    tokens keep a strictly positive probability and log() stays
+    finite."""
+    n = model["n"]
+    out = pairs
+    # suffix contexts: __ctx1 = "" (unigram), __ctx{k} = last k-1 words
+    w = F.split(F.col(context_col), " ")
+    for k in range(1, n + 1):
+        if k == 1:
+            c = F.lit("")
+        elif k == n:
+            c = F.col(context_col)
+        else:
+            c = F.array_join(F.slice(w, -(k - 1), k - 1), " ")
+        out = out.withColumn(f"__ctx{k}", c)
+    for k in range(1, n + 1):
+        t = model["tables"][k - 1].select(
+            F.col("context").alias(f"__ctx{k}"),
+            F.col("tok").alias(tok_col),
+            F.col("cnt").alias(f"__c{k}"),
+        )
+        s = model["ctx"][k - 1].select(
+            F.col("context").alias(f"__ctx{k}"),
+            F.col("total").alias(f"__t{k}"),
+            F.col("n1").alias(f"__n1_{k}"),
+            F.col("n2").alias(f"__n2_{k}"),
+            F.col("n3p").alias(f"__n3_{k}"),
+        )
+        out = out.join(t, [f"__ctx{k}", tok_col], "left").join(
+            s, f"__ctx{k}", "left"
+        )
+    p = F.lit(1.0 / (model["vocab"] + 1))
+    for k in range(1, n + 1):
+        ctx = {
+            "total": F.col(f"__t{k}"),
+            "n1": F.col(f"__n1_{k}"),
+            "n2": F.col(f"__n2_{k}"),
+            "n3p": F.col(f"__n3_{k}"),
+        }
+        p = _kn_level(p, F.col(f"__c{k}"), ctx, model["discounts"][k - 1])
+    out = out.withColumn("p", p)
+    return out.drop(
+        *[f"__{pre}{k}" for k in range(1, n + 1)
+          for pre in ("ctx", "c", "t", "n1_", "n2_", "n3_")]
+    )
+
+
+def kneser_ney_score(
+    documents: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document KN log-probability — the CCNet quality gate
+    (Wenzek et al. 2020 filter on reference-LM perplexity). Returns
+    (doc_id, n_ngrams, logprob_milli, avg_logprob_milli): per-token
+    ln p floored to integer MILLI-NATS before summing (the module's
+    order-independent exact-aggregation contract; perplexity =
+    exp(−avg/1000)). Docs shorter than n tokens score 0 n-grams and
+    NULL average."""
+    n = model["n"]
+    grams = _ngrams(documents, n, text_col, id_col)
+    scored = (
+        kneser_ney_prob(grams, model)
+        .select(
+            "doc_id",
+            F.floor(F.lit(1000.0) * F.log("p")).alias("__milli"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("__milli").alias("logprob_milli"),
+        )
+        .withColumn(
+            "avg_logprob_milli",
+            F.floor(
+                F.col("logprob_milli").cast("double") / F.col("n_ngrams")
+            ).cast("long"),
+        )
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
+        F.coalesce("logprob_milli", F.lit(0).cast("long")).alias(
+            "logprob_milli"
+        ),
+        F.col("avg_logprob_milli"),
+    )
