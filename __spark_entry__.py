@@ -42,10 +42,12 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     classifier,
     core,
     dedup,
+    frontier as frontiermod,
     htmltext,
     joins,
     langid,
     lm,
+    markdown as mdmod,
     mkv,
     multimodal,
     pandas_ops,
@@ -1557,6 +1559,40 @@ def q64_corpus_signals(spark, sf):
         ),
         "doc_id",
     )
+    # r10: structure-preserving HTML->Markdown over the same parsed
+    # pages (operators/markdown) — headings/emphasis/links/list
+    # markers of the planted page are closed-form doc_id math, so the
+    # oracle rebuilds the exact Markdown string
+    md = mdmod.html_markdown(pages).select(
+        "doc_id",
+        F.col("markdown").alias("md_text"),
+        F.col("n_md_chars").alias("md_chars"),
+    )
+    # r10: frontier scheduling over the same canonicalized URLs
+    # (operators/frontier): priority = doc_id % 97, example*.com
+    # hosts carry a 5 s crawl-delay (politeness budget 12 in a 60 s
+    # window), everyone else the 1 s default (budget 60); docs past
+    # their host's budget stay in the row with NULL rank/offset
+    # (LEFT join) — the oracle replays the identical window + budget
+    # math in SQL
+    delays = spark.createDataFrame(
+        [(f"example{m}.com", 5.0) for m in range(7)],
+        "host string, crawl_delay double",
+    )
+    sched = frontiermod.frontier_schedule(
+        crawl.select(
+            "doc_id",
+            F.col("url_norm").alias("url"),
+            (F.col("doc_id") % 97).cast("double").alias("priority"),
+        ),
+        window_seconds=60.0,
+        delays=delays,
+    ).select(
+        F.col("url").alias("url_norm"),
+        F.col("rank").alias("frontier_rank"),
+        F.col("scheduled_offset_ms").alias("frontier_offset_ms"),
+    )
+    crawl = crawl.join(sched, "url_norm", "left")
     pdfcols = pdfmod.pdf_features(pdfmod.synth_pdf_corpus(d)).select(
         "doc_id",
         F.col("n_pages").alias("pdf_pages"),
@@ -1576,6 +1612,7 @@ def q64_corpus_signals(spark, sf):
         .join(pii, "doc_id")
         .join(scores, "doc_id")
         .join(crawl, "doc_id")
+        .join(md, "doc_id")
         .join(pdfcols, "doc_id")
         .join(clf, "doc_id")
     )
@@ -3784,13 +3821,56 @@ def oracle_sql() -> dict[str, str]:
                        || CASE WHEN doc_id % 2 = 0
                                THEN chr(10) || 'item A'
                                     || chr(10) || 'item B'
-                               ELSE '' END AS html_text
+                               ELSE '' END AS html_text,
+                     -- r10: the structure-preserving Markdown of the
+                     -- same planted page (operators/markdown): h1 ->
+                     -- '#', <b> -> '**', anchors -> [text](href),
+                     -- tight '-' list items, title/script/style drop
+                     '# Heading ' || CAST(doc_id AS VARCHAR)
+                       || chr(10) || chr(10)
+                       || 'Alpha & beta **gamma**.'
+                       || chr(10) || chr(10) || text
+                       || chr(10) || chr(10) || '[one](/a) [two](/b)'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || chr(10) || '- item A'
+                                    || chr(10) || '- item B'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || chr(10)
+                                    || 'short [link text here longer]'
+                                    || '(/c) tail'
+                               ELSE '' END AS md_text
               FROM documents
             ), crawl AS (
               SELECT crawl0.*,
                      CAST(length(html_text) AS BIGINT)
-                       AS html_text_chars
+                       AS html_text_chars,
+                     CAST(length(md_text) AS BIGINT) AS md_chars
               FROM crawl0
+            ), front AS (
+              -- frontier scheduling replay (r10): same window +
+              -- politeness-budget math as operators/frontier —
+              -- example*.com hosts (doc_id%3=0) carry delay 5s ->
+              -- budget floor(60/5)=12; others default 1s -> 60
+              SELECT doc_id,
+                     CASE WHEN rnk <= budget THEN rnk END
+                       AS frontier_rank,
+                     CASE WHEN rnk <= budget
+                          THEN CAST((rnk - 1) * delay_ms AS BIGINT)
+                     END AS frontier_offset_ms
+              FROM (
+                SELECT c0.doc_id,
+                       CAST(row_number() OVER (
+                         PARTITION BY c0.url_host
+                         ORDER BY (c0.doc_id % 97) DESC,
+                                  c0.url_norm ASC
+                       ) AS BIGINT) AS rnk,
+                       CASE WHEN c0.doc_id % 3 = 0 THEN 12
+                            ELSE 60 END AS budget,
+                       CASE WHEN c0.doc_id % 3 = 0 THEN 5000
+                            ELSE 1000 END AS delay_ms
+                FROM crawl0 c0
+              ) t
             ), pdfx AS (
               -- pdf extraction replay (r9 late): two planted pages
               SELECT doc_id,
@@ -3857,6 +3937,8 @@ def oracle_sql() -> dict[str, str]:
                    c.html_title, c.html_lang, c.html_blocks,
                    c.html_boiler_blocks, c.html_text,
                    c.html_text_chars,
+                   c.md_text, c.md_chars,
+                   f.frontier_rank, f.frontier_offset_ms,
                    x.pdf_pages, x.pdf_title, x.pdf_text,
                    CAST(length(x.pdf_text) AS BIGINT) AS pdf_text_chars,
                    k.clf_logit_milli,
@@ -3865,6 +3947,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)
             JOIN crawl c USING (doc_id)
+            JOIN front f USING (doc_id)
             JOIN pdfx x USING (doc_id)
             JOIN clf k USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)

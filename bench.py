@@ -78,7 +78,9 @@ EXPLAINED_MOVES = {
         "r9: new n-gram LM quality signal (bigram train over the full "
         "corpus + per-doc scoring joins); r9 late: crawl front end "
         "(per-doc WARC synth + gzip/WARC/HTTP/HTML parse chain) + "
-        "per-doc PDF build/extract chain + seeded classifier scoring"
+        "per-doc PDF build/extract chain + seeded classifier scoring; "
+        "r10: HTML->Markdown conversion pass over the parsed pages + "
+        "frontier politeness-window scheduling columns"
     ),
 }
 

@@ -137,3 +137,93 @@ def test_hash_size_guard():
 
     with pytest.raises(ValueError, match="hash_size=8"):
         IH.image_dhash(None, hash_size=4)
+
+
+# ---------------------------------------------------------------------------
+# pHash
+
+
+def _ref_phash(px, hash_size=8, f=4):
+    """Independent reference: scipy-free DCT-II from the definition
+    (naive O(n^3) triple loop via explicit cosine sums)."""
+    import math
+
+    px = px.astype(np.int64)
+    if px.ndim == 3:
+        px = px.sum(axis=2) // px.shape[2]
+    n = hash_size * f
+    h, w = px.shape
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    small = px[ys][:, xs].astype(np.float64)
+    # rows then cols, orthonormal
+    def dct1(v):
+        N = len(v)
+        out = np.empty(N)
+        for k in range(N):
+            s = sum(
+                v[m] * math.cos(math.pi * (2 * m + 1) * k / (2 * N))
+                for m in range(N)
+            )
+            out[k] = s * math.sqrt((1.0 if k else 0.5) * 2.0 / N)
+        return out
+
+    tmp = np.apply_along_axis(dct1, 1, small)
+    d = np.apply_along_axis(dct1, 0, tmp)
+    low = d[:hash_size, :hash_size]
+    med = float(np.median(low))
+    out = 0
+    for i, v in enumerate(low.flatten()):
+        if v > med:
+            out |= 1 << i
+    return out
+
+
+def test_phash_matches_independent_dct():
+    for seed in range(3):
+        px = _img(seed)
+        got = IH.phash_bits(px)
+        ref = _ref_phash(px)
+        # two float DCT formulations may disagree only where a
+        # coefficient sits within rounding of the median
+        assert _ham(got, ref) <= 1, seed
+
+
+def test_phash_brightness_and_upscale_invariance():
+    # mid-range image (40..167) so +10 clips nothing: a uniform shift
+    # is then a pure DC move in DCT space
+    px = (40 + _img(7, w=32, h=32).astype(np.int64) // 2).astype(np.uint8)
+    base = IH.phash_bits(px)
+    brighter = (px.astype(np.int64) + 10).astype(np.uint8)
+    assert _ham(base, IH.phash_bits(brighter)) <= 1
+    # exact 2x pixel doubling nearest-resizes back to the same grid
+    up = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert IH.phash_bits(up) == base
+    # a different image is far away
+    other = _img(99, w=32, h=32)
+    assert _ham(base, IH.phash_bits(other)) > 12
+
+
+def test_phash_spark_pairs(spark):
+    px = _img(3)
+    near = np.clip(px.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+    far = _img(55)
+    rows = [
+        (1, mm.encode_bmp(32, 24, px)),
+        (2, mm.encode_bmp(32, 24, near)),
+        (3, mm.encode_bmp(32, 24, far)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"])
+    )
+    sk = IH.image_phash(df).localCheckpoint(eager=True)
+    got = {r["doc_id"]: r["phash"] for r in sk.collect()}
+    assert len(got) == 3
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in IH.hamming_pairs(sk, max_distance=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with pytest.raises(ValueError):
+        IH.image_phash(df, hash_size=4)

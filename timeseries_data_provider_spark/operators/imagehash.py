@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from . import multimodal
 
-__all__ = ["dhash_bits", "image_dhash", "hamming_pairs", "image_neardup_pairs"]
+__all__ = [
+    "dhash_bits",
+    "image_dhash",
+    "phash_bits",
+    "image_phash",
+    "hamming_pairs",
+    "image_neardup_pairs",
+]
 
 
 def dhash_bits(pixels: np.ndarray, hash_size: int = 8) -> int:
@@ -170,3 +177,89 @@ def image_neardup_pairs(
         media, codec_setup=codec_setup, blob_col=blob_col, id_col=id_col
     ).localCheckpoint(eager=True)
     return hamming_pairs(sk, max_distance=max_distance, id_col=id_col)
+
+# ---------------------------------------------------------------------------
+# pHash (DCT perceptual hash) — the low-frequency sibling of dHash
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (float64, deterministic): the 2-D
+    transform is C @ img @ C.T."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0, :] = np.sqrt(1.0 / n)
+    return c
+
+
+def phash_bits(
+    pixels: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4
+) -> int:
+    """pHash of a decoded pixel grid (public algorithm: Krawetz's
+    "Looks Like It" / the imagehash library's phash): grayscale,
+    nearest-resize to (hash_size*highfreq_factor)^2, 2-D orthonormal
+    DCT-II, keep the top-left hash_size x hash_size low-frequency
+    block, bit i = 1 iff coefficient i > the block's MEDIAN (the
+    imagehash convention: median over the whole block, DC included).
+    Where dHash fingerprints local gradients, pHash fingerprints the
+    global frequency envelope — robust to blur/re-scale/small crops
+    that flip dHash bits."""
+    px = pixels.astype(np.int64)
+    if px.ndim == 3:
+        px = px.sum(axis=2) // px.shape[2]
+    n = hash_size * highfreq_factor
+    small = multimodal.resize_nearest(px, n, n).astype(np.float64)
+    c = _dct_matrix(n)
+    d = c @ small @ c.T
+    low = d[:hash_size, :hash_size]
+    med = float(np.median(low))
+    out = 0
+    for i, v in enumerate(low.flatten()):
+        if v > med:
+            out |= 1 << i
+    return out
+
+
+def image_phash(
+    media: DataFrame,
+    codec_setup=None,
+    hash_size: int = 8,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched pHash: (id, phash, q0..q3) — quartered exactly
+    like ``image_dhash``, so ``hamming_pairs`` consumes either sketch
+    unchanged."""
+    if hash_size != 8:
+        raise ValueError("image_phash: quartered form requires hash_size=8")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec_setup is not None:
+            codec_setup()
+        for pdf in batches:
+            out = {
+                id_col: [],
+                "phash": [],
+                "q0": [],
+                "q1": [],
+                "q2": [],
+                "q3": [],
+            }
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                img = multimodal.decode_image(bytes(blob))
+                if img["pixels"] is None:
+                    raise ValueError(
+                        f"{img['format']} decoded to metadata only — "
+                        "cannot hash"
+                    )
+                h = phash_bits(img["pixels"], hash_size)
+                out[id_col].append(int(rid))
+                out["phash"].append(h - (1 << 64) if h >> 63 else h)
+                for q in range(4):
+                    out[f"q{q}"].append((h >> (16 * q)) & 0xFFFF)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, blob_col).mapInPandas(
+        run,
+        f"{id_col} long, phash long, q0 long, q1 long, q2 long, q3 long",
+    )
