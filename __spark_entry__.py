@@ -1479,7 +1479,20 @@ def q64_corpus_signals(spark, sf):
     the milli-logit sum bit-for-bit over the same tokens. TRAINING
     (train_quality_classifier — distributed gradient passes, driver
     weight update) is iterative by design and pytest-pinned, the
-    Lloyd's/BPE-trainer precedent."""
+    Lloyd's/BPE-trainer precedent.
+
+    r10: THREE new scored tiers. (1) Interpolated modified
+    KNESER-NEY (lm.kneser_ney_lm/score — the KenLM estimator): the
+    oracle replays the whole estimator in SQL (continuation counts,
+    context stats, count-of-count discounts with _kn_discounts'
+    guard/clamp structure, the three-level interpolation with
+    operator-for-operator float ordering) and the per-token
+    floor-milli-nat aggregation. (2) HTML->Markdown
+    (operators/markdown) over the same parsed pages — the planted
+    page's Markdown is closed-form doc_id math. (3) Frontier
+    politeness scheduling (operators/frontier) over the canonical
+    URLs — window rank + crawl-delay budgets replayed as SQL window
+    math."""
     d = _t(spark, sf, "documents")
     base = (
         text.repetition_signals(d)
@@ -1515,6 +1528,21 @@ def q64_corpus_signals(spark, sf):
         ).alias("text"),
     )
     scores = lm.ngram_lm_score(probe, model, n=2, k=1.0)
+    # r10: interpolated modified Kneser-Ney (the KenLM estimator) on
+    # the SAME probe — trigram model trained on the real corpus, the
+    # appended token OOV at every order so the full backoff chain
+    # runs on every row. The oracle replays the ENTIRE estimator in
+    # SQL: continuation counts (distinct left extensions), context
+    # stats, count-of-count discounts with the exact _kn_discounts
+    # guard structure, and the three-level interpolation with
+    # operator-for-operator float ordering, then the same
+    # floor-milli-nat-per-token aggregation.
+    kn_model = lm.kneser_ney_lm(d, n=3)
+    kn = lm.kneser_ney_score(probe, kn_model).select(
+        "doc_id",
+        F.col("n_ngrams").alias("kn_ngrams"),
+        F.col("logprob_milli").alias("kn_logprob_milli"),
+    )
     # crawl front end: WARC -> HTTP -> HTML -> cleaned text, all real
     # parsers; lazy checkpoint because two consumers (meta + features)
     # read the parsed pages — without it each re-runs the full synth
@@ -1611,6 +1639,7 @@ def q64_corpus_signals(spark, sf):
         base.join(sig, "doc_id")
         .join(pii, "doc_id")
         .join(scores, "doc_id")
+        .join(kn, "doc_id")
         .join(crawl, "doc_id")
         .join(md, "doc_id")
         .join(pdfcols, "doc_id")
@@ -3754,6 +3783,164 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN lmc c ON g.ctx = c.ctx AND g.tok = c.tok
               LEFT JOIN lmt t ON g.ctx = t.ctx
               GROUP BY g.doc_id
+            ), kn3 AS (
+              -- modified Kneser-Ney (r10): full estimator replay.
+              -- Top order keeps RAW trigram counts...
+              SELECT ws[v] || ' ' || ws[v + 1] AS ctx,
+                     ws[v + 2] AS tok, COUNT(*) AS c
+              FROM (SELECT unnest(generate_series(1, len(ws) - 2)) AS v,
+                           ws
+                    FROM w) t
+              GROUP BY 1, 2
+            ), kn2 AS (
+              -- ...lower orders keep CONTINUATION counts: distinct
+              -- left-extension words of the higher-order table
+              SELECT substr(ctx, instr(ctx, ' ') + 1) AS ctx, tok,
+                     CAST(COUNT(DISTINCT substr(
+                       ctx, 1, instr(ctx, ' ') - 1)) AS BIGINT) AS c
+              FROM kn3 GROUP BY 1, 2
+            ), kn1 AS (
+              SELECT '' AS ctx, tok,
+                     CAST(COUNT(DISTINCT ctx) AS BIGINT) AS c
+              FROM kn2 GROUP BY tok
+            ), kns3 AS (
+              SELECT ctx, SUM(c) AS tot,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+                     SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+                     SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS n3p
+              FROM kn3 GROUP BY ctx
+            ), kns2 AS (
+              SELECT ctx, SUM(c) AS tot,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+                     SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+                     SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS n3p
+              FROM kn2 GROUP BY ctx
+            ), kns1 AS (
+              SELECT ctx, SUM(c) AS tot,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+                     SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+                     SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS n3p
+              FROM kn1 GROUP BY ctx
+            ), knd AS (
+              -- count-of-count discounts per order, the exact
+              -- _kn_discounts guard/clamp structure and float order
+              SELECT
+                LEAST(GREATEST(CASE WHEN t1 > 0
+                  THEN 1.0 - 2.0 * y * (t2 / NULLIF(t1, 0))
+                  ELSE 0.75 END, 0.0), 1.0) AS d1,
+                LEAST(GREATEST(CASE WHEN t2 > 0
+                  THEN 2.0 - 3.0 * y * (t3 / NULLIF(t2, 0))
+                  ELSE 0.75 END, 0.0), 2.0) AS d2,
+                LEAST(GREATEST(CASE WHEN t3 > 0
+                  THEN 3.0 - 4.0 * y * (t4 / NULLIF(t3, 0))
+                  ELSE 0.75 END, 0.0), 3.0) AS d3,
+                o
+              FROM (
+                SELECT o, t1, t2, t3, t4,
+                       CASE WHEN t1 > 0 AND t2 > 0
+                            THEN t1 / (t1 + 2.0 * t2)
+                            ELSE 0.75 END AS y
+                FROM (
+                  SELECT 3 AS o,
+                         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS t1,
+                         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS t2,
+                         SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS t3,
+                         SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS t4
+                  FROM kn3
+                  UNION ALL
+                  SELECT 2,
+                         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END),
+                         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END),
+                         SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END),
+                         SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END)
+                  FROM kn2
+                  UNION ALL
+                  SELECT 1,
+                         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END),
+                         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END),
+                         SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END),
+                         SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END)
+                  FROM kn1
+                ) coc
+              ) t
+            ), kng AS (
+              -- probe trigrams (same appended-unique-token corpus as
+              -- the add-k branch): suffix contexts per level
+              SELECT doc_id,
+                     pw[v] || ' ' || pw[v + 1] AS ctx2,
+                     pw[v + 1] AS ctx1,
+                     pw[v + 2] AS tok
+              FROM (SELECT doc_id,
+                           unnest(generate_series(1, len(pw) - 2)) AS v,
+                           pw
+                    FROM (SELECT doc_id,
+                                 list_append(ws,
+                                   'zq' || CAST(doc_id AS VARCHAR)) AS pw
+                          FROM w) p) t
+            ), knp AS (
+              -- three interpolation levels, operator-for-operator the
+              -- Spark _kn_level float ordering; unseen context passes
+              -- the lower level through
+              SELECT g.doc_id,
+                CASE WHEN s3.tot IS NULL THEN p2 ELSE
+                  GREATEST(CAST(COALESCE(c3.c, 0) AS DOUBLE)
+                           - CASE WHEN COALESCE(c3.c, 0) >= 3 THEN dd3.d3
+                                  WHEN COALESCE(c3.c, 0) = 2 THEN dd3.d2
+                                  WHEN COALESCE(c3.c, 0) = 1 THEN dd3.d1
+                                  ELSE 0.0 END, 0.0) / s3.tot
+                  + ((dd3.d1 * s3.n1 + dd3.d2 * s3.n2
+                      + dd3.d3 * s3.n3p) / s3.tot) * p2
+                END AS p
+              FROM (
+                SELECT g1.doc_id, g1.ctx2, g1.tok,
+                  CASE WHEN s2.tot IS NULL THEN p1 ELSE
+                    GREATEST(CAST(COALESCE(c2.c, 0) AS DOUBLE)
+                             - CASE WHEN COALESCE(c2.c, 0) >= 3
+                                      THEN dd2.d3
+                                    WHEN COALESCE(c2.c, 0) = 2
+                                      THEN dd2.d2
+                                    WHEN COALESCE(c2.c, 0) = 1
+                                      THEN dd2.d1
+                                    ELSE 0.0 END, 0.0) / s2.tot
+                    + ((dd2.d1 * s2.n1 + dd2.d2 * s2.n2
+                        + dd2.d3 * s2.n3p) / s2.tot) * p1
+                  END AS p2
+                FROM (
+                  SELECT g0.doc_id, g0.ctx2, g0.ctx1, g0.tok,
+                    CASE WHEN s1.tot IS NULL THEN pb ELSE
+                      GREATEST(CAST(COALESCE(c1.c, 0) AS DOUBLE)
+                               - CASE WHEN COALESCE(c1.c, 0) >= 3
+                                        THEN dd1.d3
+                                      WHEN COALESCE(c1.c, 0) = 2
+                                        THEN dd1.d2
+                                      WHEN COALESCE(c1.c, 0) = 1
+                                        THEN dd1.d1
+                                      ELSE 0.0 END, 0.0) / s1.tot
+                      + ((dd1.d1 * s1.n1 + dd1.d2 * s1.n2
+                          + dd1.d3 * s1.n3p) / s1.tot) * pb
+                    END AS p1
+                  FROM (SELECT *,
+                          1.0 / ((SELECT COUNT(*) FROM kn1) + 1) AS pb
+                        FROM kng) g0
+                  LEFT JOIN kn1 c1 ON c1.tok = g0.tok
+                  LEFT JOIN kns1 s1 ON s1.ctx = ''
+                  CROSS JOIN (SELECT d1, d2, d3 FROM knd WHERE o = 1)
+                    dd1
+                ) g1
+                LEFT JOIN kn2 c2
+                  ON c2.ctx = g1.ctx1 AND c2.tok = g1.tok
+                LEFT JOIN kns2 s2 ON s2.ctx = g1.ctx1
+                CROSS JOIN (SELECT d1, d2, d3 FROM knd WHERE o = 2) dd2
+              ) g
+              LEFT JOIN kn3 c3 ON c3.ctx = g.ctx2 AND c3.tok = g.tok
+              LEFT JOIN kns3 s3 ON s3.ctx = g.ctx2
+              CROSS JOIN (SELECT d1, d2, d3 FROM knd WHERE o = 3) dd3
+            ), knscore AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS kn_ngrams,
+                     CAST(SUM(FLOOR(1000.0 * ln(p))) AS BIGINT)
+                       AS kn_logprob_milli
+              FROM knp GROUP BY doc_id
             ), crawl0 AS (
               -- crawl front end (r9 late): every field of the
               -- WARC->HTTP->HTML->text chain is doc_id math; the
@@ -3932,6 +4119,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(s.logprob_milli
                               / CAST(s.n_ngrams AS DOUBLE)) AS BIGINT)
                      AS avg_logprob_milli,
+                   COALESCE(kn.kn_ngrams, 0) AS kn_ngrams,
+                   COALESCE(kn.kn_logprob_milli, 0)
+                     AS kn_logprob_milli,
                    c.warc_url, c.warc_status, c.warc_mime,
                    c.url_norm, c.url_host, c.url_domain, c.url_depth,
                    c.html_title, c.html_lang, c.html_blocks,
@@ -3953,6 +4143,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN topbg t USING (doc_id)
             LEFT JOIN runs r USING (doc_id)
             LEFT JOIN lmscore s USING (doc_id)
+            LEFT JOIN knscore kn USING (doc_id)
         """,
         # Recomputes the collector-replay trace from scratch: sources
         # a/b/c/d/e fire at i%2/3/5==0 by the due-check; d's null-guard

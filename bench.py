@@ -80,7 +80,9 @@ EXPLAINED_MOVES = {
         "(per-doc WARC synth + gzip/WARC/HTTP/HTML parse chain) + "
         "per-doc PDF build/extract chain + seeded classifier scoring; "
         "r10: HTML->Markdown conversion pass over the parsed pages + "
-        "frontier politeness-window scheduling columns"
+        "frontier politeness-window scheduling columns + trigram "
+        "Kneser-Ney train/score (continuation counts, 3-level "
+        "interpolation) on the probe corpus"
     ),
 }
 
