@@ -247,3 +247,85 @@ def test_replay_reconciliation(spark, dirs):
     # idempotent
     again = C.reconcile_crawl_root(spark, root)
     assert "crawl_meta" in again
+
+
+def test_frontier_emission_closes_the_loop(spark, dirs):
+    """frontier_kw: each batch's out-links become the NEXT
+    politeness-scheduled fetch batch at <root>/frontier_next —
+    already-fetched pages (incl. THIS batch's) never reschedule, and
+    a URL fetched in wave 2 disappears from the wave-2 frontier."""
+    src, root = dirs
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 3
+
+    def _linked_page(text, hrefs):
+        anchors = "".join(f'<a href="{h}">x</a> ' for h in hrefs)
+        return (
+            f"<html><body><p>{text}</p><p>{anchors}</p></body></html>"
+        ).encode()
+
+    _write(
+        src,
+        "w1.warc.gz",
+        _archive(
+            [
+                (
+                    "http://a.com/p1",
+                    200,
+                    "text/html",
+                    _linked_page(
+                        body,
+                        [
+                            "/p2",           # new, same host
+                            "http://b.com/x",  # new, other host
+                            "/p1",           # self — must not reschedule
+                            "mailto:x@y",    # junk
+                        ],
+                    ),
+                ),
+            ]
+        ),
+    )
+    q = C.ingest_crawl_stream(
+        spark,
+        src,
+        root,
+        min_est=1.0,
+        max_df=None,
+        max_bucket=None,
+        frontier_kw={"window_seconds": 30.0},
+    )
+    try:
+        q.processAllAvailable()
+        nxt1 = {
+            r["url"]: r
+            for r in spark.read.parquet(root + "/frontier_next").collect()
+        }
+        assert set(nxt1) == {"http://a.com/p2", "http://b.com/x"}
+        assert all(r["rank"] == 1 for r in nxt1.values())
+        # wave 2 fetches one of the scheduled URLs; it must vanish
+        # from the new frontier while its OWN links appear
+        _write(
+            src,
+            "w2.warc.gz",
+            _archive(
+                [
+                    (
+                        "http://a.com/p2",
+                        200,
+                        "text/html",
+                        _linked_page(
+                            "one two three four five six seven " * 3,
+                            ["/p3", "http://a.com/p1"],  # p1 fetched
+                        ),
+                    ),
+                ]
+            ),
+        )
+        q.processAllAvailable()
+        nxt2 = {
+            r["url"]
+            for r in spark.read.parquet(root + "/frontier_next").collect()
+        }
+        assert nxt2 == {"http://a.com/p3"}
+    finally:
+        q.stop()

@@ -75,3 +75,87 @@ def test_guards(spark):
         frontier.frontier_schedule(_cands(spark), window_seconds=0)
     with pytest.raises(ValueError):
         frontier.frontier_schedule(_cands(spark), default_delay=-1)
+
+
+def test_resolve_links_matrix(spark):
+    from timeseries_data_provider_spark.operators import urls as U
+
+    base = "https://ex.com/a/b/page.html?q=1"
+    rows = [
+        (1, base, "https://other.org/x"),        # absolute
+        (2, base, "//cdn.ex.com/img"),           # protocol-relative
+        (3, base, "/root/path"),                 # root-relative
+        (4, base, "sib.html"),                   # sibling
+        (5, base, "../up/doc"),                  # dot segments
+        (6, base, "?page=2"),                    # query-only
+        (7, base, "#frag"),                      # fragment-only
+        (8, base, "mailto:x@y.z"),               # non-fetchable
+        (9, base, "javascript:void(0)"),         # non-fetchable
+        (10, None, "x"),                         # no base
+        (11, base, None),                        # no href
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, base_url string, href string"
+    )
+    got = {
+        r["doc_id"]: r["url"]
+        for r in U.resolve_links(df).collect()
+    }
+    assert got[1] == "https://other.org/x"
+    assert got[2] == "https://cdn.ex.com/img"
+    assert got[3] == "https://ex.com/root/path"
+    assert got[4] == "https://ex.com/a/b/sib.html"
+    assert got[5] == "https://ex.com/a/up/doc"
+    assert got[6] == "https://ex.com/a/b/page.html?page=2"
+    # fragment-only resolves to the page itself (fragment dropped) —
+    # exclude_fetched then removes it against the fetched set
+    assert got[7] == "https://ex.com/a/b/page.html?q=1"
+    assert got[8] is None and got[9] is None
+    assert got[10] is None and got[11] is None
+
+
+def test_frontier_from_crawl_closes_the_loop(spark):
+    # pages from the LAST batch emit raw hrefs; the composition must
+    # resolve, canonicalize, dedupe, drop fetched, attach host
+    # priority, and schedule under budgets
+    links = spark.createDataFrame(
+        [
+            # two pages discover the same target (distinct collapses)
+            ("http://a.com/p1", "/next"),
+            ("http://a.com/p2", "http://A.com:80/next#frag"),
+            ("http://a.com/p1", "/other"),
+            # already-fetched target must vanish
+            ("http://a.com/p1", "/p2"),
+            # cross-host discovery with a priority row
+            ("http://a.com/p1", "http://b.org/new"),
+            # junk
+            ("http://a.com/p1", "mailto:x@y"),
+        ],
+        "base_url string, href string",
+    )
+    fetched = spark.createDataFrame(
+        [("http://a.com/p1",), ("http://a.com/p2",)], "url string"
+    )
+    prio = spark.createDataFrame(
+        [("b.org", 9.0)], "host string, priority double"
+    )
+    from timeseries_data_provider_spark.operators import frontier
+
+    out = frontier.frontier_from_crawl(
+        links, fetched, host_priorities=prio
+    ).collect()
+    rows = {(r["host"], r["url"]): r for r in out}
+    assert set(rows) == {
+        ("a.com", "http://a.com/next"),
+        ("a.com", "http://a.com/other"),
+        ("b.org", "http://b.org/new"),
+    }
+    assert rows[("b.org", "http://b.org/new")]["priority"] == 9.0
+    assert rows[("a.com", "http://a.com/next")]["priority"] == 0.0
+    # per-host ranks restart at 1 and offsets follow the default delay
+    a_rows = sorted(
+        (r["rank"], r["scheduled_offset_ms"])
+        for (h, _), r in rows.items()
+        if h == "a.com"
+    )
+    assert a_rows == [(1, 0), (2, 1000)]

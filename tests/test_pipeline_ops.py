@@ -866,3 +866,40 @@ def test_property_ordered_prefix_take_equivalence(spark):
                 .collect()
             )
             assert got == want, (trial, n, budget)
+
+
+def test_compression_ratio(spark):
+    from timeseries_data_provider_spark.operators import text as T
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 50),
+        (2, "abc " * 500),  # highly redundant -> much lower ratio
+        (3, None),
+        (4, ""),
+        (5, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.compression_ratio(df).collect()}
+    import zlib
+
+    for rid, t in rows:
+        if t is None:
+            assert got[rid]["compression_ratio"] is None
+            assert got[rid]["n_bytes"] is None
+            continue
+        raw = t.encode()
+        assert got[rid]["n_bytes"] == len(raw)
+        if raw:
+            z = zlib.compress(raw, 6)
+            assert got[rid]["n_zbytes"] == len(z)
+            assert got[rid]["compression_ratio"] == round(
+                len(z) / len(raw), 6
+            )
+        else:
+            assert got[rid]["compression_ratio"] is None
+    # the redundancy ordering the quality gate relies on
+    assert (
+        got[2]["compression_ratio"]
+        < got[1]["compression_ratio"]
+        < got[5]["compression_ratio"]
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["frontier_schedule", "exclude_fetched"]
+__all__ = ["frontier_schedule", "exclude_fetched", "frontier_from_crawl"]
 
 
 def exclude_fetched(
@@ -124,4 +124,65 @@ def frontier_schedule(
             .cast("long")
             .alias("scheduled_offset_ms"),
         )
+    )
+
+
+def frontier_from_crawl(
+    links: DataFrame,
+    fetched: DataFrame,
+    window_seconds: float = 60.0,
+    default_delay: float = 1.0,
+    delays: DataFrame | None = None,
+    host_priorities: DataFrame | None = None,
+    max_per_host: int | None = None,
+    base_col: str = "base_url",
+    href_col: str = "href",
+) -> DataFrame:
+    """Close the crawl loop: raw out-links from the last batch's pages
+    -> the NEXT politeness-scheduled fetch batch.
+
+    Pipeline (each step an existing operator):
+    1. resolve relative hrefs against their page (urls.resolve_links),
+       dropping non-fetchable schemes;
+    2. canonicalize (urls.url_normalize) and DISTINCT — the same URL
+       discovered from many pages is one candidate;
+    3. remove already-fetched URLs (left-anti vs the settled url
+       index) BEFORE any window;
+    4. attach a host-level priority (e.g. linkgraph.pagerank_exact
+       aggregated via host_edges — the crawl-quality prior); hosts
+       without a row get priority 0.0;
+    5. frontier_schedule: per-host priority fronts under crawl-delay
+       budgets.
+
+    ``links``: (base_col, href_col, ...) — html_links output joined
+    with its page URL. ``host_priorities``: optional (host, priority).
+    Returns frontier_schedule's (host, url, priority, rank,
+    scheduled_offset_ms)."""
+    from . import urls as _urls
+
+    resolved = _urls.resolve_links(
+        links, base_col=base_col, href_col=href_col
+    )
+    cand = (
+        resolved.filter(F.col("url").isNotNull())
+        .select(_urls.url_normalize(F.col("url")).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .distinct()
+    )
+    cand = exclude_fetched(cand, fetched)
+    cand = cand.withColumn("host", _urls.url_host(F.col("url")))
+    if host_priorities is not None:
+        cand = cand.join(host_priorities, "host", "left").withColumn(
+            "priority",
+            F.coalesce(F.col("priority"), F.lit(0.0)).cast("double"),
+        )
+    else:
+        cand = cand.withColumn("priority", F.lit(0.0))
+    return frontier_schedule(
+        cand,
+        window_seconds=window_seconds,
+        default_delay=default_delay,
+        delays=delays,
+        max_per_host=max_per_host,
+        host_col="host",
     )

@@ -579,3 +579,60 @@ def redact_pii(
     return documents.select(
         id_col, out.alias("text_redacted"), *counts
     )
+
+
+def compression_ratio(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy signal (used by the Gopher/FineWeb quality-filter
+    family: machine-generated or template-stuffed text compresses far
+    better than natural prose, so a very LOW ratio flags boilerplate
+    and a ratio near/above 1 flags already-compressed or random
+    junk). Returns (id, n_bytes, n_zbytes, compression_ratio) with
+    ratio = compressed/uncompressed rounded to 6 dp; NULL text stays
+    NULL, empty text gets NULL ratio (0/0).
+
+    Scale shape: one Arrow pass, per-row independent, zero shuffle.
+    zlib itself is C-rate (~100 MB/s/core), so unlike the codec tier
+    this Python pass is bandwidth-bound, not loop-bound. The ratio
+    depends on the zlib LEVEL (deterministic for a fixed level and
+    zlib build — pinned in tests); treat it as a monotone signal, not
+    a portable constant."""
+    import zlib
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [],
+                "n_bytes": [],
+                "n_zbytes": [],
+                "compression_ratio": [],
+            }
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                out[id_col].append(rid)
+                if t is None or (isinstance(t, float) and _pd.isna(t)):
+                    out["n_bytes"].append(None)
+                    out["n_zbytes"].append(None)
+                    out["compression_ratio"].append(None)
+                    continue
+                raw = str(t).encode("utf-8")
+                z = zlib.compress(raw, level)
+                out["n_bytes"].append(len(raw))
+                out["n_zbytes"].append(len(z))
+                out["compression_ratio"].append(
+                    round(len(z) / len(raw), 6) if raw else None
+                )
+            yield _pd.DataFrame(out)
+
+    return documents.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} long, n_bytes long, n_zbytes long, "
+        "compression_ratio double",
+    )

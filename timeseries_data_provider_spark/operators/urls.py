@@ -49,6 +49,7 @@ __all__ = [
     "url_path_depth",
     "domain_stats",
     "drop_blocklisted",
+    "resolve_links",
 ]
 
 _DEFAULT_CC_SECOND = ("co", "com", "net", "org", "ac", "gov", "edu")
@@ -169,3 +170,59 @@ def drop_blocklisted(
         "__dom",
         "left_anti",
     ).drop("__dom")
+
+
+def resolve_links(
+    links: DataFrame,
+    base_col: str = "base_url",
+    href_col: str = "href",
+    out_col: str = "url",
+    keep_schemes: tuple[str, ...] = ("http", "https"),
+) -> DataFrame:
+    """RFC 3986 §5 reference resolution: absolutize each ``href``
+    against its page's ``base_col`` URL — the step between out-link
+    extraction (htmltext.html_links) and the frontier. Adds
+    ``out_col``; rows whose href resolves to a non-fetchable scheme
+    (mailto:, javascript:, data:, …) or fails to resolve get NULL
+    (filter or quarantine downstream).
+
+    Implementation note (a stated exception to this module's all-JVM
+    rule): resolution runs in one Arrow pass over stdlib
+    ``urllib.parse.urljoin`` — full §5.3 dot-segment/merge semantics
+    in expression form would be a large, bug-prone aggregate fold,
+    and the links frame is already the output of a Python parse pass
+    (html_links), so the extraction tier's rate class is unchanged.
+    Fragments are dropped (never sent to the server — the
+    url_normalize rule, applied early so fragment-only self-links
+    dedupe against the fetched set)."""
+    from typing import Iterator as _It
+    from urllib.parse import urljoin, urlsplit
+
+    import pandas as _pd
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for base, href in zip(pdf[base_col], pdf[href_col]):
+                if base is None or href is None:
+                    out.append(None)
+                    continue
+                try:
+                    u = urljoin(str(base), str(href).strip())
+                    parts = urlsplit(u)
+                    if parts.scheme not in keep_schemes or not parts.netloc:
+                        out.append(None)
+                        continue
+                    # drop the fragment, keep everything else verbatim
+                    # (url_normalize does the rest downstream)
+                    out.append(u.split("#", 1)[0])
+                except ValueError:
+                    out.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in links.schema.fields
+    )
+    return links.mapInPandas(run, f"{schema}, {out_col} string")

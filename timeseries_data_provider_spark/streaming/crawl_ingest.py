@@ -73,7 +73,8 @@ def crawl_batch_to_docs(
     max_link_density: float = 0.5,
     min_text_chars: int = 1,
     normalize_unicode: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    with_links: bool = False,
+) -> tuple[DataFrame, ...]:
     """The batch transform (module-level, directly testable — the
     process_corpus_batch rule): (archive_id, payload) -> (docs, meta).
 
@@ -82,7 +83,11 @@ def crawl_batch_to_docs(
     same id, so the dedup tier also absorbs re-crawls; ``meta`` is
     the per-page provenance row. Non-200/non-HTML responses and
     pages whose cleaned text is shorter than ``min_text_chars`` are
-    kept in META (observability) but excluded from docs."""
+    kept in META (observability) but excluded from docs.
+
+    ``with_links=True`` additionally returns the batch's raw out-link
+    frame (base_url = the page's canonical URL, href) — the frontier
+    feed (r10): (docs, meta, links)."""
     pages = warc.warc_responses(archives, id_col="doc_id").select(
         F.col("doc_id").alias("archive_id"),
         "url",
@@ -147,6 +152,14 @@ def crawl_batch_to_docs(
         from timeseries_data_provider_spark.operators import normalize
 
         docs = normalize.clean_text(docs).drop("was_changed")
+    if with_links:
+        links = htmltext.html_links(html_pages).join(
+            html_pages.select(
+                "doc_id", F.col("url_norm").alias("base_url")
+            ).distinct(),
+            "doc_id",
+        ).select("base_url", "href")
+        return docs, meta, links
     return docs, meta
 
 
@@ -157,6 +170,7 @@ def process_crawl_batch(
     root: str,
     robots_rules: DataFrame | None = None,
     normalize_unicode: bool = False,
+    frontier_kw: dict | None = None,
     **corpus_kw,
 ) -> None:
     """Per-micro-batch body: transform archives, append the crawl_meta
@@ -164,20 +178,52 @@ def process_crawl_batch(
     them loses provenance, so they precede the doc appends in the
     crash-gap ordering), then hand the docs to the EXISTING
     ``process_corpus_batch`` (dedup + settled-structure maintenance,
-    identical semantics to the scored batch path)."""
+    identical semantics to the scored batch path).
+
+    ``frontier_kw`` (r10, optional): when a dict (possibly empty),
+    the batch's out-links feed ``frontier.frontier_from_crawl`` —
+    resolve, canonicalize, drop everything already in crawl_meta,
+    schedule under politeness budgets — and the NEXT fetch batch
+    lands at ``<root>/frontier_next`` (overwritten each batch: it is
+    a derived, advisory artifact, so replay just recomputes it — no
+    reconciliation needed). Keys pass through to frontier_from_crawl
+    (window_seconds/delays/host_priorities/max_per_host/...). The
+    crawl loop is closed: archives in, next batch's URL schedule
+    out."""
     archives = batch.select(
         F.xxhash64("path").alias("doc_id"),
         F.col("content").alias("payload"),
     )
-    docs, meta = crawl_batch_to_docs(
-        archives, robots_rules, normalize_unicode=normalize_unicode
+    with_links = frontier_kw is not None
+    out = crawl_batch_to_docs(
+        archives,
+        robots_rules,
+        normalize_unicode=normalize_unicode,
+        with_links=with_links,
     )
+    docs, meta = out[0], out[1]
     meta.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "append"
     ).parquet(root + "/crawl_meta")
     corpus_ingest.process_corpus_batch(
         spark, docs, batch_id, root, **corpus_kw
     )
+    if with_links:
+        from timeseries_data_provider_spark.operators import (
+            frontier as _frontier,
+        )
+
+        # crawl_meta was appended above, so "fetched" already covers
+        # THIS batch's pages — a page never schedules itself
+        fetched = (
+            spark.read.parquet(root + "/crawl_meta")
+            .select(F.col("url_norm").alias("url"))
+            .filter(F.col("url").isNotNull())
+        )
+        nxt = _frontier.frontier_from_crawl(
+            out[2], fetched, **frontier_kw
+        )
+        nxt.write.mode("overwrite").parquet(root + "/frontier_next")
 
 
 def ingest_crawl_stream(
@@ -188,6 +234,7 @@ def ingest_crawl_stream(
     checkpoint: str | None = None,
     max_files_per_trigger: int = 2,
     normalize_unicode: bool = False,
+    frontier_kw: dict | None = None,
     **corpus_kw,
 ):
     """Start the crawl-ingestion stream over ``source_dir`` (*.warc /
@@ -215,6 +262,7 @@ def ingest_crawl_stream(
             root,
             robots_rules,
             normalize_unicode=normalize_unicode,
+            frontier_kw=frontier_kw,
             **corpus_kw,
         )
 
