@@ -33,11 +33,17 @@ frontier   Politeness-capped frontier scheduling over 6.4M candidate
            budget 60): total scheduled rows and a planted host's
            exact rank/offset ladder are asserted closed-form.
 
+zratio     zlib compression-ratio quality signal at 64x: half
+           prose-like, half template-stuffed docs; EVERY template doc
+           must compress better than EVERY prose doc, and a 1k-row
+           sample is recomputed exactly with driver-side zlib.
+
 Usage: python tools/stress_round10.py
-       [mdconvert|knlm|phash|zorder|frontier]
+       [mdconvert|knlm|phash|zorder|frontier|zratio]
 Env: STRESS_MD_N (default 64000), STRESS_KN_N (default 320000),
 STRESS_PHASH_N (default 65000), STRESS_ZORDER_N (default 6400000),
-STRESS_FRONTIER_HOSTS (default 100000).
+STRESS_FRONTIER_HOSTS (default 100000), STRESS_ZRATIO_N (default
+320000).
 """
 
 from __future__ import annotations
@@ -347,6 +353,60 @@ def probe_frontier(spark) -> None:
     )
 
 
+def probe_zratio(spark) -> None:
+    n = int(os.environ.get("STRESS_ZRATIO_N", "320000"))
+    from timeseries_data_provider_spark.operators import text as T
+
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # half prose-like (varied tokens), half template-stuffed
+        # (pathologically repetitive) — the signal the gate uses
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta eta "),
+                ((F.col("id") * 31) % 9973).cast("string"),
+                F.lit(" theta iota kappa lambda mu nu xi omicron "),
+                ((F.col("id") * 17) % 9973).cast("string"),
+            ),
+        ).otherwise(F.lit("spam ham " * 40)).alias("text"),
+    ).localCheckpoint(eager=True)
+    total_bytes = docs.agg(F.sum(F.length("text"))).first()[0]
+    t0 = time.perf_counter()
+    got = T.compression_ratio(docs).localCheckpoint(eager=True)
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_zbytes").alias("zb"),
+        F.min(
+            F.when(F.col("doc_id") % 2 == 0, F.col("compression_ratio"))
+        ).alias("prose_min"),
+        F.max(
+            F.when(F.col("doc_id") % 2 == 1, F.col("compression_ratio"))
+        ).alias("spam_max"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert agg["n"] == n
+    # the ordering the quality gate relies on: EVERY template doc
+    # compresses better than EVERY prose doc
+    assert agg["spam_max"] < agg["prose_min"], agg
+    # spot-exactness: 1k rows recomputed with driver-side zlib
+    import zlib
+
+    sample = got.join(docs, "doc_id").limit(1000).collect()
+    for r in sample:
+        raw = r["text"].encode()
+        assert r["n_zbytes"] == len(zlib.compress(raw, 6)), r["doc_id"]
+    _emit(
+        "zratio",
+        n_docs=n,
+        text_mb=round(total_bytes / 1e6, 1),
+        secs=round(dt, 2),
+        mb_per_sec=round(total_bytes / 1e6 / dt, 1),
+        prose_min=agg["prose_min"],
+        spam_max=agg["spam_max"],
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "mdconvert",
@@ -354,6 +414,7 @@ def main() -> None:
         "phash",
         "zorder",
         "frontier",
+        "zratio",
     ]
     spark = get_spark("tdps-stress-r10")
     for name in which:
