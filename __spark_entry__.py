@@ -1069,10 +1069,42 @@ def q54_label_centroids(spark, sf):
     return similarity.label_centroids(_t(spark, sf, "embeddings"))
 
 
+# Fixed literal retrieval queries for q55's bm25 branch: both the
+# Spark side and the oracle embed the SAME strings, and every term is
+# corpus-common so each query matches plenty of documents.
+_Q55_QUERIES = ["hash join", "fast scan table", "merge sort order"]
+
+
 def q55_vocab_idf(spark, sf):
     """Corpus heavy hitters + per-term df/idf in one aggregate pass
-    (vocab_topk + term_df_idf composed)."""
-    return text.vocab_idf(_t(spark, sf, "documents"), k=100)
+    (vocab_topk + term_df_idf composed), UNION-tagged (r10) with
+    Okapi BM25 top-10 retrieval (text.bm25_topk — Lucene-variant
+    non-negative idf, per-(term,doc) contributions floored to integer
+    millis BEFORE summing so the oracle replays the ranking with
+    operator-for-operator float ordering). Contract: (src, term, n,
+    df, idf, doc_id, bm25_milli) — the vocab branch NULLs
+    doc_id/bm25_milli; the bm25 branch reuses term for the query
+    string, n for the 1-based rank, df for n_terms_hit, NULLs idf."""
+    d = _t(spark, sf, "documents")
+    vocab = text.vocab_idf(d, k=100).select(
+        F.lit("vocab").alias("src"),
+        "term",
+        "n",
+        "df",
+        "idf",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("bm25_milli"),
+    )
+    bm = text.bm25_topk(d, _Q55_QUERIES, k=10).select(
+        F.lit("bm25").alias("src"),
+        F.col("query").alias("term"),
+        F.col("rank").alias("n"),
+        F.col("n_terms_hit").alias("df"),
+        F.lit(None).cast("double").alias("idf"),
+        "doc_id",
+        "bm25_milli",
+    )
+    return vocab.unionByName(bm)
 
 
 def q58_winnow_fingerprints(spark, sf):
@@ -3241,20 +3273,74 @@ def oracle_sql() -> dict[str, str]:
             FROM flat GROUP BY 1, 2
         """,
         "q55_vocab_idf": """
-            WITH agg AS (
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(text,
+                         '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), agg AS (
               SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
-              FROM (SELECT doc_id,
-                           unnest(list_filter(
-                             regexp_split_to_array(text,
-                               '[ \t\n\x0B\f\r]+'),
-                             x -> x <> '')) AS term
-                    FROM documents) t
+              FROM words
               GROUP BY 1 ORDER BY n DESC, term LIMIT 100
+            ), qt(query, term) AS (VALUES
+              ('hash join', 'hash'), ('hash join', 'join'),
+              ('fast scan table', 'fast'), ('fast scan table', 'scan'),
+              ('fast scan table', 'table'),
+              ('merge sort order', 'merge'), ('merge sort order', 'sort'),
+              ('merge sort order', 'order')
+            ), tfq AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM words
+              WHERE term IN (SELECT term FROM qt)
+              GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM words
+              WHERE term IN (SELECT term FROM qt)
+              GROUP BY 1
+            ), dls AS (
+              SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1
+            ), st AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS nn,
+                     (SELECT COUNT(*) FROM words) AS terms
+            ), m AS (
+              -- operator-for-operator the Spark bm25_topk float
+              -- ordering: Lucene idf, k1=1.2 b=0.75, per-(term,doc)
+              -- milli floor BEFORE the per-doc sum
+              SELECT q.query, t.doc_id,
+                     FLOOR(1000.0
+                       * ln(1.0 + (st.nn - d.df + 0.5) / (d.df + 0.5))
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2
+                          * (0.25 + 0.75 * (l.dl / (st.terms / st.nn))))
+                     ) AS milli
+              FROM qt q
+              JOIN tfq t USING (term)
+              JOIN dfq d USING (term)
+              JOIN dls l USING (doc_id)
+              CROSS JOIN st
+            ), sc AS (
+              SELECT query, doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS hits,
+                     CAST(SUM(milli) AS BIGINT) AS s
+              FROM m GROUP BY 1, 2
+            ), top AS (
+              SELECT query, doc_id, hits, s,
+                     CAST(row_number() OVER (
+                       PARTITION BY query
+                       ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rnk
+              FROM sc
             )
-            SELECT term, n, df,
+            SELECT 'vocab' AS src, term, n, df,
                    ROUND(ln(((SELECT COUNT(*) FROM documents) + 1.0)
-                            / (df + 1.0)), 6) AS idf
+                            / (df + 1.0)), 6) AS idf,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS bm25_milli
             FROM agg
+            UNION ALL
+            SELECT 'bm25', query, rnk, hits, CAST(NULL AS DOUBLE),
+                   doc_id, s
+            FROM top WHERE rnk <= 10
         """,
         "q58_winnow_fingerprints": """
             WITH w AS (

@@ -74,6 +74,10 @@ EXPLAINED_MOVES = {
         "(trigram explode + per-lang/per-doc rank windows + distance "
         "join over the full corpus)"
     ),
+    "q55_vocab_idf": (
+        "r10: new Okapi BM25 top-10 retrieval branch (query-term "
+        "broadcast prune + tf/dl/df joins + per-query window)"
+    ),
     "q64_corpus_signals": (
         "r9: new n-gram LM quality signal (bigram train over the full "
         "corpus + per-doc scoring joins); r9 late: crawl front end "
@@ -129,6 +133,10 @@ BRANCHES = {
         "actual": "src = 'actual'",
         "guess": "src = 'guess'",
         "cavnar": "src = 'cavnar'",
+    },
+    "q55_vocab_idf": {
+        "vocab": "src = 'vocab'",
+        "bm25": "src = 'bm25'",
     },
 }
 

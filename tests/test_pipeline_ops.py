@@ -903,3 +903,77 @@ def test_compression_ratio(spark):
         < got[1]["compression_ratio"]
         < got[5]["compression_ratio"]
     )
+
+
+def test_bm25_matches_reference(spark):
+    """bm25_topk vs an independent Python BM25 (dict counts, same
+    public formula): exact integer milli scores, exact ranking."""
+    import math
+    import re as _re
+
+    from timeseries_data_provider_spark.operators import text as T
+
+    corpus = {
+        1: "hash join hash join table scan",
+        2: "hash table",
+        3: "scan scan scan filter",
+        4: "merge sort order merge",
+        5: "join",
+        6: "completely unrelated words here",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    queries = ["hash join", "scan"]
+    got = {
+        (r["query"], r["rank"]): (
+            r["doc_id"], r["n_terms_hit"], r["bm25_milli"]
+        )
+        for r in T.bm25_topk(df, queries, k=3).collect()
+    }
+
+    def words(t):
+        return [x for x in _re.split(r"\s+", t) if x]
+
+    n = len(corpus)
+    dls = {d: len(words(t)) for d, t in corpus.items()}
+    avgdl = sum(dls.values()) / n
+    dfs: dict = {}
+    tfs: dict = {}
+    for d, t in corpus.items():
+        for w in set(words(t)):
+            dfs[w] = dfs.get(w, 0) + 1
+        for w in words(t):
+            tfs[(d, w)] = tfs.get((d, w), 0) + 1
+    exp = {}
+    for q in queries:
+        scores = {}
+        for d in corpus:
+            s = hits = 0
+            for w in sorted(set(q.split())):
+                tf = tfs.get((d, w), 0)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log(
+                    1.0 + (n - dfs[w] + 0.5) / (dfs[w] + 0.5)
+                )
+                s += math.floor(
+                    1000.0 * idf * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * (dls[d] / avgdl)))
+                )
+            if hits:
+                scores[d] = (hits, s)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1][1], kv[0])
+        )[:3]
+        for i, (d, (hits, s)) in enumerate(ranked, 1):
+            exp[(q, i)] = (d, hits, s)
+    assert got == exp
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.bm25_topk(df, [])
+    with _pytest.raises(ValueError):
+        T.bm25_topk(df, ["   "])

@@ -10,7 +10,7 @@ per-row maps; only the aggregating variants shuffle once).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -635,4 +635,90 @@ def compression_ratio(
         run,
         f"{id_col} long, n_bytes long, n_zbytes long, "
         "compression_ratio double",
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson et al.; the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` non-negative idf variant) —
+    the retrieval primitive a curation stack uses to pull
+    eval-adjacent or topic-matched documents out of the corpus.
+    Returns (query, rank, doc_id, n_terms_hit, bm25_milli): the k
+    highest-scoring documents per query string, rank 1-based,
+    deterministic (score DESC, doc_id ASC).
+
+    Numeric contract (the lm.py exact-aggregation rule): each
+    (term, doc) contribution is floored to integer MILLI-units BEFORE
+    summing, so the per-doc score is order-independent exact integer
+    math — oracle-replayable with operator-for-operator float
+    ordering.
+
+    Scale shape: the query-term frame is tiny and BROADCAST into the
+    tf table (pruning the corpus to query terms before anything
+    heavy), doc lengths join fan-out-1, corpus scalars (N, avgdl)
+    ride a broadcast one-row cross join, and the final top-k is a
+    per-query window over only the matched docs. One explode over the
+    corpus feeds tf/dl/df — no second scan."""
+    if not queries:
+        raise ValueError("bm25_topk: need at least one query")
+    spark = documents.sparkSession
+    qterms = sorted(
+        {(q, t) for q in queries for t in q.split() if t}
+    )
+    if not qterms:
+        raise ValueError("bm25_topk: queries contain no terms")
+    qdf = spark.createDataFrame(qterms, "query string, term string")
+    words = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(text_col)).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = documents.agg(
+        F.count(F.lit(1)).alias("__n")
+    ).crossJoin(words.agg(F.count(F.lit(1)).alias("__terms")))
+    matched = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("__terms") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * (F.col("dl") / avgdl)
+    )
+    term_milli = F.floor(
+        F.lit(1000.0)
+        * idf
+        * (F.col("tf") * F.lit(float(k1) + 1.0))
+        / denom
+    )
+    scored = matched.select(
+        "query", "doc_id", term_milli.alias("__milli")
+    ).groupBy("query", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("__milli").alias("bm25_milli"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("bm25_milli").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query", "rank", "doc_id", "n_terms_hit", "bm25_milli")
     )
