@@ -518,3 +518,109 @@ def test_zorder_value_deterministic_and_bounded(spark):
         tables.zorder_value(df, ["a", "b"], bits=32)
     with _pytest.raises(ValueError):
         tables.zorder_value(df, [])
+
+
+def test_zorder_append_keeps_pruning(spark, tmp_path):
+    """append_zorder: new rows bucket with the PERSISTED boundaries —
+    scans over the combined layout keep pruning on both columns, and
+    the settled files are never rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark import planstats, tables
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 48271) % n).alias("y"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    zpath = str(tmp_path / "zorder")
+    tables.write_zorder(
+        df, zpath, ["x", "y"], num_files=8, bits=5,
+        row_group_bytes=256 * 1024,
+    )
+    assert os.path.exists(os.path.join(zpath, "_zorder_meta.json"))
+    settled = {
+        f for f in os.listdir(zpath) if f.endswith(".parquet")
+    }
+    settled_mtime = {
+        f: os.path.getmtime(os.path.join(zpath, f)) for f in settled
+    }
+    # append a second batch from the SAME distribution
+    batch = spark.range(n, 2 * n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 48271) % n).alias("y"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    tables.append_zorder(batch, zpath, num_files=4,
+                         row_group_bytes=256 * 1024)
+    after = {f for f in os.listdir(zpath) if f.endswith(".parquet")}
+    assert settled < after  # strictly grew
+    for f in settled:  # settled files untouched
+        assert os.path.getmtime(os.path.join(zpath, f)) == (
+            settled_mtime[f]
+        )
+    total = spark.read.parquet(zpath)
+    assert total.count() == 2 * n
+
+    def decoded(col, lo, hi, expect):
+        q = total.filter((F.col(col) >= lo) & (F.col(col) < hi)).select(
+            col
+        )
+        assert q.count() == expect
+        q.collect()
+        return max(s["output_rows"] for s in planstats.scan_stats(q))
+
+    # y comes from the same modular distribution in both batches, so
+    # a narrow y slice appears in both — pruning must hold across the
+    # combined file set (each batch's files cover narrow curve ranges)
+    dy = decoded("y", 100_000, 102_000, 4_000)
+    assert dy <= 2 * n * 0.5, dy
+    # x grew past the old boundaries: old-batch x still prunes
+    dx = decoded("x", 50_000, 52_000, 2_000)
+    assert dx <= 2 * n * 0.5, dx
+
+
+def test_shard_writer_shuffled_training_order(spark, tmp_path):
+    """shuffle_seed: a deterministic pseudo-random within-shard order
+    (xxhash64(seed, id)) — same rows/membership as the sorted form,
+    reproducible across runs, different between seeds, and a plain
+    file read yields the shuffled order."""
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.operators import pipeline
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+
+    def order_of(path):
+        # per-shard file order as written (parquet preserves row
+        # order within a file; one file per shard)
+        out = {}
+        for r in (
+            spark.read.parquet(path + "/data")
+            .select("shard", "doc_id")
+            .collect()
+        ):
+            out.setdefault(r["shard"], []).append(r["doc_id"])
+        return out
+
+    p1 = str(tmp_path / "s1")
+    p2 = str(tmp_path / "s2")
+    p3 = str(tmp_path / "s3")
+    pipeline.write_training_shards(df, p1, n_shards=8, shuffle_seed=42)
+    pipeline.write_training_shards(df, p2, n_shards=8, shuffle_seed=42)
+    pipeline.write_training_shards(df, p3, n_shards=8, shuffle_seed=7)
+    o1, o2, o3 = order_of(p1), order_of(p2), order_of(p3)
+    assert o1 == o2  # reproducible
+    # same membership per shard, different order for a different seed
+    assert {k: sorted(v) for k, v in o1.items()} == {
+        k: sorted(v) for k, v in o3.items()
+    }
+    assert any(o1[k] != o3[k] for k in o1)
+    # and genuinely not id-sorted
+    assert any(v != sorted(v) for v in o1.values())

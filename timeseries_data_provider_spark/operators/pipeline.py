@@ -530,6 +530,7 @@ def write_training_shards(
     path: str,
     n_shards: int = 64,
     id_col: str = "doc_id",
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Materialize a training corpus as a FIXED-shard-count layout:
     ``<path>/data/shard=K/`` parquet (one file per shard) plus a
@@ -576,9 +577,30 @@ def write_training_shards(
     sharded = df.where(chk.isNull()).withColumn(
         "shard", shard_assignment(id_col, n_shards)
     )
+    # within-shard order: id ASC by default (tight parquet min/max
+    # for id-range readers); with ``shuffle_seed`` set, a
+    # DETERMINISTIC pseudo-random training order instead —
+    # xxhash64(seed, id) is a pure id function, so re-running the
+    # write (or re-deriving position for a resume) reproduces the
+    # exact same order, unlike rand()-based shuffles whose order
+    # depends on task layout. Global shuffling at the reader is the
+    # alternative; baking it into the layout means a plain sequential
+    # shard read IS the shuffled epoch.
+    if shuffle_seed is None:
+        order_cols = [F.col(id_col)]
+    else:
+        order_cols = [
+            F.xxhash64(F.lit(int(shuffle_seed)), F.col(id_col)),
+            F.col(id_col),
+        ]
+    # "shard" leads the sort so the partitionBy writer's required
+    # ordering (partition columns first) is already satisfied —
+    # otherwise Spark inserts its own SortExec(shard) and the
+    # optimizer ELIMINATES this one, silently discarding the
+    # training order (found by the shuffled-order test)
     (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions(F.col("shard"), *order_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path + "/data")

@@ -19,6 +19,7 @@ plain int64) and convert after the filter — see
 
 from __future__ import annotations
 
+import json
 import os
 from functools import lru_cache
 
@@ -156,12 +157,48 @@ def write_range_clustered(
     writer.parquet(path)
 
 
+def sample_zorder_boundaries(
+    df: DataFrame,
+    cluster_cols: list[str],
+    bits: int = 6,
+    sample_rows: int = 20_000,
+    seed: int = 7,
+) -> dict[str, list]:
+    """Per-column quantile-bucket boundaries for the Z-order curve:
+    one DETERMINISTIC-SEED sampled collect (bounded by
+    ``sample_rows`` regardless of table size) -> ``2^bits - 1``
+    boundary values per column. Persisted by ``write_zorder`` so
+    ``append_zorder`` buckets NEW data with the SAME curve."""
+    n_buckets = 1 << bits
+    frac_df = df.select(*cluster_cols)
+    total = frac_df.count()
+    if total == 0:
+        return {c: [] for c in cluster_cols}
+    frac = min(1.0, (sample_rows * 1.05) / max(total, 1))
+    sampled = frac_df.sample(fraction=frac, seed=seed).limit(
+        sample_rows
+    ).collect()
+    out: dict[str, list] = {}
+    for c in cluster_cols:
+        vals = sorted(r[c] for r in sampled if r[c] is not None)
+        if vals:
+            # n_buckets-1 boundary values at even sample ranks
+            out[c] = [
+                vals[min(len(vals) - 1, (i * len(vals)) // n_buckets)]
+                for i in range(1, n_buckets)
+            ]
+        else:
+            out[c] = []
+    return out
+
+
 def zorder_value(
     df: DataFrame,
     cluster_cols: list[str],
     bits: int = 6,
     sample_rows: int = 20_000,
     seed: int = 7,
+    boundaries: dict[str, list] | None = None,
 ) -> DataFrame:
     """Attach a ``__z`` column: the Morton (Z-order) interleave of
     per-column RANK BUCKETS, the multi-dimensional clustering key
@@ -187,28 +224,14 @@ def zorder_value(
             "overflows a long"
         )
     n_buckets = 1 << bits
-    # bounded, seeded sample per column -> n_buckets-1 boundaries.
-    # One collect TOTAL (all columns sampled in one pass); the result
-    # is <= sample_rows rows regardless of table size.
-    frac_df = df.select(*cluster_cols)
-    total = frac_df.count()
-    if total == 0:
-        return df.withColumn("__z", F.lit(0).cast("long"))
-    frac = min(1.0, (sample_rows * 1.05) / max(total, 1))
-    sampled = frac_df.sample(fraction=frac, seed=seed).limit(
-        sample_rows
-    ).collect()
+    if boundaries is None:
+        boundaries = sample_zorder_boundaries(
+            df, cluster_cols, bits=bits, sample_rows=sample_rows,
+            seed=seed,
+        )
     zcol = F.lit(0).cast("long")
     for ci, c in enumerate(cluster_cols):
-        vals = sorted(r[c] for r in sampled if r[c] is not None)
-        if vals:
-            # n_buckets-1 boundary literals at even sample ranks
-            bounds = [
-                vals[min(len(vals) - 1, (i * len(vals)) // n_buckets)]
-                for i in range(1, n_buckets)
-            ]
-        else:
-            bounds = []
+        bounds = boundaries.get(c) or []
         barr = F.array(*[F.lit(b) for b in bounds]) if bounds else None
         if barr is None:
             bucket = F.lit(0).cast("long")
@@ -254,12 +277,64 @@ def write_zorder(
     MEASURED, not assumed: tests/test_layout.py pins decoded-row
     counts on both single-column predicates against a linear layout.
     """
-    out = zorder_value(df, cluster_cols, bits=bits)
+    boundaries = sample_zorder_boundaries(df, cluster_cols, bits=bits)
+    out = zorder_value(
+        df, cluster_cols, bits=bits, boundaries=boundaries
+    )
     out = out.repartitionByRange(num_files, "__z").sortWithinPartitions(
         "__z"
     )
     out = out.drop("__z")
     writer = out.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", row_group_bytes)
+    writer.parquet(path)
+    # persist the curve so appends bucket with the SAME boundaries —
+    # JSON covers the supported boundary types (numbers, strings);
+    # write-then-rename for the compaction-style crash safety
+    meta = {
+        "cluster_cols": list(cluster_cols),
+        "bits": bits,
+        "boundaries": boundaries,
+    }
+    tmp = os.path.join(path, "._zorder_meta.json.tmp")
+    dst = os.path.join(path, "_zorder_meta.json")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, dst)
+
+
+def append_zorder(
+    df: DataFrame,
+    path: str,
+    num_files: int = 8,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Append a batch into an existing Z-order layout WITHOUT
+    rewriting settled files: new rows bucket with the layout's
+    PERSISTED boundaries (``_zorder_meta.json``), so they land on the
+    same curve and scans keep pruning across old + new files — the
+    incremental-maintenance form (the signature-index / IVF-append
+    scale rule: settled data is never re-read). Distribution drift
+    degrades locality gracefully (new values past the old boundary
+    range pile into the edge buckets); a rebuild (``write_zorder``)
+    resamples. Sort-order caveat: parquet's append cannot interleave
+    new rows into old files, so pruning quality is per-FILE-SET —
+    each append's files cover narrow curve ranges of their own."""
+    meta_path = os.path.join(path, "_zorder_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    out = zorder_value(
+        df,
+        meta["cluster_cols"],
+        bits=meta["bits"],
+        boundaries=meta["boundaries"],
+    )
+    out = out.repartitionByRange(num_files, "__z").sortWithinPartitions(
+        "__z"
+    )
+    out = out.drop("__z")
+    writer = out.write.mode("append")
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", row_group_bytes)
     writer.parquet(path)
