@@ -138,3 +138,68 @@ def test_host_edges(spark):
         for r in linkgraph.host_edges(links).collect()
     }
     assert got == {("a.com", "b.net"): 2, ("b.net", "a.com"): 1}
+
+
+def test_html_links_anchor_text(spark):
+    from timeseries_data_provider_spark.operators import htmltext
+
+    html = (
+        '<p><a href="/a">First  Link</a> and '
+        '<a href="/b"><b>bold</b> text</a> and '
+        '<a href="/c"><img src="i.png"></a> and '
+        '<a href="/d">outer <a href="/e">inner</a></a></p>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = {
+        r["href"]: r["anchor_text"]
+        for r in htmltext.html_links(df).collect()
+    }
+    assert rows["/a"] == "First Link"  # whitespace collapsed
+    assert rows["/b"] == "bold text"   # inline markup transparent
+    assert rows["/c"] == ""            # image-only anchor
+    # nested anchors: inner text counts toward both open anchors
+    assert rows["/e"] == "inner"
+    assert "inner" in rows["/d"] and "outer" in rows["/d"]
+
+
+def test_anchor_text_agg_profile(spark):
+    from timeseries_data_provider_spark.operators import linkgraph
+
+    links = spark.createDataFrame(
+        [
+            # three pages call /target "Home Page", one calls it "hp"
+            ("http://a.com/1", "/target", "Home Page"),
+            ("http://a.com/2", "http://A.com:80/target#x", "Home Page"),
+            ("http://a.com/3", "/target", "Home Page"),
+            ("http://a.com/4", "/target", "hp"),
+            # an empty (image) anchor counts refs, not texts
+            ("http://a.com/5", "/target", ""),
+            # unrelated target
+            ("http://a.com/1", "http://b.org/z", "Other"),
+        ],
+        "base_url string, href string, anchor_text string",
+    )
+    got = {
+        r["url"]: r
+        for r in linkgraph.anchor_text_agg(links).collect()
+    }
+    t = got["http://a.com/target"]
+    assert t["n_refs"] == 5
+    assert t["n_texts"] == 2
+    assert t["top_text"] == "Home Page" and t["top_text_n"] == 3
+    o = got["http://b.org/z"]
+    assert (o["n_refs"], o["n_texts"], o["top_text"]) == (1, 1, "Other")
+
+
+def test_anchor_text_agg_tie_breaks_lexicographically(spark):
+    from timeseries_data_provider_spark.operators import linkgraph
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "/t", "zebra"),
+            ("http://a.com/2", "/t", "apple"),
+        ],
+        "base_url string, href string, anchor_text string",
+    )
+    r = linkgraph.anchor_text_agg(links).collect()[0]
+    assert r["top_text"] == "apple" and r["top_text_n"] == 1

@@ -113,6 +113,11 @@ class _Extractor(HTMLParser):
         self.og: dict[str, str] = {}
         self.jsonld: list[str] = []
         self.links: list[str] = []  # anchor hrefs, document order
+        # anchor text per link, aligned with self.links (captured
+        # between the anchor's open and close; nested text counts
+        # toward every open anchor)
+        self.link_texts: list[str] = []
+        self._open_anchors: list[tuple[int, list[str]]] = []
         self._in_jsonld = False
         self._jsonld_buf: list[str] = []
         self._in_title = False
@@ -180,6 +185,10 @@ class _Extractor(HTMLParser):
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v)
+                    self.link_texts.append("")
+                    self._open_anchors.append(
+                        (len(self.links) - 1, [])
+                    )
                     break
         elif tag == "br":
             self._buf.append(" ")
@@ -214,6 +223,9 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
+            if self._open_anchors:
+                idx, buf = self._open_anchors.pop()
+                self.link_texts[idx] = " ".join("".join(buf).split())
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -230,10 +242,15 @@ class _Extractor(HTMLParser):
         self._n_chars += len(data)
         if self._anchor_depth:
             self._link_chars += len(data)
+            for _idx, buf in self._open_anchors:
+                buf.append(data)
 
     def close(self) -> None:  # noqa: D102 — flush the trailing block
         super().close()
         self._finish_title()
+        while self._open_anchors:  # unclosed <a> at EOF
+            idx, buf = self._open_anchors.pop()
+            self.link_texts[idx] = " ".join("".join(buf).split())
         self._flush()
 
 
@@ -297,12 +314,20 @@ def html_links(
     df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
 ) -> DataFrame:
     """Arrow 1->N out-link fan-out: one row per anchor href in
-    document order — the raw edge list of the crawl's link graph
-    (operators/linkgraph builds the quality prior from it)."""
+    document order, WITH its anchor text (r10 — the classic
+    relevance/description signal for the link's target) — the raw
+    edge list of the crawl's link graph (operators/linkgraph builds
+    the quality prior from it; ``linkgraph.anchor_text_agg``
+    aggregates the per-target text profile)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {id_col: [], "link_idx": [], "href": []}
+            out = {
+                id_col: [],
+                "link_idx": [],
+                "href": [],
+                "anchor_text": [],
+            }
             for rid, doc in zip(pdf[id_col], pdf[html_col]):
                 if doc is None:
                     continue
@@ -313,10 +338,13 @@ def html_links(
                     out[id_col].append(rid)
                     out["link_idx"].append(i)
                     out["href"].append(href)
+                    out["anchor_text"].append(p.link_texts[i])
             yield pd.DataFrame(out)
 
     return df.select(id_col, html_col).mapInPandas(
-        run, f"{id_col} long, link_idx long, href string"
+        run,
+        f"{id_col} long, link_idx long, href string, "
+        "anchor_text string",
     )
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_exact", "host_edges"]
+__all__ = ["pagerank_exact", "host_edges", "anchor_text_agg"]
 
 
 def pagerank_exact(
@@ -142,4 +142,71 @@ def host_edges(
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+def anchor_text_agg(
+    links: DataFrame,
+    base_col: str = "base_url",
+    href_col: str = "href",
+    text_col: str = "anchor_text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Per-target anchor-text profile: what the web CALLS a page —
+    the classic target-description signal (used since Brin & Page
+    1998 for relevance, and by crawl-quality tiers to label pages
+    their own content doesn't describe). Resolves each href against
+    its page (urls.resolve_links), then hash-aggregates per canonical
+    target URL:
+
+    (url, n_refs, n_texts, top_text, top_text_n) — total incoming
+    anchors, distinct non-trivial texts, the most frequent text (ties
+    broken lexicographically smallest — deterministic) and its count.
+    Texts shorter than ``min_chars`` (empty/image anchors) count
+    toward n_refs but not the text profile.
+
+    Scale shape: resolve (Arrow) -> hash-aggregates keyed on the
+    target URL, all JVM; output is target-URL-sized. The top-text
+    pick is two bounded aggregates (winning count, then min text at
+    that count), never a global sort."""
+    from . import urls
+
+    resolved = urls.resolve_links(
+        links, base_col=base_col, href_col=href_col
+    )
+    base = (
+        resolved.filter(F.col("url").isNotNull())
+        .select(
+            urls.url_normalize(F.col("url")).alias("url"),
+            F.col(text_col).alias("__t"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
+    refs = base.groupBy("url").agg(F.count(F.lit(1)).alias("n_refs"))
+    counts = (
+        base.filter(F.length("__t") >= min_chars)
+        .groupBy("url", "__t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_texts"),
+        F.max("n").alias("top_text_n"),
+    )
+    winner = (
+        counts.join(stats.select("url", "top_text_n"), "url")
+        .filter(F.col("n") == F.col("top_text_n"))
+        .groupBy("url")
+        .agg(F.min("__t").alias("top_text"))
+    )
+    return (
+        refs.join(stats, "url", "left")
+        .join(winner, "url", "left")
+        .select(
+            "url",
+            "n_refs",
+            F.coalesce("n_texts", F.lit(0).cast("long")).alias(
+                "n_texts"
+            ),
+            "top_text",
+            "top_text_n",
+        )
     )
