@@ -1446,17 +1446,22 @@ def _crawl_url(doc_id: int) -> str:
     return f"https://cdn{m}.example.net:8443/img//{doc_id}.png?x=1"
 
 
-# One KN model per (process, sf_dir): the model is a pure function of
+# One KN model per (SparkContext, sf_dir): the model is a pure function of
 # the corpus and its estimation pays several blocking aggregations
 # (count-of-counts + vocab per order), so bench re-invocations must
 # not re-train it — the q67-layout construction-side-effect contract.
 # Tables are localCheckpointed so each q64 plan starts from pinned
 # model frames instead of re-deriving three orders of aggregation.
-_Q64_KN_MODELS: dict[str, dict] = {}
+_Q64_KN_MODELS: dict[tuple, dict] = {}
 
 
 def _q64_kn_model(spark, sf, d):
-    model = _Q64_KN_MODELS.get(sf)
+    # keyed on (applicationId, sf): localCheckpointed frames die with
+    # their SparkContext, so a recreated session must rebuild rather
+    # than hit stale RDDs (review finding — the q67 cache stores disk
+    # paths and does not have this hazard)
+    key = (spark.sparkContext.applicationId, sf)
+    model = _Q64_KN_MODELS.get(key)
     if model is None:
         from timeseries_data_provider_spark.operators import lm as _lm
 
@@ -1467,7 +1472,7 @@ def _q64_kn_model(spark, sf, d):
         model["ctx"] = [
             c.localCheckpoint(eager=True) for c in model["ctx"]
         ]
-        _Q64_KN_MODELS[sf] = model
+        _Q64_KN_MODELS[key] = model
     return model
 
 

@@ -329,3 +329,36 @@ def test_frontier_emission_closes_the_loop(spark, dirs):
         assert nxt2 == {"http://a.com/p3"}
     finally:
         q.stop()
+
+
+def test_qualifying_fetch_beats_truncated_duplicate(spark):
+    """review finding: with a text-first winner struct, an
+    empty-bodied duplicate of a canonical URL sorted first and
+    shadowed the good fetch — the doc vanished. The qualifies-first
+    flag must land the full page (and meta must describe IT)."""
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    archives = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "payload": [
+                    _archive(
+                        [
+                            ("http://a.com/p", 200, "text/html",
+                             _page("")),  # truncated fetch
+                            ("http://a.com/p", 200, "text/html",
+                             _page(body)),  # full fetch
+                        ]
+                    )
+                ],
+            }
+        )
+    )
+    docs, meta = C.crawl_batch_to_docs(archives, min_text_chars=10)
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"].strip() == body.strip()
+    m = meta.filter(F.col("n_text_chars").isNotNull()).collect()
+    # both fetches share the canonical URL -> one meta feature row
+    # per page row, and it describes the fetch that landed
+    assert all(r["n_text_chars"] == len(rows[0]["text"]) for r in m)

@@ -159,3 +159,24 @@ def test_frontier_from_crawl_closes_the_loop(spark):
         if h == "a.com"
     )
     assert a_rows == [(1, 0), (2, 1000)]
+
+
+def test_long_delay_host_not_starved(spark):
+    # review finding: crawl-delay > window floored the budget to 0
+    # and starved the host in EVERY window; the default floors to one
+    # fetch per window, min_per_host=0 restores strict budgets
+    cands = spark.createDataFrame(
+        [("http://slow.com/a", 1.0), ("http://slow.com/b", 2.0)],
+        "url string, priority double",
+    )
+    delays = spark.createDataFrame(
+        [("slow.com", 120.0)], "host string, crawl_delay double"
+    )
+    out = frontier.frontier_schedule(
+        cands, window_seconds=60.0, delays=delays
+    ).collect()
+    assert len(out) == 1 and out[0]["url"] == "http://slow.com/b"
+    strict = frontier.frontier_schedule(
+        cands, window_seconds=60.0, delays=delays, min_per_host=0
+    ).collect()
+    assert strict == []

@@ -203,3 +203,17 @@ def test_anchor_text_agg_tie_breaks_lexicographically(spark):
     )
     r = linkgraph.anchor_text_agg(links).collect()[0]
     assert r["top_text"] == "apple" and r["top_text_n"] == 1
+
+
+def test_hrefless_inner_anchor_does_not_steal_close(spark):
+    # review finding: </a> of an href-less inner <a> must not pop the
+    # outer link's text accumulator early
+    from timeseries_data_provider_spark.operators import htmltext
+
+    html = '<p><a href="/x">Read <a>more</a> now</a></p>'
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = {
+        r["href"]: r["anchor_text"]
+        for r in htmltext.html_links(df).collect()
+    }
+    assert rows == {"/x": "Read more now"}

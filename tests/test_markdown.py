@@ -125,3 +125,20 @@ def test_html_markdown_spark(spark):
     assert got[1]["n_md_chars"] == len("## T\n\nbody")
     assert got[2]["markdown"] is None and got[2]["n_md_chars"] is None
     assert got[3]["markdown"] == "- a"
+
+
+def test_anchor_survives_block_flush_and_literal_brackets():
+    # review findings: a block tag inside an anchor flushes the open
+    # marker — the close must not chop characters or mis-split on a
+    # literal '[' in the text
+    md = html_to_markdown('<a href="/x"><p>para</p>tail</a>')
+    assert "para" in md
+    assert "tail" in md and "tai[" not in md
+    assert "(/x)" in md
+    md = html_to_markdown('<p><a href="/x">see [1]</a></p>')
+    assert md == "[see [1]](/x)"
+
+
+def test_unclosed_pre_at_eof_keeps_code():
+    md = html_to_markdown("<p>intro</p><pre>def f():\n    pass")
+    assert md == "intro\n\n```\ndef f():\n    pass\n```"

@@ -57,6 +57,7 @@ def frontier_schedule(
     default_delay: float = 1.0,
     delays: DataFrame | None = None,
     max_per_host: int | None = None,
+    min_per_host: int = 1,
     url_col: str = "url",
     host_col: str | None = None,
     priority_col: str = "priority",
@@ -70,6 +71,14 @@ def frontier_schedule(
     ``default_delay``. Non-positive or NULL delays clamp to
     ``default_delay`` (a zero delay must not divide by zero or grant
     an unbounded budget).
+
+    ``min_per_host`` (default 1): floor on a host's budget — a
+    crawl-delay LONGER than the window would otherwise floor to a
+    budget of 0 and starve the host in EVERY window (each stateless
+    window recomputes identically — review finding); one fetch per
+    window is the graceful reading. Pass 0 for strict budgets when an
+    external per-host last-fetch state enforces long delays across
+    windows.
 
     Returns (host, url, priority, rank, scheduled_offset_ms), one row
     per URL that fits this window's politeness budgets; rank is
@@ -105,6 +114,10 @@ def frontier_schedule(
         F.col("__delay").cast("double"),
     ).otherwise(F.lit(float(default_delay)))
     budget = F.floor(F.lit(float(window_seconds)) / delay).cast("long")
+    if min_per_host:
+        budget = F.greatest(
+            budget, F.lit(int(min_per_host)).cast("long")
+        )
     if max_per_host is not None:
         budget = F.least(budget, F.lit(int(max_per_host)).cast("long"))
     w = Window.partitionBy(host_col).orderBy(

@@ -182,14 +182,18 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth += 1
-            for k, v in attrs:
-                if k == "href" and v:
-                    self.links.append(v)
-                    self.link_texts.append("")
-                    self._open_anchors.append(
-                        (len(self.links) - 1, [])
-                    )
-                    break
+            href = next(
+                (v for k, v in attrs if k == "href" and v), None
+            )
+            if href is not None:
+                self.links.append(href)
+                self.link_texts.append("")
+                self._open_anchors.append((len(self.links) - 1, []))
+            else:
+                # placeholder keeps </a> pops aligned — an href-less
+                # inner <a> must not steal the outer link's close
+                # (review finding)
+                self._open_anchors.append((None, []))
         elif tag == "br":
             self._buf.append(" ")
         if tag in _BLOCK_TAGS:
@@ -225,7 +229,10 @@ class _Extractor(HTMLParser):
             self._anchor_depth = max(0, self._anchor_depth - 1)
             if self._open_anchors:
                 idx, buf = self._open_anchors.pop()
-                self.link_texts[idx] = " ".join("".join(buf).split())
+                if idx is not None:
+                    self.link_texts[idx] = " ".join(
+                        "".join(buf).split()
+                    )
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -250,7 +257,8 @@ class _Extractor(HTMLParser):
         self._finish_title()
         while self._open_anchors:  # unclosed <a> at EOF
             idx, buf = self._open_anchors.pop()
-            self.link_texts[idx] = " ".join("".join(buf).split())
+            if idx is not None:
+                self.link_texts[idx] = " ".join("".join(buf).split())
         self._flush()
 
 

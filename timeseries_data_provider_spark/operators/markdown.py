@@ -97,9 +97,11 @@ class _MdConverter(HTMLParser):
     # -- text plumbing -------------------------------------------------
 
     _BR = "\x00"  # hard-break sentinel: survives whitespace collapse
+    _A0 = "\x01"  # anchor-open sentinel (never emitted)
 
     def _text(self) -> str:
         collapsed = " ".join("".join(self._line).split())
+        collapsed = collapsed.replace(self._A0, "")
         return re.sub(r" ?\x00 ?", "\n", collapsed).strip("\n")
 
     def _flush(self, prefix: str = "", kind: str = "block") -> None:
@@ -170,7 +172,7 @@ class _MdConverter(HTMLParser):
             self._quote += 1
         elif tag == "a":
             self._anchor.append(ad.get("href"))
-            self._line.append("[")
+            self._line.append(self._A0)  # anchor-open sentinel
         elif tag == "img":
             alt = ad.get("alt") or ""
             src = ad.get("src") or ""
@@ -253,15 +255,25 @@ class _MdConverter(HTMLParser):
         elif tag == "a":
             href = self._anchor.pop() if self._anchor else None
             text_after = "".join(self._line)
-            # close the [ opened at start: find the last unmatched [
-            idx = text_after.rfind("[")
-            label = text_after[idx + 1 :].strip() if idx >= 0 else ""
+            # close the sentinel opened at start; a block flush inside
+            # the anchor may have discarded it (idx < 0) — then the
+            # remaining text stays intact and the link renders with
+            # its href as the label (review finding: rfind('[') both
+            # chopped a character at idx=-1 and mis-split on literal
+            # '[' in the anchor text)
+            idx = text_after.rfind(self._A0)
+            if idx >= 0:
+                head = text_after[:idx]
+                label = text_after[idx + 1 :].strip()
+            else:
+                head = text_after
+                label = ""
             if href:
                 if not label:
                     label = href
-                self._line = [text_after[:idx], f"[{label}]({href})"]
-            elif idx >= 0:
-                self._line = [text_after[:idx], label]
+                self._line = [head, f"[{label}]({href})"]
+            else:
+                self._line = [head, label]
         elif tag in ("strong", "b"):
             self._line.append("**")
         elif tag in ("em", "i"):
@@ -310,6 +322,16 @@ class _MdConverter(HTMLParser):
 
     def markdown(self) -> str:
         self.close()
+        if self._pre and self._pre_buf:
+            # truncated page ending inside <pre> (review finding:
+            # the buffered code silently vanished)
+            self._pre = 0
+            code = "".join(self._pre_buf).strip("\n")
+            self._pre_buf.clear()
+            fence = "```"
+            while fence in code:
+                fence += "`"
+            self.out.append(("block", f"{fence}\n{code}\n{fence}"))
         self._flush()
         # consecutive list items join TIGHT (single newline); block
         # boundaries get the usual blank line

@@ -68,6 +68,13 @@ def _reencode(s: str) -> bytes | None:
     damage (cp1252-mapped punctuation + a raw C1 char in the same
     string, e.g. latin-1-decoded U+0080 next to cp1252-decoded
     U+2019) unrepaired (ADVICE r9)."""
+    try:
+        # fast path: the clean-text majority encodes wholesale at C
+        # speed (review finding: an unconditional per-character loop
+        # slowed the ingest hot path ~10x for nothing)
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        pass
     out = bytearray()
     for ch in s:
         try:

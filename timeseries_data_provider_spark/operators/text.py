@@ -676,20 +676,30 @@ def bm25_topk(
     if not qterms:
         raise ValueError("bm25_topk: queries contain no terms")
     qdf = spark.createDataFrame(qterms, "query string, term string")
+    # ONE explode feeds everything: tf is the only corpus-derived
+    # aggregate; dl and the corpus term total derive FROM tf (same
+    # values, no second scan), and df is computed only for the query
+    # terms AFTER the broadcast prune (review finding: a
+    # full-vocabulary df frame under F.broadcast would collect
+    # web-scale vocab to the driver). tf is pinned so its two
+    # consumers don't re-run the explode.
     words = documents.select(
         F.col(id_col).alias("doc_id"), F.explode(_words(text_col)).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    pruned = tf.join(
+        F.broadcast(qdf.select("term").distinct()), "term"
     )
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = documents.agg(
         F.count(F.lit(1)).alias("__n")
-    ).crossJoin(words.agg(F.count(F.lit(1)).alias("__terms")))
+    ).crossJoin(tf.agg(F.sum("tf").alias("__terms")))
     matched = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df), "term")
+        pruned.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )

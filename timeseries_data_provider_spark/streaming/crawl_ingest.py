@@ -117,14 +117,22 @@ def crawl_batch_to_docs(
     # same canonical URL twice in one batch (a duplicated record or a
     # changed page fetched twice): ONE deterministic winner rule for
     # BOTH the landed text and the provenance features — min over a
-    # text-FIRST struct, so min(text) still picks the doc and the
-    # meta row describes THAT SAME fetch (ADVICE r9: two separate
-    # min() orderings could describe different duplicates).
+    # struct led by a QUALIFIES-FIRST flag then text, so a qualifying
+    # fetch always beats a truncated one (review finding: a text-first
+    # min let an empty/short duplicate shadow a good fetch and drop
+    # the doc entirely) and the meta row still describes THE SAME
+    # fetch that landed (ADVICE r9: two separate min() orderings
+    # could describe different duplicates).
     rep = (
         feats.groupBy("doc_id")
         .agg(
             F.min(
                 F.struct(
+                    # NULL text must count as non-qualifying, not sort
+                    # first (asc struct order puts NULLs first)
+                    F.coalesce(
+                        F.length("text") < min_text_chars, F.lit(True)
+                    ).alias("__bad"),
                     "text",
                     "title",
                     "html_lang",
@@ -135,6 +143,7 @@ def crawl_batch_to_docs(
             ).alias("__f")
         )
         .select("doc_id", "__f.*")
+        .drop("__bad")
     )
     meta = pages.select(
         "archive_id",
