@@ -148,6 +148,7 @@ def frontier_from_crawl(
     delays: DataFrame | None = None,
     host_priorities: DataFrame | None = None,
     max_per_host: int | None = None,
+    min_per_host: int = 1,
     base_col: str = "base_url",
     href_col: str = "href",
 ) -> DataFrame:
@@ -197,5 +198,6 @@ def frontier_from_crawl(
         default_delay=default_delay,
         delays=delays,
         max_per_host=max_per_host,
+        min_per_host=min_per_host,
         host_col="host",
     )
