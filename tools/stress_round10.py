@@ -38,8 +38,13 @@ zratio     zlib compression-ratio quality signal at 64x: half
            must compress better than EVERY prose doc, and a 1k-row
            sample is recomputed exactly with driver-side zlib.
 
+cdcchunk   FastCDC gear chunking over 640 MB of binary payloads with
+           planted exact AND prefix-shifted duplicates: total bytes
+           exact, dedup must beat the exact-duplicate floor by 1.5x
+           (the content-defined property at scale).
+
 Usage: python tools/stress_round10.py
-       [mdconvert|knlm|phash|zorder|frontier|zratio]
+       [mdconvert|knlm|phash|zorder|frontier|zratio|cdcchunk]
 Env: STRESS_MD_N (default 64000), STRESS_KN_N (default 320000),
 STRESS_PHASH_N (default 65000), STRESS_ZORDER_N (default 6400000),
 STRESS_FRONTIER_HOSTS (default 100000), STRESS_ZRATIO_N (default
@@ -407,6 +412,64 @@ def probe_zratio(spark) -> None:
     )
 
 
+def probe_cdcchunk(spark) -> None:
+    n = int(os.environ.get("STRESS_CDC_N", "6400"))
+    from timeseries_data_provider_spark.operators import cdc
+
+    # 100 KB per payload; every 4th doc is an exact duplicate of its
+    # predecessor and every 8th is its predecessor with a 5 KB prefix
+    # inserted (the CDC win: fixed blocks would dedup NONE of those
+    # shifted bytes)
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for i in pdf["id"]:
+                i = int(i)
+                base = i - (i % 4 == 1) - 2 * (i % 8 == 2)
+                rng = np.random.RandomState(base)
+                data = rng.randint(0, 256, 100_000, dtype=np.uint8)
+                payload = data.tobytes()
+                if i % 8 == 2:
+                    rng2 = np.random.RandomState(10_000_000 + i)
+                    payload = (
+                        rng2.randint(0, 256, 5_000, dtype=np.uint8)
+                        .tobytes() + payload
+                    )
+                out["doc_id"].append(i)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id long, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    total_bytes = media.agg(F.sum(F.length("payload"))).first()[0]
+    t0 = time.perf_counter()
+    chunks = cdc.cdc_chunks(
+        media, min_size=2048, avg_size=8192, max_size=65536
+    ).localCheckpoint(eager=True)
+    stats = cdc.chunk_dedup_stats(chunks).first()
+    dt = time.perf_counter() - t0
+    assert stats["total_bytes"] == total_bytes
+    # exact duplicates alone guarantee >= n/4 payloads' bytes saved;
+    # the n/8 prefix-shifted copies must contribute a further ~0.3x+
+    # on top (their ~100 KB tails re-chunk identically once the gear
+    # window resynchronizes — the content-defined property at scale)
+    exact_dup_bytes = (n // 4) * 100_000
+    assert stats["dup_bytes"] > exact_dup_bytes * 1.3, stats
+    _emit(
+        "cdcchunk",
+        n_payloads=n,
+        payload_mb=round(total_bytes / 1e6, 1),
+        n_chunks=int(stats["n_chunks"]),
+        dedup_ratio=float(stats["dedup_ratio"]),
+        secs=round(dt, 2),
+        mb_per_sec=round(total_bytes / 1e6 / dt, 1),
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "mdconvert",
@@ -415,6 +478,7 @@ def main() -> None:
         "zorder",
         "frontier",
         "zratio",
+        "cdcchunk",
     ]
     spark = get_spark("tdps-stress-r10")
     for name in which:
