@@ -977,3 +977,73 @@ def test_bm25_matches_reference(spark):
         T.bm25_topk(df, [])
     with _pytest.raises(ValueError):
         T.bm25_topk(df, ["   "])
+
+
+def test_chunk_sentences_boundaries_and_reassembly(spark):
+    from timeseries_data_provider_spark.operators import pipeline
+
+    text = (
+        "one two three. four five? six seven eight! nine. "
+        "ten eleven twelve thirteen."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # budget 5: sentences have 3,2,3,1,4 tokens; cumulative starts
+    # 0,3,5,8,9 -> chunks floor(start/5) = 0,0,1,1,1
+    got = sorted(
+        (r["chunk_idx"], r["n_sentences"], r["n_tokens"], r["chunk_text"])
+        for r in pipeline.chunk_sentences(df, max_tokens=5).collect()
+    )
+    assert got == [
+        (0, 2, 5, "one two three. four five?"),
+        (1, 3, 8, "six seven eight! nine. ten eleven twelve thirteen."),
+    ]
+    # reassembly without overlap reproduces the sentence sequence
+    joined = " ".join(t for *_, t in got)
+    assert joined == text
+
+
+def test_chunk_sentences_overlap(spark):
+    from timeseries_data_provider_spark.operators import pipeline
+
+    text = "a b. c d. e f. g h."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["chunk_idx"]: r
+        for r in pipeline.chunk_sentences(
+            df, max_tokens=4, overlap_sentences=1
+        ).collect()
+    }
+    # base chunks: starts 0,2,4,6 -> chunk 0: (a b., c d.), chunk 1:
+    # (e f., g h.); overlap repeats chunk 0's last sentence into 1
+    assert got[0]["chunk_text"] == "a b. c d."
+    assert got[1]["chunk_text"] == "c d. e f. g h."
+    assert got[1]["n_sentences"] == 3
+    # no phantom chunk past the document's last real chunk
+    assert set(got) == {0, 1}
+
+
+def test_chunk_sentences_edge_cases(spark):
+    import pytest as _pytest
+
+    from timeseries_data_provider_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # empty -> no rows
+            (2, "single run of nine tokens without any punctuation"),
+            (3, "tiny."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pipeline.chunk_sentences(df, max_tokens=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    # one giant sentence lands ALONE, overrunning the budget (stated)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 8
+    assert by_doc[3][0]["chunk_text"] == "tiny."
+    with _pytest.raises(ValueError):
+        pipeline.chunk_sentences(df, max_tokens=0)
+    with _pytest.raises(ValueError):
+        pipeline.chunk_sentences(df, overlap_sentences=-1)

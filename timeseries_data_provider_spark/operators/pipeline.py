@@ -947,3 +947,113 @@ def corpus_diff(
     return oh.join(nh, "doc_id", "full").select(
         "doc_id", status.alias("status")
     )
+
+
+def split_sentences(text_col: str = "text") -> Column:
+    """Sentence segmentation as a JVM expression: split AFTER runs of
+    sentence-ending punctuation ([.!?]) followed by whitespace (Java
+    regex lookbehind — stays in codegen), empty segments dropped. A
+    deterministic, language-light rule: abbreviations ("e.g. x") DO
+    split — stated, the cost of staying declarative; the plug point
+    for a learned segmenter is the same column contract."""
+    return F.array_remove(
+        F.split(F.col(text_col), "(?<=[.!?])[ \\t\\n\\x0B\\f\\r]+"), ""
+    )
+
+
+def chunk_sentences(
+    documents: DataFrame,
+    max_tokens: int = 128,
+    overlap_sentences: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aware chunking — the RAG/embedding-ingest splitter:
+    sentences never split mid-way, consecutive sentences group into
+    chunks by a START-BASED token budget, and ``overlap_sentences``
+    repeats each chunk's trailing sentences at the head of the next
+    (retrieval context continuity).
+
+    Budget rule (declarative, exact): sentence s starts chunk
+    ``floor(tokens_before_s / max_tokens)`` — every chunk STARTS
+    within budget; a chunk may overrun by its final sentence (true
+    greedy packing is an inherently sequential fold — this is the
+    stated declarative approximation, and single sentences longer
+    than the budget land alone rather than being split).
+
+    Returns (id, chunk_idx, n_sentences, n_tokens, chunk_text) —
+    without overlap, concatenating chunk_text over chunk_idx
+    reproduces the sentence sequence exactly (pinned in tests).
+
+    Shape: one explode + two windows partitioned by doc (cumulative
+    tokens, then per-chunk collect) — no self-join; the overlap is a
+    bounded per-chunk window tail, never a cross join."""
+    if max_tokens < 1:
+        raise ValueError(f"chunk_sentences: max_tokens {max_tokens!r}")
+    if overlap_sentences < 0:
+        raise ValueError(
+            f"chunk_sentences: overlap_sentences {overlap_sentences!r}"
+        )
+    from pyspark.sql import Window
+
+    sents = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(split_sentences(text_col)).alias(
+                "sent_idx", "sent"
+            ),
+        )
+        .withColumn("n_tok", F.size(tokens("sent")))
+    )
+    w = Window.partitionBy("doc_id").orderBy("sent_idx")
+    sents = sents.withColumn(
+        "__before",
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    ).withColumn(
+        "chunk_idx", F.floor(F.col("__before") / max_tokens).cast("long")
+    )
+    if overlap_sentences:
+        # repeat each chunk's last k sentences into the NEXT chunk:
+        # a sentence also belongs to chunk c+1 when it is among the
+        # last k of chunk c — rank from the chunk's end via a
+        # descending window
+        wd = Window.partitionBy("doc_id", "chunk_idx").orderBy(
+            F.col("sent_idx").desc()
+        )
+        tail = (
+            sents.withColumn("__rev", F.row_number().over(wd))
+            .filter(F.col("__rev") <= overlap_sentences)
+            .withColumn("chunk_idx", F.col("chunk_idx") + 1)
+            .drop("__rev")
+        )
+        # only into chunks that exist (the doc's last chunk has no
+        # successor): semi-join on the real chunk ids
+        real = sents.select("doc_id", "chunk_idx").distinct()
+        tail = tail.join(real, ["doc_id", "chunk_idx"], "left_semi")
+        sents = sents.unionByName(tail)
+    return (
+        sents.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sent_idx", "sent"))
+                    ),
+                    lambda s: s["sent"],
+                ),
+            ).alias("chunk_text"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "chunk_idx",
+            "n_sentences",
+            "n_tokens",
+            "chunk_text",
+        )
+    )
