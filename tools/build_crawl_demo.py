@@ -18,7 +18,13 @@ Pipeline driven here, all real operators:
  4. curate the landed corpus (lang gate vacuous here) -> BPE-counted
     token-budget selection -> chunk/pack -> fixed training shards
     with manifest;
- 5. print per-stage counts; exit nonzero on any broken contract.
+ 5. close the crawl LOOP (r10): the stream also emits each batch's
+    politeness-scheduled NEXT fetch list (frontier_kw) — assert the
+    schedule excludes everything already fetched;
+ 6. structure-preserving Markdown conversion of the same pages
+    (operators/markdown) and a seeded deterministic shuffled
+    training order in the shard writer;
+ 7. print per-stage counts; exit nonzero on any broken contract.
 """
 
 from __future__ import annotations
@@ -139,6 +145,7 @@ def main() -> int:
     q = crawl_ingest.ingest_crawl_stream(
         spark, src, root, robots_rules=rules,
         min_est=1.0, max_df=None, max_bucket=None,
+        frontier_kw={"window_seconds": 30.0},
     )
     try:
         q.processAllAvailable()
@@ -166,6 +173,45 @@ def main() -> int:
     check(
         "corpus is exact-dedup-clean",
         docs.select("text").distinct().count() == n_docs,
+    )
+
+    # 2b. the crawl loop is CLOSED: the last batch emitted the next
+    # politeness-scheduled fetch list; nothing already fetched may
+    # reschedule
+    frontier_next = spark.read.parquet(root + "/frontier_next")
+    fetched_urls = {
+        r["url_norm"]
+        for r in meta.select("url_norm").distinct().collect()
+        if r["url_norm"]
+    }
+    nxt = frontier_next.collect()
+    check(
+        "frontier schedules discovered URLs",
+        len(nxt) > 0 and all(r["url"] not in fetched_urls for r in nxt),
+        f"next={len(nxt)}",
+    )
+    check(
+        "frontier politeness ranks per host",
+        all(r["rank"] >= 1 for r in nxt)
+        and all(r["scheduled_offset_ms"] >= 0 for r in nxt),
+    )
+
+    # 2c. structure-preserving Markdown of the same pages (r10)
+    from timeseries_data_provider_spark.operators import markdown as md
+
+    pages_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(range(20)),
+             "html": [page_html(i) for i in range(20)]}
+        )
+    )
+    mdrows = md.html_markdown(pages_df).collect()
+    check(
+        "markdown keeps structure",
+        all(r["markdown"].startswith(f"# Heading {r['doc_id']}")
+            for r in mdrows)
+        and all("[one](/a) [two](/b)" in r["markdown"] for r in mdrows),
+        f"pages={len(mdrows)}",
     )
 
     # 3. crash-replay + reconcile ---------------------------------------
@@ -216,7 +262,8 @@ def main() -> int:
     packed = pipeline.chunk_and_pack(picked, chunk_tokens=16, budget=64)
     check("packs exist", packed.count() > 0, f"packs={packed.count()}")
     pipeline.write_training_shards(
-        picked.select("doc_id", "text"), shards, n_shards=4
+        picked.select("doc_id", "text"), shards, n_shards=4,
+        shuffle_seed=11,
     )
     back = spark.read.parquet(shards + "/data")
     check(
