@@ -362,3 +362,50 @@ def test_kn_degenerate_corpora_guarded(spark):
         assert 0.0 < r["p"] <= 1.0
     with pytest.raises(ValueError):
         lm.kneser_ney_lm(tdf, n=1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdef")), min_size=3, max_size=12
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_property_kn_matches_reference(spark, docs_tokens, n):
+    """Random tiny corpora: the distributed KN estimator's tables,
+    discounts, and probabilities all equal the independent Python
+    reference (probabilities to 1e-12 relative)."""
+    train = {
+        i: " ".join(ws) for i, ws in enumerate(docs_tokens)
+    }
+    tdf = spark.createDataFrame(
+        list(train.items()), "doc_id long, text string"
+    )
+    model = lm.kneser_ney_lm(tdf, n=n)
+    ref = ref_kn_model(train, n=n)
+    for k in range(1, n + 1):
+        got = {
+            (r["context"], r["tok"]): r["cnt"]
+            for r in model["tables"][k - 1].collect()
+        }
+        assert got == ref["tables"][k], (k, got)
+        assert model["discounts"][k - 1] == ref["discounts"][k]
+    # probe a handful of (context, tok) pairs incl. unseen ones
+    vocab = sorted({t for ws in docs_tokens for t in ws}) or ["a"]
+    ctxs = [
+        " ".join(docs_tokens[0][: n - 1]),
+        " ".join(["zz"] * (n - 1)),
+    ]
+    pairs = spark.createDataFrame(
+        [(c, t) for c in ctxs for t in vocab[:3] + ["__unseen__"]],
+        "context string, tok string",
+    )
+    for r in lm.kneser_ney_prob(pairs, model).collect():
+        want = ref_kn_prob(ref, r["context"], r["tok"])
+        assert r["p"] == pytest.approx(want, rel=1e-12), (
+            r["context"], r["tok"],
+        )
