@@ -168,3 +168,41 @@ def test_tie_allow_wins(spark):
     assert _filter(spark, rules, ["http://example.com/page"]) == [
         "http://example.com/page"
     ]
+
+
+def test_robots_delays_df(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["a.com", "b.com", "c.com", "d.com"],
+                "robots_txt": [
+                    "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n",
+                    "User-agent: *\nDisallow: /\n",  # no delay -> no row
+                    None,
+                    "User-agent: bot\nCrawl-delay: 9\n"
+                    "User-agent: *\nCrawl-delay: 1\n",
+                ],
+            }
+        )
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in R.robots_delays_df(df).collect()
+    }
+    assert got == {"a.com": 2.5, "d.com": 1.0}
+    bot = {
+        r["host"]: r["crawl_delay"]
+        for r in R.robots_delays_df(df, agent="bot").collect()
+    }
+    assert bot["d.com"] == 9.0
+    # the frame plugs straight into the frontier
+    from timeseries_data_provider_spark.operators import frontier
+
+    cands = spark.createDataFrame(
+        [(f"http://a.com/p{i}", float(i)) for i in range(40)],
+        "url string, priority double",
+    )
+    out = frontier.frontier_schedule(
+        cands, window_seconds=30.0, delays=R.robots_delays_df(df)
+    ).collect()
+    assert len(out) == 12  # floor(30 / 2.5)

@@ -42,6 +42,7 @@ __all__ = [
     "parse_robots",
     "rule_to_like",
     "robots_rules_df",
+    "robots_delays_df",
     "robots_filter",
 ]
 
@@ -242,3 +243,32 @@ def robots_filter(
     )
     keep = ~F.col("__allowed") if keep_disallowed else F.col("__allowed")
     return decided.filter(keep).select(*urls.columns)
+
+def robots_delays_df(
+    robots: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """One Arrow parse pass: (domain, robots_txt) -> (host,
+    crawl_delay) rows for ``agent`` — the delays frame
+    ``frontier.frontier_schedule`` consumes (the robots->frontier
+    plumbing; ``robots_rules_df`` carries the Allow/Disallow rules
+    but dropped the de-facto Crawl-delay). Domains without a parsed
+    delay emit NO row (the frontier's default_delay applies)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "crawl_delay": []}
+            for dom, txt in zip(pdf[domain_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                delay = parse_robots(str(txt), agent)["crawl_delay"]
+                if delay is not None:
+                    out["host"].append(dom)
+                    out["crawl_delay"].append(float(delay))
+            yield pd.DataFrame(out)
+
+    return robots.select(domain_col, text_col).mapInPandas(
+        run, "host string, crawl_delay double"
+    )
