@@ -112,3 +112,16 @@ def test_spark_chunks_and_dedup_stats(spark):
     assert stats["unique_bytes"] == len(blob) + len(other)
     assert stats["dup_bytes"] == len(blob)
     assert stats["n_chunks"] == len(rows)
+
+
+def test_blockwise_hashing_matches_single_pass(monkeypatch):
+    # the vectorized hash runs in blocks with a carry window; a tiny
+    # block size must produce IDENTICAL boundaries (cross-boundary
+    # positions depend on carried bytes)
+    rng = np.random.RandomState(11)
+    data = rng.randint(0, 256, 40_000, dtype=np.uint8).tobytes()
+    whole = cdc.cdc_boundaries(data, 512, 1024, 8192)
+    monkeypatch.setattr(cdc, "_BLOCK", 777)  # odd, < bits multiples
+    blocked = cdc.cdc_boundaries(data, 512, 1024, 8192)
+    assert blocked == whole
+    assert blocked == naive_boundaries(data, 512, 1024, 8192)

@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["cdc_boundaries", "cdc_chunks", "chunk_dedup_stats"]
 
+# positions hashed per vectorized pass (module-level so tests can
+# shrink it and pin cross-block-boundary equivalence)
+_BLOCK = 1 << 23  # 8 MiB
+
 # fixed public gear table: G[v] = first 8 bytes of sha256("cdc-gear-v")
 _GEAR = np.array(
     [
@@ -83,20 +87,36 @@ def cdc_boundaries(
     if n == 0:
         return []
     buf = np.frombuffer(data, dtype=np.uint8)
-    g = _GEAR[buf]
     # masked gear hash at every position: low `bits` bits of
     # h_i = sum_{k=0..bits-1} G[b_{i-k}] << k  (older terms shifted
-    # out of the mask) — `bits` shifted adds, fully vectorized
+    # out of the mask) — `bits` shifted adds, fully vectorized.
+    # Processed in BLOCKS with a (bits-1)-byte carry so peak temp
+    # memory is ~3x the block, not ~24x the payload (a 100 MB video
+    # payload must not allocate gigabytes per row).
     mask = np.uint64((1 << bits) - 1)
-    acc = np.zeros(n, dtype=np.uint64)
-    for k in range(bits):
-        shifted = (g << np.uint64(k)) & mask
-        if k:
-            acc[k:] += shifted[:-k]
-        else:
-            acc += shifted
-        acc &= mask
-    hits = np.flatnonzero(acc == 0)
+    block = _BLOCK
+    hit_parts: list[np.ndarray] = []
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        lo = max(0, b0 - (bits - 1))  # carry window
+        g = _GEAR[buf[lo:b1]]
+        m = b1 - lo
+        acc = np.zeros(m, dtype=np.uint64)
+        for k in range(bits):
+            shifted = (g << np.uint64(k)) & mask
+            if k:
+                acc[k:] += shifted[:-k]
+            else:
+                acc += shifted
+            acc &= mask
+        part = np.flatnonzero(acc[b0 - lo :] == 0)
+        if part.size:
+            hit_parts.append(part + b0)
+    hits = (
+        np.concatenate(hit_parts)
+        if hit_parts
+        else np.empty(0, dtype=np.int64)
+    )
     out: list[int] = []
     start = 0
     hi = 0

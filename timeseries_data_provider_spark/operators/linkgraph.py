@@ -180,6 +180,9 @@ def anchor_text_agg(
             F.col(text_col).alias("__t"),
         )
         .filter(F.col("url").isNotNull())
+        # three consumers (refs, counts twice) — pin so the Arrow
+        # resolve pass runs once, not per consumer
+        .localCheckpoint(eager=False)
     )
     refs = base.groupBy("url").agg(F.count(F.lit(1)).alias("n_refs"))
     counts = (
