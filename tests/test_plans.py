@@ -199,3 +199,77 @@ def test_rp_topk_inline_is_single_scan_topk(spark):
     plan = explain_str(similarity.rp_topk(e, 0, k=10, out_dim=8))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_smj_fact_side(spark, tmp_path):
+    """Catalyst's runtime Bloom-filter join pruning (Spark 4 default-
+    on): for a sort-merge join with a selective build side, the fact
+    side's scan gains a might_contain() predicate built from the dim
+    side — rows that cannot join are dropped BEFORE the shuffle (the
+    100 TB lever: shuffle bytes track the join's selectivity, not the
+    fact's size). Thresholds here are lowered to local sizes, the AQE
+    skew-join evidence methodology; the engine's session leaves the
+    optimization enabled."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(500_000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("pay"),
+    ).write.mode("overwrite").parquet(fact_p)
+    spark.range(50).select((F.col("id") * 999).alias("k")).write.mode(
+        "overwrite"
+    ).parquet(dim_p)
+
+    def plan(bloom_on):
+        old = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "creationSideThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                str(bloom_on).lower(),
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "1MB",
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "creationSideThreshold",
+                "10MB",
+            )
+            # force SMJ: broadcast joins don't need the filter
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # the injector wants a LIKELY-SELECTIVE predicate on
+            # the creation side (a bare small table is not enough)
+            dim = spark.read.parquet(dim_p).filter(
+                F.col("k") < 40_000
+            )
+            q = spark.read.parquet(fact_p).join(dim, "k")
+            assert q.count() == 41
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                q.explain("formatted")
+            return buf.getvalue()
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+
+    with_bloom = plan(True)
+    without = plan(False)
+    assert "might_contain" in with_bloom
+    assert "might_contain" not in without
