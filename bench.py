@@ -90,6 +90,13 @@ EXPLAINED_MOVES = {
     ),
 }
 
+# q63 is deliberately NOT branch-timed: its codec branches ride ONE
+# media frame through ONE Arrow decode pass, and a `kind` filter
+# cannot push below mapInPandas — a filtered run would still decode
+# every payload, pricing the union, not the branch (the opposite of
+# q31's literal-tag children, which Catalyst prunes). The per-codec
+# signal lives in the §C throughput rows instead (BASELINE.md).
+#
 # Per-branch timing for union-composed queries (VERDICT r8 item 8):
 # a composed row's headline number is insensitive to a regression in
 # any one branch, so each branch is ALSO timed as the full query
