@@ -125,3 +125,21 @@ def test_blockwise_hashing_matches_single_pass(monkeypatch):
     blocked = cdc.cdc_boundaries(data, 512, 1024, 8192)
     assert blocked == whole
     assert blocked == naive_boundaries(data, 512, 1024, 8192)
+
+
+def test_null_doc_id_dropped_without_mangling(spark):
+    # review finding: one NULL id coerced the pandas column to
+    # float64, and int(float) would corrupt xxhash64-scale ids in the
+    # same batch; NULL ids now drop JVM-side before Arrow
+    big = (1 << 62) + 12345  # far above float64's exact-int range
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([big, None], dtype="Int64"),
+                "payload": [b"x" * 5000, b"y" * 5000],
+            }
+        )
+    )
+    rows = cdc.cdc_chunks(df, min_size=512, avg_size=1024,
+                          max_size=8192).collect()
+    assert rows and all(r["doc_id"] == big for r in rows)

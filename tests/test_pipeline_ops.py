@@ -1047,3 +1047,26 @@ def test_chunk_sentences_edge_cases(spark):
         pipeline.chunk_sentences(df, max_tokens=0)
     with _pytest.raises(ValueError):
         pipeline.chunk_sentences(df, overlap_sentences=-1)
+
+
+def test_chunk_sentences_overlap_survives_index_gap(spark):
+    # review finding: an oversized sentence skips chunk indices
+    # (start-based floor jumps several budget multiples); the overlap
+    # must land in the NEXT REAL chunk, not a phantom "+1"
+    text = "a b c. " + " ".join(f"w{i}" for i in range(12)) + ". x y."
+    # token counts 3, 12, 2 -> starts 0, 3, 15 -> chunks 0, 0?, ...
+    # with max_tokens=5: floor(0/5)=0, floor(3/5)=0, floor(15/5)=3
+    from timeseries_data_provider_spark.operators import pipeline
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["chunk_idx"]: r
+        for r in pipeline.chunk_sentences(
+            df, max_tokens=5, overlap_sentences=1
+        ).collect()
+    }
+    assert set(got) == {0, 3}  # the gap is real
+    # chunk 0's last sentence (the giant one) overlaps into chunk 3
+    assert got[3]["chunk_text"].startswith("w0 ")
+    assert got[3]["chunk_text"].endswith("x y.")
+    assert got[3]["n_sentences"] == 2

@@ -8,6 +8,7 @@ missing-domain default-allow, duplicate URLs, audit view)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from timeseries_data_provider_spark.operators import robots as R
 
@@ -206,3 +207,45 @@ def test_robots_delays_df(spark):
         cands, window_seconds=30.0, delays=R.robots_delays_df(df)
     ).collect()
     assert len(out) == 12  # floor(30 / 2.5)
+
+
+def test_robots_profile_single_pass_covers_both_frames(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["a.com", "b.com", "c.com"],
+                "robots_txt": [
+                    "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+                    "Allow: /x/pub\n",
+                    "User-agent: *\nCrawl-delay: 7\n",  # delay only
+                    "User-agent: *\nDisallow: /q\n",    # rules only
+                ],
+            }
+        )
+    )
+    prof = R.robots_profile_df(df).localCheckpoint(eager=True)
+    rules = prof.filter(F.col("like_pattern").isNotNull()).drop(
+        "crawl_delay"
+    )
+    delays = (
+        prof.filter(F.col("crawl_delay").isNotNull())
+        .select(F.col("domain").alias("host"), "crawl_delay")
+        .distinct()
+    )
+    got_rules = {
+        (r["domain"], r["like_pattern"], r["allow"])
+        for r in rules.collect()
+    }
+    assert got_rules == {
+        ("a.com", "/x%", False),
+        ("a.com", "/x/pub%", True),
+        ("c.com", "/q%", False),
+    }
+    got_delays = {
+        r["host"]: r["crawl_delay"] for r in delays.collect()
+    }
+    assert got_delays == {"a.com": 2.0, "b.com": 7.0}
+    # the derived rules frame drives the filter identically
+    kept = _filter(spark, rules, ["http://a.com/x/secret",
+                                  "http://a.com/x/pub/ok"])
+    assert kept == ["http://a.com/x/pub/ok"]

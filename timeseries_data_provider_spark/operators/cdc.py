@@ -43,8 +43,11 @@ from pyspark.sql import functions as F
 __all__ = ["cdc_boundaries", "cdc_chunks", "chunk_dedup_stats"]
 
 # positions hashed per vectorized pass (module-level so tests can
-# shrink it and pin cross-block-boundary equivalence)
-_BLOCK = 1 << 23  # 8 MiB
+# shrink it and pin cross-block-boundary equivalence). Peak temp
+# memory per pass is ~3 uint64 arrays = ~24 bytes PER POSITION
+# (review finding: an earlier comment claimed ~3x), so 2 Mi
+# positions ~= 48 MiB of temporaries per in-flight payload.
+_BLOCK = 1 << 21
 
 # fixed public gear table: G[v] = first 8 bytes of sha256("cdc-gear-v")
 _GEAR = np.array(
@@ -91,8 +94,9 @@ def cdc_boundaries(
     # h_i = sum_{k=0..bits-1} G[b_{i-k}] << k  (older terms shifted
     # out of the mask) — `bits` shifted adds, fully vectorized.
     # Processed in BLOCKS with a (bits-1)-byte carry so peak temp
-    # memory is ~3x the block, not ~24x the payload (a 100 MB video
-    # payload must not allocate gigabytes per row).
+    # memory is ~24 bytes per block POSITION (three uint64 arrays),
+    # bounded by _BLOCK instead of scaling with the payload (a 100 MB
+    # video payload must not allocate gigabytes per row).
     mask = np.uint64((1 << bits) - 1)
     block = _BLOCK
     hit_parts: list[np.ndarray] = []
@@ -158,7 +162,10 @@ def cdc_chunks(
                 "chunk_hash": [],
             }
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                if blob is None:
+                # a NULL id coerces the pandas column to float64/NaN
+                # (review finding: int(NaN) killed the task) — skip
+                # both NULL sides like the payload guard
+                if blob is None or rid is None or pd.isna(rid):
                     continue
                 data = bytes(blob)
                 prev = 0
@@ -175,10 +182,17 @@ def cdc_chunks(
                     prev = end
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(
-        run,
-        f"{id_col} long, chunk_idx long, offset long, length long, "
-        "chunk_hash string",
+    # NULL ids are dropped JVM-side BEFORE Arrow: one NULL would
+    # coerce the whole pandas id column to float64, silently mangling
+    # xxhash64-scale ids (> 2^53) in the same batch (review finding)
+    return (
+        df.select(id_col, blob_col)
+        .filter(F.col(id_col).isNotNull())
+        .mapInPandas(
+            run,
+            f"{id_col} long, chunk_idx long, offset long, length long, "
+            "chunk_hash string",
+        )
     )
 
 

@@ -1016,23 +1016,33 @@ def chunk_sentences(
         "chunk_idx", F.floor(F.col("__before") / max_tokens).cast("long")
     )
     if overlap_sentences:
-        # repeat each chunk's last k sentences into the NEXT chunk:
-        # a sentence also belongs to chunk c+1 when it is among the
-        # last k of chunk c — rank from the chunk's end via a
-        # descending window
+        # repeat each chunk's last k sentences into the NEXT REAL
+        # chunk — chunk indices can SKIP (an oversized sentence jumps
+        # several budget multiples), so "+1" would route the tail to
+        # a nonexistent chunk and silently drop the overlap (review
+        # finding); the successor comes from a lead() over the doc's
+        # actual chunk ids
         wd = Window.partitionBy("doc_id", "chunk_idx").orderBy(
             F.col("sent_idx").desc()
+        )
+        nxt = (
+            sents.select("doc_id", "chunk_idx")
+            .distinct()
+            .withColumn(
+                "__next",
+                F.lead("chunk_idx").over(
+                    Window.partitionBy("doc_id").orderBy("chunk_idx")
+                ),
+            )
         )
         tail = (
             sents.withColumn("__rev", F.row_number().over(wd))
             .filter(F.col("__rev") <= overlap_sentences)
-            .withColumn("chunk_idx", F.col("chunk_idx") + 1)
-            .drop("__rev")
+            .join(nxt, ["doc_id", "chunk_idx"])
+            .filter(F.col("__next").isNotNull())
+            .withColumn("chunk_idx", F.col("__next"))
+            .drop("__rev", "__next")
         )
-        # only into chunks that exist (the doc's last chunk has no
-        # successor): semi-join on the real chunk ids
-        real = sents.select("doc_id", "chunk_idx").distinct()
-        tail = tail.join(real, ["doc_id", "chunk_idx"], "left_semi")
         sents = sents.unionByName(tail)
     return (
         sents.groupBy("doc_id", "chunk_idx")

@@ -43,6 +43,7 @@ __all__ = [
     "rule_to_like",
     "robots_rules_df",
     "robots_delays_df",
+    "robots_profile_df",
     "robots_filter",
 ]
 
@@ -271,4 +272,62 @@ def robots_delays_df(
 
     return robots.select(domain_col, text_col).mapInPandas(
         run, "host string, crawl_delay double"
+    )
+
+
+def robots_profile_df(
+    robots: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """ONE Arrow parse pass emitting BOTH frames' content (review
+    finding: a crawl loop wiring rules + delays called parse_robots
+    over the whole robots corpus twice): (domain, allow, like_pattern,
+    rule_len, crawl_delay) — one row per rule with the group delay
+    repeated, plus one rule-less row (NULL pattern) for domains that
+    declare only a delay. Pin the result (localCheckpoint) and derive:
+
+    - rules  = profile.filter(like_pattern IS NOT NULL)
+               .drop(crawl_delay)
+    - delays = profile.filter(crawl_delay IS NOT NULL)
+               .select(domain AS host, crawl_delay).distinct()
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "domain": [],
+                "allow": [],
+                "like_pattern": [],
+                "rule_len": [],
+                "crawl_delay": [],
+            }
+            for dom, txt in zip(pdf[domain_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                parsed = parse_robots(str(txt), agent)
+                delay = parsed["crawl_delay"]
+                delay = float(delay) if delay is not None else None
+                if parsed["rules"]:
+                    for allow, path in parsed["rules"]:
+                        out["domain"].append(dom)
+                        out["allow"].append(allow)
+                        out["like_pattern"].append(rule_to_like(path))
+                        out["rule_len"].append(
+                            len(path.encode("utf-8"))
+                        )
+                        out["crawl_delay"].append(delay)
+                elif delay is not None:
+                    out["domain"].append(dom)
+                    out["allow"].append(None)
+                    out["like_pattern"].append(None)
+                    out["rule_len"].append(None)
+                    out["crawl_delay"].append(delay)
+            yield pd.DataFrame(out)
+
+    return robots.select(domain_col, text_col).mapInPandas(
+        run,
+        "domain string, allow boolean, like_pattern string, "
+        "rule_len long, crawl_delay double",
     )

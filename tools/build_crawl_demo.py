@@ -190,10 +190,22 @@ def main() -> int:
         len(nxt) > 0 and all(r["url"] not in fetched_urls for r in nxt),
         f"next={len(nxt)}",
     )
+    # pin the ACTUAL per-host politeness ladder (review finding: a
+    # rank>=1 / offset>=0 check was vacuous — row_number and
+    # (rank-1)*delay satisfy it by construction): with the default
+    # 1 s delay, each host's offsets must be exactly 0,1000,2000,...
+    by_host: dict = {}
+    for r in nxt:
+        by_host.setdefault(r["host"], []).append(r)
+    ladders_ok = all(
+        sorted((r["rank"], r["scheduled_offset_ms"]) for r in rows)
+        == [(k + 1, 1000 * k) for k in range(len(rows))]
+        for rows in by_host.values()
+    )
     check(
-        "frontier politeness ranks per host",
-        all(r["rank"] >= 1 for r in nxt)
-        and all(r["scheduled_offset_ms"] >= 0 for r in nxt),
+        "frontier politeness ladders exact",
+        ladders_ok,
+        f"hosts={len(by_host)}",
     )
 
     # 2c. structure-preserving Markdown of the same pages (r10)
