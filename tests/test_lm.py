@@ -409,3 +409,23 @@ def test_property_kn_matches_reference(spark, docs_tokens, n):
         assert r["p"] == pytest.approx(want, rel=1e-12), (
             r["context"], r["tok"],
         )
+
+
+def test_perplexity_buckets(spark):
+    scored = spark.createDataFrame(
+        [(i, -100 * i) for i in range(1, 10)] + [(99, None)],
+        "doc_id long, avg_logprob_milli long",
+    )
+    got = {
+        r["doc_id"]: (r["bucket_idx"], r["bucket"])
+        for r in lm.perplexity_buckets(scored).collect()
+    }
+    # scores -100..-900: head = highest (least negative) third
+    assert got[1] == (0, "head") and got[3] == (0, "head")
+    assert got[4] == (1, "middle") and got[6] == (1, "middle")
+    assert got[7] == (2, "tail") and got[9] == (2, "tail")
+    assert got[99] == (2, "tail")  # NULL -> last bucket, stated
+    with pytest.raises(ValueError):
+        lm.perplexity_buckets(scored, n_buckets=1)
+    with pytest.raises(ValueError):
+        lm.perplexity_buckets(scored, n_buckets=4)

@@ -400,3 +400,63 @@ def kneser_ney_score(
         ),
         F.col("avg_logprob_milli"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "avg_logprob_milli",
+    id_col: str = "doc_id",
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's final step (Wenzek et al. 2020 §4.4): partition the
+    corpus into perplexity buckets — "head" = lowest perplexity
+    (highest avg log-prob) under the reference LM, "tail" = most
+    surprising — so downstream sampling weights by quality tier
+    instead of hard-filtering.
+
+    Scale shape: bucket BOUNDARIES are the exact score percentiles
+    (ONE aggregate, n_buckets-1 scalars — the zorder/budget_select
+    bounded-driver-data rule), then assignment is a zero-shuffle
+    per-row comparison against broadcast literals — never a global
+    ntile/percent_rank window (single-partition at corpus scale).
+    Ties share a bucket (boundary docs with equal scores are not
+    split — sizes are equal up to tie mass, CCNet's own convention);
+    NULL scores (docs too short to score) land in the LAST bucket,
+    stated. Returns (id, bucket_idx, bucket)."""
+    if n_buckets < 2:
+        raise ValueError(
+            f"perplexity_buckets: n_buckets {n_buckets!r}"
+        )
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"perplexity_buckets: {len(labels)} labels for "
+            f"{n_buckets} buckets"
+        )
+    qs = [1.0 - i / n_buckets for i in range(1, n_buckets)]
+    row = scored.agg(
+        F.percentile(score_col, F.array(*[F.lit(q) for q in qs])).alias(
+            "__b"
+        )
+    ).first()
+    bounds = [float(b) for b in (row["__b"] or [])]
+    # bucket = number of boundaries the score falls BELOW (score DESC
+    # ordering: head holds scores above the top boundary)
+    bucket = F.lit(0).cast("long")
+    for b in bounds:
+        bucket = bucket + F.when(
+            F.col(score_col) < F.lit(b), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    bucket = F.when(
+        F.col(score_col).isNull(), F.lit(n_buckets - 1).cast("long")
+    ).otherwise(bucket)
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    return scored.select(
+        id_col,
+        bucket.alias("bucket_idx"),
+    ).withColumn(
+        "bucket",
+        F.element_at(
+            label_arr, (F.col("bucket_idx") + 1).cast("int")
+        ),
+    )
