@@ -470,6 +470,72 @@ def probe_cdcchunk(spark) -> None:
     )
 
 
+def probe_anchortext(spark) -> None:
+    n = int(os.environ.get("STRESS_ANCHOR_N", "6400000"))
+    from timeseries_data_provider_spark.operators import linkgraph
+
+    # 6.4M raw out-links: 100k distinct targets, each referenced 64x
+    # from pages on 1k hosts. id%4 is CONSTANT within a target (the
+    # 100k stride is divisible by 4), so targets split into two
+    # closed-form classes: t%4==0 -> all 64 refs share the planted
+    # common label (top_n=64, n_texts=1); otherwise all refs are
+    # unique (top_n=1, n_texts=64)
+    links = spark.range(n).select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("id") % 1000).cast("string"),
+            F.lit(".com/p"),
+            F.col("id").cast("string"),
+        ).alias("base_url"),
+        F.concat(
+            F.lit("http://t"),
+            (F.col("id") % 100_000).cast("string"),
+            F.lit(".org/page"),
+        ).alias("href"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.concat(
+                F.lit("Common Label "),
+                (F.col("id") % 100_000).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("unique "), F.col("id").cast("string"))
+        )
+        .alias("anchor_text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    prof = linkgraph.anchor_text_agg(links).localCheckpoint(eager=True)
+    n_targets = prof.count()
+    dt = round(time.perf_counter() - t0, 2)
+    assert n_targets == 100_000, n_targets
+    common_ok = (
+        (F.col("top_text_n") == 64)
+        & (F.col("n_texts") == 1)
+        & F.col("top_text").startswith("Common Label ")
+    )
+    unique_ok = (
+        (F.col("top_text_n") == 1)
+        & (F.col("n_texts") == 64)
+        & F.col("top_text").startswith("unique ")
+    )
+    agg = prof.agg(
+        F.sum("n_refs").alias("refs"),
+        F.sum(common_ok.cast("long")).alias("n_common"),
+        F.sum(unique_ok.cast("long")).alias("n_unique"),
+    ).first()
+    assert int(agg["refs"]) == n
+    assert int(agg["n_common"]) == 25_000, agg
+    assert int(agg["n_unique"]) == 75_000, agg
+    _emit(
+        "anchortext",
+        n_links=n,
+        n_targets=n_targets,
+        secs=dt,
+        links_per_sec=int(n / dt),
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "mdconvert",
@@ -479,6 +545,7 @@ def main() -> None:
         "frontier",
         "zratio",
         "cdcchunk",
+        "anchortext",
     ]
     spark = get_spark("tdps-stress-r10")
     for name in which:
