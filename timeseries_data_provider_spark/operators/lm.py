@@ -420,6 +420,10 @@ def perplexity_buckets(
     bounded-driver-data rule), then assignment is a zero-shuffle
     per-row comparison against broadcast literals — never a global
     ntile/percent_rank window (single-partition at corpus scale).
+    The exact percentile's accumulator is a per-value counts map —
+    bounded here because milli-nat scores are INTEGERS with data-
+    bounded cardinality; for a float score column swap in
+    approx_percentile (the GK sketch, same call shape).
     Ties share a bucket (boundary docs with equal scores are not
     split — sizes are equal up to tie mass, CCNet's own convention);
     NULL scores (docs too short to score) land in the LAST bucket,
