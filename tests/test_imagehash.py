@@ -227,3 +227,29 @@ def test_phash_spark_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     with pytest.raises(ValueError):
         IH.image_phash(df, hash_size=4)
+
+
+def test_pixel_hash_exact_cross_format_dedup(spark):
+    """image_pixel_hash: BMP and PNG encodings of the SAME pixels
+    share a hash (byte dedup can't see this); one changed pixel
+    breaks it (exactness — the perceptual tier would not)."""
+    px = _img(5)
+    tweaked = px.copy()
+    tweaked[0, 0] = (int(tweaked[0, 0]) + 1) % 256
+    rows = [
+        (1, mm.encode_bmp(32, 24, px)),
+        (2, mm.encode_png(32, 24, px)),
+        (3, mm.encode_bmp(32, 24, tweaked)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"])
+    )
+    got = {r["doc_id"]: r for r in IH.image_pixel_hash(df).collect()}
+    assert got[1]["pixel_sha"] == got[2]["pixel_sha"]
+    assert got[1]["pixel_sha"] != got[3]["pixel_sha"]
+    assert got[1]["width"] == 32 and got[1]["height"] == 24
+    # the dHash tier still calls the tweak a near-dup — the ladder:
+    # exact tier separates, perceptual tier clusters
+    d1 = IH.dhash_bits(mm.decode_image(rows[0][1])["pixels"])
+    d3 = IH.dhash_bits(mm.decode_image(rows[2][1])["pixels"])
+    assert _ham(d1, d3) <= 2

@@ -43,6 +43,7 @@ __all__ = [
     "image_phash",
     "hamming_pairs",
     "image_neardup_pairs",
+    "image_pixel_hash",
 ]
 
 
@@ -262,4 +263,55 @@ def image_phash(
     return media.select(id_col, blob_col).mapInPandas(
         run,
         f"{id_col} long, phash long, q0 long, q1 long, q2 long, q3 long",
+    )
+
+
+def image_pixel_hash(
+    media: DataFrame,
+    codec_setup=None,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FORMAT-INDEPENDENT exact image dedup key: decode each payload
+    with the codec registry and emit (id, width, height, pixel_sha) —
+    sha256 over the decoded pixel grid's raw bytes prefixed by its
+    shape. Byte-level exact dedup misses every BMP<->PNG<->GIF
+    re-encode of one image; pixel hashing catches them EXACTLY (zero
+    false positives, unlike the perceptual tier) while dHash/pHash
+    stay the near-dup ladder above it. A groupBy(pixel_sha) is the
+    whole dedup — the text exact_dedup shape."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec_setup is not None:
+            codec_setup()
+        for pdf in batches:
+            out = {id_col: [], "width": [], "height": [], "pixel_sha": []}
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                img = multimodal.decode_image(bytes(blob))
+                if img["pixels"] is None:
+                    raise ValueError(
+                        f"{img['format']} decoded to metadata only — "
+                        "cannot pixel-hash"
+                    )
+                px = np.ascontiguousarray(img["pixels"].astype(np.uint8))
+                # canonical form: a 3-channel image whose channels
+                # are identical (BMP replicates gray) squeezes to the
+                # 2-D grid, so gray-BMP == gray-PNG pixel-for-pixel
+                if px.ndim == 3 and (
+                    px[:, :, :1] == px
+                ).all():
+                    px = np.ascontiguousarray(px[:, :, 0])
+                h = hashlib.sha256()
+                h.update(str(px.shape).encode())
+                h.update(px.tobytes())
+                out[id_col].append(int(rid))
+                out["width"].append(int(px.shape[1]))
+                out["height"].append(int(px.shape[0]))
+                out["pixel_sha"].append(h.hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, blob_col).mapInPandas(
+        run,
+        f"{id_col} long, width long, height long, pixel_sha string",
     )
