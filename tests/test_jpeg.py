@@ -205,7 +205,7 @@ def test_hostile_component_count_rejected_before_allocation():
 
 # --- property tests (hypothesis) ------------------------------------------
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -237,11 +237,21 @@ def test_property_grayscale_roundtrip(seed, h, w, restart):
     h=st.integers(1, 20),
     w=st.integers(1, 20),
 )
+@example(seed=34753, h=16, w=6)  # hypothesis-found maxdiff-3 tail case
 def test_property_rgb_444_roundtrip(seed, h, w):
+    # Error budget at quant=1 (the codec's precision floor — baseline
+    # DQT entries are integers >= 1): each of the 64 DCT coefficients
+    # carries a +-0.5 rounding residue; the orthonormal IDCT maps those
+    # to a per-pixel plane error with std 0.5/sqrt(12) ~= 0.29, and the
+    # BT.601 inverse amplifies chroma error by up to 1.772 (blue), so
+    # the pre-rint RGB error is ~0.6 std with rare multi-sigma tails.
+    # Measured: 3000 images at the adversarial 16x6 shape -> worst
+    # maxdiff 3, only 1/3000 above 2; a diff of 4 needs pre-rint error
+    # > 3.5 (~6 sigma). The true round-trip bound is 3, not 2.
     img = _img(seed, h, w, 3)
     dec = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(img))
     assert dec["pixels"].shape == (h, w, 3)
-    assert _maxdiff(dec["pixels"], img) <= 2
+    assert _maxdiff(dec["pixels"], img) <= 3
 
 
 @settings(max_examples=25, deadline=None)
