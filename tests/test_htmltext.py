@@ -145,6 +145,17 @@ def test_anchor_inside_skip_not_counted():
     assert b.text == "keep this" and b.link_chars == 0
 
 
+def test_self_closing_anchor_does_not_steal_next_anchor_text():
+    # review finding (r10): <a/> decremented the depth but left its
+    # stack entry open, so the stale entry accumulated every later
+    # anchor's text — /x was credited with /y's "hello"
+    p = H._Extractor()
+    p.feed('<a href="/x"/>plain <a href="/y">hello</a>')
+    p.close()
+    assert p.links == ["/x", "/y"]
+    assert p.link_texts == ["", "hello"]
+
+
 def test_empty_and_whitespace_pages():
     assert H.extract_blocks("") == []
     assert H.html_to_text("  \n\t ") == ""

@@ -142,3 +142,53 @@ def test_anchor_survives_block_flush_and_literal_brackets():
 def test_unclosed_pre_at_eof_keeps_code():
     md = html_to_markdown("<p>intro</p><pre>def f():\n    pass")
     assert md == "intro\n\n```\ndef f():\n    pass\n```"
+
+
+def test_loose_list_items_keep_markers():
+    # review finding (r10): a block tag inside <li> flushed via the
+    # plain path and every item marker vanished
+    assert html_to_markdown("<ul><li><p>text</p></li></ul>") == "- text"
+    assert html_to_markdown(
+        "<ul><li><p>a</p><p>b</p></li><li><p>c</p></li></ul>"
+    ) == "- a\n  b\n- c"
+    assert html_to_markdown(
+        "<ol><li><p>one</p><p>more</p></li></ol>"
+    ) == "1. one\n   more"
+
+
+def test_nested_list_indents_to_parent_content_column():
+    # ADVICE (r10): '1. ' needs a 3-column child indent, not 2
+    assert html_to_markdown(
+        "<ol><li>first<ul><li>a</li></ul></li><li>second</li></ol>"
+    ) == "1. first\n   - a\n2. second"
+
+
+def test_br_inside_table_cell_stays_one_row():
+    # review finding (r10): the hard-break sentinel emitted a literal
+    # newline inside the pipe row — structurally invalid table
+    md = html_to_markdown("<table><tr><td>a<br>b</td><td>c</td></tr></table>")
+    assert md == "| a b | c |"
+
+
+def test_nested_and_self_closing_pre():
+    # review finding (r10): </pre> reset depth to 0 (inner close
+    # truncated the outer block, tail leaked out of the fence) and
+    # <pre/> emitted a spurious empty fence
+    md = html_to_markdown("<pre>outer <pre>inner</pre> tail</pre><p>after</p>")
+    assert md == "```\nouter inner tail\n```\n\nafter"
+    assert html_to_markdown("<p>x</p><pre/><p>y</p>") == "x\n\ny"
+
+
+def test_inline_code_with_backticks_lengthens_run():
+    # ADVICE (r10): <code>a`b</code> emitted a broken span; CommonMark
+    # wants a longer delimiter run, space-padded at backtick edges
+    assert html_to_markdown("<p>a<code>x`y</code>b</p>") == "a``x`y``b"
+    assert html_to_markdown("<p><code>`lead</code></p>") == "`` `lead ``"
+
+
+def test_truncated_pre_inside_blockquote_is_quoted():
+    # review finding (r10): the recovery path had drifted from the
+    # normal close — it emitted the fence unquoted
+    assert html_to_markdown("<blockquote><pre>code") == (
+        "> ```\n> code\n> ```"
+    )

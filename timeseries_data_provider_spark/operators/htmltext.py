@@ -206,6 +206,16 @@ class _Extractor(HTMLParser):
             self._skip_depth -= 1
         if tag == "a" and not self._skip_depth:
             self._anchor_depth = max(0, self._anchor_depth - 1)
+            # close the anchor the starttag half just opened — leaving
+            # the entry on the stack made a stale <a/> accumulate every
+            # later anchor's text (review finding: <a href="/x"/> was
+            # credited with the NEXT anchor's text)
+            if self._open_anchors:
+                idx, buf = self._open_anchors.pop()
+                if idx is not None:
+                    self.link_texts[idx] = " ".join(
+                        "".join(buf).split()
+                    )
 
     def _finish_title(self) -> None:
         if self._in_title and self.title is None:

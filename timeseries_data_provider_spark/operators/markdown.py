@@ -14,12 +14,16 @@ Mapping (CommonMark constructs only):
 
 - ``h1..h6`` -> ``#``-prefixed headings;
 - ``p``/``div``/other block tags -> blank-line-separated paragraphs;
-- ``ul``/``ol``/``li`` -> ``-`` / ``1.`` items, nested by 2-space
-  indent per level, ordered counters per level;
+- ``ul``/``ol``/``li`` -> ``-`` / ``1.`` items, children indented by
+  the parent marker's width (CommonMark's content column — ``1. ``
+  needs 3, ``- `` needs 2), ordered counters per level; a block tag
+  inside an open ``li`` (loose items, ``<li><p>..`` ) keeps the item
+  marker and continues at the content column;
 - ``a href`` -> ``[text](href)`` (empty text falls back to the href);
 - ``img`` -> ``![alt](src)``;
 - ``strong``/``b`` -> ``**``, ``em``/``i`` -> ``*``, inline ``code``
-  -> backticks;
+  -> backticks (a backtick inside the span lengthens the delimiter
+  run and pads with spaces, the CommonMark rule);
 - ``pre`` -> fenced code block (internal whitespace preserved);
 - ``blockquote`` -> ``> `` prefix (nested quotes stack);
 - ``hr`` -> ``---``; ``br`` -> hard line break;
@@ -84,7 +88,9 @@ class _MdConverter(HTMLParser):
         self._pre = 0
         self._pre_buf: list[str] = []
         self._quote = 0
-        # list stack: [type, counter] per open ul/ol
+        # list stack: [type, counter, marker_emitted, marker_width]
+        # per open ul/ol — marker_width feeds child-level indentation
+        # (CommonMark content column: "1. " is 3, "- " is 2)
         self._lists: list[list] = []
         self._anchor: list[str | None] = []
         self._cell = False  # inside td/th: block tags don't flush
@@ -98,11 +104,18 @@ class _MdConverter(HTMLParser):
 
     _BR = "\x00"  # hard-break sentinel: survives whitespace collapse
     _A0 = "\x01"  # anchor-open sentinel (never emitted)
+    _C0 = "\x02"  # inline-code-open sentinel (never emitted)
 
     def _text(self) -> str:
         collapsed = " ".join("".join(self._line).split())
         collapsed = collapsed.replace(self._A0, "")
+        collapsed = collapsed.replace(self._C0, "")
         return re.sub(r" ?\x00 ?", "\n", collapsed).strip("\n")
+
+    def _quoted(self, body: str) -> str:
+        return "\n".join(
+            "> " * self._quote + ln for ln in body.splitlines() or [""]
+        )
 
     def _flush(self, prefix: str = "", kind: str = "block") -> None:
         text = self._text()
@@ -111,11 +124,21 @@ class _MdConverter(HTMLParser):
             return
         body = f"{prefix}{text}" if text or prefix else text
         if self._quote:
-            body = "\n".join(
-                "> " * self._quote + ln for ln in body.splitlines() or [""]
-            )
+            body = self._quoted(body)
             kind = "block"
         self.out.append((kind, body))
+
+    def _emit_fence(self, code: str) -> None:
+        # shared fence emitter (was copy-pasted in the </pre> close and
+        # the truncated-page recovery — the copies had already drifted
+        # on quote prefixing; review finding)
+        fence = "```"
+        while fence in code:
+            fence += "`"
+        block = f"{fence}\n{code}\n{fence}"
+        if self._quote:
+            block = self._quoted(block)
+        self.out.append(("block", block))
 
     def _flush_listitem(self) -> None:
         if not self._lists:
@@ -124,10 +147,19 @@ class _MdConverter(HTMLParser):
         if not self._text():  # empty <li></li> or already flushed
             self._line.clear()
             return
-        depth = len(self._lists) - 1
-        kind, counter = self._lists[-1]
-        marker = f"{counter}. " if kind == "ol" else "- "
-        self._flush("  " * depth + marker, kind="li")
+        ent = self._lists[-1]
+        indent = "".join(" " * e[3] for e in self._lists[:-1])
+        if ent[2]:
+            # later block inside the SAME <li> (loose item, e.g.
+            # <li><p>a</p><p>b</p>): continue at the content column,
+            # no second marker (review finding: this used to take the
+            # plain _flush path and lose the marker entirely)
+            self._flush(indent + " " * ent[3], kind="li")
+            return
+        marker = f"{ent[1]}. " if ent[0] == "ol" else "- "
+        ent[2] = True
+        ent[3] = len(marker)
+        self._flush(indent + marker, kind="li")
 
     # -- tag handling ----------------------------------------------------
 
@@ -160,13 +192,14 @@ class _MdConverter(HTMLParser):
             # a list opening inside an open <li> flushes the pending
             # item text WITH its marker (the parent item line)
             self._flush_listitem() if self._lists else self._flush()
-            self._lists.append([tag, 0])
+            self._lists.append([tag, 0, False, 2 if tag == "ul" else 3])
         elif tag == "li":
             # crawled HTML routinely omits </li> — a new item flushes
             # the previous one's pending text under the old counter
             self._flush_listitem()
             if self._lists:
                 self._lists[-1][1] += 1
+                self._lists[-1][2] = False
         elif tag == "blockquote":
             self._flush()
             self._quote += 1
@@ -182,7 +215,7 @@ class _MdConverter(HTMLParser):
         elif tag in ("em", "i"):
             self._line.append("*")
         elif tag == "code":
-            self._line.append("`")
+            self._line.append(self._C0)
         elif tag == "br":
             self._line.append(self._BR)
         elif tag == "hr":
@@ -198,7 +231,10 @@ class _MdConverter(HTMLParser):
             if tag == "td":
                 self._row_is_header = False
         elif tag in _PARA_TAGS and not self._cell:
-            self._flush()
+            # inside an open <li> the pending text must keep its item
+            # marker (loose list — review finding: the plain flush
+            # dropped every marker on <li><p>text</p></li>)
+            self._flush_listitem() if self._lists else self._flush()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
@@ -218,20 +254,16 @@ class _MdConverter(HTMLParser):
             self._in_title = False
             return
         if tag == "pre":
+            # symmetric depth tracking (review finding: resetting to 0
+            # made an inner </pre> truncate the outer block and leak
+            # the tail out of the fence; <pre/> emitted an empty fence)
             if self._pre:
-                self._pre = 0
-                code = "".join(self._pre_buf)
-                self._pre_buf.clear()
-                code = code.strip("\n")
-                fence = "```"
-                while fence in code:
-                    fence += "`"
-                block = f"{fence}\n{code}\n{fence}"
-                if self._quote:
-                    block = "\n".join(
-                        "> " * self._quote + ln for ln in block.splitlines()
-                    )
-                self.out.append(("block", block))
+                self._pre -= 1
+                if not self._pre:
+                    code = "".join(self._pre_buf).strip("\n")
+                    self._pre_buf.clear()
+                    if code:
+                        self._emit_fence(code)
             return
         if self._pre:
             return
@@ -279,10 +311,38 @@ class _MdConverter(HTMLParser):
         elif tag in ("em", "i"):
             self._line.append("*")
         elif tag == "code":
-            self._line.append("`")
+            joined = "".join(self._line)
+            idx = joined.rfind(self._C0)
+            if idx < 0:
+                # unmatched </code>: emit a bare delimiter (legacy)
+                self._line.append("`")
+            else:
+                head, content = joined[:idx], joined[idx + 1 :]
+                # CommonMark code span: the delimiter run must be
+                # longer than any backtick run inside, space-padded if
+                # the content starts/ends with a backtick (ADVICE:
+                # <code>a`b</code> used to emit a broken span)
+                n = max(
+                    (len(r) for r in re.findall(r"`+", content)), default=0
+                )
+                delim = "`" * (n + 1)
+                pad = (
+                    " "
+                    if content[:1] == "`" or content[-1:] == "`"
+                    else ""
+                )
+                if content:
+                    self._line = [head, f"{delim}{pad}{content}{pad}{delim}"]
+                else:
+                    self._line = [head]
         elif tag in ("td", "th"):
             if self._row is not None:
-                self._row.append(self._text().replace("|", "\\|"))
+                # a <br> inside a cell must not break the pipe row
+                # (review finding: literal newline made the table
+                # structurally invalid)
+                self._row.append(
+                    self._text().replace("\n", " ").replace("|", "\\|")
+                )
                 self._line.clear()
             self._cell = False
         elif tag == "tr":
@@ -308,7 +368,7 @@ class _MdConverter(HTMLParser):
                         )
                 self.out.append(("block", "\n".join(lines)))
         elif tag in _PARA_TAGS and not self._cell:
-            self._flush()
+            self._flush_listitem() if self._lists else self._flush()
 
     def handle_data(self, data: str) -> None:
         if self._skip or self._in_title:
@@ -328,10 +388,8 @@ class _MdConverter(HTMLParser):
             self._pre = 0
             code = "".join(self._pre_buf).strip("\n")
             self._pre_buf.clear()
-            fence = "```"
-            while fence in code:
-                fence += "`"
-            self.out.append(("block", f"{fence}\n{code}\n{fence}"))
+            if code:
+                self._emit_fence(code)
         self._flush()
         # consecutive list items join TIGHT (single newline); block
         # boundaries get the usual blank line
