@@ -253,3 +253,23 @@ def test_pixel_hash_exact_cross_format_dedup(spark):
     d1 = IH.dhash_bits(mm.decode_image(rows[0][1])["pixels"])
     d3 = IH.dhash_bits(mm.decode_image(rows[2][1])["pixels"])
     assert _ham(d1, d3) <= 2
+
+
+def test_null_payload_and_big_id_guard(spark):
+    # review finding (r10): bytes(None) killed the task on one NULL
+    # payload, and one NULL id coerced the pandas id column to
+    # float64, silently mangling ids > 2^53 — the cdc_chunks hazard.
+    # NULL rows now drop JVM-side before the Arrow pass.
+    big = (1 << 62) + 12345  # far above float64's exact-int range
+    png = mm.encode_png(8, 6, np.zeros((6, 8), np.uint8))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([big, None, 7], dtype="Int64"),
+                "payload": [png, png, None],
+            }
+        )
+    )
+    for fn in (IH.image_dhash, IH.image_phash, IH.image_pixel_hash):
+        rows = fn(df).collect()
+        assert [r["doc_id"] for r in rows] == [big]

@@ -105,9 +105,17 @@ def image_dhash(
                     out[f"q{q}"].append((h >> (16 * q)) & 0xFFFF)
             yield pd.DataFrame(out)
 
-    return media.select(id_col, blob_col).mapInPandas(
-        run,
-        f"{id_col} long, dhash long, q0 long, q1 long, q2 long, q3 long",
+    # JVM-side NULL guard (the cdc_chunks pattern, review finding):
+    # one NULL payload made bytes(None) kill the task, and one NULL id
+    # coerced the pandas id column to float64, mangling ids > 2^53
+    return (
+        media.select(id_col, blob_col)
+        .filter(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
+        .mapInPandas(
+            run,
+            f"{id_col} long, dhash long, q0 long, q1 long, q2 long, "
+            "q3 long",
+        )
     )
 
 
@@ -260,9 +268,15 @@ def image_phash(
                     out[f"q{q}"].append((h >> (16 * q)) & 0xFFFF)
             yield pd.DataFrame(out)
 
-    return media.select(id_col, blob_col).mapInPandas(
-        run,
-        f"{id_col} long, phash long, q0 long, q1 long, q2 long, q3 long",
+    # JVM-side NULL guard — see image_dhash
+    return (
+        media.select(id_col, blob_col)
+        .filter(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
+        .mapInPandas(
+            run,
+            f"{id_col} long, phash long, q0 long, q1 long, q2 long, "
+            "q3 long",
+        )
     )
 
 
@@ -311,7 +325,12 @@ def image_pixel_hash(
                 out["pixel_sha"].append(h.hexdigest())
             yield pd.DataFrame(out)
 
-    return media.select(id_col, blob_col).mapInPandas(
-        run,
-        f"{id_col} long, width long, height long, pixel_sha string",
+    # JVM-side NULL guard — see image_dhash
+    return (
+        media.select(id_col, blob_col)
+        .filter(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
+        .mapInPandas(
+            run,
+            f"{id_col} long, width long, height long, pixel_sha string",
+        )
     )
