@@ -180,3 +180,62 @@ def test_long_delay_host_not_starved(spark):
         cands, window_seconds=60.0, delays=delays, min_per_host=0
     ).collect()
     assert strict == []
+
+
+def test_duplicate_delay_rows_schedule_each_url_once(spark):
+    # review finding (r10): the delays frame joined without per-host
+    # dedup — two rows for one host (a re-fetched robots.txt)
+    # duplicated every candidate URL into conflicting schedules
+    cands = spark.createDataFrame(
+        [("http://a.com/p1", 2.0), ("http://a.com/p2", 1.0)],
+        "url string, priority double",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 10.0), ("a.com", 15.0)],
+        "host string, crawl_delay double",
+    )
+    out = frontier.frontier_schedule(
+        cands, window_seconds=30.0, delays=delays
+    ).collect()
+    assert sorted(r["url"] for r in out) == [
+        "http://a.com/p1", "http://a.com/p2"
+    ]
+    # the politest (largest) delay wins the conflict: budget
+    # floor(30/15)=2, spacing 15s
+    assert sorted(r["scheduled_offset_ms"] for r in out) == [0, 15000]
+
+
+def test_delay_clamped_flag_surfaces_compliance(spark):
+    # ADVICE (r10): a delay longer than the window silently clamps to
+    # min_per_host fetches — the flag makes that auditable
+    cands = spark.createDataFrame(
+        [("http://slow.com/a", 1.0), ("http://fast.com/b", 1.0)],
+        "url string, priority double",
+    )
+    delays = spark.createDataFrame(
+        [("slow.com", 120.0)], "host string, crawl_delay double"
+    )
+    out = {
+        r["host"]: r
+        for r in frontier.frontier_schedule(
+            cands, window_seconds=60.0, delays=delays
+        ).collect()
+    }
+    assert out["slow.com"]["delay_clamped"] is True
+    assert out["fast.com"]["delay_clamped"] is False
+
+
+def test_resolve_links_replaces_existing_out_col(spark):
+    # review finding (r10): re-resolving a frame that already carries
+    # out_col built a duplicate-column schema and failed at runtime;
+    # the column is now replaced
+    from timeseries_data_provider_spark.operators import urls as U
+
+    df = spark.createDataFrame(
+        [("https://ex.com/", "a", "stale")],
+        "base_url string, href string, url string",
+    )
+    rows = U.resolve_links(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://ex.com/a"
+    assert rows[0].asDict().keys() == {"base_url", "href", "url"}

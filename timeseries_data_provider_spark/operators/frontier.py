@@ -80,9 +80,15 @@ def frontier_schedule(
     external per-host last-fetch state enforces long delays across
     windows.
 
-    Returns (host, url, priority, rank, scheduled_offset_ms), one row
-    per URL that fits this window's politeness budgets; rank is
-    1-based within host by (priority DESC, url ASC)."""
+    Returns (host, url, priority, rank, scheduled_offset_ms,
+    delay_clamped), one row per URL that fits this window's politeness
+    budgets; rank is 1-based within host by (priority DESC, url ASC).
+    ``delay_clamped`` is true when the host's crawl-delay exceeds the
+    window and ``min_per_host`` raised its budget — the rows where the
+    effective delay is SHORTER than robots asked for; audit or re-run
+    with ``min_per_host=0`` for strict compliance. ``delays`` may
+    carry duplicate host rows (re-fetched robots.txt); they aggregate
+    to one row per host, largest delay winning."""
     if window_seconds <= 0:
         raise ValueError(
             f"frontier_schedule: window_seconds {window_seconds!r}"
@@ -102,9 +108,13 @@ def frontier_schedule(
         base = candidates
     base = base.filter(F.col(host_col).isNotNull())
     if delays is not None:
-        d = delays.select(
-            F.col("host").alias(host_col),
-            F.col("crawl_delay").alias("__delay"),
+        # one row per host BEFORE the join — duplicate delay rows
+        # (e.g. a re-fetched robots.txt) used to fan out every
+        # candidate URL of that host into conflicting schedules
+        # (review finding). On conflict the LARGEST delay wins: the
+        # politest reading is the safe one for robots compliance.
+        d = delays.groupBy(F.col("host").alias(host_col)).agg(
+            F.max("crawl_delay").alias("__delay")
         )
         base = base.join(d, host_col, "left")
     else:
@@ -113,13 +123,20 @@ def frontier_schedule(
         F.col("__delay").isNotNull() & (F.col("__delay") > 0),
         F.col("__delay").cast("double"),
     ).otherwise(F.lit(float(default_delay)))
-    budget = F.floor(F.lit(float(window_seconds)) / delay).cast("long")
+    raw_budget = F.floor(F.lit(float(window_seconds)) / delay).cast(
+        "long"
+    )
+    budget = raw_budget
     if min_per_host:
         budget = F.greatest(
             budget, F.lit(int(min_per_host)).cast("long")
         )
     if max_per_host is not None:
         budget = F.least(budget, F.lit(int(max_per_host)).cast("long"))
+    # visibility flag (ADVICE r10): a crawl-delay longer than the
+    # window silently clamps to min_per_host fetches — surface it so
+    # robots compliance is auditable instead of invisible
+    clamped = raw_budget < F.lit(int(min_per_host)).cast("long")
     w = Window.partitionBy(host_col).orderBy(
         F.col(priority_col).desc(), F.col(url_col).asc()
     )
@@ -136,6 +153,7 @@ def frontier_schedule(
             F.floor((F.col("rank") - 1) * F.col("__d") * 1000.0)
             .cast("long")
             .alias("scheduled_offset_ms"),
+            clamped.alias("delay_clamped"),
         )
     )
 
@@ -171,7 +189,7 @@ def frontier_from_crawl(
     ``links``: (base_col, href_col, ...) — html_links output joined
     with its page URL. ``host_priorities``: optional (host, priority).
     Returns frontier_schedule's (host, url, priority, rank,
-    scheduled_offset_ms)."""
+    scheduled_offset_ms, delay_clamped)."""
     from . import urls as _urls
 
     resolved = _urls.resolve_links(

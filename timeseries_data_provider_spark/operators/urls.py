@@ -222,6 +222,11 @@ def resolve_links(
             pdf[out_col] = out
             yield pdf
 
+    if out_col in links.columns:
+        # replace, don't duplicate: re-resolving a frame that already
+        # carries out_col used to build an invalid duplicate-column
+        # schema and fail at runtime (review finding)
+        links = links.drop(out_col)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in links.schema.fields
     )
