@@ -157,3 +157,135 @@ def test_spark_fanout(spark):
     assert rows[2]["n_pages"] == 3
     assert rows[2]["text"] == "x\x0cy\x0cz"
     assert rows[1]["n_text_chars"] == 13
+
+
+def test_objstm_layout_extracts_byte_exact():
+    # review finding (r10): /ObjStm — the layout every modern writer
+    # emits — was an unnamed gap; the object scan found no page tree
+    # and extraction silently degraded
+    pages = [["Hello world.", "Second line."], ["Page two."]]
+    classic = pdf.extract_pdf(pdf.encode_pdf(pages, title="T"))
+    modern_bytes = pdf.encode_pdf(pages, title="T", objstm=True)
+    modern = pdf.extract_pdf(modern_bytes)
+    assert modern["pdf_version"] == "1.5"
+    assert modern["text"] == classic["text"]
+    assert modern["title"] == classic["title"]
+    assert modern["n_pages"] == classic["n_pages"]
+    # the fixture really is the modern layout: no classic trailer, a
+    # compressed catalog, an xref STREAM carrying /Root
+    assert b"trailer" not in modern_bytes
+    assert b"/ObjStm" in modern_bytes and b"/XRef" in modern_bytes
+
+
+def test_objstm_direct_object_wins_over_compressed():
+    # incremental-update safety: a top-level object shadows a
+    # compressed one of the same number
+    doc = pdf.encode_pdf([["original"]], objstm=True)
+    # append an incremental update redefining the content stream (4)
+    body = b"BT /F1 12 Tf 72 720 Td (updated) Tj ET"
+    doc += (
+        b"4 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n"
+    )
+    assert pdf.extract_pdf(doc)["text"] == "updated"
+
+
+def test_png_predicted_content_stream():
+    # §7.4.4.4: Flate + PNG predictor on a CONTENT stream (Up/Sub/
+    # Paeth rows) must invert before tokenizing
+    content = b"BT /F1 12 Tf 72 720 Td (predicted text) Tj ET"
+    cols = 10
+    padded = content + bytes((-len(content)) % cols)
+    rows = [padded[i : i + cols] for i in range(0, len(padded), cols)]
+    pred = bytearray()
+    prev = bytes(cols)
+    for r in rows:
+        pred += b"\x02" + bytes(
+            (r[i] - prev[i]) & 0xFF for i in range(cols)
+        )
+        prev = r
+    z = zlib.compress(bytes(pred))
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length " + str(len(z)).encode() +
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+        b"/Columns " + str(cols).encode() + b" >> >>\nstream\n" + z +
+        b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf.extract_pdf(doc)["text"] == "predicted text"
+
+
+def test_png_unpredict_all_filters_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cols, nrows, bpp = 8, 6, 1
+    raw = rng.randint(0, 256, cols * nrows).astype(np.uint8).tobytes()
+    rows = [raw[i * cols : (i + 1) * cols] for i in range(nrows)]
+    # encode each row with a different filter type (0..4 cycling)
+    enc = bytearray()
+    prev = bytes(cols)
+    for ri, r in enumerate(rows):
+        ft = ri % 5
+        enc.append(ft)
+        for i in range(cols):
+            a = r[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = r[i]
+            elif ft == 1:
+                v = r[i] - a
+            elif ft == 2:
+                v = r[i] - b
+            elif ft == 3:
+                v = r[i] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = r[i] - pr
+            enc.append(v & 0xFF)
+        prev = r
+    got = pdf._png_unpredict(bytes(enc), 1, 8, cols)
+    assert got == raw
+
+
+def test_tiff_predictor_2_content_stream():
+    content = b"BT (tiff pred) Tj ET"
+    cols = len(content)  # one row, horizontal differencing
+    diff = bytearray(content)
+    for i in range(len(diff) - 1, 0, -1):
+        diff[i] = (diff[i] - diff[i - 1]) & 0xFF
+    z = zlib.compress(bytes(diff))
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length " + str(len(z)).encode() +
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 2 "
+        b"/Columns " + str(cols).encode() + b" >> >>\nstream\n" + z +
+        b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf.extract_pdf(doc)["text"] == "tiff pred"
+
+
+def test_encrypt_in_xref_stream_dict_raises():
+    # 1.5+ files carry the trailer on the /Type /XRef object — an
+    # /Encrypt there must be as loud as one in a classic trailer
+    doc = pdf.encode_pdf([["secret"]], objstm=True).replace(
+        b"<< /Type /XRef", b"<< /Type /XRef /Encrypt 9 0 R", 1
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf.extract_pdf(doc)

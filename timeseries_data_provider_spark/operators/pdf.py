@@ -4,12 +4,14 @@ PDFs are a first-class crawl corpus component (papers, reports,
 books); an LLM-data pipeline needs their TEXT, page counts, and
 metadata, not their rendering. The format's text layer is
 stdlib-feasible: objects + xref (PDF 1.4 classic and the 1.5+
-cross-reference STREAM form), FlateDecode via zlib, and the content-
+cross-reference STREAM form), compressed OBJECT streams (/ObjStm,
+§7.5.7 — the layout every modern writer emits), FlateDecode via
+zlib with TIFF/PNG predictor inversion (§7.4.4.4), and the content-
 stream text operators (BT/ET, Tj/TJ/'/", Td/TD/T*/Tm, Tf). Font
-rendering, CMap/CID composite fonts, and encrypted documents are
-named gaps (a real pipeline routes those to a PDF library); simple
-fonts with standard encodings — the overwhelming majority of
-text-bearing PDFs — extract exactly.
+rendering, CMap/CID composite fonts, LZW streams, and encrypted
+documents are named gaps (a real pipeline routes those to a PDF
+library); simple fonts with standard encodings — the overwhelming
+majority of text-bearing PDFs — extract exactly.
 
 Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
 public). Reference parity note: index.js has no document surface;
@@ -290,6 +292,58 @@ def _resolve(objs, v):
     return v
 
 
+def _png_unpredict(
+    data: bytes, colors: int, bpc: int, columns: int
+) -> bytes:
+    """Invert the PNG row filters (§7.4.4.4 / RFC 2083): each row is
+    a filter-type byte then ``columns*colors*bpc/8`` bytes filtered
+    against the row above. Row-sequential by construction (Up/Paeth
+    read the DECODED previous row), so plain Python loops — predicted
+    streams are xref tables and small images, not the corpus body."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + rowlen])
+        pos += rowlen
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"pdf: bad PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
     filt = _resolve(objs, val.get("Filter"))
     if filt is None:
@@ -314,9 +368,92 @@ def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
                 "CCITT are image filters, LZW needs the TIFF dialect)"
             )
     params = _resolve(objs, val.get("DecodeParms"))
-    if isinstance(params, dict) and _resolve(objs, params.get("Predictor", 1)) not in (None, 1):
-        raise NotImplementedError("pdf: PNG-predicted streams")
+    if isinstance(params, list):
+        # one parms dict per filter — the predictor belongs to Flate;
+        # take the first entry that declares one
+        dicts = (_resolve(objs, p) for p in params)
+        params = next(
+            (
+                p
+                for p in dicts
+                if isinstance(p, dict) and p.get("Predictor")
+            ),
+            None,
+        )
+    if isinstance(params, dict):
+        pred = _resolve(objs, params.get("Predictor", 1)) or 1
+        if pred != 1:
+            colors = int(_resolve(objs, params.get("Colors", 1)) or 1)
+            bpc = int(
+                _resolve(objs, params.get("BitsPerComponent", 8)) or 8
+            )
+            columns = int(_resolve(objs, params.get("Columns", 1)) or 1)
+            if pred == 2:
+                # TIFF Predictor 2: horizontal differencing (the
+                # tiff.py Predictor-2 semantics, 8-bit components)
+                if bpc != 8:
+                    raise NotImplementedError(
+                        "pdf: TIFF predictor with BitsPerComponent != 8"
+                    )
+                rowlen = columns * colors
+                b = bytearray(data)
+                for r0 in range(0, len(b), rowlen):
+                    for i in range(
+                        r0 + colors, min(r0 + rowlen, len(b))
+                    ):
+                        b[i] = (b[i] + b[i - colors]) & 0xFF
+                data = bytes(b)
+            elif pred >= 10:
+                data = _png_unpredict(data, colors, bpc, columns)
+            else:
+                raise NotImplementedError(f"pdf: predictor {pred}")
     return data
+
+
+def _unpack_objstm(objs: dict[int, tuple]) -> None:
+    """Unpack ``/Type /ObjStm`` compressed object streams (§7.5.7 —
+    the layout every modern PDF writer emits; review finding: this
+    was the repo's #1 unnamed real-corpus gap) into the object map,
+    in place. Stream layout: ``N`` pairs of ``objnum offset`` then
+    the objects back-to-back starting at byte ``First``. A directly
+    scanned top-level object keeps precedence over a compressed one
+    of the same number (incremental-update safety); a stream that
+    fails to decode is skipped, never fatal."""
+    for num in list(objs):
+        val, raw = objs[num]
+        if not (
+            isinstance(val, dict)
+            and str(val.get("Type")) == "ObjStm"
+            and raw is not None
+        ):
+            continue
+        try:
+            data = _decode_stream(objs, val, raw)
+            n = int(_resolve(objs, val.get("N")) or 0)
+            first = int(_resolve(objs, val.get("First")) or 0)
+        except (ValueError, NotImplementedError, TypeError):
+            continue
+        if n <= 0 or first <= 0 or first > len(data):
+            continue
+        lex = _Lexer(data)
+        pairs: list[tuple[int, int]] = []
+        for _ in range(min(n, MAX_OBJECTS)):
+            try:
+                onum = lex.value()
+                ooff = lex.value()
+            except ValueError:
+                break
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                break
+            pairs.append((onum, ooff))
+        for onum, ooff in pairs:
+            if onum in objs or ooff < 0 or first + ooff >= len(data):
+                continue
+            try:
+                v = _Lexer(data, first + ooff).value()
+            except ValueError:
+                continue
+            objs[onum] = (v, None)
 
 
 _TEXT_SHOW = (b"Tj", b"'", b'"', b"TJ")
@@ -398,6 +535,7 @@ def extract_pdf(payload: bytes) -> dict:
     objs = _parse_objects(payload)
     if not objs:
         raise ValueError("pdf: no objects found")
+    _unpack_objstm(objs)
     # trailer(s): scan for Root and Info; encryption is a named stop
     root = info = None
     for m in re.finditer(rb"trailer\b", payload):
@@ -411,6 +549,16 @@ def extract_pdf(payload: bytes) -> dict:
                 raise NotImplementedError("pdf: encrypted document")
             root = tr.get("Root", root)
             info = tr.get("Info", info)
+    # 1.5+ xref-STREAM form: the trailer dict lives on the /Type /XRef
+    # object itself (§7.5.8) — read Root/Info/Encrypt from it
+    for num, (val, _) in objs.items():
+        if isinstance(val, dict) and str(val.get("Type")) == "XRef":
+            if "Encrypt" in val:
+                raise NotImplementedError("pdf: encrypted document")
+            if root is None:
+                root = val.get("Root")
+            if info is None:
+                info = val.get("Info")
     if root is None:
         # 1.5+ xref-stream form: the catalog is an object with /Type
         # /Catalog — find it directly (object scan already has it)
@@ -486,14 +634,21 @@ def encode_pdf(
     pages: list[list[str]],
     title: str | None = None,
     compress: bool = True,
+    objstm: bool = False,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
-    text lines (one BT..ET per line, Helvetica). Produces a classic
-    xref + trailer so real parsers accept the file."""
+    text lines (one BT..ET per line, Helvetica). Classic mode
+    produces an xref table + trailer; ``objstm=True`` produces the
+    modern 1.5+ layout — catalog/page-tree/info packed into one
+    compressed /ObjStm, content streams top-level, and a /Type /XRef
+    cross-reference STREAM (W [1 2 2], FlateDecode, PNG Predictor 12)
+    carrying /Root — the shape every modern writer emits."""
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
+    if objstm:
+        return _encode_pdf_objstm(pages, title, esc)
     objs: list[bytes] = []  # 1-indexed
     n_pages = len(pages)
     # 1: catalog, 2: pages, 3..: page+content pairs, then info
@@ -542,6 +697,124 @@ def encode_pdf(
         + trailer.encode()
         + f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
+    return bytes(out)
+
+
+def _encode_pdf_objstm(pages, title, esc) -> bytes:
+    """Modern-layout branch of ``encode_pdf`` (1.5+): non-stream
+    objects in one /ObjStm, a PNG-predicted /XRef stream as the
+    trailer. Object numbers match the classic layout (1 catalog,
+    2 pages, 3+2i page, 4+2i content, then info) so tests can compare
+    extractions across layouts."""
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    # compressed (ObjStm-resident) objects: num -> serialized body
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        ),
+    ]
+    streams: list[tuple[int, bytes]] = []  # top-level content objects
+    for i, lines in enumerate(pages):
+        content = "\n".join(
+            f"BT /F1 12 Tf 72 720 Td ({esc(line)}) Tj ET" for line in lines
+        ).encode("latin-1")
+        z = zlib.compress(content)
+        packed.append(
+            (
+                3 + 2 * i,
+                f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R "
+                f"/MediaBox [0 0 612 792] >>".encode(),
+            )
+        )
+        streams.append(
+            (
+                4 + 2 * i,
+                f"<< /Length {len(z)} /Filter /FlateDecode >>".encode()
+                + b"\nstream\n"
+                + z
+                + b"\nendstream",
+            )
+        )
+    next_num = 3 + 2 * n_pages
+    if title is not None:
+        packed.append((next_num, f"<< /Title ({esc(title)}) >>".encode()))
+        info_num = next_num
+        next_num += 1
+    else:
+        info_num = None
+    objstm_num = next_num
+    xref_num = next_num + 1
+    # ObjStm body: "num offset" pairs, then the objects at /First
+    bodies = [b for _, b in packed]
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(packed, offs)
+    ).encode() + b"\n"
+    stm_data = header + b"\n".join(bodies) + b"\n"
+    first = len(header)
+    z = zlib.compress(stm_data)
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+        f"/Length {len(z)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n"
+        + z
+        + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, body in streams + [(objstm_num, objstm_body)]:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    # xref STREAM: W [1 2 2]; type 0 = free, 1 = offset, 2 = (objstm,
+    # index). Rows for objects 0..xref_num.
+    size = xref_num + 1
+    rows = bytearray()
+    in_stm = {num: idx for idx, (num, _) in enumerate(packed)}
+    for num in range(size):
+        if num == 0:
+            t, a, b = 0, 0, 65535
+        elif num in in_stm:
+            t, a, b = 2, objstm_num, in_stm[num]
+        elif num in offsets:
+            t, a, b = 1, offsets[num], 0
+        elif num == xref_num:
+            t, a, b = 1, xref_pos, 0
+        else:
+            t, a, b = 0, 0, 0
+        rows += bytes([t]) + a.to_bytes(2, "big") + b.to_bytes(2, "big")
+    # PNG Predictor 12 (Up), Columns = row width in bytes = 5
+    rowlen = 5
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for r0 in range(0, len(rows), rowlen):
+        row = rows[r0 : r0 + rowlen]
+        pred += b"\x02" + bytes(
+            (row[i] - prev[i]) & 0xFF for i in range(rowlen)
+        )
+        prev = row
+    zx = zlib.compress(bytes(pred))
+    xref_dict = (
+        f"<< /Type /XRef /Size {size} /W [1 2 2] /Root 1 0 R"
+        + (f" /Info {info_num} 0 R" if info_num else "")
+        + f" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+        f"/Columns {rowlen} >> /Length {len(zx)} >>"
+    ).encode()
+    out += (
+        f"{xref_num} 0 obj\n".encode()
+        + xref_dict
+        + b"\nstream\n"
+        + zx
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
 
 
