@@ -694,10 +694,16 @@ def q34_multimodal_frames(spark, sf):
     'sample' branch's new keyframe column (long 0/1/NULL) scores it:
     the video skeleton's stss marks every 4th sample (keyframe iff
     sample_idx % 4 == 0), the audio track has NO stss so the spec's
-    all-sync default applies (all 1), and the fragmented tier reports
-    NULL (trun sample-flags stay the walk tier's named gap). This is
-    the thumbnail/preview fetch-list primitive: filter keyframe = 1
-    and fetch only those byte ranges.
+    all-sync default applies (all 1). This is the thumbnail/preview
+    fetch-list primitive: filter keyframe = 1 and fetch only those
+    byte ranges.
+
+    r11: the FRAGMENTED tier's keyframe column goes closed-form too —
+    trun sample-flags resolve per ISO 14496-12 §8.8.8.1 (per-sample >
+    first-sample-flags > tfhd default > trex default); the skeleton
+    plants keyframe iff j == 0 through two different paths (even
+    fragments per-sample, odd fragments tfhd-default+first-flags), so
+    the oracle scores the full resolution ladder on CMAF input.
 
     r9 (late): an 'mkv' branch — 30 planted Matroska/WebM skeletons
     (operators/mkv.py: EBML vint framing, Info + Tracks walk, the
@@ -2871,7 +2877,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS sample_bytes,
                    CAST(NULL AS BIGINT) AS first_sample_off,
                    CAST(NULL AS BIGINT) AS last_sample_off,
-                   CAST(NULL AS BIGINT) AS keyframe
+                   -- r11: trun sample-flags resolve — the skeleton
+                   -- plants the CMAF keyframe pattern (sync iff the
+                   -- fragment's first sample) through per-sample and
+                   -- default+first-flags paths alike
+                   CAST(j = 0 AS BIGINT) AS keyframe
             FROM (SELECT 30000 + g.v AS doc_id,
                          CAST(2 + (30000 + g.v) % 3 AS BIGINT) AS nf,
                          CAST(3 + (30000 + g.v) % 4 AS BIGINT) AS s

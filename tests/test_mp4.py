@@ -713,3 +713,52 @@ def test_property_skeleton_roundtrip(ms, w, h, ts):
     v = m["tracks"][0]
     assert (v["width"], v["height"]) == (w, h)
     assert m["n_tracks"] == 2 and m["timescale"] == ts
+
+
+def test_fragment_keyframes_all_resolution_tiers():
+    # review finding (r10): trun sample-flags were a named gap — the
+    # fragmented tier reported keyframe NULL, so a thumbnail tier
+    # over CMAF couldn't filter to sync samples. The skeleton plants
+    # keyframe iff j == 0 through per-sample flags (even fragments)
+    # and tfhd-default + first-sample-flags (odd fragments).
+    p = mp4.build_fragmented_skeleton(320, 240, n_fragments=4,
+                                      samples_per_fragment=3)
+    for s in mp4.iter_fragment_samples(p, 1):
+        j = s["index"] % 3
+        assert s["sync"] is (j == 0)
+
+    # trex-default tier: no flags in tfhd/trun at all — the mvex
+    # default (non-sync) applies to every sample
+    ftyp = mp4._box(b"ftyp", b"iso5" + b"\x00\x00\x02\x00" + b"iso5")
+    mvex = mp4._box(
+        b"mvex", mp4._trex_box(1, 25, 100, default_flags=0x01010000)
+    )
+    moov = mp4._box(
+        b"moov",
+        mp4._mvhd(1000, 0, 2)
+        + mp4._trak(1, 0, b"vide", b"mp4v", 16, 16, 1000)
+        + mvex,
+    )
+    traf = mp4._box(
+        b"traf",
+        mp4._tfhd_box(1, base_offset=5000)
+        + mp4._trun_box([(None, None)] * 2, data_offset=8),
+    )
+    moof = mp4._box(
+        b"moof", mp4._full(b"mfhd", b"\x00\x00\x00\x01") + traf
+    )
+    walk = list(mp4.iter_fragment_samples(ftyp + moov + moof, 1))
+    assert len(walk) == 2
+    assert all(s["sync"] is False for s in walk)
+
+    # no flags declared ANYWHERE -> sync stays None (unknown), with
+    # trex present but flags 0 meaning "declared sync" per the spec
+    mvex0 = mp4._box(b"mvex", mp4._trex_box(1, 25, 100))
+    moov0 = mp4._box(
+        b"moov",
+        mp4._mvhd(1000, 0, 2)
+        + mp4._trak(1, 0, b"vide", b"mp4v", 16, 16, 1000)
+        + mvex0,
+    )
+    walk0 = list(mp4.iter_fragment_samples(ftyp + moov0 + moof, 1))
+    assert all(s["sync"] is True for s in walk0)

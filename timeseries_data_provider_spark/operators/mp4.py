@@ -466,10 +466,10 @@ def _moov_trex(data: bytes, mb: int, me: int) -> dict[int, dict]:
         for tag, b, e in _boxes(data, *mvex):
             if tag == b"trex":
                 _need(b, e, 24, "trex")
-                tid, _sdi, dur, size, _fl = struct.unpack(
+                tid, _sdi, dur, size, fl = struct.unpack(
                     ">IIIII", data[b + 4 : b + 24]
                 )
-                out[tid] = {"duration": dur, "size": size}
+                out[tid] = {"duration": dur, "size": size, "flags": fl}
     return out
 
 
@@ -484,6 +484,7 @@ def _parse_tfhd(data: bytes, b: int, e: int) -> dict:
         "base_offset": None,
         "def_duration": None,
         "def_size": None,
+        "def_flags": None,
     }
     if flags & _TFHD_BASE_OFFSET:
         _need(p, e, 8, "tfhd base_data_offset")
@@ -499,6 +500,10 @@ def _parse_tfhd(data: bytes, b: int, e: int) -> dict:
     if flags & _TFHD_DEF_SIZE:
         _need(p, e, 4, "tfhd default size")
         out["def_size"] = struct.unpack(">I", data[p : p + 4])[0]
+        p += 4
+    if flags & _TFHD_DEF_FLAGS:
+        _need(p, e, 4, "tfhd default sample flags")
+        out["def_flags"] = struct.unpack(">I", data[p : p + 4])[0]
         p += 4
     return out
 
@@ -516,13 +521,14 @@ def _parse_trun(data: bytes, b: int, e: int) -> dict:
     flags = struct.unpack(">I", data[b : b + 4])[0] & 0xFFFFFF
     count = struct.unpack(">I", data[b + 4 : b + 8])[0]
     p = b + 8
-    out = {"data_offset": None, "samples": None}
+    out = {"data_offset": None, "samples": None, "first_flags": None}
     if flags & _TRUN_DATA_OFFSET:
         _need(p, e, 4, "trun data_offset")
         out["data_offset"] = struct.unpack(">i", data[p : p + 4])[0]
         p += 4
     if flags & _TRUN_FIRST_FLAGS:
         _need(p, e, 4, "trun first-sample-flags")
+        out["first_flags"] = struct.unpack(">I", data[p : p + 4])[0]
         p += 4
     per = sum(
         4
@@ -541,7 +547,7 @@ def _parse_trun(data: bytes, b: int, e: int) -> dict:
         return out
     samples = []
     for _ in range(count):
-        dur = size = None
+        dur = size = sfl = None
         if flags & _TRUN_DURATION:
             dur = struct.unpack(">I", data[p : p + 4])[0]
             p += 4
@@ -549,10 +555,11 @@ def _parse_trun(data: bytes, b: int, e: int) -> dict:
             size = struct.unpack(">I", data[p : p + 4])[0]
             p += 4
         if flags & _TRUN_FLAGS:
+            sfl = struct.unpack(">I", data[p : p + 4])[0]
             p += 4
         if flags & _TRUN_CTO:
             p += 4  # composition offset: not needed for byte ranges
-        samples.append((dur, size))
+        samples.append((dur, size, sfl))
     out["count"] = count
     out["samples"] = samples
     return out
@@ -561,9 +568,12 @@ def _parse_trun(data: bytes, b: int, e: int) -> dict:
 def iter_fragment_samples(payload: bytes, track_id: int):
     """Per-sample iterator for FRAGMENTED files: walk every moof's
     traf for ``track_id`` and yield {index, fragment, chunk, offset,
-    size, dts} in decode order — the same byte-range contract as
-    ``iter_samples`` for streaming-style (DASH/CMAF) layouts, dts in
-    mdhd-timescale units (tfdt when present, else accumulated).
+    size, dts, duration, sync} in decode order — the same byte-range
+    contract as ``iter_samples`` for streaming-style (DASH/CMAF)
+    layouts, dts in mdhd-timescale units (tfdt when present, else
+    accumulated). ``sync`` (keyframe) resolves per §8.8.8.1 from
+    per-sample flags > trun first-sample-flags > tfhd default > trex
+    default; None when no tier declares flags.
     ``chunk`` counts trun runs across the whole track. The traf
     base-offset default CHAINS off the preceding traf's data end
     (ISO/IEC 14496-12 §8.8.7: neither base-data-offset nor
@@ -661,9 +671,12 @@ def _iter_fragment_samples(payload: bytes, track_id: int):
                     run_samples = (
                         trun["samples"]
                         if trun["samples"] is not None
-                        else ((None, None) for _ in range(trun["count"]))
+                        else (
+                            (None, None, None)
+                            for _ in range(trun["count"])
+                        )
                     )
-                    for dur, size in run_samples:
+                    for si, (dur, size, sfl) in enumerate(run_samples):
                         if size is None:
                             size = tfhd["def_size"]
                         if size is None:
@@ -683,6 +696,19 @@ def _iter_fragment_samples(payload: bytes, track_id: int):
                                     "mp4: trun sample without a "
                                     "duration and no tfhd/trex default"
                                 )
+                            # sample-flags resolution (§8.8.8.1):
+                            # per-sample > trun first-sample-flags
+                            # (first sample of the run only) > tfhd
+                            # default > trex default; keyframe = NOT
+                            # sample_is_non_sync_sample (bit 16).
+                            # Unresolvable -> None (a thumbnail tier
+                            # must not mistake unknown for sync)
+                            if sfl is None and si == 0:
+                                sfl = trun["first_flags"]
+                            if sfl is None:
+                                sfl = tfhd["def_flags"]
+                            if sfl is None:
+                                sfl = t_def.get("flags")
                             yield {
                                 "index": idx,
                                 "fragment": seq,
@@ -691,6 +717,11 @@ def _iter_fragment_samples(payload: bytes, track_id: int):
                                 "size": size,
                                 "dts": dts,
                                 "duration": dur,
+                                "sync": (
+                                    None
+                                    if sfl is None
+                                    else not sfl & 0x00010000
+                                ),
                             }
                             dts += dur
                             idx += 1
@@ -1141,11 +1172,21 @@ def build_skeleton(
     return ftyp + moov
 
 
-def _trex_box(track_id: int, default_duration: int, default_size: int) -> bytes:
+def _trex_box(
+    track_id: int,
+    default_duration: int,
+    default_size: int,
+    default_flags: int = 0,
+) -> bytes:
     return _full(
         b"trex",
         struct.pack(
-            ">IIIII", track_id, 1, default_duration, default_size, 0
+            ">IIIII",
+            track_id,
+            1,
+            default_duration,
+            default_size,
+            default_flags,
         ),
     )
 
@@ -1155,6 +1196,7 @@ def _tfhd_box(
     base_offset: int | None = None,
     def_size: int | None = None,
     base_is_moof: bool = False,
+    def_flags: int | None = None,
 ) -> bytes:
     flags = 0
     tail = b""
@@ -1164,6 +1206,9 @@ def _tfhd_box(
     if def_size is not None:
         flags |= _TFHD_DEF_SIZE
         tail += struct.pack(">I", def_size)
+    if def_flags is not None:
+        flags |= _TFHD_DEF_FLAGS
+        tail += struct.pack(">I", def_flags)
     if base_is_moof:
         flags |= _TFHD_BASE_IS_MOOF
     return _box(
@@ -1187,22 +1232,32 @@ def _trun_box(
     data_offset: int | None = None,
     per_size: bool = False,
     per_duration: bool = False,
+    first_flags: int | None = None,
+    per_flags: list[int] | None = None,
 ) -> bytes:
     flags = 0
     if data_offset is not None:
         flags |= _TRUN_DATA_OFFSET
+    if first_flags is not None:
+        flags |= _TRUN_FIRST_FLAGS
     if per_duration:
         flags |= _TRUN_DURATION
     if per_size:
         flags |= _TRUN_SIZE
+    if per_flags is not None:
+        flags |= _TRUN_FLAGS
     body = struct.pack(">I", flags) + struct.pack(">I", len(samples))
     if data_offset is not None:
         body += struct.pack(">i", data_offset)
-    for dur, size in samples:
+    if first_flags is not None:
+        body += struct.pack(">I", first_flags)
+    for i, (dur, size) in enumerate(samples):
         if per_duration:
             body += struct.pack(">I", dur)
         if per_size:
             body += struct.pack(">I", size)
+        if per_flags is not None:
+            body += struct.pack(">I", per_flags[i])
     return _box(b"trun", body)
 
 
@@ -1224,7 +1279,13 @@ def build_fragmented_skeleton(
     tfdt/accumulated-dts paths are exercised. Every field is doc-id-
     free arithmetic tests and oracles recompute:
     sample (f, j): offset = 100064 + 10000f + (200j + j(j-1)/2 even
-    | (150+f)j odd), size = (200+j | 150+f), dts = 500f + 25j."""
+    | (150+f)j odd), size = (200+j | 150+f), dts = 500f + 25j.
+
+    r11: sample FLAGS plant the CMAF keyframe pattern — keyframe iff
+    j == 0 — through two different resolution paths: EVEN fragments
+    carry PER-SAMPLE flags (sync 0x02000000 at j=0, non-sync
+    0x01010000 after), ODD fragments a tfhd DEFAULT of non-sync plus
+    trun FIRST-SAMPLE-FLAGS of sync."""
     spf = samples_per_fragment
     ftyp = _box(
         b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5cmfc"
@@ -1244,15 +1305,22 @@ def build_fragmented_skeleton(
                 [(None, 200 + j) for j in range(spf)],
                 data_offset=64,
                 per_size=True,
+                per_flags=[
+                    0x02000000 if j == 0 else 0x01010000
+                    for j in range(spf)
+                ],
             )
         else:
             tfhd = _tfhd_box(
                 1,
                 base_offset=100_000 + 10_000 * f,
                 def_size=150 + f,
+                def_flags=0x01010000,
             )
             trun = _trun_box(
-                [(None, None)] * spf, data_offset=64
+                [(None, None)] * spf,
+                data_offset=64,
+                first_flags=0x02000000,
             )
         traf = _box(b"traf", tfhd + _tfdt_box(500 * f) + trun)
         moof = _box(
