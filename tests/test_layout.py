@@ -624,3 +624,28 @@ def test_shard_writer_shuffled_training_order(spark, tmp_path):
     assert any(o1[k] != o3[k] for k in o1)
     # and genuinely not id-sorted
     assert any(v != sorted(v) for v in o1.values())
+
+
+def test_append_zorder_missing_meta_is_loud(spark, tmp_path):
+    # ADVICE (r10): the overwrite used to delete the previous meta
+    # before the new one existed; the meta now stages OUTSIDE the
+    # directory first, and a meta-less layout fails with a recovery
+    # hint instead of a bare FileNotFoundError deep in open()
+    import os
+
+    from timeseries_data_provider_spark import tables
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 3 % 17).alias("b")
+    )
+    path = str(tmp_path / "z")
+    tables.write_zorder(df, path, ["a", "b"], num_files=2, bits=3)
+    assert os.path.exists(os.path.join(path, "_zorder_meta.json"))
+    # no staged orphan left behind on the happy path
+    assert not [
+        f for f in os.listdir(str(tmp_path)) if f.endswith(".staged")
+    ]
+    tables.append_zorder(df, path, num_files=1)
+    os.remove(os.path.join(path, "_zorder_meta.json"))
+    with pytest.raises(FileNotFoundError, match="rebuild with write_zorder"):
+        tables.append_zorder(df, path)

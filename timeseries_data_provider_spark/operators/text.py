@@ -689,9 +689,18 @@ def bm25_topk(
     tf = words.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=False)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     pruned = tf.join(
         F.broadcast(qdf.select("term").distinct()), "term"
+    )
+    # dl only for MATCHED docs (r11 semi-join prune): a doc's length
+    # counts all its terms, but only docs that hit a query term ever
+    # join — the semi join keeps the dl aggregate and the downstream
+    # join matched-sized instead of corpus-sized (for a stop-word
+    # query this degrades gracefully to the full corpus)
+    dl = (
+        tf.join(pruned.select("doc_id").distinct(), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
     )
     dfq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = documents.agg(

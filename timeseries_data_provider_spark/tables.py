@@ -257,6 +257,18 @@ def zorder_value(
     return df.withColumn("__z", zcol)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — meta
+    sidecar I/O must work wherever the data path does (local, HDFS,
+    S3A), not just on the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return (
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()),
+        hpath,
+    )
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
@@ -285,23 +297,41 @@ def write_zorder(
         "__z"
     )
     out = out.drop("__z")
-    writer = out.write.mode("overwrite")
-    if row_group_bytes is not None:
-        writer = writer.option("parquet.block.size", row_group_bytes)
-    writer.parquet(path)
     # persist the curve so appends bucket with the SAME boundaries —
-    # JSON covers the supported boundary types (numbers, strings);
-    # write-then-rename for the compaction-style crash safety
+    # JSON covers the supported boundary types (numbers, strings).
+    # Crash-safety order (ADVICE r10): the overwrite DELETES the
+    # directory (including the previous meta), so the new meta is
+    # staged in the PARENT directory — outside the blast radius —
+    # BEFORE the data write, and renamed in only after it commits. A
+    # crash in the window leaves the staged file next to the table for
+    # manual recovery instead of a meta-less layout. All meta I/O goes
+    # through the Hadoop FS API so non-local paths (HDFS/S3) work the
+    # same as the data path.
     meta = {
         "cluster_cols": list(cluster_cols),
         "bits": bits,
         "boundaries": boundaries,
     }
-    tmp = os.path.join(path, "._zorder_meta.json.tmp")
-    dst = os.path.join(path, "_zorder_meta.json")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, dst)
+    spark = df.sparkSession
+    fs, hpath = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    staged = jpath(
+        hpath.getParent(), f"._zorder_meta.{hpath.getName()}.staged"
+    )
+    stream = fs.create(staged, True)
+    stream.write(json.dumps(meta).encode("utf-8"))
+    stream.close()
+    writer = out.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", row_group_bytes)
+    writer.parquet(path)
+    dst = jpath(hpath, "_zorder_meta.json")
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(staged, dst):
+        raise IOError(
+            f"write_zorder: could not move staged meta {staged} -> {dst}"
+        )
 
 
 def append_zorder(
@@ -321,9 +351,27 @@ def append_zorder(
     resamples. Sort-order caveat: parquet's append cannot interleave
     new rows into old files, so pruning quality is per-FILE-SET —
     each append's files cover narrow curve ranges of their own."""
-    meta_path = os.path.join(path, "_zorder_meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
+    spark = df.sparkSession
+    fs, hpath = _hadoop_fs(spark, path)
+    meta_path = spark._jvm.org.apache.hadoop.fs.Path(
+        hpath, "_zorder_meta.json"
+    )
+    if not fs.exists(meta_path):
+        raise FileNotFoundError(
+            f"append_zorder: {path} has no _zorder_meta.json — the "
+            "layout was written without write_zorder, or a crash "
+            "interrupted it (look for a ._zorder_meta.*.staged file "
+            "next to the directory); rebuild with write_zorder"
+        )
+    stream = fs.open(meta_path)
+    try:
+        meta = json.loads(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
     out = zorder_value(
         df,
         meta["cluster_cols"],
