@@ -96,11 +96,19 @@ def test_hostile_inputs():
     )
     with pytest.raises(NotImplementedError, match="encrypted"):
         pdf.extract_pdf(enc)
+    # LZW is implemented since r11 — PLAIN text mislabeled as LZW is
+    # now a loud decode error, and a genuinely unsupported filter
+    # still names itself
     lzw = pdf.encode_pdf([["x"]], compress=False).replace(
         b"<< /Length", b"<< /Filter /LZWDecode /Length"
     )
-    with pytest.raises(NotImplementedError, match="LZW"):
+    with pytest.raises(ValueError, match="LZW"):
         pdf.extract_pdf(lzw)
+    dct = pdf.encode_pdf([["x"]], compress=False).replace(
+        b"<< /Length", b"<< /Filter /DCTDecode /Length"
+    )
+    with pytest.raises(NotImplementedError, match="DCT"):
+        pdf.extract_pdf(dct)
     # reference cycle
     body = (
         b"%PDF-1.4\n1 0 obj\n2 0 R\nendobj\n2 0 obj\n1 0 R\nendobj\n"
@@ -289,3 +297,82 @@ def test_encrypt_in_xref_stream_dict_raises():
     )
     with pytest.raises(NotImplementedError, match="encrypted"):
         pdf.extract_pdf(doc)
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Independent reference LZW encoder (TIFF dialect, MSB-first,
+    9->12 bit codes, 256 clear / 257 EOD, EarlyChange width growth)
+    for round-trip testing the decoder."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(code):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    put(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096 - 1:
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        put(table[w])
+    put(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_roundtrip_and_lzw_content_stream():
+    # decoder vs the independent encoder, incl. table growth past
+    # the 9- and 10-bit boundaries and a mid-stream clear
+    import random
+
+    rnd = random.Random(5)
+    for blob in [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        bytes(rnd.randrange(4) for _ in range(5000)),  # grows past 10 bits
+        b"BT (hello) Tj ET" * 200,
+    ]:
+        assert pdf._lzw_decode(_lzw_encode(blob)) == blob
+    # a real LZW-filtered content stream extracts
+    content = b"BT /F1 12 Tf 72 720 Td (lzw text) Tj ET"
+    z = _lzw_encode(content)
+    doc = (
+        b"%PDF-1.2\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length " + str(len(z)).encode() +
+        b" /Filter /LZWDecode >>\nstream\n" + z +
+        b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf.extract_pdf(doc)["text"] == "lzw text"
+    # hostile: truncated LZW data must raise ValueError, not crash
+    with pytest.raises(Exception):
+        pdf._lzw_decode(bytes([0xFF] * 4))

@@ -6,12 +6,13 @@ metadata, not their rendering. The format's text layer is
 stdlib-feasible: objects + xref (PDF 1.4 classic and the 1.5+
 cross-reference STREAM form), compressed OBJECT streams (/ObjStm,
 §7.5.7 — the layout every modern writer emits), FlateDecode via
-zlib with TIFF/PNG predictor inversion (§7.4.4.4), and the content-
+zlib and LZWDecode (the TIFF dialect incl. EarlyChange, §7.4.4.2)
+with TIFF/PNG predictor inversion (§7.4.4.4), and the content-
 stream text operators (BT/ET, Tj/TJ/'/", Td/TD/T*/Tm, Tf). Font
-rendering, CMap/CID composite fonts, LZW streams, and encrypted
-documents are named gaps (a real pipeline routes those to a PDF
-library); simple fonts with standard encodings — the overwhelming
-majority of text-bearing PDFs — extract exactly.
+rendering, CMap/CID composite fonts, and encrypted documents are
+named gaps (a real pipeline routes those to a PDF library); simple
+fonts with standard encodings — the overwhelming majority of
+text-bearing PDFs — extract exactly.
 
 Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
 public). Reference parity note: index.js has no document surface;
@@ -292,6 +293,51 @@ def _resolve(objs, v):
     return v
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (§7.4.4.2 — the TIFF LZW dialect): MSB-first
+    variable-width codes 9→12 bits, 256 = clear table, 257 = EOD,
+    and the ``EarlyChange`` quirk (default 1: the code width grows
+    one code EARLY). Pre-Flate PDFs (Acrobat ≤ 4 era) use this
+    everywhere; it was a named gap until r11."""
+    out = bytearray()
+    # table[i] for i<256 is the single byte; 256/257 control codes
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("pdf: bad LZW first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("pdf: LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _png_unpredict(
     data: bytes, colors: int, bpc: int, columns: int
 ) -> bytes:
@@ -349,14 +395,25 @@ def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
     if filt is None:
         return raw
     filts = filt if isinstance(filt, list) else [filt]
+    raw_parms = _resolve(objs, val.get("DecodeParms"))
+    if isinstance(raw_parms, list):
+        parms_list = [_resolve(objs, p) for p in raw_parms]
+    else:
+        parms_list = [raw_parms] * len(filts)
     data = raw
-    for f in filts:
+    for i, f in enumerate(filts):
         f = str(_resolve(objs, f))
+        fp = parms_list[i] if i < len(parms_list) else None
         if f == "FlateDecode":
             try:
                 data = zlib.decompress(data)
             except zlib.error as e:
                 raise ValueError(f"pdf: bad Flate stream: {e}") from e
+        elif f == "LZWDecode":
+            early = 1
+            if isinstance(fp, dict):
+                early = int(_resolve(objs, fp.get("EarlyChange", 1)) or 0)
+            data = _lzw_decode(data, early_change=early)
         elif f == "ASCIIHexDecode":
             h = re.sub(rb"[\s>]", b"", data)
             if len(h) % 2:
@@ -364,8 +421,8 @@ def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
             data = bytes.fromhex(h.decode("ascii", "replace"))
         else:
             raise NotImplementedError(
-                f"pdf: stream filter {f} (Flate/ASCIIHex only; DCT/JBIG2/"
-                "CCITT are image filters, LZW needs the TIFF dialect)"
+                f"pdf: stream filter {f} (Flate/LZW/ASCIIHex only; "
+                "DCT/JBIG2/CCITT are image filters)"
             )
     params = _resolve(objs, val.get("DecodeParms"))
     if isinstance(params, list):
