@@ -92,8 +92,8 @@ def test_named_gaps():
         tiff.decode_tiff(bytes(p))
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 262)
-    p[e + 8] = 3  # palette
-    with pytest.raises(NotImplementedError, match="photometric 3"):
+    p[e + 8] = 6  # YCbCr (palette is supported since r11)
+    with pytest.raises(NotImplementedError, match="photometric 6"):
         tiff.decode_tiff(bytes(p))
 
 
@@ -299,3 +299,30 @@ def test_hostile_ifd_value_types_raise_named_errors():
     struct.pack_into("<I", bad, e + 4, 0)
     with pytest.raises(ValueError, match="empty"):
         tiff.decode_tiff(bytes(bad))
+
+
+def test_palette_photometric3_roundtrip():
+    # r11: palette-indexed TIFFs (photometric 3 + 16-bit ColorMap)
+    # were a named gap; channels map v*257 so >>8 inverts exactly
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, 256, (20, 30)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    for bo in (False, True):
+        for kw in ({}, {"packbits": True}, {"lzw": True}):
+            blob = tiff.encode_tiff(
+                30, 20, idx, big_endian=bo, palette=pal, **kw
+            )
+            dec = tiff.decode_tiff(blob)
+            assert dec["pixels"].shape == (20, 30, 3)
+            assert (dec["pixels"] == pal[idx]).all(), (bo, kw)
+    # hostile: photometric 3 without a ColorMap is loud
+    blob = tiff.encode_tiff(30, 20, idx, palette=pal)
+    import struct as _s
+
+    # find and zero the ColorMap tag id (320) in the IFD
+    bad = blob.replace(_s.pack("<H", 320), _s.pack("<H", 999), 1)
+    with pytest.raises(ValueError, match="ColorMap"):
+        tiff.decode_tiff(bad)
+    with pytest.raises(ValueError, match="palette needs"):
+        tiff.encode_tiff(30, 20, np.zeros((20, 30, 3), np.uint8),
+                         palette=pal)

@@ -5,11 +5,12 @@ stdlib-feasible baseline: the TIFF 6.0 specification's Baseline
 profile stores uncompressed (Compression=1), LZW (Compression=5 —
 the MSB-first EarlyChange bitstream, a DIFFERENT dialect from the
 in-repo GIF LZW's LSB-first deferred-clear one), or PackBits-RLE
-(Compression=32773) strips of 8-bit grayscale or RGB samples, with
-the horizontal-differencing Predictor (tag 317 = 2) that real
-photographic LZW TIFFs pair with it. JPEG-in-TIFF=7, Deflate=8, and
-CCITT fax stay named NotImplementedError gaps for a registered codec
-library.
+(Compression=32773) strips of 8-bit grayscale, RGB, or
+PALETTE-indexed (photometric 3 + 16-bit ColorMap, r11) samples,
+with the horizontal-differencing Predictor (tag 317 = 2) that real
+photographic LZW TIFFs pair with it. JPEG-in-TIFF=7, Deflate=8,
+YCbCr, planar configuration 2, and CCITT fax stay named
+NotImplementedError gaps for a registered codec library.
 
 * ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
   ``MM\\0*``), first IFD walk, baseline tag set (width/length/
@@ -54,6 +55,7 @@ _ROWS_PER_STRIP = 278
 _STRIP_COUNTS = 279
 _PLANAR = 284
 _PREDICTOR = 317
+_COLORMAP = 320
 
 _TYPE_SIZES = {
     1: 1,  # BYTE
@@ -320,11 +322,25 @@ def decode_tiff(payload: bytes) -> dict:
             f"tiff: predictor {predictor} (none/horizontal only)"
         )
     photometric = scalar(_PHOTOMETRIC, 1, "Photometric")
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"tiff: photometric {photometric} (gray/RGB only; palette "
-            "and YCbCr need a registered codec)"
+            f"tiff: photometric {photometric} (gray/RGB/palette only; "
+            "YCbCr needs a registered codec)"
         )
+    palette = None
+    if photometric == 3:
+        cm = tags.get(_COLORMAP)
+        if not cm or len(cm) != 3 * 256 or not all(
+            isinstance(v, int) for v in cm
+        ):
+            raise ValueError(
+                "tiff: palette image without a 3x256 ColorMap"
+            )
+        # ColorMap stores 16-bit channel blocks (all R, all G, all
+        # B); writers map 8-bit values as v*257, so >> 8 inverts it
+        palette = (
+            np.array(cm, np.uint32).reshape(3, 256).T >> 8
+        ).astype(np.uint8)
     spp = scalar(_SAMPLES, 1, "SamplesPerPixel")
     want_spp = 3 if photometric == 2 else 1
     if spp != want_spp:
@@ -389,6 +405,8 @@ def decode_tiff(payload: bytes) -> dict:
         # MinIsWhite: invert to the MinIsBlack convention every other
         # decoder in this package emits
         px = 255 - px
+    elif photometric == 3:
+        px = palette[px]  # (h, w) indices -> (h, w, 3) RGB
     return {
         "format": "tiff",
         "width": width,
@@ -432,13 +450,16 @@ def encode_tiff(
     lzw: bool = False,
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    palette: np.ndarray | None = None,
 ) -> bytes:
-    """Write a real baseline TIFF: 8-bit gray ((h, w) input) or RGB
-    ((h, w, 3)), either byte order, optional PackBits or LZW
-    compression (LZW may pair with horizontal-differencing
-    ``predictor=2``, the real-world default for photographic TIFFs),
-    strip layout controlled by ``rows_per_strip`` (default: one
-    strip)."""
+    """Write a real baseline TIFF: 8-bit gray ((h, w) input), RGB
+    ((h, w, 3)), or PALETTE-indexed ((h, w) indices + a (256, 3)
+    uint8 ``palette`` -> photometric 3 with a 16-bit ColorMap,
+    channels mapped v*257 so the decoder's >>8 inverts exactly);
+    either byte order, optional PackBits or LZW compression (LZW may
+    pair with horizontal-differencing ``predictor=2``, the
+    real-world default for photographic TIFFs), strip layout
+    controlled by ``rows_per_strip`` (default: one strip)."""
     if packbits and lzw:
         raise ValueError("encode_tiff: packbits and lzw are exclusive")
     if predictor not in (1, 2):
@@ -448,6 +469,13 @@ def encode_tiff(
     spp = 1 if px.ndim == 2 else px.shape[2]
     if px.shape[:2] != (height, width) or spp not in (1, 3):
         raise ValueError(f"encode_tiff: bad pixel shape {px.shape}")
+    if palette is not None:
+        palette = np.asarray(palette, np.uint8)
+        if spp != 1 or palette.shape != (256, 3):
+            raise ValueError(
+                "encode_tiff: palette needs (h, w) indices and a "
+                "(256, 3) palette"
+            )
     if predictor == 2:
         # horizontal differencing mod 256 (inverted by the decoder's
         # per-row cumulative sum)
@@ -485,7 +513,11 @@ def encode_tiff(
         (_LENGTH, dim_type(height), [height]),
         (_BITS, 3, [8] * spp),
         (_COMPRESSION, 3, [32773 if packbits else 5 if lzw else 1]),
-        (_PHOTOMETRIC, 3, [2 if spp == 3 else 1]),
+        (
+            _PHOTOMETRIC,
+            3,
+            [3 if palette is not None else 2 if spp == 3 else 1],
+        ),
         (_STRIP_OFFSETS, 4, None),  # values filled in pass 2
         (_SAMPLES, 3, [spp]),
         (_ROWS_PER_STRIP, dim_type(rps), [rps]),
@@ -494,6 +526,9 @@ def encode_tiff(
     ]
     if predictor == 2:
         entries.append((_PREDICTOR, 3, [2]))
+    if palette is not None:
+        cm = (palette.T.astype(np.uint32) * 257).reshape(-1)
+        entries.append((_COLORMAP, 3, [int(v) for v in cm]))
     ifd_off = 8
     extra_off = ifd_off + 2 + 12 * len(entries) + 4
     extra_size = 0
