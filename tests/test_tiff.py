@@ -77,8 +77,8 @@ def test_named_gaps():
     px = np.zeros((2, 2), np.uint8)
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 259)
-    p[e + 8] = 8  # Compression = Deflate (LZW is supported now)
-    with pytest.raises(NotImplementedError, match="compression 8"):
+    p[e + 8] = 7  # JPEG-in-TIFF (LZW + Deflate are supported now)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         tiff.decode_tiff(bytes(p))
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 258)
@@ -326,3 +326,34 @@ def test_palette_photometric3_roundtrip():
     with pytest.raises(ValueError, match="palette needs"):
         tiff.encode_tiff(30, 20, np.zeros((20, 30, 3), np.uint8),
                          palette=pal)
+
+
+def test_deflate_compression_roundtrip():
+    # r11: Adobe Deflate (8) was a named gap and is pure zlib;
+    # legacy 32946 decodes through the same branch
+    rng = np.random.RandomState(3)
+    for shape in [(12, 17), (12, 17, 3)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        for bo in (False, True):
+            blob = tiff.encode_tiff(17, 12, px, big_endian=bo,
+                                    deflate=True, rows_per_strip=5)
+            dec = tiff.decode_tiff(blob)
+            assert (dec["pixels"] == px).all()
+    # deflate pairs with predictor 2 like LZW does
+    px = rng.randint(0, 256, (8, 9)).astype(np.uint8)
+    blob = tiff.encode_tiff(9, 8, px, deflate=True, predictor=2)
+    assert (tiff.decode_tiff(blob)["pixels"] == px).all()
+    # legacy tag 32946
+    import struct as _s
+
+    b = bytearray(tiff.encode_tiff(9, 8, px, deflate=True))
+    e = _find_entry(bytes(b), 259)
+    b[e + 8 : e + 10] = _s.pack("<H", 32946)
+    assert (tiff.decode_tiff(bytes(b))["pixels"] == px).all()
+    # corrupt deflate data is loud
+    b = bytearray(tiff.encode_tiff(9, 8, px, deflate=True))
+    b[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(bytes(b))
+    with pytest.raises(ValueError, match="exclusive"):
+        tiff.encode_tiff(9, 8, px, deflate=True, lzw=True)

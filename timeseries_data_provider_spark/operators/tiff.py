@@ -311,10 +311,10 @@ def decode_tiff(payload: bytes) -> dict:
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError(f"tiff: unreasonable canvas {width}x{height}")
     compression = scalar(_COMPRESSION, 1, "Compression")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"tiff: compression {compression} (none/LZW/PackBits only; "
-            "register a codec for JPEG-in-TIFF/Deflate/CCITT)"
+            f"tiff: compression {compression} (none/LZW/Deflate/"
+            "PackBits only; register a codec for JPEG-in-TIFF/CCITT)"
         )
     predictor = scalar(_PREDICTOR, 1, "Predictor")
     if predictor not in (1, 2):
@@ -379,6 +379,19 @@ def decode_tiff(payload: bytes) -> dict:
             strip = _unpackbits(strip, expected)
         elif compression == 5:
             strip = _lzw_decode(strip, expected)
+        elif compression in (8, 32946):
+            # Adobe Deflate (8) / legacy Deflate (32946): zlib strips
+            import zlib
+
+            try:
+                strip = zlib.decompress(bytes(strip))
+            except zlib.error as e:
+                raise ValueError(f"tiff: bad Deflate strip: {e}") from e
+            if len(strip) != expected:
+                raise ValueError(
+                    f"tiff: Deflate strip decoded to {len(strip)} "
+                    f"bytes, expected {expected}"
+                )
         elif len(strip) != expected:
             raise ValueError(
                 f"tiff: strip carries {len(strip)} bytes, expected "
@@ -448,6 +461,7 @@ def encode_tiff(
     big_endian: bool = False,
     packbits: bool = False,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: int = 1,
     rows_per_strip: int | None = None,
     palette: np.ndarray | None = None,
@@ -460,8 +474,10 @@ def encode_tiff(
     pair with horizontal-differencing ``predictor=2``, the
     real-world default for photographic TIFFs), strip layout
     controlled by ``rows_per_strip`` (default: one strip)."""
-    if packbits and lzw:
-        raise ValueError("encode_tiff: packbits and lzw are exclusive")
+    if sum((packbits, lzw, deflate)) > 1:
+        raise ValueError(
+            "encode_tiff: packbits/lzw/deflate are exclusive"
+        )
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: predictor {predictor}")
     bo = ">" if big_endian else "<"
@@ -496,6 +512,10 @@ def encode_tiff(
             )
         elif lzw:
             chunk = _lzw_encode(chunk)
+        elif deflate:
+            import zlib
+
+            chunk = zlib.compress(chunk)
         strips.append(chunk)
 
     # two-pass layout: pass 1 sizes every entry's value to place the
@@ -512,7 +532,11 @@ def encode_tiff(
         (_WIDTH, dim_type(width), [width]),
         (_LENGTH, dim_type(height), [height]),
         (_BITS, 3, [8] * spp),
-        (_COMPRESSION, 3, [32773 if packbits else 5 if lzw else 1]),
+        (
+            _COMPRESSION,
+            3,
+            [32773 if packbits else 5 if lzw else 8 if deflate else 1],
+        ),
         (
             _PHOTOMETRIC,
             3,
