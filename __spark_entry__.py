@@ -42,6 +42,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     classifier,
     core,
     dedup,
+    dsir as dsirmod,
     frontier as frontiermod,
     htmltext,
     joins,
@@ -1721,6 +1722,26 @@ def q64_corpus_signals(spark, sf):
         F.col("logit_milli").alias("clf_logit_milli"),
         F.col("label").alias("clf_label"),
     )
+    # r11: DSIR importance resampling (Xie et al. 2023) — target
+    # domain = doc_id % 7 == 0 (a deterministic corpus subset), hashed
+    # unigram+bigram models over 512 md5 buckets, per-doc importance
+    # log-weight in exact integer milli-nats, and the Gumbel-top-50
+    # resampling draw (md5-uniform, the A-ES determinism). The oracle
+    # replays features, both models, the floor-milli log ratios, the
+    # weight sum, and the exact draw.
+    dsir_dim = 512
+    dsir_lr = dsirmod.dsir_logratios(
+        d.filter(F.col("doc_id") % 7 == 0), d, dim=dsir_dim
+    )
+    dw = dsirmod.dsir_weights(d, dsir_lr, dim=dsir_dim).select(
+        "doc_id",
+        F.col("n_feats").alias("dsir_feats"),
+        "dsir_milli",
+    )
+    dsel = dsirmod.dsir_select(dw, k=50).select(
+        "doc_id", F.col("rank").alias("dsir_rank")
+    )
+    dw = dw.join(dsel, "doc_id", "left")
     return (
         base.join(sig, "doc_id")
         .join(pii, "doc_id")
@@ -1730,6 +1751,7 @@ def q64_corpus_signals(spark, sf):
         .join(md, "doc_id")
         .join(pdfcols, "doc_id")
         .join(clf, "doc_id")
+        .join(dw, "doc_id")
     )
 
 
@@ -4220,6 +4242,70 @@ def oracle_sql() -> dict[str, str]:
                         % 256) % 201 - 100) AS BIGINT)
                        AS clf_logit_milli
               FROM words GROUP BY doc_id
+            ), dfeat AS (
+              -- DSIR hashed features (r11): unigrams + adjacent
+              -- bigrams -> md5-prefix bucket mod 512, counted per doc
+              SELECT doc_id, bucket, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(g), 1, 12) AS BIGINT)
+                         % 512 AS bucket
+                FROM (
+                  SELECT doc_id, unnest(ws) AS g FROM w
+                  UNION ALL
+                  SELECT doc_id, ws[v] || ' ' || ws[v + 1] AS g
+                  FROM (SELECT doc_id, ws,
+                               unnest(generate_series(1, len(ws) - 1))
+                                 AS v
+                        FROM w) bg
+                ) gg
+              ) bb GROUP BY doc_id, bucket
+            ), dtc AS (
+              SELECT bucket, SUM(c) AS tc FROM dfeat
+              WHERE doc_id % 7 = 0 GROUP BY bucket
+            ), drc AS (
+              SELECT bucket, SUM(c) AS rc FROM dfeat GROUP BY bucket
+            ), dtot AS (
+              SELECT (SELECT COALESCE(SUM(tc), 0) FROM dtc) AS tt,
+                     (SELECT COALESCE(SUM(rc), 0) FROM drc) AS tr
+            ), dlr AS (
+              -- add-1-smoothed log ratio, floor milli-nats, the SAME
+              -- ln-term order as operators/dsir.dsir_logratios
+              SELECT b.bucket,
+                     CAST(FLOOR(1000.0 * (
+                       ln(COALESCE(tc, 0) + 1.0) - ln(tt + 512.0)
+                       - ln(COALESCE(rc, 0) + 1.0) + ln(tr + 512.0)
+                     )) AS BIGINT) AS lr_milli
+              FROM (SELECT unnest(range(0, 512)) AS bucket) b
+              LEFT JOIN dtc USING (bucket)
+              LEFT JOIN drc USING (bucket)
+              CROSS JOIN dtot
+            ), dwgt AS (
+              SELECT f.doc_id,
+                     CAST(SUM(f.c) AS BIGINT) AS dsir_feats,
+                     CAST(SUM(f.c * l.lr_milli) AS BIGINT)
+                       AS dsir_milli
+              FROM dfeat f JOIN dlr l USING (bucket)
+              GROUP BY f.doc_id
+            ), dsel AS (
+              -- Gumbel-top-50 draw: u from the md5(id) 48-bit prefix
+              -- (the A-ES uniform), g = -ln(-ln u) in floor millis
+              SELECT doc_id, dsir_rank FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (
+                         ORDER BY dsir_milli + gumbel_milli DESC,
+                                  doc_id ASC) AS BIGINT) AS dsir_rank
+                FROM (
+                  SELECT dd.doc_id,
+                         COALESCE(dg.dsir_milli, 0) AS dsir_milli,
+                         CAST(FLOOR(1000.0 * -ln(-ln(
+                           (CAST('0x' || substr(md5(
+                              CAST(dd.doc_id AS VARCHAR)), 1, 12)
+                              AS BIGINT) + 0.5) / 281474976710656.0
+                         ))) AS BIGINT) AS gumbel_milli
+                  FROM documents dd
+                  LEFT JOIN dwgt dg USING (doc_id)
+                ) g0
+              ) g1 WHERE dsir_rank <= 50
             )
             SELECT w.doc_id,
                    CAST(len(w.ws) AS BIGINT) AS n_tokens,
@@ -4276,7 +4362,10 @@ def oracle_sql() -> dict[str, str]:
                    x.pdf_pages, x.pdf_title, x.pdf_text,
                    CAST(length(x.pdf_text) AS BIGINT) AS pdf_text_chars,
                    k.clf_logit_milli,
-                   k.clf_logit_milli > 0 AS clf_label
+                   k.clf_logit_milli > 0 AS clf_label,
+                   COALESCE(dw2.dsir_feats, 0) AS dsir_feats,
+                   COALESCE(dw2.dsir_milli, 0) AS dsir_milli,
+                   ds.dsir_rank
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)
@@ -4288,6 +4377,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN runs r USING (doc_id)
             LEFT JOIN lmscore s USING (doc_id)
             LEFT JOIN knscore kn USING (doc_id)
+            LEFT JOIN dwgt dw2 USING (doc_id)
+            LEFT JOIN dsel ds USING (doc_id)
         """,
         # Recomputes the collector-replay trace from scratch: sources
         # a/b/c/d/e fire at i%2/3/5==0 by the due-check; d's null-guard
