@@ -86,7 +86,9 @@ EXPLAINED_MOVES = {
         "r10: HTML->Markdown conversion pass over the parsed pages + "
         "frontier politeness-window scheduling columns + trigram "
         "Kneser-Ney train/score (continuation counts, 3-level "
-        "interpolation) on the probe corpus"
+        "interpolation) on the probe corpus; r11: DSIR importance "
+        "resampling (two hashed-ngram model fits over the corpus + "
+        "weight join + Gumbel top-50 draw) + fmp4 keyframe column"
     ),
 }
 
