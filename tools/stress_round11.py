@@ -26,9 +26,18 @@ anchorsc   Anchor-text profiles under the SELF-CLOSING <a/> adversary
            credit labels only to /page targets. Extends the r10
            anchortext row (clean-class HTML only) to the adversary.
 
-Usage: python tools/stress_round11.py [bm25hot|anchorsc]
+dsir       DSIR importance resampling at 64x: 320k raw docs, a 20k
+           target sample with a planted vocabulary shift (target docs
+           carry domain tokens), hashed uni+bigram models over 8192
+           buckets. Asserts the weight ORDER separates the classes
+           exactly (every domain-heavy doc outweighs every plain doc),
+           a 1k-row sample recomputes exactly against driver-side
+           Python (features, floor-milli ratios, integer weight sum),
+           and the Gumbel-top-k draw is reproducible.
+
+Usage: python tools/stress_round11.py [bm25hot|anchorsc|dsir]
 Env: STRESS_BM25_N (default 320000), STRESS_ANCHORSC_N (default
-200000).
+200000), STRESS_DSIR_N (default 320000).
 """
 
 from __future__ import annotations
@@ -162,8 +171,97 @@ def probe_anchorsc(spark) -> None:
     )
 
 
+def probe_dsir(spark) -> None:
+    n = int(os.environ.get("STRESS_DSIR_N", "320000"))
+    from timeseries_data_provider_spark.operators import dsir as D
+
+    dim = 8192
+    # raw pool: half "domain" docs (medical-ish planted tokens), half
+    # plain; per-doc unique filler defeats accidental dedup. Target =
+    # an independent all-domain sample (ids above the pool).
+    dom = F.col("id") % 2 == 0
+    raw = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                dom, F.lit("dose trial cohort placebo endpoint ")
+            ).otherwise(F.lit("garden recipe travel football ")),
+            F.lit("u"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    target = spark.range(20_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("dose trial cohort placebo endpoint t"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    lr = D.dsir_logratios(target, raw, dim=dim).localCheckpoint(
+        eager=True
+    )
+    weighted = D.dsir_weights(raw, lr, dim=dim).localCheckpoint(
+        eager=True
+    )
+    n_scored = weighted.count()
+    dt = round(time.perf_counter() - t0, 2)
+    assert n_scored == n
+    # class separation: EVERY domain doc outweighs EVERY plain doc
+    cls = weighted.select(
+        "dsir_milli", (F.col("doc_id") % 2 == 0).alias("is_dom")
+    ).groupBy("is_dom").agg(
+        F.min("dsir_milli").alias("lo"), F.max("dsir_milli").alias("hi")
+    )
+    rows = {r["is_dom"]: r for r in cls.collect()}
+    assert rows[True]["lo"] > rows[False]["hi"], rows
+    # 1k-row exact driver-side recompute (features -> ratio -> sum)
+    import hashlib
+    import math
+
+    lrmap = {r["bucket"]: r["lr_milli"] for r in lr.collect()}
+    sample = weighted.filter(F.col("doc_id") % 320 == 0).collect()
+    assert len(sample) == (n + 319) // 320
+    for r in sample:
+        did = r["doc_id"]
+        kind = (
+            "dose trial cohort placebo endpoint "
+            if did % 2 == 0
+            else "garden recipe travel football "
+        )
+        ws = (kind + "u" + str(did)).split()
+        grams = ws + [
+            " ".join(ws[i : i + 2]) for i in range(len(ws) - 1)
+        ]
+        want = sum(
+            lrmap[
+                int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % dim
+            ]
+            for g in grams
+        )
+        assert r["dsir_milli"] == want, did
+    # the draw: reproducible, k rows, ranks 1..k
+    k = 1000
+    s1 = D.dsir_select(weighted, k=k).collect()
+    s2 = D.dsir_select(weighted, k=k).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    assert [r["rank"] for r in s1] == list(range(1, k + 1))
+    # importance resampling must pull overwhelmingly from the domain
+    # class (weights differ by thousands of milli-nats)
+    n_dom = sum(1 for r in s1 if r["doc_id"] % 2 == 0)
+    assert n_dom == k, n_dom
+    _emit(
+        "dsir",
+        n_raw=n,
+        n_target=20_000,
+        dim=dim,
+        secs=dt,
+        docs_per_sec=int(n / dt),
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["bm25hot", "anchorsc"]
+    which = sys.argv[1:] or ["bm25hot", "anchorsc", "dsir"]
     spark = get_spark("tdps-stress-r11")
     for name in which:
         globals()[f"probe_{name}"](spark)
