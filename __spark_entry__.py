@@ -1730,10 +1730,22 @@ def q64_corpus_signals(spark, sf):
     # replays features, both models, the floor-milli log ratios, the
     # weight sum, and the exact draw.
     dsir_dim = 512
+    # ONE feature pass serves both model fits and the weighting (the
+    # target is a subset of the pool — r11 review finding: computing
+    # features three times tripled q64's DSIR cost)
+    dsir_feats = dsirmod.ngram_bucket_features(
+        d, dim=dsir_dim
+    ).localCheckpoint(eager=False)
     dsir_lr = dsirmod.dsir_logratios(
-        d.filter(F.col("doc_id") % 7 == 0), d, dim=dsir_dim
+        d.filter(F.col("doc_id") % 7 == 0),
+        d,
+        dim=dsir_dim,
+        target_features=dsir_feats.filter(F.col("doc_id") % 7 == 0),
+        raw_features=dsir_feats,
     )
-    dw = dsirmod.dsir_weights(d, dsir_lr, dim=dsir_dim).select(
+    dw = dsirmod.dsir_weights(
+        d, dsir_lr, dim=dsir_dim, features=dsir_feats
+    ).select(
         "doc_id",
         F.col("n_feats").alias("dsir_feats"),
         "dsir_milli",

@@ -119,3 +119,61 @@ def test_gumbel_select_deterministic_and_exact(spark):
 def test_guards():
     with pytest.raises(ValueError, match="k"):
         dsir.dsir_select(None, k=0)
+
+
+def test_empty_corpus_smoothing_only_not_null(spark):
+    # review finding (r11): an empty/whitespace-only corpus summed
+    # its total to NULL, NULLing every ln() — all importance weights
+    # silently zeroed while the oracle (which coalesced) disagreed
+    target = spark.createDataFrame(
+        [(1, "   "), (2, "")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    lr = dsir.dsir_logratios(target, raw, dim=DIM)
+    rows = lr.collect()
+    assert len(rows) == DIM
+    assert all(r["lr_milli"] is not None for r in rows)
+    # smoothing-only target model: lr = ln(1/DIM) - ln((rc+1)/(tr+DIM))
+    import math
+
+    rc = {}
+    for _, t in RAW:
+        for b, c in _feats(t, DIM).items():
+            rc[b] = rc.get(b, 0) + c
+    tr = sum(rc.values())
+    for r in rows:
+        want = math.floor(1000.0 * (
+            math.log(1.0) - math.log(0 + float(DIM))
+            - math.log(rc.get(r["bucket"], 0) + 1.0)
+            + math.log(tr + float(DIM))
+        ))
+        assert r["lr_milli"] == want
+
+
+def test_precomputed_features_match_inline(spark):
+    # the shared-features path (one explode serving both model fits
+    # and the weighting) must equal the three-scan form exactly
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    import pyspark.sql.functions as F
+
+    feats = dsir.ngram_bucket_features(raw, dim=DIM)
+    tfeats = dsir.ngram_bucket_features(target, dim=DIM)
+    lr_inline = dsir.dsir_logratios(target, raw, dim=DIM)
+    lr_shared = dsir.dsir_logratios(
+        target, raw, dim=DIM, target_features=tfeats, raw_features=feats
+    )
+    a = {r["bucket"]: r["lr_milli"] for r in lr_inline.collect()}
+    b = {r["bucket"]: r["lr_milli"] for r in lr_shared.collect()}
+    assert a == b
+    w_inline = {
+        r["doc_id"]: r["dsir_milli"]
+        for r in dsir.dsir_weights(raw, lr_inline, dim=DIM).collect()
+    }
+    w_shared = {
+        r["doc_id"]: r["dsir_milli"]
+        for r in dsir.dsir_weights(
+            raw, lr_shared, dim=DIM, features=feats
+        ).collect()
+    }
+    assert w_inline == w_shared

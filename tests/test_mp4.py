@@ -751,8 +751,10 @@ def test_fragment_keyframes_all_resolution_tiers():
     assert len(walk) == 2
     assert all(s["sync"] is False for s in walk)
 
-    # no flags declared ANYWHERE -> sync stays None (unknown), with
-    # trex present but flags 0 meaning "declared sync" per the spec
+    # trex present with flags 0: the field is mandatory in the box,
+    # so this IS a declaration — sample_is_non_sync_sample = 0 reads
+    # as sync per the spec (documented caveat: a careless muxer's
+    # all-zero trex makes every sample "declared sync")
     mvex0 = mp4._box(b"mvex", mp4._trex_box(1, 25, 100))
     moov0 = mp4._box(
         b"moov",
@@ -762,3 +764,27 @@ def test_fragment_keyframes_all_resolution_tiers():
     )
     walk0 = list(mp4.iter_fragment_samples(ftyp + moov0 + moof, 1))
     assert all(s["sync"] is True for s in walk0)
+
+    # sync is None (unknown) ONLY when no tier exists at all: a track
+    # with no trex (no mvex) and no tfhd/trun flags — per-sample
+    # durations and a tfhd size default stand in for the missing trex
+    traf_sz = mp4._box(
+        b"traf",
+        mp4._tfhd_box(1, base_offset=5000, def_size=100)
+        + mp4._trun_box(
+            [(25, None), (25, None)], data_offset=8, per_duration=True
+        ),
+    )
+    moof_sz = mp4._box(
+        b"moof", mp4._full(b"mfhd", b"\x00\x00\x00\x01") + traf_sz
+    )
+    moov_plain = mp4._box(
+        b"moov",
+        mp4._mvhd(1000, 0, 2)
+        + mp4._trak(1, 0, b"vide", b"mp4v", 16, 16, 1000),
+    )
+    walk_n = list(
+        mp4.iter_fragment_samples(ftyp + moov_plain + moof_sz, 1)
+    )
+    assert len(walk_n) == 2
+    assert all(s["sync"] is None for s in walk_n)

@@ -376,3 +376,24 @@ def test_lzw_roundtrip_and_lzw_content_stream():
     # hostile: truncated LZW data must raise ValueError, not crash
     with pytest.raises(Exception):
         pdf._lzw_decode(bytes([0xFF] * 4))
+
+
+def test_objstm_fixture_past_64kb():
+    # review finding (r11): the xref stream's W [1 2 2] overflowed on
+    # any fixture whose offsets passed 0xFFFF; offsets are 4-byte now
+    import random
+
+    rnd = random.Random(1)
+    pages = [
+        ["".join(rnd.choice("abcdefghij ") for _ in range(900))]
+        for _ in range(120)
+    ]
+    doc = pdf.encode_pdf(pages, title="big", objstm=True)
+    assert len(doc) > 0xFFFF
+    m = pdf.extract_pdf(doc)
+    assert m["n_pages"] == 120 and m["title"] == "big"
+    # the extraction contract collapses whitespace inside a text
+    # object — compare against the collapsed form
+    assert (
+        m["text"].split("\x0c")[57] == " ".join(pages[57][0].split())
+    )

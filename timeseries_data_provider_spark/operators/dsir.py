@@ -101,25 +101,39 @@ def dsir_logratios(
     dim: int = 8192,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_features: DataFrame | None = None,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """The model: (bucket, lr_milli) over the FULL bucket domain —
     floor-milli-nat log ratio of the add-1-smoothed hashed-n-gram
     models fit on ``target`` vs ``raw``. dim-sized (broadcastable by
     construction); buckets unseen in both corpora still get the
-    smoothing-only ratio so scoring never hits a missing key."""
+    smoothing-only ratio so scoring never hits a missing key.
+
+    ``target_features``/``raw_features``: optional precomputed
+    ``ngram_bucket_features`` frames — when the target is a subset of
+    the raw pool (the common DSIR setup), compute the pool's features
+    ONCE and pass a filter of the same frame as the target's; the
+    explode+hash is the dominant cost at scale and must not run three
+    times (review finding: q64 scanned the corpus features thrice)."""
     spark = target.sparkSession
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            ngram_bucket_features(df, dim, text_col, id_col)
-            .groupBy("bucket")
-            .agg(F.sum("c").alias(name))
+    def counts(df: DataFrame | None, src: DataFrame, name: str):
+        feats = (
+            df
+            if df is not None
+            else ngram_bucket_features(src, dim, text_col, id_col)
         )
+        return feats.groupBy("bucket").agg(F.sum("c").alias(name))
 
-    tc = counts(target, "tc")
-    rc = counts(raw, "rc")
-    tt = tc.agg(F.sum("tc").alias("__tt"))
-    tr = rc.agg(F.sum("rc").alias("__tr"))
+    tc = counts(target_features, target, "tc")
+    rc = counts(raw_features, raw, "rc")
+    # coalesce: an EMPTY (or whitespace-only) corpus sums to NULL,
+    # which would NULL every ln() and silently zero all importance
+    # weights downstream (review finding — the oracle's dtot already
+    # coalesced; the operator now matches)
+    tt = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("__tt"))
+    tr = rc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("__tr"))
     domain = spark.range(int(dim)).select(F.col("id").alias("bucket"))
     joined = (
         domain.join(tc, "bucket", "left")
@@ -156,13 +170,19 @@ def dsir_weights(
     dim: int = 8192,
     text_col: str = "text",
     id_col: str = "doc_id",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance log-weight: (doc_id, n_feats,
     dsir_milli) with dsir_milli = Σ_b c_b(x)·lr_milli[b] — exact
     integer, order-independent. Docs with no features (empty text)
     keep a 0 weight rather than vanishing (curation must see every
-    candidate)."""
-    feats = ngram_bucket_features(corpus, dim, text_col, id_col)
+    candidate). ``features``: optional precomputed
+    ``ngram_bucket_features`` frame (see dsir_logratios)."""
+    feats = (
+        features
+        if features is not None
+        else ngram_bucket_features(corpus, dim, text_col, id_col)
+    )
     scored = (
         feats.join(
             F.broadcast(logratios.select("bucket", "lr_milli")), "bucket"

@@ -573,7 +573,13 @@ def iter_fragment_samples(payload: bytes, track_id: int):
     layouts, dts in mdhd-timescale units (tfdt when present, else
     accumulated). ``sync`` (keyframe) resolves per §8.8.8.1 from
     per-sample flags > trun first-sample-flags > tfhd default > trex
-    default; None when no tier declares flags.
+    default. A trex's default_sample_flags field is mandatory in the
+    box, so a track WITH a trex always resolves — an all-zero trex
+    (sample_is_non_sync_sample = 0) reads as "declared sync" per the
+    spec, even when the muxer left it zero carelessly; None is
+    reachable only for tracks with no trex at all (no mvex) and no
+    tfhd/trun flags. Callers filtering keyframes should treat None
+    as unknown, not sync.
     ``chunk`` counts trun runs across the whole track. The traf
     base-offset default CHAINS off the preceding traf's data end
     (ISO/IEC 14496-12 §8.8.7: neither base-data-offset nor

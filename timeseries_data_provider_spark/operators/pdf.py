@@ -294,48 +294,19 @@ def _resolve(objs, v):
 
 
 def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
-    """LZWDecode (§7.4.4.2 — the TIFF LZW dialect): MSB-first
-    variable-width codes 9→12 bits, 256 = clear table, 257 = EOD,
-    and the ``EarlyChange`` quirk (default 1: the code width grows
-    one code EARLY). Pre-Flate PDFs (Acrobat ≤ 4 era) use this
-    everywhere; it was a named gap until r11."""
-    out = bytearray()
-    # table[i] for i<256 is the single byte; 256/257 control codes
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
-    width = 9
-    prev: bytes | None = None
-    bitbuf = 0
-    nbits = 0
-    for byte in data:
-        bitbuf = (bitbuf << 8) | byte
-        nbits += 8
-        while nbits >= width:
-            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
-            nbits -= width
-            if code == 256:
-                del table[258:]
-                width = 9
-                prev = None
-                continue
-            if code == 257:
-                return bytes(out)
-            if prev is None:
-                if code >= len(table):
-                    raise ValueError("pdf: bad LZW first code")
-                entry = table[code]
-            elif code < len(table):
-                entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
-                entry = prev + prev[:1]
-                table.append(entry)
-            else:
-                raise ValueError("pdf: LZW code out of range")
-            out += entry
-            prev = entry
-            if len(table) + early_change >= (1 << width) and width < 12:
-                width += 1
-    return bytes(out)
+    """LZWDecode (§7.4.4.2): the TIFF LZW dialect — MSB-first
+    variable-width codes 9→12 bits, 256 = clear, 257 = EOD, and the
+    ``EarlyChange`` quirk. Pre-Flate PDFs (Acrobat ≤ 4 era) use this
+    everywhere; it was a named gap until r11. Delegates to the ONE
+    shared implementation in operators/tiff (identical bitstream —
+    the r11 review caught this module growing its own copy); PDF
+    passes expected=None (decode to EOD, tolerate a missing
+    terminator — stream /Length bounds the input instead)."""
+    from timeseries_data_provider_spark.operators.tiff import (
+        _lzw_decode as _impl,
+    )
+
+    return _impl(data, expected=None, early_change=early_change)
 
 
 def _png_unpredict(
@@ -424,19 +395,18 @@ def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
                 f"pdf: stream filter {f} (Flate/LZW/ASCIIHex only; "
                 "DCT/JBIG2/CCITT are image filters)"
             )
-    params = _resolve(objs, val.get("DecodeParms"))
-    if isinstance(params, list):
-        # one parms dict per filter — the predictor belongs to Flate;
-        # take the first entry that declares one
-        dicts = (_resolve(objs, p) for p in params)
-        params = next(
-            (
-                p
-                for p in dicts
-                if isinstance(p, dict) and p.get("Predictor")
-            ),
-            None,
-        )
+    # predictor lookup reuses the SAME per-filter parms_list the loop
+    # used (review finding: a second independent resolution of
+    # DecodeParms could disagree with the first on malformed inputs):
+    # the first entry that declares a Predictor owns it
+    params = next(
+        (
+            p
+            for p in parms_list
+            if isinstance(p, dict) and p.get("Predictor")
+        ),
+        None,
+    )
     if isinstance(params, dict):
         pred = _resolve(objs, params.get("Predictor", 1)) or 1
         if pred != 1:
@@ -698,7 +668,7 @@ def encode_pdf(
     produces an xref table + trailer; ``objstm=True`` produces the
     modern 1.5+ layout — catalog/page-tree/info packed into one
     compressed /ObjStm, content streams top-level, and a /Type /XRef
-    cross-reference STREAM (W [1 2 2], FlateDecode, PNG Predictor 12)
+    cross-reference STREAM (W [1 4 2], FlateDecode, PNG Predictor 12)
     carrying /Root — the shape every modern writer emits."""
 
     def esc(s: str) -> str:
@@ -830,8 +800,9 @@ def _encode_pdf_objstm(pages, title, esc) -> bytes:
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     xref_pos = len(out)
-    # xref STREAM: W [1 2 2]; type 0 = free, 1 = offset, 2 = (objstm,
-    # index). Rows for objects 0..xref_num.
+    # xref STREAM: W [1 4 2]; type 0 = free, 1 = offset, 2 = (objstm,
+    # index). Rows for objects 0..xref_num. 4-byte offsets: a 2-byte
+    # field overflowed on any fixture past 64 KB (review finding)
     size = xref_num + 1
     rows = bytearray()
     in_stm = {num: idx for idx, (num, _) in enumerate(packed)}
@@ -846,9 +817,9 @@ def _encode_pdf_objstm(pages, title, esc) -> bytes:
             t, a, b = 1, xref_pos, 0
         else:
             t, a, b = 0, 0, 0
-        rows += bytes([t]) + a.to_bytes(2, "big") + b.to_bytes(2, "big")
-    # PNG Predictor 12 (Up), Columns = row width in bytes = 5
-    rowlen = 5
+        rows += bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+    # PNG Predictor 12 (Up), Columns = row width in bytes = 7
+    rowlen = 7
     pred = bytearray()
     prev = bytes(rowlen)
     for r0 in range(0, len(rows), rowlen):
@@ -859,7 +830,7 @@ def _encode_pdf_objstm(pages, title, esc) -> bytes:
         prev = row
     zx = zlib.compress(bytes(pred))
     xref_dict = (
-        f"<< /Type /XRef /Size {size} /W [1 2 2] /Root 1 0 R"
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R"
         + (f" /Info {info_num} 0 R" if info_num else "")
         + f" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
         f"/Columns {rowlen} >> /Length {len(zx)} >>"

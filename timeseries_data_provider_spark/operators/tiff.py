@@ -139,12 +139,18 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, expected: int) -> bytes:
-    """TIFF-flavor LZW (TIFF 6.0 section 13): MSB-first bit packing,
-    9-bit initial width, Clear=256 / EOI=257, and the EarlyChange
-    rule — the code width bumps one code EARLIER than GIF's deferred
-    variant (at next-entry 511/1023/2047). Each strip is its own
-    stream."""
+def _lzw_decode(
+    data: bytes, expected: int | None = None, early_change: int = 1
+) -> bytes:
+    """TIFF-dialect LZW (TIFF 6.0 section 13 == PDF §7.4.4.2
+    LZWDecode): MSB-first bit packing, 9-bit initial width, Clear=256
+    / EOI=257, and the EarlyChange rule — the code width bumps one
+    code EARLIER than GIF's deferred variant (at next-entry
+    511/1023/2047) when ``early_change`` is 1 (PDF's DecodeParms can
+    set 0). ``expected``: TIFF strips know their decoded size and
+    enforce it; PDF streams pass None (decode to EOI, tolerate a
+    missing terminator). ONE implementation for both callers — the
+    r11 review found pdf.py had grown a near-identical copy."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -165,10 +171,12 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         code = (acc >> nbits) & ((1 << width) - 1)
         return code
 
-    while len(out) < expected:
+    while expected is None or len(out) < expected:
         code = next_code()
         if code is None:
-            raise ValueError("tiff: LZW stream ended before EOI")
+            if expected is None:
+                break  # stream ran out without EOI — accept (PDF)
+            raise ValueError("lzw: stream ended before EOI")
         if code == 257:  # EOI
             break
         if code == 256:  # Clear
@@ -178,7 +186,7 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
             continue
         if prev is None:
             if code >= len(table):
-                raise ValueError(f"tiff: LZW code {code} after clear")
+                raise ValueError(f"lzw: LZW code {code} after clear")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -187,15 +195,15 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
             entry = prev + prev[:1]
             table.append(entry)
         else:
-            raise ValueError(f"tiff: LZW code {code} out of range")
+            raise ValueError(f"lzw: LZW code {code} out of range")
         out += entry
         prev = entry
         # EarlyChange: widen when the NEXT entry would need more bits
-        if len(table) + 1 >= (1 << width) and width < 12:
+        if len(table) + early_change >= (1 << width) and width < 12:
             width += 1
-    if len(out) != expected:
+    if expected is not None and len(out) != expected:
         raise ValueError(
-            f"tiff: LZW strip expanded to {len(out)} bytes, expected "
+            f"lzw: LZW strip expanded to {len(out)} bytes, expected "
             f"{expected}"
         )
     return bytes(out)
