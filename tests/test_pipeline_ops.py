@@ -1070,3 +1070,31 @@ def test_chunk_sentences_overlap_survives_index_gap(spark):
     assert got[3]["chunk_text"].startswith("w0 ")
     assert got[3]["chunk_text"].endswith("x y.")
     assert got[3]["n_sentences"] == 2
+
+
+def test_bm25_prune_dl_identical_results(spark):
+    # r11: the matched-sized dl semi-join prune is OPT-IN (it adds a
+    # distinct + semi-join consumer of tf — measured slower on
+    # corpus-common query terms, faster on selective queries over a
+    # large pool); either way the RESULTS are identical, since dl
+    # values only ever join for matched docs
+    from timeseries_data_provider_spark.operators import text as T
+
+    corpus = [
+        (1, "hash join hash join table scan"),
+        (2, "hash table"),
+        (3, "scan scan scan filter"),
+        (4, "merge sort order merge"),
+        (5, "join"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    a = sorted(
+        map(tuple, T.bm25_topk(df, ["hash join"], k=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            T.bm25_topk(df, ["hash join"], k=5, prune_dl=True).collect(),
+        )
+    )
+    assert a == b

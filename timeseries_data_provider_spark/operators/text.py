@@ -646,6 +646,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prune_dl: bool = False,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval (Robertson et al.; the Lucene
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` non-negative idf variant) —
@@ -692,16 +693,24 @@ def bm25_topk(
     pruned = tf.join(
         F.broadcast(qdf.select("term").distinct()), "term"
     )
-    # dl only for MATCHED docs (r11 semi-join prune): a doc's length
-    # counts all its terms, but only docs that hit a query term ever
-    # join — the semi join keeps the dl aggregate and the downstream
-    # join matched-sized instead of corpus-sized (for a stop-word
-    # query this degrades gracefully to the full corpus)
-    dl = (
-        tf.join(pruned.select("doc_id").distinct(), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("tf").alias("dl"))
-    )
+    if prune_dl:
+        # dl only for MATCHED docs: a doc's length counts all its
+        # terms, but only docs that hit a query term ever join — the
+        # semi join keeps the dl aggregate and join matched-sized.
+        # OPT-IN because it adds a distinct + semi-join consumer of
+        # tf: measured at sf0.1 on corpus-common query terms (the
+        # worst case — matched is corpus-sized) the full q55 union
+        # went 2.0 s -> 3.6 s with it on; with SELECTIVE queries over
+        # a large pool the matched-sized dl is the scale win.
+        dl = (
+            tf.join(
+                pruned.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("dl"))
+        )
+    else:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = documents.agg(
         F.count(F.lit(1)).alias("__n")

@@ -12,9 +12,9 @@ bm25hot    BM25 retrieval with a STOP-WORD query term over a 64x
            partition before the shuffle — the cosine_topk_batch
            methodology) and that the top-k is exactly the 10 planted
            equal-length needle docs in tf order; the stop word's idf
-           floors to 0 milli so it cannot perturb ranking. Also
-           exercises the r11 dl semi-join prune (degrades gracefully
-           here: the stop word matches every doc).
+           floors to 0 milli so it cannot perturb ranking. Runs WITH
+           prune_dl=True on its worst case (the stop word matches
+           every doc — the prune degrades gracefully to corpus-sized).
 
 anchorsc   Anchor-text profiles under the SELF-CLOSING <a/> adversary
            (the r10 review finding: a stale <a/> stack entry stole
@@ -84,7 +84,7 @@ def probe_bm25hot(spark) -> None:
             ).otherwise(F.lit("")),
         ).alias("text"),
     ).localCheckpoint(eager=True)
-    out = T.bm25_topk(docs, ["the needle"], k=k)
+    out = T.bm25_topk(docs, ["the needle"], k=k, prune_dl=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, (
         "partial top-k must bound the per-query exchange"
