@@ -77,8 +77,8 @@ def test_named_gaps():
     px = np.zeros((2, 2), np.uint8)
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 259)
-    p[e + 8] = 7  # JPEG-in-TIFF (LZW + Deflate are supported now)
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    p[e + 8] = 6  # old-style JPEG (new-style 7 is supported since r11)
+    with pytest.raises(NotImplementedError, match="compression 6"):
         tiff.decode_tiff(bytes(p))
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 258)
@@ -357,3 +357,51 @@ def test_deflate_compression_roundtrip():
         tiff.decode_tiff(bytes(b))
     with pytest.raises(ValueError, match="exclusive"):
         tiff.encode_tiff(9, 8, px, deflate=True, lzw=True)
+
+
+def test_jpeg_in_tiff_roundtrip_and_tables():
+    # r11: new-style JPEG-in-TIFF (compression 7, TIFF Tech Note 2)
+    # delegates strips to the in-repo baseline JPEG codec; shared
+    # DQT/DHT hoist into JPEGTables (abbreviated streams), strips
+    # whose optimal tables differ keep them in-strip. Lossy within
+    # the codec's derived round-trip bound (3 RGB / 1 gray).
+    rng = np.random.RandomState(2)
+    for shape, bound in [((24, 31, 3), 3), ((24, 31), 1)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        for bo in (False, True):
+            for rps in (None, 8, 5):
+                blob = tiff.encode_tiff(
+                    31, 24, px, big_endian=bo,
+                    jpeg_strips=True, rows_per_strip=rps,
+                )
+                dec = tiff.decode_tiff(blob)
+                assert dec["pixels"].shape == px.shape
+                d = int(
+                    np.max(
+                        np.abs(
+                            dec["pixels"].astype(int) - px.astype(int)
+                        )
+                    )
+                )
+                assert d <= bound, (shape, bo, rps, d)
+    # the single-strip form really is abbreviated: JPEGTables holds
+    # the DQT marker, the strip itself does not
+    px = rng.randint(0, 256, (10, 12, 3)).astype(np.uint8)
+    blob = tiff.encode_tiff(12, 10, px, jpeg_strips=True)
+    tags = tiff.read_ifd(blob, "<", struct.unpack_from("<I", blob, 4)[0])
+    tbl = bytes(v & 0xFF for v in tags[347])
+    assert b"\xff\xdb" in tbl
+    off, cnt = tags[273][0], tags[279][0]
+    assert b"\xff\xdb" not in blob[off : off + cnt]
+    # photometric is YCbCr (6) for RGB jpeg strips
+    assert tags[262] == [6]
+    # hostile: a strip that isn't JPEG is loud
+    bad = bytearray(blob)
+    bad[off] = 0x00
+    with pytest.raises(ValueError, match="SOI"):
+        tiff.decode_tiff(bytes(bad))
+    # exclusivity guards
+    with pytest.raises(ValueError, match="exclusive"):
+        tiff.encode_tiff(12, 10, px, jpeg_strips=True, lzw=True)
+    with pytest.raises(ValueError, match="palette|predictor"):
+        tiff.encode_tiff(12, 10, px, jpeg_strips=True, predictor=2)

@@ -56,6 +56,7 @@ _STRIP_COUNTS = 279
 _PLANAR = 284
 _PREDICTOR = 317
 _COLORMAP = 320
+_JPEGTABLES = 347
 
 _TYPE_SIZES = {
     1: 1,  # BYTE
@@ -319,10 +320,11 @@ def decode_tiff(payload: bytes) -> dict:
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError(f"tiff: unreasonable canvas {width}x{height}")
     compression = scalar(_COMPRESSION, 1, "Compression")
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"tiff: compression {compression} (none/LZW/Deflate/"
-            "PackBits only; register a codec for JPEG-in-TIFF/CCITT)"
+            f"tiff: compression {compression} (none/LZW/JPEG/Deflate/"
+            "PackBits only; register a codec for CCITT fax / old-style "
+            "compression-6 JPEG)"
         )
     predictor = scalar(_PREDICTOR, 1, "Predictor")
     if predictor not in (1, 2):
@@ -330,10 +332,12 @@ def decode_tiff(payload: bytes) -> dict:
             f"tiff: predictor {predictor} (none/horizontal only)"
         )
     photometric = scalar(_PHOTOMETRIC, 1, "Photometric")
-    if photometric not in (0, 1, 2, 3):
+    allowed = (0, 1, 2, 3, 6) if compression == 7 else (0, 1, 2, 3)
+    if photometric not in allowed:
         raise NotImplementedError(
-            f"tiff: photometric {photometric} (gray/RGB/palette only; "
-            "YCbCr needs a registered codec)"
+            f"tiff: photometric {photometric} (gray/RGB/palette, plus "
+            "YCbCr only inside new-style JPEG strips where the JPEG "
+            "decoder performs the conversion)"
         )
     palette = None
     if photometric == 3:
@@ -350,7 +354,7 @@ def decode_tiff(payload: bytes) -> dict:
             np.array(cm, np.uint32).reshape(3, 256).T >> 8
         ).astype(np.uint8)
     spp = scalar(_SAMPLES, 1, "SamplesPerPixel")
-    want_spp = 3 if photometric == 2 else 1
+    want_spp = 3 if photometric in (2, 6) else 1
     if spp != want_spp:
         raise NotImplementedError(
             f"tiff: {spp} samples/pixel with photometric {photometric} "
@@ -374,6 +378,60 @@ def decode_tiff(payload: bytes) -> dict:
     rows_per_strip = scalar(_ROWS_PER_STRIP, height, "RowsPerStrip")
     if rows_per_strip <= 0:
         raise ValueError("tiff: non-positive RowsPerStrip")
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF Tech Note 2): each strip is a
+        # complete JPEG bitstream, optionally ABBREVIATED — shared
+        # DQT/DHT live in the JPEGTables tag and splice in after the
+        # strip's SOI. Decoding (incl. the YCbCr->RGB conversion for
+        # photometric 6) delegates to the in-repo baseline decoder.
+        from . import jpeg as _jpeg
+
+        prefix = b""
+        tbl = tags.get(_JPEGTABLES)
+        if tbl:
+            tb = bytes(v & 0xFF for v in tbl)
+            if len(tb) < 4 or tb[:2] != b"\xff\xd8":
+                raise ValueError("tiff: malformed JPEGTables")
+            prefix = tb[2:-2] if tb[-2:] == b"\xff\xd9" else tb[2:]
+        parts = []
+        remaining_rows = height
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(payload):
+                raise ValueError("tiff: strip out of bounds")
+            strip = payload[off : off + cnt]
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("tiff: JPEG strip without SOI")
+            dec = _jpeg.decode_baseline_jpeg(
+                strip[:2] + prefix + strip[2:]
+            )
+            spx = dec["pixels"]
+            n_rows = min(rows_per_strip, remaining_rows)
+            got_ch = 1 if spx.ndim == 2 else spx.shape[2]
+            if dec["width"] != width or dec["height"] < n_rows:
+                raise ValueError(
+                    f"tiff: JPEG strip {dec['width']}x{dec['height']} "
+                    f"does not cover {width}x{n_rows}"
+                )
+            if got_ch != spp:
+                raise ValueError(
+                    f"tiff: JPEG strip has {got_ch} channels, "
+                    f"SamplesPerPixel says {spp}"
+                )
+            parts.append(spx[:n_rows])
+            remaining_rows -= n_rows
+        if remaining_rows != 0:
+            raise ValueError(
+                "tiff: strips cover fewer rows than ImageLength"
+            )
+        px = np.concatenate(parts, axis=0)
+        if photometric == 0:
+            px = 255 - px
+        return {
+            "format": "tiff",
+            "width": width,
+            "height": height,
+            "pixels": px,
+        }
     row_bytes = width * spp
     raw = bytearray()
     remaining_rows = height
@@ -462,6 +520,35 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a baseline JPEG stream into (abbreviated stream, tables):
+    DQT/DHT segments hoisted out, everything else (SOI, SOF, SOS +
+    entropy data) kept in order — the JPEGTables abbreviation of TIFF
+    Tech Note 2. Segment walk stops at SOS; the entropy-coded tail is
+    copied verbatim."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("jpeg stream without SOI")
+    body = bytearray(b"\xff\xd8")
+    tables = bytearray()
+    p = 2
+    n = len(stream)
+    while p + 4 <= n:
+        if stream[p] != 0xFF:
+            raise ValueError(f"bad JPEG marker at {p}")
+        marker = stream[p + 1]
+        (ln,) = struct.unpack(">H", stream[p + 2 : p + 4])
+        seg = stream[p : p + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            body += seg
+        p += 2 + ln
+        if marker == 0xDA:  # SOS: entropy data follows
+            body += stream[p:]
+            break
+    return bytes(body), bytes(tables)
+
+
 def encode_tiff(
     width: int,
     height: int,
@@ -473,6 +560,7 @@ def encode_tiff(
     predictor: int = 1,
     rows_per_strip: int | None = None,
     palette: np.ndarray | None = None,
+    jpeg_strips: bool = False,
 ) -> bytes:
     """Write a real baseline TIFF: 8-bit gray ((h, w) input), RGB
     ((h, w, 3)), or PALETTE-indexed ((h, w) indices + a (256, 3)
@@ -481,10 +569,20 @@ def encode_tiff(
     either byte order, optional PackBits or LZW compression (LZW may
     pair with horizontal-differencing ``predictor=2``, the
     real-world default for photographic TIFFs), strip layout
-    controlled by ``rows_per_strip`` (default: one strip)."""
-    if sum((packbits, lzw, deflate)) > 1:
+    controlled by ``rows_per_strip`` (default: one strip).
+    ``jpeg_strips`` writes new-style JPEG-in-TIFF (compression 7,
+    photometric 6 for RGB): each strip a baseline JPEG with the
+    shared DQT/DHT hoisted into the JPEGTables tag (the abbreviated-
+    stream form real writers emit); lossy within the in-repo codec's
+    derived round-trip bound."""
+    if sum((packbits, lzw, deflate, jpeg_strips)) > 1:
         raise ValueError(
-            "encode_tiff: packbits/lzw/deflate are exclusive"
+            "encode_tiff: packbits/lzw/deflate/jpeg_strips are "
+            "exclusive"
+        )
+    if jpeg_strips and (palette is not None or predictor != 1):
+        raise ValueError(
+            "encode_tiff: jpeg_strips excludes palette/predictor"
         )
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: predictor {predictor}")
@@ -510,21 +608,46 @@ def encode_tiff(
     row_bytes = width * spp
     flat = px.tobytes()
     strips = []
-    for top in range(0, height, rps):
-        n_rows = min(rps, height - top)
-        chunk = flat[top * row_bytes : (top + n_rows) * row_bytes]
-        if packbits:
-            chunk = b"".join(
-                _packbits(chunk[r * row_bytes : (r + 1) * row_bytes])
-                for r in range(n_rows)
-            )
-        elif lzw:
-            chunk = _lzw_encode(chunk)
-        elif deflate:
-            import zlib
+    jpeg_tables: bytes | None = None
+    if jpeg_strips:
+        from . import jpeg as _jpeg
 
-            chunk = zlib.compress(chunk)
-        strips.append(chunk)
+        first_tables: bytes | None = None
+        for top in range(0, height, rps):
+            n_rows = min(rps, height - top)
+            stream = _jpeg.encode_baseline_jpeg(
+                px[top : top + n_rows]
+            )
+            body, tables = _split_jpeg_tables(stream)
+            if first_tables is None:
+                first_tables = tables
+                jpeg_tables = b"\xff\xd8" + tables + b"\xff\xd9"
+            if tables == first_tables:
+                # abbreviated stream: shared tables ride JPEGTables
+                strips.append(body)
+            else:
+                # this strip's entropy stats produced DIFFERENT
+                # optimal tables — keep them in-strip (legal: local
+                # tables override JPEGTables), never mis-decode
+                strips.append(stream)
+    else:
+        for top in range(0, height, rps):
+            n_rows = min(rps, height - top)
+            chunk = flat[top * row_bytes : (top + n_rows) * row_bytes]
+            if packbits:
+                chunk = b"".join(
+                    _packbits(
+                        chunk[r * row_bytes : (r + 1) * row_bytes]
+                    )
+                    for r in range(n_rows)
+                )
+            elif lzw:
+                chunk = _lzw_encode(chunk)
+            elif deflate:
+                import zlib
+
+                chunk = zlib.compress(chunk)
+            strips.append(chunk)
 
     # two-pass layout: pass 1 sizes every entry's value to place the
     # overflow area and the strip data; pass 2 packs with the real
@@ -543,12 +666,30 @@ def encode_tiff(
         (
             _COMPRESSION,
             3,
-            [32773 if packbits else 5 if lzw else 8 if deflate else 1],
+            [
+                32773
+                if packbits
+                else 5
+                if lzw
+                else 8
+                if deflate
+                else 7
+                if jpeg_strips
+                else 1
+            ],
         ),
         (
             _PHOTOMETRIC,
             3,
-            [3 if palette is not None else 2 if spp == 3 else 1],
+            [
+                3
+                if palette is not None
+                else 6
+                if jpeg_strips and spp == 3
+                else 2
+                if spp == 3
+                else 1
+            ],
         ),
         (_STRIP_OFFSETS, 4, None),  # values filled in pass 2
         (_SAMPLES, 3, [spp]),
@@ -561,6 +702,8 @@ def encode_tiff(
     if palette is not None:
         cm = (palette.T.astype(np.uint32) * 257).reshape(-1)
         entries.append((_COLORMAP, 3, [int(v) for v in cm]))
+    if jpeg_tables is not None:
+        entries.append((_JPEGTABLES, 7, list(jpeg_tables)))
     ifd_off = 8
     extra_off = ifd_off + 2 + 12 * len(entries) + 4
     extra_size = 0
@@ -575,7 +718,7 @@ def encode_tiff(
         offsets.append(pos)
         pos += len(s)
 
-    fmt_of = {3: "H", 4: "I"}
+    fmt_of = {3: "H", 4: "I", 7: "B"}  # 7 = UNDEFINED (JPEGTables)
     extra = bytearray()
     ifd = bytearray(struct.pack(bo + "H", len(entries)))
     for tag, typ, values in sorted(
