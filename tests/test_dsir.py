@@ -177,3 +177,25 @@ def test_precomputed_features_match_inline(spark):
         ).collect()
     }
     assert w_inline == w_shared
+
+
+def test_subset_fast_path_matches_two_frame_form(spark):
+    # dsir_logratios_from_features (one aggregate, target = a marked
+    # subset of the pool) must equal the general two-frame fit exactly
+    import pyspark.sql.functions as F
+
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    cond = F.col("doc_id") % 2 == 0
+    target = raw.filter(cond)
+    feats = dsir.ngram_bucket_features(raw, dim=DIM)
+    fast = {
+        r["bucket"]: (r["tc"], r["rc"], r["lr_milli"])
+        for r in dsir.dsir_logratios_from_features(
+            feats, cond, dim=DIM
+        ).collect()
+    }
+    slow = {
+        r["bucket"]: (r["tc"], r["rc"], r["lr_milli"])
+        for r in dsir.dsir_logratios(target, raw, dim=DIM).collect()
+    }
+    assert fast == slow

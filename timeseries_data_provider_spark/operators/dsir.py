@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_bucket_features", "dsir_logratios", "dsir_weights",
+__all__ = ["ngram_bucket_features", "dsir_logratios",
+           "dsir_logratios_from_features", "dsir_weights",
            "dsir_select"]
 
 
@@ -150,6 +151,57 @@ def dsir_logratios(
     )
     # operator-for-operator IEEE ordering (the KN oracle rule): the
     # SQL replay must subtract the four ln() terms in THIS order
+    lr = (
+        F.log(F.col("tc") + F.lit(1.0))
+        - F.log(F.col("__tt") + F.lit(float(dim)))
+        - F.log(F.col("rc") + F.lit(1.0))
+        + F.log(F.col("__tr") + F.lit(float(dim)))
+    )
+    return joined.select(
+        "bucket",
+        "tc",
+        "rc",
+        F.floor(F.lit(1000.0) * lr).cast("long").alias("lr_milli"),
+    )
+
+
+def dsir_logratios_from_features(
+    features: DataFrame,
+    target_cond: Column,
+    dim: int = 8192,
+) -> DataFrame:
+    """Subset fast path of ``dsir_logratios``: when the target domain
+    is a SUBSET of the raw pool (the common DSIR setup — "docs that
+    look like X" where X is a marked slice), BOTH models come out of
+    ONE aggregate over one precomputed ``ngram_bucket_features``
+    frame: tc = Σc where ``target_cond``, rc = Σc. Identical lr_milli
+    values to the two-frame form (parity-pinned); one shuffle instead
+    of two plus no second feature explode — at 5k docs this was the
+    difference between an 8.5 s and a ~2 s DSIR chain (r11
+    measurement), and the stage count stays flat with corpus size."""
+    spark = features.sparkSession
+    both = features.groupBy("bucket").agg(
+        F.sum(
+            F.when(target_cond, F.col("c")).otherwise(F.lit(0))
+        ).alias("tc"),
+        F.sum("c").alias("rc"),
+    )
+    tot = both.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("__tt"),
+        F.coalesce(F.sum("rc"), F.lit(0)).alias("__tr"),
+    )
+    domain = spark.range(int(dim)).select(F.col("id").alias("bucket"))
+    joined = (
+        domain.join(both, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+            F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
+            F.col("__tt"),
+            F.col("__tr"),
+        )
+    )
     lr = (
         F.log(F.col("tc") + F.lit(1.0))
         - F.log(F.col("__tt") + F.lit(float(dim)))
