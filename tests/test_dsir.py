@@ -199,3 +199,56 @@ def test_subset_fast_path_matches_two_frame_form(spark):
         for r in dsir.dsir_logratios(target, raw, dim=DIM).collect()
     }
     assert fast == slow
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab é\t\n", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_property_features_match_python(spark, texts):
+    # Spark's n-gram featurizer (whitespace-run split, uni+bigrams,
+    # md5 buckets) vs the independent Python reference on hostile
+    # text: unicode, tabs/newlines, empty and whitespace-only docs
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[tuple, int] = {
+        (r["doc_id"], r["bucket"]): r["c"]
+        for r in dsir.ngram_bucket_features(df, dim=DIM).collect()
+    }
+    want: dict[tuple, int] = {}
+    for i, t in rows:
+        for b, c in _feats(t, DIM).items():
+            want[(i, b)] = c
+    assert got == want
+
+
+def test_incremental_scoring_with_persisted_model(spark):
+    # the lr table is a MODEL artifact: a NEW batch scores against it
+    # without refitting (the signature-index append contract)
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    lr = dsir.dsir_logratios(target, raw, dim=DIM)
+    new_batch = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "zeta eta")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["dsir_milli"]
+        for r in dsir.dsir_weights(new_batch, lr, dim=DIM).collect()
+    }
+    lrmap = _reference_logratios()
+    for did, text in [(100, "alpha beta gamma"), (101, "zeta eta")]:
+        want = sum(
+            c * lrmap[b] for b, c in _feats(text, DIM).items()
+        )
+        assert rows[did] == want
+    # target-like new docs outrank target-unlike ones, as fitted
+    assert rows[100] > rows[101]
