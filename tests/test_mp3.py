@@ -90,9 +90,10 @@ def test_hostile_start_raises():
         mp3.decode_mp3_meta(b"\xff")
     with pytest.raises(ValueError, match="ID3v2 size"):
         mp3.decode_mp3_meta(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f")
-    # free-format bitrate is the named unsupported mode
+    # free format is supported since r11 via resync scan — but a
+    # single-frame free stream has nothing to resync against
     h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (0 << 12)
-    with pytest.raises(NotImplementedError, match="free-format"):
+    with pytest.raises(ValueError, match="undiscoverable"):
         mp3.decode_mp3_meta(h.to_bytes(4, "big") + b"\x00" * 100)
 
 
@@ -149,3 +150,28 @@ def test_spark_fanout(spark):
     rows = {r["doc_id"]: r.asDict() for r in mp3.mp3_features(df).collect()}
     assert rows[1]["n_frames"] == 7 and rows[1]["channels"] == 2
     assert rows[2]["channels"] == 1 and rows[2]["id3v2_bytes"] == 74
+
+
+def test_free_format_resync_walk():
+    # r11: bitrate index 0 (free format) — the fixed frame size is
+    # discovered by scanning to the next matching sync word
+    blob = mp3.encode_mp3_skeleton(
+        n_frames=8, rate_idx=0, free_size=417
+    )
+    m = mp3.decode_mp3_meta(blob)
+    assert m["free_format"] is True
+    assert m["n_frames"] == 8 and m["clean_eof"] is True
+    assert m["duration_ms"] == 8 * 1152 * 1000 // 44100
+    # derived nominal rate: 417 bytes * 8 * 44100 / 1152 samples
+    assert m["bitrate_kbps"] == 417 * 8 * 44100 // (1152 * 1000)
+    assert m["vbr"] is False
+    # with an ID3 tag in front the scan still anchors correctly
+    m2 = mp3.decode_mp3_meta(
+        mp3.encode_mp3_skeleton(
+            n_frames=4, rate_idx=0, free_size=300, id3_size=64
+        )
+    )
+    assert m2["free_format"] and m2["n_frames"] == 4
+    # declared streams still report free_format False
+    cbr = mp3.decode_mp3_meta(mp3.encode_mp3_skeleton(n_frames=3))
+    assert cbr["free_format"] is False

@@ -22,7 +22,10 @@ Real-world tolerance: crawled MP3s routinely end mid-frame
 (truncated downloads) or carry trailing tags. After at least one
 clean frame, a bad or partial header STOPS the walk and sets
 ``clean_eof=False`` instead of raising (a real decoder resyncs);
-garbage at the very start raises the named error.
+garbage at the very start raises the named error. FREE-FORMAT
+streams (bitrate index 0 — r11) discover their fixed frame size by
+scanning to the next matching sync word; a single-frame free stream
+is undiscoverable by construction and raises the named error.
 
 Scale shape: per-row independent, linear in bytes (a 4-byte read per
 frame, payload skipped by size), Arrow fan-out via ``mp3_features``.
@@ -128,10 +131,14 @@ def id3_tags(payload: bytes) -> dict:
     return out
 
 
-def _parse_header(b: bytes) -> dict:
+def _parse_header(b: bytes, free_base: int | None = None) -> dict:
     """One 4-byte frame header -> fields + frame byte length.
     Raises ValueError on non-frame bytes (callers decide whether
-    that is fatal or end-of-stream)."""
+    that is fatal or end-of-stream). ``free_base``: the discovered
+    PADDING-FREE frame size for a free-format stream (bitrate index
+    0 — ISO 11172-3 leaves the size undeclared; decode_mp3_meta
+    discovers it by resync scan); without it a free-format header
+    stays the named NotImplementedError."""
     h = int.from_bytes(b, "big")
     if (h >> 21) & 0x7FF != 0x7FF:
         raise ValueError("mp3: bad frame sync")
@@ -145,28 +152,42 @@ def _parse_header(b: bytes) -> dict:
     br_idx = (h >> 12) & 0xF
     if br_idx == 15:
         raise ValueError("mp3: illegal bitrate index")
-    if br_idx == 0:
+    free = br_idx == 0
+    if free and free_base is None:
         raise NotImplementedError(
             "mp3: free-format bitrate (frame size is undeclared; "
-            "needs a resync scanner)"
+            "decode_mp3_meta discovers it by resync scan)"
         )
     sr_idx = (h >> 10) & 3
     if sr_idx == 3:
         raise ValueError("mp3: reserved sample-rate index")
-    table = _BITRATES_V1 if ver_code == 3 else _BITRATES_V2
-    bitrate = table[layer][br_idx] * 1000
     rate = _RATES[ver_code][sr_idx]
     padding = (h >> 9) & 1
     channels = _CHANNELS[(h >> 6) & 3]
     if layer == 1:
         samples = 384
-        size = (12 * bitrate // rate + padding) * 4
+        slots = 12
     elif layer == 2:
         samples = 1152
-        size = 144 * bitrate // rate + padding
+        slots = 144
     else:
         samples = 1152 if ver_code == 3 else 576
-        size = (144 if ver_code == 3 else 72) * bitrate // rate + padding
+        slots = 144 if ver_code == 3 else 72
+    if free:
+        size = free_base + padding * (4 if layer == 1 else 1)
+        # nominal rate DERIVED from the discovered size (inverting
+        # the size formula) — free format is constant-size by spec
+        if layer == 1:
+            bitrate = (size // 4 - padding) * rate // slots
+        else:
+            bitrate = (size - padding) * rate // slots
+    else:
+        table = _BITRATES_V1 if ver_code == 3 else _BITRATES_V2
+        bitrate = table[layer][br_idx] * 1000
+        if layer == 1:
+            size = (slots * bitrate // rate + padding) * 4
+        else:
+            size = slots * bitrate // rate + padding
     return {
         "version": _VERSION_NAME[ver_code],
         "layer": layer,
@@ -175,7 +196,35 @@ def _parse_header(b: bytes) -> dict:
         "channels": channels,
         "samples": samples,
         "size": size,
+        "free": free,
     }
+
+
+def _discover_free_size(payload: bytes, pos: int) -> int:
+    """Free-format frame size discovery (ISO 11172-3: bitrate index
+    0 streams keep one fixed size): scan for the NEXT sync word whose
+    header matches the first frame's version/layer/rate and is itself
+    free-format. Returns the padding-free base size; undiscoverable
+    (single-frame or corrupt) streams raise the named error."""
+    h = int.from_bytes(payload[pos : pos + 4], "big")
+    key = ((h >> 19) & 3, (h >> 17) & 3, (h >> 10) & 3)
+    slot = 4 if ((h >> 17) & 3) == 3 else 1
+    padding0 = (h >> 9) & 1
+    lo = pos + 24  # header + smallest plausible side info
+    hi = min(len(payload) - 4, pos + 8192)  # largest sane frame
+    for q in range(lo, hi + 1):
+        if payload[q] != 0xFF or (payload[q + 1] & 0xE0) != 0xE0:
+            continue
+        h2 = int.from_bytes(payload[q : q + 4], "big")
+        if (
+            ((h2 >> 19) & 3, (h2 >> 17) & 3, (h2 >> 10) & 3) == key
+            and (h2 >> 12) & 0xF == 0
+        ):
+            return (q - pos) - padding0 * slot
+    raise ValueError(
+        "mp3: free-format frame size undiscoverable (no matching "
+        "resync within 8192 bytes)"
+    )
 
 
 def decode_mp3_meta(payload: bytes) -> dict:
@@ -197,7 +246,13 @@ def decode_mp3_meta(payload: bytes) -> dict:
             raise ValueError("mp3: ID3v2 size exceeds file")
     if pos + 4 > len(payload):
         raise ValueError("mp3: no room for a frame header")
-    first = _parse_header(payload[pos : pos + 4])  # start must be clean
+    try:
+        first = _parse_header(payload[pos : pos + 4])  # start clean
+        free_base = None
+    except NotImplementedError:
+        # free format (r11): discover the fixed frame size by resync
+        free_base = _discover_free_size(payload, pos)
+        first = _parse_header(payload[pos : pos + 4], free_base)
     n_frames = 0
     total_samples = 0
     total_bytes = 0
@@ -206,9 +261,12 @@ def decode_mp3_meta(payload: bytes) -> dict:
     rate = first["rate"]
     while pos + 4 <= len(payload):
         try:
-            h = _parse_header(payload[pos : pos + 4])
+            h = _parse_header(payload[pos : pos + 4], free_base)
         except (ValueError, NotImplementedError):
             clean = False
+            break
+        if h["free"] != first["free"]:
+            clean = False  # declared<->free switch mid-stream
             break
         if h["rate"] != rate and n_frames > 0:
             clean = False  # mid-stream rate change: stop, don't mix
@@ -225,7 +283,13 @@ def decode_mp3_meta(payload: bytes) -> dict:
         clean = False  # trailing non-frame bytes (APE/ID3v1 tags)
     if n_frames == 0:
         raise ValueError("mp3: no complete frame")
-    if len(bitrates) == 1:
+    if first["free"]:
+        # free format is constant-rate by spec; padding wobble makes
+        # per-frame derived rates differ by one slot — report the
+        # exact byte-weighted mean and never flag it VBR
+        kbps = total_bytes * 8 * rate // (total_samples * 1000)
+        bitrates = {kbps * 1000}
+    elif len(bitrates) == 1:
         kbps = next(iter(bitrates)) // 1000
     else:
         # byte-weighted mean, floored: bytes*8 / seconds / 1000
@@ -239,6 +303,7 @@ def decode_mp3_meta(payload: bytes) -> dict:
         "duration_ms": total_samples * 1000 // rate,
         "bitrate_kbps": kbps,
         "vbr": len(bitrates) > 1,
+        "free_format": first["free"],
         "id3v2_bytes": id3_bytes,
         "clean_eof": clean,
         **id3_tags(payload),
@@ -255,11 +320,14 @@ def encode_mp3_skeleton(
     id3_size: int = 0,
     bitrate_indices: list[int] | None = None,
     tags: dict | None = None,
+    free_size: int | None = None,
 ) -> bytes:
     """Fixture writer: CBR (or per-frame ``bitrate_indices`` VBR)
     frames with zeroed payloads, optionally preceded by an ID3v2.4
     tag — zero-filled padding of ``id3_size`` bytes and/or real
-    utf-8 text frames from ``tags`` ({title, artist, album})."""
+    utf-8 text frames from ``tags`` ({title, artist, album}).
+    ``free_size``: write FREE-FORMAT frames (bitrate index 0) of this
+    fixed byte size instead of table-rate frames."""
     out = bytearray()
     frames = b""
     if tags:
@@ -290,7 +358,10 @@ def encode_mp3_skeleton(
             ]
         )
         out += frames + b"\x00" * id3_size
-    idxs = bitrate_indices or [bitrate_idx] * n_frames
+    if free_size is not None:
+        idxs = [0] * n_frames
+    else:
+        idxs = bitrate_indices or [bitrate_idx] * n_frames
     layer_code = 4 - layer
     for idx in idxs:
         h = (
@@ -303,7 +374,10 @@ def encode_mp3_skeleton(
             | ((3 if mono else 0) << 6)
         )
         hb = h.to_bytes(4, "big")
-        size = _parse_header(hb)["size"]
+        if free_size is not None:
+            size = free_size
+        else:
+            size = _parse_header(hb)["size"]
         out += hb + b"\x00" * (size - 4)
     return bytes(out)
 
@@ -327,6 +401,7 @@ def mp3_features(
                 "duration_ms": [],
                 "bitrate_kbps": [],
                 "vbr": [],
+                "free_format": [],
                 "id3v2_bytes": [],
                 "clean_eof": [],
                 "title": [],
@@ -343,7 +418,8 @@ def mp3_features(
     schema = (
         f"{id_col} long, version string, layer long, sample_rate long, "
         "channels long, n_frames long, duration_ms long, "
-        "bitrate_kbps long, vbr boolean, id3v2_bytes long, "
+        "bitrate_kbps long, vbr boolean, free_format boolean, "
+        "id3v2_bytes long, "
         "clean_eof boolean, title string, artist string, album string"
     )
     return df.select(id_col, blob_col).mapInPandas(run, schema)
