@@ -405,3 +405,35 @@ def test_jpeg_in_tiff_roundtrip_and_tables():
         tiff.encode_tiff(12, 10, px, jpeg_strips=True, lzw=True)
     with pytest.raises(ValueError, match="palette|predictor"):
         tiff.encode_tiff(12, 10, px, jpeg_strips=True, predictor=2)
+
+
+def test_planar_configuration_2_roundtrip():
+    # r11: planar config 2 (per-channel strip groups) was a named
+    # gap; all raster compressions and the predictor pair with it
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, (14, 9, 3)).astype(np.uint8)
+    for bo in (False, True):
+        for kw in (
+            {},
+            {"packbits": True},
+            {"lzw": True},
+            {"deflate": True},
+            {"lzw": True, "predictor": 2},
+        ):
+            for rps in (None, 5):
+                blob = tiff.encode_tiff(
+                    9, 14, px, big_endian=bo, planar2=True,
+                    rows_per_strip=rps, **kw,
+                )
+                dec = tiff.decode_tiff(blob)
+                assert (dec["pixels"] == px).all(), (bo, kw, rps)
+    # the layout really is planar: 3x the strip count, planar tag 2
+    blob = tiff.encode_tiff(9, 14, px, planar2=True, rows_per_strip=5)
+    tags = tiff.read_ifd(blob, "<", struct.unpack_from("<I", blob, 4)[0])
+    assert tags[284] == [2] and len(tags[273]) == 9
+    # wrong strip count is loud
+    bad = bytearray(blob)
+    e = _find_entry(bytes(bad), 278)
+    struct.pack_into("<H", bad, e + 8, 14)  # 1 strip/channel claimed
+    with pytest.raises(ValueError, match="planar-2 needs"):
+        tiff.decode_tiff(bytes(bad))

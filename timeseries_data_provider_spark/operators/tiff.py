@@ -5,11 +5,14 @@ stdlib-feasible baseline: the TIFF 6.0 specification's Baseline
 profile stores uncompressed (Compression=1), LZW (Compression=5 —
 the MSB-first EarlyChange bitstream, a DIFFERENT dialect from the
 in-repo GIF LZW's LSB-first deferred-clear one), or PackBits-RLE
-(Compression=32773) strips of 8-bit grayscale, RGB, or
-PALETTE-indexed (photometric 3 + 16-bit ColorMap, r11) samples,
-with the horizontal-differencing Predictor (tag 317 = 2) that real
-photographic LZW TIFFs pair with it. JPEG-in-TIFF=7, Deflate=8,
-YCbCr, planar configuration 2, and CCITT fax stay named
+(Compression=32773), Deflate (8/32946, r11), or new-style
+JPEG-in-TIFF (7, r11 — strips through the in-repo JPEG codec with
+JPEGTables abbreviation) strips of 8-bit grayscale, RGB,
+PALETTE-indexed (photometric 3 + 16-bit ColorMap, r11), or
+PLANAR-configuration-2 RGB (r11 — per-channel strip groups)
+samples, with the horizontal-differencing Predictor (tag 317 = 2)
+that real photographic LZW TIFFs pair with it. Old-style JPEG
+(compression 6), 16-bit samples, and CCITT fax stay named
 NotImplementedError gaps for a registered codec library.
 
 * ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
@@ -363,8 +366,14 @@ def decode_tiff(payload: bytes) -> dict:
     bits = tags.get(_BITS, [8])
     if not bits or any(not isinstance(b, int) or b != 8 for b in bits):
         raise NotImplementedError(f"tiff: bits per sample {bits} (8 only)")
-    if scalar(_PLANAR, 1, "PlanarConfig") != 1:
-        raise NotImplementedError("tiff: planar configuration 2")
+    planar = scalar(_PLANAR, 1, "PlanarConfig")
+    if planar not in (1, 2):
+        raise ValueError(f"tiff: planar configuration {planar}")
+    if planar == 2 and (spp != 3 or compression == 7):
+        raise NotImplementedError(
+            "tiff: planar configuration 2 only for 3-sample raster "
+            "strips (gray is planar-trivial; JPEG strips are chunky)"
+        )
     if _STRIP_OFFSETS not in tags or _STRIP_COUNTS not in tags:
         raise ValueError("tiff: missing strip offsets/byte counts")
     offsets = tags[_STRIP_OFFSETS]
@@ -432,20 +441,15 @@ def decode_tiff(payload: bytes) -> dict:
             "height": height,
             "pixels": px,
         }
-    row_bytes = width * spp
-    raw = bytearray()
-    remaining_rows = height
-    for off, cnt in zip(offsets, counts):
+    def decode_strip(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(payload):
             raise ValueError("tiff: strip out of bounds")
         strip = payload[off : off + cnt]
-        n_rows = min(rows_per_strip, remaining_rows)
-        expected = n_rows * row_bytes
         if compression == 32773:
-            strip = _unpackbits(strip, expected)
-        elif compression == 5:
-            strip = _lzw_decode(strip, expected)
-        elif compression in (8, 32946):
+            return _unpackbits(strip, expected)
+        if compression == 5:
+            return _lzw_decode(strip, expected)
+        if compression in (8, 32946):
             # Adobe Deflate (8) / legacy Deflate (32946): zlib strips
             import zlib
 
@@ -458,21 +462,59 @@ def decode_tiff(payload: bytes) -> dict:
                     f"tiff: Deflate strip decoded to {len(strip)} "
                     f"bytes, expected {expected}"
                 )
-        elif len(strip) != expected:
+            return strip
+        if len(strip) != expected:
             raise ValueError(
                 f"tiff: strip carries {len(strip)} bytes, expected "
                 f"{expected}"
             )
-        raw += strip
-        remaining_rows -= n_rows
-    if remaining_rows != 0:
-        raise ValueError("tiff: strips cover fewer rows than ImageLength")
-    px = np.frombuffer(bytes(raw), np.uint8)
-    px = (
-        px.reshape(height, width)
-        if spp == 1
-        else px.reshape(height, width, 3)
-    )
+        return strip
+
+    if planar == 2:
+        # planar configuration 2 (r11): strips group PER CHANNEL —
+        # all of channel 0's strips, then channel 1's, then 2's; each
+        # strip carries one sample per pixel
+        spc = -(-height // rows_per_strip)  # strips per channel
+        if len(offsets) != 3 * spc:
+            raise ValueError(
+                f"tiff: planar-2 needs {3 * spc} strips "
+                f"(3 x {spc}), found {len(offsets)}"
+            )
+        planes = []
+        for c in range(3):
+            buf = bytearray()
+            remaining_rows = height
+            for i in range(spc):
+                n_rows = min(rows_per_strip, remaining_rows)
+                j = c * spc + i
+                buf += decode_strip(
+                    offsets[j], counts[j], n_rows * width
+                )
+                remaining_rows -= n_rows
+            planes.append(
+                np.frombuffer(bytes(buf), np.uint8).reshape(
+                    height, width
+                )
+            )
+        px = np.stack(planes, axis=-1)
+    else:
+        row_bytes = width * spp
+        raw = bytearray()
+        remaining_rows = height
+        for off, cnt in zip(offsets, counts):
+            n_rows = min(rows_per_strip, remaining_rows)
+            raw += decode_strip(off, cnt, n_rows * row_bytes)
+            remaining_rows -= n_rows
+        if remaining_rows != 0:
+            raise ValueError(
+                "tiff: strips cover fewer rows than ImageLength"
+            )
+        px = np.frombuffer(bytes(raw), np.uint8)
+        px = (
+            px.reshape(height, width)
+            if spp == 1
+            else px.reshape(height, width, 3)
+        )
     if predictor == 2:
         # horizontal differencing: each sample is stored as the delta
         # from the same sample of the previous pixel — invert with a
@@ -561,6 +603,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     palette: np.ndarray | None = None,
     jpeg_strips: bool = False,
+    planar2: bool = False,
 ) -> bytes:
     """Write a real baseline TIFF: 8-bit gray ((h, w) input), RGB
     ((h, w, 3)), or PALETTE-indexed ((h, w) indices + a (256, 3)
@@ -583,6 +626,10 @@ def encode_tiff(
     if jpeg_strips and (palette is not None or predictor != 1):
         raise ValueError(
             "encode_tiff: jpeg_strips excludes palette/predictor"
+        )
+    if planar2 and (jpeg_strips or palette is not None):
+        raise ValueError(
+            "encode_tiff: planar2 excludes jpeg_strips/palette"
         )
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: predictor {predictor}")
@@ -631,23 +678,37 @@ def encode_tiff(
                 # tables override JPEGTables), never mis-decode
                 strips.append(stream)
     else:
-        for top in range(0, height, rps):
-            n_rows = min(rps, height - top)
-            chunk = flat[top * row_bytes : (top + n_rows) * row_bytes]
+
+        def pack_chunk(chunk: bytes, n_rows: int, rb: int) -> bytes:
             if packbits:
-                chunk = b"".join(
-                    _packbits(
-                        chunk[r * row_bytes : (r + 1) * row_bytes]
-                    )
+                return b"".join(
+                    _packbits(chunk[r * rb : (r + 1) * rb])
                     for r in range(n_rows)
                 )
-            elif lzw:
-                chunk = _lzw_encode(chunk)
-            elif deflate:
+            if lzw:
+                return _lzw_encode(chunk)
+            if deflate:
                 import zlib
 
-                chunk = zlib.compress(chunk)
-            strips.append(chunk)
+                return zlib.compress(chunk)
+            return chunk
+
+        if planar2:
+            if spp != 3:
+                raise ValueError("encode_tiff: planar2 needs RGB")
+            for c in range(3):
+                plane = np.ascontiguousarray(px[:, :, c])
+                for top in range(0, height, rps):
+                    n_rows = min(rps, height - top)
+                    chunk = plane[top : top + n_rows].tobytes()
+                    strips.append(pack_chunk(chunk, n_rows, width))
+        else:
+            for top in range(0, height, rps):
+                n_rows = min(rps, height - top)
+                chunk = flat[
+                    top * row_bytes : (top + n_rows) * row_bytes
+                ]
+                strips.append(pack_chunk(chunk, n_rows, row_bytes))
 
     # two-pass layout: pass 1 sizes every entry's value to place the
     # overflow area and the strip data; pass 2 packs with the real
@@ -695,7 +756,7 @@ def encode_tiff(
         (_SAMPLES, 3, [spp]),
         (_ROWS_PER_STRIP, dim_type(rps), [rps]),
         (_STRIP_COUNTS, 4, [len(s) for s in strips]),
-        (_PLANAR, 3, [1]),
+        (_PLANAR, 3, [2 if planar2 else 1]),
     ]
     if predictor == 2:
         entries.append((_PREDICTOR, 3, [2]))
