@@ -397,3 +397,35 @@ def test_objstm_fixture_past_64kb():
     assert (
         m["text"].split("\x0c")[57] == " ".join(pages[57][0].split())
     )
+
+
+def test_rc4_encrypted_empty_user_password_decrypts():
+    # r11: the standard security handler with RC4 and an EMPTY user
+    # password (owner-locked but world-readable — what every viewer
+    # opens without prompting) now decrypts; both 40-bit R2 and
+    # 128-bit R3 revisions, streams AND Info strings
+    pages = [["Secret page one.", "line two"], ["page two"]]
+    for mode in ("rc4-40", "rc4-128"):
+        blob = pdf.encode_pdf(pages, title="Locked", encrypt=mode)
+        assert b"Secret" not in blob  # really ciphered
+        m = pdf.extract_pdf(blob)
+        assert m["text"] == "Secret page one.\nline two\x0cpage two"
+        assert m["title"] == "Locked"
+        assert m["n_pages"] == 2
+
+
+def test_rc4_wrong_user_password_stays_loud():
+    # flip a byte of /U: the empty-password verification fails and
+    # the document reports password-required instead of emitting
+    # garbage text
+    blob = bytearray(pdf.encode_pdf([["x"]], encrypt="rc4-128"))
+    at = bytes(blob).find(b"/U <") + 4
+    blob[at] = ord("f") if blob[at] != ord("f") else ord("0")
+    with pytest.raises(NotImplementedError, match="password required"):
+        pdf.extract_pdf(bytes(blob))
+    # AES-era revisions stay the named gap
+    blob2 = pdf.encode_pdf([["x"]], encrypt="rc4-128").replace(
+        b"/R 3", b"/R 4"
+    )
+    with pytest.raises(NotImplementedError, match="revision"):
+        pdf.extract_pdf(blob2)

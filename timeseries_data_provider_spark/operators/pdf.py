@@ -8,11 +8,14 @@ cross-reference STREAM form), compressed OBJECT streams (/ObjStm,
 §7.5.7 — the layout every modern writer emits), FlateDecode via
 zlib and LZWDecode (the TIFF dialect incl. EarlyChange, §7.4.4.2)
 with TIFF/PNG predictor inversion (§7.4.4.4), and the content-
-stream text operators (BT/ET, Tj/TJ/'/", Td/TD/T*/Tm, Tf). Font
-rendering, CMap/CID composite fonts, and encrypted documents are
-named gaps (a real pipeline routes those to a PDF library); simple
-fonts with standard encodings — the overwhelming majority of
-text-bearing PDFs — extract exactly.
+stream text operators (BT/ET, Tj/TJ/'/", Td/TD/T*/Tm, Tf).
+RC4-encrypted documents with an EMPTY user password (owner-locked
+but world-readable — the common crawl case) decrypt through the
+standard security handler (§7.6, r11); AES-era revisions,
+password-protected files, font rendering, and CMap/CID composite
+fonts are named gaps (a real pipeline routes those to a PDF
+library); simple fonts with standard encodings — the overwhelming
+majority of text-bearing PDFs — extract exactly.
 
 Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
 public). Reference parity note: index.js has no document surface;
@@ -293,6 +296,163 @@ def _resolve(objs, v):
     return v
 
 
+# -- standard security handler (ISO 32000-1 §7.6.2-7.6.4) -------------
+# RC4 with the EMPTY user password — the common crawl case (owner-
+# locked but world-readable documents, which every PDF viewer opens
+# without prompting). AES (V >= 4) and password-protected documents
+# stay the named NotImplementedError.
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_file_key(
+    o: bytes, p: int, id0: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 2 with the empty user password: MD5(pad + O + P-le +
+    ID0), then (R >= 3) 50 iterations over the first n bytes."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(_PDF_PAD)
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_compute_o(owner_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3 (empty user password): O = RC4-chain over the
+    padded user password with the MD5(padded owner) key."""
+    import hashlib
+
+    d = hashlib.md5((owner_pw + _PDF_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d).digest()
+    okey = d[:n]
+    out = _rc4(okey, _PDF_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            out = _rc4(bytes(b ^ i for b in okey), out)
+    return out
+
+
+def _std_compute_u(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U verifier for the empty user
+    password."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PDF_PAD)
+    t = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        t = _rc4(bytes(b ^ i for b in key), t)
+    return t + b"\x00" * 16
+
+
+def _object_key(key: bytes, num: int) -> bytes:
+    """Per-object RC4 key (Algorithm 1): MD5(filekey + objnum-le3 +
+    gen-le2)[:min(n+5, 16)]. Generation assumed 0 — the object scan
+    keys by number (a stated limitation; gen > 0 is vanishingly rare
+    in crawled files)."""
+    import hashlib
+
+    d = hashlib.md5(
+        key + num.to_bytes(3, "little") + b"\x00\x00"
+    ).digest()
+    return d[: min(len(key) + 5, 16)]
+
+
+def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
+    """Decrypt every top-level object's strings and stream IN PLACE
+    using the standard security handler with the EMPTY user password;
+    anything else (AES, custom handlers, real passwords) raises the
+    named error. Objects inside ObjStm streams come out plaintext once
+    the containing stream is decrypted (§7.6.2), so this runs BEFORE
+    _unpack_objstm."""
+    enc_num = encrypt.num if isinstance(encrypt, _Ref) else None
+    ed = _resolve(objs, encrypt)
+    if not isinstance(ed, dict) or str(ed.get("Filter")) != "Standard":
+        raise NotImplementedError(
+            "pdf: encrypted document (non-Standard security handler)"
+        )
+    v = int(_resolve(objs, ed.get("V", 0)) or 0)
+    r = int(_resolve(objs, ed.get("R", 2)) or 2)
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            "pdf: encrypted document (AES / revision > 3 handler)"
+        )
+    o = ed.get("O")
+    u = ed.get("U")
+    if not isinstance(o, bytes) or not isinstance(u, bytes):
+        raise NotImplementedError(
+            "pdf: encrypted document (malformed O/U entries)"
+        )
+    p = int(_resolve(objs, ed.get("P", -1)) or -1)
+    length = int(_resolve(objs, ed.get("Length", 40)) or 40)
+    n = max(5, min(16, length // 8))
+    id0 = b""
+    if isinstance(doc_id, list) and doc_id and isinstance(
+        doc_id[0], bytes
+    ):
+        id0 = doc_id[0]
+    key = _std_file_key(o, p, id0, r, n)
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u[:32]
+    else:
+        ok = _std_compute_u(key, id0, r)[:16] == u[:16]
+    if not ok:
+        raise NotImplementedError(
+            "pdf: encrypted document (user password required)"
+        )
+
+    def dec(vv, k):
+        if isinstance(vv, bytes):
+            return _rc4(k, vv)
+        if isinstance(vv, list):
+            return [dec(x, k) for x in vv]
+        if isinstance(vv, dict):
+            return {kk: dec(x, k) for kk, x in vv.items()}
+        return vv
+
+    for num in list(objs):
+        if num == enc_num:
+            continue
+        val, stream = objs[num]
+        k = _object_key(key, num)
+        val = dec(val, k)
+        if stream is not None:
+            stream = _rc4(k, stream)
+        objs[num] = (val, stream)
+
+
 def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     """LZWDecode (§7.4.4.2): the TIFF LZW dialect — MSB-first
     variable-width codes 9→12 bits, 256 = clear, 257 = EOD, and the
@@ -562,9 +722,9 @@ def extract_pdf(payload: bytes) -> dict:
     objs = _parse_objects(payload)
     if not objs:
         raise ValueError("pdf: no objects found")
-    _unpack_objstm(objs)
-    # trailer(s): scan for Root and Info; encryption is a named stop
-    root = info = None
+    # trailer(s): Root/Info/Encrypt/ID; RC4 + empty user password
+    # decrypts (r11), everything else encrypted is a named stop
+    root = info = encrypt = doc_id = None
     for m in re.finditer(rb"trailer\b", payload):
         lex = _Lexer(payload, m.end())
         try:
@@ -572,20 +732,23 @@ def extract_pdf(payload: bytes) -> dict:
         except ValueError:
             continue
         if isinstance(tr, dict):
-            if "Encrypt" in tr:
-                raise NotImplementedError("pdf: encrypted document")
+            encrypt = tr.get("Encrypt", encrypt)
+            doc_id = tr.get("ID", doc_id)
             root = tr.get("Root", root)
             info = tr.get("Info", info)
     # 1.5+ xref-STREAM form: the trailer dict lives on the /Type /XRef
-    # object itself (§7.5.8) — read Root/Info/Encrypt from it
+    # object itself (§7.5.8) — read Root/Info/Encrypt/ID from it
     for num, (val, _) in objs.items():
         if isinstance(val, dict) and str(val.get("Type")) == "XRef":
-            if "Encrypt" in val:
-                raise NotImplementedError("pdf: encrypted document")
+            encrypt = val.get("Encrypt", encrypt)
+            doc_id = val.get("ID", doc_id)
             if root is None:
                 root = val.get("Root")
             if info is None:
                 info = val.get("Info")
+    if encrypt is not None:
+        _decrypt_standard(objs, encrypt, doc_id)
+    _unpack_objstm(objs)
     if root is None:
         # 1.5+ xref-stream form: the catalog is an object with /Type
         # /Catalog — find it directly (object scan already has it)
@@ -662,6 +825,7 @@ def encode_pdf(
     title: str | None = None,
     compress: bool = True,
     objstm: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
     text lines (one BT..ET per line, Helvetica). Classic mode
@@ -676,6 +840,22 @@ def encode_pdf(
 
     if objstm:
         return _encode_pdf_objstm(pages, title, esc)
+    enc = None
+    if encrypt is not None:
+        # standard-security fixture: owner password "owner", EMPTY
+        # user password (the owner-locked-but-readable crawl case)
+        try:
+            r, length = {"rc4-40": (2, 40), "rc4-128": (3, 128)}[
+                encrypt
+            ]
+        except KeyError:
+            raise ValueError(f"encode_pdf: encrypt {encrypt!r}")
+        n = length // 8
+        id0 = bytes(range(16))
+        o_entry = _std_compute_o(b"owner", r, n)
+        filekey = _std_file_key(o_entry, -1, id0, r, n)
+        u_entry = _std_compute_u(filekey, id0, r)
+        enc = (r, length, o_entry, u_entry, filekey, id0)
     objs: list[bytes] = []  # 1-indexed
     n_pages = len(pages)
     # 1: catalog, 2: pages, 3..: page+content pairs, then info
@@ -691,10 +871,15 @@ def encode_pdf(
         content = "\n".join(parts).encode("latin-1")
         if compress:
             stream = zlib.compress(content)
-            sdict = f"<< /Length {len(stream)} /Filter /FlateDecode >>"
+            flt = " /Filter /FlateDecode"
         else:
             stream = content
-            sdict = f"<< /Length {len(stream)} >>"
+            flt = ""
+        if enc is not None:
+            stream = _rc4(
+                _object_key(enc[4], 4 + 2 * i), stream
+            )
+        sdict = f"<< /Length {len(stream)}{flt} >>"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R "
             f"/MediaBox [0 0 612 792] >>".encode()
@@ -704,7 +889,24 @@ def encode_pdf(
         )
     info_num = len(objs) + 1
     if title is not None:
-        objs.append(f"<< /Title ({esc(title)}) >>".encode())
+        if enc is not None:
+            tb = _rc4(
+                _object_key(enc[4], info_num),
+                title.encode("latin-1"),
+            )
+            objs.append(f"<< /Title <{tb.hex()}> >>".encode())
+        else:
+            objs.append(f"<< /Title ({esc(title)}) >>".encode())
+    enc_num = None
+    if enc is not None:
+        r, length, o_entry, u_entry, _, _ = enc
+        enc_num = len(objs) + 1
+        body = (
+            f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+            f"/Length {length} /O <{o_entry.hex()}> "
+            f"/U <{u_entry.hex()}> /P -1 >>"
+        )
+        objs.append(body.encode())
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -718,6 +920,9 @@ def encode_pdf(
     trailer = f"<< /Size {len(objs) + 1} /Root 1 0 R"
     if title is not None:
         trailer += f" /Info {info_num} 0 R"
+    if enc is not None:
+        h0 = enc[5].hex()
+        trailer += f" /Encrypt {enc_num} 0 R /ID [<{h0}> <{h0}>]"
     trailer += " >>"
     out += (
         b"trailer\n"
