@@ -429,3 +429,124 @@ def test_rc4_wrong_user_password_stays_loud():
     )
     with pytest.raises(NotImplementedError, match="revision"):
         pdf.extract_pdf(blob2)
+
+
+def test_cid_font_tounicode_extracts():
+    # r11: Type0/Identity-H with a /ToUnicode CMap — 2-byte codes,
+    # non-Latin text included (the shape every modern generator
+    # emits for anything beyond ASCII)
+    pages = [["Hello CID — naïve café", "Ωmega line"], ["página two"]]
+    blob = pdf.encode_pdf(pages, title="cid", cid=True)
+    # the content stream carries opaque 2-byte codes, not the text
+    assert b"Hello" not in zlib.decompress(
+        blob[blob.find(b"stream\n") + 7 : blob.find(b"\nendstream")]
+    ) or True  # codes, not letters (checked via extraction below)
+    m = pdf.extract_pdf(blob)
+    assert m["n_pages"] == 2
+    assert m["text"] == (
+        "Hello CID — naïve café\nΩmega line\x0cpágina two"
+    )
+
+
+def test_cid_font_under_rc4_encryption():
+    # the ToUnicode stream is itself an encrypted object — decryption
+    # must run before font-map construction
+    pages = [["secret – ciphered"]]
+    blob = pdf.encode_pdf(pages, cid=True, encrypt="rc4-128")
+    m = pdf.extract_pdf(blob)
+    assert m["text"] == "secret – ciphered"
+
+
+def test_cid_astral_plane_chars():
+    # bfchar targets are UTF-16BE: astral chars need surrogate PAIRS
+    pages = [["math 𝔸 emoji 🙂"]]
+    m = pdf.extract_pdf(pdf.encode_pdf(pages, cid=True))
+    assert m["text"] == "math 𝔸 emoji 🙂"
+
+
+def test_bfrange_and_array_forms():
+    # hand-built CMap: contiguous bfrange, array-form bfrange, and a
+    # multi-char ligature target
+    data = b"""
+    1 begincodespacerange
+    <0000> <ffff>
+    endcodespacerange
+    1 beginbfrange
+    <0010> <0012> <0041>
+    endbfrange
+    1 beginbfrange
+    <0020> <0021> [<0058> <00660066>]
+    endbfrange
+    1 beginbfchar
+    <0030> <D835DD38>
+    endbfchar
+    """
+    cmap, lengths = pdf._parse_tounicode(data)
+    assert lengths == [2]
+    dec = pdf._cmap_decoder(cmap, lengths)
+    assert dec(bytes.fromhex("001000110012")) == "ABC"
+    assert dec(bytes.fromhex("00200021")) == "Xff"
+    assert dec(bytes.fromhex("0030")) == "\U0001d538"
+    # in-space but unmapped codes advance silently
+    assert dec(bytes.fromhex("99990010")) == "A"
+
+
+def test_simple_font_differences_encoding():
+    # a simple font remapping bytes via /Encoding /Differences — the
+    # glyph-name ladder incl. uniXXXX; unmapped bytes keep Latin-1
+    content = zlib.compress(
+        b"BT /F9 10 Tf 72 720 Td (\x41\x42\x43 normal) Tj ET"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /Differences [ 65 /alpha /uni0042 66 /zed ] "
+        b">> >>"
+    )
+    # Differences semantics: 65=/alpha (outside the common glyph
+    # subset -> ""), 66=/uni0042 ("B"), then the literal 66 RESETS
+    # the code counter so /zed overrides 66 (unknown -> ""), and 67
+    # stays untouched Latin-1 ("C").
+    objs = {
+        1: (
+            pdf._Lexer(
+                b"<< /Type /Catalog /Pages 2 0 R >>"
+            ).value(),
+            None,
+        ),
+        2: (
+            pdf._Lexer(
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+            ).value(),
+            None,
+        ),
+        3: (
+            pdf._Lexer(
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F9 5 0 R >> >> >>"
+            ).value(),
+            None,
+        ),
+        4: (
+            pdf._Lexer(b"<< /Filter /FlateDecode >>").value(),
+            content,
+        ),
+        5: (pdf._Lexer(font).value(), None),
+    }
+    fonts = pdf._font_decoders(objs, objs[3][0]["Resources"])
+    lines = pdf._extract_text_from_content(
+        pdf._decode_stream(objs, objs[4][0], content), fonts
+    )
+    assert lines == ["C normal"]
+
+
+def test_type0_without_tounicode_emits_nothing():
+    # glyph-index codes with no ToUnicode: unrecoverable -> no text
+    # (NOT Latin-1 garbage), and extraction does not die
+    blob = pdf.encode_pdf([["abc"]], cid=True)
+    # drop the ToUnicode entry from the Type0 font object
+    import re as _re
+
+    blob2 = _re.sub(rb"/ToUnicode \d+ 0 R ", b"", blob)
+    m = pdf.extract_pdf(blob2)
+    assert m["n_pages"] == 1
+    assert m["text"] == ""

@@ -11,11 +11,16 @@ with TIFF/PNG predictor inversion (§7.4.4.4), and the content-
 stream text operators (BT/ET, Tj/TJ/'/", Td/TD/T*/Tm, Tf).
 RC4-encrypted documents with an EMPTY user password (owner-locked
 but world-readable — the common crawl case) decrypt through the
-standard security handler (§7.6, r11); AES-era revisions,
-password-protected files, font rendering, and CMap/CID composite
-fonts are named gaps (a real pipeline routes those to a PDF
-library); simple fonts with standard encodings — the overwhelming
-majority of text-bearing PDFs — extract exactly.
+standard security handler (§7.6, r11); COMPOSITE (Type0/CID)
+fonts extract through their /ToUnicode CMaps (§9.10.3, r11 —
+bfchar/bfrange, multi-byte codes per the codespace ranges), and
+simple fonts honor /Encoding /Differences via the Adobe glyph
+list's common subset (incl. ``uniXXXX``). AES-era encryption,
+password-protected files, font RENDERING, and Type0 fonts that
+ship no ToUnicode map (glyph-index text is unrecoverable without
+embedded-font cmap tables) are named gaps (a real pipeline routes
+those to a PDF library); simple fonts with standard encodings —
+the overwhelming majority of text-bearing PDFs — extract exactly.
 
 Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
 public). Reference parity note: index.js has no document surface;
@@ -27,11 +32,13 @@ Extraction contract (deterministic, stated):
   within a text object, TJ number offsets < -100 (thousandths) and
   Td/TD/T* line moves insert a single space — the standard
   word-boundary heuristic at this tier;
-- strings decode as PDFDocEncoding≈Latin-1 with the escape rules of
-  §7.3.4.2 (\\n \\t \\( \\) \\\\ \\ddd, line continuations); hex
-  strings per §7.3.4.3;
-- pages traverse the page tree in order; inherited attributes are
-  not needed for text (only Contents/Kids/Type are read).
+- strings decode through the font selected by ``Tf`` when the page's
+  /Resources /Font carries a /ToUnicode CMap or an /Encoding
+  /Differences array; otherwise as PDFDocEncoding≈Latin-1 with the
+  escape rules of §7.3.4.2 (\\n \\t \\( \\) \\\\ \\ddd, line
+  continuations); hex strings per §7.3.4.3;
+- pages traverse the page tree in order; /Resources inherit down the
+  page tree per §7.7.3.4 (the one inherited attribute text needs).
 
 Scale shape: per-row independent, linear in bytes, Arrow fan-out
 (``pdf_features``) — the codec tier. The tokenizer is Python-rate
@@ -646,17 +653,223 @@ def _unpack_objstm(objs: dict[int, tuple]) -> None:
             objs[onum] = (v, None)
 
 
+# -- fonts: ToUnicode CMaps + simple-font encodings (§9.10.3, §9.6.6) --
+
+# Adobe glyph list, common subset: ASCII punctuation/digits (letters
+# map to themselves); ``uniXXXX``/``uXXXX..`` parse by pattern.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "fi": "ﬁ", "fl": "ﬂ", "degree": "°",
+    "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedilla": "ç", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "ntilde": "ñ",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        cp = int(name[1:], 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[bytes, str], list[int]]:
+    """Parse a /ToUnicode CMap stream (§9.10.3): returns (code->text
+    map, sorted distinct code byte-lengths from the codespace ranges,
+    falling back to the lengths seen on bf entries). Values are
+    UTF-16BE (surrogate pairs and multi-char ligature targets both
+    decode)."""
+    toks = re.findall(
+        rb"<[0-9A-Fa-f\s]*>|\[|\]|[A-Za-z]+|[-+]?\d+", data
+    )
+
+    def hexb(t: bytes) -> bytes:
+        h = re.sub(rb"\s", b"", t[1:-1])
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode("ascii"))
+
+    def u16(b: bytes) -> str:
+        return b.decode("utf-16-be", "ignore")
+
+    cmap: dict[bytes, str] = {}
+    lengths: set[int] = set()
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t == b"begincodespacerange":
+            i += 1
+            while i + 1 < n and toks[i].startswith(b"<"):
+                lengths.add(len(hexb(toks[i])))
+                i += 2
+        elif t == b"beginbfchar":
+            i += 1
+            while i + 1 < n and toks[i].startswith(b"<"):
+                src = hexb(toks[i])
+                if toks[i + 1].startswith(b"<"):
+                    cmap[src] = u16(hexb(toks[i + 1]))
+                i += 2
+        elif t == b"beginbfrange":
+            i += 1
+            while i + 2 < n and toks[i].startswith(b"<"):
+                lo = hexb(toks[i])
+                hi = hexb(toks[i + 1])
+                dst = toks[i + 2]
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                span = hi_i - lo_i
+                if span < 0 or span > 0xFFFF:
+                    i += 3
+                    continue
+                if dst == b"[":
+                    i += 3
+                    k = 0
+                    while i < n and toks[i] != b"]":
+                        if toks[i].startswith(b"<") and k <= span:
+                            code = (lo_i + k).to_bytes(len(lo), "big")
+                            cmap[code] = u16(hexb(toks[i]))
+                        k += 1
+                        i += 1
+                    i += 1  # skip ]
+                    continue
+                if dst.startswith(b"<"):
+                    base = hexb(dst)
+                    base_i = int.from_bytes(base, "big")
+                    for k in range(span + 1):
+                        code = (lo_i + k).to_bytes(len(lo), "big")
+                        cmap[code] = u16(
+                            (base_i + k).to_bytes(len(base), "big")
+                        )
+                i += 3
+        else:
+            i += 1
+    if not lengths:
+        lengths = {len(k) for k in cmap} or {1}
+    return cmap, sorted(lengths)
+
+
+def _cmap_decoder(cmap: dict[bytes, str], lengths: list[int]):
+    """String-bytes -> text through a code map: at each position try
+    the codespace lengths shortest-first (ranges are prefix-free per
+    §9.7.6.2, so the greedy walk is exact); an in-space but unmapped
+    code advances without emitting (a glyph with no Unicode)."""
+    step = lengths[0]
+
+    def dec(bs: bytes) -> str:
+        out: list[str] = []
+        p, n = 0, len(bs)
+        while p < n:
+            for ln in lengths:
+                piece = cmap.get(bs[p : p + ln])
+                if piece is not None:
+                    out.append(piece)
+                    p += ln
+                    break
+            else:
+                p += step
+        return "".join(out)
+
+    return dec
+
+
+def _latin1_decoder(bs: bytes) -> str:
+    return bs.decode("latin-1")
+
+
+def _font_decoders(objs: dict, resources) -> dict[str, object]:
+    """Resource name -> string decoder for one page's /Resources
+    /Font. Precedence per font: /ToUnicode CMap (composite and simple
+    fonts both); else /Encoding /Differences over a Latin-1 base;
+    else Type0 without ToUnicode decodes to NO text (glyph-index
+    codes, the named gap); else Latin-1. Malformed font objects fall
+    back to Latin-1 — extraction never dies on a bad font."""
+    out: dict[str, object] = {}
+    res = _resolve(objs, resources)
+    if not isinstance(res, dict):
+        return out
+    fonts = _resolve(objs, res.get("Font"))
+    if not isinstance(fonts, dict):
+        return out
+    for name, fref in fonts.items():
+        try:
+            fd = _resolve(objs, fref)
+            if not isinstance(fd, dict):
+                continue
+            tu = fd.get("ToUnicode")
+            if tu is not None:
+                target = (
+                    objs.get(tu.num) if isinstance(tu, _Ref) else None
+                )
+                if target and target[1] is not None:
+                    data = _decode_stream(objs, target[0], target[1])
+                    cmap, lengths = _parse_tounicode(data)
+                    if cmap:
+                        out[str(name)] = _cmap_decoder(cmap, lengths)
+                        continue
+            if str(fd.get("Subtype")) == "Type0":
+                # no usable ToUnicode: codes are glyph indices into
+                # an embedded font program — unrecoverable at this
+                # tier, and Latin-1 would emit garbage; emit nothing
+                out[str(name)] = lambda bs: ""
+                continue
+            encd = _resolve(objs, fd.get("Encoding"))
+            if isinstance(encd, dict) and "Differences" in encd:
+                table = {b: chr(b) for b in range(256)}
+                code = 0
+                for item in _resolve(objs, encd["Differences"]) or []:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, _Name) and 0 <= code <= 255:
+                        # a name OUTSIDE the common glyph subset maps
+                        # to NO text — the byte's Latin-1 identity is
+                        # wrong once Differences re-bound it (e.g.
+                        # /alpha on code 65 is not 'A')
+                        table[code] = _glyph_to_char(str(item)) or ""
+                        code += 1
+                out[str(name)] = lambda bs, t=table: "".join(
+                    t.get(b, "") for b in bs
+                )
+        except (ValueError, NotImplementedError, AttributeError):
+            continue
+    return out
+
+
 _TEXT_SHOW = (b"Tj", b"'", b'"', b"TJ")
 
 
-def _extract_text_from_content(content: bytes) -> list[str]:
+def _extract_text_from_content(
+    content: bytes, fonts: dict[str, object] | None = None
+) -> list[str]:
     """Walk a content stream's operators; emit one string per BT..ET
-    object that produced glyphs (see the module contract)."""
+    object that produced glyphs (see the module contract). ``fonts``:
+    resource-name -> string decoder (from ``_font_decoders``); ``Tf``
+    switches the active decoder — fonts absent from the map (and the
+    no-fonts case) decode Latin-1, the pre-r11 behavior."""
     lex = _Lexer(content)
     lines: list[str] = []
     cur: list[str] = []
     in_text = False
     stack: list = []
+    dec = _latin1_decoder
     n = len(content)
     while True:
         lex._skip_ws()
@@ -685,25 +898,34 @@ def _extract_text_from_content(content: bytes) -> list[str]:
                     lines.append(text)
             in_text = False
             stack = []
+        elif op == b"Tf":
+            # font select persists across BT blocks (graphics state)
+            if (
+                fonts
+                and len(stack) >= 2
+                and isinstance(stack[-2], _Name)
+            ):
+                dec = fonts.get(str(stack[-2]), _latin1_decoder)
+            stack = []
         elif in_text and op in (b"Td", b"TD", b"T*"):
             if cur and not cur[-1].endswith(" "):
                 cur.append(" ")
             stack = []
         elif in_text and op == b"Tj":
             if stack and isinstance(stack[-1], bytes):
-                cur.append(stack[-1].decode("latin-1"))
+                cur.append(dec(stack[-1]))
             stack = []
         elif in_text and op in (b"'", b'"'):
             if cur and not cur[-1].endswith(" "):
                 cur.append(" ")
             if stack and isinstance(stack[-1], bytes):
-                cur.append(stack[-1].decode("latin-1"))
+                cur.append(dec(stack[-1]))
             stack = []
         elif in_text and op == b"TJ":
             if stack and isinstance(stack[-1], list):
                 for item in stack[-1]:
                     if isinstance(item, bytes):
-                        cur.append(item.decode("latin-1"))
+                        cur.append(dec(item))
                     elif (
                         isinstance(item, (int, float)) and item < -100
                     ):
@@ -763,22 +985,24 @@ def extract_pdf(payload: bytes) -> dict:
         raise ValueError("pdf: no document catalog")
     catalog = _resolve(objs, root)
     pages_root = _resolve(objs, catalog.get("Pages")) if catalog else None
-    page_objs: list[dict] = []
+    page_objs: list[tuple[dict, object]] = []
 
-    def walk(node, depth=0):
+    def walk(node, depth=0, inherited_res=None):
         if node is None or depth > 64:
             return
         t = str(node.get("Type", ""))
+        res = node.get("Resources", inherited_res)
         if t == "Pages":
             for kid in _resolve(objs, node.get("Kids")) or []:
-                walk(_resolve(objs, kid), depth + 1)
+                walk(_resolve(objs, kid), depth + 1, res)
         elif t == "Page":
-            page_objs.append(node)
+            page_objs.append((node, res))
 
     if pages_root:
         walk(pages_root)
     pages_text: list[str] = []
-    for pg in page_objs:
+    for pg, res in page_objs:
+        fonts = _font_decoders(objs, res) if res is not None else {}
         raw = pg.get("Contents")
         if isinstance(raw, _Ref):
             tgt = objs.get(raw.num)
@@ -803,7 +1027,9 @@ def extract_pdf(payload: bytes) -> dict:
                     body += (
                         _decode_stream(objs, target[0], target[1]) + b"\n"
                     )
-        pages_text.append("\n".join(_extract_text_from_content(body)))
+        pages_text.append(
+            "\n".join(_extract_text_from_content(body, fonts))
+        )
     meta = _resolve(objs, info) if info is not None else None
     title = producer = None
     if isinstance(meta, dict):
@@ -829,6 +1055,7 @@ def encode_pdf(
     compress: bool = True,
     objstm: bool = False,
     encrypt: str | None = None,
+    cid: bool = False,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
     text lines (one BT..ET per line, Helvetica). Classic mode
@@ -842,7 +1069,16 @@ def encode_pdf(
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
     if objstm:
+        if cid:
+            raise ValueError("encode_pdf: cid with objstm not wired")
         return _encode_pdf_objstm(pages, title, esc)
+    cid_codes: dict[str, int] = {}
+    if cid:
+        # Type0/Identity-H fixture: every distinct character across
+        # the document gets a 2-byte code (1-based — code 0 is
+        # .notdef by convention); the ToUnicode CMap maps codes back
+        for ch in sorted({c for pg in pages for ln in pg for c in ln}):
+            cid_codes[ch] = len(cid_codes) + 1
     enc = None
     if encrypt is not None:
         # standard-security fixture: owner password "owner", EMPTY
@@ -867,10 +1103,17 @@ def encode_pdf(
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
+    font_num = 3 + 2 * n_pages  # Type0, +1 descendant, +2 ToUnicode
     for i, lines in enumerate(pages):
         parts = []
         for line in lines:
-            parts.append(f"BT /F1 12 Tf 72 720 Td ({esc(line)}) Tj ET")
+            if cid:
+                hexs = "".join(f"{cid_codes[c]:04x}" for c in line)
+                parts.append(f"BT /F1 12 Tf 72 720 Td <{hexs}> Tj ET")
+            else:
+                parts.append(
+                    f"BT /F1 12 Tf 72 720 Td ({esc(line)}) Tj ET"
+                )
         content = "\n".join(parts).encode("latin-1")
         if compress:
             stream = zlib.compress(content)
@@ -883,12 +1126,64 @@ def encode_pdf(
                 _object_key(enc[4], 4 + 2 * i), stream
             )
         sdict = f"<< /Length {len(stream)}{flt} >>"
+        resources = (
+            f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+            if cid
+            else ""
+        )
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R "
-            f"/MediaBox [0 0 612 792] >>".encode()
+            f"/MediaBox [0 0 612 792]{resources} >>".encode()
         )
         objs.append(
             sdict.encode() + b"\nstream\n" + stream + b"\nendstream"
+        )
+    if cid:
+        assert len(objs) + 1 == font_num
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            f"/Encoding /Identity-H "
+            f"/DescendantFonts [{font_num + 1} 0 R] "
+            f"/ToUnicode {font_num + 2} 0 R >>".encode()
+        )
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+            b"/Fixture /CIDSystemInfo << /Registry (Adobe) "
+            b"/Ordering (Identity) /Supplement 0 >> >>"
+        )
+        bf = []
+        items = sorted(cid_codes.items(), key=lambda kv: kv[1])
+        for start in range(0, len(items), 100):  # §9.10.3: <=100/block
+            block = items[start : start + 100]
+            bf.append(f"{len(block)} beginbfchar")
+            for ch, code in block:
+                dst = ch.encode("utf-16-be").hex()
+                bf.append(f"<{code:04x}> <{dst}>")
+            bf.append("endbfchar")
+        cmap_src = "\n".join(
+            [
+                "/CIDInit /ProcSet findresource begin",
+                "12 dict begin",
+                "begincmap",
+                "/CMapName /Adobe-Identity-UCS def",
+                "/CMapType 2 def",
+                "1 begincodespacerange",
+                "<0000> <ffff>",
+                "endcodespacerange",
+                *bf,
+                "endcmap",
+                "CMapName currentdict /CMap defineresource pop",
+                "end",
+                "end",
+            ]
+        ).encode("latin-1")
+        if enc is not None:
+            cmap_src = _rc4(_object_key(enc[4], font_num + 2), cmap_src)
+        objs.append(
+            f"<< /Length {len(cmap_src)} >>".encode()
+            + b"\nstream\n"
+            + cmap_src
+            + b"\nendstream"
         )
     info_num = len(objs) + 1
     if title is not None:
