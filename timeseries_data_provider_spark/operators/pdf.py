@@ -387,17 +387,41 @@ def _std_compute_u(key: bytes, id0: bytes, r: int) -> bytes:
     return t + b"\x00" * 16
 
 
-def _object_key(key: bytes, num: int) -> bytes:
-    """Per-object RC4 key (Algorithm 1): MD5(filekey + objnum-le3 +
-    gen-le2)[:min(n+5, 16)]. Generation assumed 0 — the object scan
-    keys by number (a stated limitation; gen > 0 is vanishingly rare
-    in crawled files)."""
+def _object_key(key: bytes, num: int, aes: bool = False) -> bytes:
+    """Per-object key (Algorithm 1): MD5(filekey + objnum-le3 +
+    gen-le2 [+ "sAlT" for AES])[:min(n+5, 16)]. Generation assumed 0
+    — the object scan keys by number (a stated limitation; gen > 0 is
+    vanishingly rare in crawled files)."""
     import hashlib
 
     d = hashlib.md5(
-        key + num.to_bytes(3, "little") + b"\x00\x00"
+        key
+        + num.to_bytes(3, "little")
+        + b"\x00\x00"
+        + (b"sAlT" if aes else b"")
     ).digest()
     return d[: min(len(key) + 5, 16)]
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 password hash): SHA-256
+    seed, then the AES-128-CBC + SHA-256/384/512 hardening loop —
+    at least 64 rounds, stopping once the last byte of E is <= round
+    - 32."""
+    import hashlib
+
+    from timeseries_data_provider_spark.operators import aes as _aes
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    hashes = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], k1)
+        k = hashes[int.from_bytes(e[:16], "big") % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
