@@ -423,12 +423,53 @@ def test_rc4_wrong_user_password_stays_loud():
     blob[at] = ord("f") if blob[at] != ord("f") else ord("0")
     with pytest.raises(NotImplementedError, match="password required"):
         pdf.extract_pdf(bytes(blob))
-    # AES-era revisions stay the named gap
+    # a V/R combination the handler doesn't define stays loud
     blob2 = pdf.encode_pdf([["x"]], encrypt="rc4-128").replace(
         b"/R 3", b"/R 4"
     )
     with pytest.raises(NotImplementedError, match="revision"):
         pdf.extract_pdf(blob2)
+
+
+def test_aes_encrypted_empty_user_password_decrypts():
+    # r11 (late): the AES era of the standard security handler —
+    # V4/R4 crypt filters (/AESV2), V5/R6 (ISO 32000-2, Algorithm
+    # 2.B + /Perms) and the deprecated Adobe R5 — all with the EMPTY
+    # user password; streams AND Info strings, ciphertext verified
+    # absent of plaintext
+    pages = [["Secret page one.", "line two"], ["page two"]]
+    for mode in ("aesv2", "aesv3", "aesv3-r5"):
+        blob = pdf.encode_pdf(pages, title="Locked", encrypt=mode)
+        assert b"Secret" not in blob and b"Locked" not in blob
+        m = pdf.extract_pdf(blob)
+        assert m["text"] == "Secret page one.\nline two\x0cpage two"
+        assert m["title"] == "Locked"
+        assert m["n_pages"] == 2
+
+
+def test_aes_v5_wrong_password_and_tampered_perms_loud():
+    # flip a byte inside the /U hash: the 2.B verification fails
+    blob = bytearray(pdf.encode_pdf([["x"]], encrypt="aesv3"))
+    at = bytes(blob).find(b"/U <") + 4
+    blob[at] = ord("f") if blob[at] != ord("f") else ord("0")
+    with pytest.raises(NotImplementedError, match="password required"):
+        pdf.extract_pdf(bytes(blob))
+    # flip a byte of /Perms: the §7.6.4.3.4 integrity check fires
+    blob = bytearray(pdf.encode_pdf([["x"]], encrypt="aesv3"))
+    at = bytes(blob).find(b"/Perms <") + 8
+    blob[at] = ord("f") if blob[at] != ord("f") else ord("0")
+    with pytest.raises(NotImplementedError, match="Perms integrity"):
+        pdf.extract_pdf(bytes(blob))
+
+
+def test_aes_v4_undefined_crypt_filter_loud():
+    # /StmF names a filter /CF doesn't define — a malformed file
+    # must say so, not emit garbage
+    blob = pdf.encode_pdf([["x"]], encrypt="aesv2").replace(
+        b"/StmF /StdCF", b"/StmF /Wrong"
+    )
+    with pytest.raises(NotImplementedError, match="crypt filter"):
+        pdf.extract_pdf(blob)
 
 
 def test_cid_font_tounicode_extracts():
@@ -452,9 +493,10 @@ def test_cid_font_under_rc4_encryption():
     # the ToUnicode stream is itself an encrypted object — decryption
     # must run before font-map construction
     pages = [["secret – ciphered"]]
-    blob = pdf.encode_pdf(pages, cid=True, encrypt="rc4-128")
-    m = pdf.extract_pdf(blob)
-    assert m["text"] == "secret – ciphered"
+    for mode in ("rc4-128", "aesv2", "aesv3"):
+        blob = pdf.encode_pdf(pages, cid=True, encrypt=mode)
+        m = pdf.extract_pdf(blob)
+        assert m["text"] == "secret – ciphered", mode
 
 
 def test_cid_astral_plane_chars():

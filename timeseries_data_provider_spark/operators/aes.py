@@ -32,6 +32,7 @@ __all__ = [
     "encrypt_block",
     "decrypt_block",
     "ecb_encrypt",
+    "ecb_decrypt",
     "cbc_encrypt",
     "cbc_decrypt",
 ]
@@ -188,6 +189,16 @@ def ecb_encrypt(key: bytes, data: bytes) -> bytes:
         encrypt_block(rks, data[i : i + 16])
         for i in range(0, len(data), 16)
     )
+
+
+def ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    """ECB inverse over exact blocks (the /Perms verification)."""
+    if len(data) % 16:
+        raise ValueError("aes: ECB data not block-aligned")
+    keyblob = b"".join(expand_key(key))
+    return cbc_decrypt_raw(
+        keyblob, np.frombuffer(data, np.uint8)
+    ).tobytes()
 
 
 def cbc_encrypt(

@@ -9,14 +9,20 @@ cross-reference STREAM form), compressed OBJECT streams (/ObjStm,
 zlib and LZWDecode (the TIFF dialect incl. EarlyChange, §7.4.4.2)
 with TIFF/PNG predictor inversion (§7.4.4.4), and the content-
 stream text operators (BT/ET, Tj/TJ/'/", Td/TD/T*/Tm, Tf).
-RC4-encrypted documents with an EMPTY user password (owner-locked
+Encrypted documents with an EMPTY user password (owner-locked
 but world-readable — the common crawl case) decrypt through the
-standard security handler (§7.6, r11); COMPOSITE (Type0/CID)
-fonts extract through their /ToUnicode CMaps (§9.10.3, r11 —
-bfchar/bfrange, multi-byte codes per the codespace ranges), and
-simple fonts honor /Encoding /Differences via the Adobe glyph
-list's common subset (incl. ``uniXXXX``). AES-era encryption,
-password-protected files, font RENDERING, and Type0 fonts that
+standard security handler (§7.6, r11): RC4 V1/V2 R2/R3, AES-128
+crypt filters (V4/R4 /AESV2, incl. /Identity slots and
+/EncryptMetadata false), and AES-256 (V5 R5/R6 — ISO 32000-2
+Algorithm 2.B, /Perms integrity check) over the from-scratch
+FIPS 197 cipher in operators/aes (numpy-vectorized CBC decrypt,
+~5-6.5 MB/s/core — the honest pure-Python envelope beside RC4's
+~6.7). COMPOSITE (Type0/CID) fonts extract through their
+/ToUnicode CMaps (§9.10.3, r11 — bfchar/bfrange, multi-byte codes
+per the codespace ranges), and simple fonts honor /Encoding
+/Differences via the Adobe glyph list's common subset (incl.
+``uniXXXX``). Password-protected files (a REAL user password),
+public-key (PKCS#7) handlers, font RENDERING, and Type0 fonts that
 ship no ToUnicode map (glyph-index text is unrecoverable without
 embedded-font cmap tables) are named gaps (a real pipeline routes
 those to a PDF library); simple fonts with standard encodings —
@@ -304,11 +310,12 @@ def _resolve(objs, v):
 
 
 # -- standard security handler (ISO 32000-1 §7.6.2-7.6.4) -------------
-# RC4 with the EMPTY user password — the common crawl case (owner-
-# locked but world-readable documents, which every PDF viewer opens
-# without prompting). AES (V >= 4) and password-protected documents
-# stay the named NotImplementedError. Rate envelope: the pure-Python
-# RC4 measures ~6.7 MB/s/core — the same honest Python-rate class as
+# RC4 and AES with the EMPTY user password — the common crawl case
+# (owner-locked but world-readable documents, which every PDF viewer
+# opens without prompting). Password-protected documents (a real user
+# password) stay the named NotImplementedError. Rate envelope: the
+# pure-Python RC4 measures ~6.7 MB/s/core, the numpy-vectorized AES
+# CBC decrypt ~5-6.5 MB/s/core — the same honest Python-rate class as
 # the other codec tiers (per-row independent, Arrow fan-out; a real
 # deployment swaps a native cipher via the usual registry posture).
 
@@ -339,10 +346,16 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    o: bytes, p: int, id0: bytes, r: int, n: int
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    n: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2 with the empty user password: MD5(pad + O + P-le +
-    ID0), then (R >= 3) 50 iterations over the first n bytes."""
+    ID0 [+ ffffffff when R4 leaves metadata plaintext]), then
+    (R >= 3) 50 iterations over the first n bytes."""
     import hashlib
 
     h = hashlib.md5()
@@ -350,6 +363,8 @@ def _std_file_key(
     h.update(o[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -424,13 +439,55 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
             return k[:32]
 
 
+def _aes_apply(key: bytes, data: bytes) -> bytes:
+    """AES-CBC string/stream layout (§7.6.3.3): first 16 bytes are
+    the IV, PKCS#7 padding stripped. Blobs too short or misaligned
+    to be a legal AES payload pass through unchanged — real crawled
+    files carry empty strings and writer damage, and a tolerant
+    pass-through beats killing the whole extraction (the tolerant-
+    tail posture of the other codecs)."""
+    if len(data) < 32 or len(data) % 16:
+        return data
+    from timeseries_data_provider_spark.operators import aes as _aes
+
+    return _aes.cbc_decrypt(key, data)
+
+
+def _cf_method(objs, ed, which: str) -> str:
+    """Resolve a V4 crypt-filter slot (/StmF or /StrF) to a method:
+    'identity' | 'rc4' | 'aes128'. Per §7.6.5 the default filter is
+    /Identity; named filters resolve through /CF to their /CFM."""
+    name = str(_resolve(objs, ed.get(which, "Identity")) or "Identity")
+    if name == "Identity":
+        return "identity"
+    cf = _resolve(objs, ed.get("CF")) or {}
+    slot = _resolve(objs, cf.get(name))
+    if not isinstance(slot, dict):
+        raise NotImplementedError(
+            f"pdf: encrypted document (undefined crypt filter {name})"
+        )
+    cfm = str(_resolve(objs, slot.get("CFM", "None")))
+    if cfm == "V2":
+        return "rc4"
+    if cfm == "AESV2":
+        return "aes128"
+    raise NotImplementedError(
+        f"pdf: encrypted document (crypt filter method {cfm})"
+    )
+
+
 def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
     """Decrypt every top-level object's strings and stream IN PLACE
-    using the standard security handler with the EMPTY user password;
-    anything else (AES, custom handlers, real passwords) raises the
-    named error. Objects inside ObjStm streams come out plaintext once
-    the containing stream is decrypted (§7.6.2), so this runs BEFORE
+    using the standard security handler with the EMPTY user password:
+    RC4 (V1/V2, R2/R3), AES-128 crypt filters (V4/R4, /AESV2 or /V2
+    per-slot incl. /Identity and /EncryptMetadata false), and AES-256
+    (V5, R5/R6 — Algorithm 2.B for R6, the /Perms integrity check
+    when present). Custom handlers and real passwords raise the named
+    error. Objects inside ObjStm streams come out plaintext once the
+    containing stream is decrypted (§7.6.2), so this runs BEFORE
     _unpack_objstm."""
+    import hashlib
+
     enc_num = encrypt.num if isinstance(encrypt, _Ref) else None
     ed = _resolve(objs, encrypt)
     if not isinstance(ed, dict) or str(ed.get("Filter")) != "Standard":
@@ -439,10 +496,6 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
         )
     v = int(_resolve(objs, ed.get("V", 0)) or 0)
     r = int(_resolve(objs, ed.get("R", 2)) or 2)
-    if v not in (1, 2) or r not in (2, 3):
-        raise NotImplementedError(
-            "pdf: encrypted document (AES / revision > 3 handler)"
-        )
     o = ed.get("O")
     u = ed.get("U")
     if not isinstance(o, bytes) or not isinstance(u, bytes):
@@ -450,26 +503,92 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
             "pdf: encrypted document (malformed O/U entries)"
         )
     p = int(_resolve(objs, ed.get("P", -1)) or -1)
-    length = int(_resolve(objs, ed.get("Length", 40)) or 40)
-    n = max(5, min(16, length // 8))
     id0 = b""
     if isinstance(doc_id, list) and doc_id and isinstance(
         doc_id[0], bytes
     ):
         id0 = doc_id[0]
-    key = _std_file_key(o, p, id0, r, n)
-    if r == 2:
-        ok = _rc4(key, _PDF_PAD) == u[:32]
-    else:
-        ok = _std_compute_u(key, id0, r)[:16] == u[:16]
-    if not ok:
-        raise NotImplementedError(
-            "pdf: encrypted document (user password required)"
+
+    if v in (1, 2) and r in (2, 3):
+        stm_m = str_m = "rc4"
+        length = int(_resolve(objs, ed.get("Length", 40)) or 40)
+        n = max(5, min(16, length // 8))
+        key = _std_file_key(o, p, id0, r, n)
+        if r == 2:
+            ok = _rc4(key, _PDF_PAD) == u[:32]
+        else:
+            ok = _std_compute_u(key, id0, r)[:16] == u[:16]
+        if not ok:
+            raise NotImplementedError(
+                "pdf: encrypted document (user password required)"
+            )
+    elif v == 4 and r == 4:
+        stm_m = _cf_method(objs, ed, "StmF")
+        str_m = _cf_method(objs, ed, "StrF")
+        meta = _resolve(objs, ed.get("EncryptMetadata", True))
+        key = _std_file_key(
+            o, p, id0, 4, 16, encrypt_metadata=bool(meta)
         )
+        if _std_compute_u(key, id0, 3)[:16] != u[:16]:
+            raise NotImplementedError(
+                "pdf: encrypted document (user password required)"
+            )
+    elif v == 5 and r in (5, 6):
+        stm_m = str_m = "aes256"
+        if len(u) < 48:
+            raise NotImplementedError(
+                "pdf: encrypted document (short V5 /U entry)"
+            )
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            if _hash_2b(b"", vsalt, b"") != u[:32]:
+                raise NotImplementedError(
+                    "pdf: encrypted document (user password required)"
+                )
+            ikey = _hash_2b(b"", ksalt, b"")
+        else:  # R5 (the deprecated Adobe ExtensionLevel 3 form)
+            if hashlib.sha256(vsalt).digest() != u[:32]:
+                raise NotImplementedError(
+                    "pdf: encrypted document (user password required)"
+                )
+            ikey = hashlib.sha256(ksalt).digest()
+        ue = ed.get("UE")
+        if not isinstance(ue, bytes) or len(ue) != 32:
+            raise NotImplementedError(
+                "pdf: encrypted document (malformed V5 /UE entry)"
+            )
+        from timeseries_data_provider_spark.operators import aes as _aes
+
+        key = _aes.cbc_decrypt(ikey, b"\x00" * 16 + ue, unpad=False)
+        perms = ed.get("Perms")
+        if isinstance(perms, bytes) and len(perms) == 16:
+            blk = _aes.ecb_decrypt(key, perms)
+            if blk[9:12] != b"adb":
+                raise NotImplementedError(
+                    "pdf: encrypted document (/Perms integrity check "
+                    "failed — wrong key or tampered permissions)"
+                )
+    else:
+        raise NotImplementedError(
+            f"pdf: encrypted document (unsupported V={v} revision "
+            f"R={r} handler)"
+        )
+
+    def obj_key(num: int, method: str) -> bytes:
+        if method == "aes256":
+            return key  # V5: the file key, no per-object derivation
+        return _object_key(key, num, aes=(method == "aes128"))
+
+    def apply(method: str, k: bytes, data: bytes) -> bytes:
+        if method == "identity":
+            return data
+        if method == "rc4":
+            return _rc4(k, data)
+        return _aes_apply(k, data)
 
     def dec(vv, k):
         if isinstance(vv, bytes):
-            return _rc4(k, vv)
+            return apply(str_m, k, vv)
         if isinstance(vv, list):
             return [dec(x, k) for x in vv]
         if isinstance(vv, dict):
@@ -480,10 +599,10 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
         if num == enc_num:
             continue
         val, stream = objs[num]
-        k = _object_key(key, num)
-        val = dec(val, k)
-        if stream is not None:
-            stream = _rc4(k, stream)
+        if str_m != "identity":
+            val = dec(val, obj_key(num, str_m))
+        if stream is not None and stm_m != "identity":
+            stream = apply(stm_m, obj_key(num, stm_m), stream)
         objs[num] = (val, stream)
 
 
@@ -1073,6 +1192,117 @@ def extract_pdf(payload: bytes) -> dict:
 # -- fixture writer ----------------------------------------------------
 
 
+def _encrypt_fixture(encrypt: str) -> dict:
+    """Standard-security fixture material for ``encode_pdf``: owner
+    password "owner", EMPTY user password. Returns ``apply(num,
+    data)`` (the string/stream cipher), the /Encrypt dict ``body``,
+    and the file ``id``. Forms: ``rc4-40`` (V1/R2), ``rc4-128``
+    (V2/R3), ``aesv2`` (V4/R4 AES-128 crypt filters), ``aesv3``
+    (V5/R6, Algorithm 2.B + /Perms), ``aesv3-r5`` (the deprecated
+    Adobe ExtensionLevel 3 revision). IVs are derived from the
+    object number so fixtures are byte-deterministic."""
+    import hashlib
+
+    from timeseries_data_provider_spark.operators import aes as _aes
+
+    id0 = bytes(range(16))
+    if encrypt in ("rc4-40", "rc4-128"):
+        r, length = {"rc4-40": (2, 40), "rc4-128": (3, 128)}[encrypt]
+        n = length // 8
+        o_entry = _std_compute_o(b"owner", r, n)
+        filekey = _std_file_key(o_entry, -1, id0, r, n)
+        u_entry = _std_compute_u(filekey, id0, r)
+        return {
+            "apply": lambda num, data: _rc4(
+                _object_key(filekey, num), data
+            ),
+            "body": (
+                f"<< /Filter /Standard /V {1 if r == 2 else 2} "
+                f"/R {r} /Length {length} /O <{o_entry.hex()}> "
+                f"/U <{u_entry.hex()}> /P -1 >>"
+            ),
+            "id": id0,
+        }
+    if encrypt == "aesv2":
+        o_entry = _std_compute_o(b"owner", 4, 16)
+        filekey = _std_file_key(o_entry, -1, id0, 4, 16)
+        u_entry = _std_compute_u(filekey, id0, 3)
+
+        def apply_v4(num: int, data: bytes) -> bytes:
+            iv = hashlib.md5(
+                b"fixture-iv" + num.to_bytes(4, "big")
+            ).digest()
+            return iv + _aes.cbc_encrypt(
+                _object_key(filekey, num, aes=True),
+                iv,
+                data,
+                pad=True,
+            )
+
+        return {
+            "apply": apply_v4,
+            "body": (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+                "/P -1 >>"
+            ),
+            "id": id0,
+        }
+    if encrypt in ("aesv3", "aesv3-r5"):
+        r = 6 if encrypt == "aesv3" else 5
+        filekey = bytes(range(32))
+        vsalt, ksalt = b"VALSALT!", b"KEYSALT!"
+        ovsalt, oksalt = b"OVALSLT!", b"OKEYSLT!"
+        if r == 6:
+            u_hash = _hash_2b(b"", vsalt, b"")
+            ikey = _hash_2b(b"", ksalt, b"")
+        else:
+            u_hash = hashlib.sha256(vsalt).digest()
+            ikey = hashlib.sha256(ksalt).digest()
+        u_entry = u_hash + vsalt + ksalt
+        ue = _aes.cbc_encrypt(ikey, b"\x00" * 16, filekey)
+        if r == 6:
+            o_hash = _hash_2b(b"owner", ovsalt, u_entry)
+            oikey = _hash_2b(b"owner", oksalt, u_entry)
+        else:
+            o_hash = hashlib.sha256(b"owner" + ovsalt).digest()
+            oikey = hashlib.sha256(b"owner" + oksalt).digest()
+        o_entry = o_hash + ovsalt + oksalt
+        oe = _aes.cbc_encrypt(oikey, b"\x00" * 16, filekey)
+        # Algorithm 10: P-le4, ffffffff, 'T' (metadata encrypted),
+        # 'adb', 4 writer bytes
+        perms = _aes.ecb_encrypt(
+            filekey,
+            (0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff"
+            + b"T"
+            + b"adb"
+            + b"fixt",
+        )
+
+        def apply_v5(num: int, data: bytes) -> bytes:
+            iv = hashlib.md5(
+                b"fixture-iv" + num.to_bytes(4, "big")
+            ).digest()
+            return iv + _aes.cbc_encrypt(filekey, iv, data, pad=True)
+
+        return {
+            "apply": apply_v5,
+            "body": (
+                f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
+                "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                "/StmF /StdCF /StrF /StdCF "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+                f"/OE <{oe.hex()}> /UE <{ue.hex()}> "
+                f"/Perms <{perms.hex()}> /P -1 >>"
+            ),
+            "id": id0,
+        }
+    raise ValueError(f"encode_pdf: encrypt {encrypt!r}")
+
+
 def encode_pdf(
     pages: list[list[str]],
     title: str | None = None,
@@ -1107,18 +1337,7 @@ def encode_pdf(
     if encrypt is not None:
         # standard-security fixture: owner password "owner", EMPTY
         # user password (the owner-locked-but-readable crawl case)
-        try:
-            r, length = {"rc4-40": (2, 40), "rc4-128": (3, 128)}[
-                encrypt
-            ]
-        except KeyError:
-            raise ValueError(f"encode_pdf: encrypt {encrypt!r}")
-        n = length // 8
-        id0 = bytes(range(16))
-        o_entry = _std_compute_o(b"owner", r, n)
-        filekey = _std_file_key(o_entry, -1, id0, r, n)
-        u_entry = _std_compute_u(filekey, id0, r)
-        enc = (r, length, o_entry, u_entry, filekey, id0)
+        enc = _encrypt_fixture(encrypt)
     objs: list[bytes] = []  # 1-indexed
     n_pages = len(pages)
     # 1: catalog, 2: pages, 3..: page+content pairs, then info
@@ -1146,9 +1365,7 @@ def encode_pdf(
             stream = content
             flt = ""
         if enc is not None:
-            stream = _rc4(
-                _object_key(enc[4], 4 + 2 * i), stream
-            )
+            stream = enc["apply"](4 + 2 * i, stream)
         sdict = f"<< /Length {len(stream)}{flt} >>"
         resources = (
             f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
@@ -1202,7 +1419,7 @@ def encode_pdf(
             ]
         ).encode("latin-1")
         if enc is not None:
-            cmap_src = _rc4(_object_key(enc[4], font_num + 2), cmap_src)
+            cmap_src = enc["apply"](font_num + 2, cmap_src)
         objs.append(
             f"<< /Length {len(cmap_src)} >>".encode()
             + b"\nstream\n"
@@ -1212,23 +1429,14 @@ def encode_pdf(
     info_num = len(objs) + 1
     if title is not None:
         if enc is not None:
-            tb = _rc4(
-                _object_key(enc[4], info_num),
-                title.encode("latin-1"),
-            )
+            tb = enc["apply"](info_num, title.encode("latin-1"))
             objs.append(f"<< /Title <{tb.hex()}> >>".encode())
         else:
             objs.append(f"<< /Title ({esc(title)}) >>".encode())
     enc_num = None
     if enc is not None:
-        r, length, o_entry, u_entry, _, _ = enc
         enc_num = len(objs) + 1
-        body = (
-            f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
-            f"/Length {length} /O <{o_entry.hex()}> "
-            f"/U <{u_entry.hex()}> /P -1 >>"
-        )
-        objs.append(body.encode())
+        objs.append(enc["body"].encode())
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -1243,7 +1451,7 @@ def encode_pdf(
     if title is not None:
         trailer += f" /Info {info_num} 0 R"
     if enc is not None:
-        h0 = enc[5].hex()
+        h0 = enc["id"].hex()
         trailer += f" /Encrypt {enc_num} 0 R /ID [<{h0}> <{h0}>]"
     trailer += " >>"
     out += (
