@@ -11,9 +11,11 @@ JPEGTables abbreviation) strips of 8-bit grayscale, RGB,
 PALETTE-indexed (photometric 3 + 16-bit ColorMap, r11), or
 PLANAR-configuration-2 RGB (r11 — per-channel strip groups)
 samples, with the horizontal-differencing Predictor (tag 317 = 2)
-that real photographic LZW TIFFs pair with it. Old-style JPEG
-(compression 6), 16-bit samples, and CCITT fax stay named
-NotImplementedError gaps for a registered codec library.
+that real photographic LZW TIFFs pair with it. CCITT fax bilevel
+strips (Compression 2/3/4 — the archive-scan default) decode
+through operators/ccitt (r11 late, JDK-cross-validated T.4/T.6
+codes). Old-style JPEG (compression 6) and 16-bit samples stay
+named NotImplementedError gaps for a registered codec library.
 
 * ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
   ``MM\\0*``), first IFD walk, baseline tag set (width/length/
@@ -57,6 +59,8 @@ _SAMPLES = 277
 _ROWS_PER_STRIP = 278
 _STRIP_COUNTS = 279
 _PLANAR = 284
+_T4OPTIONS = 292
+_T6OPTIONS = 293
 _PREDICTOR = 317
 _COLORMAP = 320
 _JPEGTABLES = 347
@@ -323,24 +327,31 @@ def decode_tiff(payload: bytes) -> dict:
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError(f"tiff: unreasonable canvas {width}x{height}")
     compression = scalar(_COMPRESSION, 1, "Compression")
-    if compression not in (1, 5, 7, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"tiff: compression {compression} (none/LZW/JPEG/Deflate/"
-            "PackBits only; register a codec for CCITT fax / old-style "
-            "compression-6 JPEG)"
+            f"tiff: compression {compression} (none/CCITT/LZW/JPEG/"
+            "Deflate/PackBits only; old-style compression-6 JPEG "
+            "stays the named gap)"
         )
+    ccitt = compression in (2, 3, 4)
     predictor = scalar(_PREDICTOR, 1, "Predictor")
-    if predictor not in (1, 2):
+    if predictor not in (1, 2) or (ccitt and predictor != 1):
         raise NotImplementedError(
-            f"tiff: predictor {predictor} (none/horizontal only)"
+            f"tiff: predictor {predictor} (none/horizontal only, "
+            "none with CCITT)"
         )
     photometric = scalar(_PHOTOMETRIC, 1, "Photometric")
-    allowed = (0, 1, 2, 3, 6) if compression == 7 else (0, 1, 2, 3)
+    if ccitt:
+        allowed = (0, 1)
+    elif compression == 7:
+        allowed = (0, 1, 2, 3, 6)
+    else:
+        allowed = (0, 1, 2, 3)
     if photometric not in allowed:
         raise NotImplementedError(
             f"tiff: photometric {photometric} (gray/RGB/palette, plus "
             "YCbCr only inside new-style JPEG strips where the JPEG "
-            "decoder performs the conversion)"
+            "decoder performs the conversion; bilevel for CCITT)"
         )
     palette = None
     if photometric == 3:
@@ -363,9 +374,15 @@ def decode_tiff(payload: bytes) -> dict:
             f"tiff: {spp} samples/pixel with photometric {photometric} "
             "(extra/alpha samples unsupported)"
         )
-    bits = tags.get(_BITS, [8])
-    if not bits or any(not isinstance(b, int) or b != 8 for b in bits):
-        raise NotImplementedError(f"tiff: bits per sample {bits} (8 only)")
+    bits = tags.get(_BITS, [1] if ccitt else [8])
+    want_bits = 1 if ccitt else 8
+    if not bits or any(
+        not isinstance(b, int) or b != want_bits for b in bits
+    ):
+        raise NotImplementedError(
+            f"tiff: bits per sample {bits} ({want_bits} only for "
+            f"compression {compression})"
+        )
     planar = scalar(_PLANAR, 1, "PlanarConfig")
     if planar not in (1, 2):
         raise ValueError(f"tiff: planar configuration {planar}")
@@ -441,6 +458,55 @@ def decode_tiff(payload: bytes) -> dict:
             "height": height,
             "pixels": px,
         }
+    if ccitt:
+        # CCITT fax (r11 late): Compression 2 = Modified Huffman,
+        # 3 = T.4 Group 3 (1D, or 2D when T4Options bit 0 is set),
+        # 4 = T.6 Group 4 MMR. Each strip codes its rows
+        # independently (the T.6 reference line resets per strip).
+        from . import ccitt as _ccitt
+
+        t4opts = scalar(_T4OPTIONS, 0, "T4Options")
+        t6opts = scalar(_T6OPTIONS, 0, "T6Options")
+        if (compression == 3 and t4opts & 2) or (
+            compression == 4 and t6opts & 2
+        ):
+            raise NotImplementedError(
+                "tiff: CCITT uncompressed-mode option"
+            )
+        parts = []
+        remaining_rows = height
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(payload):
+                raise ValueError("tiff: strip out of bounds")
+            n_rows = min(rows_per_strip, remaining_rows)
+            strip = payload[off : off + cnt]
+            if compression == 2:
+                fax = _ccitt.decode_mh(strip, width, n_rows)
+            elif compression == 3:
+                fax = _ccitt.decode_g3(
+                    strip, width, n_rows, two_d=bool(t4opts & 1)
+                )
+            else:
+                fax = _ccitt.decode_g4(strip, width, n_rows)
+            parts.append(fax)
+            remaining_rows -= n_rows
+        if remaining_rows != 0:
+            raise ValueError(
+                "tiff: strips cover fewer rows than ImageLength"
+            )
+        fax = np.concatenate(parts, axis=0)
+        # fax bits are 0 = white, 1 = black regardless of
+        # photometric (the photometric tag only changes how the
+        # SAMPLE values are stored); emit the package-wide
+        # MinIsBlack display convention directly: white = 255
+        px = ((1 - fax) * 255).astype(np.uint8)
+        return {
+            "format": "tiff",
+            "width": width,
+            "height": height,
+            "pixels": px,
+        }
+
     def decode_strip(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(payload):
             raise ValueError("tiff: strip out of bounds")
@@ -604,6 +670,7 @@ def encode_tiff(
     palette: np.ndarray | None = None,
     jpeg_strips: bool = False,
     planar2: bool = False,
+    ccitt: str | None = None,
 ) -> bytes:
     """Write a real baseline TIFF: 8-bit gray ((h, w) input), RGB
     ((h, w, 3)), or PALETTE-indexed ((h, w) indices + a (256, 3)
@@ -618,10 +685,18 @@ def encode_tiff(
     shared DQT/DHT hoisted into the JPEGTables tag (the abbreviated-
     stream form real writers emit); lossy within the in-repo codec's
     derived round-trip bound."""
-    if sum((packbits, lzw, deflate, jpeg_strips)) > 1:
+    if sum((packbits, lzw, deflate, jpeg_strips, ccitt is not None)) > 1:
         raise ValueError(
-            "encode_tiff: packbits/lzw/deflate/jpeg_strips are "
+            "encode_tiff: packbits/lzw/deflate/jpeg_strips/ccitt are "
             "exclusive"
+        )
+    if ccitt is not None and ccitt not in ("mh", "g3", "g4"):
+        raise ValueError(f"encode_tiff: ccitt form {ccitt!r}")
+    if ccitt is not None and (
+        palette is not None or planar2 or predictor != 1
+    ):
+        raise ValueError(
+            "encode_tiff: ccitt excludes palette/planar2/predictor"
         )
     if jpeg_strips and (palette is not None or predictor != 1):
         raise ValueError(
@@ -677,6 +752,23 @@ def encode_tiff(
                 # optimal tables — keep them in-strip (legal: local
                 # tables override JPEGTables), never mis-decode
                 strips.append(stream)
+    elif ccitt is not None:
+        # bilevel fax strips (r11 late): input is display gray
+        # (white = 255); values below 128 become black fax bits.
+        # Written as photometric 0 with BitsPerSample 1 — the
+        # archive-scanner default layout.
+        from . import ccitt as _ccitt
+
+        if spp != 1:
+            raise ValueError("encode_tiff: ccitt needs (h, w) gray")
+        fax = (px < 128).astype(np.uint8)
+        enc = {
+            "mh": _ccitt.encode_mh,
+            "g3": _ccitt.encode_g3_1d,
+            "g4": _ccitt.encode_g4,
+        }[ccitt]
+        for top in range(0, height, rps):
+            strips.append(enc(fax[top : top + min(rps, height - top)]))
     else:
 
         def pack_chunk(chunk: bytes, n_rows: int, rb: int) -> bytes:
@@ -720,30 +812,31 @@ def encode_tiff(
         # finding)
         return 3 if v <= 0xFFFF else 4
 
+    comp_tag = (
+        32773
+        if packbits
+        else 5
+        if lzw
+        else 8
+        if deflate
+        else 7
+        if jpeg_strips
+        else {"mh": 2, "g3": 3, "g4": 4}[ccitt]
+        if ccitt is not None
+        else 1
+    )
     entries = [
         (_WIDTH, dim_type(width), [width]),
         (_LENGTH, dim_type(height), [height]),
-        (_BITS, 3, [8] * spp),
-        (
-            _COMPRESSION,
-            3,
-            [
-                32773
-                if packbits
-                else 5
-                if lzw
-                else 8
-                if deflate
-                else 7
-                if jpeg_strips
-                else 1
-            ],
-        ),
+        (_BITS, 3, [1] if ccitt is not None else [8] * spp),
+        (_COMPRESSION, 3, [comp_tag]),
         (
             _PHOTOMETRIC,
             3,
             [
-                3
+                0
+                if ccitt is not None
+                else 3
                 if palette is not None
                 else 6
                 if jpeg_strips and spp == 3
@@ -760,6 +853,10 @@ def encode_tiff(
     ]
     if predictor == 2:
         entries.append((_PREDICTOR, 3, [2]))
+    if ccitt == "g3":
+        entries.append((_T4OPTIONS, 4, [0]))  # 1D, no fill
+    elif ccitt == "g4":
+        entries.append((_T6OPTIONS, 4, [0]))
     if palette is not None:
         cm = (palette.T.astype(np.uint32) * 257).reshape(-1)
         entries.append((_COLORMAP, 3, [int(v) for v in cm]))

@@ -35,9 +35,16 @@ dsir       DSIR importance resampling at 64x: 320k raw docs, a 20k
            Python (features, floor-milli ratios, integer weight sum),
            and the Gumbel-top-k draw is reproducible.
 
-Usage: python tools/stress_round11.py [bm25hot|anchorsc|dsir]
+ccittfax   CCITT fax decode envelope: 2,000 scan-shaped 1728x512
+           bilevel pages rotating MH/G3/G4 x sparse-text and
+           dense-noise content classes through media_features; the
+           r9 codec probes' bit-exact driver-vs-worker invariant,
+           reported in decoded megapixels/s (the honest fax rate).
+
+Usage: python tools/stress_round11.py [bm25hot|anchorsc|dsir|ccittfax]
 Env: STRESS_BM25_N (default 320000), STRESS_ANCHORSC_N (default
-200000), STRESS_DSIR_N (default 320000).
+200000), STRESS_DSIR_N (default 320000), STRESS_CCITT_N (default
+2000).
 """
 
 from __future__ import annotations
@@ -260,8 +267,86 @@ def probe_dsir(spark) -> None:
     )
 
 
+def probe_ccittfax(spark) -> None:
+    """CCITT fax decode envelope (r11 late): 2,000 scan-shaped
+    1728x512 bilevel pages through media_features, rotating
+    Compression 2 (MH) / 3 (G3 1D) / 4 (G4 MMR) and two content
+    classes — sparse text-like marks (the archive-scan common case)
+    and dense random noise (runs of ~1-2, the run-coding worst
+    case). Same driver-vs-worker bit-exact invariant as the r9
+    codec probes. The HONEST rate for fax is decoded megapixels/s,
+    not payload MB/s (the payload is ~1000x smaller than the
+    raster — that is the point of the format)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import stress_round9 as r9
+
+    from timeseries_data_provider_spark.operators import (
+        multimodal,
+        tiff,
+    )
+
+    n = int(os.environ.get("STRESS_CCITT_N", "2000"))
+    h, w = 512, 1728
+    forms = ["mh", "g3", "g4"]
+    payloads = []
+    for c in range(r9.N_CLASSES):
+        rng = np.random.RandomState(7000 + c)
+        if c % 5 < 4:  # sparse text-like marks
+            img = np.full((h, w), 255, np.uint8)
+            for _ in range(300):
+                y = rng.randint(0, h)
+                x0 = rng.randint(0, w - 60)
+                img[y, x0 : x0 + rng.randint(5, 60)] = 0
+        else:  # dense noise: the run-coding worst case
+            img = np.where(rng.rand(h, w) < 0.5, 0, 255).astype(
+                np.uint8
+            )
+        payloads.append(
+            tiff.encode_tiff(
+                w,
+                h,
+                img,
+                ccitt=forms[c % 3],
+                big_endian=(c % 2 == 1),
+                rows_per_strip=128,
+            )
+        )
+    tiff.register()
+    expect = {}
+    for c, p in enumerate(payloads):
+        img = multimodal.decode_image(p)
+        px = img["pixels"]
+        expect[c] = (1000 * int(px.sum(dtype=np.int64))) // px.size
+    media = r9._replicated_media(spark, payloads, "ccittfax", n)
+    t0 = time.perf_counter()
+    rows = multimodal.media_features(
+        media, codec_setup=tiff.register
+    ).collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == n, len(rows)
+    bad = [
+        r
+        for r in rows
+        if r["feat_milli"] != expect[r["doc_id"] % r9.N_CLASSES]
+        or (r["width"], r["height"]) != (w, h)
+    ]
+    assert not bad, bad[:3]
+    total_bytes = sum(len(p) for p in payloads) * (n // r9.N_CLASSES)
+    _emit(
+        "ccittfax",
+        n_pages=n,
+        page=f"{w}x{h}",
+        payload_mb=round(total_bytes / 1e6, 1),
+        secs=round(dt, 2),
+        megapixels_per_sec=round(n * w * h / 1e6 / dt, 1),
+        pages_per_sec=round(n / dt, 1),
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["bm25hot", "anchorsc", "dsir"]
+    which = sys.argv[1:] or ["bm25hot", "anchorsc", "dsir", "ccittfax"]
     spark = get_spark("tdps-stress-r11")
     for name in which:
         globals()[f"probe_{name}"](spark)
