@@ -322,3 +322,231 @@ def test_registry_dispatch():
     blob = tiff.encode_tiff(32, 8, img, ccitt="g4")
     d = multimodal.decode_image(blob)
     assert d["format"] == "tiff" and (d["pixels"] == img).all()
+
+
+# -- 16-bit samples (r11 late, same cross-validation posture) -----------
+# JDK-ImageIO-encoded 16-bit gray Deflate TIFF of the pattern
+# v(x, y) = (x*733 + y*12007) % 65536; the decoder downconverts to
+# the package-wide 8-bit contract via >>8 (the exact inverse of the
+# v*257 upscale convention). Reverse direction (JDK digest-equal on
+# this encoder's none/Deflate/big-endian files) verified at build
+# time; the JDK itself cannot read 16-bit Predictor-2 files (a JDK
+# limitation, not a spec one), so that combination rides the
+# round-trip matrix below instead.
+_JDK16_DEFLATE = (
+    "TU0AKgAAAAgADQEAAAMAAAABAFoAAAEBAAMAAAABACgAAAECAAMAAAABABAAAAEDAAMAAAAB"
+    "gLIAAAEGAAMAAAABAAEAAAERAAQAAAABAAAAvAEVAAMAAAABAAEAAAEWAAMAAAABACgAAAEX"
+    "AAQAAAABAAAcKwEaAAUAAAABAAAArAEbAAUAAAABAAAAtAEoAAMAAAABAAEAAAFTAAMAAAAB"
+    "AAEAAAAAAAAAAAAAAAEAAAABAAAAAQAAAAF42gEgHN/jAAAC3QW6CJcLdA5RES4UCxboGcUc"
+    "oh9/IlwlOSgWKvMt0DCtM4o2ZzlEPCE+/kHbRLhHlUpyTU9QLFMJVeZYw1ugXn1hWmQ3ZxRp"
+    "8WzOb6tyiHVleEJ7H338gNmDtoaTiXCMTY8qkgeU5JfBmp6de6BYozWmEqjvq8yuqbGGtGO3"
+    "QLodvPq/18K0xZHIbstLzijRBdPi1r/ZnNx531biM+UQ5+3qyu2n8ITzYfY++Rv7+P7VLucx"
+    "xDShN346Wz04QBVC8kXPSKxLiU5mUUNUIFb9Wdpct1+UYnFlTmgrawht5XDCc592fHlZfDZ/"
+    "E4HwhM2HqoqHjWSQQZMelfuY2Ju1npKhb6RMpymqBqzjr8CynbV6uFe7NL4RwO7Dy8aoyYXM"
+    "Ys8/0hzU+dfW2rPdkOBt40rmJ+kE6+HuvvGb9Hj3Vfoy/Q//7ALJBaYIgwtgDj0RGhP3FtQZ"
+    "sRyOH2siSCUlKAIq3y28Xc5gq2OIZmVpQmwfbvxx2XS2d5N6cH1NgCqDB4XkiMGLno57kViU"
+    "NZcSme+czJ+pooalY6hAqx2t+rDXs7S2kbluvEu/KMIFxOLHv8qczXnQVtMz1hDY7dvK3qfh"
+    "hORh5z7qG+z479XysvWP+Gz7Sf4mAQMD4Aa9CZoMdw9UEjEVDhfrGsgdpSCCI18mPCkZK/Yu"
+    "0zGwNI03ajpHPSRAAULeRbtImEt1TlJRL1QMVulZxlyjjLWPkpJvlUyYKZsGneOgwKOdpnqp"
+    "V6w0rxGx7rTLt6i6hb1iwD/DHMX5yNbLs86Q0W3UStcn2gTc4d++4pvleOhV6zLuD/Ds88n2"
+    "pvmD/GD/PQIaBPcH1AqxDY4QaxNIFiUZAhvfHrwhmSR2J1MqMC0NL+oyxzWkOIE7Xj47QRhD"
+    "9UbSSa9MjE9pUkZVI1gAWt1dumCXY3RmUWkubAtu6HHFdKJ3f3pcfTmAFoLzhdCIrYuKu5y+"
+    "ecFWxDPHEMntzMrPp9KE1WHYPtsb3fjg1eOy5o/pbOxJ7ybyA/Tg9736mv13AFQDMQYOCOsL"
+    "yA6lEYIUXxc8Ghkc9h/TIrAljShqK0cuJDEBM942uzmYPHU/UkIvRQxH6UrGTaNQgFNdVjpZ"
+    "F1v0XtFhrmSLZ2hqRW0ib/9y3HW5eJZ7c35QgS2ECobnicSMoY9+kluVOJgVmvKdz6Cso4mm"
+    "ZqlDrCCu/bHatLe3lLpx6oPtYPA98xr19/jU+7H+jgFrBEgHJQoCDN8PvBKZFXYYUxswHg0g"
+    "6iPHJqQpgSxeLzsyGDT1N9I6rz2MQGlDRkYjSQBL3U66UZdUdFdRWi5dC1/oYsVlomh/a1xu"
+    "OXEWc/N20HmtfIp/Z4JEhSGH/orbjbiQlZNylk+ZLJwJnuahw6Sgp32qWq03sBSy8bXOuKu7"
+    "iL5lwULEH8b8ydnMts+T0nDVTdgq2wfd5ODB457me+lYGWocRx8kIgEk3ie7KpgtdTBSMy82"
+    "DDjpO8Y+o0GARF1HOkoXTPRP0VKuVYtYaFtFXiJg/2PcZrlplmxzb1ByLXUKd+d6xH2hgH6D"
+    "W4Y4iRWL8o7PkayUiZdmmkOdIJ/9otqlt6iUq3GuTrErtAi25bnCvJ+/fMJZxTbIE8rwzc3Q"
+    "qtOH1mTZQdwe3vvh2OS155Lqb+1M8CnzBvXj+MD7nf56AVcENAcRCe4Myw+oEoUVYhg/SFFL"
+    "Lk4LUOhTxVaiWX9cXF85YhZk82fQaq1tinBnc0R2IXj+e9t+uIGVhHKHT4osjQmP5pLDlaCY"
+    "fZtanjehFKPxps6pq6yIr2WyQrUft/y62b22wJPDcMZNySrMB87k0cHUntd72ljdNeAS4u/l"
+    "zOip64buY/FA9B32+vnX/LT/kQJuBUsIKAsFDeIQvxOcFnkZVhwzHxAh7STKJ6cqhC1hMD4z"
+    "GzX4ONU7sj6PQWxESUcmdzh6FXzyf8+CrIWJiGaLQ44gkP2T2pa3mZSccZ9OoiulCKflqsKt"
+    "n7B8s1m2NrkTu/C+zcGqxIfHZMpBzR7P+9LY1bXYkttv3kzhKeQG5uPpwOyd73ryV/U0+BH6"
+    "7v3LAKgDhQZiCT8MHA75EdYUsxeQGm0dSiAnIwQl4Si+K5sueDFVNDI3DznsPMk/pkKDRWBI"
+    "PUsaTfdQ1FOxVo5Za1xIXyViAmTfZ7xqmW12cFNzMHYNph+o/KvZrraxk7Rwt026Kr0Hv+TC"
+    "wcWeyHvLWM410RLT79bM2ancht9j4kDlHef66tfttPCR8272S/ko/AX+4gG/BJwHeQpWDTMQ"
+    "EBLtFcoYpxuEHmEhPiQbJvgp1SyyL48ybDVJOCY7Az3gQL1DmkZ3SVRMMU8OUetUyFelWoJd"
+    "X2A8Yxll9mjTa7BujXFqdEd3JHoBfN5/u4KYhXWIUosvjgyQ6ZPGlqOZgJxdnzqiF6T01QbX"
+    "49rA3Z3geuNX5jTpEevu7svxqPSF92L6P/0c//kC1gWzCJALbQ5KEScUBBbhGb4cmx94IlUl"
+    "MigPKuwtyTCmM4M2YDk9PBo+90HURLFHjkprTUhQJVMCVd9YvFuZXnZhU2QwZw1p6mzHb6Ry"
+    "gXVeeDt7GH31gNKDr4aMiWmMRo8jkgCU3Ze6mpeddKBRoy6mC6joq8WuorF/tFy3OboWvPO/"
+    "0MKtxYrIZ8tEziHQ/tPbA+0GygmnDIQPYRI+FRsX+BrVHbIgjyNsJkkpJiwDLuAxvTSaN3c6"
+    "VD0xQA5C60XISKVLgk5fUTxUGVb2WdNcsF+NYmplR2gkawFt3nC7c5h2dXlSfC9/DIHphMaH"
+    "o4qAjV2QOpMXlfSY0ZuunouhaKRFpyKp/6zcr7mylrVzuFC7Lb4KwOfDxMahyX7MW8840hXU"
+    "8tfP2qzdieBm40PmIOj969rut/GU9HH3Tvor/Qj/5QLCMtQ1sTiOO2s+SEElRAJG30m8TJlP"
+    "dlJTVTBYDVrqXcdgpGOBZl5pO2wYbvVx0nSvd4x6aX1GgCODAIXdiLqLl450kVGULpcLmeic"
+    "xZ+ion+lXKg5qxat87DQs622irlnvES/IcH+xNvHuMqVzXLQT9Ms1gnY5tvD3qDhfeRa5zfq"
+    "FOzx787yq/WI+GX7Qv4fAPwD2Qa2CZMMcA9NEioVBxfkGsEdniB7I1gmNSkSK+8uzDGpYbtk"
+    "mGd1alJtL3AMcul1xnije4B+XYE6hBeG9InRjK6Pi5JolUWYIpr/ndyguaOWpnOpUKwtrwqx"
+    "57TEt6G6fr1bwDjDFcXyyM/LrM6J0WbUQ9cg2f3c2t+34pTlcehO6yvuCPDl88L2n/l8/Fn/"
+    "NgITBPAHzQqqDYcQZBNBFh4Y+xvYHrUhkiRvJ0wqKS0GL+MywDWdOHo7Vz40QRFD7kbLSahM"
+    "hU9iUj9VHFf5WtZds2CQkKKTf5ZcmTmcFp7zodCkraeKqmetRLAhsv6127i4u5W+csFPxCzH"
+    "CcnmzMPPoNJ91VrYN9sU3fHgzuOr5ojpZexC7x/x/PTZ97b6k/1wAE0DKgYHCOQLwQ6eEXsU"
+    "WBc1GhIc7x/MIqklhihjK0AuHTD6M9c2tDmRPG4/S0IoRQVH4kq/TZxQeVNWVjNZEFvtXsph"
+    "p2SEZ2FqPm0bb/hy1XWyeI97bH5JgSaEA4bgib2Mmo93v4nCZsVDyCDK/c3a0LfTlNZx2U7c"
+    "K98I4eXkwuef6nztWfA28xP18PjN+6r+hwFkBEEHHgn7DNgPtRKSFW8YTBspHgYg4yPAJp0p"
+    "eixXLzQyETTuN8s6qD2FQGJDP0YcSPlL1k6zUZBUbVdKWiddBF/hYr5lm2h4a1VuMnEPc+x2"
+    "yXmmfIN/YII9hRqH94rUjbGQjpNrlkiZJZwCnt+hvKSZp3aqU60wsA2y6rXHuKS7gb5e7nDx"
+    "TfQq9wf55PzB/54CewVYCDULEg3vEMwTqRaGGWMcQB8dIfok1ye0KpEtbjBLMyg2BTjiO78+"
+    "nEF5RFZHM0oQTO1PylKnVYRYYVs+Xhtg+GPVZrJpj2xsb0lyJnUDd+B6vX2agHeDVIYxiQ6L"
+    "647IkaWUgpdfmjydGZ/2otOlsKiNq2quR7EktAG23rm7vJi/dcJSxS/IDMrpzcbQo9OA1l3Z"
+    "OtwX3vTh0eSu54vqaO1FHVcgNCMRJe4oyyuoLoUxYjQ/Nxw5+TzWP7NCkEVtSEpLJ04EUOFT"
+    "vlabWXhcVV8yYg9k7GfJaqZtg3Bgcz12Gnj3e9R+sYGOhGuHSIoljQKP35K8lZmYdptTnjCh"
+    "DaPqpseppKyBr16yO7UYt/W60r2vwIzDacZGySPMAM7d0brUl9d02lHdLuAL4ujlxeii63/u"
+    "XPE59Bb28/nQ/K3/igJnBUQIIQr+DdsQuBOVFnIZTxwsTD5PG1H4VNVXslqPXWxgSWMmZgNo"
+    "4Gu9bppxd3RUdzF6Dnzrf8iCpYWCiF+LPI4ZkPaT05awmY2cap9HoiSlAafeqrutmLB1s1K2"
+    "L7kMu+m+xsGjxIDHXco6zRfP9NLR1a7Yi9to3kXhIuP/5tzpueyW73PyUPUt+Ar65/3EAKED"
+    "fgZbCTgMFQ7yEc8UrBeJGmYdQyAgIv0l2ii3K5QucTFONCs3CDnlPMI/n0J8RVlINksTeyV+"
+    "AoDfg7yGmYl2jFOPMJINlOqXx5qknYGgXqM7phio9avSrq+xjLRpt0a6I70Av93CusWXyHTL"
+    "Uc4u0QvT6NbF2aLcf99c4jnlFufz6tDtrfCK82f2RPkh+/7+2wG4BJUHcgpPDSwQCRLmFcMY"
+    "oBt9HlohNyQUJvEpziyrL4gyZTVCOB86/D3ZQLZDk0ZwSU1MKk8HUeRUwVeeWntdWGA1YxJl"
+    "72jMa6luhnFjdEB3HXn6qgys6a/GsqO1gLhduzq+F8D0w9HGrsmLzGjPRdIi1P/X3Nq53Zbg"
+    "c+NQ5i3pCuvn7sTxofR+91v6OP0V//ICzwWsCIkLZg5DESAT/RbaGbcclB9xIk4lKygIKuUt"
+    "wjCfM3w2WTk2PBM+8EHNRKpHh0pkTUFQHlL7VdhYtVuSXm9hTGQpZwZp42zAb51yenVXeDR7"
+    "EX3ugMuDqIaFiWKMP48ckfmU1pezmpCdbaBKoyemBKjh2PPb0N6t4YrkZ+dE6iHs/u/b8rj1"
+    "lfhy+0/+LAEJA+YGwwmgDH0PWhI3FRQX8RrOHasgiCNlJkIpHyv8LtkxtjSTN3A6TT0qQAdC"
+    "5EXBSJ5Le05YUTVUElbvWcxcqV+GYmNlQGgdavpt13C0c5F2bnlLfCh/BYHihL+HnIp5jVaQ"
+    "M5MQle2YypunnoShYaQ+pxup+KzVr7Kyj7VsuEm7Jr4DwODDvcaayXfMVM8x0g7U69fIB9oK"
+    "tw2UEHETThYrGQgb5R7CIZ8kfCdZKjYtEy/wMs01qjiHO2Q+QUEeQ/tG2Em1TJJPb1JMVSlY"
+    "BlrjXcBgnWN6ZldpNGwRbu5xy3Sod4V6Yn0/gByC+YXWiLOLkI5tkUqUJ5cEmeGcvp+bonil"
+    "Vagyqw+t7LDJs6a2g7lgvD2/GsH3xNTHscqOzWvQSNMl1gLY39u83pnhduRT5zDqDezq78fy"
+    "pPWB+F77O/4YAPUD0gavNsE5njx7P1hCNUUSR+9KzE2pUIZTY1ZAWR1b+l7XYbRkkWduaktt"
+    "KHAFcuJ1v3ice3l+VoEzhBCG7YnKjKePhJJhlT6YG5r4ndWgsqOPpmypSawmrwOx4LS9t5q6"
+    "d71UwDHDDsXryMjLpc6C0V/UPNcZ2fbc09+w4o3lauhH6yTuAfDe87v2mPl1/FL/LwIMBOkH"
+    "xgqjDYAQXRM6FhcY9BvRHq4hiyRoJ0UqIiz/L9wyuTWWZahohWtibj9xHHP5dtZ5s3yQf22C"
+    "SoUniASK4Y2+kJuTeJZVmTKcD57socmkpqeDqmCtPbAasve11Lixu46+a8FIxCXHAsnfzLzP"
+    "mdJ21VPYMNsN3ergx+Ok5oHpXuw77xjx9fTS96/6jP1pAEYDIwYACN0Lug6XEXQUURcuGgsc"
+    "6B/FIqIlfyhcKzkuFjDzM9A2rTmKPGc/REIhRP5H20q4TZVQclNPVixZCVvmXsNhoGR9lI+X"
+    "bJpJnSagA6Lgpb2omqt3rlSxMbQOtuu5yLylv4LCX8U8yBnK9s3T0LDTjdZq2UfcJN8B4d7k"
+    "u+eY6nXtUvAv8wz16fjG+6P+gAFdBDoHFwn0DNEPrhKLFWgYRRsiHf8g3CO5JpYpcyxQLy0y"
+    "CjTnN8Q6oT1+QFtDOEYVSPJLz06sUYlUZldDWiBc/V/aYrdllGhxa05uK3EIc+V2wnmffHx/"
+    "WYI2hROH8IrNjaqQh5Nkw3bGU8kwzA3O6tHH1KTXgdpe3TvgGOL15dLor+uM7mnxRvQj9wD5"
+    "3fy6/5cCdAVRCC4LCw3oEMUTohZ/GVwcOR8WIfMk0CetKootZzBEMyE1/jjbO7g+lUFyRE9H"
+    "LEoJTOZPw1KgVX1YWls3XhRg8WPOZqtpiGxlb0JyH3T8d9l6tn2TgHCDTYYqiQeL5I7BkZ6U"
+    "e5dYmjWdEp/vosylqaiGq2OuQLEds/q217m0vJG/bsJL8l31OvgX+vT90QCuA4sGaAlFDCIO"
+    "/xHcFLkXlhpzHVAgLSMKJecoxCuhLn4xWzQ4NxU58jzPP6xCiUVmSENLIE39UNpTt1aUWXFc"
+    "Tl8rYghk5WfCap9tfHBZczZ2E3jwe81+qoGHhGSHQYoejPuP2JK1lZKYb5tMnimhBqPjpsCp"
+    "nax6r1eyNLURt+66y72owIXDYsY/yRzL+c7W0bPUkNdt2krdJ+AE4uHlvuib63juVfEyIUQk"
+    "ISb+KdssuC+VMnI1TzgsOwk95kDDQ6BGfUlaTDdPFFHxVM5Xq1qIXWVgQmMfZfxo2Wu2bpNx"
+    "cHRNdyp6B3zkf8GCnoV7iFiLNY4SkO+TzJapmYacY59Aoh2k+qfXqrStkbBus0u2KLkFu+K+"
+    "v8GcxHnHVsozzRDP7dLK1afYhNth3j7hG+P45tXpsuyP72zySfUm+AP64P29AJoDdwZUCTEM"
+    "Dg7rEcgUpReCGl8dPCAZUCtTCFXlWMJbn158YVlkNmcTafBszW+qcod1ZHhBex59+4DYg7WG"
+    "kolvjEyPKZIGlOOXwJqdnXqgV6M0phGo7qvLrqixhbRitz+6HLz5v9bCs8WQyG3LSs4n0QTT"
+    "4da+2ZvceN9V4jLlD+fs6sntpvCD82D2Pfka+/f+1AGxBI4HawpIDSUQAhLfFbwYmRt2HlMh"
+    "MCQNJuopxyykL4EyXjU7OBg69T3SQK9DjEZpSUZMI08AfxKB74TMh6mKho1jkECTHZX6mNeb"
+    "tJ6RoW6kS6coqgWs4q+/spy1ebhWuzO+EMDtw8rGp8mEzGHPPtIb1PjX1dqy3Y/gbONJ5ibp"
+    "A+vg7r3xmvR391T6Mf0O/+sCyAWlCIILXw48ERkT9hbTGbAcjR9qIkclJCgBKt4tuzCYM3U2"
+    "UjkvPAw+6UHGRKNHgEpdTTpQF1L0VdFYrluLXmhhRWQiZv9p3Gy5b5Zyc3VQeC17Cn3nrfmw"
+    "1rOztpC5bbxKvyfCBMThx77Km8140FXTMtYP2Ozbyd6m4YPkYOc96hrs9+/U8rH1jvhr+0j+"
+    "JQECA98GvAmZDHYPUxIwFQ0X6hrHHaQggSNeJjspGCv1LtIxrzSMN2k6Rj0jQABC3UW6SJdL"
+    "dE5RUS5UC1boWcVcol9/YlxlOWgWavNt0HCtc4p2Z3lEfCF+/oHbhLiHlYpyjU+QLJMJleaY"
+    "w5ugnn2hWqQ3pxSp8azO3ODfveKa5XfoVOsx7g7w6/PI9qX5gvxf/zwCGQT2B9MKsA2NEGoT"
+    "RxYkGQEb3h67IZgkdSdSKi8tDC/pMsY1oziAO10+OkEXQ/RG0UmuTItPaFJFVSJX/1rcXblg"
+    "lmNzZlBpLWwKbudxxHShd356W304gBWC8oXPiKyLiY5mkUOUIJb9mdqct5+UonGlTqgrqwit"
+    "5bDCs5+2fLlZvDa/E8HwxM3HqsqHzWTQQdMe1fvY2Nu1C8cOpBGBFF4XOxoYHPUf0iKvJYwo"
+    "aStGLiMxADPdNro5lzx0P1FCLkULR+hKxU2iUH9TXFY5WRZb817QYa1kimdnakRtIW/+ctt1"
+    "uHiVe3J+T4EshAmG5onDjKCPfZJalTeYFJrxnc6gq6OIpmWpQqwfrvyx2bS2t5O6cL1NwCrD"
+    "B8XkyMHLns570VjUNdcS2e/czN+p4oblY+hA6x3t+vDX87T2kflu/Ev/KAIFBOIHvwqcOq49"
+    "i0BoQ0VGIkj/S9xOuVGWVHNXUFotXQpf52LEZaFofmtbbjhxFXPyds95rHyJf2aCQ4Ugh/2K"
+    "2o23kJSTcZZOmSucCJ7locKkn6d8qlmtNrATsvC1zbiqu4e+ZMFBxB7G+8nYzLXPktJv1UzY"
+    "KdsG3ePgwOOd5nrpV+w07xHx7vTL96j6hf1iAD8DHAX5CNYLsw6QEW0UShcnGgQc4R++Ipsl"
+    "eChVKzIuDzDsM8k2pjmDaZVscm9Pcix1CXfmesN9oIB9g1qGN4kUi/GOzpGrlIiXZZpCnR+f"
+    "/KLZpbaok6twrk2xKrQHtuS5wbyev3vCWMU1yBLK783M0KnThtZj2UDcHd764dfktOeR6m7t"
+    "S/Ao8wX14vi/+5z+eQFWBDMHEAntDMoPpxKEFWEYPhsbHfgg1SOyJo8pbCxJLyYyAzTgN706"
+    "mj13QFRDMUYOSOtLyE6lUYJUX1c8Whlc9l/TYrBljWhqmHybWZ42oROj8KbNqaqsh69kskG1"
+    "Hrf7uti9tcCSw2/GTMkpzAbO49HA1J3XetpX3TTgEeLu5cvoqOuF7mLxP/Qc9vn51vyz/5AC"
+    "bQVKCCcLBA3hEL4TmxZ4GVUcMh8PIewkySemKoMtYDA9Mxo19zjUO7E+jkFrREhHJUoCTN9P"
+    "vFKZVXZYU1swXg1g6mPHZqRpgWxebztyGHT1d9J6r32MgGmDRoYjiQCL3Y66kZeUdJdRx2PK"
+    "QM0dz/rS19W02JHbbt5L4SjkBebi6b/snO958lb1M/gQ+u39ygCnA4QGYQk+DBsO+BHVFLIX"
+    "jxpsHUkgJiMDJeAovSuaLncxVDQxNw456zzIP6VCgkVfSDxLGU32UNNTsFaNWWpcR18kYgFk"
+    "3me7aphtdXBScy92DHjpe8Z+o4GAhF2HOooXjPSP0ZKulYuYaJtFniKg/6Pcprmplqxzr1Cy"
+    "LbUKt+e6xL2hwH7DW8Y49kr5J/wE/uEBvgSbB3gKVQ0yEA8S7BXJGKYbgx5gIT0kGib3KdQs"
+    "sS+OMms1SDglOwI930C8Q5lGdklTTDBPDVHqVMdXpFqBXV5gO2MYZfVo0muvboxxaXRGdyN6"
+    "AHzdf7qCl4V0iFGLLo4LkOiTxZaimX+cXJ85ohak86fQqq2tirBns0S2Ibj+u9u+uMGVxHLH"
+    "T8oszQnP5tLD1aDYfdta3jfhFOPx5s7pq+yI72XyQvUfJTEoDirrLcgwpTOCNl85PDwZPvZB"
+    "00SwR41Kak1HUCRTAVXeWLtbmF51YVJkL2cMaelsxm+jcoB1XXg6exd99IDRg66Gi4lojEWP"
+    "IpH/lNyXuZqWnXOgUKMtpgqo56vErqGxfrRbtzi6Fbzyv8/CrMWJyGbLQ84g0P3T2ta32ZTc"
+    "cd9O4ivlCOfl6sLtn/B881n2NvkT+/D+zQGqBIcHZApBDR4P+xLYFbUYkhtvHkwhKSQGrnIE"
+    "TA=="
+)
+
+
+def _pattern16() -> np.ndarray:
+    ys, xs = np.mgrid[0:40, 0:90]
+    return ((xs * 733 + ys * 12007) % 65536).astype(np.uint16)
+
+
+def test_jdk_golden_16bit_gray():
+    blob = base64.b64decode("".join(_JDK16_DEFLATE))
+    d = tiff.decode_tiff(blob)
+    assert (d["width"], d["height"]) == (90, 40)
+    assert (d["pixels"] == (_pattern16() >> 8).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("spp", [1, 3])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"lzw": True},
+        {"lzw": True, "predictor": 2},
+        {"deflate": True, "big_endian": True},
+        {"packbits": True, "rows_per_strip": 3},
+    ],
+)
+def test_16bit_roundtrip_matrix(spp, kw):
+    rng = np.random.default_rng(21)
+    shape = (13, 57) if spp == 1 else (13, 57, 3)
+    img = rng.integers(0, 65536, size=shape).astype(np.uint16)
+    blob = tiff.encode_tiff(57, 13, img, bits=16, **kw)
+    d = tiff.decode_tiff(blob)
+    assert (d["pixels"] == (img >> 8).astype(np.uint8)).all()
+
+
+def test_16bit_planar2_and_upscale_exactness():
+    rng = np.random.default_rng(22)
+    img8 = rng.integers(0, 256, size=(9, 31, 3)).astype(np.uint16)
+    # v*257 upscale then >>8 downconvert must be the identity
+    blob = tiff.encode_tiff(
+        31, 9, img8 * 257, bits=16, planar2=True, rows_per_strip=4
+    )
+    assert (
+        tiff.decode_tiff(blob)["pixels"] == img8.astype(np.uint8)
+    ).all()
+
+
+def test_16bit_minis_white_and_guards():
+    img = _pattern16()
+    blob = bytearray(tiff.encode_tiff(90, 40, img, bits=16))
+    at = bytes(blob).find((262).to_bytes(2, "little"))
+    blob[at + 8] = 0  # photometric MinIsWhite
+    assert (
+        tiff.decode_tiff(bytes(blob))["pixels"]
+        == 255 - (img >> 8).astype(np.uint8)
+    ).all()
+    with pytest.raises(ValueError, match="bits"):
+        tiff.encode_tiff(4, 4, np.zeros((4, 4), np.uint16), bits=12)
+    with pytest.raises(ValueError, match="16-bit"):
+        tiff.encode_tiff(
+            4, 4, np.zeros((4, 4), np.uint16), bits=16, ccitt="g4"
+        )
+
+
+def test_mixed_bits_per_sample_loud():
+    # hand-corrupt BitsPerSample to [8, 16, 8]: must raise, not
+    # misassemble strips
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 65536, size=(4, 6, 3)).astype(np.uint16)
+    blob = bytearray(tiff.encode_tiff(6, 4, img, bits=16))
+    at = bytes(blob).find((258).to_bytes(2, "little"))
+    assert at > 0
+    # BITS count=3 -> value is an offset to [16,16,16]; patch one
+    (off,) = __import__("struct").unpack_from("<I", bytes(blob), at + 8)
+    blob[off] = 8
+    blob[off + 1] = 0
+    with pytest.raises(NotImplementedError, match="bits per sample"):
+        tiff.decode_tiff(bytes(blob))

@@ -82,7 +82,7 @@ def test_named_gaps():
         tiff.decode_tiff(bytes(p))
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 258)
-    p[e + 8] = 16  # 16-bit samples
+    p[e + 8] = 4  # 4-bit samples (16-bit is supported since r11)
     with pytest.raises(NotImplementedError, match="bits per sample"):
         tiff.decode_tiff(bytes(p))
     p = bytearray(tiff.encode_tiff(2, 2, px))

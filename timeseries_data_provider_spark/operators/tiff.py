@@ -14,8 +14,13 @@ samples, with the horizontal-differencing Predictor (tag 317 = 2)
 that real photographic LZW TIFFs pair with it. CCITT fax bilevel
 strips (Compression 2/3/4 — the archive-scan default) decode
 through operators/ccitt (r11 late, JDK-cross-validated T.4/T.6
-codes). Old-style JPEG (compression 6) and 16-bit samples stay
-named NotImplementedError gaps for a registered codec library.
+codes). 16-BIT samples (r11 late, also JDK-cross-validated both
+directions) decode in their native byte order — predictor
+inversion runs on the 16-bit values — then downconvert >>8 to the
+package-wide 8-bit codec contract (the exact inverse of the v*257
+upscale; this is a dedup/feature tier, not an editor). Old-style
+JPEG (compression 6) and 16-bit palette indices stay named
+NotImplementedError gaps for a registered codec library.
 
 * ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
   ``MM\\0*``), first IFD walk, baseline tag set (width/length/
@@ -375,13 +380,27 @@ def decode_tiff(payload: bytes) -> dict:
             "(extra/alpha samples unsupported)"
         )
     bits = tags.get(_BITS, [1] if ccitt else [8])
-    want_bits = 1 if ccitt else 8
-    if not bits or any(
-        not isinstance(b, int) or b != want_bits for b in bits
+    if ccitt:
+        want = ([1],)
+    elif compression == 7:
+        want = ([8],)  # JPEG strips: the baseline codec is 8-bit
+    else:
+        want = ([8], [16])
+    if (
+        not bits
+        or any(not isinstance(b, int) for b in bits)
+        or [bits[0]] not in want
+        or any(b != bits[0] for b in bits)
     ):
         raise NotImplementedError(
-            f"tiff: bits per sample {bits} ({want_bits} only for "
+            f"tiff: bits per sample {bits} "
+            f"({'/'.join(str(w[0]) for w in want)} only for "
             f"compression {compression})"
+        )
+    bits16 = bits[0] == 16
+    if bits16 and photometric == 3:
+        raise NotImplementedError(
+            "tiff: 16-bit palette indices (8-bit ColorMap tier only)"
         )
     planar = scalar(_PLANAR, 1, "PlanarConfig")
     if planar not in (1, 2):
@@ -536,6 +555,12 @@ def decode_tiff(payload: bytes) -> dict:
             )
         return strip
 
+    # sample width: 16-bit rasters decode in their native byte order
+    # and downconvert to the package-wide 8-bit codec contract at the
+    # END (>>8, the exact inverse of the v*257 upscale convention) —
+    # predictor inversion must run on the 16-bit values first
+    bps = 2 if bits16 else 1
+    dtype = np.dtype(bo + "u2") if bits16 else np.dtype(np.uint8)
     if planar == 2:
         # planar configuration 2 (r11): strips group PER CHANNEL —
         # all of channel 0's strips, then channel 1's, then 2's; each
@@ -554,17 +579,17 @@ def decode_tiff(payload: bytes) -> dict:
                 n_rows = min(rows_per_strip, remaining_rows)
                 j = c * spc + i
                 buf += decode_strip(
-                    offsets[j], counts[j], n_rows * width
+                    offsets[j], counts[j], n_rows * width * bps
                 )
                 remaining_rows -= n_rows
             planes.append(
-                np.frombuffer(bytes(buf), np.uint8).reshape(
+                np.frombuffer(bytes(buf), dtype).reshape(
                     height, width
                 )
             )
         px = np.stack(planes, axis=-1)
     else:
-        row_bytes = width * spp
+        row_bytes = width * spp * bps
         raw = bytearray()
         remaining_rows = height
         for off, cnt in zip(offsets, counts):
@@ -575,7 +600,7 @@ def decode_tiff(payload: bytes) -> dict:
             raise ValueError(
                 "tiff: strips cover fewer rows than ImageLength"
             )
-        px = np.frombuffer(bytes(raw), np.uint8)
+        px = np.frombuffer(bytes(raw), dtype)
         px = (
             px.reshape(height, width)
             if spp == 1
@@ -584,10 +609,13 @@ def decode_tiff(payload: bytes) -> dict:
     if predictor == 2:
         # horizontal differencing: each sample is stored as the delta
         # from the same sample of the previous pixel — invert with a
-        # per-row per-channel cumulative sum mod 256
-        px = (
-            np.cumsum(px.astype(np.int64), axis=1) % 256
-        ).astype(np.uint8)
+        # per-row per-channel cumulative sum mod 2^bits
+        mod = 65536 if bits16 else 256
+        px = (np.cumsum(px.astype(np.int64), axis=1) % mod).astype(
+            dtype
+        )
+    if bits16:
+        px = (px >> 8).astype(np.uint8)
     if photometric == 0:
         # MinIsWhite: invert to the MinIsBlack convention every other
         # decoder in this package emits
@@ -671,6 +699,7 @@ def encode_tiff(
     jpeg_strips: bool = False,
     planar2: bool = False,
     ccitt: str | None = None,
+    bits: int = 8,
 ) -> bytes:
     """Write a real baseline TIFF: 8-bit gray ((h, w) input), RGB
     ((h, w, 3)), or PALETTE-indexed ((h, w) indices + a (256, 3)
@@ -708,8 +737,16 @@ def encode_tiff(
         )
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: predictor {predictor}")
+    if bits not in (8, 16):
+        raise ValueError(f"encode_tiff: bits {bits}")
+    if bits == 16 and (
+        jpeg_strips or ccitt is not None or palette is not None
+    ):
+        raise ValueError(
+            "encode_tiff: 16-bit excludes jpeg_strips/ccitt/palette"
+        )
     bo = ">" if big_endian else "<"
-    px = np.asarray(pixels, np.uint8)
+    px = np.asarray(pixels, np.uint16 if bits == 16 else np.uint8)
     spp = 1 if px.ndim == 2 else px.shape[2]
     if px.shape[:2] != (height, width) or spp not in (1, 3):
         raise ValueError(f"encode_tiff: bad pixel shape {px.shape}")
@@ -721,14 +758,15 @@ def encode_tiff(
                 "(256, 3) palette"
             )
     if predictor == 2:
-        # horizontal differencing mod 256 (inverted by the decoder's
-        # per-row cumulative sum)
+        # horizontal differencing mod 2^bits (inverted by the
+        # decoder's per-row cumulative sum)
         d = px.astype(np.int64)
         d[:, 1:] = d[:, 1:] - d[:, :-1]
-        px = (d % 256).astype(np.uint8)
+        px = (d % (1 << bits)).astype(px.dtype)
+    sample_dtype = np.dtype(bo + "u2") if bits == 16 else np.uint8
     rps = rows_per_strip or height
-    row_bytes = width * spp
-    flat = px.tobytes()
+    row_bytes = width * spp * (2 if bits == 16 else 1)
+    flat = px.astype(sample_dtype).tobytes()
     strips = []
     jpeg_tables: bytes | None = None
     if jpeg_strips:
@@ -788,12 +826,15 @@ def encode_tiff(
         if planar2:
             if spp != 3:
                 raise ValueError("encode_tiff: planar2 needs RGB")
+            plane_rb = width * (2 if bits == 16 else 1)
             for c in range(3):
-                plane = np.ascontiguousarray(px[:, :, c])
+                plane = np.ascontiguousarray(
+                    px[:, :, c].astype(sample_dtype)
+                )
                 for top in range(0, height, rps):
                     n_rows = min(rps, height - top)
                     chunk = plane[top : top + n_rows].tobytes()
-                    strips.append(pack_chunk(chunk, n_rows, width))
+                    strips.append(pack_chunk(chunk, n_rows, plane_rb))
         else:
             for top in range(0, height, rps):
                 n_rows = min(rps, height - top)
@@ -828,7 +869,7 @@ def encode_tiff(
     entries = [
         (_WIDTH, dim_type(width), [width]),
         (_LENGTH, dim_type(height), [height]),
-        (_BITS, 3, [1] if ccitt is not None else [8] * spp),
+        (_BITS, 3, [1] if ccitt is not None else [bits] * spp),
         (_COMPRESSION, 3, [comp_tag]),
         (
             _PHOTOMETRIC,
