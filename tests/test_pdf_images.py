@@ -1,0 +1,162 @@
+"""PDF image XObject extraction (operators/pdf, r11 late): scanned
+documents are PDFs wrapping page images — DCT (JPEG), CCITTFaxDecode
+(via operators/ccitt), and raw Flate rasters — and extracting them
+puts scan corpora on the same image-dedup ladder as standalone
+images (pixel_sha256 exact tier + dHash quarters)."""
+
+import numpy as np
+import pytest
+
+from timeseries_data_provider_spark.operators import imagehash, pdf
+
+RNG = np.random.default_rng(5)
+GRAY = RNG.integers(0, 256, size=(40, 60)).astype(np.uint8)
+RGB = RNG.integers(0, 256, size=(30, 50, 3)).astype(np.uint8)
+BIL = np.where(RNG.random((25, 70)) < 0.4, 0, 255).astype(np.uint8)
+IDX = RNG.integers(0, 216, size=(20, 30)).astype(np.uint8)
+LUT = np.array(
+    [
+        (r, g, b)
+        for r in range(0, 256, 51)
+        for g in range(0, 256, 51)
+        for b in range(0, 256, 51)
+    ],
+    np.uint8,
+)
+
+
+def test_raw_raster_kinds_roundtrip():
+    blob = pdf.encode_scan_pdf(
+        [("gray8", GRAY), ("rgb8", RGB), ("gray1", BIL), ("indexed", IDX)]
+    )
+    imgs = pdf.extract_pdf_images(blob)
+    assert [i["page"] for i in imgs] == [1, 2, 3, 4]
+    assert (imgs[0]["pixels"] == GRAY).all() and imgs[0]["channels"] == 1
+    assert (imgs[1]["pixels"] == RGB).all() and imgs[1]["channels"] == 3
+    assert (imgs[2]["pixels"] == BIL).all()
+    assert (imgs[3]["pixels"] == LUT[IDX]).all()
+
+
+@pytest.mark.parametrize(
+    "kind", ["ccitt-g4", "ccitt-k0", "ccitt-k0-aligned"]
+)
+def test_ccitt_fax_kinds_roundtrip(kind):
+    # the three PDF CCITT layouts: G4 (K<0), unaligned 1D (K=0,
+    # EncodedByteAlign default false — a DIFFERENT bitstream from
+    # TIFF Compression 2), and byte-aligned 1D
+    blob = pdf.encode_scan_pdf([(kind, BIL)])
+    (img,) = pdf.extract_pdf_images(blob)
+    assert img["filter"] == "CCITTFaxDecode"
+    assert (img["pixels"] == BIL).all()
+
+
+def test_dct_and_mask_kinds():
+    blob = pdf.encode_scan_pdf([("dct", GRAY), ("mask", BIL)])
+    imgs = pdf.extract_pdf_images(blob)
+    assert imgs[0]["filter"] == "DCTDecode"
+    err = np.abs(
+        imgs[0]["pixels"].astype(int) - GRAY.astype(int)
+    ).max()
+    assert err <= 3  # the JPEG codec's derived round-trip bound
+    assert (
+        imgs[1]["pixels"] == (BIL >= 128).astype(np.uint8) * 255
+    ).all()
+
+
+def test_iccbased_maps_to_device_space():
+    # ICCBased N=3 decodes as DeviceRGB (the stated colorimetric
+    # approximation for a dedup/feature tier)
+    blob = pdf.encode_scan_pdf([("rgb8", RGB)])
+    blob = blob.replace(
+        b"/ColorSpace /DeviceRGB", b"/ColorSpace [/ICCBased 99 0 R]"
+    )
+    icc = b"99 0 obj\n<< /N 3 /Length 0 >>\nstream\n\nendstream\nendobj\n"
+    at = blob.find(b"xref")
+    blob = blob[:at] + icc + blob[at:]
+    (img,) = pdf.extract_pdf_images(blob)
+    assert (img["pixels"] == RGB).all()
+
+
+def test_text_pdf_has_no_images():
+    blob = pdf.encode_pdf([["just text"]], encrypt="rc4-128")
+    assert pdf.extract_pdf_images(blob) == []
+
+
+def test_named_gaps_and_hostile():
+    blob = pdf.encode_scan_pdf([("gray8", GRAY)])
+    with pytest.raises(NotImplementedError, match="JPXDecode"):
+        pdf.extract_pdf_images(
+            blob.replace(b"/FlateDecode", b"/JPXDecode\x20\x20")
+        )
+    with pytest.raises(NotImplementedError, match="colour space"):
+        pdf.extract_pdf_images(
+            blob.replace(b"/DeviceGray", b"/DeviceCMYK")
+        )
+    # geometry lie: Width patched up -> raster too short, loud
+    with pytest.raises(ValueError, match="raster|canvas"):
+        pdf.extract_pdf_images(
+            blob.replace(b"/Width 60", b"/Width 61")
+        )
+    # CCITT geometry disagreement between DecodeParms and the dict
+    cblob = pdf.encode_scan_pdf([("ccitt-g4", BIL)])
+    with pytest.raises(ValueError, match="disagrees"):
+        pdf.extract_pdf_images(
+            cblob.replace(b"/Columns 70", b"/Columns 71")
+        )
+    # Indexed sample above hival
+    iblob = pdf.encode_scan_pdf([("indexed", IDX)])
+    with pytest.raises(ValueError, match="hival"):
+        pdf.extract_pdf_images(
+            iblob.replace(b"215 <", b"002 <")
+        )
+
+
+def test_truncated_image_stream_loud():
+    blob = pdf.encode_scan_pdf([("ccitt-g4", BIL)])
+    # halve the stream's bytes but keep /Length honest about it:
+    # decode must fail loudly, not emit a partial page silently
+    at = blob.find(b"stream\n", blob.find(b"/CCITTFaxDecode")) + 7
+    end = blob.find(b"\nendstream", at)
+    n = end - at
+    cut = blob[: at + n // 2] + blob[end:]
+    cut = cut.replace(
+        f"/Length {n}".encode(), f"/Length {n // 2}".encode()
+    )
+    with pytest.raises(ValueError):
+        pdf.extract_pdf_images(cut)
+
+
+def test_pdf_image_features_spark(spark):
+    import pandas as pd
+
+    blob1 = pdf.encode_scan_pdf(
+        [("ccitt-g4", BIL), ("gray8", GRAY)]
+    )
+    blob2 = pdf.encode_scan_pdf([("ccitt-g4", BIL)])  # dup page scan
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, None],
+                "payload": [blob1, blob2, None],
+            }
+        )
+    )
+    rows = pdf.pdf_image_features(df).orderBy("doc_id", "page").collect()
+    assert len(rows) == 3  # NULL row dropped JVM-side
+    r1, r2, r3 = rows
+    assert (r1["doc_id"], r1["page"], r1["filter"]) == (
+        1,
+        1,
+        "CCITTFaxDecode",
+    )
+    # exact dedup: the duplicated scan page hashes identically
+    assert r1["pixel_sha256"] == r3["pixel_sha256"]
+    assert r1["dhash"] == r3["dhash"]
+    assert r2["pixel_sha256"] != r1["pixel_sha256"]
+    # dhash parity with the standalone image ladder
+    want = imagehash.dhash_bits(BIL)
+    got = r1["dhash"] + (1 << 64) if r1["dhash"] < 0 else r1["dhash"]
+    assert got == want
+    assert [r1[f"q{q}"] for q in range(4)] == [
+        (want >> (16 * q)) & 0xFFFF for q in range(4)
+    ]

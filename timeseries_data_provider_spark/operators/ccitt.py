@@ -306,14 +306,19 @@ def _expect_eol(br: _BitReader) -> None:
     raise ValueError("ccitt: truncated EOL")
 
 
-def decode_mh(data: bytes, width: int, height: int) -> np.ndarray:
-    """TIFF Compression 2 (Modified Huffman): every line coded 1D,
-    every line starting on a byte boundary, no EOLs."""
+def decode_mh(
+    data: bytes, width: int, height: int, align: bool = True
+) -> np.ndarray:
+    """Pure-1D lines with no EOLs. ``align=True`` is TIFF
+    Compression 2 (every line starts on a byte boundary);
+    ``align=False`` is PDF CCITTFaxDecode K=0 with the default
+    EncodedByteAlign=false (lines packed back-to-back)."""
     br = _BitReader(data)
     lines = []
     for _ in range(height):
         lines.append(_decode_1d_line(br, width))
-        br.align()
+        if align:
+            br.align()
     return _lines_to_bits(lines, width)
 
 
@@ -342,15 +347,20 @@ def decode_g3(
     return _lines_to_bits(lines, width)
 
 
-def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
-    """TIFF Compression 4 (T.6 MMR): every line 2D against the
-    previous line, the first against an imaginary all-white line;
-    EOFB after the last line is tolerated but not required (TIFF
-    strips are length-bounded)."""
+def decode_g4(
+    data: bytes, width: int, height: int, align: bool = False
+) -> np.ndarray:
+    """TIFF Compression 4 / PDF K<0 (T.6 MMR): every line 2D against
+    the previous line, the first against an imaginary all-white
+    line; EOFB after the last line is tolerated but not required
+    (strips/streams are length-bounded). ``align=True`` is PDF's
+    EncodedByteAlign (each line starts on a byte boundary)."""
     br = _BitReader(data)
     lines: list[list[int]] = []
     ref: list[int] = []
     for _ in range(height):
+        if align:
+            br.align()
         trans = _decode_2d_line(br, width, ref)
         lines.append(trans)
         ref = trans
@@ -415,12 +425,14 @@ def _encode_1d_line(bw: _BitWriter, row: np.ndarray) -> None:
         pos = end
 
 
-def encode_mh(bits: np.ndarray) -> bytes:
-    """TIFF Compression 2 writer: 1D per line, byte-aligned lines."""
+def encode_mh(bits: np.ndarray, align: bool = True) -> bytes:
+    """1D per line: byte-aligned (TIFF Compression 2) or packed
+    back-to-back (PDF K=0, ``align=False``)."""
     bw = _BitWriter()
     for row in np.asarray(bits, np.uint8):
         _encode_1d_line(bw, row)
-        bw.align()
+        if align:
+            bw.align()
     return bw.tobytes()
 
 

@@ -61,6 +61,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "extract_pdf",
@@ -1080,10 +1081,12 @@ def _extract_text_from_content(
     return lines
 
 
-def extract_pdf(payload: bytes) -> dict:
-    """Extract text + structure from a PDF: {n_pages, text (one line
-    per text object, pages separated by form-feed), title, producer,
-    pdf_version}. Encrypted documents raise the named error."""
+def _open_pdf(payload: bytes):
+    """Shared document prologue: parse objects, read the trailer(s)
+    (classic and xref-stream forms), decrypt, unpack ObjStms, walk
+    the page tree. Returns (version, objs, page_objs, info) where
+    ``page_objs`` is [(page dict, inherited /Resources)] in document
+    order."""
     if payload[:5] != b"%PDF-":
         raise ValueError("pdf: bad magic")
     version = payload[5:8].decode("latin-1", "replace")
@@ -1143,6 +1146,14 @@ def extract_pdf(payload: bytes) -> dict:
 
     if pages_root:
         walk(pages_root)
+    return version, objs, page_objs, info
+
+
+def extract_pdf(payload: bytes) -> dict:
+    """Extract text + structure from a PDF: {n_pages, text (one line
+    per text object, pages separated by form-feed), title, producer,
+    pdf_version}. Encrypted documents raise the named error."""
+    version, objs, page_objs, info = _open_pdf(payload)
     pages_text: list[str] = []
     for pg, res in page_objs:
         fonts = _font_decoders(objs, res) if res is not None else {}
@@ -1187,6 +1198,405 @@ def extract_pdf(payload: bytes) -> dict:
         "title": title,
         "producer": producer,
     }
+
+
+# -- image XObject extraction (r11 late) --------------------------------
+# Scanned documents — the highest-volume PDF class in a crawl corpus —
+# are PDFs wrapping one page-sized image per page (CCITT fax for
+# bilevel scans, DCT/JPEG for photographic ones). Extracting those
+# rasters feeds the image-dedup ladder (pixel-hash/dHash/pHash) and
+# any OCR tier. Decode support: DCTDecode through the in-repo baseline
+# JPEG codec, CCITTFaxDecode through operators/ccitt (K<0 G4, K=0
+# unaligned/aligned 1D, K>0 mixed 2D), and raw rasters (DeviceGray/
+# DeviceRGB/CalGray/CalRGB at 1/2/4/8 bits, Indexed palettes, ICCBased
+# mapped by /N to the device space — a stated colorimetric
+# approximation, fine for a dedup/feature tier). JPXDecode (JPEG
+# 2000), JBIG2Decode, DeviceCMYK/Separation/Lab spaces, /Decode
+# inversion arrays, and inline BI..EI images stay named
+# NotImplementedError gaps.
+
+_MAX_IMAGE_PIXELS = 64 * 1024 * 1024
+
+_IMAGE_FILTERS = (
+    "DCTDecode",
+    "CCITTFaxDecode",
+    "JPXDecode",
+    "JBIG2Decode",
+)
+
+
+def _unpack_samples(
+    data: bytes, w: int, h: int, ncomp: int, bpc: int
+) -> "np.ndarray":
+    """Raster rows pad to byte boundaries (§8.9.5.2); unpack to an
+    (h, w, ncomp) uint8 array of UNSCALED sample values."""
+    import numpy as np
+
+    row_bytes = (w * ncomp * bpc + 7) // 8
+    if len(data) < row_bytes * h:
+        raise ValueError(
+            f"pdf: image raster carries {len(data)} bytes, needs "
+            f"{row_bytes * h}"
+        )
+    arr = np.frombuffer(data[: row_bytes * h], np.uint8).reshape(
+        h, row_bytes
+    )
+    if bpc == 8:
+        out = arr[:, : w * ncomp]
+    else:
+        bits = np.unpackbits(arr, axis=1)[:, : w * ncomp * bpc]
+        weights = 1 << np.arange(bpc - 1, -1, -1, dtype=np.uint8)
+        out = (
+            (bits.reshape(h, w * ncomp, bpc) * weights)
+            .sum(axis=2)
+            .astype(np.uint8)
+        )
+    return out.reshape(h, w, ncomp)
+
+
+def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
+    """One /Subtype /Image XObject -> {width, height, channels,
+    filter, pixels}; pixels is (h, w) gray or (h, w, 3) RGB uint8."""
+    import numpy as np
+
+    w = int(_resolve(objs, val.get("Width")) or 0)
+    h = int(_resolve(objs, val.get("Height")) or 0)
+    if w <= 0 or h <= 0 or w * h > _MAX_IMAGE_PIXELS:
+        raise ValueError(f"pdf: unreasonable image canvas {w}x{h}")
+    mask = bool(_resolve(objs, val.get("ImageMask", False)))
+    bpc = (
+        1
+        if mask
+        else int(_resolve(objs, val.get("BitsPerComponent", 8)) or 8)
+    )
+    filt = _resolve(objs, val.get("Filter"))
+    filts = (
+        [f for f in (filt if isinstance(filt, list) else [filt])]
+        if filt is not None
+        else []
+    )
+    names = [str(_resolve(objs, f)) for f in filts]
+    raw_parms = _resolve(objs, val.get("DecodeParms"))
+    if isinstance(raw_parms, list):
+        parms_list = [_resolve(objs, p) for p in raw_parms]
+    else:
+        parms_list = [raw_parms] * len(filts)
+    img_filter = None
+    if names and names[-1] in _IMAGE_FILTERS:
+        img_filter = names[-1]
+        pre, pre_parms = filts[:-1], parms_list[: len(filts) - 1]
+    else:
+        pre, pre_parms = filts, parms_list
+    bad = [n for n in names[:-1] if n in _IMAGE_FILTERS]
+    if bad:
+        raise ValueError(f"pdf: image filter {bad[0]} not last in chain")
+    data = raw
+    if pre:
+        data = _decode_stream(
+            objs, {"Filter": pre, "DecodeParms": pre_parms}, raw
+        )
+    if img_filter == "JPXDecode" or img_filter == "JBIG2Decode":
+        raise NotImplementedError(
+            f"pdf: image filter {img_filter} (DCT/CCITT/raw rasters "
+            "only; route JPEG 2000 / JBIG2 to a codec library)"
+        )
+    if img_filter == "DCTDecode":
+        from timeseries_data_provider_spark.operators import jpeg as _jpeg
+
+        d = _jpeg.decode_baseline_jpeg(data)
+        px = d["pixels"]
+        if (d["width"], d["height"]) != (w, h):
+            raise ValueError(
+                f"pdf: DCT image is {d['width']}x{d['height']}, "
+                f"dict says {w}x{h}"
+            )
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1 if px.ndim == 2 else px.shape[2],
+            "filter": "DCTDecode",
+            "pixels": px,
+        }
+    if img_filter == "CCITTFaxDecode":
+        from timeseries_data_provider_spark.operators import ccitt as _ccitt
+
+        fp = parms_list[-1] if parms_list else None
+        fp = fp if isinstance(fp, dict) else {}
+        k = int(_resolve(objs, fp.get("K", 0)) or 0)
+        cols = int(_resolve(objs, fp.get("Columns", 1728)) or 1728)
+        rows = int(_resolve(objs, fp.get("Rows", h)) or h)
+        ba = bool(_resolve(objs, fp.get("EncodedByteAlign", False)))
+        if cols != w or rows != h:
+            raise ValueError(
+                f"pdf: CCITT geometry {cols}x{rows} disagrees with "
+                f"the image dict's {w}x{h}"
+            )
+        if k < 0:
+            fax = _ccitt.decode_g4(data, cols, rows, align=ba)
+        elif k == 0:
+            fax = _ccitt.decode_mh(data, cols, rows, align=ba)
+        else:
+            fax = _ccitt.decode_g3(data, cols, rows, two_d=True)
+        # fax bits are semantic (1 = black) — BlackIs1 only renames
+        # the stored sample values, which this path never material-
+        # izes; /Decode inversion arrays are a named gap (module note)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "filter": "CCITTFaxDecode",
+            "pixels": ((1 - fax) * 255).astype(np.uint8),
+        }
+    # raw raster: interpret by colour space
+    if mask:
+        samples = _unpack_samples(data, w, h, 1, 1)[:, :, 0]
+        # stencil: sample 0 paints (ink) under the default Decode
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "filter": None,
+            "pixels": (samples * 255).astype(np.uint8),
+        }
+    cs = _resolve(objs, val.get("ColorSpace"))
+    if isinstance(cs, list) and cs and str(_resolve(objs, cs[0])) == "ICCBased":
+        icc = _resolve(objs, cs[1]) if len(cs) > 1 else None
+        target = objs.get(cs[1].num) if isinstance(cs[1], _Ref) else None
+        nd = icc if isinstance(icc, dict) else (target[0] if target else None)
+        n = int(_resolve(objs, nd.get("N", 0)) or 0) if isinstance(nd, dict) else 0
+        cs = {1: "DeviceGray", 3: "DeviceRGB"}.get(n)
+        if cs is None:
+            raise NotImplementedError(
+                "pdf: ICCBased colour space with N not in (1, 3)"
+            )
+    if isinstance(cs, list) and cs and str(_resolve(objs, cs[0])) == "Indexed":
+        if len(cs) < 4:
+            raise ValueError("pdf: malformed Indexed colour space")
+        base = _resolve(objs, cs[1])
+        hival = int(_resolve(objs, cs[2]) or 0)
+        lookup = cs[3]
+        if isinstance(lookup, _Ref):
+            tgt = objs.get(lookup.num)
+            if not tgt or tgt[1] is None:
+                raise ValueError("pdf: Indexed lookup stream missing")
+            lookup = _decode_stream(objs, tgt[0], tgt[1])
+        else:
+            lookup = _resolve(objs, lookup)
+        if not isinstance(lookup, bytes):
+            raise ValueError("pdf: Indexed lookup is not a string")
+        nb = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1}.get(
+            str(base)
+        )
+        if nb is None:
+            raise NotImplementedError(
+                f"pdf: Indexed base colour space {base}"
+            )
+        if len(lookup) < (hival + 1) * nb:
+            raise ValueError("pdf: Indexed lookup table too short")
+        samples = _unpack_samples(data, w, h, 1, bpc)[:, :, 0]
+        if int(samples.max(initial=0)) > hival:
+            raise ValueError("pdf: Indexed sample above hival")
+        table = np.frombuffer(lookup[: (hival + 1) * nb], np.uint8)
+        px = table.reshape(-1, nb)[samples]
+        px = px[:, :, 0] if nb == 1 else px
+        return {
+            "width": w,
+            "height": h,
+            "channels": nb,
+            "filter": None,
+            "pixels": px,
+        }
+    name = str(cs) if cs is not None else "DeviceGray"
+    if name in ("DeviceGray", "CalGray"):
+        if bpc not in (1, 2, 4, 8):
+            raise NotImplementedError(
+                f"pdf: {bpc}-bit gray components"
+            )
+        samples = _unpack_samples(data, w, h, 1, bpc)[:, :, 0]
+        scale = 255 // ((1 << bpc) - 1)
+        px = (samples.astype(np.uint16) * scale).astype(np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "filter": None,
+            "pixels": px,
+        }
+    if name in ("DeviceRGB", "CalRGB"):
+        if bpc != 8:
+            raise NotImplementedError(f"pdf: {bpc}-bit RGB components")
+        px = _unpack_samples(data, w, h, 3, 8)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "filter": None,
+            "pixels": px,
+        }
+    raise NotImplementedError(f"pdf: colour space {name}")
+
+
+def extract_pdf_images(payload: bytes) -> list[dict]:
+    """Extract every /Subtype /Image XObject referenced by a page's
+    /Resources, in page order: [{page (1-based), name, obj, width,
+    height, channels, filter, pixels}]. Shares the document prologue
+    with ``extract_pdf`` (decryption, ObjStm unpack, page walk), so
+    encrypted scan PDFs extract the same way text does."""
+    _, objs, page_objs, _ = _open_pdf(payload)
+    out: list[dict] = []
+    for pageno, (_pg, res) in enumerate(page_objs, start=1):
+        rd = _resolve(objs, res)
+        if not isinstance(rd, dict):
+            continue
+        xo = _resolve(objs, rd.get("XObject"))
+        if not isinstance(xo, dict):
+            continue
+        for name, ref in xo.items():
+            if not isinstance(ref, _Ref):
+                continue
+            tgt = objs.get(ref.num)
+            if not tgt or tgt[1] is None:
+                continue
+            val = tgt[0]
+            if (
+                not isinstance(val, dict)
+                or str(_resolve(objs, val.get("Subtype"))) != "Image"
+            ):
+                continue
+            img = _decode_image_xobject(objs, val, tgt[1])
+            out.append(
+                {"page": pageno, "name": str(name), "obj": ref.num, **img}
+            )
+    return out
+
+
+def pdf_image_features(
+    df: "DataFrame", blob_col: str = "payload", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Arrow-batched scan-image extraction: one row per image XObject
+    — (id, page, name, width, height, channels, filter,
+    pixel_milli, pixel_sha256, dhash, q0..q3). ``pixel_milli`` is
+    the codec-tier convention (floor-scaled mean, 1000·Σpx // size —
+    closed-form for planted rasters, the q66 oracle hook);
+    ``pixel_sha256`` keys exact raster dedup; ``dhash`` + quarters
+    ride ``imagehash.hamming_pairs`` directly, putting scanned-PDF
+    pages on the same near-dup ladder as standalone images. NULL
+    ids/payloads drop JVM-side (the cdc_chunks guard)."""
+    import numpy as np
+    import hashlib as _hashlib
+
+    from timeseries_data_provider_spark.operators import (
+        imagehash as _imagehash,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = {
+                id_col: [],
+                "page": [],
+                "name": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "filter": [],
+                "pixel_milli": [],
+                "pixel_sha256": [],
+                "dhash": [],
+                "q0": [],
+                "q1": [],
+                "q2": [],
+                "q3": [],
+            }
+            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
+                for img in extract_pdf_images(bytes(blob)):
+                    px = img["pixels"]
+                    hh = _imagehash.dhash_bits(px)
+                    out[id_col].append(int(rid))
+                    out["page"].append(img["page"])
+                    out["name"].append(img["name"])
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    out["channels"].append(img["channels"])
+                    out["filter"].append(img["filter"])
+                    out["pixel_milli"].append(
+                        (1000 * int(px.sum(dtype=np.int64)))
+                        // px.size
+                    )
+                    out["pixel_sha256"].append(
+                        _hashlib.sha256(px.tobytes()).hexdigest()
+                    )
+                    out["dhash"].append(
+                        hh - (1 << 64) if hh >> 63 else hh
+                    )
+                    for q in range(4):
+                        out[f"q{q}"].append((hh >> (16 * q)) & 0xFFFF)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, page long, name string, width long, "
+        "height long, channels long, filter string, "
+        "pixel_milli long, pixel_sha256 string, dhash long, "
+        "q0 long, q1 long, q2 long, q3 long"
+    )
+    return (
+        df.select(id_col, blob_col)
+        .where(
+            F.col(id_col).isNotNull() & F.col(blob_col).isNotNull()
+        )
+        .mapInPandas(run, schema)
+    )
+
+
+def synth_scan_pdf_media(
+    docs: "DataFrame", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Plant one deterministic 3-page scan PDF per doc id, every
+    page's pixel content a closed form the DuckDB oracle can
+    recompute with generate_series math (the q63 plant discipline):
+
+    - page 1: CCITT-G4 vertical stripes of period p = (id%4)+1
+      (black where (x//p)%2 == 0) at (64+id%5) x (32+id%3);
+    - page 2: Flate gray8 gradient (id+x+y)%256 (the GIF/TIFF
+      closed form) at (40+id%4) x (20+id%2);
+    - page 3: Indexed raster over the 216-entry web-safe RGB cube,
+      index (7·id+x+3·y)%216 at 24 x 12 — the cube makes the channel
+      sum 51·(r6+g6+b6) with r6/g6/b6 the base-6 digits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf_ in batches:
+            out = {id_col: [], "payload": []}
+            for rid in pdf_[id_col]:
+                i = int(rid)
+                p = (i % 4) + 1
+                w1, h1 = 64 + i % 5, 32 + i % 3
+                row = np.where(
+                    (np.arange(w1) // p) % 2 == 0, 0, 255
+                ).astype(np.uint8)
+                page1 = np.tile(row, (h1, 1))
+                w2, h2 = 40 + i % 4, 20 + i % 2
+                ys2, xs2 = np.mgrid[0:h2, 0:w2]
+                page2 = ((i + xs2 + ys2) % 256).astype(np.uint8)
+                ys3, xs3 = np.mgrid[0:12, 0:24]
+                page3 = ((7 * i + xs3 + 3 * ys3) % 216).astype(
+                    np.uint8
+                )
+                out[id_col].append(i)
+                out["payload"].append(
+                    encode_scan_pdf(
+                        [
+                            ("ccitt-g4", page1),
+                            ("gray8", page2),
+                            ("indexed", page3),
+                        ]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
 
 
 # -- fixture writer ----------------------------------------------------
@@ -1457,6 +1867,131 @@ def encode_pdf(
     out += (
         b"trailer\n"
         + trailer.encode()
+        + f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def encode_scan_pdf(images: list) -> bytes:
+    """Scan-shaped PDF fixture: one image XObject per page, drawn by
+    a one-op content stream (the layout scanners and book digitizers
+    emit). ``images`` is a list of (kind, pixels) with kinds:
+    ``dct`` (gray or RGB through the in-repo JPEG encoder),
+    ``ccitt-g4`` / ``ccitt-k0`` / ``ccitt-k0-aligned`` (bilevel,
+    white=255 display gray in), ``gray8``/``gray1``/``rgb8`` (Flate
+    raw rasters), ``indexed`` (pixels are (h, w) indices; a 216-entry
+    RGB cube palette), ``mask`` (ImageMask stencil)."""
+    import numpy as np
+
+    from timeseries_data_provider_spark.operators import ccitt as _ccitt
+
+    objs: list[bytes] = []
+    n_pages = len(images)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, (kind, px) in enumerate(images):
+        px = np.asarray(px, np.uint8)
+        h, w = px.shape[:2]
+        page_num = 3 + 3 * i
+        img_num = page_num + 1
+        content_num = page_num + 2
+        if kind == "dct":
+            from timeseries_data_provider_spark.operators import (
+                jpeg as _jpeg,
+            )
+
+            data = _jpeg.encode_baseline_jpeg(px)
+            extra = " /Filter /DCTDecode"
+            cs, bpc = (
+                ("/DeviceRGB", 8) if px.ndim == 3 else ("/DeviceGray", 8)
+            )
+        elif kind.startswith("ccitt"):
+            fax = (px < 128).astype(np.uint8)
+            if kind == "ccitt-g4":
+                data = _ccitt.encode_g4(fax)
+                parms = f"<< /K -1 /Columns {w} /Rows {h} >>"
+            elif kind == "ccitt-k0":
+                data = _ccitt.encode_mh(fax, align=False)
+                parms = f"<< /K 0 /Columns {w} /Rows {h} >>"
+            else:  # ccitt-k0-aligned
+                data = _ccitt.encode_mh(fax, align=True)
+                parms = (
+                    f"<< /K 0 /Columns {w} /Rows {h} "
+                    "/EncodedByteAlign true >>"
+                )
+            extra = f" /Filter /CCITTFaxDecode /DecodeParms {parms}"
+            cs, bpc = "/DeviceGray", 1
+        elif kind == "gray8":
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs, bpc = "/DeviceGray", 8
+        elif kind == "gray1":
+            bits = np.packbits((px >= 128).astype(np.uint8), axis=1)
+            data = zlib.compress(bits.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs, bpc = "/DeviceGray", 1
+        elif kind == "rgb8":
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs, bpc = "/DeviceRGB", 8
+        elif kind == "indexed":
+            # 216-entry web-safe RGB cube palette
+            lut = bytes(
+                c
+                for r in range(0, 256, 51)
+                for g in range(0, 256, 51)
+                for b in range(0, 256, 51)
+                for c in (r, g, b)
+            )
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs = f"[/Indexed /DeviceRGB 215 <{lut.hex()}>]"
+            bpc = 8
+        elif kind == "mask":
+            bits = np.packbits((px >= 128).astype(np.uint8), axis=1)
+            data = zlib.compress(bits.tobytes())
+            extra = " /Filter /FlateDecode /ImageMask true"
+            cs, bpc = None, None
+        else:
+            raise ValueError(f"encode_scan_pdf: kind {kind!r}")
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Contents {content_num} 0 R /Resources << /XObject "
+            f"<< /Im0 {img_num} 0 R >> >> >>".encode()
+        )
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} "
+            f"/Height {h}"
+        )
+        if cs is not None:
+            head += f" /ColorSpace {cs} /BitsPerComponent {bpc}"
+        head += f" /Length {len(data)}{extra} >>"
+        objs.append(
+            head.encode() + b"\nstream\n" + data + b"\nendstream"
+        )
+        draw = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+        objs.append(
+            f"<< /Length {len(draw)} >>".encode()
+            + b"\nstream\n"
+            + draw
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n"
+        + f"<< /Size {len(objs) + 1} /Root 1 0 R >>".encode()
         + f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(out)
