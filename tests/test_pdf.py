@@ -447,6 +447,18 @@ def test_aes_encrypted_empty_user_password_decrypts():
         assert m["n_pages"] == 2
 
 
+def test_v4_crypt_filter_carrying_rc4_40():
+    # review finding: the V4 branch derived a fixed 16-byte file key,
+    # so a /V2 (RC4) crypt filter at /Length 40 failed the /U check
+    # instead of decrypting — the key width must follow the dict
+    blob = pdf.encode_pdf(
+        [["forty bit secret"]], title="L40", encrypt="rc4-v4-40"
+    )
+    assert b"forty" not in blob
+    m = pdf.extract_pdf(blob)
+    assert m["text"] == "forty bit secret" and m["title"] == "L40"
+
+
 def test_aes_v5_wrong_password_and_tampered_perms_loud():
     # flip a byte inside the /U hash: the 2.B verification fails
     blob = bytearray(pdf.encode_pdf([["x"]], encrypt="aesv3"))

@@ -236,13 +236,16 @@ def _decode_2d_line(
     trans: list[int] = []
     a0 = -1
     color = 0
+    ptr = 0  # monotonic: a0 only grows, so the b1 scan never restarts
     while True:
         # b1: first reference transition > a0 with the SAME parity as
         # the number of transitions emitted so far would imply —
         # i.e. a transition to the colour opposite the current one.
-        i = 0
-        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-            i += 1
+        while ptr < len(ref) and ref[ptr] <= a0:
+            ptr += 1
+        # transitions alternate parity, so the matching index is ptr
+        # or ptr+1 (ref is non-decreasing: ref[ptr+1] > a0 too)
+        i = ptr if (ptr & 1) == color else ptr + 1
         b1 = ref[i] if i < len(ref) else width
         b2 = ref[i + 1] if i + 1 < len(ref) else width
         mode = _read_tree(br, _MODE_TREE)
@@ -470,12 +473,13 @@ def encode_g4(bits: np.ndarray) -> bytes:
         a0 = -1
         color = 0
         ci = 0
+        ptr = 0  # monotonic b1 scan (a0 only grows along the line)
         while True:
             a1 = cur[ci] if ci < len(cur) else w
             a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
+            while ptr < len(ref) and ref[ptr] <= a0:
+                ptr += 1
+            i = ptr if (ptr & 1) == color else ptr + 1
             b1 = ref[i] if i < len(ref) else w
             b2 = ref[i + 1] if i + 1 < len(ref) else w
             if b2 < a1:

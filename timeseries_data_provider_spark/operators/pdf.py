@@ -527,8 +527,16 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
         stm_m = _cf_method(objs, ed, "StmF")
         str_m = _cf_method(objs, ed, "StrF")
         meta = _resolve(objs, ed.get("EncryptMetadata", True))
+        # file-key width: AESV2 is 128-bit by definition; an RC4
+        # (/V2) crypt filter follows the dict's /Length (a /Length 40
+        # V2 file must derive a 5-byte key or the /U check fails)
+        if "aes128" in (stm_m, str_m):
+            n = 16
+        else:
+            length = int(_resolve(objs, ed.get("Length", 128)) or 128)
+            n = max(5, min(16, length // 8))
         key = _std_file_key(
-            o, p, id0, 4, 16, encrypt_metadata=bool(meta)
+            o, p, id0, 4, n, encrypt_metadata=bool(meta)
         )
         if _std_compute_u(key, id0, 3)[:16] != u[:16]:
             raise NotImplementedError(
@@ -600,6 +608,9 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
         if num == enc_num:
             continue
         val, stream = objs[num]
+        if isinstance(val, dict) and str(val.get("Type")) == "XRef":
+            # §7.5.8.2: cross-reference streams are never encrypted
+            continue
         if str_m != "identity":
             val = dec(val, obj_key(num, str_m))
         if stream is not None and stm_m != "identity":
@@ -1360,9 +1371,7 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         }
     cs = _resolve(objs, val.get("ColorSpace"))
     if isinstance(cs, list) and cs and str(_resolve(objs, cs[0])) == "ICCBased":
-        icc = _resolve(objs, cs[1]) if len(cs) > 1 else None
-        target = objs.get(cs[1].num) if isinstance(cs[1], _Ref) else None
-        nd = icc if isinstance(icc, dict) else (target[0] if target else None)
+        nd = _resolve(objs, cs[1]) if len(cs) > 1 else None
         n = int(_resolve(objs, nd.get("N", 0)) or 0) if isinstance(nd, dict) else 0
         cs = {1: "DeviceGray", 3: "DeviceRGB"}.get(n)
         if cs is None:
@@ -1441,7 +1450,10 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
     /Resources, in page order: [{page (1-based), name, obj, width,
     height, channels, filter, pixels}]. Shares the document prologue
     with ``extract_pdf`` (decryption, ObjStm unpack, page walk), so
-    encrypted scan PDFs extract the same way text does."""
+    encrypted scan PDFs extract the same way text does. Images
+    nested inside FORM XObjects (/Subtype /Form resource trees) and
+    inline BI..EI images are named non-walked gaps — scanner output
+    references page images directly."""
     _, objs, page_objs, _ = _open_pdf(payload)
     out: list[dict] = []
     for pageno, (_pg, res) in enumerate(page_objs, start=1):
@@ -1630,6 +1642,25 @@ def _encrypt_fixture(encrypt: str) -> dict:
                 f"<< /Filter /Standard /V {1 if r == 2 else 2} "
                 f"/R {r} /Length {length} /O <{o_entry.hex()}> "
                 f"/U <{u_entry.hex()}> /P -1 >>"
+            ),
+            "id": id0,
+        }
+    if encrypt == "rc4-v4-40":
+        # V4 crypt filters carrying RC4 (/V2) at 40 bits — the shape
+        # that exposed the fixed-16-byte-key review bug
+        o_entry = _std_compute_o(b"owner", 4, 5)
+        filekey = _std_file_key(o_entry, -1, id0, 4, 5)
+        u_entry = _std_compute_u(filekey, id0, 3)
+        return {
+            "apply": lambda num, data: _rc4(
+                _object_key(filekey, num), data
+            ),
+            "body": (
+                "<< /Filter /Standard /V 4 /R 4 /Length 40 "
+                "/CF << /StdCF << /CFM /V2 /Length 5 >> >> "
+                "/StmF /StdCF /StrF /StdCF "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+                "/P -1 >>"
             ),
             "id": id0,
         }
