@@ -1771,6 +1771,33 @@ def q64_corpus_signals(spark, sf):
         "doc_id", F.col("rank").alias("dsir_rank")
     )
     dw = dw.join(dsel, "doc_id", "left")
+    # r11 late: the scanned-document chain — every doc also gets a
+    # 3-page SCAN PDF (CCITT-G4 stripes / Flate gray gradient /
+    # Indexed web-safe-cube raster, pdf.synth_scan_pdf_media) whose
+    # page images are extracted back through the full XObject decode
+    # path (pdf.pdf_image_features: page walk -> filters -> T.4/T.6
+    # fax decoder / raw rasters / palette lookup). All three page
+    # contents are closed forms of doc_id, so the oracle recomputes
+    # every per-page floor-milli pixel mean from generate_series
+    # math: the scan decode chain really read the planted bits. The
+    # dedup-ladder columns (pixel_sha256, dHash quarters) are not
+    # SQL-recomputable and stay pytest-scored (tests/test_pdf_images).
+    scancols = (
+        pdfmod.pdf_image_features(pdfmod.synth_scan_pdf_media(d))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("scan_pages"),
+            F.sum(
+                F.when(F.col("page") == 1, F.col("pixel_milli"))
+            ).alias("scan_px1_milli"),
+            F.sum(
+                F.when(F.col("page") == 2, F.col("pixel_milli"))
+            ).alias("scan_px2_milli"),
+            F.sum(
+                F.when(F.col("page") == 3, F.col("pixel_milli"))
+            ).alias("scan_px3_milli"),
+        )
+    )
     return (
         base.join(sig, "doc_id")
         .join(pii, "doc_id")
@@ -1781,6 +1808,7 @@ def q64_corpus_signals(spark, sf):
         .join(pdfcols, "doc_id")
         .join(clf, "doc_id")
         .join(dw, "doc_id")
+        .join(scancols, "doc_id")
     )
 
 
@@ -1957,34 +1985,6 @@ def q66_corpus_diff(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-def q66_scan_images(spark, sf):
-    """Scanned-document image extraction end-to-end (r11 late): plant
-    one deterministic 3-page scan PDF per doc (pdf.synth_scan_pdf_media
-    — CCITT-G4 stripes, a Flate gray8 gradient, an Indexed web-safe-
-    cube raster), then extract every page image back through the full
-    chain — PDF object scan → page walk → XObject filters → the
-    T.4/T.6 fax decoder / Flate rasters / palette lookup — and emit
-    the codec-tier floor-milli pixel mean. All three page contents are
-    closed forms of doc_id, so the DuckDB oracle recomputes every
-    pixel_milli from generate_series math: the decode chain really
-    read the planted bits. pixel_sha256/dhash columns (the dedup-
-    ladder hooks) are exercised in tests/test_pdf_images.py — hashes
-    are not SQL-recomputable, so they stay off the oracle projection
-    (the q63 byte_len rule)."""
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
-    scans = pdfmod.synth_scan_pdf_media(docs)
-    feats = pdfmod.pdf_image_features(scans)
-    return feats.select(
-        "doc_id",
-        "page",
-        "width",
-        "height",
-        "channels",
-        F.coalesce(F.col("filter"), F.lit("raw")).alias("img_filter"),
-        "pixel_milli",
-    ).orderBy("doc_id", "page")
-
-
 # driver contract
 
 # Queries excluded from bench.py timing: q65 replays a 60-tick ingest
@@ -2052,7 +2052,6 @@ def queries() -> dict[str, QueryFn]:
         "q63_media_decode": q63_media_decode,
         "q64_corpus_signals": q64_corpus_signals,
         "q65_collector_replay": q65_collector_replay,
-        "q66_scan_images": q66_scan_images,
     }
 
 
@@ -4364,6 +4363,45 @@ def oracle_sql() -> dict[str, str]:
                   LEFT JOIN dwgt dg USING (doc_id)
                 ) g0
               ) g1 WHERE dsir_rank <= 50
+            ), scan1 AS (
+              -- scan-PDF page 1: CCITT-G4 vertical stripes, white
+              -- (255) where (x // p) % 2 = 1, p = (id % 4) + 1; the
+              -- column sum replicates down the h rows so h cancels
+              SELECT d.doc_id,
+                     CAST((1000 * SUM(CASE WHEN
+                              ((x.v // ((d.doc_id % 4) + 1)) % 2) = 1
+                              THEN 255 ELSE 0 END))
+                          // (64 + d.doc_id % 5) AS BIGINT)
+                       AS scan_px1_milli
+              FROM documents d, generate_series(0, 68) x(v)
+              WHERE x.v < 64 + d.doc_id % 5
+              GROUP BY d.doc_id
+            ), scan2 AS (
+              -- page 2: Flate gray8 gradient (id + x + y) % 256
+              SELECT d.doc_id,
+                     CAST((1000 * SUM((d.doc_id + x.v + y.v) % 256))
+                          // ((40 + d.doc_id % 4) * (20 + d.doc_id % 2))
+                          AS BIGINT) AS scan_px2_milli
+              FROM documents d,
+                   generate_series(0, 43) x(v),
+                   generate_series(0, 20) y(v)
+              WHERE x.v < 40 + d.doc_id % 4
+                AND y.v < 20 + d.doc_id % 2
+              GROUP BY d.doc_id
+            ), scan3 AS (
+              -- page 3: Indexed web-safe cube, value
+              -- (7id + x + 3y) % 216; channel sum = 51 * (base-6
+              -- digit sum of the index)
+              SELECT d.doc_id,
+                     CAST((1000 * SUM(51 * (
+                          ((7 * d.doc_id + x.v + 3 * y.v) % 216) // 36
+                        + (((7 * d.doc_id + x.v + 3 * y.v) % 216) // 6) % 6
+                        + ((7 * d.doc_id + x.v + 3 * y.v) % 216) % 6)))
+                          // (24 * 12 * 3) AS BIGINT) AS scan_px3_milli
+              FROM documents d,
+                   generate_series(0, 23) x(v),
+                   generate_series(0, 11) y(v)
+              GROUP BY d.doc_id
             )
             SELECT w.doc_id,
                    CAST(len(w.ws) AS BIGINT) AS n_tokens,
@@ -4423,7 +4461,10 @@ def oracle_sql() -> dict[str, str]:
                    k.clf_logit_milli > 0 AS clf_label,
                    COALESCE(dw2.dsir_feats, 0) AS dsir_feats,
                    COALESCE(dw2.dsir_milli, 0) AS dsir_milli,
-                   ds.dsir_rank
+                   ds.dsir_rank,
+                   CAST(3 AS BIGINT) AS scan_pages,
+                   s1.scan_px1_milli, s2.scan_px2_milli,
+                   s3.scan_px3_milli
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)
@@ -4431,6 +4472,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN front f USING (doc_id)
             JOIN pdfx x USING (doc_id)
             JOIN clf k USING (doc_id)
+            JOIN scan1 s1 USING (doc_id)
+            JOIN scan2 s2 USING (doc_id)
+            JOIN scan3 s3 USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)
             LEFT JOIN runs r USING (doc_id)
             LEFT JOIN lmscore s USING (doc_id)
@@ -4466,69 +4510,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000000 + MAX(i)) * 1000 AS BIGINT)
                      AS last_ms
             FROM fires GROUP BY name
-        """,
-        "q66_scan_images": """
-            WITH docs AS (
-              SELECT doc_id FROM documents WHERE doc_id < 150
-            ), p1 AS (
-              -- CCITT-G4 stripes: white (255) where (x // p) % 2 = 1,
-              -- p = (id % 4) + 1; column sums replicate down h rows
-              SELECT d.doc_id,
-                     CAST(1 AS BIGINT) AS page,
-                     CAST(64 + d.doc_id % 5 AS BIGINT) AS width,
-                     CAST(32 + d.doc_id % 3 AS BIGINT) AS height,
-                     CAST(1 AS BIGINT) AS channels,
-                     'CCITTFaxDecode' AS img_filter,
-                     CAST((1000 * SUM(CASE WHEN
-                              ((x.v // ((d.doc_id % 4) + 1)) % 2) = 1
-                              THEN 255 ELSE 0 END)
-                           * (32 + d.doc_id % 3))
-                          // ((64 + d.doc_id % 5) * (32 + d.doc_id % 3))
-                          AS BIGINT) AS pixel_milli
-              FROM docs d, generate_series(0, 68) x(v)
-              WHERE x.v < 64 + d.doc_id % 5
-              GROUP BY d.doc_id
-            ), p2 AS (
-              -- Flate gray8 gradient (id + x + y) % 256
-              SELECT d.doc_id,
-                     CAST(2 AS BIGINT) AS page,
-                     CAST(40 + d.doc_id % 4 AS BIGINT) AS width,
-                     CAST(20 + d.doc_id % 2 AS BIGINT) AS height,
-                     CAST(1 AS BIGINT) AS channels,
-                     'raw' AS img_filter,
-                     CAST((1000 * SUM((d.doc_id + x.v + y.v) % 256))
-                          // ((40 + d.doc_id % 4) * (20 + d.doc_id % 2))
-                          AS BIGINT) AS pixel_milli
-              FROM docs d,
-                   generate_series(0, 43) x(v),
-                   generate_series(0, 20) y(v)
-              WHERE x.v < 40 + d.doc_id % 4
-                AND y.v < 20 + d.doc_id % 2
-              GROUP BY d.doc_id
-            ), p3 AS (
-              -- Indexed web-safe cube: value (7id + x + 3y) % 216;
-              -- channel sum = 51 * (base-6 digits of the index)
-              SELECT d.doc_id,
-                     CAST(3 AS BIGINT) AS page,
-                     CAST(24 AS BIGINT) AS width,
-                     CAST(12 AS BIGINT) AS height,
-                     CAST(3 AS BIGINT) AS channels,
-                     'raw' AS img_filter,
-                     CAST((1000 * SUM(51 * (
-                              ((7 * d.doc_id + x.v + 3 * y.v) % 216) // 36
-                            + (((7 * d.doc_id + x.v + 3 * y.v) % 216) // 6) % 6
-                            + ((7 * d.doc_id + x.v + 3 * y.v) % 216) % 6)))
-                          // (24 * 12 * 3) AS BIGINT) AS pixel_milli
-              FROM docs d,
-                   generate_series(0, 23) x(v),
-                   generate_series(0, 11) y(v)
-              GROUP BY d.doc_id
-            )
-            SELECT doc_id, page, width, height, channels, img_filter,
-                   pixel_milli
-            FROM (SELECT * FROM p1
-                  UNION ALL SELECT * FROM p2
-                  UNION ALL SELECT * FROM p3)
-            ORDER BY doc_id, page
         """,
     }

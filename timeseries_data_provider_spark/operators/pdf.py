@@ -1489,7 +1489,7 @@ def pdf_image_features(
     — (id, page, name, width, height, channels, filter,
     pixel_milli, pixel_sha256, dhash, q0..q3). ``pixel_milli`` is
     the codec-tier convention (floor-scaled mean, 1000·Σpx // size —
-    closed-form for planted rasters, the q66 oracle hook);
+    closed-form for planted rasters — the q64 scan-column oracle hook);
     ``pixel_sha256`` keys exact raster dedup; ``dhash`` + quarters
     ride ``imagehash.hamming_pairs`` directly, putting scanned-PDF
     pages on the same near-dup ladder as standalone images. NULL
