@@ -1606,7 +1606,9 @@ def synth_scan_pdf_media(
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    return widen_for_python(docs.select(id_col)).mapInPandas(
         run, f"{id_col} long, payload binary"
     )
 
@@ -2168,6 +2170,10 @@ def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
                     )
                 )
             yield pd.DataFrame(out)
+
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    documents = widen_for_python(documents)
 
     return documents.select("doc_id", "text").mapInPandas(
         synth, "doc_id long, payload binary"

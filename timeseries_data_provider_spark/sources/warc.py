@@ -416,6 +416,8 @@ def synth_warc_corpus(
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text").mapInPandas(
-        synth, "doc_id long, payload binary"
-    )
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    return widen_for_python(
+        documents.select("doc_id", "text")
+    ).mapInPandas(synth, "doc_id long, payload binary")

@@ -90,6 +90,25 @@ def load_table(
     return df
 
 
+def widen_for_python(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Repartition a frame about to enter a per-row Python (Arrow)
+    stage so the stage scales with CORES, not input splits. The local
+    testdata tables are single parquet files — one split — which
+    serializes a mapInPandas codec/build pass onto one task (r11
+    finding: q64's scan-PDF chain ran 16 s on one core that way). At
+    real scale inputs arrive in thousands of splits and this is a
+    conditional NO-OP: the repartition fires only when the frame has
+    fewer partitions than the session's parallelism, so no shuffle is
+    added to the 100 TB plan."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
