@@ -61,6 +61,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
     urls,
     windows,
 )
+from timeseries_data_provider_spark.sources import office as officesrc  # noqa: E402
 from timeseries_data_provider_spark.sources import warc as warcsrc  # noqa: E402
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1798,6 +1799,22 @@ def q64_corpus_signals(spark, sf):
             ).alias("scan_px3_milli"),
         )
     )
+    # r11 late: the OFFICE chain — every doc also rides a planted
+    # DOCX (real text paragraph + closed-form row marker + one-row
+    # table, sources/office.synth_docx_corpus) back through the OOXML
+    # extractor; every emitted field is doc_id/text math the oracle
+    # replays byte-exact (the pdf-column pattern).
+    doccols = officesrc.office_features(
+        officesrc.synth_docx_corpus(d)
+    ).select(
+        "doc_id",
+        F.col("title").alias("docx_title"),
+        F.col("creator").alias("docx_creator"),
+        F.col("n_units").alias("docx_paras"),
+        F.col("n_tables").alias("docx_tables"),
+        F.col("text").alias("docx_text"),
+        F.col("n_chars").alias("docx_chars"),
+    )
     return (
         base.join(sig, "doc_id")
         .join(pii, "doc_id")
@@ -1809,6 +1826,7 @@ def q64_corpus_signals(spark, sf):
         .join(clf, "doc_id")
         .join(dw, "doc_id")
         .join(scancols, "doc_id")
+        .join(doccols, "doc_id")
     )
 
 
@@ -4464,7 +4482,20 @@ def oracle_sql() -> dict[str, str]:
                    ds.dsir_rank,
                    CAST(3 AS BIGINT) AS scan_pages,
                    s1.scan_px1_milli, s2.scan_px2_milli,
-                   s3.scan_px3_milli
+                   s3.scan_px3_milli,
+                   'Doc ' || CAST(w.doc_id AS VARCHAR) AS docx_title,
+                   'author-' || CAST(w.doc_id % 7 AS VARCHAR)
+                     AS docx_creator,
+                   CAST(2 AS BIGINT) AS docx_paras,
+                   CAST(1 AS BIGINT) AS docx_tables,
+                   d.text || chr(10) || 'Row '
+                     || CAST(w.doc_id AS VARCHAR) || chr(10)
+                     || 'k' || chr(9) || CAST(w.doc_id AS VARCHAR)
+                     AS docx_text,
+                   CAST(length(d.text || chr(10) || 'Row '
+                     || CAST(w.doc_id AS VARCHAR) || chr(10)
+                     || 'k' || chr(9) || CAST(w.doc_id AS VARCHAR))
+                     AS BIGINT) AS docx_chars
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)

@@ -88,7 +88,12 @@ EXPLAINED_MOVES = {
         "Kneser-Ney train/score (continuation counts, 3-level "
         "interpolation) on the probe corpus; r11: DSIR importance "
         "resampling (two hashed-ngram model fits over the corpus + "
-        "weight join + Gumbel top-50 draw) + fmp4 keyframe column; r11 late: scanned-PDF image chain (a 3-page scan PDF built per doc, pages extracted back through CCITT-G4/Flate/Indexed XObject decode — another Python-rate build-and-parse Arrow pass)"
+        "weight join + Gumbel top-50 draw) + fmp4 keyframe column; "
+        "r11 late: scanned-PDF image chain (a 3-page scan PDF built "
+        "per doc, pages extracted back through CCITT-G4/Flate/"
+        "Indexed XObject decode) + OOXML chain (a planted DOCX per "
+        "doc through the office extractor) — two more Python-rate "
+        "build-and-parse Arrow passes"
     ),
 }
 

@@ -1,0 +1,169 @@
+"""Office Open XML extraction (sources/office): DOCX/XLSX/PPTX text
++ Dublin Core metadata out of the ZIP-of-XML container, with the
+crawl-grade hostile-input posture (DOCTYPE rejection, named errors,
+namespace-prefix tolerance)."""
+
+import zipfile
+import io
+
+import pytest
+
+from timeseries_data_provider_spark.sources import office
+
+
+def test_docx_roundtrip_paragraphs_tabs_breaks_table():
+    b = office.encode_docx(
+        ["Hello world.", "Tab\there and\nbreak.", "Último — naïve"],
+        title="T1",
+        creator="C1",
+        table=[["a1", "b1"], ["a2", "b2"]],
+    )
+    m = office.docx_text(b)
+    assert m["text"] == (
+        "Hello world.\nTab\there and\nbreak.\nÚltimo — naïve"
+        "\na1\tb1\na2\tb2"
+    )
+    assert (m["title"], m["creator"]) == ("T1", "C1")
+    assert (m["n_units"], m["n_tables"]) == (3, 1)
+
+
+def test_xlsx_shared_and_inline_strings():
+    x = office.encode_xlsx(
+        [[["n", "v"], ["alpha", "1.5"]], [["solo"]]], title="wb"
+    )
+    m = office.xlsx_text(x)
+    assert m["text"] == "n\tv\nalpha\t1.5\nsolo"
+    assert (m["n_units"], m["n_tables"], m["title"]) == (3, 2, "wb")
+    x2 = office.encode_xlsx([[["a", "b"]]], shared=False)
+    assert office.xlsx_text(x2)["text"] == "a\tb"
+
+
+def test_pptx_slide_numeric_order():
+    # slide10 must sort after slide2 (lexical zip order mis-sorts)
+    p = office.encode_pptx(
+        [["Slide one", "line two"], ["Slide two"]]
+        + [[f"s{i}"] for i in range(3, 12)]
+    )
+    m = office.pptx_text(p)
+    pages = m["text"].split("\x0c")
+    assert pages[0] == "Slide one\nline two"
+    assert pages[1] == "Slide two" and pages[-1] == "s11"
+    assert m["n_units"] == 11
+
+
+def test_routing_by_container_parts():
+    for blob, kind in (
+        (office.encode_docx(["x"]), "docx"),
+        (office.encode_xlsx([[["x"]]]), "xlsx"),
+        (office.encode_pptx([["x"]]), "pptx"),
+    ):
+        assert office.office_text(blob)["kind"] == kind
+
+
+def test_namespace_prefix_tolerance():
+    # real generators vary prefixes: rewrite word/document.xml with a
+    # 'w2' prefix bound to the SAME namespace — extraction must agree
+    b = office.encode_docx(["prefix test"])
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    doc = zf.read("word/document.xml").decode().replace("w:", "w2:")
+    doc = doc.replace("xmlns:w=", "xmlns:w2=")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n, doc if n == "word/document.xml" else zf.read(n)
+            )
+    assert office.docx_text(buf.getvalue())["text"] == "prefix test"
+
+
+def test_hostile_inputs_loud():
+    with pytest.raises(ValueError, match="ZIP"):
+        office.office_text(b"\x89PNG not a zip")
+    # a zip with no OOXML part
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("readme.txt", "hi")
+    with pytest.raises(ValueError, match="OOXML"):
+        office.office_text(buf.getvalue())
+    # malformed XML
+    b = office.encode_docx(["x"])
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n,
+                b"<w:document" if n == "word/document.xml" else zf.read(n),
+            )
+    with pytest.raises(ValueError, match="malformed XML"):
+        office.docx_text(buf.getvalue())
+    # shared-string index out of range
+    x = office.encode_xlsx([[["a"]]])
+    zf = zipfile.ZipFile(io.BytesIO(x))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            body = zf.read(n)
+            if n.startswith("xl/worksheets"):
+                body = body.replace(b"<v>0</v>", b"<v>9</v>")
+            out.writestr(n, body)
+    with pytest.raises(ValueError, match="shared-string"):
+        office.xlsx_text(buf.getvalue())
+
+
+def test_doctype_is_refused():
+    # entity-expansion bombs arrive as DOCTYPE declarations; OOXML
+    # never carries one, so any DOCTYPE is refused before parsing
+    b = office.encode_docx(["x"])
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    bomb = (
+        b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY a "aaaa">]>'
+        + zf.read("word/document.xml")
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n, bomb if n == "word/document.xml" else zf.read(n)
+            )
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        office.docx_text(buf.getvalue())
+
+
+def test_damaged_core_props_never_block_text():
+    b = office.encode_docx(["x"], title="t")
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n,
+                b"<broken" if n == "docProps/core.xml" else zf.read(n),
+            )
+    m = office.docx_text(buf.getvalue())
+    assert m["text"] == "x" and m["title"] is None
+
+
+def test_office_features_spark(spark):
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, None],
+            "payload": [
+                office.encode_docx(["doc one"], title="d"),
+                office.encode_xlsx([[["a", "b"]]]),
+                office.encode_pptx([["s1"], ["s2"]]),
+                None,
+            ],
+        }
+    )
+    out = (
+        office.office_features(spark.createDataFrame(rows))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["kind"] for r in out] == ["docx", "xlsx", "pptx"]
+    assert out[0]["text"] == "doc one" and out[0]["title"] == "d"
+    assert out[1]["text"] == "a\tb"
+    assert out[2]["n_units"] == 2 and out[2]["n_chars"] == 5

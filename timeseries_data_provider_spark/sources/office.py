@@ -1,0 +1,549 @@
+"""Office Open XML text extraction (DOCX / XLSX / PPTX) — stdlib.
+
+Office documents are a major crawl-corpus class (reports, papers,
+spreadsheets, slide decks); OOXML (ECMA-376, ISO/IEC 29500 — the
+default Word/Excel/PowerPoint format since 2007) is stdlib-feasible:
+a ZIP container of XML parts. This module extracts the TEXT layer —
+paragraphs, table cells, slide runs, sheet cells — plus the Dublin
+Core metadata (title/creator), not layout or styling.
+
+Public-knowledge basis: ECMA-376 part 1 (public): WordprocessingML
+(``word/document.xml`` — w:p paragraphs, w:r runs, w:t text, w:tab /
+w:br, w:tbl tables), SpreadsheetML (``xl/worksheets/sheetN.xml``
+cells + ``xl/sharedStrings.xml``), PresentationML
+(``ppt/slides/slideN.xml`` a:t runs), and the OPC core-properties
+part (``docProps/core.xml``). Reference parity note: index.js has no
+document surface; [EXT] per SURVEY §2.
+
+Hostile-input posture (crawl reality):
+
+- element matching is by LOCAL NAME, not namespace prefix — real
+  generators vary prefixes and occasionally drop declarations;
+- any part carrying a DOCTYPE is rejected loudly BEFORE parsing
+  (OOXML never uses DTDs; this closes entity-expansion bombs on the
+  pre-3.13 expat in this container);
+- member size guards ride the archives.MAX_MEMBER contract; truncated
+  containers and malformed XML raise named ValueErrors, never emit
+  wrong text silently.
+
+Named gaps: legacy binary formats (.doc/.xls/.ppt — OLE2 compound
+files), embedded OLE objects, headers/footers/footnotes/comments
+(sub-parts a real pipeline may also want), charts, and encrypted
+(password) OOXML. Numbers in XLSX are emitted as their stored lexical
+form (the cell's ``v`` text), not re-formatted.
+
+Scale shape: per-document independent (Arrow fan-out under
+mapInPandas — the codec-tier posture); zero shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Iterator
+from xml.etree import ElementTree as ET
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_data_provider_spark.sources.archives import MAX_MEMBER
+
+__all__ = [
+    "docx_text",
+    "xlsx_text",
+    "pptx_text",
+    "office_text",
+    "encode_docx",
+    "encode_xlsx",
+    "encode_pptx",
+    "office_features",
+]
+
+_DOCTYPE_RE = re.compile(rb"<!DOCTYPE", re.IGNORECASE)
+
+
+def _localname(tag) -> str:
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+
+def _parse_part(zf: zipfile.ZipFile, name: str) -> ET.Element:
+    try:
+        inf = zf.getinfo(name)
+    except KeyError:
+        raise ValueError(f"office: container missing part {name}")
+    if inf.file_size > MAX_MEMBER:
+        raise ValueError(f"office: part {name} exceeds size guard")
+    data = zf.read(name)
+    if _DOCTYPE_RE.search(data[:4096]):
+        raise ValueError(
+            f"office: part {name} carries a DOCTYPE (OOXML never "
+            "does — refusing to expand entities)"
+        )
+    try:
+        return ET.fromstring(data)
+    except ET.ParseError as e:
+        raise ValueError(f"office: malformed XML in {name}: {e}") from e
+
+
+def _open_container(blob: bytes) -> zipfile.ZipFile:
+    if blob[:2] != b"PK":
+        raise ValueError("office: not a ZIP container")
+    try:
+        return zipfile.ZipFile(io.BytesIO(blob))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"office: bad zip: {e}") from e
+
+
+def _core_props(zf: zipfile.ZipFile) -> tuple[str | None, str | None]:
+    """(title, creator) from docProps/core.xml, absent -> (None,
+    None) — metadata is optional in real files."""
+    if "docProps/core.xml" not in zf.namelist():
+        return None, None
+    try:
+        root = _parse_part(zf, "docProps/core.xml")
+    except ValueError:
+        return None, None  # damaged metadata never blocks the text
+    title = creator = None
+    for el in root.iter():
+        ln = _localname(el.tag)
+        if ln == "title" and el.text:
+            title = el.text
+        elif ln == "creator" and el.text:
+            creator = el.text
+    return title, creator
+
+
+def _docx_paragraph_text(p: ET.Element) -> str:
+    """One w:p -> its visible text: w:t runs verbatim (xml:space
+    respected by ET), w:tab -> TAB, w:br / w:cr -> newline."""
+    out: list[str] = []
+    for el in p.iter():
+        ln = _localname(el.tag)
+        if ln == "t":
+            out.append(el.text or "")
+        elif ln == "tab":
+            out.append("\t")
+        elif ln in ("br", "cr"):
+            out.append("\n")
+    return "".join(out)
+
+
+def docx_text(blob: bytes) -> dict:
+    """WordprocessingML text: body paragraphs in document order;
+    tables emit one line per row with cells joined by TAB (the
+    plain-text table convention). Returns {title, creator,
+    n_paragraphs, n_tables, text}."""
+    zf = _open_container(blob)
+    root = _parse_part(zf, "word/document.xml")
+    body = None
+    for el in root:
+        if _localname(el.tag) == "body":
+            body = el
+            break
+    if body is None:
+        raise ValueError("office: document.xml has no body")
+    lines: list[str] = []
+    n_par = n_tbl = 0
+
+    def walk(node) -> None:
+        nonlocal n_par, n_tbl
+        for el in node:
+            ln = _localname(el.tag)
+            if ln == "p":
+                n_par += 1
+                lines.append(_docx_paragraph_text(el))
+            elif ln == "tbl":
+                n_tbl += 1
+                for tr in el.iter():
+                    if _localname(tr.tag) != "tr":
+                        continue
+                    cells = []
+                    for tc in tr:
+                        if _localname(tc.tag) != "tc":
+                            continue
+                        cells.append(
+                            "\n".join(
+                                _docx_paragraph_text(p)
+                                for p in tc.iter()
+                                if _localname(p.tag) == "p"
+                            )
+                        )
+                    lines.append("\t".join(cells))
+            elif ln == "sectPr":
+                continue
+            else:
+                walk(el)
+
+    walk(body)
+    title, creator = _core_props(zf)
+    return {
+        "kind": "docx",
+        "title": title,
+        "creator": creator,
+        "n_units": n_par,
+        "n_tables": n_tbl,
+        "text": "\n".join(lines),
+    }
+
+
+def xlsx_text(blob: bytes) -> dict:
+    """SpreadsheetML text: every worksheet in part order, one line
+    per row, cells joined by TAB. Shared strings (t="s") resolve
+    through xl/sharedStrings.xml; inline strings (t="inlineStr" /
+    t="str") and numeric/lexical values emit as stored. Returns
+    {title, creator, n_units (rows), text}."""
+    zf = _open_container(blob)
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        for si in _parse_part(zf, "xl/sharedStrings.xml"):
+            if _localname(si.tag) != "si":
+                continue
+            shared.append(
+                "".join(
+                    el.text or ""
+                    for el in si.iter()
+                    if _localname(el.tag) == "t"
+                )
+            )
+    sheets = sorted(
+        n
+        for n in zf.namelist()
+        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    )
+    if not sheets:
+        raise ValueError("office: workbook has no worksheets")
+    lines: list[str] = []
+    n_rows = 0
+    for name in sheets:
+        root = _parse_part(zf, name)
+        for row in root.iter():
+            if _localname(row.tag) != "row":
+                continue
+            n_rows += 1
+            cells = []
+            for c in row:
+                if _localname(c.tag) != "c":
+                    continue
+                t = c.attrib.get("t", "n")
+                v = None
+                for el in c.iter():
+                    if _localname(el.tag) in ("v", "t"):
+                        v = el.text or ""
+                        break
+                if v is None:
+                    cells.append("")
+                elif t == "s":
+                    try:
+                        cells.append(shared[int(v)])
+                    except (ValueError, IndexError):
+                        raise ValueError(
+                            f"office: shared-string index {v!r} out "
+                            "of range"
+                        )
+                else:
+                    cells.append(v)
+            lines.append("\t".join(cells))
+    title, creator = _core_props(zf)
+    return {
+        "kind": "xlsx",
+        "title": title,
+        "creator": creator,
+        "n_units": n_rows,
+        "n_tables": len(sheets),
+        "text": "\n".join(lines),
+    }
+
+
+def pptx_text(blob: bytes) -> dict:
+    """PresentationML text: slides in numeric order (slide1, slide2,
+    ... — the zip's lexical order mis-sorts slide10 before slide2),
+    a:p paragraphs joined by newline within a slide, slides separated
+    by form-feed (the PDF page convention). Returns {title, creator,
+    n_units (slides), text}."""
+    zf = _open_container(blob)
+    slides = sorted(
+        (
+            n
+            for n in zf.namelist()
+            if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+        ),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()),
+    )
+    if not slides:
+        raise ValueError("office: presentation has no slides")
+    pages: list[str] = []
+    for name in slides:
+        root = _parse_part(zf, name)
+        paras: list[str] = []
+        for p in root.iter():
+            if _localname(p.tag) != "p":
+                continue
+            # a:p (drawingml paragraphs — the only p in slide parts)
+            txt = "".join(
+                el.text or ""
+                for el in p.iter()
+                if _localname(el.tag) == "t"
+            )
+            if txt:
+                paras.append(txt)
+        pages.append("\n".join(paras))
+    title, creator = _core_props(zf)
+    return {
+        "kind": "pptx",
+        "title": title,
+        "creator": creator,
+        "n_units": len(slides),
+        "n_tables": 0,
+        "text": "\x0c".join(pages),
+    }
+
+
+def office_text(blob: bytes) -> dict:
+    """Sniff-and-route: the container's parts decide the format (the
+    content-type of crawl payloads lies too often to trust)."""
+    zf = _open_container(blob)
+    names = set(zf.namelist())
+    if "word/document.xml" in names:
+        return docx_text(blob)
+    if any(re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n) for n in names):
+        return xlsx_text(blob)
+    if any(re.fullmatch(r"ppt/slides/slide\d+\.xml", n) for n in names):
+        return pptx_text(blob)
+    raise ValueError(
+        "office: ZIP is not a DOCX/XLSX/PPTX container "
+        "(no recognizable OOXML part)"
+    )
+
+
+# -- fixture writers ----------------------------------------------------
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_CP = (
+    "http://schemas.openxmlformats.org/package/2006/metadata/"
+    "core-properties"
+)
+_DC = "http://purl.org/dc/elements/1.1/"
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _core_xml(title: str | None, creator: str | None) -> str:
+    t = f"<dc:title>{_xml_escape(title)}</dc:title>" if title else ""
+    c = (
+        f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+        if creator
+        else ""
+    )
+    return (
+        f'<cp:coreProperties xmlns:cp="{_CP}" xmlns:dc="{_DC}">'
+        f"{t}{c}</cp:coreProperties>"
+    )
+
+
+def _zip_parts(parts: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, body in parts.items():
+            zf.writestr(name, body)
+    return buf.getvalue()
+
+
+def encode_docx(
+    paragraphs: list[str],
+    title: str | None = None,
+    creator: str | None = None,
+    table: list[list[str]] | None = None,
+) -> bytes:
+    """Minimal valid DOCX: body paragraphs (TAB/newline characters
+    round-trip as w:tab / w:br) and an optional one-grid table."""
+    runs = []
+    for p in paragraphs:
+        body = ""
+        for ch in p:
+            if ch == "\t":
+                body += "<w:tab/>"
+            elif ch == "\n":
+                body += "<w:br/>"
+            else:
+                body += (
+                    f'<w:t xml:space="preserve">{_xml_escape(ch)}</w:t>'
+                )
+        runs.append(f"<w:p><w:r>{body}</w:r></w:p>")
+    if table is not None:
+        rows = "".join(
+            "<w:tr>"
+            + "".join(
+                f"<w:tc><w:p><w:r><w:t xml:space=\"preserve\">"
+                f"{_xml_escape(c)}</w:t></w:r></w:p></w:tc>"
+                for c in row
+            )
+            + "</w:tr>"
+            for row in table
+        )
+        runs.append(f"<w:tbl>{rows}</w:tbl>")
+    doc = (
+        f'<w:document xmlns:w="{_W}"><w:body>'
+        + "".join(runs)
+        + "<w:sectPr/></w:body></w:document>"
+    )
+    return _zip_parts(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "word/document.xml": doc,
+            "docProps/core.xml": _core_xml(title, creator),
+        }
+    )
+
+
+def encode_xlsx(
+    sheets: list[list[list[str]]],
+    title: str | None = None,
+    shared: bool = True,
+) -> bytes:
+    """Minimal valid XLSX: each sheet a row-major grid of strings.
+    ``shared=True`` routes every cell through sharedStrings (the
+    writer default in real files); False writes inline strings."""
+    strings: list[str] = []
+    index: dict[str, int] = {}
+    parts: dict[str, str] = {"[Content_Types].xml": "<Types/>"}
+    for si, grid in enumerate(sheets, start=1):
+        rows_xml = []
+        for r, row in enumerate(grid, start=1):
+            cells = []
+            for j, val in enumerate(row):
+                col = chr(ord("A") + j)
+                if shared:
+                    if val not in index:
+                        index[val] = len(strings)
+                        strings.append(val)
+                    cells.append(
+                        f'<c r="{col}{r}" t="s">'
+                        f"<v>{index[val]}</v></c>"
+                    )
+                else:
+                    cells.append(
+                        f'<c r="{col}{r}" t="inlineStr"><is>'
+                        f'<t xml:space="preserve">{_xml_escape(val)}'
+                        "</t></is></c>"
+                    )
+            rows_xml.append(f'<row r="{r}">{"".join(cells)}</row>')
+        parts[f"xl/worksheets/sheet{si}.xml"] = (
+            f'<worksheet xmlns="{_S}"><sheetData>'
+            + "".join(rows_xml)
+            + "</sheetData></worksheet>"
+        )
+    if shared and strings:
+        parts["xl/sharedStrings.xml"] = (
+            f'<sst xmlns="{_S}">'
+            + "".join(
+                f'<si><t xml:space="preserve">{_xml_escape(s)}</t></si>'
+                for s in strings
+            )
+            + "</sst>"
+        )
+    parts["docProps/core.xml"] = _core_xml(title, None)
+    return _zip_parts(parts)
+
+
+def encode_pptx(
+    slides: list[list[str]], title: str | None = None
+) -> bytes:
+    """Minimal valid PPTX: each slide a list of paragraph strings."""
+    parts: dict[str, str] = {"[Content_Types].xml": "<Types/>"}
+    for i, paras in enumerate(slides, start=1):
+        body = "".join(
+            f'<a:p><a:r><a:t>{_xml_escape(p)}</a:t></a:r></a:p>'
+            for p in paras
+        )
+        parts[f"ppt/slides/slide{i}.xml"] = (
+            f'<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+            f'presentationml/2006/main" xmlns:a="{_A}">'
+            f"<p:txBody>{body}</p:txBody></p:sld>"
+        )
+    parts["docProps/core.xml"] = _core_xml(title, None)
+    return _zip_parts(parts)
+
+
+def synth_docx_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic DOCX per document (q64's docx columns — the
+    synth_pdf_corpus pattern): two paragraphs (the REAL doc text,
+    then a closed-form row marker) and a one-row two-cell table, so
+    extraction exercises runs, paragraphs AND the table walk; title
+    and creator are doc_id math for the oracle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                doc_id = int(doc_id)
+                out["doc_id"].append(doc_id)
+                out["payload"].append(
+                    encode_docx(
+                        [text, f"Row {doc_id}"],
+                        title=f"Doc {doc_id}",
+                        creator=f"author-{doc_id % 7}",
+                        table=[["k", str(doc_id)]],
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    return widen_for_python(
+        documents.select("doc_id", "text")
+    ).mapInPandas(synth, "doc_id long, payload binary")
+
+
+# -- Spark operator ------------------------------------------------------
+
+
+def office_features(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched OOXML extraction: (id, kind, title, creator,
+    n_units, n_tables, text, n_chars) per document, format sniffed
+    from the container parts. NULL ids/payloads drop JVM-side (the
+    cdc_chunks guard)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = {
+                id_col: [],
+                "kind": [],
+                "title": [],
+                "creator": [],
+                "n_units": [],
+                "n_tables": [],
+                "text": [],
+                "n_chars": [],
+            }
+            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
+                m = office_text(bytes(blob))
+                out[id_col].append(int(rid))
+                out["kind"].append(m["kind"])
+                out["title"].append(m["title"])
+                out["creator"].append(m["creator"])
+                out["n_units"].append(m["n_units"])
+                out["n_tables"].append(m["n_tables"])
+                out["text"].append(m["text"])
+                out["n_chars"].append(len(m["text"]))
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, kind string, title string, creator string, "
+        "n_units long, n_tables long, text string, n_chars long"
+    )
+    return (
+        df.select(id_col, blob_col)
+        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
+        .mapInPandas(run, schema)
+    )
