@@ -11,6 +11,7 @@ from timeseries_data_provider_spark.operators import imagehash, pdf
 
 RNG = np.random.default_rng(5)
 GRAY = RNG.integers(0, 256, size=(40, 60)).astype(np.uint8)
+RGBGRAY = RNG.integers(0, 256, size=(40, 60)).astype(np.uint8)
 RGB = RNG.integers(0, 256, size=(30, 50, 3)).astype(np.uint8)
 BIL = np.where(RNG.random((25, 70)) < 0.4, 0, 255).astype(np.uint8)
 IDX = RNG.integers(0, 216, size=(20, 30)).astype(np.uint8)
@@ -61,6 +62,51 @@ def test_dct_and_mask_kinds():
     assert (
         imgs[1]["pixels"] == (BIL >= 128).astype(np.uint8) * 255
     ).all()
+
+
+def test_inline_and_form_images():
+    # r11 late: inline BI..ID..EI images in page content and images
+    # nested inside Form XObject resource trees (both were named
+    # gaps) extract alongside direct page images
+    blob = pdf.encode_scan_pdf(
+        [("inline", GRAY), ("form", GRAY), ("gray8", RGBGRAY)]
+    )
+    imgs = pdf.extract_pdf_images(blob)
+    assert [i["page"] for i in imgs] == [1, 2, 3]
+    assert imgs[0]["name"] == "inline:0" and imgs[0]["obj"] == 0
+    assert (imgs[0]["pixels"] == GRAY).all()
+    assert imgs[1]["name"] == "Fx0/Im0"
+    assert (imgs[1]["pixels"] == GRAY).all()
+    assert (imgs[2]["pixels"] == RGBGRAY).all()
+
+
+def test_inline_adversaries():
+    # raster bytes containing ' EI ' (exact-length path) and a 'BI'
+    # inside a text string (must not trip the scanner)
+    import zlib as _z
+
+    tricky = bytearray(GRAY.tobytes())
+    tricky[10:14] = b" EI "
+    img2 = np.frombuffer(bytes(tricky), np.uint8).reshape(GRAY.shape)
+    h, w = GRAY.shape
+    content = (
+        f"BT (a BI not an image) Tj ET "
+        f"BI /W {w} /H {h} /BPC 8 /CS /G ID ".encode()
+        + bytes(tricky)
+        + b" EI"
+    )
+    z = _z.compress(content)
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + z
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    imgs = pdf.extract_pdf_images(blob)
+    assert len(imgs) == 1 and (imgs[0]["pixels"] == img2).all()
 
 
 def test_iccbased_maps_to_device_space():

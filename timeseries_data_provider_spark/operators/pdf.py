@@ -1160,6 +1160,27 @@ def _open_pdf(payload: bytes):
     return version, objs, page_objs, info
 
 
+def _content_bytes(objs, raw) -> bytes:
+    """Resolve a page's /Contents (one stream, a ref to an array, or
+    an array of stream refs) into one decoded byte string. §7.8.2:
+    multiple streams concatenate WITH intervening whitespace (ET+BT
+    must not fuse into one token across the boundary)."""
+    if isinstance(raw, _Ref):
+        tgt = objs.get(raw.num)
+        streams = tgt[0] if tgt and isinstance(tgt[0], list) else [raw]
+    elif isinstance(raw, list):
+        streams = raw
+    else:
+        streams = []
+    body = b""
+    for s in streams:
+        if isinstance(s, _Ref):
+            target = objs.get(s.num)
+            if target and target[1] is not None:
+                body += _decode_stream(objs, target[0], target[1]) + b"\n"
+    return body
+
+
 def extract_pdf(payload: bytes) -> dict:
     """Extract text + structure from a PDF: {n_pages, text (one line
     per text object, pages separated by form-feed), title, producer,
@@ -1168,30 +1189,7 @@ def extract_pdf(payload: bytes) -> dict:
     pages_text: list[str] = []
     for pg, res in page_objs:
         fonts = _font_decoders(objs, res) if res is not None else {}
-        raw = pg.get("Contents")
-        if isinstance(raw, _Ref):
-            tgt = objs.get(raw.num)
-            # a ref may point at an ARRAY of stream refs
-            streams = (
-                tgt[0]
-                if tgt and isinstance(tgt[0], list)
-                else [raw]
-            )
-        elif isinstance(raw, list):
-            streams = raw
-        else:
-            streams = []
-        body = b""
-        for s in streams:
-            if isinstance(s, _Ref):
-                target = objs.get(s.num)
-                if target and target[1] is not None:
-                    # §7.8.2: multiple Contents streams concatenate
-                    # WITH intervening whitespace (ET+BT must not fuse
-                    # into one token across the boundary)
-                    body += (
-                        _decode_stream(objs, target[0], target[1]) + b"\n"
-                    )
+        body = _content_bytes(objs, pg.get("Contents"))
         pages_text.append(
             "\n".join(_extract_text_from_content(body, fonts))
         )
@@ -1221,10 +1219,11 @@ def extract_pdf(payload: bytes) -> dict:
 # unaligned/aligned 1D, K>0 mixed 2D), and raw rasters (DeviceGray/
 # DeviceRGB/CalGray/CalRGB at 1/2/4/8 bits, Indexed palettes, ICCBased
 # mapped by /N to the device space — a stated colorimetric
-# approximation, fine for a dedup/feature tier). JPXDecode (JPEG
-# 2000), JBIG2Decode, DeviceCMYK/Separation/Lab spaces, /Decode
-# inversion arrays, and inline BI..EI images stay named
-# NotImplementedError gaps.
+# approximation, fine for a dedup/feature tier). Inline BI..ID..EI
+# images and images nested inside Form XObject resource trees also
+# extract (r11 late). JPXDecode (JPEG 2000), JBIG2Decode,
+# DeviceCMYK/Separation/Lab spaces, and /Decode inversion arrays
+# stay named NotImplementedError gaps.
 
 _MAX_IMAGE_PIXELS = 64 * 1024 * 1024
 
@@ -1445,39 +1444,200 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
     raise NotImplementedError(f"pdf: colour space {name}")
 
 
+# inline-image (§8.9.7) abbreviated keys / filters / colour spaces
+_INLINE_KEYS = {
+    "W": "Width",
+    "H": "Height",
+    "BPC": "BitsPerComponent",
+    "CS": "ColorSpace",
+    "F": "Filter",
+    "DP": "DecodeParms",
+    "IM": "ImageMask",
+    "D": "Decode",
+}
+_INLINE_FILTERS = {
+    "AHx": "ASCIIHexDecode",
+    "A85": "ASCII85Decode",
+    "Fl": "FlateDecode",
+    "LZW": "LZWDecode",
+    "CCF": "CCITTFaxDecode",
+    "DCT": "DCTDecode",
+    "RL": "RunLengthDecode",
+}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "I": "Indexed",
+              "CMYK": "DeviceCMYK"}
+_DELIMS = b" \t\r\n\x0c\x00[]{}()<>/"
+
+
+def _iter_inline_images(objs, content: bytes):
+    """Yield decoded inline images (``BI <params> ID <data> EI``,
+    §8.9.7) from a content stream. A ``BI`` that does not parse as an
+    inline-image header (e.g. the letters inside a text string) is
+    skipped. The data end: exact for unfiltered rasters (the byte
+    count is computable), otherwise the first whitespace-delimited
+    ``EI`` whose preceding bytes DECODE cleanly — filtered data may
+    legally contain the letters 'EI', so candidates are tried in
+    order (bounded), never trusted blindly."""
+    pos = 0
+    n = len(content)
+    while True:
+        at = content.find(b"BI", pos)
+        if at < 0:
+            return
+        pos = at + 2
+        before = content[at - 1 : at]
+        after = content[at + 2 : at + 3]
+        if (before and before not in _DELIMS) or (
+            after and after not in b" \t\r\n\x0c\x00/"
+        ):
+            continue
+        lex = _Lexer(content, at + 2)
+        params: dict = {}
+        try:
+            while True:
+                lex._skip_ws()
+                if content[lex.p : lex.p + 2] == b"ID":
+                    lex.p += 2
+                    break
+                key = lex.value()
+                val = lex.value()
+                if not isinstance(key, str):
+                    raise ValueError("pdf: inline key not a name")
+                params[_INLINE_KEYS.get(key, key)] = val
+            if "Width" not in params or "Height" not in params:
+                raise ValueError("pdf: inline image without W/H")
+        except (ValueError, IndexError):
+            continue  # not an inline image (BI inside a string)
+        # normalize abbreviations to the full-name vocabulary the
+        # XObject decoder speaks
+        f = params.get("Filter")
+        if f is not None:
+            fl = f if isinstance(f, list) else [f]
+            params["Filter"] = [
+                _INLINE_FILTERS.get(str(x), str(x)) for x in fl
+            ]
+        cs = params.get("ColorSpace")
+        if isinstance(cs, str):
+            params["ColorSpace"] = _INLINE_CS.get(cs, cs)
+        elif isinstance(cs, list) and cs:
+            head = _INLINE_CS.get(str(cs[0]), str(cs[0]))
+            base = (
+                _INLINE_CS.get(str(cs[1]), cs[1])
+                if len(cs) > 1 and isinstance(cs[1], str)
+                else (cs[1] if len(cs) > 1 else None)
+            )
+            params["ColorSpace"] = [head, base] + list(cs[2:])
+        data_start = lex.p
+        if data_start < n and content[data_start] in b" \t\r\n":
+            data_start += 1  # the single whitespace after ID
+        if params.get("Filter") is None:
+            mask = bool(params.get("ImageMask", False))
+            bpc = 1 if mask else int(params.get("BitsPerComponent", 8))
+            csname = params.get("ColorSpace", "DeviceGray")
+            ncomp = 3 if csname in ("DeviceRGB", "CalRGB") else 1
+            w = int(params["Width"])
+            h = int(params["Height"])
+            nbytes = ((w * ncomp * bpc + 7) // 8) * h
+            data = content[data_start : data_start + nbytes]
+            img = _decode_image_xobject(objs, params, data)
+            yield img
+            pos = data_start + nbytes
+            continue
+        img = None
+        tried = 0
+        for m in re.finditer(
+            rb"[ \t\r\n\x0c\x00]EI(?=[ \t\r\n\x0c\x00]|$)",
+            content[data_start:],
+        ):
+            tried += 1
+            if tried > 64:
+                break
+            data = content[data_start : data_start + m.start()]
+            try:
+                img = _decode_image_xobject(objs, params, data)
+            except ValueError:
+                continue
+            pos = data_start + m.end()
+            break
+        if img is None:
+            raise ValueError(
+                "pdf: inline image data end not found (no EI "
+                "candidate decodes)"
+            )
+        yield img
+
+
 def extract_pdf_images(payload: bytes) -> list[dict]:
-    """Extract every /Subtype /Image XObject referenced by a page's
-    /Resources, in page order: [{page (1-based), name, obj, width,
-    height, channels, filter, pixels}]. Shares the document prologue
-    with ``extract_pdf`` (decryption, ObjStm unpack, page walk), so
-    encrypted scan PDFs extract the same way text does. Images
-    nested inside FORM XObjects (/Subtype /Form resource trees) and
-    inline BI..EI images are named non-walked gaps — scanner output
-    references page images directly."""
+    """Extract every image on every page, in page order: [{page
+    (1-based), name, obj, width, height, channels, filter, pixels}].
+    Covers direct /Resources /XObject images, images nested inside
+    FORM XObjects (recursive /Resources walk + the form's own content
+    stream, depth-capped), and inline ``BI..ID..EI`` images in page
+    content (named ``inline:<k>``, obj 0). Shares the document
+    prologue with ``extract_pdf`` (decryption, ObjStm unpack, page
+    walk), so encrypted scan PDFs extract the same way text does."""
     _, objs, page_objs, _ = _open_pdf(payload)
     out: list[dict] = []
-    for pageno, (_pg, res) in enumerate(page_objs, start=1):
-        rd = _resolve(objs, res)
-        if not isinstance(rd, dict):
-            continue
-        xo = _resolve(objs, rd.get("XObject"))
-        if not isinstance(xo, dict):
-            continue
-        for name, ref in xo.items():
-            if not isinstance(ref, _Ref):
-                continue
-            tgt = objs.get(ref.num)
-            if not tgt or tgt[1] is None:
-                continue
-            val = tgt[0]
-            if (
-                not isinstance(val, dict)
-                or str(_resolve(objs, val.get("Subtype"))) != "Image"
-            ):
-                continue
-            img = _decode_image_xobject(objs, val, tgt[1])
+    for pageno, (pg, res) in enumerate(page_objs, start=1):
+
+        def walk_res(resref, prefix: str, depth: int) -> None:
+            if depth > 8:
+                raise ValueError("pdf: form XObject nesting too deep")
+            rd = _resolve(objs, resref)
+            if not isinstance(rd, dict):
+                return
+            xo = _resolve(objs, rd.get("XObject"))
+            if not isinstance(xo, dict):
+                return
+            for name, ref in xo.items():
+                if not isinstance(ref, _Ref):
+                    continue
+                tgt = objs.get(ref.num)
+                if not tgt or tgt[1] is None:
+                    continue
+                val = tgt[0]
+                if not isinstance(val, dict):
+                    continue
+                sub = str(_resolve(objs, val.get("Subtype")))
+                if sub == "Image":
+                    img = _decode_image_xobject(objs, val, tgt[1])
+                    out.append(
+                        {
+                            "page": pageno,
+                            "name": prefix + str(name),
+                            "obj": ref.num,
+                            **img,
+                        }
+                    )
+                elif sub == "Form":
+                    walk_res(
+                        val.get("Resources"),
+                        prefix + str(name) + "/",
+                        depth + 1,
+                    )
+                    body = _decode_stream(objs, val, tgt[1])
+                    for k, img in enumerate(
+                        _iter_inline_images(objs, body)
+                    ):
+                        out.append(
+                            {
+                                "page": pageno,
+                                "name": f"{prefix}{name}/inline:{k}",
+                                "obj": 0,
+                                **img,
+                            }
+                        )
+
+        walk_res(res, "", 0)
+        body = _content_bytes(objs, pg.get("Contents"))
+        for k, img in enumerate(_iter_inline_images(objs, body)):
             out.append(
-                {"page": pageno, "name": str(name), "obj": ref.num, **img}
+                {
+                    "page": pageno,
+                    "name": f"inline:{k}",
+                    "obj": 0,
+                    **img,
+                }
             )
     return out
 
@@ -1913,14 +2073,19 @@ def encode_scan_pdf(images: list) -> bytes:
     ``ccitt-g4`` / ``ccitt-k0`` / ``ccitt-k0-aligned`` (bilevel,
     white=255 display gray in), ``gray8``/``gray1``/``rgb8`` (Flate
     raw rasters), ``indexed`` (pixels are (h, w) indices; a 216-entry
-    RGB cube palette), ``mask`` (ImageMask stencil)."""
+    RGB cube palette), ``mask`` (ImageMask stencil), ``inline`` (a
+    gray8 Flate ``BI..ID..EI`` image in the page content stream —
+    §8.9.7), ``form`` (a gray8 image nested inside a Form XObject's
+    own resource tree — the office-generator layout)."""
     import numpy as np
 
     from timeseries_data_provider_spark.operators import ccitt as _ccitt
 
     objs: list[bytes] = []
     n_pages = len(images)
-    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    # four object slots per page: page, A (image or form), B (nested
+    # image, else a null placeholder), content
+    kids = " ".join(f"{3 + 4 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
@@ -1928,9 +2093,62 @@ def encode_scan_pdf(images: list) -> bytes:
     for i, (kind, px) in enumerate(images):
         px = np.asarray(px, np.uint8)
         h, w = px.shape[:2]
-        page_num = 3 + 3 * i
+        page_num = 3 + 4 * i
         img_num = page_num + 1
-        content_num = page_num + 2
+        b_num = page_num + 2
+        content_num = page_num + 3
+        if kind == "inline":
+            bi = (
+                f"q BI /W {w} /H {h} /BPC 8 /CS /G /F /Fl ID ".encode()
+                + zlib.compress(px.tobytes())
+                + b" EI Q"
+            )
+            objs.append(
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} "
+                f"{h}] /Contents {content_num} 0 R >>".encode()
+            )
+            objs.append(b"null")
+            objs.append(b"null")
+            objs.append(
+                f"<< /Length {len(bi)} >>".encode()
+                + b"\nstream\n"
+                + bi
+                + b"\nendstream"
+            )
+            continue
+        if kind == "form":
+            data = zlib.compress(px.tobytes())
+            objs.append(
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} "
+                f"{h}] /Contents {content_num} 0 R /Resources "
+                f"<< /XObject << /Fx0 {img_num} 0 R >> >> >>".encode()
+            )
+            fbody = b"/Im0 Do"
+            objs.append(
+                f"<< /Type /XObject /Subtype /Form /BBox [0 0 {w} "
+                f"{h}] /Resources << /XObject << /Im0 {b_num} 0 R "
+                f">> >> /Length {len(fbody)} >>".encode()
+                + b"\nstream\n"
+                + fbody
+                + b"\nendstream"
+            )
+            objs.append(
+                f"<< /Type /XObject /Subtype /Image /Width {w} "
+                f"/Height {h} /ColorSpace /DeviceGray "
+                f"/BitsPerComponent 8 /Length {len(data)} "
+                f"/Filter /FlateDecode >>".encode()
+                + b"\nstream\n"
+                + data
+                + b"\nendstream"
+            )
+            draw = f"q {w} 0 0 {h} 0 0 cm /Fx0 Do Q".encode()
+            objs.append(
+                f"<< /Length {len(draw)} >>".encode()
+                + b"\nstream\n"
+                + draw
+                + b"\nendstream"
+            )
+            continue
         if kind == "dct":
             from timeseries_data_provider_spark.operators import (
                 jpeg as _jpeg,
@@ -2005,6 +2223,7 @@ def encode_scan_pdf(images: list) -> bytes:
         objs.append(
             head.encode() + b"\nstream\n" + data + b"\nendstream"
         )
+        objs.append(b"null")  # unused B slot
         draw = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
         objs.append(
             f"<< /Length {len(draw)} >>".encode()
