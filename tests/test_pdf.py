@@ -438,7 +438,9 @@ def test_aes_encrypted_empty_user_password_decrypts():
     # user password; streams AND Info strings, ciphertext verified
     # absent of plaintext
     pages = [["Secret page one.", "line two"], ["page two"]]
-    for mode in ("aesv2", "aesv3", "aesv3-r5"):
+    # aesv2-nometa: /EncryptMetadata false appends ffffffff to the
+    # Algorithm-2 MD5 — a DIFFERENT file key; both sides must agree
+    for mode in ("aesv2", "aesv2-nometa", "aesv3", "aesv3-r5"):
         blob = pdf.encode_pdf(pages, title="Locked", encrypt=mode)
         assert b"Secret" not in blob and b"Locked" not in blob
         m = pdf.extract_pdf(blob)

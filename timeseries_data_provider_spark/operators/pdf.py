@@ -1826,9 +1826,12 @@ def _encrypt_fixture(encrypt: str) -> dict:
             ),
             "id": id0,
         }
-    if encrypt == "aesv2":
+    if encrypt in ("aesv2", "aesv2-nometa"):
+        nometa = encrypt == "aesv2-nometa"
         o_entry = _std_compute_o(b"owner", 4, 16)
-        filekey = _std_file_key(o_entry, -1, id0, 4, 16)
+        filekey = _std_file_key(
+            o_entry, -1, id0, 4, 16, encrypt_metadata=not nometa
+        )
         u_entry = _std_compute_u(filekey, id0, 3)
 
         def apply_v4(num: int, data: bytes) -> bytes:
@@ -1849,7 +1852,8 @@ def _encrypt_fixture(encrypt: str) -> dict:
                 "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
                 "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
                 f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
-                "/P -1 >>"
+                + ("/EncryptMetadata false " if nometa else "")
+                + "/P -1 >>"
             ),
             "id": id0,
         }
