@@ -167,3 +167,28 @@ def test_office_features_spark(spark):
     assert out[0]["text"] == "doc one" and out[0]["title"] == "d"
     assert out[1]["text"] == "a\tb"
     assert out[2]["n_units"] == 2 and out[2]["n_chars"] == 5
+
+
+def test_xlsx_sheet_numeric_order():
+    # sheet10 must come after sheet2 (review finding: lexical zip
+    # order mis-sorted multi-sheet workbooks, the pptx hazard)
+    grids = [[[f"sheet{i}"]] for i in range(1, 12)]
+    m = office.xlsx_text(office.encode_xlsx(grids))
+    assert m["text"].splitlines() == [f"sheet{i}" for i in range(1, 12)]
+
+
+def test_hostile_deep_nesting_loud():
+    # 200-deep element nesting in the body must raise the named
+    # error, not a RecursionError that kills the Spark task
+    deep = "<w:x>" * 200 + "<w:p/>" + "</w:x>" * 200
+    doc = (
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + deep
+        + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    with pytest.raises(ValueError, match="nesting too deep"):
+        office.docx_text(buf.getvalue())

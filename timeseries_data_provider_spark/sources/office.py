@@ -148,8 +148,10 @@ def docx_text(blob: bytes) -> dict:
     lines: list[str] = []
     n_par = n_tbl = 0
 
-    def walk(node) -> None:
+    def walk(node, depth: int = 0) -> None:
         nonlocal n_par, n_tbl
+        if depth > 64:
+            raise ValueError("office: body nesting too deep")
         for el in node:
             ln = _localname(el.tag)
             if ln == "p":
@@ -175,7 +177,7 @@ def docx_text(blob: bytes) -> dict:
             elif ln == "sectPr":
                 continue
             else:
-                walk(el)
+                walk(el, depth + 1)
 
     walk(body)
     title, creator = _core_props(zf)
@@ -209,9 +211,14 @@ def xlsx_text(blob: bytes) -> dict:
                 )
             )
     sheets = sorted(
-        n
-        for n in zf.namelist()
-        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        (
+            n
+            for n in zf.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        ),
+        # numeric part order: lexical zip order mis-sorts sheet10
+        # before sheet2 (the same hazard as pptx slides)
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()),
     )
     if not sheets:
         raise ValueError("office: workbook has no worksheets")
