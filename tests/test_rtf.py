@@ -85,3 +85,14 @@ def test_rtf_features_spark(spark):
     assert len(out) == 2
     assert out[0]["text"] == "one" and out[0]["title"] == "t1"
     assert out[1]["text"] == "two\nlines" and out[1]["n_chars"] == 9
+
+
+def test_starred_fldrslt_reenters_text():
+    # \*\fldrslt inside a skipped \field must still emit its text
+    # (review finding: the starred form inherited skipping=True)
+    src = (
+        rb"{\rtf1\ansi "
+        rb"{\field{\*\fldinst HYPERLINK http://x }"
+        rb"{\*\fldrslt starred}} tail\par}"
+    )
+    assert rtf.rtf_text(src)["text"] == "starred tail"

@@ -95,6 +95,9 @@ def rtf_text(blob: bytes) -> dict:
                 j = i + 2
                 m = _CTRL.match(blob, j + 1)
                 if m and m.group(1).decode() in _TEXT_DESTS:
+                    # \*\fldrslt: visible text even when the parent
+                    # group (the \field) is being skipped
+                    skipping = False
                     i = m.end()
                 else:
                     skipping = True
