@@ -192,3 +192,20 @@ def test_hostile_deep_nesting_loud():
         zf.writestr("word/document.xml", doc)
     with pytest.raises(ValueError, match="nesting too deep"):
         office.docx_text(buf.getvalue())
+
+
+def test_xlsx_rich_inline_string_runs():
+    # an inlineStr cell carrying rich-text RUNS (<is><r><t>..</t></r>
+    # <r><t>..</t></r>) must join every run (review finding: the
+    # first-hit scan dropped all but the first)
+    sheet = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData><row r="1">'
+        '<c r="A1" t="inlineStr"><is>'
+        "<r><t>rich </t></r><r><t>runs</t></r>"
+        "</is></c></row></sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert office.xlsx_text(buf.getvalue())["text"] == "rich runs"

@@ -235,6 +235,17 @@ def xlsx_text(blob: bytes) -> dict:
                 if _localname(c.tag) != "c":
                     continue
                 t = c.attrib.get("t", "n")
+                if t == "inlineStr":
+                    # rich-text runs: join every t (first-hit logic
+                    # dropped all but the first run — review finding)
+                    cells.append(
+                        "".join(
+                            el.text or ""
+                            for el in c.iter()
+                            if _localname(el.tag) == "t"
+                        )
+                    )
+                    continue
                 v = None
                 for el in c.iter():
                     if _localname(el.tag) in ("v", "t"):
