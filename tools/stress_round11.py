@@ -35,6 +35,10 @@ dsir       DSIR importance resampling at 64x: 320k raw docs, a 20k
            Python (features, floor-milli ratios, integer weight sum),
            and the Gumbel-top-k draw is reproducible.
 
+officertf  Document-tier extraction envelope: 40k docs rotating
+           DOCX/XLSX/PPTX/RTF with closed-form text; every
+           extraction checked equal JVM-side, reported in docs/s.
+
 scandedup  Scanned-page dedup chain: 20k single-page CCITT-G4 scan
            PDFs with 4k planted exact re-scan pairs; asserts the
            exact (pixel_sha256) tier recovers exactly the planted
@@ -453,6 +457,88 @@ def probe_scandedup(spark) -> None:
     )
 
 
+def probe_officertf(spark) -> None:
+    """Office/RTF extraction envelope (r11 late): 40k documents
+    rotating DOCX / XLSX / PPTX / RTF, each carrying closed-form
+    id-derived text, through office_features + rtf_features. Asserts
+    every extracted text round-trips exactly (full-table equality
+    against the reconstruction, computed JVM-side), reports docs/s —
+    the honest Python-rate envelope for the document tier."""
+    import pandas as pd
+
+    from timeseries_data_provider_spark.sources import office, rtf
+
+    n = int(os.environ.get("STRESS_OFFICERTF_N", "40000"))
+
+    def synth(batches):
+        from timeseries_data_provider_spark.sources import (
+            office as _o,
+            rtf as _r,
+        )
+
+        for b in batches:
+            out = {"doc_id": [], "kind": [], "payload": []}
+            for rid in b["id"]:
+                i = int(rid)
+                paras = [
+                    f"Document {i} line one.",
+                    f"Line two of {i} with naïve — text.",
+                ]
+                k = i % 4
+                if k == 0:
+                    p = _o.encode_docx(paras, title=f"T{i}")
+                elif k == 1:
+                    p = _o.encode_xlsx([[[paras[0]], [paras[1]]]])
+                elif k == 2:
+                    p = _o.encode_pptx([paras])
+                else:
+                    p = _r.encode_rtf(paras, title=f"T{i}")
+                out["doc_id"].append(i)
+                out["kind"].append(
+                    ["docx", "xlsx", "pptx", "rtf"][k]
+                )
+                out["payload"].append(p)
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id long, kind string, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    ooxml = media.where("kind <> 'rtf'")
+    rtfs = media.where("kind = 'rtf'")
+    t0 = time.perf_counter()
+    got = (
+        office.office_features(ooxml)
+        .select("doc_id", "kind", "text")
+        .unionByName(
+            rtf.rtf_features(rtfs).select(
+                "doc_id", F.lit("rtf").alias("kind"), "text"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_got = got.count()
+    dt = time.perf_counter() - t0
+    assert n_got == n, n_got
+    # closed-form reconstruction, all JVM: pptx joins with newline
+    # (one slide), xlsx rows with newline, docx/rtf lines with \n
+    l1 = F.concat(F.lit("Document "), F.col("doc_id"), F.lit(" line one."))
+    l2 = F.concat(
+        F.lit("Line two of "), F.col("doc_id"), F.lit(" with naïve — text.")
+    )
+    expect = F.concat(l1, F.lit("\n"), l2)
+    bad = got.where(F.col("text") != expect).count()
+    assert bad == 0, f"{bad} mismatched extractions"
+    _emit(
+        "officertf",
+        n_docs=n,
+        secs=round(dt, 2),
+        docs_per_sec=round(n / dt, 1),
+    )
+
+
 def main() -> None:
     which = sys.argv[1:] or [
         "bm25hot",
@@ -460,6 +546,7 @@ def main() -> None:
         "dsir",
         "ccittfax",
         "scandedup",
+        "officertf",
     ]
     spark = get_spark("tdps-stress-r11")
     for name in which:
