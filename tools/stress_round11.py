@@ -35,9 +35,10 @@ dsir       DSIR importance resampling at 64x: 320k raw docs, a 20k
            Python (features, floor-milli ratios, integer weight sum),
            and the Gumbel-top-k draw is reproducible.
 
-officertf  Document-tier extraction envelope: 40k docs rotating
-           DOCX/XLSX/PPTX/RTF with closed-form text; every
-           extraction checked equal JVM-side, reported in docs/s.
+officertf  Document-tier extraction envelope: 48k docs rotating
+           DOCX/XLSX/PPTX/RTF/EML/IPYNB with closed-form text;
+           every extraction checked equal JVM-side (per-format
+           separator rule), reported in docs/s.
 
 scandedup  Scanned-page dedup chain: 20k single-page CCITT-G4 scan
            PDFs with 4k planted exact re-scan pairs; asserts the
@@ -370,7 +371,6 @@ def probe_scandedup(spark) -> None:
     import pandas as pd
 
     from timeseries_data_provider_spark.operators import (
-        ccitt as _ccitt,  # noqa: F401  (import cost on workers priced)
         imagehash,
         pdf as pdfmod,
     )
@@ -458,20 +458,28 @@ def probe_scandedup(spark) -> None:
 
 
 def probe_officertf(spark) -> None:
-    """Office/RTF extraction envelope (r11 late): 40k documents
-    rotating DOCX / XLSX / PPTX / RTF, each carrying closed-form
-    id-derived text, through office_features + rtf_features. Asserts
-    every extracted text round-trips exactly (full-table equality
-    against the reconstruction, computed JVM-side), reports docs/s —
-    the honest Python-rate envelope for the document tier."""
+    """Document-tier extraction envelope (r11 late): 48k documents
+    rotating DOCX / XLSX / PPTX / RTF / EML / IPYNB, each carrying
+    closed-form id-derived text, through office_features +
+    rtf_features + eml_features + notebook_features. Asserts every
+    extracted text round-trips exactly (full-table equality against
+    the JVM-side reconstruction), reports docs/s — the honest
+    Python-rate envelope for the whole document tier."""
     import pandas as pd
 
-    from timeseries_data_provider_spark.sources import office, rtf
+    from timeseries_data_provider_spark.sources import (
+        eml as emlsrc,
+        notebook,
+        office,
+        rtf,
+    )
 
-    n = int(os.environ.get("STRESS_OFFICERTF_N", "40000"))
+    n = int(os.environ.get("STRESS_OFFICERTF_N", "48000"))
 
     def synth(batches):
         from timeseries_data_provider_spark.sources import (
+            eml as _e,
+            notebook as _n,
             office as _o,
             rtf as _r,
         )
@@ -484,18 +492,26 @@ def probe_officertf(spark) -> None:
                     f"Document {i} line one.",
                     f"Line two of {i} with naïve — text.",
                 ]
-                k = i % 4
+                k = i % 6
                 if k == 0:
                     p = _o.encode_docx(paras, title=f"T{i}")
                 elif k == 1:
                     p = _o.encode_xlsx([[[paras[0]], [paras[1]]]])
                 elif k == 2:
                     p = _o.encode_pptx([paras])
-                else:
+                elif k == 3:
                     p = _r.encode_rtf(paras, title=f"T{i}")
+                elif k == 4:
+                    p = _e.encode_eml(f"T{i}", "\n".join(paras))
+                else:
+                    # one markdown + one raw cell: joined with the
+                    # blank-line separator -> reconstructable
+                    p = _n.encode_notebook(
+                        [("markdown", paras[0]), ("raw", paras[1])]
+                    )
                 out["doc_id"].append(i)
                 out["kind"].append(
-                    ["docx", "xlsx", "pptx", "rtf"][k]
+                    ["docx", "xlsx", "pptx", "rtf", "eml", "ipynb"][k]
                 )
                 out["payload"].append(p)
             yield pd.DataFrame(out)
@@ -506,8 +522,10 @@ def probe_officertf(spark) -> None:
         .mapInPandas(synth, "doc_id long, kind string, payload binary")
         .localCheckpoint(eager=True)
     )
-    ooxml = media.where("kind <> 'rtf'")
+    ooxml = media.where("kind in ('docx', 'xlsx', 'pptx')")
     rtfs = media.where("kind = 'rtf'")
+    emls = media.where("kind = 'eml'")
+    nbs = media.where("kind = 'ipynb'")
     t0 = time.perf_counter()
     got = (
         office.office_features(ooxml)
@@ -515,6 +533,16 @@ def probe_officertf(spark) -> None:
         .unionByName(
             rtf.rtf_features(rtfs).select(
                 "doc_id", F.lit("rtf").alias("kind"), "text"
+            )
+        )
+        .unionByName(
+            emlsrc.eml_features(emls).select(
+                "doc_id", F.lit("eml").alias("kind"), "text"
+            )
+        )
+        .unionByName(
+            notebook.notebook_features(nbs).select(
+                "doc_id", F.lit("ipynb").alias("kind"), "text"
             )
         )
         .localCheckpoint(eager=True)
@@ -528,7 +556,11 @@ def probe_officertf(spark) -> None:
     l2 = F.concat(
         F.lit("Line two of "), F.col("doc_id"), F.lit(" with naïve — text.")
     )
-    expect = F.concat(l1, F.lit("\n"), l2)
+    # notebook cells join with a BLANK line; the others with one \n
+    sep = F.when(
+        F.col("kind") == "ipynb", F.lit("\n\n")
+    ).otherwise(F.lit("\n"))
+    expect = F.concat(l1, sep, l2)
     bad = got.where(F.col("text") != expect).count()
     assert bad == 0, f"{bad} mismatched extractions"
     _emit(
