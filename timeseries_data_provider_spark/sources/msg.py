@@ -1,0 +1,159 @@
+"""Outlook .msg extraction — [MS-OXMSG] property streams over the
+CFB container (sources/cfb).
+
+An Outlook message file is a CFB container whose streams are named
+``__substg1.0_PPPPTTTT`` (PPPP = MAPI property id, TTTT = type:
+001F UTF-16LE string, 001E 8-bit string). The corpus-relevant
+properties are fixed, public MAPI tags: 0037 subject, 0C1A sender
+name, 0E04 display-to, 1000 body, 007D transport headers.
+Attachments and recipients live under ``__attach_version1.0_#NN`` /
+``__recip_version1.0_#NN`` storages and are COUNTED here;
+attachment payloads hand off via the storage-pathed stream names
+``cfb_streams`` already exposes. RTF-compressed bodies
+(PR_RTF_COMPRESSED 1009, the LZFu scheme) stay the named gap when
+no plain body exists.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_data_provider_spark.sources import cfb
+
+__all__ = ["msg_text", "msg_features"]
+
+_PROPS = {
+    "0037": "subject",
+    "0C1A": "from_name",
+    "0E04": "to",
+    "1000": "body",
+}
+_SUBSTG = re.compile(r"__substg1\.0_([0-9A-F]{4})([0-9A-F]{4})$")
+
+
+def msg_text(blob: bytes) -> dict:
+    """{subject, from_name, to, body-as-text, n_attachments,
+    n_recipients}. ``blob`` is the whole CFB container."""
+    streams = cfb.cfb_streams(blob)
+    names = [n for n, _ in streams]
+    if not any(_SUBSTG.search(n) for n in names):
+        raise ValueError("msg: no MAPI property streams")
+    out = {v: None for v in _PROPS.values()}
+    for name, data in streams:
+        if "/" in name:
+            continue  # top-level message properties only
+        m = _SUBSTG.search(name)
+        if not m:
+            continue
+        prop, typ = m.group(1), m.group(2)
+        key = _PROPS.get(prop)
+        if key is None:
+            continue
+        if typ == "001F":
+            out[key] = data.decode("utf-16-le", "replace")
+        elif typ == "001E":
+            out[key] = data.decode("cp1252", "replace")
+    if out["body"] is None and any(
+        "_10090102" in n for n in names
+    ):
+        raise NotImplementedError(
+            "msg: body is RTF-compressed only (LZFu handler)"
+        )
+    n_attach = len(
+        {
+            n.split("/", 1)[0]
+            for n in names
+            if n.startswith("__attach_version1.0_")
+        }
+    )
+    n_recip = len(
+        {
+            n.split("/", 1)[0]
+            for n in names
+            if n.startswith("__recip_version1.0_")
+        }
+    )
+    body = (out["body"] or "").replace("\r\n", "\n").replace(
+        "\r", "\n"
+    )
+    return {
+        "subject": out["subject"],
+        "from_name": out["from_name"],
+        "to": out["to"],
+        "text": body.strip("\n"),
+        "n_attachments": n_attach,
+        "n_recipients": n_recip,
+    }
+
+
+def encode_msg(
+    subject: str,
+    body: str,
+    from_name: str = "Alice",
+    to: str = "Bob",
+    n_attachments: int = 0,
+) -> bytes:
+    """Fixture writer: the property streams a real .msg carries (all
+    UTF-16LE /001F), plus empty attachment storages."""
+    streams = [
+        ("__substg1.0_0037001F", subject.encode("utf-16-le")),
+        ("__substg1.0_0C1A001F", from_name.encode("utf-16-le")),
+        ("__substg1.0_0E04001F", to.encode("utf-16-le")),
+        ("__substg1.0_1000001F", body.encode("utf-16-le")),
+        ("__properties_version1.0", b"\x00" * 32),
+    ]
+    # the fixture CFB writer is flat, so attachment markers write as
+    # root streams named by their storage prefix — the counting rule
+    # (prefix before the first '/') sees real nested storages and
+    # these flat fixtures identically
+    for k in range(n_attachments):
+        streams.append((f"__attach_version1.0_#{k:08X}", b"payload"))
+    return cfb.encode_cfb(streams)
+
+
+def msg_features(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched .msg extraction: (id, subject, from_name, to,
+    text, n_chars, n_attachments, n_recipients)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = {
+                id_col: [],
+                "subject": [],
+                "from_name": [],
+                "to": [],
+                "text": [],
+                "n_chars": [],
+                "n_attachments": [],
+                "n_recipients": [],
+            }
+            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
+                m = msg_text(bytes(blob))
+                out[id_col].append(int(rid))
+                out["subject"].append(m["subject"])
+                out["from_name"].append(m["from_name"])
+                out["to"].append(m["to"])
+                out["text"].append(m["text"])
+                out["n_chars"].append(len(m["text"]))
+                out["n_attachments"].append(m["n_attachments"])
+                out["n_recipients"].append(m["n_recipients"])
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, subject string, from_name string, to string, "
+        "text string, n_chars long, n_attachments long, "
+        "n_recipients long"
+    )
+    return (
+        df.select(id_col, blob_col)
+        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
+        .mapInPandas(run, schema)
+    )
