@@ -35,10 +35,11 @@ dsir       DSIR importance resampling at 64x: 320k raw docs, a 20k
            Python (features, floor-milli ratios, integer weight sum),
            and the Gumbel-top-k draw is reproducible.
 
-officertf  Document-tier extraction envelope: 48k docs rotating
-           DOCX/XLSX/PPTX/RTF/EML/IPYNB with closed-form text;
-           every extraction checked equal JVM-side (per-format
-           separator rule), reported in docs/s.
+officertf  Document-tier extraction envelope: 50k docs rotating
+           TEN formats (DOCX/XLSX/PPTX/RTF/EML/IPYNB + OLE2
+           .doc/.ppt/.xls/.msg) with closed-form text; every
+           extraction checked equal JVM-side (per-format separator
+           rule), reported in docs/s.
 
 scandedup  Scanned-page dedup chain: 20k single-page CCITT-G4 scan
            PDFs with 4k planted exact re-scan pairs; asserts the
@@ -458,30 +459,43 @@ def probe_scandedup(spark) -> None:
 
 
 def probe_officertf(spark) -> None:
-    """Document-tier extraction envelope (r11 late): 48k documents
-    rotating DOCX / XLSX / PPTX / RTF / EML / IPYNB, each carrying
-    closed-form id-derived text, through office_features +
-    rtf_features + eml_features + notebook_features. Asserts every
-    extracted text round-trips exactly (full-table equality against
-    the JVM-side reconstruction), reports docs/s — the honest
-    Python-rate envelope for the whole document tier."""
+    """Document-tier extraction envelope (r11 late): 50k documents
+    rotating TEN formats — DOCX / XLSX / PPTX / RTF / EML / IPYNB
+    plus the OLE2 legacy family (.doc / .ppt / .xls / .msg) — each
+    carrying closed-form id-derived text, through every document
+    feature operator at once. Asserts every extracted text
+    round-trips exactly (full-table equality against the JVM-side
+    reconstruction), reports docs/s — the honest Python-rate
+    envelope for the whole document tier."""
     import pandas as pd
 
     from timeseries_data_provider_spark.sources import (
+        doc as docsrc,
         eml as emlsrc,
+        msg as msgsrc,
         notebook,
         office,
+        ppt as pptsrc,
         rtf,
+        xls as xlssrc,
     )
 
-    n = int(os.environ.get("STRESS_OFFICERTF_N", "48000"))
+    n = int(os.environ.get("STRESS_OFFICERTF_N", "50000"))
+    kinds = [
+        "docx", "xlsx", "pptx", "rtf", "eml",
+        "ipynb", "doc", "ppt", "xls", "msg",
+    ]
 
     def synth(batches):
         from timeseries_data_provider_spark.sources import (
+            doc as _d,
             eml as _e,
+            msg as _m,
             notebook as _n,
             office as _o,
+            ppt as _p,
             rtf as _r,
+            xls as _x,
         )
 
         for b in batches:
@@ -492,7 +506,7 @@ def probe_officertf(spark) -> None:
                     f"Document {i} line one.",
                     f"Line two of {i} with naïve — text.",
                 ]
-                k = i % 6
+                k = i % 10
                 if k == 0:
                     p = _o.encode_docx(paras, title=f"T{i}")
                 elif k == 1:
@@ -503,15 +517,24 @@ def probe_officertf(spark) -> None:
                     p = _r.encode_rtf(paras, title=f"T{i}")
                 elif k == 4:
                     p = _e.encode_eml(f"T{i}", "\n".join(paras))
-                else:
+                elif k == 5:
                     # one markdown + one raw cell: joined with the
                     # blank-line separator -> reconstructable
                     p = _n.encode_notebook(
                         [("markdown", paras[0]), ("raw", paras[1])]
                     )
+                elif k == 6:
+                    p = _d.encode_doc("\r".join(paras), pieces=2, mixed=True)
+                elif k == 7:
+                    p = _p.encode_ppt(paras)
+                elif k == 8:
+                    p = _x.encode_xls(paras)
+                else:
+                    p = _m.encode_msg(f"T{i}", "\r\n".join(paras))
                 out["doc_id"].append(i)
                 out["kind"].append(
-                    ["docx", "xlsx", "pptx", "rtf", "eml", "ipynb"][k]
+                    ["docx", "xlsx", "pptx", "rtf", "eml", "ipynb",
+                     "doc", "ppt", "xls", "msg"][k]
                 )
                 out["payload"].append(p)
             yield pd.DataFrame(out)
@@ -522,29 +545,24 @@ def probe_officertf(spark) -> None:
         .mapInPandas(synth, "doc_id long, kind string, payload binary")
         .localCheckpoint(eager=True)
     )
-    ooxml = media.where("kind in ('docx', 'xlsx', 'pptx')")
-    rtfs = media.where("kind = 'rtf'")
-    emls = media.where("kind = 'eml'")
-    nbs = media.where("kind = 'ipynb'")
+    def sel(dfx, kind):
+        return dfx.select(
+            "doc_id", F.lit(kind).alias("kind"), "text"
+        )
+
     t0 = time.perf_counter()
     got = (
-        office.office_features(ooxml)
+        office.office_features(
+            media.where("kind in ('docx', 'xlsx', 'pptx')")
+        )
         .select("doc_id", "kind", "text")
-        .unionByName(
-            rtf.rtf_features(rtfs).select(
-                "doc_id", F.lit("rtf").alias("kind"), "text"
-            )
-        )
-        .unionByName(
-            emlsrc.eml_features(emls).select(
-                "doc_id", F.lit("eml").alias("kind"), "text"
-            )
-        )
-        .unionByName(
-            notebook.notebook_features(nbs).select(
-                "doc_id", F.lit("ipynb").alias("kind"), "text"
-            )
-        )
+        .unionByName(sel(rtf.rtf_features(media.where("kind = 'rtf'")), "rtf"))
+        .unionByName(sel(emlsrc.eml_features(media.where("kind = 'eml'")), "eml"))
+        .unionByName(sel(notebook.notebook_features(media.where("kind = 'ipynb'")), "ipynb"))
+        .unionByName(sel(docsrc.doc_features(media.where("kind = 'doc'")), "doc"))
+        .unionByName(sel(pptsrc.ppt_features(media.where("kind = 'ppt'")), "ppt"))
+        .unionByName(sel(xlssrc.xls_features(media.where("kind = 'xls'")), "xls"))
+        .unionByName(sel(msgsrc.msg_features(media.where("kind = 'msg'")), "msg"))
         .localCheckpoint(eager=True)
     )
     n_got = got.count()
