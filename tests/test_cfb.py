@@ -121,3 +121,13 @@ def test_cfb_features_spark(spark):
     assert out[0]["n_streams"] == 2
     assert "WordDocument" in out[0]["stream_names"]
     assert out[0]["total_bytes"] == len(MID) + len(SMALL)
+
+
+def test_truncated_header_named_error():
+    # r12: a sub-512-byte payload (real crawl damage) must raise the
+    # module's named ValueError, not leak struct.error — quarantine
+    # routing keys on the ValueError contract
+    blob = cfb.encode_cfb([("WordDocument", b"x" * 100)])
+    for cut in (9, 200, 511):
+        with pytest.raises(ValueError, match="truncated header"):
+            cfb.cfb_streams(blob[:cut])

@@ -209,3 +209,25 @@ def test_xlsx_rich_inline_string_runs():
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
     assert office.xlsx_text(buf.getvalue())["text"] == "rich runs"
+
+
+def test_doctype_beyond_4kb_of_comment_padding_still_refused():
+    # r12 ADVICE: the prolog may legally carry arbitrarily long
+    # comments before the DOCTYPE — the guard must scan the whole
+    # part, not a 4096-byte prefix
+    b = office.encode_docx(["x"])
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    pad = b"<!-- " + b"z" * 8192 + b" -->"
+    bomb = (
+        b'<?xml version="1.0"?>' + pad
+        + b'<!DOCTYPE r [<!ENTITY a "aaaa">]>'
+        + zf.read("word/document.xml")
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n, bomb if n == "word/document.xml" else zf.read(n)
+            )
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        office.docx_text(buf.getvalue())

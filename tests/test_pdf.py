@@ -606,3 +606,51 @@ def test_type0_without_tounicode_emits_nothing():
     m = pdf.extract_pdf(blob2)
     assert m["n_pages"] == 1
     assert m["text"] == ""
+
+
+def test_cfm_none_resolves_to_identity():
+    # r12 ADVICE: §7.6.5 — CFM /None means "no decryption by this
+    # filter" (consumer handles data as-is), i.e. the /Identity
+    # pass-through, not an unsupported scheme
+    ed = {
+        "StmF": "F",
+        "StrF": "Identity",
+        "CF": {"F": {"CFM": "None"}},
+    }
+    assert pdf._cf_method({}, ed, "StmF") == "identity"
+    assert pdf._cf_method({}, ed, "StrF") == "identity"
+
+
+def test_xmp_plaintext_when_encryptmetadata_false():
+    # r12 ADVICE: with /EncryptMetadata false the /Type /Metadata
+    # stream is stored unencrypted (§7.6.5) — running it through the
+    # stream crypt filter would corrupt it in place
+    x = "<x:xmpmeta>plain metadata marker</x:xmpmeta>"
+    blob = pdf.encode_pdf(
+        [["secret body"]], title="T", encrypt="aesv2-nometa", xmp=x
+    )
+    assert b"plain metadata marker" in blob  # stored plaintext
+    assert b"secret body" not in blob        # body still encrypted
+    _, objs, _, _ = pdf._open_pdf(blob)
+    metas = [
+        s
+        for (v, s) in objs.values()
+        if isinstance(v, dict) and str(v.get("Type")) == "Metadata"
+    ]
+    assert metas == [x.encode()]
+    assert pdf.extract_pdf(blob)["text"] == "secret body"
+    # and with EncryptMetadata true the stream IS encrypted on disk
+    # and comes back decrypted
+    blob2 = pdf.encode_pdf([["secret body"]], encrypt="aesv2", xmp=x)
+    assert b"plain metadata marker" not in blob2
+    _, objs2, _, _ = pdf._open_pdf(blob2)
+    metas2 = [
+        s
+        for (v, s) in objs2.values()
+        if isinstance(v, dict) and str(v.get("Type")) == "Metadata"
+    ]
+    assert metas2 == [x.encode()]
+    # unencrypted file: plaintext straight through
+    blob3 = pdf.encode_pdf([["open body"]], xmp=x)
+    assert b"plain metadata marker" in blob3
+    assert pdf.extract_pdf(blob3)["text"] == "open body"

@@ -96,3 +96,19 @@ def test_starred_fldrslt_reenters_text():
         rb"{\*\fldrslt starred}} tail\par}"
     )
     assert rtf.rtf_text(src)["text"] == "starred tail"
+
+
+def test_fldrslt_inside_nontext_destination_stays_hidden():
+    # r12 ADVICE: a field result nested inside a genuinely non-text
+    # destination (\stylesheet, \pict) must NOT leak into the body —
+    # \fldrslt may only clear a FIELD-induced skip
+    blob = (
+        rb"{\rtf1\ansi "
+        rb"{\stylesheet{\s1 Normal{\field{\fldrslt leakA}}}}"
+        rb"{\pict 0102{\*\fldrslt leakB}}"
+        rb"body {\field{\*\fldinst REF x }{\fldrslt kept}} tail\par}"
+    )
+    m = rtf.rtf_text(blob)
+    assert "leakA" not in m["text"] and "leakB" not in m["text"]
+    assert "kept" in m["text"] and "body" in m["text"]
+    assert "tail" in m["text"]

@@ -437,3 +437,20 @@ def test_planar_configuration_2_roundtrip():
     struct.pack_into("<H", bad, e + 8, 14)  # 1 strip/channel claimed
     with pytest.raises(ValueError, match="planar-2 needs"):
         tiff.decode_tiff(bytes(bad))
+
+
+def test_ccitt_photometric1_inverts():
+    # r12 ADVICE: under TIFF 6.0 the fax bits ARE the samples (white
+    # pel -> 0), so photometric 1 (BlackIsZero) marks a REVERSED
+    # image that must display inverted relative to the photometric-0
+    # scanner default
+    px = np.where(
+        (np.arange(64).reshape(8, 8) % 3).astype(bool), 255, 0
+    ).astype(np.uint8)
+    blob = tiff.encode_tiff(8, 8, px, ccitt="g4")
+    assert np.array_equal(tiff.decode_tiff(blob)["pixels"], px)
+    b = bytearray(blob)
+    e = _find_entry(bytes(b), 262)
+    b[e + 8] = 1  # Photometric: WhiteIsZero -> BlackIsZero
+    d = tiff.decode_tiff(bytes(b))
+    assert np.array_equal(d["pixels"], 255 - px)

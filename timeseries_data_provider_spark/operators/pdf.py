@@ -472,6 +472,11 @@ def _cf_method(objs, ed, which: str) -> str:
         return "rc4"
     if cfm == "AESV2":
         return "aes128"
+    if cfm == "None":
+        # §7.6.5: CFM /None means the filter applies no decryption
+        # (the consumer handles the data as-is) — the /Identity
+        # pass-through, not an unsupported scheme
+        return "identity"
     raise NotImplementedError(
         f"pdf: encrypted document (crypt filter method {cfm})"
     )
@@ -509,6 +514,9 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
         doc_id[0], bytes
     ):
         id0 = doc_id[0]
+    encrypt_metadata = bool(
+        _resolve(objs, ed.get("EncryptMetadata", True))
+    )
 
     if v in (1, 2) and r in (2, 3):
         stm_m = str_m = "rc4"
@@ -526,7 +534,7 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
     elif v == 4 and r == 4:
         stm_m = _cf_method(objs, ed, "StmF")
         str_m = _cf_method(objs, ed, "StrF")
-        meta = _resolve(objs, ed.get("EncryptMetadata", True))
+        meta = encrypt_metadata
         # file-key width: AESV2 is 128-bit by definition; an RC4
         # (/V2) crypt filter follows the dict's /Length (a /Length 40
         # V2 file must derive a 5-byte key or the /U check fails)
@@ -604,6 +612,30 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
             return {kk: dec(x, k) for kk, x in vv.items()}
         return vv
 
+    def crypt_identity(d: dict) -> bool:
+        """True when the stream's filter chain carries an explicit
+        /Crypt entry resolving to the /Identity filter (§7.4.10) —
+        the stream bytes are stored plaintext and must NOT be run
+        through the default stream crypt filter."""
+        filts = _resolve(objs, d.get("Filter"))
+        if filts is None:
+            return False
+        if not isinstance(filts, list):
+            filts = [filts]
+        parms = _resolve(objs, d.get("DecodeParms", d.get("DP")))
+        if not isinstance(parms, list):
+            parms = [parms] * len(filts)
+        for f, pm in zip(filts, parms):
+            if str(_resolve(objs, f)) == "Crypt":
+                pm = _resolve(objs, pm)
+                name = "Identity"
+                if isinstance(pm, dict):
+                    name = str(
+                        _resolve(objs, pm.get("Name", "Identity"))
+                    )
+                return name == "Identity"
+        return False
+
     for num in list(objs):
         if num == enc_num:
             continue
@@ -614,7 +646,16 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
         if str_m != "identity":
             val = dec(val, obj_key(num, str_m))
         if stream is not None and stm_m != "identity":
-            stream = apply(stm_m, obj_key(num, stm_m), stream)
+            d = val if isinstance(val, dict) else {}
+            if not encrypt_metadata and str(d.get("Type")) == "Metadata":
+                # §7.6.5: with /EncryptMetadata false the XMP stream
+                # is stored plaintext — "decrypting" it would corrupt
+                # it in place (the r11 ADVICE catch)
+                pass
+            elif crypt_identity(d):
+                pass
+            else:
+                stream = apply(stm_m, obj_key(num, stm_m), stream)
         objs[num] = (val, stream)
 
 
@@ -715,6 +756,12 @@ def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
             if len(h) % 2:
                 h += b"0"
             data = bytes.fromhex(h.decode("ascii", "replace"))
+        elif f == "Crypt":
+            # §7.4.10: decryption is a document-level concern —
+            # _decrypt_standard already applied the right filter (and
+            # honors a per-stream /Identity entry), so by the time
+            # decode filters run the bytes are plaintext
+            pass
         else:
             raise NotImplementedError(
                 f"pdf: stream filter {f} (Flate/LZW/ASCIIHex only; "
@@ -1917,6 +1964,7 @@ def encode_pdf(
     objstm: bool = False,
     encrypt: str | None = None,
     cid: bool = False,
+    xmp: str | None = None,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
     text lines (one BT..ET per line, Helvetica). Classic mode
@@ -2040,6 +2088,23 @@ def encode_pdf(
             objs.append(f"<< /Title <{tb.hex()}> >>".encode())
         else:
             objs.append(f"<< /Title ({esc(title)}) >>".encode())
+    if xmp is not None:
+        if objstm:
+            raise ValueError("encode_pdf: xmp with objstm not wired")
+        # /Type /Metadata XMP stream hung off the catalog. §7.6.5:
+        # with /EncryptMetadata false the stream is stored PLAINTEXT
+        # inside an otherwise-encrypted file
+        xb = xmp.encode("utf-8")
+        if enc is not None and not encrypt.endswith("-nometa"):
+            xb = enc["apply"](len(objs) + 1, xb)
+        objs[0] = (
+            f"<< /Type /Catalog /Pages 2 0 R "
+            f"/Metadata {len(objs) + 1} 0 R >>".encode()
+        )
+        objs.append(
+            f"<< /Type /Metadata /Subtype /XML /Length {len(xb)} "
+            ">>".encode() + b"\nstream\n" + xb + b"\nendstream"
+        )
     enc_num = None
     if enc is not None:
         enc_num = len(objs) + 1

@@ -514,11 +514,16 @@ def decode_tiff(payload: bytes) -> dict:
                 "tiff: strips cover fewer rows than ImageLength"
             )
         fax = np.concatenate(parts, axis=0)
-        # fax bits are 0 = white, 1 = black regardless of
-        # photometric (the photometric tag only changes how the
-        # SAMPLE values are stored); emit the package-wide
-        # MinIsBlack display convention directly: white = 255
-        px = ((1 - fax) * 255).astype(np.uint8)
+        # Per TIFF 6.0 the decompressed fax bits ARE the samples
+        # (white pel -> 0). Under photometric 0 (WhiteIsZero) sample
+        # 0 displays white; under photometric 1 (BlackIsZero) sample
+        # 0 displays black, i.e. the image is stored "reversed" and
+        # must be inverted relative to photometric 0 (libtiff
+        # semantics — the r11 ADVICE catch).
+        if photometric == 1:
+            px = (fax * 255).astype(np.uint8)
+        else:
+            px = ((1 - fax) * 255).astype(np.uint8)
         return {
             "format": "tiff",
             "width": width,

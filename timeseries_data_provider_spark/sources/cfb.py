@@ -8,11 +8,11 @@ container — the ROUTING tier a crawl pipeline needs to identify and
 dissect these payloads (which streams exist decides what the file
 is: ``WordDocument`` -> .doc, ``Workbook`` -> .xls, ``PowerPoint
 Document`` -> .ppt, ``__properties_version1.0`` -> .msg) and to hand
-stream bytes to downstream tiers. Per-format TEXT extraction
-(MS-DOC piece tables etc.) stays the named NotImplementedError gap —
-there is no independent OLE2 implementation in this container to
-cross-validate a text decoder against, so only the spec-mechanical
-container layer (verifiable by construction + hostile tests) ships.
+stream bytes to downstream tiers. Per-format TEXT extraction lives
+in the sibling modules ``doc.py``/``ppt.py``/``xls.py``/``msg.py``
+(MS-DOC piece tables, PPT atoms, XLS SST, .msg property streams);
+their open risk — no independent OLE2 implementation in this
+container to cross-validate against — is stated in each module.
 
 Hostile-input posture: FAT/mini-FAT chain walks are cycle-bounded
 (a crafted loop raises the named error, never hangs an executor),
@@ -66,6 +66,12 @@ def _chain(fat: list[int], start: int, what: str) -> list[int]:
 def _parse(blob: bytes):
     if blob[:8] != MAGIC:
         raise ValueError("cfb: bad magic")
+    if len(blob) < 512:
+        # The 512-byte header (incl. the 109-entry DIFAT at offset 76)
+        # must be fully present; without this check a truncated crawl
+        # payload leaks struct.error instead of the module's named
+        # ValueError contract (which quarantine routing keys on).
+        raise ValueError("cfb: truncated header (< 512 bytes)")
     (
         minor,
         major,

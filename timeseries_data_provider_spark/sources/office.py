@@ -77,7 +77,10 @@ def _parse_part(zf: zipfile.ZipFile, name: str) -> ET.Element:
     if inf.file_size > MAX_MEMBER:
         raise ValueError(f"office: part {name} exceeds size guard")
     data = zf.read(name)
-    if _DOCTYPE_RE.search(data[:4096]):
+    # scan the WHOLE part, not a prefix: an XML prolog may carry
+    # arbitrarily long comments before a DOCTYPE, and the regex is
+    # cheap relative to the parse that follows
+    if _DOCTYPE_RE.search(data):
         raise ValueError(
             f"office: part {name} carries a DOCTYPE (OOXML never "
             "does — refusing to expand entities)"

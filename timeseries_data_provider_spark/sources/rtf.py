@@ -76,9 +76,12 @@ def rtf_text(blob: bytes) -> dict:
     pend_high = 0  # UTF-16 high surrogate awaiting its pair
     out: list[str] = []
     title: list[str] = []
-    # group state stack: (skipping, uc_count, in_title)
-    stack: list[tuple[bool, int, bool]] = []
-    skipping, uc, in_title = False, 1, False
+    # group state stack: (skip_why, uc_count, in_title) —
+    # skip_why is None (emitting) or the destination word that
+    # caused the skip; \*\fldrslt may only clear a "field"-induced
+    # skip, never an arbitrary ancestor's (r11 ADVICE catch)
+    stack: list[tuple[str | None, int, bool]] = []
+    skip_why, uc, in_title = None, 1, False
     # start after '{' so the \rtfN control word (and its parameter)
     # parse as a control word, not as leaked text
     i, n = 1, len(blob)
@@ -86,7 +89,7 @@ def rtf_text(blob: bytes) -> dict:
     while i < n:
         c = blob[i]
         if c == 0x7B:  # {
-            stack.append((skipping, uc, in_title))
+            stack.append((skip_why, uc, in_title))
             if len(stack) > 256:
                 raise ValueError("rtf: group nesting too deep")
             i += 1
@@ -96,23 +99,27 @@ def rtf_text(blob: bytes) -> dict:
                 m = _CTRL.match(blob, j + 1)
                 if m and m.group(1).decode() in _TEXT_DESTS:
                     # \*\fldrslt: visible text even when the parent
-                    # group (the \field) is being skipped
-                    skipping = False
+                    # group (the \field) is being skipped — but only
+                    # a FIELD-induced skip; a field result nested in
+                    # \stylesheet/\pict etc. stays hidden
+                    if skip_why in (None, "field"):
+                        skip_why = None
                     i = m.end()
                 else:
-                    skipping = True
+                    if skip_why in (None, "field"):
+                        skip_why = "star"
             continue
         if c == 0x7D:  # }
             if not stack:
                 break  # tolerant: trailer junk after the root close
-            skipping, uc, in_title = stack.pop()
+            skip_why, uc, in_title = stack.pop()
             i += 1
             continue
         if c != 0x5C:  # plain text run
             j = i
             while j < n and blob[j] not in b"\\{}":
                 j += 1
-            if not skipping or in_title:
+            if skip_why is None or in_title:
                 text = blob[i:j].replace(b"\r", b"").replace(b"\n", b"")
                 if text:
                     (title if in_title else out).append(
@@ -128,7 +135,7 @@ def rtf_text(blob: bytes) -> dict:
         if c2 == 0x27:  # \'hh hex byte
             h = blob[i + 1 : i + 3]
             i += 3
-            if not skipping or in_title:
+            if skip_why is None or in_title:
                 try:
                     ch = bytes([int(h, 16)]).decode(codec, "replace")
                 except ValueError:
@@ -136,12 +143,12 @@ def rtf_text(blob: bytes) -> dict:
                 (title if in_title else out).append(ch)
             continue
         if c2 in b"\\{}":  # escaped delimiter
-            if not skipping or in_title:
+            if skip_why is None or in_title:
                 (title if in_title else out).append(chr(c2))
             i += 1
             continue
         if c2 == 0x7E:  # \~ non-breaking space
-            if not skipping or in_title:
+            if skip_why is None or in_title:
                 (title if in_title else out).append(" ")
             i += 1
             continue
@@ -166,7 +173,7 @@ def rtf_text(blob: bytes) -> dict:
                 pass  # unknown code page: keep the cp1252 default
             continue
         if word == "u" and param is not None:
-            if not skipping or in_title:
+            if skip_why is None or in_title:
                 cp = param + 65536 if param < 0 else param
                 # astral chars arrive as \u surrogate PAIRS (the
                 # \u parameter is signed 16-bit by spec)
@@ -204,24 +211,30 @@ def rtf_text(blob: bytes) -> dict:
             uc = param
             continue
         if word in ("par", "line", "row", "sect", "page"):
-            if not skipping:
+            if skip_why is None:
                 out.append("\n")
                 if word == "par":
                     n_par += 1
             continue
         if word in ("tab", "cell"):
-            if not skipping:
+            if skip_why is None:
                 out.append("\t")
             continue
         if word == "title":
             in_title = True
-            skipping = False
+            if skip_why == "info":
+                skip_why = None
             continue
         if word in _SKIP_DESTS:
-            skipping = True
+            # a nested dest overwrites a field-induced reason (so a
+            # \pict inside a \field hides its fldrslt) but never a
+            # non-field ancestor's reason
+            if skip_why in (None, "field"):
+                skip_why = word
             continue
         if word in _TEXT_DESTS:
-            skipping = False
+            if skip_why in (None, "field"):
+                skip_why = None
             continue
         # every other control word is formatting: no text effect
     text = "".join(out)
