@@ -1690,7 +1690,10 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
 
 
 def pdf_image_features(
-    df: "DataFrame", blob_col: str = "payload", id_col: str = "doc_id"
+    df: "DataFrame",
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> "DataFrame":
     """Arrow-batched scan-image extraction: one row per image XObject
     — (id, page, name, width, height, channels, filter,
@@ -1700,69 +1703,66 @@ def pdf_image_features(
     ``pixel_sha256`` keys exact raster dedup; ``dhash`` + quarters
     ride ``imagehash.hamming_pairs`` directly, putting scanned-PDF
     pages on the same near-dup ladder as standalone images. NULL
-    ids/payloads drop JVM-side (the cdc_chunks guard)."""
+    ids/payloads drop JVM-side (the cdc_chunks guard);
+    ``errors="quarantine"`` adds (err_class, err_msg) side rows for
+    damaged documents instead of killing the task
+    (sources/envelope.py)."""
     import numpy as np
     import hashlib as _hashlib
 
     from timeseries_data_provider_spark.operators import (
         imagehash as _imagehash,
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "page": [],
-                "name": [],
-                "width": [],
-                "height": [],
-                "channels": [],
-                "filter": [],
-                "pixel_milli": [],
-                "pixel_sha256": [],
-                "dhash": [],
-                "q0": [],
-                "q1": [],
-                "q2": [],
-                "q3": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                for img in extract_pdf_images(bytes(blob)):
-                    px = img["pixels"]
-                    hh = _imagehash.dhash_bits(px)
-                    out[id_col].append(int(rid))
-                    out["page"].append(img["page"])
-                    out["name"].append(img["name"])
-                    out["width"].append(img["width"])
-                    out["height"].append(img["height"])
-                    out["channels"].append(img["channels"])
-                    out["filter"].append(img["filter"])
-                    out["pixel_milli"].append(
-                        (1000 * int(px.sum(dtype=np.int64)))
-                        // px.size
-                    )
-                    out["pixel_sha256"].append(
-                        _hashlib.sha256(px.tobytes()).hexdigest()
-                    )
-                    out["dhash"].append(
-                        hh - (1 << 64) if hh >> 63 else hh
-                    )
-                    for q in range(4):
-                        out[f"q{q}"].append((hh >> (16 * q)) & 0xFFFF)
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, page long, name string, width long, "
-        "height long, channels long, filter string, "
-        "pixel_milli long, pixel_sha256 string, dhash long, "
-        "q0 long, q1 long, q2 long, q3 long"
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(
-            F.col(id_col).isNotNull() & F.col(blob_col).isNotNull()
-        )
-        .mapInPandas(run, schema)
+
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        rows = []
+        for img in extract_pdf_images(blob):
+            px = img["pixels"]
+            hh = _imagehash.dhash_bits(px)
+            r = {
+                "page": img["page"],
+                "name": img["name"],
+                "width": img["width"],
+                "height": img["height"],
+                "channels": img["channels"],
+                "filter": img["filter"],
+                "pixel_milli": (
+                    (1000 * int(px.sum(dtype=np.int64))) // px.size
+                ),
+                "pixel_sha256": _hashlib.sha256(
+                    px.tobytes()
+                ).hexdigest(),
+                "dhash": hh - (1 << 64) if hh >> 63 else hh,
+            }
+            for q in range(4):
+                r[f"q{q}"] = (hh >> (16 * q)) & 0xFFFF
+            rows.append(r)
+        return rows
+
+    return extraction_envelope(
+        df,
+        per_row,
+        [
+            ("page", "long"),
+            ("name", "string"),
+            ("width", "long"),
+            ("height", "long"),
+            ("channels", "long"),
+            ("filter", "string"),
+            ("pixel_milli", "long"),
+            ("pixel_sha256", "string"),
+            ("dhash", "long"),
+            ("q0", "long"),
+            ("q1", "long"),
+            ("q2", "long"),
+            ("q3", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
     )
 
 
@@ -2469,35 +2469,45 @@ def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
 
 
 def pdf_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched extraction: (id, pdf_version, n_pages, text,
-    n_text_chars, title, producer) per document."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "pdf_version": [],
-                "n_pages": [],
-                "text": [],
-                "n_text_chars": [],
-                "title": [],
-                "producer": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = extract_pdf(bytes(blob))
-                out[id_col].append(int(rid))
-                out["pdf_version"].append(m["pdf_version"])
-                out["n_pages"].append(m["n_pages"])
-                out["text"].append(m["text"])
-                out["n_text_chars"].append(len(m["text"]))
-                out["title"].append(m["title"])
-                out["producer"].append(m["producer"])
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, pdf_version string, n_pages long, text string, "
-        "n_text_chars long, title string, producer string"
+    n_text_chars, title, producer) per document.
+    ``errors="quarantine"`` adds (err_class, err_msg) side rows for
+    damaged documents instead of killing the task
+    (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
     )
-    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        m = extract_pdf(blob)
+        return [
+            {
+                "pdf_version": m["pdf_version"],
+                "n_pages": m["n_pages"],
+                "text": m["text"],
+                "n_text_chars": len(m["text"]),
+                "title": m["title"],
+                "producer": m["producer"],
+            }
+        ]
+
+    return extraction_envelope(
+        df,
+        per_row,
+        [
+            ("pdf_version", "string"),
+            ("n_pages", "long"),
+            ("text", "string"),
+            ("n_text_chars", "long"),
+            ("title", "string"),
+            ("producer", "string"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+    )

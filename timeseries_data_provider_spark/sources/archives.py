@@ -190,33 +190,33 @@ def encode_epub(chapters: list[list[str]], title: str = "Book") -> bytes:
 
 
 def epub_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched EPUB extraction: (id, title, n_members,
-    n_chapters, text, n_text_chars)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                id_col: [],
-                "title": [],
-                "n_members": [],
-                "n_chapters": [],
-                "text": [],
-                "n_text_chars": [],
-            }
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                m = epub_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["title"].append(m["title"])
-                out["n_members"].append(m["n_members"])
-                out["n_chapters"].append(m["n_chapters"])
-                out["text"].append(m["text"])
-                out["n_text_chars"].append(len(m["text"]))
-            yield pd.DataFrame(out)
-
-    return df.select(id_col, blob_col).mapInPandas(
-        run,
-        f"{id_col} long, title string, n_members long, n_chapters long, "
-        "text string, n_text_chars long",
+    n_chapters, text, n_text_chars). ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged inputs instead of
+    killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        single_row_features,
     )
+
+    return single_row_features(
+        df,
+        epub_text,
+        [
+            ("title", "string"),
+            ("n_members", "long"),
+            ("n_chapters", "long"),
+            ("text", "string"),
+            ("n_text_chars", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+        derive={"n_text_chars": lambda m: len(m["text"])},
+    )
+
+

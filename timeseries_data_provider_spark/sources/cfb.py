@@ -362,35 +362,40 @@ def encode_cfb(streams: list[tuple[str, bytes]]) -> bytes:
 
 
 def cfb_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched routing: (id, kind, n_streams, total_bytes,
-    stream_names) per container."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "kind": [],
-                "n_streams": [],
-                "total_bytes": [],
-                "stream_names": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = cfb_kind(bytes(blob))
-                out[id_col].append(int(rid))
-                out["kind"].append(m["kind"])
-                out["n_streams"].append(m["n_streams"])
-                out["total_bytes"].append(m["total_bytes"])
-                out["stream_names"].append(m["streams"])
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, kind string, n_streams long, "
-        "total_bytes long, stream_names array<string>"
+    stream_names) per container. ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged containers instead
+    of killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        m = cfb_kind(blob)
+        return [
+            {
+                "kind": m["kind"],
+                "n_streams": m["n_streams"],
+                "total_bytes": m["total_bytes"],
+                "stream_names": m["streams"],
+            }
+        ]
+
+    return extraction_envelope(
+        df,
+        per_row,
+        [
+            ("kind", "string"),
+            ("n_streams", "long"),
+            ("total_bytes", "long"),
+            ("stream_names", "array<string>"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
     )

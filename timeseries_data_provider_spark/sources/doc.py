@@ -202,31 +202,29 @@ def encode_doc(
 
 
 def doc_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
-    """Arrow-batched .doc extraction: (id, n_pieces, text, n_chars)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "n_pieces": [],
-                "text": [],
-                "n_chars": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = doc_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["n_pieces"].append(m["n_pieces"])
-                out["text"].append(m["text"])
-                out["n_chars"].append(m["n_chars"])
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, n_pieces long, text string, n_chars long"
+    """Arrow-batched .doc extraction: (id, n_pieces, text, n_chars). ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged inputs instead of
+    killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        single_row_features,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+
+    return single_row_features(
+        df,
+        doc_text,
+        [
+            ("n_pieces", "long"),
+            ("text", "string"),
+            ("n_chars", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
     )
+
+

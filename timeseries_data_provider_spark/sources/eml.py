@@ -238,87 +238,81 @@ def encode_mbox(messages: list[bytes]) -> bytes:
 
 # -- Spark operators -----------------------------------------------------
 
-_EML_SCHEMA = (
-    "doc_id long, subject string, from_addr string, to string, "
-    "date string, message_id string, n_parts long, "
-    "n_attachments long, text string, n_chars long"
-)
+_EML_COLS = [
+    ("subject", "string"),
+    ("from_addr", "string"),
+    ("to", "string"),
+    ("date", "string"),
+    ("message_id", "string"),
+    ("n_parts", "long"),
+    ("n_attachments", "long"),
+    ("text", "string"),
+    ("n_chars", "long"),
+]
 
 
-def _eml_rows(rid: int, blob: bytes, out: dict) -> None:
-    m = eml_text(blob)
-    out["doc_id"].append(rid)
-    for k in (
-        "subject",
-        "from_addr",
-        "to",
-        "date",
-        "message_id",
-        "n_parts",
-        "n_attachments",
-        "text",
-    ):
-        out[k].append(m[k])
-    out["n_chars"].append(len(m["text"]))
+def _eml_row(m: dict) -> dict:
+    r = {n: m[n] for n, _ in _EML_COLS if n != "n_chars"}
+    r["n_chars"] = len(m["text"])
+    return r
 
 
 def eml_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
-    """Arrow-batched single-message extraction (one row per doc)."""
+    """Arrow-batched single-message extraction (one row per doc).
+    ``errors="quarantine"`` adds (err_class, err_msg) side rows for
+    damaged messages instead of killing the task
+    (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out: dict = {
-                k: []
-                for k in (
-                    "doc_id subject from_addr to date message_id "
-                    "n_parts n_attachments text n_chars"
-                ).split()
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                _eml_rows(int(rid), bytes(blob), out)
-            yield pd.DataFrame(out)
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        return [_eml_row(eml_text(blob))]
 
-    return (
-        df.select(F.col(id_col).alias("doc_id"), blob_col)
-        .where(
-            F.col("doc_id").isNotNull() & F.col(blob_col).isNotNull()
-        )
-        .mapInPandas(run, _EML_SCHEMA)
+    return extraction_envelope(
+        df,
+        per_row,
+        _EML_COLS,
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
     )
 
 
 def mbox_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched 1->N archive fan-out: one row per message, with
-    ``msg_idx`` preserving archive order."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out: dict = {
-                k: []
-                for k in (
-                    "doc_id msg_idx subject from_addr to date "
-                    "message_id n_parts n_attachments text n_chars"
-                ).split()
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                for k, msg in enumerate(mbox_messages(bytes(blob))):
-                    before = len(out["doc_id"])
-                    _eml_rows(int(rid), msg, out)
-                    assert len(out["doc_id"]) == before + 1
-                    out["msg_idx"].append(k)
-            yield pd.DataFrame(out)
-
-    schema = _EML_SCHEMA.replace(
-        "doc_id long,", "doc_id long, msg_idx long,"
+    ``msg_idx`` preserving archive order. ``errors="quarantine"``
+    adds (err_class, err_msg) side rows for damaged archives instead
+    of killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), blob_col)
-        .where(
-            F.col("doc_id").isNotNull() & F.col(blob_col).isNotNull()
-        )
-        .mapInPandas(run, schema)
+
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        rows = []
+        for k, msg in enumerate(mbox_messages(blob)):
+            r = _eml_row(eml_text(msg))
+            r["msg_idx"] = k
+            rows.append(r)
+        return rows
+
+    return extraction_envelope(
+        df,
+        per_row,
+        [("msg_idx", "long")] + _EML_COLS,
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
     )
+
+

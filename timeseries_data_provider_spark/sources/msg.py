@@ -118,42 +118,35 @@ def encode_msg(
 
 
 def msg_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched .msg extraction: (id, subject, from_name, to,
-    text, n_chars, n_attachments, n_recipients)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "subject": [],
-                "from_name": [],
-                "to": [],
-                "text": [],
-                "n_chars": [],
-                "n_attachments": [],
-                "n_recipients": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = msg_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["subject"].append(m["subject"])
-                out["from_name"].append(m["from_name"])
-                out["to"].append(m["to"])
-                out["text"].append(m["text"])
-                out["n_chars"].append(len(m["text"]))
-                out["n_attachments"].append(m["n_attachments"])
-                out["n_recipients"].append(m["n_recipients"])
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, subject string, from_name string, to string, "
-        "text string, n_chars long, n_attachments long, "
-        "n_recipients long"
+    text, n_chars, n_attachments, n_recipients). ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged inputs instead of
+    killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        single_row_features,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+
+    return single_row_features(
+        df,
+        msg_text,
+        [
+            ("subject", "string"),
+            ("from_name", "string"),
+            ("to", "string"),
+            ("text", "string"),
+            ("n_chars", "long"),
+            ("n_attachments", "long"),
+            ("n_recipients", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+        derive={"n_chars": lambda m: len(m["text"])},
     )
+
+

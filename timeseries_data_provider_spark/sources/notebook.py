@@ -163,39 +163,34 @@ def encode_notebook(
 
 
 def notebook_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched notebook extraction: (id, language, n_cells,
-    n_code, n_md, text, n_chars)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "language": [],
-                "n_cells": [],
-                "n_code": [],
-                "n_md": [],
-                "text": [],
-                "n_chars": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = notebook_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["language"].append(m["language"])
-                out["n_cells"].append(m["n_cells"])
-                out["n_code"].append(m["n_code"])
-                out["n_md"].append(m["n_md"])
-                out["text"].append(m["text"])
-                out["n_chars"].append(len(m["text"]))
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, language string, n_cells long, n_code long, "
-        "n_md long, text string, n_chars long"
+    n_code, n_md, text, n_chars). ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged inputs instead of
+    killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        single_row_features,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+
+    return single_row_features(
+        df,
+        notebook_text,
+        [
+            ("language", "string"),
+            ("n_cells", "long"),
+            ("n_code", "long"),
+            ("n_md", "long"),
+            ("text", "string"),
+            ("n_chars", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+        derive={"n_chars": lambda m: len(m["text"])},
     )
+
+

@@ -528,43 +528,48 @@ def synth_docx_corpus(documents: DataFrame) -> DataFrame:
 
 
 def office_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched OOXML extraction: (id, kind, title, creator,
     n_units, n_tables, text, n_chars) per document, format sniffed
     from the container parts. NULL ids/payloads drop JVM-side (the
-    cdc_chunks guard)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "kind": [],
-                "title": [],
-                "creator": [],
-                "n_units": [],
-                "n_tables": [],
-                "text": [],
-                "n_chars": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = office_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["kind"].append(m["kind"])
-                out["title"].append(m["title"])
-                out["creator"].append(m["creator"])
-                out["n_units"].append(m["n_units"])
-                out["n_tables"].append(m["n_tables"])
-                out["text"].append(m["text"])
-                out["n_chars"].append(len(m["text"]))
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, kind string, title string, creator string, "
-        "n_units long, n_tables long, text string, n_chars long"
+    cdc_chunks guard); ``errors="quarantine"`` adds (err_class,
+    err_msg) side rows for damaged containers instead of killing
+    the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        m = office_text(blob)
+        return [
+            {
+                "kind": m["kind"],
+                "title": m["title"],
+                "creator": m["creator"],
+                "n_units": m["n_units"],
+                "n_tables": m["n_tables"],
+                "text": m["text"],
+                "n_chars": len(m["text"]),
+            }
+        ]
+
+    return extraction_envelope(
+        df,
+        per_row,
+        [
+            ("kind", "string"),
+            ("title", "string"),
+            ("creator", "string"),
+            ("n_units", "long"),
+            ("n_tables", "long"),
+            ("text", "string"),
+            ("n_chars", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
     )

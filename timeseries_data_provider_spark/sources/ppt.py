@@ -102,29 +102,29 @@ def encode_ppt(lines: list[str]) -> bytes:
 
 
 def ppt_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
-    """Arrow-batched .ppt extraction: (id, n_atoms, text, n_chars)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "n_atoms": [],
-                "text": [],
-                "n_chars": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = ppt_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["n_atoms"].append(m["n_atoms"])
-                out["text"].append(m["text"])
-                out["n_chars"].append(m["n_chars"])
-            yield pd.DataFrame(out)
-
-    schema = f"{id_col} long, n_atoms long, text string, n_chars long"
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+    """Arrow-batched .ppt extraction: (id, n_atoms, text, n_chars). ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged inputs instead of
+    killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        single_row_features,
     )
+
+    return single_row_features(
+        df,
+        ppt_text,
+        [
+            ("n_atoms", "long"),
+            ("text", "string"),
+            ("n_chars", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+    )
+
+

@@ -297,35 +297,32 @@ def encode_rtf(
 
 
 def rtf_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched RTF extraction: (id, title, n_paragraphs, text,
-    n_chars). NULL ids/payloads drop JVM-side."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "title": [],
-                "n_paragraphs": [],
-                "text": [],
-                "n_chars": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = rtf_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["title"].append(m["title"])
-                out["n_paragraphs"].append(m["n_paragraphs"])
-                out["text"].append(m["text"])
-                out["n_chars"].append(len(m["text"]))
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, title string, n_paragraphs long, "
-        "text string, n_chars long"
+    n_chars). NULL ids/payloads drop JVM-side. ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged inputs instead of
+    killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        single_row_features,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+
+    return single_row_features(
+        df,
+        rtf_text,
+        [
+            ("title", "string"),
+            ("n_paragraphs", "long"),
+            ("text", "string"),
+            ("n_chars", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+        derive={"n_chars": lambda m: len(m["text"])},
     )
+
+

@@ -144,7 +144,10 @@ def iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
 
 
 def warc_member_index(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """CDX-style fetch index for gzip-member WARC archives: one row
     per member — (archive id, member_idx, offset, compressed length,
@@ -154,47 +157,54 @@ def warc_member_index(
     without touching the rest of the archive, and the index is the
     metadata build artifact a 100 TB crawl tier shards work by.
     Plain (non-gzip) archives get record byte offsets with
-    comp_length = the record's stored length — same fetch semantics."""
+    comp_length = the record's stored length — same fetch semantics.
+    ``errors="quarantine"`` adds (err_class, err_msg) side rows for
+    damaged archives instead of killing the task
+    (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                id_col: [],
-                "member_idx": [],
-                "offset": [],
-                "comp_length": [],
-                "warc_type": [],
-                "url": [],
-                "record_bytes": [],
-            }
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                rid = int(rid)
-                blob = bytes(blob)
-                try:
-                    if blob[:2] == _GZIP_MAGIC:
-                        members = iter_gzip_members(blob)
-                    else:
-                        members = _plain_record_spans(blob)
-                    for idx, (off, clen, raw) in enumerate(members):
-                        recs = list(iter_warc_records(raw))
-                        # one record per member in the CC layout; a
-                        # multi-record member indexes as its first
-                        rec = recs[0] if recs else {}
-                        out[id_col].append(rid)
-                        out["member_idx"].append(idx)
-                        out["offset"].append(off)
-                        out["comp_length"].append(clen)
-                        out["warc_type"].append(rec.get("warc-type"))
-                        out["url"].append(rec.get("warc-target-uri"))
-                        out["record_bytes"].append(len(raw))
-                except ValueError as e:
-                    raise ValueError(f"archive {rid}: {e}") from e
-            yield pd.DataFrame(out)
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        rows = []
+        try:
+            if blob[:2] == _GZIP_MAGIC:
+                members = iter_gzip_members(blob)
+            else:
+                members = _plain_record_spans(blob)
+            for idx, (off, clen, raw) in enumerate(members):
+                recs = list(iter_warc_records(raw))
+                # one record per member in the CC layout; a
+                # multi-record member indexes as its first
+                rec = recs[0] if recs else {}
+                rows.append(
+                    {
+                        "member_idx": idx,
+                        "offset": off,
+                        "comp_length": clen,
+                        "warc_type": rec.get("warc-type"),
+                        "url": rec.get("warc-target-uri"),
+                        "record_bytes": len(raw),
+                    }
+                )
+        except ValueError as e:
+            raise ValueError(f"archive {rid}: {e}") from e
+        return rows
 
-    return df.select(id_col, blob_col).mapInPandas(
-        run,
-        f"{id_col} long, member_idx long, offset long, comp_length long, "
-        "warc_type string, url string, record_bytes long",
+    return extraction_envelope(
+        df,
+        per_row,
+        [
+            ("member_idx", "long"),
+            ("offset", "long"),
+            ("comp_length", "long"),
+            ("warc_type", "string"),
+            ("url", "string"),
+            ("record_bytes", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
     )
 
 
@@ -292,55 +302,67 @@ def http_response_bytes(
 
 
 def warc_responses(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched 1->N fan-out of WARC archives into one row per
     ``response`` record: (id, record index, url, warc_date, http
     status, mime type, payload bytes). Non-response records
     (warcinfo/request/metadata) are counted but not emitted — the
     text pipeline consumes responses. Per-archive independence means
-    zero shuffle; parse errors carry the archive id in the message."""
+    zero shuffle; parse errors carry the archive id in the message.
+    ``errors="quarantine"`` adds (err_class, err_msg) side rows for
+    damaged archives instead of killing the task
+    (sources/envelope.py)."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                id_col: [],
-                "record_idx": [],
-                "url": [],
-                "warc_date": [],
-                "http_status": [],
-                "mime": [],
-                "n_records": [],
-                "body": [],
-            }
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                rid = int(rid)
-                try:
-                    recs = list(iter_warc_records(bytes(blob)))
-                except ValueError as e:
-                    raise ValueError(f"archive {rid}: {e}") from e
-                for idx, rec in enumerate(recs):
-                    if rec.get("warc-type") != "response":
-                        continue
-                    status, hh, payload = parse_http_response(rec["body"])
-                    mime = hh.get("content-type", "")
-                    # strip parameters: "text/html; charset=utf-8"
-                    mime = mime.split(";", 1)[0].strip()
-                    out[id_col].append(rid)
-                    out["record_idx"].append(idx)
-                    out["url"].append(rec.get("warc-target-uri"))
-                    out["warc_date"].append(rec.get("warc-date"))
-                    out["http_status"].append(status)
-                    out["mime"].append(mime)
-                    out["n_records"].append(len(recs))
-                    out["body"].append(payload)
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, record_idx long, url string, warc_date string, "
-        "http_status long, mime string, n_records long, body binary"
+    from timeseries_data_provider_spark.sources.envelope import (
+        extraction_envelope,
     )
-    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+    def per_row(rid: int, blob: bytes) -> list[dict]:
+        try:
+            recs = list(iter_warc_records(blob))
+        except ValueError as e:
+            raise ValueError(f"archive {rid}: {e}") from e
+        rows = []
+        for idx, rec in enumerate(recs):
+            if rec.get("warc-type") != "response":
+                continue
+            status, hh, payload = parse_http_response(rec["body"])
+            mime = hh.get("content-type", "")
+            # strip parameters: "text/html; charset=utf-8"
+            mime = mime.split(";", 1)[0].strip()
+            rows.append(
+                {
+                    "record_idx": idx,
+                    "url": rec.get("warc-target-uri"),
+                    "warc_date": rec.get("warc-date"),
+                    "http_status": status,
+                    "mime": mime,
+                    "n_records": len(recs),
+                    "body": payload,
+                }
+            )
+        return rows
+
+    return extraction_envelope(
+        df,
+        per_row,
+        [
+            ("record_idx", "long"),
+            ("url", "string"),
+            ("warc_date", "string"),
+            ("http_status", "long"),
+            ("mime", "string"),
+            ("n_records", "long"),
+            ("body", "binary"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+    )
 
 
 def read_warc_files(spark: SparkSession, path: str) -> DataFrame:

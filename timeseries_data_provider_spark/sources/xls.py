@@ -240,35 +240,32 @@ def encode_xls(
 
 
 def xls_features(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "raise",
 ) -> DataFrame:
     """Arrow-batched .xls extraction: (id, n_strings, n_label_cells,
-    text, n_chars)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            out = {
-                id_col: [],
-                "n_strings": [],
-                "n_label_cells": [],
-                "text": [],
-                "n_chars": [],
-            }
-            for rid, blob in zip(pdf_[id_col], pdf_[blob_col]):
-                m = xls_text(bytes(blob))
-                out[id_col].append(int(rid))
-                out["n_strings"].append(m["n_strings"])
-                out["n_label_cells"].append(m["n_label_cells"])
-                out["text"].append(m["text"])
-                out["n_chars"].append(len(m["text"]))
-            yield pd.DataFrame(out)
-
-    schema = (
-        f"{id_col} long, n_strings long, n_label_cells long, "
-        "text string, n_chars long"
+    text, n_chars). ``errors="quarantine"`` adds
+    (err_class, err_msg) side rows for damaged inputs instead of
+    killing the task (sources/envelope.py)."""
+    from timeseries_data_provider_spark.sources.envelope import (
+        single_row_features,
     )
-    return (
-        df.select(id_col, blob_col)
-        .where(F.col(id_col).isNotNull() & F.col(blob_col).isNotNull())
-        .mapInPandas(run, schema)
+
+    return single_row_features(
+        df,
+        xls_text,
+        [
+            ("n_strings", "long"),
+            ("n_label_cells", "long"),
+            ("text", "string"),
+            ("n_chars", "long"),
+        ],
+        id_col=id_col,
+        blob_col=blob_col,
+        errors=errors,
+        derive={"n_chars": lambda m: len(m["text"])},
     )
+
+

@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Round-12 scale-stress probes (BASELINE.md §C rows; same
+assert-then-time protocol as tools/stress_round4-11.py — each probe
+asserts the operator's correctness invariant, then prints one JSON
+line).
+
+quarantine  The tolerant extraction envelope (r11 VERDICT top-next)
+            at batch scale: 50k docs rotating the TEN document
+            formats (DOCX/XLSX/PPTX/RTF/EML/IPYNB + OLE2
+            .doc/.ppt/.xls/.msg) with ONE doc in every 1,000
+            poisoned (crawl damage). errors='quarantine' must keep
+            the batch alive: every poisoned doc becomes exactly one
+            (id, err_class, err_msg) side row, every healthy doc
+            extracts, and the run completes — where the default
+            raise posture (correctly) kills the job on the first
+            damaged file. Also times the envelope on the SAME corpus
+            with zero poison against the r11 officertf baseline
+            shape: the try/except adds no measurable cost next to
+            parsing (docs/s reported for both).
+
+Usage: python tools/stress_round12.py [quarantine]
+Env: STRESS_QUAR_N (default 50000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from timeseries_data_provider_spark.session import get_spark  # noqa: E402
+
+POISON = b"\xff\xfe crawl damage \x00\x01" * 3
+
+
+def _emit(probe: str, **kw) -> None:
+    print(json.dumps({"probe": probe, **kw}))
+
+
+def _synth_corpus(spark, n: int, poison_every: int):
+    """The officertf ten-format rotation, with doc_id % poison_every
+    == poison_every-1 docs replaced by undecodable garbage
+    (poison_every=0 disables poisoning)."""
+    import pandas as pd
+
+    def synth(batches):
+        from timeseries_data_provider_spark.sources import (
+            doc as _d,
+            eml as _e,
+            msg as _m,
+            notebook as _n,
+            office as _o,
+            ppt as _p,
+            rtf as _r,
+            xls as _x,
+        )
+
+        for b in batches:
+            out = {"doc_id": [], "kind": [], "payload": []}
+            for rid in b["id"]:
+                i = int(rid)
+                k = i % 10
+                kind = [
+                    "docx", "xlsx", "pptx", "rtf", "eml",
+                    "ipynb", "doc", "ppt", "xls", "msg",
+                ][k]
+                if poison_every and i % poison_every == poison_every - 1:
+                    p = POISON
+                else:
+                    paras = [
+                        f"Document {i} line one.",
+                        f"Line two of {i} with naïve — text.",
+                    ]
+                    if k == 0:
+                        p = _o.encode_docx(paras, title=f"T{i}")
+                    elif k == 1:
+                        p = _o.encode_xlsx([[[paras[0]], [paras[1]]]])
+                    elif k == 2:
+                        p = _o.encode_pptx([paras])
+                    elif k == 3:
+                        p = _r.encode_rtf(paras, title=f"T{i}")
+                    elif k == 4:
+                        p = _e.encode_eml(f"T{i}", "\n".join(paras))
+                    elif k == 5:
+                        p = _n.encode_notebook(
+                            [("markdown", paras[0]), ("raw", paras[1])]
+                        )
+                    elif k == 6:
+                        p = _d.encode_doc(
+                            "\r".join(paras), pieces=2, mixed=True
+                        )
+                    elif k == 7:
+                        p = _p.encode_ppt(paras)
+                    elif k == 8:
+                        p = _x.encode_xls(paras)
+                    else:
+                        p = _m.encode_msg(f"T{i}", "\r\n".join(paras))
+                out["doc_id"].append(i)
+                out["kind"].append(kind)
+                out["payload"].append(p)
+            yield pd.DataFrame(out)
+
+    return (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id long, kind string, payload binary")
+        .localCheckpoint(eager=True)
+    )
+
+
+def probe_quarantine(spark) -> None:
+    from timeseries_data_provider_spark.sources import (
+        doc as docsrc,
+        eml as emlsrc,
+        msg as msgsrc,
+        notebook,
+        office,
+        ppt as pptsrc,
+        rtf,
+        xls as xlssrc,
+    )
+
+    n = int(os.environ.get("STRESS_QUAR_N", "50000"))
+    poison_every = 1000
+    ops = {
+        "docx": office.office_features,
+        "xlsx": office.office_features,
+        "pptx": office.office_features,
+        "rtf": rtf.rtf_features,
+        "eml": emlsrc.eml_features,
+        "ipynb": notebook.notebook_features,
+        "doc": docsrc.doc_features,
+        "ppt": pptsrc.ppt_features,
+        "xls": xlssrc.xls_features,
+        "msg": msgsrc.msg_features,
+    }
+
+    def run_all(media, errors: str) -> tuple[float, int, int]:
+        """Run every family's feature operator over its slice in one
+        unioned job; return (seconds, clean rows, quarantined rows)."""
+        t0 = time.time()
+        parts = []
+        for kind, op in ops.items():
+            out = op(media.where(F.col("kind") == kind), errors=errors)
+            sel = [
+                F.col("doc_id"),
+                (
+                    F.col("err_class")
+                    if errors == "quarantine"
+                    else F.lit(None).cast("string").alias("err_class")
+                ),
+            ]
+            parts.append(out.select(sel))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.union(p)
+        agg = u.agg(
+            F.count("*").alias("total"),
+            F.count("err_class").alias("bad"),
+            F.count_distinct("doc_id").alias("ids"),
+        ).collect()[0]
+        dt = time.time() - t0
+        assert agg["ids"] == agg["total"], "duplicate or lost doc ids"
+        return dt, agg["total"] - agg["bad"], agg["bad"]
+
+    # 1) poisoned corpus: the batch SURVIVES under quarantine and the
+    #    damage is exactly the planted set
+    media_bad = _synth_corpus(spark, n, poison_every)
+    dt_bad, clean, bad = run_all(media_bad, "quarantine")
+    want_bad = n // poison_every
+    assert bad == want_bad, (bad, want_bad)
+    assert clean == n - want_bad, (clean, n)
+    # err_class is the named-contract ValueError (poisoned ids land
+    # on i % 1000 == 999 -> the msg family in the 10-way rotation)
+    classes = (
+        msgsrc.msg_features(
+            media_bad.where(F.col("kind") == "msg"),
+            errors="quarantine",
+        )
+        .where(F.col("err_class").isNotNull())
+        .select("err_class")
+        .distinct()
+        .collect()
+    )
+    assert [r["err_class"] for r in classes] == ["ValueError"], classes
+
+    # 2) clean corpus: quarantine-mode overhead vs the raise default
+    media_clean = _synth_corpus(spark, n, 0)
+    dt_raise, clean_r, _ = run_all(media_clean, "raise")
+    dt_quar, clean_q, bad_q = run_all(media_clean, "quarantine")
+    assert clean_r == n and clean_q == n and bad_q == 0
+
+    _emit(
+        "quarantine",
+        n=n,
+        poisoned=want_bad,
+        quarantined=bad,
+        clean=clean,
+        sec_poisoned_quarantine=round(dt_bad, 2),
+        docs_per_sec_poisoned=round(n / dt_bad),
+        sec_clean_raise=round(dt_raise, 2),
+        sec_clean_quarantine=round(dt_quar, 2),
+        docs_per_sec_clean_raise=round(n / dt_raise),
+        docs_per_sec_clean_quarantine=round(n / dt_quar),
+    )
+
+
+PROBES = {"quarantine": probe_quarantine}
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(PROBES)
+    spark = get_spark("stress-r12", cpus=32, shuffle_partitions=32)
+    try:
+        for name in names:
+            PROBES[name](spark)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
