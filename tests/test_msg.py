@@ -31,13 +31,24 @@ def test_8bit_string_type():
     assert m["subject"] == "café" and m["text"] == "plain body"
 
 
-def test_rtf_only_body_named():
+def test_rtf_only_body_decompresses_and_damage_is_loud():
+    # the r11 named gap is CLOSED: a valid LZFu body extracts
+    # (tests/test_lzfu.py covers parity with the plain-body twin);
+    # a damaged PR_RTF_COMPRESSED stream raises lzfu's named error
+    from timeseries_data_provider_spark.sources import lzfu, rtf
+
     streams = [
         ("__substg1.0_0037001F", "s".encode("utf-16-le")),
-        ("__substg1.0_10090102", b"\x00" * 16),  # PR_RTF_COMPRESSED
+        (
+            "__substg1.0_10090102",
+            lzfu.lzfu_compress(rtf.encode_rtf(["via lzfu"])),
+        ),
         ("__properties_version1.0", b"\x00" * 32),
     ]
-    with pytest.raises(NotImplementedError, match="RTF-compressed"):
+    m = msg.msg_text(cfb.encode_cfb(streams))
+    assert m["text"] == "via lzfu" and m["subject"] == "s"
+    streams[1] = ("__substg1.0_10090102", b"\x00" * 16)
+    with pytest.raises(ValueError, match="lzfu"):
         msg.msg_text(cfb.encode_cfb(streams))
 
 

@@ -10,8 +10,10 @@ Attachments and recipients live under ``__attach_version1.0_#NN`` /
 ``__recip_version1.0_#NN`` storages and are COUNTED here;
 attachment payloads hand off via the storage-pathed stream names
 ``cfb_streams`` already exposes. RTF-compressed bodies
-(PR_RTF_COMPRESSED 1009, the LZFu scheme) stay the named gap when
-no plain body exists.
+(PR_RTF_COMPRESSED 1009/0102, the [MS-OXRTFCP] LZFu scheme — the
+form real Outlook messages very commonly carry INSTEAD of a plain
+body) decompress through ``sources/lzfu.py`` and parse through the
+existing RTF extractor when no plain/Unicode body property exists.
 """
 
 from __future__ import annotations
@@ -59,12 +61,22 @@ def msg_text(blob: bytes) -> dict:
             out[key] = data.decode("utf-16-le", "replace")
         elif typ == "001E":
             out[key] = data.decode("cp1252", "replace")
-    if out["body"] is None and any(
-        "_10090102" in n for n in names
-    ):
-        raise NotImplementedError(
-            "msg: body is RTF-compressed only (LZFu handler)"
-        )
+    if out["body"] is None:
+        # PR_RTF_COMPRESSED fallback: decompress the LZFu stream and
+        # extract text through the RTF parser ([MS-OXRTFCP]; the
+        # plain body property wins when both exist — it is the same
+        # text without markup)
+        for name, data in streams:
+            if "/" not in name and "__substg1.0_10090102" in name:
+                from timeseries_data_provider_spark.sources import (
+                    lzfu,
+                    rtf as _rtf,
+                )
+
+                out["body"] = _rtf.rtf_text(
+                    lzfu.lzfu_decompress(data)
+                )["text"]
+                break
     n_attach = len(
         {
             n.split("/", 1)[0]
@@ -98,16 +110,38 @@ def encode_msg(
     from_name: str = "Alice",
     to: str = "Bob",
     n_attachments: int = 0,
+    rtf_body: bool = False,
 ) -> bytes:
     """Fixture writer: the property streams a real .msg carries (all
-    UTF-16LE /001F), plus empty attachment storages."""
+    UTF-16LE /001F), plus empty attachment storages.
+    ``rtf_body=True`` writes the body ONLY as PR_RTF_COMPRESSED
+    (10090102, LZFu) — the common real-Outlook shape with no plain
+    body property."""
     streams = [
         ("__substg1.0_0037001F", subject.encode("utf-16-le")),
         ("__substg1.0_0C1A001F", from_name.encode("utf-16-le")),
         ("__substg1.0_0E04001F", to.encode("utf-16-le")),
-        ("__substg1.0_1000001F", body.encode("utf-16-le")),
         ("__properties_version1.0", b"\x00" * 32),
     ]
+    if rtf_body:
+        from timeseries_data_provider_spark.sources import (
+            lzfu,
+            rtf as _rtf,
+        )
+
+        streams.insert(
+            3,
+            (
+                "__substg1.0_10090102",
+                lzfu.lzfu_compress(
+                    _rtf.encode_rtf(body.split("\r\n"))
+                ),
+            ),
+        )
+    else:
+        streams.insert(
+            3, ("__substg1.0_1000001F", body.encode("utf-16-le"))
+        )
     # the fixture CFB writer is flat, so attachment markers write as
     # root streams named by their storage prefix — the counting rule
     # (prefix before the first '/') sees real nested storages and

@@ -18,8 +18,17 @@ quarantine  The tolerant extraction envelope (r11 VERDICT top-next)
             shape: the try/except adds no measurable cost next to
             parsing (docs/s reported for both).
 
-Usage: python tools/stress_round12.py [quarantine]
-Env: STRESS_QUAR_N (default 50000).
+lzfu        The [MS-OXRTFCP] compressed-RTF chain at batch scale:
+            N Outlook .msg containers whose bodies exist ONLY as
+            PR_RTF_COMPRESSED (no plain body property — the common
+            real-Outlook shape) through msg_features: CFB walk →
+            LZFu decompress → RTF parse per document. Asserts every
+            extracted text equals its closed-form reconstruction
+            (full-table JVM equality) and reports docs/s — the
+            officertf envelope extended with the LZFu class.
+
+Usage: python tools/stress_round12.py [quarantine|lzfu]
+Env: STRESS_QUAR_N (default 50000), STRESS_LZFU_N (default 20000).
 """
 
 from __future__ import annotations
@@ -212,7 +221,71 @@ def probe_quarantine(spark) -> None:
     )
 
 
-PROBES = {"quarantine": probe_quarantine}
+def probe_lzfu(spark) -> None:
+    import pandas as pd
+
+    from timeseries_data_provider_spark.sources import msg as msgsrc
+
+    n = int(os.environ.get("STRESS_LZFU_N", "20000"))
+
+    def synth(batches):
+        from timeseries_data_provider_spark.sources import msg as _m
+
+        for b in batches:
+            out = {"doc_id": [], "payload": []}
+            for rid in b["id"]:
+                i = int(rid)
+                body = (
+                    f"Paragraph one of memo {i}.\r\n"
+                    f"Second line of {i} — naïve text."
+                )
+                out["doc_id"].append(i)
+                out["payload"].append(
+                    _m.encode_msg(f"S{i}", body, rtf_body=True)
+                )
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id long, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    feats = msgsrc.msg_features(media)
+    expect = F.concat(
+        F.lit("Paragraph one of memo "),
+        F.col("doc_id"),
+        F.lit(".\nSecond line of "),
+        F.col("doc_id"),
+        F.lit(" — naïve text."),
+    )
+    agg = feats.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(F.col("text") == expect, 0).otherwise(1)
+        ).alias("bad_text"),
+        F.sum(
+            F.when(
+                F.col("subject")
+                == F.concat(F.lit("S"), F.col("doc_id")),
+                0,
+            ).otherwise(1)
+        ).alias("bad_subj"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert agg["total"] == n, agg
+    assert agg["bad_text"] == 0 and agg["bad_subj"] == 0, agg
+    _emit(
+        "lzfu",
+        n=n,
+        sec=round(dt, 2),
+        docs_per_sec=round(n / dt),
+        mismatches=0,
+    )
+
+
+PROBES = {"quarantine": probe_quarantine, "lzfu": probe_lzfu}
 
 
 def main() -> None:
