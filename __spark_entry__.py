@@ -1284,6 +1284,13 @@ def q63_media_decode(spark, sf):
     GIF branch's closed form applies; byte_len NULL'd (PackBits size
     is not SQL-recomputable).
 
+    r12: a CMYK branch — 50 solid-color Adobe/APP14 4-component
+    JPEGs (ids 15,000+, multimodal.synth_cmyk_media): even ids
+    transform-0 (inverted-CMYK storage), odd ids pure-K YCCK — the
+    two exactly-closed-form 4-component regimes — decoded to TRUE
+    CMYK by the codec's r12 Adobe path; the 4-channel mean is
+    250·(c+m+y+k) for the oracle, byte_len NULL'd like jpeg.
+
     r9 (late): a FLAC branch — 50 clips (ids 13,200+) on the wav
     plant's closed-form waveform, encoded by the REAL in-repo FLAC
     encoder rotating verbatim/fixed2/fixed1 subframes (so workers
@@ -1343,6 +1350,13 @@ def q63_media_decode(spark, sf):
         .unionByName(
             multimodal.synth_flac_media(
                 spark.range(13_200, 13_250).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
+        .unionByName(
+            multimodal.synth_cmyk_media(
+                spark.range(15_000, 15_050).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
@@ -3852,6 +3866,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS zero_crossings,
                    CAST(NULL AS BIGINT) AS rms_milli,
                    CAST(1000 * ((37 * (10000 + g.v) + 23) % 256)
+                        AS BIGINT) AS resized_feat_milli
+            FROM generate_series(0, 49) g(v)
+            UNION ALL
+            -- cmyk plant (r12): solid Adobe/APP14 4-component JPEGs
+            -- — transform-0 inverted-CMYK storage (even ids) and
+            -- pure-K YCCK (odd ids); both regimes round-trip
+            -- bit-exact, so the decoded 4-channel mean is the
+            -- closed form 250*(c+m+y+k); byte_len NULL (entropy-
+            -- coded size)
+            SELECT 15000 + g.v AS doc_id, 'jpeg' AS kind,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(8 AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(250 * (CASE WHEN (15000 + g.v) % 2 = 0
+                          THEN (37 * (15000 + g.v) + 5) % 256
+                             + (53 * (15000 + g.v) + 11) % 256
+                             + (29 * (15000 + g.v) + 3) % 256
+                             + (17 * (15000 + g.v) + 7) % 256
+                          ELSE (61 * (15000 + g.v) + 13) % 256 END)
+                        AS BIGINT) AS feat_milli,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS peak_abs,
+                   CAST(NULL AS BIGINT) AS zero_crossings,
+                   CAST(NULL AS BIGINT) AS rms_milli,
+                   CAST(250 * (CASE WHEN (15000 + g.v) % 2 = 0
+                          THEN (37 * (15000 + g.v) + 5) % 256
+                             + (53 * (15000 + g.v) + 11) % 256
+                             + (29 * (15000 + g.v) + 3) % 256
+                             + (17 * (15000 + g.v) + 7) % 256
+                          ELSE (61 * (15000 + g.v) + 13) % 256 END)
                         AS BIGINT) AS resized_feat_milli
             FROM generate_series(0, 49) g(v)
             UNION ALL

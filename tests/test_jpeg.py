@@ -191,16 +191,16 @@ def test_hostile_component_count_rejected_before_allocation():
     )
     with pytest.raises(NotImplementedError, match="255-component"):
         jpeg.decode_baseline_jpeg(payload)
-    # 4-component (CMYK-style) rejects with the same named contract,
-    # also at SOF parse time
-    sof4 = bytes([8]) + _s.pack(">HH", 8, 8) + bytes([4])
-    for ci in range(4):
-        sof4 += bytes([ci + 1, 0x11, 0])
-    payload4 = (
-        b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 2 + len(sof4)) + sof4
+    # 5-component rejects with the same named contract, also at SOF
+    # parse time (4-component is the CMYK family, supported since r12)
+    sof5 = bytes([8]) + _s.pack(">HH", 8, 8) + bytes([5])
+    for ci in range(5):
+        sof5 += bytes([ci + 1, 0x11, 0])
+    payload5 = (
+        b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 2 + len(sof5)) + sof5
     )
-    with pytest.raises(NotImplementedError, match="4-component"):
-        jpeg.decode_baseline_jpeg(payload4)
+    with pytest.raises(NotImplementedError, match="5-component"):
+        jpeg.decode_baseline_jpeg(payload5)
 
 
 # --- property tests (hypothesis) ------------------------------------------
@@ -469,3 +469,207 @@ def test_malformed_dqt_and_sof_keep_error_contract():
     )
     with pytest.raises(ValueError, match="jpeg: truncated SOF"):
         jpeg.decode_baseline_jpeg(p2)
+
+
+# -- Adobe APP14 color family (r12): CMYK / YCCK / direct RGB ----------
+
+# frozen fixture: a seeded transform-0 CMYK file from THIS encoder,
+# with the raster the JDK's INDEPENDENT ImageIO decoder returned for
+# it via readRaster (pre-color-transform samples) — the CCITT/JDK
+# cross-validation methodology applied to the 4-component path. The
+# JDK agreed with the encoder's stored samples within +-1 everywhere
+# (DCT rounding); the raster is pinned base64 so the agreement stays
+# asserted without a JVM at test time.
+import base64 as _b64
+
+_CMYK_FIXTURE_JPG = (
+    "/9j/7gAOQWRvYmUAZQAAAAAA/9sAQwABAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEB"
+    "AQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEB/9sAQwEBAQEBAQEBAQEB"
+    "AQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEB"
+    "AQEB/8AAFAgAEAAYBAERAAIRAQMRAQQRAf/EABcAAAAEAAAAAAAAAAAAAAAAAAUGBwj/"
+    "xAAfEAAAAAwAAAAAAAAAAAAAAAAAAQIDBAUGBwgJChX/xAAaAQAABwAAAAAAAAAAAAAA"
+    "AAADBAUGBwgJ/8QAIhEAAAAPAAAAAAAAAAAAAAAAAQIDBAUGBwgJChITFRYX/9oADgQB"
+    "AAIRAxEEEQA/AFjZZXvZU7CO0iNf+amWtsS/heOqfepneSgFrMneA1sQDqVc7xmXfu3e"
+    "s/2IdsXvu5h9QHUvQdw6hUqBXOnOOvZaZyonHH4WWgiJiSaZ+xD+mzamTWIxXXjGBtGa"
+    "66GxxJrq+Pqq9L+vDKlzYoydeo1TSmoO0oRYESzJRG7Nea8qkYFTuWr2vAEMiUqv7FVa"
+    "ZMypQ1GT60IhakOz9RwtVNVZNQW9Rq2evCMkZmQeSeTakBJKam1gXNbG7wVHkF7c1PkC"
+    "q5QqeKSsbGEm7w+qtKstXeKTZmsCwOvL8gFxGZgrpil1ZaM3sdkqbRCNc5eGKNrgpnTv"
+    "SaY2sDyTCGhJOW4Z4vrK2rMLKqMtrUW1uuptnSVKs8Pl1RraGHLYztsbG2+PWnyDNlKJ"
+    "KAwNpxFYlsc/a0i16Y+iG3GK8tebU0155rrZXRN8+OEVau/dwsl7AFUcPKSGlXpTUrh0"
+    "hTQzVFi0zo2mdU3aiaR2bRtuceDGEoXYJa+S2lUileY7BaOpbp4yxZVPZxXrdoUlgmtQ"
+    "FWrgWWuNjjkMMWUxVRb3goryWSSRQZBYDY7ZJA3hzt+VkRGnR+lEYRNz5dXfnwWlqOjU"
+    "2KcIo7KHSrpFPI5ZzEwOEYlD1FG6LTKFPEhCylri2plyxM/XhnUc17gC3KshEyQWUZq7"
+    "1EJN4FnK0LMmD9cTAVLmbJWnRx0+z40QZqoibVxDmquLsi2mJIwXxAJJpKEWdDl0mrSu"
+    "qIYb20h4cqoTVnYmXjy4zOmXtvZStJ+0ZrUPx8dBOlI9PJlGM6bCriuMwXkZEPfMLXJq"
+    "ycPDZY0qiVSUprTK2nusnKzNMVY8aePrRivCRVI5QztrAi7hrlmxDvYM54MN7HpjqVUk"
+    "pDUtIxM2ZOdOmrFfOPYVzRt3JhjXYPreS0xh6rp3ZFqp1rLtyU69GZp3R1xqpWLlHrm0"
+    "ZjHKtStZdBEDX9j7NrqfR80krTOGUKOAul1yac4ZD5TRJX1JUZAVJBa2htQaG7KlUyl8"
+    "YgkSXS62r8vi0pBLnllILEtKfPz0c+SIZoV1tiKVFWFeVwZ+dp7VzhDIJFkEwvzZoiDM"
+    "0w0NalkKGBuVWtLJE5Y3NUO/szMkIXWQ4SgFGV1BMuRZ8qaiCK0rS2LQ0xcESsLTVxvQ"
+    "7m7dFoedVkZtrGnn3CmhKemkCqSsJtR1UiwxiWtq6yBoyIR54tq1K+mlxY0+MvqNLNWL"
+    "IpoSqoVoKJJNgX9RjIwVVS0qzsmYG6bT60r6xFAp1XZvuY1Zse5COeF5gHURC3l57BMa"
+    "xkuZmF22C2ZR1S1dqxTVPGcC/KJeJt68Zp5xa4aNCYJqDbWsM/paOWbVVPaVDSMMsE51"
+    "T8FCJqq1DNGj4kmqtBYUvUZpwVlbW2aoFOrcnlObuykV3c/TqjKuQaOdrO0xmpy3CGiz"
+    "5HtkZUrCMZG0VOrA1Nj50vDO0KrirHi0JJZTVXi5kkju3T3aDhJvSqYzlR2CtfhbIx3d"
+    "YQMwaUgkC3KKI8qw1l7Cksl0scAXVNqTCqY0uzGWWIReCbLlgWRICIsdqDr67pFsK/Lq"
+    "UaiYotMFlxSi6OJkDOHHXrT54RjrG3WH+3s2ZLA1VVW8vHMdVF/l0hane1VZ2vitLGpb"
+    "v7CWbqk6jFwYy7cpiEZGmHb1FIMrQK2qs2demYMbZKrbPD1HIZWkqw5bFHHHCSsYpYS3"
+    "etAJwM6WPR3rsHRqB0TQHHZmpYMZi9ZlAQHqN0yj72ZRXVuEaJuF4Ya1en2xRkI/EGy7"
+    "oGDX7TMQgrh5TsomlSzrNtc9NkFu7FQaDGAWJkzxq6IKPQ4a3dpLFWVHrV1TY06CZuCt"
+    "iP1jVtAnIxmuq2tdXxsSquyqawVlagHSUVNJrg1BJna7mCOVk+WA9EQxysiKVdTl9LMM"
+    "g+wtSTT1aVBn78LHGUvYnAVaX5hqxQ0W/NOYU9CMpS0MfW5ZlgImyFbw+8/mdrcozUGO"
+    "rohGhIpPM6VBQEtz1HnCZFWlYmfLgkjcF5WJMQWJAsnUJX1xhhRVWJpRV0ERVYzZQxqM"
+    "qlF1ZOo6sq4cFkEpaus/WRIRWGKnBRBmammKCASRZuypUzFWigS6tIoilEYiTRNpFT14"
+    "92Z6zLbMCgq2Z9GI9timrLapQtkuUCn7fe6FbOpW55UmDrHN+s0VaQcvEG3DDqcRDQrN"
+    "dMszCIYbVtW0VbuHQI593DDvZeDFRDFbFhTbpplJH6jM7aC5u4kpZoSQhJFJ1vLbVqEO"
+    "DI4PkAq5cqOsy+Id3F51Y0uQTi7JVHEjY4IMxYsbKuZrKnyASCuKipxE5LoXRNpkM5TU"
+    "/wBCKPdt3PmgOLm+3La0NkjTWxRQjcVHsyVHIrkqZ20JrTSIsK8seHAzJIIVWFwW1dk4"
+    "74aINI6ofpdHIJnhwdI5KKyx20Du8qyWSKhtMc1jGLutitIVR28FGDKrE1XB4BuAFYVt"
+    "rSso5QmyK+7kzWL60RsabQSltjMlbPUQ0NV1ASaPUhb0AQWQZNIYsrBdJoz/2Q=="
+)
+_CMYK_JDK_RASTER = (
+    "8vLyEPTv9RIR8PUV9fLzFvPv8Bjz7/IX8OzxFfDr7hTz6ewV8OvqEvDu7BHz7e8P8/Dx"
+    "8/Tw8PQQ8/D19fDwEBHu7/P18O3wEPLr7fP16O3z8+Xv8fDi7PLu4+zx7+HsEhLzEfUS"
+    "9fUREvQQEPX19BL1EvQR8xPyEfQU8BHyEu0U9hTtEvQS7xX0FO8U8RLyE/MS9BbzERET"
+    "9fUTFvP1EhcQEhQa9RMXGvIWGhjwGRoV8RccEu4XHfXxGSEQ8Rce9BDx8xDy8hD19PT1"
+    "9fX1EfX19fUR9BEREPMQEvT1E/XxERby9RIW8vIUGPDzFxnt8BUY7+0UFPLwFBT18BcT"
+    "EO0WE/TsFRHz7xL29O0V8hDxEvL08hXw8fUU8+7yFvDtEfUQEfQSExAQFRASERX1ERAW"
+    "8/X0FPHz9hH0EPIT9RPwFxAT7hQRFfAR9RLuEhIU7BITFe4VExjxFBQX7xETGe71ERns"
+    "9fQd7PIRHOnyExjo9RYW5fUXGOjyFxbm8hgVEfUREhIQEBQREvQS9PUQFPPz9Bfw8REV"
+    "7/T0GO718RXu8vMV7O/xFOzy8Bfv7/IY7+3yGvHr9Bzy7fMc9O7yG/Lx8R3z7vAc9PDz"
+    "HvLy9SDz7/Md8/DyHvPy8yHv8vMh9fPz9RIQ8/X1E/UQ9BMSEPUSEvMSExPxEBMV7xET"
+    "F+8TExrvEhAa8vUTGfT1FhsRERccFBEXGhERFh31ERUdEhIXIBL1Fx/1ERke9RMZG/MR"
+    "HBnw9BoZ8PMbFvP0HhPxEPIS8vP0EvH09RDzERD08xMTEfMWFPX0FhMT9RgREfUV9fTz"
+    "F/X18Bb08vETEO/zFhHu9RkR7/MZFO7xGxbt8BgZ7e4VF+zwFxTp8RYT6fMXE+nyFxXs"
+    "8xUV6fMYFunzEBIQ9fQVExHyEhET7xMUFOwSFhTr9RcS7PIUFO71ExHt8REU7vITF+v0"
+    "Fhjq9Rcb6vIZHOfyFxvo8BQY6e8WFebvFxPn8RgS5fMZEOXwHPXn8xry5/Mc9Of0GvPq"
+    "ERjyEPISEBDxEPQQ7/URFO708xLt9PUU6xDzEegTEBLpExAU7BUREekT9PXsEvPy7BLw"
+    "8esS7fTsEOv06vXu8Ozx7vLr7fHv7fDx7u7y8PDw8vLv7/L17vD19fDzEhHx8xH1EvTy"
+    "8xPz8xAQ8RER9fITE/PwEBH07RATEewSFBTqEhcS6BEXFOoQGhHtERcQ6xIVEesRFvXs"
+    "EhkQ6xUY8+4XFvPtGBP06hsR8uoYEvHtFhPx8BgW7+8aFe7tHBTv7RwT9BDx8/UT8BAS"
+    "FvMQEBXz9RIU8PIRE+/0FBXv8RMS7fMUEO31FxHw8hgT8fUYEfTzFhL18hcREPIaFBDy"
+    "HRMQ9RoS8/Ma9fDxG/Lx7x7x8vAe9PPtIfP06yH28uwi9fXuEhP09BUT9fIVF/T0Fhjx"
+    "9RgY8fUZG/QQGBoR8xYZEfEXGBLxFxUU8RkVE/AWFhLtExb07REY8ewUGPDvExny8hQb"
+    "9e8SGBLtEhYV7hEZEuwSGxHrEhkQ7PUc9esQHfPu9RD18vQS9O/xEvXu7xQQ7/EXEfLy"
+    "FxD08RUR9fIS9fP0FfQQ8xXzEPMT8fPwEfH07fTu8e308PLu9e/v7BDx7u4T8PHuEfDt"
+    "8RHw7PQU8u0RF/Pu9Bjw7xEa7+30F/Hw8vTyEO/08RHs8e4T7fDxEezz8xDs8fIQ7PTv"
+    "E+707xHw8+0U9PTsFfL17xjw9fAZ7/PvHO/17R/xEOod8hPoHvQS6SD0FeYj9RTpJPUT"
+    "6ibzFOkjEBLoIvP16yP19Osi9fUQ9BAS8/TzFPP18hLvEPP17PXw8+708/Dw8fPt7e8Q"
+    "8ezz9e7p7xDt7PAR7Ozy9O3r8/Xv7PUR7OryEOzn8hLp5vES7OTyEe3m8xTv4/UQ7uPy"
+    "Eevg9BLr4BAT7N0TEPQREPTxEhHy9BEQ8xAQEBAQEPP1ERHx9PUR9PERE/PxEBLw7xH1"
+    "9O8TEvTvFBPy7xIS7+v1EOzp9PPs6BDw7+f18e7m9PDx5PLw9OTy8RHl7+8Q4/Dx8+Xv"
+    "8/Xm7BDy"
+)
+
+
+def _cmyk_fixture_pixels() -> np.ndarray:
+    rng = np.random.default_rng(1234)
+    return (
+        np.cumsum(rng.integers(-3, 4, size=(16, 24, 4)), axis=1) % 230
+        + 10
+    ).astype(np.uint8)
+
+
+def test_cmyk_roundtrip_both_transforms():
+    px = _cmyk_fixture_pixels()
+    for t in (0, 2):
+        blob = jpeg.encode_baseline_jpeg(px, adobe_transform=t)
+        d = jpeg.decode_baseline_jpeg(blob)
+        assert d.get("colorspace") == "cmyk"
+        assert d["pixels"].shape == (16, 24, 4)
+        # transform 0 pays only DCT rounding; YCCK adds the color
+        # transform's float round trip — both inside the derived
+        # JPEG bound
+        assert _maxdiff(d["pixels"], px) <= (1 if t == 0 else 3), t
+
+
+def test_cmyk_jdk_cross_validation_pinned():
+    blob = _b64.b64decode(_CMYK_FIXTURE_JPG)
+    jdk = np.frombuffer(
+        _b64.b64decode(_CMYK_JDK_RASTER), np.uint8
+    ).reshape(16, 24, 4)
+    # the JDK raster is PRE-color-transform (stored, Adobe-inverted)
+    # samples; this decoder's TRUE-CMYK output must agree with the
+    # JDK's implied truth within DCT rounding
+    d = jpeg.decode_baseline_jpeg(blob)
+    assert d.get("colorspace") == "cmyk"
+    assert _maxdiff(d["pixels"], 255 - jdk.astype(int)) <= 1
+    # and the frozen bytes still reproduce from the seeded source
+    assert _maxdiff(d["pixels"], _cmyk_fixture_pixels()) <= 1
+
+
+def test_cmyk_without_adobe_marker_is_not_inverted():
+    px = _cmyk_fixture_pixels()
+    blob = bytearray(jpeg.encode_baseline_jpeg(px, adobe_transform=0))
+    # excise the APP14 segment (FFEE, 14-byte length)
+    at = bytes(blob).find(b"\xff\xee")
+    assert at > 0
+    del blob[at : at + 16]
+    d = jpeg.decode_baseline_jpeg(bytes(blob))
+    # without the marker the stored (inverted) samples are taken
+    # as-is, so the result is the complement of the true values
+    assert _maxdiff(d["pixels"], 255 - px.astype(int)) <= 1
+
+
+def test_adobe_transform0_rgb_direct():
+    rng = np.random.default_rng(7)
+    px = (
+        np.cumsum(rng.integers(-2, 3, size=(12, 20, 3)), axis=0) % 220
+        + 10
+    ).astype(np.uint8)
+    blob = jpeg.encode_baseline_jpeg(px, adobe_transform=0)
+    assert b"Adobe" in blob and b"JFIF" not in blob
+    d = jpeg.decode_baseline_jpeg(blob)
+    assert d["pixels"].shape == (12, 20, 3)
+    # no YCbCr transform in the loop: DCT rounding only
+    assert _maxdiff(d["pixels"], px) <= 1
+
+
+def test_transform1_on_4comp_frame_is_malformed():
+    px = _cmyk_fixture_pixels()
+    blob = bytearray(jpeg.encode_baseline_jpeg(px, adobe_transform=2))
+    at = bytes(blob).find(b"Adobe") + 11
+    blob[at] = 1  # ColorTransform: YCCK -> YCbCr (illegal on 4 comps)
+    with pytest.raises(ValueError, match="transform 1"):
+        jpeg.decode_baseline_jpeg(bytes(blob))
+
+
+def test_cmyk_encoder_input_validation():
+    px = _cmyk_fixture_pixels()
+    with pytest.raises(ValueError, match="adobe_transform"):
+        jpeg.encode_baseline_jpeg(px)  # 4 channels need a transform
+    with pytest.raises(ValueError, match="444"):
+        jpeg.encode_baseline_jpeg(
+            px, adobe_transform=2, subsample="420"
+        )
+    with pytest.raises(ValueError, match="4-channel"):
+        jpeg.encode_baseline_jpeg(
+            np.zeros((8, 8, 3), np.uint8), adobe_transform=2
+        )
+
+
+def test_cmyk_media_features_driver_vs_worker(spark):
+    # q63-style driver-vs-worker parity on planted CMYK JPEGs:
+    # worker-side decode (media_features through the codec registry)
+    # reproduces the driver-side feat_milli exactly
+    rows, want = [], {}
+    for i in range(4):
+        rng = np.random.default_rng(100 + i)
+        px = (
+            np.cumsum(rng.integers(-3, 4, size=(12, 16, 4)), axis=1)
+            % 230 + 10
+        ).astype(np.uint8)
+        blob = jpeg.encode_baseline_jpeg(
+            px, adobe_transform=0 if i % 2 == 0 else 2
+        )
+        rows.append((i, blob))
+        d = jpeg.decode_baseline_jpeg(blob)["pixels"]
+        want[i] = (1000 * int(d.sum(dtype=np.int64))) // d.size
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = (
+        mm.media_features(df, codec_setup=jpeg.register)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["feat_milli"] for r in out] == [want[i] for i in range(4)]
+    assert all(r["kind"] == "jpeg" for r in out)

@@ -136,7 +136,7 @@ def test_named_gaps_and_hostile():
         )
     with pytest.raises(NotImplementedError, match="colour space"):
         pdf.extract_pdf_images(
-            blob.replace(b"/DeviceGray", b"/DeviceCMYK")
+            blob.replace(b"/DeviceGray", b"/Separation")
         )
     # geometry lie: Width patched up -> raster too short, loud
     with pytest.raises(ValueError, match="raster|canvas"):
@@ -206,3 +206,42 @@ def test_pdf_image_features_spark(spark):
     assert [r1[f"q{q}"] for q in range(4)] == [
         (want >> (16 * q)) & 0xFFFF for q in range(4)
     ]
+
+
+def test_cmyk_image_chain():
+    # r12: 4-component Adobe DCT (CMYK + YCCK) and raw DeviceCMYK
+    # Flate rasters decode through the scan chain with channels=4
+    rng = np.random.default_rng(99)
+    cmyk = (
+        np.cumsum(rng.integers(-3, 4, size=(16, 24, 4)), axis=1) % 230
+        + 10
+    ).astype(np.uint8)
+    blob = pdf.encode_scan_pdf(
+        [("dct-cmyk", cmyk), ("dct-ycck", cmyk), ("cmyk8", cmyk)]
+    )
+    imgs = pdf.extract_pdf_images(blob)
+    assert [i["page"] for i in imgs] == [1, 2, 3]
+    assert all(i["channels"] == 4 for i in imgs)
+    # raw raster is exact; DCT forms inside the derived bound
+    assert np.array_equal(imgs[2]["pixels"], cmyk)
+    for i, bound in ((0, 1), (1, 3)):
+        err = np.abs(
+            imgs[i]["pixels"].astype(int) - cmyk.astype(int)
+        ).max()
+        assert err <= bound, (i, err)
+    assert imgs[0]["filter"] == "DCTDecode"
+    assert imgs[2]["filter"] is None
+
+
+def test_cmyk_features_rows(spark):
+    rng = np.random.default_rng(3)
+    cmyk = (rng.integers(0, 256, size=(8, 8, 4))).astype(np.uint8)
+    blob = pdf.encode_scan_pdf([("cmyk8", cmyk)])
+    df = spark.createDataFrame(
+        [(1, blob)], "doc_id long, payload binary"
+    )
+    rows = pdf.pdf_image_features(df).collect()
+    assert len(rows) == 1 and rows[0]["channels"] == 4
+    assert rows[0]["pixel_milli"] == (
+        1000 * int(cmyk.sum(dtype=np.int64))
+    ) // cmyk.size

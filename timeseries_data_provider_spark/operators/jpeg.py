@@ -10,10 +10,13 @@ PIL/libjpeg), and shipped as a plug-in for the codec registry in
 
 Scope (honest): BASELINE SEQUENTIAL only — 8-bit samples, Huffman
 entropy coding, grayscale or YCbCr with any H/V sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 covered), restart markers (DRI) supported.
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
-raise ``NotImplementedError`` naming the gap — same contract as the
-other plug-in points. Throughput is Python-loop bound in the Huffman
+(4:4:4 / 4:2:2 / 4:2:0 covered), restart markers (DRI) supported,
+plus the Adobe/APP14 color family (r12): 4-component CMYK and YCCK
+incl. the inverted-storage convention (decoded pixels are TRUE CMYK,
+(h, w, 4)), and transform-0 direct-stored RGB. Arithmetic coding,
+12-bit, and hierarchical modes raise ``NotImplementedError`` naming
+the gap — same contract as the other plug-in points (progressive
+SOF2 decodes since r10). Throughput is Python-loop bound in the Huffman
 stage (~the cost honesty of a stdlib codec); the Spark-side value is
 that the full decode path — schema, Arrow batching, registry
 distribution to workers — runs REAL bytes end to end.
@@ -261,6 +264,7 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     dri = 0
+    adobe = None  # APP14 ColorTransform (None = no Adobe marker)
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -323,15 +327,15 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
                     "(untrusted-header allocation guard)"
                 )
             ncomp = seg[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 # reject BEFORE the scan decoder allocates per-component
                 # planes: a hostile SOF claiming 255 components at
                 # ~max_pixels would otherwise commit ncomp * max_pixels
                 # * 8 bytes of float64 planes before the old
                 # post-decode check fired (review finding)
                 raise NotImplementedError(
-                    f"jpeg: {ncomp}-component frame (CMYK?) not "
-                    "supported — grayscale and YCbCr only"
+                    f"jpeg: {ncomp}-component frame not supported — "
+                    "grayscale, YCbCr/RGB, and CMYK/YCCK only"
                 )
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError(
@@ -364,9 +368,19 @@ def _decode_baseline(payload: bytes, max_pixels: int) -> dict:
             )
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":
+            # APP14 "Adobe" (Adobe TN 5116): 5-byte tag, 2-byte
+            # DCTEncodeVersion, 2+2 flag words, then the
+            # ColorTransform byte — 0 none (CMYK/RGB as stored),
+            # 1 YCbCr, 2 YCCK. Governs 3/4-component color
+            # interpretation AND marks the inverted-CMYK storage
+            # convention Adobe writers use.
+            if len(seg) >= 12:
+                adobe = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            frame["adobe"] = adobe
             if frame["progressive"]:
                 # progressive streams carry MANY scans — hand the
                 # whole remaining stream (this SOS included) to the
@@ -454,13 +468,56 @@ def _assemble_image(frame: dict, planes: list[np.ndarray]) -> dict:
             )
         full.append(p[:h, :w])
 
+    adobe = frame.get("adobe")
     if len(comps) == 1:
         px = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return {"format": "jpeg", "width": w, "height": h, "pixels": px}
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+
+    def ycc_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return r, g, b
+
+    if len(comps) == 4:
+        # CMYK family (Adobe TN 5116). Output is TRUE CMYK (h, w, 4):
+        # Adobe writers store all four channels INVERTED (the
+        # libjpeg-documented convention), which this path undoes when
+        # the APP14 marker is present; a 4-component file WITHOUT the
+        # marker is taken as non-inverted CMYK (stated choice —
+        # behavior varies in the wild, and such files are rare).
+        if adobe == 2:  # YCCK: YCbCr over the inverted C'M'Y' + K'
+            r, g, b = ycc_to_rgb(full[0], full[1], full[2])
+            # stored (C', M', Y') = (255-R, 255-G, 255-B); undoing
+            # the Adobe inversion gives C = R, M = G, Y = B and
+            # K = 255 - K'
+            cmyk = np.stack([r, g, b, 255.0 - full[3]], axis=-1)
+        elif adobe == 1:
+            raise ValueError(
+                "jpeg: APP14 transform 1 (YCbCr) on a 4-component "
+                "frame is malformed"
+            )
+        elif adobe is not None:  # transform 0: stored inverted CMYK
+            cmyk = 255.0 - np.stack(full, axis=-1)
+        else:
+            cmyk = np.stack(full, axis=-1)
+        px = np.clip(np.rint(cmyk), 0, 255).astype(np.uint8)
+        return {
+            "format": "jpeg",
+            "width": w,
+            "height": h,
+            "pixels": px,
+            "colorspace": "cmyk",
+        }
+
+    if adobe == 0:
+        # APP14 transform 0 on a 3-component frame: samples are RGB
+        # stored directly, no color transform (the Adobe-RGB shape)
+        px = np.clip(np.rint(np.stack(full, axis=-1)), 0, 255).astype(
+            np.uint8
+        )
+        return {"format": "jpeg", "width": w, "height": h, "pixels": px}
+    r, g, b = ycc_to_rgb(*full)
     px = np.clip(
         np.rint(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
@@ -1052,12 +1109,24 @@ def _component_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return out
 
 
-def _prepare_components(pixels, quant, subsample):
+def _prepare_components(pixels, quant, subsample, adobe_transform=None):
     """Shared encoder front half: color convert, subsample, pad, and
     forward-DCT-quantize every component. Returns
-    (gray, q, comps, hmax, vmax, mcus_x, mcus_y, h, w)."""
+    (gray, q, comps, hmax, vmax, mcus_x, mcus_y, h, w). A 4-channel
+    input is TRUE CMYK and requires ``adobe_transform`` 0 (inverted
+    CMYK storage, no color transform) or 2 (YCCK)."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
+    cmyk = px.ndim == 3 and px.shape[2] == 4
+    if cmyk and adobe_transform not in (0, 2):
+        raise ValueError(
+            "encode: 4-channel input needs adobe_transform 0 (CMYK) "
+            "or 2 (YCCK)"
+        )
+    if not cmyk and adobe_transform not in (None, 0):
+        raise ValueError(
+            "encode: adobe_transform 2 needs a 4-channel input"
+        )
     h, w = px.shape[:2]
     if quant is None:
         quant = 1
@@ -1078,12 +1147,39 @@ def _prepare_components(pixels, quant, subsample):
     q = np.clip(np.rint(q), 1, 255).astype(np.int64)
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
-    sub = 2 if (subsample == "420" and not gray) else 1
+    if cmyk and subsample != "444":
+        raise ValueError("encode: CMYK/YCCK is 444-only")
+    sub = 2 if (subsample == "420" and not gray and not cmyk) else 1
 
     if gray:
         comps = [
             {"id": 1, "h": 1, "v": 1, "tq": 0,
              "plane": _pad_to(px.astype(np.float64), 8, 8)}
+        ]
+    elif cmyk:
+        if adobe_transform == 2:
+            # YCCK: YCbCr over (R, G, B) = TRUE (C, M, Y); K channel
+            # stored inverted (the Adobe convention the decoder
+            # undoes)
+            y, cb, cr = _to_ycbcr(px[..., :3])
+            planes = [y, cb, cr, 255.0 - px[..., 3].astype(np.float64)]
+        else:
+            # transform 0: all four channels stored inverted, no
+            # color transform — exact (DCT-only) round-trip regime
+            planes = [
+                255.0 - px[..., i].astype(np.float64) for i in range(4)
+            ]
+        comps = [
+            {"id": i + 1, "h": 1, "v": 1, "tq": 0 if i == 0 else 1,
+             "plane": _pad_to(p, 8, 8)}
+            for i, p in enumerate(planes)
+        ]
+    elif adobe_transform == 0:
+        # 3-component APP14 transform 0: RGB stored directly
+        comps = [
+            {"id": i + 1, "h": 1, "v": 1, "tq": 0 if i == 0 else 1,
+             "plane": _pad_to(px[..., i].astype(np.float64), 8, 8)}
+            for i in range(3)
         ]
     else:
         y, cb, cr = _to_ycbcr(px)
@@ -1133,15 +1229,21 @@ def encode_baseline_jpeg(
     quant: np.ndarray | int | None = None,
     subsample: str = "444",
     restart_interval: int = 0,
+    adobe_transform: int | None = None,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB grid (or (h, w) grayscale) as a
     baseline JFIF byte string. ``quant``: a 64-entry zigzag-order
     table, a scalar (constant table), or None for all-ones (the
     closed-form round-trip regime). ``subsample``: '444' or '420'
     (chroma 2x2). ``restart_interval``: emit a DRI segment and RSTn
-    markers every N MCUs (0 = none)."""
+    markers every N MCUs (0 = none). A 4-channel input is TRUE CMYK
+    and needs ``adobe_transform`` 0 (inverted-CMYK storage) or 2
+    (YCCK); either writes the APP14 Adobe marker in place of the
+    JFIF APP0 (JFIF only admits 1/3-component streams).
+    ``adobe_transform=0`` with a 3-channel input writes
+    direct-stored RGB."""
     gray, q, comps, hmax, vmax, mcus_x, mcus_y, h, w = (
-        _prepare_components(pixels, quant, subsample)
+        _prepare_components(pixels, quant, subsample, adobe_transform)
     )
 
     # entropy symbols grouped per MCU, with DC differentials (reset at
@@ -1218,8 +1320,21 @@ def encode_baseline_jpeg(
     bw.flush()
 
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    if adobe_transform is not None:
+        # APP14 Adobe marker in place of JFIF (which only admits
+        # 1/3-component streams): tag, DCTEncodeVersion 101, two
+        # zero flag words, ColorTransform
+        out += (
+            b"\xff\xee"
+            + struct.pack(">H", 14)
+            + b"Adobe"
+            + struct.pack(">HHH", 101, 0, 0)
+            + bytes([adobe_transform])
+        )
+    else:
+        out += b"\xff\xe0" + struct.pack(">H", 16) \
+            + b"JFIF\x00\x01\x01\x00" \
+            + struct.pack(">HH", 1, 1) + b"\x00\x00"
     qbytes = q.astype(np.uint8).tobytes()  # always Pq=0 (baseline)
     ntab = 1 if gray else 2
     for tq in range(ntab):

@@ -1200,6 +1200,49 @@ def synth_jpeg_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def synth_cmyk_media(ids: DataFrame) -> DataFrame:
+    """Solid-color Adobe/APP14 4-component JPEGs per doc_id — the
+    planted input for the q63 CMYK branch (r12). Even ids write
+    transform-0 (inverted-CMYK storage) with channels
+    ((37i+5)%256, (53i+11)%256, (29i+3)%256, (17i+7)%256); odd ids
+    write YCCK with a PURE-K color (0, 0, 0, (61i+13)%256) — the one
+    YCCK regime that is exactly closed-form: (0,0,0) maps to YCbCr
+    (0, 128, 128), all planes integer constants, so the round trip
+    is bit-exact like the solid-RGB jpeg plant and the decoded
+    4-channel mean is floor-free 250·(c+m+y+k) for the oracle.
+    16×8 like the jpeg plant; real entropy-coded Adobe streams."""
+    from timeseries_data_provider_spark.operators import jpeg as _jpeg
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    cmyk = (
+                        (37 * i + 5) % 256,
+                        (53 * i + 11) % 256,
+                        (29 * i + 3) % 256,
+                        (17 * i + 7) % 256,
+                    )
+                    t = 0
+                else:
+                    cmyk = (0, 0, 0, (61 * i + 13) % 256)
+                    t = 2
+                img = np.empty((8, 16, 4), np.uint8)
+                img[:, :] = cmyk
+                payload = _jpeg.encode_baseline_jpeg(
+                    img, adobe_transform=t
+                )
+                out["doc_id"].append(i)
+                out["kind"].append("jpeg")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def synth_webp_media(ids: DataFrame) -> DataFrame:
     """Solid-color lossless WebP (VP8L) per doc_id — color
     (41·id+7)%256, dims (8+(id%5)) × (6+(id%3)) — encoded with the

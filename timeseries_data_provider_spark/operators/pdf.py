@@ -1262,14 +1262,15 @@ def extract_pdf(payload: bytes) -> dict:
 # bilevel scans, DCT/JPEG for photographic ones). Extracting those
 # rasters feeds the image-dedup ladder (pixel-hash/dHash/pHash) and
 # any OCR tier. Decode support: DCTDecode through the in-repo baseline
-# JPEG codec, CCITTFaxDecode through operators/ccitt (K<0 G4, K=0
-# unaligned/aligned 1D, K>0 mixed 2D), and raw rasters (DeviceGray/
-# DeviceRGB/CalGray/CalRGB at 1/2/4/8 bits, Indexed palettes, ICCBased
-# mapped by /N to the device space — a stated colorimetric
-# approximation, fine for a dedup/feature tier). Inline BI..ID..EI
-# images and images nested inside Form XObject resource trees also
-# extract (r11 late). JPXDecode (JPEG 2000), JBIG2Decode,
-# DeviceCMYK/Separation/Lab spaces, and /Decode inversion arrays
+# JPEG codec (incl. 4-component Adobe/APP14 CMYK and YCCK with the
+# inverted-storage quirk, r12), CCITTFaxDecode through operators/ccitt
+# (K<0 G4, K=0 unaligned/aligned 1D, K>0 mixed 2D), and raw rasters
+# (DeviceGray/DeviceRGB/CalGray/CalRGB at 1/2/4/8 bits, DeviceCMYK at
+# 8, Indexed palettes, ICCBased mapped by /N to the device space — a
+# stated colorimetric approximation, fine for a dedup/feature tier).
+# Inline BI..ID..EI images and images nested inside Form XObject
+# resource trees also extract (r11 late). JPXDecode (JPEG 2000),
+# JBIG2Decode, Separation/Lab spaces, and /Decode inversion arrays
 # stay named NotImplementedError gaps.
 
 _MAX_IMAGE_PIXELS = 64 * 1024 * 1024
@@ -1419,10 +1420,10 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
     if isinstance(cs, list) and cs and str(_resolve(objs, cs[0])) == "ICCBased":
         nd = _resolve(objs, cs[1]) if len(cs) > 1 else None
         n = int(_resolve(objs, nd.get("N", 0)) or 0) if isinstance(nd, dict) else 0
-        cs = {1: "DeviceGray", 3: "DeviceRGB"}.get(n)
+        cs = {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(n)
         if cs is None:
             raise NotImplementedError(
-                "pdf: ICCBased colour space with N not in (1, 3)"
+                "pdf: ICCBased colour space with N not in (1, 3, 4)"
             )
     if isinstance(cs, list) and cs and str(_resolve(objs, cs[0])) == "Indexed":
         if len(cs) < 4:
@@ -1485,6 +1486,21 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
             "width": w,
             "height": h,
             "channels": 3,
+            "filter": None,
+            "pixels": px,
+        }
+    if name == "DeviceCMYK":
+        # raw CMYK raster (§8.6.4.4): samples ARE ink values, no
+        # Adobe inversion here (that quirk is DCT-marker-specific)
+        if bpc != 8:
+            raise NotImplementedError(
+                f"pdf: {bpc}-bit CMYK components"
+            )
+        px = _unpack_samples(data, w, h, 4, 8)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 4,
             "filter": None,
             "pixels": px,
         }
@@ -2228,6 +2244,22 @@ def encode_scan_pdf(images: list) -> bytes:
             cs, bpc = (
                 ("/DeviceRGB", 8) if px.ndim == 3 else ("/DeviceGray", 8)
             )
+        elif kind in ("dct-cmyk", "dct-ycck"):
+            # Adobe APP14 4-component DCT — the print/scan CMYK
+            # shape (r11 VERDICT item 4); pixels in are TRUE CMYK
+            from timeseries_data_provider_spark.operators import (
+                jpeg as _jpeg,
+            )
+
+            data = _jpeg.encode_baseline_jpeg(
+                px, adobe_transform=0 if kind == "dct-cmyk" else 2
+            )
+            extra = " /Filter /DCTDecode"
+            cs, bpc = "/DeviceCMYK", 8
+        elif kind == "cmyk8":
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs, bpc = "/DeviceCMYK", 8
         elif kind.startswith("ccitt"):
             fax = (px < 128).astype(np.uint8)
             if kind == "ccitt-g4":
