@@ -654,3 +654,30 @@ def test_xmp_plaintext_when_encryptmetadata_false():
     blob3 = pdf.encode_pdf([["open body"]], xmp=x)
     assert b"plain metadata marker" in blob3
     assert pdf.extract_pdf(blob3)["text"] == "open body"
+
+
+def test_type0_without_tounicode_recovers_via_fontfile_cmap():
+    # the r11 named gap (VERDICT item 5): Identity-H Type0 with NO
+    # ToUnicode — text recovered through the embedded TrueType's
+    # cmap table (operators/sfnt); previously came back empty
+    pages = [["Hidden treasure — naïve text!", "line two"], ["page 2"]]
+    blob = pdf.encode_pdf(
+        pages, title="NoTU", cid=True, cid_tounicode=False
+    )
+    assert b"ToUnicode" not in blob
+    assert b"FontFile2" in blob
+    m = pdf.extract_pdf(blob)
+    assert m["text"] == (
+        "Hidden treasure — naïve text!\nline two\x0cpage 2"
+    )
+    assert m["title"] == "NoTU"
+    # the FontFile2 stream decrypts like any other object stream
+    for mode in ("rc4-128", "aesv2"):
+        b2 = pdf.encode_pdf(
+            pages, cid=True, cid_tounicode=False, encrypt=mode
+        )
+        assert pdf.extract_pdf(b2)["text"] == m["text"], mode
+    # a damaged font program yields NO text (never garbage, never a
+    # crash) — the tolerant font fallback
+    bad = blob.replace(b"cmap", b"cmXp")
+    assert pdf.extract_pdf(bad)["text"].strip("\x0c\n ") == ""

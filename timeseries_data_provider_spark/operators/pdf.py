@@ -21,10 +21,13 @@ FIPS 197 cipher in operators/aes (numpy-vectorized CBC decrypt,
 /ToUnicode CMaps (§9.10.3, r11 — bfchar/bfrange, multi-byte codes
 per the codespace ranges), and simple fonts honor /Encoding
 /Differences via the Adobe glyph list's common subset (incl.
-``uniXXXX``). Password-protected files (a REAL user password),
-public-key (PKCS#7) handlers, font RENDERING, and Type0 fonts that
-ship no ToUnicode map (glyph-index text is unrecoverable without
-embedded-font cmap tables) are named gaps (a real pipeline routes
+``uniXXXX``). Type0 fonts WITHOUT a ToUnicode
+map recover their text through the embedded TrueType's own cmap
+table (Identity-H + FontFile2 via operators/sfnt, r12 — the
+pdftotext fallback). Password-protected files (a REAL user
+password), public-key (PKCS#7) handlers, font RENDERING, and
+no-ToUnicode Type0 fonts whose program is CFF (FontFile3) or whose
+CIDToGIDMap is a stream are named gaps (a real pipeline routes
 those to a PDF library); simple fonts with standard encodings —
 the overwhelming majority of text-bearing PDFs — extract exactly.
 
@@ -997,13 +1000,62 @@ def _latin1_decoder(bs: bytes) -> str:
     return bs.decode("latin-1")
 
 
+def _type0_fontfile_decoder(objs: dict, fd: dict):
+    """Identity-H/V Type0 with NO usable /ToUnicode (the r11 named
+    gap): codes are glyph ids into the embedded font program, so the
+    embedded TrueType's own ``cmap`` table (FontFile2, inverted by
+    operators/sfnt) recovers the text — the pdftotext/MuPDF fallback.
+    Returns a decoder or None when the chain is absent (CFF/FontFile3
+    and non-Identity CIDToGIDMap stay named fallbacks: no text, never
+    garbage)."""
+    enc = str(_resolve(objs, fd.get("Encoding")) or "")
+    if enc not in ("Identity-H", "Identity-V"):
+        return None
+    desc = _resolve(objs, fd.get("DescendantFonts"))
+    if not (isinstance(desc, list) and desc):
+        return None
+    d0 = _resolve(objs, desc[0])
+    if not isinstance(d0, dict):
+        return None
+    c2g = d0.get("CIDToGIDMap")
+    if c2g is not None and str(_resolve(objs, c2g)) != "Identity":
+        return None  # stream-mapped CIDs: out of this tier's scope
+    fdesc = _resolve(objs, d0.get("FontDescriptor"))
+    if not isinstance(fdesc, dict):
+        return None
+    ff = fdesc.get("FontFile2")
+    if not isinstance(ff, _Ref):
+        return None
+    tgt = objs.get(ff.num)
+    if not tgt or tgt[1] is None:
+        return None
+    from timeseries_data_provider_spark.operators import sfnt as _sfnt
+
+    try:
+        table = _sfnt.gid_to_unicode(
+            _decode_stream(objs, tgt[0], tgt[1])
+        )
+    except (ValueError, NotImplementedError):
+        return None  # damaged font: no text, extraction survives
+
+    def dec(bs: bytes, t=table) -> str:
+        return "".join(
+            t.get((bs[i] << 8) | bs[i + 1], "")
+            for i in range(0, len(bs) - 1, 2)
+        )
+
+    return dec
+
+
 def _font_decoders(objs: dict, resources) -> dict[str, object]:
     """Resource name -> string decoder for one page's /Resources
     /Font. Precedence per font: /ToUnicode CMap (composite and simple
-    fonts both); else /Encoding /Differences over a Latin-1 base;
-    else Type0 without ToUnicode decodes to NO text (glyph-index
-    codes, the named gap); else Latin-1. Malformed font objects fall
-    back to Latin-1 — extraction never dies on a bad font."""
+    fonts both); else Type0 recovers through the embedded TrueType's
+    cmap table (Identity-H + FontFile2, r12) and decodes to NO text
+    when that chain is absent too (CFF/FontFile3 stays the named
+    gap); else /Encoding /Differences over a Latin-1 base; else
+    Latin-1. Malformed font objects fall back to Latin-1 —
+    extraction never dies on a bad font."""
     out: dict[str, object] = {}
     res = _resolve(objs, resources)
     if not isinstance(res, dict):
@@ -1028,10 +1080,14 @@ def _font_decoders(objs: dict, resources) -> dict[str, object]:
                         out[str(name)] = _cmap_decoder(cmap, lengths)
                         continue
             if str(fd.get("Subtype")) == "Type0":
-                # no usable ToUnicode: codes are glyph indices into
-                # an embedded font program — unrecoverable at this
-                # tier, and Latin-1 would emit garbage; emit nothing
-                out[str(name)] = lambda bs: ""
+                # no usable ToUnicode: recover through the embedded
+                # TrueType's cmap when present (r12); otherwise the
+                # codes are unrecoverable glyph indices and Latin-1
+                # would emit garbage — emit nothing
+                dec = _type0_fontfile_decoder(objs, fd)
+                out[str(name)] = dec if dec is not None else (
+                    lambda bs: ""
+                )
                 continue
             encd = _resolve(objs, fd.get("Encoding"))
             if isinstance(encd, dict) and "Differences" in encd:
@@ -1980,6 +2036,7 @@ def encode_pdf(
     objstm: bool = False,
     encrypt: str | None = None,
     cid: bool = False,
+    cid_tounicode: bool = True,
     xmp: str | None = None,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
@@ -2050,7 +2107,50 @@ def encode_pdf(
         objs.append(
             sdict.encode() + b"\nstream\n" + stream + b"\nendstream"
         )
-    if cid:
+    if cid and not cid_tounicode:
+        # the no-ToUnicode shape (r12): text is recoverable ONLY
+        # through the embedded TrueType's cmap table — Identity-H
+        # codes are glyph ids, and the FontFile2 sfnt maps each
+        # character's codepoint to its glyph id
+        from timeseries_data_provider_spark.operators import (
+            sfnt as _sfnt,
+        )
+
+        assert len(objs) + 1 == font_num
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            f"/Encoding /Identity-H "
+            f"/DescendantFonts [{font_num + 1} 0 R] >>".encode()
+        )
+        objs.append(
+            f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+            f"/Fixture /CIDSystemInfo << /Registry (Adobe) "
+            f"/Ordering (Identity) /Supplement 0 >> "
+            f"/CIDToGIDMap /Identity "
+            f"/FontDescriptor {font_num + 2} 0 R >>".encode()
+        )
+        objs.append(
+            f"<< /Type /FontDescriptor /FontName /Fixture "
+            f"/Flags 4 /FontFile2 {font_num + 3} 0 R >>".encode()
+        )
+        font_blob = _sfnt.encode_cmap_font(
+            {ord(ch): code for ch, code in cid_codes.items()},
+            fmt=(
+                12
+                if any(ord(ch) > 0xFFFE for ch in cid_codes)
+                else 4
+            ),
+        )
+        if enc is not None:
+            font_blob = enc["apply"](font_num + 3, font_blob)
+        objs.append(
+            f"<< /Length {len(font_blob)} /Length1 {len(font_blob)} "
+            ">>".encode()
+            + b"\nstream\n"
+            + font_blob
+            + b"\nendstream"
+        )
+    elif cid:
         assert len(objs) + 1 == font_num
         objs.append(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
@@ -2475,18 +2575,27 @@ def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
     in one Tj, page 2 a closed-form archive line; title
     'Doc {doc_id}'. Flate-compressed, so the extractor's zlib +
     content-tokenizer paths run on every row; every extracted field
-    is doc_id/text math for the oracle."""
+    is doc_id/text math for the oracle. The FONT rotates by doc_id
+    (r12) — id%4==0 a Type0/Identity-H font with a ToUnicode CMap,
+    id%4==1 a Type0 WITHOUT ToUnicode whose text is recoverable only
+    through the embedded TrueType's cmap (the operators/sfnt path),
+    otherwise a simple font — so the oracle hash-checks all three
+    text-recovery ladders on every run; extracted text is identical
+    across modes by construction."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
                 doc_id = int(doc_id)
+                mode = doc_id % 4
                 out["doc_id"].append(doc_id)
                 out["payload"].append(
                     encode_pdf(
                         [[text], [f"Archive copy {doc_id}."]],
                         title=f"Doc {doc_id}",
+                        cid=mode in (0, 1),
+                        cid_tounicode=mode != 1,
                     )
                 )
             yield pd.DataFrame(out)
