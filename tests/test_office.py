@@ -231,3 +231,74 @@ def test_doctype_beyond_4kb_of_comment_padding_still_refused():
             )
     with pytest.raises(ValueError, match="DOCTYPE"):
         office.docx_text(buf.getvalue())
+
+
+def test_docx_extra_parts_opt_in():
+    # r12 (VERDICT item 7): headers/footers/footnotes/comments walk
+    # behind extra_parts=True; the default output is byte-identical
+    # to a body-only read
+    b = office.encode_docx(
+        ["Body paragraph one.", "Body two."],
+        title="T",
+        headers=["Chapter Header", "Second Header"],
+        footers=["Page footer — naïve"],
+        footnotes=["A footnote remark.", "Second note."],
+        comments=["Reviewer comment."],
+    )
+    plain = office.docx_text(b)
+    assert plain["text"] == "Body paragraph one.\nBody two."
+    assert plain["n_units"] == 2
+    rich = office.docx_text(b, extra_parts=True)
+    assert rich["text"] == (
+        "Body paragraph one.\nBody two."
+        "\nChapter Header\nSecond Header"
+        "\nPage footer — naïve"
+        "\nA footnote remark.\nSecond note."
+        "\nReviewer comment."
+    )
+    # 2 body + 2 headers + 1 footer + 2 footnotes + 1 comment; the
+    # separator/continuationSeparator stubs are NOT counted
+    assert rich["n_units"] == 8
+    # routing + feature operator pass the flag through
+    assert (
+        office.office_text(b, extra_parts=True)["text"]
+        == rich["text"]
+    )
+    # a document without any sub-parts is unchanged under the flag
+    b2 = office.encode_docx(["solo"])
+    assert office.docx_text(b2, extra_parts=True)["text"] == "solo"
+
+
+def test_docx_extra_parts_spark(spark):
+    b = office.encode_docx(
+        ["body"], headers=["HDR"], footnotes=["FN"]
+    )
+    df = spark.createDataFrame(
+        [(1, b)], "doc_id long, payload binary"
+    )
+    out = office.office_features(df).collect()
+    assert out[0]["text"] == "body" and out[0]["n_units"] == 1
+    out2 = office.office_features(df, extra_parts=True).collect()
+    assert out2[0]["text"] == "body\nHDR\nFN"
+    assert out2[0]["n_units"] == 3
+
+
+def test_docx_extra_parts_doctype_still_refused():
+    # the DOCTYPE guard applies to sub-parts too — a bomb hidden in
+    # a header part is refused before parsing
+    b = office.encode_docx(["x"], headers=["h"])
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    bomb = (
+        b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY a "aa">]>'
+        + zf.read("word/header1.xml")
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n, bomb if n == "word/header1.xml" else zf.read(n)
+            )
+    # default read never touches the part; extra_parts does and is loud
+    assert office.docx_text(buf.getvalue())["text"] == "x"
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        office.docx_text(buf.getvalue(), extra_parts=True)

@@ -26,11 +26,12 @@ Hostile-input posture (crawl reality):
   containers and malformed XML raise named ValueErrors, never emit
   wrong text silently.
 
-Named gaps: legacy binary formats (.doc/.xls/.ppt — OLE2 compound
-files), embedded OLE objects, headers/footers/footnotes/comments
-(sub-parts a real pipeline may also want), charts, and encrypted
-(password) OOXML. Numbers in XLSX are emitted as their stored lexical
-form (the cell's ``v`` text), not re-formatted.
+DOCX sub-parts — headers, footers, footnotes, comments — extract
+behind the opt-in ``extra_parts`` flag (r12; default output
+unchanged). Named gaps: legacy binary formats route to the sibling
+doc/ppt/xls modules; embedded OLE objects, charts, and encrypted
+(password) OOXML remain named gaps. Numbers in XLSX are emitted as
+their stored lexical form (the cell's ``v`` text), not re-formatted.
 
 Scale shape: per-document independent (Arrow fan-out under
 mapInPandas — the codec-tier posture); zero shuffle.
@@ -134,28 +135,19 @@ def _docx_paragraph_text(p: ET.Element) -> str:
     return "".join(out)
 
 
-def docx_text(blob: bytes) -> dict:
-    """WordprocessingML text: body paragraphs in document order;
-    tables emit one line per row with cells joined by TAB (the
-    plain-text table convention). Returns {title, creator,
-    n_paragraphs, n_tables, text}."""
-    zf = _open_container(blob)
-    root = _parse_part(zf, "word/document.xml")
-    body = None
-    for el in root:
-        if _localname(el.tag) == "body":
-            body = el
-            break
-    if body is None:
-        raise ValueError("office: document.xml has no body")
+def _docx_block_text(node) -> tuple[list[str], int, int]:
+    """Shared WordprocessingML block walk: paragraphs in document
+    order, tables one line per row with cells joined by TAB. Used by
+    the body and (r12) every sub-part root (w:hdr / w:ftr /
+    w:footnote / w:comment)."""
     lines: list[str] = []
     n_par = n_tbl = 0
 
-    def walk(node, depth: int = 0) -> None:
+    def walk(inner, depth: int = 0) -> None:
         nonlocal n_par, n_tbl
         if depth > 64:
             raise ValueError("office: body nesting too deep")
-        for el in node:
+        for el in inner:
             ln = _localname(el.tag)
             if ln == "p":
                 n_par += 1
@@ -182,7 +174,79 @@ def docx_text(blob: bytes) -> dict:
             else:
                 walk(el, depth + 1)
 
-    walk(body)
+    walk(node)
+    return lines, n_par, n_tbl
+
+
+def docx_text(blob: bytes, extra_parts: bool = False) -> dict:
+    """WordprocessingML text: body paragraphs in document order;
+    tables emit one line per row with cells joined by TAB (the
+    plain-text table convention). Returns {title, creator,
+    n_paragraphs, n_tables, text}.
+
+    ``extra_parts=True`` (r12, OPT-IN — default output unchanged)
+    additionally walks the sub-parts readers see but the body does
+    not carry: headers (``word/headerN.xml``), footers
+    (``word/footerN.xml``), footnotes (``word/footnotes.xml``,
+    separator stubs skipped), and comments (``word/comments.xml``).
+    Their text appends AFTER the body in that fixed order (numeric
+    part order within each family), and their paragraphs/tables
+    count into n_units/n_tables."""
+    zf = _open_container(blob)
+    root = _parse_part(zf, "word/document.xml")
+    body = None
+    for el in root:
+        if _localname(el.tag) == "body":
+            body = el
+            break
+    if body is None:
+        raise ValueError("office: document.xml has no body")
+    lines, n_par, n_tbl = _docx_block_text(body)
+    if extra_parts:
+        names = zf.namelist()
+
+        def numbered(pat: str) -> list[str]:
+            hits = [
+                (int(m.group(1)), n)
+                for n in names
+                for m in [re.fullmatch(pat, n)]
+                if m
+            ]
+            return [n for _, n in sorted(hits)]
+
+        part_roots = []
+        for name in numbered(r"word/header(\d+)\.xml"):
+            part_roots.append(_parse_part(zf, name))
+        for name in numbered(r"word/footer(\d+)\.xml"):
+            part_roots.append(_parse_part(zf, name))
+        if "word/footnotes.xml" in names:
+            fn_root = _parse_part(zf, "word/footnotes.xml")
+            for fn in fn_root:
+                if _localname(fn.tag) != "footnote":
+                    continue
+                # separator/continuationSeparator stubs carry rule
+                # marks, not document text
+                typ = next(
+                    (
+                        v
+                        for k, v in fn.attrib.items()
+                        if _localname(k) == "type"
+                    ),
+                    None,
+                )
+                if typ in ("separator", "continuationSeparator"):
+                    continue
+                part_roots.append(fn)
+        if "word/comments.xml" in names:
+            cm_root = _parse_part(zf, "word/comments.xml")
+            for cm in cm_root:
+                if _localname(cm.tag) == "comment":
+                    part_roots.append(cm)
+        for pr in part_roots:
+            xl, xp, xt = _docx_block_text(pr)
+            lines.extend(xl)
+            n_par += xp
+            n_tbl += xt
     title, creator = _core_props(zf)
     return {
         "kind": "docx",
@@ -322,13 +386,15 @@ def pptx_text(blob: bytes) -> dict:
     }
 
 
-def office_text(blob: bytes) -> dict:
+def office_text(blob: bytes, extra_parts: bool = False) -> dict:
     """Sniff-and-route: the container's parts decide the format (the
-    content-type of crawl payloads lies too often to trust)."""
+    content-type of crawl payloads lies too often to trust).
+    ``extra_parts`` reaches the DOCX walker (headers/footers/
+    footnotes/comments, r12 — opt-in, default output unchanged)."""
     zf = _open_container(blob)
     names = set(zf.namelist())
     if "word/document.xml" in names:
-        return docx_text(blob)
+        return docx_text(blob, extra_parts=extra_parts)
     if any(re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n) for n in names):
         return xlsx_text(blob)
     if any(re.fullmatch(r"ppt/slides/slide\d+\.xml", n) for n in names):
@@ -383,9 +449,17 @@ def encode_docx(
     title: str | None = None,
     creator: str | None = None,
     table: list[list[str]] | None = None,
+    headers: list[str] | None = None,
+    footers: list[str] | None = None,
+    footnotes: list[str] | None = None,
+    comments: list[str] | None = None,
 ) -> bytes:
     """Minimal valid DOCX: body paragraphs (TAB/newline characters
-    round-trip as w:tab / w:br) and an optional one-grid table."""
+    round-trip as w:tab / w:br) and an optional one-grid table.
+    ``headers``/``footers`` write one part per entry
+    (word/headerN.xml / word/footerN.xml); ``footnotes`` writes
+    word/footnotes.xml with the real-writer separator stubs plus one
+    w:footnote per entry; ``comments`` writes word/comments.xml."""
     runs = []
     for p in paragraphs:
         body = ""
@@ -416,13 +490,51 @@ def encode_docx(
         + "".join(runs)
         + "<w:sectPr/></w:body></w:document>"
     )
-    return _zip_parts(
-        {
-            "[Content_Types].xml": "<Types/>",
-            "word/document.xml": doc,
-            "docProps/core.xml": _core_xml(title, creator),
-        }
-    )
+    parts = {
+        "[Content_Types].xml": "<Types/>",
+        "word/document.xml": doc,
+        "docProps/core.xml": _core_xml(title, creator),
+    }
+
+    def para(p: str) -> str:
+        return (
+            f'<w:p><w:r><w:t xml:space="preserve">'
+            f"{_xml_escape(p)}</w:t></w:r></w:p>"
+        )
+
+    for i, h in enumerate(headers or [], start=1):
+        parts[f"word/header{i}.xml"] = (
+            f'<w:hdr xmlns:w="{_W}">{para(h)}</w:hdr>'
+        )
+    for i, f in enumerate(footers or [], start=1):
+        parts[f"word/footer{i}.xml"] = (
+            f'<w:ftr xmlns:w="{_W}">{para(f)}</w:ftr>'
+        )
+    if footnotes:
+        fns = [
+            '<w:footnote w:type="separator" w:id="-1"><w:p/>'
+            "</w:footnote>",
+            '<w:footnote w:type="continuationSeparator" w:id="0">'
+            "<w:p/></w:footnote>",
+        ]
+        fns += [
+            f'<w:footnote w:id="{i}">{para(t)}</w:footnote>'
+            for i, t in enumerate(footnotes, start=1)
+        ]
+        parts["word/footnotes.xml"] = (
+            f'<w:footnotes xmlns:w="{_W}">{"".join(fns)}'
+            "</w:footnotes>"
+        )
+    if comments:
+        parts["word/comments.xml"] = (
+            f'<w:comments xmlns:w="{_W}">'
+            + "".join(
+                f'<w:comment w:id="{i}">{para(t)}</w:comment>'
+                for i, t in enumerate(comments, start=1)
+            )
+            + "</w:comments>"
+        )
+    return _zip_parts(parts)
 
 
 def encode_xlsx(
@@ -532,6 +644,7 @@ def office_features(
     blob_col: str = "payload",
     id_col: str = "doc_id",
     errors: str = "raise",
+    extra_parts: bool = False,
 ) -> DataFrame:
     """Arrow-batched OOXML extraction: (id, kind, title, creator,
     n_units, n_tables, text, n_chars) per document, format sniffed
@@ -544,7 +657,7 @@ def office_features(
     )
 
     def per_row(rid: int, blob: bytes) -> list[dict]:
-        m = office_text(blob)
+        m = office_text(blob, extra_parts=extra_parts)
         return [
             {
                 "kind": m["kind"],
