@@ -1325,8 +1325,11 @@ def extract_pdf(payload: bytes) -> dict:
 # 8, Indexed palettes, ICCBased mapped by /N to the device space — a
 # stated colorimetric approximation, fine for a dedup/feature tier).
 # Inline BI..ID..EI images and images nested inside Form XObject
-# resource trees also extract (r11 late). JPXDecode (JPEG 2000),
-# JBIG2Decode, Separation/Lab spaces, and /Decode inversion arrays
+# resource trees also extract (r11 late). JBIG2Decode generic
+# regions (MQ templates 0-3 nominal-AT, TPGDON, MMR, page
+# composition, JBIG2Globals plumbing) decode through operators/jbig2
+# (r12); symbol/text/refinement JBIG2 segments, JPXDecode
+# (JPEG 2000), Separation/Lab spaces, and /Decode inversion arrays
 # stay named NotImplementedError gaps.
 
 _MAX_IMAGE_PIXELS = 64 * 1024 * 1024
@@ -1409,11 +1412,42 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         data = _decode_stream(
             objs, {"Filter": pre, "DecodeParms": pre_parms}, raw
         )
-    if img_filter == "JPXDecode" or img_filter == "JBIG2Decode":
+    if img_filter == "JPXDecode":
         raise NotImplementedError(
-            f"pdf: image filter {img_filter} (DCT/CCITT/raw rasters "
-            "only; route JPEG 2000 / JBIG2 to a codec library)"
+            "pdf: image filter JPXDecode (route JPEG 2000 to a "
+            "codec library)"
         )
+    if img_filter == "JBIG2Decode":
+        from timeseries_data_provider_spark.operators import (
+            jbig2 as _jbig2,
+        )
+
+        fp = parms_list[-1] if parms_list else None
+        fp = fp if isinstance(fp, dict) else {}
+        gref = fp.get("JBIG2Globals")
+        gdata = None
+        if gref is not None:
+            if not isinstance(gref, _Ref):
+                raise ValueError("pdf: JBIG2Globals is not a stream")
+            gt = objs.get(gref.num)
+            if not gt or gt[1] is None:
+                raise ValueError("pdf: JBIG2Globals stream missing")
+            gdata = _decode_stream(objs, gt[0], gt[1])
+        bm = _jbig2.decode_jbig2_embedded(data, gdata)
+        if bm.shape != (h, w):
+            raise ValueError(
+                f"pdf: JBIG2 page is {bm.shape[1]}x{bm.shape[0]}, "
+                f"dict says {w}x{h}"
+            )
+        # JBIG2 bits are semantic (1 = black) — same display-gray
+        # convention as the CCITT branch
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "filter": "JBIG2Decode",
+            "pixels": ((1 - bm) * 255).astype(np.uint8),
+        }
     if img_filter == "DCTDecode":
         from timeseries_data_provider_spark.operators import jpeg as _jpeg
 
@@ -1845,8 +1879,11 @@ def synth_scan_pdf_media(
     page's pixel content a closed form the DuckDB oracle can
     recompute with generate_series math (the q63 plant discipline):
 
-    - page 1: CCITT-G4 vertical stripes of period p = (id%4)+1
-      (black where (x//p)%2 == 0) at (64+id%5) x (32+id%3);
+    - page 1: vertical stripes of period p = (id%4)+1 (black where
+      (x//p)%2 == 0) at (64+id%5) x (32+id%3), the CODEC rotating by
+      id%4 — 1: JBIG2 MQ generic region, 3: JBIG2 MMR, else
+      CCITT-G4 (r12: same pixels, so the oracle's scan_px1 formula
+      is codec-independent while all three decode ladders run);
     - page 2: Flate gray8 gradient (id+x+y)%256 (the GIF/TIFF
       closed form) at (40+id%4) x (20+id%2);
     - page 3: Indexed raster over the 216-entry web-safe RGB cube,
@@ -1873,11 +1910,14 @@ def synth_scan_pdf_media(
                 page3 = ((7 * i + xs3 + 3 * ys3) % 216).astype(
                     np.uint8
                 )
+                p1_kind = {1: "jbig2", 3: "jbig2-mmr"}.get(
+                    i % 4, "ccitt-g4"
+                )
                 out[id_col].append(i)
                 out["payload"].append(
                     encode_scan_pdf(
                         [
-                            ("ccitt-g4", page1),
+                            (p1_kind, page1),
                             ("gray8", page2),
                             ("indexed", page3),
                         ]
@@ -2375,6 +2415,21 @@ def encode_scan_pdf(images: list) -> bytes:
                     "/EncodedByteAlign true >>"
                 )
             extra = f" /Filter /CCITTFaxDecode /DecodeParms {parms}"
+            cs, bpc = "/DeviceGray", 1
+        elif kind in ("jbig2", "jbig2-mmr", "jbig2-tpgdon"):
+            # bilevel scan via the T.88 generic region (r12):
+            # white=255 display gray in, like the ccitt kinds
+            from timeseries_data_provider_spark.operators import (
+                jbig2 as _jbig2,
+            )
+
+            bits = (px < 128).astype("uint8")
+            data = _jbig2.encode_jbig2_generic(
+                bits,
+                tpgdon=kind == "jbig2-tpgdon",
+                mmr=kind == "jbig2-mmr",
+            )
+            extra = " /Filter /JBIG2Decode"
             cs, bpc = "/DeviceGray", 1
         elif kind == "gray8":
             data = zlib.compress(px.tobytes())
