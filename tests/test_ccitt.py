@@ -300,16 +300,20 @@ def test_ccitt_guards():
 
 
 def test_photometric_1_bilevel():
-    # photometric only changes how SAMPLES are stored; fax bits are
-    # white/black either way and the decoder emits the same display
-    # gray. Flip the photometric tag 0 -> 1 and expect identical
-    # output.
+    # r12 ADVICE correction: under TIFF 6.0 the decompressed fax
+    # bits ARE the samples (white pel -> 0), so photometric 1
+    # (BlackIsZero) marks a REVERSED image — flipping the tag 0 -> 1
+    # must INVERT the decoded raster (libtiff semantics; the r11
+    # claim that photometric was display-neutral for CCITT was
+    # wrong).
     img = _pattern(40, 8, 5)
     blob = bytearray(tiff.encode_tiff(40, 8, img, ccitt="g4"))
     at = bytes(blob).find((262).to_bytes(2, "little"))
     assert at > 0 and blob[at + 8] == 0
     blob[at + 8] = 1
-    assert (tiff.decode_tiff(bytes(blob))["pixels"] == img).all()
+    assert (
+        tiff.decode_tiff(bytes(blob))["pixels"] == 255 - img
+    ).all()
 
 
 def test_registry_dispatch():

@@ -60,9 +60,11 @@ def test_biff5_and_encrypted_named():
     struct.pack_into("<H", wb, 4, 0x0500)  # BOF version -> BIFF5
     with pytest.raises(NotImplementedError, match="BIFF"):
         xls.xls_text(cfb.encode_cfb([("Workbook", bytes(wb))]))
+    # r12: RC4 v1.1 FilePass now DECRYPTS (tests/test_offcrypto.py);
+    # the remaining named gaps are XOR obfuscation and CryptoAPI RC4
     rec = struct.pack("<HHH", 0x0809, 2, 0x0600)
     rec += struct.pack("<HH", 0x002F, 4) + b"\x00\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(NotImplementedError, match="XOR"):
         xls.xls_text(cfb.encode_cfb([("Workbook", rec)]))
 
 

@@ -212,6 +212,7 @@ _KIND_STREAMS = [
     ("Book", "xls"),
     ("PowerPoint Document", "ppt"),
     ("__properties_version1.0", "msg"),
+    ("EncryptedPackage", "encrypted-ooxml"),
 ]
 
 

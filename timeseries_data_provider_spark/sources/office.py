@@ -28,10 +28,13 @@ Hostile-input posture (crawl reality):
 
 DOCX sub-parts — headers, footers, footnotes, comments — extract
 behind the opt-in ``extra_parts`` flag (r12; default output
-unchanged). Named gaps: legacy binary formats route to the sibling
-doc/ppt/xls modules; embedded OLE objects, charts, and encrypted
-(password) OOXML remain named gaps. Numbers in XLSX are emitted as
-their stored lexical form (the cell's ``v`` text), not re-formatted.
+unchanged). Encrypted OOXML (Standard/Agile, the CFB wrapper)
+decrypts through sources/offcrypto with the empty/VelvetSweatshop
+default passwords (r12); a REAL password raises the named error.
+Remaining named gaps: legacy binary formats route to the sibling
+doc/ppt/xls modules; embedded OLE objects and charts. Numbers in
+XLSX are emitted as their stored lexical form (the cell's ``v``
+text), not re-formatted.
 
 Scale shape: per-document independent (Arrow fan-out under
 mapInPandas — the codec-tier posture); zero shuffle.
@@ -386,11 +389,25 @@ def pptx_text(blob: bytes) -> dict:
     }
 
 
-def office_text(blob: bytes, extra_parts: bool = False) -> dict:
+def office_text(
+    blob: bytes,
+    extra_parts: bool = False,
+    passwords: tuple[str, ...] | None = None,
+) -> dict:
     """Sniff-and-route: the container's parts decide the format (the
     content-type of crawl payloads lies too often to trust).
     ``extra_parts`` reaches the DOCX walker (headers/footers/
-    footnotes/comments, r12 — opt-in, default output unchanged)."""
+    footnotes/comments, r12 — opt-in, default output unchanged).
+    An ENCRYPTED OOXML payload (a CFB container carrying
+    EncryptionInfo/EncryptedPackage) decrypts through
+    sources/offcrypto first (r12): the empty password and Excel's
+    VelvetSweatshop default are tried (plus ``passwords``); a real
+    user password raises the named error."""
+    if blob[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        from timeseries_data_provider_spark.sources import offcrypto
+
+        cands = offcrypto.DEFAULT_PASSWORDS + tuple(passwords or ())
+        blob = offcrypto.decrypt_ooxml(blob, cands)
     zf = _open_container(blob)
     names = set(zf.namelist())
     if "word/document.xml" in names:
@@ -645,6 +662,7 @@ def office_features(
     id_col: str = "doc_id",
     errors: str = "raise",
     extra_parts: bool = False,
+    passwords: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Arrow-batched OOXML extraction: (id, kind, title, creator,
     n_units, n_tables, text, n_chars) per document, format sniffed
@@ -657,7 +675,9 @@ def office_features(
     )
 
     def per_row(rid: int, blob: bytes) -> list[dict]:
-        m = office_text(blob, extra_parts=extra_parts)
+        m = office_text(
+            blob, extra_parts=extra_parts, passwords=passwords
+        )
         return [
             {
                 "kind": m["kind"],

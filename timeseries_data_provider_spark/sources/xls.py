@@ -15,8 +15,11 @@ their declared sizes (raw across continues, per spec).
 
 Contract: one line per unique SST string, table order; LABELSST
 cells are counted (n_label_cells) to evidence the strings are
-referenced; BIFF5 (BOF version != 0x0600) and FilePass-encrypted
-workbooks raise named errors; record/segment overruns are loud.
+referenced; BIFF5 (BOF version != 0x0600) raises the named error;
+record/segment overruns are loud. FilePass RC4 v1.1 workbooks
+decrypt through sources/offcrypto (r12 — empty/VelvetSweatshop
+defaults plus caller candidates; XOR obfuscation and CryptoAPI RC4
+stay named gaps).
 Same stated verification posture as sources/doc (self-written
 fixtures; typed record stream fails loud).
 """
@@ -119,13 +122,28 @@ def _parse_sst(segs: list[bytes]) -> list[str]:
     return out
 
 
-def xls_text(blob: bytes) -> dict:
+def xls_text(
+    blob: bytes, passwords: tuple[str, ...] | None = None
+) -> dict:
     """{n_strings, n_label_cells, text} — one line per unique SST
-    string. ``blob`` is the whole CFB container."""
+    string. ``blob`` is the whole CFB container. A FilePass-
+    protected (RC4 v1.1) workbook decrypts through
+    sources/offcrypto first (r12) — the empty password and Excel's
+    VelvetSweatshop default are tried, plus ``passwords``; XOR
+    obfuscation, CryptoAPI RC4, and real passwords raise named
+    errors."""
     streams = dict(cfb.cfb_streams(blob))
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
         raise ValueError("xls: no Workbook stream")
+    return _workbook_text(wb, passwords, decrypted=False)
+
+
+def _workbook_text(
+    wb: bytes,
+    passwords: tuple[str, ...] | None,
+    decrypted: bool,
+) -> dict:
     pos = 0
     n = len(wb)
     strings: list[str] = []
@@ -160,8 +178,19 @@ def xls_text(blob: bytes) -> dict:
                     )
             saw_bof = True
         elif rtype == _FILEPASS:
-            raise NotImplementedError(
-                "xls: encrypted workbook (FilePass handler)"
+            if decrypted:
+                continue  # plaintext pass: the record is vestigial
+            from timeseries_data_provider_spark.sources import (
+                offcrypto,
+            )
+
+            cands = offcrypto.DEFAULT_PASSWORDS + tuple(
+                passwords or ()
+            )
+            return _workbook_text(
+                offcrypto.decrypt_xls_workbook(wb, cands),
+                passwords,
+                decrypted=True,
             )
         elif rtype == _SST:
             sst_segs = [body]

@@ -27,8 +27,27 @@ lzfu        The [MS-OXRTFCP] compressed-RTF chain at batch scale:
             (full-table JVM equality) and reports docs/s — the
             officertf envelope extended with the LZFu class.
 
-Usage: python tools/stress_round12.py [quarantine|lzfu]
-Env: STRESS_QUAR_N (default 50000), STRESS_LZFU_N (default 20000).
+jbig2       The T.88 generic-region envelope: N single-page JBIG2
+            scan PDFs rotating MQ template 0 / MQ+TPGDON / MMR over
+            closed-form stripe rasters through pdf_image_features —
+            asserts every page's pixel_milli equals its closed form
+            (driver-vs-worker, the ccittfax methodology) and reports
+            pages/s and decoded kilopixels/s (the honest pure-Python
+            MQ rate next to ccittfax's 76 MP/s run-level rate).
+
+offcrypto   Encrypted-OOXML extraction at batch scale: N encrypted
+            DOCX containers (half Standard SHA-1/AES-ECB at the
+            spec's 50k iterations, half Agile SHA-512/AES-CBC at
+            the fixture's 10k spin) with closed-form text, through
+            office_features' transparent decrypt routing. Asserts
+            full-table text equality and reports docs/s — the
+            honest KDF-bound rate (per-file salts make the
+            derivation uncacheable BY DESIGN; real Agile files spin
+            100k, so scale the agile share's rate by ~10x down).
+
+Usage: python tools/stress_round12.py [quarantine|lzfu|jbig2|offcrypto]
+Env: STRESS_QUAR_N (default 50000), STRESS_LZFU_N (default 20000),
+STRESS_JBIG2_N (default 2000), STRESS_OFFCRYPTO_N (default 2000).
 """
 
 from __future__ import annotations
@@ -285,7 +304,153 @@ def probe_lzfu(spark) -> None:
     )
 
 
-PROBES = {"quarantine": probe_quarantine, "lzfu": probe_lzfu}
+def probe_jbig2(spark) -> None:
+    import pandas as pd
+
+    from timeseries_data_provider_spark.operators import pdf as pdfmod
+
+    n = int(os.environ.get("STRESS_JBIG2_N", "2000"))
+    w, h = 128, 96  # 12.3 kpx/page
+
+    def synth(batches):
+        import numpy as np
+
+        from timeseries_data_provider_spark.operators import (
+            pdf as _pdf,
+        )
+
+        for b in batches:
+            out = {"doc_id": [], "payload": []}
+            for rid in b["id"]:
+                i = int(rid)
+                p = (i % 4) + 1
+                row = np.where(
+                    (np.arange(w) // p) % 2 == 0, 0, 255
+                ).astype(np.uint8)
+                page = np.tile(row, (h, 1))
+                kind = ["jbig2", "jbig2-tpgdon", "jbig2-mmr"][i % 3]
+                out["doc_id"].append(i)
+                out["payload"].append(
+                    _pdf.encode_scan_pdf([(kind, page)])
+                )
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id long, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    feats = pdfmod.pdf_image_features(media)
+    # closed form: stripes of period p — pixel_milli =
+    # (1000 * 255 * n_white) // (w*h), n_white = h * count of x with
+    # (x//p)%2 == 1
+    import numpy as np
+
+    want = {}
+    for p in (1, 2, 3, 4):
+        n_white = int(
+            ((np.arange(w) // p) % 2 == 1).sum()
+        ) * h
+        want[p] = (1000 * 255 * n_white) // (w * h)
+    expect = F.element_at(
+        F.array(*[F.lit(want[p]) for p in (1, 2, 3, 4)]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    agg = feats.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(F.col("pixel_milli") == expect, 0).otherwise(1)
+        ).alias("bad"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert agg["total"] == n and agg["bad"] == 0, agg
+    _emit(
+        "jbig2",
+        n=n,
+        sec=round(dt, 2),
+        pages_per_sec=round(n / dt),
+        kpx_per_sec=round(n * w * h / dt / 1000),
+        mismatches=0,
+    )
+
+
+def probe_offcrypto(spark) -> None:
+    import pandas as pd
+
+    from timeseries_data_provider_spark.sources import office
+
+    n = int(os.environ.get("STRESS_OFFCRYPTO_N", "2000"))
+
+    def synth(batches):
+        from timeseries_data_provider_spark.sources import (
+            offcrypto as _oc,
+            office as _o,
+        )
+
+        for b in batches:
+            out = {"doc_id": [], "payload": []}
+            for rid in b["id"]:
+                i = int(rid)
+                plain = _o.encode_docx(
+                    [f"Encrypted memo {i}.", f"Line two of {i}."],
+                    title=f"T{i}",
+                )
+                scheme = "standard" if i % 2 == 0 else "agile"
+                pw = "" if i % 4 < 2 else "VelvetSweatshop"
+                out["doc_id"].append(i)
+                out["payload"].append(
+                    _oc.encrypt_ooxml(plain, pw, scheme)
+                )
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id long, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    feats = office.office_features(media)
+    expect = F.concat(
+        F.lit("Encrypted memo "),
+        F.col("doc_id"),
+        F.lit(".\nLine two of "),
+        F.col("doc_id"),
+        F.lit("."),
+    )
+    agg = feats.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(F.col("text") == expect, 0).otherwise(1)
+        ).alias("bad"),
+        F.sum(
+            F.when(
+                F.col("title")
+                == F.concat(F.lit("T"), F.col("doc_id")),
+                0,
+            ).otherwise(1)
+        ).alias("bad_title"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert agg["total"] == n, agg
+    assert agg["bad"] == 0 and agg["bad_title"] == 0, agg
+    _emit(
+        "offcrypto",
+        n=n,
+        sec=round(dt, 2),
+        docs_per_sec=round(n / dt),
+        mismatches=0,
+    )
+
+
+PROBES = {
+    "quarantine": probe_quarantine,
+    "lzfu": probe_lzfu,
+    "jbig2": probe_jbig2,
+    "offcrypto": probe_offcrypto,
+}
 
 
 def main() -> None:
