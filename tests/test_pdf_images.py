@@ -245,3 +245,85 @@ def test_cmyk_features_rows(spark):
     assert rows[0]["pixel_milli"] == (
         1000 * int(cmyk.sum(dtype=np.int64))
     ) // cmyk.size
+
+
+def test_decode_inversion_arrays():
+    # /Decode [1 0 ...] (r12): full per-component inversion on every
+    # raster family; stored data is unchanged, so output must be the
+    # channel inverse of the no-Decode form
+    cmyk = np.dstack([GRAY, 255 - GRAY, GRAY // 2, 255 - GRAY // 2])
+    idx_stored = (255 - IDX).astype(np.uint8)  # maps back into 0..215
+    blob = pdf.encode_scan_pdf(
+        [
+            ("gray8+dinv", GRAY),
+            ("rgb8+dinv", RGB),
+            ("cmyk8+dinv", cmyk),
+            ("gray1+dinv", BIL),
+            ("mask+dinv", BIL),
+            ("indexed+dinv", idx_stored),
+        ]
+    )
+    imgs = pdf.extract_pdf_images(blob)
+    assert (imgs[0]["pixels"] == 255 - GRAY).all()
+    assert (imgs[1]["pixels"] == 255 - RGB).all()
+    assert (imgs[2]["pixels"] == 255 - cmyk).all()
+    assert (imgs[3]["pixels"] == 255 - BIL).all()
+    assert (imgs[4]["pixels"] == 255 - BIL).all()
+    # Indexed /Decode [255 0] reverses INDEX values, not colors
+    assert (imgs[5]["pixels"] == LUT[IDX]).all()
+
+
+def test_decode_inversion_mixed_components():
+    # per-component flags are independent: invert R and B, keep G
+    blob = pdf.encode_scan_pdf([("rgb8", RGB)]).replace(
+        b"/BitsPerComponent 8",
+        b"/BitsPerComponent 8 /Decode [1 0 0 1 1 0]",
+    )
+    (img,) = pdf.extract_pdf_images(blob)
+    want = RGB.copy()
+    want[:, :, 0] = 255 - want[:, :, 0]
+    want[:, :, 2] = 255 - want[:, :, 2]
+    assert (img["pixels"] == want).all()
+
+
+def test_ccitt_blackis1_and_decode():
+    # BlackIs1 true: fax bits ARE the stored samples (§7.4.6
+    # Table 11), so display inverts vs the default — unless /Decode
+    # [1 0] inverts it back
+    b_plain = pdf.encode_scan_pdf([("ccitt-g4", BIL)])
+    b_b1 = pdf.encode_scan_pdf([("ccitt-g4-b1", BIL)])
+    b_b1_inv = pdf.encode_scan_pdf([("ccitt-g4-b1+dinv", BIL)])
+    b_inv = pdf.encode_scan_pdf([("ccitt-g4+dinv", BIL)])
+    assert (pdf.extract_pdf_images(b_plain)[0]["pixels"] == BIL).all()
+    assert (pdf.extract_pdf_images(b_b1)[0]["pixels"] == 255 - BIL).all()
+    assert (pdf.extract_pdf_images(b_b1_inv)[0]["pixels"] == BIL).all()
+    assert (pdf.extract_pdf_images(b_inv)[0]["pixels"] == 255 - BIL).all()
+
+
+def test_jbig2_and_dct_decode_inversion():
+    blob = pdf.encode_scan_pdf(
+        [("jbig2+dinv", BIL), ("dct", GRAY), ("dct+dinv", GRAY)]
+    )
+    imgs = pdf.extract_pdf_images(blob)
+    assert (imgs[0]["pixels"] == 255 - BIL).all()
+    # DCT is bounded-lossy, but inversion applies to the DECODED
+    # pixels, so the pair is exactly complementary
+    assert (imgs[2]["pixels"] == 255 - imgs[1]["pixels"]).all()
+
+
+def test_decode_array_hostile():
+    base = pdf.encode_scan_pdf([("gray8+dinv", GRAY)])
+    # non-binary endpoints: a tone-curve remap is a named gap
+    bad = base.replace(b"/Decode [1 0]", b"/Decode [0 2]")
+    with pytest.raises(NotImplementedError, match="Decode endpoints"):
+        pdf.extract_pdf_images(bad)
+    # wrong arity is malformed, not unsupported
+    bad = base.replace(b"/Decode [1 0]", b"/Decode [1 0 1]")
+    with pytest.raises(ValueError, match="Decode array"):
+        pdf.extract_pdf_images(bad)
+    # Indexed non-default/non-reversal /Decode is a named gap
+    idx = pdf.encode_scan_pdf([("indexed+dinv", 255 - IDX)]).replace(
+        b"/Decode [255 0]", b"/Decode [0 101]"
+    )
+    with pytest.raises(NotImplementedError, match="Indexed /Decode"):
+        pdf.extract_pdf_images(idx)

@@ -1328,9 +1328,11 @@ def extract_pdf(payload: bytes) -> dict:
 # resource trees also extract (r11 late). JBIG2Decode generic
 # regions (MQ templates 0-3 nominal-AT, TPGDON, MMR, page
 # composition, JBIG2Globals plumbing) decode through operators/jbig2
-# (r12); symbol/text/refinement JBIG2 segments, JPXDecode
-# (JPEG 2000), Separation/Lab spaces, and /Decode inversion arrays
-# stay named NotImplementedError gaps.
+# (r12). /Decode arrays apply as identity/inversion per component,
+# incl. BlackIs1 interplay on fax and index reversal on Indexed
+# (r12); fractional /Decode endpoints (a tone-curve remap),
+# symbol/text/refinement JBIG2 segments, JPXDecode (JPEG 2000), and
+# Separation/Lab spaces stay named NotImplementedError gaps.
 
 _MAX_IMAGE_PIXELS = 64 * 1024 * 1024
 
@@ -1369,6 +1371,51 @@ def _unpack_samples(
             .astype(np.uint8)
         )
     return out.reshape(h, w, ncomp)
+
+
+def _decode_inversion(objs, decode, ncomp: int) -> list:
+    """Normalize a /Decode array (§8.9.5.2 Table 89) into per-
+    component inversion flags. Each component's default range is
+    [0 1] (the Indexed case is handled at its call site); the only
+    mappings expressible in this engine's integer-exact pixel
+    contract are the identity [0 1] and the full inversion [1 0] —
+    fractional endpoints raise the named error (a tone-curve remap
+    belongs to a rendering library, not a dedup/feature tier)."""
+    if decode is None:
+        return [False] * ncomp
+    if not isinstance(decode, list) or len(decode) != 2 * ncomp:
+        raise ValueError(
+            f"pdf: /Decode array needs {2 * ncomp} numbers"
+        )
+    flags = []
+    for i in range(ncomp):
+        lo = _resolve(objs, decode[2 * i])
+        hi = _resolve(objs, decode[2 * i + 1])
+        if (lo, hi) == (0, 1):
+            flags.append(False)
+        elif (lo, hi) == (1, 0):
+            flags.append(True)
+        else:
+            raise NotImplementedError(
+                f"pdf: unsupported /Decode endpoints [{lo} {hi}] "
+                "(identity and inversion only)"
+            )
+    return flags
+
+
+def _invert_channels(px, flags):
+    """Apply per-component /Decode inversion to a 0..255 pixel
+    array — exact, because each branch's sample scale maps the
+    component's full range onto 0..255 linearly."""
+    if not any(flags):
+        return px
+    if px.ndim == 2:
+        return 255 - px
+    px = px.copy()
+    for c, inv in enumerate(flags):
+        if inv:
+            px[:, :, c] = 255 - px[:, :, c]
+    return px
 
 
 def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
@@ -1439,14 +1486,19 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
                 f"pdf: JBIG2 page is {bm.shape[1]}x{bm.shape[0]}, "
                 f"dict says {w}x{h}"
             )
-        # JBIG2 bits are semantic (1 = black) — same display-gray
-        # convention as the CCITT branch
+        # JBIG2 bits are semantic (1 = black); the stored sample is
+        # the inverse (0 = black under DeviceGray), then /Decode
+        # applies (r12 — [1 0] inversion, common on stencil scans)
+        inv = _decode_inversion(
+            objs, _resolve(objs, val.get("Decode")), 1
+        )[0]
+        stored = bm if inv else 1 - bm
         return {
             "width": w,
             "height": h,
             "channels": 1,
             "filter": "JBIG2Decode",
-            "pixels": ((1 - bm) * 255).astype(np.uint8),
+            "pixels": (stored * 255).astype(np.uint8),
         }
     if img_filter == "DCTDecode":
         from timeseries_data_provider_spark.operators import jpeg as _jpeg
@@ -1458,10 +1510,17 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
                 f"pdf: DCT image is {d['width']}x{d['height']}, "
                 f"dict says {w}x{h}"
             )
+        nch = 1 if px.ndim == 2 else px.shape[2]
+        px = _invert_channels(
+            px,
+            _decode_inversion(
+                objs, _resolve(objs, val.get("Decode")), nch
+            ),
+        )
         return {
             "width": w,
             "height": h,
-            "channels": 1 if px.ndim == 2 else px.shape[2],
+            "channels": nch,
             "filter": "DCTDecode",
             "pixels": px,
         }
@@ -1485,20 +1544,32 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
             fax = _ccitt.decode_mh(data, cols, rows, align=ba)
         else:
             fax = _ccitt.decode_g3(data, cols, rows, two_d=True)
-        # fax bits are semantic (1 = black) — BlackIs1 only renames
-        # the stored sample values, which this path never material-
-        # izes; /Decode inversion arrays are a named gap (module note)
+        # fax bits are semantic (1 = black). The STORED sample is
+        # their inverse under the default /BlackIs1 false (0 bits
+        # are black, §7.4.6 Table 11) and the bits themselves when
+        # BlackIs1 is true; /Decode then maps stored -> gray (r12)
+        blackis1 = bool(_resolve(objs, fp.get("BlackIs1", False)))
+        stored = fax if blackis1 else 1 - fax
+        if _decode_inversion(
+            objs, _resolve(objs, val.get("Decode")), 1
+        )[0]:
+            stored = 1 - stored
         return {
             "width": w,
             "height": h,
             "channels": 1,
             "filter": "CCITTFaxDecode",
-            "pixels": ((1 - fax) * 255).astype(np.uint8),
+            "pixels": (stored * 255).astype(np.uint8),
         }
     # raw raster: interpret by colour space
     if mask:
         samples = _unpack_samples(data, w, h, 1, 1)[:, :, 0]
-        # stencil: sample 0 paints (ink) under the default Decode
+        # stencil: sample 0 paints (ink) under the default Decode;
+        # /Decode [1 0] flips which sample paints (§8.9.6.2, r12)
+        if _decode_inversion(
+            objs, _resolve(objs, val.get("Decode")), 1
+        )[0]:
+            samples = 1 - samples
         return {
             "width": w,
             "height": h,
@@ -1540,6 +1611,21 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         if len(lookup) < (hival + 1) * nb:
             raise ValueError("pdf: Indexed lookup table too short")
         samples = _unpack_samples(data, w, h, 1, bpc)[:, :, 0]
+        # Indexed /Decode default is [0 2^bpc-1] (Table 89) — the
+        # identity on index values; the inversion reverses them (r12)
+        dec = _resolve(objs, val.get("Decode"))
+        if dec is not None:
+            m = (1 << bpc) - 1
+            if not isinstance(dec, list) or len(dec) != 2:
+                raise ValueError("pdf: /Decode array needs 2 numbers")
+            lo, hi = (_resolve(objs, v) for v in dec)
+            if (lo, hi) == (m, 0):
+                samples = m - samples
+            elif (lo, hi) != (0, m):
+                raise NotImplementedError(
+                    f"pdf: Indexed /Decode [{lo} {hi}] (identity "
+                    "and inversion only)"
+                )
         if int(samples.max(initial=0)) > hival:
             raise ValueError("pdf: Indexed sample above hival")
         table = np.frombuffer(lookup[: (hival + 1) * nb], np.uint8)
@@ -1561,6 +1647,9 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         samples = _unpack_samples(data, w, h, 1, bpc)[:, :, 0]
         scale = 255 // ((1 << bpc) - 1)
         px = (samples.astype(np.uint16) * scale).astype(np.uint8)
+        px = _invert_channels(
+            px, _decode_inversion(objs, _resolve(objs, val.get("Decode")), 1)
+        )
         return {
             "width": w,
             "height": h,
@@ -1572,6 +1661,9 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         if bpc != 8:
             raise NotImplementedError(f"pdf: {bpc}-bit RGB components")
         px = _unpack_samples(data, w, h, 3, 8)
+        px = _invert_channels(
+            px, _decode_inversion(objs, _resolve(objs, val.get("Decode")), 3)
+        )
         return {
             "width": w,
             "height": h,
@@ -1587,6 +1679,9 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
                 f"pdf: {bpc}-bit CMYK components"
             )
         px = _unpack_samples(data, w, h, 4, 8)
+        px = _invert_channels(
+            px, _decode_inversion(objs, _resolve(objs, val.get("Decode")), 4)
+        )
         return {
             "width": w,
             "height": h,
@@ -2316,6 +2411,12 @@ def encode_scan_pdf(images: list) -> bytes:
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     for i, (kind, px) in enumerate(images):
+        # "+dinv" suffix: write a full-inversion /Decode array on
+        # the image dict (r12) — stored data unchanged, so a test
+        # asserts the decoder output is the channel inverse
+        dinv = kind.endswith("+dinv")
+        if dinv:
+            kind = kind[: -len("+dinv")]
         px = np.asarray(px, np.uint8)
         h, w = px.shape[:2]
         page_num = 3 + 4 * i
@@ -2405,6 +2506,15 @@ def encode_scan_pdf(images: list) -> bytes:
             if kind == "ccitt-g4":
                 data = _ccitt.encode_g4(fax)
                 parms = f"<< /K -1 /Columns {w} /Rows {h} >>"
+            elif kind == "ccitt-g4-b1":
+                # BlackIs1 true: the fax bits ARE the stored
+                # samples, so this displays inverted vs ccitt-g4
+                # unless paired with +dinv (r12)
+                data = _ccitt.encode_g4(fax)
+                parms = (
+                    f"<< /K -1 /Columns {w} /Rows {h} "
+                    "/BlackIs1 true >>"
+                )
             elif kind == "ccitt-k0":
                 data = _ccitt.encode_mh(fax, align=False)
                 parms = f"<< /K 0 /Columns {w} /Rows {h} >>"
@@ -2464,6 +2574,16 @@ def encode_scan_pdf(images: list) -> bytes:
             cs, bpc = None, None
         else:
             raise ValueError(f"encode_scan_pdf: kind {kind!r}")
+        if dinv:
+            if kind == "indexed":
+                extra += f" /Decode [{(1 << bpc) - 1} 0]"
+            else:
+                ncomp = (
+                    1
+                    if cs is None or cs == "/DeviceGray"
+                    else {"/DeviceRGB": 3, "/DeviceCMYK": 4}[cs]
+                )
+                extra += " /Decode [" + " ".join(["1 0"] * ncomp) + "]"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
             f"/Contents {content_num} 0 R /Resources << /XObject "
