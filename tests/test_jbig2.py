@@ -129,10 +129,15 @@ def test_named_gaps_and_hostile_inputs():
     blob = bytearray(jbig2.encode_jbig2_generic(bm))
     with pytest.raises(ValueError, match="truncated segment header"):
         jbig2.decode_jbig2_embedded(bytes(blob[:7]))
-    # symbol-dictionary segments are the named scope boundary
+    # halftone segments are the named scope boundary (symbol dicts
+    # decode as of r12 — a page-info payload misread as one is loud)
+    ht = bytearray(blob)
+    ht[4] = (ht[4] & 0xC0) | 20  # first segment type -> halftone
+    with pytest.raises(NotImplementedError, match="halftone"):
+        jbig2.decode_jbig2_embedded(bytes(ht))
     sym = bytearray(blob)
-    sym[4] = (sym[4] & 0xC0) | 0  # first segment type -> 0
-    with pytest.raises(NotImplementedError, match="symbol"):
+    sym[4] = (sym[4] & 0xC0) | 0  # page-info bytes as a symbol dict
+    with pytest.raises((ValueError, NotImplementedError)):
         jbig2.decode_jbig2_embedded(bytes(sym))
     # unknown-length segment
     ul = bytearray(blob)
@@ -191,3 +196,134 @@ def test_pdf_image_features_jbig2(spark):
     assert rows[0]["pixel_milli"] == (
         1000 * int(gray.sum(dtype=np.int64))
     ) // gray.size
+
+
+# ---------------------------------------------------------------------------
+# symbol dictionaries + text regions (r12)
+
+GLYPHS = [
+    (np.arange(24).reshape(6, 4) % 3 == 0).astype(np.uint8),
+    (np.arange(30).reshape(6, 5) % 2 == 0).astype(np.uint8),
+    np.ones((4, 4), np.uint8),
+    (np.arange(56).reshape(8, 7) % 5 < 2).astype(np.uint8),
+]
+PLACES = [
+    (0, 2, 3), (1, 2, 10), (2, 20, 20), (3, 11, 12),
+    (0, 2, 30), (2, 20, 26), (3, 11, 25),
+]
+
+
+def _render(w, h):
+    bm = np.zeros((h, w), np.uint8)
+    for i, r, c in PLACES:
+        g = GLYPHS[i]
+        bm[r : r + g.shape[0], c : c + g.shape[1]] |= g
+    return bm
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_text_region_all_corner_modes(refcorner, transposed):
+    # every REFCORNER x TRANSPOSED mode must reproduce the same
+    # raster — the fixture converts top-left placements to the
+    # anchor each mode implies
+    want = _render(40, 30)
+    blob = jbig2.encode_jbig2_text_page(
+        40, 30, GLYPHS, PLACES,
+        refcorner=refcorner, transposed=transposed,
+    )
+    assert (jbig2.decode_jbig2_embedded(blob) == want).all()
+
+
+def test_text_region_strips_offsets_and_split_dicts():
+    want = _render(40, 30)
+    for log_strips, dsoffset, split in (
+        (2, 0, False), (1, 3, False), (0, -2, True), (3, 15, True),
+    ):
+        blob = jbig2.encode_jbig2_text_page(
+            40, 30, GLYPHS, PLACES,
+            log_strips=log_strips, dsoffset=dsoffset,
+            split_dicts=split,
+        )
+        assert (jbig2.decode_jbig2_embedded(blob) == want).all()
+
+
+def test_text_region_globals_dictionary():
+    # symbol dictionaries riding the PDF /JBIG2Globals stream serve
+    # text regions in the page stream
+    want = _render(40, 30)
+    g, page = jbig2.encode_jbig2_text_page(
+        40, 30, GLYPHS, PLACES, globals_split=True
+    )
+    assert (jbig2.decode_jbig2_embedded(page, g) == want).all()
+    with pytest.raises(ValueError, match="no symbols"):
+        jbig2.decode_jbig2_embedded(page)  # globals withheld
+
+
+def test_single_symbol_zero_codelen():
+    # SBSYMCODELEN = ceil(log2(1)) = 0: IAID reads no bits
+    g = np.ones((3, 3), np.uint8)
+    blob = jbig2.encode_jbig2_text_page(
+        12, 12, [g], [(0, 1, 1), (0, 7, 7)]
+    )
+    out = jbig2.decode_jbig2_embedded(blob)
+    assert out.sum() == 18 and out[2, 2] == 1 and out[8, 8] == 1
+
+
+def test_arith_int_coder_class_boundaries():
+    # the Table A.1 ladder edges and OOB round-trip exactly
+    vals = [0, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+            2**31, -1, -4436, jbig2._OOB, 7]
+    enc = jbig2.MQEncoder()
+    ctx = jbig2._IntCtx()
+    for v in vals:
+        jbig2.encode_int(enc, ctx, v)
+    dec = jbig2.MQDecoder(enc.flush())
+    ctx2 = jbig2._IntCtx()
+    got = [jbig2.decode_int(dec, ctx2) for _ in vals]
+    for a, b in zip(vals, got):
+        assert (a is jbig2._OOB and b is jbig2._OOB) or a == b
+
+
+def test_symbol_text_hostile_inputs():
+    blob = jbig2.encode_jbig2_text_page(40, 30, GLYPHS, PLACES)
+    # Huffman symbol dictionary is the named scope boundary: set
+    # SDHUFF (bit 0 of the dict flags, first 2 payload bytes of the
+    # type-0 segment, which sits after the 30-byte page-info seg)
+    dict_payload = 30 + 11
+    h = bytearray(blob)
+    h[dict_payload + 1] |= 1
+    with pytest.raises(NotImplementedError, match="SDHUFF"):
+        jbig2.decode_jbig2_embedded(bytes(h))
+    h = bytearray(blob)
+    h[dict_payload + 1] |= 2  # SDREFAGG
+    with pytest.raises(NotImplementedError, match="SDREFAGG"):
+        jbig2.decode_jbig2_embedded(bytes(h))
+    # truncated dictionary body: the MQ decoder runs dry into the
+    # feed-ones regime and the counts stop adding up — loud either way
+    t = bytes(blob[: dict_payload + 30])
+    with pytest.raises(ValueError):
+        jbig2.decode_jbig2_embedded(t)
+
+
+def test_text_region_instance_bounds_checked():
+    # a symbol instance placed outside the region raises, never
+    # writes out of bounds
+    g = np.ones((3, 3), np.uint8)
+    blob = jbig2.encode_jbig2_text_page(8, 8, [g], [(0, 6, 6)])
+    with pytest.raises(ValueError, match="exceeds region"):
+        jbig2.decode_jbig2_embedded(blob)
+
+
+def test_scan_pdf_jbig2_text_kind():
+    # the row-run glyph decomposition reproduces ANY raster exactly
+    rng = np.random.default_rng(11)
+    ras = np.where(rng.random((25, 70)) < 0.4, 0, 255).astype(np.uint8)
+    blob = pdf.encode_scan_pdf([("jbig2-text", ras)])
+    (img,) = pdf.extract_pdf_images(blob)
+    assert img["filter"] == "JBIG2Decode"
+    assert (img["pixels"] == ras).all()
+    with pytest.raises(ValueError, match="black"):
+        pdf.encode_scan_pdf(
+            [("jbig2-text", np.full((4, 4), 255, np.uint8))]
+        )

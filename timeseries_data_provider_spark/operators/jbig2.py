@@ -2,18 +2,23 @@
 scan codec, CCITT's successor and the default for bilevel images in
 recent scanned PDFs (the ``JBIG2Decode`` filter).
 
-Scope (honest, per the named-gap ladder): the GENERIC REGION path —
-the MQ arithmetic coder (T.88 Annex E software conventions, the
-same coder JPEG 2000 uses), generic-region templates 0-3 at their
-NOMINAL adaptive-pixel positions with optional typical-prediction
-(TPGDON), the MMR alternative (bit 0 of the region flags — T.6 MMR,
-delegated to the in-repo, JDK-cross-validated ``operators/ccitt``
-G4 codec), and the embedded segment stream PDF carries (segment
-headers, page info, immediate generic regions, page composition by
-OR/REPLACE). Symbol dictionaries, text/halftone/refinement
-regions, non-nominal AT pixels, and unknown-length segments raise
-named NotImplementedErrors — those files route to a codec library,
-never to silent garbage.
+Scope (honest, per the named-gap ladder): the ARITHMETIC paths —
+the MQ coder (T.88 Annex E software conventions, the same coder
+JPEG 2000 uses), generic-region templates 0-3 at their NOMINAL
+adaptive-pixel positions with optional typical-prediction (TPGDON),
+the MMR alternative (bit 0 of the region flags — T.6 MMR, delegated
+to the in-repo, JDK-cross-validated ``operators/ccitt`` G4 codec),
+SYMBOL DICTIONARIES and TEXT REGIONS (§6.4/§6.5 with the Annex A
+arithmetic integer decoders — the glyph-clustered form real scanner
+encoders in the jbig2enc family emit, r12: all four reference
+corners, transposed mode, multi-strip, signed DS offsets, multi-
+dictionary symbol concatenation), and the embedded segment stream
+PDF carries (segment headers, page info, immediate regions, page
+composition by OR/REPLACE, JBIG2Globals). Huffman-coded variants
+(SDHUFF/SBHUFF), refinement/aggregation, halftone regions,
+non-nominal AT pixels, and unknown-length segments raise named
+NotImplementedErrors — those files route to a codec library, never
+to silent garbage.
 
 Validation posture: the MMR path inherits the CCITT codec's
 independent JDK cross-validation; the MQ path is validated by
@@ -39,6 +44,9 @@ import numpy as np
 __all__ = [
     "decode_jbig2_embedded",
     "encode_jbig2_generic",
+    "encode_jbig2_text_page",
+    "decode_symbol_dict",
+    "decode_text_region",
     "MQDecoder",
     "MQEncoder",
 ]
@@ -331,6 +339,129 @@ class _EncSide:
         return bit
 
 
+class _SharedDecSide:
+    """Generic-region decode walk over a CALLER-OWNED MQ decoder and
+    GB context arrays — the symbol-dictionary form (T.88 6.5.8.1:
+    all of a dictionary's symbol bitmaps share one arithmetic
+    bitstream and one generic context set with the integer
+    contexts)."""
+
+    def __init__(self, mq: MQDecoder, icx, mps):
+        self.mq, self.icx, self.mps = mq, icx, mps
+
+    def pixel(self, cx: int, y: int, x: int) -> int:
+        return self.mq.decode(self.icx, self.mps, cx)
+
+
+class _SharedEncSide:
+    def __init__(self, mq: MQEncoder, icx, mps, bitmap):
+        self.mq, self.icx, self.mps = mq, icx, mps
+        self.bitmap = bitmap
+
+    def pixel(self, cx: int, y: int, x: int) -> int:
+        bit = int(self.bitmap[y, x])
+        self.mq.encode(self.icx, self.mps, cx, bit)
+        return bit
+
+
+# ---------------------------------------------------------------------------
+# arithmetic integer decoding (T.88 Annex A) — the IAx procedures the
+# symbol-dictionary and text-region decoders drive, plus IAID (A.3)
+
+_OOB = object()  # the out-of-band "no more values" marker (A.2)
+
+# (prefix-length, value-bits, offset) ladder of Table A.1
+_INT_CLASSES = [(2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436)]
+
+
+class _IntCtx:
+    """One IAx context set: the 512-state PREV tree of A.2 (IAID
+    callers size it to 2^(codelen+1), A.3)."""
+
+    def __init__(self, size: int = 512):
+        self.icx = np.zeros(size, np.uint8)
+        self.mps = np.zeros(size, np.uint8)
+
+
+def _int_prev_next(prev: int, bit: int) -> int:
+    if prev < 256:
+        return (prev << 1) | bit
+    return (((prev << 1) | bit) & 511) | 256
+
+
+def decode_int(mq: MQDecoder, ctx: _IntCtx):
+    """A.2 — returns an int, or the _OOB sentinel."""
+    prev = 1
+    s = mq.decode(ctx.icx, ctx.mps, prev)
+    prev = _int_prev_next(prev, s)
+    n_class = 0
+    while n_class < 5:
+        bit = mq.decode(ctx.icx, ctx.mps, prev)
+        prev = _int_prev_next(prev, bit)
+        if not bit:
+            break
+        n_class += 1
+    nbits, offset = _INT_CLASSES[n_class]
+    v = 0
+    for _ in range(nbits):
+        bit = mq.decode(ctx.icx, ctx.mps, prev)
+        prev = _int_prev_next(prev, bit)
+        v = (v << 1) | bit
+    v += offset
+    if s and v == 0:
+        return _OOB
+    return -v if s else v
+
+
+def encode_int(mq: MQEncoder, ctx: _IntCtx, value) -> None:
+    """Fixture-side inverse of decode_int (value may be _OOB)."""
+    if value is _OOB:
+        s, v = 1, 0
+    else:
+        s, v = (1, -value) if value < 0 else (0, value)
+    prev = 1
+    mq.encode(ctx.icx, ctx.mps, prev, s)
+    prev = _int_prev_next(prev, s)
+    n_class = 0
+    while n_class < 5:
+        nbits, offset = _INT_CLASSES[n_class]
+        if v < offset + (1 << nbits):
+            break
+        n_class += 1
+    for _ in range(n_class):
+        mq.encode(ctx.icx, ctx.mps, prev, 1)
+        prev = _int_prev_next(prev, 1)
+    if n_class < 5:
+        mq.encode(ctx.icx, ctx.mps, prev, 0)
+        prev = _int_prev_next(prev, 0)
+    nbits, offset = _INT_CLASSES[n_class]
+    rem = v - offset
+    for i in range(nbits - 1, -1, -1):
+        bit = (rem >> i) & 1
+        mq.encode(ctx.icx, ctx.mps, prev, bit)
+        prev = _int_prev_next(prev, bit)
+
+
+def decode_iaid(mq: MQDecoder, ctx: _IntCtx, codelen: int) -> int:
+    """A.3 — symbol-ID decoding over a 2^(codelen+1) context tree
+    (the 512-slot _IntCtx covers codelen <= 8; larger dictionaries
+    allocate their own arrays at the call site)."""
+    prev = 1
+    for _ in range(codelen):
+        bit = mq.decode(ctx.icx, ctx.mps, prev)
+        prev = (prev << 1) | bit
+    return prev - (1 << codelen)
+
+
+def encode_iaid(mq: MQEncoder, ctx: _IntCtx, codelen: int,
+                value: int) -> None:
+    prev = 1
+    for i in range(codelen - 1, -1, -1):
+        bit = (value >> i) & 1
+        mq.encode(ctx.icx, ctx.mps, prev, bit)
+        prev = (prev << 1) | bit
+
+
 def decode_generic_region(data: bytes, w: int, h: int,
                           template: int = 0,
                           tpgdon: bool = False) -> np.ndarray:
@@ -355,6 +486,253 @@ def encode_generic_region(bitmap: np.ndarray, template: int = 0,
     side = _EncSide(bm, template, tpgdon)
     _run_generic(w, h, template, tpgdon, side, bitmap=bm)
     return side.mq.flush()
+
+
+# ---------------------------------------------------------------------------
+# symbol dictionary (T.88 §6.5 / 7.4.3) and text region (§6.4 /
+# 7.4.4) — the ARITHMETIC path, the form real scanner encoders
+# (jbig2enc-class) emit. Huffman-coded variants (SDHUFF/SBHUFF) and
+# refinement/aggregation stay named NotImplementedError gaps.
+
+_MAX_SYMBOLS = 1 << 16
+_MAX_SYMBOL_DIM = 1 << 14
+
+
+def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
+    """Decode one symbol-dictionary segment body into its EXPORTED
+    symbol list (each an (h, w) uint8 bitmap, 1 = black).
+    ``input_syms`` are the exported symbols of the dictionaries this
+    segment refers to, in reference order (6.5.8.2.1)."""
+    if len(seg_data) < 2:
+        raise ValueError("jbig2: truncated symbol dictionary")
+    (flags,) = struct.unpack_from(">H", seg_data, 0)
+    sdhuff = flags & 1
+    refagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    ctx_used = (flags >> 8) & 1
+    if sdhuff:
+        raise NotImplementedError(
+            "jbig2: Huffman symbol dictionary (SDHUFF — arithmetic-"
+            "only scope)"
+        )
+    if refagg:
+        raise NotImplementedError(
+            "jbig2: refinement/aggregate symbol coding (SDREFAGG)"
+        )
+    if ctx_used:
+        raise NotImplementedError(
+            "jbig2: imported bitmap coding context (flag bit 8)"
+        )
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        if pos + 2 > len(seg_data):
+            raise ValueError("jbig2: truncated symbol-dict AT pixels")
+        at.append(
+            (
+                struct.unpack_from("b", seg_data, pos)[0],
+                struct.unpack_from("b", seg_data, pos + 1)[0],
+            )
+        )
+        pos += 2
+    if at != _NOMINAL_AT[template]:
+        raise NotImplementedError(
+            f"jbig2: non-nominal AT pixels {at} in symbol dictionary"
+        )
+    if pos + 8 > len(seg_data):
+        raise ValueError("jbig2: truncated symbol dictionary counts")
+    n_ex, n_new = struct.unpack_from(">II", seg_data, pos)
+    pos += 8
+    n_in = len(input_syms)
+    if n_new > _MAX_SYMBOLS or n_ex > n_in + n_new:
+        raise ValueError(
+            f"jbig2: implausible symbol counts new={n_new} ex={n_ex}"
+        )
+    mq = MQDecoder(seg_data[pos:])
+    gb_icx = np.zeros(1 << 16, np.uint8)
+    gb_mps = np.zeros(1 << 16, np.uint8)
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    new_syms: list = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = decode_int(mq, iadh)
+        if dh is _OOB:
+            raise ValueError("jbig2: OOB height-class delta")
+        hcheight += dh
+        if not (0 < hcheight <= _MAX_SYMBOL_DIM):
+            raise ValueError(f"jbig2: symbol height {hcheight}")
+        symwidth = 0
+        while True:
+            dw = decode_int(mq, iadw)
+            if dw is _OOB:
+                break  # end of this height class (6.5.5 step 4c)
+            symwidth += dw
+            if not (0 < symwidth <= _MAX_SYMBOL_DIM):
+                raise ValueError(f"jbig2: symbol width {symwidth}")
+            if len(new_syms) >= n_new:
+                raise ValueError(
+                    "jbig2: more symbols than SDNUMNEWSYMS declares"
+                )
+            side = _SharedDecSide(mq, gb_icx, gb_mps)
+            bm = _run_generic(
+                symwidth, hcheight, template, False, side
+            )
+            new_syms.append(bm)
+    # export flags (6.5.10): alternating IAEX run lengths over the
+    # concatenated input+new symbol list, starting NOT-exported
+    all_syms = list(input_syms) + new_syms
+    exported: list = []
+    i, cur, rounds = 0, 0, 0
+    while i < len(all_syms):
+        run = decode_int(mq, iaex)
+        if run is _OOB or run < 0 or i + run > len(all_syms):
+            raise ValueError("jbig2: malformed export run length")
+        if cur:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur ^= 1
+        rounds += 1
+        if rounds > 2 * len(all_syms) + 2:
+            raise ValueError("jbig2: export flag loop does not end")
+    if len(exported) != n_ex:
+        raise ValueError(
+            f"jbig2: dictionary exported {len(exported)} symbols, "
+            f"declared {n_ex}"
+        )
+    return exported
+
+
+def decode_text_region(seg_data: bytes, syms: list) -> tuple:
+    """One text-region segment body -> (x, y, combop, bitmap).
+    ``syms`` is the symbol list from the referred dictionaries."""
+    if len(seg_data) < 23:
+        raise ValueError("jbig2: truncated text region")
+    w, h, x, y = struct.unpack_from(">IIII", seg_data, 0)
+    ext_combop = seg_data[16] & 0x07
+    (tflags,) = struct.unpack_from(">H", seg_data, 17)
+    pos = 19
+    sbhuff = tflags & 1
+    refine = (tflags >> 1) & 1
+    sbstrips = 1 << ((tflags >> 2) & 3)
+    refcorner = (tflags >> 4) & 3
+    transposed = (tflags >> 6) & 1
+    combop = (tflags >> 7) & 3
+    defpixel = (tflags >> 9) & 1
+    dsoffset = (tflags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit (7.4.4.1.1)
+    rtemplate = (tflags >> 15) & 1
+    if sbhuff:
+        raise NotImplementedError(
+            "jbig2: Huffman text region (SBHUFF — arithmetic-only "
+            "scope)"
+        )
+    if refine and rtemplate == 0:
+        pos += 4  # refinement AT pixels present even if unused
+    if pos + 4 > len(seg_data):
+        raise ValueError("jbig2: truncated text region header")
+    (n_instances,) = struct.unpack_from(">I", seg_data, pos)
+    pos += 4
+    if not syms:
+        raise ValueError("jbig2: text region with no symbols")
+    if n_instances > _MAX_PIXELS:
+        raise ValueError("jbig2: implausible instance count")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"jbig2: unreasonable region {w}x{h}")
+    codelen = max(0, (len(syms) - 1).bit_length())
+    mq = MQDecoder(seg_data[pos:])
+    iadt, iafs, iads, iait = (
+        _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
+    )
+    iari = _IntCtx()
+    iaid = _IntCtx(1 << (codelen + 1))
+    bm = np.full((h, w), defpixel, np.uint8)
+    dt = decode_int(mq, iadt)
+    if dt is _OOB:
+        raise ValueError("jbig2: OOB initial strip delta")
+    stript = -dt * sbstrips
+    firsts = 0
+    n_done = 0
+    while n_done < n_instances:
+        dt = decode_int(mq, iadt)
+        if dt is _OOB:
+            raise ValueError("jbig2: OOB strip delta")
+        stript += dt * sbstrips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = decode_int(mq, iafs)
+                if dfs is _OOB:
+                    raise ValueError("jbig2: OOB first-symbol delta")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = decode_int(mq, iads)
+                if ids is _OOB:
+                    break  # end of strip (6.4.5 step 3c(ii))
+                curs += ids + dsoffset
+            curt = 0 if sbstrips == 1 else decode_int(mq, iait)
+            if curt is _OOB:
+                raise ValueError("jbig2: OOB in-strip T")
+            ti = stript + curt
+            sym_id = decode_iaid(mq, iaid, codelen)
+            if sym_id >= len(syms):
+                raise ValueError(
+                    f"jbig2: symbol id {sym_id} out of range"
+                )
+            if refine:
+                ri = decode_int(mq, iari)
+                if ri is _OOB or ri:
+                    raise NotImplementedError(
+                        "jbig2: refined text-region instance (IARI "
+                        "!= 0)"
+                    )
+            sb = syms[sym_id]
+            hi, wi = sb.shape
+            # placement (6.4.5 step 3c(iii-x)): the named corner of
+            # the symbol sits on the (S, T) coordinate; along the S
+            # axis the left/right corner forms differ only in when
+            # CURS advances, which is placement-equivalent
+            if not transposed:
+                r0 = ti if refcorner in (1, 3) else ti - hi + 1
+                c0 = curs
+                adv = wi - 1
+            else:
+                r0 = curs
+                c0 = ti if refcorner in (0, 1) else ti - wi + 1
+                adv = hi - 1
+            if r0 < 0 or c0 < 0 or r0 + hi > h or c0 + wi > w:
+                raise ValueError(
+                    "jbig2: symbol instance exceeds region bounds"
+                )
+            tgt = bm[r0 : r0 + hi, c0 : c0 + wi]
+            if combop == 0:
+                tgt |= sb
+            elif combop == 1:
+                tgt &= sb
+            elif combop == 2:
+                tgt ^= sb
+            else:
+                raise NotImplementedError(
+                    f"jbig2: text composition operator {combop}"
+                )
+            curs += adv
+            n_done += 1
+            if n_done == n_instances:
+                # spec ends the strip loop only on OOB; a conforming
+                # encoder emits it right after the last instance
+                ids = decode_int(mq, iads)
+                if ids is not _OOB:
+                    raise ValueError(
+                        "jbig2: data past the last text instance"
+                    )
+                break
+        if n_done == n_instances:
+            break
+    return x, y, ext_combop, bm
 
 
 # ---------------------------------------------------------------------------
@@ -466,10 +844,36 @@ def decode_jbig2_embedded(
     data: bytes, globals_data: bytes | None = None
 ) -> np.ndarray:
     """Decode a PDF-embedded JBIG2 stream (segment headers, page
-    info, immediate generic regions) to the page bitmap (1 = black).
-    Symbol/text/halftone/refinement segments raise named errors."""
+    info, symbol dictionaries, immediate text regions, immediate
+    generic regions) to the page bitmap (1 = black). Halftone/
+    refinement segments and Huffman-coded variants raise named
+    errors."""
     page_bm = None
     page_default = 0
+    sym_store: dict[int, list] = {}
+
+    def compose(x: int, y: int, combop: int, bm) -> None:
+        nonlocal page_bm
+        if page_bm is None:
+            page_bm = bm
+            return
+        h, w = bm.shape
+        ph, pw = page_bm.shape
+        if y + h > ph or x + w > pw:
+            raise ValueError("jbig2: region exceeds page bounds")
+        tgt = page_bm[y : y + h, x : x + w]
+        if combop == 0:  # OR
+            tgt |= bm
+        elif combop == 1:  # AND
+            tgt &= bm
+        elif combop == 2:  # XOR
+            tgt ^= bm
+        elif combop == 4:  # REPLACE
+            tgt[:] = bm
+        else:
+            raise NotImplementedError(
+                f"jbig2: composition operator {combop}"
+            )
 
     def walk(stream: bytes) -> None:
         nonlocal page_bm, page_default
@@ -497,34 +901,33 @@ def decode_jbig2_embedded(
                 )
             elif t in _GENERIC_REGION_TYPES:
                 x, y, combop, bm = _decode_region_segment(seg["data"])
-                if page_bm is None:
-                    page_bm = bm
-                    continue
-                h, w = bm.shape
-                ph, pw = page_bm.shape
-                if y + h > ph or x + w > pw:
-                    raise ValueError(
-                        "jbig2: region exceeds page bounds"
-                    )
-                tgt = page_bm[y : y + h, x : x + w]
-                if combop == 0:  # OR
-                    tgt |= bm
-                elif combop == 1:  # AND
-                    tgt &= bm
-                elif combop == 2:  # XOR
-                    tgt ^= bm
-                elif combop == 4:  # REPLACE
-                    tgt[:] = bm
-                else:
-                    raise NotImplementedError(
-                        f"jbig2: composition operator {combop}"
-                    )
+                compose(x, y, combop, bm)
+            elif t == 0:  # symbol dictionary (r12)
+                input_syms: list = []
+                for r in seg["refs"]:
+                    input_syms.extend(sym_store.get(r, []))
+                sym_store[seg["num"]] = decode_symbol_dict(
+                    seg["data"], input_syms
+                )
+            elif t in (6, 7):  # immediate text region (r12)
+                syms: list = []
+                for r in seg["refs"]:
+                    syms.extend(sym_store.get(r, []))
+                x, y, combop, bm = decode_text_region(
+                    seg["data"], syms
+                )
+                compose(x, y, combop, bm)
             elif t in (49, 50, 51, 62):
                 continue  # end-of-page/stripe/file, extension
-            elif t in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+            elif t == 4:
                 raise NotImplementedError(
-                    f"jbig2: segment type {t} (symbol/text/halftone/"
-                    "refinement — generic-region-only scope)"
+                    "jbig2: intermediate text region (refinement "
+                    "input — never emitted standalone)"
+                )
+            elif t in (16, 20, 22, 23, 40, 42, 43):
+                raise NotImplementedError(
+                    f"jbig2: segment type {t} (halftone/refinement "
+                    "scope)"
                 )
             elif t == 53:
                 raise NotImplementedError(
@@ -539,6 +942,203 @@ def decode_jbig2_embedded(
     if page_bm is None:
         raise ValueError("jbig2: no page or region in stream")
     return page_bm
+
+
+def _seg_header(num: int, typ: int, page: int, payload: bytes,
+                refs: tuple = ()) -> bytes:
+    """Short-form segment header (§7.2): works for fixtures with
+    <= 4 referred segments and numbers <= 256."""
+    out = struct.pack(">I", num) + bytes([typ])
+    out += bytes([len(refs) << 5])
+    out += bytes(refs)  # 1-byte referred numbers (num <= 256)
+    out += bytes([page])
+    out += struct.pack(">I", len(payload)) + payload
+    return out
+
+
+def encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
+    """Fixture writer: one arithmetic symbol-dictionary segment body
+    exporting ``symbols`` IN THE GIVEN ORDER (callers pre-sort into
+    height classes; heights must be non-decreasing)."""
+    mq = MQEncoder()
+    gb_icx = np.zeros(1 << 16, np.uint8)
+    gb_mps = np.zeros(1 << 16, np.uint8)
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        if h < hcheight:
+            raise ValueError(
+                "encode_symbol_dict: heights must be non-decreasing"
+            )
+        encode_int(mq, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(symbols) and symbols[i].shape[0] == h:
+            bm = np.asarray(symbols[i], np.uint8)
+            encode_int(mq, iadw, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            side = _SharedEncSide(mq, gb_icx, gb_mps, bm)
+            _run_generic(
+                bm.shape[1], h, template, False, side, bitmap=bm
+            )
+            i += 1
+        encode_int(mq, iadw, _OOB)
+    # export every symbol: run of 0 not-exported, then all exported
+    encode_int(mq, iaex, 0)
+    encode_int(mq, iaex, len(symbols))
+    at = b"".join(
+        struct.pack("bb", ax, ay) for ax, ay in _NOMINAL_AT[template]
+    )
+    flags = template << 10
+    return (
+        struct.pack(">H", flags)
+        + at
+        + struct.pack(">II", len(symbols), len(symbols))
+        + mq.flush()
+    )
+
+
+def encode_text_region(
+    region_w: int,
+    region_h: int,
+    symbols: list,
+    placements: list,
+    refcorner: int = 1,
+    transposed: bool = False,
+    log_strips: int = 0,
+    dsoffset: int = 0,
+) -> bytes:
+    """Fixture writer: one arithmetic text-region segment body.
+    ``placements`` are (symbol_index, row, col) TOP-LEFT positions;
+    the writer converts to the (S, T) anchor the chosen REFCORNER /
+    TRANSPOSED mode implies, so every mode must reproduce the same
+    raster."""
+    sbstrips = 1 << log_strips
+    codelen = max(0, (len(symbols) - 1).bit_length())
+    inst = []
+    for idx, row, col in placements:
+        hi, wi = symbols[idx].shape
+        if not transposed:
+            s = col
+            t = row if refcorner in (1, 3) else row + hi - 1
+            adv = wi - 1
+        else:
+            s = row
+            t = col if refcorner in (0, 1) else col + wi - 1
+            adv = hi - 1
+        inst.append((t // sbstrips, s, t, idx, adv))
+    inst.sort(key=lambda e: (e[0], e[1]))
+    mq = MQEncoder()
+    iadt, iafs, iads, iait = (
+        _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
+    )
+    iaid = _IntCtx(1 << (codelen + 1))
+    encode_int(mq, iadt, 0)  # STRIPT starts at 0
+    prev_key = 0
+    firsts = 0
+    j = 0
+    while j < len(inst):
+        key = inst[j][0]
+        encode_int(mq, iadt, key - prev_key)
+        prev_key = key
+        first = True
+        curs = 0
+        while j < len(inst) and inst[j][0] == key:
+            _, s, t, idx, adv = inst[j]
+            if first:
+                encode_int(mq, iafs, s - firsts)
+                firsts = s
+                first = False
+            else:
+                encode_int(mq, iads, s - curs - dsoffset)
+            curs = s
+            if sbstrips > 1:
+                encode_int(mq, iait, t - key * sbstrips)
+            encode_iaid(mq, iaid, codelen, idx)
+            curs += adv
+            j += 1
+        encode_int(mq, iads, _OOB)
+    flags = (
+        (log_strips << 2)
+        | (refcorner << 4)
+        | (int(transposed) << 6)
+        | ((dsoffset & 0x1F) << 10)
+    )
+    return (
+        struct.pack(">IIII", region_w, region_h, 0, 0)
+        + bytes([0])  # external combop OR
+        + struct.pack(">H", flags)
+        + struct.pack(">I", len(placements))
+        + mq.flush()
+    )
+
+
+def encode_jbig2_text_page(
+    page_w: int,
+    page_h: int,
+    symbols: list,
+    placements: list,
+    refcorner: int = 1,
+    transposed: bool = False,
+    log_strips: int = 0,
+    dsoffset: int = 0,
+    split_dicts: bool = False,
+    globals_split: bool = False,
+):
+    """Fixture writer: a full embedded stream — page info + symbol
+    dictionary (or two, ``split_dicts``, to exercise multi-dict
+    symbol concatenation) + one immediate text region. Symbols are
+    height-class-sorted internally; placements index the CALLER's
+    symbol order. With ``globals_split`` the dictionaries ride a
+    separate JBIG2Globals stream and (globals, page) is returned."""
+    syms = [np.asarray(s, np.uint8) for s in symbols]
+    order = sorted(range(len(syms)), key=lambda k: syms[k].shape)
+    sorted_syms = [syms[k] for k in order]
+    remap = {orig: new for new, orig in enumerate(order)}
+    places = [(remap[i], r, c) for i, r, c in placements]
+
+    page_info = (
+        struct.pack(">IIII", page_w, page_h, 0, 0)
+        + bytes([0])
+        + struct.pack(">H", 0)
+    )
+    dict_segs = []
+    if split_dicts and len(sorted_syms) > 1:
+        half = (len(sorted_syms) + 1) // 2
+        dict_segs.append(
+            _seg_header(
+                1, 0, 1, encode_symbol_dict(sorted_syms[:half])
+            )
+        )
+        dict_segs.append(
+            _seg_header(
+                2, 0, 1, encode_symbol_dict(sorted_syms[half:])
+            )
+        )
+        refs = (1, 2)
+        tr_num = 3
+    else:
+        dict_segs.append(
+            _seg_header(1, 0, 1, encode_symbol_dict(sorted_syms))
+        )
+        refs = (1,)
+        tr_num = 2
+    tr = _seg_header(
+        tr_num,
+        6,  # immediate text region
+        1,
+        encode_text_region(
+            page_w, page_h, sorted_syms, places,
+            refcorner, transposed, log_strips, dsoffset,
+        ),
+        refs=refs,
+    )
+    page_seg = _seg_header(0, 48, 1, page_info)
+    if globals_split:
+        return b"".join(dict_segs), page_seg + tr
+    return page_seg + b"".join(dict_segs) + tr
 
 
 def encode_jbig2_generic(
@@ -575,22 +1175,11 @@ def encode_jbig2_generic(
         + body
     )
 
-    def seg_header(num: int, typ: int, page: int,
-                   payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", num)
-            + bytes([typ])
-            + bytes([0])  # zero referred segments
-            + bytes([page])
-            + struct.pack(">I", len(payload))
-            + payload
-        )
-
     page_info = (
         struct.pack(">IIII", w, h, 0, 0)
         + bytes([0])  # flags: default pixel 0, no overrides
         + struct.pack(">H", 0)
     )
-    return seg_header(0, 48, 1, page_info) + seg_header(
+    return _seg_header(0, 48, 1, page_info) + _seg_header(
         1, 39, 1, region  # immediate lossless generic region
     )

@@ -1976,9 +1976,11 @@ def synth_scan_pdf_media(
 
     - page 1: vertical stripes of period p = (id%4)+1 (black where
       (x//p)%2 == 0) at (64+id%5) x (32+id%3), the CODEC rotating by
-      id%4 — 1: JBIG2 MQ generic region, 3: JBIG2 MMR, else
-      CCITT-G4 (r12: same pixels, so the oracle's scan_px1 formula
-      is codec-independent while all three decode ladders run);
+      id%4 — 1: JBIG2 MQ generic region, 2: JBIG2 symbol-dictionary
+      + text region (the glyph-clustered form real scanners emit),
+      3: JBIG2 MMR, else CCITT-G4 (r12: same pixels, so the
+      oracle's scan_px1 formula is codec-independent while all four
+      decode ladders run);
     - page 2: Flate gray8 gradient (id+x+y)%256 (the GIF/TIFF
       closed form) at (40+id%4) x (20+id%2);
     - page 3: Indexed raster over the 216-entry web-safe RGB cube,
@@ -2005,9 +2007,11 @@ def synth_scan_pdf_media(
                 page3 = ((7 * i + xs3 + 3 * ys3) % 216).astype(
                     np.uint8
                 )
-                p1_kind = {1: "jbig2", 3: "jbig2-mmr"}.get(
-                    i % 4, "ccitt-g4"
-                )
+                p1_kind = {
+                    1: "jbig2",
+                    2: "jbig2-text",
+                    3: "jbig2-mmr",
+                }.get(i % 4, "ccitt-g4")
                 out[id_col].append(i)
                 out["payload"].append(
                     encode_scan_pdf(
@@ -2538,6 +2542,43 @@ def encode_scan_pdf(images: list) -> bytes:
                 bits,
                 tpgdon=kind == "jbig2-tpgdon",
                 mmr=kind == "jbig2-mmr",
+            )
+            extra = " /Filter /JBIG2Decode"
+            cs, bpc = "/DeviceGray", 1
+        elif kind == "jbig2-text":
+            # the glyph-clustered form real scanners emit (r12):
+            # exact row-run decomposition — every maximal black run
+            # becomes an instance of a 1xN glyph, so ANY raster
+            # round-trips through the symbol-dictionary + text-
+            # region path without approximation
+            from timeseries_data_provider_spark.operators import (
+                jbig2 as _jbig2,
+            )
+
+            bits = (px < 128).astype("uint8")
+            hh, ww = bits.shape
+            padded = np.zeros((hh, ww + 2), np.uint8)
+            padded[:, 1:-1] = bits
+            d = np.diff(padded.astype(np.int8), axis=1)
+            widths: dict[int, int] = {}
+            placements = []
+            for r in range(hh):
+                starts = np.flatnonzero(d[r] == 1)
+                ends = np.flatnonzero(d[r] == -1)
+                for c0, c1 in zip(starts, ends):
+                    wlen = int(c1 - c0)
+                    widths.setdefault(wlen, len(widths))
+                    placements.append((widths[wlen], r, int(c0)))
+            if not placements:
+                raise ValueError(
+                    "encode_scan_pdf: jbig2-text needs >= 1 black "
+                    "pixel"
+                )
+            symbols = [None] * len(widths)
+            for wlen, idx in widths.items():
+                symbols[idx] = np.ones((1, wlen), np.uint8)
+            data = _jbig2.encode_jbig2_text_page(
+                ww, hh, symbols, placements
             )
             extra = " /Filter /JBIG2Decode"
             cs, bpc = "/DeviceGray", 1

@@ -328,7 +328,8 @@ def probe_jbig2(spark) -> None:
                     (np.arange(w) // p) % 2 == 0, 0, 255
                 ).astype(np.uint8)
                 page = np.tile(row, (h, 1))
-                kind = ["jbig2", "jbig2-tpgdon", "jbig2-mmr"][i % 3]
+                kind = ["jbig2", "jbig2-tpgdon", "jbig2-mmr",
+                        "jbig2-text"][i % 4]
                 out["doc_id"].append(i)
                 out["payload"].append(
                     _pdf.encode_scan_pdf([(kind, page)])
