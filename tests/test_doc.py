@@ -35,7 +35,9 @@ def test_cell_and_row_marks_become_newlines():
     assert doc.doc_text(b)["text"] == "a\nb\n\nrow two"
 
 
-def test_encrypted_flag_named():
+def test_encrypted_flag_without_header_is_loud():
+    # fEncrypted set but no EncryptionHeader (lKey 0): the r12
+    # decrypt route fails loud, never parses ciphertext as a FIB
     blob = bytearray(doc.encode_doc("secret"))
     streams = dict(cfb.cfb_streams(bytes(blob)))
     wd = bytearray(streams["WordDocument"])
@@ -44,7 +46,14 @@ def test_encrypted_flag_named():
     rebuilt = cfb.encode_cfb(
         [("WordDocument", bytes(wd)), ("1Table", streams["1Table"])]
     )
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError, match="EncryptionHeader"):
+        doc.doc_text(rebuilt)
+    # XOR obfuscation stays the named gap
+    struct.pack_into("<H", wd, 10, flags | 0x8100)
+    rebuilt = cfb.encode_cfb(
+        [("WordDocument", bytes(wd)), ("1Table", streams["1Table"])]
+    )
+    with pytest.raises(NotImplementedError, match="XOR"):
         doc.doc_text(rebuilt)
 
 

@@ -155,10 +155,16 @@ def test_xls_filepass_named_scope_boundaries():
     _s.pack_into("<H", xor, at, 0)
     with pytest.raises(NotImplementedError, match="XOR"):
         xls.xls_text(cfb.encode_cfb([("Workbook", bytes(xor))]))
+    # a v1.1 body relabeled as CryptoAPI parses loud, not as junk
     capi = bytearray(blob)
     _s.pack_into("<HH", capi, at + 2, 4, 2)
-    with pytest.raises(NotImplementedError, match="CryptoAPI"):
+    with pytest.raises(ValueError, match="CryptoAPI"):
         xls.xls_text(cfb.encode_cfb([("Workbook", bytes(capi))]))
+    # an unknown FilePass version stays named
+    v9 = bytearray(blob)
+    _s.pack_into("<HH", v9, at + 2, 9, 9)
+    with pytest.raises(NotImplementedError, match="FilePass version"):
+        xls.xls_text(cfb.encode_cfb([("Workbook", bytes(v9))]))
 
 
 def test_xls_filepass_block_rekey_across_1024():
@@ -177,3 +183,108 @@ def test_xls_filepass_block_rekey_across_1024():
         [("Workbook", offcrypto.encrypt_xls_workbook(wb, ""))]
     )
     assert xls.xls_text(blob) == xls.xls_text(plain)
+
+
+# ---------------------------------------------------------------------------
+# RC4 CryptoAPI + encrypted Word 97 (r12 late)
+
+from timeseries_data_provider_spark.sources import doc as docmod
+
+
+@pytest.mark.parametrize("pw", ["", "VelvetSweatshop"])
+def test_xls_cryptoapi_default_passwords(pw):
+    plain = xls.encode_xls(["aaa", "bbb", "ccc"])
+    wb = dict(cfb.cfb_streams(plain))["Workbook"]
+    blob = cfb.encode_cfb(
+        [("Workbook", offcrypto.encrypt_xls_workbook(wb, pw, "capi"))]
+    )
+    assert xls.xls_text(blob) == xls.xls_text(plain)
+
+
+def test_xls_cryptoapi_block_rekey_and_real_password():
+    import hashlib as _h
+
+    strings = [
+        f"r{i}:" + _h.sha256(str(i).encode()).hexdigest()
+        for i in range(60)
+    ]
+    plain = xls.encode_xls(strings)
+    wb = dict(cfb.cfb_streams(plain))["Workbook"]
+    assert len(wb) > 3 * 1024  # spans several 1024-byte blocks
+    blob = cfb.encode_cfb(
+        [("Workbook", offcrypto.encrypt_xls_workbook(wb, "", "capi"))]
+    )
+    assert xls.xls_text(blob) == xls.xls_text(plain)
+    locked = cfb.encode_cfb(
+        [("Workbook",
+          offcrypto.encrypt_xls_workbook(wb, "hunter2", "capi"))]
+    )
+    with pytest.raises(NotImplementedError, match="password required"):
+        xls.xls_text(locked)
+    assert xls.xls_text(locked, passwords=("hunter2",)) == xls.xls_text(
+        plain
+    )
+
+
+def _enc_doc(text, pw="", scheme="rc4"):
+    plain = docmod.encode_doc(text)
+    s = dict(cfb.cfb_streams(plain))
+    ewd, etbl, _ = offcrypto.encrypt_doc_streams(
+        s["WordDocument"], s["1Table"], None, pw, scheme
+    )
+    return plain, cfb.encode_cfb(
+        [("WordDocument", ewd), ("1Table", etbl)]
+    )
+
+
+@pytest.mark.parametrize("scheme", ["rc4", "capi"])
+@pytest.mark.parametrize("pw", ["", "VelvetSweatshop"])
+def test_doc_encrypted_roundtrip(scheme, pw):
+    text = "Encrypted Word body. Ünïcode 你好.\nSecond par."
+    plain, enc = _enc_doc(text, pw, scheme)
+    assert docmod.doc_text(enc) == docmod.doc_text(plain)
+
+
+def test_doc_block_rekey_across_512():
+    # pieces pushing the text well past several 512-byte Word
+    # blocks: per-block keys and the plaintext FIB prefix line up
+    text = "\n".join(f"line {i}: " + "x" * 60 for i in range(40))
+    plain, enc = _enc_doc(text, "", "rc4")
+    assert len(dict(cfb.cfb_streams(enc))["WordDocument"]) > 2048
+    assert docmod.doc_text(enc) == docmod.doc_text(plain)
+
+
+def test_doc_real_password_named_and_candidates():
+    plain, enc = _enc_doc("locked", "hunter2", "capi")
+    with pytest.raises(NotImplementedError, match="password required"):
+        docmod.doc_text(enc)
+    assert docmod.doc_text(enc, passwords=("hunter2",)) == (
+        docmod.doc_text(plain)
+    )
+
+
+def test_doc_encrypted_ciphertext_is_opaque():
+    text = "needle-phrase that must not appear in ciphertext"
+    plain, enc = _enc_doc(text, "", "rc4")
+    wd = dict(cfb.cfb_streams(enc))["WordDocument"]
+    assert b"needle-phrase" not in wd
+    assert b"needle-phrase" not in wd.decode(
+        "latin-1"
+    ).encode("utf-16-le")
+
+
+def test_cryptoapi_header_hostile():
+    plain = xls.encode_xls(["x"])
+    wb = dict(cfb.cfb_streams(plain))["Workbook"]
+    enc = offcrypto.encrypt_xls_workbook(wb, "", "capi")
+    at = enc.find(struct.pack("<HH", 4, 2))
+    assert at > 0
+    # AlgID not RC4 -> named (AES CryptoAPI is a different scheme)
+    bad = bytearray(enc)
+    struct.pack_into("<I", bad, at + 12 + 8, 0x660E)  # AES-128
+    with pytest.raises(NotImplementedError, match="AlgID"):
+        xls.xls_text(cfb.encode_cfb([("Workbook", bytes(bad))]))
+    # truncated header -> loud
+    cut = bytearray(enc[: at + 10])
+    with pytest.raises(ValueError):
+        xls.xls_text(cfb.encode_cfb([("Workbook", bytes(cut))]))

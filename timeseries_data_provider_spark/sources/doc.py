@@ -21,8 +21,10 @@ Extraction contract (deterministic, stated):
   markers out of spec, offsets out of stream bounds — raises a named
   ValueError (wrong offsets can never produce silent garbage: the
   CLX is typed);
-- ``fEncrypted`` documents raise the named NotImplementedError (XOR
-  obfuscation/RC4 of the 97 era is a different surface).
+- ``fEncrypted`` documents decrypt through sources/offcrypto (r12:
+  RC4 v1.1 with 512-byte block rekeying and RC4 CryptoAPI, under
+  the empty/VelvetSweatshop default passwords); XOR obfuscation
+  (``fObfuscated``) and real passwords raise named errors.
 
 Verification posture (stated): no independent .doc implementation
 exists in this container, so correctness rests on spec-transcribed
@@ -63,9 +65,15 @@ def _u32(b: bytes, o: int) -> int:
     return int.from_bytes(b[o : o + 4], "little")
 
 
-def doc_text(blob: bytes) -> dict:
+def doc_text(
+    blob: bytes, passwords: tuple[str, ...] | None = None
+) -> dict:
     """Extract a .doc's main-document text: {n_pieces, n_chars,
-    text}. ``blob`` is the whole CFB container."""
+    text}. ``blob`` is the whole CFB container. An fEncrypted
+    document decrypts through sources/offcrypto first (r12) — the
+    RC4 v1.1 and CryptoAPI schemes under the empty/VelvetSweatshop
+    defaults plus ``passwords``; XOR obfuscation and real passwords
+    raise named errors."""
     streams = dict(cfb.cfb_streams(blob))
     wd = streams.get("WordDocument")
     if wd is None or len(wd) < 1024:
@@ -75,10 +83,6 @@ def doc_text(blob: bytes) -> dict:
             f"doc: FIB magic {_u16(wd, 0):#06x} (want 0xa5ec)"
         )
     flags = _u16(wd, 10)
-    if flags & 0x0100:  # fEncrypted
-        raise NotImplementedError(
-            "doc: encrypted document (XOR/RC4 97-era handler)"
-        )
     which = 1 if flags & 0x0200 else 0  # fWhichTblStm
     table = streams.get(f"{which}Table")
     if table is None:
@@ -86,6 +90,14 @@ def doc_text(blob: bytes) -> dict:
         table = streams.get(f"{1 - which}Table")
     if table is None:
         raise ValueError("doc: no 0Table/1Table stream")
+    if flags & 0x0100:  # fEncrypted -> offcrypto (r12)
+        from timeseries_data_provider_spark.sources import offcrypto
+
+        cands = offcrypto.DEFAULT_PASSWORDS + tuple(passwords or ())
+        wd, table, _ = offcrypto.decrypt_doc_streams(
+            wd, table, None, cands
+        )
+        flags = _u16(wd, 10)
     fc_clx = _u32(wd, _FC_CLX)
     lcb_clx = _u32(wd, _LCB_CLX)
     if lcb_clx == 0 or fc_clx + lcb_clx > len(table):

@@ -5,6 +5,11 @@ container holding ``EncryptionInfo`` (the scheme descriptor) and
 ``EncryptedPackage`` (8-byte plaintext size + the encrypted ZIP).
 Two schemes cover the real corpus:
 
+* **RC4 CryptoAPI** ([MS-OFFCRYPTO] 2.3.5, r12): the Office
+  XP/2003 "password to open" default for binary .xls/.doc — SHA-1
+  block-key derivation (40-bit keys zero-extended per 2.3.5.2),
+  EncryptionHeader/Verifier structures, per-block stream rekeying
+  (1024 bytes in BIFF8, 512 in Word).
 * **Standard** (Office 2007; EncryptionInfo version 3.2/4.2 binary
   header): SHA-1 key derivation with 50,000 iterations, AES in ECB
   (the spec's own choice), verifier = AES(random16) with its SHA-1
@@ -43,6 +48,8 @@ __all__ = [
     "encrypt_ooxml",
     "decrypt_xls_workbook",
     "encrypt_xls_workbook",
+    "decrypt_doc_streams",
+    "encrypt_doc_streams",
     "DEFAULT_PASSWORDS",
 ]
 
@@ -506,17 +513,30 @@ def decrypt_xls_workbook(
     if enc_type != 1 or len(fp_body) < 52:
         raise ValueError("xls: malformed FilePass record")
     vmaj, vmin = struct.unpack_from("<HH", fp_body, 2)
-    if (vmaj, vmin) != (1, 1):
+    capi = None
+    if (vmaj, vmin) == (1, 1):
+        body = fp_body[2:]  # version(4) + salt/verifier/hash
+    elif vmaj in (2, 3, 4) and vmin == 2:
+        # RC4 CryptoAPI ([MS-XLS] 2.2.10.3, r12): same 1024-byte
+        # block rekeying, SHA-1 derivation
+        capi = _parse_capi_header(fp_body[2:])
+    else:
         raise NotImplementedError(
-            f"xls: CryptoAPI RC4 (FilePass version {vmaj}.{vmin})"
+            f"xls: FilePass version {vmaj}.{vmin}"
         )
-    # v1.1 body layout: type(2) + version(4) + salt/verifier/hash
-    body = fp_body[2:]
     for pw in passwords:
-        salt = _xls_verify(pw, body)
-        if salt is None:
-            continue
-        ks = _xls_keystream(pw, salt, len(wb))
+        if capi is not None:
+            if not _capi_verify(pw, capi):
+                continue
+            ks = _capi_keystream(
+                pw, capi["salt"], len(wb), capi["key_bits"],
+                _XLS_BLOCK,
+            )
+        else:
+            salt = _xls_verify(pw, body)
+            if salt is None:
+                continue
+            ks = _xls_keystream(pw, salt, len(wb))
         mask = _xls_crypt_mask(wb)
         out = bytearray(wb)
         for i in range(len(out)):
@@ -529,32 +549,334 @@ def decrypt_xls_workbook(
     )
 
 
-def encrypt_xls_workbook(wb: bytes, password: str = "") -> bytes:
-    """Fixture writer: insert a FilePass (RC4 v1.1) record after the
-    BOF record and encrypt the stream under the 1024-byte-block
-    document keys."""
+def encrypt_xls_workbook(
+    wb: bytes, password: str = "", scheme: str = "rc4"
+) -> bytes:
+    """Fixture writer: insert a FilePass record after the BOF record
+    (RC4 v1.1 under ``scheme='rc4'``, CryptoAPI under ``'capi'``)
+    and encrypt the stream under the 1024-byte-block document
+    keys."""
     if len(wb) < 4:
         raise ValueError("encrypt_xls_workbook: not a BIFF stream")
     rtype, rlen = struct.unpack_from("<HH", wb, 0)
     if rtype != 0x0809:
         raise ValueError("encrypt_xls_workbook: stream must open BOF")
     salt = hashlib.md5(b"fixture-xls-salt" + wb[:8]).digest()
-    verifier = hashlib.md5(b"fixture-xls-v" + salt).digest()
-    vhash = hashlib.md5(verifier).digest()
-    ks0 = _rc4_keystream(_rc4_block_key(password, salt, 0), 32)
-    fp = (
-        struct.pack("<HH", 0x002F, 54)
-        + struct.pack("<HHH", 1, 1, 1)
-        + salt
-        + bytes(a ^ b for a, b in zip(verifier, ks0[:16]))
-        + bytes(a ^ b for a, b in zip(vhash, ks0[16:32]))
-    )
+    if scheme == "rc4":
+        verifier = hashlib.md5(b"fixture-xls-v" + salt).digest()
+        vhash = hashlib.md5(verifier).digest()
+        ks0 = _rc4_keystream(_rc4_block_key(password, salt, 0), 32)
+        body = (
+            struct.pack("<HHH", 1, 1, 1)
+            + salt
+            + bytes(a ^ b for a, b in zip(verifier, ks0[:16]))
+            + bytes(a ^ b for a, b in zip(vhash, ks0[16:32]))
+        )
+    elif scheme == "capi":
+        body = struct.pack("<H", 1) + _encode_capi_filepass_body(
+            password, salt
+        )
+    else:
+        raise ValueError(f"encrypt_xls_workbook: scheme {scheme!r}")
+    fp = struct.pack("<HH", 0x002F, len(body)) + body
     cut = 4 + rlen
     plain = wb[:cut] + fp + wb[cut:]
-    ks = _xls_keystream(password, salt, len(plain))
+    if scheme == "capi":
+        ks = _capi_keystream(password, salt, len(plain), 128,
+                             _XLS_BLOCK)
+    else:
+        ks = _xls_keystream(password, salt, len(plain))
     mask = _xls_crypt_mask(plain)
     out = bytearray(plain)
     for i in range(len(out)):
         if mask[i]:
             out[i] ^= ks[i]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# RC4 CryptoAPI ([MS-OFFCRYPTO] 2.3.5) — the Office XP/2003 default
+# for binary .xls/.doc/.ppt "password to open". SHA-1 key derivation
+# (H0 = SHA1(salt + password UTF-16LE); block key = SHA1(H0 +
+# LE32(block)), 40-bit keys zero-extended to 128 per 2.3.5.2), the
+# EncryptionHeader/EncryptionVerifier structure pair, and the same
+# per-block stream rekeying as the 97-era scheme (1024 bytes in
+# BIFF8, 512 in Word).
+
+_ALG_RC4 = 0x6801
+_ALG_SHA1 = 0x8004
+
+
+def _capi_block_key(
+    password: str, salt: bytes, block: int, key_bits: int
+) -> bytes:
+    h0 = hashlib.sha1(
+        salt + password.encode("utf-16-le")
+    ).digest()
+    hfinal = hashlib.sha1(h0 + struct.pack("<I", block)).digest()
+    if key_bits == 40:
+        return hfinal[:5] + b"\x00" * 11
+    return hfinal[: key_bits // 8]
+
+
+def _parse_capi_header(body: bytes) -> dict:
+    """EncryptionVersionInfo + EncryptionHeaderFlags/Size +
+    EncryptionHeader + EncryptionVerifier (2.3.5.1), as carried by
+    a BIFF8 FilePass body or a Word/PowerPoint table-stream
+    prologue. Returns salt/verifier material + key size."""
+    if len(body) < 12:
+        raise ValueError("offcrypto: truncated CryptoAPI header")
+    vmaj, vmin = struct.unpack_from("<HH", body, 0)
+    if vmaj not in (2, 3, 4) or vmin != 2:
+        raise ValueError(
+            f"offcrypto: not a CryptoAPI header ({vmaj}.{vmin})"
+        )
+    (hdr_size,) = struct.unpack_from("<I", body, 8)
+    if hdr_size < 32 or 12 + hdr_size + 40 > len(body):
+        raise ValueError("offcrypto: CryptoAPI header overruns")
+    hdr = body[12 : 12 + hdr_size]
+    alg_id, alg_hash, key_size = struct.unpack_from("<III", hdr, 8)
+    if alg_id != _ALG_RC4:
+        raise NotImplementedError(
+            f"offcrypto: CryptoAPI AlgID {alg_id:#x} (RC4 only — "
+            "AES CryptoAPI routes through the Standard scheme)"
+        )
+    if alg_hash not in (0, _ALG_SHA1):
+        raise NotImplementedError(
+            f"offcrypto: CryptoAPI hash {alg_hash:#x}"
+        )
+    key_bits = key_size or 40
+    if key_bits % 8 or not (40 <= key_bits <= 128):
+        raise ValueError(
+            f"offcrypto: CryptoAPI key size {key_bits}"
+        )
+    pos = 12 + hdr_size
+    (salt_size,) = struct.unpack_from("<I", body, pos)
+    if salt_size != 16:
+        raise ValueError(
+            f"offcrypto: CryptoAPI salt size {salt_size}"
+        )
+    salt = body[pos + 4 : pos + 20]
+    enc_v = body[pos + 20 : pos + 36]
+    (vh_size,) = struct.unpack_from("<I", body, pos + 36)
+    if vh_size != 20 or pos + 60 > len(body):
+        raise ValueError("offcrypto: truncated CryptoAPI verifier")
+    enc_vh = body[pos + 40 : pos + 60]
+    return {
+        "salt": salt,
+        "enc_v": enc_v,
+        "enc_vh": enc_vh,
+        "key_bits": key_bits,
+    }
+
+
+def _capi_verify(password: str, h: dict) -> bool:
+    """2.3.5.6: one RC4 stream over verifier + hash, SHA-1 check."""
+    key = _capi_block_key(password, h["salt"], 0, h["key_bits"])
+    ks = _rc4_keystream(key, 36)
+    v = bytes(a ^ b for a, b in zip(h["enc_v"], ks[:16]))
+    vh = bytes(a ^ b for a, b in zip(h["enc_vh"], ks[16:36]))
+    return hashlib.sha1(v).digest() == vh
+
+
+def _capi_keystream(
+    password: str, salt: bytes, n: int, key_bits: int, block_len: int
+) -> bytes:
+    out = bytearray()
+    for block in range((n + block_len - 1) // block_len):
+        key = _capi_block_key(password, salt, block, key_bits)
+        out += _rc4_keystream(
+            key, min(block_len, n - block * block_len)
+        )
+    return bytes(out)
+
+
+def _encode_capi_filepass_body(
+    password: str, salt: bytes, key_bits: int = 128
+) -> bytes:
+    """Fixture writer: EncryptionVersionInfo + header + verifier."""
+    csp = "Microsoft Enhanced Cryptographic Provider v1.0\x00".encode(
+        "utf-16-le"
+    )
+    hdr = struct.pack(
+        "<IIIIIIII", 0, 0, _ALG_RC4, _ALG_SHA1, key_bits, 1, 0, 0
+    ) + csp
+    verifier = hashlib.sha1(b"capi-fixture-v" + salt).digest()[:16]
+    vh = hashlib.sha1(verifier).digest()
+    ks = _rc4_keystream(
+        _capi_block_key(password, salt, 0, key_bits), 36
+    )
+    enc_v = bytes(a ^ b for a, b in zip(verifier, ks[:16]))
+    enc_vh = bytes(a ^ b for a, b in zip(vh, ks[16:36]))
+    return (
+        struct.pack("<HH", 4, 2)
+        + struct.pack("<I", 0x0C)  # header flags (fCryptoAPI)
+        + struct.pack("<I", len(hdr))
+        + hdr
+        + struct.pack("<I", 16)
+        + salt
+        + enc_v
+        + struct.pack("<I", 20)
+        + enc_vh
+    )
+
+
+# ---------------------------------------------------------------------------
+# encrypted Word 97 ([MS-DOC] 2.2.6.2/2.2.6.3) — FIB fEncrypted with
+# the RC4 v1.1 or CryptoAPI header at the start of the Table stream.
+# In-place stream decryption with 512-byte block rekeying; the
+# plaintext ranges (WordDocument bytes 0..0x43, the Table-stream
+# header itself) keep their bytes while still occupying keystream
+# positions — the same in-place model as the BIFF8 scheme above.
+
+_DOC_BLOCK = 512
+_DOC_PLAIN_PREFIX = 0x44
+
+
+def _doc_keystream(
+    password: str, salt: bytes, n: int, capi: dict | None
+) -> bytes:
+    if capi is not None:
+        return _capi_keystream(
+            password, salt, n, capi["key_bits"], _DOC_BLOCK
+        )
+    out = bytearray()
+    for block in range((n + _DOC_BLOCK - 1) // _DOC_BLOCK):
+        key = _rc4_block_key(password, salt, block)
+        out += _rc4_keystream(
+            key, min(_DOC_BLOCK, n - block * _DOC_BLOCK)
+        )
+    return bytes(out)
+
+
+def decrypt_doc_streams(
+    worddoc: bytes,
+    table: bytes,
+    data: bytes | None = None,
+    passwords: tuple[str, ...] = DEFAULT_PASSWORDS,
+) -> tuple[bytes, bytes, bytes | None]:
+    """Decrypt an fEncrypted Word 97 document in place: returns the
+    (WordDocument, Table, Data) streams with the FIB's fEncrypted/
+    fObfuscated flags cleared and lKey zeroed so the result parses
+    as a plain document. The encryption header size comes from
+    FibBase.lKey; version (1,1) selects the MD5/RC4 97-era scheme,
+    (2..4, 2) the CryptoAPI scheme. A real password raises the
+    named error."""
+    if len(worddoc) < 0x44:
+        raise ValueError("doc: WordDocument stream too short")
+    (flags,) = struct.unpack_from("<H", worddoc, 0x0A)
+    if not flags & 0x0100:
+        raise ValueError("doc: document is not encrypted")
+    if flags & 0x8000:
+        raise NotImplementedError(
+            "doc: XOR obfuscation (fObfuscated)"
+        )
+    (lkey,) = struct.unpack_from("<I", worddoc, 0x0E)
+    if not 12 <= lkey <= len(table):
+        raise ValueError(f"doc: implausible EncryptionHeader {lkey}")
+    header = table[:lkey]
+    vmaj, vmin = struct.unpack_from("<HH", header, 0)
+    capi = None
+    if (vmaj, vmin) == (1, 1):
+        if lkey < 52:
+            raise ValueError("doc: truncated RC4 v1.1 header")
+        salt = header[4:20]
+        enc_v, enc_vh = header[20:36], header[36:52]
+    elif vmaj in (2, 3, 4) and vmin == 2:
+        capi = _parse_capi_header(header)
+        salt = capi["salt"]
+    else:
+        raise NotImplementedError(
+            f"doc: encryption header version {vmaj}.{vmin}"
+        )
+    match = None
+    for pw in passwords:
+        if capi is not None:
+            ok = _capi_verify(pw, capi)
+        else:
+            ks = _rc4_keystream(_rc4_block_key(pw, salt, 0), 32)
+            v = bytes(a ^ b for a, b in zip(enc_v, ks[:16]))
+            vh = bytes(a ^ b for a, b in zip(enc_vh, ks[16:32]))
+            ok = hashlib.md5(v).digest() == vh
+        if ok:
+            match = pw
+            break
+    if match is None:
+        raise NotImplementedError(
+            "doc: encrypted document (password required — tried "
+            f"{len(tuple(passwords))} candidates)"
+        )
+
+    def strip(blob: bytes, plain_end: int) -> bytes:
+        ks = _doc_keystream(match, salt, len(blob), capi)
+        out = bytearray(a ^ b for a, b in zip(blob, ks))
+        out[:plain_end] = blob[:plain_end]
+        return bytes(out)
+
+    wd = bytearray(strip(worddoc, _DOC_PLAIN_PREFIX))
+    tbl = strip(table, lkey)
+    dat = strip(data, 0) if data is not None else None
+    # clear fEncrypted/fObfuscated + lKey: downstream FIB parsing
+    # sees a plain document
+    struct.pack_into("<H", wd, 0x0A, flags & ~0x8100)
+    struct.pack_into("<I", wd, 0x0E, 0)
+    return bytes(wd), tbl, dat
+
+
+def encrypt_doc_streams(
+    worddoc: bytes,
+    table: bytes,
+    data: bytes | None = None,
+    password: str = "",
+    scheme: str = "rc4",
+    fc_fixups: tuple = (418,),
+) -> tuple[bytes, bytes, bytes | None]:
+    """Fixture writer: encrypt plain Word 97 streams under the RC4
+    v1.1 (``scheme='rc4'``) or CryptoAPI (``'capi'``) header, set
+    fEncrypted + lKey, and prepend the header to the Table stream.
+    FIB offsets address the Table stream AS STORED (header
+    included), so the fc pointers the fixture materializes are
+    rebased by the header length — ``fc_fixups`` lists their FIB
+    byte offsets (default: fcClx at 418, the only pointer
+    sources/doc.py's fixture writer emits)."""
+    if len(worddoc) < 0x44:
+        raise ValueError("encrypt_doc_streams: WordDocument short")
+    salt = hashlib.md5(b"fixture-doc-salt" + worddoc[:8]).digest()
+    capi = None
+    if scheme == "rc4":
+        verifier = hashlib.md5(b"fixture-doc-v" + salt).digest()
+        vhash = hashlib.md5(verifier).digest()
+        ks0 = _rc4_keystream(_rc4_block_key(password, salt, 0), 32)
+        header = (
+            struct.pack("<HH", 1, 1)
+            + salt
+            + bytes(a ^ b for a, b in zip(verifier, ks0[:16]))
+            + bytes(a ^ b for a, b in zip(vhash, ks0[16:32]))
+        )
+    elif scheme == "capi":
+        # the same version+header+verifier blob BIFF8's FilePass
+        # carries, minus the BIFF wEncryptionType framing
+        header = _encode_capi_filepass_body(password, salt)
+        capi = _parse_capi_header(header)
+    else:
+        raise ValueError(f"encrypt_doc_streams: scheme {scheme!r}")
+    wd = bytearray(worddoc)
+    (flags,) = struct.unpack_from("<H", wd, 0x0A)
+    struct.pack_into("<H", wd, 0x0A, flags | 0x0100)
+    struct.pack_into("<I", wd, 0x0E, len(header))
+    for off in fc_fixups:
+        (fc,) = struct.unpack_from("<I", wd, off)
+        struct.pack_into("<I", wd, off, fc + len(header))
+
+    def wrap(blob: bytes, plain_end: int) -> bytes:
+        ks = _doc_keystream(password, salt, len(blob), capi)
+        out = bytearray(a ^ b for a, b in zip(blob, ks))
+        out[:plain_end] = blob[:plain_end]
+        return bytes(out)
+
+    enc_tbl = header + table
+    return (
+        wrap(bytes(wd), _DOC_PLAIN_PREFIX),
+        wrap(enc_tbl, len(header)),
+        wrap(data, 0) if data is not None else None,
+    )

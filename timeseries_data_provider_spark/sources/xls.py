@@ -16,9 +16,10 @@ their declared sizes (raw across continues, per spec).
 Contract: one line per unique SST string, table order; LABELSST
 cells are counted (n_label_cells) to evidence the strings are
 referenced; BIFF5 (BOF version != 0x0600) raises the named error;
-record/segment overruns are loud. FilePass RC4 v1.1 workbooks
+record/segment overruns are loud. FilePass RC4 v1.1 and RC4
+CryptoAPI workbooks
 decrypt through sources/offcrypto (r12 — empty/VelvetSweatshop
-defaults plus caller candidates; XOR obfuscation and CryptoAPI RC4
+defaults plus caller candidates; XOR obfuscation
 stay named gaps).
 Same stated verification posture as sources/doc (self-written
 fixtures; typed record stream fails loud).
@@ -127,11 +128,10 @@ def xls_text(
 ) -> dict:
     """{n_strings, n_label_cells, text} — one line per unique SST
     string. ``blob`` is the whole CFB container. A FilePass-
-    protected (RC4 v1.1) workbook decrypts through
+    protected (RC4 v1.1 or CryptoAPI) workbook decrypts through
     sources/offcrypto first (r12) — the empty password and Excel's
     VelvetSweatshop default are tried, plus ``passwords``; XOR
-    obfuscation, CryptoAPI RC4, and real passwords raise named
-    errors."""
+    obfuscation and real passwords raise named errors."""
     streams = dict(cfb.cfb_streams(blob))
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
