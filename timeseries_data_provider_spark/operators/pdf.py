@@ -24,12 +24,13 @@ per the codespace ranges), and simple fonts honor /Encoding
 ``uniXXXX``). Type0 fonts WITHOUT a ToUnicode
 map recover their text through the embedded TrueType's own cmap
 table (Identity-H + FontFile2 via operators/sfnt, r12 — the
-pdftotext fallback). Password-protected files (a REAL user
-password), public-key (PKCS#7) handlers, font RENDERING, and
-no-ToUnicode Type0 fonts whose program is CFF (FontFile3) or whose
-CIDToGIDMap is a stream are named gaps (a real pipeline routes
-those to a PDF library); simple fonts with standard encodings —
-the overwhelming majority of text-bearing PDFs — extract exactly.
+pdftotext fallback), including subset fonts whose CIDToGIDMap is a
+renumbering STREAM (r12 late). Password-protected files (a REAL
+user password), public-key (PKCS#7) handlers, font RENDERING, and
+no-ToUnicode Type0 fonts whose program is CFF (FontFile3) are
+named gaps (a real pipeline routes those to a PDF library); simple
+fonts with standard encodings — the overwhelming majority of
+text-bearing PDFs — extract exactly.
 
 Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
 public). Reference parity note: index.js has no document surface;
@@ -1004,10 +1005,11 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
     """Identity-H/V Type0 with NO usable /ToUnicode (the r11 named
     gap): codes are glyph ids into the embedded font program, so the
     embedded TrueType's own ``cmap`` table (FontFile2, inverted by
-    operators/sfnt) recovers the text — the pdftotext/MuPDF fallback.
-    Returns a decoder or None when the chain is absent (CFF/FontFile3
-    and non-Identity CIDToGIDMap stay named fallbacks: no text, never
-    garbage)."""
+    operators/sfnt) recovers the text — the pdftotext/MuPDF fallback
+    — with CIDs first mapped through a /CIDToGIDMap STREAM when the
+    font is subset-renumbered (r12 late). Returns a decoder or None
+    when the chain is absent (CFF/FontFile3 stays the named
+    fallback: no text, never garbage)."""
     enc = str(_resolve(objs, fd.get("Encoding")) or "")
     if enc not in ("Identity-H", "Identity-V"):
         return None
@@ -1018,8 +1020,19 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
     if not isinstance(d0, dict):
         return None
     c2g = d0.get("CIDToGIDMap")
-    if c2g is not None and str(_resolve(objs, c2g)) != "Identity":
-        return None  # stream-mapped CIDs: out of this tier's scope
+    gid_map = None
+    if isinstance(c2g, _Ref):
+        # stream form (§9.7.4.3, r12 late): 2 bytes per CID, the
+        # big-endian glyph id — subset fonts commonly renumber
+        tgt = objs.get(c2g.num)
+        if not tgt or tgt[1] is None:
+            return None
+        try:
+            gid_map = _decode_stream(objs, tgt[0], tgt[1])
+        except (ValueError, NotImplementedError):
+            return None
+    elif c2g is not None and str(_resolve(objs, c2g)) != "Identity":
+        return None
     fdesc = _resolve(objs, d0.get("FontDescriptor"))
     if not isinstance(fdesc, dict):
         return None
@@ -1038,11 +1051,16 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
     except (ValueError, NotImplementedError):
         return None  # damaged font: no text, extraction survives
 
-    def dec(bs: bytes, t=table) -> str:
-        return "".join(
-            t.get((bs[i] << 8) | bs[i + 1], "")
-            for i in range(0, len(bs) - 1, 2)
-        )
+    def dec(bs: bytes, t=table, gm=gid_map) -> str:
+        out = []
+        for i in range(0, len(bs) - 1, 2):
+            cid = (bs[i] << 8) | bs[i + 1]
+            if gm is not None:
+                if 2 * cid + 1 >= len(gm):
+                    continue  # CID past the map: no glyph, no text
+                cid = (gm[2 * cid] << 8) | gm[2 * cid + 1]
+            out.append(t.get(cid, ""))
+        return "".join(out)
 
     return dec
 
@@ -2176,6 +2194,7 @@ def encode_pdf(
     encrypt: str | None = None,
     cid: bool = False,
     cid_tounicode: bool = True,
+    cid_gidmap_stream: bool = False,
     xmp: str | None = None,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
@@ -2249,13 +2268,27 @@ def encode_pdf(
     if cid and not cid_tounicode:
         # the no-ToUnicode shape (r12): text is recoverable ONLY
         # through the embedded TrueType's cmap table — Identity-H
-        # codes are glyph ids, and the FontFile2 sfnt maps each
-        # character's codepoint to its glyph id
+        # codes are glyph ids (or map through a CIDToGIDMap STREAM
+        # when cid_gidmap_stream, the subset-renumbered shape), and
+        # the FontFile2 sfnt maps each character's codepoint to its
+        # glyph id
         from timeseries_data_provider_spark.operators import (
             sfnt as _sfnt,
         )
 
         assert len(objs) + 1 == font_num
+        # stream-mapped fixtures renumber glyphs: gid = cid + 7, so
+        # an Identity misreading CANNOT round-trip
+        gid_of = (
+            (lambda code: code + 7)
+            if cid_gidmap_stream
+            else (lambda code: code)
+        )
+        c2g = (
+            f"{font_num + 4} 0 R"
+            if cid_gidmap_stream
+            else "/Identity"
+        )
         objs.append(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
             f"/Encoding /Identity-H "
@@ -2265,7 +2298,7 @@ def encode_pdf(
             f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
             f"/Fixture /CIDSystemInfo << /Registry (Adobe) "
             f"/Ordering (Identity) /Supplement 0 >> "
-            f"/CIDToGIDMap /Identity "
+            f"/CIDToGIDMap {c2g} "
             f"/FontDescriptor {font_num + 2} 0 R >>".encode()
         )
         objs.append(
@@ -2273,7 +2306,7 @@ def encode_pdf(
             f"/Flags 4 /FontFile2 {font_num + 3} 0 R >>".encode()
         )
         font_blob = _sfnt.encode_cmap_font(
-            {ord(ch): code for ch, code in cid_codes.items()},
+            {ord(ch): gid_of(code) for ch, code in cid_codes.items()},
             fmt=(
                 12
                 if any(ord(ch) > 0xFFFE for ch in cid_codes)
@@ -2289,6 +2322,21 @@ def encode_pdf(
             + font_blob
             + b"\nendstream"
         )
+        if cid_gidmap_stream:
+            n_cids = len(cid_codes) + 1
+            gm = bytearray(2 * n_cids)
+            for code in range(1, n_cids):
+                gm[2 * code] = (code + 7) >> 8
+                gm[2 * code + 1] = (code + 7) & 0xFF
+            gm = bytes(gm)
+            if enc is not None:
+                gm = enc["apply"](font_num + 4, gm)
+            objs.append(
+                f"<< /Length {len(gm)} >>".encode()
+                + b"\nstream\n"
+                + gm
+                + b"\nendstream"
+            )
     elif cid:
         assert len(objs) + 1 == font_num
         objs.append(
