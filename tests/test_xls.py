@@ -53,15 +53,53 @@ def test_rich_and_ext_blocks_skipped():
     assert xls.xls_text(blob)["text"] == "plain"
 
 
-def test_biff5_and_encrypted_named():
-    blob = bytearray(xls.encode_xls(["x"]))
-    streams = dict(cfb.cfb_streams(bytes(blob)))
-    wb = bytearray(streams["Workbook"])
-    struct.pack_into("<H", wb, 4, 0x0500)  # BOF version -> BIFF5
+def test_biff5_inline_labels_extract():
+    # the pre-SST era (r12 late): LABEL/RSTRING byte strings through
+    # the CODEPAGE encoding, unique first-appearance order
+    out = xls.xls_text(
+        xls.encode_xls_biff5(["héllo", "wörld", "héllo", "düp"])
+    )
+    assert out == {
+        "n_strings": 3,
+        "n_label_cells": 4,
+        "text": "héllo\nwörld\ndüp",
+    }
+    rich = xls.xls_text(
+        xls.encode_xls_biff5(["rïch one", "two"], rich=True)
+    )
+    assert rich["text"] == "rïch one\ntwo"
+    # the CODEPAGE record is honored, not assumed
+    assert (
+        xls.xls_text(xls.encode_xls_biff5(["süß"], codepage=850))[
+            "text"
+        ]
+        == "süß"
+    )
+
+
+def test_biff5_named_scope_boundaries():
+    # BIFF5 FilePass is the XOR era — named, never junk-decrypted
+    blob = xls.encode_xls_biff5(["x"])
+    wb = bytearray(dict(cfb.cfb_streams(blob))["Book"])
+    fp = struct.pack("<HHHH", 0x002F, 4, 0x1234, 0x5678)
+    wb2 = wb[:8] + fp + wb[8:]
+    with pytest.raises(NotImplementedError, match="XOR"):
+        xls.xls_text(cfb.encode_cfb([("Book", bytes(wb2))]))
+    # BIFF2-4 stays named
+    wb3 = bytearray(wb)
+    struct.pack_into("<H", wb3, 4, 0x0400)
     with pytest.raises(NotImplementedError, match="BIFF"):
-        xls.xls_text(cfb.encode_cfb([("Workbook", bytes(wb))]))
-    # r12: RC4 v1.1 FilePass now DECRYPTS (tests/test_offcrypto.py);
-    # the remaining named gaps are XOR obfuscation and CryptoAPI RC4
+        xls.xls_text(cfb.encode_cfb([("Book", bytes(wb3))]))
+    # truncated LABEL is loud
+    wb4 = bytearray(dict(cfb.cfb_streams(blob))["Book"])
+    at = bytes(wb4).find(struct.pack("<H", 0x0204))
+    struct.pack_into("<H", wb4, at + 2, 6)  # rlen below header size
+    with pytest.raises(ValueError, match="LABEL"):
+        xls.xls_text(cfb.encode_cfb([("Book", bytes(wb4[: at + 10]))]))
+
+
+def test_biff8_encrypted_named_scope():
+    # BIFF8 XOR obfuscation stays the named gap
     rec = struct.pack("<HHH", 0x0809, 2, 0x0600)
     rec += struct.pack("<HH", 0x002F, 4) + b"\x00\x00\x00\x00"
     with pytest.raises(NotImplementedError, match="XOR"):

@@ -15,12 +15,14 @@ their declared sizes (raw across continues, per spec).
 
 Contract: one line per unique SST string, table order; LABELSST
 cells are counted (n_label_cells) to evidence the strings are
-referenced; BIFF5 (BOF version != 0x0600) raises the named error;
-record/segment overruns are loud. FilePass RC4 v1.1 and RC4
-CryptoAPI workbooks
-decrypt through sources/offcrypto (r12 — empty/VelvetSweatshop
-defaults plus caller candidates; XOR obfuscation
-stay named gaps).
+referenced. BIFF5/BIFF7 workbooks (Excel 5.0/95, BOF version
+0x0500 — the pre-SST era, r12 late) extract their inline
+LABEL/RSTRING byte strings through the CODEPAGE record's encoding
+instead (unique, first-appearance order — the same contract);
+BIFF2-4 stays the named gap. Record/segment overruns are loud.
+FilePass RC4 v1.1 and RC4 CryptoAPI workbooks decrypt through
+sources/offcrypto (r12 — empty/VelvetSweatshop defaults plus
+caller candidates); XOR obfuscation stays the named gap.
 Same stated verification posture as sources/doc (self-written
 fixtures; typed record stream fails loud).
 """
@@ -45,6 +47,9 @@ _SST = 0x00FC
 _CONTINUE = 0x003C
 _LABELSST = 0x00FD
 _FILEPASS = 0x002F
+_CODEPAGE = 0x0042
+_LABEL = 0x0204  # BIFF5 inline string cell
+_RSTRING = 0x00D6  # BIFF5 rich string cell (runs skipped)
 
 
 class _Segments:
@@ -149,7 +154,9 @@ def _workbook_text(
     strings: list[str] = []
     n_label = 0
     sst_segs: list[bytes] | None = None
-    saw_bof = False
+    biff = 0  # 8 or 5 once BOF is seen
+    codec = "cp1252"  # BIFF5 byte-string codepage (CODEPAGE record)
+    seen: set[str] = set()
 
     def flush() -> None:
         nonlocal sst_segs, strings
@@ -171,15 +178,25 @@ def _workbook_text(
         if rtype == _BOF:
             if len(body) >= 2:
                 (vers,) = struct.unpack_from("<H", body, 0)
-                if vers != 0x0600:
+                if vers == 0x0600:
+                    biff = biff or 8
+                elif vers == 0x0500:
+                    # BIFF5/BIFF7 (Excel 5.0/95, r12 late): no SST —
+                    # strings live inline in LABEL/RSTRING cells
+                    biff = biff or 5
+                else:
                     raise NotImplementedError(
-                        f"xls: BIFF version {vers:#06x} (BIFF8 only; "
-                        "BIFF5 single-sheet era is a named gap)"
+                        f"xls: BIFF version {vers:#06x} (BIFF8 and "
+                        "BIFF5/7; the pre-CFB BIFF2-4 era is a "
+                        "named gap)"
                     )
-            saw_bof = True
         elif rtype == _FILEPASS:
             if decrypted:
                 continue  # plaintext pass: the record is vestigial
+            if biff == 5:
+                raise NotImplementedError(
+                    "xls: BIFF5 FilePass (XOR-obfuscation era)"
+                )
             from timeseries_data_provider_spark.sources import (
                 offcrypto,
             )
@@ -196,8 +213,30 @@ def _workbook_text(
             sst_segs = [body]
         elif rtype == _LABELSST:
             n_label += 1
+        elif rtype == _CODEPAGE and biff == 5 and len(body) >= 2:
+            (cp,) = struct.unpack_from("<H", body, 0)
+            try:
+                import codecs
+
+                codecs.lookup(f"cp{cp}")
+                codec = f"cp{cp}"
+            except LookupError:
+                codec = "latin-1"  # unknown page: kept safe
+        elif rtype in (_LABEL, _RSTRING) and biff == 5:
+            # row(2) col(2) ixfe(2) cch(2) + byte string; RSTRING
+            # appends formatting runs after the text (skipped)
+            if len(body) < 8:
+                raise ValueError("xls: truncated LABEL record")
+            (cch,) = struct.unpack_from("<H", body, 6)
+            if 8 + cch > len(body):
+                raise ValueError("xls: LABEL string overruns record")
+            s = body[8 : 8 + cch].decode(codec, "replace")
+            n_label += 1
+            if s not in seen:
+                seen.add(s)
+                strings.append(s)
     flush()
-    if not saw_bof:
+    if biff == 0:
         raise ValueError("xls: no BOF record (not a BIFF stream)")
     text = "\n".join(s for s in strings if s)
     return {
@@ -205,6 +244,35 @@ def _workbook_text(
         "n_label_cells": n_label,
         "text": text,
     }
+
+
+def encode_xls_biff5(
+    strings: list[str],
+    codepage: int = 1252,
+    rich: bool = False,
+) -> bytes:
+    """Fixture writer (r12 late): a BIFF5 Workbook — BOF(0x0500) +
+    CODEPAGE + one LABEL (or RSTRING with a dummy run, ``rich``)
+    cell per string + EOF, inside the Excel-5-era ``Book`` stream.
+    Duplicate strings exercise the unique-order contract."""
+    rec = bytearray()
+    rec += struct.pack("<HHHH", _BOF, 4, 0x0500, 0x0005)
+    rec += struct.pack("<HHH", _CODEPAGE, 2, codepage)
+    for i, s in enumerate(strings):
+        enc = s.encode(f"cp{codepage}")
+        if rich:
+            body = (
+                struct.pack("<HHHH", i, 0, 0, len(enc))
+                + enc
+                + bytes([1])  # one formatting run
+                + struct.pack("<BB", 0, 0)
+            )
+            rec += struct.pack("<HH", _RSTRING, len(body)) + body
+        else:
+            body = struct.pack("<HHHH", i, 0, 0, len(enc)) + enc
+            rec += struct.pack("<HH", _LABEL, len(body)) + body
+    rec += struct.pack("<HH", _EOF, 0)
+    return cfb.encode_cfb([("Book", bytes(rec))])
 
 
 def encode_xls(
