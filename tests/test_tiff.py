@@ -77,8 +77,8 @@ def test_named_gaps():
     px = np.zeros((2, 2), np.uint8)
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 259)
-    p[e + 8] = 6  # old-style JPEG (new-style 7 is supported since r11)
-    with pytest.raises(NotImplementedError, match="compression 6"):
+    p[e + 8] = 9  # JBIG-in-TIFF: still a named compression gap
+    with pytest.raises(NotImplementedError, match="compression 9"):
         tiff.decode_tiff(bytes(p))
     p = bytearray(tiff.encode_tiff(2, 2, px))
     e = _find_entry(bytes(p), 258)
@@ -454,3 +454,139 @@ def test_ccitt_photometric1_inverts():
     b[e + 8] = 1  # Photometric: WhiteIsZero -> BlackIsZero
     d = tiff.decode_tiff(bytes(b))
     assert np.array_equal(d["pixels"], 255 - px)
+
+
+# ---------------------------------------------------------------------------
+# old-style JPEG-in-TIFF, compression 6 (r12 late) — the deprecated
+# TIFF 6.0 §22 form 90s scanners wrote: JPEGInterchangeFormat points
+# at ONE complete JFIF stream. Cross-validated against the JDK's
+# independent javax.imageio reader: the rasters below are what the
+# JDK decoded from THIS encoder's files at build time (pinned), and
+# agreement is within JPEG IDCT rounding.
+
+_OLDJPEG_JDK_GRAY = (
+    "KS0yNzxBRktQVVpfZGluc3h9goeMkZaboKWqr7S5vsMrMDU6P0RJT1RZXmNpbXN4fYKH"
+    "jJGXnKGnq7C1u8DFyi4zOD1DSE1TWF1iaG1yd32Ch42Sl52ip6yyt7zCx8zRMTY7QUZM"
+    "UVdcYWdsc3d9goeNkpieo6mts7i+w8nO09k0OT9ESk9VW2Bma3F2fIKHjZKYnaOprrS5"
+    "vsTJ0NXbLDc8QkhNU1lfZGpwdXuBh4ySmJ2jqa60usDFy9HXKS40Oj9FS1FXXWNobnR6"
+    "gIaMkZedo6mvtbrAxszS2CsvNTs9Q0lPVVthaG1yeH+Fi5GXnaOpr7W7wcfN0tksMTc9"
+    "Qz9GTFJYXmRrcXd9g4mPlpyjqK6zusHHzdPZKzI4PURKQ0lPVVxiaG51e4GIjpSboaet"
+    "tLrAx83T2SwyOD9FS1BGTFJZX2Zsc3l/hoyTmaCmrLS5wMbN09ksMTk/RkxSWUlPVlxj"
+    "aXB3fYSKkZeepauyuL/FzNPZLDI5P0ZNU1pgTFJZYGZtdHuBiI+VnKOqsLe+xMvS2Ssy"
+    "OT9GTVRaYWhPVVxjanF4f4WMk5qgp661vMPK0dgrMTg/Rk1UW2Fob1JZX2dudXyDipGY"
+    "n6attLvCydDXKjE5P0ZNVFtiaXB3VVxjanF4f4eOlZyjqrG5wMfO1SgvNz5FTFJaYmlw"
+    "d35YX2ZtdXyDi5KZoKivtr7FzNPbLjQ9REtSWmFocHd+hVtiaXF4gIePlp2lrLS7xMvR"
+    "2Sw0O0NKUVlgaG93f4WNXmVsdHyDi5OaoqmxuMDIz9cqMzlBSVBYX2dudn6FjZRhaHB4"
+    "f4ePl56mrrS9xc3UKDA3QEdPVl5mbXV9hYyUnGRrc3uDi5OboqqyusLK0tksNT1FTVVc"
+    "ZGxzfISMk5ujZ293f4eOl5+nr7e/x8/XKzM7Q0tTXGNrc3uDi5Obo6tqcnqCipKao6uz"
+    "u8PK0ygwOEBIUFhhaHF5gYqSmqKqsmx1fYWOlp6nr7i/yNDYLTU9RU5WXmdvd3+IkJih"
+    "qbG5"
+)
+_OLDJPEG_JDK_RGB = (
+    "KLnYLb7RM8POOCjHPC7DQDO/Rja6Sj2zT0GwVUepWkykX1ChZFSbaVmXbV+Sc2SNeGmI"
+    "fW6Bg3N9iHh4i310kYJvlodqm4xloZFeppZbrJtWsKFQtaVNuapFv65CxLQ7K8DUMcXP"
+    "NsrKOivEPzC/RTW6Sjq2UD+xVUSsWUqnXk+gZFSbaVmXbl2RdGONd2iHfG2Cg3N9hnh3"
+    "jXxykYJtlodom4xjoZFep5dZqpxTsqFRtaZJu6pCwLA/xbU7ybs0LsbTM83NN9HHPC7B"
+    "RDO9SDe3TD2yU0StV0inXE2iY1OcaFiXbl2Tc2KOd2iHfG2CgnJ9h3d4jXxykYJtl4Zo"
+    "m4xhopFdp5hXrZxUs6NOt6dHvaxEwrM+ybc5zLwz0cEuMM7PNtPIO9jDQjG+Rja6Szyz"
+    "UUGuV0epXEykYFKfZ1eYbVyScmGNd2iJfmyCgnJ9h3d3jXxykoFtmIhnno1ho5Jcp5hV"
+    "rp5Rs6NMuKhIv61Bw7I8yrk3z74y0sMs2MkmNNbLONvGQCzBRTW8STm1UD+xVEOpXEmj"
+    "YVCgZlWZaluScWCNdmaKfWuDgnB8iHV3jXxykoFtl4dmnI1io5JcqZdVrpxQtKNLualH"
+    "wK5AxLQ7yrk10MAv1cUq28okK9DSNyjJPS/EQjS9Rza2TjyyU0KsWUimX02hZVSbaVqV"
+    "cF6OdWWKfGqEgHB9iHV3jHtzkoFtl4dmnYxho5JcqZdVr51RtKNLuqhGwK4+xLQ6y7s0"
+    "0MAt18QoKMzWLtHQNdfKOS/EQDXARTq6TDq0UT+vV0WoXUuhY1GbaFiXbl2Rc2OKe2iG"
+    "gW9/h3R6jHt0kYBul4ZonYxhopFbqZdVr55QtKNJu6lFv68+xbY5zLoy0sEt2MYmKczV"
+    "L9LPNdfKOyrEPDjDRD2+SkO3TzyvVkOsW0iiYU6dZlWZbluScmGNeGiFf26AhHN5jHl1"
+    "kn9uloVnnYxhopFbqZdXrp1PtKNJu6lDwbA+x7U5zrsx08Iu2MYkKs3UMtPOONnJPCzC"
+    "QjG7QD2+R0O7TEuzUT+tV0amXkyiZFOaaliScl6PeGSJfWuDg3J8iXd1j31vl4NqnYlk"
+    "oZBcqZVWrpxQtKJMuqhEwq4+x7M4zLoy08Iu2cclKs3UMtPON9jGPyvCRDK8Sje1Q0W8"
+    "SEu2TlGwVUOpXEmjYk+eaFWVblyOdGKKe2iEgW99iXV3jnxyk4FpmohkoI5ep5RZrZtT"
+    "s6FLu6dGv609yLQ5zLow0sEt2sYlK87TMtPNONnHPizARjK4Szi1UT+tRk24TVOzUlis"
+    "WkanYEyhZlKabFiTcl+MeWaGf2yAhnN5jHlzlH9smYZmoYxfppNZq5hTsqBMuKVGwaw/"
+    "x7M6zbky1MAr2sYnK83SMtPNOdrIPy3BRzO5TTmyUj6tV0akSlS2UFqxV2GpXEmjZE+c"
+    "aVaWcFyPd2OIfWmChHB7i3h0knxumIRpnYpgppFaq5hUsp1Mt6RFwKtAxbI6y7kz1MAt"
+    "2cUmK83SMtPNOtnFPyvARjK4TTmyUj+rWkalYE2fTFqzU2GsWGikX0yeZlKXbViRdWCL"
+    "e2eDgm1+iHR2j3twloJqnIhjo49cqpVUr5xPt6RIvKlAxLA9yrc0074t2cUoKsvVMtPN"
+    "ONrFPyu+RjK4TTm0VT+rWkalYkyeaVSXT2CwVWiqXHCjY06balaVcFyNeGKIgGqBhXF6"
+    "jHdylH9smoZloYxfp5NYrppRtaFKvKlDw688yrU10bwv2MQnKsvVMtHNN9jIPyvARTG3"
+    "Tji0VT+sW0ajYkyeaVSXb1uQUmmtWXCmYHegZ1KXbViRdWCJe2eCg259iXV2knxvmINm"
+    "n4pfppFarJhTtZ9KuqZDwa08yLQ30bsx18InKsjTMtDPOdfIPyvARzG4TDixVT+rWkej"
+    "Yk2caVSXcVqQd2GHVnCpW3ikY36calaVcluPeGKGgGp/hnF4j3hylX9qm4dko41bqpVU"
+    "sZtPuqNGwKk/x7E5z7kw1MApJ8fXMM7RN9XHQCnCRS66TTe1VD6rWkSmYkyfaVOUcVqQ"
+    "d2GIf2iCWHemX32fZoWZbViTdl+Le2eDg2x8i3Zzkn1smoNkoIteqJJYr5lQtqBLvqhC"
+    "xK86zLUx070r28UkL8zRNtPKPdvERC27SzW0Uz2sWkSmYUueZ1KXcVqQd2GIfmeBhnF6"
+    "W36kYYWdaI2WcluPeGKIgWmBiHF5kHlxloBonYdipo9brZZTtJ5LvKVFw6w8ybQ10bou"
+    "2MQlLMrVNNHKOtnDQiy7SzS2UjuvWUOnYUueZ1KXcFmRd2GIfmeBhW97jHdyXoagZY2Z"
+    "bZSTdF6MfGWCg2x8jHR0k3xsm4RlooxdqJJWsZpOuKNIwKk/xrA2zrgv2MAqK8nVM8/M"
+    "OtfGQiq+STK2UDmuV0GmYEmhZlCZb1eRdl+JfmeDhG56i3ZzlH1rYYydaJSXcJyPd2GH"
+    "fmh/h3B4j3hwl39nn4dhpo9ZrpdRtJ5JvaVBxa46zLUz070rKMXYL83QONTJPyjARy+3"
+    "TzexVT+rXkehZU+YblaSdV6KfWaChW17jXVzlH1rnIVjY5SbbJuVc6OLe2ODg2p9jHR0"
+    "k3xumoNko4tdq5NXsptNu6JFwqo+yrI007os2cImLMvRNdLLPdnDRC27TTSzVT6qXESi"
+    "ZE2bbVWTdF2LfGWChGx6jHR0k3xsm4RkpIxcZ5uXb6KRd6uHf2d/hm95j3ZvmIBon4hf"
+    "po9Zr5dPtp5GvqdBx644z7cv178nK8fUM8/MOdbDQyy7TDO1UzurW0OjYkudbFOVc1uL"
+    "e2ODg2t7i3NzknttnINlo4tdq5NTaqKVc6qNerKFgml+i3J2lHptmoNkoopcq5FUtJpN"
+    "u6JFw6w8zLM10rstKMPXMMvPONLGQCi+RzC2UDmuWUCmYEicZ1CWc1iPeWCHgGl9iXB0"
+    "kXltmoBloopeqpJWsptNbqqRdLGIfbiAhW16jnVxln1nnoZip45YrpZQt51Iv6ZByK84"
+    "z7cv2L8nLsjSNdDKPNjCRi66TjayVz2qXkWhZk6Yb1aQdV6If2eBiG53j3ZvmIBooYhf"
+    "qZBXsJhOuqFF"
+)
+
+
+def _oldjpeg_pattern():
+    ys, xs = np.mgrid[0:24, 0:32]
+    gray = ((xs * 5 + ys * 3 + (xs * ys) // 7) % 180 + 40).astype(
+        np.uint8
+    )
+    return gray, np.dstack([gray, np.roll(gray, 3, 1), 255 - gray])
+
+
+def test_oldstyle_jpeg_roundtrip_and_jdk_cross_validation():
+    import base64 as _b64
+
+    gray, rgb = _oldjpeg_pattern()
+    for px, golden, shape in (
+        (gray, _OLDJPEG_JDK_GRAY, (24, 32)),
+        (rgb, _OLDJPEG_JDK_RGB, (24, 32, 3)),
+    ):
+        blob = tiff.encode_tiff(32, 24, px, jpeg_old=True)
+        dec = tiff.decode_tiff(blob)
+        assert dec["pixels"].shape == px.shape
+        # own round-trip within the codec's derived bound
+        assert (
+            np.abs(dec["pixels"].astype(int) - px.astype(int)).max()
+            <= 3
+        )
+        # JDK agreement within IDCT rounding (independent decoder)
+        jdk = np.frombuffer(
+            _b64.b64decode(golden), np.uint8
+        ).reshape(shape)
+        assert (
+            np.abs(dec["pixels"].astype(int) - jdk.astype(int)).max()
+            <= 2
+        )
+
+
+def test_oldstyle_jpeg_hostile():
+    import struct as _s
+
+    gray, _ = _oldjpeg_pattern()
+    blob = tiff.encode_tiff(32, 24, gray, jpeg_old=True)
+    # fragment-table form (no JPEGInterchangeFormat) is named: strip
+    # the tag by renumbering it to an unknown one
+    at = blob.find(_s.pack("<HHI", 513, 4, 1))
+    assert at > 0
+    nojif = bytearray(blob)
+    _s.pack_into("<H", nojif, at, 50513)
+    with pytest.raises(NotImplementedError, match="JPEGInterchange"):
+        tiff.decode_tiff(bytes(nojif))
+    # pointer past the file is loud
+    bad = bytearray(blob)
+    _s.pack_into("<I", bad, at + 8, len(blob) + 9)
+    with pytest.raises(ValueError, match="out of bounds"):
+        tiff.decode_tiff(bytes(bad))
+    # geometry lies are loud
+    lie = bytearray(blob)
+    at_w = blob.find(_s.pack("<HHI", 256, 3, 1))
+    _s.pack_into("<H", lie, at_w + 8, 31)
+    with pytest.raises(ValueError, match="IFD says"):
+        tiff.decode_tiff(bytes(lie))

@@ -19,7 +19,9 @@ directions) decode in their native byte order — predictor
 inversion runs on the 16-bit values — then downconvert >>8 to the
 package-wide 8-bit codec contract (the exact inverse of the v*257
 upscale; this is a dedup/feature tier, not an editor). Old-style
-JPEG (compression 6) and 16-bit palette indices stay named
+JPEG fragment tables (compression 6 WITHOUT
+JPEGInterchangeFormat — the interchange-pointer form decodes as of
+r12, JDK-cross-validated) and 16-bit palette indices stay named
 NotImplementedError gaps for a registered codec library.
 
 * ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
@@ -69,6 +71,8 @@ _T6OPTIONS = 293
 _PREDICTOR = 317
 _COLORMAP = 320
 _JPEGTABLES = 347
+_JIF = 513  # JPEGInterchangeFormat (old-style compression 6)
+_JIF_LEN = 514
 
 _TYPE_SIZES = {
     1: 1,  # BYTE
@@ -332,11 +336,10 @@ def decode_tiff(payload: bytes) -> dict:
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError(f"tiff: unreasonable canvas {width}x{height}")
     compression = scalar(_COMPRESSION, 1, "Compression")
-    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 6, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"tiff: compression {compression} (none/CCITT/LZW/JPEG/"
-            "Deflate/PackBits only; old-style compression-6 JPEG "
-            "stays the named gap)"
+            "Deflate/PackBits only)"
         )
     ccitt = compression in (2, 3, 4)
     predictor = scalar(_PREDICTOR, 1, "Predictor")
@@ -348,7 +351,7 @@ def decode_tiff(payload: bytes) -> dict:
     photometric = scalar(_PHOTOMETRIC, 1, "Photometric")
     if ccitt:
         allowed = (0, 1)
-    elif compression == 7:
+    elif compression in (6, 7):
         allowed = (0, 1, 2, 3, 6)
     else:
         allowed = (0, 1, 2, 3)
@@ -382,7 +385,7 @@ def decode_tiff(payload: bytes) -> dict:
     bits = tags.get(_BITS, [1] if ccitt else [8])
     if ccitt:
         want = ([1],)
-    elif compression == 7:
+    elif compression in (6, 7):
         want = ([8],)  # JPEG strips: the baseline codec is 8-bit
     else:
         want = ([8], [16])
@@ -405,11 +408,58 @@ def decode_tiff(payload: bytes) -> dict:
     planar = scalar(_PLANAR, 1, "PlanarConfig")
     if planar not in (1, 2):
         raise ValueError(f"tiff: planar configuration {planar}")
-    if planar == 2 and (spp != 3 or compression == 7):
+    if planar == 2 and (spp != 3 or compression in (6, 7)):
         raise NotImplementedError(
             "tiff: planar configuration 2 only for 3-sample raster "
             "strips (gray is planar-trivial; JPEG strips are chunky)"
         )
+    if compression == 6:
+        # old-style JPEG (TIFF 6.0 §22, deprecated by Tech Note 2
+        # but still in circulation from 90s-era scanners): the
+        # interoperable shape points JPEGInterchangeFormat at ONE
+        # complete JFIF stream inside the file; the per-strip
+        # fragment-table form (JPEGQTables/DC/AC pointers) is the
+        # named remainder (r12 late)
+        jif = tags.get(_JIF)
+        if not jif or not isinstance(jif[0], int):
+            raise NotImplementedError(
+                "tiff: old-style JPEG without JPEGInterchangeFormat "
+                "(the fragment-table form is a named gap)"
+            )
+        from . import jpeg as _jpeg
+
+        off = jif[0]
+        jlen = tags.get(_JIF_LEN)
+        end = (
+            off + jlen[0]
+            if jlen and isinstance(jlen[0], int)
+            else len(payload)
+        )
+        if not 0 <= off < end <= len(payload):
+            raise ValueError(
+                "tiff: JPEGInterchangeFormat out of bounds"
+            )
+        dec = _jpeg.decode_baseline_jpeg(payload[off:end])
+        px = dec["pixels"]
+        got_ch = 1 if px.ndim == 2 else px.shape[2]
+        if (dec["width"], dec["height"]) != (width, height):
+            raise ValueError(
+                f"tiff: old-style JPEG is {dec['width']}x"
+                f"{dec['height']}, IFD says {width}x{height}"
+            )
+        if got_ch != spp:
+            raise ValueError(
+                f"tiff: old-style JPEG has {got_ch} channels, "
+                f"SamplesPerPixel says {spp}"
+            )
+        if photometric == 0:
+            px = 255 - px
+        return {
+            "format": "tiff",
+            "width": width,
+            "height": height,
+            "pixels": px,
+        }
     if _STRIP_OFFSETS not in tags or _STRIP_COUNTS not in tags:
         raise ValueError("tiff: missing strip offsets/byte counts")
     offsets = tags[_STRIP_OFFSETS]
@@ -702,6 +752,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     palette: np.ndarray | None = None,
     jpeg_strips: bool = False,
+    jpeg_old: bool = False,
     planar2: bool = False,
     ccitt: str | None = None,
     bits: int = 8,
@@ -719,10 +770,17 @@ def encode_tiff(
     shared DQT/DHT hoisted into the JPEGTables tag (the abbreviated-
     stream form real writers emit); lossy within the in-repo codec's
     derived round-trip bound."""
-    if sum((packbits, lzw, deflate, jpeg_strips, ccitt is not None)) > 1:
+    if sum((packbits, lzw, deflate, jpeg_strips, jpeg_old,
+            ccitt is not None)) > 1:
         raise ValueError(
-            "encode_tiff: packbits/lzw/deflate/jpeg_strips/ccitt are "
-            "exclusive"
+            "encode_tiff: packbits/lzw/deflate/jpeg_strips/jpeg_old/"
+            "ccitt are exclusive"
+        )
+    if jpeg_old and (palette is not None or planar2 or predictor != 1
+                     or bits != 8):
+        raise ValueError(
+            "encode_tiff: jpeg_old excludes palette/planar2/"
+            "predictor/16-bit"
         )
     if ccitt is not None and ccitt not in ("mh", "g3", "g4"):
         raise ValueError(f"encode_tiff: ccitt form {ccitt!r}")
@@ -774,7 +832,13 @@ def encode_tiff(
     flat = px.astype(sample_dtype).tobytes()
     strips = []
     jpeg_tables: bytes | None = None
-    if jpeg_strips:
+    if jpeg_old:
+        # old-style compression 6 (r12 late): ONE complete JFIF
+        # stream pointed at by JPEGInterchangeFormat
+        from . import jpeg as _jpeg
+
+        strips.append(_jpeg.encode_baseline_jpeg(px))
+    elif jpeg_strips:
         from . import jpeg as _jpeg
 
         first_tables: bytes | None = None
@@ -867,6 +931,8 @@ def encode_tiff(
         if deflate
         else 7
         if jpeg_strips
+        else 6
+        if jpeg_old
         else {"mh": 2, "g3": 3, "g4": 4}[ccitt]
         if ccitt is not None
         else 1
@@ -885,7 +951,7 @@ def encode_tiff(
                 else 3
                 if palette is not None
                 else 6
-                if jpeg_strips and spp == 3
+                if (jpeg_strips or jpeg_old) and spp == 3
                 else 2
                 if spp == 3
                 else 1
@@ -908,6 +974,9 @@ def encode_tiff(
         entries.append((_COLORMAP, 3, [int(v) for v in cm]))
     if jpeg_tables is not None:
         entries.append((_JPEGTABLES, 7, list(jpeg_tables)))
+    if jpeg_old:
+        entries.append((_JIF, 4, None))  # filled with the stream
+        entries.append((_JIF_LEN, 4, [len(strips[0])]))
     ifd_off = 8
     extra_off = ifd_off + 2 + 12 * len(entries) + 4
     extra_size = 0
