@@ -327,3 +327,65 @@ def test_scan_pdf_jbig2_text_kind():
         pdf.encode_scan_pdf(
             [("jbig2-text", np.full((4, 4), 255, np.uint8))]
         )
+
+
+def test_intermediate_regions_never_compose():
+    # r12 review finding: type 36 (intermediate generic region) is a
+    # refinement INPUT — composing it onto the page painted wrong
+    # pixels; it is a named boundary now, like intermediate text (4)
+    bm = np.zeros((4, 4), np.uint8)
+    blob = bytearray(jbig2.encode_jbig2_generic(bm))
+    # second segment header (after the 30-byte page-info segment)
+    blob[30 + 4] = (blob[30 + 4] & 0xC0) | 36
+    with pytest.raises(NotImplementedError, match="intermediate"):
+        jbig2.decode_jbig2_embedded(bytes(blob))
+
+
+def test_pageless_region_keeps_offset():
+    # r12 review finding: with no page-info segment, the first
+    # region used to be adopted verbatim — dropping its x/y offset
+    region_bm = np.ones((2, 3), np.uint8)
+    body = jbig2.encode_generic_region(region_bm, 0, False)
+    at = b"".join(
+        struct.pack("bb", ax, ay) for ax, ay in jbig2._NOMINAL_AT[0]
+    )
+    region = (
+        struct.pack(">IIII", 3, 2, 4, 1) + bytes([0]) + bytes([0])
+        + at + body
+    )
+    stream = jbig2._seg_header(1, 39, 1, region)
+    out = jbig2.decode_jbig2_embedded(stream)
+    assert out.shape == (3, 7)  # sized to contain the offset region
+    want = np.zeros((3, 7), np.uint8)
+    want[1:3, 4:7] = 1
+    assert (out == want).all()
+
+
+def test_decode_time_guards():
+    # r12 review finding: the 64M-px memory bound let a hostile
+    # header pin an executor for minutes in the pure-Python MQ loop;
+    # oversized ARITHMETIC regions are now a named boundary before
+    # any decoding starts (MMR keeps the larger memory-only bound)
+    bm = np.zeros((4, 4), np.uint8)
+    blob = bytearray(jbig2.encode_jbig2_generic(bm))
+    # region segment body starts after page seg (30) + header (11):
+    # widen the declared region to 4096 x 4096 = 16.7M px
+    struct.pack_into(">II", blob, 30 + 11, 4096, 4096)
+    with pytest.raises(NotImplementedError, match="decode-time"):
+        jbig2.decode_jbig2_embedded(bytes(blob))
+    with pytest.raises(NotImplementedError, match="decode-time"):
+        jbig2.decode_generic_region(b"\xff\xac", 4096, 4096)
+    # a giant declared instance count on a text region is loud
+    tblob = bytearray(
+        jbig2.encode_jbig2_text_page(
+            10, 10, [np.ones((2, 2), np.uint8)], [(0, 1, 1)]
+        )
+    )
+    sig = struct.pack(">I", 1)  # SBNUMINSTANCES == 1
+    # text-region payload: find the instances field (offset 19+4
+    # into the type-6 segment body; locate via the region info)
+    at = bytes(tblob).find(struct.pack(">IIII", 10, 10, 0, 0), 40)
+    assert at > 0
+    struct.pack_into(">I", tblob, at + 19, 1 << 21)
+    with pytest.raises(ValueError, match="instance count"):
+        jbig2.decode_jbig2_embedded(bytes(tblob))

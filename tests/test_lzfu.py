@@ -139,3 +139,23 @@ def test_msg_damaged_lzfu_stays_loud_or_quarantines(spark):
     assert [r["doc_id"] for r in bad] == [1]
     assert "lzfu" in bad[0]["err_msg"]
     assert [r["doc_id"] for r in ok] == [2] and ok[0]["text"] == "ok"
+
+
+def test_roundtrip_past_dictionary_wrap():
+    # r12 review finding (confirmed repro): once the 4,096-byte
+    # circular dictionary wrapped, the greedy matcher could anchor a
+    # match ON the write head — offset == wh IS the end marker, so
+    # the decoder silently truncated; the adjacent anchor read a
+    # stale byte. Any body past ~3.9 KB was affected.
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta", "the", "quick"]
+    big = " ".join(rng.choice(words, 6000)).encode()
+    assert len(big) > 8 * 4096
+    assert lzfu.lzfu_decompress(lzfu.lzfu_compress(big)) == big
+    # literal-heavy (random) and reference-heavy (repetitive) shapes
+    rand = bytes(rng.integers(0, 256, 20000, dtype=np.uint8))
+    assert lzfu.lzfu_decompress(lzfu.lzfu_compress(rand)) == rand
+    rep = b"{\\rtf1 abcabcabc}" * 3000
+    assert lzfu.lzfu_decompress(lzfu.lzfu_compress(rep)) == rep

@@ -288,3 +288,26 @@ def test_cryptoapi_header_hostile():
     cut = bytearray(enc[: at + 10])
     with pytest.raises(ValueError):
         xls.xls_text(cfb.encode_cfb([("Workbook", bytes(cut))]))
+
+
+def test_truncated_filepass_is_damage_not_password():
+    # r12 review finding: a 52/53-byte v1.1 FilePass body passed the
+    # malformed-record guard and surfaced as 'password required' —
+    # routing DAMAGE to the wrong quarantine bucket
+    blob = dict(cfb.cfb_streams(_enc_xls("")))["Workbook"]
+    at = blob.find(struct.pack("<HH", 0x002F, 54))
+    assert at > 0
+    cut = bytearray(blob[: at + 4 + 53])  # 53-byte FilePass body
+    struct.pack_into("<H", cut, at + 2, 53)
+    with pytest.raises(ValueError, match="truncated FilePass"):
+        xls.xls_text(cfb.encode_cfb([("Workbook", bytes(cut))]))
+
+
+def test_password_candidates_report_survives_generators():
+    # r12 review finding: the raise path re-tupled an already-
+    # exhausted iterator and reported 'tried 0 candidates'
+    blob = offcrypto.encrypt_ooxml(PLAIN, "hunter2", "standard")
+    with pytest.raises(
+        NotImplementedError, match="tried 2 candidates"
+    ):
+        offcrypto.decrypt_ooxml(blob, iter(["a", "b"]))

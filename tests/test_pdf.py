@@ -712,3 +712,29 @@ def test_cidtogidmap_stream_subset_font():
         cid_gidmap_stream=True, encrypt="rc4-128",
     )
     assert pdf.extract_pdf(b2)["text"] == want
+
+
+def test_crypt_filter_name_resolves_through_cf():
+    # r12 review finding: a per-stream /Crypt whose /Name is not
+    # /Identity selects a SPECIFIC /CF filter (§7.4.10) — it must
+    # resolve there, not fall through to the default method
+    blob = pdf.encode_pdf([["crypt-name body"]], encrypt="aesv2")
+    # name the document's own StdCF on the content stream: same
+    # method, so extraction is unchanged — but only because the name
+    # RESOLVED (an undefined name is loud below)
+    named = blob.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter [/Crypt /FlateDecode] /DecodeParms "
+        b"[<< /Name /StdCF >> null]",
+        1,
+    )
+    assert named != blob
+    assert pdf.extract_pdf(named)["text"] == "crypt-name body"
+    bad = blob.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter [/Crypt /FlateDecode] /DecodeParms "
+        b"[<< /Name /NoSuch >> null]",
+        1,
+    )
+    with pytest.raises(NotImplementedError, match="undefined crypt"):
+        pdf.extract_pdf(bad)

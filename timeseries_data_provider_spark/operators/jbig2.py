@@ -260,6 +260,13 @@ _NOMINAL_AT = {
 _TPGD_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 
 _MAX_PIXELS = 64 * 1024 * 1024
+# the pure-Python MQ generic path decodes ~160 kpx/s/core (§C jbig2
+# row) — a memory-only bound lets a hostile 64M-px region wedge an
+# executor for ~7 minutes (r12 review finding). 2^23 px admits a
+# full 300-dpi letter page (~8.4M px, ~1 min — the honest envelope)
+# and names anything larger as codec-library territory.
+_MAX_ARITH_PIXELS = 1 << 23
+_MAX_TEXT_INSTANCES = 1 << 20  # a dense page carries ~10^4 glyphs
 
 
 def _run_generic(w: int, h: int, template: int, tpgdon: bool,
@@ -469,6 +476,12 @@ def decode_generic_region(data: bytes, w: int, h: int,
     (1 = black)."""
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         raise ValueError(f"jbig2: unreasonable region {w}x{h}")
+    if w * h > _MAX_ARITH_PIXELS:
+        raise NotImplementedError(
+            f"jbig2: {w}x{h} arithmetic generic region exceeds the "
+            "per-region decode-time guard (route oversized scans to "
+            "a codec library; MMR regions have no such cap)"
+        )
     if template not in _TEMPLATES:
         raise ValueError(f"jbig2: generic template {template}")
     side = _DecSide(data, template)
@@ -555,6 +568,7 @@ def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
     new_syms: list = []
     hcheight = 0
+    total_px = 0  # decode-time guard across the dictionary
     while len(new_syms) < n_new:
         dh = decode_int(mq, iadh)
         if dh is _OOB:
@@ -573,6 +587,12 @@ def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
             if len(new_syms) >= n_new:
                 raise ValueError(
                     "jbig2: more symbols than SDNUMNEWSYMS declares"
+                )
+            total_px += symwidth * hcheight
+            if total_px > _MAX_ARITH_PIXELS:
+                raise NotImplementedError(
+                    "jbig2: symbol dictionary exceeds the decode-"
+                    "time area guard (route to a codec library)"
                 )
             side = _SharedDecSide(mq, gb_icx, gb_mps)
             bm = _run_generic(
@@ -636,8 +656,10 @@ def decode_text_region(seg_data: bytes, syms: list) -> tuple:
     pos += 4
     if not syms:
         raise ValueError("jbig2: text region with no symbols")
-    if n_instances > _MAX_PIXELS:
-        raise ValueError("jbig2: implausible instance count")
+    if n_instances > _MAX_TEXT_INSTANCES:
+        raise ValueError(
+            "jbig2: implausible instance count (decode-time guard)"
+        )
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         raise ValueError(f"jbig2: unreasonable region {w}x{h}")
     codelen = max(0, (len(syms) - 1).bit_length())
@@ -738,7 +760,7 @@ def decode_text_region(seg_data: bytes, syms: list) -> tuple:
 # ---------------------------------------------------------------------------
 # embedded segment stream (T.88 §7; the form PDF's JBIG2Decode carries)
 
-_GENERIC_REGION_TYPES = (36, 38, 39)
+_GENERIC_REGION_TYPES = (38, 39)  # immediate / immediate lossless
 
 
 def _parse_segment_header(data: bytes, pos: int):
@@ -855,8 +877,19 @@ def decode_jbig2_embedded(
     def compose(x: int, y: int, combop: int, bm) -> None:
         nonlocal page_bm
         if page_bm is None:
-            page_bm = bm
-            return
+            # page-info-less stream (tolerated): size the page to
+            # contain the region AT ITS OFFSET (r12 review finding —
+            # adopting the bitmap directly dropped nonzero x/y and
+            # silently mis-positioned the raster)
+            if x == 0 and y == 0:
+                page_bm = bm
+                return
+            h, w = bm.shape
+            if (y + h) * (x + w) > _MAX_PIXELS:
+                raise ValueError(
+                    "jbig2: offset region implies unreasonable page"
+                )
+            page_bm = np.zeros((y + h, x + w), np.uint8)
         h, w = bm.shape
         ph, pw = page_bm.shape
         if y + h > ph or x + w > pw:
@@ -919,10 +952,12 @@ def decode_jbig2_embedded(
                 compose(x, y, combop, bm)
             elif t in (49, 50, 51, 62):
                 continue  # end-of-page/stripe/file, extension
-            elif t == 4:
+            elif t in (4, 36):
                 raise NotImplementedError(
-                    "jbig2: intermediate text region (refinement "
-                    "input — never emitted standalone)"
+                    f"jbig2: intermediate region (type {t}) — a "
+                    "refinement input, never page-composed (r12 "
+                    "review finding: type 36 used to compose "
+                    "directly)"
                 )
             elif t in (16, 20, 22, 23, 40, 42, 43):
                 raise NotImplementedError(

@@ -458,11 +458,10 @@ def _aes_apply(key: bytes, data: bytes) -> bytes:
     return _aes.cbc_decrypt(key, data)
 
 
-def _cf_method(objs, ed, which: str) -> str:
-    """Resolve a V4 crypt-filter slot (/StmF or /StrF) to a method:
-    'identity' | 'rc4' | 'aes128'. Per §7.6.5 the default filter is
-    /Identity; named filters resolve through /CF to their /CFM."""
-    name = str(_resolve(objs, ed.get(which, "Identity")) or "Identity")
+def _cf_method_by_name(objs, ed, name: str) -> str:
+    """Resolve a crypt-filter NAME to a method: 'identity' | 'rc4'
+    | 'aes128' | 'aes256'. Per §7.6.5 /Identity passes through;
+    other names resolve through /CF to their /CFM."""
     if name == "Identity":
         return "identity"
     cf = _resolve(objs, ed.get("CF")) or {}
@@ -476,6 +475,8 @@ def _cf_method(objs, ed, which: str) -> str:
         return "rc4"
     if cfm == "AESV2":
         return "aes128"
+    if cfm == "AESV3":
+        return "aes256"
     if cfm == "None":
         # §7.6.5: CFM /None means the filter applies no decryption
         # (the consumer handles the data as-is) — the /Identity
@@ -484,6 +485,13 @@ def _cf_method(objs, ed, which: str) -> str:
     raise NotImplementedError(
         f"pdf: encrypted document (crypt filter method {cfm})"
     )
+
+
+def _cf_method(objs, ed, which: str) -> str:
+    """Resolve a V4 crypt-filter slot (/StmF or /StrF) through
+    _cf_method_by_name; the default is /Identity (§7.6.5)."""
+    name = str(_resolve(objs, ed.get(which, "Identity")) or "Identity")
+    return _cf_method_by_name(objs, ed, name)
 
 
 def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
@@ -616,14 +624,17 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
             return {kk: dec(x, k) for kk, x in vv.items()}
         return vv
 
-    def crypt_identity(d: dict) -> bool:
-        """True when the stream's filter chain carries an explicit
-        /Crypt entry resolving to the /Identity filter (§7.4.10) —
-        the stream bytes are stored plaintext and must NOT be run
-        through the default stream crypt filter."""
+    def crypt_override(d: dict):
+        """The per-stream crypt method when the filter chain carries
+        an explicit /Crypt entry (§7.4.10): its /Name selects a
+        SPECIFIC filter from /CF (default /Identity — plaintext),
+        overriding the document's /StmF method (r12 review finding:
+        a named non-Identity CF used to fall through to the default
+        method and decrypt with the wrong cipher). None = no /Crypt
+        entry, use the default."""
         filts = _resolve(objs, d.get("Filter"))
         if filts is None:
-            return False
+            return None
         if not isinstance(filts, list):
             filts = [filts]
         parms = _resolve(objs, d.get("DecodeParms", d.get("DP")))
@@ -637,8 +648,8 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
                     name = str(
                         _resolve(objs, pm.get("Name", "Identity"))
                     )
-                return name == "Identity"
-        return False
+                return _cf_method_by_name(objs, ed, name)
+        return None
 
     for num in list(objs):
         if num == enc_num:
@@ -656,10 +667,11 @@ def _decrypt_standard(objs: dict, encrypt, doc_id) -> None:
                 # is stored plaintext — "decrypting" it would corrupt
                 # it in place (the r11 ADVICE catch)
                 pass
-            elif crypt_identity(d):
-                pass
             else:
-                stream = apply(stm_m, obj_key(num, stm_m), stream)
+                ov = crypt_override(d)
+                m = stm_m if ov is None else ov
+                if m != "identity":
+                    stream = apply(m, obj_key(num, m), stream)
         objs[num] = (val, stream)
 
 

@@ -170,8 +170,19 @@ def lzfu_compress(data: bytes, mode: str = "lzfu") -> bytes:
         if limit >= 2:
             window = bytes(d[:valid])
             anchor = data[i : i + 2]
+            wh = wpos % _DICT_SIZE
             pos = window.find(anchor)
             while pos != -1:
+                # a match ANCHORED on the write head is unusable
+                # once the dictionary wraps: offset == wh IS the
+                # end marker (§2.1.2.4), and an anchor whose second
+                # byte sits at wh matches a stale byte the decoder
+                # will have just overwritten (r12 review finding —
+                # silently truncated/corrupted round-trips past
+                # ~3.9 KB)
+                if pos == wh or (pos + 1) % _DICT_SIZE == wh:
+                    pos = window.find(anchor, pos + 1)
+                    continue
                 length = 2
                 while length < limit:
                     at = (pos + length) % _DICT_SIZE

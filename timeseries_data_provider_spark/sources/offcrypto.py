@@ -177,6 +177,7 @@ def _parse_agile_xml(xml: bytes) -> dict:
 def _decrypt_agile(
     info_xml: bytes, package: bytes, passwords
 ) -> bytes:
+    passwords = tuple(passwords)  # generators must not exhaust
     a = _parse_agile_xml(info_xml)
     ek, kd = a["ek"], a["kd"]
     iv0 = ek["salt"].ljust(ek["block"], b"\x36")[: ek["block"]]
@@ -222,13 +223,14 @@ def _decrypt_agile(
         return bytes(out[:size])
     raise NotImplementedError(
         "offcrypto: encrypted OOXML (password required — tried "
-        f"{len(tuple(passwords))} candidates)"
+        f"{len(passwords)} candidates)"
     )
 
 
 def _decrypt_standard(
     info: bytes, package: bytes, passwords
 ) -> bytes:
+    passwords = tuple(passwords)  # generators must not exhaust
     if len(info) < 12:
         raise ValueError("offcrypto: truncated EncryptionInfo")
     (hdr_flags, hdr_size) = struct.unpack_from("<II", info, 0)
@@ -276,7 +278,7 @@ def _decrypt_standard(
             return out[:size]
     raise NotImplementedError(
         "offcrypto: encrypted OOXML (password required — tried "
-        f"{len(tuple(passwords))} candidates)"
+        f"{len(passwords)} candidates)"
     )
 
 
@@ -490,6 +492,7 @@ def decrypt_xls_workbook(
     (headers/protected records untouched); the FilePass record
     remains, marked for the caller to skip. CryptoAPI RC4 (version
     2+) and XOR obfuscation raise named errors."""
+    passwords = tuple(passwords)  # generators must not exhaust
     # find the FilePass record (it sits in the stream prologue)
     pos, n = 0, len(wb)
     fp_body = None
@@ -510,11 +513,17 @@ def decrypt_xls_workbook(
         raise NotImplementedError(
             "xls: XOR obfuscation (FilePass type 0)"
         )
-    if enc_type != 1 or len(fp_body) < 52:
+    if enc_type != 1 or len(fp_body) < 6:
         raise ValueError("xls: malformed FilePass record")
     vmaj, vmin = struct.unpack_from("<HH", fp_body, 2)
     capi = None
     if (vmaj, vmin) == (1, 1):
+        # v1.1 layout is 54 bytes: type(2) + version(4) +
+        # salt/verifier/hash(48) — a shorter record is DAMAGE, not a
+        # wrong password (r12 review finding: the old 52-byte guard
+        # misrouted truncation to 'password required')
+        if len(fp_body) < 54:
+            raise ValueError("xls: truncated FilePass v1.1 record")
         body = fp_body[2:]  # version(4) + salt/verifier/hash
     elif vmaj in (2, 3, 4) and vmin == 2:
         # RC4 CryptoAPI ([MS-XLS] 2.2.10.3, r12): same 1024-byte
@@ -545,7 +554,7 @@ def decrypt_xls_workbook(
         return bytes(out)
     raise NotImplementedError(
         "xls: encrypted workbook (password required — tried "
-        f"{len(tuple(passwords))} candidates)"
+        f"{len(passwords)} candidates)"
     )
 
 
@@ -762,6 +771,7 @@ def decrypt_doc_streams(
     FibBase.lKey; version (1,1) selects the MD5/RC4 97-era scheme,
     (2..4, 2) the CryptoAPI scheme. A real password raises the
     named error."""
+    passwords = tuple(passwords)  # generators must not exhaust
     if len(worddoc) < 0x44:
         raise ValueError("doc: WordDocument stream too short")
     (flags,) = struct.unpack_from("<H", worddoc, 0x0A)
@@ -804,7 +814,7 @@ def decrypt_doc_streams(
     if match is None:
         raise NotImplementedError(
             "doc: encrypted document (password required — tried "
-            f"{len(tuple(passwords))} candidates)"
+            f"{len(passwords)} candidates)"
         )
 
     def strip(blob: bytes, plain_end: int) -> bytes:
