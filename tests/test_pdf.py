@@ -738,3 +738,48 @@ def test_crypt_filter_name_resolves_through_cf():
     )
     with pytest.raises(NotImplementedError, match="undefined crypt"):
         pdf.extract_pdf(bad)
+
+
+def test_ascii85_and_runlength_filters():
+    # §7.4.3 / §7.4.5 (r12 late): ASCII85Decode cross-validated
+    # against the stdlib's independent base-85 codec; RunLengthDecode
+    # is the PackBits scheme with the 128 EOD
+    import base64 as _b64
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    for _ in range(50):
+        data = bytes(
+            rng.integers(0, 256, int(rng.integers(0, 300)),
+                         dtype=np.uint8)
+        )
+        enc = pdf._a85_encode(data)
+        assert enc[:-2] == _b64.a85encode(data)
+        assert pdf._a85_decode(enc) == data
+        assert pdf._rle_decode(pdf._rle_encode(data)) == data
+    assert pdf._a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert pdf._a85_decode(b"@ :E\n_W~>") == b"abcd"
+    with pytest.raises(ValueError, match="ASCII85"):
+        pdf._a85_decode(b"@:zE_W~>")  # z inside a group
+    with pytest.raises(ValueError, match="1-char"):
+        pdf._a85_decode(b"@:E_W!~>")
+    with pytest.raises(ValueError, match="overruns"):
+        pdf._rle_decode(b"\x05ab")
+    with pytest.raises(ValueError, match="EOD"):
+        pdf._rle_decode(b"\x01ab")
+    # end to end: a content stream filtered [A85, then RLE inside]
+    content = b"BT /F1 12 Tf 72 720 Td (filter chain body) Tj ET"
+    body = pdf._a85_encode(pdf._rle_encode(content))
+    blob = pdf.encode_pdf([["placeholder"]], compress=False)
+    plain = b"BT /F1 12 Tf 72 720 Td (placeholder) Tj ET"
+    at = blob.find(plain)
+    assert at > 0
+    patched = blob.replace(
+        b"<< /Length %d >>" % len(plain),
+        b"<< /Length %d /Filter [/ASCII85Decode /RunLengthDecode] >>"
+        % len(body),
+    ).replace(plain, body)
+    assert (
+        pdf.extract_pdf(patched)["text"] == "filter chain body"
+    )

@@ -743,6 +743,118 @@ def _png_unpredict(
     return bytes(out)
 
 
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3, r12 late): base-85 groups of 5 chars
+    -> 4 bytes, 'z' shorthand for four zero bytes (group-start
+    only), whitespace ignored, '~>' terminates; a partial final
+    group of n chars yields n-1 bytes (pad with 'u', truncate)."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b in b" \t\r\n\x0c\x00":
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("pdf: 'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:  # '!' .. 'u'
+            raise ValueError(f"pdf: ASCII85 byte {b:#04x}")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("pdf: ASCII85 group overflows")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("pdf: 1-char final ASCII85 group")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):  # pad with 'u'
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    """Fixture-side inverse of _a85_decode (no 'z' shorthand)."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk.ljust(4, b"\x00"), "big")
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        out += bytes(0x21 + d for d in reversed(digits))[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5, r12 late): the PackBits scheme —
+    length byte 0-127 copies the next L+1 literals, 129-255 repeats
+    the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            if i + ln + 1 > n:
+                raise ValueError("pdf: RunLength literal overruns")
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("pdf: RunLength repeat overruns")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    raise ValueError("pdf: RunLength stream ended without EOD")
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Fixture-side inverse of _rle_decode (naive: repeat runs >= 3
+    become repeats, the rest literals)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i
+            lit = bytearray()
+            while j < n and len(lit) < 128:
+                run = 1
+                while (
+                    j + run < n
+                    and run < 3
+                    and data[j + run] == data[j]
+                ):
+                    run += 1
+                if run >= 3:
+                    break
+                lit += data[j : j + run]
+                j += run
+            lit = lit[:128]
+            out += bytes([len(lit) - 1]) + lit
+            i += len(lit)
+    return bytes(out) + b"\x80"
+
+
 def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
     filt = _resolve(objs, val.get("Filter"))
     if filt is None:
@@ -772,6 +884,10 @@ def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
             if len(h) % 2:
                 h += b"0"
             data = bytes.fromhex(h.decode("ascii", "replace"))
+        elif f == "ASCII85Decode":
+            data = _a85_decode(data)
+        elif f == "RunLengthDecode":
+            data = _rle_decode(data)
         elif f == "Crypt":
             # §7.4.10: decryption is a document-level concern —
             # _decrypt_standard already applied the right filter (and
@@ -780,8 +896,9 @@ def _decode_stream(objs, val: dict, raw: bytes) -> bytes:
             pass
         else:
             raise NotImplementedError(
-                f"pdf: stream filter {f} (Flate/LZW/ASCIIHex only; "
-                "DCT/JBIG2/CCITT are image filters)"
+                f"pdf: stream filter {f} (Flate/LZW/ASCIIHex/"
+                "ASCII85/RunLength only; DCT/JBIG2/CCITT are image "
+                "filters)"
             )
     # predictor lookup reuses the SAME per-filter parms_list the loop
     # used (review finding: a second independent resolution of
