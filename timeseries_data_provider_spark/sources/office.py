@@ -628,22 +628,36 @@ def synth_docx_corpus(documents: DataFrame) -> DataFrame:
     synth_pdf_corpus pattern): two paragraphs (the REAL doc text,
     then a closed-form row marker) and a one-row two-cell table, so
     extraction exercises runs, paragraphs AND the table walk; title
-    and creator are doc_id math for the oracle."""
+    and creator are doc_id math for the oracle. The CONTAINER
+    rotates by doc_id (r12): id%8==3 wraps the ZIP in an Agile-
+    encrypted CFB under the empty password, id%16==11 in a
+    Standard-encrypted one under VelvetSweatshop (the second default
+    candidate, so the failed-first-candidate KDF path runs too) —
+    extraction output is identical by construction, so the oracle
+    hash-checks the ENTIRE decrypt chain every round without any
+    SQL change."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from timeseries_data_provider_spark.sources import offcrypto
+
         for pdf_ in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
                 doc_id = int(doc_id)
-                out["doc_id"].append(doc_id)
-                out["payload"].append(
-                    encode_docx(
-                        [text, f"Row {doc_id}"],
-                        title=f"Doc {doc_id}",
-                        creator=f"author-{doc_id % 7}",
-                        table=[["k", str(doc_id)]],
-                    )
+                blob = encode_docx(
+                    [text, f"Row {doc_id}"],
+                    title=f"Doc {doc_id}",
+                    creator=f"author-{doc_id % 7}",
+                    table=[["k", str(doc_id)]],
                 )
+                if doc_id % 16 == 11:
+                    blob = offcrypto.encrypt_ooxml(
+                        blob, "VelvetSweatshop", "standard"
+                    )
+                elif doc_id % 8 == 3:
+                    blob = offcrypto.encrypt_ooxml(blob, "", "agile")
+                out["doc_id"].append(doc_id)
+                out["payload"].append(blob)
             yield pd.DataFrame(out)
 
     from timeseries_data_provider_spark.tables import widen_for_python
