@@ -429,10 +429,17 @@ def test_png_palette_errors():
         mm.decode_image(_palette_png(2, 1, 8, pal, [[0, 1]]))
 
 
-def test_png_rejects_16bit():
+def test_png_invalid_depth_matrix_named():
+    # 16-bit DECODES as of r12 (see test_png_interlace_16bit); an
+    # IHDR claiming 16-bit over 8-bit data is now a loud SIZE error,
+    # and a spec-invalid depth/type combination stays named
     payload = bytearray(mm.encode_png(2, 2, np.zeros((2, 2), np.uint8)))
-    payload[24] = 16  # claim 16-bit depth in IHDR
-    with pytest.raises(NotImplementedError):
+    payload[24] = 16  # claim 16-bit depth over 8-bit data
+    with pytest.raises(ValueError, match="IDAT size"):
+        mm.decode_image(bytes(payload))
+    payload[24] = 4
+    payload[25] = 2  # 4-bit RGB: not a PNG-valid combination
+    with pytest.raises(NotImplementedError, match="matrix"):
         mm.decode_image(bytes(payload))
 
 
@@ -870,3 +877,209 @@ def test_webp_header_metadata_decode():
         mm.IMAGE_CODECS.pop(b"RIFF", None)
     # with no registrant the built-in header decode still answers
     assert mm.decode_image(riff(vp8))["pixels"] is None
+
+
+# ---------------------------------------------------------------------------
+# PNG Adam7 interlace + 16-bit depth (r12 late) — fixtures below were
+# written by the JDK's INDEPENDENT javax.imageio PNG encoder at build
+# time (progressive mode = Adam7; TYPE_USHORT_GRAY = 16-bit), so the
+# pass geometry and depth handling are cross-validated, not
+# self-round-tripped.
+
+_JDK_PNG = {
+    "adam7_gray": (
+    "iVBORw0KGgoAAAANSUhEUgAAACAAAAAYCAAAAAHJP5B+AAADNklEQVR4XmNg0AioYJDw"
+    "rFrNYJC15B6DiE1KD4NB4qQjDL7tB/8w8ChZ+KVWT1zBoGIXWdK/6ugDBpvoqlk7b/6Q"
+    "YOCSM3KLymuaxiCu6xxV0DZnM4OKTWhe2/ztFxgMfdKb5my/9JbBLrpi2uYLb7kYvLO7"
+    "Vp18waHOwCYgrWpg5RoQlZpf1dI/awmDkKymqYNPREp+dfukeau2HWSQ0zJ3CYzLrmiZ"
+    "OG/1jqOX7jFoWbiFJBXU9cxase3IpQfv/jCYuYYkFzVOWLB+39k7r39xSTI4BSUVNU9e"
+    "vOXIlSdfWUXVzBhY+SWVdc0dvUPjM4tr2yfOZuAWVdA2dfAKjc8qre+aMn8lg6CMurGd"
+    "ZwiQ39gzfdHaHQziyvrWbkFxmaWNvTOWbNh9HOgOM2f/6PSShp6ZSzfuPXWNQcXQzjs8"
+    "pbCue8bSjftO33gKdJhrcEJudce0xUD+zWdfGAztfaMzy1snL1y/9/TN51+ZGcyBLi1s"
+    "6Ju7etfJ68++MAsy2PpEZ1d1zli+7ejVJ5+ZBBUYnIOTi5smLdp48OLDDwwC8voMXlFZ"
+    "1d2zV+85c+ftX15ZPTsGZg5eIXEZRXUdQzNrB1fvgNCo+JTM/JLKuuaO3skz5i5i4OQT"
+    "lpRT0dQ3sbR38fIHSqdmFZRWN7R2T5g2e+Gy1RsZ+EWkFFS1Dc1tnDx8gyPjU0DSje09"
+    "k2bMXbxy/ZZdBxhEpRXVdY0t7V29A8NjkzPzQdK9k2fOX7p64/a9h0+eZwDJm1g5uAO1"
+    "J6TlFFfWtwJ1g6R37Dty+uL1uwyK6nom1o4e/qExSZn5ZbXNXROmz10Ckj56+tLN+8/e"
+    "MAD1Wzt5BoTHpmQXVTa0906ZvWjlhu17jwClHzx/++U3A1Q+Pi23pLqpc+KM+cvWbtl9"
+    "+NTFG/efvf36h5mLwdjK0TMgIj49r7S2pWcyUPvGHQeOn7929+mbL7+ZuQQlGSwdPID6"
+    "0/PL6tp6p85dumbLnsOnL99+9OrTT0ZOQQkFDQZ7d3+QfHl9e//0+cvXb99//Pz1+8/f"
+    "f//Pzi8ur65vzuDqGxqbllcGkl+wYsPOgycv3nr06vNvZm4RGRVdU1tXAHnLZ2ePtQUc"
+    "AAAAAElFTkSuQmCC"
+    ),
+    "adam7_rgb": (
+    "iVBORw0KGgoAAAANSUhEUgAAACAAAAAYCAIAAAFjNlj1AAAGOElEQVR4Xm2We1iPZxzG"
+    "n4VYQhISkiQJaUlraUmS0NISEpKQU5IkCYmRhJC0hCRJyym0JEnIKTknSRJLukJacmrY"
+    "Pr/rcf2u/tifvT193/v53Pf9fRNC/Gvk8sAl8Vhw3XqhbfpiVHRmSMO6QxPchKnXrXlF"
+    "O5IdJ5fn9BRaRi+tgy/OvLprk/ZixW+mX0iINliQHzFE/BJ/Yn3b4PNrbD5/bCbUtd/q"
+    "2z+29L/ivPv4rIL45e/XbtP3S3WZKAwcH9msOD/pREpg9cYtuv5pbuMvRVpV5PUQTJ2c"
+    "mcwr481nnQ5weHjC8GNdS3QINa13utZPzWbecNh02iPjgF/ZtjXNV8b2nys6m1QP8Lg7"
+    "PDyHp/4VW8LVl+22nHHSx0nxDqaNT0vjLE/32nid8nO8nThQ/OB90ynu5OybcUzgLE/v"
+    "Jg94XaopkMTLuTlzmcBZnvJiMSY2Y35xTKTWEoRei7aovt25lcaHPs4lQlX9k4bem64W"
+    "lb1Hl4LBKvDSiMhs6KGF+y4s38pN1rZazhW5D+yEpsHr7lbP+roWD55XYBt2Dh3u6Qfh"
+    "yFHoQA6MCdbTeU+m7ygoCi5t7Hb/R7+r9hFnfk066pmzDyVIZCosOYo3Wf4jwcclFNZw"
+    "GuBQcks95J2/ByShn1djEwIgz1Rc4iiwa8vaK0yy8L2GaE7PuLw7oHLzapXQrXoLE22n"
+    "HfN0yV0x7Ea8WVlWr5fFWo0NLUDRxaxK2K0965p8hNmc/k11xXZD3/0OUzLmjGFwUWq/"
+    "yqtd39WotVBr7GhcY+j0kOmCH9rp1vGnvRzK8IrLDFuTC1O8mZabOPdu7OKqTSsb13B7"
+    "rrTLYqZo3amBv9azfdJvQpEENTrmT3maDC6piVz1NQw3Yozm4+ofrhNEe/3abpZ/4cgg"
+    "n0JcJLXcR3maKwHgd5M5SfZTj3i4gkuRGsQM9Lw9JCgfVtwHsiiRpzfrBMSZzsavdK+x"
+    "Z4Lsr0RZfvOB25C0sQnp5IQAkd4wsYrZO818Doz2OO7tfDbEriBmcPHhvor4ETTEcNGJ"
+    "R1PxeNGzKKzY2CmQ2fI0fK/Hmpek93leoPPNOKwYl3LYK2/vgtJoEhGhsZQwwld5mkpU"
+    "FXZpqG6tyPHQ0DwKhxikL62NWKcWghv77DzxDiXy9Iub2hjSTPWzALzSacQgParboj1W"
+    "3kQoO3AEwX5w1EjO5jRIxc8hF0go48kcSd6gGYT0g87upIjA3U8zxuy3Veoqzb9wGrsE"
+    "cFDPeBylXYQZ5EgnyXeSTJ5e0K2raMeKoTM9bCqgL/CVrmATd4UM5iMmJ3h4YdwgYkf9"
+    "vjSqtNGppzMmU+4AU6CM7vGIJmEirve0K8f4/u734IE/GEpeuCfcaSKp4QVEAQOARM8w"
+    "bVl9OE6QXfDiNcy4FyAQK77XfN+2298dDF+RV0zHRtqKVPM5138KuAxwiohqMqAcTdW5"
+    "AU0jPdwDrhjBbegR5nEnHElxmsTNQCGoAutTx/w5wFgbRBzhWMOyolmOW0/hKBBZjlJ1"
+    "09Fkk5YQOMhKyUSDAuA3BcTEvLChguqwkSQW6kYlpHDJhCVCHKdmJ+GSBNJ0tKRBnCkW"
+    "GZWS2ZCk6WK4NRG5lWAqmk4HC1sP4iOjspTCia9P4U7fku3EANa0FSBK1U1H00VizeYg"
+    "qySEAD7O1hdyOo4zHT/ZFmCRxKdk7WfzSOFBrzawNrCRXQBrCg4QWtt0NDllNAuPJjzJ"
+    "1SPer0o6CKV2pgOdfUFUJBaIk3ZWG8JxUjJh02Aj8YA1O0ECkarlaNYpPSOvlOef983F"
+    "/07HT7BQbCIIcQpCo1h5kgkJYTlhIxsH1qwRgLAbpGpG02L2NQVQfJJwFe6QkdP5ijCd"
+    "lcTHDj/BwgcC4pipFC6ZkBD2GTaypGDN5gGIVC1HU2XFliczuAp3pXamS+h0hw8qWHYY"
+    "z4M4Zh52H4dweotwmNxL6f8o0+BZfveaoo71lW0+1at+p/KVYjGabzm5538MQSLJDK42"
+    "nc4SIy1A55OJn2Bh3ZBuiJ8LtZXCCQlMwP2mXONDbat/v4qWbT/SKtYBWwVraSt9EuSd"
+    "RJIZXIU7ZNDedDofOT6J+Ml/Gmwo0g3x0ozeUjiLTTLha0Rh2TTsAnzlg8ReZPh/2olv"
+    "65pSwG8AAAAASUVORK5CYII="
+    ),
+    "gray16": (
+    "iVBORw0KGgoAAAANSUhEUgAAACAAAAAYEAAAAADuqHyrAAAGI0lEQVR4XgEYBuf5AAAA"
+    "BQYKDA8SFBgZHh4kIyooMC02Mjw3QjxIQU5GVEtaUGBVZlpsX3JkeGl+boRziniQfZaC"
+    "nIeijKiRrpa0m7oAAwMICQ0PEhUXGxwhIScnLiw0MTo2QDtGQExFUktZUF9VZVprX3Fk"
+    "d2l9b4R0inmQfpaDnIiijaiTr5i1nbuiwQAGBgsMEBIVGBsfICUlKysyMDg1PjpEQEtF"
+    "UUpXUF5VZFpqX3Bld2p9b4N1inqQf5aEnIqjj6mUr5q2n7ykwqnIAAkJDg8TFRkcHiIk"
+    "KSkvLzY0PDlCP0lET0pWT1xVY1ppX29ldmp8cIN1iXuQgJaFnIujkKmWsJu2ob2mw6vJ"
+    "sdAADAwREhcZHB8iJicsLTMzOjhAPkdDTUlUTlpUYVpoX25ldWp7cIJ1iHuPgZaGnIyj"
+    "kamXsJy2or2oxK3Ks9G41wAPDxQVGhwgIyUpKzAxNzc+PERCS0hSTVhTX1lmX21kc2p6"
+    "cIF1h3uOgZWHnIyikqmYsJ22o72pxK/LtNG62MDfABISFxgdHyMmKS0vNDU7O0JASEZP"
+    "TFZSXVhkXmtkcml4b391hnuNgZSHm42ikqiYr562pL2qxLDLttK72MHfx+YAFRUbHCEj"
+    "JyotMTM4OT8/RkVNS1RRW1diXWljcGl3b351hXuMgZOHmo2hk6iZr5+2pb2rxLHLt9K9"
+    "2cPgyefP7gAYGB4fJCYqLTA0Njs8QkNKSVFPWFVfW2ZhbWd0bnx0g3qKgJGGmIyfkqaZ"
+    "rp+1pbyrw7HKt9G92MTgyufQ7tb1ABsbISInKS0wNDg6P0BGR05NVVNcWWNga2ZybHlz"
+    "gXmIf4+FloyekqWYrJ+0pburwrHJuNG+2MTfy+fR7tf13fwAHh4kJSosMTQ3Oz5DREpL"
+    "UlFZV2BeaGRva3dxfniGfo2ElIuckaOYq56ypbqrwbHIuNC+18Xfy+bS7tj13vzmBAAh"
+    "IScoLjA0Nzs/QUZITk9WVV1cZWJsaXRve3aDfYuDkoqakKGXqZ2wpLirwLHHuM++1sXe"
+    "y+XS7dn13/znBO0LACQkKisxMzg7PkJFSkxSU1pZYWBpZ3FteHSAe4iCkIiXj5+Wp5yu"
+    "o7aqvrHGt82+1cXdy+TS7Nn04PznA+4L9RMAJyctLjQ2Oz5CRklOUFZXXl1lZG1rdXJ9"
+    "eYWAjYeVjZyUpJusorSpvLDEt8y908Tby+PS69nz4PvoA+4K9RL8GgAqKjEyODo/QkZK"
+    "TVJUWltiYmppcnB6d4J+ioWSjJqTopqqobKouq/Ctsq90sTay+LS6tny4ProAu8K9hL9"
+    "GgMiAC0tNDU7PUJFSU1QVVddX2Zmbm12dH57hoKOiZaRn5inn6+mt62/tMe7z8PYyuDR"
+    "6Njw3/jnAO4I9hH9GQMhCikAMDA3OD5ARUhNUVRZW2FjampycXp4goCLh5OOm5aknayk"
+    "tKu8s8W6zcHVyd7Q5tfu3vbm/+4H9Q/9GAMgCigRMAAzMzo7QUNJTFBUWF1fZWdubnZ1"
+    "fn2HhI+MmJOgm6misam5scK4ysDTx9vP5Nbs3fTl/e0F9Q78FgMfCicRLxk4ADY2PT5F"
+    "R0xPVFhbYGNpa3JyenqDgYuJlJCcmKWgrqe2r7+2x77QxdjN4dXq3PLk++wD9Az7FAId"
+    "CiYRLhk3ID8AOTlAQUhKUFNXW19kZ21vdnZ+foeGkI2YlaGdqqWzrLu0xLzNw9XL3tPn"
+    "2/Di+OsB8wr6EgEbCSQRLRg1ID4oRwA8PENES01TVltfY2hrcXN6eoKCi4qUkp2apqKv"
+    "qrixwLnJwdLJ29Hk2e3h9uj+8Qf5EAAZCCIQKxg0HzwnRS9OAD8/R0hPUVdaX2NnbG91"
+    "d35/h4eQj5mXop+rp7SvvbfGv8/H2M/h1+rf8+f88AX4DgAXByAPKRcyHzsnRC9NN1YA"
+    "QkJKS1JUWl1iZmpvcnh7goOLi5STnZumo6+ruLTCvMvE1Mzd1Obc7+T47gL2C/4UBR0N"
+    "JhUvHTgmQi5LNlQ+XQBFRU1OVVddYGZqbnN2fH+Gh4+PmJehoKuotLC9ucfB0MnZ0eLa"
+    "7OL16v70CPwRAxoLIxQtHDYkPy1JNVI9W0Vk4vjUde6JWjQAAAAASUVORK5CYII="
+    ),
+    "adam7_gray16": (
+    "iVBORw0KGgoAAAANSUhEUgAAACAAAAAYEAAAAAGZr0w9AAAGOElEQVR4XgEtBtL5AAAA"
+    "KDBQYHiQABgYSVF6iqvDADAwanKktN72ABQYPEhkeIyoADA0YW2SpsTgAE1Rh5PB1f0Y"
+    "AAwMIiY4QE5aZXV7j5GpqMQAJCQ+QllhdICPn6q+xd3g/AA8PFtfeoKaprnJ2e35EBg0"
+    "AAoMHiQyPEZUWmxuhIKclrQAFxktM0NNWmhwgoacnLaz0QAkJjxCVV9ufIaYn7W30dDu"
+    "ADEzTFJncYKQnK63zdLs7gsAPkBbYXiClqSzxdDm7gcKKABLTWtxipSquMnb6P4IIidF"
+    "AAYGEBIbHyUrMDg6REVRUF5aamV3b4N6kIScj6matqTCABISHR8pLTU7QEhMVlhkZHJv"
+    "f3uNh5uSqJ62qsS20sHfAB4eKiw3O0RKUVleaGt3eIaElJGjnrKrwbjQxd/S7t78ACoq"
+    "ODpGSlRaYmpwen6KjJqaqqi6tsrE2tLq4PrvCv0aADY2RUdUWGNpcnqBi5CcoK6vv77Q"
+    "zeHc8uwD+xQKJhk3AEJCUlRiZnJ4g4uTnaOvtMLE1NTm5Pj2CwUdFS8mQjZUAAUGDxIZ"
+    "HiMqLTY3QkFOS1pVZl9yaX5zin2Wh6KRrpu6AAsMFRggJSsyNT5AS0pXVWRfcGp9dYp/"
+    "loqjlK+fvKnIABESHB8nLDM6PkdJVFRhX25qe3WIgZaMo5ewor2tyrjXABcYIyYvNDtC"
+    "Rk9SXV5raXh1hoGUjaKYr6S9sMu72MfmAB4fKi02O0NKT1hbZmd0dIOAkYyfma6lvLHK"
+    "vdjK59b1ACQlMTQ+Q0tSV2Bkb3F+fo2LnJirpbqxyL7Xy+bY9eYEACorODtFSlNaYGlt"
+    "eHuIiJeWp6O2sca+1cvk2fTnA/UTADEyP0JNUltiaXJ3goWSk6Khsq/CvdLL4tny6AL2"
+    "EgMiADc4RUhUWWNqcXqAi46bnayrvLrNyd7X7ub/9Q8DIBEwAD0+TE9bYGtyeoOJlJil"
+    "p7a2x8XY1erk+/QMAh0RLiA/AENEU1ZjaHN6gouSnaKvscDB0tHk4fbxBwAZECsfPC9O"
+    "AEpLWl1qb3uCi5Sbpqu4vMvM3dzv7gL+FA0mHTguSz5dAAMDCAkNDxIVFxscISEnJy4s"
+    "NDE6NkA7RkBMRVJLWVBfVWVaa19xZHdpfW+EdIp5kH6Wg5yIoo2ok6+YtZ27osEACQkO"
+    "DxMVGRweIiQpKS8vNjQ8OUI/SURPSlZPXFVjWmlfb2V2anxwg3WJe5CAloWci6OQqZaw"
+    "m7ahvabDq8mx0AAPDxQVGhwgIyUpKzAxNzc+PERCS0hSTVhTX1lmX21kc2p6cIF1h3uO"
+    "gZWHnIyikqmYsJ22o72pxK/LtNG62MDfABUVGxwhIycqLTEzODk/P0ZFTUtUUVtXYl1p"
+    "Y3Bpd29+dYV7jIGTh5qNoZOoma+ftqW9q8Sxy7fSvdnD4Mnnz+4AGxshIicpLTA0ODo/"
+    "QEZHTk1VU1xZY2BrZnJseXOBeYh/j4WWjJ6SpZisn7Slu6vCscm40b7YxN/L59Hu1/Xd"
+    "/AAhIScoLjA0Nzs/QUZITk9WVV1cZWJsaXRve3aDfYuDkoqakKGXqZ2wpLirwLHHuM++"
+    "1sXey+XS7dn13/znBO0LACcnLS40Njs+QkZJTlBWV15dZWRta3VyfXmFgI2HlY2clKSb"
+    "rKK0qbywxLfMvdPE28vj0uvZ8+D76APuCvUS/BoALS00NTs9QkVJTVBVV11fZmZubXZ0"
+    "fnuGgo6JlpGfmKefr6a3rb+0x7vPw9jK4NHo2PDf+OcA7gj2Ef0ZAyEKKQAzMzo7QUNJ"
+    "TFBUWF1fZWdubnZ1fn2HhI+MmJOgm6misam5scK4ysDTx9vP5Nbs3fTl/e0F9Q78FgMf"
+    "CicRLxk4ADk5QEFISlBTV1tfZGdtb3Z2fn6HhpCNmJWhnaqls6y7tMS8zcPVy97T59vw"
+    "4vjrAfMK+hIBGwkkES0YNSA+KEcAPz9HSE9RV1pfY2dsb3V3fn+Hh5CPmZein6untK+9"
+    "t8a/z8fYz+HX6t/z5/zwBfgOABcHIA8pFzIfOydEL003VgBFRU1OVVddYGZqbnN2fH+G"
+    "h4+PmJehoKuotLC9ucfB0MnZ0eLa7OL16v70CPwRAxoLIxQtHDYkPy1JNVI9W0Vkf8fU"
+    "dVKew0MAAAAASUVORK5CYII="
+    ),
+}
+
+
+def _png_pattern():
+    ys, xs = np.mgrid[0:24, 0:32]
+    return (xs * 5 + ys * 3 + (xs * ys) // 7) % 256
+
+
+def test_png_interlace_16bit_jdk_goldens():
+    import base64 as _b64
+
+    v = _png_pattern()
+    g16 = (((v * 257 + np.mgrid[0:24, 0:32][1]) % 65536) >> 8).astype(
+        np.uint8
+    )
+    want = {
+        "adam7_gray": v.astype(np.uint8),
+        "adam7_rgb": np.dstack(
+            [v, (v * 2) % 256, 255 - v]
+        ).astype(np.uint8),
+        "gray16": g16,
+        "adam7_gray16": g16,
+    }
+    for name, blob64 in _JDK_PNG.items():
+        d = mm._decode_png(_b64.b64decode(blob64))
+        assert (d["pixels"] == want[name]).all(), name
+    # interlace flag visible in metadata-only parses too
+    assert mm._decode_png(_b64.b64decode(_JDK_PNG["adam7_gray"]))[
+        "bit_depth"
+    ] == 8
+
+
+def test_png_interlace_16bit_roundtrip_matrix():
+    rng = np.random.default_rng(8)
+    for shape in ((24, 32), (24, 32, 3)):
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        for interlace in (False, True):
+            for bits in (8, 16):
+                d = mm._decode_png(
+                    mm.encode_png(32, 24, px, interlace, bits)
+                )
+                assert (d["pixels"] == px).all(), (
+                    shape, interlace, bits,
+                )
+    # odd geometries hit every empty/partial Adam7 pass shape
+    for w, h in ((1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (33, 17)):
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        d = mm._decode_png(mm.encode_png(w, h, px, True, 8))
+        assert (d["pixels"] == px).all(), (w, h)
+    # truncated interlaced stream is loud
+    full = mm.encode_png(
+        9, 10, rng.integers(0, 256, (10, 9)).astype(np.uint8), True
+    )
+    import struct as _s
+    import zlib as _z
+
+    # re-deflate a truncated raw stream so the zlib layer succeeds
+    # and the PASS accounting is what catches it
+    at = full.find(b"IDAT") - 4
+    (ln,) = _s.unpack_from(">I", full, at)
+    raw = _z.decompress(full[at + 8 : at + 8 + ln])
+    short = _z.compress(raw[:-3])
+    rebuilt = (
+        full[:at]
+        + _s.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + _s.pack(">I", 0)
+        + full[at + 12 + ln :]
+    )
+    with pytest.raises(ValueError, match="IDAT size"):
+        mm._decode_png(rebuilt)

@@ -21,11 +21,14 @@ libraries (none are installed in this container):
   8/16/24 plus the AIFC ``sowt`` (little-endian PCM) and ``fl32``
   (IEEE float32) compression types; alac/ima4/ulaw stay the named
   register-a-codec boundary.
-- **PNG** (8-bit gray / RGB / gray+alpha / RGBA and 1/2/4/8-bit
-  PALETTE, non-interlaced): FULL pixel decode — chunk walk, ``zlib``
-  inflate of the IDAT stream, per-scanline unfiltering (all five
-  filter types: None/Sub/Up/Average/Paeth), and PLTE lookup with
-  MSB-first sub-byte index unpacking. Header-only payloads (no IDAT)
+- **PNG** (the full PNG-valid depth/type matrix as of r12 late:
+  1/2/4/8/16-bit gray, 8/16-bit RGB / gray+alpha / RGBA, 1/2/4/8-bit
+  PALETTE, interlace 0 AND Adam7 — JDK-cross-validated): FULL pixel
+  decode — chunk walk, ``zlib`` inflate of the IDAT stream,
+  per-scanline unfiltering per pass (all five filter types:
+  None/Sub/Up/Average/Paeth), PLTE lookup with MSB-first sub-byte
+  index unpacking, 16-bit downconverted >>8 to the 8-bit codec
+  contract (the TIFF rule). Header-only payloads (no IDAT)
   decode to metadata with ``pixels=None``.
 - **JPEG/MP4/...**: entropy-coded formats genuinely require codec
   libs; ``decode_image`` raises ``NotImplementedError`` for those with
@@ -359,43 +362,84 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
-    """Write a real 8-bit grayscale non-interlaced PNG. ``pixels`` is
-    (h, w) uint8. Scanline ``y`` uses filter type ``y % 5``, so a
-    round-trip exercises every unfilter path (None/Sub/Up/Average/
-    Paeth), with real chunk CRCs and a real DEFLATE stream."""
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = pixels.astype(np.int64)
+def encode_png(
+    width: int,
+    height: int,
+    pixels: np.ndarray,
+    interlace: bool = False,
+    bits: int = 8,
+) -> bytes:
+    """Write a real PNG: 8-bit gray ((h, w) uint8) or RGB
+    ((h, w, 3)), optionally 16-bit (samples upscaled v*257 — the
+    TIFF writer convention the decoder's >>8 inverts exactly) and/or
+    Adam7-interlaced (r12 late). Scanline ``y`` of each pass uses
+    filter type ``y % 5``, so a round-trip exercises every unfilter
+    path (None/Sub/Up/Average/Paeth), with real chunk CRCs and a
+    real DEFLATE stream."""
+    px = np.asarray(pixels, np.uint8)
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    if px.ndim == 2:
+        px = px[:, :, None]
+    color_type = {1: 0, 3: 2}[nch]
+    if bits == 16:
+        samples = px.astype(np.uint16) * 257
+    elif bits == 8:
+        samples = px.astype(np.uint16)
+    else:
+        raise ValueError(f"encode_png: bits {bits}")
+    bpp = nch * (bits // 8)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bits, color_type, 0, 0,
+        1 if interlace else 0,
+    )
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
     out = bytearray()
-    prior = np.zeros(width, dtype=np.int64)
-    for y in range(height):
-        line = raw[y]
-        f = y % 5
-        left = np.concatenate(([0], line[:-1]))
-        up_left = np.concatenate(([0], prior[:-1]))
-        if f == 0:
-            enc = line
-        elif f == 1:
-            enc = line - left
-        elif f == 2:
-            enc = line - prior
-        elif f == 3:
-            enc = line - (left + prior) // 2
-        else:  # Paeth
-            p = left + prior - up_left
-            pa, pb, pc = (
-                np.abs(p - left),
-                np.abs(p - prior),
-                np.abs(p - up_left),
+    for x0, y0, xs, ys in passes:
+        pw = max(0, -(-(width - x0) // xs)) if width > x0 else 0
+        ph = max(0, -(-(height - y0) // ys)) if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        sub = samples[y0::ys, x0::xs]
+        if bits == 16:
+            rows = (
+                sub.astype(">u2").view(np.uint8).reshape(ph, pw * nch * 2)
             )
-            pred = np.where(
-                (pa <= pb) & (pa <= pc),
-                left,
-                np.where(pb <= pc, prior, up_left),
-            )
-            enc = line - pred
-        out += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
-        prior = line
+        else:
+            rows = sub.astype(np.uint8).reshape(ph, pw * nch)
+        raw = rows.astype(np.int64)
+        prior = np.zeros(raw.shape[1], dtype=np.int64)
+        for y in range(ph):
+            line = raw[y]
+            f = y % 5
+            left = np.concatenate(
+                ([0] * bpp, line[:-bpp])
+            ) if bpp <= len(line) else np.zeros_like(line)
+            up_left = np.concatenate(
+                ([0] * bpp, prior[:-bpp])
+            ) if bpp <= len(prior) else np.zeros_like(prior)
+            if f == 0:
+                enc = line
+            elif f == 1:
+                enc = line - left
+            elif f == 2:
+                enc = line - prior
+            elif f == 3:
+                enc = line - (left + prior) // 2
+            else:  # Paeth
+                pp = left + prior - up_left
+                pa, pb, pc = (
+                    np.abs(pp - left),
+                    np.abs(pp - prior),
+                    np.abs(pp - up_left),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prior, up_left),
+                )
+                enc = line - pred
+            out += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
+            prior = line
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -404,13 +448,85 @@ def encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
     )
 
 
+# Adam7 interlace passes (PNG spec §8.2): (x0, y0, xstep, ystep)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> "np.ndarray":
+    """Per-scanline unfilter (PNG §9) of one (sub)image: ``raw`` is
+    height*(stride+1) filter-prefixed bytes; returns (h, stride)
+    uint8. Sub is vectorized as a per-channel prefix sum; Average/
+    Paeth stay sequential (each byte depends on the RECONSTRUCTED
+    left neighbor through a non-linear predictor — inherent)."""
+    grid = np.zeros((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:
+            pad = (-stride) % bpp
+            padded = np.concatenate([line, np.zeros(pad, np.int64)])
+            rec = (
+                padded.reshape(-1, bpp).cumsum(axis=0) % 256
+            ).reshape(-1)[:stride]
+        elif f == 2:
+            rec = (line + prior) % 256
+        elif f == 3:
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} out of range")
+        grid[y] = rec
+        prior = rec
+    return grid.astype(np.uint8)
+
+
+def _png_expand_samples(
+    rows: "np.ndarray", w: int, nch: int, bit_depth: int
+) -> "np.ndarray":
+    """(h, stride) filtered bytes -> (h, w, nch) uint8 SAMPLE values
+    (sub-byte unpacked MSB-first; 16-bit downconverted >>8 to the
+    package-wide 8-bit codec contract, the TIFF rule)."""
+    h = rows.shape[0]
+    if bit_depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if bit_depth == 16:
+        hi = rows[:, : w * nch * 2 : 2]  # big-endian high bytes
+        return hi.reshape(h, w, nch)
+    shifts = [8 - bit_depth * (j + 1) for j in range(8 // bit_depth)]
+    parts = [(rows >> s) & ((1 << bit_depth) - 1) for s in shifts]
+    flat = np.stack(parts, axis=2).reshape(h, -1)[:, : w * nch]
+    return flat.reshape(h, w, nch)
+
+
 def _decode_png(payload: bytes) -> dict:
-    """Full PNG decode: chunk walk → IDAT inflate → per-scanline
-    unfilter. 8-bit gray/RGB/gray-alpha/RGBA plus 1/2/4/8-bit PALETTE
-    (PLTE lookup, MSB-first sub-byte unpacking — r8), non-interlaced;
-    16-bit or interlaced raise NotImplementedError (the codec-lib
-    plug-in point). A header-only payload (no IDAT chunks) yields
-    ``pixels=None``."""
+    """Full PNG decode: chunk walk -> IDAT inflate -> per-scanline
+    unfilter, per Adam7 pass when interlaced (r12 late). 1/2/4/8-bit
+    gray, 8-bit RGB/gray-alpha/RGBA, 16-bit gray/RGB/GA/RGBA
+    (downconverted >>8 to the 8-bit codec contract, the TIFF rule),
+    1/2/4/8-bit PALETTE (PLTE lookup), interlace 0 and 1. A header-
+    only payload (no IDAT chunks) yields ``pixels=None``."""
     width, height = struct.unpack_from(">II", payload, 16)
     bit_depth, color_type, _comp, _filt, interlace = struct.unpack_from(
         ">BBBBB", payload, 24
@@ -439,99 +555,62 @@ def _decode_png(payload: bytes) -> dict:
     if not idat:
         return meta  # metadata-only payload
     paletted = color_type == 3
-    if (
-        interlace
-        or (paletted and bit_depth not in (1, 2, 4, 8))
+    ok = (
+        (paletted and bit_depth in (1, 2, 4, 8))
+        or (color_type == 0 and bit_depth in (1, 2, 4, 8, 16))
         or (
-            not paletted
-            and (bit_depth != 8 or color_type not in _PNG_CHANNELS)
+            color_type in (2, 4, 6) and bit_depth in (8, 16)
         )
-    ):
+    )
+    if not ok or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace}: only non-interlaced 8-bit "
-            "gray/RGB/gray-alpha/RGBA and 1/2/4/8-bit palette "
-            "decoded natively"
+            f"interlace={interlace}: outside the PNG-valid "
+            "depth/type matrix"
         )
-    if paletted:
-        # sub-8-bit scanlines filter on BYTES with a 1-byte pixel
-        # delta (PNG spec: bpp rounds up to one byte)
-        bpp = 1
-        stride = -(-width * bit_depth // 8)
-    else:
-        bpp = _PNG_CHANNELS[color_type]
-        stride = width * bpp
+    nch = 1 if paletted else _PNG_CHANNELS[color_type]
+    bits_px = bit_depth * nch
+    bpp = max(1, bits_px // 8)  # filter byte delta (spec: >= 1)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG IDAT size {len(raw)} != expected {(stride + 1) * height}"
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    full = np.zeros((height, width, nch), np.uint8)
+    off = 0
+    for x0, y0, xs, ys in passes:
+        pw = max(0, -(-(width - x0) // xs)) if width > x0 else 0
+        ph = max(0, -(-(height - y0) // ys)) if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = -(-pw * bits_px // 8)
+        need = (stride + 1) * ph
+        if off + need > len(raw):
+            raise ValueError(
+                f"PNG IDAT size {len(raw)} short of pass data"
+            )
+        rows = _png_unfilter(raw[off : off + need], ph, stride, bpp)
+        off += need
+        full[y0::ys, x0::xs] = _png_expand_samples(
+            rows, pw, nch, bit_depth
         )
-    grid = np.zeros((height, stride), dtype=np.int64)
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int64)
-        if f == 0:
-            rec = line
-        elif f == 1:
-            # Sub is a per-channel prefix sum mod 256 — vectorized
-            # (Average/Paeth below stay sequential: each byte depends
-            # on the RECONSTRUCTED left neighbor through a non-linear
-            # predictor, which is inherent to the filter spec)
-            rec = (
-                line.reshape(-1, bpp).cumsum(axis=0) % 256
-            ).reshape(stride)
-        elif f == 2:
-            rec = (line + prior) % 256
-        elif f == 3:
-            rec = line.copy()
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + (left + prior[x]) // 2) % 256
-        elif f == 4:
-            rec = line.copy()
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prior[x]
-                c = prior[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pred) % 256
-        else:
-            raise ValueError(f"PNG filter type {f} out of range")
-        grid[y] = rec
-        prior = rec
-    px = grid.astype(np.uint8)
+    if off != len(raw):
+        raise ValueError(
+            f"PNG IDAT size {len(raw)} != expected {off}"
+        )
     if paletted:
         if not plte or len(plte) % 3:
             raise ValueError("PNG palette image without a valid PLTE")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        if bit_depth == 8:
-            idx = px[:, :width].astype(np.int64)
-        else:
-            # unpack sub-byte indices MSB-first within each byte
-            shifts = [
-                8 - bit_depth * (j + 1) for j in range(8 // bit_depth)
-            ]
-            parts = [
-                (px >> s) & ((1 << bit_depth) - 1) for s in shifts
-            ]
-            idx = (
-                np.stack(parts, axis=2)
-                .reshape(height, -1)[:, :width]
-                .astype(np.int64)
-            )
+        idx = full[:, :, 0].astype(np.int64)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("PNG palette index out of range")
         meta["pixels"] = pal[idx]
         return meta
+    if bit_depth in (1, 2, 4):
+        # linear sample scaling (§13.12): exact, 255 % (2^d - 1) == 0
+        full = full * (255 // ((1 << bit_depth) - 1))
     meta["pixels"] = (
-        px.reshape(height, width)
-        if bpp == 1
-        else px.reshape(height, width, bpp)
+        full.reshape(height, width)
+        if nch == 1
+        else full
     )
     return meta
 
