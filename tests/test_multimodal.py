@@ -32,9 +32,14 @@ def test_bmp_roundtrip_with_row_padding():
 
 
 def test_bmp_rejects_unsupported_depth():
+    # 8 bpp DECODES as of r12 (palette tier) — claiming it over a
+    # paletteless 24-bit body is loud damage, and 16 bpp stays named
     payload = bytearray(mm.encode_bmp(2, 2, np.zeros((2, 2), np.uint8)))
-    struct.pack_into("<H", payload, 28, 8)  # claim 8 bpp
-    with pytest.raises(NotImplementedError):
+    struct.pack_into("<H", payload, 28, 8)
+    with pytest.raises(ValueError):
+        mm.decode_image(bytes(payload))
+    struct.pack_into("<H", payload, 28, 16)
+    with pytest.raises(NotImplementedError, match="bpp=16"):
         mm.decode_image(bytes(payload))
 
 
@@ -1083,3 +1088,174 @@ def test_png_interlace_16bit_roundtrip_matrix():
     )
     with pytest.raises(ValueError, match="IDAT size"):
         mm._decode_png(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# BMP palette/RLE/32-bit matrix + the RGB-order fix (r12 late).
+# Indexed/RLE8/1-bpp fixtures below were written by the JDK's
+# INDEPENDENT javax.imageio BMP encoder at build time; the color one
+# pins the channel-order contract (a red pixel must decode RED — the
+# old decoder returned BGR, putting the same image on a DIFFERENT
+# dedup key than its PNG/JPEG siblings).
+
+_JDK_BMP = {
+    "idx8": (
+    "Qk3WBQAAAAAAADYEAAAoAAAAHwAAAA0AAAABAAgAAAAAAKABAAAAAAAAAAAAAAAAAAAA"
+    "AQAAAP8A/wP+Af8G/QL/CfwD/wz7BP8P+gX/EvkG/xX4B/8Y9wj/G/YJ/x71Cv8h9Av/"
+    "JPMM/yfyDf8q8Q7/LfAP/zDvEP8z7hH/Nu0S/znsE/886xT/P+oV/0LpFv9F6Bf/SOcY"
+    "/0vmGf9O5Rr/UeQb/1TjHP9X4h3/WuEe/13gH/9g3yD/Y94h/2bdIv9p3CP/bNsk/2/a"
+    "Jf9y2Sb/ddgn/3jXKP971in/ftUq/4HUK/+E0yz/h9It/4rRLv+N0C//kM8w/5POMf+W"
+    "zTL/mcwz/5zLNP+fyjX/osk2/6XIN/+oxzj/q8Y5/67FOv+xxDv/tMM8/7fCPf+6wT7/"
+    "vcA//8C/QP/DvkH/xr1C/8m8Q//Mu0T/z7pF/9K5Rv/VuEf/2LdI/9u2Sf/etUr/4bRL"
+    "/+SzTP/nsk3/6rFO/+2wT//wr1D/865R//atUv/5rFP//KtU//+qVf8CqVb/BahX/win"
+    "WP8Lpln/DqVa/xGkW/8Uo1z/F6Jd/xqhXv8doF//IJ9g/yOeYf8mnWL/KZxj/yybZP8v"
+    "mmX/Mplm/zWYZ/84l2j/O5Zp/z6Vav9BlGv/RJNs/0eSbf9KkW7/TZBv/1CPcP9TjnH/"
+    "Vo1y/1mMc/9ci3T/X4p1/2KJdv9liHf/aId4/2uGef9uhXr/cYR7/3SDfP93gn3/eoF+"
+    "/32Af/+Af4D/g36B/4Z9gv+JfIP/jHuE/496hf+SeYb/lXiH/5h3iP+bdon/nnWK/6F0"
+    "i/+kc4z/p3KN/6pxjv+tcI//sG+Q/7Nukf+2bZL/uWyT/7xrlP+/apX/wmmW/8Vol//I"
+    "Z5j/y2aZ/85lmv/RZJv/1GOc/9dinf/aYZ7/3WCf/+BfoP/jXqH/5l2i/+lco//sW6T/"
+    "71ql//JZpv/1WKf/+Feo//tWqf/+Var/AVSr/wRTrP8HUq3/ClGu/w1Qr/8QT7D/E06x"
+    "/xZNsv8ZTLP/HEu0/x9Ktf8iSbb/JUi3/yhHuP8rRrn/LkW6/zFEu/80Q7z/N0K9/zpB"
+    "vv89QL//QD/A/0M+wf9GPcL/STzD/0w7xP9POsX/UjnG/1U4x/9YN8j/WzbJ/141yv9h"
+    "NMv/ZDPM/2cyzf9qMc7/bTDP/3Av0P9zLtH/di3S/3ks0/98K9T/fyrV/4Ip1v+FKNf/"
+    "iCfY/4sm2f+OJdr/kSTb/5Qj3P+XIt3/miHe/50g3/+gH+D/ox7h/6Yd4v+pHOP/rBvk"
+    "/68a5f+yGeb/tRjn/7gX6P+7Fun/vhXq/8EU6//EE+z/xxLt/8oR7v/NEO//0A/w/9MO"
+    "8f/WDfL/2Qzz/9wL9P/fCvX/4gn2/+UI9//oB/j/6wb5/+4F+v/xBPv/9AP8//cC/f/6"
+    "Af7//QD//4SLkpmgp661vMPK0djf5u30+wIJEBceJSwzOkFIT1YAeYCHjpWco6qxuL/G"
+    "zdTb4unw9/4FDBMaISgvNj1ESwBudXyDipGYn6attLvCydDX3uXs8/oBCA8WHSQrMjlA"
+    "AGNqcXh/ho2Um6KpsLe+xczT2uHo7/b9BAsSGSAnLjUAWF9mbXR7gomQl56lrLO6wcjP"
+    "1t3k6/L5AAcOFRwjKgBNVFtiaXB3foWMk5qhqK+2vcTL0tng5+71/AMKERgfAEJJUFde"
+    "ZWxzeoGIj5adpKuyucDHztXc4+rx+P8GDRQANz5FTFNaYWhvdn2Ei5KZoKeutbzDytHY"
+    "3+bt9PsCCQAsMzpBSE9WXWRrcnmAh46VnKOqsbi/xs3U2+Lp8Pf+ACEoLzY9REtSWWBn"
+    "bnV8g4qRmJ+mrbS7wsnQ197l7PMAFh0kKzI5QEdOVVxjanF4f4aNlJuiqbC3vsXM09rh"
+    "6AALEhkgJy41PENKUVhfZm10e4KJkJeepayzusHIz9bdAAAHDhUcIyoxOD9GTVRbYmlw"
+    "d36FjJOaoaivtr3Ey9IA"
+    ),
+    "rle8": (
+    "Qk0MBgAAAAAAADYEAAAoAAAAHwAAAA0AAAABAAgAAQAAANYBAAAAAAAAAAAAAAAAAAAA"
+    "AQAAAP8A/wP+Af8G/QL/CfwD/wz7BP8P+gX/EvkG/xX4B/8Y9wj/G/YJ/x71Cv8h9Av/"
+    "JPMM/yfyDf8q8Q7/LfAP/zDvEP8z7hH/Nu0S/znsE/886xT/P+oV/0LpFv9F6Bf/SOcY"
+    "/0vmGf9O5Rr/UeQb/1TjHP9X4h3/WuEe/13gH/9g3yD/Y94h/2bdIv9p3CP/bNsk/2/a"
+    "Jf9y2Sb/ddgn/3jXKP971in/ftUq/4HUK/+E0yz/h9It/4rRLv+N0C//kM8w/5POMf+W"
+    "zTL/mcwz/5zLNP+fyjX/osk2/6XIN/+oxzj/q8Y5/67FOv+xxDv/tMM8/7fCPf+6wT7/"
+    "vcA//8C/QP/DvkH/xr1C/8m8Q//Mu0T/z7pF/9K5Rv/VuEf/2LdI/9u2Sf/etUr/4bRL"
+    "/+SzTP/nsk3/6rFO/+2wT//wr1D/865R//atUv/5rFP//KtU//+qVf8CqVb/BahX/win"
+    "WP8Lpln/DqVa/xGkW/8Uo1z/F6Jd/xqhXv8doF//IJ9g/yOeYf8mnWL/KZxj/yybZP8v"
+    "mmX/Mplm/zWYZ/84l2j/O5Zp/z6Vav9BlGv/RJNs/0eSbf9KkW7/TZBv/1CPcP9TjnH/"
+    "Vo1y/1mMc/9ci3T/X4p1/2KJdv9liHf/aId4/2uGef9uhXr/cYR7/3SDfP93gn3/eoF+"
+    "/32Af/+Af4D/g36B/4Z9gv+JfIP/jHuE/496hf+SeYb/lXiH/5h3iP+bdon/nnWK/6F0"
+    "i/+kc4z/p3KN/6pxjv+tcI//sG+Q/7Nukf+2bZL/uWyT/7xrlP+/apX/wmmW/8Vol//I"
+    "Z5j/y2aZ/85lmv/RZJv/1GOc/9dinf/aYZ7/3WCf/+BfoP/jXqH/5l2i/+lco//sW6T/"
+    "71ql//JZpv/1WKf/+Feo//tWqf/+Var/AVSr/wRTrP8HUq3/ClGu/w1Qr/8QT7D/E06x"
+    "/xZNsv8ZTLP/HEu0/x9Ktf8iSbb/JUi3/yhHuP8rRrn/LkW6/zFEu/80Q7z/N0K9/zpB"
+    "vv89QL//QD/A/0M+wf9GPcL/STzD/0w7xP9POsX/UjnG/1U4x/9YN8j/WzbJ/141yv9h"
+    "NMv/ZDPM/2cyzf9qMc7/bTDP/3Av0P9zLtH/di3S/3ks0/98K9T/fyrV/4Ip1v+FKNf/"
+    "iCfY/4sm2f+OJdr/kSTb/5Qj3P+XIt3/miHe/50g3/+gH+D/ox7h/6Yd4v+pHOP/rBvk"
+    "/68a5f+yGeb/tRjn/7gX6P+7Fun/vhXq/8EU6//EE+z/xxLt/8oR7v/NEO//0A/w/9MO"
+    "8f/WDfL/2Qzz/9wL9P/fCvX/4gn2/+UI9//oB/j/6wb5/+4F+v/xBPv/9AP8//cC/f/6"
+    "Af7//QD//wAfhIuSmaCnrrW8w8rR2N/m7fT7AgkQFx4lLDM6QUhPVgAAAAAfeYCHjpWc"
+    "o6qxuL/GzdTb4unw9/4FDBMaISgvNj1ESwAAAAAfbnV8g4qRmJ+mrbS7wsnQ197l7PP6"
+    "AQgPFh0kKzI5QAAAAAAfY2pxeH+GjZSboqmwt77FzNPa4ejv9v0ECxIZICcuNQAAAAAf"
+    "WF9mbXR7gomQl56lrLO6wcjP1t3k6/L5AAcOFRwjKgAAAAAfTVRbYmlwd36FjJOaoaiv"
+    "tr3Ey9LZ4Ofu9fwDChEYHwAAAAAfQklQV15lbHN6gYiPlp2kq7K5wMfO1dzj6vH4/wYN"
+    "FAAAAAAfNz5FTFNaYWhvdn2Ei5KZoKeutbzDytHY3+bt9PsCCQAAAAAfLDM6QUhPVl1k"
+    "a3J5gIeOlZyjqrG4v8bN1Nvi6fD3/gAAAAAfISgvNj1ES1JZYGdudXyDipGYn6attLvC"
+    "ydDX3uXs8wAAAAAfFh0kKzI5QEdOVVxjanF4f4aNlJuiqbC3vsXM09rh6AAAAAAfCxIZ"
+    "ICcuNTxDSlFYX2ZtdHuCiZCXnqWss7rByM/W3QAAAAAfAAcOFRwjKjE4P0ZNVFtiaXB3"
+    "foWMk5qhqK+2vcTL0gAAAAAB"
+    ),
+    "bin1": (
+    "Qk1yAAAAAAAAAD4AAAAoAAAAHwAAAA0AAAABAAEAAAAAADQAAAAAAAAAAAAAAAAAAAAC"
+    "AAAAAAAA//////+SSSSSSSSSSCSSSSSSSSSSSSSSSCSSSSSSSSSSSSSSSCSSSSSSSSSS"
+    "SSSSSCSSSSSSSSSS"
+    ),
+    "color": (
+    "Qk1OAAAAAAAAADYAAAAoAAAABAAAAAIAAAABABgAAAAAABgAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAD/AP8A/wAAAAAA"
+    ),
+}
+
+
+def test_bmp_rgb_channel_order():
+    import base64 as _b64
+
+    d = mm.decode_image(_b64.b64decode(_JDK_BMP["color"]))
+    assert (d["pixels"][0, 0] == [255, 0, 0]).all()  # RED
+    assert (d["pixels"][0, 1] == [0, 255, 0]).all()  # GREEN
+    assert (d["pixels"][0, 2] == [0, 0, 255]).all()  # BLUE
+
+
+def test_bmp_palette_and_rle_jdk_goldens():
+    import base64 as _b64
+
+    w, h = 31, 13
+    ys, xs = np.mgrid[0:h, 0:w]
+    v = (xs * 7 + ys * 11) % 256
+    pal_want = np.stack(
+        [v, 255 - v, (v * 3) % 256], axis=2
+    ).astype(np.uint8)
+    for name in ("idx8", "rle8"):
+        d = mm.decode_image(_b64.b64decode(_JDK_BMP[name]))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["pixels"] == pal_want).all(), name
+    d = mm.decode_image(_b64.b64decode(_JDK_BMP["bin1"]))
+    assert (d["pixels"][:, :, 0] == np.where(
+        (xs + ys) % 3 == 0, 255, 0
+    )).all()
+
+
+def _bmp_fixture(w, h, bpp, compression, palette, body):
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + len(palette)
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(body),
+        0, 0, len(palette) // 4, 0,
+    )
+    return hdr + palette + body
+
+
+def test_bmp_4bpp_rle4_and_32bpp_handbuilt():
+    # 4-bpp uncompressed: 5 px wide -> 3 data bytes, padded to 4
+    pal = bytes(
+        b for i in range(16) for b in (i * 16, i * 8, i * 4, 0)
+    )  # BGRA quads
+    rows = bytes([0x01, 0x23, 0x40, 0x00]) + bytes([0x55, 0x55, 0x50, 0x00])
+    d = mm.decode_image(_bmp_fixture(5, 2, 4, 0, pal, rows))
+    # bottom-up: stored row 0 is IMAGE row 1; palette quad i is
+    # BGRA (16i, 8i, 4i, 0) -> RGB (4i, 8i, 16i)
+    idx_row1 = np.array([0, 1, 2, 3, 4])
+    assert (d["pixels"][1] == np.stack(
+        [4 * idx_row1, 8 * idx_row1, 16 * idx_row1], axis=1
+    )).all()
+    assert (d["pixels"][0] == [[20, 40, 80]] * 5).all()  # index 5
+    # RLE4: run of 5 alternating (3,7), EOL, absolute 4 px, EOB
+    body = bytes([5, 0x37, 0, 0, 0, 4, 0x12, 0x34, 0, 0, 0, 1])
+    d = mm.decode_image(_bmp_fixture(5, 2, 4, 2, pal, body))
+    assert (d["pixels"][1, :, 2] == [16 * 3, 16 * 7, 16 * 3,
+                                     16 * 7, 16 * 3]).all()
+    assert (d["pixels"][0, :4, 2] == [16, 32, 48, 64]).all()
+    # 32bpp BI_RGB: BGRx quads, alpha dropped, RGB order
+    body = bytes([10, 20, 30, 99, 40, 50, 60, 99])
+    d = mm.decode_image(_bmp_fixture(2, 1, 32, 0, b"", body))
+    assert (d["pixels"][0, 0] == [30, 20, 10]).all()
+    assert (d["pixels"][0, 1] == [60, 50, 40]).all()
+
+
+def test_bmp_hostile_and_named():
+    pal16 = bytes(16 * 4)
+    with pytest.raises(ValueError, match="overruns"):
+        mm.decode_image(_bmp_fixture(50, 50, 4, 0, pal16, b"xx"))
+    with pytest.raises(ValueError, match="without end-of-bitmap"):
+        mm.decode_image(
+            _bmp_fixture(4, 2, 8, 1, bytes(256 * 4), bytes([3, 1]))
+        )
+    with pytest.raises(ValueError, match="index out of range"):
+        mm.decode_image(
+            _bmp_fixture(
+                4, 1, 8, 0, bytes(2 * 4), bytes([5, 0, 0, 0])
+            )
+        )
+    with pytest.raises(NotImplementedError, match="bpp=16"):
+        mm.decode_image(_bmp_fixture(2, 1, 16, 0, b"", bytes(4)))
+    with pytest.raises(NotImplementedError, match="compression=3"):
+        mm.decode_image(_bmp_fixture(2, 1, 32, 3, b"", bytes(8)))

@@ -246,6 +246,171 @@ def encode_bmp(width: int, height: int, pixels: np.ndarray) -> bytes:
     return header + bytes(rows)
 
 
+def _bmp_palette(payload: bytes, hdr_size: int, bpp: int) -> "np.ndarray":
+    """Color table after the info header: BGRA quads, 2^bpp entries
+    unless biClrUsed narrows it; returned as an (n, 3) RGB array."""
+    (clr_used,) = struct.unpack_from("<I", payload, 14 + 32)
+    n = clr_used or (1 << bpp)
+    if n > 256:
+        raise ValueError(f"bmp: palette of {n} entries")
+    at = 14 + hdr_size
+    if at + 4 * n > len(payload):
+        raise ValueError("bmp: palette overruns file")
+    quads = np.frombuffer(
+        payload, np.uint8, count=4 * n, offset=at
+    ).reshape(n, 4)
+    return quads[:, 2::-1].copy()  # BGRx -> RGB
+
+
+def _bmp_rle_indices(
+    data: bytes, width: int, h: int, four_bit: bool
+) -> "np.ndarray":
+    """BI_RLE8 / BI_RLE4 decompression to an (h, width) index grid
+    (rows in STORED bottom-up order; caller flips). Escapes: 0,0 end
+    of line, 0,1 end of bitmap, 0,2 delta, 0,n absolute run (word-
+    padded). RLE4 packs two pixel indices per byte, alternating."""
+    grid = np.zeros((h, width), np.uint8)
+    x = y = 0
+    i, n = 0, len(data)
+
+    def put(vals):
+        nonlocal x
+        for v in vals:
+            if y >= h:
+                raise ValueError("bmp: RLE writes past the bitmap")
+            if x < width:
+                grid[y, x] = v
+                x += 1
+            # pixels past the row width are tolerated (clamped):
+            # real encoders occasionally overrun the last run
+
+    while i + 2 <= n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:
+            if four_bit:
+                pair = (val >> 4, val & 0x0F)
+                put(pair[k % 2] for k in range(cnt))
+            else:
+                put(val for _ in range(cnt))
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return grid
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("bmp: RLE delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal pixels
+            if four_bit:
+                nbytes = (val + 1) // 2
+                if i + nbytes > n:
+                    raise ValueError("bmp: RLE absolute truncated")
+                chunk = data[i : i + nbytes]
+                put(
+                    (chunk[k // 2] >> 4) if k % 2 == 0
+                    else (chunk[k // 2] & 0x0F)
+                    for k in range(val)
+                )
+                i += nbytes + (nbytes % 2)  # word padding
+            else:
+                if i + val > n:
+                    raise ValueError("bmp: RLE absolute truncated")
+                put(data[i : i + val])
+                i += val + (val % 2)
+    raise ValueError("bmp: RLE stream ended without end-of-bitmap")
+
+
+def _decode_bmp_body(
+    payload: bytes,
+    hdr_size: int,
+    width: int,
+    height: int,
+    bpp: int,
+    compression: int,
+    data_off: int,
+) -> dict:
+    """BMP raster decode (r12 late: the full classic matrix):
+    24/32-bit BI_RGB, 1/4/8-bit palette, BI_RLE8/BI_RLE4. Channel
+    order is normalized BGR(x) -> RGB — the package-wide codec
+    contract every other format follows (r12 review: BMP used to
+    return BGR, putting the same image on a DIFFERENT dedup key
+    than its PNG/JPEG siblings). 16-bit and bitfields stay named."""
+    flipped = height > 0
+    h = abs(height)
+    if h <= 0 or width <= 0 or width * h > 64 * 1024 * 1024:
+        raise ValueError(f"bmp: unreasonable canvas {width}x{h}")
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+        want_bpp = 8 if compression == 1 else 4
+        if bpp != want_bpp:
+            raise ValueError(
+                f"bmp: RLE{want_bpp} with bpp={bpp} is malformed"
+            )
+        pal = _bmp_palette(payload, hdr_size, bpp)
+        idx = _bmp_rle_indices(
+            payload[data_off:], width, h, compression == 2
+        )
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("bmp: palette index out of range")
+        grid = pal[idx.astype(np.int64)]
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": h,
+            "pixels": grid[::-1] if flipped else grid,
+        }
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression={compression} (BI_RGB/BI_RLE8/BI_RLE4 "
+            "only; bitfields stay named)"
+        )
+    if bpp in (24, 32):
+        nb = bpp // 8
+        row_size = (nb * width + 3) // 4 * 4
+        if data_off + row_size * h > len(payload):
+            raise ValueError("bmp: pixel data overruns file")
+        grid = (
+            np.frombuffer(
+                payload, np.uint8, count=row_size * h, offset=data_off
+            )
+            .reshape(h, row_size)[:, : nb * width]
+            .reshape(h, width, nb)
+        )
+        grid = grid[:, :, 2::-1]  # BGR(x) -> RGB, alpha dropped
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": h,
+            "pixels": (grid[::-1] if flipped else grid).copy(),
+        }
+    if bpp in (1, 4, 8):
+        pal = _bmp_palette(payload, hdr_size, bpp)
+        row_size = (bpp * width + 31) // 32 * 4
+        if data_off + row_size * h > len(payload):
+            raise ValueError("bmp: pixel data overruns file")
+        rows = np.frombuffer(
+            payload, np.uint8, count=row_size * h, offset=data_off
+        ).reshape(h, row_size)
+        if bpp == 8:
+            idx = rows[:, :width]
+        else:
+            shifts = [8 - bpp * (j + 1) for j in range(8 // bpp)]
+            parts = [(rows >> s) & ((1 << bpp) - 1) for s in shifts]
+            idx = np.stack(parts, axis=2).reshape(h, -1)[:, :width]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("bmp: palette index out of range")
+        grid = pal[idx.astype(np.int64)]
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": h,
+            "pixels": grid[::-1] if flipped else grid,
+        }
+    raise NotImplementedError(f"BMP bpp={bpp} (1/4/8/24/32 only)")
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to ``{format, width, height, pixels}``.
 
@@ -266,19 +431,10 @@ def decode_image(payload: bytes) -> dict:
             bpp,
             compression,
         ) = struct.unpack_from("<IiiHHI", payload, 14)
-        if bpp != 24 or compression != 0:
-            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
-        row_size = (3 * width + 3) // 4 * 4
-        flipped = height > 0
-        h = abs(height)
-        grid = (
-            np.frombuffer(payload, np.uint8, count=row_size * h, offset=data_off)
-            .reshape(h, row_size)[:, : 3 * width]
-            .reshape(h, width, 3)
+        return _decode_bmp_body(
+            payload, hdr_size, width, height, bpp, compression,
+            data_off,
         )
-        if flipped:
-            grid = grid[::-1]
-        return {"format": "bmp", "width": width, "height": h, "pixels": grid}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
