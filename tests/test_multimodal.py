@@ -1259,3 +1259,39 @@ def test_bmp_hostile_and_named():
         mm.decode_image(_bmp_fixture(2, 1, 16, 0, b"", bytes(4)))
     with pytest.raises(NotImplementedError, match="compression=3"):
         mm.decode_image(_bmp_fixture(2, 1, 32, 3, b"", bytes(8)))
+
+
+def test_g711_tables_match_stdlib_audioop():
+    # the CCITT formula-derived tables cross-validated against the
+    # stdlib's INDEPENDENT G.711 implementation (r12 late) — all 256
+    # entries of both laws
+    audioop = pytest.importorskip("audioop")
+    every = bytes(range(256))
+    want_u = np.frombuffer(audioop.ulaw2lin(every, 2), "<i2")
+    want_a = np.frombuffer(audioop.alaw2lin(every, 2), "<i2")
+    assert (mm._ULAW_TABLE == want_u).all()
+    assert (mm._ALAW_TABLE == want_a).all()
+
+
+def test_aifc_g711_roundtrip_and_gaps():
+    raw = np.arange(256, dtype=np.uint8)
+    for comp, table in (
+        (b"ulaw", mm._ULAW_TABLE),
+        (b"alaw", mm._ALAW_TABLE),
+    ):
+        d = mm.decode_audio(mm.encode_aifc(raw, 8000, compression=comp))
+        assert d["format"] == "aifc"
+        assert d["bits"] == 16  # decoded domain
+        assert (d["samples"] == table[raw]).all()
+    # WAV fmt 6/7 decode through the SAME tables — format parity
+    wav_u = mm.decode_audio(
+        mm.encode_wav(mm._ULAW_TABLE[raw].astype(np.int64), bits=16)
+    )
+    aifc_u = mm.decode_audio(mm.encode_aifc(raw, 8000, b"ulaw"))
+    assert (wav_u["samples"] == aifc_u["samples"]).all()
+    # ima4 stays the named plug-in boundary
+    blob = bytearray(mm.encode_aifc(raw, 8000, b"ulaw"))
+    at = bytes(blob).index(b"ulaw")
+    blob[at : at + 4] = b"ima4"
+    with pytest.raises(NotImplementedError, match="ima4"):
+        mm.decode_audio(bytes(blob))

@@ -872,8 +872,11 @@ def _decode_aiff(payload: bytes) -> dict:
     signed PCM at 8/16/24 bits; AIFC adds a compression 4cc in COMM:
     ``NONE`` (BE PCM, same depths), ``sowt`` (LITTLE-endian 16-bit
     PCM — the historical Mac byte-swap type), ``fl32``/``FL32``
-    (big-endian IEEE float32). Compressed types (alac/ima4/ulaw/...)
-    raise the named plug-in error."""
+    (big-endian IEEE float32), and the G.711 telephony bytes
+    ``ulaw``/``ULAW``/``alaw``/``ALAW`` (r12 late — the same CCITT
+    tables the WAV fmt 6/7 path uses, audioop-cross-validated).
+    Compressed types (alac/ima4/...) raise the named plug-in
+    error."""
     is_aifc = payload[8:12] == b"AIFC"
     channels = frames = bits = rate = None
     comp = b"NONE"
@@ -901,6 +904,14 @@ def _decode_aiff(payload: bytes) -> dict:
             if comp == b"sowt":
                 if bits != 16:
                     raise ValueError(f"aifc: sowt requires 16-bit, got {bits}")
+            elif comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+                if bits != 8:
+                    # real writers declare 16 here too (the DECODED
+                    # width); tolerate both declared widths
+                    if bits != 16:
+                        raise ValueError(
+                            f"aifc: G.711 with bits={bits}"
+                        )
             elif comp in (b"fl32", b"FL32"):
                 if bits != 32:
                     raise ValueError(f"aifc: fl32 requires 32-bit, got {bits}")
@@ -912,8 +923,9 @@ def _decode_aiff(payload: bytes) -> dict:
                     )
             else:
                 raise NotImplementedError(
-                    f"aifc: compression {comp!r} (NONE/sowt/fl32 only; "
-                    "register a codec for alac/ima4/ulaw/...)"
+                    f"aifc: compression {comp!r} (NONE/sowt/fl32/"
+                    "ulaw/alaw only; register a codec for "
+                    "alac/ima4/...)"
                 )
         elif tag == b"SSND":
             if size < 8:
@@ -927,6 +939,12 @@ def _decode_aiff(payload: bytes) -> dict:
     # and the sample format isn't known until COMM is seen
     if comp in (b"fl32", b"FL32"):
         samples = np.frombuffer(ssnd, ">f4").astype(np.float32)
+    elif comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        table = (
+            _ULAW_TABLE if comp in (b"ulaw", b"ULAW") else _ALAW_TABLE
+        )
+        samples = table[np.frombuffer(ssnd, np.uint8)]
+        bits = 16  # decoded domain, matching the WAV fmt 6/7 path
     elif comp == b"sowt":
         samples = np.frombuffer(ssnd, "<i2").astype(np.int16)
     elif bits == 16:
@@ -1004,8 +1022,12 @@ def encode_aifc(
 ) -> bytes:
     """Write a real mono AIFC (FORM type ``AIFC`` with FVER and the
     extended COMM): ``sowt`` little-endian 16-bit PCM, ``fl32``
-    big-endian float32, or ``NONE`` big-endian 16-bit PCM."""
-    if compression == b"sowt":
+    big-endian float32, ``NONE`` big-endian 16-bit PCM, or
+    ``ulaw``/``alaw`` G.711 bytes (``samples`` are the RAW coded
+    bytes, r12 late)."""
+    if compression in (b"ulaw", b"alaw"):
+        data, bits = np.asarray(samples, np.uint8).tobytes(), 8
+    elif compression == b"sowt":
         data, bits = samples.astype("<i2").tobytes(), 16
     elif compression == b"fl32":
         data, bits = samples.astype(">f4").tobytes(), 32
