@@ -1817,9 +1817,12 @@ def q64_corpus_signals(spark, sf):
     # DOCX (real text paragraph + closed-form row marker + one-row
     # table, sources/office.synth_docx_corpus) back through the OOXML
     # extractor; every emitted field is doc_id/text math the oracle
-    # replays byte-exact (the pdf-column pattern).
+    # replays byte-exact (the pdf-column pattern). r12 late:
+    # extra_parts=True — the plants carry closed-form header/footer/
+    # footnote/comment sub-parts, so that walk is oracle-scored too
+    # (and 1-in-8 plants arrive ENCRYPTED, decrypted transparently).
     doccols = officesrc.office_features(
-        officesrc.synth_docx_corpus(d)
+        officesrc.synth_docx_corpus(d), extra_parts=True
     ).select(
         "doc_id",
         F.col("title").alias("docx_title"),
@@ -4530,15 +4533,23 @@ def oracle_sql() -> dict[str, str]:
                    'Doc ' || CAST(w.doc_id AS VARCHAR) AS docx_title,
                    'author-' || CAST(w.doc_id % 7 AS VARCHAR)
                      AS docx_creator,
-                   CAST(2 AS BIGINT) AS docx_paras,
+                   CAST(6 AS BIGINT) AS docx_paras,
                    CAST(1 AS BIGINT) AS docx_tables,
                    d.text || chr(10) || 'Row '
                      || CAST(w.doc_id AS VARCHAR) || chr(10)
                      || 'k' || chr(9) || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Hdr ' || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Ftr ' || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Note ' || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Cmt ' || CAST(w.doc_id AS VARCHAR)
                      AS docx_text,
                    CAST(length(d.text || chr(10) || 'Row '
                      || CAST(w.doc_id AS VARCHAR) || chr(10)
-                     || 'k' || chr(9) || CAST(w.doc_id AS VARCHAR))
+                     || 'k' || chr(9) || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Hdr ' || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Ftr ' || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Note ' || CAST(w.doc_id AS VARCHAR)
+                     || chr(10) || 'Cmt ' || CAST(w.doc_id AS VARCHAR))
                      AS BIGINT) AS docx_chars
             FROM w
             JOIN documents d USING (doc_id)

@@ -649,6 +649,15 @@ def synth_docx_corpus(documents: DataFrame) -> DataFrame:
                     title=f"Doc {doc_id}",
                     creator=f"author-{doc_id % 7}",
                     table=[["k", str(doc_id)]],
+                    # closed-form sub-parts (r12 late): scored when
+                    # the consumer opts into extra_parts, invisible
+                    # otherwise — q64 runs extra_parts=True so the
+                    # header/footer/footnote/comment walk is on the
+                    # oracle surface
+                    headers=[f"Hdr {doc_id}"],
+                    footers=[f"Ftr {doc_id}"],
+                    footnotes=[f"Note {doc_id}"],
+                    comments=[f"Cmt {doc_id}"],
                 )
                 if doc_id % 16 == 11:
                     blob = offcrypto.encrypt_ooxml(
