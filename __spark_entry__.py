@@ -63,6 +63,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
 )
 from timeseries_data_provider_spark.sources import office as officesrc  # noqa: E402
 from timeseries_data_provider_spark.sources import warc as warcsrc  # noqa: E402
+from timeseries_data_provider_spark.sources import msg as msgsrc  # noqa: E402
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1821,6 +1822,18 @@ def q64_corpus_signals(spark, sf):
     # extra_parts=True — the plants carry closed-form header/footer/
     # footnote/comment sub-parts, so that walk is oracle-scored too
     # (and 1-in-8 plants arrive ENCRYPTED, decrypted transparently).
+    # r12 late: the OUTLOOK chain — every doc also rides a planted
+    # .msg whose body exists ONLY as PR_RTF_COMPRESSED, so the CFB
+    # walk, MAPI property decode, LZFu decompression, and RTF parse
+    # all hash-check against the source text every round.
+    msgcols = msgsrc.msg_features(
+        msgsrc.synth_msg_corpus(d)
+    ).select(
+        "doc_id",
+        F.col("subject").alias("msg_subject"),
+        F.col("text").alias("msg_text"),
+        F.col("n_chars").alias("msg_chars"),
+    )
     doccols = officesrc.office_features(
         officesrc.synth_docx_corpus(d), extra_parts=True
     ).select(
@@ -1844,6 +1857,7 @@ def q64_corpus_signals(spark, sf):
         .join(dw, "doc_id")
         .join(scancols, "doc_id")
         .join(doccols, "doc_id")
+        .join(msgcols, "doc_id")
     )
 
 
@@ -4550,7 +4564,10 @@ def oracle_sql() -> dict[str, str]:
                      || chr(10) || 'Ftr ' || CAST(w.doc_id AS VARCHAR)
                      || chr(10) || 'Note ' || CAST(w.doc_id AS VARCHAR)
                      || chr(10) || 'Cmt ' || CAST(w.doc_id AS VARCHAR))
-                     AS BIGINT) AS docx_chars
+                     AS BIGINT) AS docx_chars,
+                   'Msg ' || CAST(w.doc_id AS VARCHAR) AS msg_subject,
+                   d.text AS msg_text,
+                   CAST(length(d.text) AS BIGINT) AS msg_chars
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)

@@ -69,3 +69,21 @@ def test_msg_features_spark(spark):
     out = msg.msg_features(spark.createDataFrame(rows)).collect()
     assert len(out) == 1
     assert out[0]["subject"] == "s" and out[0]["text"] == "b"
+
+
+def test_synth_msg_corpus_roundtrip(spark):
+    # the q64 msg-column chain (r12 late): planted .msg whose body
+    # exists ONLY as PR_RTF_COMPRESSED — CFB walk + MAPI decode +
+    # LZFu + RTF parse round-trip the source text exactly
+    docs = spark.createDataFrame(
+        [(1, "Plain line."), (2, "Tabs\there — naïve 你好.\nTwo.")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in msg.msg_features(msg.synth_msg_corpus(docs)).collect()
+    }
+    assert rows[1]["subject"] == "Msg 1"
+    assert rows[1]["text"] == "Plain line."
+    assert rows[2]["text"] == "Tabs\there — naïve 你好.\nTwo."
+    assert rows[2]["n_chars"] == len("Tabs\there — naïve 你好.\nTwo.")

@@ -133,8 +133,14 @@ def encode_msg(
             3,
             (
                 "__substg1.0_10090102",
+                # paragraphs split on EITHER newline form: a bare
+                # \n inside an RTF paragraph is ignored by parsers,
+                # so splitting only on \r\n silently dropped
+                # newlines from multi-line bodies (r12 late catch)
                 lzfu.lzfu_compress(
-                    _rtf.encode_rtf(body.split("\r\n"))
+                    _rtf.encode_rtf(
+                        body.replace("\r\n", "\n").split("\n")
+                    )
                 ),
             ),
         )
@@ -149,6 +155,35 @@ def encode_msg(
     for k in range(n_attachments):
         streams.append((f"__attach_version1.0_#{k:08X}", b"payload"))
     return cfb.encode_cfb(streams)
+
+
+def synth_msg_corpus(documents: "DataFrame") -> "DataFrame":
+    """Deterministic Outlook .msg per document (q64's msg columns,
+    r12 late — the synth_docx_corpus pattern): subject 'Msg {id}',
+    and the body carried ONLY as PR_RTF_COMPRESSED — so the CFB
+    walk, MAPI property decode, LZFu decompression, and RTF parse
+    ALL sit on the oracle's hash-checked path; the round-tripped
+    body text equals the source text by construction."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf_ in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                doc_id = int(doc_id)
+                out["doc_id"].append(doc_id)
+                out["payload"].append(
+                    encode_msg(
+                        f"Msg {doc_id}", text, rtf_body=True
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    return widen_for_python(
+        documents.select("doc_id", "text")
+    ).mapInPandas(synth, "doc_id long, payload binary")
 
 
 def msg_features(
