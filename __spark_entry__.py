@@ -64,6 +64,7 @@ from timeseries_data_provider_spark.operators import (  # noqa: E402
 from timeseries_data_provider_spark.sources import office as officesrc  # noqa: E402
 from timeseries_data_provider_spark.sources import warc as warcsrc  # noqa: E402
 from timeseries_data_provider_spark.sources import msg as msgsrc  # noqa: E402
+from timeseries_data_provider_spark.sources import doc as docsrc  # noqa: E402
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1822,6 +1823,17 @@ def q64_corpus_signals(spark, sf):
     # extra_parts=True — the plants carry closed-form header/footer/
     # footnote/comment sub-parts, so that walk is oracle-scored too
     # (and 1-in-8 plants arrive ENCRYPTED, decrypted transparently).
+    # r12 late: the LEGACY-WORD chain — every doc rides a planted
+    # .doc (piece-table text = source text; 1-in-8 containers arrive
+    # RC4-v1.1- or CryptoAPI-ENCRYPTED), so the [MS-DOC] walk and
+    # the Word 97 decrypt chain hash-check every round.
+    legacycols = docsrc.doc_features(
+        docsrc.synth_doc_corpus(d)
+    ).select(
+        "doc_id",
+        F.col("text").alias("doc97_text"),
+        F.col("n_chars").alias("doc97_chars"),
+    )
     # r12 late: the OUTLOOK chain — every doc also rides a planted
     # .msg whose body exists ONLY as PR_RTF_COMPRESSED, so the CFB
     # walk, MAPI property decode, LZFu decompression, and RTF parse
@@ -1858,6 +1870,7 @@ def q64_corpus_signals(spark, sf):
         .join(scancols, "doc_id")
         .join(doccols, "doc_id")
         .join(msgcols, "doc_id")
+        .join(legacycols, "doc_id")
     )
 
 
@@ -4567,7 +4580,9 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS docx_chars,
                    'Msg ' || CAST(w.doc_id AS VARCHAR) AS msg_subject,
                    d.text AS msg_text,
-                   CAST(length(d.text) AS BIGINT) AS msg_chars
+                   CAST(length(d.text) AS BIGINT) AS msg_chars,
+                   d.text AS doc97_text,
+                   CAST(length(d.text) AS BIGINT) AS doc97_chars
             FROM w
             JOIN documents d USING (doc_id)
             JOIN page p USING (doc_id)

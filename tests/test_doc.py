@@ -122,3 +122,33 @@ def test_doc_features_spark(spark):
     assert len(out) == 2
     assert out[0]["text"] == "one"
     assert out[1]["text"] == "two\nlines" and out[1]["n_pieces"] == 2
+
+
+def test_synth_doc_corpus_roundtrip(spark):
+    # the q64 doc97-column chain (r12 late): piece-table text equals
+    # the source text, with 1-in-8 containers arriving encrypted
+    # (id 5: RC4 v1.1 empty password; id 13: CryptoAPI Velvet)
+    docs = spark.createDataFrame(
+        [(5, "RC4 path — naïve 你好."), (13, "CryptoAPI path."),
+         (1, "Plain path.\nSecond par.")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in doc.doc_features(doc.synth_doc_corpus(docs)).collect()
+    }
+    assert rows[1]["text"] == "Plain path.\nSecond par."
+    assert rows[5]["text"] == "RC4 path — naïve 你好."
+    assert rows[13]["text"] == "CryptoAPI path."
+    # the encrypted plants are REALLY encrypted on disk
+    blobs = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in doc.synth_doc_corpus(docs).collect()
+    }
+    for needle in (b"RC4 path", "RC4 path".encode("utf-16-le")):
+        assert needle not in blobs[5]
+    for needle in (b"CryptoAPI path",
+                   "CryptoAPI path".encode("utf-16-le")):
+        assert needle not in blobs[13]
+    # plain ASCII stores as fCompressed cp1252 pieces
+    assert b"Plain path" in blobs[1]

@@ -213,6 +213,47 @@ def encode_doc(
     )
 
 
+def synth_doc_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic legacy .doc per document (q64's doc columns,
+    r12 late — the synth_msg_corpus pattern): the piece-table text
+    IS the source text, and the CONTAINER rotates by doc_id —
+    id%16==13 encrypts under RC4 CryptoAPI with VelvetSweatshop,
+    id%8==5 under RC4 v1.1 with the empty password — so the
+    [MS-DOC] FIB/CLX/PlcPcd walk AND the Word 97 decrypt chain
+    hash-check against the source text every round."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from timeseries_data_provider_spark.sources import offcrypto
+
+        for pdf_ in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                doc_id = int(doc_id)
+                blob = encode_doc(text)
+                if doc_id % 8 == 5:
+                    s = dict(cfb.cfb_streams(blob))
+                    capi = doc_id % 16 == 13
+                    ewd, etbl, _ = offcrypto.encrypt_doc_streams(
+                        s["WordDocument"],
+                        s["1Table"],
+                        None,
+                        "VelvetSweatshop" if capi else "",
+                        "capi" if capi else "rc4",
+                    )
+                    blob = cfb.encode_cfb(
+                        [("WordDocument", ewd), ("1Table", etbl)]
+                    )
+                out["doc_id"].append(doc_id)
+                out["payload"].append(blob)
+            yield pd.DataFrame(out)
+
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    return widen_for_python(
+        documents.select("doc_id", "text")
+    ).mapInPandas(synth, "doc_id long, payload binary")
+
+
 def doc_features(
     df: DataFrame,
     blob_col: str = "payload",
