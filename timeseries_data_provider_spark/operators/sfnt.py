@@ -31,10 +31,16 @@ __all__ = ["gid_to_unicode", "encode_cmap_font"]
 _MAX_MAPPINGS = 1 << 17  # generous: real fonts are < 66k glyphs
 
 
-def _best_subtable(data: bytes) -> tuple[int, int]:
-    """Pick the cmap encoding record to use: full-repertoire Unicode
-    (3/10 or 0/4+, format 12) beats BMP (3/1 or 0/x, format 4).
-    Returns (absolute offset of the cmap table, subtable offset)."""
+def _subtable_candidates(data: bytes) -> list[int]:
+    """Rank the cmap encoding records and return their absolute
+    subtable offsets best-first: full-repertoire Unicode (3/10, 0/4
+    or 0/6 — format 12) beats BMP (3/1 or 0/0..3 — format 4).
+    (0,5) is EXCLUDED: that record is the format-14 Unicode
+    *variation-sequences* subtable, not a codepoint map — ranking it
+    shadowed perfectly good (3,1)/(0,3) tables in real CJK/emoji
+    fonts (VERDICT r12 finding #1). The caller walks the list and
+    falls back on parse failure, so a damaged top-ranked subtable
+    no longer drops the whole font's text."""
     if len(data) < 12 or data[:4] not in (
         b"\x00\x01\x00\x00",
         b"OTTO",
@@ -62,30 +68,46 @@ def _best_subtable(data: bytes) -> tuple[int, int]:
     _, n_enc = struct.unpack_from(">HH", data, cmap_off)
     if n_enc > 64:
         raise ValueError("sfnt: implausible encoding-record count")
-    best = None  # (rank, subtable offset)
+    ranked = []  # (-rank, record index, subtable offset)
     for i in range(n_enc):
         rec = cmap_off + 4 + 8 * i
         if rec + 8 > len(data):
             raise ValueError("sfnt: truncated encoding records")
         plat, enc, off = struct.unpack_from(">HHI", data, rec)
         rank = None
-        if (plat, enc) == (3, 10) or (plat == 0 and enc >= 4):
+        if (plat, enc) == (3, 10) or (plat, enc) in ((0, 4), (0, 6)):
             rank = 2  # full Unicode repertoire (format 12)
-        elif (plat, enc) == (3, 1) or plat == 0:
+        elif (plat, enc) == (3, 1) or (plat == 0 and enc <= 3):
             rank = 1  # Unicode BMP (format 4)
-        if rank is not None and (best is None or rank > best[0]):
-            best = (rank, cmap_off + off)
-    if best is None:
+        if rank is not None:
+            ranked.append((-rank, i, cmap_off + off))
+    if not ranked:
         raise ValueError("sfnt: no Unicode cmap subtable")
-    return cmap_off, best[1]
+    ranked.sort()
+    return [off for _, _, off in ranked]
 
 
 def gid_to_unicode(font: bytes) -> dict[int, str]:
     """Invert the font's Unicode cmap: glyph id -> character. When
     several codepoints share a glyph, the LOWEST codepoint wins
     (deterministic; the common case is case-insensitive or
-    compatibility duplicates where any choice reads fine)."""
-    _, sub = _best_subtable(font)
+    compatibility duplicates where any choice reads fine).
+
+    Candidates are tried best-first; a subtable that fails to parse
+    (unsupported format, truncation) falls back to the next one, so
+    one bad record can't shadow a usable table."""
+    err: ValueError | None = None
+    for sub in _subtable_candidates(font):
+        try:
+            return _invert_subtable(font, sub)
+        except ValueError as e:
+            err = e
+    raise err if err is not None else ValueError(
+        "sfnt: no Unicode cmap subtable"
+    )
+
+
+def _invert_subtable(font: bytes, sub: int) -> dict[int, str]:
     if sub + 4 > len(font):
         raise ValueError("sfnt: subtable offset out of bounds")
     (fmt,) = struct.unpack_from(">H", font, sub)
