@@ -35,66 +35,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Per-query composition notes for the CURRENT round: a query listed
-# here is EXPECTED to move vs the previous round's artifact because
-# its declared form gained work (a new union branch, new scored
-# columns), and the vs_prev gate reports it as explained instead of
-# flagging it. Refresh this dict whenever a round changes a declared
-# query's composition; stale entries are harmless (an explained query
-# that didn't move is just not flagged).
-EXPLAINED_MOVES = {
-    "q23_doc_profile": (
-        "r8: new substring-span plant (windows agg + islands); r9: new "
-        "partner-attribution plant (presence self-join + per-pair islands)"
-    ),
-    "q31_ann_topk": (
-        "r8: new ivf_append lifecycle branch (+1 layout probe); r9: new "
-        "product-quantization branch (encode + ADC retrieve + re-rank)"
-    ),
-    "q32_embedding_neardup": (
-        "r9: new SemDeDup branch (seeded clustering + within-cluster "
-        "pair join + keeper aggregate)"
-    ),
-    "q34_multimodal_frames": (
-        "r8: sample-table parse + 5 scored columns + per-sample "
-        "fetch-list branch + fragmented (fmp4) branch; r9 late: "
-        "Matroska/WebM (mkv) track-metadata branch + stss keyframe "
-        "column on the sample branch"
-    ),
-    "q51_chunk_pack": "r8: new BPE token-count branch (Arrow pass)",
-    "q63_media_decode": (
-        "r9: new GIF decode branch (50 images) + audio-format branch "
-        "(50 clips across sowt/24-bit/f32/8-bit containers) + stereo/"
-        "extensible branch (50 clips) + TIFF branch (50 images); r9 "
-        "late: FLAC branch (50 clips through the full rice/prediction "
-        "decoder)"
-    ),
-    "q18_lang_stats": (
-        "r9 late: new Cavnar-Trenkle n-gram language-ID branch "
-        "(trigram explode + per-lang/per-doc rank windows + distance "
-        "join over the full corpus)"
-    ),
-    "q55_vocab_idf": (
-        "r10: new Okapi BM25 top-10 retrieval branch (query-term "
-        "broadcast prune + tf/dl/df joins + per-query window)"
-    ),
-    "q64_corpus_signals": (
-        "r9: new n-gram LM quality signal (bigram train over the full "
-        "corpus + per-doc scoring joins); r9 late: crawl front end "
-        "(per-doc WARC synth + gzip/WARC/HTTP/HTML parse chain) + "
-        "per-doc PDF build/extract chain + seeded classifier scoring; "
-        "r10: HTML->Markdown conversion pass over the parsed pages + "
-        "frontier politeness-window scheduling columns + trigram "
-        "Kneser-Ney train/score (continuation counts, 3-level "
-        "interpolation) on the probe corpus; r11: DSIR importance "
-        "resampling (two hashed-ngram model fits over the corpus + "
-        "weight join + Gumbel top-50 draw) + fmp4 keyframe column; "
-        "r11 late: scanned-PDF image chain (a 3-page scan PDF built "
-        "per doc, pages extracted back through CCITT-G4/Flate/"
-        "Indexed XObject decode) + OOXML chain (a planted DOCX per "
-        "doc through the office extractor) — two more Python-rate "
-        "build-and-parse Arrow passes"
-    ),
+# Per-query composition notes, keyed by the ROUND whose declared form
+# gained the work: {"round": N, "note": ...}. A note only explains a
+# move when diffing against an artifact OLDER than its round — once
+# BENCH_r{N} exists, the move is inside the baseline and the entry
+# auto-expires, so a stale note can never launder a genuine later
+# regression (VERDICT r12 finding #2: the r10 BM25 note "explained"
+# an r12 contention spike in q55). Add an entry ONLY in the round
+# that changes a query's composition; delete entries whose round is
+# more than one behind the newest committed artifact (kept history
+# lives in git).
+EXPLAINED_MOVES: dict[str, dict] = {
+    "q63_media_decode": {
+        "round": 13,
+        "note": "r13: new lossy-VP8 WebP decode branch (50 images "
+        "through the RFC 6386 boolean-coder keyframe path)",
+    },
+    "q64_corpus_signals": {
+        "round": 13,
+        "note": "r13: JPX (JPEG 2000 lossless 5/3) scan_px rotation "
+        "arm + CID-keyed CFF (FontFile3) font plant in the PDF chain",
+    },
 }
 
 # q63 is deliberately NOT branch-timed: its codec branches ride ONE
@@ -155,8 +116,21 @@ BRANCHES = {
 }
 
 # Branch-level composition notes, keyed "query::branch" — same
-# contract as EXPLAINED_MOVES at branch granularity.
-EXPLAINED_BRANCH_MOVES: dict[str, str] = {}
+# round-expiring contract as EXPLAINED_MOVES at branch granularity.
+EXPLAINED_BRANCH_MOVES: dict[str, dict] = {}
+
+
+def _explained(table: dict, key: str, prev_round):
+    """The note for `key`, but only while diffing against an artifact
+    OLDER than the round that introduced the move — after that the
+    move is part of the baseline and the note must not mask a real
+    regression."""
+    e = table.get(key)
+    if not e:
+        return None
+    if prev_round is not None and e["round"] <= prev_round:
+        return None
+    return e["note"]
 
 
 def _load_bench(path: str):
@@ -221,6 +195,10 @@ def _vs_prev(prev_path, prev, timings, spread, sf_num, branches):
             "prev": os.path.basename(prev_path),
             "skipped": f"prev sf={prev.get('sf')} != {sf_num}",
         }
+    m = re.match(
+        r"BENCH_r(\d+)", os.path.basename(prev_path or "")
+    )
+    prev_round = int(m.group(1)) if m else None
     pq = prev.get("queries") or {}
     pspread = prev.get("query_spread") or {}
     flagged = {}
@@ -243,7 +221,7 @@ def _vs_prev(prev_path, prev, timings, spread, sf_num, branches):
         prev_min = pq.get(name)
         prev_p50 = (pspread.get(name) or {}).get("p50", prev_min)
         diff(name, now_min, spread[name]["p50"], prev_min, prev_p50,
-             EXPLAINED_MOVES.get(name))
+             _explained(EXPLAINED_MOVES, name, prev_round))
     pbranches = prev.get("branches") or {}
     for name, per in branches.items():
         for b, s in per.items():
@@ -251,8 +229,8 @@ def _vs_prev(prev_path, prev, timings, spread, sf_num, branches):
             key = f"{name}::{b}"
             diff(key, s["min"], s["p50"], prev_b.get("min"),
                  prev_b.get("p50", prev_b.get("min")),
-                 EXPLAINED_BRANCH_MOVES.get(key)
-                 or EXPLAINED_MOVES.get(name))
+                 _explained(EXPLAINED_BRANCH_MOVES, key, prev_round)
+                 or _explained(EXPLAINED_MOVES, name, prev_round))
     return {
         "prev": os.path.basename(prev_path),
         "flagged": flagged,
@@ -320,6 +298,11 @@ def main() -> None:
     if not explain:
         import statistics
 
+        # Host-load bookends: a contended window then shows up IN the
+        # artifact instead of only in BASELINE.md prose (VERDICT r12
+        # finding #2 — this container's neighbors add ±50%).
+        load_start = [round(x, 2) for x in os.getloadavg()]
+
         # Round-robin passes: one host-contention window can poison at
         # most one of each query's samples (see module docstring).
         branch_samples: dict[str, dict[str, list[float]]] = {
@@ -381,6 +364,10 @@ def main() -> None:
             "branches": branches,
             "repeat": repeat,
             "sf": sf_num,
+            "loadavg": {
+                "start": load_start,
+                "end": [round(x, 2) for x in os.getloadavg()],
+            },
         }
         flagged = {}
         if not only:  # partial runs have nothing meaningful to diff
@@ -415,6 +402,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": sf_num,
+            "loadavg": out["loadavg"],
         }
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1900:  # stay inside the driver's tail window
