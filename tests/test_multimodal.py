@@ -33,14 +33,18 @@ def test_bmp_roundtrip_with_row_padding():
 
 def test_bmp_rejects_unsupported_depth():
     # 8 bpp DECODES as of r12 (palette tier) — claiming it over a
-    # paletteless 24-bit body is loud damage, and 16 bpp stays named
+    # paletteless 24-bit body is loud damage; 16 bpp decodes as of
+    # r13 (implicit 555), so the remaining named depth is 2 bpp
     payload = bytearray(mm.encode_bmp(2, 2, np.zeros((2, 2), np.uint8)))
     struct.pack_into("<H", payload, 28, 8)
     with pytest.raises(ValueError):
         mm.decode_image(bytes(payload))
-    struct.pack_into("<H", payload, 28, 16)
-    with pytest.raises(NotImplementedError, match="bpp=16"):
+    struct.pack_into("<H", payload, 28, 2)
+    with pytest.raises(NotImplementedError, match="bpp=2"):
         mm.decode_image(bytes(payload))
+    # 16 bpp over the same 24-bit body decodes as X1R5G5B5 now
+    struct.pack_into("<H", payload, 28, 16)
+    assert mm.decode_image(bytes(payload))["pixels"].shape == (2, 2, 3)
 
 
 def test_wav_roundtrip():
@@ -1176,6 +1180,118 @@ _JDK_BMP = {
 }
 
 
+# 16-bit BMPs (r13, VERDICT r12 item 7): files below were written by
+# the JDK's INDEPENDENT javax.imageio BMP writer at build time from
+# the same (x*7+y*11)%256 pattern as the palette goldens —
+# TYPE_USHORT_555_RGB lands as bpp=16 BI_RGB (implicit X1R5G5B5,
+# masks absent), TYPE_USHORT_565_RGB as BI_BITFIELDS with
+# 0xF800/0x7E0/0x1F masks at offset 54. The JDK quantizes 8->n bits
+# with ROUNDING (round(v*max/255)); this decoder scales back
+# round(stored*255/max).
+_JDK_BMP16 = {
+    "b555": (
+    "Qk12AwAAAAAAADYAAAAoAAAAHwAAAA0AAAABABAAAAAAAEADAAAAAAAAAAAAAAAAAAAA"
+    "AAAA8UHURbZJmU2bTX5RQVUkWQZd6WDLZM5ksWiTbHZwWHQ7eB184QPDB6YLiA9rE20T"
+    "UBczGxUf+CLaJr0qoCoAAA0+8EHyQdVFt0maTXxRX1UiWSVZB13qYM1kr2iSbJRsd3BZ"
+    "dDx4HnzCB8QHpwuJD2wTTxcxGxQfFh/5ItsmAABJNiw6Dj7xQdNFtkm4SZtNfVFBVSNZ"
+    "Bl3pYOtgzmSwaJNsdXBYdDp4PXjgA8MHpQuID2sTbRNQFzIbFR/3IgAAZTJINio6DT4P"
+    "PvJB1EW3SZlNfFFfVUJVJFkHXepgzGSvaJFslGx2cFl0O3gefOEDxAenC4kPbBNOFzEb"
+    "MxsAAIEuZDJmMkk2KzoOPvBB00W1SbhJm019UUBVI1kGXQhd62DNZLBokmx1cFd0WnQ9"
+    "eOADwwelC4gPig9tE08XAADcJr8qgi5lMkc2KjosOg8+8UHURbZJmU18UX5RQlUkWQdd"
+    "6WDMZK5osWiTbHZwWXQ7eB584QPEB6YLiQ9rEwAA+CLbJr0qgS6DLmYySDYrOg0+8EHS"
+    "RdVFuEmaTX1RQFUjWSVZCF3qYM1kr2iSbHVwd3BadDx4H3zCB6ULpwsAABQf9yL5Itwm"
+    "viqCLmQyRzZJNiw6Dj7xQdRFtkmZTZtNflFBVSRZBl3pYMtkzmSxaJNsdnBYdDt4HXzh"
+    "A8MHAABQFzMbFR/4ItomvSqgKoMuZTJINio6DT7wQfJB1UW3SZpNfFFfVSJZJVkHXepg"
+    "zWSvaJJslGx3cFl0PHgefAAAbBNPFzEbFB8WH/ki2ya+KoEuZDJGNkk2LDoOPvFB00W2"
+    "SbhJm019UUFVI1kGXelg62DOZLBok2x1cFh0OngAAIgPaxNtE1AXMhsVH/ci2ibcJr8q"
+    "gi5lMkg2KjoNPg8+8kHURbdJmU18UV9VQlUkWQdd6mDMZK9okWyUbHZwAADEB6cLiQ9s"
+    "E04XMRszGxYf+CLbJr4qgS5kMmYySTYrOg4+8EHTRbVJuEmbTX1RQFUjWQZdCF3rYM1k"
+    "sGiSbAAA4APDB6ULiA+KD20TTxcyGxQf9yLaJtwmvyqCLmUyRzYqOiw6Dz7xQdRFtkmZ"
+    "TXxRflFCVSRZB13pYMxkrmgAAA=="
+    ),
+    "b565": (
+    "Qk2CAwAAAAAAAEIAAAAoAAAAHwAAAA0AAAABABAAAwAAAEADAAAAAAAAAAAAAAAAAAAD"
+    "AAAAAPgAAOAHAAAfAAAA0YO0i3aTOZv7mt6igapEsia66cGryW7JUdET2dbgmOh78D34"
+    "4QejD2YXKB8LJ80mkC5TNjU++EW6TX1VQFUAAC188IPSg5WLV5Mam/yiv6piskWyB7rK"
+    "wY3Jb9Ey2fTYt+CZ6FzwHvjCD4QPRxcpH+wmry5xNlQ+Fj7ZRZtNAACJbEx0Dnzxg7OL"
+    "dpM4kxub3aKBqmOyJrrpwavBjslQ0RPZ1eC46HrwPfDgB6MPZRdIHwsnzSaQLnI2NT73"
+    "RQAA5WSobGp0LXwPfNKDlItXkzmb/KK/qoKqRLIHusrBrMlv0THZ9NjW4JnoW/Ae+MEH"
+    "hA9nFykf7CauLpE2UzYAACFdBGXGZIlsS3QufPCDs4t1k1iTG5vdoqCqY7Imuui5y8GN"
+    "yVDREtn14Lfoeug98OAHow+FF0gfCh/NJq8uAACcTV9VIl3lZKdsanRMdA980YOUi3aT"
+    "OZv8or6igqpEsge66cGsyW7RMdET2dbgmehb8D74wQekD2YXKR/rJgAA+EW7TX1VQV0D"
+    "XcZkiGxrdC188IOyi5WLWJMam92ioKpjsiWyCLrKwY3JT9Ey2fXgt+B66FzwH/jCD4UX"
+    "RxcAADQ+F0bZRZxNXlUiXeRkp2yJbEx0DnzRg7SLdpM5m/ua3qKBqkSyJrrpwavJbslR"
+    "0RPZ1uCY6HvwPfjhB6MPAACQLlM2NT74RbpNfVVAVQNdxWSobGp0LXzwg9KDlYtXkxqb"
+    "/KK/qmKyRbIHusrBjclv0TLZ9Ni34JnoXPAe+AAA7CavLnE2VD4WPtlFm01+VSFd5GTG"
+    "bIlsTHQOfPGDs4t2kziTG5vdooGqY7ImuunBq8GOyVDRE9nV4LjoevAAAEgfCyfNJpAu"
+    "cjY1PvdFuk2cTV9VAl3lZKhsanQtfA980oOUi1eTOZv8or+qgqpEsge6ysGsyW/RMdn0"
+    "2NbgAACED2cXKR/sJq4ukTZTNhY+2EW7TX5VIV0EZcZkiWxLdC588IOzi3WTWJMbm92i"
+    "oKpjsia66LnLwY3JUNES2QAA4AejD4UXSB8KH80mry5yNjQ+90XaTZxNX1UiXeVkp2xq"
+    "dEx0D3zRg5SLdpM5m/yivqKCqkSyB7rpwazJbtEAAA=="
+    ),
+}
+
+
+def test_bmp_16bit_555_and_565_jdk_goldens():
+    import base64 as _b64
+
+    w, h = 31, 13
+    ys, xs = np.mgrid[0:h, 0:w]
+    v = (xs * 7 + ys * 11) % 256
+    r, g, b = v, 255 - v, (v * 3) % 256
+
+    def q(ch, nbit):
+        mx = (1 << nbit) - 1
+        stored = (2 * ch.astype(np.int64) * mx + 255) // 510
+        return ((stored * 255 + mx // 2) // mx).astype(np.uint8)
+
+    for name, bits in (("b555", (5, 5, 5)), ("b565", (5, 6, 5))):
+        d = mm.decode_image(_b64.b64decode(_JDK_BMP16[name]))
+        assert (d["width"], d["height"]) == (w, h)
+        want = np.stack(
+            [q(r, bits[0]), q(g, bits[1]), q(b, bits[2])], axis=2
+        )
+        assert (d["pixels"] == want).all(), name
+
+
+def test_bmp_32bit_bitfields_and_hostile_masks():
+    import base64 as _b64
+
+    base = bytearray(_b64.b64decode(_JDK_BMP16["b565"]))
+    # hostile: zero mask, oversize mask, non-contiguous mask
+    for masks, msg in (
+        ((0, 0x7E0, 0x1F), "invalid"),
+        ((0x1F0000, 0x7E0, 0x1F), "invalid"),
+        ((0xF800, 0x5A0, 0x1F), "non-contiguous"),
+    ):
+        bad = bytearray(base)
+        struct.pack_into("<III", bad, 54, *masks)
+        with pytest.raises(ValueError, match=msg):
+            mm.decode_image(bytes(bad))
+    # 32-bpp BI_BITFIELDS, hand-built: 8-8-8 masks in a non-BGR
+    # layout prove the masks (not byte position) drive the channels
+    w, h = 3, 2
+    px = np.array(
+        [[[10, 200, 30], [0, 255, 128], [77, 1, 250]],
+         [[255, 0, 0], [0, 0, 255], [9, 8, 7]]], np.uint8
+    )
+    words = (
+        (px[:, :, 0].astype(np.uint32) << 24)
+        | (px[:, :, 1].astype(np.uint32) << 8)
+        | px[:, :, 2].astype(np.uint32)
+    )
+    body = b"".join(
+        struct.pack("<I", int(words[y, x]))
+        for y in range(h - 1, -1, -1)
+        for x in range(w)
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 0, 0, 0, 66) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(body), 0, 0, 0, 0
+    ) + struct.pack("<III", 0xFF000000, 0xFF00, 0xFF)
+    d = mm.decode_image(hdr + body)
+    assert (d["pixels"] == px).all()
+
+
 def test_bmp_rgb_channel_order():
     import base64 as _b64
 
@@ -1255,10 +1371,15 @@ def test_bmp_hostile_and_named():
                 4, 1, 8, 0, bytes(2 * 4), bytes([5, 0, 0, 0])
             )
         )
-    with pytest.raises(NotImplementedError, match="bpp=16"):
-        mm.decode_image(_bmp_fixture(2, 1, 16, 0, b"", bytes(4)))
-    with pytest.raises(NotImplementedError, match="compression=3"):
+    # 16 bpp decodes since r13; BI_BITFIELDS without the three mask
+    # DWORDs is loud truncation, and a still-unsupported compression
+    # id stays a named gap
+    d = mm.decode_image(_bmp_fixture(2, 1, 16, 0, b"", bytes(4)))
+    assert (d["pixels"] == 0).all()
+    with pytest.raises(ValueError, match="masks truncated"):
         mm.decode_image(_bmp_fixture(2, 1, 32, 3, b"", bytes(8)))
+    with pytest.raises(NotImplementedError, match="compression=4"):
+        mm.decode_image(_bmp_fixture(2, 1, 24, 4, b"", bytes(8)))
 
 
 def test_g711_tables_match_stdlib_audioop():

@@ -328,6 +328,54 @@ def test_palette_photometric3_roundtrip():
                          palette=pal)
 
 
+def test_palette_16bit_indices_roundtrip():
+    # r13: 16-bit palette INDICES (photometric 3 + BitsPerSample 16
+    # + a 3x65536 ColorMap) were a named gap; a 16-bit sample there
+    # is an index — it must look up BEFORE the >>8 downshift the
+    # 16-bit intensity tier applies. Cross-validated at build time:
+    # the JDK's independent javax.imageio TIFF reader decoded THIS
+    # exact deterministic fixture from this encoder's bytes and
+    # matched pal[idx] pixel-for-pixel.
+    h, w = 13, 31
+    rng = np.random.RandomState(42)
+    idx = rng.randint(0, 65536, (h, w)).astype(np.uint16)
+    pal = np.stack(
+        [
+            np.arange(65536) % 256,
+            (np.arange(65536) // 7) % 256,
+            (np.arange(65536) // 13) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    for bo in (False, True):
+        for kw in ({}, {"lzw": True, "predictor": 2},
+                   {"packbits": True}, {"deflate": True}):
+            blob = tiff.encode_tiff(
+                w, h, idx, big_endian=bo, palette=pal, bits=16, **kw
+            )
+            dec = tiff.decode_tiff(blob)
+            assert dec["pixels"].shape == (h, w, 3)
+            assert (dec["pixels"] == pal[idx]).all(), (bo, kw)
+    # an index above 255 must resolve through the wide map (the old
+    # behavior downshifted it into the low palette rows)
+    one = np.array([[300]], np.uint16)
+    dec = tiff.decode_tiff(
+        tiff.encode_tiff(1, 1, one, palette=pal, bits=16)
+    )
+    assert (dec["pixels"][0, 0] == pal[300]).all()
+    # hostile: a ColorMap whose size disagrees with BitsPerSample
+    blob = tiff.encode_tiff(w, h, idx, palette=pal, bits=16)
+    import struct as _s
+
+    e = _find_entry(blob, 258)  # BitsPerSample -> 8 vs 65536 map
+    bad = bytearray(blob)
+    _s.pack_into("<I", bad, e + 8, 8)
+    with pytest.raises(ValueError, match="does not match"):
+        tiff.decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="palette needs"):
+        tiff.encode_tiff(w, h, idx, palette=pal[:256], bits=16)
+
+
 def test_deflate_compression_roundtrip():
     # r11: Adobe Deflate (8) was a named gap and is pure zlib;
     # legacy 32946 decodes through the same branch

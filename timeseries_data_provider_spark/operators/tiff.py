@@ -18,11 +18,14 @@ codes). 16-BIT samples (r11 late, also JDK-cross-validated both
 directions) decode in their native byte order — predictor
 inversion runs on the 16-bit values — then downconvert >>8 to the
 package-wide 8-bit codec contract (the exact inverse of the v*257
-upscale; this is a dedup/feature tier, not an editor). Old-style
-JPEG fragment tables (compression 6 WITHOUT
-JPEGInterchangeFormat — the interchange-pointer form decodes as of
-r12, JDK-cross-validated) and 16-bit palette indices stay named
-NotImplementedError gaps for a registered codec library.
+upscale; this is a dedup/feature tier, not an editor). 16-BIT
+PALETTE INDICES (r13: photometric 3 + BitsPerSample 16 + a
+3x65536 ColorMap) look up before any downshift — a 16-bit sample
+there is an index, not an intensity. Old-style JPEG fragment
+tables (compression 6 WITHOUT JPEGInterchangeFormat — the
+interchange-pointer form decodes as of r12, JDK-cross-validated)
+stay a named NotImplementedError gap for a registered codec
+library.
 
 * ``decode_tiff`` — header (both byte orders: ``II*\\0`` and
   ``MM\\0*``), first IFD walk, baseline tag set (width/length/
@@ -364,16 +367,21 @@ def decode_tiff(payload: bytes) -> dict:
     palette = None
     if photometric == 3:
         cm = tags.get(_COLORMAP)
-        if not cm or len(cm) != 3 * 256 or not all(
-            isinstance(v, int) for v in cm
+        if (
+            not cm
+            or len(cm) % 3
+            or len(cm) // 3 not in (256, 65536)
+            or not all(isinstance(v, int) for v in cm)
         ):
             raise ValueError(
-                "tiff: palette image without a 3x256 ColorMap"
+                "tiff: palette image without a 3x(2^8|2^16) ColorMap"
             )
         # ColorMap stores 16-bit channel blocks (all R, all G, all
-        # B); writers map 8-bit values as v*257, so >> 8 inverts it
+        # B); writers map 8-bit values as v*257, so >> 8 inverts it.
+        # 256 entries pair with 8-bit indices, 65536 with 16-bit
+        # (r13: the 16-bit-palette-index cell, VERDICT r12 item 7)
         palette = (
-            np.array(cm, np.uint32).reshape(3, 256).T >> 8
+            np.array(cm, np.uint32).reshape(3, -1).T >> 8
         ).astype(np.uint8)
     spp = scalar(_SAMPLES, 1, "SamplesPerPixel")
     want_spp = 3 if photometric in (2, 6) else 1
@@ -401,9 +409,10 @@ def decode_tiff(payload: bytes) -> dict:
             f"compression {compression})"
         )
     bits16 = bits[0] == 16
-    if bits16 and photometric == 3:
-        raise NotImplementedError(
-            "tiff: 16-bit palette indices (8-bit ColorMap tier only)"
+    if palette is not None and len(palette) != 1 << bits[0]:
+        raise ValueError(
+            f"tiff: ColorMap of {len(palette)} entries does not "
+            f"match BitsPerSample {bits[0]}"
         )
     planar = scalar(_PLANAR, 1, "PlanarConfig")
     if planar not in (1, 2):
@@ -669,14 +678,16 @@ def decode_tiff(payload: bytes) -> dict:
         px = (np.cumsum(px.astype(np.int64), axis=1) % mod).astype(
             dtype
         )
-    if bits16:
+    if photometric == 3:
+        # indices look up BEFORE any bit-depth downshift: a 16-bit
+        # sample here is a palette INDEX, not an intensity
+        px = palette[px]  # (h, w) indices -> (h, w, 3) RGB
+    elif bits16:
         px = (px >> 8).astype(np.uint8)
     if photometric == 0:
         # MinIsWhite: invert to the MinIsBlack convention every other
         # decoder in this package emits
         px = 255 - px
-    elif photometric == 3:
-        px = palette[px]  # (h, w) indices -> (h, w, 3) RGB
     return {
         "format": "tiff",
         "width": width,
@@ -802,11 +813,9 @@ def encode_tiff(
         raise ValueError(f"encode_tiff: predictor {predictor}")
     if bits not in (8, 16):
         raise ValueError(f"encode_tiff: bits {bits}")
-    if bits == 16 and (
-        jpeg_strips or ccitt is not None or palette is not None
-    ):
+    if bits == 16 and (jpeg_strips or ccitt is not None):
         raise ValueError(
-            "encode_tiff: 16-bit excludes jpeg_strips/ccitt/palette"
+            "encode_tiff: 16-bit excludes jpeg_strips/ccitt"
         )
     bo = ">" if big_endian else "<"
     px = np.asarray(pixels, np.uint16 if bits == 16 else np.uint8)
@@ -815,10 +824,11 @@ def encode_tiff(
         raise ValueError(f"encode_tiff: bad pixel shape {px.shape}")
     if palette is not None:
         palette = np.asarray(palette, np.uint8)
-        if spp != 1 or palette.shape != (256, 3):
+        want_shape = (65536, 3) if bits == 16 else (256, 3)
+        if spp != 1 or palette.shape != want_shape:
             raise ValueError(
                 "encode_tiff: palette needs (h, w) indices and a "
-                "(256, 3) palette"
+                f"{want_shape} palette for bits={bits}"
             )
     if predictor == 2:
         # horizontal differencing mod 2^bits (inverted by the
