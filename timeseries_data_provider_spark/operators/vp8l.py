@@ -686,12 +686,12 @@ def _decode_webp(payload: bytes) -> dict:
         if tag == b"VP8L":
             return decode_vp8l_stream(body)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "webp: VP8 (lossy) pixel decode needs the VP8 entropy "
-                "codec — register a codec-library decoder; VP8L "
-                "(lossless) is fully supported"
-            )
-    raise ValueError("webp: no VP8L chunk found")
+            # lossy keyframe decode (r13) — operators/vp8. An ALPH
+            # chunk in a VP8X file is dropped (stated in vp8.py).
+            from . import vp8 as _vp8
+
+            return _vp8.decode_vp8_chunk(body)
+    raise ValueError("webp: no VP8L or VP8 chunk found")
 
 
 # ---------------------------------------------------------------------------
