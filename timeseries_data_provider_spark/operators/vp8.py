@@ -805,7 +805,9 @@ def _c(x):
 
 
 def _filter_common(p1, p0, q0, q1, use_outer):
-    a = _c((p1 - q1 if use_outer else 0) + 3 * (q0 - p0))
+    # the outer-tap term is clamped BEFORE the sum (RFC 15.3's
+    # double clamp: a = c(c(P1 - Q1) + 3*(Q0 - P0)))
+    a = _c((_c(p1 - q1) if use_outer else 0) + 3 * (q0 - p0))
     f1 = _c(a + 4) >> 3
     f2 = _c(a + 3) >> 3
     return f1, f2
@@ -1021,3 +1023,371 @@ def decode_vp8_chunk(body: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         "height": f["height"],
         "pixels": _yuv_to_rgb(f["y"], f["u"], f["v"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# fixture/corpus encoder: a minimal spec-driven VP8 keyframe WRITER.
+#
+# It does NOT do rate-distortion or even a forward transform — the
+# caller hands it per-MB modes and per-block quantized coefficient
+# LEVELS (zigzag scan order), and it emits a conformant keyframe
+# bitstream: the q63 corpus plants and the tests drive the paths the
+# libwebp simple API never emits (simple filter, 2/4/8 token
+# partitions, segmentation with per-segment quantizers, cat1..cat6
+# token magnitudes, chosen 4x4 sub-modes). libwebp's decoder stays
+# the independent oracle for every stream this writer produces.
+
+
+class _BoolEnc:
+    """RFC 6386 section 7.3 boolean encoder (24-bit window with
+    carry propagation into already-emitted bytes)."""
+
+    __slots__ = ("rng", "bottom", "bit_count", "out")
+
+    def __init__(self):
+        self.rng = 255
+        self.bottom = 0
+        self.bit_count = 24
+        self.out = bytearray()
+
+    def put(self, prob: int, v: int) -> None:
+        split = 1 + (((self.rng - 1) * prob) >> 8)
+        if v:
+            self.bottom += split
+            self.rng -= split
+        else:
+            self.rng = split
+        while self.rng < 128:
+            self.rng <<= 1
+            if self.bottom & (1 << 31):
+                i = len(self.out) - 1
+                while i >= 0 and self.out[i] == 0xFF:
+                    self.out[i] = 0
+                    i -= 1
+                if i >= 0:
+                    self.out[i] += 1
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put(128, (v >> i) & 1)
+
+    def flagged_signed(self, v: int, nbits: int) -> None:
+        if v == 0:
+            self.put(128, 0)
+        else:
+            self.put(128, 1)
+            self.literal(abs(v), nbits)
+            self.put(128, 1 if v < 0 else 0)
+
+    def finish(self) -> bytes:
+        for _ in range(32):
+            self.put(128, 0)
+        return bytes(self.out)
+
+
+def _tree_paths(tree) -> dict[int, list[tuple[int, int]]]:
+    paths: dict[int, list[tuple[int, int]]] = {}
+
+    def walk(i, path):
+        for b in (0, 1):
+            v = tree[i + b]
+            step = path + [(i >> 1, b)]
+            if v <= 0:
+                paths[-v] = step
+            else:
+                walk(v, step)
+
+    walk(0, [])
+    return paths
+
+
+_COEFF_PATHS = _tree_paths(_COEFF_TREE)
+_YMODE_PATHS = _tree_paths(_KF_YMODE_TREE)
+_UV_PATHS = _tree_paths(_UV_MODE_TREE)
+_BMODE_PATHS = _tree_paths(_BMODE_TREE)
+_SEG_PATHS = _tree_paths(_SEGMENT_TREE)
+
+
+def _tree_put(enc, paths, probs, sym, skip_first=False):
+    path = paths[sym]
+    if skip_first:
+        path = path[1:]
+    for pi, b in path:
+        enc.put(int(probs[pi]), b)
+
+
+def _level_token(a: int) -> int:
+    if a <= 4:
+        return a
+    for tok in (5, 6, 7, 8, 9, 10):
+        base, extp = _CAT[tok]
+        if a < base + (1 << len(extp)):
+            return tok
+    raise ValueError(f"vp8 encoder: coefficient level {a} > cat6 max")
+
+
+def _encode_block(enc, probs_t, ctx, first, levels) -> int:
+    """Token-encode one block's zigzag-scan LEVELS; returns nonzero
+    flag. Mirrors decode_block exactly (same band/ctx/skip-EOB)."""
+    last = -1
+    for i in range(first, 16):
+        if levels[i]:
+            last = i
+    n = first
+    nz = 0
+    skip_eob = False
+    while n < 16:
+        p = probs_t[_BANDS[n]][ctx]
+        if n > last:
+            _tree_put(enc, _COEFF_PATHS, p, _TOK_EOB)
+            return nz
+        v = int(levels[n])
+        a = abs(v)
+        tok = _level_token(a)
+        _tree_put(enc, _COEFF_PATHS, p, tok, skip_first=skip_eob)
+        if tok == 0:
+            ctx = 0
+            skip_eob = True
+            n += 1
+            continue
+        skip_eob = False
+        if tok > 4:
+            base, extp = _CAT[tok]
+            extra = a - base
+            for i, pp in enumerate(extp):
+                enc.put(pp, (extra >> (len(extp) - 1 - i)) & 1)
+        enc.put(128, 1 if v < 0 else 0)
+        ctx = 1 if a == 1 else 2
+        nz = 1
+        n += 1
+    return nz
+
+
+def encode_vp8_frame(
+    width: int,
+    height: int,
+    mbs: list,
+    q_index: int = 8,
+    quant_deltas=(0, 0, 0, 0, 0),
+    filter_level: int = 0,
+    filter_simple: bool = False,
+    sharpness: int = 0,
+    n_parts: int = 1,
+    segmentation: dict | None = None,
+    skip_prob: int = 192,
+) -> bytes:
+    """Write one keyframe. ``mbs`` is raster-order per-MB dicts:
+    {"ymode", "uvmode", "submodes" (16 ids, B_PRED only),
+    "skip" (bool), "segment" (int), "coeffs" ((25, 16) int levels in
+    zigzag scan order: Y2, 16 Y, 4 U, 4 V)}. ``segmentation`` =
+    {"abs": bool, "quants": [4], "lf": [4], "tree_probs": [3]}.
+    Returns the ``VP8 `` chunk body."""
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    if len(mbs) != mb_w * mb_h:
+        raise ValueError("encode_vp8_frame: MB count mismatch")
+    if n_parts not in (1, 2, 4, 8):
+        raise ValueError("encode_vp8_frame: partitions must be 1/2/4/8")
+    # Dequantized-coefficient gamut guard: real encoders only emit
+    # coefficients whose dequantized magnitude is bounded by the
+    # 8-bit pixel range plus transform headroom; far outside that,
+    # SIMD decoder builds (16-bit lanes) legitimately diverge from
+    # the C reference (measured: libwebp's SSE path departs above
+    # ~2048 per dequantized coefficient). The fixture writer stays
+    # inside the domain where every conformant decoder agrees.
+    def _check_gamut(levels, factor_dc, factor_ac, first, where):
+        for i in range(first, 16):
+            f = factor_dc if i == 0 else factor_ac
+            if abs(int(levels[i])) * f > 2048:
+                raise ValueError(
+                    f"encode_vp8_frame: {where} level {levels[i]} x "
+                    f"quant {f} exceeds the 2048 dequantized-"
+                    "coefficient gamut"
+                )
+    e = _BoolEnc()
+    e.literal(0, 1)  # color_space
+    e.literal(0, 1)  # clamping_type
+    if segmentation is not None:
+        e.put(128, 1)
+        e.put(128, 1)  # update map
+        e.put(128, 1)  # update data
+        e.put(128, 1 if segmentation.get("abs") else 0)
+        for v in segmentation.get("quants", [0, 0, 0, 0]):
+            e.flagged_signed(v, 7)
+        for v in segmentation.get("lf", [0, 0, 0, 0]):
+            e.flagged_signed(v, 6)
+        tree_probs = segmentation.get("tree_probs", [128, 128, 128])
+        for p in tree_probs:
+            e.put(128, 1)
+            e.literal(p, 8)
+    else:
+        e.put(128, 0)
+    e.put(128, 1 if filter_simple else 0)
+    e.literal(filter_level, 6)
+    e.literal(sharpness, 3)
+    e.put(128, 0)  # loop-filter deltas off
+    e.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_parts], 2)
+    e.literal(q_index, 7)
+    for d in quant_deltas:
+        e.flagged_signed(d, 4)
+    e.put(128, 0)  # refresh_entropy_probs
+    upd = _COEFF_UPDATE
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for m in range(11):
+                    e.put(int(upd[i, j, k, m]), 0)  # keep defaults
+    e.put(128, 1)  # mb_no_coeff_skip
+    e.literal(skip_prob, 8)
+
+    # per-MB modes (same context model as the decoder)
+    sub = np.zeros((4 * mb_h, 4 * mb_w), np.uint8)
+    tp = (
+        segmentation.get("tree_probs", [128, 128, 128])
+        if segmentation is not None
+        else None
+    )
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mb = mbs[my * mb_w + mx]
+            if segmentation is not None:
+                _tree_put(e, _SEG_PATHS, tp, mb.get("segment", 0))
+            e.put(skip_prob, 1 if mb.get("skip") else 0)
+            ym = mb["ymode"]
+            _tree_put(e, _YMODE_PATHS, _KF_YMODE_P, ym)
+            if ym == B_PRED:
+                modes = mb["submodes"]
+                for r in range(4):
+                    for c in range(4):
+                        gy, gx = 4 * my + r, 4 * mx + c
+                        above = int(sub[gy - 1, gx]) if gy > 0 else B_DC
+                        left = int(sub[gy, gx - 1]) if gx > 0 else B_DC
+                        bm = modes[4 * r + c]
+                        _tree_put(
+                            e, _BMODE_PATHS, _KF_BMODE_P[above, left], bm
+                        )
+                        sub[gy, gx] = bm
+            else:
+                sub[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = (
+                    _MODE_TO_B[ym]
+                )
+            _tree_put(e, _UV_PATHS, _KF_UV_MODE_P, mb["uvmode"])
+    part0 = e.finish()
+
+    # token partitions
+    probs_py = tuple(
+        tuple(
+            tuple(
+                tuple(int(x) for x in _COEFF_PROBS0[i, j, k])
+                for k in range(3)
+            )
+            for j in range(8)
+        )
+        for i in range(4)
+    )
+    def _quants_for(seg_id):
+        if segmentation is not None:
+            sq = segmentation.get("quants", [0] * 4)[seg_id]
+            q = sq if segmentation.get("abs") else q_index + sq
+        else:
+            q = q_index
+        q = _clamp_q(q)
+        d = quant_deltas
+        return (
+            _DC_Q[_clamp_q(q + d[0])],
+            _AC_Q[q],
+            _DC_Q[_clamp_q(q + d[1])] * 2,
+            max(8, (_AC_Q[_clamp_q(q + d[2])] * 155) // 100),
+            _DC_Q[_clamp_q(q + d[3], 117)],
+            _AC_Q[_clamp_q(q + d[4])],
+        )
+
+    encs = [_BoolEnc() for _ in range(n_parts)]
+    above_nz = np.zeros((mb_w, 8), np.uint8)
+    above_nz_y2 = np.zeros(mb_w, np.uint8)
+    for my in range(mb_h):
+        enc = encs[my % n_parts]
+        left_nz = np.zeros(8, np.uint8)
+        left_nz_y2 = 0
+        for mx in range(mb_w):
+            mb = mbs[my * mb_w + mx]
+            ym = mb["ymode"]
+            has_y2 = ym != B_PRED
+            co = np.asarray(mb.get("coeffs", np.zeros((25, 16), int)))
+            qy_dc, qy_ac, qy2_dc, qy2_ac, quv_dc, quv_ac = _quants_for(
+                mb.get("segment", 0)
+            )
+            if has_y2:
+                _check_gamut(co[0], qy2_dc, qy2_ac, 0, "Y2")
+            for b in range(16):
+                _check_gamut(
+                    co[1 + b], qy_dc, qy_ac, 1 if has_y2 else 0, "Y"
+                )
+            for b in range(8):
+                _check_gamut(co[17 + b], quv_dc, quv_ac, 0, "UV")
+            if mb.get("skip"):
+                if co.any():
+                    raise ValueError(
+                        "encode_vp8_frame: skipped MB with coefficients"
+                    )
+                left_nz[:] = 0
+                above_nz[mx, :] = 0
+                if has_y2:
+                    left_nz_y2 = 0
+                    above_nz_y2[mx] = 0
+                continue
+            if has_y2:
+                ctx = left_nz_y2 + above_nz_y2[mx]
+                nz = _encode_block(enc, probs_py[1], ctx, 0, co[0])
+                left_nz_y2 = nz
+                above_nz_y2[mx] = nz
+                ty, first = 0, 1
+            else:
+                if co[0].any():
+                    raise ValueError(
+                        "encode_vp8_frame: B_PRED MB with Y2 levels"
+                    )
+                ty, first = 3, 0
+            for b in range(16):
+                r, c = b >> 2, b & 3
+                ctx = int(left_nz[r]) + int(above_nz[mx, c])
+                nz = _encode_block(
+                    enc, probs_py[ty], ctx, first, co[1 + b]
+                )
+                left_nz[r] = nz
+                above_nz[mx, c] = nz
+            for plane in range(2):
+                for b in range(4):
+                    r, c = b >> 1, b & 1
+                    li, ai = 4 + 2 * plane + r, 4 + 2 * plane + c
+                    ctx = int(left_nz[li]) + int(above_nz[mx, ai])
+                    nz = _encode_block(
+                        enc, probs_py[2], ctx, 0, co[17 + 4 * plane + b]
+                    )
+                    left_nz[li] = nz
+                    above_nz[mx, ai] = nz
+    bodies = [x.finish() for x in encs]
+
+    tag = (len(part0) << 5) | (1 << 4)  # keyframe, version 0, shown
+    head = (
+        tag.to_bytes(3, "little")
+        + b"\x9d\x01\x2a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+    )
+    sizes = b"".join(len(b).to_bytes(3, "little") for b in bodies[:-1])
+    return head + part0 + sizes + b"".join(bodies)
+
+
+def encode_webp(frame_body: bytes) -> bytes:
+    """Wrap a ``VP8 `` chunk body in a RIFF WebP container."""
+    chunk = b"VP8 " + len(frame_body).to_bytes(4, "little") + frame_body
+    if len(frame_body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
