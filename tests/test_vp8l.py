@@ -311,12 +311,13 @@ def test_error_contract():
             mm.decode_image(avi)
     finally:
         mm.IMAGE_CODECS.pop(vp8l.WEBP_MAGIC, None)
-    # VP8 lossy chunk: named codec boundary
+    # VP8 lossy chunk now ROUTES to the r13 decoder (operators/vp8);
+    # a garbage body is a loud corrupt-payload error, not a gap
     lossy = (
         b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
         + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
     )
-    with pytest.raises(NotImplementedError, match="VP8 .*lossy|lossy"):
+    with pytest.raises(ValueError, match="vp8"):
         vp8l.decode_webp(lossy)
     # bad signature byte
     bad = bytearray(good)

@@ -23,16 +23,18 @@ Decoder scope (honest):
 - VP8 (lossy) stays a named NotImplementedError — it needs the VP8
   entropy codec, a genuine codec-library boundary.
 
-Cross-implementation caveat, stated loudly: no reference WebP codec
-exists in this container, so the close-neighbor distance map and all
-bit-level conventions are verified by round-trip against THIS
-module's own encoder plus hand-built streams — self-consistent and
-spec-derived, but not diffed against libwebp output here. The
-encoder emits no transforms and (optionally) color-cache hits and
-distance-1 LZ77 runs, so every entropy-layer path is exercised
-end-to-end; transform decoding is exercised by hand-assembled
-streams in tests (the encoder machinery doubles as the sub-image
-writer).
+Cross-validation (r13, closing the r12 self-validation caveat): the
+decoder is now ALSO diffed against the system libwebp's independent
+lossless ENCODER in tests/test_vp8.py — real transform-bearing
+streams (predictor + cross-color + palette forms this module's own
+encoder never emits) must decode pixel-exact. That validation caught
+a real defect: the close-neighbor distance-map tail (codes 93+) had
+been mis-transcribed, silently corrupting long backward references
+in real encodes; the table now carries the values extracted from
+the libwebp binary (tools note in the table comment). The in-repo
+encoder still exercises the entropy layer end-to-end (color-cache
+hits, distance-1 runs), and hand-assembled streams cover transform
+decoding when the shared library is absent.
 
 Worker distribution: ``register()`` installs the decoder for the
 RIFF magic in the multimodal codec registry (registry wins over the
@@ -294,9 +296,15 @@ def _value_to_prefix(v: int) -> tuple[int, int, int]:
     return sym, v & ((1 << extra) - 1), extra
 
 
-# close-neighbor plane-code map (spec table: (xoffset, yoffset)
-# packed as (y << 4) | (8 - x)); self-consistency caveat in the
-# module docstring
+# close-neighbor plane-code map ((xoffset, yoffset) packed as
+# (y << 4) | (8 - x)). r13: the tail of this table (codes 93+) was
+# originally transcribed from memory and was WRONG — real libwebp
+# encodes exercised codes 105/118 and blue channels silently
+# corrupted (caught by the new libwebp cross-validation in
+# tests/test_vp8.py). The 120 bytes below were extracted from the
+# system libwebp binary's kCodeToPlane and are re-validated against
+# its encoder output in tests/test_vp8.py and against the spec-form
+# derivation in tests/test_vp8l.py.
 _DIST_MAP = [
     0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
     0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
@@ -307,10 +315,9 @@ _DIST_MAP = [
     0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
     0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
     0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
-    0x31, 0x3F, 0x52, 0x5E, 0x63, 0x6D, 0x41, 0x4F, 0x74, 0x7C,
-    0x86, 0x51, 0x85, 0x87, 0x5F, 0x61, 0x71, 0x7D, 0x93, 0x62,
-    0x6E, 0x50, 0x92, 0x94, 0x82, 0x84, 0x72, 0x7E, 0x91, 0x95,
-    0x81, 0x83,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
 ]
 
 
