@@ -1299,7 +1299,17 @@ def q63_media_decode(spark, sf):
     decode every prediction path + Rice residuals, operators/flac.py,
     registered via the same builtin hook). Lossless, so peak/zc/rms/
     mean-square keep the wav integer formulas; byte_len NULL'd (rice-
-    coded container size is not SQL-recomputable)."""
+    coded container size is not SQL-recomputable).
+
+    r13: a LOSSY-VP8 branch — 50 WebPs (ids 16,000+,
+    multimodal.synth_vp8_media) through the full RFC 6386 keyframe
+    decoder (operators/vp8: boolean coder, header, token partitions,
+    dequant, WHT/DCT, prediction, loop filter). The plant's only
+    nonzero coefficient is the Y2 DC at quantizer 0, so the decoded
+    frame is EXACTLY flat gray (298*(y0-16)+128)//256 with
+    y0 = 128+(L+4)//8, L = (23*id+11)%64 — a lossy codec with a
+    closed-form integer oracle; filter/partition variants rotate as
+    provable no-ops on flat content; byte_len NULL'd like webp."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # lazy checkpoint: three consumers (features, audio, resize) read
     # the synthesized media table — without it each re-runs the full
@@ -1359,6 +1369,13 @@ def q63_media_decode(spark, sf):
         .unionByName(
             multimodal.synth_cmyk_media(
                 spark.range(15_000, 15_050).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
+        .unionByName(
+            multimodal.synth_vp8_media(
+                spark.range(16_000, 16_050).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
@@ -3940,6 +3957,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS zero_crossings,
                    CAST(NULL AS BIGINT) AS rms_milli,
                    CAST(1000 * ((41 * (11000 + g.v) + 7) % 256)
+                        AS BIGINT) AS resized_feat_milli
+            FROM generate_series(0, 49) g(v)
+            UNION ALL
+            -- lossy-VP8 plant (r13): one DC macroblock, Y2-DC-only
+            -- at quantizer 0 -> exactly flat luma 128+(L+4)//8 with
+            -- L=(23*id+11)%64, chroma 128, BT.601 gray per channel
+            SELECT 16000 + g.v AS doc_id, 'webp' AS kind,
+                   CAST(8 + (16000 + g.v) % 9 AS BIGINT) AS width,
+                   CAST(6 + (16000 + g.v) % 7 AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(1000 * ((298 * (128 + ((23 * (16000 + g.v)
+                                                + 11) % 64 + 4) // 8
+                                        - 16) + 128) // 256)
+                        AS BIGINT) AS feat_milli,
+                   CAST(NULL AS BIGINT) AS byte_len,
+                   CAST(NULL AS BIGINT) AS peak_abs,
+                   CAST(NULL AS BIGINT) AS zero_crossings,
+                   CAST(NULL AS BIGINT) AS rms_milli,
+                   CAST(1000 * ((298 * (128 + ((23 * (16000 + g.v)
+                                                + 11) % 64 + 4) // 8
+                                        - 16) + 128) // 256)
                         AS BIGINT) AS resized_feat_milli
             FROM generate_series(0, 49) g(v)
             UNION ALL

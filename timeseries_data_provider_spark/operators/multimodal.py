@@ -1507,6 +1507,61 @@ def synth_jpeg_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def synth_vp8_media(ids: DataFrame) -> DataFrame:
+    """Lossy-VP8 WebP per doc_id (r13 — the dominant real-web .webp
+    form, decoded by the RFC 6386 keyframe codec in operators/vp8).
+    The plant keeps the q63 oracle CLOSED-FORM despite a lossy codec:
+    one DC-mode macroblock whose only nonzero coefficient is the Y2
+    DC at quantizer index 0, so the decoded luma is EXACTLY flat at
+
+        y0 = 128 + (L + 4) // 8,   L = (23*id + 11) % 64
+
+    (dequant 8L -> WHT (8L+3)>>3 = L -> DCT DC (L+4)>>3 on the 128
+    prediction), chroma stays 128, and the BT.601 conversion lands
+    every RGB channel on gray0 = (298*(y0-16) + 128) // 256 — pure
+    integer SQL. Dims (8+id%9) x (6+id%7) exercise the crop path;
+    the loop filter rotates off/normal/simple by id%3 and the token
+    partition count by id%2 (all provably no-ops on a flat
+    reconstruction, so the decode exercises those paths without
+    breaking the closed form; the non-flat filter/B_PRED/segment
+    paths are libwebp-cross-validated in tests/test_vp8.py)."""
+    from timeseries_data_provider_spark.operators import vp8 as _vp8
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                lev = (23 * i + 11) % 64
+                co = np.zeros((25, 16), np.int64)
+                co[0, 0] = lev
+                mb = {
+                    "ymode": _vp8.DC_PRED,
+                    "uvmode": _vp8.DC_PRED,
+                    "skip": False,
+                    "segment": 0,
+                    "coeffs": co,
+                }
+                body = _vp8.encode_vp8_frame(
+                    8 + i % 9,
+                    6 + i % 7,
+                    [mb],
+                    q_index=0,
+                    filter_level=0 if i % 3 == 0 else 1 + i % 63,
+                    filter_simple=(i % 3 == 2),
+                    sharpness=i % 8 if i % 3 == 2 else 0,
+                    n_parts=2 if i % 2 else 1,
+                )
+                payload = _vp8.encode_webp(body)
+                out["doc_id"].append(i)
+                out["kind"].append("webp")
+                out["payload"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return ids.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def synth_cmyk_media(ids: DataFrame) -> DataFrame:
     """Solid-color Adobe/APP14 4-component JPEGs per doc_id — the
     planted input for the q63 CMYK branch (r12). Even ids write
