@@ -337,6 +337,32 @@ def test_vp8l_decoder_vs_libwebp_lossless_encoder():
         assert (px == img).all(), img.shape
 
 
+def test_synth_vp8_media_closed_form():
+    # the q63 plant's oracle algebra: flat luma 128+(L+4)//8, chroma
+    # 128, gray = (298*(y0-16)+128)//256 — checked without Spark by
+    # decoding the same frames the synth builds
+    for i in (16_000, 16_001, 16_007, 16_023, 16_049):
+        lev = (23 * i + 11) % 64
+        co = np.zeros((25, 16), np.int64)
+        co[0, 0] = lev
+        mb = {"ymode": V.DC_PRED, "uvmode": V.DC_PRED, "skip": False,
+              "segment": 0, "coeffs": co}
+        body = V.encode_vp8_frame(
+            8 + i % 9, 6 + i % 7, [mb], q_index=0,
+            filter_level=0 if i % 3 == 0 else 1 + i % 63,
+            filter_simple=(i % 3 == 2),
+            sharpness=i % 8 if i % 3 == 2 else 0,
+            n_parts=2 if i % 2 else 1,
+        )
+        d = V.decode_vp8_chunk(body)
+        y0 = 128 + (lev + 4) // 8
+        gray = (298 * (y0 - 16) + 128) // 256
+        assert (d["pixels"] == gray).all(), i
+        if _HAVE_LIB:
+            ly, lu, lv = O.decode_yuv(V.encode_webp(body))
+            assert (ly == y0).all() and (lu == 128).all(), i
+
+
 @needs_libwebp
 def test_lossy_rgb_output_close_to_libwebp_rgb():
     # the RGB contract differs from libwebp's fancy upsampler by
