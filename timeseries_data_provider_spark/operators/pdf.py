@@ -3096,26 +3096,31 @@ def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
     'Doc {doc_id}'. Flate-compressed, so the extractor's zlib +
     content-tokenizer paths run on every row; every extracted field
     is doc_id/text math for the oracle. The FONT rotates by doc_id
-    (r12) — id%4==0 a Type0/Identity-H font with a ToUnicode CMap,
-    id%4==1 a Type0 WITHOUT ToUnicode whose text is recoverable only
-    through the embedded TrueType's cmap (the operators/sfnt path),
-    otherwise a simple font — so the oracle hash-checks all three
-    text-recovery ladders on every run; extracted text is identical
-    across modes by construction."""
+    (r12, widened r13) — id%6==0 a Type0/Identity-H font with a
+    ToUnicode CMap, id%6==1 a Type0 WITHOUT ToUnicode whose text is
+    recoverable only through the embedded TrueType's cmap (the
+    operators/sfnt path), id%6==4 a no-ToUnicode Type0 over a BARE
+    Type1C CFF (glyph-name recovery, operators/cff), id%6==5 the
+    OpenType-CFF form (CID-keyed charset inversion composed with the
+    sfnt cmap), otherwise a simple font — so the oracle hash-checks
+    all FIVE text-recovery ladders on every run; extracted text is
+    identical across modes by construction."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
                 doc_id = int(doc_id)
-                mode = doc_id % 4
+                mode = doc_id % 6
+                ff3 = {4: "cff", 5: "otto"}.get(mode)
                 out["doc_id"].append(doc_id)
                 out["payload"].append(
                     encode_pdf(
                         [[text], [f"Archive copy {doc_id}."]],
                         title=f"Doc {doc_id}",
-                        cid=mode in (0, 1),
-                        cid_tounicode=mode != 1,
+                        cid=mode in (0, 1) or ff3 is not None,
+                        cid_tounicode=mode == 0,
+                        cid_fontfile3=ff3,
                     )
                 )
             yield pd.DataFrame(out)
