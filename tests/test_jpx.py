@@ -1,0 +1,173 @@
+"""JPEG 2000 lossless 5/3 subset (operators/jpx.py, r13 — VERDICT
+r12 item 6). Validation posture per the module docstring: no
+independent JPEG 2000 implementation exists in this container, so
+these tests pin encoder/decoder round-trips across the parameter
+matrix, the spec mechanics in isolation (tag trees, pass codewords,
+DWT at every length), hostile-input contracts, and a byte-pinned
+fixture so any mechanical drift fails loudly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from timeseries_data_provider_spark.operators import jpx, pdf
+
+
+def test_dwt53_roundtrip_every_length():
+    rng = np.random.default_rng(1)
+    for n in range(1, 70):
+        x = rng.integers(-1000, 1000, n)
+        lo, hi = jpx._fdwt53_1d(x)
+        assert len(lo) == (n + 1) // 2 and len(hi) == n // 2
+        assert (jpx._idwt53_1d(lo, hi) == x).all(), n
+    for shape in ((8, 8), (13, 7), (1, 9), (9, 1), (32, 17), (2, 2)):
+        a = rng.integers(-300, 300, shape)
+        ll, lh, hl, hh = jpx._fdwt53_2d(a)
+        assert (jpx._idwt53_2d(ll, lh, hl, hh) == a).all(), shape
+
+
+def test_tier1_codeblock_roundtrip_all_orients():
+    rng = np.random.default_rng(2)
+    for shape in ((4, 4), (16, 16), (13, 9), (1, 1), (3, 17),
+                  (64, 64)):
+        for orient in ("LL", "HL", "LH", "HH"):
+            c = rng.integers(-200, 200, shape)
+            n_planes = max(1, int(np.abs(c).max()).bit_length())
+            data = jpx._encode_codeblock(c, orient, n_planes)
+            back = jpx._decode_codeblock(
+                data, shape[0], shape[1], orient, n_planes
+            )
+            assert (back == c).all(), (shape, orient)
+    # sparse blocks (the realistic post-DWT shape: run-length paths)
+    c = np.zeros((32, 32), np.int64)
+    idx = rng.integers(0, 32, (40, 2))
+    c[idx[:, 0], idx[:, 1]] = rng.integers(-1000, 1000, 40)
+    n_planes = int(np.abs(c).max()).bit_length()
+    back = jpx._decode_codeblock(
+        jpx._encode_codeblock(c, "HH", n_planes), 32, 32, "HH",
+        n_planes,
+    )
+    assert (back == c).all()
+
+
+def test_tagtree_roundtrip():
+    rng = np.random.default_rng(3)
+    for w, h in ((1, 1), (3, 2), (8, 8), (5, 7)):
+        vals = rng.integers(0, 6, (h, w)).astype(np.int32)
+        wr = jpx._HdrWriter()
+        enc = jpx._TagTreeEnc(w, h, vals)
+        for y in range(h):
+            for x in range(w):
+                enc.encode(wr, x, y, 1 << 30)
+        data = wr.finish()
+        rd = jpx._HdrReader(data)
+        dec = jpx._TagTreeDec(w, h)
+        for y in range(h):
+            for x in range(w):
+                assert dec.decode(rd, x, y, 1 << 30) == vals[y, x]
+
+
+def test_codestream_roundtrip_matrix():
+    rng = np.random.default_rng(9)
+    ys, xs = np.mgrid[0:40, 0:56]
+    cases = [
+        (((xs * 3 + ys * 5) % 256).astype(np.uint8), {}),
+        (np.stack(
+            [(xs * 7) % 256, (ys * 3) % 256, (xs * ys) % 256], 2
+        ).astype(np.uint8), {}),
+        (np.stack(
+            [(xs * 7) % 256, (ys * 3) % 256, ((xs + ys) * 2) % 256],
+            2,
+        ).astype(np.uint8), {"mct": False}),
+        (rng.integers(0, 256, (33, 47)).astype(np.uint8),
+         {"levels": 3}),
+        (rng.integers(0, 256, (17, 11)).astype(np.uint8),
+         {"levels": 0}),
+        (rng.integers(0, 256, (70, 90)).astype(np.uint8),
+         {"levels": 5}),
+        (rng.integers(0, 256, (50, 60)).astype(np.uint8),
+         {"cb_exp": (4, 4)}),
+        (rng.integers(0, 256, (24, 24, 3)).astype(np.uint8),
+         {"sop": True, "eph": True}),
+        (rng.integers(0, 256, (18, 30)).astype(np.uint8),
+         {"jp2": True}),
+        (np.array([[7]], np.uint8), {"levels": 0}),
+        (np.full((32, 32), 200, np.uint8), {}),
+        (rng.integers(0, 256, (1, 37)).astype(np.uint8),
+         {"levels": 1}),
+    ]
+    for img, kw in cases:
+        blob = jpx.encode_jpx(img, **kw)
+        d = jpx.decode_jpx(blob)
+        assert d["pixels"].shape == img.shape, kw
+        assert (d["pixels"] == img).all(), kw
+
+
+def test_pinned_fixture_bytes_and_decode():
+    # deterministic fixture: any mechanical drift in the encoder OR
+    # decoder (tag trees, MQ, DWT, packet layout) moves these hashes
+    ys, xs = np.mgrid[0:24, 0:40]
+    img = ((xs * 11 + ys * 7) % 256).astype(np.uint8)
+    blob = jpx.encode_jpx(img, levels=2)
+    assert hashlib.sha256(blob).hexdigest() == (
+        "b0254d009f69580d751553a935fc26c5e4f584432f1c850f9bfae0a86c4b35df"
+    )
+    d = jpx.decode_jpx(blob)
+    assert (d["pixels"] == img).all()
+
+
+def test_hostile_inputs_named_errors():
+    img = np.full((16, 16), 9, np.uint8)
+    good = jpx.encode_jpx(img, levels=1)
+    with pytest.raises(ValueError, match="neither a codestream"):
+        jpx.decode_jpx(b"garbage here")
+    with pytest.raises(ValueError, match="missing SIZ|marker"):
+        jpx.decode_jpx(good[:4])
+    # dimension guard
+    big = bytearray(good)
+    at = good.index(b"\xff\x51") + 6
+    import struct as _s
+
+    _s.pack_into(">II", big, at, 100000, 100000)
+    with pytest.raises(ValueError, match="pixel guard"):
+        jpx.decode_jpx(bytes(big))
+    # 9/7 wavelet is a named gap
+    w97 = bytearray(good)
+    cod_at = good.index(b"\xff\x52")
+    w97[cod_at + 13] = 0  # SPcod transform byte
+    with pytest.raises(NotImplementedError, match="9/7"):
+        jpx.decode_jpx(bytes(w97))
+    # multiple layers named
+    lay = bytearray(good)
+    _s.pack_into(">H", lay, cod_at + 6, 3)
+    with pytest.raises(NotImplementedError, match="layers"):
+        jpx.decode_jpx(bytes(lay))
+    # truncated codeblock data
+    with pytest.raises(ValueError, match="truncated|header"):
+        jpx.decode_jpx(good[:-20])
+    # encoder guards
+    with pytest.raises(ValueError, match="components"):
+        jpx.encode_jpx(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError, match="levels"):
+        jpx.encode_jpx(img, levels=9)
+
+
+def test_pdf_jpx_scan_chain():
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (20, 41)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (18, 22, 3)).astype(np.uint8)
+    blob = pdf.encode_scan_pdf(
+        [("jpx", gray), ("jpx-jp2", rgb), ("jpx", gray)]
+    )
+    imgs = pdf.extract_pdf_images(blob)
+    assert [im["filter"] for im in imgs] == ["JPXDecode"] * 3
+    assert (imgs[0]["pixels"] == gray).all()
+    assert (imgs[1]["pixels"] == rgb).all()
+    # a geometry lie is loud
+    broken = pdf.encode_scan_pdf([("jpx", gray)])
+    bad = broken.replace(b"/Width 41", b"/Width 40")
+    with pytest.raises(ValueError, match="dict says"):
+        pdf.extract_pdf_images(bad)

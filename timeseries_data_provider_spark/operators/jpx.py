@@ -1,0 +1,1144 @@
+"""[EXT] JPEG 2000 (JPX) decoder — lossless 5/3 codestream subset,
+pure Python/numpy, built on the SAME ITU-T T.88 MQ arithmetic coder
+the JBIG2 tier uses (T.800 reuses it verbatim; operators/jbig2).
+
+Why this exists: JPX is the archive.org-class book-scan default and
+the highest-residual-frequency PDF image gap after JBIG2 (VERDICT
+r12 item 6; SURVEY.md names it). The subset implemented here is the
+shape a *lossless scan* actually uses, end to end:
+
+- JP2 box container walk (``jp2c`` carries the codestream) or a
+  bare codestream;
+- SIZ: single tile covering the image, 1 or 3 components, 8-bit
+  unsigned, no subsampling;
+- COD: LRCP progression, ONE quality layer, 0..6 decomposition
+  levels, maximal precincts (the default), code-blocks to 64x64,
+  reversible 5/3 wavelet, optional RCT (the reversible multiple-
+  component transform), optional SOP/EPH marker framing;
+- QCD: no-quantization (reversible) signalling, guard bits +
+  exponents feeding the bit-plane count;
+- Tier-2: packet headers with inclusion/zero-bitplane TAG TREES,
+  coding-pass codewords, Lblock length signalling, and the FF
+  bit-stuffing rule;
+- Tier-1: the full EBCOT context modeller — significance
+  propagation / magnitude refinement / cleanup passes, orientation-
+  dependent zero-coding contexts, sign contexts with XOR, run-length
+  + UNIFORM contexts — driving the shared MQ coder, one codeblock
+  segment per block (no bypass/reset/termination options);
+- inverse 5/3 lifting with symmetric extension across all levels,
+  inverse RCT, DC level shift.
+
+Named NotImplementedError gaps (quarantine, never garbage): 9/7
+irreversible wavelet, quantized (non-reversible) QCD styles, tiled
+images, multiple layers, precinct subdivision, progression orders
+other than LRCP, coder options (bypass/reset/termination/segmark),
+subsampled or >8-bit components, JPP/JPT streams.
+
+Validation posture, stated: no independent JPEG 2000 implementation
+exists in this container (the JDK has none), so — like the JBIG2-MQ
+tier — validation is encoder/decoder round-trip over the in-repo
+fixture writer plus hand-checked spec mechanics (tag-tree vectors,
+packet-header bit layouts, DWT round-trips at every size/level
+combination), with the MQ coder itself shared with the JBIG2 tier.
+The decoder is additionally exercised against hostile/truncated
+streams for the loud-error contract.
+
+Public-knowledge basis: ITU-T T.800 / ISO/IEC 15444-1 (public).
+Reference parity: index.js has no media surface; [EXT] SURVEY §2
+(VERDICT r12 next-round item 6).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jbig2 import MQDecoder, MQEncoder
+
+__all__ = ["decode_jpx", "encode_jpx", "MAX_PIXELS"]
+
+MAX_PIXELS = 64 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# tag trees (T.800 B.10.2)
+
+
+class _TagTreeDec:
+    def __init__(self, w: int, h: int):
+        self.levels = []
+        while True:
+            self.levels.append(
+                (w, h, np.zeros((h, w), np.int32),
+                 np.zeros((h, w), bool))
+            )
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        # levels[0] = leaves .. levels[-1] = root
+
+    def decode(self, rd, x: int, y: int, threshold: int) -> int:
+        """Decode the leaf value with the standard coupled walk; stops
+        early (returning >= threshold) when the value is known to be
+        at least ``threshold``."""
+        stack = []
+        lx, ly = x, y
+        for lw, lh, _vals, _done in self.levels:
+            stack.append((lx, ly))
+            lx, ly = lx // 2, ly // 2
+        low = 0
+        for li in range(len(self.levels) - 1, -1, -1):
+            _lw, _lh, vals, done = self.levels[li]
+            cx, cy = stack[li]
+            if vals[cy, cx] < low:
+                vals[cy, cx] = low
+            while not done[cy, cx]:
+                if vals[cy, cx] >= threshold:
+                    return int(vals[cy, cx])
+                if rd.bit():
+                    done[cy, cx] = True
+                else:
+                    vals[cy, cx] += 1
+            low = int(vals[cy, cx])
+        return low
+
+
+class _TagTreeEnc:
+    def __init__(self, w: int, h: int, leaf_vals: np.ndarray):
+        self.levels = []
+        vals = leaf_vals.astype(np.int32)
+        w0, h0 = w, h
+        cur = vals
+        while True:
+            self.levels.append(
+                [w0, h0, cur, np.zeros((h0, w0), np.int32),
+                 np.zeros((h0, w0), bool)]
+            )
+            if w0 == 1 and h0 == 1:
+                break
+            nw, nh = (w0 + 1) // 2, (h0 + 1) // 2
+            nxt = np.full((nh, nw), 2**30, np.int32)
+            for yy in range(h0):
+                for xx in range(w0):
+                    nxt[yy // 2, xx // 2] = min(
+                        nxt[yy // 2, xx // 2], cur[yy, xx]
+                    )
+            cur = nxt
+            w0, h0 = nw, nh
+
+    def encode(self, wr, x: int, y: int, threshold: int) -> None:
+        stack = []
+        lx, ly = x, y
+        for lv in self.levels:
+            stack.append((lx, ly))
+            lx, ly = lx // 2, ly // 2
+        low = 0
+        for li in range(len(self.levels) - 1, -1, -1):
+            _w, _h, true_vals, emitted, done = self.levels[li]
+            cx, cy = stack[li]
+            if emitted[cy, cx] < low:
+                emitted[cy, cx] = low
+            while not done[cy, cx]:
+                if emitted[cy, cx] >= threshold:
+                    break
+                if emitted[cy, cx] == true_vals[cy, cx]:
+                    wr.bit(1)
+                    done[cy, cx] = True
+                else:
+                    wr.bit(0)
+                    emitted[cy, cx] += 1
+            low = max(low, int(min(emitted[cy, cx],
+                                   true_vals[cy, cx])))
+
+
+# ---------------------------------------------------------------------------
+# packet-header bit IO with the FF stuffing rule (B.10.1)
+
+
+class _HdrReader:
+    def __init__(self, data: bytes, at: int = 0):
+        self.d = data
+        self.at = at
+        self.bits = 0
+        self.n = 0
+        self.prev_ff = False
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.at >= len(self.d):
+                raise ValueError("jpx: packet header truncated")
+            b = self.d[self.at]
+            self.at += 1
+            if self.prev_ff:
+                if b & 0x80:
+                    raise ValueError("jpx: invalid header stuffing")
+                self.n = 7
+            else:
+                self.n = 8
+            self.prev_ff = b == 0xFF
+            self.bits = b
+        self.n -= 1
+        return (self.bits >> self.n) & 1
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """Finish the header: skip to the byte boundary (a pending
+        FF forces one stuffed 0 bit first per B.10.1)."""
+        if self.prev_ff and self.n == 0:
+            # stuffing bit lives in the NEXT byte; consume it
+            self.bit()
+        self.n = 0
+        self.prev_ff = False
+        return self.at
+
+
+class _HdrWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def _room(self) -> int:
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def bit(self, b: int) -> None:
+        room = self._room()
+        self.cur = (self.cur << 1) | (b & 1)
+        self.n += 1
+        if self.n == room:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def finish(self) -> bytes:
+        while self.n:
+            self.bit(0)
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)  # trailing stuffing byte
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# EBCOT Tier-1 (T.800 Annex D) — shared context tables
+
+# zero-coding context from (sum_h, sum_v, sum_d), per orientation
+def _zc_tables():
+    ll = np.zeros((3, 3, 5), np.int8)
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                if h == 2:
+                    c = 8
+                elif h == 1:
+                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
+                elif v == 2:
+                    c = 4
+                elif v == 1:
+                    c = 3
+                elif d >= 2:
+                    c = 2
+                elif d == 1:
+                    c = 1
+                else:
+                    c = 0
+                ll[h, v, d] = c
+    hl = np.transpose(ll, (1, 0, 2)).copy()  # H and V swapped
+    hh = np.zeros((3, 3, 5), np.int8)
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                hv = h + v
+                if d >= 3:
+                    c = 8
+                elif d == 2:
+                    c = 7 if hv >= 1 else 6
+                elif d == 1:
+                    c = 5 if hv >= 2 else (4 if hv == 1 else 3)
+                else:
+                    c = 2 if hv >= 2 else (1 if hv == 1 else 0)
+                hh[h, v, d] = c
+    return {"LL": ll, "LH": ll, "HL": hl, "HH": hh}
+
+
+_ZC = _zc_tables()
+
+# sign-coding: (h_contrib+1, v_contrib+1) -> (context, xor_bit)
+_SC = {
+    (2, 2): (13, 0), (2, 1): (12, 0), (2, 0): (11, 0),
+    (1, 2): (10, 0), (1, 1): (9, 0), (1, 0): (10, 1),
+    (0, 2): (11, 1), (0, 1): (12, 1), (0, 0): (13, 1),
+}
+_CX_RL = 17
+_CX_UNI = 18
+_N_CTX = 19
+
+
+def _fresh_ctx():
+    icx = np.zeros(_N_CTX, np.int32)
+    mps = np.zeros(_N_CTX, np.int32)
+    # T.800 D.2: initial states — UNIFORM at 46, RL at 3, ZC[0] at 4
+    icx[0] = 4
+    icx[_CX_RL] = 3
+    icx[_CX_UNI] = 46
+    return icx, mps
+
+
+class _Block:
+    """Shared Tier-1 state for one codeblock: significance map,
+    magnitudes, signs, 'visited in this bitplane' flags."""
+
+    def __init__(self, h: int, w: int, orient: str):
+        self.h, self.w = h, w
+        self.zc = _ZC[orient]
+        self.orient = orient
+        self.sig = np.zeros((h + 2, w + 2), np.int8)  # padded
+        self.sgn = np.zeros((h + 2, w + 2), np.int8)  # -1/0/+1
+        self.mag = np.zeros((h, w), np.int64)
+        self.visited = np.zeros((h, w), bool)
+        self.refined = np.zeros((h, w), bool)
+
+    def zc_ctx(self, y: int, x: int) -> int:
+        s = self.sig
+        hsum = int(s[y + 1, x]) + int(s[y + 1, x + 2])
+        vsum = int(s[y, x + 1]) + int(s[y + 2, x + 1])
+        dsum = (
+            int(s[y, x]) + int(s[y, x + 2])
+            + int(s[y + 2, x]) + int(s[y + 2, x + 2])
+        )
+        return int(self.zc[hsum, vsum, dsum])
+
+    def sc_ctx(self, y: int, x: int):
+        g = self.sgn
+        hc = int(g[y + 1, x]) + int(g[y + 1, x + 2])
+        vc = int(g[y, x + 1]) + int(g[y + 2, x + 1])
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        return _SC[(hc + 1, vc + 1)]
+
+    def mr_ctx(self, y: int, x: int) -> int:
+        if self.refined[y, x]:
+            return 16
+        s = self.sig
+        any_n = (
+            int(s[y + 1, x]) + int(s[y + 1, x + 2])
+            + int(s[y, x + 1]) + int(s[y + 2, x + 1])
+            + int(s[y, x]) + int(s[y, x + 2])
+            + int(s[y + 2, x]) + int(s[y + 2, x + 2])
+        )
+        return 15 if any_n else 14
+
+    def prefer(self, y: int, x: int) -> bool:
+        return self.zc_ctx(y, x) != 0 if self.orient != "HH" else (
+            self.zc_ctx(y, x) != 0
+        )
+
+
+def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
+               get_bit=None, get_sign=None):
+    """Run the three coding passes of one bit-plane over a codeblock
+    in both directions: when ``encode`` the callbacks read the truth
+    (magnitude bit / sign) and the MQ encoder writes; otherwise the
+    MQ decoder drives and the block state is updated. The column-
+    strip scan order (4-high strips, column-major inside) and the
+    pass-membership rules are identical by construction — one body,
+    two directions, so the two sides cannot disagree on mechanics."""
+    h, w = blk.h, blk.w
+    bit_val = 1 << plane
+
+    def code(cx, truth):
+        if encode:
+            mq.encode(icx, mps, cx, truth)
+            return truth
+        return mq.decode(icx, mps, cx)
+
+    def sig_code(y, x, first_pass):
+        """Significance + sign coding for (y, x) in this plane."""
+        cx = blk.zc_ctx(y, x)
+        truth = 0
+        if encode:
+            truth = 1 if get_bit(y, x, plane) else 0
+        became = code(cx, truth)
+        if became:
+            scx, xor = blk.sc_ctx(y, x)
+            if encode:
+                sgn_truth = (0 if get_sign(y, x) > 0 else 1) ^ xor
+            else:
+                sgn_truth = 0
+            sbit = code(scx, sgn_truth)
+            neg = (sbit ^ xor) == 1
+            blk.sig[y + 1, x + 1] = 1
+            blk.sgn[y + 1, x + 1] = -1 if neg else 1
+            blk.mag[y, x] = bit_val
+        return became
+
+    # pass 1: significance propagation
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            for y in range(y0, min(y0 + 4, h)):
+                if blk.sig[y + 1, x + 1] or blk.zc_ctx(y, x) == 0:
+                    continue
+                sig_code(y, x, True)
+                blk.visited[y, x] = True
+
+    # pass 2: magnitude refinement
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            for y in range(y0, min(y0 + 4, h)):
+                if not blk.sig[y + 1, x + 1] or blk.visited[y, x]:
+                    continue
+                if blk.mag[y, x] == bit_val:
+                    # became significant in THIS plane: not refined
+                    continue
+                cx = blk.mr_ctx(y, x)
+                truth = (
+                    1 if (encode and get_bit(y, x, plane)) else 0
+                )
+                b = code(cx, truth)
+                if b:
+                    blk.mag[y, x] |= bit_val
+                blk.refined[y, x] = True
+                blk.visited[y, x] = True
+
+    # pass 3: cleanup (with run-length shortcut)
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            y = y0
+            strip_h = min(4, h - y0)
+            # run-length mode: whole 4-strip insignificant with all
+            # zero contexts and nothing visited
+            if (
+                strip_h == 4
+                and all(
+                    not blk.sig[y0 + k + 1, x + 1]
+                    and not blk.visited[y0 + k, x]
+                    and blk.zc_ctx(y0 + k, x) == 0
+                    for k in range(4)
+                )
+            ):
+                if encode:
+                    first = next(
+                        (
+                            k
+                            for k in range(4)
+                            if get_bit(y0 + k, x, plane)
+                        ),
+                        None,
+                    )
+                    any_sig = first is not None
+                else:
+                    first = None
+                    any_sig = False
+                got = code(_CX_RL, 1 if any_sig else 0)
+                if not got:
+                    continue
+                if encode:
+                    pos = first
+                else:
+                    pos = 0
+                hi = code(_CX_UNI, (pos >> 1) & 1 if encode else 0)
+                lo = code(_CX_UNI, pos & 1 if encode else 0)
+                pos = (hi << 1) | lo
+                yy = y0 + pos
+                # the run-terminating coefficient codes only its sign
+                scx, xor = blk.sc_ctx(yy, x)
+                sgn_truth = (
+                    (0 if get_sign(yy, x) > 0 else 1) ^ xor
+                    if encode
+                    else 0
+                )
+                sbit = code(scx, sgn_truth)
+                neg = (sbit ^ xor) == 1
+                blk.sig[yy + 1, x + 1] = 1
+                blk.sgn[yy + 1, x + 1] = -1 if neg else 1
+                blk.mag[yy, x] = bit_val
+                y = yy + 1
+            for y in range(y, y0 + strip_h):
+                if blk.visited[y, x] or blk.sig[y + 1, x + 1]:
+                    continue
+                sig_code(y, x, False)
+    blk.visited[:] = False
+
+
+def _decode_codeblock(
+    data: bytes, h: int, w: int, orient: str, n_planes: int
+) -> np.ndarray:
+    """Tier-1 decode of one codeblock segment into signed ints."""
+    mq = MQDecoder(data)
+    icx, mps = _fresh_ctx()
+    blk = _Block(h, w, orient)
+    for plane in range(n_planes - 1, -1, -1):
+        if plane == n_planes - 1:
+            # first plane: cleanup pass only — run it via the shared
+            # body with passes 1-2 vacuous (nothing significant yet)
+            pass
+        _t1_passes(blk, plane, mq, icx, mps, encode=False)
+    return blk.mag * np.where(
+        blk.sgn[1:-1, 1:-1] < 0, -1, 1
+    ).astype(np.int64)
+
+
+def _encode_codeblock(
+    coeffs: np.ndarray, orient: str, n_planes: int
+) -> bytes:
+    mq = MQEncoder()
+    icx, mps = _fresh_ctx()
+    h, w = coeffs.shape
+    blk = _Block(h, w, orient)
+    mags = np.abs(coeffs.astype(np.int64))
+    signs = np.sign(coeffs.astype(np.int64))
+
+    def get_bit(y, x, plane):
+        return (int(mags[y, x]) >> plane) & 1
+
+    def get_sign(y, x):
+        return 1 if signs[y, x] >= 0 else -1
+
+    for plane in range(n_planes - 1, -1, -1):
+        _t1_passes(
+            blk, plane, mq, icx, mps, encode=True,
+            get_bit=get_bit, get_sign=get_sign,
+        )
+    return mq.flush()
+
+
+# ---------------------------------------------------------------------------
+# 5/3 reversible DWT (T.800 Annex F), whole-sample symmetric extension
+
+
+def _idwt53_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    n = len(low) + len(high)
+    x = np.zeros(n, np.int64)
+    nl, nh = len(low), len(high)
+
+    def yl(i):
+        i = max(0, min(nl - 1, i))
+        return int(low[i])
+
+    def yh(i):
+        if nh == 0:
+            return 0
+        i = max(0, min(nh - 1, i))
+        return int(high[i])
+
+    for i in range(nl):
+        x[2 * i] = yl(i) - ((yh(i - 1) + yh(i) + 2) >> 2)
+
+    def xe(i):
+        # even samples with symmetric extension over the signal
+        i = max(0, min(n - 1, i))
+        if i % 2:
+            i = i - 1 if i > 0 else i + 1
+        return int(x[i])
+
+    for i in range(nh):
+        lo = x[2 * i]
+        hi_idx = 2 * i + 2
+        if hi_idx >= n:
+            hi_idx = 2 * i  # symmetric: reuse the last even sample
+        x[2 * i + 1] = yh(i) + ((int(lo) + int(x[hi_idx])) >> 1)
+    return x
+
+
+def _fdwt53_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(x)
+    x = x.astype(np.int64)
+    nl = (n + 1) // 2
+    nh = n // 2
+
+    def xv(i):
+        # whole-sample symmetric extension
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return int(x[i])
+
+    high = np.zeros(nh, np.int64)
+    for i in range(nh):
+        high[i] = xv(2 * i + 1) - ((xv(2 * i) + xv(2 * i + 2)) >> 1)
+
+    def hv(i):
+        # extension on the high grid: h(-1) = h(0), h(nh) = h(nh-1)
+        # (derived from whole-sample symmetric extension of x)
+        if nh == 0:
+            return 0
+        i = max(0, min(nh - 1, i))
+        return int(high[i])
+
+    low = np.zeros(nl, np.int64)
+    for i in range(nl):
+        low[i] = xv(2 * i) + ((hv(i - 1) + hv(i) + 2) >> 2)
+    return low, high
+
+
+def _fdwt53_2d(a: np.ndarray):
+    """One level: returns (LL, HL, LH, HH)."""
+    h, w = a.shape
+    lo_cols = np.zeros(((h + 1) // 2, w), np.int64)
+    hi_cols = np.zeros((h // 2, w), np.int64)
+    for c in range(w):
+        lo, hi = _fdwt53_1d(a[:, c])
+        lo_cols[:, c] = lo
+        hi_cols[:, c] = hi
+    out = {}
+    for name, rows in (("L", lo_cols), ("H", hi_cols)):
+        ll = np.zeros((rows.shape[0], (w + 1) // 2), np.int64)
+        hh = np.zeros((rows.shape[0], w // 2), np.int64)
+        for r in range(rows.shape[0]):
+            lo, hi = _fdwt53_1d(rows[r])
+            ll[r] = lo
+            hh[r] = hi
+        out[name + "L"], out[name + "H"] = ll, hh
+    return out["LL"], out["LH"], out["HL"], out["HH"]
+
+
+def _idwt53_2d(ll, lh, hl, hh):
+    # NOTE naming: lh here = horizontally high-pass of the LOW row
+    # band (matches _fdwt53_2d's outputs)
+    top_h = ll.shape[0] + hl.shape[0]
+    out_w = ll.shape[1] + lh.shape[1]
+    rows_l = np.zeros((ll.shape[0], out_w), np.int64)
+    for r in range(ll.shape[0]):
+        rows_l[r] = _idwt53_1d(ll[r], lh[r])
+    rows_h = np.zeros((hl.shape[0], out_w), np.int64)
+    for r in range(hl.shape[0]):
+        rows_h[r] = _idwt53_1d(hl[r], hh[r])
+    out = np.zeros((top_h, out_w), np.int64)
+    for c in range(out_w):
+        out[:, c] = _idwt53_1d(rows_l[:, c], rows_h[:, c])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# codestream (T.800 Annex A markers, B packets)
+
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _npasses_write(wr: _HdrWriter, n: int) -> None:
+    if n == 1:
+        wr.bit(0)
+    elif n == 2:
+        wr.bit(1)
+        wr.bit(0)
+    elif n <= 5:
+        wr.write(0b11, 2)
+        wr.write(n - 3, 2)
+    elif n <= 36:
+        wr.write(0b1111, 4)
+        wr.write(n - 6, 5)
+    elif n <= 164:
+        wr.write(0b111111111, 9)
+        wr.write(n - 37, 7)
+    else:
+        raise ValueError(f"jpx: {n} coding passes")
+
+
+def _npasses_read(rd: _HdrReader) -> int:
+    if not rd.bit():
+        return 1
+    if not rd.bit():
+        return 2
+    v = rd.read(2)
+    if v < 3:
+        return 3 + v
+    v = rd.read(5)
+    if v < 31:
+        return 6 + v
+    return 37 + rd.read(7)
+
+
+def _band_sizes(w: int, h: int, levels: int):
+    """Per-resolution subband dims: returns (ll_w, ll_h at res 0,
+    [(res, band, w, h), ...] for res 1..levels)."""
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    # dims[k] = size after k decompositions; res r uses dims[levels-r]
+    out = []
+    for r in range(1, levels + 1):
+        pw, ph = dims[levels - r]  # size being reconstructed at res r
+        lw, lh = dims[levels - r + 1]
+        hw, hh_ = pw - lw, ph - lh
+        out.append((r, "HL", hw, lh))
+        out.append((r, "LH", lw, hh_))
+        out.append((r, "HH", hw, hh_))
+    return dims[levels], out
+
+
+def _cb_grid(bw: int, bh: int, cbw: int, cbh: int):
+    return (bw + cbw - 1) // cbw if bw else 0, (
+        bh + cbh - 1
+    ) // cbh if bh else 0
+
+
+def encode_jpx(
+    pixels: np.ndarray,
+    levels: int = 2,
+    cb_exp: tuple[int, int] = (5, 5),
+    mct: bool | None = None,
+    sop: bool = False,
+    eph: bool = False,
+    jp2: bool = False,
+) -> bytes:
+    """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
+    ``jp2``): one tile, one layer, LRCP. ``pixels`` is (h, w) gray
+    or (h, w, 3) RGB uint8; ``cb_exp`` are the codeblock width/
+    height exponents (actual size 2^e, 4..64); ``mct`` applies the
+    reversible RCT (default: on for RGB)."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    n_comp = 1 if gray else px.shape[2]
+    if n_comp not in (1, 3):
+        raise ValueError("encode_jpx: 1 or 3 components")
+    if not (0 <= levels <= 6):
+        raise ValueError("encode_jpx: levels 0..6")
+    if not all(2 <= e <= 6 for e in cb_exp):
+        raise ValueError("encode_jpx: codeblock exponents 2..6")
+    if mct is None:
+        mct = not gray
+    if mct and gray:
+        raise ValueError("encode_jpx: MCT needs 3 components")
+    cbw, cbh = 1 << cb_exp[0], 1 << cb_exp[1]
+
+    # DC level shift + component transform
+    comps = []
+    if gray:
+        comps = [px.astype(np.int64) - 128]
+    else:
+        r = px[:, :, 0].astype(np.int64) - 128
+        g = px[:, :, 1].astype(np.int64) - 128
+        b = px[:, :, 2].astype(np.int64) - 128
+        if mct:
+            y = (r + 2 * g + b) >> 2
+            cb = b - g
+            cr = r - g
+            comps = [y, cb, cr]
+        else:
+            comps = [r, g, b]
+
+    # wavelet decomposition per component
+    ll0, band_list = _band_sizes(w, h, levels)
+    per_comp_bands: list[dict] = []
+    for c in comps:
+        cur = c
+        bands: dict = {}
+        for lvl in range(levels):
+            r = levels - lvl  # this pass produces resolution r bands
+            ll, t_hl, t_lh, hh = _fdwt53_2d(cur)
+            # _fdwt53_2d's 2nd output is horizontally-high = T.800 HL
+            bands[(r, "HL")] = t_hl
+            bands[(r, "LH")] = t_lh
+            bands[(r, "HH")] = hh
+            cur = ll
+        bands[(0, "LL")] = cur
+        per_comp_bands.append(bands)
+
+    # bit-depth / guard bits: make Mb cover the widest coefficient
+    eps = {b: 8 + _GAIN[b] for b in ("LL", "HL", "LH", "HH")}
+    need = 1
+    for bands in per_comp_bands:
+        for (r, name), arr in bands.items():
+            if arr.size:
+                m = int(np.abs(arr).max())
+                nm = m.bit_length() - (eps[name] - 1)
+                need = max(need, nm + 1)
+    guard = min(7, max(2, need))
+    mb = {b: guard + eps[b] - 1 for b in eps}
+
+    # packets (LRCP: layer 0 -> res -> comp)
+    body = bytearray()
+    n_packet = 0
+    for r in range(levels + 1):
+        for ci in range(n_comp):
+            bands = per_comp_bands[ci]
+            if r == 0:
+                sbs = [("LL", bands[(0, "LL")])]
+            else:
+                sbs = [
+                    (nm, bands[(r, nm)]) for nm in ("HL", "LH", "HH")
+                ]
+            wr = _HdrWriter()
+            chunks = []
+            any_cb = any(a.size for _nm, a in sbs)
+            if not any_cb:
+                wr.bit(0)
+            else:
+                wr.bit(1)
+                for nm, arr in sbs:
+                    bh_, bw_ = arr.shape
+                    gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
+                    if gx == 0 or gy == 0:
+                        continue
+                    incl_leaf = np.ones((gy, gx), np.int32)
+                    zbp_leaf = np.zeros((gy, gx), np.int32)
+                    blocks = {}
+                    for by in range(gy):
+                        for bx in range(gx):
+                            sub = arr[
+                                by * cbh : (by + 1) * cbh,
+                                bx * cbw : (bx + 1) * cbw,
+                            ]
+                            mx = (
+                                int(np.abs(sub).max())
+                                if sub.size
+                                else 0
+                            )
+                            if mx == 0:
+                                continue
+                            np_ = mx.bit_length()
+                            incl_leaf[by, bx] = 0
+                            zbp_leaf[by, bx] = mb[nm] - np_
+                            if zbp_leaf[by, bx] < 0:
+                                raise ValueError(
+                                    "jpx: coefficient wider than Mb"
+                                )
+                            blocks[(by, bx)] = (sub, np_)
+                    incl_tt = _TagTreeEnc(gx, gy, incl_leaf)
+                    zbp_tt = _TagTreeEnc(gx, gy, zbp_leaf)
+                    for by in range(gy):
+                        for bx in range(gx):
+                            incl_tt.encode(wr, bx, by, 1)
+                            if (by, bx) not in blocks:
+                                continue
+                            zbp_tt.encode(wr, bx, by, 1 << 30)
+                            sub, np_ = blocks[(by, bx)]
+                            npass = 3 * np_ - 2
+                            _npasses_write(wr, npass)
+                            seg = _encode_codeblock(sub, nm, np_)
+                            chunks.append(seg)
+                            lblock = 3
+                            nbits = lblock + max(
+                                0, npass.bit_length() - 1
+                            )
+                            while len(seg).bit_length() > nbits:
+                                wr.bit(1)
+                                lblock += 1
+                                nbits += 1
+                            wr.bit(0)
+                            wr.write(len(seg), nbits)
+            hdr = wr.finish()
+            if sop:
+                body += (
+                    b"\xff\x91" + struct.pack(">HH", 4, n_packet & 0xFFFF)
+                )
+            body += hdr
+            if eph:
+                body += b"\xff\x92"
+            for cseg in chunks:
+                body += cseg
+            n_packet += 1
+
+    # marker segments
+    siz = struct.pack(
+        ">HHIIIIIIIIH",
+        38 + 3 * n_comp,
+        0,
+        w,
+        h,
+        0,
+        0,
+        w,
+        h,
+        0,
+        0,
+        n_comp,
+    ) + b"".join(struct.pack(">BBB", 7, 1, 1) for _ in range(n_comp))
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    cod = struct.pack(
+        ">HBBHBBBBBB",
+        12,
+        scod,
+        0,  # LRCP
+        1,  # layers
+        1 if mct else 0,
+        levels,
+        cb_exp[0] - 2,
+        cb_exp[1] - 2,
+        0,  # no coder options
+        1,  # 5/3 reversible
+    )
+    n_sb = 3 * levels + 1
+    sqcd = bytes([(guard << 5) | 0])
+    sb_eps = [eps["LL"]] + [
+        eps[nm] for _r in range(1, levels + 1)
+        for nm in ("HL", "LH", "HH")
+    ]
+    qcd = struct.pack(">H", 3 + n_sb) + sqcd + bytes(
+        e << 3 for e in sb_eps
+    )
+    tile = bytes(body)
+    psot = 12 + len(tile) + 2  # SOT seg + SOD + data
+    sot = struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    cs = (
+        b"\xff\x4f"
+        + b"\xff\x51" + siz
+        + b"\xff\x52" + cod
+        + b"\xff\x5c" + qcd
+        + b"\xff\x90" + sot
+        + b"\xff\x93" + tile
+        + b"\xff\xd9"
+    )
+    if not jp2:
+        return cs
+    # minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c
+    ihdr = struct.pack(
+        ">IIHBBBB", h, w, n_comp, 7, 7, 0, 0
+    )
+    colr = b"\x01\x00\x00" + struct.pack(
+        ">I", 16 if n_comp == 3 else 17
+    )
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    jp2h = box(b"ihdr", ihdr) + box(b"colr", colr)
+    return (
+        box(b"jP  ", b"\x0d\x0a\x87\x0a")
+        + box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
+        + box(b"jp2h", jp2h)
+        + box(b"jp2c", cs)
+    )
+
+
+def _find_codestream(payload: bytes) -> bytes:
+    if payload[:2] == b"\xff\x4f":
+        return payload
+    # JP2 box walk
+    if payload[4:8] == b"jP  ":
+        at = 0
+        n = len(payload)
+        while at + 8 <= n:
+            (ln,) = struct.unpack_from(">I", payload, at)
+            tag = payload[at + 4 : at + 8]
+            if ln == 1:
+                (ln,) = struct.unpack_from(">Q", payload, at + 8)
+                hdr = 16
+            else:
+                hdr = 8
+            if ln == 0:
+                ln = n - at
+            if ln < hdr or at + ln > n:
+                raise ValueError("jpx: malformed JP2 box")
+            if tag == b"jp2c":
+                return payload[at + hdr : at + ln]
+            at += ln
+        raise ValueError("jpx: JP2 without a jp2c codestream box")
+    raise ValueError("jpx: neither a codestream nor a JP2 file")
+
+
+def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
+    """Decode to {format, width, height, pixels} (uint8, (h, w) gray
+    or (h, w, 3) RGB). Named errors for the out-of-subset shapes."""
+    cs = _find_codestream(payload)
+    if cs[:2] != b"\xff\x4f":
+        raise ValueError("jpx: missing SOC")
+    at = 2
+    n = len(cs)
+    siz = cod = qcd = None
+    tile_at = None
+    while at + 4 <= n:
+        if cs[at] != 0xFF:
+            raise ValueError("jpx: marker expected")
+        marker = cs[at + 1]
+        at += 2
+        if marker == 0x93:  # SOD
+            tile_at = at
+            break
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", cs, at)
+        seg = cs[at + 2 : at + ln]
+        if marker == 0x51:
+            siz = cs[at : at + ln]
+        elif marker == 0x52:
+            cod = cs[at : at + ln]
+        elif marker == 0x5C:
+            qcd = cs[at : at + ln]
+        elif marker == 0x90:
+            pass  # SOT: single tile-part assumed; Psot unchecked
+        elif marker in (0x53, 0x5D, 0x55, 0x58, 0x5E):
+            raise NotImplementedError(
+                f"jpx: marker FF{marker:02X} (per-component/tile "
+                "overrides) outside the lossless subset"
+            )
+        at += ln
+    if siz is None or cod is None or qcd is None or tile_at is None:
+        raise ValueError("jpx: missing SIZ/COD/QCD/SOD")
+
+    (_rsiz, xs, ys, xo, yo, xt, yt, xto, yto, n_comp) = struct.unpack(
+        ">HIIIIIIIIH", siz[2:38]
+    )
+    w, h = xs, ys
+    if w * h > max_pixels:
+        # the allocation guard outranks every other check
+        raise ValueError(
+            f"jpx: {w}x{h} exceeds the {max_pixels}-pixel guard"
+        )
+    if xo or yo or xto or yto or xt < xs or yt < ys:
+        raise NotImplementedError(
+            "jpx: image/tile offsets and tiling outside the subset"
+        )
+    if n_comp not in (1, 3):
+        raise NotImplementedError(f"jpx: {n_comp} components")
+    for ci in range(n_comp):
+        ssiz, xr, yr = struct.unpack_from(">BBB", siz, 38 + 3 * ci)
+        if ssiz != 7 or xr != 1 or yr != 1:
+            raise NotImplementedError(
+                "jpx: only 8-bit unsigned unsubsampled components"
+            )
+
+    scod = cod[2]
+    if scod & 1:
+        raise NotImplementedError("jpx: explicit precincts")
+    use_sop, use_eph = bool(scod & 2), bool(scod & 4)
+    prog, layers, mct_f, levels, cbe_w, cbe_h, cb_style, wavelet = (
+        struct.unpack_from(">BHBBBBBB", cod, 3)
+    )
+    if prog != 0:
+        raise NotImplementedError(f"jpx: progression order {prog}")
+    if layers != 1:
+        raise NotImplementedError(f"jpx: {layers} quality layers")
+    if cb_style != 0:
+        raise NotImplementedError(
+            f"jpx: coder options {cb_style:#x} (bypass/reset/"
+            "termination/segmark)"
+        )
+    if wavelet != 1:
+        raise NotImplementedError("jpx: 9/7 irreversible wavelet")
+    if levels > 6 or cbe_w > 4 or cbe_h > 4:
+        raise ValueError("jpx: implausible COD parameters")
+    cbw, cbh = 1 << (cbe_w + 2), 1 << (cbe_h + 2)
+
+    sqcd = qcd[2]
+    if sqcd & 0x1F:
+        raise NotImplementedError(
+            "jpx: quantized (irreversible) QCD style"
+        )
+    guard = sqcd >> 5
+    sb_eps = [b >> 3 for b in qcd[3:]]
+    n_sb = 3 * levels + 1
+    if len(sb_eps) < n_sb:
+        raise ValueError("jpx: QCD shorter than the subband count")
+
+    ll0, band_list = _band_sizes(w, h, levels)
+    # map (res, band) -> Mb
+    mb_of = {(0, "LL"): guard + sb_eps[0] - 1}
+    k = 1
+    for r in range(1, levels + 1):
+        for nm in ("HL", "LH", "HH"):
+            mb_of[(r, nm)] = guard + sb_eps[k] - 1
+            k += 1
+
+    # parse packets
+    rd_at = tile_at
+    per_comp_bands = [dict() for _ in range(n_comp)]
+    for ci in range(n_comp):
+        per_comp_bands[ci][(0, "LL")] = np.zeros(
+            (ll0[1], ll0[0]), np.int64
+        )
+        for r, nm, bw_, bh_ in band_list:
+            per_comp_bands[ci][(r, nm)] = np.zeros(
+                (bh_, bw_), np.int64
+            )
+    for r in range(levels + 1):
+        for ci in range(n_comp):
+            if use_sop:
+                if cs[rd_at : rd_at + 2] != b"\xff\x91":
+                    raise ValueError("jpx: missing SOP marker")
+                rd_at += 6
+            rd = _HdrReader(cs, rd_at)
+            if r == 0:
+                sbs = [(0, "LL")]
+            else:
+                sbs = [(r, nm) for nm in ("HL", "LH", "HH")]
+            chunks = []
+            nonempty = rd.bit()
+            if nonempty:
+                for key in sbs:
+                    arr = per_comp_bands[ci][key]
+                    bh_, bw_ = arr.shape
+                    gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
+                    if gx == 0 or gy == 0:
+                        continue
+                    incl_tt = _TagTreeDec(gx, gy)
+                    zbp_tt = _TagTreeDec(gx, gy)
+                    for by in range(gy):
+                        for bx in range(gx):
+                            v = incl_tt.decode(rd, bx, by, 1)
+                            if v != 0:
+                                continue
+                            zbp = zbp_tt.decode(rd, bx, by, 1 << 30)
+                            npass = _npasses_read(rd)
+                            lblock = 3
+                            while rd.bit():
+                                lblock += 1
+                            nbits = lblock + max(
+                                0, npass.bit_length() - 1
+                            )
+                            ln = rd.read(nbits)
+                            np_ = mb_of[key] - zbp
+                            if np_ <= 0 or (npass != 3 * np_ - 2):
+                                raise ValueError(
+                                    "jpx: inconsistent pass count"
+                                )
+                            chunks.append(
+                                (key, by, bx, ln, np_)
+                            )
+            rd_at = rd.align()
+            if use_eph:
+                if cs[rd_at : rd_at + 2] != b"\xff\x92":
+                    raise ValueError("jpx: missing EPH marker")
+                rd_at += 2
+            for key, by, bx, ln, np_ in chunks:
+                if rd_at + ln > n:
+                    raise ValueError("jpx: codeblock data truncated")
+                seg = cs[rd_at : rd_at + ln]
+                rd_at += ln
+                arr = per_comp_bands[ci][key]
+                bh_, bw_ = arr.shape
+                y0, x0 = by * cbh, bx * cbw
+                sh = min(cbh, bh_ - y0)
+                sw = min(cbw, bw_ - x0)
+                coeffs = _decode_codeblock(
+                    seg, sh, sw, key[1], np_
+                )
+                arr[y0 : y0 + sh, x0 : x0 + sw] = coeffs
+
+    # reconstruct per component
+    outs = []
+    for ci in range(n_comp):
+        bands = per_comp_bands[ci]
+        cur = bands[(0, "LL")]
+        for r in range(1, levels + 1):
+            cur = _idwt53_2d(
+                cur, bands[(r, "HL")], bands[(r, "LH")],
+                bands[(r, "HH")],
+            )
+        outs.append(cur)
+    if n_comp == 3 and mct_f:
+        y, cb, cr = outs
+        g = y - ((cb + cr) >> 2)
+        rr = cr + g
+        bb = cb + g
+        outs = [rr, g, bb]
+    px = [np.clip(o + 128, 0, 255).astype(np.uint8) for o in outs]
+    pixels = px[0] if n_comp == 1 else np.stack(px, axis=2)
+    return {
+        "format": "jp2",
+        "width": w,
+        "height": h,
+        "pixels": pixels,
+    }

@@ -1543,9 +1543,12 @@ def extract_pdf(payload: bytes) -> dict:
 # composition, JBIG2Globals plumbing) decode through operators/jbig2
 # (r12). /Decode arrays apply as identity/inversion per component,
 # incl. BlackIs1 interplay on fax and index reversal on Indexed
-# (r12); fractional /Decode endpoints (a tone-curve remap),
-# symbol/text/refinement JBIG2 segments, JPXDecode (JPEG 2000), and
-# Separation/Lab spaces stay named NotImplementedError gaps.
+# (r12); JPXDecode decodes the lossless-5/3 JPEG 2000 subset through
+# operators/jpx (r13 — the archive book-scan class; 9/7, tiling,
+# layers stay named inside that module). Fractional /Decode
+# endpoints (a tone-curve remap), symbol/text/refinement JBIG2
+# segments, and Separation/Lab spaces stay named
+# NotImplementedError gaps.
 
 _MAX_IMAGE_PIXELS = 64 * 1024 * 1024
 
@@ -1673,10 +1676,35 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
             objs, {"Filter": pre, "DecodeParms": pre_parms}, raw
         )
     if img_filter == "JPXDecode":
-        raise NotImplementedError(
-            "pdf: image filter JPXDecode (route JPEG 2000 to a "
-            "codec library)"
+        # r13 (VERDICT r12 item 6): the lossless 5/3 codestream
+        # subset decodes in-repo (operators/jpx — book-scan class);
+        # out-of-subset shapes (9/7, tiling, layers, precincts)
+        # raise their own named errors from the module
+        from timeseries_data_provider_spark.operators import (
+            jpx as _jpx,
         )
+
+        d = _jpx.decode_jpx(data)
+        px = d["pixels"]
+        if (d["width"], d["height"]) != (w, h):
+            raise ValueError(
+                f"pdf: JPX image is {d['width']}x{d['height']}, "
+                f"dict says {w}x{h}"
+            )
+        nch = 1 if px.ndim == 2 else px.shape[2]
+        px = _invert_channels(
+            px,
+            _decode_inversion(
+                objs, _resolve(objs, val.get("Decode")), nch
+            ),
+        )
+        return {
+            "width": w,
+            "height": h,
+            "channels": nch,
+            "filter": "JPXDecode",
+            "pixels": px,
+        }
     if img_filter == "JBIG2Decode":
         from timeseries_data_provider_spark.operators import (
             jbig2 as _jbig2,
@@ -2194,8 +2222,13 @@ def synth_scan_pdf_media(
       3: JBIG2 MMR, else CCITT-G4 (r12: same pixels, so the
       oracle's scan_px1 formula is codec-independent while all four
       decode ladders run);
-    - page 2: Flate gray8 gradient (id+x+y)%256 (the GIF/TIFF
-      closed form) at (40+id%4) x (20+id%2);
+    - page 2: gray8 gradient (id+x+y)%256 (the GIF/TIFF closed
+      form) at (40+id%4) x (20+id%2), the CONTAINER rotating by
+      id%3 — 1: lossless 5/3 JPEG 2000 codestream (/JPXDecode via
+      operators/jpx, r13), 2: the JP2 box form, else Flate raw —
+      same pixels, so the oracle's scan_px2 formula is codec-
+      independent while the EBCOT/DWT ladder runs on two thirds of
+      the corpus;
     - page 3: Indexed raster over the 216-entry web-safe RGB cube,
       index (7·id+x+3·y)%216 at 24 x 12 — the cube makes the channel
       sum 51·(r6+g6+b6) with r6/g6/b6 the base-6 digits."""
@@ -2225,12 +2258,15 @@ def synth_scan_pdf_media(
                     2: "jbig2-text",
                     3: "jbig2-mmr",
                 }.get(i % 4, "ccitt-g4")
+                p2_kind = {1: "jpx", 2: "jpx-jp2"}.get(
+                    i % 3, "gray8"
+                )
                 out[id_col].append(i)
                 out["payload"].append(
                     encode_scan_pdf(
                         [
                             (p1_kind, page1),
-                            ("gray8", page2),
+                            (p2_kind, page2),
                             ("indexed", page3),
                         ]
                     )
@@ -2809,6 +2845,20 @@ def encode_scan_pdf(images: list) -> bytes:
             data = zlib.compress(px.tobytes())
             extra = " /Filter /FlateDecode"
             cs, bpc = "/DeviceCMYK", 8
+        elif kind in ("jpx", "jpx-jp2"):
+            # lossless 5/3 JPEG 2000 (r13) — bare codestream or the
+            # JP2 box container, both legal under /JPXDecode
+            from timeseries_data_provider_spark.operators import (
+                jpx as _jpx,
+            )
+
+            data = _jpx.encode_jpx(
+                px, levels=2, jp2=kind == "jpx-jp2"
+            )
+            extra = " /Filter /JPXDecode"
+            cs, bpc = (
+                "/DeviceRGB" if px.ndim == 3 else "/DeviceGray"
+            ), 8
         elif kind.startswith("ccitt"):
             fax = (px < 128).astype(np.uint8)
             if kind == "ccitt-g4":
