@@ -28,9 +28,12 @@ Extraction contract (deterministic, stated):
 
 Verification posture (stated): no independent .doc implementation
 exists in this container, so correctness rests on spec-transcribed
-offsets + a self-written fixture writer + the loud-failure design —
-the GIF/VP8L posture, weaker than the CCITT/JDK cross-check and
-said so.
+offsets + a self-written fixture writer + the loud-failure design,
+plus (r13) HAND-ASSEMBLED containers laid out byte-by-byte from the
+[MS-CFB]/[MS-DOC] structure tables inside the tests
+(tests/test_cfb_handbuilt.py) — a second writer sharing no code
+with the fixture path. Still weaker than the CCITT/JDK or WebP/
+libwebp cross-checks, and said so.
 """
 
 from __future__ import annotations
