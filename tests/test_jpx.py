@@ -148,6 +148,11 @@ def test_hostile_inputs_named_errors():
     # truncated codeblock data
     with pytest.raises(ValueError, match="truncated|header"):
         jpx.decode_jpx(good[:-20])
+    # r13 review: a zero-length marker segment must raise, not loop
+    zl = bytearray(good)
+    _s.pack_into(">H", zl, good.index(b"\xff\x52") + 2, 0)
+    with pytest.raises(ValueError, match="length 0"):
+        jpx.decode_jpx(bytes(zl))
     # encoder guards
     with pytest.raises(ValueError, match="components"):
         jpx.encode_jpx(np.zeros((4, 4, 2), np.uint8))

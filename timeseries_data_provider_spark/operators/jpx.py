@@ -960,6 +960,10 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         if marker == 0xD9:
             break
         (ln,) = struct.unpack_from(">H", cs, at)
+        if ln < 2:
+            # a zero/one-length segment cannot advance the walk — a
+            # hostile stream would otherwise loop here forever
+            raise ValueError(f"jpx: marker FF{marker:02X} length {ln}")
         seg = cs[at + 2 : at + ln]
         if marker == 0x51:
             siz = cs[at : at + ln]
