@@ -361,7 +361,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
             return truth
         return mq.decode(icx, mps, cx)
 
-    def sig_code(y, x, first_pass):
+    def sig_code(y, x):
         """Significance + sign coding for (y, x) in this plane."""
         cx = blk.zc_ctx(y, x)
         truth = 0
@@ -387,7 +387,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
             for y in range(y0, min(y0 + 4, h)):
                 if blk.sig[y + 1, x + 1] or blk.zc_ctx(y, x) == 0:
                     continue
-                sig_code(y, x, True)
+                sig_code(y, x)
                 blk.visited[y, x] = True
 
     # pass 2: magnitude refinement
@@ -465,7 +465,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
             for y in range(y, y0 + strip_h):
                 if blk.visited[y, x] or blk.sig[y + 1, x + 1]:
                     continue
-                sig_code(y, x, False)
+                sig_code(y, x)
     blk.visited[:] = False
 
 

@@ -391,7 +391,7 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     coeffs = np.zeros((mb_h, mb_w, 25, 16), np.int32)
     mb_has_coeffs = np.zeros((mb_h, mb_w), bool)
 
-    def decode_block(bd2, ty, ctx, first, probs_t, qdc, qac, out):
+    def decode_block(bd2, ctx, first, probs_t, qdc, qac, out):
         """Token loop for one 4x4 block; returns 1 if any nonzero."""
         n = first
         nz = 0
@@ -455,7 +455,7 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             if has_y2:
                 ctx = left_nz_y2 + above_nz_y2[mx]
                 nz = decode_block(
-                    bd2, 1, ctx, 0, probs_py[1], qy2_dc, qy2_ac, mb[0]
+                    bd2, ctx, 0, probs_py[1], qy2_dc, qy2_ac, mb[0]
                 )
                 left_nz_y2 = nz
                 above_nz_y2[mx] = nz
@@ -468,7 +468,7 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                 r, c = b >> 2, b & 3
                 ctx = int(left_nz[r]) + int(above_nz[mx, c])
                 nz = decode_block(
-                    bd2, ty, ctx, first, probs_y, qy_dc, qy_ac, mb[1 + b]
+                    bd2, ctx, first, probs_y, qy_dc, qy_ac, mb[1 + b]
                 )
                 left_nz[r] = nz
                 above_nz[mx, c] = nz
@@ -480,7 +480,7 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                     li, ai = 4 + 2 * plane + r, 4 + 2 * plane + c
                     ctx = int(left_nz[li]) + int(above_nz[mx, ai])
                     nz = decode_block(
-                        bd2, 2, ctx, 0, probs_uv, quv_dc, quv_ac,
+                        bd2, ctx, 0, probs_uv, quv_dc, quv_ac,
                         mb[17 + 4 * plane + b],
                     )
                     left_nz[li] = nz

@@ -644,12 +644,13 @@ def decode_vp8l_stream(body: bytes) -> dict:
 
 
 def decode_webp(payload: bytes) -> dict:
-    """Full WebP decode for the lossless variant; VP8 (lossy) and
-    non-WebP RIFF forms (an AVI reaching the image path) raise named
-    NotImplementedError plug-in-point errors; the container walk IS
-    ``riff_chunks``, shared with ``multimodal._decode_webp_header``.
-    Malformed payloads fail as ValueError (the corpus-triage contract
-    shared with decode_baseline_jpeg / decode_video_meta)."""
+    """Full WebP decode: VP8L (lossless) in this module, lossy VP8
+    keyframes through operators/vp8 (r13); non-WebP RIFF forms (an
+    AVI reaching the image path) raise named NotImplementedError
+    plug-in-point errors; the container walk IS ``riff_chunks``,
+    shared with ``multimodal._decode_webp_header``. Malformed
+    payloads fail as ValueError (the corpus-triage contract shared
+    with decode_baseline_jpeg / decode_video_meta)."""
     try:
         return _decode_webp(payload)
     except (IndexError, struct.error) as ex:
