@@ -115,9 +115,10 @@ def test_pinned_goldens_decode_bit_exact():
         blob = base64.b64decode(b64)
         f = V.decode_vp8_frame(_vp8_chunk(blob))
         assert _planes_sha(f) == sha, name
-        # and the container route returns RGB pixels
+        # container route: RGB, or RGBA when an ALPH chunk rides along
         d = vp8l.decode_webp(blob)
-        assert d["pixels"].shape == (f["height"], f["width"], 3), name
+        nch = 4 if name == "python_vp8x" else 3
+        assert d["pixels"].shape == (f["height"], f["width"], nch), name
 
 
 def test_decode_image_routing_returns_pixels():
@@ -125,7 +126,8 @@ def test_decode_image_routing_returns_pixels():
     blob = base64.b64decode(_GOLDENS["python_vp8x"][0])
     d = mm.decode_image(blob)
     assert d["format"] == "webp"
-    assert d["pixels"] is not None and d["pixels"].shape == (16, 16, 3)
+    # the VP8X ALPH chunk decodes to a real alpha channel (r13)
+    assert d["pixels"] is not None and d["pixels"].shape == (16, 16, 4)
 
 
 @needs_libwebp
@@ -374,3 +376,96 @@ def test_lossy_rgb_output_close_to_libwebp_rgb():
     assert mine.shape == ref.shape
     assert np.abs(mine - ref).mean() < 8
     assert np.abs(mine - ref).max() < 128
+
+
+@needs_libwebp
+def test_alpha_plane_vs_libwebp_rgba():
+    # lossy+ALPH files from libwebp's own encoder: the alpha plane
+    # must match WebPDecodeRGBA exactly (lossless-coded alpha path,
+    # incl. whatever prediction filter the encoder picked)
+    import ctypes
+
+    lib = O.libwebp()
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    rng = np.random.default_rng(17)
+    ys, xs = np.mgrid[0:40, 0:56]
+    alphas = [
+        ((xs * 4 + ys * 3) % 256).astype(np.uint8),  # gradient
+        rng.integers(0, 256, (40, 56)).astype(np.uint8),  # noise
+        np.where((xs // 8 + ys // 8) % 2 == 0, 255, 40).astype(
+            np.uint8
+        ),  # blocks
+    ]
+    for aplane in alphas:
+        rgba = np.dstack(
+            [((xs * 7) % 256), ((ys * 5) % 256), ((xs + ys) % 256),
+             aplane]
+        ).astype(np.uint8)
+        out = ctypes.c_void_p()
+        n = lib.WebPEncodeRGBA(
+            rgba.tobytes(), 56, 40, 56 * 4, 75.0, ctypes.byref(out)
+        )
+        assert n
+        blob = ctypes.string_at(out, n)
+        lib.WebPFree(out)
+        mine = vp8l.decode_webp(blob)["pixels"]
+        assert mine.shape == (40, 56, 4)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        p = lib.WebPDecodeRGBA(
+            blob, len(blob), ctypes.byref(w), ctypes.byref(h)
+        )
+        ref = np.frombuffer(
+            ctypes.string_at(p, 56 * 40 * 4), np.uint8
+        ).reshape(40, 56, 4).copy()
+        lib.WebPFree(ctypes.c_void_p(p))
+        assert (mine[:, :, 3] == ref[:, :, 3]).all()
+
+
+def test_alpha_plane_raw_and_filters():
+    # hand-built ALPH chunks: raw storage plus each prediction filter
+    rng = np.random.default_rng(23)
+    plane = rng.integers(0, 256, (9, 13)).astype(np.int64)
+    h, w = plane.shape
+    # raw, no filter
+    raw = bytes([0]) + plane.astype(np.uint8).tobytes()
+    got = vp8l.decode_alpha_plane(raw, w, h)
+    assert (got == plane).all()
+    # horizontal filter: residual[y][x] = a - pred (mod 256)
+    for filt in (1, 2, 3):
+        res = plane.copy()
+        for y in range(h - 1, -1, -1):
+            for x in range(w - 1, -1, -1):
+                if x == 0 and y == 0:
+                    continue
+                if filt == 1:
+                    p = plane[y, x - 1] if x else plane[y - 1, 0]
+                elif filt == 2:
+                    p = plane[y - 1, x] if y else plane[0, x - 1]
+                else:
+                    if y == 0:
+                        p = plane[0, x - 1]
+                    elif x == 0:
+                        p = plane[y - 1, 0]
+                    else:
+                        p = min(255, max(0, int(
+                            plane[y, x - 1] + plane[y - 1, x]
+                            - plane[y - 1, x - 1]
+                        )))
+                res[y, x] = (plane[y, x] - p) & 0xFF
+        blob = bytes([filt << 2]) + res.astype(np.uint8).tobytes()
+        got = vp8l.decode_alpha_plane(blob, w, h)
+        assert (got == plane).all(), filt
+    with pytest.raises(ValueError, match="truncated"):
+        vp8l.decode_alpha_plane(bytes([0]) + b"xy", w, h)
+    with pytest.raises(NotImplementedError, match="compression"):
+        vp8l.decode_alpha_plane(bytes([2]) + bytes(w * h), w, h)

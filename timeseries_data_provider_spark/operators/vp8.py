@@ -46,9 +46,11 @@ Output contract: ``pixels`` is (h, w, 3) uint8 RGB like every other
 decoder in the package; YUV->RGB uses BT.601 limited-range integer
 coefficients with nearest-neighbor chroma upsampling (documented
 package contract — the *decode* is validated in YUV space, where
-bit-exactness is well-defined). An ALPH chunk (VP8X extended files)
-is dropped, stated here: this is a dedup/feature tier, not a
-compositor.
+bit-exactness is well-defined). An ALPH chunk (VP8X extended
+files) decodes to a real alpha channel through
+vp8l.decode_alpha_plane (raw and lossless-coded forms, all four
+prediction filters) — output becomes (h, w, 4) RGBA, validated
+against libwebp's WebPDecodeRGBA.
 
 Hostile-input posture: dimension/area guard before any allocation,
 all partition sizes bounds-checked, the boolean decoder tolerates

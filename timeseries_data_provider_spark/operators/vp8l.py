@@ -20,8 +20,9 @@ Decoder scope (honest):
   wrap to the current row's first pixel), COLOR (signed
   ColorTransformDelta, blue uses the post-transform red),
   SUBTRACT_GREEN, COLOR_INDEXING (incl. sub-byte pixel bundling).
-- VP8 (lossy) stays a named NotImplementedError — it needs the VP8
-  entropy codec, a genuine codec-library boundary.
+- lossy VP8 keyframes route to operators/vp8 (r13), and VP8X ALPH
+  alpha planes decode here (raw + lossless-coded + all four
+  prediction filters) — RGBA out, WebPDecodeRGBA-validated.
 
 Cross-validation (r13, closing the r12 self-validation caveat): the
 decoder is now ALSO diffed against the system libwebp's independent
@@ -573,7 +574,23 @@ def decode_vp8l_stream(body: bytes) -> dict:
     if version != 0:
         raise NotImplementedError(f"webp: VP8L version {version}")
     br = _BitReader(body, 5 * 8)
+    argb = _decode_argb(br, w, h)
+    a = ((argb >> 24) & 0xFF).astype(np.uint8)
+    r = ((argb >> 16) & 0xFF).astype(np.uint8)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8)
+    b = (argb & 0xFF).astype(np.uint8)
+    if bool((a == 255).all()):
+        px = np.stack([r, g, b], axis=-1)
+    else:
+        px = np.stack([r, g, b, a], axis=-1)
+    return {"format": "webp", "width": w, "height": h, "pixels": px}
 
+
+def _decode_argb(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """The spatially-coded image BODY (transform walk + entropy-coded
+    data + inverse transforms) for known dims — shared between the
+    VP8L main image and ALPH alpha planes (which carry exactly this
+    stream without the signature/size header, r13)."""
     transforms = []  # (type, data...) in read order
     seen = set()
     xsize = w
@@ -632,15 +649,60 @@ def decode_vp8l_stream(body: bytes) -> dict:
         elif t[0] == "predictor":
             argb = _inv_predictor(argb, t[2], t[1])
 
-    a = ((argb >> 24) & 0xFF).astype(np.uint8)
-    r = ((argb >> 16) & 0xFF).astype(np.uint8)
-    g = ((argb >> 8) & 0xFF).astype(np.uint8)
-    b = (argb & 0xFF).astype(np.uint8)
-    if bool((a == 255).all()):
-        px = np.stack([r, g, b], axis=-1)
+    return argb
+
+
+def decode_alpha_plane(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a WebP ALPH chunk body to an (h, w) uint8 alpha plane
+    (r13 — VP8X lossy files carry alpha this way). Header byte:
+    bits 0-1 compression (0 raw, 1 lossless-coded), 2-3 filtering
+    (none/horizontal/vertical/gradient, inverted here), 4-5
+    pre-processing (informational). The lossless form is the VP8L
+    spatially-coded body WITHOUT signature/size — alpha rides the
+    GREEN channel ( _decode_argb is shared). Validated against
+    libwebp's WebPDecodeRGBA in tests/test_vp8.py."""
+    if not body:
+        raise ValueError("webp: empty ALPH chunk")
+    b0 = body[0]
+    comp = b0 & 3
+    filt = (b0 >> 2) & 3
+    if comp == 0:
+        if 1 + w * h > len(body):
+            raise ValueError("webp: raw ALPH plane truncated")
+        plane = np.frombuffer(
+            body, np.uint8, count=w * h, offset=1
+        ).reshape(h, w).astype(np.int64)
+    elif comp == 1:
+        br = _BitReader(body, 8)
+        argb = _decode_argb(br, w, h)
+        plane = ((argb >> 8) & 0xFF).astype(np.int64)
     else:
-        px = np.stack([r, g, b, a], axis=-1)
-    return {"format": "webp", "width": w, "height": h, "pixels": px}
+        raise NotImplementedError(
+            f"webp: ALPH compression method {comp}"
+        )
+    if filt:
+        # inverse prediction filters (container spec; libwebp
+        # filters.c conventions for the first row/column)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    continue
+                if filt == 1:  # horizontal
+                    p = plane[y, x - 1] if x else plane[y - 1, 0]
+                elif filt == 2:  # vertical
+                    p = plane[y - 1, x] if y else plane[0, x - 1]
+                else:  # gradient
+                    if y == 0:
+                        p = plane[0, x - 1]
+                    elif x == 0:
+                        p = plane[y - 1, 0]
+                    else:
+                        p = min(255, max(0, int(
+                            plane[y, x - 1] + plane[y - 1, x]
+                            - plane[y - 1, x - 1]
+                        )))
+                plane[y, x] = (plane[y, x] + p) & 0xFF
+    return plane.astype(np.uint8)
 
 
 def decode_webp(payload: bytes) -> dict:
@@ -690,15 +752,23 @@ def riff_chunks(payload: bytes, form: bytes):
 
 
 def _decode_webp(payload: bytes) -> dict:
+    alph = None
     for tag, body in riff_chunks(payload, b"WEBP"):
         if tag == b"VP8L":
             return decode_vp8l_stream(body)
+        if tag == b"ALPH":
+            alph = body
+            continue
         if tag == b"VP8 ":
-            # lossy keyframe decode (r13) — operators/vp8. An ALPH
-            # chunk in a VP8X file is dropped (stated in vp8.py).
+            # lossy keyframe decode (r13) — operators/vp8; a VP8X
+            # file's ALPH chunk decodes to a real alpha channel
             from . import vp8 as _vp8
 
-            return _vp8.decode_vp8_chunk(body)
+            d = _vp8.decode_vp8_chunk(body)
+            if alph is not None:
+                a = decode_alpha_plane(alph, d["width"], d["height"])
+                d["pixels"] = np.dstack([d["pixels"], a])
+            return d
     raise ValueError("webp: no VP8L or VP8 chunk found")
 
 
