@@ -130,7 +130,9 @@ def test_text_pdf_has_no_images():
 
 def test_named_gaps_and_hostile():
     blob = pdf.encode_scan_pdf([("gray8", GRAY)])
-    with pytest.raises(NotImplementedError, match="JPXDecode"):
+    # /JPXDecode DECODES as of r13 (operators/jpx) — a Flate raster
+    # relabeled as JPX is now corrupt data, not a named gap
+    with pytest.raises(ValueError, match="jpx"):
         pdf.extract_pdf_images(
             blob.replace(b"/FlateDecode", b"/JPXDecode\x20\x20")
         )

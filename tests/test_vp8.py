@@ -122,12 +122,23 @@ def test_pinned_goldens_decode_bit_exact():
 
 
 def test_decode_image_routing_returns_pixels():
-    mm.register_builtin_codecs()
-    blob = base64.b64decode(_GOLDENS["python_vp8x"][0])
-    d = mm.decode_image(blob)
-    assert d["format"] == "webp"
-    # the VP8X ALPH chunk decodes to a real alpha channel (r13)
-    assert d["pixels"] is not None and d["pixels"].shape == (16, 16, 4)
+    # snapshot the global codec registries: registering here must not
+    # leak into tests that assert empty-registry behavior
+    saved_img = dict(mm.IMAGE_CODECS)
+    saved_aud = dict(mm.AUDIO_CODECS)
+    try:
+        mm.register_builtin_codecs()
+        blob = base64.b64decode(_GOLDENS["python_vp8x"][0])
+        d = mm.decode_image(blob)
+        assert d["format"] == "webp"
+        # the VP8X ALPH chunk decodes to a real alpha channel (r13)
+        assert d["pixels"] is not None
+        assert d["pixels"].shape == (16, 16, 4)
+    finally:
+        mm.IMAGE_CODECS.clear()
+        mm.IMAGE_CODECS.update(saved_img)
+        mm.AUDIO_CODECS.clear()
+        mm.AUDIO_CODECS.update(saved_aud)
 
 
 @needs_libwebp
