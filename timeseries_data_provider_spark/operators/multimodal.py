@@ -8,9 +8,10 @@ batches, never row-at-a-time.
 Decode is REAL for every format parseable without third-party codec
 libraries (none are installed in this container):
 
-- **BMP** (24-bit uncompressed): full header + pixel decode —
-  ``struct`` for the BITMAPFILEHEADER/BITMAPINFOHEADER, ``numpy`` for
-  the padded bottom-up BGR pixel grid.
+- **BMP** (the full classic matrix as of r13: 1/4/8-bit palette,
+  BI_RLE8/BI_RLE4, 16-bit X1R5G5B5, BI_BITFIELDS at 16/32 bpp,
+  24/32-bit BI_RGB — JDK-cross-validated): full header + pixel
+  decode, channel order normalized to RGB.
 - **WAV**: full RIFF/fmt/data chunk walk — PCM 8 (unsigned offset-128)
   / 16 / 24-bit, IEEE float 32/64 (fmt code 3), and G.711 a-law/mu-law
   telephony bytes (fmt 6/7, CCITT table decode) — mono or interleaved
@@ -30,9 +31,10 @@ libraries (none are installed in this container):
   index unpacking, 16-bit downconverted >>8 to the 8-bit codec
   contract (the TIFF rule). Header-only payloads (no IDAT)
   decode to metadata with ``pixels=None``.
-- **JPEG/MP4/...**: entropy-coded formats genuinely require codec
-  libs; ``decode_image`` raises ``NotImplementedError`` for those with
-  the format named, as the documented plug-in point.
+- **JPEG/GIF/TIFF/WebP (VP8L + lossy VP8 + ALPH)/FLAC/JPX**:
+  in-repo entropy codecs registered via ``register_builtin_codecs``
+  (the plug-in contract); formats beyond those raise a named
+  ``NotImplementedError`` as the documented plug-in point.
 
 ``synth_media`` generates real BMP/WAV files deterministically from
 ``doc_id`` so the decode path is exercised end-to-end against an exact
