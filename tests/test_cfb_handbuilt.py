@@ -178,3 +178,91 @@ def test_handbuilt_utf16_piece_and_table1():
     )
     got = doc.doc_text(blob)
     assert got["text"] == text
+
+
+def test_handbuilt_xls_biff8_sst_width_switch():
+    # BIFF8 Workbook assembled from [MS-XLS] record layouts: an SST
+    # whose second string splits MID-STRING across a Continue record
+    # and SWITCHES width (UTF-16 -> compressed) at the boundary —
+    # the format's hardest rule — inside a hand-built CFB
+    import struct as _s
+
+    def rec(rtype, body):
+        return _s.pack("<HH", rtype, len(body)) + body
+
+    s1 = "Alpha"
+    # "Ω-mega": 2 UTF-16 chars in the SST record, 4 compressed chars
+    # in the Continue (fresh grbit 0x00)
+    sst_head = _s.pack("<II", 2, 2)
+    str1 = _s.pack("<HB", len(s1), 0) + s1.encode("latin-1")
+    str2_head = _s.pack("<HB", 6, 1) + "Ω-".encode("utf-16-le")
+    cont = b"\x00" + b"mega"
+    wb = (
+        rec(0x0809, _s.pack("<HH", 0x0600, 0x0005))
+        + rec(0x00FC, sst_head + str1 + str2_head)
+        + rec(0x003C, cont)
+        + rec(0x00FD, _s.pack("<HHHI", 0, 0, 15, 1))  # LABELSST
+        + rec(0x000A, b"")  # EOF
+    )
+    wb = wb.ljust(9 * 512, b"\x00")  # regular-sector stream
+    fat = [_FATSECT, _END] + list(range(3, 11)) + [_END]
+    dirsec = (
+        _dir_entry("Root Entry", 5, _END, 0, child=1)
+        + _dir_entry("Workbook", 2, 2, 9 * 512)
+        + bytes(128)
+        + bytes(128)
+    )
+    blob = (
+        _header(1, 1, _END, 0, 0) + _fat_sector(fat) + dirsec + wb
+    )
+    from timeseries_data_provider_spark.sources import xls
+
+    got = xls.xls_text(blob)
+    assert got["text"].splitlines() == ["Alpha", "Ω-mega"]
+    assert got["n_label_cells"] == 1
+
+
+def test_handbuilt_msg_property_streams():
+    # MAPI property streams ([MS-OXMSG] naming) through the miniFAT
+    # path of a hand-built CFB: subject as 001F UTF-16LE, body as
+    # 001E 8-bit
+    subject = "Hand subject 中".encode("utf-16-le")
+    body = b"Eight-bit body text."
+    # mini stream: subject at mini sector 0.., body after (64-byte
+    # mini sectors)
+    n_sub = (len(subject) + 63) // 64
+    n_body = (len(body) + 63) // 64
+    mini = bytearray(64 * (n_sub + n_body))
+    mini[: len(subject)] = subject
+    mini[64 * n_sub : 64 * n_sub + len(body)] = body
+    mini = mini.ljust(512, b"\x00")
+    minifat = (
+        list(range(1, n_sub)) + [_END]
+        + list(range(n_sub + 1, n_sub + n_body)) + [_END]
+    )
+    minifat += [_FREE] * (128 - len(minifat))
+    fat = [_FATSECT, _END, _END, _END]
+    dirsec = (
+        _dir_entry("Root Entry", 5, 3, len(mini), child=1)
+        + _dir_entry(
+            "__substg1.0_0037001F", 2, 0, len(subject), left=2
+        )
+        + _dir_entry(
+            "__substg1.0_1000001E", 2, n_sub, len(body)
+        )
+        + bytes(128)
+    )
+    import struct as _s
+
+    blob = (
+        _header(1, 1, 2, 1, 0)
+        + _fat_sector(fat)
+        + dirsec
+        + _s.pack("<128I", *minifat)
+        + bytes(mini)
+    )
+    from timeseries_data_provider_spark.sources import msg
+
+    got = msg.msg_text(blob)
+    assert got["subject"] == "Hand subject 中"
+    assert got["text"] == "Eight-bit body text."
