@@ -315,10 +315,21 @@ def test_jbig2_and_dct_decode_inversion():
 
 def test_decode_array_hostile():
     base = pdf.encode_scan_pdf([("gray8+dinv", GRAY)])
-    # non-binary endpoints: a tone-curve remap is a named gap
-    bad = base.replace(b"/Decode [1 0]", b"/Decode [0 2]")
-    with pytest.raises(NotImplementedError, match="Decode endpoints"):
-        pdf.extract_pdf_images(bad)
+    # fractional endpoints REMAP as of r13 (linear tone curve,
+    # floor(x+0.5)): [0 2] doubles the sample, clipped at 255
+    wide = base.replace(b"/Decode [1 0]", b"/Decode [0 2]")
+    got = pdf.extract_pdf_images(wide)[0]["pixels"]
+    want = np.clip(
+        np.floor(GRAY.astype(np.float64) * 2 + 0.5), 0, 255
+    ).astype(np.uint8)
+    assert (got == want).all()
+    # a half-range remap [0 0.5]
+    half = base.replace(b"/Decode [1 0]", b"/Decode [0 0.5]")
+    got = pdf.extract_pdf_images(half)[0]["pixels"]
+    want = np.floor(GRAY.astype(np.float64) * 0.5 + 0.5).astype(
+        np.uint8
+    )
+    assert (got == want).all()
     # wrong arity is malformed, not unsupported
     bad = base.replace(b"/Decode [1 0]", b"/Decode [1 0 1]")
     with pytest.raises(ValueError, match="Decode array"):

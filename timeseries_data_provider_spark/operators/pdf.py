@@ -1546,9 +1546,10 @@ def extract_pdf(payload: bytes) -> dict:
 # (r12); JPXDecode decodes the lossless-5/3 JPEG 2000 subset through
 # operators/jpx (r13 — the archive book-scan class; 9/7, tiling,
 # layers stay named inside that module). Fractional /Decode
-# endpoints (a tone-curve remap), symbol/text/refinement JBIG2
-# segments, and Separation/Lab spaces stay named
-# NotImplementedError gaps.
+# endpoints remap linearly as of r13 (_apply_decode — floor(x+0.5),
+# a stated colorimetric approximation; bilevel filters keep the
+# binary identity/inversion contract). Separation/Lab spaces stay
+# named NotImplementedError gaps.
 
 _MAX_IMAGE_PIXELS = 64 * 1024 * 1024
 
@@ -1617,6 +1618,60 @@ def _decode_inversion(objs, decode, ncomp: int) -> list:
                 "(identity and inversion only)"
             )
     return flags
+
+
+def _decode_remap(objs, decode, ncomp: int):
+    """General /Decode endpoints for 8-bit component rasters (r13 —
+    the fractional tone-curve remap was a named gap): returns None
+    for identity, else per-component (lo, hi) float pairs. The exact
+    integer identity/inversion behavior is preserved in
+    _apply_decode; fractional pairs remap linearly with
+    floor(x + 0.5) rounding (deterministic, stated — a colorimetric
+    approximation in the ICCBased spirit, fine for a dedup/feature
+    tier)."""
+    if decode is None:
+        return None
+    if not isinstance(decode, list) or len(decode) != 2 * ncomp:
+        raise ValueError(
+            f"pdf: /Decode array needs {2 * ncomp} numbers"
+        )
+    pairs = []
+    for i in range(ncomp):
+        lo = _resolve(objs, decode[2 * i])
+        hi = _resolve(objs, decode[2 * i + 1])
+        if not isinstance(lo, (int, float)) or not isinstance(
+            hi, (int, float)
+        ):
+            raise ValueError("pdf: non-numeric /Decode endpoint")
+        pairs.append((float(lo), float(hi)))
+    if all(p == (0.0, 1.0) for p in pairs):
+        return None
+    return pairs
+
+
+def _apply_decode(px, pairs):
+    """Apply /Decode endpoint pairs to a 0..255 uint8 array —
+    bit-exact for the identity and [1 0] inversion (the oracle-scored
+    paths), linear remap with floor(x+0.5) otherwise."""
+    import numpy as np
+
+    if pairs is None:
+        return px
+    chans = [px] if px.ndim == 2 else [
+        px[:, :, c] for c in range(px.shape[2])
+    ]
+    out = []
+    for ch, (lo, hi) in zip(chans, pairs):
+        if (lo, hi) == (0.0, 1.0):
+            out.append(ch)
+        elif (lo, hi) == (1.0, 0.0):
+            out.append(255 - ch)
+        else:
+            x = lo * 255.0 + ch.astype(np.float64) * (hi - lo)
+            out.append(
+                np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+            )
+    return out[0] if px.ndim == 2 else np.stack(out, axis=2)
 
 
 def _invert_channels(px, flags):
@@ -1692,9 +1747,9 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
                 f"dict says {w}x{h}"
             )
         nch = 1 if px.ndim == 2 else px.shape[2]
-        px = _invert_channels(
+        px = _apply_decode(
             px,
-            _decode_inversion(
+            _decode_remap(
                 objs, _resolve(objs, val.get("Decode")), nch
             ),
         )
@@ -1752,9 +1807,9 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
                 f"dict says {w}x{h}"
             )
         nch = 1 if px.ndim == 2 else px.shape[2]
-        px = _invert_channels(
+        px = _apply_decode(
             px,
-            _decode_inversion(
+            _decode_remap(
                 objs, _resolve(objs, val.get("Decode")), nch
             ),
         )
@@ -1888,8 +1943,8 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         samples = _unpack_samples(data, w, h, 1, bpc)[:, :, 0]
         scale = 255 // ((1 << bpc) - 1)
         px = (samples.astype(np.uint16) * scale).astype(np.uint8)
-        px = _invert_channels(
-            px, _decode_inversion(objs, _resolve(objs, val.get("Decode")), 1)
+        px = _apply_decode(
+            px, _decode_remap(objs, _resolve(objs, val.get("Decode")), 1)
         )
         return {
             "width": w,
@@ -1902,8 +1957,8 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         if bpc != 8:
             raise NotImplementedError(f"pdf: {bpc}-bit RGB components")
         px = _unpack_samples(data, w, h, 3, 8)
-        px = _invert_channels(
-            px, _decode_inversion(objs, _resolve(objs, val.get("Decode")), 3)
+        px = _apply_decode(
+            px, _decode_remap(objs, _resolve(objs, val.get("Decode")), 3)
         )
         return {
             "width": w,
@@ -1920,8 +1975,8 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
                 f"pdf: {bpc}-bit CMYK components"
             )
         px = _unpack_samples(data, w, h, 4, 8)
-        px = _invert_channels(
-            px, _decode_inversion(objs, _resolve(objs, val.get("Decode")), 4)
+        px = _apply_decode(
+            px, _decode_remap(objs, _resolve(objs, val.get("Decode")), 4)
         )
         return {
             "width": w,
