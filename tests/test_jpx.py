@@ -176,3 +176,52 @@ def test_pdf_jpx_scan_chain():
     bad = broken.replace(b"/Width 41", b"/Width 40")
     with pytest.raises(ValueError, match="dict says"):
         pdf.extract_pdf_images(bad)
+
+
+def test_dwt53_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(1 << 20), max_value=1 << 20),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def check(xs):
+        x = np.array(xs, np.int64)
+        lo, hi = jpx._fdwt53_1d(x)
+        assert (jpx._idwt53_1d(lo, hi) == x).all()
+
+    check()
+
+
+def test_tier1_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=3),
+        st.data(),
+    )
+    def check(h, w, oi, data):
+        orient = ("LL", "HL", "LH", "HH")[oi]
+        c = np.array(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=-300, max_value=300),
+                    min_size=h * w,
+                    max_size=h * w,
+                )
+            ),
+            np.int64,
+        ).reshape(h, w)
+        n_planes = max(1, int(np.abs(c).max()).bit_length())
+        seg = jpx._encode_codeblock(c, orient, n_planes)
+        back = jpx._decode_codeblock(seg, h, w, orient, n_planes)
+        assert (back == c).all()
+
+    check()

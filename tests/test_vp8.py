@@ -480,3 +480,31 @@ def test_alpha_plane_raw_and_filters():
         vp8l.decode_alpha_plane(bytes([0]) + b"xy", w, h)
     with pytest.raises(NotImplementedError, match="compression"):
         vp8l.decode_alpha_plane(bytes([2]) + bytes(w * h), w, h)
+
+
+def test_bool_coder_roundtrip_property():
+    # hypothesis: arbitrary (prob, bit) sequences round-trip through
+    # the RFC 6386 boolean encoder/decoder pair
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=254),
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=0,
+            max_size=400,
+        )
+    )
+    def check(seq):
+        enc = V._BoolEnc()
+        for prob, bit in seq:
+            enc.put(prob, bit)
+        data = enc.finish()
+        dec = V._Bool(data)
+        for prob, bit in seq:
+            assert dec.bit(prob) == bit
+
+    check()
