@@ -53,8 +53,9 @@ EXPLAINED_MOVES: dict[str, dict] = {
     },
     "q64_corpus_signals": {
         "round": 13,
-        "note": "r13: JPX (JPEG 2000 lossless 5/3) scan_px rotation "
-        "arm + CID-keyed CFF (FontFile3) font plant in the PDF chain",
+        "note": "r13: JPX (JPEG 2000 lossless 5/3) scan_px2 page "
+        "rotation (id%3: Flate/codestream/JP2 box) + the 6-way font "
+        "rotation adding Type1C and OpenType-CFF (FontFile3) plants",
     },
 }
 
