@@ -134,11 +134,12 @@ def test_hostile_inputs_named_errors():
     _s.pack_into(">II", big, at, 100000, 100000)
     with pytest.raises(ValueError, match="pixel guard"):
         jpx.decode_jpx(bytes(big))
-    # 9/7 wavelet is a named gap
+    # 9/7 DECODES as of r13 late — but a 9/7 flag over a
+    # no-quantization QCD is inconsistent and loud
     w97 = bytearray(good)
     cod_at = good.index(b"\xff\x52")
     w97[cod_at + 13] = 0  # SPcod transform byte
-    with pytest.raises(NotImplementedError, match="9/7"):
+    with pytest.raises(ValueError, match="no-quantization"):
         jpx.decode_jpx(bytes(w97))
     # multiple layers named
     lay = bytearray(good)
@@ -225,3 +226,50 @@ def test_tier1_roundtrip_property():
         assert (back == c).all()
 
     check()
+
+
+def test_irreversible_97_roundtrip_and_consistency():
+    # the real-world lossy default (r13 late): 9/7 + expounded
+    # scalar quantizer + ICT; self round-trip within quantization
+    # error (posture stated in the module docstring)
+    rng = np.random.default_rng(4)
+    ys, xs = np.mgrid[0:40, 0:56]
+    gray = ((xs * 3 + ys * 5) % 256).astype(np.uint8)
+    rgb = np.stack(
+        [(xs * 7) % 256, (ys * 3) % 256, (xs * ys) % 256], 2
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (23, 31)).astype(np.uint8)
+    for img, tol in ((gray, 1), (rgb, 2), (noise, 3)):
+        for levels in (1, 3):
+            blob = jpx.encode_jpx(
+                img, levels=levels, irreversible=True
+            )
+            d = jpx.decode_jpx(blob)
+            err = np.abs(
+                d["pixels"].astype(int) - img.astype(int)
+            ).max()
+            assert err <= tol, (img.shape, levels, err)
+    # more planes -> tighter reconstruction
+    blob = jpx.encode_jpx(rgb, levels=2, irreversible=True, planes=14)
+    d = jpx.decode_jpx(blob)
+    assert np.abs(d["pixels"].astype(int) - rgb.astype(int)).max() == 0
+    # 1D 9/7 lifting is numerically lossless pre-quantization
+    for n in (1, 2, 7, 40):
+        x = rng.normal(0, 200, n)
+        lo, hi = jpx._fdwt97_1d(x)
+        assert np.abs(jpx._idwt97_1d(lo, hi) - x).max() < 1e-9
+    # mixed wavelet/QCD styles are loud both ways
+    blob97 = jpx.encode_jpx(gray, levels=1, irreversible=True)
+    import struct as _s
+
+    cod_at = blob97.index(b"\xff\x52")
+    flip = bytearray(blob97)
+    flip[cod_at + 13] = 1  # claim 5/3 over a style-2 QCD
+    with pytest.raises(ValueError, match="expounded"):
+        jpx.decode_jpx(bytes(flip))
+    # QCD style 1 (scalar derived) is the remaining named gap
+    qcd_at = blob97.index(b"\xff\x5c")
+    der = bytearray(blob97)
+    der[qcd_at + 4] = (der[qcd_at + 4] & 0xE0) | 1
+    with pytest.raises(NotImplementedError, match="style 1"):
+        jpx.decode_jpx(bytes(der))

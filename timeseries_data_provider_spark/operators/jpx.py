@@ -13,8 +13,8 @@ shape a *lossless scan* actually uses, end to end:
   unsigned, no subsampling;
 - COD: LRCP progression, ONE quality layer, 0..6 decomposition
   levels, maximal precincts (the default), code-blocks to 64x64,
-  reversible 5/3 wavelet, optional RCT (the reversible multiple-
-  component transform), optional SOP/EPH marker framing;
+  reversible 5/3 OR irreversible 9/7 wavelets, optional RCT/ICT
+  component transforms, optional SOP/EPH marker framing;
 - QCD: no-quantization (reversible) signalling, guard bits +
   exponents feeding the bit-plane count;
 - Tier-2: packet headers with inclusion/zero-bitplane TAG TREES,
@@ -28,11 +28,16 @@ shape a *lossless scan* actually uses, end to end:
 - inverse 5/3 lifting with symmetric extension across all levels,
   inverse RCT, DC level shift.
 
-Named NotImplementedError gaps (quarantine, never garbage): 9/7
-irreversible wavelet, quantized (non-reversible) QCD styles, tiled
-images, multiple layers, precinct subdivision, progression orders
-other than LRCP, coder options (bypass/reset/termination/segmark),
-subsampled or >8-bit components, JPP/JPT streams.
+The 9/7 IRREVERSIBLE path (r13 late — the real-world lossy
+default: OpenJPEG/Kakadu emit single-tile single-layer LRCP 9/7)
+shares the whole Tier-1/2 machinery and adds float lifting, the
+expounded scalar quantizer (QCD style 2, (eps, mantissa)-coded
+deltas), and the irreversible color transform; see the 9/7 section
+for the stated normalization posture. Named NotImplementedError
+gaps (quarantine, never garbage): QCD style 1 (scalar derived),
+tiled images, multiple layers, precinct subdivision, progression
+orders other than LRCP, coder options (bypass/reset/termination/
+segmark), subsampled or >8-bit components, JPP/JPT streams.
 
 Validation posture, stated: no independent JPEG 2000 implementation
 exists in this container (the JDK has none), so — like the JBIG2-MQ
@@ -691,6 +696,8 @@ def encode_jpx(
     sop: bool = False,
     eph: bool = False,
     jp2: bool = False,
+    irreversible: bool = False,
+    planes: int = 10,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
     ``jp2``): one tile, one layer, LRCP. ``pixels`` is (h, w) gray
@@ -721,24 +728,33 @@ def encode_jpx(
         r = px[:, :, 0].astype(np.int64) - 128
         g = px[:, :, 1].astype(np.int64) - 128
         b = px[:, :, 2].astype(np.int64) - 128
-        if mct:
+        if mct and irreversible:
+            rf, gf, bf = (c.astype(np.float64) for c in (r, g, b))
+            y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+            cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf
+            cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+            comps = [y, cb, cr]
+        elif mct:
             y = (r + 2 * g + b) >> 2
             cb = b - g
             cr = r - g
             comps = [y, cb, cr]
         else:
             comps = [r, g, b]
+    if irreversible:
+        comps = [c.astype(np.float64) for c in comps]
 
     # wavelet decomposition per component
     ll0, band_list = _band_sizes(w, h, levels)
     per_comp_bands: list[dict] = []
+    fdwt = _fdwt97_2d if irreversible else _fdwt53_2d
     for c in comps:
         cur = c
         bands: dict = {}
         for lvl in range(levels):
             r = levels - lvl  # this pass produces resolution r bands
-            ll, t_hl, t_lh, hh = _fdwt53_2d(cur)
-            # _fdwt53_2d's 2nd output is horizontally-high = T.800 HL
+            ll, t_hl, t_lh, hh = fdwt(cur)
+            # the 2d forward's 2nd output is horizontally-high = HL
             bands[(r, "HL")] = t_hl
             bands[(r, "LH")] = t_lh
             bands[(r, "HH")] = hh
@@ -746,17 +762,55 @@ def encode_jpx(
         bands[(0, "LL")] = cur
         per_comp_bands.append(bands)
 
+    deltas: dict = {}
+    qcodes: dict = {}
+    if irreversible:
+        # expounded scalar quantizer (QCD style 2): one delta per
+        # subband, (eps, mantissa)-coded so the decoder re-derives
+        # EXACTLY the delta the encoder divided by. The delta is
+        # picked from the band's actual max so `planes` bit-planes
+        # cover it (shared across components per the QCD scope).
+        for key in [(0, "LL")] + [
+            (r, nm) for r, nm, _w2, _h2 in band_list
+        ]:
+            mx = 0.0
+            for bands in per_comp_bands:
+                if bands[key].size:
+                    mx = max(mx, float(np.abs(bands[key]).max()))
+            r_b = 8 + _GAIN[key[1]]
+            want = max(mx / (1 << planes), 1e-6)
+            e, m = _delta_to_code(want, r_b)
+            qcodes[key] = (e, m)
+            deltas[key] = _code_to_delta(e, m, r_b)
+        for bands in per_comp_bands:
+            for key in bands:
+                f = bands[key]
+                q = np.floor(np.abs(f) / deltas[key]).astype(np.int64)
+                bands[key] = (q * np.sign(f)).astype(np.int64)
+
     # bit-depth / guard bits: make Mb cover the widest coefficient
-    eps = {b: 8 + _GAIN[b] for b in ("LL", "HL", "LH", "HH")}
-    need = 1
-    for bands in per_comp_bands:
-        for (r, name), arr in bands.items():
-            if arr.size:
-                m = int(np.abs(arr).max())
-                nm = m.bit_length() - (eps[name] - 1)
-                need = max(need, nm + 1)
-    guard = min(7, max(2, need))
-    mb = {b: guard + eps[b] - 1 for b in eps}
+    if irreversible:
+        eps = {}
+        need = 1
+        for key, (e, _m) in qcodes.items():
+            mx = 0
+            for bands in per_comp_bands:
+                if bands[key].size:
+                    mx = max(mx, int(np.abs(bands[key]).max()))
+            need = max(need, mx.bit_length() - (e - 1) + 1)
+        guard = min(7, max(2, need))
+        mb = {key: guard + e - 1 for key, (e, _m) in qcodes.items()}
+    else:
+        eps = {b: 8 + _GAIN[b] for b in ("LL", "HL", "LH", "HH")}
+        need = 1
+        for bands in per_comp_bands:
+            for (r, name), arr in bands.items():
+                if arr.size:
+                    m = int(np.abs(arr).max())
+                    nm = m.bit_length() - (eps[name] - 1)
+                    need = max(need, nm + 1)
+        guard = min(7, max(2, need))
+        mb = {b: guard + eps[b] - 1 for b in eps}
 
     # packets (LRCP: layer 0 -> res -> comp)
     body = bytearray()
@@ -800,7 +854,10 @@ def encode_jpx(
                                 continue
                             np_ = mx.bit_length()
                             incl_leaf[by, bx] = 0
-                            zbp_leaf[by, bx] = mb[nm] - np_
+                            mb_b = (
+                                mb[(r, nm) if irreversible else nm]
+                            )
+                            zbp_leaf[by, bx] = mb_b - np_
                             if zbp_leaf[by, bx] < 0:
                                 raise ValueError(
                                     "jpx: coefficient wider than Mb"
@@ -868,17 +925,29 @@ def encode_jpx(
         cb_exp[0] - 2,
         cb_exp[1] - 2,
         0,  # no coder options
-        1,  # 5/3 reversible
+        0 if irreversible else 1,  # 9/7 vs 5/3
     )
     n_sb = 3 * levels + 1
-    sqcd = bytes([(guard << 5) | 0])
-    sb_eps = [eps["LL"]] + [
-        eps[nm] for _r in range(1, levels + 1)
-        for nm in ("HL", "LH", "HH")
-    ]
-    qcd = struct.pack(">H", 3 + n_sb) + sqcd + bytes(
-        e << 3 for e in sb_eps
-    )
+    if irreversible:
+        sqcd = bytes([(guard << 5) | 2])
+        keys = [(0, "LL")] + [
+            (r, nm)
+            for r in range(1, levels + 1)
+            for nm in ("HL", "LH", "HH")
+        ]
+        qcd = struct.pack(">H", 3 + 2 * n_sb) + sqcd + b"".join(
+            struct.pack(">H", (qcodes[k][0] << 11) | qcodes[k][1])
+            for k in keys
+        )
+    else:
+        sqcd = bytes([(guard << 5) | 0])
+        sb_eps = [eps["LL"]] + [
+            eps[nm] for _r in range(1, levels + 1)
+            for nm in ("HL", "LH", "HH")
+        ]
+        qcd = struct.pack(">H", 3 + n_sb) + sqcd + bytes(
+            e << 3 for e in sb_eps
+        )
     tile = bytes(body)
     psot = 12 + len(tile) + 2  # SOT seg + SOD + data
     sot = struct.pack(">HHIBB", 10, 0, psot, 0, 1)
@@ -1020,31 +1089,54 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             f"jpx: coder options {cb_style:#x} (bypass/reset/"
             "termination/segmark)"
         )
-    if wavelet != 1:
-        raise NotImplementedError("jpx: 9/7 irreversible wavelet")
+    if wavelet not in (0, 1):
+        raise ValueError(f"jpx: wavelet id {wavelet}")
+    irreversible = wavelet == 0
     if levels > 6 or cbe_w > 4 or cbe_h > 4:
         raise ValueError("jpx: implausible COD parameters")
     cbw, cbh = 1 << (cbe_w + 2), 1 << (cbe_h + 2)
 
     sqcd = qcd[2]
-    if sqcd & 0x1F:
-        raise NotImplementedError(
-            "jpx: quantized (irreversible) QCD style"
-        )
+    q_style = sqcd & 0x1F
     guard = sqcd >> 5
-    sb_eps = [b >> 3 for b in qcd[3:]]
     n_sb = 3 * levels + 1
-    if len(sb_eps) < n_sb:
-        raise ValueError("jpx: QCD shorter than the subband count")
+    keys = [(0, "LL")] + [
+        (r, nm)
+        for r in range(1, levels + 1)
+        for nm in ("HL", "LH", "HH")
+    ]
+    deltas = None
+    if q_style == 0:
+        if irreversible:
+            raise ValueError(
+                "jpx: no-quantization QCD with the 9/7 wavelet"
+            )
+        sb_eps = [b >> 3 for b in qcd[3:]]
+        if len(sb_eps) < n_sb:
+            raise ValueError("jpx: QCD shorter than the subband count")
+        mb_of = {k2: guard + sb_eps[i] - 1 for i, k2 in enumerate(keys)}
+    elif q_style == 2:
+        if not irreversible:
+            raise ValueError(
+                "jpx: expounded scalar QCD with the 5/3 wavelet"
+            )
+        body = qcd[3:]
+        if len(body) < 2 * n_sb:
+            raise ValueError("jpx: QCD shorter than the subband count")
+        deltas = {}
+        mb_of = {}
+        for i, k2 in enumerate(keys):
+            (v,) = struct.unpack_from(">H", body, 2 * i)
+            e, m = v >> 11, v & 0x7FF
+            r_b = 8 + _GAIN[k2[1]]
+            deltas[k2] = _code_to_delta(e, m, r_b)
+            mb_of[k2] = guard + e - 1
+    else:
+        raise NotImplementedError(
+            f"jpx: QCD style {q_style} (scalar-derived stays named)"
+        )
 
     ll0, band_list = _band_sizes(w, h, levels)
-    # map (res, band) -> Mb
-    mb_of = {(0, "LL"): guard + sb_eps[0] - 1}
-    k = 1
-    for r in range(1, levels + 1):
-        for nm in ("HL", "LH", "HH"):
-            mb_of[(r, nm)] = guard + sb_eps[k] - 1
-            k += 1
 
     # parse packets
     rd_at = tile_at
@@ -1125,20 +1217,47 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     outs = []
     for ci in range(n_comp):
         bands = per_comp_bands[ci]
-        cur = bands[(0, "LL")]
-        for r in range(1, levels + 1):
-            cur = _idwt53_2d(
-                cur, bands[(r, "HL")], bands[(r, "LH")],
-                bands[(r, "HH")],
-            )
+        if irreversible:
+            bands = {
+                k2: bands[k2].astype(np.float64) * deltas[k2]
+                for k2 in bands
+            }
+            cur = bands[(0, "LL")]
+            for r in range(1, levels + 1):
+                cur = _idwt97_2d(
+                    cur, bands[(r, "HL")], bands[(r, "LH")],
+                    bands[(r, "HH")],
+                )
+        else:
+            cur = bands[(0, "LL")]
+            for r in range(1, levels + 1):
+                cur = _idwt53_2d(
+                    cur, bands[(r, "HL")], bands[(r, "LH")],
+                    bands[(r, "HH")],
+                )
         outs.append(cur)
     if n_comp == 3 and mct_f:
-        y, cb, cr = outs
-        g = y - ((cb + cr) >> 2)
-        rr = cr + g
-        bb = cb + g
-        outs = [rr, g, bb]
-    px = [np.clip(o + 128, 0, 255).astype(np.uint8) for o in outs]
+        if irreversible:
+            y, cb, cr = (o.astype(np.float64) for o in outs)
+            rr = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            bb = y + 1.772 * cb
+            outs = [rr, g, bb]
+        else:
+            y, cb, cr = outs
+            g = y - ((cb + cr) >> 2)
+            rr = cr + g
+            bb = cb + g
+            outs = [rr, g, bb]
+    if irreversible:
+        px = [
+            np.clip(np.floor(o + 128.5), 0, 255).astype(np.uint8)
+            for o in outs
+        ]
+    else:
+        px = [
+            np.clip(o + 128, 0, 255).astype(np.uint8) for o in outs
+        ]
     pixels = px[0] if n_comp == 1 else np.stack(px, axis=2)
     return {
         "format": "jp2",
@@ -1146,3 +1265,168 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         "height": h,
         "pixels": pixels,
     }
+
+
+# ---------------------------------------------------------------------------
+# 9/7 irreversible path (r13 late): the real-world LOSSY JPEG 2000
+# default (OpenJPEG/Kakadu emit single-tile single-layer LRCP 9/7 —
+# the Tier-1/2 machinery above is shared; only the wavelet, the
+# scalar quantizer, and the component transform differ).
+#
+# Normalization posture, stated: the four lifting constants and the
+# ICT matrix are the spec's exact values; the final K scaling pair
+# follows the common implementation convention (low x 1/K forward /
+# x K inverse, high x 2/K forward / x K/2 inverse). Encoder and
+# decoder mirror each other exactly and the quantizer deltas are
+# (eps, mantissa)-coded per subband, so in-repo streams round-trip
+# within quantization error by construction; with no independent
+# JPEG 2000 implementation in this container the cross-decoder
+# normalization cannot be verified here — the same stated
+# self-validation tier as the 5/3 path, one notch weaker.
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fdwt97_1d(x: np.ndarray):
+    n = len(x)
+    if n == 1:
+        return x.astype(np.float64).copy(), np.zeros(0, np.float64)
+    y = x.astype(np.float64).copy()
+
+    def ext(i):
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return y[i]
+
+    for a in (_A97, _G97):  # predict steps on odd samples
+        prev = y.copy()
+
+        def e(i, prev=prev):
+            if i < 0:
+                i = -i
+            if i >= n:
+                i = 2 * n - 2 - i
+            return prev[i]
+
+        for i in range(1, n, 2):
+            y[i] = prev[i] + a * (e(i - 1) + e(i + 1))
+        if a == _A97:
+            # update step beta on even samples
+            prev2 = y.copy()
+
+            def e2(i, prev2=prev2):
+                if i < 0:
+                    i = -i
+                if i >= n:
+                    i = 2 * n - 2 - i
+                return prev2[i]
+
+            for i in range(0, n, 2):
+                y[i] = prev2[i] + _B97 * (e2(i - 1) + e2(i + 1))
+        else:
+            prev2 = y.copy()
+
+            def e2(i, prev2=prev2):
+                if i < 0:
+                    i = -i
+                if i >= n:
+                    i = 2 * n - 2 - i
+                return prev2[i]
+
+            for i in range(0, n, 2):
+                y[i] = prev2[i] + _D97 * (e2(i - 1) + e2(i + 1))
+    low = y[0::2] * (1.0 / _K97)
+    high = y[1::2] * (2.0 / _K97)
+    return low, high
+
+
+def _idwt97_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    n = len(low) + len(high)
+    if n == 1:
+        return low.astype(np.float64).copy()
+    y = np.zeros(n, np.float64)
+    y[0::2] = np.asarray(low, np.float64) * _K97
+    y[1::2] = np.asarray(high, np.float64) * (_K97 / 2.0)
+
+    def steps(pairs):
+        for coef, parity in pairs:
+            prev = y.copy()
+
+            def e(i, prev=prev):
+                if i < 0:
+                    i = -i
+                if i >= n:
+                    i = 2 * n - 2 - i
+                return prev[i]
+
+            for i in range(parity, n, 2):
+                y[i] = prev[i] - coef * (e(i - 1) + e(i + 1))
+
+    steps([(_D97, 0), (_G97, 1), (_B97, 0), (_A97, 1)])
+    return y
+
+
+def _fdwt97_2d(a: np.ndarray):
+    h, w = a.shape
+    lo_cols = np.zeros(((h + 1) // 2, w), np.float64)
+    hi_cols = np.zeros((h // 2, w), np.float64)
+    for c in range(w):
+        lo, hi = _fdwt97_1d(a[:, c])
+        lo_cols[:, c] = lo
+        if hi.size:
+            hi_cols[:, c] = hi
+    out = {}
+    for name, rows in (("L", lo_cols), ("H", hi_cols)):
+        ll = np.zeros((rows.shape[0], (w + 1) // 2), np.float64)
+        hh = np.zeros((rows.shape[0], w // 2), np.float64)
+        for r in range(rows.shape[0]):
+            lo, hi = _fdwt97_1d(rows[r])
+            ll[r] = lo
+            if hi.size:
+                hh[r] = hi
+        out[name + "L"], out[name + "H"] = ll, hh
+    return out["LL"], out["LH"], out["HL"], out["HH"]
+
+
+def _idwt97_2d(ll, lh, hl, hh):
+    top_h = ll.shape[0] + hl.shape[0]
+    out_w = ll.shape[1] + lh.shape[1]
+    rows_l = np.zeros((ll.shape[0], out_w), np.float64)
+    for r in range(ll.shape[0]):
+        rows_l[r] = _idwt97_1d(ll[r], lh[r])
+    rows_h = np.zeros((hl.shape[0], out_w), np.float64)
+    for r in range(hl.shape[0]):
+        rows_h[r] = _idwt97_1d(hl[r], hh[r])
+    out = np.zeros((top_h, out_w), np.float64)
+    for c in range(out_w):
+        out[:, c] = _idwt97_1d(rows_l[:, c], rows_h[:, c])
+    return out
+
+
+def _delta_to_code(delta: float, r_b: int) -> tuple[int, int]:
+    """(eps, mantissa) for QCD style 2 so that
+    delta == 2^(r_b - eps) * (1 + mant/2048) EXACTLY as re-derived by
+    the decoder (the encoder re-reads its own code)."""
+    import math
+
+    e = r_b - math.floor(math.log2(delta))
+    m = round((delta / (2.0 ** (r_b - e)) - 1.0) * 2048)
+    while m >= 2048:
+        e -= 1
+        m = round((delta / (2.0 ** (r_b - e)) - 1.0) * 2048)
+    while m < 0:
+        e += 1
+        m = round((delta / (2.0 ** (r_b - e)) - 1.0) * 2048)
+    e = max(0, min(31, e))
+    m = max(0, min(2047, m))
+    return e, m
+
+
+def _code_to_delta(eps: int, mant: int, r_b: int) -> float:
+    return (2.0 ** (r_b - eps)) * (1.0 + mant / 2048.0)
