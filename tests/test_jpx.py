@@ -141,11 +141,17 @@ def test_hostile_inputs_named_errors():
     w97[cod_at + 13] = 0  # SPcod transform byte
     with pytest.raises(ValueError, match="no-quantization"):
         jpx.decode_jpx(bytes(w97))
-    # multiple layers named
+    # layers DECODE as of r13 late; a header claiming more layers
+    # than the stream carries is loud damage, and an implausible
+    # count is guarded
     lay = bytearray(good)
     _s.pack_into(">H", lay, cod_at + 6, 3)
-    with pytest.raises(NotImplementedError, match="layers"):
+    with pytest.raises(ValueError, match="jpx"):
         jpx.decode_jpx(bytes(lay))
+    lay2 = bytearray(good)
+    _s.pack_into(">H", lay2, cod_at + 6, 999)
+    with pytest.raises(ValueError, match="implausible layer"):
+        jpx.decode_jpx(bytes(lay2))
     # truncated codeblock data
     with pytest.raises(ValueError, match="truncated|header"):
         jpx.decode_jpx(good[:-20])
@@ -273,3 +279,45 @@ def test_irreversible_97_roundtrip_and_consistency():
     der[qcd_at + 4] = (der[qcd_at + 4] & 0xE0) | 1
     with pytest.raises(NotImplementedError, match="style 1"):
         jpx.decode_jpx(bytes(der))
+
+
+def test_multi_layer_roundtrip_and_truncation():
+    # quality layers (r13 late): tag-tree/Lblock/pass state persists
+    # across layers, chunks concatenate, and Tier-1 runs with the
+    # summed pass budget — so TRUNCATED layered streams decode
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for layers in (2, 3, 5):
+        blob = jpx.encode_jpx(img, levels=2, layers=layers)
+        assert (jpx.decode_jpx(blob)["pixels"] == img).all(), layers
+    # the desync trap: blocks whose total passes < layer count get
+    # their first inclusion in a LATER layer via the tag tree
+    flat = np.full((20, 20), 128, np.uint8)
+    flat[3, 4] = 129
+    for layers in (3, 8):
+        blob = jpx.encode_jpx(flat, levels=2, layers=layers)
+        assert (jpx.decode_jpx(blob)["pixels"] == flat).all(), layers
+    # lossy multi-layer
+    rgb = rng.integers(0, 256, (24, 33, 3)).astype(np.uint8)
+    blob = jpx.encode_jpx(
+        rgb, levels=3, layers=4, irreversible=True, planes=12
+    )
+    d = jpx.decode_jpx(blob)
+    assert np.abs(
+        d["pixels"].astype(int) - rgb.astype(int)
+    ).max() <= 2
+    # pass-budget truncation at the Tier-1 level: decoding a prefix
+    # with fewer passes yields a coarser but valid block
+    c = rng.integers(-200, 200, (16, 16))
+    n_planes = int(np.abs(c).max()).bit_length()
+    data, marks = jpx._encode_codeblock(c, "HH", n_planes,
+                                        want_marks=True)
+    total = 3 * n_planes - 2
+    errs = []
+    for k in (1, total // 2, total):
+        part = jpx._decode_codeblock(
+            data[: marks[k - 1] + 8], 16, 16, "HH", n_planes,
+            n_passes=k,
+        )
+        errs.append(int(np.abs(part - c).max()))
+    assert errs[0] >= errs[1] >= errs[2] == 0

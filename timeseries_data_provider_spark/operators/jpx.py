@@ -349,7 +349,8 @@ class _Block:
 
 
 def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
-               get_bit=None, get_sign=None):
+               get_bit=None, get_sign=None,
+               which=("SP", "MR", "CU")):
     """Run the three coding passes of one bit-plane over a codeblock
     in both directions: when ``encode`` the callbacks read the truth
     (magnitude bit / sign) and the MQ encoder writes; otherwise the
@@ -387,7 +388,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
         return became
 
     # pass 1: significance propagation
-    for y0 in range(0, h, 4):
+    for y0 in (range(0, h, 4) if "SP" in which else ()):
         for x in range(w):
             for y in range(y0, min(y0 + 4, h)):
                 if blk.sig[y + 1, x + 1] or blk.zc_ctx(y, x) == 0:
@@ -396,7 +397,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                 blk.visited[y, x] = True
 
     # pass 2: magnitude refinement
-    for y0 in range(0, h, 4):
+    for y0 in (range(0, h, 4) if "MR" in which else ()):
         for x in range(w):
             for y in range(y0, min(y0 + 4, h)):
                 if not blk.sig[y + 1, x + 1] or blk.visited[y, x]:
@@ -415,7 +416,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                 blk.visited[y, x] = True
 
     # pass 3: cleanup (with run-length shortcut)
-    for y0 in range(0, h, 4):
+    for y0 in (range(0, h, 4) if "CU" in which else ()):
         for x in range(w):
             y = y0
             strip_h = min(4, h - y0)
@@ -471,30 +472,50 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                 if blk.visited[y, x] or blk.sig[y + 1, x + 1]:
                     continue
                 sig_code(y, x)
-    blk.visited[:] = False
+    if "CU" in which:
+        # the plane is complete: clear the membership marks (when a
+        # truncated block never reaches its cleanup pass nothing
+        # after it reads them, so per-pass invocation stays correct)
+        blk.visited[:] = False
 
 
 def _decode_codeblock(
-    data: bytes, h: int, w: int, orient: str, n_planes: int
+    data: bytes, h: int, w: int, orient: str, n_planes: int,
+    n_passes: int | None = None,
 ) -> np.ndarray:
-    """Tier-1 decode of one codeblock segment into signed ints."""
+    """Tier-1 decode of one codeblock segment into signed ints.
+    ``n_passes`` bounds the coding passes actually run (r13 late —
+    quality-layer TRUNCATION: a layered lossy stream may stop a
+    codeblock mid-plane; the pass budget is the per-layer counts
+    summed by the packet parser). None = all 3*n_planes - 2."""
     mq = MQDecoder(data)
     icx, mps = _fresh_ctx()
     blk = _Block(h, w, orient)
+    budget = 3 * n_planes - 2 if n_passes is None else n_passes
     for plane in range(n_planes - 1, -1, -1):
-        if plane == n_planes - 1:
-            # first plane: cleanup pass only — run it via the shared
-            # body with passes 1-2 vacuous (nothing significant yet)
-            pass
-        _t1_passes(blk, plane, mq, icx, mps, encode=False)
+        if budget <= 0:
+            break
+        # the MSB plane codes only its cleanup pass (passes 1-2 are
+        # vacuous before anything is significant)
+        plist = (
+            ("CU",) if plane == n_planes - 1 else ("SP", "MR", "CU")
+        )
+        run = plist[: min(len(plist), budget)]
+        _t1_passes(blk, plane, mq, icx, mps, encode=False, which=run)
+        budget -= len(run)
     return blk.mag * np.where(
         blk.sgn[1:-1, 1:-1] < 0, -1, 1
     ).astype(np.int64)
 
 
 def _encode_codeblock(
-    coeffs: np.ndarray, orient: str, n_planes: int
-) -> bytes:
+    coeffs: np.ndarray, orient: str, n_planes: int,
+    want_marks: bool = False,
+):
+    """Tier-1 encode; with ``want_marks`` returns (bytes, per-pass
+    byte watermarks) — valid layer split points because the decoder
+    concatenates every layer's chunks BEFORE running Tier-1, so a
+    split needs no per-pass MQ termination."""
     mq = MQEncoder()
     icx, mps = _fresh_ctx()
     h, w = coeffs.shape
@@ -508,12 +529,23 @@ def _encode_codeblock(
     def get_sign(y, x):
         return 1 if signs[y, x] >= 0 else -1
 
+    marks = []
     for plane in range(n_planes - 1, -1, -1):
-        _t1_passes(
-            blk, plane, mq, icx, mps, encode=True,
-            get_bit=get_bit, get_sign=get_sign,
+        plist = (
+            ("CU",) if plane == n_planes - 1 else ("SP", "MR", "CU")
         )
-    return mq.flush()
+        for p in plist:
+            _t1_passes(
+                blk, plane, mq, icx, mps, encode=True,
+                get_bit=get_bit, get_sign=get_sign, which=(p,),
+            )
+            marks.append(len(mq.out))
+    data = mq.flush()
+    if want_marks:
+        marks = [min(m, len(data)) for m in marks]
+        marks[-1] = len(data)
+        return data, marks
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -698,6 +730,7 @@ def encode_jpx(
     jp2: bool = False,
     irreversible: bool = False,
     planes: int = 10,
+    layers: int = 1,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
     ``jp2``): one tile, one layer, LRCP. ``pixels`` is (h, w) gray
@@ -812,91 +845,160 @@ def encode_jpx(
         guard = min(7, max(2, need))
         mb = {b: guard + eps[b] - 1 for b in eps}
 
-    # packets (LRCP: layer 0 -> res -> comp)
+    # packets (LRCP: layer -> res -> comp). With layers > 1 every
+    # codeblock's single Tier-1 stream is SPLIT at per-pass byte
+    # watermarks — valid because the decoder concatenates a block's
+    # layer chunks before running Tier-1 (see _encode_codeblock).
+    if not 1 <= layers <= 64:
+        raise ValueError(f"encode_jpx: layers {layers}")
+    prep: dict = {}
+    grids: dict = {}
+    for ci in range(n_comp):
+        bands = per_comp_bands[ci]
+        for key in (
+            [(0, "LL")]
+            + [(r, nm) for r in range(1, levels + 1)
+               for nm in ("HL", "LH", "HH")]
+        ):
+            arr = bands[key]
+            bh_, bw_ = arr.shape
+            gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
+            grids[(ci, key)] = (gx, gy)
+            if gx == 0 or gy == 0:
+                continue
+            incl_leaf = np.full((gy, gx), layers, np.int32)
+            zbp_leaf = np.zeros((gy, gx), np.int32)
+            blocks = {}
+            for by in range(gy):
+                for bx in range(gx):
+                    sub = arr[
+                        by * cbh : (by + 1) * cbh,
+                        bx * cbw : (bx + 1) * cbw,
+                    ]
+                    mx = int(np.abs(sub).max()) if sub.size else 0
+                    if mx == 0:
+                        continue
+                    np_ = mx.bit_length()
+                    incl_leaf[by, bx] = 0
+                    mb_b = mb[key if irreversible else key[1]]
+                    zbp_leaf[by, bx] = mb_b - np_
+                    if zbp_leaf[by, bx] < 0:
+                        raise ValueError(
+                            "jpx: coefficient wider than Mb"
+                        )
+                    seg, marks = _encode_codeblock(
+                        sub, key[1], np_, want_marks=True
+                    )
+                    total = 3 * np_ - 2
+                    # split passes near-evenly; byte split at the
+                    # pass watermark
+                    per = []
+                    done_p = 0
+                    done_b = 0
+                    for li in range(layers):
+                        k = (total * (li + 1)) // layers - done_p
+                        if li == layers - 1:
+                            k = total - done_p
+                        end_b = (
+                            len(seg)
+                            if done_p + k >= total
+                            else marks[done_p + k - 1]
+                            if k > 0
+                            else done_b
+                        )
+                        per.append(
+                            (k, seg[done_b:end_b])
+                        )
+                        done_p += k
+                        done_b = end_b
+                    first_layer = next(
+                        li for li, (k, _d) in enumerate(per)
+                        if k > 0
+                    )
+                    incl_leaf[by, bx] = first_layer
+                    blocks[(by, bx)] = {
+                        "np": np_,
+                        "per": per,
+                        "lblock": 3,
+                        "first": first_layer,
+                    }
+            prep[(ci, key)] = {
+                "incl": _TagTreeEnc(gx, gy, incl_leaf),
+                "zbp": _TagTreeEnc(gx, gy, zbp_leaf),
+                "blocks": blocks,
+            }
+
     body = bytearray()
     n_packet = 0
-    for r in range(levels + 1):
-        for ci in range(n_comp):
-            bands = per_comp_bands[ci]
-            if r == 0:
-                sbs = [("LL", bands[(0, "LL")])]
-            else:
-                sbs = [
-                    (nm, bands[(r, nm)]) for nm in ("HL", "LH", "HH")
-                ]
-            wr = _HdrWriter()
-            chunks = []
-            any_cb = any(a.size for _nm, a in sbs)
-            if not any_cb:
-                wr.bit(0)
-            else:
-                wr.bit(1)
-                for nm, arr in sbs:
-                    bh_, bw_ = arr.shape
-                    gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
-                    if gx == 0 or gy == 0:
-                        continue
-                    incl_leaf = np.ones((gy, gx), np.int32)
-                    zbp_leaf = np.zeros((gy, gx), np.int32)
-                    blocks = {}
-                    for by in range(gy):
-                        for bx in range(gx):
-                            sub = arr[
-                                by * cbh : (by + 1) * cbh,
-                                bx * cbw : (bx + 1) * cbw,
-                            ]
-                            mx = (
-                                int(np.abs(sub).max())
-                                if sub.size
-                                else 0
-                            )
-                            if mx == 0:
-                                continue
-                            np_ = mx.bit_length()
-                            incl_leaf[by, bx] = 0
-                            mb_b = (
-                                mb[(r, nm) if irreversible else nm]
-                            )
-                            zbp_leaf[by, bx] = mb_b - np_
-                            if zbp_leaf[by, bx] < 0:
-                                raise ValueError(
-                                    "jpx: coefficient wider than Mb"
-                                )
-                            blocks[(by, bx)] = (sub, np_)
-                    incl_tt = _TagTreeEnc(gx, gy, incl_leaf)
-                    zbp_tt = _TagTreeEnc(gx, gy, zbp_leaf)
-                    for by in range(gy):
-                        for bx in range(gx):
-                            incl_tt.encode(wr, bx, by, 1)
-                            if (by, bx) not in blocks:
-                                continue
-                            zbp_tt.encode(wr, bx, by, 1 << 30)
-                            sub, np_ = blocks[(by, bx)]
-                            npass = 3 * np_ - 2
-                            _npasses_write(wr, npass)
-                            seg = _encode_codeblock(sub, nm, np_)
-                            chunks.append(seg)
-                            lblock = 3
-                            nbits = lblock + max(
-                                0, npass.bit_length() - 1
-                            )
-                            while len(seg).bit_length() > nbits:
-                                wr.bit(1)
-                                lblock += 1
-                                nbits += 1
-                            wr.bit(0)
-                            wr.write(len(seg), nbits)
-            hdr = wr.finish()
-            if sop:
-                body += (
-                    b"\xff\x91" + struct.pack(">HH", 4, n_packet & 0xFFFF)
+    for layer in range(layers):
+        for r in range(levels + 1):
+            for ci in range(n_comp):
+                if r == 0:
+                    keys = [(0, "LL")]
+                else:
+                    keys = [(r, nm) for nm in ("HL", "LH", "HH")]
+                wr = _HdrWriter()
+                chunks = []
+                any_cb = any(
+                    grids[(ci, k2)][0] and grids[(ci, k2)][1]
+                    for k2 in keys
                 )
-            body += hdr
-            if eph:
-                body += b"\xff\x92"
-            for cseg in chunks:
-                body += cseg
-            n_packet += 1
+                if not any_cb:
+                    wr.bit(0)
+                else:
+                    wr.bit(1)
+                    for key in keys:
+                        gx, gy = grids[(ci, key)]
+                        if gx == 0 or gy == 0:
+                            continue
+                        pp = prep[(ci, key)]
+                        for by in range(gy):
+                            for bx in range(gx):
+                                blk = pp["blocks"].get((by, bx))
+                                if blk is None or layer <= blk["first"]:
+                                    # not yet included: the inclusion
+                                    # tag tree speaks (and first
+                                    # inclusion lands exactly when
+                                    # the leaf value == layer)
+                                    pp["incl"].encode(
+                                        wr, bx, by, layer + 1
+                                    )
+                                    if blk is None or (
+                                        layer < blk["first"]
+                                    ):
+                                        continue
+                                    pp["zbp"].encode(
+                                        wr, bx, by, 1 << 30
+                                    )
+                                else:
+                                    k, _d = blk["per"][layer]
+                                    wr.bit(1 if k > 0 else 0)
+                                    if k == 0:
+                                        continue
+                                k, data = blk["per"][layer]
+                                _npasses_write(wr, k)
+                                nbits = blk["lblock"] + max(
+                                    0, k.bit_length() - 1
+                                )
+                                while len(data).bit_length() > nbits:
+                                    wr.bit(1)
+                                    blk["lblock"] += 1
+                                    nbits += 1
+                                wr.bit(0)
+                                wr.write(len(data), nbits)
+                                chunks.append(data)
+                hdr = wr.finish()
+                if sop:
+                    body += (
+                        b"\xff\x91"
+                        + struct.pack(">HH", 4, n_packet & 0xFFFF)
+                    )
+                body += hdr
+                if eph:
+                    body += b"\xff\x92"
+                for cseg in chunks:
+                    body += cseg
+                n_packet += 1
 
     # marker segments
     siz = struct.pack(
@@ -919,7 +1021,7 @@ def encode_jpx(
         12,
         scod,
         0,  # LRCP
-        1,  # layers
+        layers,
         1 if mct else 0,
         levels,
         cb_exp[0] - 2,
@@ -1082,8 +1184,8 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     )
     if prog != 0:
         raise NotImplementedError(f"jpx: progression order {prog}")
-    if layers != 1:
-        raise NotImplementedError(f"jpx: {layers} quality layers")
+    if not 1 <= layers <= 64:
+        raise ValueError(f"jpx: implausible layer count {layers}")
     if cb_style != 0:
         raise NotImplementedError(
             f"jpx: coder options {cb_style:#x} (bypass/reset/"
@@ -1149,69 +1251,108 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             per_comp_bands[ci][(r, nm)] = np.zeros(
                 (bh_, bw_), np.int64
             )
-    for r in range(levels + 1):
-        for ci in range(n_comp):
-            if use_sop:
-                if cs[rd_at : rd_at + 2] != b"\xff\x91":
-                    raise ValueError("jpx: missing SOP marker")
-                rd_at += 6
-            rd = _HdrReader(cs, rd_at)
-            if r == 0:
-                sbs = [(0, "LL")]
-            else:
-                sbs = [(r, nm) for nm in ("HL", "LH", "HH")]
-            chunks = []
-            nonempty = rd.bit()
-            if nonempty:
-                for key in sbs:
-                    arr = per_comp_bands[ci][key]
-                    bh_, bw_ = arr.shape
-                    gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
-                    if gx == 0 or gy == 0:
-                        continue
-                    incl_tt = _TagTreeDec(gx, gy)
-                    zbp_tt = _TagTreeDec(gx, gy)
-                    for by in range(gy):
-                        for bx in range(gx):
-                            v = incl_tt.decode(rd, bx, by, 1)
-                            if v != 0:
-                                continue
-                            zbp = zbp_tt.decode(rd, bx, by, 1 << 30)
-                            npass = _npasses_read(rd)
-                            lblock = 3
-                            while rd.bit():
-                                lblock += 1
-                            nbits = lblock + max(
-                                0, npass.bit_length() - 1
+    # LRCP packet walk across ALL quality layers (r13 late — layered
+    # lossy streams are the common real-encoder shape): tag trees and
+    # per-codeblock state (zbp, Lblock, accumulated passes, chunk
+    # list) PERSIST across layers; already-included blocks signal
+    # this-layer inclusion with a single bit; Tier-1 runs once per
+    # codeblock at the END over the concatenated chunks with the
+    # summed pass budget — which also makes TRUNCATED final layers
+    # (the essence of quality scalability) decode correctly.
+    trees: dict = {}
+    cb: dict = {}
+    for layer in range(layers):
+        for r in range(levels + 1):
+            for ci in range(n_comp):
+                if use_sop:
+                    if cs[rd_at : rd_at + 2] != b"\xff\x91":
+                        raise ValueError("jpx: missing SOP marker")
+                    rd_at += 6
+                rd = _HdrReader(cs, rd_at)
+                if r == 0:
+                    sbs = [(0, "LL")]
+                else:
+                    sbs = [(r, nm) for nm in ("HL", "LH", "HH")]
+                chunks = []
+                nonempty = rd.bit()
+                if nonempty:
+                    for key in sbs:
+                        arr = per_comp_bands[ci][key]
+                        bh_, bw_ = arr.shape
+                        gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
+                        if gx == 0 or gy == 0:
+                            continue
+                        tk = (ci, key)
+                        if tk not in trees:
+                            trees[tk] = (
+                                _TagTreeDec(gx, gy),
+                                _TagTreeDec(gx, gy),
                             )
-                            ln = rd.read(nbits)
-                            np_ = mb_of[key] - zbp
-                            if np_ <= 0 or (npass != 3 * np_ - 2):
-                                raise ValueError(
-                                    "jpx: inconsistent pass count"
+                        incl_tt, zbp_tt = trees[tk]
+                        for by in range(gy):
+                            for bx in range(gx):
+                                bk = (ci, key, by, bx)
+                                st = cb.get(bk)
+                                if st is None:
+                                    v = incl_tt.decode(
+                                        rd, bx, by, layer + 1
+                                    )
+                                    if v > layer:
+                                        continue
+                                    zbp = zbp_tt.decode(
+                                        rd, bx, by, 1 << 30
+                                    )
+                                    np_ = mb_of[key] - zbp
+                                    if np_ <= 0:
+                                        raise ValueError(
+                                            "jpx: zero bit-planes "
+                                            "exceed Mb"
+                                        )
+                                    st = cb[bk] = {
+                                        "np": np_,
+                                        "passes": 0,
+                                        "lblock": 3,
+                                        "chunks": [],
+                                    }
+                                elif not rd.bit():
+                                    continue
+                                npass = _npasses_read(rd)
+                                while rd.bit():
+                                    st["lblock"] += 1
+                                nbits = st["lblock"] + max(
+                                    0, npass.bit_length() - 1
                                 )
-                            chunks.append(
-                                (key, by, bx, ln, np_)
-                            )
-            rd_at = rd.align()
-            if use_eph:
-                if cs[rd_at : rd_at + 2] != b"\xff\x92":
-                    raise ValueError("jpx: missing EPH marker")
-                rd_at += 2
-            for key, by, bx, ln, np_ in chunks:
-                if rd_at + ln > n:
-                    raise ValueError("jpx: codeblock data truncated")
-                seg = cs[rd_at : rd_at + ln]
-                rd_at += ln
-                arr = per_comp_bands[ci][key]
-                bh_, bw_ = arr.shape
-                y0, x0 = by * cbh, bx * cbw
-                sh = min(cbh, bh_ - y0)
-                sw = min(cbw, bw_ - x0)
-                coeffs = _decode_codeblock(
-                    seg, sh, sw, key[1], np_
-                )
-                arr[y0 : y0 + sh, x0 : x0 + sw] = coeffs
+                                ln = rd.read(nbits)
+                                st["passes"] += npass
+                                if st["passes"] > 3 * st["np"] - 2:
+                                    raise ValueError(
+                                        "jpx: pass count exceeds "
+                                        "the bit-plane budget"
+                                    )
+                                chunks.append((bk, ln))
+                rd_at = rd.align()
+                if use_eph:
+                    if cs[rd_at : rd_at + 2] != b"\xff\x92":
+                        raise ValueError("jpx: missing EPH marker")
+                    rd_at += 2
+                for bk, ln in chunks:
+                    if rd_at + ln > n:
+                        raise ValueError(
+                            "jpx: codeblock data truncated"
+                        )
+                    cb[bk]["chunks"].append(cs[rd_at : rd_at + ln])
+                    rd_at += ln
+    for (ci, key, by, bx), st in cb.items():
+        arr = per_comp_bands[ci][key]
+        bh_, bw_ = arr.shape
+        y0, x0 = by * cbh, bx * cbw
+        sh = min(cbh, bh_ - y0)
+        sw = min(cbw, bw_ - x0)
+        coeffs = _decode_codeblock(
+            b"".join(st["chunks"]), sh, sw, key[1], st["np"],
+            n_passes=st["passes"],
+        )
+        arr[y0 : y0 + sh, x0 : x0 + sw] = coeffs
 
     # reconstruct per component
     outs = []
