@@ -11,7 +11,7 @@ shape a *lossless scan* actually uses, end to end:
   bare codestream;
 - SIZ: single tile covering the image, 1 or 3 components, 8-bit
   unsigned, no subsampling;
-- COD: LRCP progression, ONE quality layer, 0..6 decomposition
+- COD: LRCP progression, 1..64 quality layers, 0..6 decomposition
   levels, maximal precincts (the default), code-blocks to 64x64,
   reversible 5/3 OR irreversible 9/7 wavelets, optional RCT/ICT
   component transforms, optional SOP/EPH marker framing;
@@ -33,11 +33,16 @@ default: OpenJPEG/Kakadu emit single-tile single-layer LRCP 9/7)
 shares the whole Tier-1/2 machinery and adds float lifting, the
 expounded scalar quantizer (QCD style 2, (eps, mantissa)-coded
 deltas), and the irreversible color transform; see the 9/7 section
-for the stated normalization posture. Named NotImplementedError
-gaps (quarantine, never garbage): QCD style 1 (scalar derived),
-tiled images, multiple layers, precinct subdivision, progression
-orders other than LRCP, coder options (bypass/reset/termination/
-segmark), subsampled or >8-bit components, JPP/JPT streams.
+for the stated normalization posture. MULTIPLE QUALITY LAYERS
+decode as of r13 late (per-codeblock tag-tree/Lblock/pass state
+persists across the LRCP layer walk, chunks concatenate, and
+Tier-1 runs with the summed pass budget — so truncated layered
+streams, the essence of quality scalability, reconstruct
+correctly). Named NotImplementedError gaps (quarantine, never
+garbage): QCD style 1 (scalar derived), tiled images, precinct
+subdivision, progression orders other than LRCP, coder options
+(bypass/reset/termination/segmark), subsampled or >8-bit
+components, JPP/JPT streams.
 
 Validation posture, stated: no independent JPEG 2000 implementation
 exists in this container (the JDK has none), so — like the JBIG2-MQ
