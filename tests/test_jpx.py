@@ -321,3 +321,31 @@ def test_multi_layer_roundtrip_and_truncation():
         )
         errs.append(int(np.abs(part - c).max()))
     assert errs[0] >= errs[1] >= errs[2] == 0
+
+
+def test_all_progression_orders():
+    # with maximal precincts the position dimension is a singleton,
+    # so all five T.800 progressions are packet-iteration
+    # permutations of the same persistent-state walk (r13 late)
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (24, 33, 3)).astype(np.uint8)
+    for prog in ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL"):
+        blob = jpx.encode_jpx(img, levels=2, layers=3, prog=prog)
+        assert (jpx.decode_jpx(blob)["pixels"] == img).all(), prog
+        blob = jpx.encode_jpx(
+            rgb, levels=2, layers=2, prog=prog,
+            irreversible=True, planes=13,
+        )
+        d = jpx.decode_jpx(blob)
+        assert np.abs(
+            d["pixels"].astype(int) - rgb.astype(int)
+        ).max() <= 1, prog
+    with pytest.raises(ValueError, match="progression"):
+        jpx.encode_jpx(img, prog="XXXX")
+    # a hostile progression id past the spec's five is loud
+    good = jpx.encode_jpx(img, levels=1)
+    bad = bytearray(good)
+    bad[good.index(b"\xff\x52") + 5] = 9
+    with pytest.raises(ValueError, match="progression order"):
+        jpx.decode_jpx(bytes(bad))

@@ -11,7 +11,9 @@ shape a *lossless scan* actually uses, end to end:
   bare codestream;
 - SIZ: single tile covering the image, 1 or 3 components, 8-bit
   unsigned, no subsampling;
-- COD: LRCP progression, 1..64 quality layers, 0..6 decomposition
+- COD: all five progression orders (maximal precincts make the
+  position dimension a singleton), 1..64 quality layers, 0..6
+  decomposition
   levels, maximal precincts (the default), code-blocks to 64x64,
   reversible 5/3 OR irreversible 9/7 wavelets, optional RCT/ICT
   component transforms, optional SOP/EPH marker framing;
@@ -667,6 +669,51 @@ def _idwt53_2d(ll, lh, hl, hh):
 _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
 
+def _packet_order(prog: int, layers: int, n_res: int, n_comp: int):
+    """Packet iteration order for the five T.800 progressions with
+    MAXIMAL precincts (one precinct per resolution-component, so the
+    position dimension is a singleton and RPCL/PCRL collapse to
+    their layer/component permutations). The persistent-state packet
+    walk is order-agnostic as long as a block's layers arrive in
+    ascending order within its (resolution, component) — true for
+    every progression (L is ascending in all five)."""
+    if prog == 0:  # LRCP
+        return [
+            (layer, r, ci)
+            for layer in range(layers)
+            for r in range(n_res)
+            for ci in range(n_comp)
+        ]
+    if prog == 1:  # RLCP
+        return [
+            (layer, r, ci)
+            for r in range(n_res)
+            for layer in range(layers)
+            for ci in range(n_comp)
+        ]
+    if prog == 2:  # RPCL (position singleton)
+        return [
+            (layer, r, ci)
+            for r in range(n_res)
+            for ci in range(n_comp)
+            for layer in range(layers)
+        ]
+    if prog == 3:  # PCRL (position singleton)
+        return [
+            (layer, r, ci)
+            for ci in range(n_comp)
+            for r in range(n_res)
+            for layer in range(layers)
+        ]
+    # prog == 4: CPRL
+    return [
+        (layer, r, ci)
+        for ci in range(n_comp)
+        for r in range(n_res)
+        for layer in range(layers)
+    ]
+
+
 def _npasses_write(wr: _HdrWriter, n: int) -> None:
     if n == 1:
         wr.bit(0)
@@ -736,6 +783,7 @@ def encode_jpx(
     irreversible: bool = False,
     planes: int = 10,
     layers: int = 1,
+    prog: str = "LRCP",
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
     ``jp2``): one tile, one layer, LRCP. ``pixels`` is (h, w) gray
@@ -856,6 +904,12 @@ def encode_jpx(
     # layer chunks before running Tier-1 (see _encode_codeblock).
     if not 1 <= layers <= 64:
         raise ValueError(f"encode_jpx: layers {layers}")
+    try:
+        prog_id = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL").index(
+            prog
+        )
+    except ValueError:
+        raise ValueError(f"encode_jpx: progression {prog!r}")
     prep: dict = {}
     grids: dict = {}
     for ci in range(n_comp):
@@ -935,9 +989,11 @@ def encode_jpx(
 
     body = bytearray()
     n_packet = 0
-    for layer in range(layers):
-        for r in range(levels + 1):
-            for ci in range(n_comp):
+    for layer, r, ci in _packet_order(
+        prog_id, layers, levels + 1, n_comp
+    ):
+        if True:
+            if True:
                 if r == 0:
                     keys = [(0, "LL")]
                 else:
@@ -1025,7 +1081,7 @@ def encode_jpx(
         ">HBBHBBBBBB",
         12,
         scod,
-        0,  # LRCP
+        prog_id,
         layers,
         1 if mct else 0,
         levels,
@@ -1187,8 +1243,8 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     prog, layers, mct_f, levels, cbe_w, cbe_h, cb_style, wavelet = (
         struct.unpack_from(">BHBBBBBB", cod, 3)
     )
-    if prog != 0:
-        raise NotImplementedError(f"jpx: progression order {prog}")
+    if prog > 4:
+        raise ValueError(f"jpx: progression order {prog}")
     if not 1 <= layers <= 64:
         raise ValueError(f"jpx: implausible layer count {layers}")
     if cb_style != 0:
@@ -1266,9 +1322,11 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     # (the essence of quality scalability) decode correctly.
     trees: dict = {}
     cb: dict = {}
-    for layer in range(layers):
-        for r in range(levels + 1):
-            for ci in range(n_comp):
+    for layer, r, ci in _packet_order(
+        prog, layers, levels + 1, n_comp
+    ):
+        if True:
+            if True:
                 if use_sop:
                     if cs[rd_at : rd_at + 2] != b"\xff\x91":
                         raise ValueError("jpx: missing SOP marker")
