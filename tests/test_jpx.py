@@ -153,7 +153,7 @@ def test_hostile_inputs_named_errors():
     with pytest.raises(ValueError, match="implausible layer"):
         jpx.decode_jpx(bytes(lay2))
     # truncated codeblock data
-    with pytest.raises(ValueError, match="truncated|header"):
+    with pytest.raises(ValueError, match="truncated|header|Psot"):
         jpx.decode_jpx(good[:-20])
     # r13 review: a zero-length marker segment must raise, not loop
     zl = bytearray(good)
@@ -348,4 +348,36 @@ def test_all_progression_orders():
     bad = bytearray(good)
     bad[good.index(b"\xff\x52") + 5] = 9
     with pytest.raises(ValueError, match="progression order"):
+        jpx.decode_jpx(bytes(bad))
+
+
+def test_tiled_roundtrip():
+    # tiles (r13 late): per-tile packet walks + stitching; even tile
+    # grids keep the DWT sample parity (odd tile dims stay named)
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    for ts in ((32, 32), (64, 48)):
+        blob = jpx.encode_jpx(img, levels=2, tile_size=ts)
+        assert (jpx.decode_jpx(blob)["pixels"] == img).all(), ts
+    # odd image dims -> odd-sized LAST tiles (origin parity is what
+    # matters); tiled + layered + RGB + JP2 compose
+    odd = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+    blob = jpx.encode_jpx(odd, levels=3, tile_size=(16, 16))
+    assert (jpx.decode_jpx(blob)["pixels"] == odd).all()
+    rgb = rng.integers(0, 256, (50, 66, 3)).astype(np.uint8)
+    blob = jpx.encode_jpx(
+        rgb, levels=2, tile_size=(32, 32), layers=2, jp2=True
+    )
+    assert (jpx.decode_jpx(blob)["pixels"] == rgb).all()
+    # named/hostile
+    with pytest.raises(ValueError, match="even"):
+        jpx.encode_jpx(img, tile_size=(15, 16))
+    with pytest.raises(NotImplementedError, match="per-tile QCD"):
+        jpx.encode_jpx(img, tile_size=(16, 16), irreversible=True)
+    blob = jpx.encode_jpx(img, levels=1, tile_size=(32, 32))
+    import struct as _s
+
+    bad = bytearray(blob)
+    _s.pack_into(">H", bad, blob.index(b"\xff\x90") + 4, 7)
+    with pytest.raises(ValueError, match="tile"):
         jpx.decode_jpx(bytes(bad))

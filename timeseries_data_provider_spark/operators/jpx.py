@@ -9,8 +9,10 @@ shape a *lossless scan* actually uses, end to end:
 
 - JP2 box container walk (``jp2c`` carries the codestream) or a
   bare codestream;
-- SIZ: single tile covering the image, 1 or 3 components, 8-bit
-  unsigned, no subsampling;
+- SIZ: single-tile or EVEN-dimension tile grids (r13 late — per-
+  tile packet walks + stitching; odd tile dims would flip the DWT
+  sample parity mid-canvas and stay named), 1 or 3 components,
+  8-bit unsigned, no subsampling;
 - COD: all five progression orders (maximal precincts make the
   position dimension a singleton), 1..64 quality layers, 0..6
   decomposition
@@ -784,6 +786,8 @@ def encode_jpx(
     planes: int = 10,
     layers: int = 1,
     prog: str = "LRCP",
+    tile_size: tuple[int, int] | None = None,
+    _fixed_guard: int | None = None,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
     ``jp2``): one tile, one layer, LRCP. ``pixels`` is (h, w) gray
@@ -805,6 +809,61 @@ def encode_jpx(
     if mct and gray:
         raise ValueError("encode_jpx: MCT needs 3 components")
     cbw, cbh = 1 << cb_exp[0], 1 << cb_exp[1]
+
+    if tile_size is not None:
+        # tiled form (r13 late): each tile's packet stream for its
+        # own dims IS the stream the decoder expects for that tile,
+        # so tiles encode through this same function and the main
+        # header carries the grid. Guard bits are FIXED at 7 so the
+        # single main-header QCD stays valid for every tile; the
+        # reversible eps table is content-independent (irreversible
+        # tiling would need per-tile QCD overrides — named).
+        txs, tys = tile_size
+        if irreversible:
+            raise NotImplementedError(
+                "encode_jpx: tiled irreversible (per-tile QCD)"
+            )
+        if txs % 2 or tys % 2 or txs <= 0 or tys <= 0:
+            raise ValueError("encode_jpx: tile dims must be even")
+        tiles_x = -(-w // txs)
+        tiles_y = -(-h // tys)
+        bodies = []
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                sub = px[
+                    ty * tys : (ty + 1) * tys,
+                    tx * txs : (tx + 1) * txs,
+                ]
+                one = encode_jpx(
+                    sub, levels=levels, cb_exp=cb_exp, mct=mct,
+                    sop=sop, eph=eph, irreversible=False,
+                    layers=layers, prog=prog, _fixed_guard=7,
+                )
+                sod = one.index(b"\xff\x93")
+                eoc = one.rindex(b"\xff\xd9")
+                bodies.append(one[sod + 2 : eoc])
+        # main header: reuse the last tile's SIZ/COD/QCD shape but
+        # with the full canvas + tile grid
+        hdr_end = one.index(b"\xff\x90")
+        head = bytearray(one[:hdr_end])
+        siz_at = head.index(b"\xff\x51")
+        struct.pack_into(
+            ">IIIIIIII", head, siz_at + 6,
+            w, h, 0, 0, txs, tys, 0, 0,
+        )
+        out_cs = bytes(head)
+        for idx, body_t in enumerate(bodies):
+            psot = 12 + 2 + len(body_t)
+            out_cs += (
+                b"\xff\x90"
+                + struct.pack(">HHIBB", 10, idx, psot, 0, 1)
+                + b"\xff\x93"
+                + body_t
+            )
+        out_cs += b"\xff\xd9"
+        if not jp2:
+            return out_cs
+        return _wrap_jp2(out_cs, w, h, n_comp)
 
     # DC level shift + component transform
     comps = []
@@ -884,7 +943,7 @@ def encode_jpx(
                 if bands[key].size:
                     mx = max(mx, int(np.abs(bands[key]).max()))
             need = max(need, mx.bit_length() - (e - 1) + 1)
-        guard = min(7, max(2, need))
+        guard = _fixed_guard or min(7, max(2, need))
         mb = {key: guard + e - 1 for key, (e, _m) in qcodes.items()}
     else:
         eps = {b: 8 + _GAIN[b] for b in ("LL", "HL", "LH", "HH")}
@@ -895,7 +954,7 @@ def encode_jpx(
                     m = int(np.abs(arr).max())
                     nm = m.bit_length() - (eps[name] - 1)
                     need = max(need, nm + 1)
-        guard = min(7, max(2, need))
+        guard = _fixed_guard or min(7, max(2, need))
         mb = {b: guard + eps[b] - 1 for b in eps}
 
     # packets (LRCP: layer -> res -> comp). With layers > 1 every
@@ -1125,10 +1184,12 @@ def encode_jpx(
     )
     if not jp2:
         return cs
-    # minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c
-    ihdr = struct.pack(
-        ">IIHBBBB", h, w, n_comp, 7, 7, 0, 0
-    )
+    return _wrap_jp2(cs, w, h, n_comp)
+
+
+def _wrap_jp2(cs: bytes, w: int, h: int, n_comp: int) -> bytes:
+    """Minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c."""
+    ihdr = struct.pack(">IIHBBBB", h, w, n_comp, 7, 7, 0, 0)
     colr = b"\x01\x00\x00" + struct.pack(
         ">I", 16 if n_comp == 3 else 17
     )
@@ -1180,15 +1241,12 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     at = 2
     n = len(cs)
     siz = cod = qcd = None
-    tile_at = None
+    tiles: dict[int, tuple[int, int]] = {}
     while at + 4 <= n:
         if cs[at] != 0xFF:
             raise ValueError("jpx: marker expected")
         marker = cs[at + 1]
         at += 2
-        if marker == 0x93:  # SOD
-            tile_at = at
-            break
         if marker == 0xD9:
             break
         (ln,) = struct.unpack_from(">H", cs, at)
@@ -1196,22 +1254,46 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             # a zero/one-length segment cannot advance the walk — a
             # hostile stream would otherwise loop here forever
             raise ValueError(f"jpx: marker FF{marker:02X} length {ln}")
-        seg = cs[at + 2 : at + ln]
         if marker == 0x51:
             siz = cs[at : at + ln]
         elif marker == 0x52:
             cod = cs[at : at + ln]
         elif marker == 0x5C:
             qcd = cs[at : at + ln]
-        elif marker == 0x90:
-            pass  # SOT: single tile-part assumed; Psot unchecked
+        elif marker == 0x90:  # SOT: one tile-part per tile (r13)
+            if ln != 10 or at + 10 > n:
+                raise ValueError("jpx: malformed SOT")
+            isot, psot, tpsot, _tnsot = struct.unpack_from(
+                ">HIBB", cs, at + 2
+            )
+            if tpsot != 0:
+                raise NotImplementedError(
+                    "jpx: multiple tile-parts per tile"
+                )
+            sot_start = at - 2
+            if psot == 0:
+                psot = n - sot_start  # 0 = to EOC (last tile only)
+            end = sot_start + psot
+            if end > n or psot < 14:
+                raise ValueError("jpx: Psot out of bounds")
+            # the SOD must directly follow the SOT segment here
+            # (COD/QCD tile overrides were rejected above as 0x53+)
+            if cs[at + 10 : at + 12] != b"\xff\x93":
+                raise NotImplementedError(
+                    "jpx: tile-part headers between SOT and SOD"
+                )
+            if isot in tiles:
+                raise ValueError(f"jpx: duplicate tile {isot}")
+            tiles[isot] = (at + 12, end)
+            at = end
+            continue
         elif marker in (0x53, 0x5D, 0x55, 0x58, 0x5E):
             raise NotImplementedError(
                 f"jpx: marker FF{marker:02X} (per-component/tile "
                 "overrides) outside the lossless subset"
             )
         at += ln
-    if siz is None or cod is None or qcd is None or tile_at is None:
+    if siz is None or cod is None or qcd is None or not tiles:
         raise ValueError("jpx: missing SIZ/COD/QCD/SOD")
 
     (_rsiz, xs, ys, xo, yo, xt, yt, xto, yto, n_comp) = struct.unpack(
@@ -1223,10 +1305,20 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         raise ValueError(
             f"jpx: {w}x{h} exceeds the {max_pixels}-pixel guard"
         )
-    if xo or yo or xto or yto or xt < xs or yt < ys:
+    if xo or yo or xto or yto:
         raise NotImplementedError(
-            "jpx: image/tile offsets and tiling outside the subset"
+            "jpx: image/tile grid offsets outside the subset"
         )
+    if xt == 0 or yt == 0:
+        raise ValueError("jpx: zero tile size")
+    tiles_x = -(-w // xt)
+    tiles_y = -(-h // yt)
+    if tiles_x * tiles_y > 4096:
+        raise ValueError("jpx: implausible tile count")
+    if (tiles_x > 1 or tiles_y > 1) and (xt % 2 or yt % 2):
+        # odd tile origins flip the DWT sample parity mid-canvas;
+        # real encoders use power-of-two tiles — named, not garbled
+        raise NotImplementedError("jpx: odd tile dimensions")
     if n_comp not in (1, 3):
         raise NotImplementedError(f"jpx: {n_comp} components")
     for ci in range(n_comp):
@@ -1299,147 +1391,172 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             f"jpx: QCD style {q_style} (scalar-derived stays named)"
         )
 
-    ll0, band_list = _band_sizes(w, h, levels)
+    def _decode_tile(rd_at: int, end_at: int, tw: int, th: int):
+        """One tile's packet walk + reconstruction -> list of
+        (th, tw) planes (int64 for 5/3, float64 for 9/7, pre
+        DC-shift / MCT-inverse)."""
+        ll0, band_list = _band_sizes(tw, th, levels)
 
-    # parse packets
-    rd_at = tile_at
-    per_comp_bands = [dict() for _ in range(n_comp)]
-    for ci in range(n_comp):
-        per_comp_bands[ci][(0, "LL")] = np.zeros(
-            (ll0[1], ll0[0]), np.int64
-        )
-        for r, nm, bw_, bh_ in band_list:
-            per_comp_bands[ci][(r, nm)] = np.zeros(
-                (bh_, bw_), np.int64
+        # parse packets (bounded by this tile-part's Psot extent)
+        per_comp_bands = [dict() for _ in range(n_comp)]
+        for ci in range(n_comp):
+            per_comp_bands[ci][(0, "LL")] = np.zeros(
+                (ll0[1], ll0[0]), np.int64
             )
-    # LRCP packet walk across ALL quality layers (r13 late — layered
-    # lossy streams are the common real-encoder shape): tag trees and
-    # per-codeblock state (zbp, Lblock, accumulated passes, chunk
-    # list) PERSIST across layers; already-included blocks signal
-    # this-layer inclusion with a single bit; Tier-1 runs once per
-    # codeblock at the END over the concatenated chunks with the
-    # summed pass budget — which also makes TRUNCATED final layers
-    # (the essence of quality scalability) decode correctly.
-    trees: dict = {}
-    cb: dict = {}
-    for layer, r, ci in _packet_order(
-        prog, layers, levels + 1, n_comp
-    ):
-        if True:
+            for r, nm, bw_, bh_ in band_list:
+                per_comp_bands[ci][(r, nm)] = np.zeros(
+                    (bh_, bw_), np.int64
+                )
+        # LRCP packet walk across ALL quality layers (r13 late — layered
+        # lossy streams are the common real-encoder shape): tag trees and
+        # per-codeblock state (zbp, Lblock, accumulated passes, chunk
+        # list) PERSIST across layers; already-included blocks signal
+        # this-layer inclusion with a single bit; Tier-1 runs once per
+        # codeblock at the END over the concatenated chunks with the
+        # summed pass budget — which also makes TRUNCATED final layers
+        # (the essence of quality scalability) decode correctly.
+        trees: dict = {}
+        cb: dict = {}
+        for layer, r, ci in _packet_order(
+            prog, layers, levels + 1, n_comp
+        ):
             if True:
-                if use_sop:
-                    if cs[rd_at : rd_at + 2] != b"\xff\x91":
-                        raise ValueError("jpx: missing SOP marker")
-                    rd_at += 6
-                rd = _HdrReader(cs, rd_at)
-                if r == 0:
-                    sbs = [(0, "LL")]
-                else:
-                    sbs = [(r, nm) for nm in ("HL", "LH", "HH")]
-                chunks = []
-                nonempty = rd.bit()
-                if nonempty:
-                    for key in sbs:
-                        arr = per_comp_bands[ci][key]
-                        bh_, bw_ = arr.shape
-                        gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
-                        if gx == 0 or gy == 0:
-                            continue
-                        tk = (ci, key)
-                        if tk not in trees:
-                            trees[tk] = (
-                                _TagTreeDec(gx, gy),
-                                _TagTreeDec(gx, gy),
-                            )
-                        incl_tt, zbp_tt = trees[tk]
-                        for by in range(gy):
-                            for bx in range(gx):
-                                bk = (ci, key, by, bx)
-                                st = cb.get(bk)
-                                if st is None:
-                                    v = incl_tt.decode(
-                                        rd, bx, by, layer + 1
-                                    )
-                                    if v > layer:
-                                        continue
-                                    zbp = zbp_tt.decode(
-                                        rd, bx, by, 1 << 30
-                                    )
-                                    np_ = mb_of[key] - zbp
-                                    if np_ <= 0:
-                                        raise ValueError(
-                                            "jpx: zero bit-planes "
-                                            "exceed Mb"
-                                        )
-                                    st = cb[bk] = {
-                                        "np": np_,
-                                        "passes": 0,
-                                        "lblock": 3,
-                                        "chunks": [],
-                                    }
-                                elif not rd.bit():
-                                    continue
-                                npass = _npasses_read(rd)
-                                while rd.bit():
-                                    st["lblock"] += 1
-                                nbits = st["lblock"] + max(
-                                    0, npass.bit_length() - 1
+                if True:
+                    if use_sop:
+                        if cs[rd_at : rd_at + 2] != b"\xff\x91":
+                            raise ValueError("jpx: missing SOP marker")
+                        rd_at += 6
+                    rd = _HdrReader(cs, rd_at)
+                    if r == 0:
+                        sbs = [(0, "LL")]
+                    else:
+                        sbs = [(r, nm) for nm in ("HL", "LH", "HH")]
+                    chunks = []
+                    nonempty = rd.bit()
+                    if nonempty:
+                        for key in sbs:
+                            arr = per_comp_bands[ci][key]
+                            bh_, bw_ = arr.shape
+                            gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
+                            if gx == 0 or gy == 0:
+                                continue
+                            tk = (ci, key)
+                            if tk not in trees:
+                                trees[tk] = (
+                                    _TagTreeDec(gx, gy),
+                                    _TagTreeDec(gx, gy),
                                 )
-                                ln = rd.read(nbits)
-                                st["passes"] += npass
-                                if st["passes"] > 3 * st["np"] - 2:
-                                    raise ValueError(
-                                        "jpx: pass count exceeds "
-                                        "the bit-plane budget"
+                            incl_tt, zbp_tt = trees[tk]
+                            for by in range(gy):
+                                for bx in range(gx):
+                                    bk = (ci, key, by, bx)
+                                    st = cb.get(bk)
+                                    if st is None:
+                                        v = incl_tt.decode(
+                                            rd, bx, by, layer + 1
+                                        )
+                                        if v > layer:
+                                            continue
+                                        zbp = zbp_tt.decode(
+                                            rd, bx, by, 1 << 30
+                                        )
+                                        np_ = mb_of[key] - zbp
+                                        if np_ <= 0:
+                                            raise ValueError(
+                                                "jpx: zero bit-planes "
+                                                "exceed Mb"
+                                            )
+                                        st = cb[bk] = {
+                                            "np": np_,
+                                            "passes": 0,
+                                            "lblock": 3,
+                                            "chunks": [],
+                                        }
+                                    elif not rd.bit():
+                                        continue
+                                    npass = _npasses_read(rd)
+                                    while rd.bit():
+                                        st["lblock"] += 1
+                                    nbits = st["lblock"] + max(
+                                        0, npass.bit_length() - 1
                                     )
-                                chunks.append((bk, ln))
-                rd_at = rd.align()
-                if use_eph:
-                    if cs[rd_at : rd_at + 2] != b"\xff\x92":
-                        raise ValueError("jpx: missing EPH marker")
-                    rd_at += 2
-                for bk, ln in chunks:
-                    if rd_at + ln > n:
-                        raise ValueError(
-                            "jpx: codeblock data truncated"
-                        )
-                    cb[bk]["chunks"].append(cs[rd_at : rd_at + ln])
-                    rd_at += ln
-    for (ci, key, by, bx), st in cb.items():
-        arr = per_comp_bands[ci][key]
-        bh_, bw_ = arr.shape
-        y0, x0 = by * cbh, bx * cbw
-        sh = min(cbh, bh_ - y0)
-        sw = min(cbw, bw_ - x0)
-        coeffs = _decode_codeblock(
-            b"".join(st["chunks"]), sh, sw, key[1], st["np"],
-            n_passes=st["passes"],
-        )
-        arr[y0 : y0 + sh, x0 : x0 + sw] = coeffs
+                                    ln = rd.read(nbits)
+                                    st["passes"] += npass
+                                    if st["passes"] > 3 * st["np"] - 2:
+                                        raise ValueError(
+                                            "jpx: pass count exceeds "
+                                            "the bit-plane budget"
+                                        )
+                                    chunks.append((bk, ln))
+                    rd_at = rd.align()
+                    if use_eph:
+                        if cs[rd_at : rd_at + 2] != b"\xff\x92":
+                            raise ValueError("jpx: missing EPH marker")
+                        rd_at += 2
+                    for bk, ln in chunks:
+                        if rd_at + ln > end_at:
+                            raise ValueError(
+                                "jpx: codeblock data truncated"
+                            )
+                        cb[bk]["chunks"].append(cs[rd_at : rd_at + ln])
+                        rd_at += ln
+        for (ci, key, by, bx), st in cb.items():
+            arr = per_comp_bands[ci][key]
+            bh_, bw_ = arr.shape
+            y0, x0 = by * cbh, bx * cbw
+            sh = min(cbh, bh_ - y0)
+            sw = min(cbw, bw_ - x0)
+            coeffs = _decode_codeblock(
+                b"".join(st["chunks"]), sh, sw, key[1], st["np"],
+                n_passes=st["passes"],
+            )
+            arr[y0 : y0 + sh, x0 : x0 + sw] = coeffs
 
-    # reconstruct per component
-    outs = []
-    for ci in range(n_comp):
-        bands = per_comp_bands[ci]
-        if irreversible:
-            bands = {
-                k2: bands[k2].astype(np.float64) * deltas[k2]
-                for k2 in bands
-            }
-            cur = bands[(0, "LL")]
-            for r in range(1, levels + 1):
-                cur = _idwt97_2d(
-                    cur, bands[(r, "HL")], bands[(r, "LH")],
-                    bands[(r, "HH")],
+        # reconstruct per component
+        outs = []
+        for ci in range(n_comp):
+            bands = per_comp_bands[ci]
+            if irreversible:
+                bands = {
+                    k2: bands[k2].astype(np.float64) * deltas[k2]
+                    for k2 in bands
+                }
+                cur = bands[(0, "LL")]
+                for r in range(1, levels + 1):
+                    cur = _idwt97_2d(
+                        cur, bands[(r, "HL")], bands[(r, "LH")],
+                        bands[(r, "HH")],
+                    )
+            else:
+                cur = bands[(0, "LL")]
+                for r in range(1, levels + 1):
+                    cur = _idwt53_2d(
+                        cur, bands[(r, "HL")], bands[(r, "LH")],
+                        bands[(r, "HH")],
+                    )
+            outs.append(cur)
+        return outs
+
+    # decode every tile and stitch (r13 late)
+    out_planes = [
+        np.zeros((h, w), np.float64 if irreversible else np.int64)
+        for _ in range(n_comp)
+    ]
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            idx = ty * tiles_x + tx
+            if idx not in tiles:
+                raise ValueError(f"jpx: missing tile {idx}")
+            x0, y0 = tx * xt, ty * yt
+            tw = min(xt, w - x0)
+            th = min(yt, h - y0)
+            t_start, t_end = tiles[idx]
+            t_outs = _decode_tile(t_start, t_end, tw, th)
+            for ci in range(n_comp):
+                out_planes[ci][y0 : y0 + th, x0 : x0 + tw] = (
+                    t_outs[ci]
                 )
-        else:
-            cur = bands[(0, "LL")]
-            for r in range(1, levels + 1):
-                cur = _idwt53_2d(
-                    cur, bands[(r, "HL")], bands[(r, "LH")],
-                    bands[(r, "HH")],
-                )
-        outs.append(cur)
+    outs = out_planes
     if n_comp == 3 and mct_f:
         if irreversible:
             y, cb, cr = (o.astype(np.float64) for o in outs)
