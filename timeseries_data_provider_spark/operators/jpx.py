@@ -171,16 +171,18 @@ class _TagTreeEnc:
 
 
 class _HdrReader:
-    def __init__(self, data: bytes, at: int = 0):
+    def __init__(self, data: bytes, at: int = 0,
+                 limit: int | None = None):
         self.d = data
         self.at = at
+        self.limit = len(data) if limit is None else limit
         self.bits = 0
         self.n = 0
         self.prev_ff = False
 
     def bit(self) -> int:
         if self.n == 0:
-            if self.at >= len(self.d):
+            if self.at >= self.limit:
                 raise ValueError("jpx: packet header truncated")
             b = self.d[self.at]
             self.at += 1
@@ -1426,7 +1428,7 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                         if cs[rd_at : rd_at + 2] != b"\xff\x91":
                             raise ValueError("jpx: missing SOP marker")
                         rd_at += 6
-                    rd = _HdrReader(cs, rd_at)
+                    rd = _HdrReader(cs, rd_at, limit=end_at)
                     if r == 0:
                         sbs = [(0, "LL")]
                     else:
