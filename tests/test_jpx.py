@@ -113,7 +113,7 @@ def test_pinned_fixture_bytes_and_decode():
     img = ((xs * 11 + ys * 7) % 256).astype(np.uint8)
     blob = jpx.encode_jpx(img, levels=2)
     assert hashlib.sha256(blob).hexdigest() == (
-        "b0254d009f69580d751553a935fc26c5e4f584432f1c850f9bfae0a86c4b35df"
+        "36086cfdd280c9c2968abd60ba014024758756ca42cead9a7bd8c4dd1b8e253f"
     )
     d = jpx.decode_jpx(blob)
     assert (d["pixels"] == img).all()

@@ -205,12 +205,17 @@ class MQEncoder:
             if switch:
                 mps[cx] = 1 - mps[cx]
             icx[cx] = nlps
-        while True:  # RENORME
-            if self.ct == 0:
-                self._byteout()
+        while True:  # RENORME (E.3.3: shift, then BYTEOUT when CT
+            # hits 0 — byte snapshots happen at that exact instant,
+            # the canonical order the T.88 H.2 test sequence pins;
+            # deferring the BYTEOUT lets later C += Qe carries be
+            # absorbed in-register, which is arithmetically
+            # equivalent but not the spec's byte stream — r14 fix)
             self.a = (self.a << 1) & 0xFFFF
             self.c = (self.c << 1) & 0xFFFFFFFF
             self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
             if self.a & 0x8000:
                 break
 
@@ -228,9 +233,13 @@ class MQEncoder:
         out = self.out
         if out and out[0] == 0:
             out = out[1:]  # untouched spacer
-        # terminating marker keeps the decoder's BYTEIN in the
-        # feed-ones regime past the data
-        return bytes(out) + b"\xff\xac"
+        # E.3.8 tail: append 0xFF only when the last byte isn't
+        # already one, then the 0xAC terminator — keeps the
+        # decoder's BYTEIN in the feed-ones regime past the data
+        # and matches the T.88 H.2 byte stream exactly (r14: the
+        # old unconditional b"\xff\xac" doubled a trailing FF)
+        tail = b"\xac" if out and out[-1] == 0xFF else b"\xff\xac"
+        return bytes(out) + tail
 
 
 # generic-region templates at NOMINAL AT positions (T.88 6.2.5.3,
