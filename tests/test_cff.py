@@ -60,6 +60,20 @@ def test_hostile_inputs_named_errors():
         cff.encode_cff(glyph_names=["A"], cids=[1])
 
 
+def test_index_last_offset_one_past_end_is_loud():
+    # r14 (ADVICE): an INDEX whose final offset points one byte past
+    # the data must raise the named error, not silently truncate the
+    # final entry. count=1, offSize=1, offsets (1, 4) but only 2
+    # data bytes follow -> last entry claims 3 bytes, 2 exist.
+    blob = struct.pack(">HB", 1, 1) + bytes([1, 4]) + b"ab"
+    with pytest.raises(ValueError, match="INDEX entry offsets"):
+        cff._read_index(blob, 0)
+    # the exact-fit form (offsets 1, 3) parses
+    ok = struct.pack(">HB", 1, 1) + bytes([1, 3]) + b"ab"
+    entries, _end = cff._read_index(ok, 0)
+    assert entries == [b"ab"]
+
+
 def test_pdf_fontfile3_extraction_end_to_end():
     lines = [["Hello CFF world!", "Numbers 0123 and punct ,.;"]]
     want = "Hello CFF world!\nNumbers 0123 and punct ,.;"

@@ -370,8 +370,12 @@ def test_tiled_roundtrip():
     )
     assert (jpx.decode_jpx(blob)["pixels"] == rgb).all()
     # named/hostile
-    with pytest.raises(ValueError, match="even"):
+    with pytest.raises(ValueError, match="multiples of 2"):
         jpx.encode_jpx(img, tile_size=(15, 16))
+    with pytest.raises(ValueError, match="multiples of 2"):
+        # even but not a multiple of 2^levels: the canvas-anchored
+        # subband geometry differs from tile-local (r14, ADVICE)
+        jpx.encode_jpx(img, levels=2, tile_size=(6, 6))
     with pytest.raises(NotImplementedError, match="per-tile QCD"):
         jpx.encode_jpx(img, tile_size=(16, 16), irreversible=True)
     blob = jpx.encode_jpx(img, levels=1, tile_size=(32, 32))
@@ -381,3 +385,83 @@ def test_tiled_roundtrip():
     _s.pack_into(">H", bad, blob.index(b"\xff\x90") + 4, 7)
     with pytest.raises(ValueError, match="tile"):
         jpx.decode_jpx(bytes(bad))
+    # decoder-side geometry guard: patch XTsiz/YTsiz of a tiled
+    # stream to 6 (even, not a multiple of 2^levels=4) — named
+    blob = jpx.encode_jpx(img, levels=2, tile_size=(32, 32))
+    bad = bytearray(blob)
+    siz_at = blob.index(b"\xff\x51")
+    _s.pack_into(">II", bad, siz_at + 22, 6, 6)
+    with pytest.raises(NotImplementedError, match="2.levels"):
+        jpx.decode_jpx(bytes(bad))
+
+
+def test_multiple_tile_parts_concatenate_in_tpsot_order():
+    # r14 (VERDICT item 1b): real encoders split big tiles into
+    # several SOT..SOD tile-parts; packets run contiguously over the
+    # concatenation (T.800 A.4.2)
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    one = jpx.decode_jpx(jpx.encode_jpx(img, levels=2))["pixels"]
+    for k in (2, 3, 5):
+        blob = jpx.encode_jpx(img, levels=2, tile_parts=k)
+        assert blob.count(b"\xff\x90") == k
+        d = jpx.decode_jpx(blob)
+        assert (d["pixels"] == img).all(), k
+        assert (d["pixels"] == one).all(), k
+    # layered + SOP/EPH framing still parses across the part cuts
+    blob = jpx.encode_jpx(
+        img, levels=2, layers=3, sop=True, eph=True, tile_parts=3
+    )
+    assert (jpx.decode_jpx(blob)["pixels"] == img).all()
+    # duplicate TPsot is loud
+    blob = jpx.encode_jpx(img, levels=1, tile_parts=2)
+    import struct as _s
+
+    second = blob.index(b"\xff\x90", blob.index(b"\xff\x90") + 2)
+    bad = bytearray(blob)
+    bad[second + 10] = 0  # TPsot of part 2 -> 0 (duplicate)
+    with pytest.raises(ValueError, match="duplicate tile-part"):
+        jpx.decode_jpx(bytes(bad))
+    # a TPsot gap is loud too
+    bad = bytearray(blob)
+    bad[second + 10] = 2  # TPsot of part 2 -> 2 (missing 1)
+    with pytest.raises(ValueError, match="TPsot sequence"):
+        jpx.decode_jpx(bytes(bad))
+
+
+def test_informational_pointer_markers_are_skipped():
+    # r14 (VERDICT finding 1): TLM/PLM/PLT/COM are informational
+    # pointer segments a decoder may ignore (T.800 A.7) — Kakadu
+    # emits TLM by default, so rejecting them quarantined decodable
+    # real-world streams
+    img = np.arange(24 * 16, dtype=np.uint8).reshape(24, 16) % 251
+    blob = jpx.encode_jpx(img, levels=2)
+    at = blob.index(b"\xff\x5c")  # before QCD
+    import struct as _s
+
+    tlm = b"\xff\x55" + _s.pack(">HBB", 4, 0, 0x60)
+    plt = b"\xff\x58" + _s.pack(">HB", 5, 0) + b"\x85\x04"
+    plm = b"\xff\x57" + _s.pack(">HB", 4, 0) + b"\x00"
+    com = b"\xff\x64" + _s.pack(">HH", 9, 1) + b"hello"
+    for seg in (tlm, plt, plm, com):
+        patched = blob[:at] + seg + blob[at:]
+        d = jpx.decode_jpx(patched)
+        assert (d["pixels"] == img).all(), seg[:2].hex()
+    # all four at once
+    patched = blob[:at] + tlm + plt + plm + com + blob[at:]
+    assert (jpx.decode_jpx(patched)["pixels"] == img).all()
+
+
+def test_short_header_segments_raise_named_valueerrors():
+    # r14 (ADVICE): truncated SIZ/COD/QCD segments are the documented
+    # ValueError, never a raw struct.error/IndexError
+    img = np.full((16, 16), 7, np.uint8)
+    blob = jpx.encode_jpx(img, levels=1)
+    import struct as _s
+
+    for tag in (b"\xff\x51", b"\xff\x52", b"\xff\x5c"):
+        at = blob.index(tag)
+        bad = bytearray(blob)
+        _s.pack_into(">H", bad, at + 2, 2)  # empty segment body
+        with pytest.raises(ValueError, match="jpx"):
+            jpx.decode_jpx(bytes(bad))

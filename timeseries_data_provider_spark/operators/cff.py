@@ -88,7 +88,7 @@ def _read_index(data: bytes, at: int):
     base = p - 1  # offsets are 1-based from the byte before data
     if any(
         o < 1 or offs[i] > offs[i + 1] for i, o in enumerate(offs[:-1])
-    ) or base + offs[-1] > len(data) + 1:
+    ) or base + offs[-1] > len(data):
         raise ValueError("cff: INDEX entry offsets malformed")
     entries = [
         data[base + offs[i] : base + offs[i + 1]] for i in range(count)

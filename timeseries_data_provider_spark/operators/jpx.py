@@ -9,10 +9,12 @@ shape a *lossless scan* actually uses, end to end:
 
 - JP2 box container walk (``jp2c`` carries the codestream) or a
   bare codestream;
-- SIZ: single-tile or EVEN-dimension tile grids (r13 late — per-
-  tile packet walks + stitching; odd tile dims would flip the DWT
-  sample parity mid-canvas and stay named), 1 or 3 components,
-  8-bit unsigned, no subsampling;
+- SIZ: single-tile or tile grids whose dims are multiples of
+  2^levels (r14 — exactly the grids where tile-local subband
+  geometry provably equals T.800's canvas-anchored geometry; other
+  grids stay named), 1 or 3 components, 8-bit unsigned, no
+  subsampling; MULTIPLE TILE-PARTS per tile concatenate in TPsot
+  order (r14, A.4.2);
 - COD: all five progression orders (maximal precincts make the
   position dimension a singleton), 1..64 quality layers, 0..6
   decomposition
@@ -42,11 +44,16 @@ decode as of r13 late (per-codeblock tag-tree/Lblock/pass state
 persists across the LRCP layer walk, chunks concatenate, and
 Tier-1 runs with the summed pass budget — so truncated layered
 streams, the essence of quality scalability, reconstruct
-correctly). Named NotImplementedError gaps (quarantine, never
-garbage): QCD style 1 (scalar derived), tiled images, precinct
-subdivision, progression orders other than LRCP, coder options
-(bypass/reset/termination/segmark), subsampled or >8-bit
-components, JPP/JPT streams.
+correctly). Informational pointer segments (TLM/PLM/PLT, COM) are
+skipped per A.7 (r14 — a decoder may ignore them; Kakadu-class
+encoders emit TLM by default). Named NotImplementedError gaps
+(quarantine, never garbage — this list IS the raise-site ladder):
+QCD style 1 (scalar derived), tile dims not a multiple of
+2^levels, tile-part headers between SOT and SOD (COD/QCD
+overrides), precinct subdivision, coder options (bypass/reset/
+termination/causal/predictable-termination/segmark), subsampled or
+>8-bit components, >3 or 2-component images, image/tile grid
+offsets, JPP/JPT streams.
 
 Validation posture, stated: no independent JPEG 2000 implementation
 exists in this container (the JDK has none), so — like the JBIG2-MQ
@@ -789,6 +796,7 @@ def encode_jpx(
     layers: int = 1,
     prog: str = "LRCP",
     tile_size: tuple[int, int] | None = None,
+    tile_parts: int = 1,
     _fixed_guard: int | None = None,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
@@ -825,8 +833,19 @@ def encode_jpx(
             raise NotImplementedError(
                 "encode_jpx: tiled irreversible (per-tile QCD)"
             )
-        if txs % 2 or tys % 2 or txs <= 0 or tys <= 0:
-            raise ValueError("encode_jpx: tile dims must be even")
+        if tile_parts != 1:
+            raise ValueError(
+                "encode_jpx: tile_parts applies to the single-tile "
+                "form"
+            )
+        if txs <= 0 or tys <= 0 or txs % (1 << levels) or (
+            tys % (1 << levels)
+        ):
+            # must match the decoder's canvas-geometry equivalence
+            # guard (tile origins at multiples of 2^levels)
+            raise ValueError(
+                "encode_jpx: tile dims must be multiples of 2^levels"
+            )
         tiles_x = -(-w // txs)
         tiles_y = -(-h // tys)
         bodies = []
@@ -1050,6 +1069,7 @@ def encode_jpx(
 
     body = bytearray()
     n_packet = 0
+    pkt_bounds: list[int] = []  # packet end offsets (tile-part cuts)
     for layer, r, ci in _packet_order(
         prog_id, layers, levels + 1, n_comp
     ):
@@ -1121,6 +1141,7 @@ def encode_jpx(
                 for cseg in chunks:
                     body += cseg
                 n_packet += 1
+                pkt_bounds.append(len(body))
 
     # marker segments
     siz = struct.pack(
@@ -1173,17 +1194,38 @@ def encode_jpx(
             e << 3 for e in sb_eps
         )
     tile = bytes(body)
-    psot = 12 + len(tile) + 2  # SOT seg + SOD + data
-    sot = struct.pack(">HHIBB", 10, 0, psot, 0, 1)
     cs = (
         b"\xff\x4f"
         + b"\xff\x51" + siz
         + b"\xff\x52" + cod
         + b"\xff\x5c" + qcd
-        + b"\xff\x90" + sot
-        + b"\xff\x93" + tile
-        + b"\xff\xd9"
     )
+    if not 1 <= tile_parts <= 255:
+        raise ValueError(f"encode_jpx: tile_parts {tile_parts}")
+    # tile-parts must cut at PACKET boundaries (A.4.2): pick
+    # near-even byte cuts from the recorded packet ends; asking for
+    # more parts than packets yields empty SOT+SOD parts (legal,
+    # Psot = 14) (r14)
+    cuts = [0]
+    for i in range(1, tile_parts):
+        want = len(tile) * i // tile_parts
+        cut = min(
+            (b for b in pkt_bounds if b > cuts[-1]),
+            key=lambda b: abs(b - want),
+            default=cuts[-1],
+        )
+        cuts.append(cut)
+    cuts.append(len(tile))
+    for tp in range(tile_parts):
+        part = tile[cuts[tp] : cuts[tp + 1]]
+        psot = 12 + len(part) + 2  # SOT seg + SOD + data
+        cs += (
+            b"\xff\x90"
+            + struct.pack(">HHIBB", 10, 0, psot, tp, tile_parts)
+            + b"\xff\x93"
+            + part
+        )
+    cs += b"\xff\xd9"
     if not jp2:
         return cs
     return _wrap_jp2(cs, w, h, n_comp)
@@ -1243,7 +1285,7 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     at = 2
     n = len(cs)
     siz = cod = qcd = None
-    tiles: dict[int, tuple[int, int]] = {}
+    tiles: dict[int, dict[int, tuple[int, int]]] = {}
     while at + 4 <= n:
         if cs[at] != 0xFF:
             raise ValueError("jpx: marker expected")
@@ -1262,41 +1304,52 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             cod = cs[at : at + ln]
         elif marker == 0x5C:
             qcd = cs[at : at + ln]
-        elif marker == 0x90:  # SOT: one tile-part per tile (r13)
+        elif marker == 0x90:  # SOT (r14: multiple tile-parts per
+            # tile — real encoders split big tiles; the per-tile
+            # bitstreams concatenate in TPsot order, A.4.2)
             if ln != 10 or at + 10 > n:
                 raise ValueError("jpx: malformed SOT")
             isot, psot, tpsot, _tnsot = struct.unpack_from(
                 ">HIBB", cs, at + 2
             )
-            if tpsot != 0:
-                raise NotImplementedError(
-                    "jpx: multiple tile-parts per tile"
-                )
             sot_start = at - 2
             if psot == 0:
-                psot = n - sot_start  # 0 = to EOC (last tile only)
+                psot = n - sot_start  # 0 = to EOC (last tile-part)
             end = sot_start + psot
             if end > n or psot < 14:
                 raise ValueError("jpx: Psot out of bounds")
             # the SOD must directly follow the SOT segment here
-            # (COD/QCD tile overrides were rejected above as 0x53+)
+            # (COD/QCD tile-part overrides stay a named gap)
             if cs[at + 10 : at + 12] != b"\xff\x93":
                 raise NotImplementedError(
                     "jpx: tile-part headers between SOT and SOD"
                 )
-            if isot in tiles:
-                raise ValueError(f"jpx: duplicate tile {isot}")
-            tiles[isot] = (at + 12, end)
+            parts = tiles.setdefault(isot, {})
+            if tpsot in parts:
+                raise ValueError(
+                    f"jpx: duplicate tile-part {tpsot} of tile {isot}"
+                )
+            parts[tpsot] = (at + 12, end)
             at = end
             continue
-        elif marker in (0x53, 0x5D, 0x55, 0x58, 0x5E):
+        elif marker in (0x53, 0x5D, 0x5E):
             raise NotImplementedError(
                 f"jpx: marker FF{marker:02X} (per-component/tile "
                 "overrides) outside the lossless subset"
             )
+        # informational pointer segments (TLM/PLM/PLT A.7, COM) and
+        # anything else non-semantic fall through to the length skip
         at += ln
     if siz is None or cod is None or qcd is None or not tiles:
         raise ValueError("jpx: missing SIZ/COD/QCD/SOD")
+    # segment-length validation (r14, ADVICE): malformed headers are
+    # the documented ValueError, never a raw struct/index error
+    if len(siz) < 38:
+        raise ValueError(f"jpx: SIZ segment length {len(siz)}")
+    if len(cod) < 12:
+        raise ValueError(f"jpx: COD segment length {len(cod)}")
+    if len(qcd) < 3:
+        raise ValueError(f"jpx: QCD segment length {len(qcd)}")
 
     (_rsiz, xs, ys, xo, yo, xt, yt, xto, yto, n_comp) = struct.unpack(
         ">HIIIIIIIIH", siz[2:38]
@@ -1317,12 +1370,10 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     tiles_y = -(-h // yt)
     if tiles_x * tiles_y > 4096:
         raise ValueError("jpx: implausible tile count")
-    if (tiles_x > 1 or tiles_y > 1) and (xt % 2 or yt % 2):
-        # odd tile origins flip the DWT sample parity mid-canvas;
-        # real encoders use power-of-two tiles — named, not garbled
-        raise NotImplementedError("jpx: odd tile dimensions")
     if n_comp not in (1, 3):
         raise NotImplementedError(f"jpx: {n_comp} components")
+    if len(siz) < 38 + 3 * n_comp:
+        raise ValueError("jpx: SIZ shorter than its component list")
     for ci in range(n_comp):
         ssiz, xr, yr = struct.unpack_from(">BBB", siz, 38 + 3 * ci)
         if ssiz != 7 or xr != 1 or yr != 1:
@@ -1352,6 +1403,20 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     if levels > 6 or cbe_w > 4 or cbe_h > 4:
         raise ValueError("jpx: implausible COD parameters")
     cbw, cbh = 1 << (cbe_w + 2), 1 << (cbe_h + 2)
+    if (tiles_x > 1 or tiles_y > 1) and (
+        xt % (1 << levels) or yt % (1 << levels)
+    ):
+        # T.800 anchors subband sizes and codeblock grids to CANVAS
+        # coordinates; this decoder computes them tile-locally. The
+        # two are provably equal exactly when every tile origin is a
+        # multiple of 2^levels (then ceil((x0+tw)/2^k) - ceil(x0/2^k)
+        # = ceil(tw/2^k) for every k <= levels, likewise floor) —
+        # so other grids stay a NAMED gap instead of desync garbage
+        # (r14, ADVICE: even dims alone were not sufficient).
+        raise NotImplementedError(
+            "jpx: tile dims not a multiple of 2^levels "
+            "(canvas-anchored subband geometry)"
+        )
 
     sqcd = qcd[2]
     q_style = sqcd & 0x1F
@@ -1393,10 +1458,13 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             f"jpx: QCD style {q_style} (scalar-derived stays named)"
         )
 
-    def _decode_tile(rd_at: int, end_at: int, tw: int, th: int):
+    def _decode_tile(buf: bytes, tw: int, th: int):
         """One tile's packet walk + reconstruction -> list of
         (th, tw) planes (int64 for 5/3, float64 for 9/7, pre
-        DC-shift / MCT-inverse)."""
+        DC-shift / MCT-inverse). ``buf`` is the tile's bitstream —
+        its tile-part SOD payloads concatenated in TPsot order
+        (r14), over which packets run contiguously per A.4.2."""
+        rd_at, end_at = 0, len(buf)
         ll0, band_list = _band_sizes(tw, th, levels)
 
         # parse packets (bounded by this tile-part's Psot extent)
@@ -1425,10 +1493,10 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             if True:
                 if True:
                     if use_sop:
-                        if cs[rd_at : rd_at + 2] != b"\xff\x91":
+                        if buf[rd_at : rd_at + 2] != b"\xff\x91":
                             raise ValueError("jpx: missing SOP marker")
                         rd_at += 6
-                    rd = _HdrReader(cs, rd_at, limit=end_at)
+                    rd = _HdrReader(buf, rd_at, limit=end_at)
                     if r == 0:
                         sbs = [(0, "LL")]
                     else:
@@ -1492,7 +1560,7 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                                     chunks.append((bk, ln))
                     rd_at = rd.align()
                     if use_eph:
-                        if cs[rd_at : rd_at + 2] != b"\xff\x92":
+                        if buf[rd_at : rd_at + 2] != b"\xff\x92":
                             raise ValueError("jpx: missing EPH marker")
                         rd_at += 2
                     for bk, ln in chunks:
@@ -1500,7 +1568,7 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                             raise ValueError(
                                 "jpx: codeblock data truncated"
                             )
-                        cb[bk]["chunks"].append(cs[rd_at : rd_at + ln])
+                        cb[bk]["chunks"].append(buf[rd_at : rd_at + ln])
                         rd_at += ln
         for (ci, key, by, bx), st in cb.items():
             arr = per_comp_bands[ci][key]
@@ -1552,8 +1620,16 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             x0, y0 = tx * xt, ty * yt
             tw = min(xt, w - x0)
             th = min(yt, h - y0)
-            t_start, t_end = tiles[idx]
-            t_outs = _decode_tile(t_start, t_end, tw, th)
+            parts = tiles[idx]
+            if set(parts) != set(range(len(parts))):
+                raise ValueError(
+                    f"jpx: tile {idx} TPsot sequence has gaps"
+                )
+            buf = b"".join(
+                cs[s0:e0]
+                for _tp, (s0, e0) in sorted(parts.items())
+            )
+            t_outs = _decode_tile(buf, tw, th)
             for ci in range(n_comp):
                 out_planes[ci][y0 : y0 + th, x0 : x0 + tw] = (
                     t_outs[ci]

@@ -1170,7 +1170,7 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
         return None
     ff = fdesc.get("FontFile2")
     if not isinstance(ff, _Ref):
-        return _type0_cff_decoder(objs, fdesc, gid_map)
+        return _type0_cff_decoder(objs, fdesc)
     tgt = objs.get(ff.num)
     if not tgt or tgt[1] is None:
         return None
@@ -1197,7 +1197,7 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
     return dec
 
 
-def _type0_cff_decoder(objs: dict, fdesc: dict, gid_map):
+def _type0_cff_decoder(objs: dict, fdesc: dict):
     """Identity-H Type0 whose program is FontFile3 (r13, VERDICT r12
     item 4 — those pages silently yielded no text). Two recoverable
     forms, per operators/cff:
@@ -1211,8 +1211,9 @@ def _type0_cff_decoder(objs: dict, fdesc: dict, gid_map):
 
     A bare CID-KEYED CFF stays the named no-text gap (its only
     Unicode source would be the ROS registry's external CMap files).
-    /CIDToGIDMap is CIDFontType2-only (§9.7.4.3) and is ignored here
-    except for the OTTO form's explicit stream renumbering."""
+    /CIDToGIDMap is CIDFontType2-only (§9.7.4.3) and is ignored
+    unconditionally for FontFile3 fonts — for the OTTO form the CFF
+    charset itself carries the CID -> GID renumbering."""
     ff3 = fdesc.get("FontFile3")
     if not isinstance(ff3, _Ref):
         return None
