@@ -29,8 +29,12 @@ shape a *lossless scan* actually uses, end to end:
 - Tier-1: the full EBCOT context modeller — significance
   propagation / magnitude refinement / cleanup passes, orientation-
   dependent zero-coding contexts, sign contexts with XOR, run-length
-  + UNIFORM contexts — driving the shared MQ coder, one codeblock
-  segment per block (no bypass/reset/termination options);
+  + UNIFORM contexts — driving the shared MQ coder; the COD coder
+  options real encoders emit decode as of r14 (VERDICT item 1c):
+  arithmetic BYPASS (raw SP/MR from the 5th plane, D.6, with the
+  packet header's per-codeword-segment length fields, B.10.7.2),
+  per-pass RESET, per-pass termination, and segmentation symbols
+  (verified on decode — desync is loud);
 - inverse 5/3 lifting with symmetric extension across all levels,
   inverse RCT, DC level shift.
 
@@ -50,10 +54,10 @@ encoders emit TLM by default). Named NotImplementedError gaps
 (quarantine, never garbage — this list IS the raise-site ladder):
 QCD style 1 (scalar derived), tile dims not a multiple of
 2^levels, tile-part headers between SOT and SOD (COD/QCD
-overrides), precinct subdivision, coder options (bypass/reset/
-termination/causal/predictable-termination/segmark), subsampled or
->8-bit components, >3 or 2-component images, image/tile grid
-offsets, JPP/JPT streams.
+overrides), precinct subdivision, the vertically-causal and
+predictable-termination coder options, subsampled or >8-bit
+components, >3 or 2-component images, image/tile grid offsets,
+JPP/JPT streams.
 
 Validation posture, stated: no independent JPEG 2000 implementation
 exists in this container (the JDK has none), so — like the JBIG2-MQ
@@ -368,18 +372,32 @@ class _Block:
 
 def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                get_bit=None, get_sign=None,
-               which=("SP", "MR", "CU")):
+               which=("SP", "MR", "CU"), raw: bool = False,
+               segmark: bool = False):
     """Run the three coding passes of one bit-plane over a codeblock
     in both directions: when ``encode`` the callbacks read the truth
     (magnitude bit / sign) and the MQ encoder writes; otherwise the
     MQ decoder drives and the block state is updated. The column-
     strip scan order (4-high strips, column-major inside) and the
     pass-membership rules are identical by construction — one body,
-    two directions, so the two sides cannot disagree on mechanics."""
+    two directions, so the two sides cannot disagree on mechanics.
+
+    ``raw`` (r14 — the BYPASS coder option, T.800 D.6): ``mq`` is a
+    raw bit engine (_HdrWriter / _HdrReader — raw coding uses the
+    same FF-stuffing rule as packet headers) and significance/sign/
+    refinement bits are coded context-free, the sign directly
+    (0 = positive, no XOR). Only SP/MR passes can be raw. ``segmark``
+    appends the 1010 segmentation symbol on the UNIFORM context at
+    the end of every cleanup pass and the decode side verifies it."""
     h, w = blk.h, blk.w
     bit_val = 1 << plane
 
     def code(cx, truth):
+        if raw:
+            if encode:
+                mq.bit(truth)
+                return truth
+            return mq.bit()
         if encode:
             mq.encode(icx, mps, cx, truth)
             return truth
@@ -393,13 +411,19 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
             truth = 1 if get_bit(y, x, plane) else 0
         became = code(cx, truth)
         if became:
-            scx, xor = blk.sc_ctx(y, x)
-            if encode:
-                sgn_truth = (0 if get_sign(y, x) > 0 else 1) ^ xor
+            if raw:
+                sgn_truth = (
+                    (0 if get_sign(y, x) > 0 else 1) if encode else 0
+                )
+                neg = code(None, sgn_truth) == 1
             else:
-                sgn_truth = 0
-            sbit = code(scx, sgn_truth)
-            neg = (sbit ^ xor) == 1
+                scx, xor = blk.sc_ctx(y, x)
+                if encode:
+                    sgn_truth = (0 if get_sign(y, x) > 0 else 1) ^ xor
+                else:
+                    sgn_truth = 0
+                sbit = code(scx, sgn_truth)
+                neg = (sbit ^ xor) == 1
             blk.sig[y + 1, x + 1] = 1
             blk.sgn[y + 1, x + 1] = -1 if neg else 1
             blk.mag[y, x] = bit_val
@@ -491,36 +515,98 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                     continue
                 sig_code(y, x)
     if "CU" in which:
+        if segmark:
+            # segmentation symbol (D.5): 1010 on the UNIFORM context
+            # closes every cleanup pass; a mismatch on decode means
+            # the bit budget desynced — loud, never garbage
+            for want in (1, 0, 1, 0):
+                got = code(_CX_UNI, want)
+                if not encode and got != want:
+                    raise ValueError(
+                        "jpx: segmentation symbol mismatch"
+                    )
         # the plane is complete: clear the membership marks (when a
         # truncated block never reaches its cleanup pass nothing
         # after it reads them, so per-pass invocation stays correct)
         blk.visited[:] = False
 
 
+def _pass_plan(n_planes: int, cb_style: int):
+    """Per-pass coding plan for one codeblock under the COD
+    codeblock-style options (r14 — T.800 D.3.5 bypass, D.4
+    per-pass termination): a list of (kind, plane, raw, seg_idx) in
+    coding order. ``raw`` marks the arithmetic-coder-BYPASS passes
+    (SP/MR from the 5th most-significant plane on); ``seg_idx`` is
+    the terminated-codeword-segment numbering that the packet
+    header's length fields follow (B.10.7.2) — segments end after
+    every pass under per-pass termination, at every MQ<->raw mode
+    switch under bypass, and only at the block end otherwise."""
+    bypass = bool(cb_style & 0x01)
+    term_each = bool(cb_style & 0x04)
+    plan = []
+    for k in range(n_planes):  # k = plane index from the MSB
+        plane = n_planes - 1 - k
+        kinds = ("CU",) if k == 0 else ("SP", "MR", "CU")
+        for kind in kinds:
+            raw = bypass and k >= 4 and kind != "CU"
+            plan.append([kind, plane, raw, 0])
+    seg = 0
+    for i, ent in enumerate(plan):
+        ent[3] = seg
+        if term_each:
+            seg += 1
+        elif bypass and i + 1 < len(plan) and plan[i + 1][2] != ent[2]:
+            seg += 1
+    return [tuple(e) for e in plan]
+
+
+def _seg_pass_bounds(plan) -> list[int]:
+    """Pass-count boundaries where a codeword segment ends (the only
+    valid quality-layer split points once coder options are on)."""
+    return [
+        i + 1
+        for i, ent in enumerate(plan)
+        if i + 1 == len(plan) or plan[i + 1][3] != ent[3]
+    ]
+
+
 def _decode_codeblock(
-    data: bytes, h: int, w: int, orient: str, n_planes: int,
-    n_passes: int | None = None,
+    segs: list[bytes], h: int, w: int, orient: str, n_planes: int,
+    n_passes: int | None = None, cb_style: int = 0,
 ) -> np.ndarray:
-    """Tier-1 decode of one codeblock segment into signed ints.
-    ``n_passes`` bounds the coding passes actually run (r13 late —
-    quality-layer TRUNCATION: a layered lossy stream may stop a
-    codeblock mid-plane; the pass budget is the per-layer counts
-    summed by the packet parser). None = all 3*n_planes - 2."""
-    mq = MQDecoder(data)
+    """Tier-1 decode of one codeblock into signed ints. ``segs`` is
+    the per-codeword-segment byte list (a single concatenated
+    segment when no coder options are on). ``n_passes`` bounds the
+    coding passes actually run (r13 late — quality-layer
+    TRUNCATION: a layered lossy stream may stop a codeblock
+    mid-plane; the pass budget is the per-layer counts summed by
+    the packet parser). None = all 3*n_planes - 2."""
+    if isinstance(segs, (bytes, bytearray)):
+        segs = [segs]  # the single-segment (no coder options) form
+    plan = _pass_plan(n_planes, cb_style)
+    reset = bool(cb_style & 0x02)
+    segmark = bool(cb_style & 0x20)
     icx, mps = _fresh_ctx()
     blk = _Block(h, w, orient)
     budget = 3 * n_planes - 2 if n_passes is None else n_passes
-    for plane in range(n_planes - 1, -1, -1):
+    eng = None
+    cur_seg = -1
+    for kind, plane, raw, seg_idx in plan:
         if budget <= 0:
             break
-        # the MSB plane codes only its cleanup pass (passes 1-2 are
-        # vacuous before anything is significant)
-        plist = (
-            ("CU",) if plane == n_planes - 1 else ("SP", "MR", "CU")
+        if seg_idx != cur_seg:
+            data = bytes(segs[seg_idx]) if seg_idx < len(segs) else b""
+            eng = _HdrReader(data) if raw else MQDecoder(data)
+            cur_seg = seg_idx
+        if reset:
+            f_icx, f_mps = _fresh_ctx()
+            icx[:] = f_icx
+            mps[:] = f_mps
+        _t1_passes(
+            blk, plane, eng, icx, mps, encode=False, which=(kind,),
+            raw=raw, segmark=segmark,
         )
-        run = plist[: min(len(plist), budget)]
-        _t1_passes(blk, plane, mq, icx, mps, encode=False, which=run)
-        budget -= len(run)
+        budget -= 1
     return blk.mag * np.where(
         blk.sgn[1:-1, 1:-1] < 0, -1, 1
     ).astype(np.int64)
@@ -528,13 +614,18 @@ def _decode_codeblock(
 
 def _encode_codeblock(
     coeffs: np.ndarray, orient: str, n_planes: int,
-    want_marks: bool = False,
+    want_marks: bool = False, cb_style: int = 0,
 ):
-    """Tier-1 encode; with ``want_marks`` returns (bytes, per-pass
-    byte watermarks) — valid layer split points because the decoder
-    concatenates every layer's chunks BEFORE running Tier-1, so a
-    split needs no per-pass MQ termination."""
-    mq = MQEncoder()
+    """Tier-1 encode; returns the concatenated codeword bytes, or
+    with ``want_marks`` the tuple (bytes, per-pass byte watermarks,
+    per-segment byte-end offsets). Without coder options the
+    watermarks are valid split points at ANY pass (the decoder
+    concatenates every layer's chunks before running Tier-1, so a
+    split needs no per-pass MQ termination); with coder options on,
+    layer splits must land on segment ends (the byte-end list)."""
+    plan = _pass_plan(n_planes, cb_style)
+    reset = bool(cb_style & 0x02)
+    segmark = bool(cb_style & 0x20)
     icx, mps = _fresh_ctx()
     h, w = coeffs.shape
     blk = _Block(h, w, orient)
@@ -548,21 +639,40 @@ def _encode_codeblock(
         return 1 if signs[y, x] >= 0 else -1
 
     marks = []
-    for plane in range(n_planes - 1, -1, -1):
-        plist = (
-            ("CU",) if plane == n_planes - 1 else ("SP", "MR", "CU")
+    seg_byte_ends = []
+    done = bytearray()
+    eng = None
+    cur_seg = -1
+    cur_raw = False
+
+    def _finish_current():
+        nonlocal eng
+        if eng is not None:
+            done.extend(eng.finish() if cur_raw else eng.flush())
+            seg_byte_ends.append(len(done))
+            eng = None
+
+    for kind, plane, raw, seg_idx in plan:
+        if seg_idx != cur_seg:
+            _finish_current()
+            eng = _HdrWriter() if raw else MQEncoder()
+            cur_seg, cur_raw = seg_idx, raw
+        if reset:
+            f_icx, f_mps = _fresh_ctx()
+            icx[:] = f_icx
+            mps[:] = f_mps
+        _t1_passes(
+            blk, plane, eng, icx, mps, encode=True,
+            get_bit=get_bit, get_sign=get_sign, which=(kind,),
+            raw=raw, segmark=segmark,
         )
-        for p in plist:
-            _t1_passes(
-                blk, plane, mq, icx, mps, encode=True,
-                get_bit=get_bit, get_sign=get_sign, which=(p,),
-            )
-            marks.append(len(mq.out))
-    data = mq.flush()
+        marks.append(len(done) + len(eng.out))
+    _finish_current()
+    data = bytes(done)
     if want_marks:
         marks = [min(m, len(data)) for m in marks]
         marks[-1] = len(data)
-        return data, marks
+        return data, marks, seg_byte_ends
     return data
 
 
@@ -797,6 +907,7 @@ def encode_jpx(
     prog: str = "LRCP",
     tile_size: tuple[int, int] | None = None,
     tile_parts: int = 1,
+    cb_style: int = 0,
     _fixed_guard: int | None = None,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
@@ -814,6 +925,12 @@ def encode_jpx(
         raise ValueError("encode_jpx: levels 0..6")
     if not all(2 <= e <= 6 for e in cb_exp):
         raise ValueError("encode_jpx: codeblock exponents 2..6")
+    if cb_style & ~0x27:
+        # implemented coder options (r14): 0x01 bypass, 0x02 reset,
+        # 0x04 per-pass termination, 0x20 segmentation symbols;
+        # vertically-causal (0x08) / predictable termination (0x10)
+        # stay out of the writable subset
+        raise ValueError(f"encode_jpx: coder options {cb_style:#x}")
     if mct is None:
         mct = not gray
     if mct and gray:
@@ -858,7 +975,8 @@ def encode_jpx(
                 one = encode_jpx(
                     sub, levels=levels, cb_exp=cb_exp, mct=mct,
                     sop=sop, eph=eph, irreversible=False,
-                    layers=layers, prog=prog, _fixed_guard=7,
+                    layers=layers, prog=prog, cb_style=cb_style,
+                    _fixed_guard=7,
                 )
                 sod = one.index(b"\xff\x93")
                 eoc = one.rindex(b"\xff\xd9")
@@ -1025,33 +1143,73 @@ def encode_jpx(
                         raise ValueError(
                             "jpx: coefficient wider than Mb"
                         )
-                    seg, marks = _encode_codeblock(
-                        sub, key[1], np_, want_marks=True
+                    seg, marks, seg_ends = _encode_codeblock(
+                        sub, key[1], np_, want_marks=True,
+                        cb_style=cb_style,
                     )
                     total = 3 * np_ - 2
+                    bounds_p = _seg_pass_bounds(
+                        _pass_plan(np_, cb_style)
+                    )
                     # split passes near-evenly; byte split at the
-                    # pass watermark
+                    # pass watermark — snapped UP to a codeword-
+                    # segment end when coder options are on (r14,
+                    # B.10.7.2: only whole terminated segments can
+                    # cut cleanly; the spec also allows mid-segment
+                    # byte splits, which the decoder supports, but
+                    # the encoder keeps cuts segment-aligned)
                     per = []
                     done_p = 0
                     done_b = 0
                     for li in range(layers):
-                        k = (total * (li + 1)) // layers - done_p
+                        # an earlier snap-up may already cover this
+                        # layer's proportional share: clamp at zero
+                        k = max(
+                            0, (total * (li + 1)) // layers - done_p
+                        )
                         if li == layers - 1:
                             k = total - done_p
-                        end_b = (
-                            len(seg)
-                            if done_p + k >= total
-                            else marks[done_p + k - 1]
-                            if k > 0
-                            else done_b
-                        )
-                        per.append(
-                            (k, seg[done_b:end_b])
-                        )
+                        if cb_style and k > 0:
+                            k = min(
+                                b for b in bounds_p
+                                if b >= done_p + k
+                            ) - done_p
+                        if cb_style:
+                            end_b = (
+                                done_b
+                                if k == 0
+                                else seg_ends[
+                                    bounds_p.index(done_p + k)
+                                ]
+                            )
+                        else:
+                            end_b = (
+                                len(seg)
+                                if done_p + k >= total
+                                else marks[done_p + k - 1]
+                                if k > 0
+                                else done_b
+                            )
+                        # header-length partitions: one per whole
+                        # codeword segment inside this layer chunk
+                        parts = []
+                        if k > 0 and cb_style:
+                            s_p, s_b = done_p, done_b
+                            for b in bounds_p:
+                                if b <= s_p:
+                                    continue
+                                if b > done_p + k:
+                                    break
+                                e_b = seg_ends[bounds_p.index(b)]
+                                parts.append((b - s_p, seg[s_b:e_b]))
+                                s_p, s_b = b, e_b
+                        elif k > 0:
+                            parts = [(k, seg[done_b:end_b])]
+                        per.append((k, seg[done_b:end_b], parts))
                         done_p += k
                         done_b = end_b
                     first_layer = next(
-                        li for li, (k, _d) in enumerate(per)
+                        li for li, (k, _d, _p) in enumerate(per)
                         if k > 0
                     )
                     incl_leaf[by, bx] = first_layer
@@ -1113,21 +1271,31 @@ def encode_jpx(
                                         wr, bx, by, 1 << 30
                                     )
                                 else:
-                                    k, _d = blk["per"][layer]
+                                    k, _d, _p = blk["per"][layer]
                                     wr.bit(1 if k > 0 else 0)
                                     if k == 0:
                                         continue
-                                k, data = blk["per"][layer]
+                                k, data, parts = blk["per"][layer]
                                 _npasses_write(wr, k)
-                                nbits = blk["lblock"] + max(
-                                    0, k.bit_length() - 1
-                                )
-                                while len(data).bit_length() > nbits:
+                                # Lblock grows (shared signalling,
+                                # B.10.7.1) until EVERY partition
+                                # length fits its own field of
+                                # Lblock + floor(log2(passes)) bits
+                                while any(
+                                    len(d2).bit_length()
+                                    > blk["lblock"]
+                                    + (p2.bit_length() - 1)
+                                    for p2, d2 in parts
+                                ):
                                     wr.bit(1)
                                     blk["lblock"] += 1
-                                    nbits += 1
                                 wr.bit(0)
-                                wr.write(len(data), nbits)
+                                for p2, d2 in parts:
+                                    wr.write(
+                                        len(d2),
+                                        blk["lblock"]
+                                        + (p2.bit_length() - 1),
+                                    )
                                 chunks.append(data)
                 hdr = wr.finish()
                 if sop:
@@ -1169,7 +1337,7 @@ def encode_jpx(
         levels,
         cb_exp[0] - 2,
         cb_exp[1] - 2,
-        0,  # no coder options
+        cb_style,  # coder options (bypass/reset/term/segmark, r14)
         0 if irreversible else 1,  # 9/7 vs 5/3
     )
     n_sb = 3 * levels + 1
@@ -1392,10 +1560,14 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         raise ValueError(f"jpx: progression order {prog}")
     if not 1 <= layers <= 64:
         raise ValueError(f"jpx: implausible layer count {layers}")
-    if cb_style != 0:
+    if cb_style & ~0x27:
+        # 0x01 bypass / 0x02 reset / 0x04 per-pass termination /
+        # 0x20 segmentation symbols decode (r14 — Kakadu-class
+        # encoders emit bypass+termination under common flags);
+        # the rest stays named
         raise NotImplementedError(
-            f"jpx: coder options {cb_style:#x} (bypass/reset/"
-            "termination/segmark)"
+            f"jpx: coder options {cb_style:#x} (vertically-causal/"
+            "predictable-termination)"
         )
     if wavelet not in (0, 1):
         raise ValueError(f"jpx: wavelet id {wavelet}")
@@ -1536,39 +1708,73 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                                                 "jpx: zero bit-planes "
                                                 "exceed Mb"
                                             )
+                                        bounds = _seg_pass_bounds(
+                                            _pass_plan(
+                                                np_, cb_style
+                                            )
+                                        )
                                         st = cb[bk] = {
                                             "np": np_,
                                             "passes": 0,
                                             "lblock": 3,
-                                            "chunks": [],
+                                            "bounds": bounds,
+                                            "segs": [
+                                                bytearray()
+                                                for _ in bounds
+                                            ],
                                         }
                                     elif not rd.bit():
                                         continue
                                     npass = _npasses_read(rd)
                                     while rd.bit():
                                         st["lblock"] += 1
-                                    nbits = st["lblock"] + max(
-                                        0, npass.bit_length() - 1
-                                    )
-                                    ln = rd.read(nbits)
+                                    a0 = st["passes"]
                                     st["passes"] += npass
                                     if st["passes"] > 3 * st["np"] - 2:
                                         raise ValueError(
                                             "jpx: pass count exceeds "
                                             "the bit-plane budget"
                                         )
-                                    chunks.append((bk, ln))
+                                    # one length per codeword-
+                                    # segment portion inside this
+                                    # contribution (B.10.7.2); a
+                                    # single segment when no coder
+                                    # options are on
+                                    s_p = a0
+                                    seg_i = sum(
+                                        1
+                                        for b2 in st["bounds"]
+                                        if b2 <= a0
+                                    )
+                                    while s_p < a0 + npass:
+                                        e_p = min(
+                                            st["bounds"][seg_i],
+                                            a0 + npass,
+                                        )
+                                        p2 = e_p - s_p
+                                        ln = rd.read(
+                                            st["lblock"]
+                                            + (p2.bit_length() - 1)
+                                        )
+                                        chunks.append(
+                                            (bk, seg_i, ln)
+                                        )
+                                        if e_p == st["bounds"][seg_i]:
+                                            seg_i += 1
+                                        s_p = e_p
                     rd_at = rd.align()
                     if use_eph:
                         if buf[rd_at : rd_at + 2] != b"\xff\x92":
                             raise ValueError("jpx: missing EPH marker")
                         rd_at += 2
-                    for bk, ln in chunks:
+                    for bk, seg_i, ln in chunks:
                         if rd_at + ln > end_at:
                             raise ValueError(
                                 "jpx: codeblock data truncated"
                             )
-                        cb[bk]["chunks"].append(buf[rd_at : rd_at + ln])
+                        cb[bk]["segs"][seg_i] += buf[
+                            rd_at : rd_at + ln
+                        ]
                         rd_at += ln
         for (ci, key, by, bx), st in cb.items():
             arr = per_comp_bands[ci][key]
@@ -1577,8 +1783,8 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             sh = min(cbh, bh_ - y0)
             sw = min(cbw, bw_ - x0)
             coeffs = _decode_codeblock(
-                b"".join(st["chunks"]), sh, sw, key[1], st["np"],
-                n_passes=st["passes"],
+                st["segs"], sh, sw, key[1], st["np"],
+                n_passes=st["passes"], cb_style=cb_style,
             )
             arr[y0 : y0 + sh, x0 : x0 + sw] = coeffs
 

@@ -2280,11 +2280,14 @@ def synth_scan_pdf_media(
       decode ladders run);
     - page 2: gray8 gradient (id+x+y)%256 (the GIF/TIFF closed
       form) at (40+id%4) x (20+id%2), the CONTAINER rotating by
-      id%3 — 1: lossless 5/3 JPEG 2000 codestream (/JPXDecode via
-      operators/jpx, r13), 2: the JP2 box form, else Flate raw —
-      same pixels, so the oracle's scan_px2 formula is codec-
-      independent while the EBCOT/DWT ladder runs on two thirds of
-      the corpus;
+      id%6 (r14) — 1: lossless 5/3 JPEG 2000 codestream (/JPXDecode
+      via operators/jpx, r13), 2: the JP2 box form, 3: the
+      arithmetic-coder-BYPASS form, 4: all four coder options + 2
+      quality layers, 5: two tile-parts + SOP/EPH + 3 layers, else
+      Flate raw — same pixels, so the oracle's scan_px2 formula is
+      codec-independent while the EBCOT/DWT ladder (now including
+      the r14 coder-option and tile-part cells) runs on five sixths
+      of the corpus;
     - page 3: Indexed raster over the 216-entry web-safe RGB cube,
       index (7·id+x+3·y)%216 at 24 x 12 — the cube makes the channel
       sum 51·(r6+g6+b6) with r6/g6/b6 the base-6 digits."""
@@ -2314,9 +2317,13 @@ def synth_scan_pdf_media(
                     2: "jbig2-text",
                     3: "jbig2-mmr",
                 }.get(i % 4, "ccitt-g4")
-                p2_kind = {1: "jpx", 2: "jpx-jp2"}.get(
-                    i % 3, "gray8"
-                )
+                p2_kind = {
+                    1: "jpx",
+                    2: "jpx-jp2",
+                    3: "jpx-bypass",
+                    4: "jpx-opt",
+                    5: "jpx-parts",
+                }.get(i % 6, "gray8")
                 out[id_col].append(i)
                 out["payload"].append(
                     encode_scan_pdf(
@@ -2901,15 +2908,31 @@ def encode_scan_pdf(images: list) -> bytes:
             data = zlib.compress(px.tobytes())
             extra = " /Filter /FlateDecode"
             cs, bpc = "/DeviceCMYK", 8
-        elif kind in ("jpx", "jpx-jp2"):
+        elif kind in (
+            "jpx", "jpx-jp2", "jpx-bypass", "jpx-opt", "jpx-parts"
+        ):
             # lossless 5/3 JPEG 2000 (r13) — bare codestream or the
-            # JP2 box container, both legal under /JPXDecode
+            # JP2 box container, both legal under /JPXDecode. r14
+            # widens the form matrix to the shapes real encoders
+            # emit: -bypass = the arithmetic-coder BYPASS flag alone
+            # (the common Kakadu speed flag), -opt = all four
+            # implemented coder options + 2 quality layers,
+            # -parts = two tile-parts with SOP/EPH framing + 3
+            # layers (same pixels in every form)
             from timeseries_data_provider_spark.operators import (
                 jpx as _jpx,
             )
 
+            kw = {}
+            if kind == "jpx-bypass":
+                kw = {"cb_style": 0x01}
+            elif kind == "jpx-opt":
+                kw = {"cb_style": 0x27, "layers": 2}
+            elif kind == "jpx-parts":
+                kw = {"tile_parts": 2, "layers": 3, "sop": True,
+                      "eph": True}
             data = _jpx.encode_jpx(
-                px, levels=2, jp2=kind == "jpx-jp2"
+                px, levels=2, jp2=kind == "jpx-jp2", **kw
             )
             extra = " /Filter /JPXDecode"
             cs, bpc = (
