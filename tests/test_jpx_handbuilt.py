@@ -1,0 +1,203 @@
+"""HAND-ASSEMBLED JPEG 2000 codestreams (r14, VERDICT item 2 — the
+tests/test_cfb_handbuilt.py posture): every marker segment, packet-
+header bit, and tag-tree decision below is laid out BY HAND from
+ITU-T T.800's own tables (A.5 SIZ, A.6.1 COD, A.6.4 QCD, B.10
+packet headers / tag trees, D cleanup-pass walk), through a local
+bit-writer and struct.pack — sharing no code with encode_jpx. The
+Tier-1 MQ byte layer rides the repo MQ coder, which is itself
+second-writer-validated byte-exact against the T.88 Annex H.2 spec
+test sequence (tests/test_jbig2.py), so what these fixtures pin
+independently is everything ABOVE the MQ layer: the marker walk,
+QCD bit-depth derivation, packet-header bit syntax (inclusion /
+zero-bitplane tag trees, pass-count codewords, Lblock, length
+fields), the EBCOT context-decision ORDER (hand-derived below from
+the D.3/D.4 scan and context rules), subband assembly, the 5/3
+inverse DWT, and the DC level shift.
+
+If the decoder's reading of any of those layers drifted from the
+spec, these byte-literal streams would stop decoding to the hand-
+computed pixels."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from timeseries_data_provider_spark.operators import jpx
+from timeseries_data_provider_spark.operators.jbig2 import MQEncoder
+from timeseries_data_provider_spark.operators.jpx import _fresh_ctx
+
+
+class _Bits:
+    """Hand-rolled packet-header bit writer (B.10.1: MSB first, a 0
+    bit stuffed after every FF byte) — deliberately NOT the module's
+    _HdrWriter."""
+
+    def __init__(self):
+        self.bytes_ = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, *bits):
+        for b in bits:
+            room = 7 if (self.bytes_ and self.bytes_[-1] == 0xFF
+                         and self.n == 0) else 8
+            self.acc = (self.acc << 1) | b
+            self.n += 1
+            if self.n == room:
+                self.bytes_.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def put_int(self, v, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def done(self):
+        while self.n:
+            self.put(0)
+        return bytes(self.bytes_)
+
+
+def _mq_bytes(decisions):
+    """MQ-code a hand-derived (context, decision) sequence. The MQ
+    coder itself is pinned byte-exact to T.88 H.2 elsewhere."""
+    enc = MQEncoder()
+    icx, mps = _fresh_ctx()
+    for cx, d in decisions:
+        enc.encode(icx, mps, cx, d)
+    return enc.flush()
+
+
+def _main_header(w, h, levels, guard, eps):
+    """SOC + SIZ + COD + QCD laid out from T.800 Annex A by hand."""
+    siz = struct.pack(
+        ">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1
+    ) + struct.pack(">BBB", 7, 1, 1)  # 8-bit unsigned, 1x1
+    cod = struct.pack(
+        ">HBBHBBBBBB",
+        12, 0,        # Lcod, Scod (no precincts/SOP/EPH)
+        0, 1, 0,      # LRCP, 1 layer, no MCT
+        levels,
+        4, 4,         # 64x64 codeblocks (exponent - 2)
+        0, 1,         # no coder options, 5/3 reversible
+    )
+    qcd = struct.pack(">HB", 3 + (3 * levels + 1), guard << 5)
+    qcd += bytes([eps << 3] * (3 * levels + 1))
+    return (
+        b"\xff\x4f" + b"\xff\x51" + siz + b"\xff\x52" + cod
+        + b"\xff\x5c" + qcd
+    )
+
+
+def _one_packet_header(zbp, n_passes, data_len):
+    """Bits per B.10: nonempty, 1x1 inclusion tag tree (first
+    inclusion at layer 0 = a single 1 bit), zero-bitplane tag tree
+    (zbp 0-bits then a 1), the pass-count codeword (B.10.6), Lblock
+    stay-at-3 signal, then the chunk length in
+    3 + floor(log2(n_passes)) bits (growing Lblock if needed)."""
+    bw = _Bits()
+    bw.put(1)            # packet non-empty
+    bw.put(1)            # inclusion: leaf value 0, threshold 1
+    bw.put(*([0] * zbp)), bw.put(1)  # zero bit-planes
+    if n_passes == 1:
+        bw.put(0)
+    elif n_passes == 7:
+        bw.put(1, 1, 1, 1)
+        bw.put_int(7 - 6, 5)
+    else:  # pragma: no cover - fixture scope
+        raise AssertionError(n_passes)
+    extra = 0
+    while data_len.bit_length() > 3 + extra + (
+        n_passes.bit_length() - 1
+    ):
+        extra += 1
+    bw.put(*([1] * extra))
+    bw.put(0)            # Lblock signalling ends
+    bw.put_int(data_len, 3 + extra + (n_passes.bit_length() - 1))
+    return bw.done()
+
+
+def _wrap_tile(main, body):
+    psot = 12 + 2 + len(body)
+    return (
+        main
+        + b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+        + b"\xff\x93" + body
+        + b"\xff\xd9"
+    )
+
+
+def test_handbuilt_levels0_single_coefficient():
+    # 4x4, levels=0: the image IS the LL band. One coefficient +1 at
+    # (0,0), np=1 (guard=1, eps=8 -> Mb=8, zbp=7). The single
+    # cleanup pass walks 4-high column strips (D.4): column 0 enters
+    # run-length mode (all four insignificant, all contexts 0), the
+    # run breaks at position 0 -> RL=1, two UNIFORM position bits
+    # 00, sign via context 9 (all-zero neighborhood, XOR 0, +) = 0;
+    # rows 1..3 of column 0 then code zero-coding contexts 3
+    # (vertical neighbor), 0, 0; column 1 cannot use RL (left
+    # neighbors give nonzero contexts): ZC 5 (horizontal), 1
+    # (diagonal), 0, 0; columns 2 and 3 re-enter RL mode with
+    # nothing significant: RL=0 each.
+    decisions = [
+        (17, 1), (18, 0), (18, 0), (9, 0),       # RL hit, pos, sign
+        (3, 0), (0, 0), (0, 0),                   # rest of column 0
+        (5, 0), (1, 0), (0, 0), (0, 0),           # column 1
+        (17, 0), (17, 0),                         # columns 2, 3
+    ]
+    data = _mq_bytes(decisions)
+    body = _one_packet_header(zbp=7, n_passes=1,
+                              data_len=len(data)) + data
+    cs = _wrap_tile(_main_header(4, 4, 0, guard=1, eps=8), body)
+    d = jpx.decode_jpx(cs)
+    want = np.full((4, 4), 128, np.uint8)
+    want[0, 0] = 129
+    assert d["width"] == d["height"] == 4
+    assert (d["pixels"] == want).all()
+
+
+def test_handbuilt_levels1_ll_only_idwt():
+    # 4x4, levels=1: four 2x2 subbands; only LL carries data — a +4
+    # at LL(0,0), np=3 (zbp=5). Hand-derived decision order over the
+    # three planes (2x2 block, strips shorter than 4 so no RL mode):
+    # plane 2 cleanup: (0,0) ZC0=1, sign ctx9 +, then ZC3/ZC5/ZC1
+    # zeros down the scan; plane 1 SP codes the three insignificant
+    # neighbors (ZC3, ZC5, ZC1), MR refines (0,0) with the
+    # first-refinement no-neighbors context 14; its cleanup is
+    # vacuous (everything visited or significant); plane 0 repeats
+    # SP (ZC3, ZC5, ZC1) and MR now context 16.
+    decisions = [
+        (0, 1), (9, 0), (3, 0), (5, 0), (1, 0),   # plane 2 CU
+        (3, 0), (5, 0), (1, 0), (14, 0),          # plane 1 SP+MR
+        (3, 0), (5, 0), (1, 0), (16, 0),          # plane 0 SP+MR
+    ]
+    data = _mq_bytes(decisions)
+    pkt0 = _one_packet_header(zbp=5, n_passes=7,
+                              data_len=len(data)) + data
+    # resolution-1 packet: non-empty, then each of HL/LH/HH's 1x1
+    # inclusion tag tree says "not included in layer 0" (one 0 bit)
+    bw = _Bits()
+    bw.put(1, 0, 0, 0)
+    pkt1 = bw.done()
+    cs = _wrap_tile(
+        _main_header(4, 4, 1, guard=1, eps=8), pkt0 + pkt1
+    )
+    d = jpx.decode_jpx(cs)
+    # inverse 5/3 with zero high bands: x[2i] = ll[i],
+    # x[2i+1] = (x[2i] + x[2i+2]) >> 1 (F.3.8 with symmetric tail)
+    want = np.full((4, 4), 128, np.int64)
+    want[0] += [4, 2, 0, 0]
+    want[1] += [2, 1, 0, 0]
+    assert (d["pixels"] == want.astype(np.uint8)).all()
+
+
+def test_handbuilt_empty_packet_bit():
+    # the all-empty packet form: a 0 first bit means "no
+    # contributions" (B.10.3) — stream decodes to flat 128s
+    bw = _Bits()
+    bw.put(0)
+    cs = _wrap_tile(_main_header(4, 4, 0, guard=1, eps=8), bw.done())
+    d = jpx.decode_jpx(cs)
+    assert (d["pixels"] == 128).all()
