@@ -60,6 +60,64 @@ def test_hostile_inputs_named_errors():
         cff.encode_cff(glyph_names=["A"], cids=[1])
 
 
+def test_ros_cid_to_unicode_ranges():
+    # r14 (VERDICT item 3): the transcribed Adobe-Japan1-0 ranges —
+    # proportional Latin tracks ASCII, the kana blocks track Unicode
+    # order with exactly matching span lengths
+    t = cff.ros_cid_to_unicode("Adobe", "Japan1")
+    assert t[1] == " " and t[41] == "H" and t[95] == "~"
+    assert t[842] == "ぁ" and t[924] == "ん"  # hiragana
+    assert t[925] == "ァ" and t[1010] == "ヶ"  # katakana
+    assert len(t) == 95 + 83 + 86
+    assert cff.ros_cid_to_unicode("Adobe", "GB1") is None
+    assert cff.ros_cid_to_unicode("Adobe", "Identity") is None
+
+
+def test_bare_cid_cff_adobe_japan1_text_recovery():
+    # a bare CID-keyed Type1C under Adobe-Japan1 with NO ToUnicode:
+    # the only Unicode source is the predefined ordering — ASCII and
+    # kana both recover; the Identity ordering still yields None
+    text = "Hello" + "こんにちは"  # + こんにちは
+    inv = {c: k for k, c in cff.ros_cid_to_unicode(
+        "Adobe", "Japan1").items()}
+    cids = sorted(inv[c] for c in set(text))
+    blob = cff.encode_cff(cids=cids, ros=("Adobe", "Japan1", 6))
+    f = cff.parse_cff(blob)
+    assert f["is_cid"] and f["ros"][:2] == ("Adobe", "Japan1")
+    table = cff.cid_to_unicode_table(blob)
+    assert table is not None
+    got = "".join(sorted(table[inv[c]] for c in set(text)))
+    assert got == "".join(sorted(set(text)))
+    # CIDs the charset does not carry are absent from the table
+    assert all(k in cids for k in table)
+    # Identity ordering: still the named no-text gap
+    assert cff.cid_to_unicode_table(
+        cff.encode_cff(cids=[1, 2, 3])
+    ) is None
+
+
+def test_pdf_bare_cid_ros_end_to_end():
+    # the planted-PDF chain (q64's seventh font-rotation arm):
+    # Identity-H + CIDFontType0 + bare CID-keyed FontFile3 under
+    # Adobe-Japan1, codes = Adobe-Japan1 CIDs, no ToUnicode anywhere
+    lines = [["Hello ROS world!", "Punct ,.;: and digits 0123"]]
+    blob = pdf.encode_pdf(
+        lines, title="ros", cid=True, cid_tounicode=False,
+        cid_fontfile3="cff_ros",
+    )
+    m = pdf.extract_pdf(blob)
+    assert "Hello ROS world!" in m["text"]
+    assert "Punct ,.;: and digits 0123" in m["text"]
+    # out-of-range text in the fixture writer is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Adobe-Japan1"):
+        pdf.encode_pdf(
+            [["café"]], cid=True, cid_tounicode=False,
+            cid_fontfile3="cff_ros",
+        )
+
+
 def test_index_last_offset_one_past_end_is_loud():
     # r14 (ADVICE): an INDEX whose final offset points one byte past
     # the data must raise the named error, not silently truncate the

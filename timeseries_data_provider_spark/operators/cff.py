@@ -19,9 +19,12 @@ Scope (honest, per ISO/IEC CFF spec a.k.a. Adobe TN #5176, public):
   degradation, never garbage).
 - CID-keyed fonts (ROS present): the charset maps gid -> CID;
   inverted it gives CID -> GID. A BARE CID-keyed CFF carries no
-  Unicode source at all, so bare CID CFF returns None (named gap —
-  a real pipeline needs the ROS registry's CMap files); but inside
-  an OTTO (OpenType-CFF FontFile3 /Subtype /OpenType) the sfnt
+  in-font Unicode source; r14 recovers text through the PREDEFINED
+  registry ordering (``ros_cid_to_unicode``) for the ranges of the
+  public Adobe-Japan1-0 ordering that track a Unicode block exactly
+  (Latin + kana; kanji and the other registries stay the named
+  no-text gap — they need the full external CMap files); inside an
+  OTTO (OpenType-CFF FontFile3 /Subtype /OpenType) the sfnt
   ``cmap`` provides gid -> Unicode and composing the two recovers
   the text (operators/pdf wires that route).
 
@@ -42,7 +45,10 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["parse_cff", "cid_to_unicode_table", "encode_cff"]
+__all__ = [
+    "parse_cff", "cid_to_unicode_table", "ros_cid_to_unicode",
+    "encode_cff",
+]
 
 # standard strings 0..95: ".notdef" + the Adobe Standard Encoding
 # ASCII block — the portion transcribable with certainty (it tracks
@@ -235,11 +241,20 @@ def parse_cff(data: bytes) -> dict:
                 p += step
         else:
             raise ValueError(f"cff: charset format {fmt}")
+    ros = None
+    if is_cid:
+        ops = top[_OP_ROS]
+        if len(ops) >= 2 and all(isinstance(o, int) for o in ops[:2]):
+            reg = _sid_name(ops[0], strings)
+            order = _sid_name(ops[1], strings)
+            if reg and order:
+                ros = (reg, order, ops[2] if len(ops) > 2 else 0)
     return {
         "n_glyphs": n_glyphs,
         "is_cid": is_cid,
         "charset": charset,
         "strings": strings,
+        "ros": ros,
     }
 
 
@@ -257,20 +272,66 @@ def _sid_name(sid: int, strings: list[bytes]) -> str | None:
     return None
 
 
+# Predefined-ROS CID -> Unicode (r14, VERDICT item 3 — the dominant
+# CJK-PDF text form: a bare CID-keyed FontFile3 with no ToUnicode
+# carries no in-font Unicode source; Adobe publishes the registry
+# orderings and their ToUnicode companions as openly licensed
+# mapping files). Derivation posture, stated: only the ranges of the
+# PUBLIC Adobe-Japan1-0 ordering that track a Unicode block EXACTLY
+# are transcribed here, each with a length consistency check —
+#   CIDs   1..95   proportional Latin  = U+0020..U+007E (ASCII order)
+#   CIDs 842..924  hiragana            = U+3041..U+3093
+#   CIDs 925..1010 katakana            = U+30A1..U+30F6
+# (83- and 86-codepoint blocks, matching the CID spans exactly).
+# Everything else — kanji above all — needs the full Adobe-Japan1
+# UCS2 CMap file and stays the named no-text gap, as do the other
+# registries (Adobe-GB1 / -CNS1 / -Korea1 / -KR) and Adobe-Identity
+# (which has no semantics at all).
+def _ros_ranges(registry: str, ordering: str):
+    if registry == "Adobe" and ordering == "Japan1":
+        return [(1, 0x0020, 95), (842, 0x3041, 83), (925, 0x30A1, 86)]
+    return None
+
+
+def ros_cid_to_unicode(
+    registry: str, ordering: str
+) -> dict[int, str] | None:
+    """CID -> Unicode for a predefined registry-ordering, or None
+    when the ordering is outside the transcribed set (named gap)."""
+    ranges = _ros_ranges(registry, ordering)
+    if ranges is None:
+        return None
+    out: dict[int, str] = {}
+    for cid0, cp0, n in ranges:
+        for k in range(n):
+            out[cid0 + k] = chr(cp0 + k)
+    return out
+
+
 def cid_to_unicode_table(data: bytes) -> dict[int, str] | None:
     """For an Identity-H Type0 font over a BARE CFF program: map the
-    character code (== CID) to text. Non-CID fonts route CID == GID
-    through the charset's glyph NAMES; CID-keyed bare CFF has no
-    Unicode source and returns None (named gap — pdf.py counts it
-    as a no-text font, and the OTTO form goes through the sfnt cmap
-    route instead)."""
+    character code to text. Non-CID fonts route code == GID through
+    the charset's glyph NAMES; CID-keyed fonts (code == CID under
+    Identity-H) route through the predefined ROS ordering's
+    transcribed ranges (r14), restricted to CIDs the charset
+    actually carries; an untranscribed registry-ordering returns
+    None (named gap — pdf.py counts it as a no-text font, and the
+    OTTO form goes through the sfnt cmap route instead)."""
     from timeseries_data_provider_spark.operators.pdf import (
         _glyph_to_char,
     )
 
     f = parse_cff(data)
     if f["is_cid"]:
-        return None
+        if not f["ros"]:
+            return None
+        table = ros_cid_to_unicode(f["ros"][0], f["ros"][1])
+        if table is None:
+            return None
+        present = set(f["charset"])
+        return {
+            cid: ch for cid, ch in table.items() if cid in present
+        }
     out: dict[int, str] = {}
     for gid, sid in enumerate(f["charset"]):
         name = _sid_name(sid, f["strings"])
@@ -337,13 +398,16 @@ def _index(entries: list[bytes]) -> bytes:
 def encode_cff(
     glyph_names: list[str] | None = None,
     cids: list[int] | None = None,
+    ros: tuple[str, str, int] = ("Adobe", "Identity", 0),
 ) -> bytes:
     """Minimal spec-shaped CFF: ``glyph_names`` builds a NON-CID font
     whose charset names glyphs 1.. (glyph 0 is .notdef; names beyond
     the certain standard block land in the String INDEX as custom
-    SIDs), ``cids`` builds a CID-keyed font (ROS Adobe-Identity-0)
-    whose charset carries those CIDs for glyphs 1... CharStrings are
-    single ``endchar`` ops — shape, not rendering."""
+    SIDs), ``cids`` builds a CID-keyed font whose charset carries
+    those CIDs for glyphs 1.. under the given ``ros`` registry-
+    ordering (default Adobe-Identity-0; Adobe-Japan1 for the r14
+    predefined-ordering text route). CharStrings are single
+    ``endchar`` ops — shape, not rendering."""
     if (glyph_names is None) == (cids is None):
         raise ValueError("encode_cff: exactly one of names/cids")
     strings: list[bytes] = []
@@ -363,12 +427,12 @@ def encode_cff(
     else:
         charset_sids = list(cids)
         n_glyphs = 1 + len(cids)
-        reg = sid_of("Adobe")
-        orderings = sid_of("Identity")
+        reg = sid_of(ros[0])
+        orderings = sid_of(ros[1])
         ros = (
             _enc_int5(reg)
             + _enc_int5(orderings)
-            + _enc_int5(0)
+            + _enc_int5(int(ros[2]))
             + bytes([12, 30])
         )
     charset = b"\x00" + b"".join(

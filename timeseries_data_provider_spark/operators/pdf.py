@@ -28,12 +28,14 @@ pdftotext fallback), including subset fonts whose CIDToGIDMap is a
 renumbering STREAM (r12 late), and through CFF (FontFile3)
 programs as of r13 (operators/cff): bare Type1C via the charset's
 glyph names, OpenType-CFF via CID->GID charset inversion composed
-with the sfnt cmap. Password-protected files (a REAL user
-password), public-key (PKCS#7) handlers, font RENDERING, and
-bare CID-KEYED CFF without a cmap (its Unicode lives in external
-ROS registry CMap files) are named gaps (a real pipeline routes
-those to a PDF library); simple fonts with standard encodings —
-the overwhelming majority of text-bearing PDFs — extract exactly.
+with the sfnt cmap, bare CID-KEYED CFF via the predefined ROS
+ordering's transcribed ranges (r14 — Adobe-Japan1 Latin + kana;
+kanji and the other registries still need the full external CMap
+files and stay named). Password-protected files (a REAL user
+password), public-key (PKCS#7) handlers, and font RENDERING are
+named gaps (a real pipeline routes those to a PDF library); simple
+fonts with standard encodings — the overwhelming majority of
+text-bearing PDFs — extract exactly.
 
 Public-knowledge basis: the PDF 1.7 specification (ISO 32000-1,
 public). Reference parity note: index.js has no document surface;
@@ -1209,11 +1211,14 @@ def _type0_cff_decoder(objs: dict, fdesc: dict):
       charset's glyph NAMES (standard block + ``uniXXXX`` customs)
       map to text.
 
-    A bare CID-KEYED CFF stays the named no-text gap (its only
-    Unicode source would be the ROS registry's external CMap files).
-    /CIDToGIDMap is CIDFontType2-only (§9.7.4.3) and is ignored
-    unconditionally for FontFile3 fonts — for the OTTO form the CFF
-    charset itself carries the CID -> GID renumbering."""
+    A bare CID-KEYED CFF recovers through the predefined ROS
+    ordering's transcribed ranges (r14, cff.ros_cid_to_unicode —
+    Adobe-Japan1 Latin + kana); orderings outside the transcribed
+    set still yield no text (named gap — their Unicode lives in the
+    full external CMap files). /CIDToGIDMap is CIDFontType2-only
+    (§9.7.4.3) and is ignored unconditionally for FontFile3 fonts —
+    for the OTTO form the CFF charset itself carries the CID -> GID
+    renumbering."""
     ff3 = fdesc.get("FontFile3")
     if not isinstance(ff3, _Ref):
         return None
@@ -1250,7 +1255,7 @@ def _type0_cff_decoder(objs: dict, fdesc: dict):
     except (ValueError, NotImplementedError):
         return None
     if table is None:
-        return None  # bare CID-keyed CFF: the named no-text gap
+        return None  # untranscribed ROS ordering: the named gap
 
     def dec(bs: bytes, t=table) -> str:
         return "".join(
@@ -2511,9 +2516,33 @@ def encode_pdf(
     if cid:
         # Type0/Identity-H fixture: every distinct character across
         # the document gets a 2-byte code (1-based — code 0 is
-        # .notdef by convention); the ToUnicode CMap maps codes back
+        # .notdef by convention); the ToUnicode CMap maps codes back.
+        # The r14 cff_ros form instead codes each char by its
+        # Adobe-Japan1 CID (the predefined-ordering route: the PDF
+        # carries NO in-file Unicode source and text recovers only
+        # through the registry ordering's published mapping)
+        aj1_inv = None
+        if cid_fontfile3 == "cff_ros":
+            from timeseries_data_provider_spark.operators import (
+                cff as _cff_m,
+            )
+
+            aj1_inv = {
+                ch: cid
+                for cid, ch in _cff_m.ros_cid_to_unicode(
+                    "Adobe", "Japan1"
+                ).items()
+            }
         for ch in sorted({c for pg in pages for ln in pg for c in ln}):
-            cid_codes[ch] = len(cid_codes) + 1
+            if aj1_inv is not None:
+                if ch not in aj1_inv:
+                    raise ValueError(
+                        f"encode_pdf: {ch!r} outside the transcribed "
+                        "Adobe-Japan1 ranges"
+                    )
+                cid_codes[ch] = aj1_inv[ch]
+            else:
+                cid_codes[ch] = len(cid_codes) + 1
     enc = None
     if encrypt is not None:
         # standard-security fixture: owner password "owner", EMPTY
@@ -2567,13 +2596,19 @@ def encode_pdf(
         # embeds an OpenType-CFF whose CID-keyed charset RENUMBERS
         # glyphs (gid = n+1-cid, so an identity misreading cannot
         # round-trip) and whose cmap carries codepoint -> gid;
-        # "cff_cid" embeds a bare CID-KEYED Type1C — the named
-        # no-text gap, planted to pin the no-garbage contract
+        # "cff_cid" embeds a bare CID-KEYED Type1C under
+        # Adobe-Identity-0 — the named no-text gap, planted to pin
+        # the no-garbage contract; "cff_ros" (r14) embeds a bare
+        # CID-keyed Type1C under Adobe-Japan1 whose text recovers
+        # through the predefined ordering's transcribed ranges
         from timeseries_data_provider_spark.operators import (
             cff as _cff,
         )
 
         assert len(objs) + 1 == font_num
+        ordering = (
+            "Japan1" if cid_fontfile3 == "cff_ros" else "Identity"
+        )
         objs.append(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
             f"/Encoding /Identity-H "
@@ -2582,7 +2617,7 @@ def encode_pdf(
         objs.append(
             f"<< /Type /Font /Subtype /CIDFontType0 /BaseFont "
             f"/Fixture /CIDSystemInfo << /Registry (Adobe) "
-            f"/Ordering (Identity) /Supplement 0 >> "
+            f"/Ordering ({ordering}) /Supplement 0 >> "
             f"/FontDescriptor {font_num + 2} 0 R >>".encode()
         )
         subtype = (
@@ -2606,6 +2641,11 @@ def encode_pdf(
         elif cid_fontfile3 == "cff_cid":
             font_blob = _cff.encode_cff(
                 cids=list(range(1, len(chars) + 1))
+            )
+        elif cid_fontfile3 == "cff_ros":
+            font_blob = _cff.encode_cff(
+                cids=sorted(cid_codes.values()),
+                ros=("Adobe", "Japan1", 6),
             )
         else:
             raise ValueError(
@@ -3225,23 +3265,31 @@ def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
     'Doc {doc_id}'. Flate-compressed, so the extractor's zlib +
     content-tokenizer paths run on every row; every extracted field
     is doc_id/text math for the oracle. The FONT rotates by doc_id
-    (r12, widened r13) — id%6==0 a Type0/Identity-H font with a
-    ToUnicode CMap, id%6==1 a Type0 WITHOUT ToUnicode whose text is
+    (r12, widened r13/r14) — id%7==0 a Type0/Identity-H font with a
+    ToUnicode CMap, id%7==1 a Type0 WITHOUT ToUnicode whose text is
     recoverable only through the embedded TrueType's cmap (the
-    operators/sfnt path), id%6==4 a no-ToUnicode Type0 over a BARE
-    Type1C CFF (glyph-name recovery, operators/cff), id%6==5 the
+    operators/sfnt path), id%7==4 a no-ToUnicode Type0 over a BARE
+    Type1C CFF (glyph-name recovery, operators/cff), id%7==5 the
     OpenType-CFF form (CID-keyed charset inversion composed with the
-    sfnt cmap), otherwise a simple font — so the oracle hash-checks
-    all FIVE text-recovery ladders on every run; extracted text is
-    identical across modes by construction."""
+    sfnt cmap), id%7==6 a bare CID-KEYED Type1C under Adobe-Japan1
+    (r14 — text recovers only through the predefined registry
+    ordering's transcribed ranges; falls back to the glyph-name arm
+    when the text leaves them), otherwise a simple font — so the
+    oracle hash-checks all SIX text-recovery ladders on every run;
+    extracted text is identical across modes by construction."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
                 doc_id = int(doc_id)
-                mode = doc_id % 6
-                ff3 = {4: "cff", 5: "otto"}.get(mode)
+                mode = doc_id % 7
+                ff3 = {4: "cff", 5: "otto", 6: "cff_ros"}.get(mode)
+                if ff3 == "cff_ros" and not all(
+                    0x20 <= ord(c) <= 0x7E
+                    for c in text + f"Archive copy {doc_id}."
+                ):
+                    ff3 = "cff"
                 out["doc_id"].append(doc_id)
                 out["payload"].append(
                     encode_pdf(
