@@ -123,6 +123,71 @@ def test_iccbased_maps_to_device_space():
     assert (img["pixels"] == RGB).all()
 
 
+def test_separation_and_lab_color_spaces():
+    # r14 (VERDICT item 5 — print-originated scans): /Separation
+    # through both tint-transform function types, and /Lab via the
+    # D50 inverse-f + XYZ->sRGB chain (stated colorimetric
+    # approximation, the ICCBased precedent)
+    rng = np.random.default_rng(44)
+    g = rng.integers(0, 256, (20, 30)).astype(np.uint8)
+    lab = rng.integers(0, 256, (10, 14, 3)).astype(np.uint8)
+    blob = pdf.encode_scan_pdf(
+        [("sep-gray-exp", g), ("sep-sampled", g), ("lab", lab)]
+    )
+    a, b, c = pdf.extract_pdf_images(blob)
+    # exponential 1 - t over DeviceGray: bit-exact inversion
+    assert a["channels"] == 1 and (a["pixels"] == 255 - g).all()
+    # sampled square-law table: 8-bit inputs land exactly on the
+    # 256 samples, so the output IS the table lookup
+    table = np.array(
+        [int(round((j / 255.0) ** 2 * 255)) for j in range(256)],
+        np.uint8,
+    )
+    assert b["channels"] == 1 and (b["pixels"] == table[g]).all()
+    # Lab -> RGB: independent replica of the D50 inverse-f + sRGB
+    # encode with the same floor(x*255+.5) rounding
+    s = lab.astype(np.float64)
+    L = s[:, :, 0] * (100 / 255)
+    A = -100 + s[:, :, 1] * (200 / 255)
+    B = -100 + s[:, :, 2] * (200 / 255)
+    fy = (L + 16) / 116
+    fx = fy + A / 500
+    fz = fy - B / 200
+    d = 6 / 29
+
+    def gf(t):
+        return np.where(t > d, t ** 3, 3 * d * d * (t - 4 / 29))
+
+    X, Y, Z = 0.9643 * gf(fx), gf(fy), 0.8251 * gf(fz)
+    lin = [
+        3.2406 * X - 1.5372 * Y - 0.4986 * Z,
+        -0.9689 * X + 1.8758 * Y + 0.0415 * Z,
+        0.0557 * X - 0.2040 * Y + 1.0570 * Z,
+    ]
+
+    def srgb(v):
+        v = np.clip(v, 0, 1)
+        return np.where(
+            v <= 0.0031308, 12.92 * v, 1.055 * v ** (1 / 2.4) - 0.055
+        )
+
+    want = np.clip(
+        np.floor(np.stack([srgb(v) for v in lin], axis=2) * 255 + 0.5),
+        0, 255,
+    ).astype(np.uint8)
+    assert c["channels"] == 3 and (c["pixels"] == want).all()
+    # edge samples: full-ink black, no-ink white through Separation
+    edges = np.array([[0, 255]], np.uint8)
+    blob = pdf.encode_scan_pdf([("sep-gray-exp", edges)])
+    (img,) = pdf.extract_pdf_images(blob)
+    assert img["pixels"].tolist() == [[255, 0]]
+    # an unsupported tint-transform type stays a named error
+    blob = pdf.encode_scan_pdf([("sep-gray-exp", g)])
+    bad = blob.replace(b"/FunctionType 2", b"/FunctionType 4")
+    with pytest.raises(NotImplementedError, match="FunctionType 4"):
+        pdf.extract_pdf_images(bad)
+
+
 def test_text_pdf_has_no_images():
     blob = pdf.encode_pdf([["just text"]], encrypt="rc4-128")
     assert pdf.extract_pdf_images(blob) == []

@@ -1549,13 +1549,18 @@ def extract_pdf(payload: bytes) -> dict:
 # composition, JBIG2Globals plumbing) decode through operators/jbig2
 # (r12). /Decode arrays apply as identity/inversion per component,
 # incl. BlackIs1 interplay on fax and index reversal on Indexed
-# (r12); JPXDecode decodes the lossless-5/3 JPEG 2000 subset through
-# operators/jpx (r13 — the archive book-scan class; 9/7, tiling,
-# layers stay named inside that module). Fractional /Decode
-# endpoints remap linearly as of r13 (_apply_decode — floor(x+0.5),
-# a stated colorimetric approximation; bilevel filters keep the
-# binary identity/inversion contract). Separation/Lab spaces stay
-# named NotImplementedError gaps.
+# (r12); JPXDecode decodes JPEG 2000 through operators/jpx (r13/r14
+# — the archive book-scan class: 5/3 + 9/7, quality layers, all five
+# progressions, tiles, multiple tile-parts, the common coder
+# options; the residual cells stay named inside that module).
+# Fractional /Decode endpoints remap linearly as of r13
+# (_apply_decode — floor(x+0.5), a stated colorimetric
+# approximation; bilevel filters keep the binary identity/inversion
+# contract). Separation decodes through its tint transform
+# (sampled/exponential functions) into the alternate device space
+# and Lab through the D50 inverse-f + XYZ->sRGB chain (r14 — both
+# stated colorimetric approximations, the ICCBased precedent);
+# multi-colorant DeviceN and type 3/4 functions stay named.
 
 _MAX_IMAGE_PIXELS = 64 * 1024 * 1024
 
@@ -1653,6 +1658,91 @@ def _decode_remap(objs, decode, ncomp: int):
     if all(p == (0.0, 1.0) for p in pairs):
         return None
     return pairs
+
+
+def _eval_function(objs, fn, x):
+    """Evaluate a one-input PDF function (§7.10) on a float array in
+    [0, 1] — the tint-transform subset Separation spaces use (r14):
+
+    - FunctionType 2 (exponential): y_j = C0_j + x^N (C1_j - C0_j);
+    - FunctionType 0 (sampled): single input dimension, 8/16-bit
+      samples, linear interpolation between the Size[0] samples,
+      outputs scaled into Range.
+
+    Returns (x.shape + (n_outputs,)) float64. Stitching functions
+    (type 3) and PostScript calculators (type 4) stay named."""
+    import numpy as np
+
+    target = None
+    if isinstance(fn, _Ref):
+        target = objs.get(fn.num)
+        if not target:
+            raise ValueError("pdf: tint transform object missing")
+        fd = target[0]
+    else:
+        fd = _resolve(objs, fn)
+    if not isinstance(fd, dict):
+        raise ValueError("pdf: tint transform is not a function")
+    ftype = int(_resolve(objs, fd.get("FunctionType", -1)) or 0)
+    dom = _resolve(objs, fd.get("Domain"))
+    if (
+        not isinstance(dom, list) or len(dom) < 2
+        or (float(_resolve(objs, dom[0])),
+            float(_resolve(objs, dom[1]))) != (0.0, 1.0)
+    ):
+        raise NotImplementedError(
+            "pdf: tint transform domain other than [0 1]"
+        )
+    if ftype == 2:
+        c0 = [float(_resolve(objs, v)) for v in
+              _resolve(objs, fd.get("C0", [0.0]))]
+        c1 = [float(_resolve(objs, v)) for v in
+              _resolve(objs, fd.get("C1", [1.0]))]
+        n = float(_resolve(objs, fd.get("N", 1)))
+        if len(c0) != len(c1) or not c0:
+            raise ValueError("pdf: exponential function C0/C1 shape")
+        xs = np.power(np.clip(x, 0.0, 1.0), n)
+        return np.stack(
+            [a + xs * (b - a) for a, b in zip(c0, c1)], axis=-1
+        )
+    if ftype == 0:
+        if target is None or target[1] is None:
+            raise ValueError("pdf: sampled function without a stream")
+        samples = _decode_stream(objs, fd, target[1])
+        size = _resolve(objs, fd.get("Size"))
+        bps = int(_resolve(objs, fd.get("BitsPerSample", 0)) or 0)
+        rng = _resolve(objs, fd.get("Range"))
+        if not isinstance(size, list) or len(size) != 1:
+            raise NotImplementedError(
+                "pdf: multi-input sampled tint transform"
+            )
+        m = int(_resolve(objs, size[0]))
+        if bps not in (8, 16):
+            raise NotImplementedError(
+                f"pdf: {bps}-bit sampled function"
+            )
+        if not isinstance(rng, list) or len(rng) < 2 or len(rng) % 2:
+            raise ValueError("pdf: sampled function Range")
+        n_out = len(rng) // 2
+        arr = np.frombuffer(
+            samples[: m * n_out * (bps // 8)],
+            np.dtype(">u2") if bps == 16 else np.uint8,
+        ).astype(np.float64)
+        if arr.size < m * n_out or m < 2:
+            raise ValueError("pdf: sampled function data short")
+        arr = arr.reshape(m, n_out) / ((1 << bps) - 1)
+        pos = np.clip(x, 0.0, 1.0) * (m - 1)
+        i0 = np.floor(pos).astype(np.int64)
+        i1 = np.minimum(i0 + 1, m - 1)
+        frac = (pos - i0)[..., None]
+        interp = arr[i0] * (1.0 - frac) + arr[i1] * frac
+        out = np.empty_like(interp)
+        for j in range(n_out):
+            lo = float(_resolve(objs, rng[2 * j]))
+            hi = float(_resolve(objs, rng[2 * j + 1]))
+            out[..., j] = lo + interp[..., j] * (hi - lo)
+        return out
+    raise NotImplementedError(f"pdf: FunctionType {ftype}")
 
 
 def _apply_decode(px, pairs):
@@ -1937,6 +2027,131 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
             "width": w,
             "height": h,
             "channels": nb,
+            "filter": None,
+            "pixels": px,
+        }
+    if isinstance(cs, list) and cs and str(
+        _resolve(objs, cs[0])
+    ) == "Separation":
+        # §8.6.6.4 (r14, VERDICT item 5 — print-originated scans):
+        # one tint component through the tint-transform function
+        # into the alternate space. DeviceN with a single colorant
+        # is the same machinery; multi-colorant DeviceN stays named.
+        if len(cs) < 4:
+            raise ValueError("pdf: malformed Separation colour space")
+        alt = _resolve(objs, cs[2])
+        if isinstance(alt, list) and alt and str(
+            _resolve(objs, alt[0])
+        ) == "ICCBased":
+            nd2 = _resolve(objs, alt[1]) if len(alt) > 1 else None
+            n2 = (
+                int(_resolve(objs, nd2.get("N", 0)) or 0)
+                if isinstance(nd2, dict) else 0
+            )
+            alt = {1: "DeviceGray", 3: "DeviceRGB",
+                   4: "DeviceCMYK"}.get(n2)
+        alt = str(alt)
+        n_alt = {"DeviceGray": 1, "CalGray": 1, "DeviceRGB": 3,
+                 "CalRGB": 3, "DeviceCMYK": 4}.get(alt)
+        if n_alt is None:
+            raise NotImplementedError(
+                f"pdf: Separation alternate space {alt}"
+            )
+        if bpc not in (1, 2, 4, 8):
+            raise NotImplementedError(
+                f"pdf: {bpc}-bit Separation components"
+            )
+        samples = _unpack_samples(data, w, h, 1, bpc)[:, :, 0]
+        scale = 255 // ((1 << bpc) - 1)
+        px8 = (samples.astype(np.uint16) * scale).astype(np.uint8)
+        px8 = _apply_decode(
+            px8,
+            _decode_remap(objs, _resolve(objs, val.get("Decode")), 1),
+        )
+        vals = _eval_function(objs, cs[3], px8 / 255.0)
+        if vals.shape[-1] != n_alt:
+            raise ValueError(
+                "pdf: tint transform output arity != alternate space"
+            )
+        # deterministic floor(x*255 + .5) into 8-bit device samples
+        px = np.clip(
+            np.floor(np.clip(vals, 0.0, 1.0) * 255.0 + 0.5), 0, 255
+        ).astype(np.uint8)
+        px = px[:, :, 0] if n_alt == 1 else px
+        return {
+            "width": w,
+            "height": h,
+            "channels": n_alt,
+            "filter": None,
+            "pixels": px,
+        }
+    if isinstance(cs, list) and cs and str(
+        _resolve(objs, cs[0])
+    ) == "Lab":
+        # §8.6.5.4 (r14): CIE L*a*b* raster -> RGB through the
+        # D50-referenced inverse-f transform and the XYZ->sRGB
+        # matrix + gamma (STATED colorimetric approximation — the
+        # ICCBased-by-/N precedent; fine for a dedup/feature tier,
+        # not a color-managed renderer). 8-bit components: L* maps
+        # [0 255] -> [0 100], a*/b* -> the /Range (default
+        # [-100 100]) per the Lab /Decode defaults (Table 89).
+        lab_d = _resolve(objs, cs[1]) if len(cs) > 1 else {}
+        if not isinstance(lab_d, dict):
+            lab_d = {}
+        rng = _resolve(objs, lab_d.get("Range", [-100, 100, -100,
+                                                 100]))
+        if not isinstance(rng, list) or len(rng) != 4:
+            raise ValueError("pdf: Lab /Range")
+        amin, amax, bmin, bmax = (
+            float(_resolve(objs, v)) for v in rng
+        )
+        wp = _resolve(objs, lab_d.get("WhitePoint", [0.9505, 1.0,
+                                                     1.089]))
+        if not isinstance(wp, list) or len(wp) != 3:
+            raise ValueError("pdf: Lab /WhitePoint")
+        xn, yn, zn = (float(_resolve(objs, v)) for v in wp)
+        if bpc != 8:
+            raise NotImplementedError(f"pdf: {bpc}-bit Lab")
+        s = _unpack_samples(data, w, h, 3, 8).astype(np.float64)
+        lstar = s[:, :, 0] * (100.0 / 255.0)
+        astar = amin + s[:, :, 1] * ((amax - amin) / 255.0)
+        bstar = bmin + s[:, :, 2] * ((bmax - bmin) / 255.0)
+        fy = (lstar + 16.0) / 116.0
+        fx = fy + astar / 500.0
+        fz = fy - bstar / 200.0
+
+        def g(t):
+            d = 6.0 / 29.0
+            return np.where(
+                t > d, t ** 3, 3.0 * d * d * (t - 4.0 / 29.0)
+            )
+
+        x_ = xn * g(fx)
+        y_ = yn * g(fy)
+        z_ = zn * g(fz)
+        r_lin = 3.2406 * x_ - 1.5372 * y_ - 0.4986 * z_
+        g_lin = -0.9689 * x_ + 1.8758 * y_ + 0.0415 * z_
+        b_lin = 0.0557 * x_ - 0.2040 * y_ + 1.0570 * z_
+
+        def srgb(c):
+            c = np.clip(c, 0.0, 1.0)
+            return np.where(
+                c <= 0.0031308,
+                12.92 * c,
+                1.055 * np.power(c, 1.0 / 2.4) - 0.055,
+            )
+
+        px = np.clip(
+            np.floor(
+                np.stack(
+                    [srgb(r_lin), srgb(g_lin), srgb(b_lin)], axis=2
+                ) * 255.0 + 0.5
+            ), 0, 255,
+        ).astype(np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
             "filter": None,
             "pixels": px,
         }
@@ -2870,6 +3085,7 @@ def encode_scan_pdf(images: list) -> bytes:
         img_num = page_num + 1
         b_num = page_num + 2
         content_num = page_num + 3
+        b_obj = b"null"  # unused B slot unless a kind claims it
         if kind == "inline":
             bi = (
                 f"q BI /W {w} /H {h} /BPC 8 /CS /G /F /Fl ID ".encode()
@@ -3086,6 +3302,50 @@ def encode_scan_pdf(images: list) -> bytes:
             data = zlib.compress(bits.tobytes())
             extra = " /Filter /FlateDecode /ImageMask true"
             cs, bpc = None, None
+        elif kind == "sep-gray-exp":
+            # r14 (VERDICT item 5): /Separation spot ink over a
+            # DeviceGray alternate with the exponential tint
+            # transform 1 - t (more ink = darker) — inline Type 2
+            # function, no stream needed
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs = (
+                "[/Separation /Ink0 /DeviceGray "
+                "<< /FunctionType 2 /Domain [0 1] /C0 [1] /C1 [0] "
+                "/N 1 >>]"
+            )
+            bpc = 8
+        elif kind == "sep-sampled":
+            # r14: /Separation through a SAMPLED (Type 0) tint
+            # transform — a 256-entry square-law table in the B
+            # slot; at 8-bit inputs every lookup lands exactly on a
+            # sample, so the expected gray is table[v] bit-exact
+            table = bytes(
+                int(round((j / 255.0) ** 2 * 255)) for j in range(256)
+            )
+            fstream = zlib.compress(table)
+            b_obj = (
+                f"<< /FunctionType 0 /Domain [0 1] /Range [0 1] "
+                f"/Size [256] /BitsPerSample 8 /Filter /FlateDecode "
+                f"/Length {len(fstream)} >>".encode()
+                + b"\nstream\n" + fstream + b"\nendstream"
+            )
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs = (
+                f"[/Separation /Ink0 /DeviceGray {img_num + 1} 0 R]"
+            )
+            bpc = 8
+        elif kind == "lab":
+            # r14: CIE L*a*b* raster (D50 white point, the PDF
+            # default Range) — pixels in are the stored Lab samples
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs = (
+                "[/Lab << /WhitePoint [0.9643 1.0 0.8251] "
+                "/Range [-100 100 -100 100] >>]"
+            )
+            bpc = 8
         else:
             raise ValueError(f"encode_scan_pdf: kind {kind!r}")
         if dinv:
@@ -3113,7 +3373,7 @@ def encode_scan_pdf(images: list) -> bytes:
         objs.append(
             head.encode() + b"\nstream\n" + data + b"\nendstream"
         )
-        objs.append(b"null")  # unused B slot
+        objs.append(b_obj)  # B slot (null unless a kind claims it)
         draw = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
         objs.append(
             f"<< /Length {len(draw)} >>".encode()
