@@ -116,6 +116,131 @@ def test_mq_flush_no_doubled_ff_terminator():
     assert seen_ff  # the FF-before-AC shape did occur
 
 
+def test_huffman_standard_tables_are_complete_prefix_codes():
+    # r14: B.1-B.5 transcriptions are structurally checked — every
+    # table is a COMPLETE canonical prefix code (Kraft sum exactly
+    # 1), which a mis-remembered prefix-length set cannot satisfy
+    for name in ("B1", "B2", "B3", "B4", "B5"):
+        t = jbig2._std_table(name)
+        assert t.kraft() == 1.0, name
+    # and each covers its intended value shapes end to end
+    wr = jbig2._BitWriter()
+    t = jbig2._std_table("B3")
+    for v in (-300, -256, -1, 0, 1, 2, 5, 30, 74, 75, 100000):
+        t.encode(wr, v)
+    t.encode(wr, jbig2._OOB)
+    rd = jbig2._BitReader(wr.done())
+    got = [t.decode(rd) for _ in range(12)]
+    assert got[:-1] == [-300, -256, -1, 0, 1, 2, 5, 30, 74, 75,
+                        100000]
+    assert got[-1] is jbig2._OOB
+    with pytest.raises(NotImplementedError, match="B.6-B.15"):
+        jbig2._std_table("B6")
+    # hand-derived canonical assignment for B.4 (B.3's algorithm by
+    # hand: lengths 1,2,3,4,5,5 -> 0, 10, 110, 1110, 11110, 11111)
+    t4 = jbig2._std_table("B4")
+    codes = {
+        line[2]: (ln, code) for (ln, code), line in t4.dec.items()
+    }
+    assert codes[1] == (1, 0b0)
+    assert codes[2] == (2, 0b10)
+    assert codes[3] == (3, 0b110)
+    assert codes[4] == (4, 0b1110)
+    assert codes[12] == (5, 0b11110)
+    assert codes[76] == (5, 0b11111)
+
+
+def test_huffman_custom_table_segment_roundtrip():
+    for lines in (jbig2._HUFF_FS_LINES, jbig2._HUFF_DS_LINES):
+        seg = jbig2.encode_table_segment(lines)
+        t = jbig2.parse_table_segment(seg)
+        t0 = jbig2._HuffTable(lines)
+        wr = jbig2._BitWriter()
+        vals = [-1024, -7, 0, 5, 1023]
+        for v in vals:
+            t0.encode(wr, v)
+        rd = jbig2._BitReader(wr.done())
+        assert [t.decode(rd) for v in vals] == vals
+    # a multi-line table with varied range lengths
+    lines = [
+        (2, 0, 0, "norm"), (1, 3, 1, "norm"), (3, 5, 9, "norm"),
+        (3, 0, 0, "oob"),
+    ]
+    seg = jbig2.encode_table_segment(lines)
+    t = jbig2.parse_table_segment(seg)
+    wr = jbig2._BitWriter()
+    for v in (0, 4, 8, 12, 40):
+        t.encode(wr, v)
+    t.encode(wr, jbig2._OOB)
+    rd = jbig2._BitReader(wr.done())
+    out = [t.decode(rd) for _ in range(6)]
+    assert out[:-1] == [0, 4, 8, 12, 40] and out[-1] is jbig2._OOB
+
+
+def test_huffman_text_page_matrix():
+    # r14 (VERDICT item 4): the Huffman symbol-dictionary + text-
+    # region path must reproduce the arithmetic path's raster across
+    # collectives, corners, strips, transposition, and DS offsets
+    rng = np.random.default_rng(9)
+    syms = [
+        np.ones((1, 3), np.uint8),
+        (rng.random((2, 4)) < 0.5).astype(np.uint8)
+        | np.eye(2, 4, dtype=np.uint8),
+        np.ones((2, 2), np.uint8),
+        (rng.random((3, 5)) < 0.6).astype(np.uint8)
+        | np.eye(3, 5, dtype=np.uint8),
+    ]
+    placements = [(0, 0, 1), (1, 3, 2), (2, 3, 9), (3, 8, 4),
+                  (0, 12, 0), (3, 10, 12)]
+    pw, ph = 20, 16
+    ref = jbig2.decode_jbig2_embedded(
+        jbig2.encode_jbig2_text_page(pw, ph, syms, placements)
+    )
+    for coll in ("mmr", "raw"):
+        data = jbig2.encode_jbig2_text_page(
+            pw, ph, syms, placements, huffman=True, collective=coll
+        )
+        assert (jbig2.decode_jbig2_embedded(data) == ref).all(), coll
+    for rc in (0, 1, 2, 3):
+        for ls in (0, 2):
+            data = jbig2.encode_jbig2_text_page(
+                pw, ph, syms, placements, refcorner=rc,
+                log_strips=ls, huffman=True,
+            )
+            assert (
+                jbig2.decode_jbig2_embedded(data) == ref
+            ).all(), (rc, ls)
+    data = jbig2.encode_jbig2_text_page(
+        pw, ph, syms, placements, transposed=True, huffman=True,
+        dsoffset=-3,
+    )
+    assert (jbig2.decode_jbig2_embedded(data) == ref).all()
+
+
+def test_huffman_named_gaps_and_hostility():
+    syms = [np.ones((2, 2), np.uint8)]
+    data = jbig2.encode_jbig2_text_page(
+        8, 8, syms, [(0, 1, 1)], huffman=True
+    )
+    # selecting an untranscribed STANDARD text table is the named
+    # error: flip the region's FS selector from custom (3) to B.6 (0)
+    body_at = data.index(struct.pack(">H", 3 | (3 << 2) | (3 << 4)))
+    bad = bytearray(data)
+    struct.pack_into(">H", bad, body_at, (3 << 2) | (3 << 4))
+    with pytest.raises(NotImplementedError, match="B.6-B.15"):
+        jbig2.decode_jbig2_embedded(bytes(bad))
+    # a custom selector without a referred table segment is loud
+    with pytest.raises(ValueError, match="missing custom"):
+        jbig2.decode_text_region(
+            jbig2.encode_text_region_huff(8, 8, syms, [(0, 1, 1)]),
+            syms,
+            [],
+        )
+    # truncated Huffman data is loud, never silent garbage
+    with pytest.raises(ValueError):
+        jbig2.decode_jbig2_embedded(data[: len(data) - 6])
+
+
 def test_generic_region_all_templates_roundtrip():
     rng = np.random.default_rng(3)
     for bm in _rand_bitmaps(rng):
@@ -361,7 +486,9 @@ def test_symbol_text_hostile_inputs():
     dict_payload = 30 + 11
     h = bytearray(blob)
     h[dict_payload + 1] |= 1
-    with pytest.raises(NotImplementedError, match="SDHUFF"):
+    # r14: SDHUFF now DECODES, so an arithmetic body misflagged as
+    # Huffman is hostile garbage — must die loudly, never silently
+    with pytest.raises((ValueError, NotImplementedError)):
         jbig2.decode_jbig2_embedded(bytes(h))
     h = bytearray(blob)
     h[dict_payload + 1] |= 2  # SDREFAGG

@@ -12,19 +12,27 @@ SYMBOL DICTIONARIES and TEXT REGIONS (§6.4/§6.5 with the Annex A
 arithmetic integer decoders — the glyph-clustered form real scanner
 encoders in the jbig2enc family emit, r12: all four reference
 corners, transposed mode, multi-strip, signed DS offsets, multi-
-dictionary symbol concatenation), and the embedded segment stream
-PDF carries (segment headers, page info, immediate regions, page
-composition by OR/REPLACE, JBIG2Globals). Huffman-coded variants
-(SDHUFF/SBHUFF), refinement/aggregation, halftone regions,
-non-nominal AT pixels, and unknown-length segments raise named
-NotImplementedErrors — those files route to a codec library, never
-to silent garbage.
+dictionary symbol concatenation), the HUFFMAN-coded variants of
+both (r14 — SDHUFF/SBHUFF, the second scanner-encoder family:
+Annex B canonical tables with the standard tables B.1-B.5
+transcribed and Kraft-verified, custom table segments (type 53),
+runcode-built symbol-ID codes, MMR or uncompressed collective
+bitmaps; selecting an untranscribed standard table B.6-B.15 raises
+the named error), and the embedded segment stream PDF carries
+(segment headers, page info, immediate regions, page composition
+by OR/REPLACE, JBIG2Globals). Refinement/aggregation, halftone
+regions, non-nominal AT pixels, and unknown-length segments raise
+named NotImplementedErrors — those files route to a codec library,
+never to silent garbage.
 
 Validation posture: the MMR path inherits the CCITT codec's
-independent JDK cross-validation; the MQ path is validated by
-encoder/decoder round-trip plus hand-checked spec mechanics and is
-stated as self-validated (no independent JBIG2 implementation
-exists in this container — same honest posture as the OLE2 tier).
+independent JDK cross-validation; the MQ coder is pinned BYTE-EXACT
+in both directions to the spec's own Annex H.2 worked test sequence
+(r14 — a genuine second writer); the context modelling and Huffman
+layers above it are validated by encoder/decoder round-trip plus
+hand-checked spec mechanics and stay stated as self-validated (no
+independent JBIG2 implementation exists in this container — same
+honest posture as the OLE2 tier pre-r13).
 
 Convention: decoded bitmaps are semantic bits (1 = black), the
 T.88 convention; the PDF layer converts to display gray
@@ -511,20 +519,358 @@ def encode_generic_region(bitmap: np.ndarray, template: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# Huffman coding (T.88 Annex B) — the second scanner-encoder family
+# (r14, VERDICT item 4): MSB-first raw bit IO (no stuffing), the
+# canonical prefix-code assignment of B.3, the parameterized table
+# model (normal/lower/upper range lines + OOB), custom table
+# segments (type 53, B.2.1), and the standard tables B.1-B.5.
+#
+# Standard-table posture, stated: only B.1-B.5 are transcribed —
+# each verified COMPLETE (Kraft sum exactly 1, tests/test_jbig2) —
+# because their line sets are recallable with confidence; the text-
+# region standard tables B.6-B.15 are NOT transcribed and selecting
+# one raises the named error (custom tables, which real Huffman
+# encoders commonly carry anyway, cover the text region instead).
+# Within-length code assignment follows table row order; encoder
+# and decoder share one table object, so in-repo streams are
+# consistent by construction (the usual self-validation tier).
+
+
+class _BitReader:
+    """MSB-first raw bit reader over a bytes buffer (Annex B data
+    carries no FF stuffing, unlike MQ/packet headers)."""
+
+    def __init__(self, data: bytes, at: int = 0):
+        self.d = data
+        self.at = at
+        self.n = 0  # bits consumed of d[at]
+
+    def bit(self) -> int:
+        if self.at >= len(self.d):
+            raise ValueError("jbig2: Huffman data truncated")
+        b = (self.d[self.at] >> (7 - self.n)) & 1
+        self.n += 1
+        if self.n == 8:
+            self.n = 0
+            self.at += 1
+        return b
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        if self.n:
+            self.n = 0
+            self.at += 1
+
+    def take_bytes(self, count: int) -> bytes:
+        """Aligned raw byte extraction (collective bitmaps)."""
+        self.align()
+        if self.at + count > len(self.d):
+            raise ValueError("jbig2: collective bitmap truncated")
+        out = self.d[self.at : self.at + count]
+        self.at += count
+        return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def bit(self, b: int) -> None:
+        self.cur = (self.cur << 1) | (b & 1)
+        self.n += 1
+        if self.n == 8:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def align(self) -> None:
+        while self.n:
+            self.bit(0)
+
+    def put_bytes(self, data: bytes) -> None:
+        self.align()
+        self.out += data
+
+    def done(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class _HuffTable:
+    """One Annex B table: ``lines`` are (preflen, rangelen,
+    rangelow, kind) with kind in {"norm", "lower", "oob"} — an
+    "upper" line is a norm line with rangelen 32. Lines with
+    preflen 0 carry no code (B.2.1 allows them in custom tables).
+    Canonical code assignment per B.3: shorter lengths first,
+    row order within a length."""
+
+    def __init__(self, lines):
+        self.lines = [
+            (int(p), int(r), int(lo), k) for p, r, lo, k in lines
+        ]
+        coded = [ln for ln in self.lines if ln[0] > 0]
+        if not coded:
+            raise ValueError("jbig2: Huffman table with no codes")
+        self.dec: dict = {}
+        self.enc: dict = {}
+        curcode = 0
+        curlen = 0
+        for ln in sorted(
+            range(len(coded)), key=lambda i: (coded[i][0], i)
+        ):
+            line = coded[ln]
+            curcode <<= line[0] - curlen
+            curlen = line[0]
+            if curcode >= (1 << curlen):
+                raise ValueError("jbig2: oversubscribed Huffman table")
+            self.dec[(curlen, curcode)] = line
+            self.enc[id(line)] = (curlen, curcode)
+            curcode += 1
+        self.coded = coded
+
+    def kraft(self) -> float:
+        return sum(2.0 ** -ln[0] for ln in self.coded)
+
+    def decode(self, rd: _BitReader):
+        code = 0
+        for ln in range(1, 33):
+            code = (code << 1) | rd.bit()
+            hit = self.dec.get((ln, code))
+            if hit is None:
+                continue
+            preflen, rangelen, rangelow, kind = hit
+            if kind == "oob":
+                return _OOB
+            if kind == "lower":
+                return rangelow - rd.read(32)
+            return rangelow + rd.read(rangelen)
+        raise ValueError("jbig2: Huffman code longer than 32 bits")
+
+    def _line_for(self, value):
+        for line in self.coded:
+            preflen, rangelen, rangelow, kind = line
+            if kind == "oob":
+                continue
+            if kind == "lower":
+                if value <= rangelow:
+                    return line
+            elif rangelen >= 32:
+                if value >= rangelow:
+                    return line
+            elif rangelow <= value < rangelow + (1 << rangelen):
+                return line
+        raise ValueError(f"jbig2: value {value} outside the table")
+
+    def encode(self, wr: _BitWriter, value) -> None:
+        if value is _OOB:
+            line = next(
+                (ln for ln in self.coded if ln[3] == "oob"), None
+            )
+            if line is None:
+                raise ValueError("jbig2: table has no OOB code")
+            ln_, code = self.enc[id(line)]
+            wr.write(code, ln_)
+            return
+        line = self._line_for(value)
+        preflen, rangelen, rangelow, kind = line
+        ln_, code = self.enc[id(line)]
+        wr.write(code, ln_)
+        if kind == "lower":
+            wr.write(rangelow - value, 32)
+        elif rangelen >= 32:
+            wr.write(value - rangelow, 32)
+        else:
+            wr.write(value - rangelow, rangelen)
+
+
+def _std_table(name: str) -> _HuffTable:
+    def rows(*specs):
+        return [
+            (p, r, lo, k if k else "norm")
+            for p, r, lo, k in (
+                s if len(s) == 4 else (*s, "norm") for s in specs
+            )
+        ]
+
+    tables = {
+        # B.1 (no OOB): 0..15, 16..271, 272..65807, >=65808
+        "B1": rows((1, 4, 0), (2, 8, 16), (3, 16, 272),
+                   (3, 32, 65808)),
+        # B.2 (OOB len 6)
+        "B2": rows((1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+                   (5, 6, 11), (6, 32, 75), (6, 0, 0, "oob")),
+        # B.3 (lower range, OOB len 6)
+        "B3": rows((8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2),
+                   (4, 3, 3), (5, 6, 11), (8, 32, -257, "lower"),
+                   (7, 32, 75), (6, 0, 0, "oob")),
+        # B.4 (no OOB): 1-based B.2
+        "B4": rows((1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+                   (5, 6, 12), (5, 32, 76)),
+        # B.5 (lower range, no OOB): 1-based B.3
+        "B5": rows((7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3),
+                   (4, 3, 4), (5, 6, 12), (7, 32, -256, "lower"),
+                   (6, 32, 76)),
+    }
+    if name not in tables:
+        raise NotImplementedError(
+            f"jbig2: standard Huffman table {name} (only B.1-B.5 "
+            "are transcribed; B.6-B.15 stay named — custom tables "
+            "cover the text region)"
+        )
+    return _HuffTable(tables[name])
+
+
+def parse_table_segment(seg_data: bytes) -> _HuffTable:
+    """Custom Huffman table segment body (type 53, B.2.1)."""
+    if len(seg_data) < 9:
+        raise ValueError("jbig2: truncated table segment")
+    flags = seg_data[0]
+    oob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    low, high = struct.unpack_from(">ii", seg_data, 1)
+    if high <= low:
+        raise ValueError("jbig2: table segment range empty")
+    rd = _BitReader(seg_data, 9)
+    lines = []
+    cur = low
+    while cur < high:
+        preflen = rd.read(htps)
+        rangelen = rd.read(htrs)
+        if rangelen > 32:
+            raise ValueError("jbig2: table range length > 32")
+        lines.append((preflen, rangelen, cur, "norm"))
+        if len(lines) > 4096:
+            raise ValueError("jbig2: implausible table line count")
+        cur += 1 << rangelen
+    lines.append((rd.read(htps), 32, low - 1, "lower"))
+    lines.append((rd.read(htps), 32, high, "norm"))
+    if oob:
+        lines.append((rd.read(htps), 0, 0, "oob"))
+    return _HuffTable(lines)
+
+
+def encode_table_segment(lines) -> bytes:
+    """Fixture writer: one custom-table segment body from the same
+    line model (the lower/upper/OOB entries are found by kind;
+    normal lines must tile [low, high) contiguously)."""
+    norm = [ln for ln in lines if ln[3] == "norm" and ln[1] < 32]
+    lower = next((ln for ln in lines if ln[3] == "lower"), None)
+    upper = next(
+        (ln for ln in lines if ln[3] == "norm" and ln[1] >= 32), None
+    )
+    oob = next((ln for ln in lines if ln[3] == "oob"), None)
+    low = norm[0][2]
+    high = norm[-1][2] + (1 << norm[-1][1])
+    htps = max(
+        1, max(ln[0] for ln in lines).bit_length()
+    )
+    htrs = max(1, max(ln[1] for ln in norm).bit_length())
+    if htps > 8 or htrs > 8:
+        raise ValueError("jbig2: table parameters out of range")
+    wr = _BitWriter()
+    cur = low
+    for preflen, rangelen, rangelow, _k in norm:
+        if rangelow != cur:
+            raise ValueError("jbig2: non-contiguous table lines")
+        wr.write(preflen, htps)
+        wr.write(rangelen, htrs)
+        cur += 1 << rangelen
+    wr.write(lower[0] if lower else 0, htps)
+    wr.write(upper[0] if upper else 0, htps)
+    if oob is not None:
+        wr.write(oob[0], htps)
+    head = bytes([
+        (1 if oob is not None else 0)
+        | ((htps - 1) << 1)
+        | ((htrs - 1) << 4)
+    ]) + struct.pack(">ii", low, high)
+    return head + wr.done()
+
+
+def _symcode_table(lengths: list[int]) -> _HuffTable:
+    """SBSYMCODES (7.4.3.1.2): plain prefix codes over symbol ids —
+    modeled as zero-range lines whose rangelow IS the id."""
+    return _HuffTable(
+        [(ln, 0, i, "norm") for i, ln in enumerate(lengths)]
+    )
+
+
+_RUNCODE_COUNT = 35
+
+
+def _read_symcode_lengths(rd: _BitReader, n_syms: int) -> list[int]:
+    """Symbol-code lengths via the runcode mechanism (7.4.3.1.2):
+    35 four-bit runcode prefix lengths, then runcodes 0-31 = literal
+    length, 32 = repeat previous 3+read(2), 33 = zeros 3+read(3),
+    34 = zeros 11+read(7)."""
+    run_lens = [rd.read(4) for _ in range(_RUNCODE_COUNT)]
+    runtab = _HuffTable(
+        [
+            (ln, 0, i, "norm")
+            for i, ln in enumerate(run_lens)
+            if ln > 0
+        ]
+    )
+    out: list[int] = []
+    prev = 0
+    while len(out) < n_syms:
+        c = runtab.decode(rd)
+        if c < 32:
+            out.append(c)
+            prev = c
+        elif c == 32:
+            out.extend([prev] * (3 + rd.read(2)))
+        elif c == 33:
+            out.extend([0] * (3 + rd.read(3)))
+        else:
+            out.extend([0] * (11 + rd.read(7)))
+        if len(out) > n_syms:
+            raise ValueError("jbig2: runcode overrun")
+    return out
+
+
+def _write_symcode_lengths(wr: _BitWriter, lengths: list[int]):
+    """Fixture writer: one runcode (the shared length) gets a 1-bit
+    prefix; every symbol emits it literally."""
+    assert lengths and all(ln == lengths[0] for ln in lengths)
+    shared = lengths[0]
+    for i in range(_RUNCODE_COUNT):
+        wr.write(1 if i == shared else 0, 4)
+    for _ in lengths:
+        wr.bit(0)  # the single 1-bit runcode
+
+
+# ---------------------------------------------------------------------------
 # symbol dictionary (T.88 §6.5 / 7.4.3) and text region (§6.4 /
-# 7.4.4) — the ARITHMETIC path, the form real scanner encoders
-# (jbig2enc-class) emit. Huffman-coded variants (SDHUFF/SBHUFF) and
-# refinement/aggregation stay named NotImplementedError gaps.
+# 7.4.4) — the ARITHMETIC path real scanner encoders (jbig2enc-
+# class) emit, plus (r14) the HUFFMAN path (SDHUFF/SBHUFF) of the
+# second encoder family; refinement/aggregation stays named.
 
 _MAX_SYMBOLS = 1 << 16
 _MAX_SYMBOL_DIM = 1 << 14
 
 
-def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
+def decode_symbol_dict(
+    seg_data: bytes, input_syms: list, tables: list | None = None
+) -> list:
     """Decode one symbol-dictionary segment body into its EXPORTED
     symbol list (each an (h, w) uint8 bitmap, 1 = black).
     ``input_syms`` are the exported symbols of the dictionaries this
-    segment refers to, in reference order (6.5.8.2.1)."""
+    segment refers to, in reference order (6.5.8.2.1); ``tables``
+    are the custom Huffman tables of the referred table segments,
+    in reference order (used only when SDHUFF — r14)."""
     if len(seg_data) < 2:
         raise ValueError("jbig2: truncated symbol dictionary")
     (flags,) = struct.unpack_from(">H", seg_data, 0)
@@ -532,11 +878,6 @@ def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
     ctx_used = (flags >> 8) & 1
-    if sdhuff:
-        raise NotImplementedError(
-            "jbig2: Huffman symbol dictionary (SDHUFF — arithmetic-"
-            "only scope)"
-        )
     if refagg:
         raise NotImplementedError(
             "jbig2: refinement/aggregate symbol coding (SDREFAGG)"
@@ -546,22 +887,46 @@ def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
             "jbig2: imported bitmap coding context (flag bit 8)"
         )
     pos = 2
-    n_at = 4 if template == 0 else 1
-    at = []
-    for _ in range(n_at):
-        if pos + 2 > len(seg_data):
-            raise ValueError("jbig2: truncated symbol-dict AT pixels")
-        at.append(
-            (
-                struct.unpack_from("b", seg_data, pos)[0],
-                struct.unpack_from("b", seg_data, pos + 1)[0],
+    if sdhuff:
+        # table selections (7.4.3.1.1): customs consume the referred
+        # table segments in order
+        custom = list(tables or [])
+
+        def pick(sel: int, options: dict):
+            if sel in options:
+                return _std_table(options[sel])
+            if sel == 3:
+                if not custom:
+                    raise ValueError(
+                        "jbig2: missing custom Huffman table"
+                    )
+                return custom.pop(0)
+            raise ValueError(f"jbig2: Huffman table selector {sel}")
+
+        t_dh = pick((flags >> 2) & 3, {0: "B4", 1: "B5"})
+        t_dw = pick((flags >> 4) & 3, {0: "B2", 1: "B3"})
+        t_bmsize = pick((flags >> 6) & 1, {0: "B1"})
+        # SDHUFFAGGINST (bit 7) only applies under SDREFAGG
+    else:
+        n_at = 4 if template == 0 else 1
+        at = []
+        for _ in range(n_at):
+            if pos + 2 > len(seg_data):
+                raise ValueError(
+                    "jbig2: truncated symbol-dict AT pixels"
+                )
+            at.append(
+                (
+                    struct.unpack_from("b", seg_data, pos)[0],
+                    struct.unpack_from("b", seg_data, pos + 1)[0],
+                )
             )
-        )
-        pos += 2
-    if at != _NOMINAL_AT[template]:
-        raise NotImplementedError(
-            f"jbig2: non-nominal AT pixels {at} in symbol dictionary"
-        )
+            pos += 2
+        if at != _NOMINAL_AT[template]:
+            raise NotImplementedError(
+                f"jbig2: non-nominal AT pixels {at} in symbol "
+                "dictionary"
+            )
     if pos + 8 > len(seg_data):
         raise ValueError("jbig2: truncated symbol dictionary counts")
     n_ex, n_new = struct.unpack_from(">II", seg_data, pos)
@@ -571,50 +936,128 @@ def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
         raise ValueError(
             f"jbig2: implausible symbol counts new={n_new} ex={n_ex}"
         )
-    mq = MQDecoder(seg_data[pos:])
-    gb_icx = np.zeros(1 << 16, np.uint8)
-    gb_mps = np.zeros(1 << 16, np.uint8)
-    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
     new_syms: list = []
     hcheight = 0
     total_px = 0  # decode-time guard across the dictionary
-    while len(new_syms) < n_new:
-        dh = decode_int(mq, iadh)
-        if dh is _OOB:
-            raise ValueError("jbig2: OOB height-class delta")
-        hcheight += dh
-        if not (0 < hcheight <= _MAX_SYMBOL_DIM):
-            raise ValueError(f"jbig2: symbol height {hcheight}")
-        symwidth = 0
-        while True:
-            dw = decode_int(mq, iadw)
-            if dw is _OOB:
-                break  # end of this height class (6.5.5 step 4c)
-            symwidth += dw
-            if not (0 < symwidth <= _MAX_SYMBOL_DIM):
-                raise ValueError(f"jbig2: symbol width {symwidth}")
-            if len(new_syms) >= n_new:
-                raise ValueError(
-                    "jbig2: more symbols than SDNUMNEWSYMS declares"
+    if sdhuff:
+        # 6.5.9: per height class, widths first (DW runs to OOB),
+        # then the byte-aligned COLLECTIVE bitmap — BMSIZE 0 means
+        # an uncompressed row-padded raster, nonzero means MMR
+        from timeseries_data_provider_spark.operators import (
+            ccitt as _ccitt,
+        )
+
+        rd = _BitReader(seg_data, pos)
+        while len(new_syms) < n_new:
+            dh = t_dh.decode(rd)
+            if dh is _OOB:
+                raise ValueError("jbig2: OOB height-class delta")
+            hcheight += dh
+            if not (0 < hcheight <= _MAX_SYMBOL_DIM):
+                raise ValueError(f"jbig2: symbol height {hcheight}")
+            widths = []
+            symwidth = 0
+            totwidth = 0
+            while True:
+                dw = t_dw.decode(rd)
+                if dw is _OOB:
+                    break
+                symwidth += dw
+                if not (0 < symwidth <= _MAX_SYMBOL_DIM):
+                    raise ValueError(
+                        f"jbig2: symbol width {symwidth}"
+                    )
+                if len(new_syms) + len(widths) >= n_new:
+                    raise ValueError(
+                        "jbig2: more symbols than SDNUMNEWSYMS "
+                        "declares"
+                    )
+                widths.append(symwidth)
+                totwidth += symwidth
+                total_px += symwidth * hcheight
+                if total_px > _MAX_ARITH_PIXELS:
+                    raise NotImplementedError(
+                        "jbig2: symbol dictionary exceeds the "
+                        "decode-time area guard (route to a codec "
+                        "library)"
+                    )
+            if not widths:
+                continue
+            bmsize = t_bmsize.decode(rd)
+            if bmsize is _OOB or bmsize < 0:
+                raise ValueError("jbig2: malformed BMSIZE")
+            if bmsize == 0:
+                stride = (totwidth + 7) // 8
+                raw = rd.take_bytes(stride * hcheight)
+                rows = np.frombuffer(raw, np.uint8).reshape(
+                    hcheight, stride
                 )
-            total_px += symwidth * hcheight
-            if total_px > _MAX_ARITH_PIXELS:
-                raise NotImplementedError(
-                    "jbig2: symbol dictionary exceeds the decode-"
-                    "time area guard (route to a codec library)"
+                coll = np.unpackbits(rows, axis=1)[:, :totwidth]
+            else:
+                data = rd.take_bytes(bmsize)
+                coll = _ccitt.decode_g4(data, totwidth, hcheight)
+            x0 = 0
+            for wdt in widths:
+                new_syms.append(
+                    np.ascontiguousarray(coll[:, x0 : x0 + wdt])
                 )
-            side = _SharedDecSide(mq, gb_icx, gb_mps)
-            bm = _run_generic(
-                symwidth, hcheight, template, False, side
-            )
-            new_syms.append(bm)
-    # export flags (6.5.10): alternating IAEX run lengths over the
-    # concatenated input+new symbol list, starting NOT-exported
+                x0 += wdt
+        rd.align()
+        t_ex = _std_table("B1")
+
+        def ex_run():
+            return t_ex.decode(rd)
+    else:
+        mq = MQDecoder(seg_data[pos:])
+        gb_icx = np.zeros(1 << 16, np.uint8)
+        gb_mps = np.zeros(1 << 16, np.uint8)
+        iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+        while len(new_syms) < n_new:
+            dh = decode_int(mq, iadh)
+            if dh is _OOB:
+                raise ValueError("jbig2: OOB height-class delta")
+            hcheight += dh
+            if not (0 < hcheight <= _MAX_SYMBOL_DIM):
+                raise ValueError(f"jbig2: symbol height {hcheight}")
+            symwidth = 0
+            while True:
+                dw = decode_int(mq, iadw)
+                if dw is _OOB:
+                    break  # end of this height class (6.5.5 step 4c)
+                symwidth += dw
+                if not (0 < symwidth <= _MAX_SYMBOL_DIM):
+                    raise ValueError(
+                        f"jbig2: symbol width {symwidth}"
+                    )
+                if len(new_syms) >= n_new:
+                    raise ValueError(
+                        "jbig2: more symbols than SDNUMNEWSYMS "
+                        "declares"
+                    )
+                total_px += symwidth * hcheight
+                if total_px > _MAX_ARITH_PIXELS:
+                    raise NotImplementedError(
+                        "jbig2: symbol dictionary exceeds the "
+                        "decode-time area guard (route to a codec "
+                        "library)"
+                    )
+                side = _SharedDecSide(mq, gb_icx, gb_mps)
+                bm = _run_generic(
+                    symwidth, hcheight, template, False, side
+                )
+                new_syms.append(bm)
+
+        def ex_run():
+            return decode_int(mq, iaex)
+
+    # export flags (6.5.10): alternating run lengths over the
+    # concatenated input+new symbol list, starting NOT-exported —
+    # IAEX under arithmetic coding, Table B.1 under Huffman
     all_syms = list(input_syms) + new_syms
     exported: list = []
     i, cur, rounds = 0, 0, 0
     while i < len(all_syms):
-        run = decode_int(mq, iaex)
+        run = ex_run()
         if run is _OOB or run < 0 or i + run > len(all_syms):
             raise ValueError("jbig2: malformed export run length")
         if cur:
@@ -632,9 +1075,16 @@ def decode_symbol_dict(seg_data: bytes, input_syms: list) -> list:
     return exported
 
 
-def decode_text_region(seg_data: bytes, syms: list) -> tuple:
+def decode_text_region(
+    seg_data: bytes, syms: list, tables: list | None = None
+) -> tuple:
     """One text-region segment body -> (x, y, combop, bitmap).
-    ``syms`` is the symbol list from the referred dictionaries."""
+    ``syms`` is the symbol list from the referred dictionaries;
+    ``tables`` the referred custom Huffman tables in reference
+    order (SBHUFF only — r14). The layout loop is shared between
+    the arithmetic and Huffman forms: only the six readers differ
+    (6.4.5 reads via IADT/IAFS/IADS/IAIT/IAID/IARI under MQ, via
+    the selected Annex B tables + raw bits under Huffman)."""
     if len(seg_data) < 23:
         raise ValueError("jbig2: truncated text region")
     w, h, x, y = struct.unpack_from(">IIII", seg_data, 0)
@@ -643,7 +1093,8 @@ def decode_text_region(seg_data: bytes, syms: list) -> tuple:
     pos = 19
     sbhuff = tflags & 1
     refine = (tflags >> 1) & 1
-    sbstrips = 1 << ((tflags >> 2) & 3)
+    log_strips = (tflags >> 2) & 3
+    sbstrips = 1 << log_strips
     refcorner = (tflags >> 4) & 3
     transposed = (tflags >> 6) & 1
     combop = (tflags >> 7) & 3
@@ -653,10 +1104,38 @@ def decode_text_region(seg_data: bytes, syms: list) -> tuple:
         dsoffset -= 32  # signed 5-bit (7.4.4.1.1)
     rtemplate = (tflags >> 15) & 1
     if sbhuff:
-        raise NotImplementedError(
-            "jbig2: Huffman text region (SBHUFF — arithmetic-only "
-            "scope)"
-        )
+        # Huffman table selections (7.4.4.1.2); customs consume the
+        # referred table segments in order. The refinement tables
+        # (RDW/RDH/RDX/RDY/RSIZE) only matter under SBREFINE.
+        if pos + 2 > len(seg_data):
+            raise ValueError("jbig2: truncated Huffman flags")
+        (hflags,) = struct.unpack_from(">H", seg_data, pos)
+        pos += 2
+        custom = list(tables or [])
+
+        def pick(sel: int, options: dict, what: str):
+            if sel in options:
+                return _std_table(options[sel])
+            if sel == 3:
+                if not custom:
+                    raise ValueError(
+                        "jbig2: missing custom Huffman table"
+                    )
+                return custom.pop(0)
+            raise ValueError(
+                f"jbig2: Huffman {what} selector {sel}"
+            )
+
+        t_fs = pick(hflags & 3, {0: "B6", 1: "B7"}, "FS")
+        t_ds = pick((hflags >> 2) & 3,
+                    {0: "B8", 1: "B9", 2: "B10"}, "DS")
+        t_dt = pick((hflags >> 4) & 3,
+                    {0: "B11", 1: "B12", 2: "B13"}, "DT")
+        if refine:
+            raise NotImplementedError(
+                "jbig2: Huffman refined text region (SBREFINE + "
+                "SBHUFF)"
+            )
     if refine and rtemplate == 0:
         pos += 4  # refinement AT pixels present even if unused
     if pos + 4 > len(seg_data):
@@ -672,21 +1151,68 @@ def decode_text_region(seg_data: bytes, syms: list) -> tuple:
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         raise ValueError(f"jbig2: unreasonable region {w}x{h}")
     codelen = max(0, (len(syms) - 1).bit_length())
-    mq = MQDecoder(seg_data[pos:])
-    iadt, iafs, iads, iait = (
-        _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
-    )
-    iari = _IntCtx()
-    iaid = _IntCtx(1 << (codelen + 1))
+    if sbhuff:
+        rd = _BitReader(seg_data, pos)
+        # SBSYMCODES (7.4.3.1.2): runcode-coded per-symbol prefix
+        # lengths, byte-aligned afterwards
+        lengths = _read_symcode_lengths(rd, len(syms))
+        if all(ln == 0 for ln in lengths):
+            raise ValueError("jbig2: empty symbol code table")
+        symtab = _symcode_table(lengths)
+        rd.align()
+
+        def read_dt():
+            return t_dt.decode(rd)
+
+        def read_fs():
+            return t_fs.decode(rd)
+
+        def read_ds():
+            return t_ds.decode(rd)
+
+        def read_it():
+            return rd.read(log_strips)
+
+        def read_id():
+            return symtab.decode(rd)
+
+        def read_ri():  # pragma: no cover - refine rejected above
+            return rd.bit()
+    else:
+        mq = MQDecoder(seg_data[pos:])
+        iadt, iafs, iads, iait = (
+            _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
+        )
+        iari = _IntCtx()
+        iaid = _IntCtx(1 << (codelen + 1))
+
+        def read_dt():
+            return decode_int(mq, iadt)
+
+        def read_fs():
+            return decode_int(mq, iafs)
+
+        def read_ds():
+            return decode_int(mq, iads)
+
+        def read_it():
+            return decode_int(mq, iait)
+
+        def read_id():
+            return decode_iaid(mq, iaid, codelen)
+
+        def read_ri():
+            return decode_int(mq, iari)
+
     bm = np.full((h, w), defpixel, np.uint8)
-    dt = decode_int(mq, iadt)
+    dt = read_dt()
     if dt is _OOB:
         raise ValueError("jbig2: OOB initial strip delta")
     stript = -dt * sbstrips
     firsts = 0
     n_done = 0
     while n_done < n_instances:
-        dt = decode_int(mq, iadt)
+        dt = read_dt()
         if dt is _OOB:
             raise ValueError("jbig2: OOB strip delta")
         stript += dt * sbstrips
@@ -694,28 +1220,28 @@ def decode_text_region(seg_data: bytes, syms: list) -> tuple:
         curs = 0
         while True:
             if first:
-                dfs = decode_int(mq, iafs)
+                dfs = read_fs()
                 if dfs is _OOB:
                     raise ValueError("jbig2: OOB first-symbol delta")
                 firsts += dfs
                 curs = firsts
                 first = False
             else:
-                ids = decode_int(mq, iads)
+                ids = read_ds()
                 if ids is _OOB:
                     break  # end of strip (6.4.5 step 3c(ii))
                 curs += ids + dsoffset
-            curt = 0 if sbstrips == 1 else decode_int(mq, iait)
+            curt = 0 if sbstrips == 1 else read_it()
             if curt is _OOB:
                 raise ValueError("jbig2: OOB in-strip T")
             ti = stript + curt
-            sym_id = decode_iaid(mq, iaid, codelen)
+            sym_id = read_id()
             if sym_id >= len(syms):
                 raise ValueError(
                     f"jbig2: symbol id {sym_id} out of range"
                 )
             if refine:
-                ri = decode_int(mq, iari)
+                ri = read_ri()
                 if ri is _OOB or ri:
                     raise NotImplementedError(
                         "jbig2: refined text-region instance (IARI "
@@ -755,7 +1281,7 @@ def decode_text_region(seg_data: bytes, syms: list) -> tuple:
             if n_done == n_instances:
                 # spec ends the strip loop only on OOB; a conforming
                 # encoder emits it right after the last instance
-                ids = decode_int(mq, iads)
+                ids = read_ds()
                 if ids is not _OOB:
                     raise ValueError(
                         "jbig2: data past the last text instance"
@@ -876,12 +1402,13 @@ def decode_jbig2_embedded(
 ) -> np.ndarray:
     """Decode a PDF-embedded JBIG2 stream (segment headers, page
     info, symbol dictionaries, immediate text regions, immediate
-    generic regions) to the page bitmap (1 = black). Halftone/
-    refinement segments and Huffman-coded variants raise named
-    errors."""
+    generic regions, custom Huffman tables — both the arithmetic
+    and the r14 Huffman symbol/text forms) to the page bitmap
+    (1 = black). Halftone/refinement segments raise named errors."""
     page_bm = None
     page_default = 0
     sym_store: dict[int, list] = {}
+    table_store: dict[int, _HuffTable] = {}
 
     def compose(x: int, y: int, combop: int, bm) -> None:
         nonlocal page_bm
@@ -946,17 +1473,23 @@ def decode_jbig2_embedded(
                 compose(x, y, combop, bm)
             elif t == 0:  # symbol dictionary (r12)
                 input_syms: list = []
+                ref_tables: list = []
                 for r in seg["refs"]:
                     input_syms.extend(sym_store.get(r, []))
+                    if r in table_store:
+                        ref_tables.append(table_store[r])
                 sym_store[seg["num"]] = decode_symbol_dict(
-                    seg["data"], input_syms
+                    seg["data"], input_syms, ref_tables
                 )
             elif t in (6, 7):  # immediate text region (r12)
                 syms: list = []
+                ref_tables = []
                 for r in seg["refs"]:
                     syms.extend(sym_store.get(r, []))
+                    if r in table_store:
+                        ref_tables.append(table_store[r])
                 x, y, combop, bm = decode_text_region(
-                    seg["data"], syms
+                    seg["data"], syms, ref_tables
                 )
                 compose(x, y, combop, bm)
             elif t in (49, 50, 51, 62):
@@ -973,9 +1506,9 @@ def decode_jbig2_embedded(
                     f"jbig2: segment type {t} (halftone/refinement "
                     "scope)"
                 )
-            elif t == 53:
-                raise NotImplementedError(
-                    "jbig2: custom table segment"
+            elif t == 53:  # custom Huffman table (r14)
+                table_store[seg["num"]] = parse_table_segment(
+                    seg["data"]
                 )
             else:
                 raise ValueError(f"jbig2: unknown segment type {t}")
@@ -1119,6 +1652,156 @@ def encode_text_region(
     )
 
 
+# the generous custom text-region tables the Huffman fixtures carry
+# (one 1-bit code over [-1024, 1024), plus OOB where the strip loop
+# needs it) — parse_table_segment reconstructs the same code
+# assignment because preflen-0 lower/upper lines carry no code
+_HUFF_FS_LINES = [(1, 11, -1024, "norm")]
+_HUFF_DS_LINES = [(1, 11, -1024, "norm"), (1, 0, 0, "oob")]
+_HUFF_DT_LINES = [(1, 11, -1024, "norm")]
+
+
+def encode_symbol_dict_huff(
+    symbols: list, collective: str = "mmr"
+) -> bytes:
+    """Fixture writer (r14): one HUFFMAN symbol-dictionary segment
+    body exporting ``symbols`` in order (heights non-decreasing) —
+    DH via standard table B.4, DW via B.3 (its lower range covers
+    narrowing widths), BMSIZE via B.1; each height class carries a
+    COLLECTIVE bitmap, MMR-coded (``collective="mmr"``) or the
+    BMSIZE=0 uncompressed raster (``"raw"``)."""
+    from timeseries_data_provider_spark.operators import (
+        ccitt as _ccitt,
+    )
+
+    if collective not in ("mmr", "raw"):
+        raise ValueError(f"collective {collective!r}")
+    t_dh, t_dw, t_bm = (
+        _std_table("B4"), _std_table("B3"), _std_table("B1")
+    )
+    wr = _BitWriter()
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        if h < hcheight:
+            raise ValueError(
+                "encode_symbol_dict_huff: heights must be "
+                "non-decreasing"
+            )
+        t_dh.encode(wr, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        class_syms = []
+        while i < len(symbols) and symbols[i].shape[0] == h:
+            bm = np.asarray(symbols[i], np.uint8)
+            t_dw.encode(wr, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            class_syms.append(bm)
+            i += 1
+        t_dw.encode(wr, _OOB)
+        coll = np.hstack(class_syms)
+        if collective == "mmr":
+            data = _ccitt.encode_g4(coll)
+            t_bm.encode(wr, len(data))
+            wr.put_bytes(data)
+        else:
+            t_bm.encode(wr, 0)
+            wr.put_bytes(np.packbits(coll, axis=1).tobytes())
+    # export flags: run of 0 not-exported, then all, via Table B.1
+    t_ex = _std_table("B1")
+    t_ex.encode(wr, 0)
+    t_ex.encode(wr, len(symbols))
+    flags = 1 | (1 << 4)  # SDHUFF, DH = B.4 (0), DW = B.3 (1)
+    return (
+        struct.pack(">H", flags)
+        + struct.pack(">II", len(symbols), len(symbols))
+        + wr.done()
+    )
+
+
+def encode_text_region_huff(
+    region_w: int,
+    region_h: int,
+    symbols: list,
+    placements: list,
+    refcorner: int = 1,
+    transposed: bool = False,
+    log_strips: int = 0,
+    dsoffset: int = 0,
+) -> bytes:
+    """Fixture writer (r14): one HUFFMAN text-region segment body —
+    FS/DS/DT through the fixture's custom tables (emitted alongside
+    as type-53 segments by encode_jbig2_text_page), symbol ids
+    through equal-length runcode-built SBSYMCODES, CURT as raw
+    bits. Mirrors encode_text_region's placement math exactly."""
+    t_fs = _HuffTable(_HUFF_FS_LINES)
+    t_ds = _HuffTable(_HUFF_DS_LINES)
+    t_dt = _HuffTable(_HUFF_DT_LINES)
+    sbstrips = 1 << log_strips
+    n_syms = len(symbols)
+    codelen = max(1, (n_syms - 1).bit_length())
+    inst = []
+    for idx, row, col in placements:
+        hi, wi = symbols[idx].shape
+        if not transposed:
+            s = col
+            t = row if refcorner in (1, 3) else row + hi - 1
+            adv = wi - 1
+        else:
+            s = row
+            t = col if refcorner in (0, 1) else col + wi - 1
+            adv = hi - 1
+        inst.append((t // sbstrips, s, t, idx, adv))
+    inst.sort(key=lambda e: (e[0], e[1]))
+    wr = _BitWriter()
+    lengths = [codelen] * n_syms
+    _write_symcode_lengths(wr, lengths)
+    wr.align()  # 7.4.3.1.2 step 3
+    symtab = _symcode_table(lengths)
+    t_dt.encode(wr, 0)  # STRIPT starts at 0
+    prev_key = 0
+    firsts = 0
+    j = 0
+    while j < len(inst):
+        key = inst[j][0]
+        t_dt.encode(wr, key - prev_key)
+        prev_key = key
+        first = True
+        curs = 0
+        while j < len(inst) and inst[j][0] == key:
+            _, s, t, idx, adv = inst[j]
+            if first:
+                t_fs.encode(wr, s - firsts)
+                firsts = s
+                first = False
+            else:
+                t_ds.encode(wr, s - curs - dsoffset)
+            curs = s
+            if sbstrips > 1:
+                wr.write(t - key * sbstrips, log_strips)
+            symtab.encode(wr, idx)
+            curs += adv
+            j += 1
+        t_ds.encode(wr, _OOB)
+    flags = (
+        1  # SBHUFF
+        | (log_strips << 2)
+        | (refcorner << 4)
+        | (int(transposed) << 6)
+        | ((dsoffset & 0x1F) << 10)
+    )
+    hflags = 3 | (3 << 2) | (3 << 4)  # FS/DS/DT all custom
+    return (
+        struct.pack(">IIII", region_w, region_h, 0, 0)
+        + bytes([0])  # external combop OR
+        + struct.pack(">H", flags)
+        + struct.pack(">H", hflags)
+        + struct.pack(">I", len(placements))
+        + wr.done()
+    )
+
+
 def encode_jbig2_text_page(
     page_w: int,
     page_h: int,
@@ -1130,6 +1813,8 @@ def encode_jbig2_text_page(
     dsoffset: int = 0,
     split_dicts: bool = False,
     globals_split: bool = False,
+    huffman: bool = False,
+    collective: str = "mmr",
 ):
     """Fixture writer: a full embedded stream — page info + symbol
     dictionary (or two, ``split_dicts``, to exercise multi-dict
@@ -1148,6 +1833,40 @@ def encode_jbig2_text_page(
         + bytes([0])
         + struct.pack(">H", 0)
     )
+    if huffman:
+        # r14 layout: custom FS/DS/DT table segments (1-3), one
+        # Huffman symbol dictionary (4), the Huffman text region (5)
+        # referring to dict + tables in consumption order
+        if split_dicts or globals_split:
+            raise ValueError(
+                "encode_jbig2_text_page: huffman composes with the "
+                "basic single-dict layout only"
+            )
+        segs = [
+            _seg_header(0, 48, 1, page_info),
+            _seg_header(
+                1, 53, 1, encode_table_segment(_HUFF_FS_LINES)
+            ),
+            _seg_header(
+                2, 53, 1, encode_table_segment(_HUFF_DS_LINES)
+            ),
+            _seg_header(
+                3, 53, 1, encode_table_segment(_HUFF_DT_LINES)
+            ),
+            _seg_header(
+                4, 0, 1,
+                encode_symbol_dict_huff(sorted_syms, collective),
+            ),
+            _seg_header(
+                5, 6, 1,
+                encode_text_region_huff(
+                    page_w, page_h, sorted_syms, places,
+                    refcorner, transposed, log_strips, dsoffset,
+                ),
+                refs=(4, 1, 2, 3),
+            ),
+        ]
+        return b"".join(segs)
     dict_segs = []
     if split_dicts and len(sorted_syms) > 1:
         half = (len(sorted_syms) + 1) // 2

@@ -2493,11 +2493,12 @@ def synth_scan_pdf_media(
 
     - page 1: vertical stripes of period p = (id%4)+1 (black where
       (x//p)%2 == 0) at (64+id%5) x (32+id%3), the CODEC rotating by
-      id%4 — 1: JBIG2 MQ generic region, 2: JBIG2 symbol-dictionary
-      + text region (the glyph-clustered form real scanners emit),
-      3: JBIG2 MMR, else CCITT-G4 (r12: same pixels, so the
-      oracle's scan_px1 formula is codec-independent while all four
-      decode ladders run);
+      id%5 (r14) — 1: JBIG2 MQ generic region, 2: JBIG2 symbol-
+      dictionary + text region (the glyph-clustered form real
+      scanners emit), 3: JBIG2 MMR, 4: the HUFFMAN symbol-dict +
+      text region (SDHUFF/SBHUFF with custom table segments), else
+      CCITT-G4 (same pixels, so the oracle's scan_px1 formula is
+      codec-independent while all FIVE decode ladders run);
     - page 2: gray8 gradient (id+x+y)%256 (the GIF/TIFF closed
       form) at (40+id%4) x (20+id%2), the CONTAINER rotating by
       id%6 (r14) — 1: lossless 5/3 JPEG 2000 codestream (/JPXDecode
@@ -2536,7 +2537,8 @@ def synth_scan_pdf_media(
                     1: "jbig2",
                     2: "jbig2-text",
                     3: "jbig2-mmr",
-                }.get(i % 4, "ccitt-g4")
+                    4: "jbig2-text-huff",
+                }.get(i % 5, "ccitt-g4")
                 p2_kind = {
                     1: "jpx",
                     2: "jpx-jp2",
@@ -3234,12 +3236,16 @@ def encode_scan_pdf(images: list) -> bytes:
             )
             extra = " /Filter /JBIG2Decode"
             cs, bpc = "/DeviceGray", 1
-        elif kind == "jbig2-text":
+        elif kind in ("jbig2-text", "jbig2-text-huff"):
             # the glyph-clustered form real scanners emit (r12):
             # exact row-run decomposition — every maximal black run
             # becomes an instance of a 1xN glyph, so ANY raster
             # round-trips through the symbol-dictionary + text-
-            # region path without approximation
+            # region path without approximation. -huff (r14) rides
+            # the HUFFMAN coding path (SDHUFF/SBHUFF, standard
+            # tables B.1-B.5 + custom FS/DS/DT table segments, MMR
+            # collective bitmaps) — the second scanner-encoder
+            # family
             from timeseries_data_provider_spark.operators import (
                 jbig2 as _jbig2,
             )
@@ -3267,7 +3273,8 @@ def encode_scan_pdf(images: list) -> bytes:
             for wlen, idx in widths.items():
                 symbols[idx] = np.ones((1, wlen), np.uint8)
             data = _jbig2.encode_jbig2_text_page(
-                ww, hh, symbols, placements
+                ww, hh, symbols, placements,
+                huffman=kind == "jbig2-text-huff",
             )
             extra = " /Filter /JBIG2Decode"
             cs, bpc = "/DeviceGray", 1
