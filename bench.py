@@ -46,16 +46,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # more than one behind the newest committed artifact (kept history
 # lives in git).
 EXPLAINED_MOVES: dict[str, dict] = {
-    "q63_media_decode": {
-        "round": 13,
-        "note": "r13: new lossy-VP8 WebP decode branch (50 images "
-        "through the RFC 6386 boolean-coder keyframe path)",
-    },
     "q64_corpus_signals": {
-        "round": 13,
-        "note": "r13: JPX (JPEG 2000 lossless 5/3) scan_px2 page "
-        "rotation (id%3: Flate/codestream/JP2 box) + the 6-way font "
-        "rotation adding Type1C and OpenType-CFF (FontFile3) plants",
+        "round": 14,
+        "note": "r14: scan_px2's JPX rotation widens id%3 -> id%6 "
+        "(bypass / all-coder-options+layers / tile-parts forms — "
+        "pure-Python EBCOT now runs on 5/6 instead of 2/3 of page "
+        "2s), scan_px1 widens id%4 -> id%5 (the JBIG2 HUFFMAN "
+        "symbol-dict + text-region ladder), and the font plant "
+        "rotation widens to 7 arms (bare CID-keyed CFF under "
+        "Adobe-Japan1)",
     },
 }
 

@@ -217,6 +217,58 @@ def test_huffman_text_page_matrix():
     assert (jbig2.decode_jbig2_embedded(data) == ref).all()
 
 
+def test_huffman_custom_bmsize_selector_is_one_bit():
+    # r14 review finding: SDHUFFBMSIZE is a ONE-bit field (1 =
+    # custom), unlike the 2-bit DH/DW selectors — flipping bit 6 on
+    # a standard-table body and referring a B.1-equivalent custom
+    # table must decode identically (the bitstream is unchanged)
+    syms = [np.ones((2, 3), np.uint8)]
+    body = jbig2.encode_symbol_dict_huff(syms)
+    flipped = bytearray(body)
+    flipped[1] |= 1 << 6
+    b1_equiv = jbig2._HuffTable(
+        [(1, 4, 0, "norm"), (2, 8, 16, "norm"),
+         (3, 16, 272, "norm"), (3, 32, 65808, "norm")]
+    )
+    out = jbig2.decode_symbol_dict(bytes(flipped), [], [b1_equiv])
+    assert len(out) == 1 and (out[0] == syms[0]).all()
+
+
+def test_huffman_empty_height_class_keeps_reader_in_sync():
+    # r14 review finding: the collective-bitmap fields are coded
+    # once per height class even when the class exports no symbols
+    # — hand-build a dictionary with an EMPTY first class
+    t_dh = jbig2._std_table("B4")
+    t_dw = jbig2._std_table("B3")
+    t_bm = jbig2._std_table("B1")
+    wr = jbig2._BitWriter()
+    # class 1: height 1, zero symbols, BMSIZE 0
+    t_dh.encode(wr, 1)
+    t_dw.encode(wr, jbig2._OOB)
+    t_bm.encode(wr, 0)
+    wr.align()
+    # class 2: height 2, one 2x3 all-black symbol, raw collective
+    t_dh.encode(wr, 1)
+    t_dw.encode(wr, 3)
+    t_dw.encode(wr, jbig2._OOB)
+    t_bm.encode(wr, 0)
+    wr.put_bytes(np.packbits(np.ones((2, 3), np.uint8),
+                             axis=1).tobytes())
+    # exports: skip 0, export 1
+    t_ex = jbig2._std_table("B1")
+    wr.align()
+    t_ex.encode(wr, 0)
+    t_ex.encode(wr, 1)
+    body = (
+        struct.pack(">H", 1 | (1 << 4))
+        + struct.pack(">II", 1, 1)
+        + wr.done()
+    )
+    out = jbig2.decode_symbol_dict(body, [])
+    assert len(out) == 1 and out[0].shape == (2, 3)
+    assert out[0].all()
+
+
 def test_huffman_named_gaps_and_hostility():
     syms = [np.ones((2, 2), np.uint8)]
     data = jbig2.encode_jbig2_text_page(

@@ -534,6 +534,50 @@ def test_informational_pointer_markers_are_skipped():
     assert (jpx.decode_jpx(patched)["pixels"] == img).all()
 
 
+def test_semantic_markers_poc_ppm_are_named_not_skipped():
+    # r14 review finding: POC (progression change) and PPM (packed
+    # packet headers) are SEMANTIC — silently length-skipping them
+    # would walk packets in the wrong order
+    img = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    blob = jpx.encode_jpx(img, levels=1)
+    at = blob.index(b"\xff\x5c")
+    import struct as _s
+
+    poc = b"\xff\x5f" + _s.pack(">H", 9) + bytes(7)
+    ppm = b"\xff\x60" + _s.pack(">HB", 3, 0)
+    for seg, name in ((poc, "POC"), (ppm, "PPM")):
+        patched = blob[:at] + seg + blob[at:]
+        with pytest.raises(NotImplementedError, match=name):
+            jpx.decode_jpx(patched)
+
+
+def test_reset_only_style_still_spreads_layers():
+    # r14 review finding: reset/segmark-only styles create no extra
+    # codeword segments, so layer splits must keep using the pass
+    # watermarks instead of snapping everything into layer 0
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    blob = jpx.encode_jpx(
+        img, levels=1, cb_style=0x02, layers=3, sop=True, eph=True
+    )
+    assert (jpx.decode_jpx(blob)["pixels"] == img).all()
+    # with SOP framing the packet boundaries are visible: more than
+    # one of the 6 packets (3 layers x 2 resolutions) must carry a
+    # non-trivial body
+    sops = []
+    at = 0
+    while True:
+        at = blob.find(b"\xff\x91", at + 1)
+        if at < 0:
+            break
+        sops.append(at)
+    sizes = [
+        b - a for a, b in zip(sops, sops[1:] + [blob.rindex(b"\xff\xd9")])
+    ]
+    assert len(sizes) == 6
+    assert sum(1 for s in sizes if s > 12) >= 3, sizes
+
+
 def test_short_header_segments_raise_named_valueerrors():
     # r14 (ADVICE): truncated SIZ/COD/QCD segments are the documented
     # ValueError, never a raw struct.error/IndexError

@@ -186,6 +186,42 @@ def test_separation_and_lab_color_spaces():
     bad = blob.replace(b"/FunctionType 2", b"/FunctionType 4")
     with pytest.raises(NotImplementedError, match="FunctionType 4"):
         pdf.extract_pdf_images(bad)
+    # r14 review finding: a NON-default Lab /Decode is a remap this
+    # branch does not model — named, never silently ignored; the
+    # explicit default still decodes
+    blob = pdf.encode_scan_pdf([("lab", lab)])
+    deco = blob.replace(
+        b"/BitsPerComponent 8",
+        b"/BitsPerComponent 8 /Decode [100 0 -100 100 -100 100]",
+    )
+    with pytest.raises(NotImplementedError, match="Lab /Decode"):
+        pdf.extract_pdf_images(deco)
+    deco = blob.replace(
+        b"/BitsPerComponent 8",
+        b"/BitsPerComponent 8 /Decode [0 100 -100 100 -100 100]",
+    )
+    (img,) = pdf.extract_pdf_images(deco)
+    assert (img["pixels"] == c["pixels"]).all()
+
+
+def test_malformed_page_tree_nodes_are_named_errors():
+    # r14 fuzz findings: a catalog or /Kids entry resolving to a
+    # non-dict must raise the named ValueError — a raw
+    # AttributeError would escape the quarantine envelope's
+    # (ValueError, NotImplementedError) net and kill the task
+    g = np.zeros((4, 4), np.uint8)
+    blob = pdf.encode_scan_pdf([("gray8", g)])
+    bad = blob.replace(b"<< /Type /Catalog /Pages 2 0 R >>",
+                       b"7", 1)
+    with pytest.raises(ValueError, match="catalog|trailer|no doc"):
+        pdf.extract_pdf_images(bad)
+    bad2 = blob.replace(
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Kids [9] /Count 1 >>  ",
+        1,
+    )  # kid is a bare int
+    with pytest.raises(ValueError, match="page tree"):
+        pdf.extract_pdf_images(bad2)
 
 
 def test_text_pdf_has_no_images():

@@ -892,10 +892,10 @@ def decode_symbol_dict(
         # table segments in order
         custom = list(tables or [])
 
-        def pick(sel: int, options: dict):
+        def pick(sel: int, options: dict, custom_sel: int = 3):
             if sel in options:
                 return _std_table(options[sel])
-            if sel == 3:
+            if sel == custom_sel:
                 if not custom:
                     raise ValueError(
                         "jbig2: missing custom Huffman table"
@@ -905,7 +905,10 @@ def decode_symbol_dict(
 
         t_dh = pick((flags >> 2) & 3, {0: "B4", 1: "B5"})
         t_dw = pick((flags >> 4) & 3, {0: "B2", 1: "B3"})
-        t_bmsize = pick((flags >> 6) & 1, {0: "B1"})
+        # BMSIZE is a ONE-bit selector: 1 = custom (r14 review
+        # finding — treating it like the 2-bit DH/DW selectors
+        # quarantined conforming custom-BMSIZE dictionaries)
+        t_bmsize = pick((flags >> 6) & 1, {0: "B1"}, custom_sel=1)
         # SDHUFFAGGINST (bit 7) only applies under SDREFAGG
     else:
         n_at = 4 if template == 0 else 1
@@ -981,11 +984,21 @@ def decode_symbol_dict(
                         "decode-time area guard (route to a codec "
                         "library)"
                     )
-            if not widths:
-                continue
+            # the collective-bitmap fields are coded once per height
+            # class UNCONDITIONALLY (6.5.5 step 4 — r14 review
+            # finding: skipping them for an empty class desynced the
+            # bit reader into reading BMSIZE bits as the next HCDH)
             bmsize = t_bmsize.decode(rd)
             if bmsize is _OOB or bmsize < 0:
                 raise ValueError("jbig2: malformed BMSIZE")
+            if not widths:
+                if bmsize != 0:
+                    raise ValueError(
+                        "jbig2: collective bitmap for an empty "
+                        "height class"
+                    )
+                rd.align()
+                continue
             if bmsize == 0:
                 stride = (totwidth + 7) // 8
                 raw = rd.take_bytes(stride * hcheight)

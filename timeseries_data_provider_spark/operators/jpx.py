@@ -1153,11 +1153,17 @@ def encode_jpx(
                     )
                     # split passes near-evenly; byte split at the
                     # pass watermark — snapped UP to a codeword-
-                    # segment end when coder options are on (r14,
-                    # B.10.7.2: only whole terminated segments can
-                    # cut cleanly; the spec also allows mid-segment
-                    # byte splits, which the decoder supports, but
-                    # the encoder keeps cuts segment-aligned)
+                    # segment end when the style actually CREATES
+                    # segments, i.e. bypass or per-pass termination
+                    # (r14 review finding: reset/segmark-only styles
+                    # have a single segment, so snapping would shove
+                    # every pass into layer 0; their mid-codeword
+                    # watermark splits stay valid). B.10.7.2: only
+                    # whole terminated segments cut cleanly; the
+                    # spec also allows mid-segment byte splits,
+                    # which the decoder supports, but the encoder
+                    # keeps cuts segment-aligned.
+                    segmented = bool(cb_style & 0x05)
                     per = []
                     done_p = 0
                     done_b = 0
@@ -1169,12 +1175,12 @@ def encode_jpx(
                         )
                         if li == layers - 1:
                             k = total - done_p
-                        if cb_style and k > 0:
+                        if segmented and k > 0:
                             k = min(
                                 b for b in bounds_p
                                 if b >= done_p + k
                             ) - done_p
-                        if cb_style:
+                        if segmented:
                             end_b = (
                                 done_b
                                 if k == 0
@@ -1193,7 +1199,7 @@ def encode_jpx(
                         # header-length partitions: one per whole
                         # codeword segment inside this layer chunk
                         parts = []
-                        if k > 0 and cb_style:
+                        if k > 0 and segmented:
                             s_p, s_b = done_p, done_b
                             for b in bounds_p:
                                 if b <= s_p:
@@ -1505,8 +1511,18 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                 f"jpx: marker FF{marker:02X} (per-component/tile "
                 "overrides) outside the lossless subset"
             )
-        # informational pointer segments (TLM/PLM/PLT A.7, COM) and
-        # anything else non-semantic fall through to the length skip
+        elif marker in (0x5F, 0x60):
+            # POC changes the progression mid-stream and PPM moves
+            # packet headers out of the bitstream — both SEMANTIC:
+            # ignoring them would walk packets in the wrong order
+            # (r14 review finding; the named error keeps the
+            # no-garbage contract)
+            raise NotImplementedError(
+                f"jpx: marker FF{marker:02X} "
+                f"({'POC progression change' if marker == 0x5F else 'PPM packed packet headers'})"
+            )
+        # informational pointer segments (TLM/PLM/PLT A.7, CRG,
+        # COM) fall through to the length skip
         at += ln
     if siz is None or cod is None or qcd is None or not tiles:
         raise ValueError("jpx: missing SIZ/COD/QCD/SOD")

@@ -1463,12 +1463,22 @@ def _open_pdf(payload: bytes):
     if root is None:
         raise ValueError("pdf: no document catalog")
     catalog = _resolve(objs, root)
+    if catalog is not None and not isinstance(catalog, dict):
+        # r14 fuzz finding (same family as the page-tree guard)
+        raise ValueError("pdf: catalog is not a dict")
     pages_root = _resolve(objs, catalog.get("Pages")) if catalog else None
     page_objs: list[tuple[dict, object]] = []
 
     def walk(node, depth=0, inherited_res=None):
         if node is None or depth > 64:
             return
+        if not isinstance(node, dict):
+            # r14 fuzz finding: a /Kids entry resolving to a
+            # non-dict crashed the walk with a raw AttributeError,
+            # which would ESCAPE the quarantine envelope's
+            # (ValueError, NotImplementedError) net and kill the
+            # task — malformed trees must be the named error
+            raise ValueError("pdf: page tree node is not a dict")
         t = str(node.get("Type", ""))
         res = node.get("Resources", inherited_res)
         if t == "Pages":
@@ -2112,6 +2122,21 @@ def _decode_image_xobject(objs, val: dict, raw: bytes) -> dict:
         xn, yn, zn = (float(_resolve(objs, v)) for v in wp)
         if bpc != 8:
             raise NotImplementedError(f"pdf: {bpc}-bit Lab")
+        dec = _resolve(objs, val.get("Decode"))
+        if dec is not None:
+            # the Lab /Decode DEFAULT is [0 100 amin amax bmin bmax]
+            # (Table 89); anything else is a remap this branch does
+            # not model — named, never silently ignored (r14 review
+            # finding)
+            want = [0.0, 100.0, amin, amax, bmin, bmax]
+            got = (
+                [float(_resolve(objs, v)) for v in dec]
+                if isinstance(dec, list) else None
+            )
+            if got != want:
+                raise NotImplementedError(
+                    f"pdf: non-default Lab /Decode {dec}"
+                )
         s = _unpack_samples(data, w, h, 3, 8).astype(np.float64)
         lstar = s[:, :, 0] * (100.0 / 255.0)
         astar = amin + s[:, :, 1] * ((amax - amin) / 255.0)
