@@ -290,9 +290,17 @@ def test_irreversible_97_roundtrip_and_consistency():
     # QCD style 1 (scalar derived) is the remaining named gap
     qcd_at = blob97.index(b"\xff\x5c")
     der = bytearray(blob97)
+    # r14: QCD style 1 (scalar derived) now DECODES — a style-2
+    # stream reflagged as style 1 is syntactically a VALID derived
+    # stream with different step sizes, so it either decodes (to
+    # other values) or dies loudly on a bit-plane mismatch; it can
+    # never be told apart from a real style-1 stream
     der[qcd_at + 4] = (der[qcd_at + 4] & 0xE0) | 1
-    with pytest.raises(NotImplementedError, match="style 1"):
-        jpx.decode_jpx(bytes(der))
+    try:
+        out = jpx.decode_jpx(bytes(der))
+        assert out["pixels"].shape == rgb.shape
+    except ValueError:
+        pass
 
 
 def test_multi_layer_roundtrip_and_truncation():
@@ -492,14 +500,16 @@ def test_coder_options_roundtrip_matrix():
 
 def test_coder_options_named_gaps_and_segmark_detection():
     img = np.full((16, 16), 3, np.uint8)
-    # vertically-causal / predictable termination stay named
+    # the writable subset excludes predictable termination (0x10);
+    # undefined style bits are loud on decode (r14 — causal 0x08
+    # and 0x10-as-plain-termination now decode, tested separately)
     with pytest.raises(ValueError, match="coder options"):
-        jpx.encode_jpx(img, cb_style=0x08)
+        jpx.encode_jpx(img, cb_style=0x10)
     blob = jpx.encode_jpx(img, levels=1)
     at = blob.index(b"\xff\x52")
     bad = bytearray(blob)
-    bad[at + 12] = 0x08  # SPcod codeblock style -> vertically causal
-    with pytest.raises(NotImplementedError, match="coder options"):
+    bad[at + 12] = 0x40  # undefined SPcod style bit
+    with pytest.raises(ValueError, match="undefined coder"):
         jpx.decode_jpx(bytes(bad))
     # segmentation symbols detect a corrupted Tier-1 stream loudly
     rng = np.random.default_rng(42)
@@ -532,6 +542,155 @@ def test_informational_pointer_markers_are_skipped():
     # all four at once
     patched = blob[:at] + tlm + plt + plm + com + blob[at:]
     assert (jpx.decode_jpx(patched)["pixels"] == img).all()
+
+
+def test_qcd_style1_derived_quantizer():
+    # r14: scalar DERIVED quantization (E-5) — one (eps0, mant)
+    # pair, band exponents eps0 - (r-1), mantissa shared
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (40, 52)).astype(np.uint8)
+    for levels in (1, 2, 4):
+        blob = jpx.encode_jpx(
+            img, levels=levels, irreversible=True, qcd_style=1
+        )
+        # the QCD really is the 1-pair style-1 form
+        at = blob.index(b"\xff\x5c")
+        assert blob[at + 2 : at + 4] == b"\x00\x05"
+        assert blob[at + 4] & 0x1F == 1
+        err = np.abs(
+            jpx.decode_jpx(blob)["pixels"].astype(int)
+            - img.astype(int)
+        ).max()
+        assert err <= 2, levels
+    # derived + bypass + layers + ICT composes; exact at planes=14
+    rgb = rng.integers(0, 256, (30, 34, 3)).astype(np.uint8)
+    blob = jpx.encode_jpx(
+        rgb, levels=2, irreversible=True, qcd_style=1,
+        cb_style=0x01, layers=2,
+    )
+    err = np.abs(
+        jpx.decode_jpx(blob)["pixels"].astype(int) - rgb.astype(int)
+    ).max()
+    assert err <= 3
+    blob = jpx.encode_jpx(
+        img, levels=2, irreversible=True, qcd_style=1, planes=14
+    )
+    assert (jpx.decode_jpx(blob)["pixels"] == img).all()
+    # style 1 with the 5/3 wavelet is malformed (loud)
+    blob = jpx.encode_jpx(img, levels=1)
+    bad = bytearray(blob)
+    at = blob.index(b"\xff\x5c")
+    bad[at + 4] = (bad[at + 4] & 0xE0) | 1
+    with pytest.raises(ValueError, match="derived"):
+        jpx.decode_jpx(bytes(bad))
+
+
+def test_high_bit_depth_components():
+    # r14: 10/12/16-bit unsigned components decode, downconverting
+    # >> (depth - 8) (the TIFF rule, stated)
+    rng = np.random.default_rng(61)
+    for depth in (10, 12, 16):
+        px = rng.integers(0, 1 << depth, (24, 36)).astype(np.uint16)
+        blob = jpx.encode_jpx(px, levels=2, depth=depth)
+        d = jpx.decode_jpx(blob)
+        assert (
+            d["pixels"] == (px >> (depth - 8)).astype(np.uint8)
+        ).all(), depth
+    # 12-bit 9/7 derived + bypass; 16-bit RGB through the RCT
+    px = rng.integers(0, 4096, (24, 36)).astype(np.uint16)
+    blob = jpx.encode_jpx(
+        px, levels=2, depth=12, irreversible=True, qcd_style=1,
+        cb_style=0x01, planes=12,
+    )
+    err = np.abs(
+        jpx.decode_jpx(blob)["pixels"].astype(int)
+        - (px >> 4).astype(int)
+    ).max()
+    assert err <= 2
+    rgb = rng.integers(0, 65536, (12, 14, 3)).astype(np.uint16)
+    blob = jpx.encode_jpx(rgb, levels=1, depth=16)
+    assert (
+        jpx.decode_jpx(blob)["pixels"] == (rgb >> 8).astype(np.uint8)
+    ).all()
+    # signed / sub-8-bit stay named
+    blob = jpx.encode_jpx(
+        np.zeros((8, 8), np.uint8), levels=1
+    )
+    at = blob.index(b"\xff\x51")
+    for ssiz, msg in ((0x87, "signed"), (3, "4-bit")):
+        bad = bytearray(blob)
+        bad[at + 2 + 38] = ssiz
+        with pytest.raises(NotImplementedError, match=msg):
+            jpx.decode_jpx(bytes(bad))
+
+
+def test_tile_part_cod_qcd_overrides():
+    # r14: per-tile COD/QCD overrides in the first tile-part header
+    # (the remaining tile cell real encoders hit) — tiles may carry
+    # their own layers/options/levels/progression
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    blob = jpx.encode_jpx(
+        img, levels=2, tile_size=(32, 32),
+        tile_kw={
+            1: {"layers": 3, "cb_style": 0x01},
+            3: {"levels": 1},
+            4: {"prog": "RLCP"},
+        },
+    )
+    d = jpx.decode_jpx(blob)
+    assert (d["pixels"] == img).all()
+    # an override in a NON-first tile-part is named: retag part 0
+    plain = jpx.encode_jpx(
+        img, levels=2, tile_size=(32, 32), tile_kw={1: {"layers": 2}}
+    )
+    assert (jpx.decode_jpx(plain)["pixels"] == img).all()
+    second = plain.index(b"\xff\x90", plain.index(b"\xff\x90") + 2)
+    bad = bytearray(plain)
+    bad[second + 10] = 1  # TPsot of the COD-carrying part -> 1
+    with pytest.raises(
+        (NotImplementedError, ValueError)
+    ):
+        jpx.decode_jpx(bytes(bad))
+    # semantics-changing tile-part markers stay named
+    sod = plain.index(b"\xff\x93")
+    import struct as _s
+
+    poc = b"\xff\x5f" + _s.pack(">H", 9) + bytes(7)
+    bad = bytearray(plain[:sod] + poc + plain[sod:])
+    # fix Psot of the first tile-part (+11 bytes)
+    sot = plain.index(b"\xff\x90")
+    (psot,) = _s.unpack_from(">I", plain, sot + 6)
+    _s.pack_into(">I", bad, sot + 6, psot + len(poc))
+    with pytest.raises(NotImplementedError, match="FF5F"):
+        jpx.decode_jpx(bytes(bad))
+
+
+def test_vertically_causal_and_predictable_termination():
+    # r14: causal contexts mask the stripe floor on both sides;
+    # 0x10 decodes as plain termination (stated non-verification)
+    rng = np.random.default_rng(81)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for style in (0x08, 0x09, 0x0D, 0x2F):
+        blob = jpx.encode_jpx(img, levels=2, cb_style=style,
+                              layers=2)
+        assert (jpx.decode_jpx(blob)["pixels"] == img).all(), style
+    # causal genuinely changes the bitstream (the mask is live)
+    a = jpx.encode_jpx(img, levels=2)
+    b = jpx.encode_jpx(img, levels=2, cb_style=0x08)
+    assert a != b
+    blob = jpx.encode_jpx(img, levels=2, cb_style=0x04)
+    bad = bytearray(blob)
+    at = blob.index(b"\xff\x52")
+    bad[at + 12] = 0x14  # + predictable termination
+    assert (jpx.decode_jpx(bytes(bad))["pixels"] == img).all()
+    # the writable subset excludes 0x10; undefined bits are loud
+    with pytest.raises(ValueError, match="coder options"):
+        jpx.encode_jpx(img, cb_style=0x10)
+    bad = bytearray(blob)
+    bad[at + 12] = 0x40
+    with pytest.raises(ValueError, match="undefined coder"):
+        jpx.decode_jpx(bytes(bad))
 
 
 def test_semantic_markers_poc_ppm_are_named_not_skipped():

@@ -33,8 +33,11 @@ shape a *lossless scan* actually uses, end to end:
   options real encoders emit decode as of r14 (VERDICT item 1c):
   arithmetic BYPASS (raw SP/MR from the 5th plane, D.6, with the
   packet header's per-codeword-segment length fields, B.10.7.2),
-  per-pass RESET, per-pass termination, and segmentation symbols
-  (verified on decode — desync is loud);
+  per-pass RESET, per-pass termination, VERTICALLY CAUSAL contexts
+  (stripe-floor masking, D.7), and segmentation symbols (verified
+  on decode — desync is loud); predictable termination (0x10)
+  decodes as plain termination (its flush pattern is an optional
+  error-detection aid this decoder does not verify — stated);
 - inverse 5/3 lifting with symmetric extension across all levels,
   inverse RCT, DC level shift.
 
@@ -52,12 +55,14 @@ correctly). Informational pointer segments (TLM/PLM/PLT, COM) are
 skipped per A.7 (r14 — a decoder may ignore them; Kakadu-class
 encoders emit TLM by default). Named NotImplementedError gaps
 (quarantine, never garbage — this list IS the raise-site ladder):
-QCD style 1 (scalar derived), tile dims not a multiple of
-2^levels, tile-part headers between SOT and SOD (COD/QCD
-overrides), precinct subdivision, the vertically-causal and
-predictable-termination coder options, subsampled or >8-bit
-components, >3 or 2-component images, image/tile grid offsets,
-JPP/JPT streams.
+tile dims not a multiple of 2^levels, COC/QCC/RGN/POC/PPM/PPT
+markers, precinct subdivision, subsampled or sub-8-bit or signed
+or mixed-depth components (8..16-bit unsigned decode as of r14,
+>8-bit downconverting >>(depth-8), the TIFF rule), >3 or
+2-component images, image/tile grid offsets, per-tile wavelet/MCT
+overrides (other per-tile COD/QCD overrides decode as of r14),
+JPP/JPT streams. QCD style 1 (scalar derived, E-5) decodes as of
+r14.
 
 Validation posture, stated: no independent JPEG 2000 implementation
 exists in this container (the JDK has none), so — like the JBIG2-MQ
@@ -333,21 +338,29 @@ class _Block:
         self.mag = np.zeros((h, w), np.int64)
         self.visited = np.zeros((h, w), bool)
         self.refined = np.zeros((h, w), bool)
+        # vertically-causal mode (r14, D.7): rows at/below this
+        # floor are invisible to context formation; _t1_passes sets
+        # it to the current stripe's bottom when the option is on
+        self.floor = 1 << 30
 
     def zc_ctx(self, y: int, x: int) -> int:
         s = self.sig
+        below = y + 1 < self.floor  # vertically-causal mask
         hsum = int(s[y + 1, x]) + int(s[y + 1, x + 2])
-        vsum = int(s[y, x + 1]) + int(s[y + 2, x + 1])
-        dsum = (
-            int(s[y, x]) + int(s[y, x + 2])
-            + int(s[y + 2, x]) + int(s[y + 2, x + 2])
+        vsum = int(s[y, x + 1]) + (
+            int(s[y + 2, x + 1]) if below else 0
         )
+        dsum = int(s[y, x]) + int(s[y, x + 2])
+        if below:
+            dsum += int(s[y + 2, x]) + int(s[y + 2, x + 2])
         return int(self.zc[hsum, vsum, dsum])
 
     def sc_ctx(self, y: int, x: int):
         g = self.sgn
         hc = int(g[y + 1, x]) + int(g[y + 1, x + 2])
-        vc = int(g[y, x + 1]) + int(g[y + 2, x + 1])
+        vc = int(g[y, x + 1]) + (
+            int(g[y + 2, x + 1]) if y + 1 < self.floor else 0
+        )
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
         return _SC[(hc + 1, vc + 1)]
@@ -358,10 +371,14 @@ class _Block:
         s = self.sig
         any_n = (
             int(s[y + 1, x]) + int(s[y + 1, x + 2])
-            + int(s[y, x + 1]) + int(s[y + 2, x + 1])
+            + int(s[y, x + 1])
             + int(s[y, x]) + int(s[y, x + 2])
-            + int(s[y + 2, x]) + int(s[y + 2, x + 2])
         )
+        if y + 1 < self.floor:
+            any_n += (
+                int(s[y + 2, x + 1])
+                + int(s[y + 2, x]) + int(s[y + 2, x + 2])
+            )
         return 15 if any_n else 14
 
     def prefer(self, y: int, x: int) -> bool:
@@ -373,7 +390,7 @@ class _Block:
 def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                get_bit=None, get_sign=None,
                which=("SP", "MR", "CU"), raw: bool = False,
-               segmark: bool = False):
+               segmark: bool = False, causal: bool = False):
     """Run the three coding passes of one bit-plane over a codeblock
     in both directions: when ``encode`` the callbacks read the truth
     (magnitude bit / sign) and the MQ encoder writes; otherwise the
@@ -431,6 +448,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
 
     # pass 1: significance propagation
     for y0 in (range(0, h, 4) if "SP" in which else ()):
+        blk.floor = y0 + 4 if causal else 1 << 30
         for x in range(w):
             for y in range(y0, min(y0 + 4, h)):
                 if blk.sig[y + 1, x + 1] or blk.zc_ctx(y, x) == 0:
@@ -440,6 +458,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
 
     # pass 2: magnitude refinement
     for y0 in (range(0, h, 4) if "MR" in which else ()):
+        blk.floor = y0 + 4 if causal else 1 << 30
         for x in range(w):
             for y in range(y0, min(y0 + 4, h)):
                 if not blk.sig[y + 1, x + 1] or blk.visited[y, x]:
@@ -459,6 +478,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
 
     # pass 3: cleanup (with run-length shortcut)
     for y0 in (range(0, h, 4) if "CU" in which else ()):
+        blk.floor = y0 + 4 if causal else 1 << 30
         for x in range(w):
             y = y0
             strip_h = min(4, h - y0)
@@ -586,6 +606,7 @@ def _decode_codeblock(
     plan = _pass_plan(n_planes, cb_style)
     reset = bool(cb_style & 0x02)
     segmark = bool(cb_style & 0x20)
+    causal = bool(cb_style & 0x08)
     icx, mps = _fresh_ctx()
     blk = _Block(h, w, orient)
     budget = 3 * n_planes - 2 if n_passes is None else n_passes
@@ -604,7 +625,7 @@ def _decode_codeblock(
             mps[:] = f_mps
         _t1_passes(
             blk, plane, eng, icx, mps, encode=False, which=(kind,),
-            raw=raw, segmark=segmark,
+            raw=raw, segmark=segmark, causal=causal,
         )
         budget -= 1
     return blk.mag * np.where(
@@ -626,6 +647,7 @@ def _encode_codeblock(
     plan = _pass_plan(n_planes, cb_style)
     reset = bool(cb_style & 0x02)
     segmark = bool(cb_style & 0x20)
+    causal = bool(cb_style & 0x08)
     icx, mps = _fresh_ctx()
     h, w = coeffs.shape
     blk = _Block(h, w, orient)
@@ -664,7 +686,7 @@ def _encode_codeblock(
         _t1_passes(
             blk, plane, eng, icx, mps, encode=True,
             get_bit=get_bit, get_sign=get_sign, which=(kind,),
-            raw=raw, segmark=segmark,
+            raw=raw, segmark=segmark, causal=causal,
         )
         marks.append(len(done) + len(eng.out))
     _finish_current()
@@ -906,8 +928,11 @@ def encode_jpx(
     layers: int = 1,
     prog: str = "LRCP",
     tile_size: tuple[int, int] | None = None,
+    tile_kw: dict | None = None,
     tile_parts: int = 1,
     cb_style: int = 0,
+    qcd_style: int = 2,
+    depth: int = 8,
     _fixed_guard: int | None = None,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
@@ -925,11 +950,18 @@ def encode_jpx(
         raise ValueError("encode_jpx: levels 0..6")
     if not all(2 <= e <= 6 for e in cb_exp):
         raise ValueError("encode_jpx: codeblock exponents 2..6")
-    if cb_style & ~0x27:
-        # implemented coder options (r14): 0x01 bypass, 0x02 reset,
-        # 0x04 per-pass termination, 0x20 segmentation symbols;
-        # vertically-causal (0x08) / predictable termination (0x10)
-        # stay out of the writable subset
+    if not 8 <= depth <= 16:
+        raise ValueError("encode_jpx: depth 8..16")
+    if int(px.max(initial=0)) >= (1 << depth):
+        raise ValueError(
+            f"encode_jpx: samples exceed {depth}-bit range"
+        )
+    if cb_style & ~0x2F:
+        # writable coder options (r14): 0x01 bypass, 0x02 reset,
+        # 0x04 per-pass termination, 0x08 vertically causal, 0x20
+        # segmentation symbols; predictable termination (0x10)
+        # stays out of the writable subset (its flush pattern is
+        # not implemented)
         raise ValueError(f"encode_jpx: coder options {cb_style:#x}")
     if mct is None:
         mct = not gray
@@ -965,37 +997,75 @@ def encode_jpx(
             )
         tiles_x = -(-w // txs)
         tiles_y = -(-h // tys)
+
+        def _seg_of(blob: bytes, tag: bytes) -> bytes:
+            at2 = blob.index(tag)
+            (l2,) = struct.unpack_from(">H", blob, at2 + 2)
+            return blob[at2 + 2 : at2 + 2 + l2]
+
         bodies = []
+        cods = []
+        qcds = []
+        siz_first = [None]  # tile 0's SIZ (canvas-patched below)
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 sub = px[
                     ty * tys : (ty + 1) * tys,
                     tx * txs : (tx + 1) * txs,
                 ]
+                kw2 = dict(
+                    levels=levels, cb_exp=cb_exp, mct=mct,
+                    sop=sop, eph=eph, layers=layers, prog=prog,
+                    cb_style=cb_style, depth=depth,
+                )
+                # per-tile parameter overrides (r14 — emitted as
+                # COD/QCD segments in that tile's first tile-part
+                # header when they differ from the main header's)
+                kw2.update(
+                    (tile_kw or {}).get(ty * tiles_x + tx, {})
+                )
+                if kw2["levels"] and (
+                    txs % (1 << kw2["levels"])
+                    or tys % (1 << kw2["levels"])
+                ):
+                    raise ValueError(
+                        "encode_jpx: tile dims must be multiples "
+                        "of 2^levels for every tile's levels"
+                    )
                 one = encode_jpx(
-                    sub, levels=levels, cb_exp=cb_exp, mct=mct,
-                    sop=sop, eph=eph, irreversible=False,
-                    layers=layers, prog=prog, cb_style=cb_style,
-                    _fixed_guard=7,
+                    sub, irreversible=False, _fixed_guard=7, **kw2
                 )
                 sod = one.index(b"\xff\x93")
                 eoc = one.rindex(b"\xff\xd9")
                 bodies.append(one[sod + 2 : eoc])
-        # main header: reuse the last tile's SIZ/COD/QCD shape but
-        # with the full canvas + tile grid
-        hdr_end = one.index(b"\xff\x90")
-        head = bytearray(one[:hdr_end])
-        siz_at = head.index(b"\xff\x51")
+                cods.append(_seg_of(one, b"\xff\x52"))
+                qcds.append(_seg_of(one, b"\xff\x5c"))
+                if not siz_first[0]:
+                    siz_first[0] = _seg_of(one, b"\xff\x51")
+        # main header: tile 0's SIZ/COD/QCD shape with the full
+        # canvas + tile grid; tiles whose COD/QCD differ carry the
+        # override in their tile-part header
+        siz0 = bytearray(siz_first[0])
         struct.pack_into(
-            ">IIIIIIII", head, siz_at + 6,
-            w, h, 0, 0, txs, tys, 0, 0,
+            ">IIIIIIII", siz0, 4, w, h, 0, 0, txs, tys, 0, 0
         )
-        out_cs = bytes(head)
+        out_cs = (
+            b"\xff\x4f"
+            + b"\xff\x51" + bytes(siz0)
+            + b"\xff\x52" + cods[0]
+            + b"\xff\x5c" + qcds[0]
+        )
         for idx, body_t in enumerate(bodies):
-            psot = 12 + 2 + len(body_t)
+            over = b""
+            if cods[idx] != cods[0]:
+                over += b"\xff\x52" + cods[idx]
+            if qcds[idx] != qcds[0]:
+                over += b"\xff\x5c" + qcds[idx]
+            psot = 12 + len(over) + 2 + len(body_t)
             out_cs += (
                 b"\xff\x90"
                 + struct.pack(">HHIBB", 10, idx, psot, 0, 1)
+                + over
                 + b"\xff\x93"
                 + body_t
             )
@@ -1005,13 +1075,14 @@ def encode_jpx(
         return _wrap_jp2(out_cs, w, h, n_comp)
 
     # DC level shift + component transform
+    half = 1 << (depth - 1)
     comps = []
     if gray:
-        comps = [px.astype(np.int64) - 128]
+        comps = [px.astype(np.int64) - half]
     else:
-        r = px[:, :, 0].astype(np.int64) - 128
-        g = px[:, :, 1].astype(np.int64) - 128
-        b = px[:, :, 2].astype(np.int64) - 128
+        r = px[:, :, 0].astype(np.int64) - half
+        g = px[:, :, 1].astype(np.int64) - half
+        b = px[:, :, 2].astype(np.int64) - half
         if mct and irreversible:
             rf, gf, bf = (c.astype(np.float64) for c in (r, g, b))
             y = 0.299 * rf + 0.587 * gf + 0.114 * bf
@@ -1048,24 +1119,53 @@ def encode_jpx(
 
     deltas: dict = {}
     qcodes: dict = {}
+    if qcd_style not in (1, 2):
+        raise ValueError(f"encode_jpx: qcd_style {qcd_style}")
     if irreversible:
-        # expounded scalar quantizer (QCD style 2): one delta per
-        # subband, (eps, mantissa)-coded so the decoder re-derives
-        # EXACTLY the delta the encoder divided by. The delta is
-        # picked from the band's actual max so `planes` bit-planes
-        # cover it (shared across components per the QCD scope).
-        for key in [(0, "LL")] + [
+        # scalar quantizer: EXPOUNDED (QCD style 2, the default) —
+        # one (eps, mantissa)-coded delta per subband picked from
+        # the band's actual max so `planes` bit-planes cover it
+        # (shared across components per the QCD scope) — or DERIVED
+        # (style 1, r14): ONE pair, band exponents eps0 - (r-1)
+        # with the mantissa shared (E-5), the base picked so every
+        # band's derived delta still covers its max
+        keys_all = [(0, "LL")] + [
             (r, nm) for r, nm, _w2, _h2 in band_list
-        ]:
+        ]
+        maxes = {}
+        for key in keys_all:
             mx = 0.0
             for bands in per_comp_bands:
                 if bands[key].size:
                     mx = max(mx, float(np.abs(bands[key]).max()))
-            r_b = 8 + _GAIN[key[1]]
-            want = max(mx / (1 << planes), 1e-6)
-            e, m = _delta_to_code(want, r_b)
-            qcodes[key] = (e, m)
-            deltas[key] = _code_to_delta(e, m, r_b)
+            maxes[key] = mx
+        if qcd_style == 1:
+            base = 1e-6
+            for key in keys_all:
+                want = max(maxes[key] / (1 << planes), 1e-6)
+                scale = 2.0 ** (
+                    _GAIN[key[1]] + max(0, key[0] - 1)
+                )
+                base = max(base, want / scale)
+            e0, m0 = _delta_to_code(base, depth)
+            for key in keys_all:
+                e_b = e0 - max(0, key[0] - 1)
+                if e_b < 0:
+                    raise ValueError(
+                        "encode_jpx: levels too deep for the "
+                        "derived quantizer"
+                    )
+                qcodes[key] = (e_b, m0)
+                deltas[key] = _code_to_delta(
+                    e_b, m0, depth + _GAIN[key[1]]
+                )
+        else:
+            for key in keys_all:
+                r_b = depth + _GAIN[key[1]]
+                want = max(maxes[key] / (1 << planes), 1e-6)
+                e, m = _delta_to_code(want, r_b)
+                qcodes[key] = (e, m)
+                deltas[key] = _code_to_delta(e, m, r_b)
         for bands in per_comp_bands:
             for key in bands:
                 f = bands[key]
@@ -1085,7 +1185,9 @@ def encode_jpx(
         guard = _fixed_guard or min(7, max(2, need))
         mb = {key: guard + e - 1 for key, (e, _m) in qcodes.items()}
     else:
-        eps = {b: 8 + _GAIN[b] for b in ("LL", "HL", "LH", "HH")}
+        eps = {
+            b: depth + _GAIN[b] for b in ("LL", "HL", "LH", "HH")
+        }
         need = 1
         for bands in per_comp_bands:
             for (r, name), arr in bands.items():
@@ -1331,7 +1433,9 @@ def encode_jpx(
         0,
         0,
         n_comp,
-    ) + b"".join(struct.pack(">BBB", 7, 1, 1) for _ in range(n_comp))
+    ) + b"".join(
+        struct.pack(">BBB", depth - 1, 1, 1) for _ in range(n_comp)
+    )
     scod = (2 if sop else 0) | (4 if eph else 0)
     cod = struct.pack(
         ">HBBHBBBBBB",
@@ -1347,7 +1451,13 @@ def encode_jpx(
         0 if irreversible else 1,  # 9/7 vs 5/3
     )
     n_sb = 3 * levels + 1
-    if irreversible:
+    if irreversible and qcd_style == 1:
+        sqcd = bytes([(guard << 5) | 1])
+        e0, m0 = qcodes[(0, "LL")]
+        qcd = struct.pack(">H", 5) + sqcd + struct.pack(
+            ">H", (e0 << 11) | m0
+        )
+    elif irreversible:
         sqcd = bytes([(guard << 5) | 2])
         keys = [(0, "LL")] + [
             (r, nm)
@@ -1450,6 +1560,122 @@ def _find_codestream(payload: bytes) -> bytes:
     raise ValueError("jpx: neither a codestream nor a JP2 file")
 
 
+
+
+def _parse_cod(cod: bytes) -> dict:
+    """COD segment -> validated parameter dict (r14 — factored so
+    tile-part COD overrides parse through the identical ladder)."""
+    if len(cod) < 12:
+        raise ValueError(f"jpx: COD segment length {len(cod)}")
+    scod = cod[2]
+    if scod & 1:
+        raise NotImplementedError("jpx: explicit precincts")
+    prog, layers, mct, levels, cbe_w, cbe_h, cb_style, wavelet = (
+        struct.unpack_from(">BHBBBBBB", cod, 3)
+    )
+    if prog > 4:
+        raise ValueError(f"jpx: progression order {prog}")
+    if not 1 <= layers <= 64:
+        raise ValueError(f"jpx: implausible layer count {layers}")
+    if cb_style & ~0x3F:
+        raise ValueError(f"jpx: undefined coder options {cb_style:#x}")
+    # all six defined options decode (r14): 0x01 bypass / 0x02
+    # reset / 0x04 per-pass termination / 0x08 vertically causal /
+    # 0x20 segmentation symbols change behavior; 0x10 predictable
+    # termination only constrains how the ENCODER flushed each
+    # segment — a decoder may use it for error detection, which
+    # this one does not (stated), so it decodes as plain
+    # termination
+    if wavelet not in (0, 1):
+        raise ValueError(f"jpx: wavelet id {wavelet}")
+    if levels > 6 or cbe_w > 4 or cbe_h > 4:
+        raise ValueError("jpx: implausible COD parameters")
+    return {
+        "use_sop": bool(scod & 2),
+        "use_eph": bool(scod & 4),
+        "prog": prog,
+        "layers": layers,
+        "mct": mct,
+        "levels": levels,
+        "cbw": 1 << (cbe_w + 2),
+        "cbh": 1 << (cbe_h + 2),
+        "cb_style": cb_style,
+        "irreversible": wavelet == 0,
+    }
+
+
+def _parse_qcd(
+    qcd: bytes, levels: int, irreversible: bool, depth: int
+):
+    """QCD segment -> (deltas, mb_of) for the given decomposition
+    depth (r14 — factored for tile-part QCD overrides)."""
+    if len(qcd) < 3:
+        raise ValueError(f"jpx: QCD segment length {len(qcd)}")
+    sqcd = qcd[2]
+    q_style = sqcd & 0x1F
+    guard = sqcd >> 5
+    n_sb = 3 * levels + 1
+    keys = [(0, "LL")] + [
+        (r, nm)
+        for r in range(1, levels + 1)
+        for nm in ("HL", "LH", "HH")
+    ]
+    deltas = None
+    if q_style == 0:
+        if irreversible:
+            raise ValueError(
+                "jpx: no-quantization QCD with the 9/7 wavelet"
+            )
+        sb_eps = [b >> 3 for b in qcd[3:]]
+        if len(sb_eps) < n_sb:
+            raise ValueError("jpx: QCD shorter than the subband count")
+        mb_of = {k2: guard + sb_eps[i] - 1 for i, k2 in enumerate(keys)}
+    elif q_style == 2:
+        if not irreversible:
+            raise ValueError(
+                "jpx: expounded scalar QCD with the 5/3 wavelet"
+            )
+        body = qcd[3:]
+        if len(body) < 2 * n_sb:
+            raise ValueError("jpx: QCD shorter than the subband count")
+        deltas = {}
+        mb_of = {}
+        for i, k2 in enumerate(keys):
+            (v,) = struct.unpack_from(">H", body, 2 * i)
+            e, m = v >> 11, v & 0x7FF
+            r_b = depth + _GAIN[k2[1]]
+            deltas[k2] = _code_to_delta(e, m, r_b)
+            mb_of[k2] = guard + e - 1
+    elif q_style == 1:
+        # scalar DERIVED (r14 — E.1.1/E-5): ONE (eps0, mant) pair;
+        # band exponents derive as eps_b = eps0 - (r - 1) with the
+        # mantissa shared, so deltas scale by resolution
+        if not irreversible:
+            raise ValueError(
+                "jpx: derived scalar QCD with the 5/3 wavelet"
+            )
+        if len(qcd) < 5:
+            raise ValueError("jpx: QCD style 1 needs one step size")
+        (v,) = struct.unpack_from(">H", qcd, 3)
+        e0, m0 = v >> 11, v & 0x7FF
+        deltas = {}
+        mb_of = {}
+        for k2 in keys:
+            r2 = k2[0]
+            e_b = e0 - max(0, r2 - 1)
+            if e_b < 0:
+                raise ValueError(
+                    "jpx: derived exponent underflows at "
+                    f"resolution {r2}"
+                )
+            r_b = depth + _GAIN[k2[1]]
+            deltas[k2] = _code_to_delta(e_b, m0, r_b)
+            mb_of[k2] = guard + e_b - 1
+    else:
+        raise NotImplementedError(f"jpx: QCD style {q_style}")
+    return deltas, mb_of
+
+
 def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     """Decode to {format, width, height, pixels} (uint8, (h, w) gray
     or (h, w, 3) RGB). Named errors for the out-of-subset shapes."""
@@ -1492,18 +1718,50 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             end = sot_start + psot
             if end > n or psot < 14:
                 raise ValueError("jpx: Psot out of bounds")
-            # the SOD must directly follow the SOT segment here
-            # (COD/QCD tile-part overrides stay a named gap)
-            if cs[at + 10 : at + 12] != b"\xff\x93":
-                raise NotImplementedError(
-                    "jpx: tile-part headers between SOT and SOD"
-                )
-            parts = tiles.setdefault(isot, {})
-            if tpsot in parts:
+            # tile-part header walk (r14): COD/QCD overrides for
+            # THIS tile parse through the main-header ladders (legal
+            # in the first tile-part, A.4.2); informational PLT/COM
+            # skip; the semantics-changing COC/QCC/RGN/POC/PPT stay
+            # named
+            entry = tiles.setdefault(
+                isot, {"parts": {}, "cod": None, "qcd": None}
+            )
+            hdr_at = at + 10
+            while True:
+                if hdr_at + 2 > end or cs[hdr_at] != 0xFF:
+                    raise ValueError(
+                        "jpx: marker expected in tile-part header"
+                    )
+                m2 = cs[hdr_at + 1]
+                if m2 == 0x93:  # SOD
+                    hdr_at += 2
+                    break
+                if hdr_at + 4 > end:
+                    raise ValueError("jpx: truncated tile-part header")
+                (l2,) = struct.unpack_from(">H", cs, hdr_at + 2)
+                if l2 < 2 or hdr_at + 2 + l2 > end:
+                    raise ValueError(
+                        f"jpx: tile-part marker FF{m2:02X} length {l2}"
+                    )
+                seg2 = cs[hdr_at + 2 : hdr_at + 2 + l2]
+                if m2 in (0x52, 0x5C):
+                    if tpsot != 0:
+                        raise NotImplementedError(
+                            "jpx: COD/QCD override outside the "
+                            "first tile-part"
+                        )
+                    entry["cod" if m2 == 0x52 else "qcd"] = seg2
+                elif m2 in (0x53, 0x5D, 0x5E, 0x5F, 0x61):
+                    raise NotImplementedError(
+                        f"jpx: tile-part marker FF{m2:02X} "
+                        "(COC/QCC/RGN/POC/PPT) outside the subset"
+                    )
+                hdr_at += 2 + l2
+            if tpsot in entry["parts"]:
                 raise ValueError(
                     f"jpx: duplicate tile-part {tpsot} of tile {isot}"
                 )
-            parts[tpsot] = (at + 12, end)
+            entry["parts"][tpsot] = (hdr_at, end)
             at = end
             continue
         elif marker in (0x53, 0x5D, 0x5E):
@@ -1558,100 +1816,46 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         raise NotImplementedError(f"jpx: {n_comp} components")
     if len(siz) < 38 + 3 * n_comp:
         raise ValueError("jpx: SIZ shorter than its component list")
+    depths = set()
     for ci in range(n_comp):
         ssiz, xr, yr = struct.unpack_from(">BBB", siz, 38 + 3 * ci)
-        if ssiz != 7 or xr != 1 or yr != 1:
-            raise NotImplementedError(
-                "jpx: only 8-bit unsigned unsubsampled components"
-            )
-
-    scod = cod[2]
-    if scod & 1:
-        raise NotImplementedError("jpx: explicit precincts")
-    use_sop, use_eph = bool(scod & 2), bool(scod & 4)
-    prog, layers, mct_f, levels, cbe_w, cbe_h, cb_style, wavelet = (
-        struct.unpack_from(">BHBBBBBB", cod, 3)
-    )
-    if prog > 4:
-        raise ValueError(f"jpx: progression order {prog}")
-    if not 1 <= layers <= 64:
-        raise ValueError(f"jpx: implausible layer count {layers}")
-    if cb_style & ~0x27:
-        # 0x01 bypass / 0x02 reset / 0x04 per-pass termination /
-        # 0x20 segmentation symbols decode (r14 — Kakadu-class
-        # encoders emit bypass+termination under common flags);
-        # the rest stays named
+        if ssiz & 0x80:
+            raise NotImplementedError("jpx: signed components")
+        if xr != 1 or yr != 1:
+            raise NotImplementedError("jpx: subsampled components")
+        depths.add((ssiz & 0x7F) + 1)
+    if len(depths) != 1:
         raise NotImplementedError(
-            f"jpx: coder options {cb_style:#x} (vertically-causal/"
-            "predictable-termination)"
+            f"jpx: mixed component depths {sorted(depths)}"
         )
-    if wavelet not in (0, 1):
-        raise ValueError(f"jpx: wavelet id {wavelet}")
-    irreversible = wavelet == 0
-    if levels > 6 or cbe_w > 4 or cbe_h > 4:
-        raise ValueError("jpx: implausible COD parameters")
-    cbw, cbh = 1 << (cbe_w + 2), 1 << (cbe_h + 2)
-    if (tiles_x > 1 or tiles_y > 1) and (
-        xt % (1 << levels) or yt % (1 << levels)
-    ):
-        # T.800 anchors subband sizes and codeblock grids to CANVAS
-        # coordinates; this decoder computes them tile-locally. The
-        # two are provably equal exactly when every tile origin is a
-        # multiple of 2^levels (then ceil((x0+tw)/2^k) - ceil(x0/2^k)
-        # = ceil(tw/2^k) for every k <= levels, likewise floor) —
-        # so other grids stay a NAMED gap instead of desync garbage
-        # (r14, ADVICE: even dims alone were not sufficient).
-        raise NotImplementedError(
-            "jpx: tile dims not a multiple of 2^levels "
-            "(canvas-anchored subband geometry)"
-        )
+    depth = depths.pop()
+    if not 8 <= depth <= 16:
+        # 10/12/16-bit unsigned decode as of r14 (archival/medical
+        # gray scans); sub-8-bit stays named
+        raise NotImplementedError(f"jpx: {depth}-bit components")
 
-    sqcd = qcd[2]
-    q_style = sqcd & 0x1F
-    guard = sqcd >> 5
-    n_sb = 3 * levels + 1
-    keys = [(0, "LL")] + [
-        (r, nm)
-        for r in range(1, levels + 1)
-        for nm in ("HL", "LH", "HH")
-    ]
-    deltas = None
-    if q_style == 0:
-        if irreversible:
-            raise ValueError(
-                "jpx: no-quantization QCD with the 9/7 wavelet"
-            )
-        sb_eps = [b >> 3 for b in qcd[3:]]
-        if len(sb_eps) < n_sb:
-            raise ValueError("jpx: QCD shorter than the subband count")
-        mb_of = {k2: guard + sb_eps[i] - 1 for i, k2 in enumerate(keys)}
-    elif q_style == 2:
-        if not irreversible:
-            raise ValueError(
-                "jpx: expounded scalar QCD with the 5/3 wavelet"
-            )
-        body = qcd[3:]
-        if len(body) < 2 * n_sb:
-            raise ValueError("jpx: QCD shorter than the subband count")
-        deltas = {}
-        mb_of = {}
-        for i, k2 in enumerate(keys):
-            (v,) = struct.unpack_from(">H", body, 2 * i)
-            e, m = v >> 11, v & 0x7FF
-            r_b = 8 + _GAIN[k2[1]]
-            deltas[k2] = _code_to_delta(e, m, r_b)
-            mb_of[k2] = guard + e - 1
-    else:
-        raise NotImplementedError(
-            f"jpx: QCD style {q_style} (scalar-derived stays named)"
-        )
+    main_cod = _parse_cod(cod)
+    levels = main_cod["levels"]
+    mct_f = main_cod["mct"]
+    irreversible = main_cod["irreversible"]
 
-    def _decode_tile(buf: bytes, tw: int, th: int):
+    main_q = _parse_qcd(qcd, levels, irreversible, depth)
+
+    def _decode_tile(buf: bytes, tw: int, th: int, P: dict, Q):
         """One tile's packet walk + reconstruction -> list of
         (th, tw) planes (int64 for 5/3, float64 for 9/7, pre
         DC-shift / MCT-inverse). ``buf`` is the tile's bitstream —
         its tile-part SOD payloads concatenated in TPsot order
-        (r14), over which packets run contiguously per A.4.2."""
+        (r14), over which packets run contiguously per A.4.2.
+        ``P``/``Q`` are the tile's effective COD params and QCD
+        (deltas, mb_of) — the main header's unless a tile-part
+        header override replaced them (r14)."""
+        use_sop, use_eph = P["use_sop"], P["use_eph"]
+        prog, layers = P["prog"], P["layers"]
+        levels, cbw, cbh = P["levels"], P["cbw"], P["cbh"]
+        cb_style = P["cb_style"]
+        irreversible = P["irreversible"]
+        deltas, mb_of = Q
         rd_at, end_at = 0, len(buf)
         ll0, band_list = _band_sizes(tw, th, levels)
 
@@ -1842,16 +2046,55 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             x0, y0 = tx * xt, ty * yt
             tw = min(xt, w - x0)
             th = min(yt, h - y0)
-            parts = tiles[idx]
+            entry = tiles[idx]
+            parts = entry["parts"]
             if set(parts) != set(range(len(parts))):
                 raise ValueError(
                     f"jpx: tile {idx} TPsot sequence has gaps"
                 )
+            P = (
+                _parse_cod(entry["cod"])
+                if entry["cod"] is not None
+                else main_cod
+            )
+            if P["irreversible"] != irreversible or (
+                P["mct"] != mct_f
+            ):
+                # the stitched inverse-MCT/rounding runs once over
+                # the full canvas, so per-tile wavelet/MCT switches
+                # stay named rather than silently mixed
+                raise NotImplementedError(
+                    "jpx: per-tile wavelet/MCT override"
+                )
+            if (tiles_x > 1 or tiles_y > 1) and (
+                xt % (1 << P["levels"]) or yt % (1 << P["levels"])
+            ):
+                # T.800 anchors subband geometry to CANVAS
+                # coordinates; tile-local equals canvas-anchored
+                # exactly when every tile origin is a multiple of
+                # 2^levels (r14, ADVICE)
+                raise NotImplementedError(
+                    "jpx: tile dims not a multiple of 2^levels "
+                    "(canvas-anchored subband geometry)"
+                )
+            Q = (
+                _parse_qcd(
+                    entry["qcd"], P["levels"], irreversible, depth
+                )
+                if entry["qcd"] is not None
+                else (
+                    main_q
+                    if P["levels"] == levels
+                    else _parse_qcd(
+                        qcd, P["levels"], irreversible, depth
+                    )
+                )
+            )
             buf = b"".join(
                 cs[s0:e0]
                 for _tp, (s0, e0) in sorted(parts.items())
             )
-            t_outs = _decode_tile(buf, tw, th)
+            t_outs = _decode_tile(buf, tw, th, P, Q)
             for ci in range(n_comp):
                 out_planes[ci][y0 : y0 + th, x0 : x0 + tw] = (
                     t_outs[ci]
@@ -1870,15 +2113,23 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             rr = cr + g
             bb = cb + g
             outs = [rr, g, bb]
+    half = 1 << (depth - 1)
+    maxv = (1 << depth) - 1
     if irreversible:
-        px = [
-            np.clip(np.floor(o + 128.5), 0, 255).astype(np.uint8)
+        full = [
+            np.clip(np.floor(o + half + 0.5), 0, maxv).astype(
+                np.int64
+            )
             for o in outs
         ]
     else:
-        px = [
-            np.clip(o + 128, 0, 255).astype(np.uint8) for o in outs
+        full = [
+            np.clip(o + half, 0, maxv).astype(np.int64)
+            for o in outs
         ]
+    # >8-bit components downconvert >> (depth - 8) — the TIFF rule,
+    # stated; the engine's pixel contract is uint8
+    px = [(f >> (depth - 8)).astype(np.uint8) for f in full]
     pixels = px[0] if n_comp == 1 else np.stack(px, axis=2)
     return {
         "format": "jp2",
