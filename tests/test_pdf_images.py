@@ -181,10 +181,14 @@ def test_separation_and_lab_color_spaces():
     blob = pdf.encode_scan_pdf([("sep-gray-exp", edges)])
     (img,) = pdf.extract_pdf_images(blob)
     assert img["pixels"].tolist() == [[255, 0]]
-    # an unsupported tint-transform type stays a named error
+    # a type-4 flag on a STREAMLESS inline dict is loud (r14 late:
+    # type 4 itself now decodes through the calculator)
     blob = pdf.encode_scan_pdf([("sep-gray-exp", g)])
     bad = blob.replace(b"/FunctionType 2", b"/FunctionType 4")
-    with pytest.raises(NotImplementedError, match="FunctionType 4"):
+    with pytest.raises(ValueError, match="without a stream"):
+        pdf.extract_pdf_images(bad)
+    bad = blob.replace(b"/FunctionType 2", b"/FunctionType 7")
+    with pytest.raises(NotImplementedError, match="FunctionType 7"):
         pdf.extract_pdf_images(bad)
     # r14 review finding: a NON-default Lab /Decode is a remap this
     # branch does not model — named, never silently ignored; the
@@ -202,6 +206,79 @@ def test_separation_and_lab_color_spaces():
     )
     (img,) = pdf.extract_pdf_images(deco)
     assert (img["pixels"] == c["pixels"]).all()
+
+
+def test_stitching_calculator_and_devicen():
+    # r14 late: type 3 stitching, the type 4 PostScript calculator,
+    # and multi-colorant DeviceN — the remaining tint-transform
+    # forms print PDFs carry
+    rng = np.random.default_rng(46)
+    g = rng.integers(0, 256, (18, 26)).astype(np.uint8)
+    ink2 = rng.integers(0, 256, (14, 20, 2)).astype(np.uint8)
+    blob = pdf.encode_scan_pdf(
+        [("sep-stitch", g), ("sep-ps", g), ("devicen", ink2)]
+    )
+    a, b, c = pdf.extract_pdf_images(blob)
+    # two-segment stitch composing the exact identity
+    assert (a["pixels"] == g).all()
+    # calculator { 1 exch sub }: exact inversion
+    assert (b["pixels"] == 255 - g).all()
+    # DeviceN { add 2 div 1 exch sub } over two inks
+    va, vb = ink2[:, :, 0] / 255.0, ink2[:, :, 1] / 255.0
+    want = np.clip(
+        np.floor(np.clip(1 - (va + vb) / 2, 0, 1) * 255 + 0.5),
+        0, 255,
+    ).astype(np.uint8)
+    assert c["channels"] == 1 and (c["pixels"] == want).all()
+    # an unknown calculator operator is the named error (same
+    # length as 'sub' so the declared /Length still covers it)
+    bad = blob.replace(b"{ 1 exch sub }", b"{ 1 exch qux }")
+    with pytest.raises(NotImplementedError, match="qux"):
+        pdf.extract_pdf_images(bad)
+    # colorant-count / function-arity mismatch is loud
+    bad = blob.replace(
+        b"[/DeviceN [/InkA /InkB]", b"[/DeviceN [/InkA]   "
+    )
+    with pytest.raises(ValueError, match="arity"):
+        pdf.extract_pdf_images(bad)
+
+
+def test_ps_calculator_operator_matrix():
+    # the vectorized RPN interpreter: stack ops, comparisons, and
+    # an ARRAY-valued ifelse (both branches run, where-blended)
+    import numpy as np
+
+    from timeseries_data_provider_spark.operators.pdf import (
+        _ps_exec,
+        _ps_tokenize,
+    )
+
+    x = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
+    proc = _ps_tokenize(
+        b"{ dup 0.5 lt { 2 mul } { 1 sub neg 2 mul } ifelse }"
+    )
+    st = [x.copy()]
+    _ps_exec(proc, st)
+    assert np.allclose(st[-1], [0.0, 0.5, 1.0, 0.5, 0.0])
+    # roll / index / copy / arithmetic
+    proc = _ps_tokenize(b"{ 1 2 3 3 -1 roll add add sqrt }")
+    st = []
+    _ps_exec(proc, st)
+    assert np.isclose(st[-1], 6.0 ** 0.5)
+    proc = _ps_tokenize(b"{ 4 2 1 index idiv exch pop }")
+    st = []
+    _ps_exec(proc, st)
+    assert st == [4.0, 0.0] or np.isclose(st[-1], 0.0)
+    # degrees trig + atan quadrant rule
+    proc = _ps_tokenize(b"{ 90 sin 1 1 atan }")
+    st = []
+    _ps_exec(proc, st)
+    assert np.isclose(st[-2], 1.0) and np.isclose(st[-1], 45.0)
+    # stack underflow and unbalanced braces are loud
+    with pytest.raises(ValueError, match="underflow"):
+        _ps_exec(_ps_tokenize(b"{ add }"), [])
+    with pytest.raises(ValueError, match="braces"):
+        _ps_tokenize(b"{ 1 2 add ")
 
 
 def test_malformed_page_tree_nodes_are_named_errors():
