@@ -243,6 +243,66 @@ def test_stitching_calculator_and_devicen():
         pdf.extract_pdf_images(bad)
 
 
+def test_calculator_hostility_stays_named():
+    # r14 review findings: hostile programs must die inside the
+    # quarantine envelope's named-error net, never with raw
+    # ZeroDivisionError/OverflowError/TypeError
+    rng = np.random.default_rng(47)
+    g = rng.integers(0, 256, (6, 8)).astype(np.uint8)
+    blob = pdf.encode_scan_pdf([("sep-ps", g)])
+
+    def swap(prog):
+        assert len(prog) == len(b"{ 1 exch sub }")
+        return blob.replace(b"{ 1 exch sub }", prog)
+
+    for prog in (b"{ pop 1 0 div}", b"{ pop 9 nan  }",
+                 b"{ pop { } add}", b"{ pop 3 1 rol}"):
+        with pytest.raises((ValueError, NotImplementedError)):
+            pdf.extract_pdf_images(swap(prog))
+    # overflow-prone arithmetic saturates through errstate+clip
+    # rather than crashing (inf clips into Range)
+    out = pdf.extract_pdf_images(swap(b"{ pop 9 9 exp}"))
+    assert out[0]["pixels"].shape == g.shape
+
+
+def test_calculator_bitwise_and_jp2_depth_and_tile_kw_guards():
+    import numpy as np
+
+    from timeseries_data_provider_spark.operators import jpx
+    from timeseries_data_provider_spark.operators.pdf import (
+        _ps_exec,
+        _ps_tokenize,
+    )
+
+    # r14 review: and/or/xor are BITWISE on truncated ints (0/1
+    # boolean encoding coincides with logical); not is logical on
+    # 0/1 and one's-complement elsewhere
+    st = []
+    _ps_exec(_ps_tokenize(b"{ 6 1 and 6 1 or 6 1 xor 5 not }"), st)
+    assert st == [0.0, 7.0, 7.0, -6.0]
+    st = [np.array([0.0, 1.0])]
+    _ps_exec(_ps_tokenize(b"{ not }"), st)
+    assert st[-1].tolist() == [1.0, 0.0]
+    # r14 review: JP2 ihdr BPC carries the real depth
+    b12 = jpx.encode_jpx(
+        np.zeros((16, 16), np.uint16), depth=12, jp2=True
+    )
+    at = b12.index(b"ihdr")
+    assert b12[at + 14] == 11
+    # r14 review: per-tile overrides outside the COD/QCD-expressible
+    # set are loud (depth is SIZ-global — it silently corrupted)
+    with pytest.raises(ValueError, match="not expressible"):
+        jpx.encode_jpx(
+            np.zeros((64, 64), np.uint8), tile_size=(32, 32),
+            tile_kw={1: {"depth": 12}},
+        )
+    with pytest.raises(ValueError, match="not expressible"):
+        jpx.encode_jpx(
+            np.zeros((64, 64), np.uint8), tile_size=(32, 32),
+            tile_kw={0: {"irreversible": True}},
+        )
+
+
 def test_ps_calculator_operator_matrix():
     # the vectorized RPN interpreter: stack ops, comparisons, and
     # an ARRAY-valued ifelse (both branches run, where-blended)

@@ -1020,10 +1020,22 @@ def encode_jpx(
                 )
                 # per-tile parameter overrides (r14 — emitted as
                 # COD/QCD segments in that tile's first tile-part
-                # header when they differ from the main header's)
-                kw2.update(
-                    (tile_kw or {}).get(ty * tiles_x + tx, {})
-                )
+                # header when they differ from the main header's).
+                # Only COD/QCD-expressible keys are legal: depth and
+                # wavelet are SIZ/stitch-global (r14 review finding —
+                # a per-tile depth encoded without error and decoded
+                # to silently wrong pixels)
+                over = dict((tile_kw or {}).get(ty * tiles_x + tx, {}))
+                bad_keys = set(over) - {
+                    "levels", "cb_exp", "sop", "eph", "layers",
+                    "prog", "cb_style",
+                }
+                if bad_keys:
+                    raise ValueError(
+                        "encode_jpx: tile_kw keys not expressible "
+                        f"as per-tile COD/QCD: {sorted(bad_keys)}"
+                    )
+                kw2.update(over)
                 if kw2["levels"] and (
                     txs % (1 << kw2["levels"])
                     or tys % (1 << kw2["levels"])
@@ -1072,7 +1084,7 @@ def encode_jpx(
         out_cs += b"\xff\xd9"
         if not jp2:
             return out_cs
-        return _wrap_jp2(out_cs, w, h, n_comp)
+        return _wrap_jp2(out_cs, w, h, n_comp, depth)
 
     # DC level shift + component transform
     half = 1 << (depth - 1)
@@ -1512,12 +1524,16 @@ def encode_jpx(
     cs += b"\xff\xd9"
     if not jp2:
         return cs
-    return _wrap_jp2(cs, w, h, n_comp)
+    return _wrap_jp2(cs, w, h, n_comp, depth)
 
 
-def _wrap_jp2(cs: bytes, w: int, h: int, n_comp: int) -> bytes:
+def _wrap_jp2(
+    cs: bytes, w: int, h: int, n_comp: int, depth: int = 8
+) -> bytes:
     """Minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c."""
-    ihdr = struct.pack(">IIHBBBB", h, w, n_comp, 7, 7, 0, 0)
+    ihdr = struct.pack(
+        ">IIHBBBB", h, w, n_comp, depth - 1, 7, 0, 0
+    )
     colr = b"\x01\x00\x00" + struct.pack(
         ">I", 16 if n_comp == 3 else 17
     )

@@ -1689,11 +1689,14 @@ def _ps_tokenize(src: bytes) -> list:
                 out.append(build())
             elif t == b"}":
                 return out
+            elif re.fullmatch(
+                rb"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", t
+            ):
+                out.append(float(t))
             else:
-                try:
-                    out.append(float(t))
-                except ValueError:
-                    out.append(t.decode("latin-1"))
+                # strict numeric syntax: 'nan'/'inf' would otherwise
+                # slip past the unknown-operator error (r14 review)
+                out.append(t.decode("latin-1"))
         raise ValueError("pdf: unbalanced calculator braces")
 
     if not toks or toks[0] != b"{":
@@ -1827,28 +1830,58 @@ def _ps_exec(proc, stack, depth=0):
                 stack.append(np.ceil(a))
             elif op == "round":
                 stack.append(np.round(a))
-            else:  # not (logical on 0/1, bitwise-free subset)
-                stack.append(
-                    np.where(a != 0, 0.0, 1.0)
-                    if isinstance(a, np.ndarray)
-                    else (0.0 if a else 1.0)
-                )
-        elif op in ("eq", "ne", "gt", "ge", "lt", "le", "and",
-                    "or", "xor"):
+            else:  # not: logical on the 0/1 boolean encoding,
+                # one's-complement on other integers (the two
+                # PostScript operand types; a literal 0/1 integer
+                # is indistinguishable from a boolean here — stated)
+                if isinstance(a, np.ndarray):
+                    ai = np.trunc(a).astype(np.int64)
+                    stack.append(
+                        np.where(
+                            (a == 0) | (a == 1), 1.0 - a,
+                            (~ai).astype(np.float64),
+                        )
+                    )
+                else:
+                    stack.append(
+                        1.0 - a if a in (0.0, 1.0)
+                        else float(~int(a))
+                    )
+        elif op in ("eq", "ne", "gt", "ge", "lt", "le"):
             b = pop()
             a = pop()
             table = {
                 "eq": a == b, "ne": a != b, "gt": a > b,
                 "ge": a >= b, "lt": a < b, "le": a <= b,
-                "and": (a != 0) & (b != 0),
-                "or": (a != 0) | (b != 0),
-                "xor": (a != 0) ^ (b != 0),
             }
             v = table[op]
             stack.append(
                 v.astype(np.float64)
                 if isinstance(v, np.ndarray)
                 else float(bool(v))
+            )
+        elif op in ("and", "or", "xor"):
+            # BITWISE on truncated integers (§7.10.5.2 — for the
+            # 0/1 values comparisons produce here, bitwise and
+            # logical coincide, so both PostScript operand types
+            # behave correctly; r14 review)
+            b = pop()
+            a = pop()
+            ai = (
+                np.trunc(a).astype(np.int64)
+                if isinstance(a, np.ndarray) else int(a)
+            )
+            bi = (
+                np.trunc(b).astype(np.int64)
+                if isinstance(b, np.ndarray) else int(b)
+            )
+            v = (
+                ai & bi if op == "and"
+                else ai | bi if op == "or" else ai ^ bi
+            )
+            stack.append(
+                v.astype(np.float64)
+                if isinstance(v, np.ndarray) else float(v)
             )
         elif op == "dup":
             a = pop()
@@ -1944,7 +1977,18 @@ def _eval_function(objs, fn, x):
             raise ValueError("pdf: calculator function Range")
         n_out = len(rng) // 2
         stack = [np.asarray(v, np.float64) for v in xs]
-        _ps_exec(proc, stack)
+        try:
+            with np.errstate(all="ignore"):
+                _ps_exec(proc, stack)
+        except (ValueError, NotImplementedError):
+            raise
+        except (ZeroDivisionError, OverflowError, TypeError,
+                IndexError, FloatingPointError) as e:
+            # hostile programs must stay inside the quarantine
+            # envelope's named-error net (r14 review finding)
+            raise ValueError(
+                f"pdf: calculator execution failed ({e})"
+            )
         if len(stack) < n_out:
             raise ValueError(
                 "pdf: calculator returned too few values"
@@ -1981,29 +2025,40 @@ def _eval_function(objs, fn, x):
         edges = [0.0] + bounds + [1.0]
         out = None
         xv = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+        covered = np.zeros(xv.shape, bool)
         for k in range(len(funcs)):
             lo, hi = edges[k], edges[k + 1]
-            if hi <= lo:
-                continue
-            e0 = float(_resolve(objs, enc[2 * k]))
-            e1 = float(_resolve(objs, enc[2 * k + 1]))
-            sub_x = e0 + (xv - lo) * ((e1 - e0) / (hi - lo))
-            sub = _eval_function(objs, funcs[k], np.clip(
-                sub_x, 0.0, 1.0
-            ))
-            # membership: [lo, hi) except the last segment closes
+            # membership: [lo, hi) except the last segment closes;
+            # each sample evaluates through exactly ONE subfunction
+            # (masked-only — r14 review: evaluating every segment
+            # over the full raster did k-fold redundant work)
             mask = (xv >= lo) & (
                 (xv < hi) if k < len(funcs) - 1 else (xv <= hi)
             )
+            mask &= ~covered
+            if not mask.any():
+                continue
+            e0 = float(_resolve(objs, enc[2 * k]))
+            e1 = float(_resolve(objs, enc[2 * k + 1]))
+            span = (hi - lo) or 1.0
+            sub_x = e0 + (xv[mask] - lo) * ((e1 - e0) / span)
+            sub = _eval_function(objs, funcs[k], np.clip(
+                sub_x, 0.0, 1.0
+            ))
             if out is None:
-                out = np.zeros(sub.shape, np.float64)
-            if sub.shape != out.shape:
+                out = np.zeros(xv.shape + sub.shape[-1:], np.float64)
+            if sub.shape[-1] != out.shape[-1]:
                 raise ValueError(
                     "pdf: stitching subfunction arity mismatch"
                 )
-            out[mask] = sub[mask]
-        if out is None:
-            raise ValueError("pdf: empty stitching function")
+            out[mask] = sub
+            covered |= mask
+        if out is None or not covered.all():
+            # malformed Bounds can leave samples in no segment —
+            # loud, never a silent 0 (r14 review finding)
+            raise ValueError(
+                "pdf: stitching segments do not cover the domain"
+            )
         return out
     if ftype == 2:
         c0 = [float(_resolve(objs, v)) for v in
