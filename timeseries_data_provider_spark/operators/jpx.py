@@ -65,13 +65,20 @@ JPP/JPT streams. QCD style 1 (scalar derived, E-5) decodes as of
 r14.
 
 Validation posture, stated: no independent JPEG 2000 implementation
-exists in this container (the JDK has none), so — like the JBIG2-MQ
-tier — validation is encoder/decoder round-trip over the in-repo
-fixture writer plus hand-checked spec mechanics (tag-tree vectors,
-packet-header bit layouts, DWT round-trips at every size/level
-combination), with the MQ coder itself shared with the JBIG2 tier.
-The decoder is additionally exercised against hostile/truncated
-streams for the loud-error contract.
+exists in this container (the JDK has none). As of r14 the two
+layers that CAN be second-writer-checked are: the MQ coder is pinned
+BYTE-EXACT in both directions to the T.88 spec's own Annex H.2
+worked test sequence (tests/test_jbig2.py), and the Tier-2 layout +
+EBCOT context-decision order are pinned by HAND-ASSEMBLED
+codestreams laid out from T.800's own tables with hand-derived
+decision sequences (tests/test_jpx_handbuilt.py — the
+test_cfb_handbuilt posture). The remainder (DWT normalization at
+9/7, the wider Tier-1 state machine) stays encoder/decoder
+round-trip over the in-repo fixture writer plus hand-checked spec
+mechanics (tag-tree vectors, packet-header bit layouts, DWT
+round-trips at every size/level combination). The decoder is
+additionally exercised against hostile/truncated streams and
+mutation fuzz for the loud-error contract.
 
 Public-knowledge basis: ITU-T T.800 / ISO/IEC 15444-1 (public).
 Reference parity: index.js has no media surface; [EXT] SURVEY §2
