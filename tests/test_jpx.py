@@ -693,6 +693,73 @@ def test_vertically_causal_and_predictable_termination():
         jpx.decode_jpx(bytes(bad))
 
 
+def test_subsampled_chroma_components():
+    # r14 late: 4:2:0 / 4:2:2 / 4:4:0 chroma subsampling — the
+    # camera-pipeline JP2 form: per-component sample grids (B.2),
+    # box-mean downsample on encode, nearest upsample before the
+    # ICT on decode (stated approximation)
+    ys, xs = np.mgrid[0:48, 0:64]
+    rgb = np.stack(
+        [(xs * 2) % 256, (ys * 3) % 256, ((xs + ys) * 2) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in ((2, 2), (2, 1), (1, 2)):
+        blob = jpx.encode_jpx(
+            rgb, levels=2, irreversible=True, subsampling=sub,
+            planes=12,
+        )
+        # the SIZ really declares per-component grids
+        at = blob.index(b"\xff\x51")
+        assert blob[at + 2 + 42 : at + 2 + 44] == bytes(sub)
+        d = jpx.decode_jpx(blob)
+        err = np.abs(
+            d["pixels"].astype(int) - rgb.astype(int)
+        ).max()
+        assert d["pixels"].shape == rgb.shape
+        assert err <= 3, (sub, err)
+    # constant chroma: upsampling is exact, only quantization left
+    flat = np.zeros((20, 26, 3), np.uint8)
+    flat[:] = (120, 64, 200)
+    blob = jpx.encode_jpx(
+        flat, levels=1, irreversible=True, subsampling=(2, 2),
+        planes=13,
+    )
+    assert np.abs(
+        jpx.decode_jpx(blob)["pixels"].astype(int)
+        - flat.astype(int)
+    ).max() <= 1
+    # odd canvas dims: ceil grids on both sides
+    odd = rgb[:37, :53]
+    blob = jpx.encode_jpx(
+        odd, levels=2, irreversible=True, subsampling=(2, 2),
+        planes=12,
+    )
+    d = jpx.decode_jpx(blob)
+    assert d["pixels"].shape == odd.shape
+    assert np.abs(
+        d["pixels"].astype(int) - odd.astype(int)
+    ).max() <= 3
+    # named gates: encoder preconditions; subsampled luma; RCT over
+    # subsampled grids
+    with pytest.raises(ValueError, match="RGB . irreversible"):
+        jpx.encode_jpx(rgb, subsampling=(2, 2))
+    blob = jpx.encode_jpx(
+        rgb, levels=1, irreversible=True, subsampling=(2, 2)
+    )
+    at = blob.index(b"\xff\x51")
+    bad = bytearray(blob)
+    bad[at + 2 + 39] = 2
+    bad[at + 2 + 40] = 2
+    with pytest.raises(NotImplementedError, match="luma"):
+        jpx.decode_jpx(bytes(bad))
+    bad = bytearray(blob)
+    cod_at = blob.index(b"\xff\x52")
+    bad[cod_at + 8] = 1  # MCT flag with a 5/3 wavelet claim
+    bad[cod_at + 13] = 1
+    with pytest.raises((NotImplementedError, ValueError)):
+        jpx.decode_jpx(bytes(bad))
+
+
 def test_semantic_markers_poc_ppm_are_named_not_skipped():
     # r14 review finding: POC (progression change) and PPM (packed
     # packet headers) are SEMANTIC — silently length-skipping them

@@ -56,13 +56,16 @@ skipped per A.7 (r14 — a decoder may ignore them; Kakadu-class
 encoders emit TLM by default). Named NotImplementedError gaps
 (quarantine, never garbage — this list IS the raise-site ladder):
 tile dims not a multiple of 2^levels, COC/QCC/RGN/POC/PPM/PPT
-markers, precinct subdivision, subsampled or sub-8-bit or signed
-or mixed-depth components (8..16-bit unsigned decode as of r14,
->8-bit downconverting >>(depth-8), the TIFF rule), >3 or
-2-component images, image/tile grid offsets, per-tile wavelet/MCT
-overrides (other per-tile COD/QCD overrides decode as of r14),
-JPP/JPT streams. QCD style 1 (scalar derived, E-5) decodes as of
-r14.
+markers, precinct subdivision, sub-8-bit or signed or mixed-depth
+components (8..16-bit unsigned decode as of r14, >8-bit
+downconverting >>(depth-8), the TIFF rule), subsampled LUMA or
+subsampled-with-tiling or RCT-over-subsampled forms (CHROMA
+subsampling — 4:2:0/4:2:2, the camera JP2 form — decodes as of r14
+late with nearest upsampling before the ICT, a stated
+approximation), >3 or 2-component images, image/tile grid offsets,
+per-tile wavelet/MCT overrides (other per-tile COD/QCD overrides
+decode as of r14), JPP/JPT streams. QCD style 1 (scalar derived,
+E-5) decodes as of r14.
 
 Validation posture, stated: no independent JPEG 2000 implementation
 exists in this container (the JDK has none). As of r14 the two
@@ -940,6 +943,7 @@ def encode_jpx(
     cb_style: int = 0,
     qcd_style: int = 2,
     depth: int = 8,
+    subsampling: tuple[int, int] | None = None,
     _fixed_guard: int | None = None,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
@@ -959,6 +963,23 @@ def encode_jpx(
         raise ValueError("encode_jpx: codeblock exponents 2..6")
     if not 8 <= depth <= 16:
         raise ValueError("encode_jpx: depth 8..16")
+    if subsampling is not None:
+        # chroma subsampling (r14 late — the 4:2:0/4:2:2 camera JP2
+        # form): RGB through the ICT, then box-mean chroma
+        # downsampling onto the (sx, sy) grid
+        sx, sy = subsampling
+        if n_comp != 3 or not irreversible or mct is False:
+            raise ValueError(
+                "encode_jpx: subsampling needs RGB + irreversible "
+                "+ MCT"
+            )
+        if tile_size is not None or tile_parts != 1:
+            raise ValueError(
+                "encode_jpx: subsampling composes with the "
+                "single-tile form only"
+            )
+        if not (1 <= sx <= 4 and 1 <= sy <= 4) or (sx, sy) == (1, 1):
+            raise ValueError(f"encode_jpx: subsampling {sx}x{sy}")
     if int(px.max(initial=0)) >= (1 << depth):
         raise ValueError(
             f"encode_jpx: samples exceed {depth}-bit range"
@@ -1117,6 +1138,19 @@ def encode_jpx(
             comps = [r, g, b]
     if irreversible:
         comps = [c.astype(np.float64) for c in comps]
+    if subsampling is not None:
+        sx, sy = subsampling
+
+        def _box_down(a):
+            h0, w0 = a.shape
+            ph, pw = (-h0) % sy, (-w0) % sx
+            if ph or pw:
+                a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+            return a.reshape(
+                a.shape[0] // sy, sy, a.shape[1] // sx, sx
+            ).mean(axis=(1, 3))
+
+        comps = [comps[0], _box_down(comps[1]), _box_down(comps[2])]
 
     # wavelet decomposition per component
     ll0, band_list = _band_sizes(w, h, levels)
@@ -1453,7 +1487,13 @@ def encode_jpx(
         0,
         n_comp,
     ) + b"".join(
-        struct.pack(">BBB", depth - 1, 1, 1) for _ in range(n_comp)
+        struct.pack(
+            ">BBB",
+            depth - 1,
+            1 if (subsampling is None or ci == 0) else subsampling[0],
+            1 if (subsampling is None or ci == 0) else subsampling[1],
+        )
+        for ci in range(n_comp)
     )
     scod = (2 if sop else 0) | (4 if eph else 0)
     cod = struct.pack(
@@ -1840,12 +1880,16 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     if len(siz) < 38 + 3 * n_comp:
         raise ValueError("jpx: SIZ shorter than its component list")
     depths = set()
+    subs = []
     for ci in range(n_comp):
         ssiz, xr, yr = struct.unpack_from(">BBB", siz, 38 + 3 * ci)
         if ssiz & 0x80:
             raise NotImplementedError("jpx: signed components")
-        if xr != 1 or yr != 1:
-            raise NotImplementedError("jpx: subsampled components")
+        if not (1 <= xr <= 4 and 1 <= yr <= 4):
+            raise NotImplementedError(
+                f"jpx: component subsampling {xr}x{yr}"
+            )
+        subs.append((xr, yr))
         depths.add((ssiz & 0x7F) + 1)
     if len(depths) != 1:
         raise NotImplementedError(
@@ -1856,11 +1900,28 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         # 10/12/16-bit unsigned decode as of r14 (archival/medical
         # gray scans); sub-8-bit stays named
         raise NotImplementedError(f"jpx: {depth}-bit components")
+    subsampled = any(s != (1, 1) for s in subs)
+    if subsampled and subs[0] != (1, 1):
+        # chroma subsampling is the real-world form (4:2:0/4:2:2
+        # camera-pipeline JP2s, r14 late); a subsampled FIRST
+        # component stays named
+        raise NotImplementedError("jpx: subsampled luma component")
+    if subsampled and (tiles_x > 1 or tiles_y > 1):
+        raise NotImplementedError(
+            "jpx: subsampled components with tiling"
+        )
+    # per-component sample grid (B.2: ceil(size / R))
+    comp_w = [-(-w // s[0]) for s in subs]
+    comp_h = [-(-h // s[1]) for s in subs]
 
     main_cod = _parse_cod(cod)
     levels = main_cod["levels"]
     mct_f = main_cod["mct"]
     irreversible = main_cod["irreversible"]
+    if subsampled and mct_f and not irreversible:
+        raise NotImplementedError(
+            "jpx: reversible RCT over subsampled components"
+        )
 
     main_q = _parse_qcd(qcd, levels, irreversible, depth)
 
@@ -1880,11 +1941,15 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         irreversible = P["irreversible"]
         deltas, mb_of = Q
         rd_at, end_at = 0, len(buf)
-        ll0, band_list = _band_sizes(tw, th, levels)
 
-        # parse packets (bounded by this tile-part's Psot extent)
+        # parse packets (bounded by this tile-part's Psot extent);
+        # band geometry is PER COMPONENT (r14 late — subsampled
+        # chroma components have their own sample grids, B.2)
         per_comp_bands = [dict() for _ in range(n_comp)]
         for ci in range(n_comp):
+            ctw = -(-tw // subs[ci][0])
+            cth = -(-th // subs[ci][1])
+            ll0, band_list = _band_sizes(ctw, cth, levels)
             per_comp_bands[ci][(0, "LL")] = np.zeros(
                 (ll0[1], ll0[0]), np.int64
             )
@@ -2056,10 +2121,14 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             outs.append(cur)
         return outs
 
-    # decode every tile and stitch (r13 late)
+    # decode every tile and stitch (r13 late); planes live on each
+    # component's own sample grid (r14 late)
     out_planes = [
-        np.zeros((h, w), np.float64 if irreversible else np.int64)
-        for _ in range(n_comp)
+        np.zeros(
+            (comp_h[ci], comp_w[ci]),
+            np.float64 if irreversible else np.int64,
+        )
+        for ci in range(n_comp)
     ]
     for ty in range(tiles_y):
         for tx in range(tiles_x):
@@ -2119,10 +2188,25 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             )
             t_outs = _decode_tile(buf, tw, th, P, Q)
             for ci in range(n_comp):
-                out_planes[ci][y0 : y0 + th, x0 : x0 + tw] = (
+                cy0 = y0 // subs[ci][1]
+                cx0 = x0 // subs[ci][0]
+                oh, ow = t_outs[ci].shape
+                out_planes[ci][cy0 : cy0 + oh, cx0 : cx0 + ow] = (
                     t_outs[ci]
                 )
     outs = out_planes
+    if subsampled:
+        # nearest-neighbor upsample to the canvas grid before the
+        # component transform — a stated approximation (a color-
+        # managed pipeline would interpolate); ICT then applies on
+        # full-resolution planes like real 4:2:0 decoders
+        outs = [
+            np.repeat(
+                np.repeat(o, subs[ci][1], axis=0),
+                subs[ci][0], axis=1,
+            )[:h, :w]
+            for ci, o in enumerate(outs)
+        ]
     if n_comp == 3 and mct_f:
         if irreversible:
             y, cb, cr = (o.astype(np.float64) for o in outs)
