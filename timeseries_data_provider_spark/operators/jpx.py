@@ -1885,7 +1885,12 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         ssiz, xr, yr = struct.unpack_from(">BBB", siz, 38 + 3 * ci)
         if ssiz & 0x80:
             raise NotImplementedError("jpx: signed components")
-        if not (1 <= xr <= 4 and 1 <= yr <= 4):
+        if xr == 0 or yr == 0:
+            # Table A.11: XRsiz/YRsiz are 1..255 — zero is a
+            # MALFORMED header, not an unsupported feature (r14
+            # review finding)
+            raise ValueError("jpx: zero component subsampling")
+        if not (xr <= 4 and yr <= 4):
             raise NotImplementedError(
                 f"jpx: component subsampling {xr}x{yr}"
             )
