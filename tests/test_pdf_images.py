@@ -578,3 +578,86 @@ def test_decode_array_hostile():
     )
     with pytest.raises(NotImplementedError, match="Indexed /Decode"):
         pdf.extract_pdf_images(idx)
+
+
+def test_sampled_function_encode_decode_order_size1():
+    # r15 (VERDICT finding #1 + ADVICE): the Type 0 sampled tint
+    # transform honors /Encode and /Decode, names /Order 3, and
+    # accepts the legal /Size [1] constant table
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    blob = pdf.encode_scan_pdf([("sep-sampled", g)])
+    table = np.array(
+        [int(round((j / 255.0) ** 2 * 255)) for j in range(256)],
+        np.uint8,
+    )
+    # non-default /Encode [255 0]: reversed index walk — 8-bit
+    # inputs land exactly on the flipped samples
+    enc = blob.replace(
+        b"/Size [256]", b"/Size [256] /Encode [255 0]"
+    )
+    (img,) = pdf.extract_pdf_images(enc)
+    assert (img["pixels"] == table[255 - g]).all()
+    # non-default /Decode [0 0.5]: output remap BEFORE the Range
+    # clip — half-intensity, floor(x*255 + .5) device rounding
+    dec = blob.replace(
+        b"/Size [256]", b"/Size [256] /Decode [0 0.5]"
+    )
+    (img,) = pdf.extract_pdf_images(dec)
+    want = np.floor(table.astype(np.float64) * 0.5 + 0.5).astype(
+        np.uint8
+    )
+    assert (img["pixels"] == want[g]).all()
+    # /Order 3 cubic-spline interpolation is the named gap
+    o3 = blob.replace(b"/Size [256]", b"/Size [256] /Order 3")
+    with pytest.raises(NotImplementedError, match="Order 3"):
+        pdf.extract_pdf_images(o3)
+    # /Size [1] is a legal constant table (ADVICE r14) — every
+    # input maps to sample 0
+    s1 = blob.replace(b"/Size [256]", b"/Size [1]")
+    (img,) = pdf.extract_pdf_images(s1)
+    assert (img["pixels"] == table[0]).all()
+    # malformed /Encode arity stays a named ValueError
+    bad = blob.replace(
+        b"/Size [256]", b"/Size [256] /Encode [0 1 2]"
+    )
+    with pytest.raises(ValueError, match="Encode shape"):
+        pdf.extract_pdf_images(bad)
+
+
+def test_calculator_bitshift_scalar_array_parity():
+    # ADVICE r14: arithmetic right shift must agree between the
+    # scalar and array paths for negative operands (floor, not
+    # trunc-toward-zero)
+    import numpy as np
+
+    from timeseries_data_provider_spark.operators.pdf import (
+        _ps_exec,
+        _ps_tokenize,
+    )
+
+    st = []
+    _ps_exec(_ps_tokenize(b"{ -3 -1 bitshift }"), st)
+    assert st == [-2.0]
+    st = [np.array([-3.0, 3.0, -8.0, 7.0])]
+    _ps_exec(_ps_tokenize(b"{ -1 bitshift }"), st)
+    assert st[-1].tolist() == [-2.0, 1.0, -4.0, 3.0]
+    # left shift parity on the same operands
+    st = [np.array([-3.0, 3.0])]
+    _ps_exec(_ps_tokenize(b"{ 2 bitshift }"), st)
+    assert st[-1].tolist() == [-12.0, 12.0]
+
+
+def test_jpx_undefined_mct_byte_is_loud():
+    # ADVICE r14: SGcod multiple-component-transform bytes other
+    # than 0/1 are undefined (T.800 A.6.1) — named, never silently
+    # truthy
+    import numpy as np
+
+    from timeseries_data_provider_spark.operators import jpx
+
+    blob = jpx.encode_jpx(np.zeros((16, 16, 3), np.uint8))
+    at = blob.index(b"\xff\x52")
+    assert blob[at + 8] in (0, 1)
+    bad = blob[: at + 8] + b"\x02" + blob[at + 9 :]
+    with pytest.raises(ValueError, match="MCT"):
+        jpx.decode_jpx(bad)

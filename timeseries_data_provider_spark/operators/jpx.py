@@ -1638,6 +1638,8 @@ def _parse_cod(cod: bytes) -> dict:
     )
     if prog > 4:
         raise ValueError(f"jpx: progression order {prog}")
+    if mct not in (0, 1):
+        raise ValueError(f"jpx: undefined MCT value {mct}")
     if not 1 <= layers <= 64:
         raise ValueError(f"jpx: implausible layer count {layers}")
     if cb_style & ~0x3F:

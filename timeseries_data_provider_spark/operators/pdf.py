@@ -1792,7 +1792,7 @@ def _ps_exec(proc, stack, depth=0):
                     np.where(
                         bv >= 0,
                         av * np.power(2.0, np.abs(bv)),
-                        np.trunc(av / np.power(2.0, np.abs(bv))),
+                        np.floor(av / np.power(2.0, np.abs(bv))),
                     )
                     if isinstance(av, np.ndarray)
                     or isinstance(bv, np.ndarray)
@@ -2079,6 +2079,13 @@ def _eval_function(objs, fn, x):
         size = _resolve(objs, fd.get("Size"))
         bps = int(_resolve(objs, fd.get("BitsPerSample", 0)) or 0)
         rng = _resolve(objs, fd.get("Range"))
+        order = int(_resolve(objs, fd.get("Order", 1)) or 1)
+        if order == 3:
+            raise NotImplementedError(
+                "pdf: sampled function cubic-spline /Order 3"
+            )
+        if order != 1:
+            raise ValueError(f"pdf: sampled function Order {order}")
         if not isinstance(size, list) or len(size) != 1:
             raise NotImplementedError(
                 "pdf: multi-input sampled tint transform"
@@ -2095,19 +2102,52 @@ def _eval_function(objs, fn, x):
             samples[: m * n_out * (bps // 8)],
             np.dtype(">u2") if bps == 16 else np.uint8,
         ).astype(np.float64)
-        if arr.size < m * n_out or m < 2:
+        if arr.size < m * n_out or m < 1:
             raise ValueError("pdf: sampled function data short")
         arr = arr.reshape(m, n_out) / ((1 << bps) - 1)
-        pos = np.clip(x, 0.0, 1.0) * (m - 1)
-        i0 = np.floor(pos).astype(np.int64)
-        i1 = np.minimum(i0 + 1, m - 1)
-        frac = (pos - i0)[..., None]
-        interp = arr[i0] * (1.0 - frac) + arr[i1] * frac
-        out = np.empty_like(interp)
+        # /Encode input remap (ISO 32000 §7.10.2; default
+        # [0, Size-1]), clipped back into the sample index range
+        enc = _resolve(objs, fd.get("Encode"))
+        if enc is None:
+            e0, e1 = 0.0, float(m - 1)
+        elif isinstance(enc, list) and len(enc) == 2:
+            e0 = float(_resolve(objs, enc[0]))
+            e1 = float(_resolve(objs, enc[1]))
+        else:
+            raise ValueError("pdf: sampled function Encode shape")
+        pos = np.clip(
+            e0 + np.clip(x, 0.0, 1.0) * (e1 - e0),
+            0.0, float(max(m - 1, 0)),
+        )
+        if m == 1:
+            # /Size [1]: a legal constant table — no interpolation
+            interp = np.broadcast_to(
+                arr[0], np.shape(pos) + (n_out,)
+            ).astype(np.float64)
+        else:
+            i0 = np.floor(pos).astype(np.int64)
+            i1 = np.minimum(i0 + 1, m - 1)
+            frac = (pos - i0)[..., None]
+            interp = arr[i0] * (1.0 - frac) + arr[i1] * frac
+        # /Decode output remap (default = Range), clipped to Range
+        dec = _resolve(objs, fd.get("Decode"))
+        if dec is not None and (
+            not isinstance(dec, list) or len(dec) != 2 * n_out
+        ):
+            raise ValueError("pdf: sampled function Decode shape")
+        out = np.empty(np.shape(pos) + (n_out,), np.float64)
         for j in range(n_out):
             lo = float(_resolve(objs, rng[2 * j]))
             hi = float(_resolve(objs, rng[2 * j + 1]))
-            out[..., j] = lo + interp[..., j] * (hi - lo)
+            if dec is None:
+                d0, d1 = lo, hi
+            else:
+                d0 = float(_resolve(objs, dec[2 * j]))
+                d1 = float(_resolve(objs, dec[2 * j + 1]))
+            out[..., j] = np.clip(
+                d0 + interp[..., j] * (d1 - d0),
+                min(lo, hi), max(lo, hi),
+            )
         return out
     raise NotImplementedError(f"pdf: FunctionType {ftype}")
 
