@@ -1135,18 +1135,132 @@ def _latin1_decoder(bs: bytes) -> str:
     return bs.decode("latin-1")
 
 
-def _type0_fontfile_decoder(objs: dict, fd: dict):
-    """Identity-H/V Type0 with NO usable /ToUnicode (the r11 named
-    gap): codes are glyph ids into the embedded font program, so the
-    embedded TrueType's own ``cmap`` table (FontFile2, inverted by
-    operators/sfnt) recovers the text — the pdftotext/MuPDF fallback
-    — with CIDs first mapped through a /CIDToGIDMap STREAM when the
-    font is subset-renumbered (r12 late). Returns a decoder or None
-    when the chain is absent (CFF/FontFile3 stays the named
-    fallback: no text, never garbage)."""
-    enc = str(_resolve(objs, fd.get("Encoding")) or "")
-    if enc not in ("Identity-H", "Identity-V"):
+def _predefined_cmap_decoder(name: str):
+    """Predefined /Encoding CMap names whose CODE SPACE is itself a
+    published character encoding (r15, VERDICT r14 item 1b): for
+    these, text recovery needs no font at all — the string bytes ARE
+    the named charset. ISO 32000-1 Table 118 defines each name's
+    code space: the Uni*-UCS2/UTF16 families are coded directly in
+    Unicode (UCS-2 / UTF-16BE), and the RKSJ/GBK/UHC/B5/EUC families
+    are coded in the Microsoft code pages / EUC encodings the table
+    names, for which Python's codecs are the authoritative public
+    implementations. Vendor-platform variants (83pv/90pv/GBpc/B5pc/
+    KSCpc/Add/Ext/CNS-EUC) differ in corner regions without a
+    bundled stdlib codec and stay the named no-text gap."""
+    if name in ("H", "V"):
+        # JIS X 0208 coded in the ISO-2022 2-byte region (0x2121-
+        # 0x7E7E): wrap in the JIS escape and let the stdlib
+        # iso2022_jp codec decode it
+        return lambda bs: (
+            b"\x1b$B" + bs + b"\x1b(B"
+        ).decode("iso2022_jp", "ignore")
+    codec = _PREDEFINED_CMAP_CODECS.get(name)
+    if codec is None:
         return None
+    return lambda bs, c=codec: bs.decode(c, "ignore")
+
+
+UTF16 = "utf-16-be"
+_PREDEFINED_CMAP_CODECS = {
+        # Unicode-coded (the code IS the UTF-16BE value)
+        "UniJIS-UCS2-H": UTF16, "UniJIS-UCS2-V": UTF16,
+        "UniJIS-UCS2-HW-H": UTF16, "UniJIS-UCS2-HW-V": UTF16,
+        "UniJIS-UTF16-H": UTF16, "UniJIS-UTF16-V": UTF16,
+        "UniGB-UCS2-H": UTF16, "UniGB-UCS2-V": UTF16,
+        "UniGB-UTF16-H": UTF16, "UniGB-UTF16-V": UTF16,
+        "UniCNS-UCS2-H": UTF16, "UniCNS-UCS2-V": UTF16,
+        "UniCNS-UTF16-H": UTF16, "UniCNS-UTF16-V": UTF16,
+        "UniKS-UCS2-H": UTF16, "UniKS-UCS2-V": UTF16,
+        "UniKS-UTF16-H": UTF16, "UniKS-UTF16-V": UTF16,
+        # Microsoft code-page code spaces (Table 118 names the page)
+        "90ms-RKSJ-H": "cp932", "90ms-RKSJ-V": "cp932",
+        "90msp-RKSJ-H": "cp932", "90msp-RKSJ-V": "cp932",
+        "GBK-EUC-H": "gbk", "GBK-EUC-V": "gbk",
+        "GBKp-EUC-H": "gbk", "GBKp-EUC-V": "gbk",
+        "GBK2K-H": "gb18030", "GBK2K-V": "gb18030",
+        "KSCms-UHC-H": "cp949", "KSCms-UHC-V": "cp949",
+        "KSCms-UHC-HW-H": "cp949", "KSCms-UHC-HW-V": "cp949",
+        "ETen-B5-H": "cp950", "ETen-B5-V": "cp950",
+        "ETenms-B5-H": "cp950", "ETenms-B5-V": "cp950",
+        "HKscs-B5-H": "big5hkscs", "HKscs-B5-V": "big5hkscs",
+        # EUC code spaces
+        "EUC-H": "euc_jp", "EUC-V": "euc_jp",
+        "GB-EUC-H": "gb2312", "GB-EUC-V": "gb2312",
+        "KSC-EUC-H": "euc_kr", "KSC-EUC-V": "euc_kr",
+}
+del UTF16
+
+
+def _parse_cid_cmap(data: bytes):
+    """Embedded /Encoding CMap stream (§9.7.5.3, r15 — VERDICT r14
+    item 1a): code bytes -> integer CID through codespacerange /
+    cidrange / cidchar, the same tokenizer discipline as
+    _parse_tounicode. Streams composing another CMap via ``usecmap``
+    are not modeled: None -> no text, never garbage."""
+    if re.search(rb"usecmap\b", data):
+        return None
+    toks = re.findall(
+        rb"<[0-9A-Fa-f\s]*>|\[|\]|[A-Za-z]+|[-+]?\d+", data
+    )
+
+    def hexb(t: bytes) -> bytes:
+        h = re.sub(rb"\s", b"", t[1:-1])
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode("ascii"))
+
+    cmap: dict[bytes, int] = {}
+    lengths: set[int] = set()
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t == b"begincodespacerange":
+            i += 1
+            while i + 1 < n and toks[i].startswith(b"<"):
+                lengths.add(len(hexb(toks[i])))
+                i += 2
+        elif t == b"begincidchar":
+            i += 1
+            while i + 1 < n and toks[i].startswith(b"<"):
+                if re.fullmatch(rb"[-+]?\d+", toks[i + 1]):
+                    cmap[hexb(toks[i])] = int(toks[i + 1])
+                i += 2
+        elif t == b"begincidrange":
+            i += 1
+            while i + 2 < n and toks[i].startswith(b"<"):
+                lo = hexb(toks[i])
+                hi = hexb(toks[i + 1])
+                dst = toks[i + 2]
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                span = hi_i - lo_i
+                if (
+                    0 <= span <= 0xFFFF
+                    and re.fullmatch(rb"[-+]?\d+", dst)
+                ):
+                    base = int(dst)
+                    for k in range(span + 1):
+                        cmap[
+                            (lo_i + k).to_bytes(len(lo), "big")
+                        ] = base + k
+                i += 3
+        else:
+            i += 1
+    if not lengths:
+        lengths = {len(k) for k in cmap} or {2}
+    return cmap, sorted(lengths)
+
+
+def _cid_text_fn(objs: dict, fd: dict):
+    """CID -> text lookup built from the descendant font's embedded
+    program (r15 — factored out of the formerly Identity-H-only
+    decoders so an embedded-CMap /Encoding composes with every
+    fontfile ladder): FontFile2 goes through the TrueType's own
+    ``cmap`` inversion (operators/sfnt) with CIDs first mapped
+    through a /CIDToGIDMap STREAM when subset-renumbered (r12);
+    FontFile3 dispatches to the CFF ladders. Returns a callable
+    cid -> str ('' for no glyph/no Unicode) or None when no chain is
+    usable (no text, never garbage)."""
     desc = _resolve(objs, fd.get("DescendantFonts"))
     if not (isinstance(desc, list) and desc):
         return None
@@ -1172,7 +1286,7 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
         return None
     ff = fdesc.get("FontFile2")
     if not isinstance(ff, _Ref):
-        return _type0_cff_decoder(objs, fdesc)
+        return _cff_cid_text_fn(objs, fdesc)
     tgt = objs.get(ff.num)
     if not tgt or tgt[1] is None:
         return None
@@ -1185,24 +1299,19 @@ def _type0_fontfile_decoder(objs: dict, fd: dict):
     except (ValueError, NotImplementedError):
         return None  # damaged font: no text, extraction survives
 
-    def dec(bs: bytes, t=table, gm=gid_map) -> str:
-        out = []
-        for i in range(0, len(bs) - 1, 2):
-            cid = (bs[i] << 8) | bs[i + 1]
-            if gm is not None:
-                if 2 * cid + 1 >= len(gm):
-                    continue  # CID past the map: no glyph, no text
-                cid = (gm[2 * cid] << 8) | gm[2 * cid + 1]
-            out.append(t.get(cid, ""))
-        return "".join(out)
+    def cid_text(cid: int, t=table, gm=gid_map) -> str:
+        if gm is not None:
+            if 2 * cid + 1 >= len(gm):
+                return ""  # CID past the map: no glyph, no text
+            cid = (gm[2 * cid] << 8) | gm[2 * cid + 1]
+        return t.get(cid, "")
 
-    return dec
+    return cid_text
 
 
-def _type0_cff_decoder(objs: dict, fdesc: dict):
-    """Identity-H Type0 whose program is FontFile3 (r13, VERDICT r12
-    item 4 — those pages silently yielded no text). Two recoverable
-    forms, per operators/cff:
+def _cff_cid_text_fn(objs: dict, fdesc: dict):
+    """CID -> text for FontFile3 programs (r13, CID-level r15). Two
+    recoverable forms, per operators/cff:
 
     - /Subtype /OpenType (the stream is a full OTTO sfnt): Unicode
       comes from the sfnt ``cmap`` inversion, and when the embedded
@@ -1240,26 +1349,79 @@ def _type0_cff_decoder(objs: dict, fdesc: dict):
         except (ValueError, NotImplementedError):
             return None
 
-        def dec(bs: bytes, uni=uni, c2g=c2g) -> str:
-            out = []
-            for i in range(0, len(bs) - 1, 2):
-                cid = (bs[i] << 8) | bs[i + 1]
-                gid = c2g.get(cid)
-                if gid is not None:
-                    out.append(uni.get(gid, ""))
-            return "".join(out)
+        def cid_text(cid: int, uni=uni, c2g=c2g) -> str:
+            gid = c2g.get(cid)
+            return uni.get(gid, "") if gid is not None else ""
 
-        return dec
+        return cid_text
     try:
         table = _cff.cid_to_unicode_table(prog)
     except (ValueError, NotImplementedError):
         return None
     if table is None:
         return None  # untranscribed ROS ordering: the named gap
+    return lambda cid, t=table: t.get(cid, "")
 
-    def dec(bs: bytes, t=table) -> str:
+
+def _type0_decoder(objs: dict, fd: dict):
+    """Type0 with NO usable /ToUnicode (r11 gap, widened r12/r13/r14,
+    /Encoding gate opened r15 — VERDICT r14 item 1). Three code
+    stages compose with the CID -> text ladders of _cid_text_fn:
+
+    - Identity-H/V: each 2-byte big-endian code IS the CID;
+    - an EMBEDDED CMap stream /Encoding (§9.7.5.3): codes walk the
+      stream's codespace ranges greedily (prefix-free per §9.7.6.2)
+      into CIDs through its cidrange/cidchar entries;
+    - predefined CMap names whose code space is a published charset
+      (_predefined_cmap_decoder): the bytes decode directly — no
+      font needed.
+
+    Anything else (untranscribed predefined registries, usecmap
+    composition, damaged chains) returns None: no text, never
+    garbage."""
+    enc_raw = fd.get("Encoding")
+    if isinstance(enc_raw, _Ref) and enc_raw.num in objs and (
+        objs[enc_raw.num][1] is not None
+    ):
+        tgt = objs[enc_raw.num]
+        try:
+            data = _decode_stream(objs, tgt[0], tgt[1])
+        except (ValueError, NotImplementedError):
+            return None
+        parsed = _parse_cid_cmap(data)
+        if parsed is None or not parsed[0]:
+            return None
+        cidmap, lengths = parsed
+        cid_text = _cid_text_fn(objs, fd)
+        if cid_text is None:
+            return None
+
+        def dec(bs: bytes, cm=cidmap, ls=lengths, ct=cid_text) -> str:
+            out: list[str] = []
+            p, n = 0, len(bs)
+            step = ls[0]
+            while p < n:
+                for ln in ls:
+                    cid = cm.get(bs[p : p + ln])
+                    if cid is not None:
+                        out.append(ct(cid))
+                        p += ln
+                        break
+                else:
+                    p += step
+            return "".join(out)
+
+        return dec
+    enc = str(_resolve(objs, enc_raw) or "")
+    if enc not in ("Identity-H", "Identity-V"):
+        return _predefined_cmap_decoder(enc)
+    cid_text = _cid_text_fn(objs, fd)
+    if cid_text is None:
+        return None
+
+    def dec(bs: bytes, ct=cid_text) -> str:
         return "".join(
-            t.get((bs[i] << 8) | bs[i + 1], "")
+            ct((bs[i] << 8) | bs[i + 1])
             for i in range(0, len(bs) - 1, 2)
         )
 
@@ -1303,7 +1465,7 @@ def _font_decoders(objs: dict, resources) -> dict[str, object]:
                 # TrueType's cmap when present (r12); otherwise the
                 # codes are unrecoverable glyph indices and Latin-1
                 # would emit garbage — emit nothing
-                dec = _type0_fontfile_decoder(objs, fd)
+                dec = _type0_decoder(objs, fd)
                 out[str(name)] = dec if dec is not None else (
                     lambda bs: ""
                 )
@@ -3157,6 +3319,7 @@ def encode_pdf(
     cid_tounicode: bool = True,
     cid_gidmap_stream: bool = False,
     cid_fontfile3: str | None = None,
+    cid_encoding: str | None = None,
     xmp: str | None = None,
 ) -> bytes:
     """Minimal valid PDF writer (fixture): each page is a list of
@@ -3205,6 +3368,40 @@ def encode_pdf(
                 cid_codes[ch] = aj1_inv[ch]
             else:
                 cid_codes[ch] = len(cid_codes) + 1
+    # r15 (VERDICT item 1): the CODE a char is written with in the
+    # content stream is mode-dependent — Identity fixtures write the
+    # CID itself; the embedded-CMap fixture scrambles codes (first
+    # half a contiguous run for ONE real cidrange, second half
+    # stride-3 cidchar singles, so an Identity misreading cannot
+    # round-trip); predefined Uni*-UCS2 fixtures write the UTF-16BE
+    # value itself (the code space IS Unicode)
+    emb_cut = (len(cid_codes) + 1) // 2
+
+    def _code_of(ch: str) -> int:
+        k = cid_codes[ch] - 1
+        if cid_encoding == "embedded":
+            code = (
+                0x2800 + k
+                if k < emb_cut
+                else 0x9000 + 3 * (k - emb_cut)
+            )
+            if code > 0xFFFF or (k < emb_cut and code >= 0x9000):
+                raise ValueError(
+                    "encode_pdf: embedded-CMap fixture code overflow"
+                )
+            return code
+        return cid_codes[ch]
+
+    def _line_hex(line: str) -> str:
+        if cid_encoding is not None and cid_encoding != "embedded":
+            codec = _PREDEFINED_CMAP_CODECS.get(cid_encoding)
+            if codec is None:
+                raise ValueError(
+                    f"encode_pdf: no fixture codec for "
+                    f"{cid_encoding!r}"
+                )
+            return line.encode(codec).hex()
+        return "".join(f"{_code_of(c):04x}" for c in line)
     enc = None
     if encrypt is not None:
         # standard-security fixture: owner password "owner", EMPTY
@@ -3223,7 +3420,7 @@ def encode_pdf(
         parts = []
         for line in lines:
             if cid:
-                hexs = "".join(f"{cid_codes[c]:04x}" for c in line)
+                hexs = _line_hex(line)
                 parts.append(f"BT /F1 12 Tf 72 720 Td <{hexs}> Tj ET")
             else:
                 parts.append(
@@ -3322,6 +3519,24 @@ def encode_pdf(
             + font_blob
             + b"\nendstream"
         )
+    elif cid and not cid_tounicode and cid_encoding not in (
+        None, "embedded"
+    ):
+        # r15 (VERDICT item 1b): a predefined-CMap /Encoding NAME
+        # whose code space is a published charset (UniJIS-UCS2-H
+        # etc.) — no ToUnicode, no font program; text recovers from
+        # the code bytes alone through _predefined_cmap_decoder
+        assert len(objs) + 1 == font_num
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            f"/Encoding /{cid_encoding} "
+            f"/DescendantFonts [{font_num + 1} 0 R] >>".encode()
+        )
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont "
+            b"/Fixture /CIDSystemInfo << /Registry (Adobe) "
+            b"/Ordering (Japan1) /Supplement 6 >> >>"
+        )
     elif cid and not cid_tounicode:
         # the no-ToUnicode shape (r12): text is recoverable ONLY
         # through the embedded TrueType's cmap table — Identity-H
@@ -3346,9 +3561,18 @@ def encode_pdf(
             if cid_gidmap_stream
             else "/Identity"
         )
+        if cid_encoding == "embedded" and cid_gidmap_stream:
+            raise ValueError(
+                "encode_pdf: embedded CMap + gidmap stream not wired"
+            )
+        enc_entry = (
+            f"{font_num + 4} 0 R"
+            if cid_encoding == "embedded"
+            else "/Identity-H"
+        )
         objs.append(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
-            f"/Encoding /Identity-H "
+            f"/Encoding {enc_entry} "
             f"/DescendantFonts [{font_num + 1} 0 R] >>".encode()
         )
         objs.append(
@@ -3392,6 +3616,58 @@ def encode_pdf(
                 f"<< /Length {len(gm)} >>".encode()
                 + b"\nstream\n"
                 + gm
+                + b"\nendstream"
+            )
+        if cid_encoding == "embedded":
+            # r15 (VERDICT item 1a): the /Encoding CMap STREAM —
+            # one real cidrange over the contiguous first half, the
+            # stride-3 second half as cidchar singles (<=100/block,
+            # the §9.10.3 discipline)
+            by_cid = sorted(cid_codes.items(), key=lambda kv: kv[1])
+            entries: list[str] = []
+            if emb_cut:
+                entries += [
+                    "1 begincidrange",
+                    f"<{0x2800:04x}> <{0x2800 + emb_cut - 1:04x}> 1",
+                    "endcidrange",
+                ]
+            singles = [
+                (ch, cidv) for ch, cidv in by_cid
+                if cidv - 1 >= emb_cut
+            ]
+            for s0 in range(0, len(singles), 100):
+                blk = singles[s0 : s0 + 100]
+                entries.append(f"{len(blk)} begincidchar")
+                entries += [
+                    f"<{_code_of(ch):04x}> {cidv}"
+                    for ch, cidv in blk
+                ]
+                entries.append("endcidchar")
+            cmap_src = "\n".join(
+                [
+                    "/CIDInit /ProcSet findresource begin",
+                    "12 dict begin",
+                    "begincmap",
+                    "/CIDSystemInfo << /Registry (Adobe) "
+                    "/Ordering (Identity) /Supplement 0 >> def",
+                    "/CMapName /Fixture-Embed def",
+                    "/CMapType 1 def",
+                    "1 begincodespacerange",
+                    "<0000> <ffff>",
+                    "endcodespacerange",
+                    *entries,
+                    "endcmap",
+                    "CMapName currentdict /CMap defineresource pop",
+                    "end end",
+                ]
+            ).encode("latin-1")
+            if enc is not None:
+                cmap_src = enc["apply"](font_num + 4, cmap_src)
+            objs.append(
+                f"<< /Type /CMap /CMapName /Fixture-Embed "
+                f"/Length {len(cmap_src)} >>".encode()
+                + b"\nstream\n"
+                + cmap_src
                 + b"\nendstream"
             )
     elif cid:
@@ -4023,25 +4299,31 @@ def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
     'Doc {doc_id}'. Flate-compressed, so the extractor's zlib +
     content-tokenizer paths run on every row; every extracted field
     is doc_id/text math for the oracle. The FONT rotates by doc_id
-    (r12, widened r13/r14) — id%7==0 a Type0/Identity-H font with a
-    ToUnicode CMap, id%7==1 a Type0 WITHOUT ToUnicode whose text is
-    recoverable only through the embedded TrueType's cmap (the
-    operators/sfnt path), id%7==4 a no-ToUnicode Type0 over a BARE
-    Type1C CFF (glyph-name recovery, operators/cff), id%7==5 the
-    OpenType-CFF form (CID-keyed charset inversion composed with the
-    sfnt cmap), id%7==6 a bare CID-KEYED Type1C under Adobe-Japan1
-    (r14 — text recovers only through the predefined registry
-    ordering's transcribed ranges; falls back to the glyph-name arm
-    when the text leaves them), otherwise a simple font — so the
-    oracle hash-checks all SIX text-recovery ladders on every run;
-    extracted text is identical across modes by construction."""
+    (r12, widened r13/r14/r15) — id%9==0 a Type0/Identity-H font
+    with a ToUnicode CMap, id%9==1 a Type0 WITHOUT ToUnicode whose
+    text is recoverable only through the embedded TrueType's cmap
+    (the operators/sfnt path), id%9==4 a no-ToUnicode Type0 over a
+    BARE Type1C CFF (glyph-name recovery, operators/cff), id%9==5
+    the OpenType-CFF form (CID-keyed charset inversion composed with
+    the sfnt cmap), id%9==6 a bare CID-KEYED Type1C under
+    Adobe-Japan1 (r14 — text recovers only through the predefined
+    registry ordering's transcribed ranges; falls back to the
+    glyph-name arm when the text leaves them), id%9==7 a
+    no-ToUnicode Type0 whose /Encoding is an EMBEDDED CMap STREAM
+    with scrambled codes (r15 — text recovers only by composing the
+    cidrange/cidchar walk with the TrueType cmap), id%9==8 a
+    no-ToUnicode Type0 under the predefined /UniJIS-UCS2-H name
+    (r15 — the code bytes ARE UTF-16BE; no font consulted),
+    otherwise a simple font — so the oracle hash-checks all EIGHT
+    text-recovery ladders on every run; extracted text is identical
+    across modes by construction."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
                 doc_id = int(doc_id)
-                mode = doc_id % 7
+                mode = doc_id % 9
                 ff3 = {4: "cff", 5: "otto", 6: "cff_ros"}.get(mode)
                 if ff3 == "cff_ros" and not all(
                     0x20 <= ord(c) <= 0x7E
@@ -4053,9 +4335,12 @@ def synth_pdf_corpus(documents: DataFrame) -> DataFrame:
                     encode_pdf(
                         [[text], [f"Archive copy {doc_id}."]],
                         title=f"Doc {doc_id}",
-                        cid=mode in (0, 1) or ff3 is not None,
+                        cid=mode in (0, 1, 7, 8) or ff3 is not None,
                         cid_tounicode=mode == 0,
                         cid_fontfile3=ff3,
+                        cid_encoding={
+                            7: "embedded", 8: "UniJIS-UCS2-H"
+                        }.get(mode),
                     )
                 )
             yield pd.DataFrame(out)
