@@ -379,9 +379,16 @@ def test_tiled_roundtrip():
     # grids keep the DWT sample parity (odd tile dims stay named)
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
-    for ts in ((32, 32), (64, 48)):
+    for ts in ((32, 32), (64, 64)):
         blob = jpx.encode_jpx(img, levels=2, tile_size=ts)
         assert (jpx.decode_jpx(blob)["pixels"] == img).all(), ts
+    # (64, 48) tiling at the default 32x32 codeblock: tile row 1's
+    # level-1 bands start at canvas y=24 and span past the block
+    # boundary at 32 — a conforming reader splits them; tile-local
+    # coding would disagree, so BOTH sides are loud (r15, the r14
+    # latent hole)
+    with pytest.raises(ValueError, match="misaligns the codeblock"):
+        jpx.encode_jpx(img, levels=2, tile_size=(64, 48))
     # odd image dims -> odd-sized LAST tiles (origin parity is what
     # matters); tiled + layered + RGB + JP2 compose
     odd = rng.integers(0, 256, (37, 53)).astype(np.uint8)
@@ -817,3 +824,74 @@ def test_short_header_segments_raise_named_valueerrors():
         _s.pack_into(">H", bad, at + 2, 2)  # empty segment body
         with pytest.raises(ValueError, match="jpx"):
             jpx.decode_jpx(bytes(bad))
+
+
+def test_grid_offsets_roundtrip():
+    # r15 (VERDICT item 3): non-zero XOsiz/YOsiz/XTOsiz/YTOsiz per
+    # T.800 B.1 — cropped/extracted real-world codestreams. The
+    # accepted envelope is the provable tile-local == canvas-
+    # anchored set: per-component origins multiples of 2^levels
+    # with codeblock-partition alignment; everything else is loud
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for offs in ((4, 8, 0, 0), (8, 4, 8, 4), (64, 64, 32, 32)):
+        blob = jpx.encode_jpx(img, levels=2, offsets=offs)
+        out = jpx.decode_jpx(blob)
+        assert out["width"] == 56 and out["height"] == 40
+        assert (out["pixels"] == img).all(), offs
+    # JP2 wrap: ihdr carries the image-REGION dims
+    blob = jpx.encode_jpx(img, levels=2, offsets=(4, 8, 0, 0), jp2=True)
+    assert (jpx.decode_jpx(blob)["pixels"] == img).all()
+    # RGB + MCT
+    rgb = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    blob = jpx.encode_jpx(rgb, levels=2, offsets=(16, 8, 4, 4))
+    assert (jpx.decode_jpx(blob)["pixels"] == rgb).all()
+    # offsets + chroma subsampling compose (the VERDICT compose
+    # fixture): pixel-identical to the non-offset encode
+    blob = jpx.encode_jpx(
+        rgb, levels=1, irreversible=True, subsampling=(2, 2),
+        offsets=(8, 8, 4, 4),
+    )
+    ref = jpx.encode_jpx(
+        rgb, levels=1, irreversible=True, subsampling=(2, 2)
+    )
+    assert (
+        jpx.decode_jpx(blob)["pixels"]
+        == jpx.decode_jpx(ref)["pixels"]
+    ).all()
+    # layered + coder options + tile-parts compose with offsets
+    blob = jpx.encode_jpx(
+        img, levels=2, offsets=(8, 4, 8, 4), layers=3,
+        cb_style=0x01, tile_parts=2,
+    )
+    assert (jpx.decode_jpx(blob)["pixels"] == img).all()
+
+
+def test_grid_offsets_guards():
+    import struct as _s
+
+    img = np.zeros((40, 56), np.uint8)
+    # encode guards: misaligned origin / codeblock straddle /
+    # malformed TOsiz
+    with pytest.raises(ValueError, match="multiples of"):
+        jpx.encode_jpx(img, levels=2, offsets=(3, 0, 0, 0))
+    with pytest.raises(ValueError, match="misalign the codeblock"):
+        jpx.encode_jpx(img, levels=2, offsets=(64, 32, 16, 8))
+    with pytest.raises(ValueError, match="TOsiz"):
+        jpx.encode_jpx(img, levels=2, offsets=(4, 0, 8, 0))
+    # decode guards on hand-patched SIZ
+    blob = jpx.encode_jpx(img, levels=2)
+    at = blob.index(b"\xff\x51")
+    bad = bytearray(blob)
+    _s.pack_into(">I", bad, at + 6, 56 + 3)   # Xsiz += 3
+    _s.pack_into(">I", bad, at + 14, 3)       # XOsiz = 3
+    with pytest.raises(NotImplementedError, match="not a multiple"):
+        jpx.decode_jpx(bytes(bad))
+    bad = bytearray(blob)
+    _s.pack_into(">I", bad, at + 30, 5)       # XTOsiz > XOsiz
+    with pytest.raises(ValueError, match="XTOsiz"):
+        jpx.decode_jpx(bytes(bad))
+    bad = bytearray(blob)
+    _s.pack_into(">I", bad, at + 14, 56)      # XOsiz >= Xsiz
+    with pytest.raises(ValueError, match="empty image region"):
+        jpx.decode_jpx(bytes(bad))

@@ -925,6 +925,32 @@ def _cb_grid(bw: int, bh: int, cbw: int, cbh: int):
     ) // cbh if bh else 0
 
 
+def _canvas_cb_aligned(
+    ox0: int, oy0: int, w: int, h: int, levels: int,
+    cbw: int, cbh: int,
+) -> bool:
+    """True when the tile-local codeblock grid coincides with the
+    canvas-anchored one for a tile whose per-component canvas origin
+    is (ox0, oy0) — a multiple of 2^levels, so every band origin is
+    the exact shift ox0 >> nb (B-15 with the half-shift ceil). The
+    codeblock partition anchors at 0 of each band's CANVAS
+    coordinates (B.7): the grids coincide iff each band's origin
+    lands on a codeblock boundary, or the band spans a single
+    (possibly partial) block both ways (r15 — also closes the
+    latent misalignment for interior tiles whose scaled origins
+    straddle a block boundary)."""
+    ll0, band_list = _band_sizes(w, h, levels)
+    entries = [(levels, ll0[0], ll0[1])] + [
+        (levels - r + 1, bw, bh) for r, _nm, bw, bh in band_list
+    ]
+    for shift, bw, bh in entries:
+        bx = (ox0 >> shift) % cbw
+        by = (oy0 >> shift) % cbh
+        if (bx and bx + bw > cbw) or (by and by + bh > cbh):
+            return False
+    return True
+
+
 def encode_jpx(
     pixels: np.ndarray,
     levels: int = 2,
@@ -944,6 +970,7 @@ def encode_jpx(
     qcd_style: int = 2,
     depth: int = 8,
     subsampling: tuple[int, int] | None = None,
+    offsets: tuple[int, int, int, int] | None = None,
     _fixed_guard: int | None = None,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
@@ -996,6 +1023,48 @@ def encode_jpx(
     if mct and gray:
         raise ValueError("encode_jpx: MCT needs 3 components")
     cbw, cbh = 1 << cb_exp[0], 1 << cb_exp[1]
+
+    xo = yo = xto = yto = 0
+    if offsets is not None:
+        # r15 (VERDICT item 3): non-zero image/tile grid offsets on
+        # the single-tile form — the tile covers the whole image
+        # region, XTsiz/YTsiz = Xsiz - XTOsiz etc., and the
+        # tile-local packet body is canvas-valid exactly under the
+        # decoder's alignment conditions, enforced here so an
+        # unexpressible request errors at encode time
+        xo, yo, xto, yto = offsets
+        if tile_size is not None:
+            raise ValueError(
+                "encode_jpx: offsets compose with the single-tile "
+                "form only"
+            )
+        if not (0 <= xto <= xo and 0 <= yto <= yo):
+            raise ValueError(
+                "encode_jpx: offsets require 0 <= TOsiz <= Osiz"
+            )
+        step = 1 << levels
+        sx0, sy0 = (1, 1) if subsampling is None else subsampling
+        if (xo % sx0) or (yo % sy0) or (xto % sx0) or (yto % sy0):
+            raise ValueError(
+                "encode_jpx: offsets must be multiples of the "
+                "subsampling factors"
+            )
+        for cw, ch, ox, oy in (
+            (w, h, xo, yo),
+            (-(-w // sx0), -(-h // sy0), xo // sx0, yo // sy0),
+        ):
+            if ox % step or oy % step:
+                raise ValueError(
+                    "encode_jpx: offsets must be multiples of "
+                    "2^levels (canvas-anchored subband geometry)"
+                )
+            if not _canvas_cb_aligned(
+                ox, oy, cw, ch, levels, cbw, cbh
+            ):
+                raise ValueError(
+                    "encode_jpx: offsets misalign the codeblock "
+                    "grid"
+                )
 
     if tile_size is not None:
         # tiled form (r13 late): each tile's packet stream for its
@@ -1071,6 +1140,23 @@ def encode_jpx(
                     raise ValueError(
                         "encode_jpx: tile dims must be multiples "
                         "of 2^levels for every tile's levels"
+                    )
+                if not _canvas_cb_aligned(
+                    tx * txs, ty * tys,
+                    sub.shape[1], sub.shape[0],
+                    kw2["levels"],
+                    1 << kw2["cb_exp"][0], 1 << kw2["cb_exp"][1],
+                ):
+                    # r15: B.7 anchors the codeblock partition at
+                    # canvas 0 per band — a scaled tile origin
+                    # straddling a block boundary makes the
+                    # tile-local body disagree with a conforming
+                    # reader (the r14 latent hole, now loud on both
+                    # sides)
+                    raise ValueError(
+                        "encode_jpx: tile grid misaligns the "
+                        "codeblock partition (origin straddles a "
+                        "block boundary)"
                     )
                 one = encode_jpx(
                     sub, irreversible=False, _fixed_guard=7, **kw2
@@ -1477,14 +1563,14 @@ def encode_jpx(
         ">HHIIIIIIIIH",
         38 + 3 * n_comp,
         0,
-        w,
-        h,
-        0,
-        0,
-        w,
-        h,
-        0,
-        0,
+        xo + w,
+        yo + h,
+        xo,
+        yo,
+        xo + w - xto,
+        yo + h - yto,
+        xto,
+        yto,
         n_comp,
     ) + b"".join(
         struct.pack(
@@ -1861,20 +1947,31 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     (_rsiz, xs, ys, xo, yo, xt, yt, xto, yto, n_comp) = struct.unpack(
         ">HIIIIIIIIH", siz[2:38]
     )
-    w, h = xs, ys
-    if w * h > max_pixels:
-        # the allocation guard outranks every other check
+    # image/tile grid offsets (r15, T.800 B.1/B.3 — cropped or
+    # extracted real-world codestreams): the image region is
+    # [XOsiz, Xsiz) x [YOsiz, Ysiz); the spec requires
+    # XTOsiz <= XOsiz < XTOsiz + XTsiz (first tile contains the
+    # image origin)
+    if xs <= xo or ys <= yo:
+        raise ValueError("jpx: empty image region (Osiz >= siz)")
+    w, h = xs - xo, ys - yo
+    if xs * ys > max_pixels:
+        # the allocation guard outranks every other check — on the
+        # full REFERENCE grid, since canvas coordinates size the
+        # band/tile arithmetic
         raise ValueError(
-            f"jpx: {w}x{h} exceeds the {max_pixels}-pixel guard"
-        )
-    if xo or yo or xto or yto:
-        raise NotImplementedError(
-            "jpx: image/tile grid offsets outside the subset"
+            f"jpx: {xs}x{ys} canvas exceeds the "
+            f"{max_pixels}-pixel guard"
         )
     if xt == 0 or yt == 0:
         raise ValueError("jpx: zero tile size")
-    tiles_x = -(-w // xt)
-    tiles_y = -(-h // yt)
+    if xto > xo or yto > yo or xo >= xto + xt or yo >= yto + yt:
+        raise ValueError(
+            "jpx: tile grid offsets violate "
+            "XTOsiz <= XOsiz < XTOsiz + XTsiz"
+        )
+    tiles_x = -(-(xs - xto) // xt)
+    tiles_y = -(-(ys - yto) // yt)
     if tiles_x * tiles_y > 4096:
         raise ValueError("jpx: implausible tile count")
     if n_comp not in (1, 3):
@@ -1895,6 +1992,13 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         if not (xr <= 4 and yr <= 4):
             raise NotImplementedError(
                 f"jpx: component subsampling {xr}x{yr}"
+            )
+        if (xo % xr) or (yo % yr) or (xto % xr) or (yto % yr):
+            # offsets that do not land on the component grid would
+            # shift every ceil below — named, never silently skewed
+            raise NotImplementedError(
+                "jpx: grid offsets not multiples of the component "
+                "subsampling"
             )
         subs.append((xr, yr))
         depths.add((ssiz & 0x7F) + 1)
@@ -2142,9 +2246,12 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             idx = ty * tiles_x + tx
             if idx not in tiles:
                 raise ValueError(f"jpx: missing tile {idx}")
-            x0, y0 = tx * xt, ty * yt
-            tw = min(xt, w - x0)
-            th = min(yt, h - y0)
+            # tile span on the reference grid, clipped to the image
+            # region (B.3 eq. B-7/B-8)
+            x0 = max(xto + tx * xt, xo)
+            y0 = max(yto + ty * yt, yo)
+            tw = min(xto + (tx + 1) * xt, xs) - x0
+            th = min(yto + (ty + 1) * yt, ys) - y0
             entry = tiles[idx]
             parts = entry["parts"]
             if set(parts) != set(range(len(parts))):
@@ -2176,6 +2283,34 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                     "jpx: tile dims not a multiple of 2^levels "
                     "(canvas-anchored subband geometry)"
                 )
+            step = 1 << P["levels"]
+            for ci in range(n_comp):
+                cox0 = x0 // subs[ci][0]
+                coy0 = y0 // subs[ci][1]
+                if cox0 % step or coy0 % step:
+                    # tile-local band geometry equals canvas-
+                    # anchored exactly when the per-component tile
+                    # origin is a multiple of 2^levels (the r14
+                    # guard, generalized to offset grids r15)
+                    raise NotImplementedError(
+                        "jpx: tile origin not a multiple of "
+                        "2^levels (canvas-anchored subband "
+                        "geometry)"
+                    )
+                if not _canvas_cb_aligned(
+                    cox0, coy0,
+                    -(-tw // subs[ci][0]), -(-th // subs[ci][1]),
+                    P["levels"], P["cbw"], P["cbh"],
+                ):
+                    # B.7 anchors the codeblock partition at canvas
+                    # 0 per band: a scaled tile origin straddling a
+                    # block boundary makes the tile-local grid
+                    # disagree (r15 — previously silently latent
+                    # for interior tiles)
+                    raise NotImplementedError(
+                        "jpx: codeblock grid not aligned with the "
+                        "tile origin"
+                    )
             Q = (
                 _parse_qcd(
                     entry["qcd"], P["levels"], irreversible, depth
@@ -2195,8 +2330,8 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
             )
             t_outs = _decode_tile(buf, tw, th, P, Q)
             for ci in range(n_comp):
-                cy0 = y0 // subs[ci][1]
-                cx0 = x0 // subs[ci][0]
+                cy0 = (y0 - yo) // subs[ci][1]
+                cx0 = (x0 - xo) // subs[ci][0]
                 oh, ow = t_outs[ci].shape
                 out_planes[ci][cy0 : cy0 + oh, cx0 : cx0 + ow] = (
                     t_outs[ci]

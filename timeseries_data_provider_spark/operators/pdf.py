@@ -3108,17 +3108,21 @@ def synth_scan_pdf_media(
       codec-independent while all FIVE decode ladders run);
     - page 2: gray8 gradient (id+x+y)%256 (the GIF/TIFF closed
       form) at (40+id%4) x (20+id%2), the CONTAINER rotating by
-      id%6 (r14) — 1: lossless 5/3 JPEG 2000 codestream (/JPXDecode
-      via operators/jpx, r13), 2: the JP2 box form, 3: the
-      arithmetic-coder-BYPASS form, 4: all four coder options + 2
-      quality layers, 5: two tile-parts + SOP/EPH + 3 layers, else
-      Flate raw — same pixels, so the oracle's scan_px2 formula is
-      codec-independent while the EBCOT/DWT ladder (now including
-      the r14 coder-option and tile-part cells) runs on five sixths
-      of the corpus;
-    - page 3: Indexed raster over the 216-entry web-safe RGB cube,
-      index (7·id+x+3·y)%216 at 24 x 12 — the cube makes the channel
-      sum 51·(r6+g6+b6) with r6/g6/b6 the base-6 digits."""
+      id%7 (r14, widened r15) — 1: lossless 5/3 JPEG 2000
+      codestream (/JPXDecode via operators/jpx, r13), 2: the JP2
+      box form, 3: the arithmetic-coder-BYPASS form, 4: all four
+      coder options + 2 quality layers, 5: two tile-parts +
+      SOP/EPH + 3 layers, 6: non-zero grid offsets (r15, the
+      cropped-codestream form), else Flate raw — same pixels, so
+      the oracle's scan_px2 formula is codec-independent while the
+      EBCOT/DWT ladder runs on six sevenths of the corpus;
+    - page 3: the 216-entry web-safe RGB cube at index
+      (7·id+x+3·y)%216, 24 x 12 — stored as an Indexed raster
+      (even ids) or a /Separation over DeviceRGB through a SAMPLED
+      tint transform whose table IS the cube LUT (odd ids, r15 —
+      the §7.10 evaluator decodes half the corpus) — the cube
+      makes the channel sum 51·(r6+g6+b6) with r6/g6/b6 the base-6
+      digits, identical in both forms."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3152,14 +3156,16 @@ def synth_scan_pdf_media(
                     3: "jpx-bypass",
                     4: "jpx-opt",
                     5: "jpx-parts",
-                }.get(i % 6, "gray8")
+                    6: "jpx-offs",
+                }.get(i % 7, "gray8")
+                p3_kind = "sep-cube" if i % 2 else "indexed"
                 out[id_col].append(i)
                 out["payload"].append(
                     encode_scan_pdf(
                         [
                             (p1_kind, page1),
                             (p2_kind, page2),
-                            ("indexed", page3),
+                            (p3_kind, page3),
                         ]
                     )
                 )
@@ -3888,7 +3894,8 @@ def encode_scan_pdf(images: list) -> bytes:
             extra = " /Filter /FlateDecode"
             cs, bpc = "/DeviceCMYK", 8
         elif kind in (
-            "jpx", "jpx-jp2", "jpx-bypass", "jpx-opt", "jpx-parts"
+            "jpx", "jpx-jp2", "jpx-bypass", "jpx-opt", "jpx-parts",
+            "jpx-offs",
         ):
             # lossless 5/3 JPEG 2000 (r13) — bare codestream or the
             # JP2 box container, both legal under /JPXDecode. r14
@@ -3910,6 +3917,10 @@ def encode_scan_pdf(images: list) -> bytes:
             elif kind == "jpx-parts":
                 kw = {"tile_parts": 2, "layers": 3, "sop": True,
                       "eph": True}
+            elif kind == "jpx-offs":
+                # r15: non-zero image/tile grid offsets (T.800 B.1
+                # — the cropped-codestream form)
+                kw = {"offsets": (4, 8, 0, 0)}
             data = _jpx.encode_jpx(
                 px, levels=2, jp2=kind == "jpx-jp2", **kw
             )
@@ -4024,6 +4035,37 @@ def encode_scan_pdf(images: list) -> bytes:
             data = zlib.compress(px.tobytes())
             extra = " /Filter /FlateDecode"
             cs = f"[/Indexed /DeviceRGB 215 <{lut.hex()}>]"
+            bpc = 8
+        elif kind == "sep-cube":
+            # r15 (VERDICT item 6): the SAME web-safe-cube pixels
+            # as "indexed", but through /Separation over DeviceRGB
+            # with a SAMPLED (Type 0) tint transform whose 256-
+            # entry table IS the cube LUT — 8-bit inputs land
+            # exactly on the samples, so decoded RGB == lut[v]
+            # bit-exact and the §7.10 evaluator is oracle-load-
+            # bearing on every corpus run
+            lut = [
+                (r, g, b)
+                for r in range(0, 256, 51)
+                for g in range(0, 256, 51)
+                for b in range(0, 256, 51)
+            ]
+            table = bytes(
+                c
+                for j in range(256)
+                for c in lut[min(j, 215)]
+            )
+            fstream = zlib.compress(table)
+            b_obj = (
+                f"<< /FunctionType 0 /Domain [0 1] "
+                f"/Range [0 1 0 1 0 1] /Size [256] "
+                f"/BitsPerSample 8 /Filter /FlateDecode "
+                f"/Length {len(fstream)} >>".encode()
+                + b"\nstream\n" + fstream + b"\nendstream"
+            )
+            data = zlib.compress(px.tobytes())
+            extra = " /Filter /FlateDecode"
+            cs = f"[/Separation /Ink0 /DeviceRGB {img_num + 1} 0 R]"
             bpc = 8
         elif kind == "mask":
             bits = np.packbits((px >= 128).astype(np.uint8), axis=1)
