@@ -519,6 +519,183 @@ def encode_generic_region(bitmap: np.ndarray, template: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# generic refinement region decoding (T.88 6.3, r15 — VERDICT item
+# 4): a region decoded AGAINST a reference bitmap at an offset. The
+# context mixes pixels of the bitmap being decoded (the "coding"
+# template) with pixels of the reference; GRTEMPLATE 0 is 13 bits
+# with two adaptive pixels (A1 in the coding part, A2 in the
+# reference part, both nominal (-1, -1) — 6.3.5.3 figures), 1 is a
+# fixed 10-bit template. Contexts pack coding pixels then reference
+# pixels MSB-first in figure order; the TPGRON pseudo-pixel context
+# (6.3.5.6) is the value with only the reference-CENTRE pixel set
+# (0x0020 / 0x0008 under this packing). Typical prediction: when
+# LTP is on, a pixel whose 3x3 reference neighbourhood is uniform
+# takes that value without being coded.
+#
+# Validation posture, stated: no JBIG2 implementation exists in
+# this container to cross-decode against, so this cell is the usual
+# self-validation tier — encoder and decoder share the single walk
+# below, the MQ layer is pinned byte-exact to the T.88 H.2 spec
+# sequence elsewhere, and tests/test_jbig2_handbuilt.py pins
+# hand-derived (context, decision) sequences laid out from the
+# 6.3.5.3 figures through the independent bit path.
+
+_REF_TEMPLATES = {
+    # (coding-template pixels, reference-template pixels), (dx, dy)
+    0: ([(0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+         (-1, 1), (0, 1), (1, 1)]),
+    1: ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]),
+}
+_NOMINAL_REF_AT = ((-1, -1), (-1, -1))
+_TPGR_CTX = {0: 0x0020, 1: 0x0008}
+
+
+def _run_refinement(w: int, h: int, template: int, tpgron: bool,
+                    ref: np.ndarray, dx: int, dy: int, coder,
+                    at=_NOMINAL_REF_AT, bitmap=None):
+    """Shared encode/decode walk of a generic refinement region:
+    identical context formation on both sides (the _run_generic
+    discipline). ``coder.pixel(cx, y, x)`` codes one pixel;
+    ``coder.sltp(cx, y, ltp)`` codes the per-row typical-prediction
+    toggle. ``ref`` is indexed at (y - dy, x - dx); out-of-bounds
+    reads are 0."""
+    coding, reference = _REF_TEMPLATES[template]
+    if template == 0:
+        coding = coding + [tuple(at[0])]
+        reference = reference + [tuple(at[1])]
+    bm = np.zeros((h, w), np.uint8) if bitmap is None else bitmap
+    rh, rw = ref.shape
+
+    def refpx(yy: int, xx: int) -> int:
+        if 0 <= yy < rh and 0 <= xx < rw:
+            return int(ref[yy, xx])
+        return 0
+
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            ltp ^= coder.sltp(_TPGR_CTX[template], y, ltp)
+        row = bm[y]
+        for x in range(w):
+            rx, ry = x - dx, y - dy
+            if ltp:
+                s = sum(
+                    refpx(ry + q, rx + p)
+                    for q in (-1, 0, 1)
+                    for p in (-1, 0, 1)
+                )
+                if s == 0:
+                    row[x] = 0
+                    continue
+                if s == 9:
+                    row[x] = 1
+                    continue
+            cx = 0
+            for px_, py_ in coding:
+                yy, xx = y + py_, x + px_
+                cx <<= 1
+                if 0 <= yy < h and 0 <= xx < w:
+                    cx |= int(bm[yy, xx])
+            for px_, py_ in reference:
+                cx = (cx << 1) | refpx(ry + py_, rx + px_)
+            row[x] = coder.pixel(cx, y, x)
+    return bm
+
+
+class _SharedRefDecSide:
+    """Refinement walk over a caller-owned MQ decoder and GR context
+    arrays (symbol-dictionary / text-region form: all refinements of
+    a segment share one bitstream and one GR context set)."""
+
+    def __init__(self, mq: MQDecoder, icx, mps):
+        self.mq, self.icx, self.mps = mq, icx, mps
+
+    def pixel(self, cx: int, y: int, x: int) -> int:
+        return self.mq.decode(self.icx, self.mps, cx)
+
+    def sltp(self, cx: int, y: int, ltp: int) -> int:
+        return self.mq.decode(self.icx, self.mps, cx)
+
+
+class _SharedRefEncSide:
+    def __init__(self, mq: MQEncoder, icx, mps, bitmap, ref,
+                 dx: int, dy: int):
+        self.mq, self.icx, self.mps = mq, icx, mps
+        self.bitmap, self.ref = bitmap, ref
+        self.dx, self.dy = dx, dy
+
+    def pixel(self, cx: int, y: int, x: int) -> int:
+        bit = int(self.bitmap[y, x])
+        self.mq.encode(self.icx, self.mps, cx, bit)
+        return bit
+
+    def sltp(self, cx: int, y: int, ltp: int) -> int:
+        # a row may be flagged typical only when every uniformly-
+        # neighboured pixel already matches the forced value
+        bm, ref = self.bitmap, self.ref
+        rh, rw = ref.shape
+        h, w = bm.shape
+        safe = 1
+        for x in range(w):
+            rx, ry = x - self.dx, y - self.dy
+            s = 0
+            for q in (-1, 0, 1):
+                for p in (-1, 0, 1):
+                    yy, xx = ry + q, rx + p
+                    if 0 <= yy < rh and 0 <= xx < rw:
+                        s += int(ref[yy, xx])
+            if (s == 0 and bm[y, x]) or (s == 9 and not bm[y, x]):
+                safe = 0
+                break
+        bit = safe ^ ltp
+        self.mq.encode(self.icx, self.mps, cx, bit)
+        return bit
+
+
+def decode_refinement_region(data: bytes, w: int, h: int,
+                             ref: np.ndarray, dx: int = 0,
+                             dy: int = 0, template: int = 0,
+                             tpgron: bool = False,
+                             at=_NOMINAL_REF_AT) -> np.ndarray:
+    """Decode one MQ-coded generic refinement region against
+    ``ref`` to an (h, w) uint8 bitmap (1 = black)."""
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"jbig2: unreasonable region {w}x{h}")
+    if w * h > _MAX_ARITH_PIXELS:
+        raise NotImplementedError(
+            f"jbig2: {w}x{h} refinement region exceeds the "
+            "per-region decode-time guard"
+        )
+    if template not in _REF_TEMPLATES:
+        raise ValueError(f"jbig2: refinement template {template}")
+    mq = MQDecoder(data)
+    icx = np.zeros(1 << 13, np.uint8)
+    mps = np.zeros(1 << 13, np.uint8)
+    side = _SharedRefDecSide(mq, icx, mps)
+    return _run_refinement(w, h, template, tpgron, ref, dx, dy, side,
+                           at=at)
+
+
+def encode_refinement_region(bitmap: np.ndarray, ref: np.ndarray,
+                             dx: int = 0, dy: int = 0,
+                             template: int = 0,
+                             tpgron: bool = False) -> bytes:
+    """Fixture-side MQ encoding of a bitmap as a generic refinement
+    region body against ``ref``."""
+    bm = np.asarray(bitmap, np.uint8)
+    h, w = bm.shape
+    mq = MQEncoder()
+    icx = np.zeros(1 << 13, np.uint8)
+    mps = np.zeros(1 << 13, np.uint8)
+    side = _SharedRefEncSide(mq, icx, mps, bm, ref, dx, dy)
+    _run_refinement(w, h, template, tpgron, ref, dx, dy, side,
+                    bitmap=bm)
+    return mq.flush()
+
+
+# ---------------------------------------------------------------------------
 # Huffman coding (T.88 Annex B) — the second scanner-encoder family
 # (r14, VERDICT item 4): MSB-first raw bit IO (no stuffing), the
 # canonical prefix-code assignment of B.3, the parameterized table
@@ -877,10 +1054,12 @@ def decode_symbol_dict(
     sdhuff = flags & 1
     refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     ctx_used = (flags >> 8) & 1
-    if refagg:
+    if refagg and sdhuff:
         raise NotImplementedError(
-            "jbig2: refinement/aggregate symbol coding (SDREFAGG)"
+            "jbig2: Huffman refinement/aggregate symbol coding "
+            "(SDHUFF + SDREFAGG)"
         )
     if ctx_used:
         raise NotImplementedError(
@@ -930,6 +1109,21 @@ def decode_symbol_dict(
                 f"jbig2: non-nominal AT pixels {at} in symbol "
                 "dictionary"
             )
+        if refagg and rtemplate == 0:
+            # refinement AT pixels (7.4.3.1.3, r15)
+            if pos + 4 > len(seg_data):
+                raise ValueError(
+                    "jbig2: truncated refinement AT pixels"
+                )
+            rat = (
+                (struct.unpack_from("b", seg_data, pos)[0],
+                 struct.unpack_from("b", seg_data, pos + 1)[0]),
+                (struct.unpack_from("b", seg_data, pos + 2)[0],
+                 struct.unpack_from("b", seg_data, pos + 3)[0]),
+            )
+            pos += 4
+        else:
+            rat = _NOMINAL_REF_AT
     if pos + 8 > len(seg_data):
         raise ValueError("jbig2: truncated symbol dictionary counts")
     n_ex, n_new = struct.unpack_from(">II", seg_data, pos)
@@ -1025,6 +1219,15 @@ def decode_symbol_dict(
         gb_icx = np.zeros(1 << 16, np.uint8)
         gb_mps = np.zeros(1 << 16, np.uint8)
         iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+        if refagg:
+            # refinement-coded symbols (6.5.8.2, r15): one GR
+            # context set and the IAAI/IAID/IARDX/IARDY contexts
+            # shared across the dictionary
+            gr_icx = np.zeros(1 << 13, np.uint8)
+            gr_mps = np.zeros(1 << 13, np.uint8)
+            iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+            sdcodelen = max(0, (n_in + n_new - 1).bit_length())
+            iaid = _IntCtx(1 << (sdcodelen + 1))
         while len(new_syms) < n_new:
             dh = decode_int(mq, iadh)
             if dh is _OOB:
@@ -1054,10 +1257,49 @@ def decode_symbol_dict(
                         "decode-time area guard (route to a codec "
                         "library)"
                     )
-                side = _SharedDecSide(mq, gb_icx, gb_mps)
-                bm = _run_generic(
-                    symwidth, hcheight, template, False, side
-                )
+                if refagg:
+                    # 6.5.8.2.2: REFAGGNINST = 1 refines one
+                    # already-decoded symbol; > 1 embeds a full
+                    # text region (aggregate coding) — named
+                    n_inst = decode_int(mq, iaai)
+                    if n_inst is _OOB or n_inst < 1:
+                        raise ValueError(
+                            "jbig2: malformed REFAGGNINST"
+                        )
+                    if n_inst != 1:
+                        raise NotImplementedError(
+                            "jbig2: aggregate symbol coding "
+                            "(REFAGGNINST > 1 embeds a text "
+                            "region)"
+                        )
+                    rid = decode_iaid(mq, iaid, sdcodelen)
+                    have = n_in + len(new_syms)
+                    if rid >= have:
+                        raise ValueError(
+                            f"jbig2: refinement reference id {rid} "
+                            f"of {have}"
+                        )
+                    rdx = decode_int(mq, iardx)
+                    rdy = decode_int(mq, iardy)
+                    if rdx is _OOB or rdy is _OOB:
+                        raise ValueError(
+                            "jbig2: OOB refinement offset"
+                        )
+                    refsym = np.asarray(
+                        input_syms[rid] if rid < n_in
+                        else new_syms[rid - n_in],
+                        np.uint8,
+                    )
+                    side = _SharedRefDecSide(mq, gr_icx, gr_mps)
+                    bm = _run_refinement(
+                        symwidth, hcheight, rtemplate, False,
+                        refsym, rdx, rdy, side, at=rat,
+                    )
+                else:
+                    side = _SharedDecSide(mq, gb_icx, gb_mps)
+                    bm = _run_generic(
+                        symwidth, hcheight, template, False, side
+                    )
                 new_syms.append(bm)
 
         def ex_run():
@@ -1149,8 +1391,18 @@ def decode_text_region(
                 "jbig2: Huffman refined text region (SBREFINE + "
                 "SBHUFF)"
             )
+    rat = _NOMINAL_REF_AT
     if refine and rtemplate == 0:
-        pos += 4  # refinement AT pixels present even if unused
+        # refinement AT pixels (7.4.4.1.4, r15 — previously skipped)
+        if pos + 4 > len(seg_data):
+            raise ValueError("jbig2: truncated refinement AT pixels")
+        rat = (
+            (struct.unpack_from("b", seg_data, pos)[0],
+             struct.unpack_from("b", seg_data, pos + 1)[0]),
+            (struct.unpack_from("b", seg_data, pos + 2)[0],
+             struct.unpack_from("b", seg_data, pos + 3)[0]),
+        )
+        pos += 4
     if pos + 4 > len(seg_data):
         raise ValueError("jbig2: truncated text region header")
     (n_instances,) = struct.unpack_from(">I", seg_data, pos)
@@ -1217,6 +1469,22 @@ def decode_text_region(
         def read_ri():
             return decode_int(mq, iari)
 
+        if refine:
+            # r15: per-instance refinement contexts (6.4.11 — one
+            # GR context set shared across the region)
+            iardw, iardh = _IntCtx(), _IntCtx()
+            iardx2, iardy2 = _IntCtx(), _IntCtx()
+            gr_icx = np.zeros(1 << 13, np.uint8)
+            gr_mps = np.zeros(1 << 13, np.uint8)
+
+    refined_px = [0]
+
+    def read_ds_int(ctx):
+        v = decode_int(mq, ctx)
+        if v is _OOB:
+            raise ValueError("jbig2: OOB refinement field")
+        return v
+
     bm = np.full((h, w), defpixel, np.uint8)
     dt = read_dt()
     if dt is _OOB:
@@ -1253,15 +1521,42 @@ def decode_text_region(
                 raise ValueError(
                     f"jbig2: symbol id {sym_id} out of range"
                 )
-            if refine:
-                ri = read_ri()
-                if ri is _OOB or ri:
-                    raise NotImplementedError(
-                        "jbig2: refined text-region instance (IARI "
-                        "!= 0)"
-                    )
             sb = syms[sym_id]
             hi, wi = sb.shape
+            if refine:
+                ri = read_ri()
+                if ri is _OOB:
+                    raise ValueError("jbig2: OOB refinement flag")
+                if ri:
+                    # 6.4.11 (r15): the instance is a refinement of
+                    # its symbol — new dims (W+RDW, H+RDH), the
+                    # reference laid at ((RDW>>1)+RDX, (RDH>>1)+RDY)
+                    rdw = read_ds_int(iardw)
+                    rdh = read_ds_int(iardh)
+                    rdx = read_ds_int(iardx2)
+                    rdy = read_ds_int(iardy2)
+                    nw, nh = wi + rdw, hi + rdh
+                    if not (
+                        0 < nw <= _MAX_SYMBOL_DIM
+                        and 0 < nh <= _MAX_SYMBOL_DIM
+                    ):
+                        raise ValueError(
+                            f"jbig2: refined instance {nw}x{nh}"
+                        )
+                    refined_px[0] += nw * nh
+                    if refined_px[0] > _MAX_ARITH_PIXELS:
+                        raise NotImplementedError(
+                            "jbig2: refined text region exceeds "
+                            "the decode-time area guard"
+                        )
+                    side = _SharedRefDecSide(mq, gr_icx, gr_mps)
+                    sb = _run_refinement(
+                        nw, nh, rtemplate, False,
+                        np.asarray(sb, np.uint8),
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        side, at=rat,
+                    )
+                    hi, wi = nh, nw
             # placement (6.4.5 step 3c(iii-x)): the named corner of
             # the symbol sits on the (S, T) coordinate; along the S
             # axis the left/right corner forms differ only in when
@@ -1410,14 +1705,58 @@ def _decode_region_segment(seg_data: bytes) -> tuple:
     return x, y, combop, bm
 
 
+def _decode_refinement_segment(seg_data: bytes, page_bm) -> tuple:
+    """One immediate refinement-region segment body (7.4.7, r15) ->
+    (x, y, combop, bitmap). The reference is the page content under
+    the region box (7.4.7.2: a refinement segment with no referred
+    intermediate region refines the page buffer)."""
+    if len(seg_data) < 18:
+        raise ValueError("jbig2: truncated refinement region")
+    w, h, x, y = struct.unpack_from(">IIII", seg_data, 0)
+    combop = seg_data[16] & 0x07
+    rflags = seg_data[17]
+    template = rflags & 1
+    tpgron = bool(rflags & 2)
+    pos = 18
+    at = _NOMINAL_REF_AT
+    if template == 0:
+        if pos + 4 > len(seg_data):
+            raise ValueError(
+                "jbig2: truncated refinement AT pixels"
+            )
+        at = (
+            (struct.unpack_from("b", seg_data, pos)[0],
+             struct.unpack_from("b", seg_data, pos + 1)[0]),
+            (struct.unpack_from("b", seg_data, pos + 2)[0],
+             struct.unpack_from("b", seg_data, pos + 3)[0]),
+        )
+        pos += 4
+    if page_bm is None:
+        raise ValueError(
+            "jbig2: refinement region before any page content"
+        )
+    ph, pw = page_bm.shape
+    if w <= 0 or h <= 0 or y + h > ph or x + w > pw:
+        raise ValueError(
+            "jbig2: refinement region exceeds page bounds"
+        )
+    ref = np.ascontiguousarray(page_bm[y : y + h, x : x + w])
+    bm = decode_refinement_region(
+        seg_data[pos:], w, h, ref, 0, 0, template, tpgron, at=at
+    )
+    return x, y, combop, bm
+
+
 def decode_jbig2_embedded(
     data: bytes, globals_data: bytes | None = None
 ) -> np.ndarray:
     """Decode a PDF-embedded JBIG2 stream (segment headers, page
     info, symbol dictionaries, immediate text regions, immediate
     generic regions, custom Huffman tables — both the arithmetic
-    and the r14 Huffman symbol/text forms) to the page bitmap
-    (1 = black). Halftone/refinement segments raise named errors."""
+    and the r14 Huffman symbol/text forms, plus r15 immediate
+    refinement regions and refinement-coded symbols/instances) to
+    the page bitmap (1 = black). Halftone and intermediate-region
+    segments raise named errors."""
     page_bm = None
     page_default = 0
     sym_store: dict[int, list] = {}
@@ -1514,10 +1853,18 @@ def decode_jbig2_embedded(
                     "review finding: type 36 used to compose "
                     "directly)"
                 )
-            elif t in (16, 20, 22, 23, 40, 42, 43):
+            elif t in (42, 43):
+                # immediate refinement region (r15): refines the
+                # page buffer under its box; REPLACE is the
+                # conforming external op for page refinement
+                x, y, combop, bm = _decode_refinement_segment(
+                    seg["data"], page_bm
+                )
+                compose(x, y, combop, bm)
+            elif t in (16, 20, 22, 23, 40):
                 raise NotImplementedError(
-                    f"jbig2: segment type {t} (halftone/refinement "
-                    "scope)"
+                    f"jbig2: segment type {t} (halftone/"
+                    "intermediate-refinement scope)"
                 )
             elif t == 53:  # custom Huffman table (r14)
                 table_store[seg["num"]] = parse_table_segment(
@@ -1590,6 +1937,87 @@ def encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
     )
 
 
+def encode_symbol_dict_refagg(
+    new_symbols: list, refs: list, input_syms: list,
+    rtemplate: int = 0,
+) -> bytes:
+    """Fixture writer (r15): one arithmetic SDREFAGG symbol-
+    dictionary segment body. Every new symbol is refinement-coded
+    (REFAGGNINST = 1) against ``refs[i] = (ref_id, rdx, rdy)``
+    where ref_id indexes input symbols then new symbols so far;
+    ``input_syms`` are the referred dictionaries' exports (the
+    decoder receives the same list). Heights non-decreasing; only
+    the new symbols are exported."""
+    n_in = len(input_syms)
+    n_new = len(new_symbols)
+    mq = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+    sdcodelen = max(0, (n_in + n_new - 1).bit_length())
+    iaid = _IntCtx(1 << (sdcodelen + 1))
+    gr_icx = np.zeros(1 << 13, np.uint8)
+    gr_mps = np.zeros(1 << 13, np.uint8)
+    done: list = []
+    hcheight = 0
+    i = 0
+    while i < n_new:
+        h = new_symbols[i].shape[0]
+        if h < hcheight:
+            raise ValueError(
+                "encode_symbol_dict_refagg: heights must be "
+                "non-decreasing"
+            )
+        encode_int(mq, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < n_new and new_symbols[i].shape[0] == h:
+            bm = np.asarray(new_symbols[i], np.uint8)
+            encode_int(mq, iadw, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            rid, rdx, rdy = refs[i]
+            if rid >= n_in + len(done):
+                raise ValueError(
+                    "encode_symbol_dict_refagg: forward reference"
+                )
+            encode_int(mq, iaai, 1)
+            encode_iaid(mq, iaid, sdcodelen, rid)
+            encode_int(mq, iardx, rdx)
+            encode_int(mq, iardy, rdy)
+            refsym = np.asarray(
+                input_syms[rid] if rid < n_in
+                else done[rid - n_in],
+                np.uint8,
+            )
+            side = _SharedRefEncSide(
+                mq, gr_icx, gr_mps, bm, refsym, rdx, rdy
+            )
+            _run_refinement(
+                bm.shape[1], h, rtemplate, False, refsym, rdx, rdy,
+                side, bitmap=bm,
+            )
+            done.append(bm)
+            i += 1
+        encode_int(mq, iadw, _OOB)
+    encode_int(mq, iaex, n_in)   # input symbols: not exported
+    encode_int(mq, iaex, n_new)  # new symbols: exported
+    flags = 2 | (rtemplate << 12)  # SDHUFF=0, SDREFAGG=1, tmpl 0
+    at = b"".join(
+        struct.pack("bb", ax, ay) for ax, ay in _NOMINAL_AT[0]
+    )
+    rat = b""
+    if rtemplate == 0:
+        rat = b"".join(
+            struct.pack("bb", ax, ay) for ax, ay in _NOMINAL_REF_AT
+        )
+    return (
+        struct.pack(">H", flags)
+        + at
+        + rat
+        + struct.pack(">II", n_new, n_new)
+        + mq.flush()
+    )
+
+
 def encode_text_region(
     region_w: int,
     region_h: int,
@@ -1601,15 +2029,24 @@ def encode_text_region(
     dsoffset: int = 0,
 ) -> bytes:
     """Fixture writer: one arithmetic text-region segment body.
-    ``placements`` are (symbol_index, row, col) TOP-LEFT positions;
-    the writer converts to the (S, T) anchor the chosen REFCORNER /
+    ``placements`` are (symbol_index, row, col) TOP-LEFT positions
+    — or (symbol_index, row, col, refined_bitmap) for an instance
+    coded as a REFINEMENT of its symbol (r15: RI = 1 with
+    RDW/RDH from the shape delta, RDX = RDY = 0); the writer
+    converts to the (S, T) anchor the chosen REFCORNER /
     TRANSPOSED mode implies, so every mode must reproduce the same
     raster."""
     sbstrips = 1 << log_strips
     codelen = max(0, (len(symbols) - 1).bit_length())
+    refine = any(len(e) > 3 for e in placements)
     inst = []
-    for idx, row, col in placements:
-        hi, wi = symbols[idx].shape
+    for e in placements:
+        idx, row, col = e[0], e[1], e[2]
+        target = e[3] if len(e) > 3 else None
+        hi, wi = (
+            target.shape if target is not None
+            else symbols[idx].shape
+        )
         if not transposed:
             s = col
             t = row if refcorner in (1, 3) else row + hi - 1
@@ -1618,13 +2055,18 @@ def encode_text_region(
             s = row
             t = col if refcorner in (0, 1) else col + wi - 1
             adv = hi - 1
-        inst.append((t // sbstrips, s, t, idx, adv))
+        inst.append((t // sbstrips, s, t, idx, adv, target))
     inst.sort(key=lambda e: (e[0], e[1]))
     mq = MQEncoder()
     iadt, iafs, iads, iait = (
         _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx(),
     )
     iaid = _IntCtx(1 << (codelen + 1))
+    iari = _IntCtx()
+    iardw, iardh = _IntCtx(), _IntCtx()
+    iardx2, iardy2 = _IntCtx(), _IntCtx()
+    gr_icx = np.zeros(1 << 13, np.uint8)
+    gr_mps = np.zeros(1 << 13, np.uint8)
     encode_int(mq, iadt, 0)  # STRIPT starts at 0
     prev_key = 0
     firsts = 0
@@ -1636,7 +2078,7 @@ def encode_text_region(
         first = True
         curs = 0
         while j < len(inst) and inst[j][0] == key:
-            _, s, t, idx, adv = inst[j]
+            _, s, t, idx, adv, target = inst[j]
             if first:
                 encode_int(mq, iafs, s - firsts)
                 firsts = s
@@ -1647,19 +2089,46 @@ def encode_text_region(
             if sbstrips > 1:
                 encode_int(mq, iait, t - key * sbstrips)
             encode_iaid(mq, iaid, codelen, idx)
+            if refine:
+                encode_int(mq, iari, 1 if target is not None else 0)
+                if target is not None:
+                    sb = np.asarray(symbols[idx], np.uint8)
+                    tg = np.asarray(target, np.uint8)
+                    rdw = tg.shape[1] - sb.shape[1]
+                    rdh = tg.shape[0] - sb.shape[0]
+                    encode_int(mq, iardw, rdw)
+                    encode_int(mq, iardh, rdh)
+                    encode_int(mq, iardx2, 0)
+                    encode_int(mq, iardy2, 0)
+                    side = _SharedRefEncSide(
+                        mq, gr_icx, gr_mps, tg, sb,
+                        rdw >> 1, rdh >> 1,
+                    )
+                    _run_refinement(
+                        tg.shape[1], tg.shape[0], 0, False, sb,
+                        rdw >> 1, rdh >> 1, side, bitmap=tg,
+                    )
             curs += adv
             j += 1
         encode_int(mq, iads, _OOB)
     flags = (
-        (log_strips << 2)
+        (int(refine) << 1)
+        | (log_strips << 2)
         | (refcorner << 4)
         | (int(transposed) << 6)
         | ((dsoffset & 0x1F) << 10)
     )
+    rat = b""
+    if refine:
+        # SBRTEMPLATE 0 (flag bit 15 stays 0): nominal AT pixels
+        rat = b"".join(
+            struct.pack("bb", ax, ay) for ax, ay in _NOMINAL_REF_AT
+        )
     return (
         struct.pack(">IIII", region_w, region_h, 0, 0)
         + bytes([0])  # external combop OR
         + struct.pack(">H", flags)
+        + rat
         + struct.pack(">I", len(placements))
         + mq.flush()
     )
@@ -1915,6 +2384,60 @@ def encode_jbig2_text_page(
     if globals_split:
         return b"".join(dict_segs), page_seg + tr
     return page_seg + b"".join(dict_segs) + tr
+
+
+def encode_jbig2_refined_page(
+    base: np.ndarray, final: np.ndarray, template: int = 0,
+    tpgron: bool = False, box: tuple | None = None,
+) -> bytes:
+    """Fixture writer (r15): page info + an immediate lossless
+    generic region carrying ``base`` + an immediate refinement
+    region (type 42, external op REPLACE) that refines the page
+    content under ``box`` (default: the whole page) into
+    ``final``."""
+    bm0 = np.asarray(base, np.uint8)
+    bm1 = np.asarray(final, np.uint8)
+    h, w = bm0.shape
+    if bm1.shape != bm0.shape:
+        raise ValueError("encode_jbig2_refined_page: shape mismatch")
+    x0, y0, bw, bh = (0, 0, w, h) if box is None else box
+    body = encode_refinement_region(
+        bm1[y0 : y0 + bh, x0 : x0 + bw],
+        np.ascontiguousarray(bm0[y0 : y0 + bh, x0 : x0 + bw]),
+        0, 0, template, tpgron,
+    )
+    rflags = template | (2 if tpgron else 0)
+    rat = b""
+    if template == 0:
+        rat = b"".join(
+            struct.pack("bb", ax, ay) for ax, ay in _NOMINAL_REF_AT
+        )
+    refinement = (
+        struct.pack(">IIII", bw, bh, x0, y0)
+        + bytes([4])  # external combop REPLACE (conforming for
+                      # page refinement)
+        + bytes([rflags])
+        + rat
+        + body
+    )
+    gbody = encode_generic_region(bm0, 0, False)
+    gat = b"".join(
+        struct.pack("bb", ax, ay) for ax, ay in _NOMINAL_AT[0]
+    )
+    region = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + bytes([0]) + bytes([0]) + gat + gbody
+    )
+    page_info = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + bytes([0])
+        + struct.pack(">H", 0)
+    )
+    return (
+        _seg_header(0, 48, 1, page_info)
+        + _seg_header(1, 39, 1, region)
+        + _seg_header(2, 42, 1, refinement, refs=(1,))
+    )
 
 
 def encode_jbig2_generic(
