@@ -895,3 +895,77 @@ def test_grid_offsets_guards():
     _s.pack_into(">I", bad, at + 14, 56)      # XOsiz >= Xsiz
     with pytest.raises(ValueError, match="empty image region"):
         jpx.decode_jpx(bytes(bad))
+
+
+def test_precinct_roundtrips():
+    # r15 (VERDICT item 5): explicit precinct subdivision (Scod bit
+    # 0 + per-resolution PPx/PPy) — multiple packets per (layer,
+    # resolution, component), per-precinct tag trees, codeblocks
+    # clamped to the precinct (B.7)
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    for prec in ((6, 6), (5, 5), [(4, 4), (5, 5), (6, 6)]):
+        for prog in ("LRCP", "RLCP", "RPCL"):
+            blob = jpx.encode_jpx(
+                img, levels=2, precincts=prec, prog=prog
+            )
+            assert (jpx.decode_jpx(blob)["pixels"] == img).all(), (
+                prec, prog,
+            )
+    # codeblock larger than the precinct clamps (B.7)
+    blob = jpx.encode_jpx(img, levels=1, precincts=(4, 4),
+                          cb_exp=(6, 6))
+    assert (jpx.decode_jpx(blob)["pixels"] == img).all()
+    # layers + coder options + SOP/EPH + tile-parts + RGB + JP2
+    rgb = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    blob = jpx.encode_jpx(
+        rgb, levels=2, precincts=(5, 5), layers=3, cb_style=0x01,
+        sop=True, eph=True, tile_parts=2, jp2=True,
+    )
+    assert (jpx.decode_jpx(blob)["pixels"] == rgb).all()
+    # irreversible 9/7 composes
+    blob = jpx.encode_jpx(
+        img, levels=2, precincts=(5, 5), irreversible=True
+    )
+    out = jpx.decode_jpx(blob)["pixels"]
+    ref = jpx.decode_jpx(
+        jpx.encode_jpx(img, levels=2, irreversible=True)
+    )["pixels"]
+    # precincts change packet FRAMING only, never the coefficients:
+    # single-layer outputs are bit-identical to the unprecincted form
+    assert (out == ref).all()
+
+
+def test_precinct_guards():
+    import struct as _s
+
+    img = np.zeros((40, 56), np.uint8)
+    # envelope: tiling / offsets / subsampling stay named
+    with pytest.raises(ValueError, match="single-tile"):
+        jpx.encode_jpx(img, precincts=(5, 5), tile_size=(32, 32))
+    with pytest.raises(ValueError, match="single-tile"):
+        jpx.encode_jpx(img, precincts=(5, 5),
+                       offsets=(4, 4, 0, 0), levels=2)
+    # PCRL/CPRL with real subdivision is the named gap
+    with pytest.raises(NotImplementedError, match="PCRL"):
+        jpx.encode_jpx(img, levels=2, precincts=(4, 4),
+                       prog="PCRL")
+    # malformed: zero precinct exponent above resolution 0
+    blob = jpx.encode_jpx(img, levels=2, precincts=(5, 5))
+    at = blob.index(b"\xff\x52")
+    bad = bytearray(blob)
+    bad[at + 14 + 1] = 0  # resolution-1 byte -> PPx=PPy=0
+    with pytest.raises(ValueError, match="precinct exponent"):
+        jpx.decode_jpx(bytes(bad))
+    # COD shorter than its precinct list
+    lcod = _s.unpack_from(">H", blob, at + 2)[0]
+    bad = blob[: at + 2] + _s.pack(">H", lcod - 2) + blob[
+        at + 4 : at + 2 + lcod - 2
+    ] + blob[at + 2 + lcod :]
+    with pytest.raises(ValueError, match="precinct|COD"):
+        jpx.decode_jpx(bad)
+    # bad exponent at encode
+    with pytest.raises(ValueError, match="precinct exponents"):
+        jpx.encode_jpx(img, levels=1, precincts=[(5, 5), (0, 5)])
+    with pytest.raises(ValueError, match="per.*resolution"):
+        jpx.encode_jpx(img, levels=2, precincts=[(5, 5)])

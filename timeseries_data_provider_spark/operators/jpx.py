@@ -53,19 +53,31 @@ Tier-1 runs with the summed pass budget — so truncated layered
 streams, the essence of quality scalability, reconstruct
 correctly). Informational pointer segments (TLM/PLM/PLT, COM) are
 skipped per A.7 (r14 — a decoder may ignore them; Kakadu-class
-encoders emit TLM by default). Named NotImplementedError gaps
-(quarantine, never garbage — this list IS the raise-site ladder):
-tile dims not a multiple of 2^levels, COC/QCC/RGN/POC/PPM/PPT
-markers, precinct subdivision, sub-8-bit or signed or mixed-depth
+encoders emit TLM by default). IMAGE/TILE GRID OFFSETS
+(XOsiz/YOsiz/XTOsiz/YTOsiz — cropped/extracted codestreams) decode
+as of r15 where per-component tile origins are multiples of
+2^levels AND land on the codeblock partition (B.7 anchors blocks
+at canvas 0; the same condition now guards zero-offset tilings
+whose scaled origins straddle a block boundary — previously a
+silent tile-local/conforming divergence). EXPLICIT PRECINCTS
+(Scod bit 0 + per-resolution PPx/PPy — the Kakadu Cprecincts
+archival form) decode as of r15 on the single-tile zero-offset
+unsubsampled envelope: per-precinct packets and tag trees,
+codeblocks clamped to the precinct, LRCP/RLCP/RPCL position
+iteration. Named NotImplementedError gaps (quarantine, never
+garbage — this list IS the raise-site ladder): tile dims/origins
+off the 2^levels or codeblock grid, COC/QCC/RGN/POC/PPM/PPT
+markers, precincts composed with tiling/offsets/subsampling or
+PCRL/CPRL subdivision, sub-8-bit or signed or mixed-depth
 components (8..16-bit unsigned decode as of r14, >8-bit
 downconverting >>(depth-8), the TIFF rule), subsampled LUMA or
 subsampled-with-tiling or RCT-over-subsampled forms (CHROMA
 subsampling — 4:2:0/4:2:2, the camera JP2 form — decodes as of r14
 late with nearest upsampling before the ICT, a stated
-approximation), >3 or 2-component images, image/tile grid offsets,
-per-tile wavelet/MCT overrides (other per-tile COD/QCD overrides
-decode as of r14), JPP/JPT streams. QCD style 1 (scalar derived,
-E-5) decodes as of r14.
+approximation), >3 or 2-component images, per-tile wavelet/MCT
+overrides (other per-tile COD/QCD overrides decode as of r14),
+JPP/JPT streams. QCD style 1 (scalar derived, E-5) decodes as of
+r14.
 
 Validation posture, stated: no independent JPEG 2000 implementation
 exists in this container (the JDK has none). As of r14 the two
@@ -822,45 +834,94 @@ def _idwt53_2d(ll, lh, hl, hh):
 _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
 
-def _packet_order(prog: int, layers: int, n_res: int, n_comp: int):
-    """Packet iteration order for the five T.800 progressions with
-    MAXIMAL precincts (one precinct per resolution-component, so the
-    position dimension is a singleton and RPCL/PCRL collapse to
-    their layer/component permutations). The persistent-state packet
-    walk is order-agnostic as long as a block's layers arrive in
-    ascending order within its (resolution, component) — true for
+def _precinct_geometry(w: int, h: int, levels: int, precincts,
+                       cbw: int, cbh: int) -> list:
+    """Per-resolution precinct/codeblock geometry for one zero-
+    anchored tile-component (r15, T.800 B.6/B.7): a list indexed by
+    resolution r of dicts {npx, npy, pbw, pbh, cbw, cbh} — npx/npy
+    the precinct counts over the resolution-r grid, pbw/pbh the
+    precinct dims IN BAND coordinates (half the resolution-grid
+    size above r = 0), and cbw/cbh the EFFECTIVE codeblock dims
+    (clamped to the precinct per B.7). ``precincts`` is the COD
+    per-resolution (PPx, PPy) list, or None for the spec default
+    (15, 15) — under which every realistic band is one precinct and
+    the geometry degenerates to the pre-precinct walk."""
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    out = []
+    for r in range(levels + 1):
+        rw, rh = dims[levels - r]
+        ppx, ppy = (15, 15) if precincts is None else precincts[r]
+        shift = 1 if r else 0
+        pbw = 1 << max(ppx - shift, 0)
+        pbh = 1 << max(ppy - shift, 0)
+        out.append({
+            "npx": max(1, -(-rw // (1 << ppx))),
+            "npy": max(1, -(-rh // (1 << ppy))),
+            "pbw": pbw,
+            "pbh": pbh,
+            "cbw": min(cbw, pbw),
+            "cbh": min(cbh, pbh),
+        })
+    return out
+
+
+def _packet_order(prog: int, layers: int, n_res: int, n_comp: int,
+                  n_prec: list | None = None):
+    """Packet iteration order for the five T.800 progressions
+    (B.12), the position dimension iterating precincts in raster
+    order within each resolution (r15). ``n_prec[r]`` is the
+    precinct count at resolution r (all components share it — the
+    precinct envelope excludes subsampling); default singleton.
+    PCRL/CPRL interleave positions ACROSS resolutions by sample
+    coordinates, so they stay named when any resolution has more
+    than one precinct. The persistent-state packet walk is
+    order-agnostic as long as a block's layers arrive in ascending
+    order within its (resolution, component, precinct) — true for
     every progression (L is ascending in all five)."""
+    if n_prec is None:
+        n_prec = [1] * n_res
     if prog == 0:  # LRCP
         return [
-            (layer, r, ci)
+            (layer, r, ci, p)
             for layer in range(layers)
             for r in range(n_res)
             for ci in range(n_comp)
+            for p in range(n_prec[r])
         ]
     if prog == 1:  # RLCP
         return [
-            (layer, r, ci)
+            (layer, r, ci, p)
             for r in range(n_res)
             for layer in range(layers)
             for ci in range(n_comp)
+            for p in range(n_prec[r])
         ]
-    if prog == 2:  # RPCL (position singleton)
+    if prog == 2:  # RPCL
         return [
-            (layer, r, ci)
+            (layer, r, ci, p)
             for r in range(n_res)
+            for p in range(n_prec[r])
             for ci in range(n_comp)
             for layer in range(layers)
         ]
+    if any(n > 1 for n in n_prec):
+        raise NotImplementedError(
+            "jpx: PCRL/CPRL with explicit sub-band-size precincts "
+            "(position interleaves across resolutions)"
+        )
     if prog == 3:  # PCRL (position singleton)
         return [
-            (layer, r, ci)
+            (layer, r, ci, 0)
             for ci in range(n_comp)
             for r in range(n_res)
             for layer in range(layers)
         ]
     # prog == 4: CPRL
     return [
-        (layer, r, ci)
+        (layer, r, ci, 0)
         for ci in range(n_comp)
         for r in range(n_res)
         for layer in range(layers)
@@ -971,6 +1032,7 @@ def encode_jpx(
     depth: int = 8,
     subsampling: tuple[int, int] | None = None,
     offsets: tuple[int, int, int, int] | None = None,
+    precincts=None,
     _fixed_guard: int | None = None,
 ) -> bytes:
     """Write a lossless 5/3 JPEG 2000 codestream (or JP2 file when
@@ -1023,6 +1085,38 @@ def encode_jpx(
     if mct and gray:
         raise ValueError("encode_jpx: MCT needs 3 components")
     cbw, cbh = 1 << cb_exp[0], 1 << cb_exp[1]
+
+    prec_list = None
+    if precincts is not None:
+        # r15 (VERDICT item 5): explicit precinct sizes — a single
+        # (PPx, PPy) replicated per resolution, or one pair per
+        # resolution (levels + 1 entries); single-tile zero-offset
+        # unsubsampled form only (the decoder's envelope)
+        if tile_size is not None or offsets is not None or (
+            subsampling is not None
+        ):
+            raise ValueError(
+                "encode_jpx: precincts compose with the "
+                "single-tile zero-offset unsubsampled form only"
+            )
+        if isinstance(precincts, tuple) and len(precincts) == 2 \
+                and all(isinstance(v, int) for v in precincts):
+            prec_list = [precincts] * (levels + 1)
+        else:
+            prec_list = [tuple(pp) for pp in precincts]
+        if len(prec_list) != levels + 1:
+            raise ValueError(
+                "encode_jpx: precincts needs one (PPx, PPy) per "
+                "resolution"
+            )
+        for r, (ppx, ppy) in enumerate(prec_list):
+            if not (0 <= ppx <= 15 and 0 <= ppy <= 15) or (
+                r > 0 and (ppx == 0 or ppy == 0)
+            ):
+                raise ValueError(
+                    f"encode_jpx: precinct exponents {(ppx, ppy)} "
+                    f"at resolution {r}"
+                )
 
     xo = yo = xto = yto = 0
     if offsets is not None:
@@ -1351,6 +1445,7 @@ def encode_jpx(
         raise ValueError(f"encode_jpx: progression {prog!r}")
     prep: dict = {}
     grids: dict = {}
+    enc_geo = _precinct_geometry(w, h, levels, prec_list, cbw, cbh)
     for ci in range(n_comp):
         bands = per_comp_bands[ci]
         for key in (
@@ -1360,7 +1455,9 @@ def encode_jpx(
         ):
             arr = bands[key]
             bh_, bw_ = arr.shape
-            gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
+            cbw_e = enc_geo[key[0]]["cbw"]
+            cbh_e = enc_geo[key[0]]["cbh"]
+            gx, gy = _cb_grid(bw_, bh_, cbw_e, cbh_e)
             grids[(ci, key)] = (gx, gy)
             if gx == 0 or gy == 0:
                 continue
@@ -1370,8 +1467,8 @@ def encode_jpx(
             for by in range(gy):
                 for bx in range(gx):
                     sub = arr[
-                        by * cbh : (by + 1) * cbh,
-                        bx * cbw : (bx + 1) * cbw,
+                        by * cbh_e : (by + 1) * cbh_e,
+                        bx * cbw_e : (bx + 1) * cbw_e,
                     ]
                     mx = int(np.abs(sub).max()) if sub.size else 0
                     if mx == 0:
@@ -1467,16 +1564,18 @@ def encode_jpx(
                         "first": first_layer,
                     }
             prep[(ci, key)] = {
-                "incl": _TagTreeEnc(gx, gy, incl_leaf),
-                "zbp": _TagTreeEnc(gx, gy, zbp_leaf),
+                "leaf_incl": incl_leaf,
+                "leaf_zbp": zbp_leaf,
                 "blocks": blocks,
             }
 
     body = bytearray()
     n_packet = 0
     pkt_bounds: list[int] = []  # packet end offsets (tile-part cuts)
-    for layer, r, ci in _packet_order(
-        prog_id, layers, levels + 1, n_comp
+    enc_nprec = [g["npx"] * g["npy"] for g in enc_geo]
+    enc_trees: dict = {}
+    for layer, r, ci, pidx in _packet_order(
+        prog_id, layers, levels + 1, n_comp, enc_nprec
     ):
         if True:
             if True:
@@ -1484,10 +1583,31 @@ def encode_jpx(
                     keys = [(0, "LL")]
                 else:
                     keys = [(r, nm) for nm in ("HL", "LH", "HH")]
+                g_r = enc_geo[r]
+                cbw_e, cbh_e = g_r["cbw"], g_r["cbh"]
+                pj, pi = divmod(pidx, g_r["npx"])
+
+                def _prange(key):
+                    bh_, bw_ = per_comp_bands[ci][key].shape
+                    x0b = pi * g_r["pbw"]
+                    y0b = pj * g_r["pbh"]
+                    x1b = min(x0b + g_r["pbw"], bw_)
+                    y1b = min(y0b + g_r["pbh"], bh_)
+                    if x0b >= x1b or y0b >= y1b:
+                        return None
+                    bx0 = x0b // cbw_e
+                    by0 = y0b // cbh_e
+                    return (
+                        bx0, by0,
+                        -(-x1b // cbw_e) - bx0,
+                        -(-y1b // cbh_e) - by0,
+                    )
+
                 wr = _HdrWriter()
                 chunks = []
                 any_cb = any(
                     grids[(ci, k2)][0] and grids[(ci, k2)][1]
+                    and _prange(k2) is not None
                     for k2 in keys
                 )
                 if not any_cb:
@@ -1495,27 +1615,51 @@ def encode_jpx(
                 else:
                     wr.bit(1)
                     for key in keys:
-                        gx, gy = grids[(ci, key)]
-                        if gx == 0 or gy == 0:
+                        gx_f, gy_f = grids[(ci, key)]
+                        if gx_f == 0 or gy_f == 0:
                             continue
+                        rng = _prange(key)
+                        if rng is None:
+                            continue
+                        bx0, by0, gx, gy = rng
                         pp = prep[(ci, key)]
-                        for by in range(gy):
-                            for bx in range(gx):
+                        tk = (ci, key, pidx)
+                        if tk not in enc_trees:
+                            enc_trees[tk] = (
+                                _TagTreeEnc(
+                                    gx, gy,
+                                    pp["leaf_incl"][
+                                        by0 : by0 + gy,
+                                        bx0 : bx0 + gx,
+                                    ],
+                                ),
+                                _TagTreeEnc(
+                                    gx, gy,
+                                    pp["leaf_zbp"][
+                                        by0 : by0 + gy,
+                                        bx0 : bx0 + gx,
+                                    ],
+                                ),
+                            )
+                        incl_t, zbp_t = enc_trees[tk]
+                        for ly in range(gy):
+                            for lx in range(gx):
+                                by, bx = by0 + ly, bx0 + lx
                                 blk = pp["blocks"].get((by, bx))
                                 if blk is None or layer <= blk["first"]:
                                     # not yet included: the inclusion
                                     # tag tree speaks (and first
                                     # inclusion lands exactly when
                                     # the leaf value == layer)
-                                    pp["incl"].encode(
-                                        wr, bx, by, layer + 1
+                                    incl_t.encode(
+                                        wr, lx, ly, layer + 1
                                     )
                                     if blk is None or (
                                         layer < blk["first"]
                                     ):
                                         continue
-                                    pp["zbp"].encode(
-                                        wr, bx, by, 1 << 30
+                                    zbp_t.encode(
+                                        wr, lx, ly, 1 << 30
                                     )
                                 else:
                                     k, _d, _p = blk["per"][layer]
@@ -1581,10 +1725,15 @@ def encode_jpx(
         )
         for ci in range(n_comp)
     )
-    scod = (2 if sop else 0) | (4 if eph else 0)
+    scod = (2 if sop else 0) | (4 if eph else 0) | (
+        1 if prec_list is not None else 0
+    )
+    prec_bytes = b"" if prec_list is None else bytes(
+        ppx | (ppy << 4) for ppx, ppy in prec_list
+    )
     cod = struct.pack(
         ">HBBHBBBBBB",
-        12,
+        12 + len(prec_bytes),
         scod,
         prog_id,
         layers,
@@ -1594,7 +1743,7 @@ def encode_jpx(
         cb_exp[1] - 2,
         cb_style,  # coder options (bypass/reset/term/segmark, r14)
         0 if irreversible else 1,  # 9/7 vs 5/3
-    )
+    ) + prec_bytes
     n_sb = 3 * levels + 1
     if irreversible and qcd_style == 1:
         sqcd = bytes([(guard << 5) | 1])
@@ -1717,11 +1866,28 @@ def _parse_cod(cod: bytes) -> dict:
     if len(cod) < 12:
         raise ValueError(f"jpx: COD segment length {len(cod)}")
     scod = cod[2]
-    if scod & 1:
-        raise NotImplementedError("jpx: explicit precincts")
     prog, layers, mct, levels, cbe_w, cbe_h, cb_style, wavelet = (
         struct.unpack_from(">BHBBBBBB", cod, 3)
     )
+    precincts = None
+    if scod & 1:
+        # explicit precinct sizes (r15, T.800 A.6.1/B.6): one byte
+        # per resolution, PPx in the low nibble, PPy in the high
+        if len(cod) < 12 + levels + 1:
+            raise ValueError(
+                "jpx: COD shorter than its precinct-size list"
+            )
+        precincts = []
+        for r in range(levels + 1):
+            b = cod[12 + r]
+            ppx, ppy = b & 0x0F, b >> 4
+            if r > 0 and (ppx == 0 or ppy == 0):
+                # B.6: precincts at r > 0 must be >= 2 on the
+                # resolution grid (the band-level half)
+                raise ValueError(
+                    "jpx: zero precinct exponent above resolution 0"
+                )
+            precincts.append((ppx, ppy))
     if prog > 4:
         raise ValueError(f"jpx: progression order {prog}")
     if mct not in (0, 1):
@@ -1744,6 +1910,7 @@ def _parse_cod(cod: bytes) -> dict:
     return {
         "use_sop": bool(scod & 2),
         "use_eph": bool(scod & 4),
+        "precincts": precincts,
         "prog": prog,
         "layers": layers,
         "mct": mct,
@@ -2078,8 +2245,12 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
         # (the essence of quality scalability) decode correctly.
         trees: dict = {}
         cb: dict = {}
-        for layer, r, ci in _packet_order(
-            prog, layers, levels + 1, n_comp
+        geo = _precinct_geometry(
+            tw, th, levels, P.get("precincts"), cbw, cbh
+        )
+        n_prec = [g["npx"] * g["npy"] for g in geo]
+        for layer, r, ci, pidx in _packet_order(
+            prog, layers, levels + 1, n_comp, n_prec
         ):
             if True:
                 if True:
@@ -2092,34 +2263,51 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                         sbs = [(0, "LL")]
                     else:
                         sbs = [(r, nm) for nm in ("HL", "LH", "HH")]
+                    g_r = geo[r]
+                    cbw_e, cbh_e = g_r["cbw"], g_r["cbh"]
+                    pj, pi = divmod(pidx, g_r["npx"])
                     chunks = []
                     nonempty = rd.bit()
                     if nonempty:
                         for key in sbs:
                             arr = per_comp_bands[ci][key]
                             bh_, bw_ = arr.shape
-                            gx, gy = _cb_grid(bw_, bh_, cbw, cbh)
-                            if gx == 0 or gy == 0:
+                            # this precinct's rect in band coords
+                            # (precinct boundaries are multiples of
+                            # the effective codeblock size, so the
+                            # global cb grid restricts cleanly)
+                            x0b = pi * g_r["pbw"]
+                            y0b = pj * g_r["pbh"]
+                            x1b = min(x0b + g_r["pbw"], bw_)
+                            y1b = min(y0b + g_r["pbh"], bh_)
+                            if x0b >= x1b or y0b >= y1b:
                                 continue
-                            tk = (ci, key)
+                            bx0 = x0b // cbw_e
+                            by0 = y0b // cbh_e
+                            gx = -(-x1b // cbw_e) - bx0
+                            gy = -(-y1b // cbh_e) - by0
+                            if gx <= 0 or gy <= 0:
+                                continue
+                            tk = (ci, key, pidx)
                             if tk not in trees:
                                 trees[tk] = (
                                     _TagTreeDec(gx, gy),
                                     _TagTreeDec(gx, gy),
                                 )
                             incl_tt, zbp_tt = trees[tk]
-                            for by in range(gy):
-                                for bx in range(gx):
+                            for ly in range(gy):
+                                for lx in range(gx):
+                                    by, bx = by0 + ly, bx0 + lx
                                     bk = (ci, key, by, bx)
                                     st = cb.get(bk)
                                     if st is None:
                                         v = incl_tt.decode(
-                                            rd, bx, by, layer + 1
+                                            rd, lx, ly, layer + 1
                                         )
                                         if v > layer:
                                             continue
                                         zbp = zbp_tt.decode(
-                                            rd, bx, by, 1 << 30
+                                            rd, lx, ly, 1 << 30
                                         )
                                         np_ = mb_of[key] - zbp
                                         if np_ <= 0:
@@ -2132,6 +2320,8 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                                                 np_, cb_style
                                             )
                                         )
+                                        y0c = by * cbh_e
+                                        x0c = bx * cbw_e
                                         st = cb[bk] = {
                                             "np": np_,
                                             "passes": 0,
@@ -2141,6 +2331,14 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                                                 bytearray()
                                                 for _ in bounds
                                             ],
+                                            "y0": y0c,
+                                            "x0": x0c,
+                                            "sh": min(
+                                                cbh_e, bh_ - y0c
+                                            ),
+                                            "sw": min(
+                                                cbw_e, bw_ - x0c
+                                            ),
                                         }
                                     elif not rd.bit():
                                         continue
@@ -2197,10 +2395,8 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                         rd_at += ln
         for (ci, key, by, bx), st in cb.items():
             arr = per_comp_bands[ci][key]
-            bh_, bw_ = arr.shape
-            y0, x0 = by * cbh, bx * cbw
-            sh = min(cbh, bh_ - y0)
-            sw = min(cbw, bw_ - x0)
+            y0, x0 = st["y0"], st["x0"]
+            sh, sw = st["sh"], st["sw"]
             coeffs = _decode_codeblock(
                 st["segs"], sh, sw, key[1], st["np"],
                 n_passes=st["passes"], cb_style=cb_style,
@@ -2263,6 +2459,19 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                 if entry["cod"] is not None
                 else main_cod
             )
+            if P.get("precincts") is not None and (
+                tiles_x > 1 or tiles_y > 1 or subsampled
+                or xo or yo or xto or yto
+            ):
+                # r15: explicit precincts compose with the
+                # single-tile zero-offset unsubsampled form only —
+                # the precinct partition anchors at canvas 0, and
+                # this envelope is where that provably coincides
+                # with the zero-anchored geometry below
+                raise NotImplementedError(
+                    "jpx: precincts with tiling/offsets/"
+                    "subsampling"
+                )
             if P["irreversible"] != irreversible or (
                 P["mct"] != mct_f
             ):

@@ -3110,14 +3110,16 @@ def synth_scan_pdf_media(
       is codec-independent while all SIX decode ladders run);
     - page 2: gray8 gradient (id+x+y)%256 (the GIF/TIFF closed
       form) at (40+id%4) x (20+id%2), the CONTAINER rotating by
-      id%7 (r14, widened r15) — 1: lossless 5/3 JPEG 2000
+      id%8 (r14, widened r15) — 1: lossless 5/3 JPEG 2000
       codestream (/JPXDecode via operators/jpx, r13), 2: the JP2
       box form, 3: the arithmetic-coder-BYPASS form, 4: all four
       coder options + 2 quality layers, 5: two tile-parts +
       SOP/EPH + 3 layers, 6: non-zero grid offsets (r15, the
-      cropped-codestream form), else Flate raw — same pixels, so
-      the oracle's scan_px2 formula is codec-independent while the
-      EBCOT/DWT ladder runs on six sevenths of the corpus;
+      cropped-codestream form), 7: explicit precincts + 2 layers
+      (r15, the Kakadu Cprecincts archival form), else Flate raw —
+      same pixels, so the oracle's scan_px2 formula is
+      codec-independent while the EBCOT/DWT ladder runs on seven
+      eighths of the corpus;
     - page 3: the 216-entry web-safe RGB cube at index
       (7·id+x+3·y)%216, 24 x 12 — stored as an Indexed raster
       (even ids) or a /Separation over DeviceRGB through a SAMPLED
@@ -3160,7 +3162,8 @@ def synth_scan_pdf_media(
                     4: "jpx-opt",
                     5: "jpx-parts",
                     6: "jpx-offs",
-                }.get(i % 7, "gray8")
+                    7: "jpx-prec",
+                }.get(i % 8, "gray8")
                 p3_kind = "sep-cube" if i % 2 else "indexed"
                 out[id_col].append(i)
                 out["payload"].append(
@@ -3898,7 +3901,7 @@ def encode_scan_pdf(images: list) -> bytes:
             cs, bpc = "/DeviceCMYK", 8
         elif kind in (
             "jpx", "jpx-jp2", "jpx-bypass", "jpx-opt", "jpx-parts",
-            "jpx-offs",
+            "jpx-offs", "jpx-prec",
         ):
             # lossless 5/3 JPEG 2000 (r13) — bare codestream or the
             # JP2 box container, both legal under /JPXDecode. r14
@@ -3924,6 +3927,11 @@ def encode_scan_pdf(images: list) -> bytes:
                 # r15: non-zero image/tile grid offsets (T.800 B.1
                 # — the cropped-codestream form)
                 kw = {"offsets": (4, 8, 0, 0)}
+            elif kind == "jpx-prec":
+                # r15: explicit precinct subdivision (the Kakadu
+                # Cprecincts archival form) — small precincts force
+                # multiple packets per resolution
+                kw = {"precincts": (4, 4), "layers": 2}
             data = _jpx.encode_jpx(
                 px, levels=2, jp2=kind == "jpx-jp2", **kw
             )
