@@ -969,3 +969,21 @@ def test_precinct_guards():
         jpx.encode_jpx(img, levels=1, precincts=[(5, 5), (0, 5)])
     with pytest.raises(ValueError, match="per.*resolution"):
         jpx.encode_jpx(img, levels=2, precincts=[(5, 5)])
+
+
+def test_implicit_precinct_boundary_guard():
+    import struct as _s
+
+    # r15 review: the spec DEFAULT PPx=PPy=15 partition is also
+    # canvas-anchored — a tile/offset region straddling a 32768
+    # boundary carries more packets than the zero-anchored walk
+    # reads, so it must be loud, not silently desynced
+    img = np.zeros((16, 16), np.uint8)
+    blob = jpx.encode_jpx(img, levels=0)
+    at = blob.index(b"\xff\x51")
+    bad = bytearray(blob)
+    _s.pack_into(">I", bad, at + 6, 16 + 32760)   # Xsiz
+    _s.pack_into(">I", bad, at + 14, 32760)       # XOsiz (aligned)
+    _s.pack_into(">I", bad, at + 22, 16 + 32760)  # XTsiz covers
+    with pytest.raises(NotImplementedError, match="2\\^15"):
+        jpx.decode_jpx(bytes(bad))

@@ -537,9 +537,9 @@ def test_bfrange_and_array_forms():
     <0030> <D835DD38>
     endbfchar
     """
-    cmap, lengths = pdf._parse_tounicode(data)
+    cmap, lengths, cranges = pdf._parse_tounicode(data)
     assert lengths == [2]
-    dec = pdf._cmap_decoder(cmap, lengths)
+    dec = pdf._cmap_decoder(cmap, lengths, cranges)
     assert dec(bytes.fromhex("001000110012")) == "ABC"
     assert dec(bytes.fromhex("00200021")) == "Xff"
     assert dec(bytes.fromhex("0030")) == "\U0001d538"
@@ -861,3 +861,50 @@ def test_type0_predefined_cmap_names():
         b"/Encoding /UniJIS-UCS2-H", b"/Encoding /90pv-RKSJ-H"
     )
     assert pdf.extract_pdf(macd)["text"] == ""
+
+
+def test_cmap_hostile_shapes_and_codespace_framing():
+    # r15 review findings, all three verified by execution before
+    # the fix:
+    # (1) a zero-length codespace entry stalled the decode walk
+    #     (step 0 -> infinite loop on any unmapped byte)
+    m, ls, rg = pdf._parse_cid_cmap(
+        b"1 begincodespacerange <> <> endcodespacerange "
+        b"1 begincidchar <0041> 65 endcidchar"
+    )
+    d = pdf._cmap_decoder(m, ls, rg, conv=chr)
+    assert d(b"\x00A\x00B") == "A"  # terminates, frames by length
+    # (2) a range hi bound hex-coded wider than lo raised raw
+    #     OverflowError mid-extraction (both cid and bf forms)
+    m, ls, rg = pdf._parse_cid_cmap(
+        b"1 begincidrange <ff> <01ff> 0 endcidrange"
+    )
+    assert m == {}
+    m, ls, rg = pdf._parse_tounicode(
+        b"1 beginbfrange <ff> <01ff> <0041> endbfrange"
+    )
+    assert m == {}
+    # (3) an in-space UNMAPPED code must consume its own codespace
+    #     length — advancing by the shortest length desynced every
+    #     later code in mixed 1/2-byte CMaps (garbage text)
+    m, ls, rg = pdf._parse_cid_cmap(
+        b"2 begincodespacerange <00> <7f> <8140> <9fff> "
+        b"endcodespacerange "
+        b"1 begincidchar <8141> 100 endcidchar "
+        b"1 begincidchar <41> 65 endcidchar"
+    )
+    d = pdf._cmap_decoder(
+        m, ls, rg, conv=lambda c: {100: "X", 65: "A"}.get(c, "")
+    )
+    assert d(b"\x81\x41\x81\x50\x41") == "XA"
+    # end-to-end: a hostile embedded CMap inside a PDF neither hangs
+    # nor crashes extraction
+    blob = pdf.encode_pdf(
+        [["safe"]], cid=True, cid_tounicode=False,
+        cid_encoding="embedded",
+    )
+    evil = blob.replace(
+        b"1 begincodespacerange\n<0000> <ffff>",
+        b"2 begincodespacerange\n<> <>\n<0000> <ffff>",
+    )
+    assert pdf.extract_pdf(evil)["text"] == "safe"

@@ -2459,6 +2459,18 @@ def decode_jpx(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
                 if entry["cod"] is not None
                 else main_cod
             )
+            if (xs > (1 << 15) or ys > (1 << 15)) and (
+                tiles_x > 1 or tiles_y > 1 or xo or yo or xto or yto
+            ):
+                # r15 review: even WITHOUT Scod bit 0 the spec's
+                # default precinct partition (PPx = PPy = 15) is
+                # canvas-anchored — a tile/offset region straddling
+                # a 32768 boundary carries more packets than the
+                # zero-anchored walk below would read
+                raise NotImplementedError(
+                    "jpx: implicit 2^15 precinct partition spans a "
+                    "canvas boundary under tiling/offsets"
+                )
             if P.get("precincts") is not None and (
                 tiles_x > 1 or tiles_y > 1 or subsampled
                 or xo or yo or xto or yto

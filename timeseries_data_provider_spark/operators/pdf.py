@@ -1035,9 +1035,13 @@ def _glyph_to_char(name: str) -> str | None:
 def _parse_tounicode(data: bytes) -> tuple[dict[bytes, str], list[int]]:
     """Parse a /ToUnicode CMap stream (§9.10.3): returns (code->text
     map, sorted distinct code byte-lengths from the codespace ranges,
-    falling back to the lengths seen on bf entries). Values are
-    UTF-16BE (surrogate pairs and multi-char ligature targets both
-    decode)."""
+    falling back to the lengths seen on bf entries, codespace
+    (lo, hi) byte-ranges keyed by length). Values are UTF-16BE
+    (surrogate pairs and multi-char ligature targets both decode).
+    Hostile shapes stay inert (r15 review): zero-length codespace
+    entries are dropped (they would stall the walk) and ranges whose
+    hi bound overflows the lo bound's width are skipped (they would
+    raise OverflowError mid-extraction)."""
     toks = re.findall(
         rb"<[0-9A-Fa-f\s]*>|\[|\]|[A-Za-z]+|[-+]?\d+", data
     )
@@ -1053,13 +1057,22 @@ def _parse_tounicode(data: bytes) -> tuple[dict[bytes, str], list[int]]:
 
     cmap: dict[bytes, str] = {}
     lengths: set[int] = set()
+    ranges: dict[int, list] = {}
     i, n = 0, len(toks)
     while i < n:
         t = toks[i]
         if t == b"begincodespacerange":
             i += 1
             while i + 1 < n and toks[i].startswith(b"<"):
-                lengths.add(len(hexb(toks[i])))
+                lo = hexb(toks[i])
+                hi = (
+                    hexb(toks[i + 1])
+                    if toks[i + 1].startswith(b"<")
+                    else lo
+                )
+                if lo and len(hi) == len(lo) and lo <= hi:
+                    lengths.add(len(lo))
+                    ranges.setdefault(len(lo), []).append((lo, hi))
                 i += 2
         elif t == b"beginbfchar":
             i += 1
@@ -1077,7 +1090,10 @@ def _parse_tounicode(data: bytes) -> tuple[dict[bytes, str], list[int]]:
                 lo_i = int.from_bytes(lo, "big")
                 hi_i = int.from_bytes(hi, "big")
                 span = hi_i - lo_i
-                if span < 0 or span > 0xFFFF:
+                if (
+                    span < 0 or span > 0xFFFF or not lo
+                    or hi_i >= 256 ** len(lo)
+                ):
                     i += 3
                     continue
                 if dst == b"[":
@@ -1094,36 +1110,58 @@ def _parse_tounicode(data: bytes) -> tuple[dict[bytes, str], list[int]]:
                 if dst.startswith(b"<"):
                     base = hexb(dst)
                     base_i = int.from_bytes(base, "big")
-                    for k in range(span + 1):
-                        code = (lo_i + k).to_bytes(len(lo), "big")
-                        cmap[code] = u16(
-                            (base_i + k).to_bytes(len(base), "big")
-                        )
+                    if base and base_i + span < 256 ** len(base):
+                        for k in range(span + 1):
+                            code = (lo_i + k).to_bytes(
+                                len(lo), "big"
+                            )
+                            cmap[code] = u16(
+                                (base_i + k).to_bytes(
+                                    len(base), "big"
+                                )
+                            )
                 i += 3
         else:
             i += 1
     if not lengths:
-        lengths = {len(k) for k in cmap} or {1}
-    return cmap, sorted(lengths)
+        lengths = {len(k) for k in cmap if k} or {1}
+        ranges = {}
+    return cmap, sorted(lengths), ranges
 
 
-def _cmap_decoder(cmap: dict[bytes, str], lengths: list[int]):
-    """String-bytes -> text through a code map: at each position try
-    the codespace lengths shortest-first (ranges are prefix-free per
-    §9.7.6.2, so the greedy walk is exact); an in-space but unmapped
-    code advances without emitting (a glyph with no Unicode)."""
-    step = lengths[0]
+def _cmap_decoder(cmap: dict, lengths: list[int],
+                  ranges: dict | None = None, conv=None):
+    """String-bytes -> text through a code map: at each position the
+    code is framed by CODESPACE membership (§9.7.6.2/.3, r15 —
+    shortest length first; ranges are prefix-free so the greedy
+    walk is exact), so an in-space but unmapped code consumes its
+    OWN length without emitting (a glyph with no Unicode) instead
+    of desyncing every later code; out-of-space bytes advance by
+    the shortest length. Without codespace ranges (bf-entry-only
+    CMaps) membership falls back to map hits. ``conv`` turns
+    stored values into text (the embedded-CMap CID path)."""
+    step = max(lengths[0], 1)
 
     def dec(bs: bytes) -> str:
         out: list[str] = []
         p, n = 0, len(bs)
         while p < n:
             for ln in lengths:
-                piece = cmap.get(bs[p : p + ln])
-                if piece is not None:
-                    out.append(piece)
-                    p += ln
-                    break
+                piece = bs[p : p + ln]
+                if len(piece) < ln:
+                    continue
+                hit = cmap.get(piece)
+                if hit is None:
+                    if ranges is not None and any(
+                        lo <= piece <= hi
+                        for lo, hi in ranges.get(ln, ())
+                    ):
+                        p += ln  # in-space notdef: no text
+                        break
+                    continue
+                out.append(conv(hit) if conv is not None else hit)
+                p += ln
+                break
             else:
                 p += step
         return "".join(out)
@@ -1195,8 +1233,11 @@ def _parse_cid_cmap(data: bytes):
     """Embedded /Encoding CMap stream (§9.7.5.3, r15 — VERDICT r14
     item 1a): code bytes -> integer CID through codespacerange /
     cidrange / cidchar, the same tokenizer discipline as
-    _parse_tounicode. Streams composing another CMap via ``usecmap``
-    are not modeled: None -> no text, never garbage."""
+    _parse_tounicode (and the same r15 hostile-shape guards:
+    zero-length codespace entries dropped, width-overflowing range
+    bounds skipped). Returns (code -> CID map, sorted lengths,
+    codespace ranges by length). Streams composing another CMap via
+    ``usecmap`` are not modeled: None -> no text, never garbage."""
     if re.search(rb"usecmap\b", data):
         return None
     toks = re.findall(
@@ -1211,19 +1252,29 @@ def _parse_cid_cmap(data: bytes):
 
     cmap: dict[bytes, int] = {}
     lengths: set[int] = set()
+    ranges: dict[int, list] = {}
     i, n = 0, len(toks)
     while i < n:
         t = toks[i]
         if t == b"begincodespacerange":
             i += 1
             while i + 1 < n and toks[i].startswith(b"<"):
-                lengths.add(len(hexb(toks[i])))
+                lo = hexb(toks[i])
+                hi = (
+                    hexb(toks[i + 1])
+                    if toks[i + 1].startswith(b"<")
+                    else lo
+                )
+                if lo and len(hi) == len(lo) and lo <= hi:
+                    lengths.add(len(lo))
+                    ranges.setdefault(len(lo), []).append((lo, hi))
                 i += 2
         elif t == b"begincidchar":
             i += 1
             while i + 1 < n and toks[i].startswith(b"<"):
-                if re.fullmatch(rb"[-+]?\d+", toks[i + 1]):
-                    cmap[hexb(toks[i])] = int(toks[i + 1])
+                src2 = hexb(toks[i])
+                if src2 and re.fullmatch(rb"[-+]?\d+", toks[i + 1]):
+                    cmap[src2] = int(toks[i + 1])
                 i += 2
         elif t == b"begincidrange":
             i += 1
@@ -1235,7 +1286,9 @@ def _parse_cid_cmap(data: bytes):
                 hi_i = int.from_bytes(hi, "big")
                 span = hi_i - lo_i
                 if (
-                    0 <= span <= 0xFFFF
+                    lo
+                    and hi_i < 256 ** len(lo)
+                    and 0 <= span <= 0xFFFF
                     and re.fullmatch(rb"[-+]?\d+", dst)
                 ):
                     base = int(dst)
@@ -1247,8 +1300,9 @@ def _parse_cid_cmap(data: bytes):
         else:
             i += 1
     if not lengths:
-        lengths = {len(k) for k in cmap} or {2}
-    return cmap, sorted(lengths)
+        lengths = {len(k) for k in cmap if k} or {2}
+        ranges = {}
+    return cmap, sorted(lengths), ranges
 
 
 def _cid_text_fn(objs: dict, fd: dict):
@@ -1391,27 +1445,11 @@ def _type0_decoder(objs: dict, fd: dict):
         parsed = _parse_cid_cmap(data)
         if parsed is None or not parsed[0]:
             return None
-        cidmap, lengths = parsed
+        cidmap, lengths, cranges = parsed
         cid_text = _cid_text_fn(objs, fd)
         if cid_text is None:
             return None
-
-        def dec(bs: bytes, cm=cidmap, ls=lengths, ct=cid_text) -> str:
-            out: list[str] = []
-            p, n = 0, len(bs)
-            step = ls[0]
-            while p < n:
-                for ln in ls:
-                    cid = cm.get(bs[p : p + ln])
-                    if cid is not None:
-                        out.append(ct(cid))
-                        p += ln
-                        break
-                else:
-                    p += step
-            return "".join(out)
-
-        return dec
+        return _cmap_decoder(cidmap, lengths, cranges, conv=cid_text)
     enc = str(_resolve(objs, enc_raw) or "")
     if enc not in ("Identity-H", "Identity-V"):
         return _predefined_cmap_decoder(enc)
@@ -1456,9 +1494,11 @@ def _font_decoders(objs: dict, resources) -> dict[str, object]:
                 )
                 if target and target[1] is not None:
                     data = _decode_stream(objs, target[0], target[1])
-                    cmap, lengths = _parse_tounicode(data)
+                    cmap, lengths, cranges = _parse_tounicode(data)
                     if cmap:
-                        out[str(name)] = _cmap_decoder(cmap, lengths)
+                        out[str(name)] = _cmap_decoder(
+                            cmap, lengths, cranges
+                        )
                         continue
             if str(fd.get("Subtype")) == "Type0":
                 # no usable ToUnicode: recover through the embedded
