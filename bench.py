@@ -47,14 +47,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # lives in git).
 EXPLAINED_MOVES: dict[str, dict] = {
     "q64_corpus_signals": {
-        "round": 14,
-        "note": "r14: scan_px2's JPX rotation widens id%3 -> id%6 "
-        "(bypass / all-coder-options+layers / tile-parts forms — "
-        "pure-Python EBCOT now runs on 5/6 instead of 2/3 of page "
-        "2s), scan_px1 widens id%4 -> id%5 (the JBIG2 HUFFMAN "
-        "symbol-dict + text-region ladder), and the font plant "
-        "rotation widens to 7 arms (bare CID-keyed CFF under "
-        "Adobe-Japan1)",
+        "round": 15,
+        "note": "r15: the scored rotations widen again — scan_px1 "
+        "id%5 -> id%6 (a coarse generic region RESTORED by a "
+        "TPGRON refinement region: two pure-Python per-pixel MQ "
+        "walks per page, §C jbig2ref 157 pages/s vs plain 581), "
+        "scan_px2 id%6 -> id%8 (grid-offset and explicit-precinct "
+        "JPX forms), scan_px3 alternates Indexed vs Separation-"
+        "over-sampled-tint, and the font plant rotation widens to "
+        "9 arms (embedded-CMap /Encoding and UniJIS-UCS2-H); "
+        "net-of-noise the r15 local run still landed FASTER than "
+        "r14's (BENCH_r15_local.json 16.1 s vs 23.1 s — r14's "
+        "local number was window-inflated; the r14 driver artifact "
+        "read 16.8 s)",
     },
 }
 

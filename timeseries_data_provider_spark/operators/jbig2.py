@@ -20,10 +20,15 @@ runcode-built symbol-ID codes, MMR or uncompressed collective
 bitmaps; selecting an untranscribed standard table B.6-B.15 raises
 the named error), and the embedded segment stream PDF carries
 (segment headers, page info, immediate regions, page composition
-by OR/REPLACE, JBIG2Globals). Refinement/aggregation, halftone
-regions, non-nominal AT pixels, and unknown-length segments raise
-named NotImplementedErrors — those files route to a codec library,
-never to silent garbage.
+by OR/REPLACE, JBIG2Globals), and the REFINEMENT tier (r15 —
+generic refinement regions per §6.3 with both GRTEMPLATEs and
+TPGRON typical prediction, immediate refinement segments refining
+the page under their box, SDREFAGG dictionaries with
+REFAGGNINST = 1, and RI = 1 refined text instances). Aggregate
+coding (REFAGGNINST > 1), Huffman-coded refinement, intermediate
+regions, halftone regions, non-nominal generic AT pixels, and
+unknown-length segments raise named NotImplementedErrors — those
+files route to a codec library, never to silent garbage.
 
 Validation posture: the MMR path inherits the CCITT codec's
 independent JDK cross-validation; the MQ coder is pinned BYTE-EXACT
@@ -1033,7 +1038,7 @@ def _write_symcode_lengths(wr: _BitWriter, lengths: list[int]):
 # symbol dictionary (T.88 §6.5 / 7.4.3) and text region (§6.4 /
 # 7.4.4) — the ARITHMETIC path real scanner encoders (jbig2enc-
 # class) emit, plus (r14) the HUFFMAN path (SDHUFF/SBHUFF) of the
-# second encoder family; refinement/aggregation stays named.
+# second encoder family; r15 adds the refinement tier below.
 
 _MAX_SYMBOLS = 1 << 16
 _MAX_SYMBOL_DIM = 1 << 14
