@@ -291,42 +291,185 @@ _MAX_ARITH_PIXELS = 1 << 23
 _MAX_TEXT_INSTANCES = 1 << 20  # a dense page carries ~10^4 glyphs
 
 
+# Register geometry of the incremental context walk, derived from
+# _TEMPLATES: per template the (leftmost, rightmost) dx window each
+# row contributes, in the fixed row order (-2, -1, 0). The packed
+# context is (r2 << (n1 + n0)) | (r1 << n0) | r0 with each register's
+# MSB the window's LEFTMOST pixel — exactly the MSB-first figure
+# order _TEMPLATES lists, so the two formulations are bit-identical.
+_TMPL_REG = {
+    0: ((-2, 2), (-3, 3), (-4, -1)),
+    1: ((-1, 2), (-2, 3), (-3, -1)),
+    2: ((-1, 1), (-2, 2), (-2, -1)),
+    3: (None, (-3, 2), (-4, -1)),
+}
+
+
+def _ctx_grid(bm: np.ndarray, template: int) -> np.ndarray:
+    """Vectorized context values for EVERY pixel of a known bitmap
+    (encode side: the coder's own output never feeds back into a
+    template that only reads up/left pixels, so the whole grid is a
+    pure function of the bitmap)."""
+    h, w = bm.shape
+    cx = np.zeros((h, w), np.int32)
+    for dx, dy in _TEMPLATES[template]:
+        cx <<= 1
+        y0, y1 = max(0, -dy), min(h, h - dy)
+        x0, x1 = max(0, -dx), min(w, w - dx)
+        if y0 < y1 and x0 < x1:
+            cx[y0:y1, x0:x1] |= bm[y0 + dy:y1 + dy, x0 + dx:x1 + dx]
+    return cx
+
+
 def _run_generic(w: int, h: int, template: int, tpgdon: bool,
                  coder, bitmap=None):
     """Shared encode/decode walk of a generic region: identical
-    context formation on both sides. ``coder(cx, y, x) -> bit``
-    decodes-or-encodes one pixel; with ``bitmap`` given (encoding)
-    the walk feeds its bits, else it fills a fresh bitmap."""
-    tmpl = _TEMPLATES[template]
-    bm = np.zeros((h, w), np.uint8) if bitmap is None else bitmap
+    context formation on both sides (the packed register walk below
+    reproduces _TEMPLATES' MSB-first context bit-for-bit; the encode
+    side's vectorized grid is pinned to the same order). With
+    ``bitmap`` given (encoding) the walk feeds its bits through the
+    coder's MQ encoder, else it fills a fresh bitmap from the MQ
+    decoder."""
+    if bitmap is not None:
+        _run_generic_encode(w, h, template, tpgdon, coder, bitmap)
+        return bitmap
+    return _run_generic_decode(w, h, template, tpgdon, coder)
+
+
+def _run_generic_decode(w: int, h: int, template: int, tpgdon: bool,
+                        coder) -> np.ndarray:
+    mq, icx, mps = coder.mq, coder.icx, coder.mps
+    qe_tab = _QE
+    r2rng, r1rng, r0rng = _TMPL_REG[template]
+    n0 = r0rng[1] - r0rng[0] + 1
+    n1 = r1rng[1] - r1rng[0] + 1
+    n2 = 0 if r2rng is None else (r2rng[1] - r2rng[0] + 1)
+    s1 = n0
+    s2 = n0 + n1
+    m0, m1, m2 = (1 << n0) - 1, (1 << n1) - 1, (1 << n2) - 1
+    right1 = r1rng[1]
+    right2 = r2rng[1] if r2rng is not None else 0
+    o1, o2 = right1 + 1, right2 + 1
+    pad = 5
+    zrow = [0] * (w + pad)
+    rows: list[list[int]] = []
     ltp = 0
     for y in range(h):
         if tpgdon:
             ltp ^= coder.sltp(y, ltp)
             if ltp:
-                if bitmap is None and y > 0:
-                    bm[y] = bm[y - 1]
+                rows.append(rows[-1][:] if y > 0 else zrow[:])
                 continue
-        row = bm[y]
+        row1 = rows[y - 1] if y >= 1 else zrow
+        row2 = rows[y - 2] if y >= 2 else zrow
+        # registers at x = 0 (left-of-origin pixels read 0)
+        r0 = 0
+        r1 = 0
+        for cc in range(0, right1 + 1):
+            r1 |= row1[cc] << (right1 - cc)
+        r2 = 0
+        if n2:
+            for cc in range(0, right2 + 1):
+                r2 |= row2[cc] << (right2 - cc)
+        row = [0] * (w + pad)
+        # inlined MQ DECODE + RENORMD (T.88 E.3.2/E.3.4) over local
+        # state — BYTEIN stays the decoder's own method (rare), with
+        # the C register synced around each call
+        c = mq.c
+        a = mq.a
+        ct = mq.ct
         for x in range(w):
-            cx = 0
-            for dx, dy in tmpl:
-                yy, xx = y + dy, x + dx
-                cx <<= 1
-                # template pixels are strictly above or to the left,
-                # so in raster order they are always already decoded;
-                # out-of-bounds reads are 0 per the spec
-                if 0 <= yy < h and 0 <= xx < w:
-                    cx |= int(bm[yy, xx])
-            row[x] = coder.pixel(cx, y, x)
-    return bm
+            cx = (r2 << s2) | (r1 << s1) | r0
+            i = icx[cx]
+            qe, nmps, nlps, switch = qe_tab[i]
+            a -= qe
+            if ((c >> 16) & 0xFFFF) < qe:
+                # LPS-path exchange (E.3.2)
+                if a < qe:
+                    d = mps[cx]
+                    icx[cx] = nmps
+                else:
+                    d = 1 - mps[cx]
+                    if switch:
+                        mps[cx] = 1 - mps[cx]
+                    icx[cx] = nlps
+                a = qe
+                while True:
+                    if ct == 0:
+                        mq.c = c
+                        mq._bytein()
+                        c = mq.c
+                        ct = mq.ct
+                    a = (a << 1) & 0xFFFF
+                    c = (c << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a & 0x8000:
+                        break
+            else:
+                c = (c - (qe << 16)) & 0xFFFFFFFF
+                if a & 0x8000:
+                    d = mps[cx]
+                else:
+                    if a < qe:
+                        d = 1 - mps[cx]
+                        if switch:
+                            mps[cx] = 1 - mps[cx]
+                        icx[cx] = nlps
+                    else:
+                        d = mps[cx]
+                        icx[cx] = nmps
+                    while True:
+                        if ct == 0:
+                            mq.c = c
+                            mq._bytein()
+                            c = mq.c
+                            ct = mq.ct
+                        a = (a << 1) & 0xFFFF
+                        c = (c << 1) & 0xFFFFFFFF
+                        ct -= 1
+                        if a & 0x8000:
+                            break
+            if d:
+                row[x] = 1
+                r0 = ((r0 << 1) | 1) & m0
+            else:
+                r0 = (r0 << 1) & m0
+            r1 = ((r1 << 1) | row1[x + o1]) & m1
+            if n2:
+                r2 = ((r2 << 1) | row2[x + o2]) & m2
+        mq.c = c
+        mq.a = a
+        mq.ct = ct
+        rows.append(row)
+    if not rows:
+        return np.zeros((h, w), np.uint8)
+    return np.array(
+        [r[:w] for r in rows], np.uint8
+    ).reshape(h, w)
+
+
+def _run_generic_encode(w: int, h: int, template: int, tpgdon: bool,
+                        coder, bitmap: np.ndarray) -> None:
+    mq, icx, mps = coder.mq, coder.icx, coder.mps
+    qe_tab = _QE
+    cx_grid = _ctx_grid(np.asarray(bitmap, np.uint8), template)
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            ltp ^= coder.sltp(y, ltp)
+            if ltp:
+                continue
+        _mq_encode_seq(
+            mq, icx, mps, cx_grid[y].tolist(), bitmap[y].tolist(),
+            qe_tab,
+        )
 
 
 class _DecSide:
     def __init__(self, data: bytes, template: int):
         self.mq = MQDecoder(data)
-        self.icx = np.zeros(1 << 16, np.uint8)
-        self.mps = np.zeros(1 << 16, np.uint8)
+        self.icx = bytearray(1 << 16)
+        self.mps = bytearray(1 << 16)
         self.template = template
 
     def sltp(self, y: int, ltp: int) -> int:
@@ -342,8 +485,8 @@ class _EncSide:
     def __init__(self, bitmap: np.ndarray, template: int,
                  tpgdon: bool):
         self.mq = MQEncoder()
-        self.icx = np.zeros(1 << 16, np.uint8)
-        self.mps = np.zeros(1 << 16, np.uint8)
+        self.icx = bytearray(1 << 16)
+        self.mps = bytearray(1 << 16)
         self.template = template
         self.bitmap = bitmap
         self.tpgdon = tpgdon
@@ -408,8 +551,8 @@ class _IntCtx:
     callers size it to 2^(codelen+1), A.3)."""
 
     def __init__(self, size: int = 512):
-        self.icx = np.zeros(size, np.uint8)
-        self.mps = np.zeros(size, np.uint8)
+        self.icx = bytearray(size)
+        self.mps = bytearray(size)
 
 
 def _int_prev_next(prev: int, bit: int) -> int:
@@ -557,15 +700,260 @@ _NOMINAL_REF_AT = ((-1, -1), (-1, -1))
 _TPGR_CTX = {0: 0x0020, 1: 0x0008}
 
 
+def _shift_into(src: np.ndarray, h: int, w: int, dx_eff: int,
+                dy_eff: int) -> np.ndarray:
+    """(h, w) grid of src[y + dy_eff, x + dx_eff] with out-of-bounds
+    reads 0 — the vectorized form of a bounds-checked neighbor
+    fetch."""
+    out = np.zeros((h, w), np.int32)
+    sh, sw = src.shape
+    y0, y1 = max(0, -dy_eff), min(h, sh - dy_eff)
+    x0, x1 = max(0, -dx_eff), min(w, sw - dx_eff)
+    if y0 < y1 and x0 < x1:
+        out[y0:y1, x0:x1] = src[
+            y0 + dy_eff:y1 + dy_eff, x0 + dx_eff:x1 + dx_eff
+        ]
+    return out
+
+
 def _run_refinement(w: int, h: int, template: int, tpgron: bool,
                     ref: np.ndarray, dx: int, dy: int, coder,
                     at=_NOMINAL_REF_AT, bitmap=None):
     """Shared encode/decode walk of a generic refinement region:
     identical context formation on both sides (the _run_generic
-    discipline). ``coder.pixel(cx, y, x)`` codes one pixel;
-    ``coder.sltp(cx, y, ltp)`` codes the per-row typical-prediction
-    toggle. ``ref`` is indexed at (y - dy, x - dx); out-of-bounds
-    reads are 0."""
+    discipline). ``ref`` is indexed at (y - dy, x - dx);
+    out-of-bounds reads are 0.
+
+    The hot path (nominal AT) precomputes the reference-template
+    contribution and the 3x3 typicality sums as vectorized grids —
+    ``ref`` is fully known up front on both sides — leaving only the
+    coding-template pixels (previous row + current-row left, both
+    causal) to an incremental per-row walk; non-nominal AT falls back
+    to the per-pixel general walk with identical semantics."""
+    if tuple(map(tuple, at)) != _NOMINAL_REF_AT:
+        return _run_refinement_general(
+            w, h, template, tpgron, ref, dx, dy, coder, at=at,
+            bitmap=bitmap,
+        )
+    coding, reference = _REF_TEMPLATES[template]
+    if template == 0:
+        coding = coding + [tuple(at[0])]
+        reference = reference + [tuple(at[1])]
+    ref = np.asarray(ref, np.uint8)
+    # reference-part context contribution, every pixel, MSB-first in
+    # figure order (the low len(reference) bits of the context)
+    ref_part = np.zeros((h, w), np.int32)
+    for px_, py_ in reference:
+        ref_part <<= 1
+        ref_part |= _shift_into(ref, h, w, px_ - dx, py_ - dy)
+    # 3x3 typicality sums (TPGRON forced-value test, 6.3.5.6)
+    if tpgron:
+        ssum = np.zeros((h, w), np.int32)
+        for q in (-1, 0, 1):
+            for p in (-1, 0, 1):
+                ssum += _shift_into(ref, h, w, p - dx, q - dy)
+    mq, icx, mps = coder.mq, coder.icx, coder.mps
+    qe_tab = _QE
+    encode = bitmap is not None
+    tpgr_cx = _TPGR_CTX[template]
+    if encode:
+        bm = bitmap
+        bmu = np.asarray(bm, np.uint8)
+        # coding-part contribution vectorized too (the bitmap is
+        # fully known when encoding)
+        cod_part = np.zeros((h, w), np.int32)
+        for px_, py_ in coding:
+            cod_part <<= 1
+            cod_part |= _shift_into(bmu, h, w, px_, py_)
+        cx_grid = (cod_part << len(reference)) | ref_part
+        ltp = 0
+        for y in range(h):
+            if tpgron:
+                # a row may be flagged typical only when every
+                # uniformly-neighboured pixel already matches the
+                # forced value
+                srow = ssum[y]
+                brow = bmu[y]
+                safe = int(
+                    not (
+                        ((srow == 0) & (brow != 0)).any()
+                        or ((srow == 9) & (brow == 0)).any()
+                    )
+                )
+                bit = safe ^ ltp
+                mq.encode(icx, mps, tpgr_cx, bit)
+                ltp ^= bit
+                if ltp:
+                    cxs = cx_grid[y][
+                        (srow != 0) & (srow != 9)
+                    ].tolist()
+                    bits = brow[(srow != 0) & (srow != 9)].tolist()
+                else:
+                    cxs = cx_grid[y].tolist()
+                    bits = brow.tolist()
+            else:
+                cxs = cx_grid[y].tolist()
+                bits = bmu[y].tolist()
+            _mq_encode_seq(mq, icx, mps, cxs, bits, qe_tab)
+        return bm
+    # decode: previous-row coding pixels + the current-row left pixel
+    # feed an incremental register; everything else is precomputed
+    nref = len(reference)
+    rows: list[list[int]] = []
+    zrow = [0] * (w + 2)
+    ltp = 0
+    if template == 0:
+        sh_up, sh_upr, sh_left, sh_upl = 12, 11, 10, 9
+    else:
+        sh_upl, sh_up, sh_upr, sh_left = 9, 8, 7, 6
+    for y in range(h):
+        if tpgron:
+            ltp ^= mq.decode(icx, mps, tpgr_cx)
+        prev_p = rows[y - 1] if y >= 1 else zrow
+        rrow = ref_part[y].tolist()
+        srow = ssum[y].tolist() if (tpgron and ltp) else None
+        # prev_p[k] = bm[y-1][k-1] (one-left pad)
+        row = [0] * (w + 2)
+        c = mq.c
+        a = mq.a
+        ct = mq.ct
+        left = 0
+        for x in range(w):
+            if srow is not None:
+                s = srow[x]
+                if s == 0:
+                    left = 0
+                    continue
+                if s == 9:
+                    row[x + 1] = 1
+                    left = 1
+                    continue
+            cx = (
+                (prev_p[x + 1] << sh_up)
+                | (prev_p[x + 2] << sh_upr)
+                | (left << sh_left)
+                | (prev_p[x] << sh_upl)
+                | rrow[x]
+            )
+            i = icx[cx]
+            qe, nmps, nlps, switch = qe_tab[i]
+            a -= qe
+            if ((c >> 16) & 0xFFFF) < qe:
+                if a < qe:
+                    d = mps[cx]
+                    icx[cx] = nmps
+                else:
+                    d = 1 - mps[cx]
+                    if switch:
+                        mps[cx] = 1 - mps[cx]
+                    icx[cx] = nlps
+                a = qe
+                while True:
+                    if ct == 0:
+                        mq.c = c
+                        mq._bytein()
+                        c = mq.c
+                        ct = mq.ct
+                    a = (a << 1) & 0xFFFF
+                    c = (c << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a & 0x8000:
+                        break
+            else:
+                c = (c - (qe << 16)) & 0xFFFFFFFF
+                if a & 0x8000:
+                    d = mps[cx]
+                else:
+                    if a < qe:
+                        d = 1 - mps[cx]
+                        if switch:
+                            mps[cx] = 1 - mps[cx]
+                        icx[cx] = nlps
+                    else:
+                        d = mps[cx]
+                        icx[cx] = nmps
+                    while True:
+                        if ct == 0:
+                            mq.c = c
+                            mq._bytein()
+                            c = mq.c
+                            ct = mq.ct
+                        a = (a << 1) & 0xFFFF
+                        c = (c << 1) & 0xFFFFFFFF
+                        ct -= 1
+                        if a & 0x8000:
+                            break
+            if d:
+                row[x + 1] = 1
+                left = 1
+            else:
+                left = 0
+        mq.c = c
+        mq.a = a
+        mq.ct = ct
+        rows.append(row)
+    if not rows:
+        return np.zeros((h, w), np.uint8)
+    return np.array(
+        [r[1:w + 1] for r in rows], np.uint8
+    ).reshape(h, w)
+
+
+def _mq_encode_seq(mq: MQEncoder, icx, mps, cxs, bits,
+                   qe_tab=_QE) -> None:
+    """Encode a sequence of (context, bit) pairs through an inlined
+    CODEMPS/CODELPS + RENORME loop (E.3.3 — byte snapshots at the
+    exact CT-exhaustion instant, the H.2-pinned order); BYTEOUT stays
+    the encoder's method with C/CT synced around each call."""
+    c = mq.c
+    a = mq.a
+    ct = mq.ct
+    for cx, bit in zip(cxs, bits):
+        i = icx[cx]
+        qe, nmps, nlps, switch = qe_tab[i]
+        if bit == mps[cx]:  # CODEMPS
+            a -= qe
+            if a & 0x8000:
+                c += qe
+                continue
+            if a < qe:
+                a = qe
+            else:
+                c += qe
+            icx[cx] = nmps
+        else:  # CODELPS
+            a -= qe
+            if a < qe:
+                c += qe
+            else:
+                a = qe
+            if switch:
+                mps[cx] = 1 - mps[cx]
+            icx[cx] = nlps
+        while True:
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if ct == 0:
+                mq.c = c
+                mq.ct = ct
+                mq._byteout()
+                c = mq.c
+                ct = mq.ct
+            if a & 0x8000:
+                break
+    mq.c = c
+    mq.a = a
+    mq.ct = ct
+
+
+def _run_refinement_general(w: int, h: int, template: int,
+                            tpgron: bool, ref: np.ndarray, dx: int,
+                            dy: int, coder, at=_NOMINAL_REF_AT,
+                            bitmap=None):
+    """Per-pixel reference walk for NON-nominal adaptive pixels (the
+    A1 coding pixel may point anywhere causal, which the incremental
+    registers of the fast path cannot express)."""
     coding, reference = _REF_TEMPLATES[template]
     if template == 0:
         coding = coding + [tuple(at[0])]
@@ -676,8 +1064,8 @@ def decode_refinement_region(data: bytes, w: int, h: int,
     if template not in _REF_TEMPLATES:
         raise ValueError(f"jbig2: refinement template {template}")
     mq = MQDecoder(data)
-    icx = np.zeros(1 << 13, np.uint8)
-    mps = np.zeros(1 << 13, np.uint8)
+    icx = bytearray(1 << 13)
+    mps = bytearray(1 << 13)
     side = _SharedRefDecSide(mq, icx, mps)
     return _run_refinement(w, h, template, tpgron, ref, dx, dy, side,
                            at=at)
@@ -692,8 +1080,8 @@ def encode_refinement_region(bitmap: np.ndarray, ref: np.ndarray,
     bm = np.asarray(bitmap, np.uint8)
     h, w = bm.shape
     mq = MQEncoder()
-    icx = np.zeros(1 << 13, np.uint8)
-    mps = np.zeros(1 << 13, np.uint8)
+    icx = bytearray(1 << 13)
+    mps = bytearray(1 << 13)
     side = _SharedRefEncSide(mq, icx, mps, bm, ref, dx, dy)
     _run_refinement(w, h, template, tpgron, ref, dx, dy, side,
                     bitmap=bm)
@@ -1221,15 +1609,15 @@ def decode_symbol_dict(
             return t_ex.decode(rd)
     else:
         mq = MQDecoder(seg_data[pos:])
-        gb_icx = np.zeros(1 << 16, np.uint8)
-        gb_mps = np.zeros(1 << 16, np.uint8)
+        gb_icx = bytearray(1 << 16)
+        gb_mps = bytearray(1 << 16)
         iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
         if refagg:
             # refinement-coded symbols (6.5.8.2, r15): one GR
             # context set and the IAAI/IAID/IARDX/IARDY contexts
             # shared across the dictionary
-            gr_icx = np.zeros(1 << 13, np.uint8)
-            gr_mps = np.zeros(1 << 13, np.uint8)
+            gr_icx = bytearray(1 << 13)
+            gr_mps = bytearray(1 << 13)
             iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
             sdcodelen = max(0, (n_in + n_new - 1).bit_length())
             iaid = _IntCtx(1 << (sdcodelen + 1))
@@ -1479,8 +1867,8 @@ def decode_text_region(
             # GR context set shared across the region)
             iardw, iardh = _IntCtx(), _IntCtx()
             iardx2, iardy2 = _IntCtx(), _IntCtx()
-            gr_icx = np.zeros(1 << 13, np.uint8)
-            gr_mps = np.zeros(1 << 13, np.uint8)
+            gr_icx = bytearray(1 << 13)
+            gr_mps = bytearray(1 << 13)
 
     refined_px = [0]
 
@@ -1903,8 +2291,8 @@ def encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
     exporting ``symbols`` IN THE GIVEN ORDER (callers pre-sort into
     height classes; heights must be non-decreasing)."""
     mq = MQEncoder()
-    gb_icx = np.zeros(1 << 16, np.uint8)
-    gb_mps = np.zeros(1 << 16, np.uint8)
+    gb_icx = bytearray(1 << 16)
+    gb_mps = bytearray(1 << 16)
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
     hcheight = 0
     i = 0
@@ -1960,8 +2348,8 @@ def encode_symbol_dict_refagg(
     iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
     sdcodelen = max(0, (n_in + n_new - 1).bit_length())
     iaid = _IntCtx(1 << (sdcodelen + 1))
-    gr_icx = np.zeros(1 << 13, np.uint8)
-    gr_mps = np.zeros(1 << 13, np.uint8)
+    gr_icx = bytearray(1 << 13)
+    gr_mps = bytearray(1 << 13)
     done: list = []
     hcheight = 0
     i = 0
@@ -2070,8 +2458,8 @@ def encode_text_region(
     iari = _IntCtx()
     iardw, iardh = _IntCtx(), _IntCtx()
     iardx2, iardy2 = _IntCtx(), _IntCtx()
-    gr_icx = np.zeros(1 << 13, np.uint8)
-    gr_mps = np.zeros(1 << 13, np.uint8)
+    gr_icx = bytearray(1 << 13)
+    gr_mps = bytearray(1 << 13)
     encode_int(mq, iadt, 0)  # STRIPT starts at 0
     prev_key = 0
     firsts = 0

@@ -338,8 +338,8 @@ _N_CTX = 19
 
 
 def _fresh_ctx():
-    icx = np.zeros(_N_CTX, np.int32)
-    mps = np.zeros(_N_CTX, np.int32)
+    icx = bytearray(_N_CTX)
+    mps = bytearray(_N_CTX)
     # T.800 D.2: initial states — UNIFORM at 46, RL at 3, ZC[0] at 4
     icx[0] = 4
     icx[_CX_RL] = 3
@@ -347,19 +347,33 @@ def _fresh_ctx():
     return icx, mps
 
 
+# flat-list mirrors of the context tables for fast scalar indexing
+# (numpy scalar reads dominate a per-coefficient walk): ZC indexed
+# (hsum*3 + vsum)*5 + dsum, SC indexed (hc+1)*3 + (vc+1)
+_ZC_FLAT = {k: tuple(int(x) for x in v.reshape(-1))
+            for k, v in _ZC.items()}
+_SC_FLAT = tuple(
+    _SC[(hc1, vc1)] for hc1 in range(3) for vc1 in range(3)
+)
+
+
 class _Block:
     """Shared Tier-1 state for one codeblock: significance map,
-    magnitudes, signs, 'visited in this bitplane' flags."""
+    magnitudes, signs, 'visited in this bitplane' flags. State lives
+    in flat Python lists (padded (h+2) x (w+2) for sig/sgn) — the
+    per-coefficient pass walks index them ~10x per visit, and plain
+    list reads are several times cheaper than numpy scalar reads."""
 
     def __init__(self, h: int, w: int, orient: str):
         self.h, self.w = h, w
-        self.zc = _ZC[orient]
+        self.w2 = w + 2
+        self.zc = _ZC_FLAT[orient]
         self.orient = orient
-        self.sig = np.zeros((h + 2, w + 2), np.int8)  # padded
-        self.sgn = np.zeros((h + 2, w + 2), np.int8)  # -1/0/+1
-        self.mag = np.zeros((h, w), np.int64)
-        self.visited = np.zeros((h, w), bool)
-        self.refined = np.zeros((h, w), bool)
+        self.sig = [0] * ((h + 2) * (w + 2))  # padded, flat
+        self.sgn = [0] * ((h + 2) * (w + 2))  # -1/0/+1, padded, flat
+        self.mag = [0] * (h * w)
+        self.visited = bytearray(h * w)
+        self.refined = bytearray(h * w)
         # vertically-causal mode (r14, D.7): rows at/below this
         # floor are invisible to context formation; _t1_passes sets
         # it to the current stripe's bottom when the option is on
@@ -367,40 +381,42 @@ class _Block:
 
     def zc_ctx(self, y: int, x: int) -> int:
         s = self.sig
-        below = y + 1 < self.floor  # vertically-causal mask
-        hsum = int(s[y + 1, x]) + int(s[y + 1, x + 2])
-        vsum = int(s[y, x + 1]) + (
-            int(s[y + 2, x + 1]) if below else 0
-        )
-        dsum = int(s[y, x]) + int(s[y, x + 2])
-        if below:
-            dsum += int(s[y + 2, x]) + int(s[y + 2, x + 2])
-        return int(self.zc[hsum, vsum, dsum])
+        w2 = self.w2
+        p = (y + 1) * w2 + (x + 1)
+        hsum = s[p - 1] + s[p + 1]
+        if y + 1 < self.floor:  # vertically-causal mask
+            vsum = s[p - w2] + s[p + w2]
+            dsum = (s[p - w2 - 1] + s[p - w2 + 1]
+                    + s[p + w2 - 1] + s[p + w2 + 1])
+        else:
+            vsum = s[p - w2]
+            dsum = s[p - w2 - 1] + s[p - w2 + 1]
+        return self.zc[(hsum * 3 + vsum) * 5 + dsum]
 
     def sc_ctx(self, y: int, x: int):
         g = self.sgn
-        hc = int(g[y + 1, x]) + int(g[y + 1, x + 2])
-        vc = int(g[y, x + 1]) + (
-            int(g[y + 2, x + 1]) if y + 1 < self.floor else 0
+        w2 = self.w2
+        p = (y + 1) * w2 + (x + 1)
+        hc = g[p - 1] + g[p + 1]
+        vc = g[p - w2] + (
+            g[p + w2] if y + 1 < self.floor else 0
         )
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
-        return _SC[(hc + 1, vc + 1)]
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+        return _SC_FLAT[(hc + 1) * 3 + (vc + 1)]
 
     def mr_ctx(self, y: int, x: int) -> int:
-        if self.refined[y, x]:
+        if self.refined[y * self.w + x]:
             return 16
         s = self.sig
+        w2 = self.w2
+        p = (y + 1) * w2 + (x + 1)
         any_n = (
-            int(s[y + 1, x]) + int(s[y + 1, x + 2])
-            + int(s[y, x + 1])
-            + int(s[y, x]) + int(s[y, x + 2])
+            s[p - 1] + s[p + 1] + s[p - w2]
+            + s[p - w2 - 1] + s[p - w2 + 1]
         )
         if y + 1 < self.floor:
-            any_n += (
-                int(s[y + 2, x + 1])
-                + int(s[y + 2, x]) + int(s[y + 2, x + 2])
-            )
+            any_n += s[p + w2] + s[p + w2 - 1] + s[p + w2 + 1]
         return 15 if any_n else 14
 
     def prefer(self, y: int, x: int) -> bool:
@@ -430,6 +446,9 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
     the end of every cleanup pass and the decode side verifies it."""
     h, w = blk.h, blk.w
     bit_val = 1 << plane
+    sig, sgn, mag = blk.sig, blk.sgn, blk.mag
+    visited = blk.visited
+    w2 = blk.w2
 
     def code(cx, truth):
         if raw:
@@ -463,56 +482,69 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                     sgn_truth = 0
                 sbit = code(scx, sgn_truth)
                 neg = (sbit ^ xor) == 1
-            blk.sig[y + 1, x + 1] = 1
-            blk.sgn[y + 1, x + 1] = -1 if neg else 1
-            blk.mag[y, x] = bit_val
+            p = (y + 1) * w2 + (x + 1)
+            sig[p] = 1
+            sgn[p] = -1 if neg else 1
+            mag[y * w + x] = bit_val
         return became
 
     # pass 1: significance propagation
     for y0 in (range(0, h, 4) if "SP" in which else ()):
         blk.floor = y0 + 4 if causal else 1 << 30
+        y1 = min(y0 + 4, h)
         for x in range(w):
-            for y in range(y0, min(y0 + 4, h)):
-                if blk.sig[y + 1, x + 1] or blk.zc_ctx(y, x) == 0:
-                    continue
-                sig_code(y, x)
-                blk.visited[y, x] = True
+            p = (y0 + 1) * w2 + (x + 1)
+            q = y0 * w + x
+            for y in range(y0, y1):
+                if not sig[p] and (
+                    sig[p - 1] or sig[p + 1] or sig[p - w2]
+                    or sig[p + w2] or sig[p - w2 - 1]
+                    or sig[p - w2 + 1] or sig[p + w2 - 1]
+                    or sig[p + w2 + 1]
+                ) and blk.zc_ctx(y, x) != 0:
+                    sig_code(y, x)
+                    visited[q] = 1
+                p += w2
+                q += w
 
     # pass 2: magnitude refinement
     for y0 in (range(0, h, 4) if "MR" in which else ()):
         blk.floor = y0 + 4 if causal else 1 << 30
+        y1 = min(y0 + 4, h)
         for x in range(w):
-            for y in range(y0, min(y0 + 4, h)):
-                if not blk.sig[y + 1, x + 1] or blk.visited[y, x]:
-                    continue
-                if blk.mag[y, x] == bit_val:
-                    # became significant in THIS plane: not refined
-                    continue
-                cx = blk.mr_ctx(y, x)
-                truth = (
-                    1 if (encode and get_bit(y, x, plane)) else 0
-                )
-                b = code(cx, truth)
-                if b:
-                    blk.mag[y, x] |= bit_val
-                blk.refined[y, x] = True
-                blk.visited[y, x] = True
+            p = (y0 + 1) * w2 + (x + 1)
+            q = y0 * w + x
+            for y in range(y0, y1):
+                if sig[p] and not visited[q] and mag[q] != bit_val:
+                    cx = blk.mr_ctx(y, x)
+                    truth = (
+                        1 if (encode and get_bit(y, x, plane)) else 0
+                    )
+                    b = code(cx, truth)
+                    if b:
+                        mag[q] |= bit_val
+                    blk.refined[q] = 1
+                    visited[q] = 1
+                p += w2
+                q += w
 
     # pass 3: cleanup (with run-length shortcut)
     for y0 in (range(0, h, 4) if "CU" in which else ()):
         blk.floor = y0 + 4 if causal else 1 << 30
+        strip_h = min(4, h - y0)
         for x in range(w):
             y = y0
-            strip_h = min(4, h - y0)
             # run-length mode: whole 4-strip insignificant with all
             # zero contexts and nothing visited
             if (
                 strip_h == 4
-                and all(
-                    not blk.sig[y0 + k + 1, x + 1]
-                    and not blk.visited[y0 + k, x]
-                    and blk.zc_ctx(y0 + k, x) == 0
+                and not any(
+                    sig[(y0 + k + 1) * w2 + (x + 1)]
+                    or visited[(y0 + k) * w + x]
                     for k in range(4)
+                )
+                and all(
+                    blk.zc_ctx(y0 + k, x) == 0 for k in range(4)
                 )
             ):
                 if encode:
@@ -548,12 +580,13 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
                 )
                 sbit = code(scx, sgn_truth)
                 neg = (sbit ^ xor) == 1
-                blk.sig[yy + 1, x + 1] = 1
-                blk.sgn[yy + 1, x + 1] = -1 if neg else 1
-                blk.mag[yy, x] = bit_val
+                p = (yy + 1) * w2 + (x + 1)
+                sig[p] = 1
+                sgn[p] = -1 if neg else 1
+                mag[yy * w + x] = bit_val
                 y = yy + 1
             for y in range(y, y0 + strip_h):
-                if blk.visited[y, x] or blk.sig[y + 1, x + 1]:
+                if visited[y * w + x] or sig[(y + 1) * w2 + (x + 1)]:
                     continue
                 sig_code(y, x)
     if "CU" in which:
@@ -570,7 +603,7 @@ def _t1_passes(blk: _Block, plane: int, mq, icx, mps, encode: bool,
         # the plane is complete: clear the membership marks (when a
         # truncated block never reaches its cleanup pass nothing
         # after it reads them, so per-pass invocation stays correct)
-        blk.visited[:] = False
+        visited[:] = bytes(len(visited))
 
 
 def _pass_plan(n_planes: int, cb_style: int):
@@ -650,9 +683,9 @@ def _decode_codeblock(
             raw=raw, segmark=segmark, causal=causal,
         )
         budget -= 1
-    return blk.mag * np.where(
-        blk.sgn[1:-1, 1:-1] < 0, -1, 1
-    ).astype(np.int64)
+    mag = np.array(blk.mag, np.int64).reshape(h, w)
+    sgn = np.array(blk.sgn, np.int8).reshape(h + 2, w + 2)[1:-1, 1:-1]
+    return mag * np.where(sgn < 0, -1, 1).astype(np.int64)
 
 
 def _encode_codeblock(
@@ -673,14 +706,14 @@ def _encode_codeblock(
     icx, mps = _fresh_ctx()
     h, w = coeffs.shape
     blk = _Block(h, w, orient)
-    mags = np.abs(coeffs.astype(np.int64))
-    signs = np.sign(coeffs.astype(np.int64))
+    mags = np.abs(coeffs.astype(np.int64)).tolist()
+    signs_nonneg = (coeffs >= 0).tolist()
 
     def get_bit(y, x, plane):
-        return (int(mags[y, x]) >> plane) & 1
+        return (mags[y][x] >> plane) & 1
 
     def get_sign(y, x):
-        return 1 if signs[y, x] >= 0 else -1
+        return 1 if signs_nonneg[y][x] else -1
 
     marks = []
     seg_byte_ends = []
@@ -724,108 +757,81 @@ def _encode_codeblock(
 # 5/3 reversible DWT (T.800 Annex F), whole-sample symmetric extension
 
 
-def _idwt53_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
-    n = len(low) + len(high)
-    x = np.zeros(n, np.int64)
-    nl, nh = len(low), len(high)
-
-    def yl(i):
-        i = max(0, min(nl - 1, i))
-        return int(low[i])
-
-    def yh(i):
-        if nh == 0:
-            return 0
-        i = max(0, min(nh - 1, i))
-        return int(high[i])
-
-    for i in range(nl):
-        x[2 * i] = yl(i) - ((yh(i - 1) + yh(i) + 2) >> 2)
-
-    def xe(i):
-        # even samples with symmetric extension over the signal
-        i = max(0, min(n - 1, i))
-        if i % 2:
-            i = i - 1 if i > 0 else i + 1
-        return int(x[i])
-
-    for i in range(nh):
-        lo = x[2 * i]
-        hi_idx = 2 * i + 2
-        if hi_idx >= n:
-            hi_idx = 2 * i  # symmetric: reuse the last even sample
-        x[2 * i + 1] = yh(i) + ((int(lo) + int(x[hi_idx])) >> 1)
-    return x
-
-
-def _fdwt53_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    n = len(x)
-    x = x.astype(np.int64)
-    nl = (n + 1) // 2
-    nh = n // 2
-
-    def xv(i):
-        # whole-sample symmetric extension
-        if i < 0:
-            i = -i
-        if i >= n:
-            i = 2 * n - 2 - i
-        return int(x[i])
-
-    high = np.zeros(nh, np.int64)
-    for i in range(nh):
-        high[i] = xv(2 * i + 1) - ((xv(2 * i) + xv(2 * i + 2)) >> 1)
-
-    def hv(i):
-        # extension on the high grid: h(-1) = h(0), h(nh) = h(nh-1)
-        # (derived from whole-sample symmetric extension of x)
-        if nh == 0:
-            return 0
-        i = max(0, min(nh - 1, i))
-        return int(high[i])
-
-    low = np.zeros(nl, np.int64)
-    for i in range(nl):
-        low[i] = xv(2 * i) + ((hv(i - 1) + hv(i) + 2) >> 2)
+def _fdwt53(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batched 5/3 analysis along the LAST axis (whole-sample
+    symmetric extension). Each 1-D lifting step is elementwise over
+    the opposite-parity samples, so a 2-D batch of rows vectorizes
+    exactly: high[i] = x[2i+1] - ((x[2i] + x[2i+2]) >> 1),
+    low[i] = x[2i] + ((h[i-1] + h[i] + 2) >> 2), with the extension
+    folded into clipped neighbor indices (h(-1)=h(0), h(nh)=h(nh-1);
+    x(n)=x(n-2) when n is even)."""
+    x = np.asarray(x, np.int64)
+    n = x.shape[-1]
+    e = x[..., 0::2]
+    o = x[..., 1::2]
+    nl, nh = e.shape[-1], o.shape[-1]
+    if nh == 0:
+        return e.copy(), o.copy()
+    if n % 2 == 0:
+        e_next = np.concatenate([e[..., 1:], e[..., -1:]], axis=-1)
+    else:
+        e_next = e[..., 1:]
+    high = o - ((e[..., :nh] + e_next) >> 1)
+    idx1 = np.clip(np.arange(nl) - 1, 0, nh - 1)
+    idx2 = np.clip(np.arange(nl), 0, nh - 1)
+    low = e + ((high[..., idx1] + high[..., idx2] + 2) >> 2)
     return low, high
 
 
+def _idwt53(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    """Batched 5/3 synthesis along the LAST axis — the exact inverse
+    of _fdwt53 (same clipped-index extension)."""
+    low = np.asarray(low, np.int64)
+    high = np.asarray(high, np.int64)
+    nl, nh = low.shape[-1], high.shape[-1]
+    n = nl + nh
+    if nh == 0:
+        return low.copy()
+    idx1 = np.clip(np.arange(nl) - 1, 0, nh - 1)
+    idx2 = np.clip(np.arange(nl), 0, nh - 1)
+    even = low - ((high[..., idx1] + high[..., idx2] + 2) >> 2)
+    if n % 2 == 0:
+        even_next = np.concatenate(
+            [even[..., 1:], even[..., -1:]], axis=-1
+        )
+    else:
+        even_next = even[..., 1:]
+    odd = high + ((even[..., :nh] + even_next) >> 1)
+    out = np.empty(low.shape[:-1] + (n,), np.int64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def _idwt53_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    return _idwt53(np.asarray(low), np.asarray(high))
+
+
+def _fdwt53_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return _fdwt53(np.asarray(x))
+
+
 def _fdwt53_2d(a: np.ndarray):
-    """One level: returns (LL, HL, LH, HH)."""
-    h, w = a.shape
-    lo_cols = np.zeros(((h + 1) // 2, w), np.int64)
-    hi_cols = np.zeros((h // 2, w), np.int64)
-    for c in range(w):
-        lo, hi = _fdwt53_1d(a[:, c])
-        lo_cols[:, c] = lo
-        hi_cols[:, c] = hi
-    out = {}
-    for name, rows in (("L", lo_cols), ("H", hi_cols)):
-        ll = np.zeros((rows.shape[0], (w + 1) // 2), np.int64)
-        hh = np.zeros((rows.shape[0], w // 2), np.int64)
-        for r in range(rows.shape[0]):
-            lo, hi = _fdwt53_1d(rows[r])
-            ll[r] = lo
-            hh[r] = hi
-        out[name + "L"], out[name + "H"] = ll, hh
-    return out["LL"], out["LH"], out["HL"], out["HH"]
+    """One level: returns (LL, LH, HL, HH) — LH is the horizontally
+    high-pass band of the LOW rows (the _idwt53_2d naming note)."""
+    lo_cols, hi_cols = _fdwt53(np.asarray(a, np.int64).T)
+    lo_cols, hi_cols = lo_cols.T, hi_cols.T
+    ll, lh = _fdwt53(lo_cols)
+    hl, hh = _fdwt53(hi_cols)
+    return ll, lh, hl, hh
 
 
 def _idwt53_2d(ll, lh, hl, hh):
     # NOTE naming: lh here = horizontally high-pass of the LOW row
     # band (matches _fdwt53_2d's outputs)
-    top_h = ll.shape[0] + hl.shape[0]
-    out_w = ll.shape[1] + lh.shape[1]
-    rows_l = np.zeros((ll.shape[0], out_w), np.int64)
-    for r in range(ll.shape[0]):
-        rows_l[r] = _idwt53_1d(ll[r], lh[r])
-    rows_h = np.zeros((hl.shape[0], out_w), np.int64)
-    for r in range(hl.shape[0]):
-        rows_h[r] = _idwt53_1d(hl[r], hh[r])
-    out = np.zeros((top_h, out_w), np.int64)
-    for c in range(out_w):
-        out[:, c] = _idwt53_1d(rows_l[:, c], rows_h[:, c])
-    return out
+    rows_l = _idwt53(ll, lh)
+    rows_h = _idwt53(hl, hh)
+    return _idwt53(rows_l.T, rows_h.T).T
 
 
 # ---------------------------------------------------------------------------
@@ -2633,122 +2639,95 @@ _D97 = 0.443506852043971
 _K97 = 1.230174104914001
 
 
+def _97_odd_neighbors(e: np.ndarray, n: int) -> np.ndarray:
+    """For an odd-sample lifting step: elementwise e(i-1) + e(i+1)
+    over the even snapshot, with whole-sample symmetric extension
+    (e(n) reflects to e(n-2) when n is even). Each output element is
+    one float add — the same operand order as the scalar loop."""
+    nh = n // 2
+    if n % 2 == 0:
+        e_next = np.concatenate([e[..., 1:], e[..., -1:]], axis=-1)
+    else:
+        e_next = e[..., 1:]
+    return e[..., :nh] + e_next
+
+
+def _97_even_neighbors(o: np.ndarray, nl: int) -> np.ndarray:
+    """For an even-sample lifting step: elementwise o(i-1) + o(i+1)
+    over the odd snapshot with the reflection folded into clipped
+    indices (o(-1) = o(0); o(nh) = o(nh-1) when n is odd)."""
+    nh = o.shape[-1]
+    idx_l = np.clip(np.arange(nl) - 1, 0, nh - 1)
+    idx_r = np.clip(np.arange(nl), 0, nh - 1)
+    return o[..., idx_l] + o[..., idx_r]
+
+
+def _fdwt97(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batched 9/7 analysis along the LAST axis. Each lifting step
+    writes one parity reading only the opposite parity's snapshot, so
+    the vectorized form performs the identical float operations per
+    element as the per-sample loop (prev[i] + coef * (e(i-1)+e(i+1)))
+    — bit-exact, not merely close."""
+    x = np.asarray(x, np.float64)
+    n = x.shape[-1]
+    e = x[..., 0::2].copy()
+    o = x[..., 1::2].copy()
+    if o.shape[-1] == 0:
+        return e, o
+    nl = e.shape[-1]
+    o = o + _A97 * _97_odd_neighbors(e, n)
+    e = e + _B97 * _97_even_neighbors(o, nl)
+    o = o + _G97 * _97_odd_neighbors(e, n)
+    e = e + _D97 * _97_even_neighbors(o, nl)
+    return e * (1.0 / _K97), o * (2.0 / _K97)
+
+
+def _idwt97(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    """Batched 9/7 synthesis along the LAST axis — the elementwise
+    inverse lifting ladder of _fdwt97."""
+    low = np.asarray(low, np.float64)
+    high = np.asarray(high, np.float64)
+    nl, nh = low.shape[-1], high.shape[-1]
+    n = nl + nh
+    e = low * _K97
+    o = high * (_K97 / 2.0)
+    if nh == 0:
+        if n == 1:
+            return low.astype(np.float64).copy()
+        return e
+    e = e - _D97 * _97_even_neighbors(o, nl)
+    o = o - _G97 * _97_odd_neighbors(e, n)
+    e = e - _B97 * _97_even_neighbors(o, nl)
+    o = o - _A97 * _97_odd_neighbors(e, n)
+    out = np.empty(low.shape[:-1] + (n,), np.float64)
+    out[..., 0::2] = e
+    out[..., 1::2] = o
+    return out
+
+
 def _fdwt97_1d(x: np.ndarray):
-    n = len(x)
-    if n == 1:
+    x = np.asarray(x)
+    if x.shape[-1] == 1:
         return x.astype(np.float64).copy(), np.zeros(0, np.float64)
-    y = x.astype(np.float64).copy()
-
-    def ext(i):
-        if i < 0:
-            i = -i
-        if i >= n:
-            i = 2 * n - 2 - i
-        return y[i]
-
-    for a in (_A97, _G97):  # predict steps on odd samples
-        prev = y.copy()
-
-        def e(i, prev=prev):
-            if i < 0:
-                i = -i
-            if i >= n:
-                i = 2 * n - 2 - i
-            return prev[i]
-
-        for i in range(1, n, 2):
-            y[i] = prev[i] + a * (e(i - 1) + e(i + 1))
-        if a == _A97:
-            # update step beta on even samples
-            prev2 = y.copy()
-
-            def e2(i, prev2=prev2):
-                if i < 0:
-                    i = -i
-                if i >= n:
-                    i = 2 * n - 2 - i
-                return prev2[i]
-
-            for i in range(0, n, 2):
-                y[i] = prev2[i] + _B97 * (e2(i - 1) + e2(i + 1))
-        else:
-            prev2 = y.copy()
-
-            def e2(i, prev2=prev2):
-                if i < 0:
-                    i = -i
-                if i >= n:
-                    i = 2 * n - 2 - i
-                return prev2[i]
-
-            for i in range(0, n, 2):
-                y[i] = prev2[i] + _D97 * (e2(i - 1) + e2(i + 1))
-    low = y[0::2] * (1.0 / _K97)
-    high = y[1::2] * (2.0 / _K97)
-    return low, high
+    return _fdwt97(x)
 
 
 def _idwt97_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
-    n = len(low) + len(high)
-    if n == 1:
-        return low.astype(np.float64).copy()
-    y = np.zeros(n, np.float64)
-    y[0::2] = np.asarray(low, np.float64) * _K97
-    y[1::2] = np.asarray(high, np.float64) * (_K97 / 2.0)
-
-    def steps(pairs):
-        for coef, parity in pairs:
-            prev = y.copy()
-
-            def e(i, prev=prev):
-                if i < 0:
-                    i = -i
-                if i >= n:
-                    i = 2 * n - 2 - i
-                return prev[i]
-
-            for i in range(parity, n, 2):
-                y[i] = prev[i] - coef * (e(i - 1) + e(i + 1))
-
-    steps([(_D97, 0), (_G97, 1), (_B97, 0), (_A97, 1)])
-    return y
+    return _idwt97(np.asarray(low), np.asarray(high))
 
 
 def _fdwt97_2d(a: np.ndarray):
-    h, w = a.shape
-    lo_cols = np.zeros(((h + 1) // 2, w), np.float64)
-    hi_cols = np.zeros((h // 2, w), np.float64)
-    for c in range(w):
-        lo, hi = _fdwt97_1d(a[:, c])
-        lo_cols[:, c] = lo
-        if hi.size:
-            hi_cols[:, c] = hi
-    out = {}
-    for name, rows in (("L", lo_cols), ("H", hi_cols)):
-        ll = np.zeros((rows.shape[0], (w + 1) // 2), np.float64)
-        hh = np.zeros((rows.shape[0], w // 2), np.float64)
-        for r in range(rows.shape[0]):
-            lo, hi = _fdwt97_1d(rows[r])
-            ll[r] = lo
-            if hi.size:
-                hh[r] = hi
-        out[name + "L"], out[name + "H"] = ll, hh
-    return out["LL"], out["LH"], out["HL"], out["HH"]
+    lo_cols, hi_cols = _fdwt97(np.asarray(a, np.float64).T)
+    lo_cols, hi_cols = lo_cols.T, hi_cols.T
+    ll, lh = _fdwt97(lo_cols)
+    hl, hh = _fdwt97(hi_cols)
+    return ll, lh, hl, hh
 
 
 def _idwt97_2d(ll, lh, hl, hh):
-    top_h = ll.shape[0] + hl.shape[0]
-    out_w = ll.shape[1] + lh.shape[1]
-    rows_l = np.zeros((ll.shape[0], out_w), np.float64)
-    for r in range(ll.shape[0]):
-        rows_l[r] = _idwt97_1d(ll[r], lh[r])
-    rows_h = np.zeros((hl.shape[0], out_w), np.float64)
-    for r in range(hl.shape[0]):
-        rows_h[r] = _idwt97_1d(hl[r], hh[r])
-    out = np.zeros((top_h, out_w), np.float64)
-    for c in range(out_w):
-        out[:, c] = _idwt97_1d(rows_l[:, c], rows_h[:, c])
-    return out
+    rows_l = _idwt97(ll, lh)
+    rows_h = _idwt97(hl, hh)
+    return _idwt97(rows_l.T, rows_h.T).T
 
 
 def _delta_to_code(delta: float, r_b: int) -> tuple[int, int]:
