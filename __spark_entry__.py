@@ -1383,27 +1383,25 @@ def q63_media_decode(spark, sf):
         .localCheckpoint(eager=False)
     )
     setup = multimodal.register_builtin_codecs
-    feats = multimodal.media_features(media, codec_setup=setup)
-    audio = multimodal.audio_features(
-        media, codec_setup=setup
-    ).select("doc_id", "peak_abs", "zero_crossings", "rms_milli")
-    resz = multimodal.resize_features(
+    # r15 optimization: ONE fused decode pass (media_all_features)
+    # replaces the media_features + audio_features + resize_features
+    # three-way join — the three operators each re-decoded every payload
+    # (images twice, audio twice) and the decode dominates this
+    # query; the fused operator emits the identical post-join columns
+    # from a single decode (equality pinned in tests/test_multimodal
+    # and by the oracle hash)
+    allf = multimodal.media_all_features(
         media, out_w=4, out_h=4, codec_setup=setup
-    ).select("doc_id", "resized_feat_milli")
-    return (
-        feats.withColumn(
-            "byte_len",
-            F.when(
-                F.col("kind").isin(
-                    "png", "jpeg", "webp", "gif", "tiff", "flac"
-                ),
-                F.lit(None).cast("long"),
-            ).otherwise(F.col("byte_len")),
-        )
-        .join(audio, "doc_id", "left")
-        .join(resz, "doc_id", "left")
-        .orderBy("doc_id")
     )
+    return allf.withColumn(
+        "byte_len",
+        F.when(
+            F.col("kind").isin(
+                "png", "jpeg", "webp", "gif", "tiff", "flac"
+            ),
+            F.lit(None).cast("long"),
+        ).otherwise(F.col("byte_len")),
+    ).orderBy("doc_id")
 
 
 def _planted_page(doc_id):

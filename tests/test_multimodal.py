@@ -1416,3 +1416,55 @@ def test_aifc_g711_roundtrip_and_gaps():
     blob[at : at + 4] = b"ima4"
     with pytest.raises(NotImplementedError, match="ima4"):
         mm.decode_audio(bytes(blob))
+
+
+def test_media_all_features_matches_three_pass_composition(spark):
+    """The fused single-decode operator must emit exactly the rows
+    the three-way doc_id join of media_features + audio_features +
+    resize_features produces (the r15 q63 optimization swaps the
+    join for the fused pass on this equality)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = (
+        mm.synth_media(docs)
+        .unionByName(
+            mm.synth_jpeg_media(
+                spark.range(10_000, 10_004).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
+        .unionByName(
+            mm.synth_audio_media(
+                spark.range(13_000, 13_004).withColumnRenamed(
+                    "id", "doc_id"
+                )
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    setup = mm.register_builtin_codecs
+    fused = (
+        mm.media_all_features(media, out_w=4, out_h=4, codec_setup=setup)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    feats = mm.media_features(media, codec_setup=setup)
+    audio = mm.audio_features(media, codec_setup=setup).select(
+        "doc_id", "peak_abs", "zero_crossings", "rms_milli"
+    )
+    resz = mm.resize_features(
+        media, out_w=4, out_h=4, codec_setup=setup
+    ).select("doc_id", "resized_feat_milli")
+    joined = (
+        feats.join(audio, "doc_id", "left")
+        .join(resz, "doc_id", "left")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(fused.columns) == list(joined.columns)
+    assert len(fused) == len(joined)
+    for col in fused.columns:
+        a, b = fused[col], joined[col]
+        assert ((a == b) | (a.isna() & b.isna())).all(), col

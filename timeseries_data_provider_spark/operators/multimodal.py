@@ -2173,3 +2173,112 @@ def audio_features(media: DataFrame, codec_setup=None) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         feats, AUDIO_FEATURES_SCHEMA
     )
+
+
+MEDIA_ALL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("feat_milli", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("rms_milli", LongType()),
+        StructField("resized_feat_milli", LongType()),
+    ]
+)
+
+
+def media_all_features(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, codec_setup=None
+) -> DataFrame:
+    """media_features + audio_features + resize_features fused into
+    ONE decode pass (guide §1.2: the three operators each re-decoded
+    every payload — images twice, audio twice — and the decode IS the
+    cost; one pass computes all three column groups from a single
+    decode). Emits exactly the columns the three-way doc_id join of
+    the separate operators produces: audio rows carry NULL
+    width/height/resized_feat_milli, image rows NULL
+    n_samples/peak_abs/zero_crossings/rms_milli — the LEFT-join
+    shape. Every value is the same integer expression the individual
+    operators compute, so results are identical by construction (and
+    pinned against the three-pass composition in
+    tests/test_multimodal.py)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        if codec_setup is not None:
+            codec_setup()  # registrations live in the WORKER module
+        for pdf in batches:
+            rows = {
+                k.name: [] for k in MEDIA_ALL_FEATURES_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if is_audio_payload(payload):
+                    wav = decode_audio(payload)
+                    s = feature_samples(wav)
+                    n = int(s.size)
+                    feat = (1000 * int((s * s).sum())) // n
+                    sgn = np.sign(s)
+                    nz = sgn[sgn != 0]
+                    zc = (
+                        int((nz[1:] != nz[:-1]).sum())
+                        if nz.size > 1
+                        else 0
+                    )
+                    rows["kind"].append(wav["format"])
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["n_samples"].append(n)
+                    rows["feat_milli"].append(feat)
+                    rows["peak_abs"].append(
+                        int(np.abs(s).max()) if n else 0
+                    )
+                    rows["zero_crossings"].append(zc)
+                    rows["rms_milli"].append(
+                        int(
+                            math.isqrt(
+                                (1_000_000 * int((s * s).sum())) // n
+                            )
+                        )
+                        if n
+                        else 0
+                    )
+                    rows["resized_feat_milli"].append(None)
+                else:
+                    img = decode_image(payload)
+                    px = img["pixels"]
+                    if px is None:
+                        raise ValueError(
+                            f"{img['format']} payload decoded to "
+                            "metadata only (no pixel data) — cannot "
+                            "featurize"
+                        )
+                    feat = (
+                        1000 * int(px.sum(dtype=np.int64))
+                    ) // px.size
+                    rz = resize_nearest(px, out_w, out_h)
+                    rfeat = (
+                        1000 * int(rz.sum(dtype=np.int64))
+                    ) // rz.size
+                    rows["kind"].append(img["format"])
+                    rows["width"].append(img["width"])
+                    rows["height"].append(img["height"])
+                    rows["n_samples"].append(None)
+                    rows["feat_milli"].append(feat)
+                    rows["peak_abs"].append(None)
+                    rows["zero_crossings"].append(None)
+                    rows["rms_milli"].append(None)
+                    rows["resized_feat_milli"].append(rfeat)
+                rows["doc_id"].append(int(doc_id))
+                rows["byte_len"].append(len(payload))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feats, MEDIA_ALL_FEATURES_SCHEMA
+    )
