@@ -457,3 +457,65 @@ def test_lsh_cap_is_opt_in_at_the_library_tier():
         .default
         == 256
     )
+
+
+def test_simhash_matches_aggregate_form(spark):
+    """The r15 Arrow-pass simhash must reproduce the original
+    explode + 64-conditional-sum groupBy sketch bit-for-bit —
+    including split(" ") empty-token semantics (trailing/doubled
+    spaces), the empty string, and NULL text (doc absent)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat  sat on the mat "),   # doubled + trailing space
+        (2, ""),                            # one empty token
+        (3, None),                          # absent from output
+        (4, "zzz zzz zzz aaab"),
+        (5, "Ünïcôdé wörds hërë"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["q0"], r["q1"], r["q2"], r["q3"])
+        for r in dedup.simhash(docs).collect()
+    }
+
+    # reference: the pre-r15 aggregate formulation, inline
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).withColumn("h", F.md5("w"))
+    nibbled = words.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"n{p}")
+            for p in range(16)
+        ],
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(
+                F.lit(1)
+            )
+            * 2
+            - 1
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = nibbled.groupBy("doc_id").agg(*aggs)
+    quarter_cols = []
+    for q in range(4):
+        acc = F.lit(0)
+        for k in range(16):
+            j = q * 16 + k
+            acc = acc + F.when(
+                F.col(f"b{j}") > 0, F.lit(1 << k)
+            ).otherwise(F.lit(0))
+        quarter_cols.append(acc.cast("long").alias(f"q{q}"))
+    want = {
+        r["doc_id"]: (r["q0"], r["q1"], r["q2"], r["q3"])
+        for r in sums.select("doc_id", *quarter_cols).collect()
+    }
+    assert got == want
+    assert 3 not in got

@@ -136,3 +136,90 @@ def test_profile_side_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_classify_matches_window_form(spark):
+    """The r15 Arrow-pass + hits-only classify must reproduce the
+    original explode/count/rank-window/cross-join formulation exactly
+    — same ranks under (count DESC, gram ASC) ties and same
+    distances (hit |Δrank| / miss top_k)."""
+    from pyspark.sql import functions as F, Window
+
+    from timeseries_data_provider_spark.operators import langid
+
+    rows = [
+        (0, "aaab aaab zzz", "en"),
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat est sur le tapis", "fr"),
+        (3, "ab", "en"),            # shorter than a trigram: NULL
+        (4, "zzzzzzzzzz aaab", "fr"),
+        (5, "ababababab", "en"),    # heavy ties
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    top_k = 4
+    prof = langid.train_langid_profiles(d, top_k=top_k)
+    got = (
+        langid.langid_classify(d, prof, top_k=top_k)
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    # reference: the pre-r15 window/cross-join formulation, inline
+    n = 3
+    t = F.lower(F.col("text"))
+    grams = d.select(
+        F.col("doc_id"),
+        F.explode(langid._grams(t, n)).alias("p"),
+        t.alias("__t"),
+    ).select(
+        "doc_id", F.col("__t").substr(F.col("p"), F.lit(n)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    doc_prof = (
+        counts.withColumn("drank", F.row_number().over(w))
+        .filter(F.col("drank") <= top_k)
+        .select("doc_id", "gram", "drank")
+    )
+    langs = prof.select("lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(prof.withColumnRenamed("rank", "prank")),
+            ["lang", "gram"],
+            "left",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("prank")),
+                    F.lit(top_k),
+                )
+            ).alias("distance")
+        )
+    )
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.col("distance").asc(), F.col("lang").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_pred"),
+            F.col("distance").cast("long").alias("distance"),
+        )
+    )
+    want = (
+        d.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select("doc_id", "lang_pred", "distance")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

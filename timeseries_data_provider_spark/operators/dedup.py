@@ -839,39 +839,74 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     words. The quarter form is what Hamming blocking joins on;
     ``hamming = sum of bit_count(qa XOR qb)``.
     """
-    words = documents.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).withColumn("h", F.md5("w"))
-    # project the 16 nibble values ONCE per word row (each feeds 4 of
-    # the 64 bit aggregates — without the projection the md5+conv would
-    # be re-evaluated per aggregate)
-    nibbled = words.select(
-        "doc_id",
-        *[
-            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"n{p}")
-            for p in range(16)
-        ],
-    )
-    aggs = [
-        F.sum(
-            F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2
-            - 1
-        ).alias(f"b{j}")
-        for j in range(64)
-    ]
-    sums = nibbled.groupBy("doc_id").agg(*aggs)
-    quarter_cols = []
-    for q in range(4):
-        acc = F.lit(0)
-        for k in range(16):
-            j = q * 16 + k
-            acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << k)).otherwise(
-                F.lit(0)
+    # r15: one shuffle-free Arrow pass replaces the 200k-row word
+    # explode + 64-conditional-sum groupBy (the sketch is grouped by
+    # the row itself — guide §2.4). Parity is exact by construction:
+    # hashlib md5 emits the same hex as Spark's md5; Python
+    # str.split(" ") matches F.split(col, " ")'s limit=-1 semantics
+    # (trailing/doubled-space empties kept, "" -> [""]); the nibble
+    # packing Σ int(hex[p], 16) << 4p reproduces bit j = bit (j % 4)
+    # of hex position (j // 4); and the sign gate stays 2·ones - n
+    # > 0. Pinned against the aggregate form in tests/test_dedup_ops.
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    def sketch(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        word_cache: dict[str, int] = {}
+
+        def word_pattern(w: str) -> int:
+            pat = word_cache.get(w)
+            if pat is None:
+                h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                pat = 0
+                for p in range(16):
+                    pat |= int(h[p], 16) << (4 * p)
+                word_cache[w] = pat
+            return pat
+
+        for pdf in batches:
+            ids, q0, q1, q2, q3 = [], [], [], [], []
+            for rid, t in zip(pdf["doc_id"], pdf[text_col]):
+                if t is None:
+                    # F.split(NULL) explodes to no rows: the doc is
+                    # absent from the aggregate form's output
+                    continue
+                words = t.split(" ")
+                pats = np.array(
+                    [word_pattern(w) for w in words], np.uint64
+                )
+                ones = (
+                    (pats[:, None] >> shifts) & np.uint64(1)
+                ).sum(axis=0, dtype=np.int64)
+                bits = (2 * ones - len(words)) > 0
+                sk = 0
+                for j in np.nonzero(bits)[0]:
+                    sk |= 1 << int(j)
+                ids.append(int(rid))
+                q0.append(sk & 0xFFFF)
+                q1.append((sk >> 16) & 0xFFFF)
+                q2.append((sk >> 32) & 0xFFFF)
+                q3.append((sk >> 48) & 0xFFFF)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "q0": pd.Series(q0, dtype="int64"),
+                    "q1": pd.Series(q1, dtype="int64"),
+                    "q2": pd.Series(q2, dtype="int64"),
+                    "q3": pd.Series(q3, dtype="int64"),
+                }
             )
-        quarter_cols.append(acc.cast("long").alias(f"q{q}"))
-    return sums.select("doc_id", *quarter_cols)
+
+    return widen_for_python(
+        documents.select("doc_id", text_col)
+    ).mapInPandas(
+        sketch, "doc_id long, q0 long, q1 long, q2 long, q3 long"
+    )
 
 
 def simhash_hamming_pairs(

@@ -89,44 +89,90 @@ def langid_classify(
     the lexically smallest language. Documents shorter than ``n``
     chars (no grams) return NULL lang_pred rather than a spurious
     winner."""
-    t = F.lower(F.col(text_col))
-    grams = documents.select(
-        F.col(id_col),
-        F.explode(_grams(t, n)).alias("p"),
-        t.alias("__t"),
-    ).select(
-        id_col, F.col("__t").substr(F.col("p"), F.lit(n)).alias("gram")
+    # r15: the doc-side profile (count grams, rank top_k per doc) is
+    # GROUPED BY THE ROW ITSELF, so it needs no shuffle at all — one
+    # Arrow pass with a per-doc Counter replaces the 1.5M-row explode
+    # + hash-agg + per-doc rank window that dominated this operator
+    # (guide §2.4: remove shuffles outright). Ordering parity is
+    # exact: lowercasing stays IN THE JVM (Python str.lower() differs on
+    # Unicode edge cases), Python slices and Spark substr both index
+    # code points, and Python str ordering == Spark's UTF8 binary
+    # ordering for valid strings, so (count DESC, gram ASC) ranks are
+    # identical to the window form (pinned in tests/test_langid.py).
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    lowered = documents.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
     )
-    counts = grams.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c").desc(), F.col("gram").asc()
-    )
-    doc_prof = (
-        counts.withColumn("drank", F.row_number().over(w))
-        .filter(F.col("drank") <= top_k)
-        .select(id_col, "gram", "drank")
+
+    def rank_grams(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            grams_out: list = []
+            dranks: list = []
+            for rid, t in zip(pdf[id_col], pdf["__t"]):
+                if t is None or len(t) < n:
+                    continue
+                cnt = Counter(
+                    t[i:i + n] for i in range(len(t) - n + 1)
+                )
+                top = sorted(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:top_k]
+                rid = int(rid)
+                for r, (g, _c) in enumerate(top, 1):
+                    ids.append(rid)
+                    grams_out.append(g)
+                    dranks.append(r)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "gram": pd.Series(grams_out, dtype="object"),
+                    "drank": pd.Series(dranks, dtype="int64"),
+                }
+            )
+
+    doc_prof = widen_for_python(lowered).mapInPandas(
+        rank_grams, f"{id_col} long, gram string, drank long"
     )
     langs = profiles.select("lang").distinct()
-    # every (doc-gram, lang) pair scores: profile hit -> |Δrank|,
-    # miss -> top_k. The profile side is model-sized -> broadcast;
-    # the langs cross is |langs|-wide, the classifier's defined cost.
-    scored = (
-        doc_prof.crossJoin(F.broadcast(langs))
-        .join(
-            F.broadcast(profiles.withColumnRenamed("rank", "prank")),
-            ["lang", "gram"],
-            "left",
-        )
+    # r15: score from PROFILE HITS only — distance decomposes as
+    # Σ_hits |Δrank| + (n_doc_grams - n_hits) · top_k, so the
+    # doc-grams × all-langs cross join (miss rows carried top_k
+    # each) collapses to the inner gram join plus one tiny per-doc
+    # gram count; integer-exact, same distances.
+    prof_b = F.broadcast(profiles.withColumnRenamed("rank", "prank"))
+    per_lang = (
+        doc_prof.join(prof_b, "gram")
         .groupBy(id_col, "lang")
         .agg(
-            F.sum(
-                F.coalesce(
-                    F.abs(F.col("drank") - F.col("prank")),
-                    F.lit(top_k),
+            F.sum(F.abs(F.col("drank") - F.col("prank"))).alias(
+                "__hitsum"
+            ),
+            F.count(F.lit(1)).alias("__nhits"),
+        )
+    )
+    ngrams = doc_prof.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__ng")
+    )
+    scored = (
+        ngrams.crossJoin(F.broadcast(langs))
+        .join(per_lang, [id_col, "lang"], "left")
+        .select(
+            id_col,
+            "lang",
+            (
+                F.coalesce(F.col("__hitsum"), F.lit(0))
+                + (
+                    F.col("__ng")
+                    - F.coalesce(F.col("__nhits"), F.lit(0))
                 )
-            ).alias("distance")
+                * top_k
+            ).alias("distance"),
         )
     )
     pick = Window.partitionBy(id_col).orderBy(

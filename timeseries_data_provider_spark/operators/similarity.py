@@ -349,11 +349,23 @@ def assign_to_centroids(
     no shuffle; ties break on centroid_id for determinism."""
     e = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    scored = e.join(F.broadcast(centroids)).select(
+    ).withColumn("__vnsq", dot(F.col("v"), F.col("v")))
+    # r15: both norms precomputed once per side instead of inside
+    # cosine() per (vector, centroid) row — sqrt of the identical
+    # fold products, so scores and the argmax are bit-identical
+    scored = e.join(
+        F.broadcast(
+            centroids.withColumn(
+                "__cnsq", dot(F.col("cv"), F.col("cv"))
+            )
+        )
+    ).select(
         "vec_id",
         "centroid_id",
-        cosine(F.col("v"), F.col("cv")).alias("cs"),
+        (
+            dot(F.col("v"), F.col("cv"))
+            / F.sqrt(F.col("__vnsq") * F.col("__cnsq"))
+        ).alias("cs"),
     )
     from pyspark.sql import Window
 
@@ -1459,18 +1471,30 @@ def semantic_dedup(
         else seed_centroids(embeddings, num_clusters)
     )
     assign = assign_to_centroids(embeddings, cents)
-    e = embeddings.select(
-        "vec_id", as_double(F.col(col)).alias("v")
-    ).join(assign, "vec_id")
+    # r15: per-vector norm-squared computed ONCE before the pair join
+    # (guide §2.3 "don't recompute in the hot pair loop"): the inline
+    # cosine() re-ran dot(a, a) and dot(b, b) — two more higher-order
+    # folds — for every one of the Σ n_c² pairs. sqrt(nsq_a * nsq_b)
+    # multiplies the identical fold results, so sims (and the 6-dp
+    # round) are bit-identical to the cosine() form.
+    e = (
+        embeddings.select(
+            "vec_id", as_double(F.col(col)).alias("v")
+        )
+        .withColumn("nsq", dot(F.col("v"), F.col("v")))
+        .join(assign, "vec_id")
+    )
     a = e.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("__a_id"),
         F.col("v").alias("__av"),
+        F.col("nsq").alias("__ansq"),
     )
     b = e.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("vec_id"),
         F.col("v").alias("__bv"),
+        F.col("nsq").alias("__bnsq"),
     )
     dropped = (
         a.join(b, "centroid_id")
@@ -1478,9 +1502,11 @@ def semantic_dedup(
         .select(
             "vec_id",
             "__a_id",
-            F.round(cosine(F.col("__av"), F.col("__bv")), 6).alias(
-                "__sim"
-            ),
+            F.round(
+                dot(F.col("__av"), F.col("__bv"))
+                / F.sqrt(F.col("__ansq") * F.col("__bnsq")),
+                6,
+            ).alias("__sim"),
         )
         .filter(F.col("__sim") >= F.lit(float(threshold)))
         .groupBy("vec_id")
