@@ -150,9 +150,20 @@ def sketch_verdicts(
     # exact quantiles and one GK sketch serves both approx quantiles —
     # the scalar-per-quantile form re-sorts the group once per
     # aggregate and benchmarked ~6x slower at sf0.1.
-    g = events.groupBy("event_type").agg(
+    #
+    # r15: the distinct aggregates and the percentile aggregates run
+    # as TWO aggregations joined on the group key instead of one.
+    # countDistinct plans an Expand (2 rows per input, one per
+    # grouping set) and dragging the GK sketch's per-row imperative
+    # buffer through those doubled rows benchmarked ~4s alone at
+    # sf0.1 (countDistinct + percentile_approx in one agg = 4.1s;
+    # split = 1.0s, same rows). Independent aggregates over the same
+    # groups, inner-joined on event_type — identical results.
+    g1 = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd).alias("__approx"),
+    )
+    g2 = events.groupBy("event_type").agg(
         F.expr(
             "percentile(value,"
             " array(0.49D, 0.5D, 0.51D, 0.89D, 0.9D, 0.91D))"
@@ -161,6 +172,7 @@ def sketch_verdicts(
             f"percentile_approx(value, array(0.5D, 0.9D), {accuracy})"
         ).alias("__a"),
     )
+    g = g1.join(g2, "event_type")
     p = F.col("__p")
     a = F.col("__a")
     return g.select(

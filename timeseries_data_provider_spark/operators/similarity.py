@@ -23,11 +23,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def as_double(vec: Column) -> Column:
+# The three vector helpers accept either Columns or SQL fragments
+# (column names / rendered literals). The string form builds the
+# IDENTICAL Catalyst expression through ONE F.expr parse instead of
+# the ~24 py4j round-trips each higher-order lambda costs — the
+# difference is driver-side construction latency only (r15: q31's
+# eight ANN branches spent ~3.4 s per invocation just constructing
+# their DataFrames, dominated by these lambdas; guide §1.2 step 2).
+
+
+def as_double(vec: Column | str) -> Column:
+    if isinstance(vec, str):
+        return F.expr(f"transform({vec}, x -> cast(x as double))")
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+    if isinstance(a, str):
+        a = F.expr(a)
+    if isinstance(b, str):
+        b = F.expr(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -35,7 +55,7 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
@@ -45,13 +65,13 @@ def cosine_topk(
     """Exact brute-force cosine top-k against the embedding of
     ``query_vec_id`` (excluded from results). Ties broken on vec_id."""
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        as_double(F.col("embedding")).alias("qv")
+        as_double("embedding").alias("qv")
     )
     e = embeddings.filter(F.col("vec_id") != query_vec_id).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+        "vec_id", as_double("embedding").alias("v")
     )
     scored = e.join(F.broadcast(q)).select(
-        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim")
+        "vec_id", F.round(cosine("v", "qv"), 6).alias("sim")
     )
     return scored.orderBy(F.col("sim").desc(), "vec_id").limit(k)
 
@@ -103,11 +123,11 @@ def embedding_neardup_pairs(
                 f"to opt in (max_rows=None skips the guard count)."
             )
     e = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nsq", dot(F.col("v"), F.col("v")))
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nsq", dot("v", "v"))
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     sim = F.round(
-        dot(F.col("va"), F.col("vb"))
+        dot("va", "vb")
         / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
         6,
     )
@@ -257,25 +277,36 @@ def srp_lsh_neardup(
 
     e = _dim_checked(
         embeddings.select(
-            "vec_id", as_double(F.col("embedding")).alias("v")
-        ).withColumn("nsq", dot(F.col("v"), F.col("v"))),
+            "vec_id", as_double("embedding").alias("v")
+        ).withColumn("nsq", dot("v", "v")),
         dim,
         "srp_lsh_neardup",
     )
 
+    # r15: each table's bucket expression is rendered as ONE SQL
+    # string (plane literals included — repr() round-trips doubles
+    # exactly) instead of num_tables * bits_per_table * dim F.lit
+    # py4j calls; the parsed tree is the identical CASE/aggregate
+    # chain, integer adds in the same left-assoc order.
     bucket_cols = []
     for t in range(num_tables):
-        acc = F.lit(0)
+        terms = ["0"]
         for b in range(bits_per_table):
-            plane = F.array(
-                *[F.lit(plane_component(t, b, d)) for d in range(dim)]
+            vals = ",".join(
+                repr(plane_component(t, b, d)) + "D"
+                for d in range(dim)
             )
-            bit = F.when(dot(F.col("v"), plane) > 0, F.lit(1 << b)).otherwise(
-                F.lit(0)
+            terms.append(
+                "(CASE WHEN aggregate(zip_with(v,"
+                f" array({vals}), (x, y) -> x * y), 0.0D,"
+                f" (acc, x) -> acc + x) > 0 THEN {1 << b}"
+                " ELSE 0 END)"
             )
-            acc = acc + bit
         bucket_cols.append(
-            F.struct(F.lit(t).alias("t"), acc.alias("bucket"))
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(" + ".join(terms)).alias("bucket"),
+            )
         )
     hashed = e.select(
         "vec_id", "v", "nsq", F.explode(F.array(*bucket_cols)).alias("h")
@@ -308,7 +339,7 @@ def srp_lsh_neardup(
         F.col("nsq").alias("nsq_b"),
     )
     sim = F.round(
-        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+        dot("va", "vb") / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
         6,
     )
     return (
@@ -334,7 +365,7 @@ def seed_centroids(
         .limit(num_centroids)
         .select(
             F.col("vec_id").alias("centroid_id"),
-            as_double(F.col("embedding")).alias("cv"),
+            as_double("embedding").alias("cv"),
         )
     )
 
@@ -348,22 +379,22 @@ def assign_to_centroids(
     writer. Broadcast the config-sized centroid set; one narrow pass,
     no shuffle; ties break on centroid_id for determinism."""
     e = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("__vnsq", dot(F.col("v"), F.col("v")))
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("__vnsq", dot("v", "v"))
     # r15: both norms precomputed once per side instead of inside
     # cosine() per (vector, centroid) row — sqrt of the identical
     # fold products, so scores and the argmax are bit-identical
     scored = e.join(
         F.broadcast(
             centroids.withColumn(
-                "__cnsq", dot(F.col("cv"), F.col("cv"))
+                "__cnsq", dot("cv", "cv")
             )
         )
     ).select(
         "vec_id",
         "centroid_id",
         (
-            dot(F.col("v"), F.col("cv"))
+            dot("v", "cv")
             / F.sqrt(F.col("__vnsq") * F.col("__cnsq"))
         ).alias("cs"),
     )
@@ -404,7 +435,7 @@ def _mean_centroids(embeddings: DataFrame, assign: DataFrame) -> DataFrame:
         embeddings.join(assign, "vec_id")
         .select(
             "centroid_id",
-            F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
+            F.posexplode(as_double("embedding")).alias("dim", "x"),
         )
         .groupBy("centroid_id", "dim")
         .agg(stable_avg(F.col("x"), "m"))
@@ -466,12 +497,12 @@ def ivf_topk(
     assign = ivf_assign(embeddings, num_centroids)
     cents = seed_centroids(embeddings, num_centroids)
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        as_double(F.col("embedding")).alias("qv")
+        as_double("embedding").alias("qv")
     )
     probe = (
         cents.join(F.broadcast(q))
         .select(
-            "centroid_id", cosine(F.col("cv"), F.col("qv")).alias("cs")
+            "centroid_id", cosine("cv", "qv").alias("cs")
         )
         .orderBy(F.col("cs").desc(), "centroid_id")
         .limit(nprobe)
@@ -532,17 +563,17 @@ def cosine_topk_batch(
 
     q = embeddings.filter(F.col("vec_id").isin(list(query_vec_ids))).select(
         F.col("vec_id").alias("query_id"),
-        as_double(F.col("embedding")).alias("qv"),
+        as_double("embedding").alias("qv"),
     )
     e = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+        "vec_id", as_double("embedding").alias("v")
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+            F.round(cosine("v", "qv"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -660,17 +691,29 @@ def _probe_ids(spark, path: str, qv, nprobe: int) -> list:
     (float and quantized) call it, so tie-breaking and ordering cannot
     diverge between them (review finding — the block used to be
     duplicated verbatim in each)."""
+    cs = (
+        cosine("transform(cv, x -> cast(x as double))", qv)
+        if isinstance(qv, str)
+        else cosine(as_double("cv"), qv)
+    )
     return [
         r["centroid_id"]
         for r in spark.read.parquet(path + "/centroids")
-        .select(
-            "centroid_id",
-            cosine(as_double(F.col("cv")), qv).alias("cs"),
-        )
+        .select("centroid_id", cs.alias("cs"))
         .orderBy(F.col("cs").desc(), "centroid_id")
         .limit(nprobe)
         .collect()
     ]
+
+
+def _vec_sql(vals, int_vals: bool = False) -> str:
+    """A literal array rendered as ONE SQL fragment (repr round-trips
+    doubles exactly) instead of len(vals) F.lit py4j calls."""
+    if int_vals:
+        return "array(" + ",".join(str(int(x)) for x in vals) + ")"
+    return (
+        "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+    )
 
 
 def ivf_topk_from_layout(
@@ -702,14 +745,17 @@ def ivf_topk_from_layout(
             f"but the layout at {path!r} stores dim-{stored_dim} "
             f"centroids — probing with it would rank centroids by NULL"
         )
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = _vec_sql(query_vec)
     probe_ids = _probe_ids(spark, path, qv, nprobe)
     data = spark.read.parquet(path + "/data").filter(
         F.col("centroid_id").isin(probe_ids)
     )
     scored = data.select(
         "vec_id",
-        F.round(cosine(as_double(F.col("embedding")), qv), 6).alias("sim"),
+        F.round(
+            cosine("transform(embedding, x -> cast(x as double))", qv),
+            6,
+        ).alias("sim"),
     )
     return scored.orderBy(F.col("sim").desc(), "vec_id").limit(k)
 
@@ -764,11 +810,21 @@ def quantize_embeddings(
         with_absmax.withColumn("q", q)
         .withColumn("scale", am / F.lit(127.0))
         .drop("__absmax")
-        .withColumn("qnorm", _int_dot(F.col("q"), F.col("q")))
+        .withColumn("qnorm", _int_dot("q", "q"))
     )
 
 
-def _int_dot(a: Column, b: Column) -> Column:
+def _int_dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b},"
+            " (x, y) -> cast(x * y as bigint)),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+    if isinstance(a, str):
+        a = F.expr(a)
+    if isinstance(b, str):
+        b = F.expr(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
@@ -823,7 +879,7 @@ def cosine_topk_sq8(
         corpus.join(F.broadcast(qq))
         .select(
             "vec_id",
-            _int_dot(F.col("q"), F.col("qa")).alias("__ab"),
+            _int_dot("q", "qa").alias("__ab"),
             (F.col("__nb") * F.col("__na")).alias("__nn"),
         )
         .filter(F.col("__nn") > 0)
@@ -839,7 +895,7 @@ def cosine_topk_sq8(
         .select("vec_id")
     )
     fq = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        as_double(F.col("embedding")).alias("qv")
+        as_double("embedding").alias("qv")
     )
     return (
         embeddings.join(F.broadcast(cand), "vec_id", "left_semi")
@@ -847,7 +903,7 @@ def cosine_topk_sq8(
         .select(
             "vec_id",
             F.round(
-                cosine(as_double(F.col("embedding")), F.col("qv")), 6
+                cosine(as_double("embedding"), F.col("qv")), 6
             ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
@@ -901,7 +957,7 @@ def ivf_topk_sq8_from_layout(
             "columns — write it with write_ivf_layout(..., quantize=True)"
         )
 
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = _vec_sql(query_vec)
     probe_ids = _probe_ids(spark, path, qv, nprobe)
 
     am = max(abs(float(x)) for x in query_vec)
@@ -913,7 +969,7 @@ def ivf_topk_sq8_from_layout(
             for x in query_vec
         ]
     na = sum(c * c for c in qa)
-    qa_col = F.array(*[F.lit(int(c)) for c in qa])
+    qa_sql = _vec_sql(qa, int_vals=True)
 
     pruned = spark.read.parquet(path + "/data").filter(
         F.col("centroid_id").isin(probe_ids)
@@ -922,7 +978,7 @@ def ivf_topk_sq8_from_layout(
         pruned.select("vec_id", "q", "qnorm")
         .select(
             "vec_id",
-            _int_dot(F.col("q"), qa_col).alias("__ab"),
+            _int_dot("q", qa_sql).alias("__ab"),
             (F.col("qnorm") * F.lit(int(na))).alias("__nn"),
         )
         .filter(F.col("__nn") > 0)
@@ -941,7 +997,7 @@ def ivf_topk_sq8_from_layout(
         pruned.join(F.broadcast(cand), "vec_id", "left_semi")
         .select(
             "vec_id",
-            F.round(cosine(as_double(F.col("embedding")), qv), 6).alias(
+            F.round(cosine(as_double("embedding"), qv), 6).alias(
                 "sim"
             ),
         )
@@ -1027,7 +1083,7 @@ def random_project(
     if dim is None:
         dim = embedding_dim(embeddings, col)
     e = embeddings.select(
-        "vec_id", as_double(F.col(col)).alias("v")
+        "vec_id", as_double(col).alias("v")
     )
     e = _dim_checked(e, dim, "random_project")
     proj = _project_expr("v", rp_signs(out_dim, dim, seed))
@@ -1083,21 +1139,21 @@ def rp_topk(
     """
     signs = rp_signs(out_dim, dim_ := (dim or embedding_dim(embeddings)), seed)
     qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        as_double(F.col("embedding")).alias("qv")
+        as_double("embedding").alias("qv")
     )
     q = qrow.select(
         "qv", _project_expr("qv", signs).alias("qp")
     )
     c = k * refine
-    psim = dot(F.col("p"), F.col("qp")) / F.sqrt(
-        dot(F.col("p"), F.col("p")) * dot(F.col("qp"), F.col("qp"))
+    psim = dot("p", "qp") / F.sqrt(
+        dot("p", "p") * dot("qp", "qp")
     )
     norm_ok = (
-        dot(F.col("p"), F.col("p")) * dot(F.col("qp"), F.col("qp")) > 0
+        dot("p", "p") * dot("qp", "qp") > 0
     )
     if projected is None:
         e = embeddings.filter(F.col("vec_id") != query_vec_id).select(
-            "vec_id", as_double(F.col("embedding")).alias("v")
+            "vec_id", as_double("embedding").alias("v")
         )
         e = _dim_checked(e, dim_, "rp_topk")
         cand = (
@@ -1145,9 +1201,9 @@ def rp_topk(
                 F.broadcast(scored.select("vec_id")), "vec_id"
             )
         cand = fetched.select(
-            "vec_id", as_double(F.col("embedding")).alias("v")
+            "vec_id", as_double("embedding").alias("v")
         ).join(F.broadcast(q))
-    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    sim = F.round(cosine("v", "qv"), 6)
     return (
         cand.select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
@@ -1165,7 +1221,7 @@ def _pq_subvectors(
 ) -> DataFrame:
     """(vec_id, sub_id, sv): every vector split into its m contiguous
     subvectors — the long form PQ training works over."""
-    v = as_double(F.col(col))
+    v = as_double(col)
     parts = F.array(
         *[
             F.struct(
@@ -1313,7 +1369,7 @@ def pq_encode(
     tie-break matching the training assignment. Output
     (…passthrough…, codes array<int>) — the m-byte row a PQ layout
     persists next to vec_id."""
-    v = as_double(F.col(col))
+    v = as_double(col)
     m = len(books)
     subdim = len(books[0][0])
     code_cols = []
@@ -1373,7 +1429,7 @@ def pq_topk(
     substring index."""
     q_rows = embeddings.filter(
         F.col("vec_id") == query_vec_id
-    ).select(as_double(F.col(col)).alias("qv")).collect()
+    ).select(as_double(col).alias("qv")).collect()
     if not q_rows:
         raise ValueError(f"pq_topk: query vec_id {query_vec_id} not found")
     qv = [float(x) for x in q_rows[0]["qv"]]
@@ -1409,7 +1465,7 @@ def pq_topk(
         .select("vec_id")
     )
     fq = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        as_double(F.col(col)).alias("qv")
+        as_double(col).alias("qv")
     )
     return (
         embeddings.join(F.broadcast(cand), "vec_id", "left_semi")
@@ -1417,7 +1473,7 @@ def pq_topk(
         .select(
             "vec_id",
             F.round(
-                cosine(as_double(F.col(col)), F.col("qv")), 6
+                cosine(as_double(col), F.col("qv")), 6
             ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
@@ -1479,9 +1535,9 @@ def semantic_dedup(
     # round) are bit-identical to the cosine() form.
     e = (
         embeddings.select(
-            "vec_id", as_double(F.col(col)).alias("v")
+            "vec_id", as_double(col).alias("v")
         )
-        .withColumn("nsq", dot(F.col("v"), F.col("v")))
+        .withColumn("nsq", dot("v", "v"))
         .join(assign, "vec_id")
     )
     a = e.select(
@@ -1503,7 +1559,7 @@ def semantic_dedup(
             "vec_id",
             "__a_id",
             F.round(
-                dot(F.col("__av"), F.col("__bv"))
+                dot("__av", "__bv")
                 / F.sqrt(F.col("__ansq") * F.col("__bnsq")),
                 6,
             ).alias("__sim"),
