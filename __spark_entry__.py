@@ -1842,36 +1842,12 @@ def q64_corpus_signals(spark, sf):
     # .doc (piece-table text = source text; 1-in-8 containers arrive
     # RC4-v1.1- or CryptoAPI-ENCRYPTED), so the [MS-DOC] walk and
     # the Word 97 decrypt chain hash-check every round.
-    legacycols = docsrc.doc_features(
-        docsrc.synth_doc_corpus(d)
-    ).select(
-        "doc_id",
-        F.col("text").alias("doc97_text"),
-        F.col("n_chars").alias("doc97_chars"),
-    )
-    # r12 late: the OUTLOOK chain — every doc also rides a planted
-    # .msg whose body exists ONLY as PR_RTF_COMPRESSED, so the CFB
-    # walk, MAPI property decode, LZFu decompression, and RTF parse
-    # all hash-check against the source text every round.
-    msgcols = msgsrc.msg_features(
-        msgsrc.synth_msg_corpus(d)
-    ).select(
-        "doc_id",
-        F.col("subject").alias("msg_subject"),
-        F.col("text").alias("msg_text"),
-        F.col("n_chars").alias("msg_chars"),
-    )
-    doccols = officesrc.office_features(
-        officesrc.synth_docx_corpus(d), extra_parts=True
-    ).select(
-        "doc_id",
-        F.col("title").alias("docx_title"),
-        F.col("creator").alias("docx_creator"),
-        F.col("n_units").alias("docx_paras"),
-        F.col("n_tables").alias("docx_tables"),
-        F.col("text").alias("docx_text"),
-        F.col("n_chars").alias("docx_chars"),
-    )
+    # r15 optimization: the three office-family chains (DOCX, .msg,
+    # legacy .doc) fuse into ONE Arrow pass emitting their joined
+    # column set — same per-row encode/extract calls, same values
+    # (pinned in tests/test_office.py and by the oracle hash); the
+    # separate operators remain for library callers.
+    officechain = officesrc.synth_office_chain_features(d)
     return (
         base.join(sig, "doc_id")
         .join(pii, "doc_id")
@@ -1883,9 +1859,7 @@ def q64_corpus_signals(spark, sf):
         .join(clf, "doc_id")
         .join(dw, "doc_id")
         .join(scancols, "doc_id")
-        .join(doccols, "doc_id")
-        .join(msgcols, "doc_id")
-        .join(legacycols, "doc_id")
+        .join(officechain, "doc_id")
     )
 
 

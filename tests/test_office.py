@@ -302,3 +302,56 @@ def test_docx_extra_parts_doctype_still_refused():
     assert office.docx_text(buf.getvalue())["text"] == "x"
     with pytest.raises(ValueError, match="DOCTYPE"):
         office.docx_text(buf.getvalue(), extra_parts=True)
+
+
+def test_office_chain_fused_matches_three_pipelines(spark):
+    """The r15 fused office-family pass must emit exactly the rows
+    the separate synth+extract pipelines joined on doc_id produce —
+    including the encryption rotations (Agile at id%8==3, Standard
+    at id%16==11, RC4 v1.1 at id%8==5, CryptoAPI at id%16==13)."""
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.sources import (
+        doc as docsrc,
+        msg as msgsrc,
+        office as officesrc,
+    )
+
+    rows = [(i, f"text body {i} lorem") for i in range(0, 32)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = (
+        officesrc.synth_office_chain_features(d)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    doccols = officesrc.office_features(
+        officesrc.synth_docx_corpus(d), extra_parts=True
+    ).select(
+        "doc_id",
+        F.col("title").alias("docx_title"),
+        F.col("creator").alias("docx_creator"),
+        F.col("n_units").alias("docx_paras"),
+        F.col("n_tables").alias("docx_tables"),
+        F.col("text").alias("docx_text"),
+        F.col("n_chars").alias("docx_chars"),
+    )
+    msgcols = msgsrc.msg_features(msgsrc.synth_msg_corpus(d)).select(
+        "doc_id",
+        F.col("subject").alias("msg_subject"),
+        F.col("text").alias("msg_text"),
+        F.col("n_chars").alias("msg_chars"),
+    )
+    legacycols = docsrc.doc_features(docsrc.synth_doc_corpus(d)).select(
+        "doc_id",
+        F.col("text").alias("doc97_text"),
+        F.col("n_chars").alias("doc97_chars"),
+    )
+    want = (
+        doccols.join(msgcols, "doc_id")
+        .join(legacycols, "doc_id")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(fused.columns) == list(want.columns)
+    for col in fused.columns:
+        assert (fused[col] == want[col]).all(), col

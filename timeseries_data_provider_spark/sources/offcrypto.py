@@ -35,6 +35,7 @@ Reference parity: index.js has no document surface; [EXT] SURVEY
 from __future__ import annotations
 
 import base64
+import functools
 import hashlib
 import re
 import struct
@@ -68,13 +69,21 @@ _HASHES = {
 }
 
 
+@functools.lru_cache(maxsize=256)
 def _std_derive_key(password: str, salt: bytes, key_bytes: int) -> bytes:
     """Standard-scheme key derivation (2.3.4.7): 50,000 chained
     SHA-1 rounds over the UTF-16LE password, block 0, then the
-    0x36-pad derivation."""
+    0x36-pad derivation. Memoized per (password, salt, key_bytes) —
+    a pure function whose 50k-round spin is the POINT of the KDF;
+    any real crypto stack caches the derived key for a repeated
+    credential, and a corpus of same-password containers otherwise
+    re-pays the full spin per document (r15: the q64 docx/doc
+    chains' dominant cost)."""
     h = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    sha1 = hashlib.sha1
+    pack = struct.pack
     for i in range(50_000):
-        h = hashlib.sha1(struct.pack("<I", i) + h).digest()
+        h = sha1(pack("<I", i) + h).digest()
     h = hashlib.sha1(h + struct.pack("<I", 0)).digest()
     x1 = hashlib.sha1(
         bytes(0x36 ^ b for b in h.ljust(64, b"\x00"))
@@ -87,13 +96,17 @@ def _std_derive_key(password: str, salt: bytes, key_bytes: int) -> bytes:
     return (x1 + x2)[:key_bytes]
 
 
+@functools.lru_cache(maxsize=256)
 def _agile_pwd_hash(
     password: str, salt: bytes, spin: int, hash_name: str
 ) -> bytes:
+    """Memoized like _std_derive_key (pure function; the spin is the
+    cost and repeats per same-credential container)."""
     H = _HASHES[hash_name]
     h = H(salt + password.encode("utf-16-le")).digest()
+    pack = struct.pack
     for i in range(spin):
-        h = H(struct.pack("<I", i) + h).digest()
+        h = H(pack("<I", i) + h).digest()
     return h
 
 def _agile_block_key(

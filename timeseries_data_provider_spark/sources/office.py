@@ -729,3 +729,108 @@ def office_features(
         blob_col=blob_col,
         errors=errors,
     )
+
+
+def synth_office_chain_features(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """q64's three office-family container chains fused into ONE
+    Arrow pass (r15, guide §2.4/§4): per document, synthesize the
+    DOCX (extra-parts plant + the Agile/Standard encryption
+    rotation), the Outlook .msg (PR_RTF_COMPRESSED body), and the
+    legacy .doc (RC4 v1.1/CryptoAPI rotation) and extract each back
+    immediately — the IDENTICAL per-row encode/extract calls the
+    separate synth_docx_corpus + office_features /
+    synth_msg_corpus + msg_features / synth_doc_corpus +
+    doc_features pipelines make (equality pinned in
+    tests/test_office.py), emitting their joined column set in join
+    order. Collapses six mapInPandas passes, three repartitions and
+    two joins into one shuffle-free pass; each of the three small
+    chains otherwise pays Spark's fixed per-pass cost for ~0.1 s of
+    real work."""
+    from timeseries_data_provider_spark.sources import cfb, offcrypto
+    from timeseries_data_provider_spark.sources.doc import (
+        doc_text,
+        encode_doc,
+    )
+    from timeseries_data_provider_spark.sources.msg import (
+        encode_msg,
+        msg_text,
+    )
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "docx_title", "docx_creator", "docx_paras", "docx_tables",
+            "docx_text", "docx_chars", "msg_subject", "msg_text",
+            "msg_chars", "doc97_text", "doc97_chars",
+        ]
+        for pdf_ in batches:
+            out: dict = {id_col: []}
+            for c in cols:
+                out[c] = []
+            for doc_id, text in zip(pdf_[id_col], pdf_[text_col]):
+                doc_id = int(doc_id)
+                # --- DOCX (synth_docx_corpus + office_features) ---
+                blob = encode_docx(
+                    [text, f"Row {doc_id}"],
+                    title=f"Doc {doc_id}",
+                    creator=f"author-{doc_id % 7}",
+                    table=[["k", str(doc_id)]],
+                    headers=[f"Hdr {doc_id}"],
+                    footers=[f"Ftr {doc_id}"],
+                    footnotes=[f"Note {doc_id}"],
+                    comments=[f"Cmt {doc_id}"],
+                )
+                if doc_id % 16 == 11:
+                    blob = offcrypto.encrypt_ooxml(
+                        blob, "VelvetSweatshop", "standard"
+                    )
+                elif doc_id % 8 == 3:
+                    blob = offcrypto.encrypt_ooxml(blob, "", "agile")
+                m = office_text(blob, extra_parts=True)
+                out["docx_title"].append(m["title"])
+                out["docx_creator"].append(m["creator"])
+                out["docx_paras"].append(m["n_units"])
+                out["docx_tables"].append(m["n_tables"])
+                out["docx_text"].append(m["text"])
+                out["docx_chars"].append(len(m["text"]))
+                # --- .msg (synth_msg_corpus + msg_features) ---
+                mm = msg_text(
+                    encode_msg(f"Msg {doc_id}", text, rtf_body=True)
+                )
+                out["msg_subject"].append(mm["subject"])
+                out["msg_text"].append(mm["text"])
+                out["msg_chars"].append(len(mm["text"]))
+                # --- legacy .doc (synth_doc_corpus + doc_features) ---
+                dblob = encode_doc(text)
+                if doc_id % 8 == 5:
+                    s = dict(cfb.cfb_streams(dblob))
+                    capi = doc_id % 16 == 13
+                    ewd, etbl, _ = offcrypto.encrypt_doc_streams(
+                        s["WordDocument"],
+                        s["1Table"],
+                        None,
+                        "VelvetSweatshop" if capi else "",
+                        "capi" if capi else "rc4",
+                    )
+                    dblob = cfb.encode_cfb(
+                        [("WordDocument", ewd), ("1Table", etbl)]
+                    )
+                dm = doc_text(dblob)
+                out["doc97_text"].append(dm["text"])
+                out["doc97_chars"].append(len(dm["text"]))
+                out[id_col].append(doc_id)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, docx_title string, docx_creator string,"
+        " docx_paras long, docx_tables long, docx_text string,"
+        " docx_chars long, msg_subject string, msg_text string,"
+        " msg_chars long, doc97_text string, doc97_chars long"
+    )
+    return widen_for_python(
+        documents.select(id_col, text_col)
+    ).mapInPandas(run, schema)
