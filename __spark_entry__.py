@@ -1763,12 +1763,17 @@ def q64_corpus_signals(spark, sf):
         F.col("scheduled_offset_ms").alias("frontier_offset_ms"),
     )
     crawl = crawl.join(sched, "url_norm", "left")
-    pdfcols = pdfmod.pdf_features(pdfmod.synth_pdf_corpus(d)).select(
-        "doc_id",
-        F.col("n_pages").alias("pdf_pages"),
-        F.col("title").alias("pdf_title"),
-        F.col("text").alias("pdf_text"),
-        F.col("n_text_chars").alias("pdf_text_chars"),
+    # r15 optimization: the text-PDF and scan-PDF chains fuse into
+    # ONE Arrow pass (pdfmod.synth_pdf_chain_features — identical
+    # per-row encode/extract calls, pinned in tests/test_pdf_images);
+    # the lazy checkpoint lets the two column views below consume one
+    # materialization while keeping the final column order.
+    pdfchain = pdfmod.synth_pdf_chain_features(d).localCheckpoint(
+        eager=False
+    )
+    pdfcols = pdfchain.select(
+        "doc_id", "pdf_pages", "pdf_title", "pdf_text",
+        "pdf_text_chars",
     )
     clf = classifier.score_documents(
         d, classifier.seed_weights(spark, 256), 256, bias_milli=7
@@ -1814,21 +1819,9 @@ def q64_corpus_signals(spark, sf):
     # math: the scan decode chain really read the planted bits. The
     # dedup-ladder columns (pixel_sha256, dHash quarters) are not
     # SQL-recomputable and stay pytest-scored (tests/test_pdf_images).
-    scancols = (
-        pdfmod.pdf_image_features(pdfmod.synth_scan_pdf_media(d))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("scan_pages"),
-            F.sum(
-                F.when(F.col("page") == 1, F.col("pixel_milli"))
-            ).alias("scan_px1_milli"),
-            F.sum(
-                F.when(F.col("page") == 2, F.col("pixel_milli"))
-            ).alias("scan_px2_milli"),
-            F.sum(
-                F.when(F.col("page") == 3, F.col("pixel_milli"))
-            ).alias("scan_px3_milli"),
-        )
+    scancols = pdfchain.select(
+        "doc_id", "scan_pages", "scan_px1_milli", "scan_px2_milli",
+        "scan_px3_milli",
     )
     # r11 late: the OFFICE chain — every doc also rides a planted
     # DOCX (real text paragraph + closed-form row marker + one-row

@@ -661,3 +661,49 @@ def test_jpx_undefined_mct_byte_is_loud():
     bad = blob[: at + 8] + b"\x02" + blob[at + 9 :]
     with pytest.raises(ValueError, match="MCT"):
         jpx.decode_jpx(bad)
+
+
+def test_pdf_chain_fused_matches_two_pipelines(spark):
+    """The r15 fused PDF pass must emit exactly what the separate
+    synth_pdf_corpus + pdf_features and synth_scan_pdf_media +
+    pdf_image_features + per-doc aggregate pipelines produce, across
+    the full font (id%9) and codec (id%6 / id%8 / id%2) rotations."""
+    from pyspark.sql import functions as F
+
+    from timeseries_data_provider_spark.operators import pdf as pdfmod
+
+    rows = [(i, f"body text {i} qq") for i in range(0, 24)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = (
+        pdfmod.synth_pdf_chain_features(d).orderBy("doc_id").toPandas()
+    )
+    pdfcols = pdfmod.pdf_features(pdfmod.synth_pdf_corpus(d)).select(
+        "doc_id",
+        F.col("n_pages").alias("pdf_pages"),
+        F.col("title").alias("pdf_title"),
+        F.col("text").alias("pdf_text"),
+        F.col("n_text_chars").alias("pdf_text_chars"),
+    )
+    scancols = (
+        pdfmod.pdf_image_features(pdfmod.synth_scan_pdf_media(d))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("scan_pages"),
+            F.sum(
+                F.when(F.col("page") == 1, F.col("pixel_milli"))
+            ).alias("scan_px1_milli"),
+            F.sum(
+                F.when(F.col("page") == 2, F.col("pixel_milli"))
+            ).alias("scan_px2_milli"),
+            F.sum(
+                F.when(F.col("page") == 3, F.col("pixel_milli"))
+            ).alias("scan_px3_milli"),
+        )
+    )
+    want = (
+        pdfcols.join(scancols, "doc_id").orderBy("doc_id").toPandas()
+    )
+    assert list(fused.columns) == list(want.columns)
+    for col in fused.columns:
+        a, b = fused[col], want[col]
+        assert ((a == b) | (a.isna() & b.isna())).all(), col

@@ -4510,3 +4510,127 @@ def pdf_features(
         blob_col=blob_col,
         errors=errors,
     )
+
+
+def synth_pdf_chain_features(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """q64's two PDF chains fused into ONE Arrow pass (r15, guide
+    §2.4/§4): per document, synthesize the two-page text PDF (the
+    nine-arm font rotation) and the 3-page scan PDF (the JBIG2/JPX/
+    Separation codec rotations), and extract both back immediately —
+    the IDENTICAL per-row encode/extract calls the separate
+    synth_pdf_corpus + pdf_features and synth_scan_pdf_media +
+    pdf_image_features + groupBy pipelines make (equality pinned in
+    tests/test_pdf_images.py). The scan columns are the per-doc
+    aggregate the groupBy computed: scan_pages = image count,
+    scan_pxN_milli = Σ pixel_milli of page-N images (NULL when a page
+    has none). Collapses four mapInPandas passes, two repartitions,
+    one hash aggregate and one join into one shuffle-free pass."""
+    import numpy as np
+
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "pdf_pages", "pdf_title", "pdf_text", "pdf_text_chars",
+            "scan_pages", "scan_px1_milli", "scan_px2_milli",
+            "scan_px3_milli",
+        ]
+        for pdf_ in batches:
+            out: dict = {id_col: []}
+            for c in cols:
+                out[c] = []
+            for doc_id, text in zip(pdf_[id_col], pdf_[text_col]):
+                i = int(doc_id)
+                # --- text PDF (synth_pdf_corpus + pdf_features) ---
+                mode = i % 9
+                ff3 = {4: "cff", 5: "otto", 6: "cff_ros"}.get(mode)
+                if ff3 == "cff_ros" and not all(
+                    0x20 <= ord(c) <= 0x7E
+                    for c in text + f"Archive copy {i}."
+                ):
+                    ff3 = "cff"
+                blob = encode_pdf(
+                    [[text], [f"Archive copy {i}."]],
+                    title=f"Doc {i}",
+                    cid=mode in (0, 1, 7, 8) or ff3 is not None,
+                    cid_tounicode=mode == 0,
+                    cid_fontfile3=ff3,
+                    cid_encoding={
+                        7: "embedded", 8: "UniJIS-UCS2-H"
+                    }.get(mode),
+                )
+                m = extract_pdf(blob)
+                out["pdf_pages"].append(m["n_pages"])
+                out["pdf_title"].append(m["title"])
+                out["pdf_text"].append(m["text"])
+                out["pdf_text_chars"].append(len(m["text"]))
+                # --- scan PDF (synth_scan_pdf_media +
+                #     pdf_image_features + the q64 groupBy) ---
+                p = (i % 4) + 1
+                w1, h1 = 64 + i % 5, 32 + i % 3
+                row = np.where(
+                    (np.arange(w1) // p) % 2 == 0, 0, 255
+                ).astype(np.uint8)
+                page1 = np.tile(row, (h1, 1))
+                w2, h2 = 40 + i % 4, 20 + i % 2
+                ys2, xs2 = np.mgrid[0:h2, 0:w2]
+                page2 = ((i + xs2 + ys2) % 256).astype(np.uint8)
+                ys3, xs3 = np.mgrid[0:12, 0:24]
+                page3 = ((7 * i + xs3 + 3 * ys3) % 216).astype(
+                    np.uint8
+                )
+                p1_kind = {
+                    1: "jbig2",
+                    2: "jbig2-text",
+                    3: "jbig2-mmr",
+                    4: "jbig2-text-huff",
+                    5: "jbig2-ref",
+                }.get(i % 6, "ccitt-g4")
+                p2_kind = {
+                    1: "jpx",
+                    2: "jpx-jp2",
+                    3: "jpx-bypass",
+                    4: "jpx-opt",
+                    5: "jpx-parts",
+                    6: "jpx-offs",
+                    7: "jpx-prec",
+                }.get(i % 8, "gray8")
+                p3_kind = "sep-cube" if i % 2 else "indexed"
+                sblob = encode_scan_pdf(
+                    [
+                        (p1_kind, page1),
+                        (p2_kind, page2),
+                        (p3_kind, page3),
+                    ]
+                )
+                n_imgs = 0
+                px = {1: None, 2: None, 3: None}
+                for img in extract_pdf_images(sblob):
+                    n_imgs += 1
+                    ip = img["pixels"]
+                    pm = (
+                        1000 * int(ip.sum(dtype=np.int64))
+                    ) // ip.size
+                    pg = img["page"]
+                    if pg in px:
+                        px[pg] = (px[pg] or 0) + pm
+                out["scan_pages"].append(n_imgs)
+                out["scan_px1_milli"].append(px[1])
+                out["scan_px2_milli"].append(px[2])
+                out["scan_px3_milli"].append(px[3])
+                out[id_col].append(i)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, pdf_pages long, pdf_title string,"
+        " pdf_text string, pdf_text_chars long, scan_pages long,"
+        " scan_px1_milli long, scan_px2_milli long,"
+        " scan_px3_milli long"
+    )
+    return widen_for_python(
+        documents.select(id_col, text_col)
+    ).mapInPandas(run, schema)
