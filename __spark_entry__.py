@@ -737,7 +737,7 @@ def q34_multimodal_frames(spark, sf):
         F.lit(None).cast("long").alias("keyframe"),
     )
     mp4_media = multimodal.synth_mp4_media(
-        spark.range(20_000, 20_040).withColumnRenamed("id", "doc_id")
+        spark.range(20_000, 20_040, 1, 8).withColumnRenamed("id", "doc_id")
     ).localCheckpoint(eager=False)  # two consumers (tracks + samples)
     vids = multimodal.video_meta_features(mp4_media).select(
         F.lit("mp4").alias("src"),
@@ -761,7 +761,7 @@ def q34_multimodal_frames(spark, sf):
     )
     fsamples = multimodal.video_sample_ranges(
         multimodal.synth_fmp4_media(
-            spark.range(30_000, 30_020).withColumnRenamed("id", "doc_id")
+            spark.range(30_000, 30_020, 1, 8).withColumnRenamed("id", "doc_id")
         )
     ).select(
         F.lit("fmp4").alias("src"),
@@ -803,7 +803,7 @@ def q34_multimodal_frames(spark, sf):
     )
     mkvrows = mkv.track_features(
         mkv.synth_mkv_media(
-            spark.range(40_000, 40_030).withColumnRenamed("id", "doc_id")
+            spark.range(40_000, 40_030, 1, 8).withColumnRenamed("id", "doc_id")
         )
     ).select(
         F.lit("mkv").alias("src"),
@@ -1311,76 +1311,76 @@ def q63_media_decode(spark, sf):
     closed-form integer oracle; filter/partition variants rotate as
     provable no-ops on flat content; byte_len NULL'd like webp."""
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    # lazy checkpoint: three consumers (features, audio, resize) read
-    # the synthesized media table — without it each re-runs the full
-    # synth (incl. 50 JPEG encodes) in its own plan (bench r6: the
-    # jpeg branch tripled this way, 1.0 -> 2.4 s at sf0.1)
+    # r15: the lazy checkpoint that used to sit here served THREE
+    # decode consumers (features, audio, resize — bench r6: the jpeg
+    # branch tripled without it); the fused single-decode pass below
+    # is the only consumer left, so the checkpoint would only add a
+    # materialization round-trip and is gone.
     media = (
         multimodal.synth_media(docs)
         .unionByName(
             multimodal.synth_jpeg_media(
-                spark.range(10_000, 10_050).withColumnRenamed(
+                spark.range(10_000, 10_050, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_webp_media(
-                spark.range(11_000, 11_050).withColumnRenamed(
+                spark.range(11_000, 11_050, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_gif_media(
-                spark.range(12_000, 12_050).withColumnRenamed(
+                spark.range(12_000, 12_050, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_audio_media(
-                spark.range(13_000, 13_050).withColumnRenamed(
+                spark.range(13_000, 13_050, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_stereo_media(
-                spark.range(13_100, 13_150).withColumnRenamed(
+                spark.range(13_100, 13_150, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_tiff_media(
-                spark.range(14_000, 14_050).withColumnRenamed(
+                spark.range(14_000, 14_050, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_flac_media(
-                spark.range(13_200, 13_250).withColumnRenamed(
+                spark.range(13_200, 13_250, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_cmyk_media(
-                spark.range(15_000, 15_050).withColumnRenamed(
+                spark.range(15_000, 15_050, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
         .unionByName(
             multimodal.synth_vp8_media(
-                spark.range(16_000, 16_050).withColumnRenamed(
+                spark.range(16_000, 16_050, 1, 8).withColumnRenamed(
                     "id", "doc_id"
                 )
             )
         )
-        .localCheckpoint(eager=False)
     )
     setup = multimodal.register_builtin_codecs
     # r15 optimization: ONE fused decode pass (media_all_features)

@@ -2279,6 +2279,16 @@ def media_all_features(
                 rows["byte_len"].append(len(payload))
             yield pd.DataFrame(rows)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        feats, MEDIA_ALL_FEATURES_SCHEMA
-    )
+    from timeseries_data_provider_spark.tables import widen_for_python
+
+    # coalesce/widen to the session parallelism: a union of small
+    # synth branches arrives as hundreds of 1-2 row partitions and
+    # the decode would run as that many tiny tasks (r15; conversely
+    # a single-split source would serialize it — the widen contract)
+    src = media.select("doc_id", "payload")
+    par = media.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() > par:
+        src = src.coalesce(par)
+    else:
+        src = widen_for_python(src)
+    return src.mapInPandas(feats, MEDIA_ALL_FEATURES_SCHEMA)
