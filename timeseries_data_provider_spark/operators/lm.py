@@ -342,16 +342,36 @@ def kneser_ney_prob(
         out = out.join(t, [f"__ctx{k}", tok_col], "left").join(
             s, f"__ctx{k}", "left"
         )
-    p = F.lit(1.0 / (model["vocab"] + 1))
+    # r15: the three-level interpolation tree is rendered as ONE SQL
+    # expression instead of ~150 Column ops — identical operator
+    # structure and float ordering (repr() round-trips the discount
+    # doubles exactly), one F.expr parse instead of hundreds of py4j
+    # round-trips per query construction. The Column-DSL builder
+    # (_kn_level) remains the readable reference; the q64 oracle
+    # hash-checks the scores either way.
+    p_sql = repr(1.0 / (model["vocab"] + 1)) + "D"
     for k in range(1, n + 1):
-        ctx = {
-            "total": F.col(f"__t{k}"),
-            "n1": F.col(f"__n1_{k}"),
-            "n2": F.col(f"__n2_{k}"),
-            "n3p": F.col(f"__n3_{k}"),
-        }
-        p = _kn_level(p, F.col(f"__c{k}"), ctx, model["discounts"][k - 1])
-    out = out.withColumn("p", p)
+        d1, d2, d3 = model["discounts"][k - 1]
+        c = f"coalesce(__c{k}, 0L)"
+        disc = (
+            f"(CASE WHEN {c} >= 3 THEN {d3!r}D"
+            f" WHEN {c} = 2 THEN {d2!r}D"
+            f" WHEN {c} = 1 THEN {d1!r}D"
+            " ELSE 0.0D END)"
+        )
+        gamma = (
+            f"(({d1!r}D * __n1_{k} + {d2!r}D * __n2_{k}"
+            f" + {d3!r}D * __n3_{k}) / __t{k})"
+        )
+        p_here = (
+            f"(greatest(cast({c} as double) - {disc}, 0.0D)"
+            f" / __t{k} + {gamma} * {p_sql})"
+        )
+        p_sql = (
+            f"(CASE WHEN __t{k} IS NULL THEN {p_sql}"
+            f" ELSE {p_here} END)"
+        )
+    out = out.withColumn("p", F.expr(p_sql))
     return out.drop(
         *[f"__{pre}{k}" for k in range(1, n + 1)
           for pre in ("ctx", "c", "t", "n1_", "n2_", "n3_")]
