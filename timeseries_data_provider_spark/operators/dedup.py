@@ -221,8 +221,11 @@ def minhash_signatures(
     drops ultra-frequent shingles from the signature (they carry no
     discriminating information and concentrate band-bucket skew)."""
     ex = _df_capped(shingles_exploded(documents, n), max_df)
+    # r15: each aggregate rendered as one SQL parse — the identical
+    # min(xxhash64(concat(...))) expression, ~4 py4j round-trips per
+    # hash column fewer at query construction
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        F.expr(f"min(xxhash64(concat('{i}:', s)))").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy("doc_id").agg(*aggs)
@@ -239,16 +242,17 @@ def banded_signatures(
     table (``minhash_lsh_incremental`` — the corpus text itself is
     never needed again)."""
     r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{bi * r + k}") for k in range(r)]
-                ).alias("bh"),
-            )
+    # r15: the whole band array rendered as one SQL parse (same
+    # struct/xxhash64 tree, a fraction of the py4j construction cost)
+    band_structs = F.expr(
+        "array("
+        + ",".join(
+            f"struct({bi} as band, xxhash64("
+            + ",".join(f"h{bi * r + k}" for k in range(r))
+            + ") as bh)"
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     return signatures.select(
         "doc_id", F.explode(band_structs).alias("b")
