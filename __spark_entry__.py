@@ -1507,6 +1507,33 @@ def _crawl_url(doc_id: int) -> str:
 # model frames instead of re-deriving three orders of aggregation.
 _Q64_KN_MODELS: dict[tuple, dict] = {}
 
+# r15: static Column expression memos — unresolved Columns are
+# immutable handles, and rebuilding the planted-page / URL trees
+# through py4j cost ~0.5 s of driver time per q64 construction
+_Q64_STATIC_COLS: dict = {}
+
+
+def _q64_planted_text_col():
+    memo = _Q64_STATIC_COLS.get("planted")
+    if memo is None:
+        memo = (_planted_page(F.col("doc_id")).alias("text"),)
+        _Q64_STATIC_COLS["planted"] = memo
+    return memo[0]
+
+
+def _q64_url_cols():
+    memo = _Q64_STATIC_COLS.get("url")
+    if memo is None:
+        host = urls.url_host(F.col("warc_url"))
+        memo = (
+            urls.url_normalize(F.col("warc_url")).alias("url_norm"),
+            host.alias("url_host"),
+            urls.url_registered_domain(host).alias("url_domain"),
+            urls.url_path_depth(F.col("warc_url")).alias("url_depth"),
+        )
+        _Q64_STATIC_COLS["url"] = memo
+    return memo
+
 
 def _q64_kn_model(spark, sf, d):
     # keyed on (applicationId, sf): localCheckpointed frames die with
@@ -1648,7 +1675,7 @@ def q64_corpus_signals(spark, sf):
             "doc_id",
         )
     )
-    planted = d.select("doc_id", _planted_page(F.col("doc_id")).alias("text"))
+    planted = d.select("doc_id", _q64_planted_text_col())
     sig = text.line_signals(planted).select(
         "doc_id",
         "n_lines",
@@ -1711,12 +1738,7 @@ def q64_corpus_signals(spark, sf):
         "warc_url",
         "warc_status",
         "warc_mime",
-        urls.url_normalize(F.col("warc_url")).alias("url_norm"),
-        urls.url_host(F.col("warc_url")).alias("url_host"),
-        urls.url_registered_domain(
-            urls.url_host(F.col("warc_url"))
-        ).alias("url_domain"),
-        urls.url_path_depth(F.col("warc_url")).alias("url_depth"),
+        *_q64_url_cols(),
     ).join(
         htmltext.html_text_features(pages).select(
             "doc_id",
@@ -1745,10 +1767,18 @@ def q64_corpus_signals(spark, sf):
     # their host's budget stay in the row with NULL rank/offset
     # (LEFT join) — the oracle replays the identical window + budget
     # math in SQL
-    delays = spark.createDataFrame(
-        [(f"example{m}.com", 5.0) for m in range(7)],
-        "host string, crawl_delay double",
-    )
+    # r15: the 7-row crawl-delay CONFIG table is pure literals —
+    # memoized per SparkContext like the other config-sized
+    # construction artifacts (createDataFrame cost ~0.3 s per
+    # invocation in py4j/schema round-trips)
+    dkey = ("delays", spark.sparkContext.applicationId)
+    delays = _Q64_STATIC_COLS.get(dkey)
+    if delays is None:
+        delays = spark.createDataFrame(
+            [(f"example{m}.com", 5.0) for m in range(7)],
+            "host string, crawl_delay double",
+        )
+        _Q64_STATIC_COLS[dkey] = delays
     sched = frontiermod.frontier_schedule(
         crawl.select(
             "doc_id",

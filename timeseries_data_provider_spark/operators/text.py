@@ -341,6 +341,9 @@ def _max_run(arr: Column) -> Column:
     )
 
 
+_REP_SIGNAL_COLS_MEMO: dict = {}
+
+
 def repetition_signals(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -354,33 +357,40 @@ def repetition_signals(
     most-frequent-bigram count is the longest equal-run in the SORTED
     bigram array (``array_sort`` + the same fold), so no explode, no
     shuffle, no per-doc aggregation; linear at any corpus size.
+
+    The expression columns are memoized per text_col (r15): unresolved
+    Columns are immutable handles and this tree cost ~0.4 s of py4j
+    per query construction.
     """
-    w = _words(text_col)
-    n = F.size(w)
-    # guard n < 2: slice(w, 1, n-1) would raise on a negative length
-    # now that empty/one-token docs really have n < 2 tokens
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(w, 1, n - 1),
-            F.slice(w, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return documents.select(
-        id_col,
-        n.cast("long").alias("n_tokens"),
-        F.round(
-            F.when(
-                n > 0,
-                F.lit(1.0)
-                - F.size(F.array_distinct(w)).cast("double") / n,
+    memo = _REP_SIGNAL_COLS_MEMO.get(text_col)
+    if memo is None:
+        w = _words(text_col)
+        n = F.size(w)
+        # guard n < 2: slice(w, 1, n-1) would raise on a negative
+        # length now that empty/one-token docs really have < 2 tokens
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(w, 1, n - 1),
+                F.slice(w, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
-            6,
-        ).alias("dup_word_frac"),
-        _max_run(F.array_sort(bigrams)).alias("top_bigram_n"),
-        _max_run(w).alias("max_word_run"),
-    ).withColumn(
+        ).otherwise(F.array().cast("array<string>"))
+        memo = (
+            n.cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    n > 0,
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(w)).cast("double") / n,
+                ),
+                6,
+            ).alias("dup_word_frac"),
+            _max_run(F.array_sort(bigrams)).alias("top_bigram_n"),
+            _max_run(w).alias("max_word_run"),
+        )
+        _REP_SIGNAL_COLS_MEMO[text_col] = memo
+    return documents.select(id_col, *memo).withColumn(
         # capped at 1: overlapping occurrences of the same bigram share
         # tokens, so 2*count/n exceeds 1 exactly on the most
         # repetitious documents (review finding — 'a a a a' scored
@@ -429,6 +439,9 @@ def line_signals(
     )
 
 
+_LINE_SIGNAL_COLS_MEMO: dict = {}
+
+
 def _line_signal_cols(text_col: str = "text") -> dict:
     """The line_signals expressions as a named dict — shared by
     ``line_signals`` (select form) and ``c4_filter`` (filter form, no
@@ -437,11 +450,18 @@ def _line_signal_cols(text_col: str = "text") -> dict:
     and a second scan of the text column; evaluating the same
     per-row expressions directly keeps the gate a single projection).
 
+    Memoized per text_col (r15): unresolved Columns are immutable
+    expression handles, and rebuilding this ~200-node tree through
+    py4j cost ~0.4 s of driver time on every query construction.
+
     Lines split on ``\\r?\\n`` so CRLF documents classify identically
     to LF ones, and line edges are stripped over the FULL whitespace
     class before the terminal/bullet/ellipsis checks — plain trim()
     strips only spaces, so 'Read more...\\r' used to count as terminal
     and '.\\t' never did (review finding)."""
+    memo = _LINE_SIGNAL_COLS_MEMO.get(text_col)
+    if memo is not None:
+        return memo
     lines = F.split(F.col(text_col), "\\r?\\n")
     n_lines = F.size(lines)
 
@@ -476,7 +496,7 @@ def _line_signal_cols(text_col: str = "text") -> dict:
         )
 
     low = F.lower(F.col(text_col))
-    return {
+    cols = {
         "n_lines": n_lines.cast("long"),
         "frac_lines_terminal": frac(terminal),
         "frac_lines_short": frac(short),
@@ -487,6 +507,8 @@ def _line_signal_cols(text_col: str = "text") -> dict:
         "has_javascript": low.contains("javascript"),
         "kept_line_frac": frac(keep),
     }
+    _LINE_SIGNAL_COLS_MEMO[text_col] = cols
+    return cols
 
 
 def c4_keep_expr(
@@ -549,6 +571,9 @@ PII_PATTERNS = {
 }
 
 
+_REDACT_COLS_MEMO: dict = {}
+
+
 def redact_pii(
     documents: DataFrame,
     text_col: str = "text",
@@ -568,17 +593,23 @@ def redact_pii(
     specific pattern must run first (card before phone, or the phone
     pattern eats a 16-digit card in chunks) and progressive counting
     prevents one span being double-counted across kinds."""
-    out = F.col(text_col)
-    counts = []
-    for kind in kinds:
-        pat = PII_PATTERNS[kind]
-        counts.append(
-            F.regexp_count(out, F.lit(pat)).cast("long").alias(f"n_{kind}")
-        )
-        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
-    return documents.select(
-        id_col, out.alias("text_redacted"), *counts
-    )
+    memo = _REDACT_COLS_MEMO.get((text_col, kinds))
+    if memo is None:
+        out = F.col(text_col)
+        counts = []
+        for kind in kinds:
+            pat = PII_PATTERNS[kind]
+            counts.append(
+                F.regexp_count(out, F.lit(pat))
+                .cast("long")
+                .alias(f"n_{kind}")
+            )
+            out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+        # unresolved Columns are immutable handles — memoized per
+        # (text_col, kinds) like the other signal builders (r15)
+        memo = (out.alias("text_redacted"), *counts)
+        _REDACT_COLS_MEMO[(text_col, kinds)] = memo
+    return documents.select(id_col, *memo)
 
 
 def compression_ratio(
